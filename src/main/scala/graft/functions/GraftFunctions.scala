@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** ClickHouse-compat function surface (reference aliases.sql:1-36) plus
+  * `epoch_ns`.
+  *
+  * Every function is a thin builder over existing Catalyst expressions
+  * (Cast / try-Cast / Coalesce / Like), so all of them resolve to
+  * codegen'd, pushdown-friendly plans — no UDF boundary anywhere.
+  *
+  * Deliberate reference-following deviations from ClickHouse proper:
+  *  - `toInt8` casts to a 64-bit int (DuckDB INT8 == BIGINT, aliases.sql:2).
+  *  - `intDiv` is plain division, not integer division (aliases.sql:35).
+  *  - `match` is SQL LIKE, not re2 (aliases.sql:36). `rlike` is available
+  *    as the regex form via Spark built-ins.
+  * Unsigned targets map to the next wider signed type (Spark has no
+  * unsigned); UInt64 → Decimal(20,0) for full range (the reference's own
+  * UBIGINT arrow path is broken — SURVEY §2.1 quirks).
+  */
+object GraftFunctions {
+  private def cast(e: Expression, t: DataType): Expression = Cast(e, t)
+  private def tryCast(e: Expression, t: DataType): Expression =
+    Cast(e, t, None, EvalMode.TRY)
+  private def tryCastOrZero(e: Expression, t: DataType): Expression =
+    Coalesce(Seq(tryCast(e, t), Cast(Literal(0), t)))
+
+  private val intTargets: Seq[(String, DataType)] = Seq(
+    "toInt8"   -> LongType, // DuckDB INT8 = BIGINT; follow the reference
+    "toInt16"  -> ShortType,
+    "toInt32"  -> IntegerType,
+    "toInt64"  -> LongType,
+    "toInt128" -> DecimalType(38, 0),
+    "toInt256" -> DecimalType(38, 0),
+  )
+  private val uintTargets: Seq[(String, DataType)] = Seq(
+    "toUInt8"  -> ShortType,
+    "toUInt16" -> IntegerType,
+    "toUInt32" -> LongType,
+    "toUInt64" -> DecimalType(20, 0),
+  )
+
+  def registerAll(spark: SparkSession): Unit = {
+    val fr = spark.sessionState.functionRegistry
+    def reg(name: String)(b: Seq[Expression] => Expression): Unit =
+      fr.createOrReplaceTempFunction(name, b, "scala_udf")
+
+    reg("epoch_ns")(es => EpochNs(Cast(es.head, TimestampType)))
+    reg("toString")(es => cast(es.head, StringType))
+    intTargets.foreach { case (n, t) =>
+      reg(n)(es => cast(es.head, t))
+      reg(n + "OrZero")(es => tryCastOrZero(es.head, t))
+      reg(n + "OrNull")(es => tryCast(es.head, t))
+    }
+    uintTargets.foreach { case (n, t) =>
+      reg(n)(es => cast(es.head, t))
+      // reference naming quirk: toUInt8rZero / toUInt8rNull (aliases.sql:24-31)
+      reg(n + "rZero")(es => tryCastOrZero(es.head, t))
+      reg(n + "rNull")(es => tryCast(es.head, t))
+    }
+    reg("toFloat")(es => cast(es.head, DoubleType))
+    reg("toFloatOrNull")(es => tryCast(es.head, DoubleType))
+    reg("toFloatOrZero")(es => tryCastOrZero(es.head, DoubleType))
+    reg("intDiv")(es => new Divide(es(0), es(1)))
+    reg("match")(es => new Like(es(0), es(1)))
+  }
+}

@@ -1,0 +1,321 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The relational operator surface (SURVEY §2.2): the reference delegates
+  * all relational execution to DuckDB SQL, so the capability contract is
+  * "ANSI SQL as executed by Spark SQL". Each query here exercises one
+  * operator family end-to-end and carries a DuckDB oracle.
+  *
+  * Determinism rules (the driver hash-compares results):
+  *  - every query is fully ordered by a unique key prefix;
+  *  - every floating-point aggregate is rounded (sum→2dp, avg→4dp) so
+  *    cross-engine accumulation-order ulps can't flip the hash;
+  *  - every computed column is aliased identically in Spark and SQL.
+  *
+  * Scale notes (100 TB): all shapes below are shuffle-minimal — partial
+  * aggregation before exchange, top-k via TakeOrderedAndProject (no global
+  * sort), dimension joins broadcastable (AQE decides from runtime sizes),
+  * filters/projections push down to the parquet scan.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- aggregate: TPC-H Q1 shape (partial agg → 6-group exchange) ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- the BENCHMARK.md group-by/top-k shape (BASELINE.md) ----
+    "q02_topk_groupby" -> ((s, dir) => {
+      Tables.load(s, dir, "part")
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(count(lit(1)).as("c"), round(avg(col("p_retailprice"))).as("m"))
+        .orderBy(col("c").desc, col("p_brand"), col("p_type"))
+        .limit(10)
+    }),
+
+    // ---- multi-join + aggregate (revenue per nation) ----
+    "q03_join_revenue" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- filter + projection (pushdown check: PushedFilters non-empty) ----
+    "q04_filter_scan" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+          && col("l_discount") > 0.05 && col("l_quantity") < 25)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- window functions: rank / row_number / running sum ----
+    "q05_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rk"),
+          row_number().over(w).as("rn"),
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // ---- distinct aggregation ----
+    "q06_distinct_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- scalar subquery (threshold computed from the same table) ----
+    "q07_subquery_avg" -> ((s, dir) => {
+      Tables.views(s, dir).sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // ---- semi join (EXISTS) ----
+    "q08_semijoin" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- anti join (NOT EXISTS) ----
+    "q09_antijoin" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_acctbal")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- set operations: INTERSECT / EXCEPT / UNION (distinct forms) ----
+    "q10_setops" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k"))
+      val e = c.filter(col("c_acctbal") < 0).select(col("c_custkey").as("k"))
+        .except(o.select(col("o_custkey").as("k")))
+      a.intersect(b).union(e).distinct().orderBy(col("k"))
+    }),
+
+    // ---- rollup + grouping markers ----
+    "q11_rollup" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("c"),
+          grouping(col("r_name")).cast("int").as("gr"),
+          grouping(col("n_name")).cast("int").as("gn"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // ---- scalar functions: string / case / conditional ----
+    "q12_scalar_funcs" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("prio_u"),
+          substring(col("o_orderpriority"), 1, 1).as("st"),
+          when(col("o_totalprice") > 100000, "big").otherwise("small").as("sz"),
+          length(col("o_orderpriority")).as("plen"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("X")).as("nf"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- event-time bucketing (hour tumbling window over the stream table;
+    //      ts is int64 ns — the reference's time model) ----
+    "q13_time_buckets" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(
+          expr("(ts DIV 3600000000000) * 3600000").as("bucket_ms"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_v"),
+          round(avg(col("value")), 4).as("avg_v"))
+        .orderBy(col("bucket_ms"), col("event_type"))
+    }),
+
+    // ---- ClickHouse alias functions (graft.functions) ----
+    "q14_ch_aliases" -> ((s, dir) => {
+      Tables.views(s, dir).sql(
+        """SELECT o_orderkey,
+          |  toString(o_orderkey) AS k_str,
+          |  toInt64(toString(o_orderkey)) AS k_rt,
+          |  toInt64OrNull(o_orderstatus) AS st_null,
+          |  toInt64OrZero(o_orderstatus) AS st_zero,
+          |  toFloatOrZero(o_orderpriority) AS prio_f,
+          |  match(o_orderpriority, '1%') AS m1
+          |FROM orders ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // ---- epoch_ns time filter (the reference's canonical query shape:
+    //      stored int64-ns column filtered by an epoch_ns(literal)) ----
+    "q15_epoch_ns_filter" -> ((s, dir) => {
+      Tables.views(s, dir).sql(
+        """SELECT event_id, (ts DIV 1000) * 1000 AS ts_ns
+          |FROM events
+          |WHERE ts >= epoch_ns(TIMESTAMP '2024-01-15 00:00:00')
+          |ORDER BY event_id""".stripMargin)
+    }),
+
+    // ---- JSON extraction over the props column ----
+    "q16_json_extract" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_topk_groupby" ->
+      """SELECT p_brand, p_type, count(*) AS c, round(avg(p_retailprice)) AS m
+        |FROM part GROUP BY p_brand, p_type
+        |ORDER BY c DESC, p_brand, p_type LIMIT 10""".stripMargin,
+    "q03_join_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q04_filter_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_discount > 0.05 AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q05_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    rank() OVER w AS rk,
+        |    row_number() OVER w AS rn,
+        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q06_distinct_agg" ->
+      """SELECT count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderpriority) AS n_prio,
+        |  count(*) AS n
+        |FROM orders""".stripMargin,
+    "q07_subquery_avg" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q08_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_antijoin" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_setops" ->
+      """SELECT k FROM (
+        |  (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |   INTERSECT
+        |   SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+        |  UNION
+        |  (SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+        |   EXCEPT
+        |   SELECT o_custkey AS k FROM orders)
+        |) t ORDER BY k""".stripMargin,
+    "q11_rollup" ->
+      """SELECT r_name, n_name, count(*) AS c,
+        |  CAST(grouping(r_name) AS INT) AS gr,
+        |  CAST(grouping(n_name) AS INT) AS gn
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q12_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS prio_u,
+        |  substring(o_orderpriority, 1, 1) AS st,
+        |  CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS sz,
+        |  length(o_orderpriority) AS plen,
+        |  concat(o_orderstatus, '-', o_orderpriority) AS tag,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'X') AS nf
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q13_time_buckets" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v, round(avg(value), 4) AS avg_v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q14_ch_aliases" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) AS k_str,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS k_rt,
+        |  TRY_CAST(o_orderstatus AS BIGINT) AS st_null,
+        |  COALESCE(TRY_CAST(o_orderstatus AS BIGINT), 0) AS st_zero,
+        |  COALESCE(TRY_CAST(o_orderpriority AS DOUBLE), 0) AS prio_f,
+        |  (o_orderpriority LIKE '1%') AS m1
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q15_epoch_ns_filter" ->
+      """SELECT event_id, epoch_ns(ts) AS ts_ns
+        |FROM events
+        |WHERE epoch_ns(ts) >= epoch_ns(TIMESTAMP '2024-01-15 00:00:00')
+        |ORDER BY event_id""".stripMargin,
+    "q16_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}
