@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language ID, quality scoring, document
+  * fingerprinting. All pure column expressions (no UDFs) so they stay
+  * inside whole-stage codegen and scale linearly with no shuffle.
+  *
+  * Each operator has a dual SQL rendering (the `*Sql` members) built from
+  * the same constants, used as the DuckDB oracle — one source of truth for
+  * both engines.
+  */
+object TextOps {
+
+  /** Whitespace tokens of lower-cased trimmed text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: word chunks + standalone non-word glyphs. */
+  val BpeRegex = "[a-z0-9]+|[^a-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeRegex), lit(0)))
+
+  // ---- language ID: stopword-lexicon hit counts, argmax with a fixed
+  //      tie-break order (en, es, fr, de, zh). The zh signal is CJK
+  //      codepoint presence rather than stopwords. ----
+  val Lexicons: Seq[(String, String)] = Seq(
+    "en" -> "the|and|of|to|in|is|was|for|that|it",
+    "es" -> "el|la|de|que|los|en|un|una|por|con",
+    "fr" -> "le|les|des|une|est|et|dans|pour|que|qui",
+    "de" -> "der|die|das|und|ist|ein|nicht|mit|auf|von",
+  )
+  // \x{...} escapes parse in both Java regex and RE2 (DuckDB); \uXXXX doesn't in RE2.
+  val CjkRegex = "[\\x{4e00}-\\x{9fff}]"
+
+  private def hits(text: Column, lex: String): Column =
+    size(regexp_extract_all(lower(text), lit(s"\\b($lex)\\b"), lit(0)))
+
+  def langId(text: Column): Column = {
+    val scores = Lexicons.map { case (l, lex) => l -> hits(text, lex) } :+
+      ("zh" -> size(regexp_extract_all(text, lit(CjkRegex), lit(0))))
+    val total = scores.map(_._2).reduce(_ + _)
+    scores.foldRight(lit("und"): Column) { case ((l, s), el) =>
+      when(s >= scores.filter(_._1 != l).map(_._2).reduce(greatest(_, _)) && total > 0, l)
+        .otherwise(el)
+    }
+  }
+
+  /** DuckDB rendering of langId(textCol) — same lexicons, same tie-break. */
+  def langIdSql(textCol: String): String = {
+    def h(lex: String) = s"len(regexp_extract_all(lower($textCol), '\\b($lex)\\b'))"
+    val scores = Lexicons.map { case (l, lex) => l -> h(lex) } :+
+      ("zh" -> s"len(regexp_extract_all($textCol, '$CjkRegex'))")
+    val total = scores.map(_._2).mkString(" + ")
+    val cases = scores.map { case (l, s) =>
+      val others = scores.filter(_._1 != l).map(_._2)
+      s"WHEN $s >= greatest(${others.mkString(", ")}) AND ($total) > 0 THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE 'und' END"
+  }
+
+  // ---- quality score: integer-derived ratios only, so the arithmetic is
+  //      bit-identical across engines (int/int division, fixed op order).
+  //      score = 0.5*min(tokens/100,1) + 0.25*min(stop_ratio/0.3,1)
+  //            + 0.25*min(avg_token_len/8,1), rounded to 4dp. ----
+  val StopLex: String = Lexicons.head._2
+
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stop = hits(text, StopLex).cast("double")
+    val avgLen = (length(regexp_replace(trim(lower(text)), "\\s+", "")).cast("double") / nTok)
+    round(
+      least(nTok / 100.0, lit(1.0)) * 0.5 +
+        least(stop / nTok / 0.3, lit(1.0)) * 0.25 +
+        least(avgLen / 8.0, lit(1.0)) * 0.25, 4)
+  }
+
+  def qualityScoreSql(textCol: String): String = {
+    val nTok = s"CAST(len(string_split_regex(trim(lower($textCol)), '\\s+')) AS DOUBLE)"
+    val stop = s"CAST(len(regexp_extract_all(lower($textCol), '\\b($StopLex)\\b')) AS DOUBLE)"
+    val avgLen = s"(CAST(length(regexp_replace(trim(lower($textCol)), '\\s+', '', 'g')) AS DOUBLE) / $nTok)"
+    s"round(least($nTok / 100.0, 1.0) * 0.5 + least($stop / $nTok / 0.3, 1.0) * 0.25 + " +
+      s"least($avgLen / 8.0, 1.0) * 0.25, 4)"
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set. Identical files (modulo word order/duplication) collide —
+    * the cheap first pass before shingle-based near-dup. */
+  def setFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  def setFingerprintSql(textCol: String): String =
+    s"md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower($textCol)), '\\s+'))), ' '))"
+
+  /** Rolling (order-sensitive) fingerprint over the token stream: a
+    * chained hash acc ← xxhash64(acc, token) — overflow-free under ANSI
+    * mode, same collision behavior as a polynomial rolling hash. No DuckDB
+    * equivalent — covered by ScalaTest, rows-only at the driver. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+}

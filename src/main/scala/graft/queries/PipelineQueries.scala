@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+/** LLM-training-data pipeline operators as driver-contract queries
+  * (dedup family, similarity search, text analysis, multimodal plumbing).
+  * Oracle SQL is provided wherever DuckDB can express the same semantics;
+  * hash-based ops (minhash/simhash/rolling fingerprint/LSH) get rows-only
+  * checks plus ScalaTest coverage.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val NearDupTau = 0.5
+  val EmbDupTau = 0.45
+
+  val queries: Map[String, Q] = Map(
+    // ---- exact dedup (hash group-by; single shuffle) ----
+    "p01_dedup_exact" -> ((s, dir) => {
+      DedupOps.exactGroups(Tables.load(s, dir, "documents"))
+        .orderBy(col("h"))
+    }),
+
+    // ---- n-gram Jaccard near-dup pairs (inverted-index join) ----
+    "p02_ngram_jaccard" -> ((s, dir) => {
+      DedupOps.ngramJaccardPairs(Tables.load(s, dir, "documents"), NearDupTau)
+        .select(col("da"), col("db"), round(col("j"), 6).as("j"))
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // ---- MinHash+LSH near-dup pairs, exact-verified (same oracle:
+    //      banded 16×4 signatures make a miss at j≥0.9 ~4e-8) ----
+    "p03_minhash_lsh" -> ((s, dir) => {
+      DedupOps.minHashPairs(Tables.load(s, dir, "documents"), NearDupTau)
+        .select(col("da"), col("db"), round(col("j"), 6).as("j"))
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // ---- SimHash signatures (rows-only: DuckDB lacks xxhash64) ----
+    "p04_simhash" -> ((s, dir) => {
+      DedupOps.simHashSignatures(Tables.load(s, dir, "documents"))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    }),
+
+    // ---- embedding-cosine near-dup pairs ----
+    "p05_embedding_neardup" -> ((s, dir) => {
+      DedupOps.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"), EmbDupTau)
+        .select(col("va"), col("vb"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("va"), col("vb"))
+    }),
+
+    // ---- brute-force cosine top-10 for query vectors vec_id<5 ----
+    "p06_ann_bruteforce" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- LSH-bucketed ANN (scale path; rows-only, recall in spec) ----
+    "p07_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilarityOps.annTopK(emb, emb.filter(col("vec_id") < 5), 10, 64)
+        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- token counting + set fingerprint ----
+    "p08_text_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"),
+        length(col("text")).as("n_chars2"),
+        TextOps.setFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- language ID + quality score ----
+    "p09_lang_quality" -> ((s, dir) => {
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal binary plumbing (column-op stats; oracle-checked) ----
+    "p10_mm_stats" -> ((s, dir) => {
+      MultimodalOps.assetStats(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal stubbed decode via mapPartitions (rows-only) ----
+    "p11_mm_decode" -> ((s, dir) => {
+      MultimodalOps.decodeFeatures(
+        MultimodalOps.asAssets(Tables.load(s, dir, "documents")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("features")(0).as("f0"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- order-sensitive rolling-hash fingerprint (rows-only) ----
+    "p12_rolling_fp" -> ((s, dir) => {
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.rollingFingerprint(col("text")).as("rfp"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p01_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "p02_ngram_jaccard" -> DedupOps.jaccardPairsSql(NearDupTau),
+    "p03_minhash_lsh" -> DedupOps.jaccardPairsSql(NearDupTau),
+    "p05_embedding_neardup" ->
+      s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                               CAST(b.embedding AS DOUBLE[])), 4) AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                             CAST(b.embedding AS DOUBLE[])) >= $EmbDupTau
+         |ORDER BY va, vb""".stripMargin,
+    "p06_ann_bruteforce" ->
+      """SELECT qid, nid, round(sim, 4) AS sim, rn FROM (
+        |  SELECT a.vec_id qid, b.vec_id nid,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) sim,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                      CAST(b.embedding AS DOUBLE[])) DESC,
+        |               b.vec_id) rn
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id < 5
+        |) t WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "p08_text_stats" ->
+      s"""SELECT doc_id,
+         |  len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '${TextOps.BpeRegex}')) AS n_bpe,
+         |  length(text) AS n_chars2,
+         |  ${TextOps.setFingerprintSql("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p09_lang_quality" ->
+      s"""SELECT doc_id,
+         |  ${TextOps.langIdSql("text")} AS lang_pred,
+         |  ${TextOps.qualityScoreSql("text")} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p10_mm_stats" ->
+      """SELECT doc_id, octet_length(encode(text)) AS nbytes,
+        |  hex(encode(substring(text, 1, 8))) AS head8
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

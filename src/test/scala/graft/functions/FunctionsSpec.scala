@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** FIXTURES.md F7: ClickHouse alias semantics (reference aliases.sql). */
+class FunctionsSpec extends SparkSpec {
+
+  private def one(sql: String): Any =
+    spark.sql(s"SELECT $sql AS v").collect().head.get(0)
+
+  test("toString casts to string") {
+    assert(one("toString(42)") == "42")
+    assert(one("toString(4.5)") == "4.5")
+  }
+
+  test("toInt64 / toInt8 are 64-bit (DuckDB INT8 = BIGINT, per reference)") {
+    assert(one("toInt64('123')") == 123L)
+    assert(one("toInt8('123')") == 123L)
+    assert(one("toInt32('123')") == 123)
+    assert(one("toInt16('123')") == 123.toShort)
+  }
+
+  test("OrNull variants try-cast") {
+    assert(one("toInt64OrNull('abc')") == null)
+    assert(one("toInt64OrNull('7')") == 7L)
+    assert(one("toFloatOrNull('abc')") == null)
+  }
+
+  test("OrZero variants default to 0") {
+    assert(one("toInt64OrZero('abc')") == 0L)
+    assert(one("toInt64OrZero('7')") == 7L)
+    assert(one("toFloatOrZero('x')") == 0.0)
+  }
+
+  test("reference uint naming quirk: toUInt8rZero / rNull") {
+    assert(one("toUInt8rZero('abc')") == 0.toShort)
+    assert(one("toUInt64rNull('18446744073709551615')") == null ||
+      one("toUInt64rNull('12')").toString == "12")
+  }
+
+  test("intDiv is plain division (reference deviation from ClickHouse)") {
+    assert(one("intDiv(7, 2)") == 3.5)
+  }
+
+  test("match is LIKE (reference deviation from ClickHouse re2)") {
+    assert(one("match('abcd', 'ab%')") == true)
+    assert(one("match('abcd', 'x%')") == false)
+  }
+
+  test("epoch_ns returns int64 nanoseconds") {
+    assert(one("epoch_ns(TIMESTAMP '1970-01-01 00:00:01')") == 1000000000L)
+    assert(one("epoch_ns(TIMESTAMP '2024-01-15 00:00:00')") == 1705276800000000000L)
+  }
+}

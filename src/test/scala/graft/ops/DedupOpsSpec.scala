@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  private def docs() = Seq(
+    (0L, base),
+    (1L, base),                                    // exact dup of 0
+    (2L, base.replace("gamma", "GAMMA2")),         // near dup of 0
+    (3L, "totally different words here nothing shared with others at all ok"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"),
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses identical texts to the min id") {
+    val g = DedupOps.exactGroups(docs()).collect()
+    assert(g.length == 4)
+    val dup = g.find(_.getAs[Long]("dups") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("shingles produces n-1 fewer distinct shingles than tokens") {
+    val sh = DedupOps.shingles(Seq((1L, "a b c d")).toDF("doc_id", "text")).collect()
+    assert(sh.map(_.getString(1)).toSet == Set("a b c", "b c d"))
+  }
+
+  test("ngramJaccardPairs finds exact+near dups above tau, not unrelated") {
+    val pairs = DedupOps.ngramJaccardPairs(docs(), 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minHashPairs recovers the same pairs as exact jaccard at tau=0.5") {
+    val exact = DedupOps.ngramJaccardPairs(docs(), 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val mh = DedupOps.minHashPairs(docs(), 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(mh == exact)
+  }
+
+  test("simHash: identical docs have distance 0; near dups small distance") {
+    val pairs = DedupOps.simHashPairs(docs(), maxDist = 3)
+      .select("da", "db", "dist").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 1L)) == 0)
+  }
+
+  test("embeddingNearDupPairs finds planted duplicate vector") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f)), // near dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = DedupOps.embeddingNearDupPairs(emb, 0.95)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

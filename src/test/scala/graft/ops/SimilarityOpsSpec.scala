@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int, dims: Int) = {
+    val rnd = new scala.util.Random(7)
+    (0L until n.toLong).map(i => (i, Array.fill(dims)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      SimilarityOps.cosine($"a", $"b"),
+      SimilarityOps.cosine($"a", $"c")).as[(Double, Double)].collect().head
+    assert(math.abs(r._1 - 1.0) < 1e-12 && math.abs(r._2) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ordered neighbors per query") {
+    val corpus = vecs(100, 16)
+    val r = SimilarityOps.bruteForceTopK(corpus, corpus.filter($"vec_id" < 3), 5)
+      .groupBy("qid").agg(count(lit(1)).as("n"), max("rn").as("maxrn"))
+      .as[(Long, Long, Int)].collect()
+    assert(r.length == 3 && r.forall(x => x._2 == 5 && x._3 == 5))
+  }
+
+  test("annTopK always finds an exact duplicate of the query (same bucket)") {
+    val corpus = vecs(200, 16)
+    // query 0's embedding duplicated as corpus id 999
+    val dup = corpus.filter($"vec_id" === 0)
+      .select(lit(999L).as("vec_id"), $"embedding")
+    val r = SimilarityOps.annTopK(corpus.union(dup), corpus.filter($"vec_id" === 0), 3, 16)
+      .filter($"qid" === 0 && $"rn" === 1)
+      .select("nid").as[Long].collect()
+    assert(r.toSeq == Seq(999L))
+  }
+
+  test("annTopK never reports a sim better than brute-force rank-1") {
+    val corpus = vecs(200, 16)
+    val q = corpus.filter($"vec_id" < 3)
+    val brute = SimilarityOps.bruteForceTopK(corpus, q, 1)
+      .select($"qid", $"sim").as[(Long, Double)].collect().toMap
+    val ann = SimilarityOps.annTopK(corpus, q, 1, 16)
+      .select($"qid", $"sim").as[(Long, Double)].collect()
+    assert(ann.forall { case (qid, s) => s <= brute(qid) + 1e-12 })
+  }
+}

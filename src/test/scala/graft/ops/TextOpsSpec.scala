@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("tokenCount splits on whitespace runs") {
+    val r = docs("a  b\tc", " x ").select(TextOps.tokenCount($"text")).as[Int].collect()
+    assert(r.toSeq == Seq(3, 1))
+  }
+
+  test("langId picks the lexicon with most hits; und on no signal") {
+    val r = docs(
+      "the cat and the dog is here",
+      "el perro que la casa con un gato",
+      "le chat est dans la maison pour les amis",
+      "der hund ist ein tier und das ist gut",
+      "你好世界",
+      "zzz qqq www").select(TextOps.langId($"text")).as[String].collect()
+    assert(r.toSeq == Seq("en", "es", "fr", "de", "zh", "und"))
+  }
+
+  test("qualityScore is in [0,1] and favors longer stopword-rich text") {
+    val r = docs(
+      "the cat and the dog is in the house and it was good " * 10,
+      "x").select(TextOps.qualityScore($"text")).as[Double].collect()
+    assert(r.forall(v => v >= 0.0 && v <= 1.0))
+    assert(r(0) > r(1))
+  }
+
+  test("setFingerprint is word-order and duplication insensitive") {
+    val r = docs("b a c a", "a b c", "a b d")
+      .select(TextOps.setFingerprint($"text")).as[String].collect()
+    assert(r(0) == r(1) && r(1) != r(2))
+  }
+
+  test("rollingFingerprint is order sensitive") {
+    val r = docs("a b c", "c b a", "a b c")
+      .select(TextOps.rollingFingerprint($"text")).as[Long].collect()
+    assert(r(0) != r(1) && r(0) == r(2))
+  }
+}
