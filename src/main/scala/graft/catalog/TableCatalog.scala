@@ -1,0 +1,124 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.JsonMethods.{compact, render}
+
+/** Table registry: engine, ordering, partitioning, auto-timestamp, and the
+  * first-seen (schema-on-write) column types.
+  *
+  * The reference keeps this in an in-memory map (its DuckDB persistence is
+  * dead code — reference merge/repository/tables_repository.go:39-77,
+  * SURVEY §2.1 N29); we persist one JSON per table at
+  * `{root}/{db}/{table}/.table.json` so restarts keep schemas.
+  *
+  * Column types use the reference's 4+1 type names (reference
+  * merge/data_types/data_types.go:26-51) plus BOOL (strict-superset:
+  * the reference parses bools but cannot store them).
+  */
+final case class TableSpec(
+    database: String,
+    name: String,
+    engine: String = "HiveMerge", // "Merge" = flat dir, "HiveMerge" = date/hour
+    orderBy: Seq[String] = Seq("__timestamp"),
+    autoTimestamp: Boolean = true,
+    timestampField: Option[String] = None,
+    timestampPrecision: String = "ns",
+    // first-seen column types: name -> INT64|UINT64|FLOAT64|STRING|BOOL
+    columns: Seq[(String, String)] = Nil) {
+  require(TableCatalog.NameRe.matches(name), s"invalid table name: $name")
+  require(TableCatalog.NameRe.matches(database), s"invalid database name: $database")
+}
+
+final class TableCatalog(root: String) {
+  import TableCatalog._
+  private val tables = scala.collection.concurrent.TrieMap.empty[(String, String), TableSpec]
+
+  def tableDir(db: String, table: String): Path = Paths.get(root, db, table)
+
+  def get(db: String, table: String): Option[TableSpec] =
+    tables.get((db, table)).orElse(loadFromDisk(db, table))
+
+  def all(): Seq[TableSpec] = {
+    val r = Paths.get(root)
+    if (!Files.isDirectory(r)) return tables.values.toSeq
+    val onDisk = for {
+      db <- Files.list(r).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+      t <- Files.list(db).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+      if Files.exists(t.resolve(".table.json"))
+      spec <- loadFromDisk(db.getFileName.toString, t.getFileName.toString)
+    } yield spec
+    (tables.values.toSeq ++ onDisk).distinctBy(s => (s.database, s.name))
+  }
+
+  /** Register or evolve (synchronized: single writer per table, like the
+    * reference's registry mutex — reference registry.go:65-84). */
+  def upsert(spec: TableSpec): TableSpec = synchronized {
+    tables((spec.database, spec.name)) = spec
+    persist(spec)
+    spec
+  }
+
+  /** First-type-wins schema merge: new columns append, existing columns
+    * must keep their first-seen type (reference data_store.go:94-141,
+    * hive_merge_tree_service.go:309-329). */
+  def evolve(db: String, table: String, incoming: Seq[(String, String)]): TableSpec =
+    synchronized {
+      val cur = get(db, table).getOrElse(TableSpec(db, table))
+      val known = cur.columns.toMap
+      incoming.foreach { case (n, t) =>
+        known.get(n).foreach { prev =>
+          if (prev != t)
+            throw new IllegalArgumentException(
+              s"column '$n' type conflict: table has $prev, batch has $t")
+        }
+      }
+      val added = incoming.filterNot { case (n, _) => known.contains(n) }
+      upsert(cur.copy(columns = cur.columns ++ added))
+    }
+
+  private def persist(spec: TableSpec): Unit = {
+    val dir = tableDir(spec.database, spec.name)
+    Files.createDirectories(dir)
+    val json: JValue = JObject(
+      "database" -> JString(spec.database),
+      "name" -> JString(spec.name),
+      "engine" -> JString(spec.engine),
+      "order_by" -> JArray(spec.orderBy.map(JString(_)).toList),
+      "auto_timestamp" -> JBool(spec.autoTimestamp),
+      "timestamp_field" -> spec.timestampField.map(JString(_)).getOrElse(JNull),
+      "timestamp_precision" -> JString(spec.timestampPrecision),
+      "columns" -> JArray(spec.columns.map { case (n, t) =>
+        JObject("name" -> JString(n), "type" -> JString(t))
+      }.toList))
+    val tmp = dir.resolve(".table.json.bak")
+    Files.writeString(tmp, compact(render(json)))
+    Files.move(tmp, dir.resolve(".table.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def loadFromDisk(db: String, table: String): Option[TableSpec] = {
+    val f = tableDir(db, table).resolve(".table.json")
+    if (!Files.exists(f)) return None
+    val j = JsonMethods.parse(Files.readString(f))
+    implicit val fmts: Formats = DefaultFormats
+    val spec = TableSpec(
+      database = (j \ "database").extract[String],
+      name = (j \ "name").extract[String],
+      engine = (j \ "engine").extract[String],
+      orderBy = (j \ "order_by").extract[List[String]],
+      autoTimestamp = (j \ "auto_timestamp").extract[Boolean],
+      timestampField = (j \ "timestamp_field").extractOpt[String],
+      timestampPrecision = (j \ "timestamp_precision").extract[String],
+      columns = (j \ "columns").extract[List[JObject]].map(o =>
+        ((o \ "name").extract[String], (o \ "type").extract[String])))
+    tables((db, table)) = spec
+    Some(spec)
+  }
+}
+
+object TableCatalog {
+  val NameRe = "^[a-zA-Z0-9_]+$".r // reference registry.go:64,161-163
+}

@@ -1,0 +1,126 @@
+package graft.compact
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.catalog.{TableCatalog, TableSpec}
+import graft.index.{FileEntry, MetadataIndex, ParquetLevels}
+import graft.ingest.ParquetStats
+
+/** LSM-style leveled compaction (reference N15-N18): per partition dir,
+  * per level L∈{1..4}, greedily bin-pack `*.L.parquet` files (size-desc)
+  * into plans capped at the level's target size, then merge each plan into
+  * one sorted `{uuid}.{L+1}.parquet`.
+  *
+  * Same constants as the reference (merge_tree_service.go:336-344):
+  * caps 100 MB / 400 MB / 4 GB / 4 GB at cadence t, 10t, 100t, 420t.
+  *
+  * The merge itself is Spark: read(mergeSchema) → sort(orderBy) →
+  * one sorted file. Spark's external sort replaces both the reference's
+  * DuckDB `ORDER BY` copy (L1) and its chsql `read_parquet_mergetree`
+  * k-way merge (L≥2) — reference merge_service_fs.go:202-278.
+  *
+  * Scale note: each plan is an independent bounded job (≤4 GB input), so a
+  * scheduler can run many plans concurrently across a cluster; no driver
+  * state beyond the plan list. Sorted output keeps parquet row-group
+  * min/max tight, which is what makes scan-time pruning work at 100 TB.
+  */
+object Compactor {
+  final case class Plan(from: Seq[Path], to: String, level: Int)
+
+  val MaxLevel = 4 // reference MERGE_ITERATIONS
+  /** level (1-based) → max merged-output bytes (reference getMergeConfigurations). */
+  def maxSizeFor(level: Int): Long = level match {
+    case 1 => 100L * 1024 * 1024
+    case 2 => 400L * 1024 * 1024
+    case _ => 4000L * 1024 * 1024
+  }
+  /** level → cadence multiplier over the base timeout (reference: 1,10,100,420). */
+  def cadenceFor(level: Int): Long = level match {
+    case 1 => 1; case 2 => 10; case 3 => 100; case _ => 420
+  }
+
+  /** Files eligible at `level` in one partition dir: `*.{level}.parquet`
+    * present in the index (reference GetFilesToMerge), size-descending. */
+  def filesToMerge(partDir: Path, tableName: String, level: Int): Seq[(Path, Long)] = {
+    val idx = MetadataIndex.load(partDir, tableName)
+    idx.entries.values.toSeq
+      .filter(e => ParquetLevels.levelOf(e.path) == level)
+      .map(e => (partDir.resolve(e.path), e.sizeBytes))
+      .filter { case (p, _) => Files.exists(p) }
+      .sortBy(-_._2)
+  }
+
+  /** Greedy size-desc bin packing — same algorithm as the reference
+    * PlanMerge (merge_service_fs.go:81-106), including its cut-after-
+    * overflow behavior. */
+  def planMerge(files: Seq[(Path, Long)], maxResSize: Long, level: Int): Seq[Plan] = {
+    var plans = Vector.empty[Plan]
+    var from = Vector.empty[Path]
+    var acc = 0L
+    files.foreach { case (p, sz) =>
+      acc += sz
+      from :+= p
+      if (acc > maxResSize) {
+        plans :+= Plan(from, s"${UUID.randomUUID()}.${level + 1}.parquet", level)
+        from = Vector.empty
+        acc = 0L
+      }
+    }
+    if (from.nonEmpty)
+      plans :+= Plan(from, s"${UUID.randomUUID()}.${level + 1}.parquet", level)
+    plans
+  }
+
+  /** Compact every partition of a table once, levels 1..MaxLevel-1.
+    * Returns the number of merge plans executed. */
+  def compactTable(spark: SparkSession, catalog: TableCatalog,
+                   db: String, table: String, gcDropQueue: Boolean = true): Int = {
+    val spec = catalog.get(db, table).getOrElse(return 0)
+    val dirs = {
+      val root = catalog.tableDir(db, table)
+      val parts = MetadataIndex.partitionDirs(root)
+      if (parts.nonEmpty) parts else Seq(root)
+    }
+    dirs.map { dir =>
+      if (gcDropQueue) MetadataIndex.gc(dir, table)
+      (1 until MaxLevel).map { level =>
+        val plans = planMerge(filesToMerge(dir, table, level), maxSizeFor(level), level)
+          .filter(_.from.size > 1) // 1-file plans: nothing to gain at rest
+        plans.foreach(p => executePlan(spark, spec, dir, p))
+        plans.size
+      }.sum
+    }.sum
+  }
+
+  /** Merge one plan: sorted single-file output, staged then atomically
+    * published; index swaps sources for the merged file (sources go to
+    * the drop queue for deferred deletion). */
+  def executePlan(spark: SparkSession, spec: TableSpec, partDir: Path, plan: Plan): Path = {
+    val staging = Files.createTempDirectory(partDir, ".merge-")
+    try {
+      spark.read
+        .option("mergeSchema", "true")
+        .parquet(plan.from.map(_.toString): _*)
+        .repartition(1)
+        .sortWithinPartitions(spec.orderBy.map(col): _*)
+        .write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala
+        .find(_.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no merged output in $staging"))
+      val dest = partDir.resolve(plan.to)
+      Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+      val stats = ParquetStats.read(spark, dest, spec.orderBy.headOption.getOrElse("__timestamp"))
+      MetadataIndex.batch(partDir, spec.name,
+        add = Seq(FileEntry(0, plan.to, Files.size(dest), stats.rowCount,
+          stats.minTime, stats.minTime, stats.maxTime)),
+        remove = plan.from.map(_.getFileName.toString))
+      dest
+    } finally {
+      Files.walk(staging).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+}

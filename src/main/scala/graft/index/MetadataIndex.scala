@@ -1,0 +1,147 @@
+package graft.index
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.JsonMethods.{compact, render}
+
+/** Per-partition-directory `metadata.json` min/max file index — the same
+  * JSON shape the reference writes (reference merge/index/json_index.go:
+  * 16-47 entry fields, 312-416 document fields), so its querier could read
+  * ours: {type, parquet_size_bytes, row_count, min_time, max_time,
+  * wal_sequence, drop_queue[], files[{id, path, size_bytes, row_count,
+  * chunk_time, min_time, max_time, range, type}]}.
+  *
+  * This file-level zone map is what query-time pruning reads
+  * (graft.pruning) — at 100 TB it prunes whole files before Spark ever
+  * lists them, complementing parquet row-group stats inside each file.
+  *
+  * Updates are read-modify-write + atomic rename (reference flush(),
+  * json_index.go:405-416). One index per partition dir; callers
+  * synchronize per-partition (the ingest writer and compactor do).
+  */
+final case class FileEntry(
+    id: Long,
+    path: String, // filename within the partition dir
+    sizeBytes: Long,
+    rowCount: Long,
+    chunkTime: Long,
+    minTime: Long,
+    maxTime: Long,
+    range: String = "",
+    ftype: String = "parquet")
+
+final case class PartitionIndex(
+    tableName: String,
+    entries: Map[String, FileEntry],
+    dropQueue: Vector[String]) {
+  def parquetSizeBytes: Long = entries.values.map(_.sizeBytes).sum
+  def rowCount: Long = entries.values.map(_.rowCount).sum
+  def minTime: Long = if (entries.isEmpty) 0L else entries.values.map(_.minTime).min
+  def maxTime: Long = if (entries.isEmpty) 0L else entries.values.map(_.maxTime).max
+}
+
+object MetadataIndex {
+  val FileName = "metadata.json"
+
+  def load(partitionDir: Path, tableName: String): PartitionIndex = {
+    val f = partitionDir.resolve(FileName)
+    if (!Files.exists(f)) return PartitionIndex(tableName, Map.empty, Vector.empty)
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(Files.readString(f))
+    val files = (j \ "files") match {
+      case JArray(items) => items.map { e =>
+        val fe = FileEntry(
+          id = (e \ "id").extract[Long],
+          path = (e \ "path").extract[String],
+          sizeBytes = (e \ "size_bytes").extract[Long],
+          rowCount = (e \ "row_count").extract[Long],
+          chunkTime = (e \ "chunk_time").extract[Long],
+          minTime = (e \ "min_time").extract[Long],
+          maxTime = (e \ "max_time").extract[Long],
+          range = (e \ "range").extractOrElse[String](""),
+          ftype = (e \ "type").extractOrElse[String]("parquet"))
+        fe.path -> fe
+      }.toMap
+      case _ => Map.empty[String, FileEntry]
+    }
+    val drops = (j \ "drop_queue") match {
+      case JArray(items) => items.map(_.extract[String]).toVector
+      case _ => Vector.empty[String]
+    }
+    PartitionIndex((j \ "type").extractOrElse[String](tableName), files, drops)
+  }
+
+  /** Atomically apply add/remove and persist (removed files go to the
+    * drop queue for deferred deletion — reference merge_service_fs.go:
+    * 241-252 GC with grace period). */
+  def batch(partitionDir: Path, tableName: String,
+            add: Seq[FileEntry] = Nil, remove: Seq[String] = Nil): PartitionIndex =
+    synchronized {
+      val cur = load(partitionDir, tableName)
+      val nextId = (cur.entries.values.map(_.id) ++ Seq(0L)).max + 1
+      val added = add.zipWithIndex.map { case (e, i) =>
+        val withId = if (e.id == 0) e.copy(id = nextId + i) else e
+        withId.path -> withId
+      }
+      val entries = (cur.entries -- remove) ++ added
+      val updated = PartitionIndex(tableName, entries,
+        cur.dropQueue ++ remove.filter(cur.entries.contains))
+      persist(partitionDir, updated)
+      updated
+    }
+
+  /** Delete drop-queued files that still exist; persist the pruned queue. */
+  def gc(partitionDir: Path, tableName: String): Unit = synchronized {
+    val cur = load(partitionDir, tableName)
+    if (cur.dropQueue.isEmpty) return
+    cur.dropQueue.foreach(p => Files.deleteIfExists(partitionDir.resolve(p)))
+    persist(partitionDir, cur.copy(dropQueue = Vector.empty))
+  }
+
+  def persist(partitionDir: Path, idx: PartitionIndex): Unit = {
+    Files.createDirectories(partitionDir)
+    val json: JValue = JObject(
+      "type" -> JString(idx.tableName),
+      "parquet_size_bytes" -> JLong(idx.parquetSizeBytes),
+      "row_count" -> JLong(idx.rowCount),
+      "min_time" -> JLong(idx.minTime),
+      "max_time" -> JLong(idx.maxTime),
+      "wal_sequence" -> JLong(0L),
+      "drop_queue" -> JArray(idx.dropQueue.map(JString(_)).toList),
+      "files" -> JArray(idx.entries.values.toList.sortBy(_.id).map(e => JObject(
+        "id" -> JLong(e.id),
+        "path" -> JString(e.path),
+        "size_bytes" -> JLong(e.sizeBytes),
+        "row_count" -> JLong(e.rowCount),
+        "chunk_time" -> JLong(e.chunkTime),
+        "min_time" -> JLong(e.minTime),
+        "max_time" -> JLong(e.maxTime),
+        "range" -> JString(e.range),
+        "type" -> JString(e.ftype)))))
+    val tmp = partitionDir.resolve(FileName + ".bak")
+    Files.writeString(tmp, compact(render(json)))
+    Files.move(tmp, partitionDir.resolve(FileName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All partition dirs (dirs containing metadata.json) under a table. */
+  def partitionDirs(tableRoot: Path): Seq[Path] = {
+    if (!Files.isDirectory(tableRoot)) return Nil
+    Files.walk(tableRoot).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString == FileName)
+      .map(_.getParent).toSeq
+  }
+
+  /** Live files overlapping [minNs, maxNs] — querier-style time pruning
+    * (reference ARCHITECTURE.md:2079). */
+  def pruneByTime(tableRoot: Path, tableName: String,
+                  minNs: Long = Long.MinValue, maxNs: Long = Long.MaxValue): Seq[Path] =
+    partitionDirs(tableRoot).flatMap { dir =>
+      val idx = load(dir, tableName)
+      idx.entries.values
+        .filter(e => e.minTime <= maxNs && e.maxTime >= minNs)
+        .map(e => dir.resolve(e.path))
+    }
+}

@@ -1,0 +1,193 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.catalog.{TableCatalog, TableSpec}
+import graft.index.{FileEntry, MetadataIndex}
+import graft.lineproto.LineProtocolParser.{Batch, FieldType}
+
+/** The schema-on-write ingest path (reference write pipeline §3.1):
+  * line-protocol batch → typed DataFrame → `__timestamp` injection →
+  * per-row date/hour partition derivation → sorted parquet in
+  * `{root}/{db}/{table}/date=YYYY-MM-DD/hour=HH/{uuid}.1.parquet` →
+  * metadata.json index update.
+  *
+  * Differences from the reference, by design (SURVEY §2.1 quirks):
+  *  - date AND hour derive per-row from `__timestamp` (the reference
+  *    buckets by day but labels with the first row's hour);
+  *  - bool fields are stored (BooleanType);
+  *  - UInt64 → Decimal(20,0).
+  *
+  * Scale path: this writer handles the reference-style driver-buffered
+  * micro-batches. For sustained 100 TB/day firehose ingest the same
+  * transform chain runs under Structured Streaming
+  * (graft.streaming.StreamIngest) where parallel parse happens in
+  * executors, not the driver.
+  */
+final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalog,
+                         nowNs: () => Long = () => System.currentTimeMillis() * 1000000L) {
+
+  /** Reference type names per FieldType (data_types.go:26-51). */
+  private def typeName(t: FieldType): String = t match {
+    case FieldType.I64 => "INT64"
+    case FieldType.U64 => "UINT64"
+    case FieldType.F64 => "FLOAT64"
+    case FieldType.Str => "STRING"
+    case FieldType.Bool => "BOOL"
+  }
+
+  def sparkType(name: String): DataType = name match {
+    case "INT64" => LongType
+    case "UINT64" => DecimalType(20, 0)
+    case "FLOAT64" => DoubleType
+    case "STRING" => StringType
+    case "BOOL" => BooleanType
+    case other => throw new IllegalArgumentException(s"unknown type $other")
+  }
+
+  /** Line-proto batch → DataFrame with the batch's own schema. */
+  def toDataFrame(batch: Batch): DataFrame = {
+    val fields = batch.schema.map { case (n, t) => StructField(n, sparkType(typeName(t))) }
+    val schema = StructType(fields)
+    val byName = batch.schema.map(_._1).zipWithIndex.toMap
+    val rows = batch.rows.map { line =>
+      val arr = new Array[Any](fields.length)
+      line.tags.foreach { case (k, v) => arr(byName(k)) = v }
+      line.fields.foreach { case (k, v, t) =>
+        arr(byName(k)) = if (t == FieldType.U64) v.asInstanceOf[BigDecimal] else v
+      }
+      arr(byName("time")) = line.timeNs
+      Row.fromSeq(arr.toIndexedSeq)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Store one parsed batch: evolve schema (first-type-wins), add
+    * `__timestamp`, write partitioned+sorted, index. Returns files written. */
+  def store(batch: Batch): Seq[Path] = {
+    val spec0 = catalog.evolve(batch.database, batch.table,
+      batch.schema.map { case (n, t) => (n, typeName(t)) } :+ ("__timestamp" -> "INT64"))
+    write(spec0, toDataFrame(batch).withColumn("__timestamp", lit(nowNs())))
+  }
+
+  /** Store an arbitrary DataFrame (NDJSON/createDataFrame ingest path).
+    * Schema must be line-proto-compatible types. */
+  def storeDataFrame(db: String, table: String, df: DataFrame): Seq[Path] = {
+    val cols = df.schema.fields.map { f =>
+      val t = f.dataType match {
+        case LongType => "INT64"
+        case _: DecimalType => "UINT64"
+        case DoubleType => "FLOAT64"
+        case StringType => "STRING"
+        case BooleanType => "BOOL"
+        case other => throw new IllegalArgumentException(
+          s"unsupported ingest type ${other.simpleString} for column ${f.name}")
+      }
+      (f.name, t)
+    }
+    val spec = catalog.evolve(db, table, cols.toSeq :+ ("__timestamp" -> "INT64"))
+    val withTs = if (df.columns.contains("__timestamp")) df
+      else df.withColumn("__timestamp", lit(nowNs()))
+    write(spec, withTs)
+  }
+
+  private def write(spec: TableSpec, dfIn: DataFrame): Seq[Path] = {
+    val tableDir = catalog.tableDir(spec.database, spec.name)
+    // null-pad to the table's full first-seen schema (reference
+    // data_store.go:109-141 back-fill)
+    val full = catalog.get(spec.database, spec.name).get
+    val df = full.columns.foldLeft(dfIn) { case (d, (n, t)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(sparkType(t)))
+    }.select(full.columns.map(c => col(c._1)): _*)
+
+    val hive = spec.engine == "HiveMerge"
+    val tsUs = expr("__timestamp DIV 1000")
+    val partitioned =
+      if (hive)
+        df.withColumn("date", date_format(timestamp_micros(tsUs), "yyyy-MM-dd"))
+          .withColumn("hour", date_format(timestamp_micros(tsUs), "HH"))
+      else df
+
+    // stage via Spark, then publish with reference-style names + atomic move
+    val staging = tableDir.resolve("tmp").resolve(UUID.randomUUID().toString)
+    Files.createDirectories(staging)
+    val sorted = partitioned
+      .repartition(1)
+      .sortWithinPartitions(spec.orderBy.map(col): _*)
+    val writer = sorted.write.mode("append")
+    (if (hive) writer.partitionBy("date", "hour") else writer)
+      .parquet(staging.toString)
+
+    val written = Files.walk(staging).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq
+    val out = written.map { part =>
+      val rel = staging.relativize(part).getParent // date=../hour=.. or null
+      val destDir = if (rel == null) tableDir else tableDir.resolve(rel.toString)
+      Files.createDirectories(destDir)
+      val name = s"${UUID.randomUUID()}.1.parquet"
+      val dest = destDir.resolve(name)
+      Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+      dest
+    }
+    deleteRecursively(staging)
+
+    // index each published file from its parquet footer stats
+    out.foreach { f =>
+      val stats = ParquetStats.read(spark, f, "__timestamp")
+      MetadataIndex.batch(f.getParent, spec.name, add = Seq(FileEntry(
+        id = 0, path = f.getFileName.toString,
+        sizeBytes = Files.size(f),
+        rowCount = stats.rowCount,
+        chunkTime = stats.minTime,
+        minTime = stats.minTime, maxTime = stats.maxTime)))
+    }
+    out
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
+
+/** Footer-level stats for one parquet file (no data scan). */
+object ParquetStats {
+  final case class Stats(rowCount: Long, minTime: Long, maxTime: Long)
+
+  def read(spark: SparkSession, file: Path, timeCol: String): Stats = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(file.toString), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      var rows = 0L
+      var minT = Long.MaxValue
+      var maxT = Long.MinValue
+      blocks.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala.find(_.getPath.toDotString == timeCol).foreach { c =>
+          val st = c.getStatistics
+          if (st != null && st.hasNonNullValue) {
+            st.genericGetMin match {
+              case l: java.lang.Long =>
+                minT = math.min(minT, l)
+                maxT = math.max(maxT, st.genericGetMax.asInstanceOf[java.lang.Long])
+              case _ =>
+            }
+          }
+        }
+      }
+      if (minT == Long.MaxValue) { minT = 0; maxT = 0 }
+      Stats(rows, minT, maxT)
+    } finally reader.close()
+  }
+}

@@ -1,0 +1,233 @@
+package graft.lineproto
+
+import scala.collection.mutable
+import scala.util.hashing.MurmurHash3
+
+/** InfluxDB line-protocol parser — the reference's primary ingest source
+  * (reference merge/parsers/lineproto_parser.go:22-167).
+  *
+  * Pure Scala, zero Spark dependencies: unit/property-testable, and usable
+  * both driver-side (HTTP ingest) and inside executors (flatMap over a
+  * text stream) — the parse itself is embarrassingly parallel at 100 TB.
+  *
+  * Semantics mirrored from the reference:
+  *  - `db.table` measurement prefix selects the database
+  *    (lineproto_parser.go:104-110); db resolved per batch (the reference
+  *    has a bug landing the first batch in `default` — SURVEY §2.1 quirks;
+  *    we resolve correctly).
+  *  - tags are strings; fields are i64 (`42i`), u64 (`42u`), f64 (bare
+  *    number), string (quoted), bool (lineproto_parser.go:66-94). The
+  *    reference parses bools but cannot store them (SURVEY §1) — we keep
+  *    them (strict-superset improvement).
+  *  - trailing integer timestamp scaled by `precision` to ns; absent →
+  *    `nowNs` (lineproto_parser.go:29-32,153-156).
+  *  - consecutive lines are grouped into one batch while (database, table,
+  *    schema-id) is unchanged (lineproto_parser.go:130-146).
+  *  - schema id is order-independent over tag names and field
+  *    (name, type) pairs; a tag and a string field of the same name hash
+  *    identically (lineproto_parser_test.go:8-54).
+  */
+object LineProtocolParser {
+
+  sealed abstract class FieldType(val rank: Int)
+  object FieldType {
+    case object I64 extends FieldType(1)
+    case object U64 extends FieldType(2)
+    case object F64 extends FieldType(3)
+    case object Str extends FieldType(4)
+    case object Bool extends FieldType(5)
+    /** tags hash as Str — reference treats same-name tag/string-field as
+      * schema-equal (lineproto_parser_test.go:42-54) */
+  }
+
+  sealed abstract class Precision(val toNs: Long)
+  object Precision {
+    case object Ns extends Precision(1L)
+    case object Us extends Precision(1000L)
+    case object Ms extends Precision(1000000L)
+    case object S extends Precision(1000000000L)
+    def of(name: String): Precision = name match {
+      case "" | "ns" | "n" => Ns
+      case "us" | "u" | "µs" => Us
+      case "ms" => Ms
+      case "s" => S
+      case other => throw new IllegalArgumentException(s"unknown precision: $other")
+    }
+  }
+
+  final case class Line(
+      database: String,
+      table: String,
+      tags: Vector[(String, String)],
+      fields: Vector[(String, Any, FieldType)],
+      timeNs: Long) {
+    def schemaId: Long = {
+      var acc = 0L
+      tags.foreach { case (k, _) => acc += entryHash(k, FieldType.Str) }
+      fields.foreach { case (k, _, t) =>
+        acc += entryHash(k, if (t == FieldType.Bool) FieldType.Bool else t)
+      }
+      acc
+    }
+    private def entryHash(name: String, t: FieldType): Long = {
+      val h1 = MurmurHash3.stringHash(name, 0x9747b28c)
+      val h2 = MurmurHash3.stringHash(name, t.rank * 0x85ebca6b)
+      (h1.toLong << 32) ^ (h2.toLong & 0xffffffffL)
+    }
+  }
+
+  /** One batch: consecutive lines with identical (db, table, schemaId).
+    * Schema is (name, type) in first-seen order: tags, then fields, then
+    * `time` (int64 ns). */
+  final case class Batch(
+      database: String,
+      table: String,
+      schema: Vector[(String, FieldType)],
+      rows: Vector[Line]) {
+    def size: Int = rows.length
+  }
+
+  final case class ParseException(lineNo: Int, msg: String)
+      extends RuntimeException(s"line $lineNo: $msg")
+
+  def parse(
+      text: String,
+      precision: Precision = Precision.Ns,
+      defaultDb: String = "default",
+      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L): Iterator[Batch] = {
+    val lines = text.linesIterator.zipWithIndex
+      .map { case (l, i) => (l.trim, i + 1) }
+      .filter { case (l, _) => l.nonEmpty && !l.startsWith("#") }
+      .map { case (l, i) => parseLine(l, i, precision, defaultDb, nowNs) }
+    groupBatches(lines)
+  }
+
+  private def groupBatches(lines: Iterator[Line]): Iterator[Batch] = new Iterator[Batch] {
+    private val it = lines.buffered
+    def hasNext: Boolean = it.hasNext
+    def next(): Batch = {
+      val first = it.head
+      val key = (first.database, first.table, first.schemaId)
+      val buf = Vector.newBuilder[Line]
+      while (it.hasNext && (it.head.database, it.head.table, it.head.schemaId) == key)
+        buf += it.next()
+      val rows = buf.result()
+      val schema = Vector.newBuilder[(String, FieldType)]
+      first.tags.foreach { case (k, _) => schema += (k -> FieldType.Str) }
+      first.fields.foreach { case (k, _, t) => schema += (k -> t) }
+      schema += ("time" -> FieldType.I64)
+      Batch(first.database, first.table, schema.result(), rows)
+    }
+  }
+
+  // ---- single-line scanner (escape-aware; reference tokenizer semantics) ----
+  private def parseLine(line: String, no: Int, precision: Precision,
+                        defaultDb: String, nowNs: () => Long): Line = {
+    val s = new Scanner(line, no)
+    val measurement = s.scanIdent(stopAtComma = true, stopAtSpace = true)
+    if (measurement.isEmpty) throw ParseException(no, "empty measurement")
+    val (db, table) = measurement.indexOf('.') match {
+      case -1 => (defaultDb, measurement)
+      case i => (measurement.substring(0, i), measurement.substring(i + 1))
+    }
+    val tags = Vector.newBuilder[(String, String)]
+    while (s.peek == ',') {
+      s.advance()
+      val k = s.scanIdent(stopAtComma = true, stopAtSpace = true, stopAtEq = true)
+      if (s.peek != '=') throw ParseException(no, s"tag '$k' missing '='")
+      s.advance()
+      val v = s.scanIdent(stopAtComma = true, stopAtSpace = true, stopAtEq = true)
+      tags += (k -> v)
+    }
+    if (s.peek != ' ') throw ParseException(no, "expected fields after measurement/tags")
+    s.skipSpaces()
+    val fields = Vector.newBuilder[(String, Any, FieldType)]
+    var more = true
+    while (more) {
+      val k = s.scanIdent(stopAtComma = true, stopAtSpace = true, stopAtEq = true)
+      if (s.peek != '=') throw ParseException(no, s"field '$k' missing '='")
+      s.advance()
+      fields += parseValue(k, s, no)
+      if (s.peek == ',') s.advance() else more = false
+    }
+    val timeNs =
+      if (s.peek == ' ') {
+        s.skipSpaces()
+        if (s.atEnd) nowNs()
+        else {
+          val t = s.rest().trim
+          try t.toLong * precision.toNs
+          catch { case _: NumberFormatException =>
+            throw ParseException(no, s"bad timestamp '$t'") }
+        }
+      } else if (s.atEnd) nowNs()
+      else throw ParseException(no, s"unexpected trailing input '${s.rest()}'")
+    Line(db, table, tags.result(), fields.result(), timeNs)
+  }
+
+  private def parseValue(key: String, s: Scanner, no: Int): (String, Any, FieldType) = {
+    if (s.peek == '"') {
+      (key, s.scanQuoted(), FieldType.Str)
+    } else {
+      val raw = s.scanIdent(stopAtComma = true, stopAtSpace = true)
+      if (raw.isEmpty) throw ParseException(no, s"field '$key' has empty value")
+      val last = raw.last
+      if (last == 'i') {
+        try (key, raw.dropRight(1).toLong, FieldType.I64)
+        catch { case _: NumberFormatException =>
+          throw ParseException(no, s"bad int field '$key'='$raw'") }
+      } else if (last == 'u') {
+        try (key, BigDecimal(new java.math.BigInteger(raw.dropRight(1))), FieldType.U64)
+        catch { case _: NumberFormatException =>
+          throw ParseException(no, s"bad uint field '$key'='$raw'") }
+      } else if (raw == "true" || raw == "t" || raw == "T" || raw == "True" || raw == "TRUE") {
+        (key, true, FieldType.Bool)
+      } else if (raw == "false" || raw == "f" || raw == "F" || raw == "False" || raw == "FALSE") {
+        (key, false, FieldType.Bool)
+      } else {
+        try (key, raw.toDouble, FieldType.F64)
+        catch { case _: NumberFormatException =>
+          throw ParseException(no, s"bad field value '$key'='$raw'") }
+      }
+    }
+  }
+
+  /** Escape-aware cursor over one line. `\,` `\ ` `\=` unescape inside
+    * identifiers; `\"` and `\\` inside quoted strings. */
+  private final class Scanner(line: String, no: Int) {
+    private var i = 0
+    def atEnd: Boolean = i >= line.length
+    def peek: Char = if (atEnd) ' ' else line.charAt(i)
+    def advance(): Unit = i += 1
+    def skipSpaces(): Unit = while (!atEnd && line.charAt(i) == ' ') i += 1
+    def rest(): String = line.substring(i)
+
+    def scanIdent(stopAtComma: Boolean, stopAtSpace: Boolean,
+                  stopAtEq: Boolean = false): String = {
+      val sb = new StringBuilder
+      var done = false
+      while (!done && !atEnd) {
+        val c = line.charAt(i)
+        if (c == '\\' && i + 1 < line.length) { sb += line.charAt(i + 1); i += 2 }
+        else if ((stopAtComma && c == ',') || (stopAtSpace && c == ' ') ||
+          (stopAtEq && c == '=')) done = true
+        else { sb += c; i += 1 }
+      }
+      sb.result()
+    }
+
+    def scanQuoted(): String = {
+      advance() // opening quote
+      val sb = new StringBuilder
+      var closed = false
+      while (!closed) {
+        if (atEnd) throw ParseException(no, "unterminated string field")
+        val c = line.charAt(i)
+        if (c == '\\' && i + 1 < line.length) { sb += line.charAt(i + 1); i += 2 }
+        else if (c == '"') { i += 1; closed = true }
+        else { sb += c; i += 1 }
+      }
+      sb.result()
+    }
+  }
+}

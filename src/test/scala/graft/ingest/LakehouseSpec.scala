@@ -1,0 +1,118 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.catalog.TableCatalog
+import graft.compact.Compactor
+import graft.index.MetadataIndex
+import graft.lineproto.LineProtocolParser
+import graft.pruning.Pruning
+
+/** End-to-end lakehouse write path: ingest → layout → index → pruned read
+  * → schema evolution → compaction (FIXTURES.md F1/F3/F4 shapes). */
+class LakehouseSpec extends SparkSpec {
+
+  private def freshRoot(): Path = Files.createTempDirectory("graft-lake-")
+  private val t0 = 1700000000000000000L // 2023-11-14 22:13:20 UTC
+  private var tick = 0L
+  private def now(): Long = { tick += 1; t0 + tick * 1000000L }
+
+  private def writer(root: Path): (TableCatalog, IngestWriter) = {
+    val cat = new TableCatalog(root.toString)
+    (cat, new IngestWriter(spark, root.toString, cat, () => now()))
+  }
+
+  test("ingest weather lines → hive layout + index + readable table (F1)") {
+    val root = freshRoot()
+    val (cat, w) = writer(root)
+    val text =
+      """weather,location=us-midwest,season=summer temperature=82
+        |weather,location=us-east,season=summer temperature=80
+        |weather,location=us-west,season=summer temperature=99""".stripMargin
+    LineProtocolParser.parse(text, nowNs = () => now()).foreach(w.store)
+
+    val partDirs = MetadataIndex.partitionDirs(root.resolve("default/weather"))
+    assert(partDirs.nonEmpty)
+    assert(partDirs.head.toString.contains("date=2023-11-14"))
+    assert(partDirs.head.toString.contains("hour=22"))
+    val idx = MetadataIndex.load(partDirs.head, "weather")
+    assert(idx.rowCount == 3 && idx.minTime > t0)
+
+    val df = Pruning.readTable(spark, cat, "default", "weather")
+    assert(df.count() == 3)
+    val avg0 = df.agg(avg("temperature")).collect().head.getDouble(0)
+    assert(math.abs(avg0 - 87.0) < 1e-9)
+    assert(df.columns.contains("__timestamp") && df.columns.contains("date"))
+  }
+
+  test("schema evolution: first-type-wins + null back-fill (F3)") {
+    val root = freshRoot()
+    val (cat, w) = writer(root)
+    LineProtocolParser.parse("t a=1i,b=\"x\"", nowNs = () => now()).foreach(w.store)
+    LineProtocolParser.parse("t b=\"y\"", nowNs = () => now()).foreach(w.store)
+    val df = Pruning.readTable(spark, cat, "default", "t")
+    assert(df.count() == 2)
+    assert(df.filter(col("a").isNull).count() == 1)
+    // type conflict rejected
+    val err = intercept[IllegalArgumentException] {
+      LineProtocolParser.parse("t a=1.5", nowNs = () => now()).foreach(w.store)
+    }
+    assert(err.getMessage.contains("type conflict"))
+  }
+
+  test("time pruning selects only overlapping files") {
+    val root = freshRoot()
+    val (cat, w) = writer(root)
+    (1 to 3).foreach { _ =>
+      LineProtocolParser.parse("m v=1", nowNs = () => now()).foreach(w.store)
+    }
+    val allFiles = MetadataIndex.pruneByTime(root.resolve("default/m"), "m")
+    assert(allFiles.size == 3)
+    val idx = MetadataIndex.load(allFiles.head.getParent, "m")
+    val oneT = idx.entries.values.head.minTime
+    val pruned = MetadataIndex.pruneByTime(root.resolve("default/m"), "m", oneT, oneT)
+    assert(pruned.size == 1)
+  }
+
+  test("compaction merges L1 files into one sorted L2 file + defers deletes (F4)") {
+    val root = freshRoot()
+    val (cat, w) = writer(root)
+    (1 to 5).foreach { i =>
+      LineProtocolParser.parse(s"c v=${i}i", nowNs = () => now()).foreach(w.store)
+    }
+    val partDir = MetadataIndex.partitionDirs(root.resolve("default/c")).head
+    assert(MetadataIndex.load(partDir, "c").entries.size == 5)
+
+    val plans = Compactor.compactTable(spark, cat, "default", "c")
+    assert(plans == 1)
+    val idx = MetadataIndex.load(partDir, "c")
+    assert(idx.entries.size == 1)
+    assert(idx.entries.keys.head.endsWith(".2.parquet"))
+    assert(idx.rowCount == 5)
+    assert(idx.dropQueue.size == 5) // deferred deletion
+    // dropped files still on disk until gc
+    assert(idx.dropQueue.forall(f => Files.exists(partDir.resolve(f))))
+    MetadataIndex.gc(partDir, "c")
+    assert(idx.dropQueue.forall(f => !Files.exists(partDir.resolve(f))))
+
+    // data intact and sorted by __timestamp within the merged file
+    val df = Pruning.readTable(spark, cat, "default", "c")
+    assert(df.count() == 5)
+    val ts = df.orderBy("__timestamp").select("v").collect().map(_.getLong(0)).toSeq
+    assert(ts == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("storeDataFrame ingests a typed DataFrame (NDJSON-style path)") {
+    val root = freshRoot()
+    val (cat, w) = writer(root)
+    import spark.implicits._
+    w.storeDataFrame("default", "nd",
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score"))
+    val df = Pruning.readTable(spark, cat, "default", "nd")
+    assert(df.count() == 2)
+    assert(cat.get("default", "nd").get.columns.map(_._1)
+      .containsSlice(Seq("id", "name", "score")))
+  }
+}
