@@ -1,0 +1,59 @@
+package graft.ingest
+
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+import scala.concurrent.{Future, Promise}
+import scala.jdk.CollectionConverters._
+import graft.lineproto.LineProtocolParser.Batch
+
+/** Micro-batch ingest buffer (reference N12, merge_tree_service.go:179-213):
+  * writers enqueue parsed batches and get a promise completed after the
+  * durable flush; a ticker flushes every `saveTimeoutMs` (reference default
+  * 1 s) or immediately past `maxBufferedRows` (reference: 1 M).
+  *
+  * Backpressure exactly like the reference: the HTTP handler blocks on the
+  * promise, so clients see 204 only after their rows hit parquet.
+  */
+final class BufferedIngest(writer: IngestWriter,
+                           saveTimeoutMs: Long = 1000L,
+                           maxBufferedRows: Long = 1000000L) extends AutoCloseable {
+
+  private final case class Pending(batch: Batch, done: Promise[Unit])
+  private val queue = new ConcurrentLinkedQueue[Pending]()
+  @volatile private var buffered = 0L
+  private val scheduler = Executors.newSingleThreadScheduledExecutor(r => {
+    val t = new Thread(r, "graft-ingest-flush"); t.setDaemon(true); t
+  })
+  scheduler.scheduleWithFixedDelay(() => flush(), saveTimeoutMs, saveTimeoutMs,
+    TimeUnit.MILLISECONDS)
+
+  def store(batch: Batch): Future[Unit] = {
+    val p = Promise[Unit]()
+    queue.add(Pending(batch, p))
+    buffered += batch.size
+    if (buffered >= maxBufferedRows) scheduler.execute(() => flush())
+    p.future
+  }
+
+  /** Drain and durably write everything queued; complete promises. */
+  def flush(): Unit = synchronized {
+    val drained = Iterator.continually(queue.poll()).takeWhile(_ != null).toVector
+    if (drained.isEmpty) return
+    buffered -= drained.map(_.batch.size.toLong).sum
+    // group consecutive same-(db,table,schema) batches like the parser does
+    drained.groupBy(p => (p.batch.database, p.batch.table, p.batch.schema)).foreach {
+      case ((db, table, schema), ps) =>
+        try {
+          val merged = Batch(db, table, schema, ps.flatMap(_.batch.rows).toVector)
+          writer.store(merged)
+          ps.foreach(_.done.trySuccess(()))
+        } catch {
+          case e: Throwable => ps.foreach(_.done.tryFailure(e))
+        }
+    }
+  }
+
+  override def close(): Unit = {
+    scheduler.shutdown()
+    flush()
+  }
+}

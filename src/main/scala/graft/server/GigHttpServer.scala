@@ -1,0 +1,315 @@
+package graft.server
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.Executors
+import java.util.zip.GZIPInputStream
+import scala.concurrent.Await
+import scala.concurrent.duration._
+import scala.util.control.NonFatal
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.catalog.{TableCatalog, TableSpec}
+import graft.ingest.{BufferedIngest, IngestWriter}
+import graft.lineproto.LineProtocolParser
+import graft.lineproto.LineProtocolParser.Precision
+import graft.pruning.Pruning
+
+/** HTTP front-end — the reference's API surface (reference
+  * merge/merge.go:44-101, handlers/insert_into.go, handlers/create_table.go,
+  * querier README.md:114-133):
+  *
+  *  - POST /write, /gigapi/write[/{db}], /api/v2/write, /api/v3/write_lp,
+  *    /gigapi/insert — line protocol (?db=, ?precision=, gzip) → 204 after
+  *    durable flush
+  *  - POST /query?db=… {"query": SQL} → {"results":[…]} (int64s rendered
+  *    as strings for JS safety, like the reference README.md:131-133)
+  *  - POST /gigapi/create — create-table DDL (JSON, or the reference's
+  *    YAML shape — F8 subset)
+  *  - GET /health, GET /ping
+  *
+  * The server is driver-side protocol plumbing only; all data work is
+  * Spark jobs. maxRows caps /query result collection (the reference
+  * collects unboundedly — documented deviation).
+  */
+final class GigHttpServer(spark: SparkSession, root: String,
+                          port: Int = 7971,
+                          saveTimeoutMs: Long = 1000L,
+                          maxRows: Int = 100000) extends AutoCloseable {
+
+  val catalog = new TableCatalog(root)
+  val writer = new IngestWriter(spark, root, catalog)
+  val buffer = new BufferedIngest(writer, saveTimeoutMs)
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def start(): GigHttpServer = {
+    server.setExecutor(Executors.newFixedThreadPool(8))
+    Seq("/write", "/gigapi/write", "/gigapi/insert", "/api/v2/write",
+      "/api/v3/write_lp").foreach(p => server.createContext(p, handle(handleWrite)))
+    server.createContext("/query", handle(handleQuery))
+    server.createContext("/gigapi/create", handle(handleCreate))
+    server.createContext("/health", handle { ex =>
+      respond(ex, 200, """{"status":"ok"}""", "application/json")
+    })
+    server.createContext("/ping", handle(ex => respond(ex, 204, "", null)))
+    server.start()
+    this
+  }
+
+  def boundPort: Int = server.getAddress.getPort
+
+  override def close(): Unit = {
+    buffer.close()
+    server.stop(0)
+  }
+
+  // ---- handlers ----
+
+  private def handle(f: HttpExchange => Unit)(ex: HttpExchange): Unit =
+    try f(ex)
+    catch {
+      case NonFatal(e) =>
+        respond(ex, 500, JsonOut.obj("error" -> JsonOut.str(e.getMessage)),
+          "application/json")
+    } finally ex.close()
+
+  /** db resolution: ?db= param, then path suffix, then `db.table` in the
+    * measurement (resolved per batch by the parser — the reference's
+    * first-batch bug fixed, SURVEY §2.1). */
+  private def handleWrite(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    val pathDb = ex.getRequestURI.getPath match {
+      case p if p.startsWith("/gigapi/write/") => Some(p.stripPrefix("/gigapi/write/"))
+      case _ => None
+    }
+    val db = params.get("db").orElse(pathDb).filter(_.nonEmpty).getOrElse("default")
+    val precision = Precision.of(params.getOrElse("precision", "ns"))
+    val body = readBody(ex)
+    val futures = LineProtocolParser
+      .parse(new String(body, UTF_8), precision, defaultDb = db)
+      .map(buffer.store).toVector
+    futures.foreach(Await.result(_, 5.minutes)) // 204 only after durable write
+    respond(ex, 204, "", null)
+  }
+
+  private def handleQuery(ex: HttpExchange): Unit = {
+    val body = new String(readBody(ex), UTF_8)
+    val sql = JsonMethods.parse(body) \ "query" match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException("""body must be {"query": "..."}""")
+    }
+    graft.Tables.init(spark)
+    Pruning.registerViews(spark, catalog)
+    val df = spark.sql(sql)
+    respond(ex, 200, JsonOut.results(df, maxRows), "application/json")
+  }
+
+  /** Create-table request (reference create_table.go:15-81 + F8):
+    * accepts the reference's YAML shape or the same structure as JSON. */
+  private def handleCreate(ex: HttpExchange): Unit = {
+    val body = new String(readBody(ex), UTF_8).trim
+    val req = if (body.startsWith("{")) CreateRequest.fromJson(body)
+      else CreateRequest.fromYaml(body)
+    val db = queryParams(ex).getOrElse("db", "default")
+    req.validate()
+    catalog.upsert(TableSpec(
+      database = db,
+      name = req.name,
+      engine = req.engine.getOrElse("Merge"),
+      orderBy = if (req.orderBy.nonEmpty) req.orderBy else Seq("__timestamp"),
+      autoTimestamp = true,
+      timestampField = req.tsField,
+      timestampPrecision = req.tsPrecision.getOrElse("ns"),
+      columns = req.fields))
+    respond(ex, 200, """{"status":"created"}""", "application/json")
+  }
+
+  // ---- plumbing ----
+
+  private def readBody(ex: HttpExchange): Array[Byte] = {
+    val raw: InputStream =
+      if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+        .exists(_.toLowerCase.contains("gzip")))
+        new GZIPInputStream(ex.getRequestBody)
+      else ex.getRequestBody
+    val out = new ByteArrayOutputStream()
+    raw.transferTo(out)
+    out.toByteArray
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).map(_.split('&').flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(java.net.URLDecoder.decode(k, UTF_8) ->
+          java.net.URLDecoder.decode(v, UTF_8))
+        case Array(k) => Some(java.net.URLDecoder.decode(k, UTF_8) -> "")
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      contentType: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    if (contentType != null)
+      ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+  }
+}
+
+/** Create-table request body (reference create_table.go + FIXTURES.md F8). */
+final case class CreateRequest(
+    name: String,
+    fields: Seq[(String, String)],
+    engine: Option[String],
+    orderBy: Seq[String],
+    tsField: Option[String],
+    tsPrecision: Option[String]) {
+
+  def validate(): Unit = {
+    require(TableCatalog.NameRe.matches(name), s"invalid table name: $name")
+    val names = fields.map(_._1).toSet
+    orderBy.foreach(c => require(names.contains(c), s"order_by field '$c' not in fields"))
+    tsField.foreach(c => require(names.contains(c), s"timestamp field '$c' not in fields"))
+  }
+}
+
+object CreateRequest {
+  /** Reference/DuckDB type aliases → our type names (SURVEY §1). */
+  def normType(t: String): String = t.trim.toUpperCase match {
+    case "INT8" | "BIGINT" | "LONG" | "INT64" => "INT64"
+    case "UBIGINT" | "UINT64" => "UINT64"
+    case "FLOAT8" | "DOUBLE" | "FLOAT64" => "FLOAT64"
+    case "VARCHAR" | "STRING" | "CHAR" | "BPCHAR" | "TEXT" => "STRING"
+    case "BOOL" | "BOOLEAN" => "BOOL"
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+
+  def fromJson(body: String): CreateRequest = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(body)
+    CreateRequest(
+      name = (j \ "create_table").extract[String],
+      fields = (j \ "fields") match {
+        case JObject(fs) => fs.map { case (k, v) => (k, normType(v.extract[String])) }
+        case _ => Nil
+      },
+      engine = (j \ "engine").extractOpt[String],
+      orderBy = (j \ "order_by").extractOrElse[List[String]](Nil),
+      tsField = (j \ "timestamp" \ "field").extractOpt[String],
+      tsPrecision = (j \ "timestamp" \ "precision").extractOpt[String])
+  }
+
+  /** Minimal YAML subset for the reference's documented create shape (F8):
+    * top-level `key: value`, a `fields:` block of `  name: TYPE` lines or
+    * inline `{a: T, b: T}`, `order_by` as inline `[a, b]` list. */
+  def fromYaml(body: String): CreateRequest = {
+    var name = ""
+    var engine: Option[String] = None
+    var orderBy: Seq[String] = Nil
+    var tsField: Option[String] = None
+    var tsPrecision: Option[String] = None
+    val fields = Vector.newBuilder[(String, String)]
+    var inFields = false
+    var inTimestamp = false
+    body.linesIterator.foreach { raw =>
+      val line = raw.replaceAll("#.*$", "")
+      if (line.trim.nonEmpty) {
+        val indented = line.startsWith(" ") || line.startsWith("\t")
+        val Array(k, v @ _*) = line.split(":", 2).map(_.trim): @unchecked
+        val value = v.headOption.getOrElse("")
+        if (!indented) { inFields = false; inTimestamp = false }
+        (k, indented) match {
+          case ("create_table", false) => name = value
+          case ("engine", false) => engine = Some(value)
+          case ("order_by", false) =>
+            orderBy = value.stripPrefix("[").stripSuffix("]")
+              .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+              .filter(_.nonEmpty).toSeq
+          case ("fields", false) =>
+            if (value.startsWith("{"))
+              value.stripPrefix("{").stripSuffix("}").split(",").foreach { kv =>
+                val Array(fk, fv) = kv.split(":", 2).map(_.trim): @unchecked
+                fields += (fk -> normType(fv))
+              }
+            else inFields = true
+          case ("timestamp", false) =>
+            if (value.startsWith("{"))
+              value.stripPrefix("{").stripSuffix("}").split(",").foreach { kv =>
+                val Array(fk, fv) = kv.split(":", 2).map(_.trim): @unchecked
+                if (fk == "field") tsField = Some(fv)
+                if (fk == "precision") tsPrecision = Some(fv)
+              }
+            else inTimestamp = true
+          case (fk, true) if inFields => fields += (fk -> normType(value))
+          case ("field", true) if inTimestamp => tsField = Some(value)
+          case ("precision", true) if inTimestamp => tsPrecision = Some(value)
+          case _ =>
+        }
+      }
+    }
+    CreateRequest(name, fields.result(), engine, orderBy, tsField, tsPrecision)
+  }
+}
+
+/** {"results":[…]} serializer with the reference's bigint-as-string
+  * convention (reference README.md:131-133). */
+object JsonOut {
+  def str(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').result()
+  }
+
+  def obj(kvs: (String, String)*): String =
+    kvs.map { case (k, v) => s"${str(k)}:$v" }.mkString("{", ",", "}")
+
+  private def value(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    // int64 (and wider) as string — JS Number.MAX_SAFE_INTEGER parity
+    case l: Long => "\"" + l + "\""
+    case d: java.math.BigDecimal => "\"" + d.toPlainString + "\""
+    case i: Int => i.toString
+    case s: Short => s.toString
+    case b: Byte => b.toString
+    case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
+    case f: Float => if (f.isNaN || f.isInfinite) "null" else f.toString
+    case s: String => str(s)
+    case t: java.sql.Timestamp => str(t.toString)
+    case d: java.sql.Date => str(d.toString)
+    case b: Array[Byte] => str(java.util.Base64.getEncoder.encodeToString(b))
+    case seq: scala.collection.Seq[_] => seq.map(value).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, v2) => s"${str(k.toString)}:${value(v2)}" }.mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row =>
+      r.schema.fieldNames.zip(r.toSeq).map { case (n, v2) => s"${str(n)}:${value(v2)}" }
+        .mkString("{", ",", "}")
+    case other => str(other.toString)
+  }
+
+  def results(df: DataFrame, maxRows: Int): String = {
+    val names = df.schema.fieldNames
+    val rows = df.take(maxRows)
+    val sb = new StringBuilder("""{"results":[""")
+    var first = true
+    rows.foreach { r =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append(names.zip(r.toSeq).map { case (n, v) => s"${str(n)}:${value(v)}" }
+        .mkString("{", ",", "}"))
+    }
+    sb.append("]}").result()
+  }
+}

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.catalog.TableCatalog
+import graft.ingest.IngestWriter
+import graft.pruning.Pruning
+
+class StreamIngestSpec extends SparkSpec {
+
+  test("structured-streaming ingest: landing dir -> parsed -> partitioned parquet") {
+    val landing = Files.createTempDirectory("graft-landing-")
+    val root = Files.createTempDirectory("graft-stream-root-")
+    val ckpt = Files.createTempDirectory("graft-ckpt-")
+    val cat = new TableCatalog(root.toString)
+    val writer = new IngestWriter(spark, root.toString, cat)
+
+    Files.writeString(landing.resolve("batch1.lp"),
+      """cpu,host=a usage=0.5 1700000000000000000
+        |cpu,host=b usage=0.7 1700000003600000000
+        |cpu,host=a usage=0.9 1700000007200000000""".stripMargin)
+
+    val q = StreamIngest.start(spark, writer,
+      StreamIngest.StreamSpec("default", "cpu",
+        Seq("host" -> "STRING", "usage" -> "FLOAT64", "time" -> "INT64")),
+      landing.toString,
+      trigger = Trigger.AvailableNow(),
+      checkpointDir = Some(ckpt.toString))
+    q.awaitTermination(60000)
+
+    val df = Pruning.readTable(spark, cat, "default", "cpu")
+    assert(df.count() == 3)
+    assert(df.columns.contains("__timestamp"))
+    val hosts = df.select("host").collect().map(_.getString(0)).sorted.toSeq
+    assert(hosts == Seq("a", "a", "b"))
+  }
+}
