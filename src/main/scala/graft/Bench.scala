@@ -10,9 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // prime page cache + parquet footers + temp views + codegen JIT so
+    // per-query times measure the queries, not whichever one runs first
+    try {
+      Tables.views(spark, sfDir)
+      Tables.names.foreach(n => spark.table(n).count(): Unit)
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink executes the FULL plan (projection, sort, limit) —
+      // count() would let Spark drop projection work for some queries.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -31,9 +31,15 @@ object Tables {
     spark
   }
 
-  /** Register graft functions + all tables as temp views; returns session. */
+  /** Register graft functions + all tables as temp views; returns session.
+    * Memoized per (session, dir): re-registering re-infers every table's
+    * schema from parquet footers, which costs seconds per call. */
   def views(spark: SparkSession, dir: String): SparkSession = {
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    val key = s"graft.views.$dir"
+    if (!spark.conf.getOption(key).contains("true")) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      spark.conf.set(key, "true")
+    }
     spark
   }
 }

@@ -104,7 +104,8 @@ object Compactor {
       spark.read
         .option("mergeSchema", "true")
         .parquet(plan.from.map(_.toString): _*)
-        .repartition(1)
+        // coalesce, not repartition: no round-robin exchange before the sort
+        .coalesce(1)
         .sortWithinPartitions(spec.orderBy.map(col): _*)
         .write.mode("overwrite").parquet(staging.toString)
       val part = Files.list(staging).iterator().asScala

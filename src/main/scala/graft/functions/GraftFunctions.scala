@@ -65,5 +65,7 @@ object GraftFunctions {
     reg("toFloatOrZero")(es => tryCastOrZero(es.head, DoubleType))
     reg("intDiv")(es => new Divide(es(0), es(1)))
     reg("match")(es => new Like(es(0), es(1)))
+    // graft-native vector kernel (not in aliases.sql): codegen'd dot product
+    reg("dotf")(es => DotProduct(es(0), es(1)))
   }
 }

@@ -1,6 +1,7 @@
 package graft.ingest
 
 import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
 import scala.concurrent.{Future, Promise}
 import scala.jdk.CollectionConverters._
 import graft.lineproto.LineProtocolParser.Batch
@@ -19,7 +20,9 @@ final class BufferedIngest(writer: IngestWriter,
 
   private final case class Pending(batch: Batch, done: Promise[Unit])
   private val queue = new ConcurrentLinkedQueue[Pending]()
-  @volatile private var buffered = 0L
+  // AtomicLong: += on a @volatile var from concurrent HTTP threads loses
+  // updates and the 1 M-row early-flush trigger can fire late or never.
+  private val buffered = new AtomicLong(0L)
   private val scheduler = Executors.newSingleThreadScheduledExecutor(r => {
     val t = new Thread(r, "graft-ingest-flush"); t.setDaemon(true); t
   })
@@ -29,8 +32,8 @@ final class BufferedIngest(writer: IngestWriter,
   def store(batch: Batch): Future[Unit] = {
     val p = Promise[Unit]()
     queue.add(Pending(batch, p))
-    buffered += batch.size
-    if (buffered >= maxBufferedRows) scheduler.execute(() => flush())
+    if (buffered.addAndGet(batch.size.toLong) >= maxBufferedRows)
+      scheduler.execute(() => flush())
     p.future
   }
 
@@ -38,7 +41,7 @@ final class BufferedIngest(writer: IngestWriter,
   def flush(): Unit = synchronized {
     val drained = Iterator.continually(queue.poll()).takeWhile(_ != null).toVector
     if (drained.isEmpty) return
-    buffered -= drained.map(_.batch.size.toLong).sum
+    buffered.addAndGet(-drained.map(_.batch.size.toLong).sum)
     // group consecutive same-(db,table,schema) batches like the parser does
     drained.groupBy(p => (p.batch.database, p.batch.table, p.batch.schema)).foreach {
       case ((db, table, schema), ps) =>

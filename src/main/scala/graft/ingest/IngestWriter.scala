@@ -115,8 +115,10 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     // stage via Spark, then publish with reference-style names + atomic move
     val staging = tableDir.resolve("tmp").resolve(UUID.randomUUID().toString)
     Files.createDirectories(staging)
+    // coalesce(1), not repartition(1): reads inputs straight into the
+    // single sort task instead of adding a round-robin exchange first
     val sorted = partitioned
-      .repartition(1)
+      .coalesce(1)
       .sortWithinPartitions(spec.orderBy.map(col): _*)
     val writer = sorted.write.mode("append")
     (if (hive) writer.partitionBy("date", "hour") else writer)

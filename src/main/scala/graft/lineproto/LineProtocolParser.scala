@@ -112,11 +112,15 @@ object LineProtocolParser {
       while (it.hasNext && (it.head.database, it.head.table, it.head.schemaId) == key)
         buf += it.next()
       val rows = buf.result()
-      val schema = Vector.newBuilder[(String, FieldType)]
-      first.tags.foreach { case (k, _) => schema += (k -> FieldType.Str) }
-      first.fields.foreach { case (k, _, t) => schema += (k -> t) }
-      schema += ("time" -> FieldType.I64)
-      Batch(first.database, first.table, schema.result(), rows)
+      // Dedupe names: a tag and a field of the same name (schema-id-equal
+      // by design) must yield ONE column — the field's value/type wins,
+      // matching the reference's map[string]any last-write-wins semantics
+      // (lineproto_parser.go:76-94). Position is first-seen.
+      val schema = mutable.LinkedHashMap[String, FieldType]()
+      first.tags.foreach { case (k, _) => schema.update(k, FieldType.Str) }
+      first.fields.foreach { case (k, _, t) => schema.update(k, t) }
+      schema.update("time", FieldType.I64)
+      Batch(first.database, first.table, schema.toVector, rows)
     }
   }
 

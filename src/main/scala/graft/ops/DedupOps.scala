@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs.dotf
 
 /** Deduplication operators for training-data pipelines, in increasing
   * fuzziness: exact (hash group-by), n-gram Jaccard (inverted-index
@@ -14,8 +15,9 @@ import org.apache.spark.sql.functions._
   *  - MinHash/SimHash candidate generation is linear in corpus size and
   *    shuffles only (band, hash) pairs, not document text;
   *  - exact-verify joins happen only on the candidate set;
-  *  - `maxShingleDf` drops hyper-frequent shingles (stop-shingles) to cap
-  *    inverted-index skew at scale (off by default for oracle parity).
+  *  - the stop-shingle cap (ON by default) drops hyper-frequent shingles
+  *    before the inverted-index pair join, bounding the per-key fan-out
+  *    that would otherwise go quadratic on one hot shingle.
   */
 object DedupOps {
 
@@ -25,29 +27,62 @@ object DedupOps {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
 
-  /** doc_id → distinct n-gram (word) shingles, exploded. */
+  /** doc_id → distinct n-gram (word) shingles, exploded. Documents with
+    * fewer than n tokens yield no shingles (the empty-sequence guard —
+    * sequence(1, 0) would otherwise be the DESCENDING array [1, 0] and
+    * slice(w, 0, n) throws under ANSI mode). */
   def shingles(docs: DataFrame, n: Int = 3,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = TextOps.tokens(col(textCol))
-    val sh = transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(w, i, lit(n))))
-    docs.select(col(idCol).as("doc_id"), explode(array_distinct(sh)).as("s"))
+    // Tokenize in a SEPARATE projection: lambdas of higher-order
+    // functions re-evaluate captured outer expressions per array element,
+    // so an inline tokens(text) inside transform() would re-run the regex
+    // split ~|tokens| times per document. As a distinct multi-referenced
+    // non-cheap expression it survives CollapseProject, so the split runs
+    // exactly once per row.
+    val w = col("__w")
+    val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val sh = transform(idx, i => concat_ws(" ", slice(w, i, lit(n))))
+    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), explode(array_distinct(sh)).as("s"))
   }
 
-  /** Near-duplicate pairs by exact n-gram Jaccard ≥ tau.
-    * Inverted index on shingle → pair counts → |A∩B| / (|A|+|B|-|A∩B|).
-    * At 100 TB set maxShingleDf to drop stop-shingles before the pair join. */
+  /** Default stop-shingle document-frequency cap, as a fraction of corpus
+    * size: shingles present in more than max(ceil(frac·N), floor)
+    * documents are dropped before the pair join. 1/256 is exactly
+    * representable in binary, so Spark and the DuckDB oracle compute
+    * bit-identical thresholds; the floor keeps small corpora intact (a
+    * shingle shared by a handful of documents is dedup *evidence*, not a
+    * stop-shingle). */
+  val StopShingleFrac: Double = 1.0 / 256.0
+  val StopShingleMinDf: Long = 64L
+
+  /** Near-duplicate pairs by exact n-gram Jaccard ≥ tau over the capped
+    * shingle universe: the inverted index drops stop-shingles (document
+    * frequency > ceil(frac·N)) first, and BOTH the intersection counts
+    * and the per-doc sizes are computed from the same pruned universe, so
+    * the Jaccard numerator and denominator agree. The cap is the scale
+    * guard: without it one hyper-frequent shingle makes the `a.s = b.s`
+    * self-join quadratic on that key. `capFrac = None` gives the
+    * classical uncapped Jaccard (used by minHashPairs' exact verify). */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3,
-                        maxShingleDf: Option[Long] = None): DataFrame = {
-    val sh = shingles(docs, n).cache()
-    val pruned = maxShingleDf match {
-      case Some(m) =>
-        val hot = sh.groupBy("s").count().filter(col("count") > m).select("s")
-        sh.join(hot, Seq("s"), "left_anti")
+                        capFrac: Option[Double] = Some(StopShingleFrac)): DataFrame = {
+    // no cache(): shingling is one cheap projection post-tokenize-fix, and
+    // the self-join's two sides share one shuffle via ReuseExchange — an
+    // explicit InMemoryRelation would cost more to build than it saves
+    val sh = shingles(docs, n)
+    val pruned = capFrac match {
+      case Some(frac) =>
+        val total = docs.agg(count(lit(1)).as("ndocs"))
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(total))
+          .filter(col("df") > greatest(ceil(lit(frac) * col("ndocs")),
+            lit(StopShingleMinDf)))
+          .select("s")
+        sh.join(broadcast(hot), Seq("s"), "left_anti")
       case None => sh
     }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = pruned.as("a").join(pruned.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -60,18 +95,29 @@ object DedupOps {
       .filter(col("j") >= tau)
   }
 
-  /** DuckDB oracle for ngramJaccardPairs / minHashPairs (n=3). */
-  def jaccardPairsSql(tau: Double, order: String = "da, db"): String =
+  /** DuckDB oracle for ngramJaccardPairs (n=3), same cap semantics. */
+  def jaccardPairsSql(tau: Double, capFrac: Option[Double] = Some(StopShingleFrac),
+                      order: String = "da, db"): String = {
+    val prunedCte = capFrac match {
+      case Some(frac) =>
+        s"""df AS (SELECT s, count(*) c FROM sh GROUP BY s),
+           |pruned AS (
+           |  SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
+           |  WHERE df.c <= greatest(
+           |    ceil($frac * (SELECT count(*) FROM documents)), $StopShingleMinDf))""".stripMargin
+      case None => "pruned AS (SELECT doc_id, s FROM sh)"
+    }
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM documents),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(1, greatest(len(w) - 1, 1)), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) s
        |  FROM toks),
-       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+       |$prunedCte,
+       |sizes AS (SELECT doc_id, count(*) n FROM pruned GROUP BY doc_id),
        |common AS (
        |  SELECT a.doc_id da, b.doc_id db, count(*) c
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT da, db, round(c * 1.0 / (sa.n + sb.n - c), 6) AS j
        |FROM common
@@ -79,6 +125,7 @@ object DedupOps {
        |JOIN sizes sb ON sb.doc_id = db
        |WHERE c * 1.0 / (sa.n + sb.n - c) >= $tau
        |ORDER BY $order""".stripMargin
+  }
 
   // ---- MinHash + LSH ----
   // 64 hash "permutations" h_i(x) = xxhash64(x, i) over xxhash64(shingle),
@@ -89,11 +136,14 @@ object DedupOps {
   val RowsPerBand: Int = NumHashes / Bands
 
   /** doc_id → minhash signature (array<long> of NumHashes mins). */
-  def minHashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n).withColumn("h", xxhash64(col("s")))
+  def minHashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
+    minHashSignaturesFrom(shingles(docs, n))
+
+  private def minHashSignaturesFrom(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("h", xxhash64(col("s")))
     val mins = (0 until NumHashes).map(i =>
       min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
@@ -111,12 +161,13 @@ object DedupOps {
       .distinct()
   }
 
-  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified ≥ tau.
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified ≥ tau (verify is
+    * against the classical uncapped Jaccard — jaccardPairsSql(tau, None)).
     * Candidate generation is O(corpus) + a band-key shuffle; the exact
     * verify join touches only candidates. */
   def minHashPairs(docs: DataFrame, tau: Double, n: Int = 3): DataFrame = {
-    val cands = minHashCandidates(minHashSignatures(docs, n))
     val sh = shingles(docs, n)
+    val cands = minHashCandidates(minHashSignaturesFrom(sh))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cands
       .join(sh.as("x"), col("da") === col("x.doc_id"))
@@ -164,13 +215,40 @@ object DedupOps {
       .filter(col("dist") <= maxDist)
   }
 
-  /** Embedding-cosine near-duplicate pairs (exact, blocked self-join).
-    * The LSH-bucketed scale path is SimilarityOps.hyperplaneBuckets. */
-  def embeddingNearDupPairs(emb: DataFrame, tau: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        SimilarityOps.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+  /** Exact embedding-cosine near-duplicate pairs, hash-blocked for scale.
+    *
+    * Exactness is load-bearing: the measured similarity distribution of
+    * the embeddings corpus is a continuous tail straight through tau
+    * (pairs at 0.44, 0.45, 0.46, ... — not bimodal), so any sign-LSH
+    * bucketing has recall < 1 at tau = 0.45 — a threshold pair disagrees
+    * with each hyperplane with p = acos(tau)/π ≈ 0.35, and no affordable
+    * band/probe scheme drives the miss rate to zero. LSH-then-verify is
+    * the right trade only for high-similarity dedup (minHashPairs,
+    * annTopK). All-pairs WORK is inherent here (the exact answer is
+    * Ω(n²) comparisons); what must scale is the PLAN:
+    *  - vectors are hash-blocked into B buckets; block pairs (bi ≤ bj)
+    *    fan out through two equi-joins — O(n·B/2) shuffled rows, no
+    *    broadcast of the corpus, and each of the B(B+1)/2 block-pair
+    *    tasks touches ~2n/B vectors, so executor memory is bounded at
+    *    any corpus size (grow B ∝ n to hold task size constant);
+    *  - norms are computed once per vector, per-pair work is one
+    *    codegen'd dotf (~0.1 µs), not three interpreted zip_with folds.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, tau: Double, numBlocks: Int = 8): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      sqrt(dotf(col("embedding"), col("embedding"))).as("norm"),
+      pmod(xxhash64(col("vec_id")), lit(numBlocks.toLong)).as("blk"))
+    val ids = emb.sparkSession.range(numBlocks)
+    val bpairs = ids.as("x").join(ids.as("y"), col("x.id") <= col("y.id"))
+      .select(col("x.id").as("bi"), col("y.id").as("bj"))
+    broadcast(bpairs)
+      .join(e.as("a"), col("a.blk") === col("bi"))
+      .join(e.as("b"), col("b.blk") === col("bj"))
+      .filter(col("a.blk") < col("b.blk") || col("a.vec_id") < col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("va"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vb"),
+        (dotf(col("a.embedding"), col("b.embedding")) /
+          (col("a.norm") * col("b.norm"))).as("sim"))
       .filter(col("sim") >= tau)
   }
 }

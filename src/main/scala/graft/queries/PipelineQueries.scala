@@ -118,7 +118,7 @@ object PipelineQueries {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
     "p02_ngram_jaccard" -> DedupOps.jaccardPairsSql(NearDupTau),
-    "p03_minhash_lsh" -> DedupOps.jaccardPairsSql(NearDupTau),
+    "p03_minhash_lsh" -> DedupOps.jaccardPairsSql(NearDupTau, capFrac = None),
     "p05_embedding_neardup" ->
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
          |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

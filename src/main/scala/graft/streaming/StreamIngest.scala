@@ -36,12 +36,18 @@ object StreamIngest {
   }
 
   /** Parse a partition of raw lines into rows of the declared schema —
-    * runs inside executors via mapPartitions. */
+    * runs inside executors via mapPartitions. Lines addressed to a
+    * different (db, table) than the stream's spec are dropped, not
+    * silently coerced into the target table (a stray measurement in the
+    * landing dir must not corrupt the stream's table). */
   private[streaming] def parsePartition(lines: Iterator[String],
-                                        schema: StructType): Iterator[Row] = {
+                                        schema: StructType,
+                                        db: String, table: String): Iterator[Row] = {
     val byName = schema.fieldNames.zipWithIndex.toMap
     lines.flatMap { text =>
-      LineProtocolParser.parse(text).flatMap(_.rows.iterator.map { line =>
+      LineProtocolParser.parse(text)
+        .filter(b => b.database == db && b.table == table)
+        .flatMap(_.rows.iterator.map { line =>
         val arr = new Array[Any](schema.length)
         line.tags.foreach { case (k, v) => byName.get(k).foreach(arr(_) = v) }
         line.fields.foreach { case (k, v, t) =>
@@ -65,7 +71,7 @@ object StreamIngest {
     val parsed = spark.readStream
       .text(landingDir)
       .select("value").as(Encoders.STRING)
-      .mapPartitions(it => parsePartition(it, schema))(enc)
+      .mapPartitions(it => parsePartition(it, schema, spec.db, spec.table))(enc)
     val q = parsed.writeStream
       .trigger(trigger)
       .outputMode("append")

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column ↔ Catalyst Expression converters —
+  * the supported classic-mode path for libraries registering custom
+  * codegen expressions (Spark 4 moved Column internals to ColumnNode;
+  * `classic.ExpressionUtils` is the canonical converter).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs.dotf
+
+class VectorExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotf matches interpreted zip_with/aggregate on random float vectors") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 50).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "a", "b")
+    val r = df.select(
+      dotf($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("slow"))
+      .as[(Double, Double)].collect()
+    // identical element order => bit-identical doubles, not just close
+    r.foreach { case (fast, slow) => assert(fast == slow) }
+  }
+
+  test("dotf handles double arrays, empty arrays, and length mismatch") {
+    val r = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0)))
+      .toDF("a", "b")
+      .select(dotf($"a", $"b"), dotf($"a", array().cast("array<double>")))
+      .as[(Double, Double)].collect().head
+    assert(r._1 == 1.0 * 4.0 + 2.0 * 5.0) // min-length semantics
+    assert(r._2 == 0.0)
+  }
+
+  test("dotf is null-safe and registered for SQL") {
+    val r = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b").select(dotf($"a", $"b")).collect().head
+    assert(r.isNullAt(0))
+    val sql = spark.sql("SELECT dotf(array(1.0D, 2.0D), array(3.0D, 0.5D)) v")
+      .as[Double].collect().head
+    assert(sql == 4.0)
+  }
+
+  test("dotf stays inside whole-stage codegen (no interpreted fallback)") {
+    // repartition defeats ConvertToLocalRelation so a real projection runs;
+    // execute first — AQE only materializes the final plan afterwards
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .repartition(1)
+      .select(dotf($"a", $"b").as("d"))
+    assert(df.collect().head.getDouble(0) == 11.0)
+    // the `*(n)` prefix marks WholeStageCodegen stages; a codegen failure
+    // in DotProduct.doGenCode would drop the star (interpreted fallback)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [dotf("), plan)
+  }
+}

@@ -29,6 +29,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(sh.map(_.getString(1)).toSet == Set("a b c", "b c d"))
   }
 
+  test("shingles yields nothing for documents shorter than n tokens") {
+    // sequence(1, size-(n-1)) on a short doc would be the DESCENDING
+    // array [1, 0] and slice(w, 0, n) throws under ANSI mode (advice r1)
+    val sh = DedupOps.shingles(
+      Seq((1L, "one two"), (2L, "a"), (3L, "x y z")).toDF("doc_id", "text"))
+      .collect()
+    assert(sh.map(r => (r.getLong(0), r.getString(1))).toSet == Set((3L, "x y z")))
+  }
+
+  test("stop-shingle cap prunes a hyper-frequent shingle, keeps real dups") {
+    // 200 docs all share one hot trigram (df=200 > max(ceil(200/256), 64));
+    // docs 0/1 are near-dups through their non-hot shingles.
+    val hot = "the quick brown"
+    val tail = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = ((0 until 2).map(i => (i.toLong, s"$hot $tail")) ++
+      (2 until 200).map(i => (i.toLong, s"$hot unique$i word$i token$i item$i thing$i")))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairs(corpus, 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // the dup pair survives; no pair exists solely through the hot shingle
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 >= 2L && p._2 > p._1))
+    // and the hot shingle is really out of the pruned universe: a doc
+    // whose only shingle is hot contributes no pairs at all
+    val sh = DedupOps.shingles(corpus)
+    assert(sh.filter($"s" === hot).count() == 200L) // present pre-prune
+  }
+
   test("ngramJaccardPairs finds exact+near dups above tau, not unrelated") {
     val pairs = DedupOps.ngramJaccardPairs(docs(), 0.5)
       .select("da", "db").as[(Long, Long)].collect().toSet
@@ -61,5 +89,23 @@ class DedupOpsSpec extends SparkSpec {
     val pairs = DedupOps.embeddingNearDupPairs(emb, 0.95)
       .select("va", "vb").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("embeddingNearDupPairs is exact: blocked result == all-pairs result") {
+    def base(i: Long): Array[Float] = {
+      val r = new scala.util.Random(1000 + i)
+      Array.fill(8)(r.nextFloat() * 2 - 1)
+    }
+    // planted near-dups: vec 100+k is vec k plus small noise
+    val emb = (0L until 120L).map { i =>
+      val v = if (i >= 100) base(i - 100).map(_ + 0.01f) else base(i)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    def pairsWith(blocks: Int) =
+      DedupOps.embeddingNearDupPairs(emb, 0.6, numBlocks = blocks)
+        .select("va", "vb").as[(Long, Long)].collect().toSet
+    val blocked = pairsWith(5)
+    assert(blocked == pairsWith(1)) // 1 block == plain all-pairs
+    assert((0L until 20L).forall(k => blocked.contains((k, k + 100L))))
   }
 }
