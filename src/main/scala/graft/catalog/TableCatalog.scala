@@ -35,6 +35,17 @@ final case class TableSpec(
 final class TableCatalog(root: String) {
   import TableCatalog._
   private val tables = scala.collection.concurrent.TrieMap.empty[(String, String), TableSpec]
+  // monotonically increasing per-table data version, bumped on every
+  // write/compaction — lets query-side view caches invalidate cheaply
+  private val versions =
+    scala.collection.concurrent.TrieMap.empty[(String, String), java.util.concurrent.atomic.AtomicLong]
+
+  def version(db: String, table: String): Long =
+    versions.get((db, table)).map(_.get()).getOrElse(0L)
+
+  def bumpVersion(db: String, table: String): Unit =
+    versions.getOrElseUpdate((db, table),
+      new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet(): Unit
 
   def tableDir(db: String, table: String): Path = Paths.get(root, db, table)
 

@@ -74,25 +74,45 @@ object Compactor {
     plans
   }
 
-  /** Compact every partition of a table once, levels 1..MaxLevel-1.
+  /** Max concurrently-executing merge plans (reference errgroup weighted
+    * semaphore, merge_service_fs.go:361-380). */
+  val MaxConcurrentPlans = 10
+
+  /** Compact every partition of a table once at the given levels.
+    * Plans are independent bounded jobs and run ≤ MaxConcurrentPlans wide
+    * (each is a separate Spark job; fine from multiple threads).
     * Returns the number of merge plans executed. */
   def compactTable(spark: SparkSession, catalog: TableCatalog,
-                   db: String, table: String, gcDropQueue: Boolean = true): Int = {
+                   db: String, table: String, gcDropQueue: Boolean = true,
+                   levels: Seq[Int] = 1 until MaxLevel,
+                   graceMs: Long = MetadataIndex.DropGraceMs): Int = {
     val spec = catalog.get(db, table).getOrElse(return 0)
     val dirs = {
       val root = catalog.tableDir(db, table)
       val parts = MetadataIndex.partitionDirs(root)
       if (parts.nonEmpty) parts else Seq(root)
     }
-    dirs.map { dir =>
-      if (gcDropQueue) MetadataIndex.gc(dir, table)
-      (1 until MaxLevel).map { level =>
-        val plans = planMerge(filesToMerge(dir, table, level), maxSizeFor(level), level)
-          .filter(_.from.size > 1) // 1-file plans: nothing to gain at rest
-        plans.foreach(p => executePlan(spark, spec, dir, p))
-        plans.size
-      }.sum
-    }.sum
+    val plans = for {
+      dir <- dirs
+      _ = if (gcDropQueue) MetadataIndex.gc(dir, table, graceMs)
+      level <- levels
+      plan <- planMerge(filesToMerge(dir, table, level), maxSizeFor(level), level)
+      if plan.from.size > 1 // 1-file plans: nothing to gain at rest
+    } yield (dir, plan)
+    if (plans.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(MaxConcurrentPlans, plans.size))
+      try {
+        val fs = plans.map { case (dir, p) =>
+          pool.submit(new java.util.concurrent.Callable[Path] {
+            def call(): Path = executePlan(spark, spec, dir, p)
+          })
+        }
+        fs.foreach(_.get())
+      } finally pool.shutdown()
+      catalog.bumpVersion(db, table)
+    }
+    plans.size
   }
 
   /** Merge one plan: sorted single-file output, staged then atomically

@@ -1,0 +1,55 @@
+package graft.compact
+
+import java.util.concurrent.{Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+import scala.util.control.NonFatal
+import org.apache.spark.sql.SparkSession
+import graft.catalog.TableCatalog
+import graft.index.MetadataIndex
+
+/** Background merge scheduler (reference RunMerge, registry.go:29,42-62):
+  * a ticker walks the table registry and compacts. The reference ticks
+  * every 10 s and runs level L only every cadenceFor(L) ticks (1, 10,
+  * 100, 420 — merge_tree_service.go:336-344), so small L1 merges are
+  * frequent and the big L3 merges rare.
+  *
+  * Without this, 1 s-flush files accumulate unboundedly and reads degrade
+  * — the exact failure the LSM design exists to prevent. Each tick's
+  * plans are bounded independent Spark jobs (≤ 4 GB input, ≤ 10 wide), so
+  * at cluster scale the ticker is cheap driver-side planning.
+  */
+final class MergeScheduler(spark: SparkSession, catalog: TableCatalog,
+                           baseIntervalMs: Long = 10000L,
+                           graceMs: Long = MetadataIndex.DropGraceMs)
+  extends AutoCloseable {
+
+  private val ticks = new AtomicLong(0L)
+  private val scheduler = Executors.newSingleThreadScheduledExecutor(r => {
+    val t = new Thread(r, "graft-merge-scheduler"); t.setDaemon(true); t
+  })
+
+  def start(): MergeScheduler = {
+    scheduler.scheduleWithFixedDelay(() => tick(), baseIntervalMs, baseIntervalMs,
+      TimeUnit.MILLISECONDS)
+    this
+  }
+
+  /** One scheduler beat: compact every table at each level whose cadence
+    * divides the tick count. Visible for deterministic tests. */
+  def tick(): Int = {
+    val n = ticks.incrementAndGet()
+    val due = (1 until Compactor.MaxLevel).filter(l => n % Compactor.cadenceFor(l) == 0)
+    if (due.isEmpty) 0
+    else catalog.all().map { spec =>
+      try Compactor.compactTable(spark, catalog, spec.database, spec.name,
+        levels = due, graceMs = graceMs)
+      catch {
+        case NonFatal(e) =>
+          System.err.println(s"[merge-scheduler] ${spec.database}.${spec.name}: ${e.getMessage}")
+          0
+      }
+    }.sum
+  }
+
+  override def close(): Unit = scheduler.shutdown()
+}

@@ -32,10 +32,15 @@ final case class FileEntry(
     range: String = "",
     ftype: String = "parquet")
 
+/** A to-be-deleted file: kept on disk until the grace period elapses so
+  * in-flight readers holding the old file list don't hit FileNotFound
+  * (reference merge_service_fs.go:241-252, 30 s grace). */
+final case class DropEntry(path: String, enqueuedAtMs: Long)
+
 final case class PartitionIndex(
     tableName: String,
     entries: Map[String, FileEntry],
-    dropQueue: Vector[String]) {
+    dropQueue: Vector[DropEntry]) {
   def parquetSizeBytes: Long = entries.values.map(_.sizeBytes).sum
   def rowCount: Long = entries.values.map(_.rowCount).sum
   def minTime: Long = if (entries.isEmpty) 0L else entries.values.map(_.minTime).min
@@ -66,9 +71,17 @@ object MetadataIndex {
       }.toMap
       case _ => Map.empty[String, FileEntry]
     }
+    // drop_queue stays a reference-shaped string array; enqueue times live
+    // in the auxiliary drop_queue_at map (absent => 0 => GC-eligible now)
+    val dropAt = (j \ "drop_queue_at") match {
+      case JObject(kvs) => kvs.collect { case (k, JInt(v)) => k -> v.toLong
+                                         case (k, JLong(v)) => k -> v }.toMap
+      case _ => Map.empty[String, Long]
+    }
     val drops = (j \ "drop_queue") match {
       case JArray(items) => items.map(_.extract[String]).toVector
-      case _ => Vector.empty[String]
+        .map(p => DropEntry(p, dropAt.getOrElse(p, 0L)))
+      case _ => Vector.empty[DropEntry]
     }
     PartitionIndex((j \ "type").extractOrElse[String](tableName), files, drops)
   }
@@ -77,7 +90,8 @@ object MetadataIndex {
     * drop queue for deferred deletion — reference merge_service_fs.go:
     * 241-252 GC with grace period). */
   def batch(partitionDir: Path, tableName: String,
-            add: Seq[FileEntry] = Nil, remove: Seq[String] = Nil): PartitionIndex =
+            add: Seq[FileEntry] = Nil, remove: Seq[String] = Nil,
+            nowMs: Long = System.currentTimeMillis()): PartitionIndex =
     synchronized {
       val cur = load(partitionDir, tableName)
       val nextId = (cur.entries.values.map(_.id) ++ Seq(0L)).max + 1
@@ -87,17 +101,24 @@ object MetadataIndex {
       }
       val entries = (cur.entries -- remove) ++ added
       val updated = PartitionIndex(tableName, entries,
-        cur.dropQueue ++ remove.filter(cur.entries.contains))
+        cur.dropQueue ++ remove.filter(cur.entries.contains).map(DropEntry(_, nowMs)))
       persist(partitionDir, updated)
       updated
     }
 
-  /** Delete drop-queued files that still exist; persist the pruned queue. */
-  def gc(partitionDir: Path, tableName: String): Unit = synchronized {
+  val DropGraceMs: Long = 30000L // reference merge_service_fs.go:241-252
+
+  /** Delete drop-queued files whose grace period has elapsed; younger
+    * entries stay queued (and on disk) for in-flight readers. */
+  def gc(partitionDir: Path, tableName: String,
+         graceMs: Long = DropGraceMs,
+         nowMs: Long = System.currentTimeMillis()): Unit = synchronized {
     val cur = load(partitionDir, tableName)
     if (cur.dropQueue.isEmpty) return
-    cur.dropQueue.foreach(p => Files.deleteIfExists(partitionDir.resolve(p)))
-    persist(partitionDir, cur.copy(dropQueue = Vector.empty))
+    val (due, young) = cur.dropQueue.partition(d => nowMs - d.enqueuedAtMs >= graceMs)
+    if (due.isEmpty) return
+    due.foreach(d => Files.deleteIfExists(partitionDir.resolve(d.path)))
+    persist(partitionDir, cur.copy(dropQueue = young))
   }
 
   def persist(partitionDir: Path, idx: PartitionIndex): Unit = {
@@ -109,7 +130,9 @@ object MetadataIndex {
       "min_time" -> JLong(idx.minTime),
       "max_time" -> JLong(idx.maxTime),
       "wal_sequence" -> JLong(0L),
-      "drop_queue" -> JArray(idx.dropQueue.map(JString(_)).toList),
+      "drop_queue" -> JArray(idx.dropQueue.map(d => JString(d.path)).toList),
+      "drop_queue_at" -> JObject(idx.dropQueue.map(d =>
+        d.path -> (JLong(d.enqueuedAtMs): JValue)).toList),
       "files" -> JArray(idx.entries.values.toList.sortBy(_.id).map(e => JObject(
         "id" -> JLong(e.id),
         "path" -> JString(e.path),

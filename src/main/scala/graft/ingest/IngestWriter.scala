@@ -148,6 +148,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
         chunkTime = stats.minTime,
         minTime = stats.minTime, maxTime = stats.maxTime)))
     }
+    catalog.bumpVersion(spec.database, spec.name)
     out
   }
 

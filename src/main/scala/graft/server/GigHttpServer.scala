@@ -13,10 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import graft.catalog.{TableCatalog, TableSpec}
+import graft.compact.MergeScheduler
+import graft.index.MetadataIndex
 import graft.ingest.{BufferedIngest, IngestWriter}
 import graft.lineproto.LineProtocolParser
 import graft.lineproto.LineProtocolParser.Precision
-import graft.pruning.Pruning
+import graft.pruning.{Pruning, QueryViews}
 
 /** HTTP front-end — the reference's API surface (reference
   * merge/merge.go:44-101, handlers/insert_into.go, handlers/create_table.go,
@@ -38,14 +40,21 @@ import graft.pruning.Pruning
 final class GigHttpServer(spark: SparkSession, root: String,
                           port: Int = 7971,
                           saveTimeoutMs: Long = 1000L,
-                          maxRows: Int = 100000) extends AutoCloseable {
+                          maxRows: Int = 100000,
+                          mergeIntervalMs: Long = 10000L,
+                          dropGraceMs: Long = MetadataIndex.DropGraceMs)
+  extends AutoCloseable {
 
   val catalog = new TableCatalog(root)
   val writer = new IngestWriter(spark, root, catalog)
   val buffer = new BufferedIngest(writer, saveTimeoutMs)
+  private val views = new QueryViews(spark, catalog)
+  // background LSM merges (reference RunMerge 10 s ticker, registry.go:42-62)
+  val merger = new MergeScheduler(spark, catalog, mergeIntervalMs, dropGraceMs)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
   def start(): GigHttpServer = {
+    merger.start()
     server.setExecutor(Executors.newFixedThreadPool(8))
     Seq("/write", "/gigapi/write", "/gigapi/insert", "/api/v2/write",
       "/api/v3/write_lp").foreach(p => server.createContext(p, handle(handleWrite)))
@@ -62,6 +71,7 @@ final class GigHttpServer(spark: SparkSession, root: String,
   def boundPort: Int = server.getAddress.getPort
 
   override def close(): Unit = {
+    merger.close()
     buffer.close()
     server.stop(0)
   }
@@ -78,7 +88,9 @@ final class GigHttpServer(spark: SparkSession, root: String,
 
   /** db resolution: ?db= param, then path suffix, then `db.table` in the
     * measurement (resolved per batch by the parser — the reference's
-    * first-batch bug fixed, SURVEY §2.1). */
+    * first-batch bug fixed, SURVEY §2.1). Body format dispatches on
+    * Content-Type through the parser registry (reference parsers.go:10-46;
+    * its NDJSON parser is dead code — ours works, SURVEY N3/N4). */
   private def handleWrite(ex: HttpExchange): Unit = {
     val params = queryParams(ex)
     val pathDb = ex.getRequestURI.getPath match {
@@ -87,11 +99,20 @@ final class GigHttpServer(spark: SparkSession, root: String,
     }
     val db = params.get("db").orElse(pathDb).filter(_.nonEmpty).getOrElse("default")
     val precision = Precision.of(params.getOrElse("precision", "ns"))
+    val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
     val body = readBody(ex)
-    val futures = LineProtocolParser
-      .parse(new String(body, UTF_8), precision, defaultDb = db)
-      .map(buffer.store).toVector
-    futures.foreach(Await.result(_, 5.minutes)) // 204 only after durable write
+    BodyParsers.dispatch(contentType) match {
+      case BodyParsers.LineProtocol =>
+        val futures = LineProtocolParser
+          .parse(new String(body, UTF_8), precision, defaultDb = db)
+          .map(buffer.store).toVector
+        futures.foreach(Await.result(_, 5.minutes)) // 204 only after durable write
+      case BodyParsers.NdJson =>
+        val table = params.getOrElse("table",
+          throw new IllegalArgumentException("NDJSON writes require ?table="))
+        val df = NdJsonParser.toDataFrame(spark, new String(body, UTF_8))
+        writer.storeDataFrame(db, table, df): Unit // synchronous durable write
+    }
     respond(ex, 204, "", null)
   }
 
@@ -102,8 +123,15 @@ final class GigHttpServer(spark: SparkSession, root: String,
       case _ => throw new IllegalArgumentException("""body must be {"query": "..."}""")
     }
     graft.Tables.init(spark)
-    Pruning.registerViews(spark, catalog)
-    val df = spark.sql(sql)
+    // querier-style explicit range params win; else extract from the SQL
+    val params = queryParams(ex)
+    val explicit = (params.get("from"), params.get("to")) match {
+      case (Some(f), Some(t)) => Some((f.toLong, t.toLong))
+      case (Some(f), None) => Some((f.toLong, Long.MaxValue))
+      case (None, Some(t)) => Some((Long.MinValue, t.toLong))
+      case _ => Pruning.extractTimeRangeNs(sql)
+    }
+    val df = views.synchronized { views.ensure(explicit); spark.sql(sql) }
     respond(ex, 200, JsonOut.results(df, maxRows), "application/json")
   }
 

@@ -92,10 +92,14 @@ class LakehouseSpec extends SparkSpec {
     assert(idx.entries.keys.head.endsWith(".2.parquet"))
     assert(idx.rowCount == 5)
     assert(idx.dropQueue.size == 5) // deferred deletion
-    // dropped files still on disk until gc
-    assert(idx.dropQueue.forall(f => Files.exists(partDir.resolve(f))))
-    MetadataIndex.gc(partDir, "c")
-    assert(idx.dropQueue.forall(f => !Files.exists(partDir.resolve(f))))
+    // dropped files still on disk until gc AFTER the grace period: a gc
+    // inside the grace window must leave them for in-flight readers
+    assert(idx.dropQueue.forall(f => Files.exists(partDir.resolve(f.path))))
+    MetadataIndex.gc(partDir, "c") // default 30 s grace — nothing due yet
+    assert(idx.dropQueue.forall(f => Files.exists(partDir.resolve(f.path))))
+    MetadataIndex.gc(partDir, "c", graceMs = 0L) // grace elapsed
+    assert(idx.dropQueue.forall(f => !Files.exists(partDir.resolve(f.path))))
+    assert(MetadataIndex.load(partDir, "c").dropQueue.isEmpty)
 
     // data intact and sorted by __timestamp within the merged file
     val df = Pruning.readTable(spark, cat, "default", "c")

@@ -1,0 +1,71 @@
+package graft.pruning
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.catalog.TableCatalog
+import graft.ingest.IngestWriter
+import graft.lineproto.LineProtocolParser
+
+/** Query-path time pruning: the metadata.json zone map must shrink the
+  * actual file list Spark reads (reference querier resolves files by time
+  * range — ARCHITECTURE.md:2079). */
+class PruningSpec extends SparkSpec {
+
+  test("extractTimeRangeNs: conjunctive bounds, BETWEEN, OR disables") {
+    import Pruning.extractTimeRangeNs
+    assert(extractTimeRangeNs("SELECT * FROM t WHERE __timestamp >= 100 AND __timestamp < 200")
+      .contains((100L, 199L)))
+    assert(extractTimeRangeNs("SELECT * FROM t WHERE time > 5") .contains((6L, Long.MaxValue)))
+    assert(extractTimeRangeNs("SELECT * FROM t WHERE time BETWEEN 10 AND 20").contains((10L, 20L)))
+    // OR makes bounds unsound -> no pruning
+    assert(extractTimeRangeNs("SELECT * FROM t WHERE time < 5 OR v = 1").isEmpty)
+    assert(extractTimeRangeNs("SELECT count(*) FROM t").isEmpty)
+    // tighter of multiple bounds wins
+    assert(extractTimeRangeNs("WHERE time >= 10 AND time >= 50 AND time <= 90")
+      .contains((50L, 90L)))
+  }
+
+  test("time-bounded query reads only overlapping files (df.inputFiles)") {
+    val root = Files.createTempDirectory("graft-prune-")
+    val cat = new TableCatalog(root.toString)
+    var tick = 0L
+    val t0 = 1700000000000000000L
+    val w = new IngestWriter(spark, root.toString, cat, () => { tick += 1; t0 + tick * 1000000L })
+    (1 to 3).foreach { i =>
+      LineProtocolParser.parse(s"m v=${i}i", nowNs = () => t0 + tick * 1000000L)
+        .foreach(w.store)
+    }
+    val all = Pruning.readTable(spark, cat, "default", "m")
+    assert(all.inputFiles.length == 3)
+
+    val idx = graft.index.MetadataIndex.pruneByTime(root.resolve("default/m"), "m")
+    val oneT = graft.index.MetadataIndex
+      .load(idx.head.getParent, "m").entries.values.map(_.minTime).min
+    val pruned = Pruning.readTable(spark, cat, "default", "m", Some((oneT, oneT)))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.count() == 1)
+
+    // the view path: a ranged ensure() registers the pruned view; a later
+    // unranged ensure() restores the full table (cache invalidated)
+    val views = new QueryViews(spark, cat)
+    views.synchronized { views.ensure(Some((oneT, oneT))) }
+    assert(spark.table("m").inputFiles.length == 1)
+    views.synchronized { views.ensure(None) }
+    assert(spark.table("m").inputFiles.length == 3)
+  }
+
+  test("unranged views are cached by version and refresh on write") {
+    val root = Files.createTempDirectory("graft-vcache-")
+    val cat = new TableCatalog(root.toString)
+    val w = new IngestWriter(spark, root.toString, cat)
+    import spark.implicits._
+    w.storeDataFrame("default", "vc", Seq((1L, "a")).toDF("id", "s"))
+    val views = new QueryViews(spark, cat)
+    views.ensure(None)
+    assert(spark.table("vc").count() == 1)
+    views.ensure(None) // no-op: same version
+    w.storeDataFrame("default", "vc", Seq((2L, "b")).toDF("id", "s"))
+    views.ensure(None) // version bumped -> re-registered
+    assert(spark.table("vc").count() == 2)
+  }
+}

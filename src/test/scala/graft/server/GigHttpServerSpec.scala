@@ -94,4 +94,67 @@ class GigHttpServerSpec extends SparkSpec {
     val r = post("/query", """{"query": "SELECT * FROM no_such_table"}""")
     assert(r.statusCode() == 500)
   }
+
+  test("NDJSON write via Content-Type registry, read back via /query (N3/N4)") {
+    val body =
+      """{"sensor":"a","v":1,"ratio":0.5,"ok":true}
+        |{"sensor":"b","v":2,"ratio":1.5,"ok":false}""".stripMargin
+    val req = HttpRequest.newBuilder(URI.create(s"$base/write?db=nd&table=meter"))
+      .header("Content-Type", "application/x-ndjson")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    assert(client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() == 204)
+    val q = post("/query",
+      """{"query": "SELECT sensor, v, ratio, ok FROM nd_meter ORDER BY v"}""")
+    assert(q.statusCode() == 200)
+    assert(q.body().contains(""""sensor":"a""""), q.body())
+    assert(q.body().contains(""""v":"2""""), q.body()) // int64-as-string
+    assert(q.body().contains(""""ok":false"""), q.body())
+    // NDJSON without ?table= is a client error, reported not swallowed
+    val bad = HttpRequest.newBuilder(URI.create(s"$base/write"))
+      .header("Content-Type", "application/x-ndjson")
+      .POST(HttpRequest.BodyPublishers.ofString("""{"v":1}""")).build()
+    val r = client.send(bad, HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 500 && r.body().contains("table"))
+  }
+
+  test("background merge scheduler compacts 1s-flush files to L2 unattended") {
+    // dedicated server: fast ticker, zero drop grace (reference RunMerge
+    // 10 s ticker, registry.go:42-62 — scaled down for the test)
+    val root2 = Files.createTempDirectory("graft-merge-").toString
+    val s2 = new GigHttpServer(spark, root2, port = 0, saveTimeoutMs = 50,
+      mergeIntervalMs = 200, dropGraceMs = 0).start()
+    try {
+      val b2 = s"http://localhost:${s2.boundPort}"
+      (1 to 6).foreach { i =>
+        val r = client.send(HttpRequest.newBuilder(URI.create(s"$b2/write"))
+          .POST(HttpRequest.BodyPublishers.ofString(s"sched v=${i}i")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 204)
+        Thread.sleep(120) // force separate flushes -> many small L1 files
+      }
+      val tdir = java.nio.file.Paths.get(root2, "default", "sched")
+      def liveFiles() = graft.index.MetadataIndex.partitionDirs(tdir)
+        .flatMap(d => graft.index.MetadataIndex.load(d, "sched").entries.keys)
+      val before = liveFiles()
+      assert(before.size > 1, s"need many small files, got $before")
+      // no manual compact call: the scheduler must drain every L1 file
+      // into L2 and shrink the live set (L1 merges happen mid-ingest too,
+      // so `before` may already contain L2 files)
+      val deadline = System.currentTimeMillis() + 20000
+      var files = before
+      while (System.currentTimeMillis() < deadline &&
+        (files.exists(_.endsWith(".1.parquet")) || files.size >= before.size)) {
+        Thread.sleep(200); files = liveFiles()
+      }
+      assert(files.nonEmpty && files.forall(!_.endsWith(".1.parquet")),
+        s"L1 files must drain: $files")
+      assert(files.size < before.size, s"file count must shrink: $before -> $files")
+      // data survives the unattended merge
+      val q = client.send(HttpRequest.newBuilder(URI.create(s"$b2/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query": "SELECT sum(v) AS s FROM sched"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(q.body().contains(""""s":"21""""), q.body())
+    } finally s2.close()
+  }
 }
