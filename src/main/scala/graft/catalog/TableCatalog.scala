@@ -27,7 +27,11 @@ final case class TableSpec(
     timestampField: Option[String] = None,
     timestampPrecision: String = "ns",
     // first-seen column types: name -> INT64|UINT64|FLOAT64|STRING|BOOL
-    columns: Seq[(String, String)] = Nil) {
+    columns: Seq[(String, String)] = Nil,
+    // object-store data residency (reference create_table.go s3_url):
+    // reference s3:// grammar or any Hadoop scheme; data files live
+    // there, metadata.json/catalog stay on the local root (manifest)
+    dataUrl: Option[String] = None) {
   require(TableCatalog.NameRe.matches(name), s"invalid table name: $name")
   require(TableCatalog.NameRe.matches(database), s"invalid database name: $database")
 }
@@ -101,6 +105,7 @@ final class TableCatalog(root: String) {
       "auto_timestamp" -> JBool(spec.autoTimestamp),
       "timestamp_field" -> spec.timestampField.map(JString(_)).getOrElse(JNull),
       "timestamp_precision" -> JString(spec.timestampPrecision),
+      "data_url" -> spec.dataUrl.map(JString(_)).getOrElse(JNull),
       "columns" -> JArray(spec.columns.map { case (n, t) =>
         JObject("name" -> JString(n), "type" -> JString(t))
       }.toList))
@@ -123,6 +128,7 @@ final class TableCatalog(root: String) {
       autoTimestamp = (j \ "auto_timestamp").extract[Boolean],
       timestampField = (j \ "timestamp_field").extractOpt[String],
       timestampPrecision = (j \ "timestamp_precision").extract[String],
+      dataUrl = (j \ "data_url").extractOpt[String],
       columns = (j \ "columns").extract[List[JObject]].map(o =>
         ((o \ "name").extract[String], (o \ "type").extract[String])))
     tables((db, table)) = spec

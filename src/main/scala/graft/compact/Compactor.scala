@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions.col
 import graft.catalog.{TableCatalog, TableSpec}
 import graft.index.{FileEntry, MetadataIndex, ParquetLevels}
 import graft.ingest.ParquetStats
+import graft.sources.ObjectStore
 
 /** LSM-style leveled compaction (reference N15-N18): per partition dir,
   * per level L∈{1..4}, greedily bin-pack `*.L.parquet` files (size-desc)
@@ -28,7 +29,8 @@ import graft.ingest.ParquetStats
   * min/max tight, which is what makes scan-time pruning work at 100 TB.
   */
 object Compactor {
-  final case class Plan(from: Seq[Path], to: String, level: Int)
+  /** `from` are data URIs (local paths or object-store keys). */
+  final case class Plan(from: Seq[String], to: String, level: Int)
 
   val MaxLevel = 4 // reference MERGE_ITERATIONS
   /** level (1-based) → max merged-output bytes (reference getMergeConfigurations). */
@@ -43,22 +45,24 @@ object Compactor {
   }
 
   /** Files eligible at `level` in one partition dir: `*.{level}.parquet`
-    * present in the index (reference GetFilesToMerge), size-descending. */
-  def filesToMerge(partDir: Path, tableName: String, level: Int): Seq[(Path, Long)] = {
-    val idx = MetadataIndex.load(partDir, tableName)
+    * present in the index (reference GetFilesToMerge), size-descending.
+    * URIs resolve through the table's data residency (local or remote). */
+  def filesToMerge(spark: SparkSession, spec: TableSpec, tableDir: Path,
+                   partDir: Path, level: Int): Seq[(String, Long)] = {
+    val idx = MetadataIndex.load(partDir, spec.name)
     idx.entries.values.toSeq
       .filter(e => ParquetLevels.levelOf(e.path) == level)
-      .map(e => (partDir.resolve(e.path), e.sizeBytes))
-      .filter { case (p, _) => Files.exists(p) }
+      .map(e => (ObjectStore.dataUri(spark, spec, tableDir, partDir, e.path), e.sizeBytes))
+      .filter { case (p, _) => ObjectStore.exists(spark, p) }
       .sortBy(-_._2)
   }
 
   /** Greedy size-desc bin packing — same algorithm as the reference
     * PlanMerge (merge_service_fs.go:81-106), including its cut-after-
     * overflow behavior. */
-  def planMerge(files: Seq[(Path, Long)], maxResSize: Long, level: Int): Seq[Plan] = {
+  def planMerge(files: Seq[(String, Long)], maxResSize: Long, level: Int): Seq[Plan] = {
     var plans = Vector.empty[Plan]
-    var from = Vector.empty[Path]
+    var from = Vector.empty[String]
     var acc = 0L
     files.foreach { case (p, sz) =>
       acc += sz
@@ -92,11 +96,17 @@ object Compactor {
       val parts = MetadataIndex.partitionDirs(root)
       if (parts.nonEmpty) parts else Seq(root)
     }
+    val tableDir = catalog.tableDir(db, table)
     val plans = for {
       dir <- dirs
-      _ = if (gcDropQueue) MetadataIndex.gc(dir, table, graceMs)
+      _ = if (gcDropQueue)
+        MetadataIndex.gc(dir, table, graceMs,
+          delete = spec.dataUrl.map(_ => (p: String) =>
+            ObjectStore.delete(spark,
+              ObjectStore.dataUri(spark, spec, tableDir, dir, p)): Unit))
       level <- levels
-      plan <- planMerge(filesToMerge(dir, table, level), maxSizeFor(level), level)
+      plan <- planMerge(filesToMerge(spark, spec, tableDir, dir, level),
+        maxSizeFor(level), level)
       if plan.from.size > 1 // 1-file plans: nothing to gain at rest
     } yield (dir, plan)
     if (plans.nonEmpty) {
@@ -104,8 +114,8 @@ object Compactor {
         math.min(MaxConcurrentPlans, plans.size))
       try {
         val fs = plans.map { case (dir, p) =>
-          pool.submit(new java.util.concurrent.Callable[Path] {
-            def call(): Path = executePlan(spark, spec, dir, p)
+          pool.submit(new java.util.concurrent.Callable[String] {
+            def call(): String = executePlan(spark, spec, tableDir, dir, p)
           })
         }
         fs.foreach(_.get())
@@ -115,15 +125,18 @@ object Compactor {
     plans.size
   }
 
-  /** Merge one plan: sorted single-file output, staged then atomically
-    * published; index swaps sources for the merged file (sources go to
-    * the drop queue for deferred deletion). */
-  def executePlan(spark: SparkSession, spec: TableSpec, partDir: Path, plan: Plan): Path = {
+  /** Merge one plan: sorted single-file output, staged locally then
+    * published (atomic move locally; copy-to-final-key + manifest commit
+    * for object-store tables — reference merge_service_s3.go:73-144
+    * uploads then deletes, no rename); index swaps sources for the merged
+    * file (sources go to the drop queue for deferred deletion). */
+  def executePlan(spark: SparkSession, spec: TableSpec, tableDir: Path,
+                  partDir: Path, plan: Plan): String = {
     val staging = Files.createTempDirectory(partDir, ".merge-")
     try {
       spark.read
         .option("mergeSchema", "true")
-        .parquet(plan.from.map(_.toString): _*)
+        .parquet(plan.from: _*)
         // coalesce, not repartition: no round-robin exchange before the sort
         .coalesce(1)
         .sortWithinPartitions(spec.orderBy.map(col): _*)
@@ -131,14 +144,23 @@ object Compactor {
       val part = Files.list(staging).iterator().asScala
         .find(_.toString.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no merged output in $staging"))
-      val dest = partDir.resolve(plan.to)
-      Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-      val stats = ParquetStats.read(spark, dest, spec.orderBy.headOption.getOrElse("__timestamp"))
+      val destUri = spec.dataUrl match {
+        case Some(_) =>
+          val u = ObjectStore.dataUri(spark, spec, tableDir, partDir, plan.to)
+          ObjectStore.copyPublish(spark, part, u)
+          u
+        case None =>
+          val dest = partDir.resolve(plan.to)
+          Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+          dest.toString
+      }
+      val stats = ParquetStats.read(spark, destUri,
+        spec.orderBy.headOption.getOrElse("__timestamp"))
       MetadataIndex.batch(partDir, spec.name,
-        add = Seq(FileEntry(0, plan.to, Files.size(dest), stats.rowCount,
-          stats.minTime, stats.minTime, stats.maxTime)),
-        remove = plan.from.map(_.getFileName.toString))
-      dest
+        add = Seq(FileEntry(0, plan.to, ObjectStore.sizeOf(spark, destUri),
+          stats.rowCount, stats.minTime, stats.minTime, stats.maxTime)),
+        remove = plan.from.map(u => u.substring(u.lastIndexOf('/') + 1)))
+      destUri
     } finally {
       Files.walk(staging).iterator().asScala.toSeq.reverse
         .foreach(Files.deleteIfExists(_))

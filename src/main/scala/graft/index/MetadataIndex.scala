@@ -109,15 +109,19 @@ object MetadataIndex {
   val DropGraceMs: Long = 30000L // reference merge_service_fs.go:241-252
 
   /** Delete drop-queued files whose grace period has elapsed; younger
-    * entries stay queued (and on disk) for in-flight readers. */
+    * entries stay queued (and on disk) for in-flight readers. `delete`
+    * overrides the local-FS unlink for object-store-resident data. */
   def gc(partitionDir: Path, tableName: String,
          graceMs: Long = DropGraceMs,
-         nowMs: Long = System.currentTimeMillis()): Unit = synchronized {
+         nowMs: Long = System.currentTimeMillis(),
+         delete: Option[String => Unit] = None): Unit = synchronized {
     val cur = load(partitionDir, tableName)
     if (cur.dropQueue.isEmpty) return
     val (due, young) = cur.dropQueue.partition(d => nowMs - d.enqueuedAtMs >= graceMs)
     if (due.isEmpty) return
-    due.foreach(d => Files.deleteIfExists(partitionDir.resolve(d.path)))
+    val del = delete.getOrElse((p: String) =>
+      Files.deleteIfExists(partitionDir.resolve(p)): Unit)
+    due.foreach(d => del(d.path))
     persist(partitionDir, cur.copy(dropQueue = young))
   }
 

@@ -9,6 +9,7 @@ import org.apache.spark.sql.types._
 import graft.catalog.{TableCatalog, TableSpec}
 import graft.index.{FileEntry, MetadataIndex}
 import graft.lineproto.LineProtocolParser.{Batch, FieldType}
+import graft.sources.ObjectStore
 
 /** The schema-on-write ingest path (reference write pipeline §3.1):
   * line-protocol batch → typed DataFrame → `__timestamp` injection →
@@ -67,8 +68,8 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
   }
 
   /** Store one parsed batch: evolve schema (first-type-wins), add
-    * `__timestamp`, write partitioned+sorted, index. Returns files written. */
-  def store(batch: Batch): Seq[Path] = {
+    * `__timestamp`, write partitioned+sorted, index. Returns URIs written. */
+  def store(batch: Batch): Seq[String] = {
     val spec0 = catalog.evolve(batch.database, batch.table,
       batch.schema.map { case (n, t) => (n, typeName(t)) } :+ ("__timestamp" -> "INT64"))
     write(spec0, toDataFrame(batch).withColumn("__timestamp", lit(nowNs())))
@@ -76,7 +77,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
 
   /** Store an arbitrary DataFrame (NDJSON/createDataFrame ingest path).
     * Schema must be line-proto-compatible types. */
-  def storeDataFrame(db: String, table: String, df: DataFrame): Seq[Path] = {
+  def storeDataFrame(db: String, table: String, df: DataFrame): Seq[String] = {
     val cols = df.schema.fields.map { f =>
       val t = f.dataType match {
         case LongType => "INT64"
@@ -95,7 +96,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     write(spec, withTs)
   }
 
-  private def write(spec: TableSpec, dfIn: DataFrame): Seq[Path] = {
+  private def write(spec: TableSpec, dfIn: DataFrame): Seq[String] = {
     val tableDir = catalog.tableDir(spec.database, spec.name)
     // null-pad to the table's full first-seen schema (reference
     // data_store.go:109-141 back-fill)
@@ -112,7 +113,10 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
           .withColumn("hour", date_format(timestamp_micros(tsUs), "HH"))
       else df
 
-    // stage via Spark, then publish with reference-style names + atomic move
+    // stage via Spark, then publish with reference-style names. Local
+    // tables: atomic move. Object-store tables (spec.dataUrl): bytes are
+    // copied to their FINAL key and the metadata.json manifest is the
+    // commit — no rename exists on S3 (reference save_service_s3.go:55-88).
     val staging = tableDir.resolve("tmp").resolve(UUID.randomUUID().toString)
     Files.createDirectories(staging)
     // coalesce(1), not repartition(1): reads inputs straight into the
@@ -124,32 +128,45 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     (if (hive) writer.partitionBy("date", "hour") else writer)
       .parquet(staging.toString)
 
+    val remoteRoot = spec.dataUrl.map(u =>
+      ObjectStore.resolveDataRoot(spark, u) + s"/${spec.database}/${spec.name}")
     val written = Files.walk(staging).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq
     val out = written.map { part =>
       val rel = staging.relativize(part).getParent // date=../hour=.. or null
+      val relStr = if (rel == null) "" else rel.toString.replace('\\', '/')
+      // partition dir always exists locally: it holds metadata.json
       val destDir = if (rel == null) tableDir else tableDir.resolve(rel.toString)
       Files.createDirectories(destDir)
       val name = s"${UUID.randomUUID()}.1.parquet"
-      val dest = destDir.resolve(name)
-      Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-      dest
+      val uri = remoteRoot match {
+        case Some(r) =>
+          val u = r + (if (relStr.isEmpty) "" else "/" + relStr) + "/" + name
+          ObjectStore.copyPublish(spark, part, u)
+          u
+        case None =>
+          val dest = destDir.resolve(name)
+          Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+          dest.toString
+      }
+      (destDir, name, uri)
     }
     deleteRecursively(staging)
 
-    // index each published file from its parquet footer stats
-    out.foreach { f =>
-      val stats = ParquetStats.read(spark, f, "__timestamp")
-      MetadataIndex.batch(f.getParent, spec.name, add = Seq(FileEntry(
-        id = 0, path = f.getFileName.toString,
-        sizeBytes = Files.size(f),
+    // index each published file from its parquet footer stats; for remote
+    // tables this manifest write IS what makes the file visible
+    out.foreach { case (dir, name, uri) =>
+      val stats = ParquetStats.read(spark, uri, "__timestamp")
+      MetadataIndex.batch(dir, spec.name, add = Seq(FileEntry(
+        id = 0, path = name,
+        sizeBytes = ObjectStore.sizeOf(spark, uri),
         rowCount = stats.rowCount,
         chunkTime = stats.minTime,
         minTime = stats.minTime, maxTime = stats.maxTime)))
     }
     catalog.bumpVersion(spec.database, spec.name)
-    out
+    out.map(_._3)
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -163,13 +180,13 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
 object ParquetStats {
   final case class Stats(rowCount: Long, minTime: Long, maxTime: Long)
 
-  def read(spark: SparkSession, file: Path, timeCol: String): Stats = {
+  def read(spark: SparkSession, file: String, timeCol: String): Stats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = spark.sparkContext.hadoopConfiguration
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new HPath(file.toString), conf))
+      HadoopInputFile.fromPath(new HPath(file), conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       var rows = 0L

@@ -18,13 +18,23 @@ import graft.index.MetadataIndex
   */
 object Pruning {
 
-  /** Read a graft table, optionally pruned to a `__timestamp` ns range. */
+  /** Read a graft table, optionally pruned to a `__timestamp` ns range.
+    * The metadata.json manifest drives the file list — for object-store
+    * tables the local index paths map to remote data URIs, and unlisted
+    * (half-uploaded) objects are invisible by construction. */
   def readTable(spark: SparkSession, catalog: TableCatalog, db: String, table: String,
                 timeRangeNs: Option[(Long, Long)] = None): DataFrame = {
     val root = catalog.tableDir(db, table)
-    val files = timeRangeNs match {
+    val localFiles = timeRangeNs match {
       case Some((lo, hi)) => MetadataIndex.pruneByTime(root, table, lo, hi)
       case None => MetadataIndex.pruneByTime(root, table)
+    }
+    val files = catalog.get(db, table).flatMap(_.dataUrl) match {
+      case Some(_) =>
+        val spec = catalog.get(db, table).get
+        localFiles.map(p => graft.sources.ObjectStore.dataUri(
+          spark, spec, root, p.getParent, p.getFileName.toString))
+      case None => localFiles.map(_.toString)
     }
     if (files.isEmpty) {
       // empty table: derive schema from the catalog
@@ -37,10 +47,15 @@ object Pruning {
       })
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     } else {
+      val base = catalog.get(db, table).flatMap(_.dataUrl) match {
+        case Some(u) => graft.sources.ObjectStore.tableRemoteRoot(spark,
+          catalog.get(db, table).get).get
+        case None => root.toString
+      }
       spark.read
         .option("mergeSchema", "true")
-        .option("basePath", root.toString)
-        .parquet(files.map(_.toString): _*)
+        .option("basePath", base)
+        .parquet(files: _*)
     }
   }
 

@@ -151,7 +151,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
       autoTimestamp = true,
       timestampField = req.tsField,
       timestampPrecision = req.tsPrecision.getOrElse("ns"),
-      columns = req.fields))
+      columns = req.fields,
+      dataUrl = req.s3Url))
     respond(ex, 200, """{"status":"created"}""", "application/json")
   }
 
@@ -195,7 +196,8 @@ final case class CreateRequest(
     engine: Option[String],
     orderBy: Seq[String],
     tsField: Option[String],
-    tsPrecision: Option[String]) {
+    tsPrecision: Option[String],
+    s3Url: Option[String] = None) {
 
   def validate(): Unit = {
     require(TableCatalog.NameRe.matches(name), s"invalid table name: $name")
@@ -228,7 +230,8 @@ object CreateRequest {
       engine = (j \ "engine").extractOpt[String],
       orderBy = (j \ "order_by").extractOrElse[List[String]](Nil),
       tsField = (j \ "timestamp" \ "field").extractOpt[String],
-      tsPrecision = (j \ "timestamp" \ "precision").extractOpt[String])
+      tsPrecision = (j \ "timestamp" \ "precision").extractOpt[String],
+      s3Url = (j \ "s3_url").extractOpt[String]) // reference create_table.go
   }
 
   /** Minimal YAML subset for the reference's documented create shape (F8):
@@ -240,6 +243,7 @@ object CreateRequest {
     var orderBy: Seq[String] = Nil
     var tsField: Option[String] = None
     var tsPrecision: Option[String] = None
+    var s3Url: Option[String] = None
     val fields = Vector.newBuilder[(String, String)]
     var inFields = false
     var inTimestamp = false
@@ -253,6 +257,7 @@ object CreateRequest {
         (k, indented) match {
           case ("create_table", false) => name = value
           case ("engine", false) => engine = Some(value)
+          case ("s3_url", false) => s3Url = Some(value)
           case ("order_by", false) =>
             orderBy = value.stripPrefix("[").stripSuffix("]")
               .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
@@ -279,7 +284,7 @@ object CreateRequest {
         }
       }
     }
-    CreateRequest(name, fields.result(), engine, orderBy, tsField, tsPrecision)
+    CreateRequest(name, fields.result(), engine, orderBy, tsField, tsPrecision, s3Url)
   }
 }
 

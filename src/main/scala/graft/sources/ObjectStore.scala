@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.net.URI
+import java.nio.file.{Path => NioPath}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** Object-store data residency for graft tables.
+  *
+  * URL grammar is the reference's (merge_tree_service.go:122-146):
+  * `s3://key:secret@endpoint/bucket/path?region=r&secure=false` — user
+  * info carries credentials, the first path segment is the bucket,
+  * `secure` defaults to true. Spark side that becomes s3a configuration
+  * (endpoint, keys, path-style access — matching the reference's
+  * URL_STYLE 'path', merge_service_s3.go:94-118).
+  *
+  * Commit protocol (no rename — S3 has none): bytes are uploaded to their
+  * FINAL key (the reference's PutObject, save_service_s3.go:55-88), and
+  * visibility is gated by the partition's metadata.json manifest — a file
+  * is part of the table iff the index lists it, so a half-uploaded object
+  * is simply invisible. Replaced files go to the drop queue and are
+  * deleted after the grace period (merge_service_s3.go:125-143 deletes
+  * post-upload; we add the FS path's 30 s grace, which S3 needs even
+  * more). `file://` URLs run the exact same copy-publish path — that is
+  * what the spec exercises hermetically.
+  */
+object ObjectStore {
+
+  final case class S3Target(endpoint: String, key: String, secret: String,
+                            bucket: String, path: String,
+                            region: String, secure: Boolean) {
+    def s3aRoot: String = s"s3a://$bucket/$path"
+
+    /** Hadoop s3a configs for this target (per-bucket so two tables can
+      * point at two stores). */
+    def applyTo(spark: SparkSession): Unit = {
+      val c = spark.sparkContext.hadoopConfiguration
+      def set(k: String, v: String): Unit = c.set(s"fs.s3a.bucket.$bucket.$k", v)
+      set("endpoint", endpoint)
+      set("access.key", key)
+      set("secret.key", secret)
+      set("path.style.access", "true")
+      set("connection.ssl.enabled", secure.toString)
+      if (region.nonEmpty) set("endpoint.region", region)
+    }
+  }
+
+  /** Parse the reference's S3 URL grammar. */
+  def parseS3(url: String): S3Target = {
+    val u = URI.create(url)
+    require(u.getScheme == "s3", s"invalid S3 URL (scheme must be s3): $url")
+    val userInfo = Option(u.getUserInfo).getOrElse("")
+    val (key, secret) = userInfo.split(":", 2) match {
+      case Array(k, s) => (k, s)
+      case Array(k) => (k, "")
+    }
+    val segs = Option(u.getPath).getOrElse("").stripPrefix("/").split("/", 2)
+    require(segs.nonEmpty && segs(0).nonEmpty, s"S3 URL needs a bucket: $url")
+    val params = Option(u.getQuery).getOrElse("").split('&').filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
+    }.toMap
+    S3Target(
+      endpoint = u.getHost + (if (u.getPort > 0) s":${u.getPort}" else ""),
+      key = key, secret = secret,
+      bucket = segs(0),
+      path = if (segs.length > 1) segs(1) else "",
+      region = params.getOrElse("region", ""),
+      secure = params.getOrElse("secure", "true") != "false")
+  }
+
+  /** Resolve a table data URL to a Hadoop-readable root URI, applying any
+    * credentials/configs it carries. Accepts the reference s3:// grammar
+    * or any Hadoop scheme (file://, hdfs://) verbatim. */
+  def resolveDataRoot(spark: SparkSession, url: String): String =
+    if (url.startsWith("s3://")) {
+      val t = parseS3(url)
+      t.applyTo(spark)
+      t.s3aRoot.stripSuffix("/")
+    } else url.stripSuffix("/")
+
+  private def fs(spark: SparkSession, uri: String): FileSystem =
+    new HPath(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Upload a local file to its FINAL object key (PutObject semantics; no
+    * rename). Overwrite is safe: keys embed a fresh UUID. */
+  def copyPublish(spark: SparkSession, local: NioPath, destUri: String): Unit = {
+    val dest = new HPath(destUri)
+    val f = fs(spark, destUri)
+    f.mkdirs(dest.getParent)
+    f.copyFromLocalFile(false, true, new HPath(local.toUri), dest)
+  }
+
+  def delete(spark: SparkSession, uri: String): Boolean =
+    fs(spark, uri).delete(new HPath(uri), false)
+
+  def exists(spark: SparkSession, uri: String): Boolean =
+    fs(spark, uri).exists(new HPath(uri))
+
+  def sizeOf(spark: SparkSession, uri: String): Long =
+    fs(spark, uri).getFileStatus(new HPath(uri)).getLen
+
+  /** Data root for a table spec, when it is object-store resident. */
+  def tableRemoteRoot(spark: SparkSession, spec: graft.catalog.TableSpec): Option[String] =
+    spec.dataUrl.map(u => resolveDataRoot(spark, u) + s"/${spec.database}/${spec.name}")
+
+  /** Data URI of `name` in the partition `localPartDir`, which is the
+    * local manifest dir mirroring the (possibly remote) data layout. */
+  def dataUri(spark: SparkSession, spec: graft.catalog.TableSpec,
+              localTableDir: NioPath, localPartDir: NioPath, name: String): String =
+    tableRemoteRoot(spark, spec) match {
+      case Some(r) =>
+        val rel = localTableDir.relativize(localPartDir).toString.replace('\\', '/')
+        r + (if (rel.isEmpty) "" else "/" + rel) + "/" + name
+      case None => localPartDir.resolve(name).toString
+    }
+}
