@@ -181,31 +181,55 @@ object DedupOps {
       .filter(col("j") >= tau)
   }
 
-  // ---- SimHash: 64-bit signature from token-hash bit votes ----
+  // ---- SimHash: 60-bit signature from token-hash bit votes ----
+  // The token hash is the top 60 bits of md5 (15 hex digits → BIGINT):
+  // md5 is the one hash primitive Spark and DuckDB evaluate bit-for-bit
+  // identically, which makes the whole signature oracle-verifiable —
+  // an xxhash64-based simhash (round 1) could only be spec-checked.
+  val SimHashBits = 60
+  val SimHashBands = 4
+  val SimHashBandBits: Int = SimHashBits / SimHashBands // 15
 
-  /** doc_id → 64-bit simhash + the 4 16-bit bands used for pair search. */
+  private def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** doc_id → 60-bit simhash + the 4 15-bit bands used for pair search. */
   def simHashSignatures(docs: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map(i =>
+      .withColumn("h", tokenHash60(col("t")))
+    val votes = (0 until SimHashBits).map(i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i"))
-    val sig = (0 until 64).map(i =>
+    val sig = (0 until SimHashBits).map(i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
     tok.groupBy("doc_id").agg(votes.head, votes.drop(1): _*)
       .select(col("doc_id"), sig.as("simhash"))
       .select(Seq(col("doc_id"), col("simhash")) ++
-        (0 until 4).map(b =>
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as(s"band$b")): _*)
+        (0 until SimHashBands).map(b =>
+          shiftright(col("simhash"), b * SimHashBandBits)
+            .bitwiseAND(lit((1L << SimHashBandBits) - 1)).as(s"band$b")): _*)
+  }
+
+  /** DuckDB oracle for simHashSignatures' (doc_id, simhash) output —
+    * same md5-derived token hash, same bit votes. */
+  def simHashSql(textCol: String = "text"): String = {
+    val bits = (0 until SimHashBits).map(i =>
+      s"CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split_regex(
+       |    trim(lower($textCol)), '\\s+'))) t FROM documents),
+       |h AS (SELECT doc_id, (('0x'||substr(md5(t),1,15))::UBIGINT)::BIGINT h FROM tok)
+       |SELECT doc_id, $bits AS simhash FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Pairs with Hamming distance ≤ maxDist (≤3 guaranteed found by the
-    * 4×16 band pigeonhole). */
+    * 4×15 band pigeonhole). */
   def simHashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sigs = simHashSignatures(docs).cache()
     val bands = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band", "bh")))
+      posexplode(array((0 until SimHashBands).map(b => col(s"band$b")): _*)).as(Seq("band", "bh")))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -96,9 +96,19 @@ object TextOps {
     s"md5(array_to_string(list_sort(list_distinct(string_split_regex(trim(lower($textCol)), '\\s+'))), ' '))"
 
   /** Rolling (order-sensitive) fingerprint over the token stream: a
-    * chained hash acc ← xxhash64(acc, token) — overflow-free under ANSI
-    * mode, same collision behavior as a polynomial rolling hash. No DuckDB
-    * equivalent — covered by ScalaTest, rows-only at the driver. */
-  def rollingFingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+    * chained hash acc ← md5(acc ∥ token), folded left with the first
+    * token as the seed. md5 is the one hash primitive Spark and DuckDB
+    * share bit-for-bit, so unlike an xxhash64 chain this IS
+    * oracle-verifiable (DuckDB list_reduce; the fold shapes were checked
+    * to agree engine-to-engine). Same collision behavior as any chained
+    * rolling hash. */
+  def rollingFingerprintOf(w: Column): Column =
+    when(size(w) <= 1, coalesce(element_at(w, 1), lit("")))
+      .otherwise(aggregate(slice(w, lit(2), size(w) - 1), element_at(w, 1),
+        (acc, t) => md5(concat(acc, t))))
+
+  def rollingFingerprint(text: Column): Column = rollingFingerprintOf(tokens(text))
+
+  def rollingFingerprintSql(textCol: String): String =
+    s"list_reduce(string_split_regex(trim(lower($textCol)), '\\s+'), (acc, x) -> md5(acc || x))"
 }

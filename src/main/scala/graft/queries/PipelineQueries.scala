@@ -39,7 +39,7 @@ object PipelineQueries {
         .orderBy(col("da"), col("db"))
     }),
 
-    // ---- SimHash signatures (rows-only: DuckDB lacks xxhash64) ----
+    // ---- SimHash signatures (md5-derived 60-bit hash → oracle-checked) ----
     "p04_simhash" -> ((s, dir) => {
       DedupOps.simHashSignatures(Tables.load(s, dir, "documents"))
         .select("doc_id", "simhash")
@@ -104,11 +104,11 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- order-sensitive rolling-hash fingerprint (rows-only) ----
+    // ---- order-sensitive rolling-hash fingerprint (md5 chain → oracle) ----
     "p12_rolling_fp" -> ((s, dir) => {
-      Tables.load(s, dir, "documents").select(
-        col("doc_id"),
-        TextOps.rollingFingerprint(col("text")).as("rfp"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
+        .select(col("doc_id"), TextOps.rollingFingerprintOf(col("__w")).as("rfp"))
         .orderBy(col("doc_id"))
     }),
   )
@@ -119,6 +119,7 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
     "p02_ngram_jaccard" -> DedupOps.jaccardPairsSql(NearDupTau),
     "p03_minhash_lsh" -> DedupOps.jaccardPairsSql(NearDupTau, capFrac = None),
+    "p04_simhash" -> DedupOps.simHashSql(),
     "p05_embedding_neardup" ->
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
          |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -155,5 +156,8 @@ object PipelineQueries {
       """SELECT doc_id, octet_length(encode(text)) AS nbytes,
         |  hex(encode(substring(text, 1, 8))) AS head8
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p12_rolling_fp" ->
+      s"""SELECT doc_id, ${TextOps.rollingFingerprintSql("text")} AS rfp
+         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -41,7 +41,7 @@ class TextOpsSpec extends SparkSpec {
 
   test("rollingFingerprint is order sensitive") {
     val r = docs("a b c", "c b a", "a b c")
-      .select(TextOps.rollingFingerprint($"text")).as[Long].collect()
+      .select(TextOps.rollingFingerprint($"text")).as[String].collect()
     assert(r(0) != r(1) && r(0) == r(2))
   }
 }
