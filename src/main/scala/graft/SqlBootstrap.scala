@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** `--stdin` SQL bootstrap (reference stdin/init.go:15-49, N30): read SQL
+  * from stdin, execute statement-by-statement against a graft session,
+  * print each result as the reference's `{"results":[...]}` JSON, exit.
+  * The reference uses this in its Docker build to pre-install extensions;
+  * here it doubles as a handy one-shot SQL runner:
+  *
+  *   echo "SELECT 1 AS x" | sbt "runMain graft.SqlBootstrap /path/to/root"
+  */
+object SqlBootstrap {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(".")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.init(spark)
+    val catalog = new graft.catalog.TableCatalog(root)
+    graft.pruning.Pruning.registerViews(spark, catalog)
+    val sql = scala.io.Source.stdin.mkString
+    // statement split on ';' outside quotes (reference splits on ';')
+    splitStatements(sql).foreach { stmt =>
+      println(graft.server.JsonOut.results(spark.sql(stmt), 10000))
+    }
+    spark.stop()
+  }
+
+  private[graft] def splitStatements(sql: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    sql.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { quote = c; cur += c }
+      else if (c == ';') { out += cur.result(); cur.clear() }
+      else cur += c
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

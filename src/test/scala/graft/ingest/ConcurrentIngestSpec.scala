@@ -1,0 +1,54 @@
+package graft.ingest
+
+import java.nio.file.Files
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import graft.SparkSpec
+import graft.catalog.TableCatalog
+import graft.lineproto.LineProtocolParser
+import graft.pruning.Pruning
+
+/** Scaled-down analog of the reference's e2e concurrency test
+  * (e2e_test.go:44-94: 200 goroutines × 100k rows): many writer threads
+  * share one BufferedIngest; every promise must resolve and every row
+  * must land exactly once. Exercises the AtomicLong buffered counter and
+  * the queue-drain flush under contention. */
+class ConcurrentIngestSpec extends SparkSpec {
+
+  test("parallel writers through one buffer: all rows land exactly once") {
+    val root = Files.createTempDirectory("graft-conc-")
+    val cat = new TableCatalog(root.toString)
+    val writer = new IngestWriter(spark, root.toString, cat)
+    val buffer = new BufferedIngest(writer, saveTimeoutMs = 100L,
+      maxBufferedRows = 500L) // force early-flush triggers too
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val threads = 8
+      val batchesPerThread = 25
+      val rowsPerBatch = 20
+      val futures = (0 until threads).flatMap { t =>
+        (0 until batchesPerThread).map { b =>
+          Future {
+            val lines = (0 until rowsPerBatch)
+              .map(r => s"conc,writer=w$t v=${t * 100000 + b * 100 + r}i")
+              .mkString("\n")
+            val stores = LineProtocolParser.parse(lines).map(buffer.store).toVector
+            stores.foreach(Await.result(_, 2.minutes))
+          }
+        }
+      }
+      futures.foreach(Await.result(_, 2.minutes))
+      buffer.flush()
+      val df = Pruning.readTable(spark, cat, "default", "conc")
+      val expected = threads * batchesPerThread * rowsPerBatch
+      assert(df.count() == expected)
+      // exactly once: all v values distinct
+      assert(df.select("v").distinct().count() == expected)
+    } finally {
+      buffer.close()
+      pool.shutdown()
+    }
+  }
+}
