@@ -41,14 +41,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     case FieldType.Bool => "BOOL"
   }
 
-  def sparkType(name: String): DataType = name match {
-    case "INT64" => LongType
-    case "UINT64" => DecimalType(20, 0)
-    case "FLOAT64" => DoubleType
-    case "STRING" => StringType
-    case "BOOL" => BooleanType
-    case other => throw new IllegalArgumentException(s"unknown type $other")
-  }
+  def sparkType(name: String): DataType = graft.catalog.GraftTypes.sparkType(name)
 
   /** Line-proto batch → DataFrame with the batch's own schema. */
   def toDataFrame(batch: Batch): DataFrame = {

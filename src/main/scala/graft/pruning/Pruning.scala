@@ -68,48 +68,19 @@ object Pruning {
       if (spec.database == "default") df.createOrReplaceTempView(spec.name)
     }
 
-  // conjunctive comparisons of the reference's two time columns against
-  // int64-ns literals; BETWEEN lo AND hi is the querier's documented shape
-  private val CmpRe = """(?i)\b(?:__timestamp|time)\s*(>=|<=|>|<)\s*(\d+)""".r
-  private val BetweenRe = """(?i)\b(?:__timestamp|time)\s+between\s+(\d+)\s+and\s+(\d+)""".r
-
-  /** Extract a `__timestamp`/`time` ns bound from the SQL text for
-    * file-level pruning — the Spark analog of the reference querier's
-    * "resolve data location by time range" (ARCHITECTURE.md:2079).
-    * Conservative: any OR in the query disables extraction (the bounds
-    * below are only sound for conjunctive predicates); multiple bounds
-    * intersect. Pruning is by file min/max OVERLAP, so a too-wide range
-    * is always safe. */
-  def extractTimeRangeNs(sql: String): Option[(Long, Long)] = {
-    if ("""(?i)\bor\b""".r.findFirstIn(sql).isDefined) return None
-    var lo = Long.MinValue
-    var hi = Long.MaxValue
-    CmpRe.findAllMatchIn(sql).foreach { m =>
-      val v = BigInt(m.group(2))
-      def clampL(b: BigInt): Long =
-        if (b > Long.MaxValue) Long.MaxValue
-        else if (b < Long.MinValue) Long.MinValue else b.toLong
-      m.group(1) match {
-        case ">=" => lo = math.max(lo, clampL(v))
-        case ">"  => lo = math.max(lo, clampL(v + 1))
-        case "<=" => hi = math.min(hi, clampL(v))
-        case "<"  => hi = math.min(hi, clampL(v - 1))
-      }
-    }
-    BetweenRe.findAllMatchIn(sql).foreach { m =>
-      lo = math.max(lo, BigInt(m.group(1)).toLong)
-      hi = math.min(hi, BigInt(m.group(2)).toLong)
-    }
-    if (lo == Long.MinValue && hi == Long.MaxValue) None else Some((lo, hi))
-  }
 }
 
-/** Per-session query-view registry with version-based caching: full-table
-  * views are (re)registered only when the table's data version changed
-  * (write/compaction bumps it) — the round-1 server re-walked the catalog
-  * and re-inferred every schema on EVERY request. Time-bounded requests
-  * register file-pruned views instead (and invalidate the cache, since
-  * the view names then no longer mean "the whole table").
+/** Per-session query-view registry: views are backed by the
+  * manifest-driven GraftFileIndex, so time and partition predicates in
+  * ANY query prune whole files inside Catalyst planning — no SQL
+  * inspection needed. Views are (re)registered only when the table's
+  * data version changed (write/compaction bumps it; the FileIndex
+  * snapshots the manifest at construction) — the round-1 server
+  * re-walked the catalog and re-inferred every schema on EVERY request.
+  * An explicit querier-style range (?from=/?to=) becomes a plain
+  * `__timestamp` filter on the indexed view, which prunes through the
+  * same dataFilters path (and invalidates the cached name, since the
+  * view then no longer means "the whole table").
   *
   * `ensure` + `spark.sql` (eager analysis) must run under one lock —
   * temp views are session-global, so concurrent requests with different
@@ -119,30 +90,30 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
   private val registered = scala.collection.mutable.Map.empty[(String, String), Long]
 
   def ensure(timeRangeNs: Option[(Long, Long)]): Unit = synchronized {
-    timeRangeNs match {
-      case some @ Some(_) =>
-        Pruning.registerViews(spark, catalog, some)
-        registered.clear() // pruned views must not be mistaken for full ones
-      case None =>
-        catalog.all().foreach { spec =>
-          val key = (spec.database, spec.name)
-          val v = catalog.version(spec.database, spec.name)
-          if (!registered.get(key).contains(v)) {
-            val df = Pruning.readTable(spark, catalog, spec.database, spec.name)
-            df.createOrReplaceTempView(s"${spec.database}_${spec.name}")
-            if (spec.database == "default") df.createOrReplaceTempView(spec.name)
-            registered(key) = v
-          }
+    catalog.all().foreach { spec =>
+      val key = (spec.database, spec.name)
+      val v = catalog.version(spec.database, spec.name)
+      val cacheOk = timeRangeNs.isEmpty && registered.get(key).contains(v)
+      if (!cacheOk) {
+        val base = GraftFileIndex.readTable(spark, catalog, spec.database, spec.name)
+        val df = timeRangeNs match {
+          case Some((lo, hi)) =>
+            base.filter(org.apache.spark.sql.functions.col("__timestamp").between(lo, hi))
+          case None => base
         }
+        df.createOrReplaceTempView(s"${spec.database}_${spec.name}")
+        if (spec.database == "default") df.createOrReplaceTempView(spec.name)
+        if (timeRangeNs.isEmpty) registered(key) = v else registered.remove(key): Unit
+      }
     }
   }
 
-  /** Plan a SQL statement against current (possibly pruned) views.
-    * Callers needing an explicit range do
-    * `views.synchronized { views.ensure(range); spark.sql(...) }` —
-    * same monitor, so registration and analysis stay atomic. */
+  /** Plan a SQL statement against current views (eager analysis under
+    * the same monitor; SQL-embedded time predicates prune via the
+    * FileIndex automatically). Callers with an explicit range do
+    * `views.synchronized { views.ensure(range); spark.sql(...) }`. */
   def sql(sqlText: String): DataFrame = synchronized {
-    ensure(Pruning.extractTimeRangeNs(sqlText))
-    spark.sql(sqlText) // analysis is eager; execution happens later
+    ensure(None)
+    spark.sql(sqlText)
   }
 }

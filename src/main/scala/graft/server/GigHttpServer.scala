@@ -123,13 +123,15 @@ final class GigHttpServer(spark: SparkSession, root: String,
       case _ => throw new IllegalArgumentException("""body must be {"query": "..."}""")
     }
     graft.Tables.init(spark)
-    // querier-style explicit range params win; else extract from the SQL
+    // querier-style explicit ?from=/?to= range; ranges written in the SQL
+    // itself need no extraction — the GraftFileIndex views prune from the
+    // query's own pushed-down predicates during Catalyst planning
     val params = queryParams(ex)
     val explicit = (params.get("from"), params.get("to")) match {
       case (Some(f), Some(t)) => Some((f.toLong, t.toLong))
       case (Some(f), None) => Some((f.toLong, Long.MaxValue))
       case (None, Some(t)) => Some((Long.MinValue, t.toLong))
-      case _ => Pruning.extractTimeRangeNs(sql)
+      case _ => None
     }
     val df = views.synchronized { views.ensure(explicit); spark.sql(sql) }
     respond(ex, 200, JsonOut.results(df, maxRows), "application/json")

@@ -11,20 +11,6 @@ import graft.lineproto.LineProtocolParser
   * range — ARCHITECTURE.md:2079). */
 class PruningSpec extends SparkSpec {
 
-  test("extractTimeRangeNs: conjunctive bounds, BETWEEN, OR disables") {
-    import Pruning.extractTimeRangeNs
-    assert(extractTimeRangeNs("SELECT * FROM t WHERE __timestamp >= 100 AND __timestamp < 200")
-      .contains((100L, 199L)))
-    assert(extractTimeRangeNs("SELECT * FROM t WHERE time > 5") .contains((6L, Long.MaxValue)))
-    assert(extractTimeRangeNs("SELECT * FROM t WHERE time BETWEEN 10 AND 20").contains((10L, 20L)))
-    // OR makes bounds unsound -> no pruning
-    assert(extractTimeRangeNs("SELECT * FROM t WHERE time < 5 OR v = 1").isEmpty)
-    assert(extractTimeRangeNs("SELECT count(*) FROM t").isEmpty)
-    // tighter of multiple bounds wins
-    assert(extractTimeRangeNs("WHERE time >= 10 AND time >= 50 AND time <= 90")
-      .contains((50L, 90L)))
-  }
-
   test("time-bounded query reads only overlapping files (df.inputFiles)") {
     val root = Files.createTempDirectory("graft-prune-")
     val cat = new TableCatalog(root.toString)
@@ -45,13 +31,18 @@ class PruningSpec extends SparkSpec {
     assert(pruned.inputFiles.length == 1)
     assert(pruned.count() == 1)
 
-    // the view path: a ranged ensure() registers the pruned view; a later
-    // unranged ensure() restores the full table (cache invalidated)
+    // the view path: a ranged ensure() registers a range-filtered view
+    // (pruned by the FileIndex at plan time); a later unranged ensure()
+    // restores the full table (cache invalidated)
     val views = new QueryViews(spark, cat)
     views.synchronized { views.ensure(Some((oneT, oneT))) }
-    assert(spark.table("m").inputFiles.length == 1)
+    assert(spark.table("m").count() == 1)
     views.synchronized { views.ensure(None) }
-    assert(spark.table("m").inputFiles.length == 3)
+    assert(spark.table("m").count() == 3)
+    // SQL-embedded time predicates prune through the same path: the
+    // GraftFileIndexSpec asserts scan-level numFiles; here row-correctness
+    assert(spark.sql(s"SELECT count(*) c FROM m WHERE __timestamp = $oneT")
+      .collect().head.getLong(0) == 1)
   }
 
   test("unranged views are cached by version and refresh on write") {
