@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators (SURVEY §2.5 stretch surface).
+  *
+  * The reference has NO watermarks/event-time windows — its "streaming"
+  * is micro-batched buffered ingest, and query-side continuity is
+  * client polling (ARCHITECTURE.md:5165-5183). These operators are the
+  * strict-superset a Spark-native engine gets from Structured Streaming:
+  * the same int64-ns time model (`time` column) lifted into Spark's
+  * event-time machinery, so late data is handled by WATERMARK instead of
+  * by arrival-time partitioning alone.
+  *
+  * Scale notes: windowed aggregation is a streaming partial aggregate
+  * with state keyed by (window, group) — state size is bounded by the
+  * watermark horizon; flatMapGroupsWithState keeps one small state
+  * object per series key, sharded across executors by the groupBy hash.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregates with late-data tolerance.
+    * `timeCol` is int64 ns (the reference time model); rows later than
+    * `lateness` behind the max seen event time are dropped by the
+    * watermark instead of corrupting closed windows. */
+  def windowedAgg(rows: DataFrame, timeCol: String, valueCol: String,
+                  groupCols: Seq[String],
+                  windowLen: String = "1 minute",
+                  lateness: String = "30 seconds"): DataFrame = {
+    val withTime = rows.withColumn("event_time",
+      timestamp_micros((col(timeCol) / 1000L).cast("long")))
+      .withWatermark("event_time", lateness)
+    withTime
+      .groupBy(window(col("event_time"), windowLen) +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valueCol)), 6).as("sum_v"),
+        round(avg(col(valueCol)), 6).as("avg_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+      .select(Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ groupCols.map(col) ++
+        Seq(col("n"), col("sum_v"), col("avg_v"), col("min_v"), col("max_v")): _*)
+  }
+
+  /** One measurement point of a keyed series: (series key, time ns, value). */
+  final case class SeriesPoint(key: String, timeNs: Long, value: Double)
+  /** Running per-series state carried across micro-batches. */
+  final case class SeriesState(count: Long, sum: Double, lastNs: Long)
+  /** Emitted per input point: running count/avg and the inter-arrival gap. */
+  final case class SeriesUpdate(key: String, count: Long, avg: Double, gapNs: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: running count/mean
+    * and inter-arrival gap per series — the kind of per-key incremental
+    * statistic the reference can only compute by re-querying. State is
+    * one SeriesState per key, updated per micro-batch. */
+  def runningSeriesStats(points: Dataset[SeriesPoint]): Dataset[SeriesUpdate] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState[SeriesState, SeriesUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[SeriesPoint], state: GroupState[SeriesState]) =>
+          var st = state.getOption.getOrElse(SeriesState(0L, 0.0, 0L))
+          val out = rows.toSeq.sortBy(_.timeNs).map { p =>
+            val gap = if (st.lastNs == 0L) 0L else p.timeNs - st.lastNs
+            st = SeriesState(st.count + 1, st.sum + p.value, p.timeNs)
+            SeriesUpdate(key, st.count, st.sum / st.count, gap)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

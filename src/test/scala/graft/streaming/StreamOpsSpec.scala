@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import StreamOps.{SeriesPoint, SeriesUpdate}
+
+/** Event-time windowed aggregation with watermark + custom keyed state,
+  * driven deterministically through MemoryStream micro-batches. */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1700000000000000000L // ns
+  private def ns(sec: Long): Long = t0 + sec * 1000000000L
+
+  test("windowedAgg closes event-time windows and drops too-late rows") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double)]
+    val agg = StreamOps.windowedAgg(
+      in.toDF().toDF("time", "sensor", "v"),
+      "time", "v", Seq("sensor"), windowLen = "1 minute", lateness = "30 seconds")
+    val q = agg.writeStream.format("memory").queryName("wagg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two rows in window [t0, t0+60s)
+      in.addData((ns(5), "a", 1.0), (ns(20), "a", 3.0))
+      q.processAllAvailable()
+      // batch 2: advance event time far past watermark -> window 1 closes
+      in.addData((ns(200), "a", 7.0))
+      q.processAllAvailable()
+      // batch 3: a VERY late row for the closed window must be dropped
+      in.addData((ns(10), "a", 100.0))
+      q.processAllAvailable()
+      in.addData((ns(400), "a", 9.0)) // close window of ns(200)
+      q.processAllAvailable()
+      val rows = spark.table("wagg")
+        .selectExpr("n", "sum_v", "avg_v").as[(Long, Double, Double)].collect().toSet
+      // first window: exactly the two on-time rows; late 100.0 never appears
+      assert(rows.contains((2L, 4.0, 2.0)), rows)
+      assert(!rows.exists(_._2 >= 100.0), rows)
+    } finally q.stop()
+  }
+
+  test("runningSeriesStats keeps per-key state across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SeriesPoint]
+    val updates = StreamOps.runningSeriesStats(in.toDS())
+    val q = updates.writeStream.format("memory").queryName("rstats")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(SeriesPoint("s1", ns(0), 10.0), SeriesPoint("s1", ns(10), 20.0))
+      q.processAllAvailable()
+      in.addData(SeriesPoint("s1", ns(30), 30.0), SeriesPoint("s2", ns(1), 5.0))
+      q.processAllAvailable()
+      val ups = spark.table("rstats").as[SeriesUpdate].collect()
+      val s1 = ups.filter(_.key == "s1").sortBy(_.count)
+      assert(s1.map(_.count).toSeq == Seq(1L, 2L, 3L))
+      assert(s1.map(_.avg).toSeq == Seq(10.0, 15.0, 20.0))
+      // state survived the batch boundary: gap computed vs previous batch
+      assert(s1.last.gapNs == 20L * 1000000000L)
+      assert(ups.filter(_.key == "s2").map(_.count).toSeq == Seq(1L))
+    } finally q.stop()
+  }
+}
