@@ -155,10 +155,12 @@ object Compactor {
           dest.toString
       }
       val stats = ParquetStats.read(spark, destUri,
-        spec.orderBy.headOption.getOrElse("__timestamp"))
+        spec.orderBy.headOption.getOrElse("__timestamp"), extraCols = Seq("time"))
+      val (dmin, dmax) = stats.colRanges.getOrElse("time", (Long.MinValue, Long.MaxValue))
       MetadataIndex.batch(partDir, spec.name,
         add = Seq(FileEntry(0, plan.to, ObjectStore.sizeOf(spark, destUri),
-          stats.rowCount, stats.minTime, stats.minTime, stats.maxTime)),
+          stats.rowCount, stats.minTime, stats.minTime, stats.maxTime,
+          dataMinTime = dmin, dataMaxTime = dmax)),
         remove = plan.from.map(u => u.substring(u.lastIndexOf('/') + 1)))
       destUri
     } finally {

@@ -27,10 +27,15 @@ final case class FileEntry(
     sizeBytes: Long,
     rowCount: Long,
     chunkTime: Long,
-    minTime: Long,
+    minTime: Long, // server-assigned __timestamp stats (reference min_time)
     maxTime: Long,
     range: String = "",
-    ftype: String = "parquet")
+    ftype: String = "parquet",
+    // client-assigned `time` column stats — extra keys beyond the
+    // reference shape; unbounded when unknown so pruning on `time`
+    // predicates stays sound (a file with no stats can never be skipped)
+    dataMinTime: Long = Long.MinValue,
+    dataMaxTime: Long = Long.MaxValue)
 
 /** A to-be-deleted file: kept on disk until the grace period elapses so
   * in-flight readers holding the old file list don't hit FileNotFound
@@ -66,7 +71,9 @@ object MetadataIndex {
           minTime = (e \ "min_time").extract[Long],
           maxTime = (e \ "max_time").extract[Long],
           range = (e \ "range").extractOrElse[String](""),
-          ftype = (e \ "type").extractOrElse[String]("parquet"))
+          ftype = (e \ "type").extractOrElse[String]("parquet"),
+          dataMinTime = (e \ "data_min_time").extractOrElse[Long](Long.MinValue),
+          dataMaxTime = (e \ "data_max_time").extractOrElse[Long](Long.MaxValue))
         fe.path -> fe
       }.toMap
       case _ => Map.empty[String, FileEntry]
@@ -137,16 +144,24 @@ object MetadataIndex {
       "drop_queue" -> JArray(idx.dropQueue.map(d => JString(d.path)).toList),
       "drop_queue_at" -> JObject(idx.dropQueue.map(d =>
         d.path -> (JLong(d.enqueuedAtMs): JValue)).toList),
-      "files" -> JArray(idx.entries.values.toList.sortBy(_.id).map(e => JObject(
-        "id" -> JLong(e.id),
-        "path" -> JString(e.path),
-        "size_bytes" -> JLong(e.sizeBytes),
-        "row_count" -> JLong(e.rowCount),
-        "chunk_time" -> JLong(e.chunkTime),
-        "min_time" -> JLong(e.minTime),
-        "max_time" -> JLong(e.maxTime),
-        "range" -> JString(e.range),
-        "type" -> JString(e.ftype)))))
+      "files" -> JArray(idx.entries.values.toList.sortBy(_.id).map { e =>
+        val base = List[(String, JValue)](
+          "id" -> JLong(e.id),
+          "path" -> JString(e.path),
+          "size_bytes" -> JLong(e.sizeBytes),
+          "row_count" -> JLong(e.rowCount),
+          "chunk_time" -> JLong(e.chunkTime),
+          "min_time" -> JLong(e.minTime),
+          "max_time" -> JLong(e.maxTime),
+          "range" -> JString(e.range),
+          "type" -> JString(e.ftype))
+        val extra =
+          if (e.dataMinTime == Long.MinValue && e.dataMaxTime == Long.MaxValue) Nil
+          else List[(String, JValue)](
+            "data_min_time" -> JLong(e.dataMinTime),
+            "data_max_time" -> JLong(e.dataMaxTime))
+        JObject(base ++ extra)
+      }))
     val tmp = partitionDir.resolve(FileName + ".bak")
     Files.writeString(tmp, compact(render(json)))
     Files.move(tmp, partitionDir.resolve(FileName),

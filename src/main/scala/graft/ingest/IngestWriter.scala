@@ -150,13 +150,15 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     // index each published file from its parquet footer stats; for remote
     // tables this manifest write IS what makes the file visible
     out.foreach { case (dir, name, uri) =>
-      val stats = ParquetStats.read(spark, uri, "__timestamp")
+      val stats = ParquetStats.read(spark, uri, "__timestamp", extraCols = Seq("time"))
+      val (dmin, dmax) = stats.colRanges.getOrElse("time", (Long.MinValue, Long.MaxValue))
       MetadataIndex.batch(dir, spec.name, add = Seq(FileEntry(
         id = 0, path = name,
         sizeBytes = ObjectStore.sizeOf(spark, uri),
         rowCount = stats.rowCount,
         chunkTime = stats.minTime,
-        minTime = stats.minTime, maxTime = stats.maxTime)))
+        minTime = stats.minTime, maxTime = stats.maxTime,
+        dataMinTime = dmin, dataMaxTime = dmax)))
     }
     catalog.bumpVersion(spec.database, spec.name)
     out.map(_._3)
@@ -171,9 +173,14 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
 
 /** Footer-level stats for one parquet file (no data scan). */
 object ParquetStats {
-  final case class Stats(rowCount: Long, minTime: Long, maxTime: Long)
+  final case class Stats(rowCount: Long, minTime: Long, maxTime: Long,
+                         colRanges: Map[String, (Long, Long)] = Map.empty)
 
-  def read(spark: SparkSession, file: String, timeCol: String): Stats = {
+  /** Row count + min/max of `timeCol`, plus ranges of any `extraCols`
+    * that are present with int64 stats (absent → not in the map →
+    * callers must treat as unknown/unbounded). */
+  def read(spark: SparkSession, file: String, timeCol: String,
+           extraCols: Seq[String] = Nil): Stats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.hadoop.fs.{Path => HPath}
@@ -183,24 +190,28 @@ object ParquetStats {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       var rows = 0L
-      var minT = Long.MaxValue
-      var maxT = Long.MinValue
+      val mins = scala.collection.mutable.Map.empty[String, Long]
+      val maxs = scala.collection.mutable.Map.empty[String, Long]
+      val wanted = (timeCol +: extraCols).toSet
       blocks.foreach { b =>
         rows += b.getRowCount
-        b.getColumns.asScala.find(_.getPath.toDotString == timeCol).foreach { c =>
+        b.getColumns.asScala.filter(c => wanted(c.getPath.toDotString)).foreach { c =>
+          val name = c.getPath.toDotString
           val st = c.getStatistics
           if (st != null && st.hasNonNullValue) {
             st.genericGetMin match {
               case l: java.lang.Long =>
-                minT = math.min(minT, l)
-                maxT = math.max(maxT, st.genericGetMax.asInstanceOf[java.lang.Long])
+                mins(name) = math.min(mins.getOrElse(name, Long.MaxValue), l)
+                maxs(name) = math.max(maxs.getOrElse(name, Long.MinValue),
+                  st.genericGetMax.asInstanceOf[java.lang.Long])
               case _ =>
             }
           }
         }
       }
-      if (minT == Long.MaxValue) { minT = 0; maxT = 0 }
-      Stats(rows, minT, maxT)
+      val ranges = mins.keys.map(k => k -> (mins(k), maxs(k))).toMap
+      val (minT, maxT) = ranges.getOrElse(timeCol, (0L, 0L))
+      Stats(rows, minT, maxT, ranges - timeCol)
     } finally reader.close()
   }
 }

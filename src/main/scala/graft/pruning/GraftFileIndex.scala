@@ -22,13 +22,14 @@ import graft.sources.ObjectStore
   *    against each partition's values — standard hive-style pruning, but
   *    from the manifest instead of a directory listing;
   *  - `dataFilters` arrive as pre-split conjuncts; comparisons of
-  *    `__timestamp` (and `time` — the reference querier prunes client
-  *    time against the same server-assigned stats, an inherited
-  *    correlation assumption) against int64 literals narrow a [lo, hi]
-  *    window checked for overlap with each file's min/max — whole files
-  *    skip before any scan task launches. Conjunct granularity makes OR
-  *    safe: a disjunction is one opaque conjunct and simply doesn't
-  *    narrow the window.
+  *    `__timestamp` and `time` against int64 literals narrow per-column
+  *    [lo, hi] windows checked for overlap with each file's min/max —
+  *    whole files skip before any scan task launches. Each predicate
+  *    meets its OWN column's stats (`__timestamp` → min_time/max_time,
+  *    `time` → data_min_time/data_max_time; the reference querier prunes
+  *    client time against server-arrival stats, which backfilled data
+  *    breaks). Conjunct granularity makes OR safe: a disjunction is one
+  *    opaque conjunct and simply doesn't narrow the window.
   *
   * At 100 TB this is the difference between "list and footer-read a
   * million objects" and "plan from a few thousand manifest files";
@@ -72,42 +73,64 @@ final class GraftFileIndex(spark: SparkSession, catalog: TableCatalog, spec: Tab
       BoundReference(partitionSchema.fieldIndex(a.name), StringType, nullable = true)
   }
 
-  private def isTimeCol(e: Expression): Option[String] = e match {
+  private def timeColOf(e: Expression): Option[String] = e match {
     case a: AttributeReference if a.name == "__timestamp" || a.name == "time" => Some(a.name)
     case _ => None
   }
 
-  /** Narrow [lo, hi] from conjunctive int64 comparisons on the time cols. */
-  private[pruning] def timeBounds(dataFilters: Seq[Expression]): (Long, Long) = {
-    var lo = Long.MinValue
-    var hi = Long.MaxValue
-    def narrow(op: String, v: Long): Unit = op match {
-      case ">=" => lo = math.max(lo, v)
-      case ">" => lo = math.max(lo, if (v == Long.MaxValue) v else v + 1)
-      case "<=" => hi = math.min(hi, v)
-      case "<" => hi = math.min(hi, if (v == Long.MinValue) v else v - 1)
-      case "=" => lo = math.max(lo, v); hi = math.min(hi, v)
+  /** Per-column [lo, hi] windows from conjunctive int64 comparisons:
+    * `__timestamp` prunes against the server-assigned stats (min_time/
+    * max_time), `time` against the client-data stats (data_min_time/
+    * data_max_time, unbounded when unknown) — the two clocks are
+    * correlated but NOT equal, so each predicate only ever meets its own
+    * column's stats (the reference querier conflates them). */
+  private[pruning] def timeBounds(dataFilters: Seq[Expression]): Map[String, (Long, Long)] = {
+    val b = scala.collection.mutable.Map(
+      "__timestamp" -> (Long.MinValue, Long.MaxValue),
+      "time" -> (Long.MinValue, Long.MaxValue))
+    def narrow(colName: String, op: String, v: Long): Unit = {
+      var (lo, hi) = b(colName)
+      op match {
+        case ">=" => lo = math.max(lo, v)
+        case ">" => lo = math.max(lo, if (v == Long.MaxValue) v else v + 1)
+        case "<=" => hi = math.min(hi, v)
+        case "<" => hi = math.min(hi, if (v == Long.MinValue) v else v - 1)
+        case "=" => lo = math.max(lo, v); hi = math.min(hi, v)
+      }
+      b(colName) = (lo, hi)
     }
     dataFilters.foreach {
-      case GreaterThan(c, Literal(v: Long, LongType)) if isTimeCol(c).isDefined => narrow(">", v)
-      case GreaterThanOrEqual(c, Literal(v: Long, LongType)) if isTimeCol(c).isDefined => narrow(">=", v)
-      case LessThan(c, Literal(v: Long, LongType)) if isTimeCol(c).isDefined => narrow("<", v)
-      case LessThanOrEqual(c, Literal(v: Long, LongType)) if isTimeCol(c).isDefined => narrow("<=", v)
-      case EqualTo(c, Literal(v: Long, LongType)) if isTimeCol(c).isDefined => narrow("=", v)
+      case GreaterThan(c, Literal(v: Long, LongType)) if timeColOf(c).isDefined =>
+        narrow(timeColOf(c).get, ">", v)
+      case GreaterThanOrEqual(c, Literal(v: Long, LongType)) if timeColOf(c).isDefined =>
+        narrow(timeColOf(c).get, ">=", v)
+      case LessThan(c, Literal(v: Long, LongType)) if timeColOf(c).isDefined =>
+        narrow(timeColOf(c).get, "<", v)
+      case LessThanOrEqual(c, Literal(v: Long, LongType)) if timeColOf(c).isDefined =>
+        narrow(timeColOf(c).get, "<=", v)
+      case EqualTo(c, Literal(v: Long, LongType)) if timeColOf(c).isDefined =>
+        narrow(timeColOf(c).get, "=", v)
       // literal-first forms (Catalyst does not canonicalize operand order here)
-      case GreaterThan(Literal(v: Long, LongType), c) if isTimeCol(c).isDefined => narrow("<", v)
-      case GreaterThanOrEqual(Literal(v: Long, LongType), c) if isTimeCol(c).isDefined => narrow("<=", v)
-      case LessThan(Literal(v: Long, LongType), c) if isTimeCol(c).isDefined => narrow(">", v)
-      case LessThanOrEqual(Literal(v: Long, LongType), c) if isTimeCol(c).isDefined => narrow(">=", v)
-      case EqualTo(Literal(v: Long, LongType), c) if isTimeCol(c).isDefined => narrow("=", v)
+      case GreaterThan(Literal(v: Long, LongType), c) if timeColOf(c).isDefined =>
+        narrow(timeColOf(c).get, "<", v)
+      case GreaterThanOrEqual(Literal(v: Long, LongType), c) if timeColOf(c).isDefined =>
+        narrow(timeColOf(c).get, "<=", v)
+      case LessThan(Literal(v: Long, LongType), c) if timeColOf(c).isDefined =>
+        narrow(timeColOf(c).get, ">", v)
+      case LessThanOrEqual(Literal(v: Long, LongType), c) if timeColOf(c).isDefined =>
+        narrow(timeColOf(c).get, ">=", v)
+      case EqualTo(Literal(v: Long, LongType), c) if timeColOf(c).isDefined =>
+        narrow(timeColOf(c).get, "=", v)
       case _ => // opaque conjunct (incl. ORs): does not narrow, stays safe
     }
-    (lo, hi)
+    b.toMap
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (lo, hi) = timeBounds(dataFilters)
+    val bounds = timeBounds(dataFilters)
+    val (lo, hi) = bounds("__timestamp")
+    val (dlo, dhi) = bounds("time")
     val pred = partitionFilters.filter(_.references.nonEmpty) match {
       case Seq() => None
       case fs => Some(Predicate.create(fs.map(bindToPartition).reduce(And)))
@@ -118,7 +141,8 @@ final class GraftFileIndex(spark: SparkSession, catalog: TableCatalog, spec: Tab
         if (v == null) null else UTF8String.fromString(v)))
       if (pred.forall(_.eval(row))) {
         val files = idx.entries.values.toSeq
-          .filter(e => e.minTime <= hi && e.maxTime >= lo)
+          .filter(e => e.minTime <= hi && e.maxTime >= lo &&
+            e.dataMinTime <= dhi && e.dataMaxTime >= dlo)
           .sortBy(_.path)
           .map { e =>
             val uri = ObjectStore.dataUri(spark, spec, tableRoot, dir, e.path)
