@@ -43,7 +43,10 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
 
   def sparkType(name: String): DataType = graft.catalog.GraftTypes.sparkType(name)
 
-  /** Line-proto batch → DataFrame with the batch's own schema. */
+  /** Line-proto batch → DataFrame with the batch's own schema.
+    * Row→InternalRow conversion runs in executors (parallelize), not on
+    * the driver thread — a java.util.List createDataFrame converts the
+    * whole batch single-threaded and caps buffered-ingest throughput. */
   def toDataFrame(batch: Batch): DataFrame = {
     val fields = batch.schema.map { case (n, t) => StructField(n, sparkType(typeName(t))) }
     val schema = StructType(fields)
@@ -57,7 +60,9 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
       arr(byName("time")) = line.timeNs
       Row.fromSeq(arr.toIndexedSeq)
     }
-    spark.createDataFrame(rows.asJava, schema)
+    val slices = math.max(1, math.min(rows.length / 20000,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, slices), schema)
   }
 
   /** Store one parsed batch: evolve schema (first-type-wins), add
