@@ -20,9 +20,12 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink executes the FULL plan (projection, sort, limit) —
       // count() would let Spark drop projection work for some queries.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // -1 marks a failed query so fast failures never read as fast runs.
+      val sec =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

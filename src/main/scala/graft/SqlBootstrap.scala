@@ -34,8 +34,14 @@ object SqlBootstrap {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var quote: Char = 0
+    var escaped = false
     sql.foreach { c =>
-      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      if (quote != 0) {
+        cur += c
+        if (escaped) escaped = false // backslash-escaped char inside a literal
+        else if (c == '\\') escaped = true
+        else if (c == quote) quote = 0
+      }
       else if (c == '\'' || c == '"') { quote = c; cur += c }
       else if (c == ';') { out += cur.result(); cur.clear() }
       else cur += c

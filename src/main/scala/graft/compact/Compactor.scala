@@ -112,15 +112,20 @@ object Compactor {
     if (plans.nonEmpty) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(MaxConcurrentPlans, plans.size))
-      try {
-        val fs = plans.map { case (dir, p) =>
-          pool.submit(new java.util.concurrent.Callable[String] {
-            def call(): String = executePlan(spark, spec, tableDir, dir, p)
-          })
-        }
-        fs.foreach(_.get())
-      } finally pool.shutdown()
-      catalog.bumpVersion(db, table)
+      val results =
+        try {
+          val fs = plans.map { case (dir, p) =>
+            pool.submit(new java.util.concurrent.Callable[String] {
+              def call(): String = executePlan(spark, spec, tableDir, dir, p)
+            })
+          }
+          fs.map(f => scala.util.Try(f.get()))
+        } finally pool.shutdown()
+      // any committed plan changed the manifest: bump BEFORE propagating a
+      // partial failure, or cached views would serve stale file lists that
+      // the next gc deletes out from under them
+      if (results.exists(_.isSuccess)) catalog.bumpVersion(db, table)
+      results.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
     }
     plans.size
   }
@@ -154,8 +159,10 @@ object Compactor {
           Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
           dest.toString
       }
-      val stats = ParquetStats.read(spark, destUri,
-        spec.orderBy.headOption.getOrElse("__timestamp"), extraCols = Seq("time"))
+      // min_time/max_time are ALWAYS __timestamp stats (same as ingest) —
+      // using the table's orderBy head here would poison __timestamp
+      // zone-map pruning for any table with a custom order_by
+      val stats = ParquetStats.read(spark, destUri, "__timestamp", extraCols = Seq("time"))
       val (dmin, dmax) = stats.colRanges.getOrElse("time", (Long.MinValue, Long.MaxValue))
       MetadataIndex.batch(partDir, spec.name,
         add = Seq(FileEntry(0, plan.to, ObjectStore.sizeOf(spark, destUri),

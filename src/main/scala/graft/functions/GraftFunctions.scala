@@ -32,8 +32,12 @@ object GraftFunctions {
     * (regex passes, cast still fails) just pay the exception; false
     * negatives cannot exist, so `when(guard, try_cast) else null` is
     * row-for-row identical to bare try_cast. */
+  // includes Java parseDouble's trailing d/D/f/F suffix and hex-float
+  // forms — the superset property is what makes the guard sound
   private val NumericishRe = Literal(
-    "(?i)^\\s*[+-]?((\\d+\\.?\\d*|\\.\\d+)(e[+-]?\\d+)?|inf(inity)?|nan|true|false)\\s*$")
+    "(?i)^\\s*[+-]?((\\d+\\.?\\d*|\\.\\d+)(e[+-]?\\d+)?[df]?" +
+      "|0x[0-9a-f]*\\.?[0-9a-f]*(p[+-]?\\d+)?[df]?" +
+      "|inf(inity)?|nan|true|false)\\s*$")
 
   private def tryCast(e: Expression, t: DataType): Expression =
     CaseWhen(

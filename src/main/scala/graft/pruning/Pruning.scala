@@ -97,9 +97,12 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
       if (!cacheOk) {
         val base = GraftFileIndex.readTable(spark, catalog, spec.database, spec.name)
         val df = timeRangeNs match {
-          case Some((lo, hi)) =>
+          // created-but-never-written tables have no __timestamp column
+          // yet (it appears on first write) — an unresolvable filter here
+          // would 500 EVERY ranged request for ALL tables
+          case Some((lo, hi)) if base.columns.contains("__timestamp") =>
             base.filter(org.apache.spark.sql.functions.col("__timestamp").between(lo, hi))
-          case None => base
+          case _ => base
         }
         df.createOrReplaceTempView(s"${spec.database}_${spec.name}")
         if (spec.database == "default") df.createOrReplaceTempView(spec.name)

@@ -69,12 +69,18 @@ object NdJsonParser {
     val rows = parsed.map { m =>
       Row.fromSeq(schema.fields.toIndexedSeq.map { f =>
         m.get(f.name) match {
-          case Some(v: Long) if f.dataType == DoubleType => v.toDouble
-          case Some(v: Double) if f.dataType == LongType =>
-            throw new IllegalArgumentException(
-              s"column '${f.name}' type conflict: first-seen INT64, got float")
-          case Some(v) => v
           case None => null
+          case Some(v: Long) if f.dataType == DoubleType => v.toDouble
+          case Some(v) =>
+            val ok = (v, f.dataType) match {
+              case (_: Long, LongType) | (_: Double, DoubleType) |
+                   (_: Boolean, BooleanType) | (_: String, StringType) => true
+              case _ => false
+            }
+            if (!ok) throw new IllegalArgumentException(
+              s"column '${f.name}' type conflict: first-seen ${f.dataType.simpleString}, " +
+                s"got ${v.getClass.getSimpleName}")
+            v
         }
       })
     }

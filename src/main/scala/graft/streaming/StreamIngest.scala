@@ -26,14 +26,8 @@ object StreamIngest {
   final case class StreamSpec(db: String, table: String,
                               columns: Seq[(String, String)])
 
-  def sparkField(nameType: (String, String)): StructField = nameType._2 match {
-    case "INT64" => StructField(nameType._1, LongType)
-    case "UINT64" => StructField(nameType._1, DecimalType(20, 0))
-    case "FLOAT64" => StructField(nameType._1, DoubleType)
-    case "STRING" => StructField(nameType._1, StringType)
-    case "BOOL" => StructField(nameType._1, BooleanType)
-    case t => throw new IllegalArgumentException(s"unknown type $t")
-  }
+  def sparkField(nameType: (String, String)): StructField =
+    StructField(nameType._1, graft.catalog.GraftTypes.sparkType(nameType._2))
 
   /** Parse a partition of raw lines into rows of the declared schema —
     * runs inside executors via mapPartitions. Lines addressed to a
@@ -45,7 +39,10 @@ object StreamIngest {
                                         db: String, table: String): Iterator[Row] = {
     val byName = schema.fieldNames.zipWithIndex.toMap
     lines.flatMap { text =>
-      LineProtocolParser.parse(text)
+      // parse with the stream's db as default so UNPREFIXED lines route to
+      // this stream's database; only genuinely foreign (db.table-prefixed
+      // for someone else) lines are dropped
+      LineProtocolParser.parse(text, defaultDb = db)
         .filter(b => b.database == db && b.table == table)
         .flatMap(_.rows.iterator.map { line =>
         val arr = new Array[Any](schema.length)

@@ -29,8 +29,11 @@ object StreamOps {
                   groupCols: Seq[String],
                   windowLen: String = "1 minute",
                   lateness: String = "30 seconds"): DataFrame = {
+    // integer division: `col / 1000` is DOUBLE division, and ns-epoch
+    // values exceed double's 2^53 mantissa — rows within ~256 ns of a
+    // window boundary would land in the wrong window
     val withTime = rows.withColumn("event_time",
-      timestamp_micros((col(timeCol) / 1000L).cast("long")))
+      timestamp_micros(expr(s"`$timeCol` DIV 1000")))
       .withWatermark("event_time", lateness)
     withTime
       .groupBy(window(col("event_time"), windowLen) +: groupCols.map(col): _*)

@@ -9,5 +9,8 @@ class SqlBootstrapSpec extends AnyFunSuite {
     assert(SqlBootstrap.splitStatements("SELECT 'a;b' AS s; SELECT \";\" AS t") ==
       Seq("SELECT 'a;b' AS s", "SELECT \";\" AS t"))
     assert(SqlBootstrap.splitStatements("  ;;  ") == Nil)
+    // backslash-escaped quote inside a literal must not close it
+    assert(SqlBootstrap.splitStatements("SELECT 'a\\';b' AS s; SELECT 1") ==
+      Seq("SELECT 'a\\';b' AS s", "SELECT 1"))
   }
 }

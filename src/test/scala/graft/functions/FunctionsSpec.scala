@@ -25,6 +25,13 @@ class FunctionsSpec extends SparkSpec {
     assert(one("toInt64OrNull('abc')") == null)
     assert(one("toInt64OrNull('7')") == 7L)
     assert(one("toFloatOrNull('abc')") == null)
+    // regex-guard parity: every string bare try_cast parses must survive
+    // the guard (Java parseDouble suffix/hex/inf forms, bool-as-number)
+    assert(one("toFloatOrNull('1.5d')") == 1.5)
+    assert(one("toFloatOrNull('  42 ')") == 42.0)
+    assert(one("toFloatOrNull('Infinity')") == Double.PositiveInfinity)
+    assert(one("toInt64OrNull(true)") == 1L)
+    assert(one("toFloatOrZero('oops')") == 0.0)
   }
 
   test("OrZero variants default to 0") {

@@ -108,6 +108,27 @@ class LakehouseSpec extends SparkSpec {
     assert(ts == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("compaction keeps __timestamp stats for custom order_by tables") {
+    val root = freshRoot()
+    val cat = new TableCatalog(root.toString)
+    // order_by = client time; clients backfill OLD times — the index
+    // min_time/max_time must still be __timestamp (arrival) stats
+    cat.upsert(graft.catalog.TableSpec("default", "ob",
+      orderBy = Seq("time"), columns = Seq("v" -> "INT64", "time" -> "INT64")))
+    var t = t0
+    val w = new IngestWriter(spark, root.toString, cat, () => { t += 1000000L; t })
+    val oldNs = t0 - 365L * 86400L * 1000000000L
+    (1 to 3).foreach { i =>
+      LineProtocolParser.parse(s"ob v=${i}i ${oldNs + i}").foreach(w.store)
+    }
+    assert(Compactor.compactTable(spark, cat, "default", "ob", graceMs = 0L) == 1)
+    val dir = MetadataIndex.partitionDirs(root.resolve("default/ob")).head
+    val e = MetadataIndex.load(dir, "ob").entries.values.head
+    assert(e.minTime > t0, s"min_time must be arrival __timestamp, got ${e.minTime}")
+    assert(e.dataMinTime == oldNs + 1 && e.dataMaxTime == oldNs + 3)
+    assert(Pruning.readTable(spark, cat, "default", "ob").count() == 3)
+  }
+
   test("storeDataFrame ingests a typed DataFrame (NDJSON-style path)") {
     val root = freshRoot()
     val (cat, w) = writer(root)

@@ -35,4 +35,17 @@ class StreamIngestSpec extends SparkSpec {
     val hosts = df.select("host").collect().map(_.getString(0)).sorted.toSeq
     assert(hosts == Seq("a", "a", "b"))
   }
+
+  test("routing: unprefixed lines adopt the stream's db; foreign lines drop") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("v", LongType), StructField("time", LongType)))
+    val lines = Iterator(
+      "cpu v=1i 1700000000000000000", // unprefixed -> belongs to metrics.cpu
+      "metrics.cpu v=2i 1700000000000000001", // explicit match
+      "other.cpu v=3i 1700000000000000002", // foreign db -> dropped
+      "metrics.mem v=4i 1700000000000000003") // foreign table -> dropped
+    val rows = StreamIngest.parsePartition(lines, schema, "metrics", "cpu").toSeq
+    assert(rows.map(_.getLong(0)).sorted == Seq(1L, 2L))
+  }
 }
