@@ -21,7 +21,9 @@ object SqlBootstrap {
     spark.sparkContext.setLogLevel("WARN")
     Tables.init(spark)
     val catalog = new graft.catalog.TableCatalog(root)
-    graft.pruning.Pruning.registerViews(spark, catalog)
+    // same view path as /query (FileIndex-backed), so result schemas —
+    // e.g. partition column types — match the HTTP surface exactly
+    new graft.pruning.QueryViews(spark, catalog).ensure(None)
     val sql = scala.io.Source.stdin.mkString
     // statement split on ';' outside quotes (reference splits on ';')
     splitStatements(sql).foreach { stmt =>

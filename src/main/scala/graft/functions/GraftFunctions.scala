@@ -32,12 +32,13 @@ object GraftFunctions {
     * (regex passes, cast still fails) just pay the exception; false
     * negatives cannot exist, so `when(guard, try_cast) else null` is
     * row-for-row identical to bare try_cast. */
-  // includes Java parseDouble's trailing d/D/f/F suffix and hex-float
-  // forms — the superset property is what makes the guard sound
+  // includes Java parseDouble's trailing d/D/f/F suffix, hex-float forms,
+  // and its whitespace definition (anything <= \x20, wider than \s) — the
+  // superset property is what makes the guard sound
   private val NumericishRe = Literal(
-    "(?i)^\\s*[+-]?((\\d+\\.?\\d*|\\.\\d+)(e[+-]?\\d+)?[df]?" +
+    "(?i)^[\\x00-\\x20]*[+-]?((\\d+\\.?\\d*|\\.\\d+)(e[+-]?\\d+)?[df]?" +
       "|0x[0-9a-f]*\\.?[0-9a-f]*(p[+-]?\\d+)?[df]?" +
-      "|inf(inity)?|nan|true|false)\\s*$")
+      "|inf(inity)?|nan|true|false)[\\x00-\\x20]*$")
 
   private def tryCast(e: Expression, t: DataType): Expression =
     CaseWhen(

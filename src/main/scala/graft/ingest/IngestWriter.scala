@@ -44,9 +44,12 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
   def sparkType(name: String): DataType = graft.catalog.GraftTypes.sparkType(name)
 
   /** Line-proto batch → DataFrame with the batch's own schema.
-    * Row→InternalRow conversion runs in executors (parallelize), not on
-    * the driver thread — a java.util.List createDataFrame converts the
-    * whole batch single-threaded and caps buffered-ingest throughput. */
+    * parallelize (not the java-List createDataFrame): the List path
+    * embeds every row in a LocalRelation, converting the whole batch
+    * eagerly during plan BUILD on the flush thread and dragging the rows
+    * through plan serialization; the RDD path converts lazily inside the
+    * write job. (The downstream coalesce(1) fuses slices into one task,
+    * so this is about keeping rows out of the plan, not parallelism.) */
   def toDataFrame(batch: Batch): DataFrame = {
     val fields = batch.schema.map { case (n, t) => StructField(n, sparkType(typeName(t))) }
     val schema = StructType(fields)
@@ -60,9 +63,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
       arr(byName("time")) = line.timeNs
       Row.fromSeq(arr.toIndexedSeq)
     }
-    val slices = math.max(1, math.min(rows.length / 20000,
-      spark.sparkContext.defaultParallelism))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, slices), schema)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Store one parsed batch: evolve schema (first-type-wins), add

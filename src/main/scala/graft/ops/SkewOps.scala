@@ -15,17 +15,19 @@ import org.apache.spark.sql.functions._
 object SkewOps {
 
   /** Inner equi-join with the LEFT side's hot keys spread over `salt`
-    * sub-keys: each left row gets a deterministic salt from its full row
-    * hash; the right side is replicated `salt` times so every (key,
-    * salt) pair still meets its match. Produces exactly the rows of
-    * `left.join(right, Seq(key))` — verified by the spec — but a key
-    * holding N% of the left side now occupies `salt` tasks instead of
-    * one straggler. Use when the RIGHT side is the smaller (dimension)
-    * side: its replication factor is `salt`. */
+    * sub-keys: each left row gets a salt from its partition-local row
+    * position (NOT a row-content hash — skew usually means many
+    * IDENTICAL rows, which would all hash to one salt and leave the
+    * straggler intact); the right side is replicated `salt` times so
+    * every (key, salt) pair still meets its match. Produces exactly the
+    * rows of `left.join(right, Seq(key))` — verified by the spec — but a
+    * key holding N% of the left side now occupies `salt` tasks instead
+    * of one straggler. Use when the RIGHT side is the smaller
+    * (dimension) side: its replication factor is `salt`. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salt.toLong)))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val r = right.withColumn("__salt",
       explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
     l.join(r, Seq(key, "__salt")).drop("__salt")

@@ -53,24 +53,38 @@ final class GraftFileIndex(spark: SparkSession, catalog: TableCatalog, spec: Tab
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(tableRoot.toUri))
 
+  // DateType/IntegerType match both Spark's own hive-partition inference
+  // (round-1 behavior) and DuckDB's — StringType here would silently turn
+  // `SELECT hour FROM t` from JSON number 22 into "22" over /query
   override val partitionSchema: StructType =
-    if (hive) StructType(Seq(StructField("date", StringType), StructField("hour", StringType)))
+    if (hive) StructType(Seq(StructField("date", DateType), StructField("hour", IntegerType)))
     else StructType(Nil)
 
-  /** date=/hour= values from the dir path, in partitionSchema order. */
-  private def partitionValues(dir: NioPath): Seq[String] =
+  /** date=/hour= values from the dir path as partition-schema internals
+    * (DateType → epoch days, IntegerType → int). */
+  private def partitionValues(dir: NioPath): Seq[Any] =
     if (!hive) Nil
     else {
       val segs = tableRoot.relativize(dir).toString.replace('\\', '/')
         .split('/').filter(_.contains('=')).map { s =>
           val Array(k, v) = s.split("=", 2); k -> v
         }.toMap
-      partitionSchema.fields.toSeq.map(f => segs.getOrElse(f.name, null))
+      partitionSchema.fields.toSeq.map { f =>
+        segs.get(f.name) match {
+          case None => null
+          case Some(v) => f.dataType match {
+            case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+            case IntegerType => v.toInt
+            case _ => UTF8String.fromString(v)
+          }
+        }
+      }
     }
 
   private def bindToPartition(e: Expression): Expression = e.transform {
     case a: AttributeReference =>
-      BoundReference(partitionSchema.fieldIndex(a.name), StringType, nullable = true)
+      val i = partitionSchema.fieldIndex(a.name)
+      BoundReference(i, partitionSchema(i).dataType, nullable = true)
   }
 
   private def timeColOf(e: Expression): Option[String] = e match {
@@ -136,9 +150,7 @@ final class GraftFileIndex(spark: SparkSession, catalog: TableCatalog, spec: Tab
       case fs => Some(Predicate.create(fs.map(bindToPartition).reduce(And)))
     }
     snapshot.flatMap { case (dir, idx) =>
-      val values = partitionValues(dir)
-      val row = InternalRow.fromSeq(values.map(v =>
-        if (v == null) null else UTF8String.fromString(v)))
+      val row = InternalRow.fromSeq(partitionValues(dir))
       if (pred.forall(_.eval(row))) {
         val files = idx.entries.values.toSeq
           .filter(e => e.minTime <= hi && e.maxTime >= lo &&
@@ -146,7 +158,10 @@ final class GraftFileIndex(spark: SparkSession, catalog: TableCatalog, spec: Tab
           .sortBy(_.path)
           .map { e =>
             val uri = ObjectStore.dataUri(spark, spec, tableRoot, dir, e.path)
-            new FileStatus(e.sizeBytes, false, 1, 128L * 1024 * 1024, e.maxTime, new HPath(uri))
+            // mtime is ms in Hadoop; maxTime is ns (the _metadata column
+            // would otherwise show year ~55000)
+            new FileStatus(e.sizeBytes, false, 1, 128L * 1024 * 1024,
+              e.maxTime / 1000000L, new HPath(uri))
           }
         if (files.nonEmpty) Some(PartitionDirectory(row, files.toArray)) else None
       } else None

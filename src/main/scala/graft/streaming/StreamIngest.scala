@@ -22,7 +22,14 @@ object StreamIngest {
 
   /** Declared stream schema: (name, reference type name) pairs — a
     * production firehose has a fixed measurement schema; dynamic-schema
-    * streams go through the HTTP path. */
+    * streams go through the HTTP path.
+    *
+    * Contract: each stream OWNS its landing directory. Unprefixed lines
+    * in it belong to this stream's (db, table); `db.table`-prefixed
+    * lines for anything else are dropped. Pointing two streams with
+    * different specs at one landing dir double-claims unprefixed
+    * traffic — give each stream its own dir (the reference equivalently
+    * scopes its WAL per table). */
   final case class StreamSpec(db: String, table: String,
                               columns: Seq[(String, String)])
 

@@ -20,11 +20,16 @@ class SkewOpsSpec extends SparkSpec {
     assert(plain.count(_._1 == "hot") == 1800)
   }
 
-  test("salting spreads the hot key across sub-keys") {
-    val left = (0 until 1000).map(i => ("hot", i)).toDF("k", "lv")
+  test("salting spreads IDENTICAL hot rows across sub-keys") {
+    // duplicate rows are the common skew shape: a content hash would
+    // send them all to one salt
+    val left = (0 until 1000).map(_ => ("hot", 1)).toDF("k", "lv")
     val salts = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(8L)))
+      pmod(monotonically_increasing_id(), lit(8L)))
       .select("__salt").distinct().count()
-    assert(salts > 4, s"hot key must spread over many salts, got $salts")
+    assert(salts == 8, s"identical hot rows must spread over all salts, got $salts")
+    // and the join result is still exactly the plain join
+    val right = Seq(("hot", 9)).toDF("k", "rv")
+    assert(SkewOps.saltedJoin(left, right, "k", 8).count() == 1000)
   }
 }

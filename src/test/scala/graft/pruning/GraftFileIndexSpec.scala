@@ -70,7 +70,11 @@ class GraftFileIndexSpec extends SparkSpec {
 
     val df = GraftFileIndex.readTable(spark, cat, "default", "px")
     assert(scanNumFiles(df) == 2)
-    val h22 = df.filter(col("hour") === "22")
+    // partition columns carry inferred types (hour int, date date) —
+    // matching Spark's own hive inference and the round-1 JSON output
+    assert(df.schema("hour").dataType.typeName == "integer")
+    assert(df.schema("date").dataType.typeName == "date")
+    val h22 = df.filter(col("hour") === 22)
     assert(scanNumFiles(h22) == 1)
     assert(h22.select("v").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
