@@ -70,6 +70,65 @@ object SimilarityOps {
   def hyperplaneBuckets(corpus: DataFrame, dims: Int): DataFrame =
     corpus.withColumn("bucket", bucketId(col("embedding"), dims))
 
+  // ---- IVF (inverted-file) ANN: k-means coarse quantizer ----
+  // The second scale path beside sign-LSH: corpus vectors are normalized
+  // (so euclidean k-means ≈ spherical clustering and dot = cosine) and
+  // assigned to their nearest of `nlist` centroids; a query probes only
+  // the `nprobe` cells whose centroids are closest. Cells shard the
+  // corpus ~evenly (data-adaptive, unlike fixed hyperplanes), so probing
+  // nprobe/nlist of the cells scans ~nprobe/nlist of the corpus. At
+  // 100 TB: train on a sample, write the corpus partitioned by cell, and
+  // nlist grows ∝ corpus (cells of ~1 M vectors).
+
+  /** Normalize an array-vector column to unit length (double). */
+  private def normalized(v: Column): Column = {
+    val n = sqrt(dotf(v, v))
+    transform(v, x => x.cast("double") / n)
+  }
+
+  /** (model, corpus with `cell`): k-means fit over normalized vectors.
+    * The quantizer trains on a bounded sample (~trainPerCell × nlist
+    * rows) — at 100 TB you never fit on the full corpus; centroids from
+    * a sample are statistically equivalent and training cost stays
+    * constant as the corpus grows. Assignment of the FULL corpus is one
+    * linear transform pass. */
+  def ivfIndex(corpus: DataFrame, nlist: Int, seed: Long = 7L,
+               trainPerCell: Int = 64)
+  : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.withColumn("nvec", normalized(col("embedding")))
+      .withColumn("fv", array_to_vector(col("nvec")))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(c.select("fv").limit(nlist * trainPerCell))
+    (km, km.transform(c).drop("fv"))
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` nearest cells per query, exact
+    * cosine within them. Recall vs bruteForceTopK is spec-asserted. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int, nprobe: Int): DataFrame = {
+    val (km, assigned) = ivfIndex(corpus, nlist)
+    val bc = assigned.select(col("vec_id").as("nid"), col("nvec").as("nv"), col("cell"))
+    // centroids are tiny (nlist × dims): a literal array, broadcast by value
+    val centers = km.clusterCenters.zipWithIndex.map { case (v, i) =>
+      struct(lit(i).as("cell"), array(v.toArray.map(lit): _*).as("cv"))
+    }
+    val q = queries.select(col("vec_id").as("qid"), normalized(col("embedding")).as("qv"))
+      .withColumn("c", explode(array(centers: _*)))
+      .select(col("qid"), col("qv"), col("c.cell").as("cell"),
+        dotf(col("qv"), col("c.cv")).as("csim"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
+    val probes = q.withColumn("cr", row_number().over(wc)).filter(col("cr") <= nprobe)
+      .select("qid", "qv", "cell")
+    val scored = probes.join(bc, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dotf(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** ANN top-k with Hamming-1 multi-probe: each query probes its own
     * bucket plus the NumPlanes buckets one sign-flip away — recall
     * recovers near-boundary neighbors while still pruning most of the

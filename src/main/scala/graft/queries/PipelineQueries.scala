@@ -69,6 +69,16 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // ---- IVF ANN (k-means cells, data-adaptive scale path; rows-only,
+    //      recall + exactness-at-full-probe in the spec) ----
+    "p13_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 5), 10,
+        nlist = 16, nprobe = 4)
+        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // ---- token counting + set fingerprint ----
     "p08_text_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents").select(

@@ -40,6 +40,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq(999L))
   }
 
+  test("ivfTopK: probing a few cells recovers most brute-force neighbors") {
+    val corpus = vecs(400, 16)
+    val q = corpus.filter($"vec_id" < 5)
+    val brute = SimilarityOps.bruteForceTopK(corpus, q, 10)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.ivfTopK(corpus, q, 10, nlist = 8, nprobe = 4)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@10 too low: $recall")
+    // probing ALL cells is exact: must equal brute force
+    val full = SimilarityOps.ivfTopK(corpus, q, 10, nlist = 8, nprobe = 8)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+  }
+
+  test("ivfTopK finds an exact duplicate (same cell, sim 1)") {
+    val corpus = vecs(200, 16)
+    val dup = corpus.filter($"vec_id" === 0)
+      .select(lit(999L).as("vec_id"), $"embedding")
+    val r = SimilarityOps.ivfTopK(corpus.union(dup), corpus.filter($"vec_id" === 0),
+      3, nlist = 8, nprobe = 2)
+      .filter($"qid" === 0 && $"rn" === 1).select("nid").as[Long].collect()
+    assert(r.toSeq == Seq(999L))
+  }
+
   test("annTopK never reports a sim better than brute-force rank-1") {
     val corpus = vecs(200, 16)
     val q = corpus.filter($"vec_id" < 3)
