@@ -69,17 +69,21 @@ object DedupOps {
                         capFrac: Option[Double] = Some(StopShingleFrac)): DataFrame = {
     // no cache(): shingling is one cheap projection post-tokenize-fix, and
     // the self-join's two sides share one shuffle via ReuseExchange — an
-    // explicit InMemoryRelation would cost more to build than it saves
+    // explicit InMemoryRelation would cost more to build than it saves.
+    // The df cap is a WINDOW over s, not a groupBy+broadcast-anti-join:
+    // the window's hash-partition-by-s + sort is exactly what the SMJ
+    // self-join needs, so the cap rides the join's own shuffle instead of
+    // adding two serialized broadcast jobs and a third tokenize pass.
     val sh = shingles(docs, n)
     val pruned = capFrac match {
       case Some(frac) =>
         val total = docs.agg(count(lit(1)).as("ndocs"))
-        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        import org.apache.spark.sql.expressions.Window
+        sh.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
           .crossJoin(broadcast(total))
-          .filter(col("df") > greatest(ceil(lit(frac) * col("ndocs")),
+          .filter(col("df") <= greatest(ceil(lit(frac) * col("ndocs")),
             lit(StopShingleMinDf)))
-          .select("s")
-        sh.join(broadcast(hot), Seq("s"), "left_anti")
+          .select("doc_id", "s")
       case None => sh
     }
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
