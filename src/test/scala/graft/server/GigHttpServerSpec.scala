@@ -95,6 +95,17 @@ class GigHttpServerSpec extends SparkSpec {
     assert(r.statusCode() == 500)
   }
 
+  test("partition columns keep inferred types in /query JSON (hour number, date string-date)") {
+    post("/write?db=pt", "ptw v=1i 1700000000000000000") // 2023-11-14 22:13:20 UTC
+    val q = post("/query", """{"query": "SELECT date, hour, v FROM pt_ptw"}""")
+    assert(q.statusCode() == 200, q.body())
+    // partitions derive from server-assigned __timestamp (now), so assert
+    // SHAPE: hour is an unquoted JSON number (int partition type, not the
+    // "08" a string schema would give); date renders as a date string
+    assert(""""hour":\d+[,}]""".r.findFirstIn(q.body()).isDefined, q.body())
+    assert(""""date":"\d{4}-\d{2}-\d{2}"""".r.findFirstIn(q.body()).isDefined, q.body())
+  }
+
   test("NDJSON write via Content-Type registry, read back via /query (N3/N4)") {
     val body =
       """{"sensor":"a","v":1,"ratio":0.5,"ok":true}
