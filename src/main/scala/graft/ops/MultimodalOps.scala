@@ -84,4 +84,35 @@ object MultimodalOps {
       .filter(octet_length(col("media")) > col("frame") * frameBytes)
       .select(col("doc_id"), col("frame"),
         expr(s"substring(media, frame * $frameBytes + 1, $frameBytes)").as("frame_bytes"))
+
+  /** Resize plumbing: media → fixed-budget media' + updated metadata.
+    * STUB resample (proportional byte subsampling stands in for a pixel
+    * resampler — same contract: bounded output size, metadata reflects
+    * the new dimensions); runs batched per partition like decode, and
+    * the metadata predicate (`meta.nbytes <= maxBytes` passes through
+    * untouched) prunes before any "codec" work. */
+  def resizeAssets(assets: DataFrame, maxBytes: Int): DataFrame = {
+    val spark = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("kind", StringType),
+        StructField("nbytes", IntegerType),
+        StructField("resized", BooleanType))))))
+    val rdd = assets.select("doc_id", "media", "meta.kind").rdd.mapPartitions { rows =>
+      // per-partition codec init would happen here
+      rows.map { r =>
+        val media = r.getAs[Array[Byte]]("media")
+        val out =
+          if (media.length <= maxBytes) media
+          else { // ??? real resampler goes here; proportional subsample stand-in
+            val step = media.length.toDouble / maxBytes
+            Array.tabulate(maxBytes)(i => media((i * step).toInt))
+          }
+        Row(r.getLong(0), out, Row(r.getString(2), out.length, media.length > maxBytes))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -36,4 +36,13 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(new String(fr(0)) == "hello wo")
     assert(new String(fr(1)) == "rld this")
   }
+
+  test("resizeAssets bounds media size, small assets pass through") {
+    val assets = MultimodalOps.asAssets(
+      Seq((1L, "x" * 100), (2L, "short")).toDF("doc_id", "text"))
+    val r = MultimodalOps.resizeAssets(assets, maxBytes = 16)
+      .select($"doc_id", octet_length($"media").as("n"), $"meta.resized")
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 16, true), (2L, 5, false)))
+  }
 }
