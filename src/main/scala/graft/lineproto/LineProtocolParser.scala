@@ -201,7 +201,7 @@ object LineProtocolParser {
   private final class Scanner(line: String, no: Int) {
     private var i = 0
     def atEnd: Boolean = i >= line.length
-    def peek: Char = if (atEnd) ' ' else line.charAt(i)
+    def peek: Char = if (atEnd) '\u0000' else line.charAt(i)
     def advance(): Unit = i += 1
     def skipSpaces(): Unit = while (!atEnd && line.charAt(i) == ' ') i += 1
     def rest(): String = line.substring(i)
