@@ -159,15 +159,8 @@ object Compactor {
           Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
           dest.toString
       }
-      // min_time/max_time are ALWAYS __timestamp stats (same as ingest) —
-      // using the table's orderBy head here would poison __timestamp
-      // zone-map pruning for any table with a custom order_by
-      val stats = ParquetStats.read(spark, destUri, "__timestamp", extraCols = Seq("time"))
-      val (dmin, dmax) = stats.colRanges.getOrElse("time", (Long.MinValue, Long.MaxValue))
       MetadataIndex.batch(partDir, spec.name,
-        add = Seq(FileEntry(0, plan.to, ObjectStore.sizeOf(spark, destUri),
-          stats.rowCount, stats.minTime, stats.minTime, stats.maxTime,
-          dataMinTime = dmin, dataMaxTime = dmax)),
+        add = Seq(ParquetStats.manifestEntry(spark, destUri, plan.to)),
         remove = plan.from.map(u => u.substring(u.lastIndexOf('/') + 1)))
       destUri
     } finally {

@@ -156,15 +156,8 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     // index each published file from its parquet footer stats; for remote
     // tables this manifest write IS what makes the file visible
     out.foreach { case (dir, name, uri) =>
-      val stats = ParquetStats.read(spark, uri, "__timestamp", extraCols = Seq("time"))
-      val (dmin, dmax) = stats.colRanges.getOrElse("time", (Long.MinValue, Long.MaxValue))
-      MetadataIndex.batch(dir, spec.name, add = Seq(FileEntry(
-        id = 0, path = name,
-        sizeBytes = ObjectStore.sizeOf(spark, uri),
-        rowCount = stats.rowCount,
-        chunkTime = stats.minTime,
-        minTime = stats.minTime, maxTime = stats.maxTime,
-        dataMinTime = dmin, dataMaxTime = dmax)))
+      MetadataIndex.batch(dir, spec.name,
+        add = Seq(ParquetStats.manifestEntry(spark, uri, name)))
     }
     catalog.bumpVersion(spec.database, spec.name)
     out.map(_._3)
@@ -181,6 +174,23 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
 object ParquetStats {
   final case class Stats(rowCount: Long, minTime: Long, maxTime: Long,
                          colRanges: Map[String, (Long, Long)] = Map.empty)
+
+  /** Manifest entry for a published file — the ONE place encoding the
+    * stats invariants (min_time/max_time = server __timestamp arrival
+    * stats; data_min/max_time = client `time` stats, unbounded when the
+    * column is absent). Used by both ingest and compaction so the two
+    * can never drift. */
+  def manifestEntry(spark: SparkSession, uri: String, name: String): FileEntry = {
+    val stats = read(spark, uri, "__timestamp", extraCols = Seq("time"))
+    val (dmin, dmax) = stats.colRanges.getOrElse("time", (Long.MinValue, Long.MaxValue))
+    FileEntry(
+      id = 0, path = name,
+      sizeBytes = ObjectStore.sizeOf(spark, uri),
+      rowCount = stats.rowCount,
+      chunkTime = stats.minTime,
+      minTime = stats.minTime, maxTime = stats.maxTime,
+      dataMinTime = dmin, dataMaxTime = dmax)
+  }
 
   /** Row count + min/max of `timeCol`, plus ranges of any `extraCols`
     * that are present with int64 stats (absent → not in the map →

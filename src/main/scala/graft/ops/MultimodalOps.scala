@@ -68,8 +68,12 @@ object MultimodalOps {
     val rdd = assets.select("doc_id", "media").rdd.mapPartitions { rows =>
       // per-partition codec init would happen here
       rows.map { r =>
-        val (w, h, f) = fakeDecode(r.getAs[Array[Byte]]("media"))
-        Row(r.getLong(0), w, h, f)
+        val media = r.getAs[Array[Byte]]("media")
+        if (media == null) Row(r.getLong(0), null, null, null)
+        else {
+          val (w, h, f) = fakeDecode(media)
+          Row(r.getLong(0), w, h, f)
+        }
       }
     }
     spark.createDataFrame(rdd, schema)
@@ -104,13 +108,16 @@ object MultimodalOps {
       // per-partition codec init would happen here
       rows.map { r =>
         val media = r.getAs[Array[Byte]]("media")
-        val out =
-          if (media.length <= maxBytes) media
-          else { // ??? real resampler goes here; proportional subsample stand-in
-            val step = media.length.toDouble / maxBytes
-            Array.tabulate(maxBytes)(i => media((i * step).toInt))
-          }
-        Row(r.getLong(0), out, Row(r.getString(2), out.length, media.length > maxBytes))
+        if (media == null) Row(r.getLong(0), null, Row(r.getString(2), 0, false))
+        else {
+          val out =
+            if (media.length <= maxBytes) media
+            else { // ??? real resampler goes here; proportional subsample stand-in
+              val step = media.length.toDouble / maxBytes
+              Array.tabulate(maxBytes)(i => media((i * step).toInt))
+            }
+          Row(r.getLong(0), out, Row(r.getString(2), out.length, media.length > maxBytes))
+        }
       }
     }
     spark.createDataFrame(rdd, schema)

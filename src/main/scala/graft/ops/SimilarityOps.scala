@@ -80,10 +80,13 @@ object SimilarityOps {
   // 100 TB: train on a sample, write the corpus partitioned by cell, and
   // nlist grows ∝ corpus (cells of ~1 M vectors).
 
-  /** Normalize an array-vector column to unit length (double). */
+  /** Normalize an array-vector column to unit length (double); null for
+    * zero vectors — a NaN vector inside KMeans.fit poisons centroid
+    * updates for the whole corpus, where brute force would only degrade
+    * for the one bad row. */
   private def normalized(v: Column): Column = {
     val n = sqrt(dotf(v, v))
-    transform(v, x => x.cast("double") / n)
+    when(n > 0.0, transform(v, x => x.cast("double") / n)).otherwise(lit(null))
   }
 
   /** (model, corpus with `cell`): k-means fit over normalized vectors.
@@ -96,7 +99,10 @@ object SimilarityOps {
                trainPerCell: Int = 64)
   : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.functions.array_to_vector
+    // zero vectors are unsearchable under cosine and excluded from the
+    // index (normalized() yields null for them)
     val c = corpus.withColumn("nvec", normalized(col("embedding")))
+      .filter(col("nvec").isNotNull)
       .withColumn("fv", array_to_vector(col("nvec")))
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10)
@@ -110,16 +116,30 @@ object SimilarityOps {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int, nprobe: Int): DataFrame = {
     val (km, assigned) = ivfIndex(corpus, nlist)
+    ivfTopKWith(km, assigned, queries, k, nprobe)
+  }
+
+  /** Probe a prebuilt IVF index (train once, probe many — the reusable
+    * form; ivfTopK is the self-contained convenience). Probe cells rank
+    * by the SAME objective k-means assigns with: argmin ||q-c||² ⇔
+    * argmax (q·c − |c|²/2) — ranking by raw dot product alone would skip
+    * the cell a neighbor was assigned to whenever centroid norms differ. */
+  def ivfTopKWith(km: org.apache.spark.ml.clustering.KMeansModel, assigned: DataFrame,
+                  queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val bc = assigned.select(col("vec_id").as("nid"), col("nvec").as("nv"), col("cell"))
     // centroids are tiny (nlist × dims): a literal array, broadcast by value
     val centers = km.clusterCenters.zipWithIndex.map { case (v, i) =>
-      struct(lit(i).as("cell"), array(v.toArray.map(lit): _*).as("cv"))
+      val arr = v.toArray
+      val halfNormSq = arr.map(x => x * x).sum / 2.0
+      struct(lit(i).as("cell"), array(arr.map(lit): _*).as("cv"),
+        lit(halfNormSq).as("hn2"))
     }
     val q = queries.select(col("vec_id").as("qid"), normalized(col("embedding")).as("qv"))
+      .filter(col("qv").isNotNull)
       .withColumn("c", explode(array(centers: _*)))
       .select(col("qid"), col("qv"), col("c.cell").as("cell"),
-        dotf(col("qv"), col("c.cv")).as("csim"))
-    val wc = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
+        (dotf(col("qv"), col("c.cv")) - col("c.hn2")).as("cscore"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cell"))
     val probes = q.withColumn("cr", row_number().over(wc)).filter(col("cr") <= nprobe)
       .select("qid", "qv", "cell")
     val scored = probes.join(bc, Seq("cell"))

@@ -72,9 +72,13 @@ final class GraftFileIndex(spark: SparkSession, catalog: TableCatalog, spec: Tab
       partitionSchema.fields.toSeq.map { f =>
         segs.get(f.name) match {
           case None => null
+          // a non-conforming dir value (legacy layout, null partition)
+          // maps to null — it must degrade that one partition's filters,
+          // not throw during planning and 500 every query on the table
           case Some(v) => f.dataType match {
-            case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
-            case IntegerType => v.toInt
+            case DateType =>
+              scala.util.Try(java.time.LocalDate.parse(v).toEpochDay.toInt).getOrElse(null)
+            case IntegerType => scala.util.Try(v.toInt).getOrElse(null)
             case _ => UTF8String.fromString(v)
           }
         }

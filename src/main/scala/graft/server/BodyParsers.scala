@@ -37,13 +37,18 @@ object NdJsonParser {
     require(lines.nonEmpty, "empty NDJSON body")
     val parsed: Vector[Map[String, Any]] = lines.map { l =>
       JsonMethods.parse(l) match {
-        case JObject(kvs) => kvs.collect {
-          case (k, JInt(v)) => k -> v.longValue
-          case (k, JLong(v)) => k -> v
-          case (k, JDouble(v)) => k -> v
-          case (k, JDecimal(v)) => k -> v.toDouble
-          case (k, JString(v)) => k -> v
-          case (k, JBool(v)) => k -> v
+        case JObject(kvs) => kvs.flatMap {
+          case (k, JInt(v)) => Some(k -> v.longValue)
+          case (k, JLong(v)) => Some(k -> v)
+          case (k, JDouble(v)) => Some(k -> v)
+          case (k, JDecimal(v)) => Some(k -> v.toDouble)
+          case (k, JString(v)) => Some(k -> v)
+          case (k, JBool(v)) => Some(k -> v)
+          case (_, JNull | JNothing) => None // JSON null -> SQL null
+          case (k, other) => throw new IllegalArgumentException(
+            // nested shapes must error loudly, not silently become null
+            s"NDJSON field '$k' has unsupported ${other.getClass.getSimpleName
+              .stripPrefix("J").toLowerCase} value (flat scalars only)")
         }.toMap
         case other => throw new IllegalArgumentException(
           s"NDJSON line is not an object: ${other.getClass.getSimpleName}")
