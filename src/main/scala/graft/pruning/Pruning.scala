@@ -89,27 +89,45 @@ object Pruning {
 final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
   private val registered = scala.collection.mutable.Map.empty[(String, String), Long]
 
-  def ensure(timeRangeNs: Option[(Long, Long)]): Unit = synchronized {
-    catalog.all().foreach { spec =>
-      val key = (spec.database, spec.name)
-      val v = catalog.version(spec.database, spec.name)
-      val cacheOk = timeRangeNs.isEmpty && registered.get(key).contains(v)
-      if (!cacheOk) {
-        val base = GraftFileIndex.readTable(spark, catalog, spec.database, spec.name)
-        val df = timeRangeNs match {
-          // created-but-never-written tables have no __timestamp column
-          // yet (it appears on first write) — an unresolvable filter here
-          // would 500 EVERY ranged request for ALL tables
-          case Some((lo, hi)) if base.columns.contains("__timestamp") =>
-            base.filter(org.apache.spark.sql.functions.col("__timestamp").between(lo, hi))
-          case _ => base
+  def ensure(timeRangeNs: Option[(Long, Long)]): Unit = ensure(timeRangeNs, None)
+
+  /** `bareDb` scopes BARE table names to that database for this request
+    * (the reference querier's `?db=` semantics, README.md:114-133:
+    * `POST /query?db=mydb {"query": "... FROM weather"}`); qualified
+    * `db_table` names always resolve. Bare names for a non-default db
+    * are per-request state, so the cache is invalidated afterwards. */
+  def ensure(timeRangeNs: Option[(Long, Long)], bareDb: Option[String]): Unit =
+    synchronized {
+      val bare = bareDb.getOrElse("default")
+      catalog.all().foreach { spec =>
+        val key = (spec.database, spec.name)
+        val v = catalog.version(spec.database, spec.name)
+        val cacheOk = timeRangeNs.isEmpty && bare == "default" &&
+          registered.get(key).contains(v)
+        if (!cacheOk) {
+          val base = GraftFileIndex.readTable(spark, catalog, spec.database, spec.name)
+          val df = timeRangeNs match {
+            // created-but-never-written tables have no __timestamp column
+            // yet (it appears on first write) — an unresolvable filter here
+            // would 500 EVERY ranged request for ALL tables
+            case Some((lo, hi)) if base.columns.contains("__timestamp") =>
+              base.filter(org.apache.spark.sql.functions.col("__timestamp").between(lo, hi))
+            case _ => base
+          }
+          df.createOrReplaceTempView(s"${spec.database}_${spec.name}")
+          if (spec.database == bare) df.createOrReplaceTempView(spec.name)
+          val cacheable = timeRangeNs.isEmpty && bare == "default"
+          if (cacheable) registered(key) = v else registered.remove(key): Unit
         }
-        df.createOrReplaceTempView(s"${spec.database}_${spec.name}")
-        if (spec.database == "default") df.createOrReplaceTempView(spec.name)
-        if (timeRangeNs.isEmpty) registered(key) = v else registered.remove(key): Unit
+      }
+      // drop bare names NOT owned by the scoped db — a previous request's
+      // scope must not leak its bare bindings into this one
+      val bareOwned = catalog.all().filter(_.database == bare).map(_.name).toSet
+      catalog.all().foreach { spec =>
+        if (spec.database != bare && !bareOwned.contains(spec.name))
+          spark.catalog.dropTempView(spec.name): Unit
       }
     }
-  }
 
   /** Plan a SQL statement against current views (eager analysis under
     * the same monitor; SQL-embedded time predicates prune via the

@@ -133,7 +133,9 @@ final class GigHttpServer(spark: SparkSession, root: String,
       case (None, Some(t)) => Some((Long.MinValue, t.toLong))
       case _ => None
     }
-    val df = views.synchronized { views.ensure(explicit); spark.sql(sql) }
+    // ?db= scopes bare table names, like the reference querier
+    val bareDb = params.get("db").filter(_.nonEmpty)
+    val df = views.synchronized { views.ensure(explicit, bareDb); spark.sql(sql) }
     respond(ex, 200, JsonOut.results(df, maxRows), "application/json")
   }
 

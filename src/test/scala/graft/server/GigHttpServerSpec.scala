@@ -47,6 +47,15 @@ class GigHttpServerSpec extends SparkSpec {
     // reference renders bigints as strings (README.md:131-133)
     assert(q.body().contains(""""c":"4""""), q.body())
     assert(q.body().contains(""""t":87.025"""), q.body())
+
+    // reference querier shape: ?db= scopes BARE table names (README.md:114-133)
+    val scoped = post("/query?db=mydb",
+      """{"query": "SELECT count(*) AS c FROM weather"}""")
+    assert(scoped.statusCode() == 200, scoped.body())
+    assert(scoped.body().contains(""""c":"4""""), scoped.body())
+    // and the scope does NOT leak: without ?db=, the bare name is gone
+    val unscoped = post("/query", """{"query": "SELECT count(*) FROM weather"}""")
+    assert(unscoped.statusCode() == 500, unscoped.body())
   }
 
   test("gzip write body is accepted") {
