@@ -79,9 +79,21 @@ object IngestBench {
     w2.storeDataFrame("default", "bulk", df)
     val bulkSec = (System.nanoTime() - t1) / 1e9
 
+    // --- stream path: the StreamIngest micro-batch shape — per-task
+    // sorted files (singleFile=false), write scales with cores ---
+    val root3 = Files.createTempDirectory("graft-ibench-stream-")
+    val cat3 = new TableCatalog(root3.toString)
+    val w3 = new IngestWriter(spark, root3.toString, cat3)
+    val dfPar = df.repartition(cpus.toInt)
+    val t2 = System.nanoTime()
+    val streamFiles = w3.storeDataFrame("default", "stream", dfPar, singleFile = false)
+    val streamSec = (System.nanoTime() - t2) / 1e9
+
     println(s"""{"metric":"ingest_rows_per_sec","buffered":${(bufferedRows / bufferedSec).toLong},""" +
       s""""buffered_rows":$bufferedRows,"buffered_sec":$bufferedSec,""" +
-      s""""bulk":${(totalRows / bulkSec).toLong},"bulk_rows":$totalRows,"bulk_sec":$bulkSec}""")
+      s""""bulk":${(totalRows / bulkSec).toLong},"bulk_rows":$totalRows,"bulk_sec":$bulkSec,""" +
+      s""""stream":${(totalRows / streamSec).toLong},"stream_rows":$totalRows,""" +
+      s""""stream_sec":$streamSec,"stream_files":${streamFiles.size}}""")
     spark.stop()
   }
 }

@@ -75,8 +75,20 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
   }
 
   /** Store an arbitrary DataFrame (NDJSON/createDataFrame ingest path).
-    * Schema must be line-proto-compatible types. */
-  def storeDataFrame(db: String, table: String, df: DataFrame): Seq[String] = {
+    * Schema must be line-proto-compatible types.
+    *
+    * `singleFile = true` (HTTP/buffered flushes) keeps the reference's
+    * one-file-per-flush shape via a single sort task. `singleFile =
+    * false` (the StreamIngest firehose path) keeps the DataFrame's
+    * existing executor partitioning — no shuffle, no single-task
+    * bottleneck: each task sorts its slice by (partition cols ++
+    * orderBy) and writes its own sorted file per (date, hour); the
+    * L1→L2 compactor merges the extra files, which is exactly what it
+    * exists for. (Repartitioning on (date, hour) would NOT scale here:
+    * at firehose rates nearly all rows share the current hour, so that
+    * key hashes the whole batch back into one task.) */
+  def storeDataFrame(db: String, table: String, df: DataFrame,
+                     singleFile: Boolean = true): Seq[String] = {
     val cols = df.schema.fields.map { f =>
       val t = f.dataType match {
         case LongType => "INT64"
@@ -92,10 +104,11 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     val spec = catalog.evolve(db, table, cols.toSeq :+ ("__timestamp" -> "INT64"))
     val withTs = if (df.columns.contains("__timestamp")) df
       else df.withColumn("__timestamp", lit(nowNs()))
-    write(spec, withTs)
+    write(spec, withTs, singleFile)
   }
 
-  private def write(spec: TableSpec, dfIn: DataFrame): Seq[String] = {
+  private def write(spec: TableSpec, dfIn: DataFrame,
+                    singleFile: Boolean = true): Seq[String] = {
     val tableDir = catalog.tableDir(spec.database, spec.name)
     // null-pad to the table's full first-seen schema (reference
     // data_store.go:109-141 back-fill)
@@ -119,10 +132,17 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     val staging = tableDir.resolve("tmp").resolve(UUID.randomUUID().toString)
     Files.createDirectories(staging)
     // coalesce(1), not repartition(1): reads inputs straight into the
-    // single sort task instead of adding a round-robin exchange first
-    val sorted = partitioned
-      .coalesce(1)
-      .sortWithinPartitions(spec.orderBy.map(col): _*)
+    // single sort task instead of adding a round-robin exchange first.
+    // Parallel (streaming) path: sort each existing task's slice with
+    // the hive partition cols leading so every written file is still
+    // internally ordered by orderBy within its (date, hour) dir.
+    val sorted =
+      if (singleFile)
+        partitioned.coalesce(1).sortWithinPartitions(spec.orderBy.map(col): _*)
+      else {
+        val keys = (if (hive) Seq("date", "hour") else Nil) ++ spec.orderBy
+        partitioned.sortWithinPartitions(keys.distinct.map(col): _*)
+      }
     val writer = sorted.write.mode("append")
     (if (hive) writer.partitionBy("date", "hour") else writer)
       .parquet(staging.toString)

@@ -14,9 +14,11 @@ import graft.lineproto.LineProtocolParser.{FieldType, Precision}
   * — its "streaming" IS micro-batched buffered ingest, SURVEY §2.5; no
   * watermarks/event-time state exist in the reference surface).
   *
-  * Unlike the driver-buffered BufferedIngest (reference-shaped), parsing
-  * and row materialization here scale with executor count; only the
-  * parquet commit runs through the driver-coordinated write job.
+  * Unlike the driver-buffered BufferedIngest (reference-shaped), parsing,
+  * row materialization AND the sorted parquet write here scale with
+  * executor count: each micro-batch keeps its executor partitioning and
+  * every task writes its own sorted file (IngestWriter singleFile=false);
+  * only the manifest commit is driver-coordinated.
   */
 object StreamIngest {
 
@@ -80,7 +82,11 @@ object StreamIngest {
       .trigger(trigger)
       .outputMode("append")
       .foreachBatch { (df: DataFrame, _: Long) =>
-        if (!df.isEmpty) writer.storeDataFrame(spec.db, spec.table, df): Unit
+        // singleFile = false: each executor task sorts and writes its own
+        // slice (no coalesce(1) bottleneck) — the write scales with cores
+        // and the compactor merges the per-task files
+        if (!df.isEmpty)
+          writer.storeDataFrame(spec.db, spec.table, df, singleFile = false): Unit
       }
     checkpointDir.foreach(d => q.option("checkpointLocation", d))
     q.start()

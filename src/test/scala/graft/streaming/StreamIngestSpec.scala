@@ -36,6 +36,37 @@ class StreamIngestSpec extends SparkSpec {
     assert(hosts == Seq("a", "a", "b"))
   }
 
+  test("parallel write path: a multi-partition batch writes one sorted file per task, not one total") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-par-root-")
+    val cat = new TableCatalog(root.toString)
+    cat.upsert(graft.catalog.TableSpec("default", "par", orderBy = Seq("time")))
+    val writer = new IngestWriter(spark, root.toString, cat)
+
+    // 4 executor slices, all inside ONE hour — the exact firehose shape
+    // where repartition(date,hour) would collapse back to a single task
+    val df = spark.range(4000).repartition(4).select(
+      (col("id") % 7).as("seq"),
+      (lit(1700000000000000000L) + col("id") * 1000L).as("time"))
+    val uris = writer.storeDataFrame("default", "par", df, singleFile = false)
+    assert(uris.size == 4, s"expected one file per input task, got ${uris.size}")
+
+    // every file individually honors the table's orderBy (time)
+    uris.foreach { u =>
+      val times = spark.read.parquet(u).select("time").collect().map(_.getLong(0)).toSeq
+      assert(times == times.sorted, s"file $u not sorted by time")
+    }
+    // and the union is complete + readable through the pruned table path
+    val all = Pruning.readTable(spark, cat, "default", "par")
+    assert(all.count() == 4000)
+
+    // contrast: the HTTP/buffered flush shape stays single-file
+    val one = writer.storeDataFrame("default", "par1",
+      spark.range(100).repartition(4).select(col("id").as("seq"),
+        (lit(1700000000000000000L) + col("id")).as("time")))
+    assert(one.size == 1)
+  }
+
   test("routing: unprefixed lines adopt the stream's db; foreign lines drop") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
