@@ -127,18 +127,23 @@ object SimilarityOps {
   def ivfTopKWith(km: org.apache.spark.ml.clustering.KMeansModel, assigned: DataFrame,
                   queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val bc = assigned.select(col("vec_id").as("nid"), col("nvec").as("nv"), col("cell"))
-    // centroids are tiny (nlist × dims): a literal array, broadcast by value
-    val centers = km.clusterCenters.zipWithIndex.map { case (v, i) =>
+    // centroids ride as a small broadcast DataFrame, NOT as plan
+    // literals: nlist grows ∝ corpus (10⁴–10⁵ cells at 100 TB), and
+    // nlist × dims literal arrays would blow up analysis/codegen long
+    // before any data moves. A broadcast join keeps the plan O(1) in
+    // nlist while the probe math is unchanged.
+    val spark = assigned.sparkSession
+    val centerRows = km.clusterCenters.zipWithIndex.map { case (v, i) =>
       val arr = v.toArray
-      val halfNormSq = arr.map(x => x * x).sum / 2.0
-      struct(lit(i).as("cell"), array(arr.map(lit): _*).as("cv"),
-        lit(halfNormSq).as("hn2"))
-    }
+      (i, arr, arr.map(x => x * x).sum / 2.0)
+    }.toSeq
+    import spark.implicits._
+    val centers = centerRows.toDF("cell", "cv", "hn2")
     val q = queries.select(col("vec_id").as("qid"), normalized(col("embedding")).as("qv"))
       .filter(col("qv").isNotNull)
-      .withColumn("c", explode(array(centers: _*)))
-      .select(col("qid"), col("qv"), col("c.cell").as("cell"),
-        (dotf(col("qv"), col("c.cv")) - col("c.hn2")).as("cscore"))
+      .crossJoin(broadcast(centers))
+      .select(col("qid"), col("qv"), col("cell"),
+        (dotf(col("qv"), col("cv")) - col("hn2")).as("cscore"))
     val wc = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cell"))
     val probes = q.withColumn("cr", row_number().over(wc)).filter(col("cr") <= nprobe)
       .select("qid", "qv", "cell")

@@ -65,6 +65,21 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq(999L))
   }
 
+  test("ivfTopK at nlist=1024: centroids broadcast, no plan-size blowup") {
+    val corpus = vecs(2048, 8)
+    val q = corpus.filter($"vec_id" < 2)
+    val (km, assigned) = SimilarityOps.ivfIndex(corpus, nlist = 1024)
+    val ivf = SimilarityOps.ivfTopKWith(km, assigned, q, 5, nprobe = 64)
+    // centroids must ride a broadcast exchange, not the plan text:
+    // 1024 cells × 8 dims as literals would be ~8k lit() nodes
+    val planStr = ivf.queryExecution.analyzed.toString
+    assert(planStr.length < 100000, s"plan text ${planStr.length} chars — centroids inlined?")
+    assert(ivf.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "expected centroid broadcast join in the physical plan")
+    val rows = ivf.select($"qid", $"nid").as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.map(_._1).toSet == Set(0L, 1L))
+  }
+
   test("annTopK never reports a sim better than brute-force rank-1") {
     val corpus = vecs(200, 16)
     val q = corpus.filter($"vec_id" < 3)
