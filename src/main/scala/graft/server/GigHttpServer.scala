@@ -42,7 +42,9 @@ final class GigHttpServer(spark: SparkSession, root: String,
                           saveTimeoutMs: Long = 1000L,
                           maxRows: Int = 100000,
                           mergeIntervalMs: Long = 10000L,
-                          dropGraceMs: Long = MetadataIndex.DropGraceMs)
+                          dropGraceMs: Long = MetadataIndex.DropGraceMs,
+                          host: String = "0.0.0.0",
+                          noMerges: Boolean = false)
   extends AutoCloseable {
 
   val catalog = new TableCatalog(root)
@@ -51,10 +53,10 @@ final class GigHttpServer(spark: SparkSession, root: String,
   private val views = new QueryViews(spark, catalog)
   // background LSM merges (reference RunMerge 10 s ticker, registry.go:42-62)
   val merger = new MergeScheduler(spark, catalog, mergeIntervalMs, dropGraceMs)
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
   def start(): GigHttpServer = {
-    merger.start()
+    if (!noMerges) merger.start() // GIGAPI_NO_MERGES (configuration.go:18)
     server.setExecutor(Executors.newFixedThreadPool(8))
     Seq("/write", "/gigapi/write", "/gigapi/insert", "/api/v2/write",
       "/api/v3/write_lp").foreach(p => server.createContext(p, handle(handleWrite)))
@@ -292,6 +294,20 @@ object CreateRequest {
   }
 }
 
+object GigHttpServer {
+  /** Boot a server from the reference-shaped config (GraftConfig):
+    * root "" means current directory, save_timeout_s drives the flush
+    * ticker, merge_timeout_s the LSM scheduler, no_merges disables it. */
+  def fromConfig(spark: SparkSession, cfg: GraftConfig): GigHttpServer =
+    new GigHttpServer(spark,
+      root = if (cfg.root.isEmpty) "." else cfg.root,
+      port = cfg.port,
+      saveTimeoutMs = math.max(1L, (cfg.saveTimeoutS * 1000).toLong),
+      mergeIntervalMs = cfg.mergeTimeoutS * 1000L,
+      host = cfg.host,
+      noMerges = cfg.noMerges)
+}
+
 /** {"results":[…]} serializer with the reference's bigint-as-string
   * convention (reference README.md:131-133). */
 object JsonOut {
@@ -336,9 +352,14 @@ object JsonOut {
     case other => str(other.toString)
   }
 
+  /** The reference collects unboundedly (its own flaw); we cap at
+    * maxRows and SAY so — a fetch of maxRows+1 detects overflow and
+    * emits `"truncated":true` instead of silently dropping rows. */
   def results(df: DataFrame, maxRows: Int): String = {
     val names = df.schema.fieldNames
-    val rows = df.take(maxRows)
+    val fetched = df.take(maxRows + 1)
+    val truncated = fetched.length > maxRows
+    val rows = if (truncated) fetched.take(maxRows) else fetched
     val sb = new StringBuilder("""{"results":[""")
     var first = true
     rows.foreach { r =>
@@ -347,6 +368,8 @@ object JsonOut {
       sb.append(names.zip(r.toSeq).map { case (n, v) => s"${str(n)}:${value(v)}" }
         .mkString("{", ",", "}"))
     }
-    sb.append("]}").result()
+    sb.append(']')
+    if (truncated) sb.append(""","truncated":true""")
+    sb.append('}').result()
   }
 }

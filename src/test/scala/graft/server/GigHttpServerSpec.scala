@@ -137,6 +137,57 @@ class GigHttpServerSpec extends SparkSpec {
     assert(r.statusCode() == 500 && r.body().contains("table"))
   }
 
+  test("config-booted server (GraftConfig -> fromConfig): write -> query e2e") {
+    val root2 = Files.createTempDirectory("graft-cfgboot-").toString
+    val cfgFile = Files.createTempFile("graft-cfg-", ".yaml")
+    Files.writeString(cfgFile,
+      s"""gigapi:
+         |  root: $root2
+         |  save_timeout_s: 0.05
+         |  no_merges: true
+         |host: 127.0.0.1""".stripMargin)
+    val cfg = GraftConfig.load(Some(cfgFile.toString), env = Map("PORT" -> "0"))
+    assert(cfg.root == root2 && cfg.noMerges && cfg.port == 0)
+    val s2 = GigHttpServer.fromConfig(spark, cfg).start()
+    try {
+      val b2 = s"http://localhost:${s2.boundPort}"
+      val w = client.send(HttpRequest.newBuilder(URI.create(s"$b2/write"))
+        .POST(HttpRequest.BodyPublishers.ofString("cfg v=5i 1700000000000000000")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(w.statusCode() == 204)
+      val q = client.send(HttpRequest.newBuilder(URI.create(s"$b2/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query": "SELECT v FROM cfg"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(q.body().contains(""""v":"5""""), q.body())
+    } finally s2.close()
+  }
+
+  test("/query result over maxRows is marked truncated, not silently cut") {
+    val root2 = Files.createTempDirectory("graft-trunc-").toString
+    val s2 = new GigHttpServer(spark, root2, port = 0, saveTimeoutMs = 50,
+      maxRows = 5, noMerges = true).start()
+    try {
+      val b2 = s"http://localhost:${s2.boundPort}"
+      val lines = (1 to 7).map(i => s"tr v=${i}i ${1700000000000000000L + i}").mkString("\n")
+      val w = client.send(HttpRequest.newBuilder(URI.create(s"$b2/write"))
+        .POST(HttpRequest.BodyPublishers.ofString(lines)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(w.statusCode() == 204)
+      val over = client.send(HttpRequest.newBuilder(URI.create(s"$b2/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query": "SELECT v FROM tr ORDER BY v"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(over.body().contains(""""truncated":true"""), over.body())
+      assert(over.body().split("\"v\":").length - 1 == 5, over.body())
+      val under = client.send(HttpRequest.newBuilder(URI.create(s"$b2/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query": "SELECT v FROM tr WHERE v <= 3 ORDER BY v"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(!under.body().contains("truncated"), under.body())
+    } finally s2.close()
+  }
+
   test("background merge scheduler compacts 1s-flush files to L2 unattended") {
     // dedicated server: fast ticker, zero drop grace (reference RunMerge
     // 10 s ticker, registry.go:42-62 — scaled down for the test)
