@@ -45,7 +45,11 @@ final case class DropEntry(path: String, enqueuedAtMs: Long)
 final case class PartitionIndex(
     tableName: String,
     entries: Map[String, FileEntry],
-    dropQueue: Vector[DropEntry]) {
+    dropQueue: Vector[DropEntry],
+    // monotone rewrite counter, bumped on every persisted mutation —
+    // the reference tracks it per WAL flush (json_index.go); querier
+    // JSON parity plus a cheap staleness signal for external readers
+    walSequence: Long = 0L) {
   def parquetSizeBytes: Long = entries.values.map(_.sizeBytes).sum
   def rowCount: Long = entries.values.map(_.rowCount).sum
   def minTime: Long = if (entries.isEmpty) 0L else entries.values.map(_.minTime).min
@@ -90,7 +94,8 @@ object MetadataIndex {
         .map(p => DropEntry(p, dropAt.getOrElse(p, 0L)))
       case _ => Vector.empty[DropEntry]
     }
-    PartitionIndex((j \ "type").extractOrElse[String](tableName), files, drops)
+    PartitionIndex((j \ "type").extractOrElse[String](tableName), files, drops,
+      walSequence = (j \ "wal_sequence").extractOrElse[Long](0L))
   }
 
   /** Atomically apply add/remove and persist (removed files go to the
@@ -108,7 +113,8 @@ object MetadataIndex {
       }
       val entries = (cur.entries -- remove) ++ added
       val updated = PartitionIndex(tableName, entries,
-        cur.dropQueue ++ remove.filter(cur.entries.contains).map(DropEntry(_, nowMs)))
+        cur.dropQueue ++ remove.filter(cur.entries.contains).map(DropEntry(_, nowMs)),
+        walSequence = cur.walSequence + 1)
       persist(partitionDir, updated)
       updated
     }
@@ -129,7 +135,8 @@ object MetadataIndex {
     val del = delete.getOrElse((p: String) =>
       Files.deleteIfExists(partitionDir.resolve(p)): Unit)
     due.foreach(d => del(d.path))
-    persist(partitionDir, cur.copy(dropQueue = young))
+    persist(partitionDir, cur.copy(dropQueue = young,
+      walSequence = cur.walSequence + 1))
   }
 
   def persist(partitionDir: Path, idx: PartitionIndex): Unit = {
@@ -140,7 +147,7 @@ object MetadataIndex {
       "row_count" -> JLong(idx.rowCount),
       "min_time" -> JLong(idx.minTime),
       "max_time" -> JLong(idx.maxTime),
-      "wal_sequence" -> JLong(0L),
+      "wal_sequence" -> JLong(idx.walSequence),
       "drop_queue" -> JArray(idx.dropQueue.map(d => JString(d.path)).toList),
       "drop_queue_at" -> JObject(idx.dropQueue.map(d =>
         d.path -> (JLong(d.enqueuedAtMs): JValue)).toList),

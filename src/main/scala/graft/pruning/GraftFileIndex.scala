@@ -73,8 +73,13 @@ final class GraftFileIndex(spark: SparkSession, catalog: TableCatalog, spec: Tab
         segs.get(f.name) match {
           case None => null
           // a non-conforming dir value (legacy layout, null partition)
-          // maps to null — it must degrade that one partition's filters,
-          // not throw during planning and 500 every query on the table
+          // maps to null rather than throwing during planning (which would
+          // 500 every query on the table). A bound partition predicate
+          // then evals null -> false, so a filter like date = X EXCLUDES
+          // that whole partition — the standard Hive null-partition SQL
+          // semantics. Keeping it instead would leak null-valued rows into
+          // filtered results, since Spark does not re-apply partition
+          // filters above the scan.
           case Some(v) => f.dataType match {
             case DateType =>
               scala.util.Try(java.time.LocalDate.parse(v).toEpochDay.toInt).getOrElse(null)

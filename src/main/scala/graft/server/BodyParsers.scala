@@ -38,7 +38,12 @@ object NdJsonParser {
     val parsed: Vector[Map[String, Any]] = lines.map { l =>
       JsonMethods.parse(l) match {
         case JObject(kvs) => kvs.flatMap {
-          case (k, JInt(v)) => Some(k -> v.longValue)
+          case (k, JInt(v)) =>
+            // BigInt.longValue silently wraps outside int64 — reject loudly,
+            // same policy as nested values below
+            if (!v.isValidLong) throw new IllegalArgumentException(
+              s"NDJSON field '$k' integer $v is outside int64 range")
+            Some(k -> v.longValue)
           case (k, JLong(v)) => Some(k -> v)
           case (k, JDouble(v)) => Some(k -> v)
           case (k, JDecimal(v)) => Some(k -> v.toDouble)

@@ -45,14 +45,18 @@ object ObjectStore {
     }
   }
 
-  /** Parse the reference's S3 URL grammar. */
+  /** Parse the reference's S3 URL grammar. Credentials with reserved
+    * characters (':' '/' '@' '%' — AWS secrets routinely contain '/')
+    * must be percent-encoded in the URL, like the reference's url.Parse;
+    * we split on the raw userinfo then percent-decode each part, so an
+    * encoded ':' inside the key never mis-splits. */
   def parseS3(url: String): S3Target = {
     val u = URI.create(url)
     require(u.getScheme == "s3", s"invalid S3 URL (scheme must be s3): $url")
-    val userInfo = Option(u.getUserInfo).getOrElse("")
+    val userInfo = Option(u.getRawUserInfo).getOrElse("")
     val (key, secret) = userInfo.split(":", 2) match {
-      case Array(k, s) => (k, s)
-      case Array(k) => (k, "")
+      case Array(k, s) => (pctDecode(k), pctDecode(s))
+      case Array(k) => (pctDecode(k), "")
     }
     val segs = Option(u.getPath).getOrElse("").stripPrefix("/").split("/", 2)
     require(segs.nonEmpty && segs(0).nonEmpty, s"S3 URL needs a bucket: $url")
@@ -67,6 +71,13 @@ object ObjectStore {
       region = params.getOrElse("region", ""),
       secure = params.getOrElse("secure", "true") != "false")
   }
+
+  /** RFC-3986 percent-decode (%XX only — '+' stays literal, unlike
+    * URLDecoder's form semantics; AWS secrets often contain '+'). */
+  private def pctDecode(s: String): String =
+    if (!s.contains('%')) s
+    else java.net.URLDecoder.decode(
+      s.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
 
   /** Resolve a table data URL to a Hadoop-readable root URI, applying any
     * credentials/configs it carries. Accepts the reference s3:// grammar

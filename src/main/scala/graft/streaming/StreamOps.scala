@@ -57,7 +57,13 @@ object StreamOps {
   /** Custom keyed state via flatMapGroupsWithState: running count/mean
     * and inter-arrival gap per series — the kind of per-key incremental
     * statistic the reference can only compute by re-querying. State is
-    * one SeriesState per key, updated per micro-batch. */
+    * one SeriesState per key, updated per micro-batch.
+    *
+    * Ordering: points sort by event time WITHIN a micro-batch, but
+    * flatMapGroupsWithState gives no cross-batch ordering guarantee, so
+    * gaps are arrival-order across batches. A late point (event time
+    * before state.lastNs) emits gap 0 and leaves lastNs at the max seen
+    * — never a negative gap or a backward-moving clock. */
   def runningSeriesStats(points: Dataset[SeriesPoint]): Dataset[SeriesUpdate] = {
     import points.sparkSession.implicits._
     points.groupByKey(_.key)
@@ -66,8 +72,8 @@ object StreamOps {
         (key: String, rows: Iterator[SeriesPoint], state: GroupState[SeriesState]) =>
           var st = state.getOption.getOrElse(SeriesState(0L, 0.0, 0L))
           val out = rows.toSeq.sortBy(_.timeNs).map { p =>
-            val gap = if (st.lastNs == 0L) 0L else p.timeNs - st.lastNs
-            st = SeriesState(st.count + 1, st.sum + p.value, p.timeNs)
+            val gap = if (st.lastNs == 0L) 0L else math.max(0L, p.timeNs - st.lastNs)
+            st = SeriesState(st.count + 1, st.sum + p.value, math.max(st.lastNs, p.timeNs))
             SeriesUpdate(key, st.count, st.sum / st.count, gap)
           }
           state.update(st)

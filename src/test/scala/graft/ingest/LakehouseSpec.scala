@@ -84,10 +84,14 @@ class LakehouseSpec extends SparkSpec {
     }
     val partDir = MetadataIndex.partitionDirs(root.resolve("default/c")).head
     assert(MetadataIndex.load(partDir, "c").entries.size == 5)
+    // wal_sequence bumps once per persisted index mutation (5 flushes)
+    val w5 = MetadataIndex.load(partDir, "c").walSequence
+    assert(w5 == 5L)
 
     val plans = Compactor.compactTable(spark, cat, "default", "c")
     assert(plans == 1)
     val idx = MetadataIndex.load(partDir, "c")
+    assert(idx.walSequence == w5 + 1) // compaction rewrite bumps too
     assert(idx.entries.size == 1)
     assert(idx.entries.keys.head.endsWith(".2.parquet"))
     assert(idx.rowCount == 5)
@@ -100,6 +104,8 @@ class LakehouseSpec extends SparkSpec {
     MetadataIndex.gc(partDir, "c", graceMs = 0L) // grace elapsed
     assert(idx.dropQueue.forall(f => !Files.exists(partDir.resolve(f.path))))
     assert(MetadataIndex.load(partDir, "c").dropQueue.isEmpty)
+    // the no-op gc didn't bump; the real gc rewrite did
+    assert(MetadataIndex.load(partDir, "c").walSequence == w5 + 2)
 
     // data intact and sorted by __timestamp within the merged file
     val df = Pruning.readTable(spark, cat, "default", "c")

@@ -49,6 +49,18 @@ class NdJsonParserSpec extends SparkSpec {
     assert(e.getMessage.contains("type conflict"))
   }
 
+  test("integer outside int64 range is rejected, not silently wrapped") {
+    val e = intercept[IllegalArgumentException] {
+      // 2^70: BigInt.longValue would wrap to a wrong Long
+      NdJsonParser.toDataFrame(spark, "{\"a\": 1180591620717411303424}")
+    }
+    assert(e.getMessage.contains("int64"))
+    // boundary values still pass
+    val df = NdJsonParser.toDataFrame(spark,
+      s"""{"a": ${Long.MaxValue}}\n{"a": ${Long.MinValue}}""")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(Long.MaxValue, Long.MinValue))
+  }
+
   test("integral doubles and int64 interplay: first-seen double widens longs") {
     val df = NdJsonParser.toDataFrame(spark, "{\"x\": 1.5}\n{\"x\": 2}")
     assert(df.schema("x").dataType.typeName == "double")

@@ -28,6 +28,15 @@ class ObjectStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](ObjectStore.parseS3("http://not-s3/b"))
   }
 
+  test("parseS3 percent-decodes credentials with reserved characters") {
+    // AWS-style secret with '/', '+' and an encoded ':' inside the key
+    val t = ObjectStore.parseS3(
+      "s3://AK%3AID:se%2Fcr+t%40x@minio:9000/bkt/p")
+    assert(t.key == "AK:ID")
+    assert(t.secret == "se/cr+t@x") // '+' literal, %2F and %40 decoded
+    assert(t.bucket == "bkt" && t.path == "p")
+  }
+
   test("resolveDataRoot applies per-bucket s3a configs") {
     val root = ObjectStore.resolveDataRoot(spark,
       "s3://key1:sec1@minio:9000/bkt/warehouse?secure=false")

@@ -61,4 +61,26 @@ class StreamOpsSpec extends SparkSpec {
       assert(ups.filter(_.key == "s2").map(_.count).toSeq == Seq(1L))
     } finally q.stop()
   }
+
+  test("runningSeriesStats: a cross-batch late point never yields a negative gap") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SeriesPoint]
+    val q = StreamOps.runningSeriesStats(in.toDS())
+      .writeStream.format("memory").queryName("rlate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(SeriesPoint("k", ns(100), 1.0))
+      q.processAllAvailable()
+      // batch 2 arrives with an EARLIER event time than state.lastNs
+      in.addData(SeriesPoint("k", ns(40), 2.0))
+      q.processAllAvailable()
+      in.addData(SeriesPoint("k", ns(130), 3.0))
+      q.processAllAvailable()
+      val ups = spark.table("rlate").as[SeriesUpdate].collect().sortBy(_.count)
+      assert(ups.map(_.gapNs).forall(_ >= 0L), ups.mkString(", "))
+      assert(ups(1).gapNs == 0L) // late point clamps, doesn't go negative
+      // lastNs never moved backward: next gap is vs ns(100), not ns(40)
+      assert(ups(2).gapNs == 30L * 1000000000L)
+    } finally q.stop()
+  }
 }
