@@ -38,8 +38,40 @@ object MultimodalOps {
 
   val FeatureDims = 8
 
-  /** STUB — deterministic fake "decode": a real implementation would
-    * decode image/audio bytes and emit features. The Spark plumbing
+  /** REAL image decode via the JDK's ImageIO (PNG/BMP/JPEG/GIF readers
+    * ship with the JVM — zero extra dependencies). Features are the mean
+    * luminance of a 2×4 pixel grid, one float in [0,1] per cell; a grid
+    * cell outside a tiny image stays 0. Returns None when the bytes are
+    * not a decodable image (corrupt payload, unsupported codec). */
+  private[ops] def imageDecode(media: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sum = new Array[Double](FeatureDims)
+      val cnt = new Array[Long](FeatureDims)
+      var y = 0
+      while (y < h) {
+        val row = (y * 2) / h // 2 grid rows
+        var x = 0
+        while (x < w) {
+          val cell = row * 4 + (x * 4) / w // 4 grid cols
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+          sum(cell) += lum; cnt(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val feat = Array.tabulate(FeatureDims)(i =>
+        if (cnt(i) == 0) 0f else (sum(i) / cnt(i)).toFloat)
+      Some((w, h, feat))
+    }
+  }
+
+  /** STUB — deterministic fake "decode" for NON-image kinds: a real
+    * implementation would decode audio/video bytes and emit features
+    * (those codecs aren't in this container). The Spark plumbing
     * (binary in, fixed-width float vector + dims out, batched per
     * partition) is the real contract; only `fakeDecode` is fake. */
   private def fakeDecode(media: Array[Byte]): (Int, Int, Array[Float]) = {
@@ -56,8 +88,11 @@ object MultimodalOps {
   }
 
   /** Batched per-partition decode: binary media → (width, height,
-    * feature vector). mapPartitions keeps codec init per-batch, not
-    * per-row. */
+    * feature vector). `meta.kind` routes the codec: image kinds (prefix
+    * "image/") go through the REAL ImageIO decoder (undecodable image
+    * bytes yield nulls, not fake numbers); other kinds keep the
+    * deterministic stand-in.
+    * mapPartitions keeps codec init per-batch, not per-row. */
   def decodeFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     val schema = StructType(Seq(
@@ -65,17 +100,24 @@ object MultimodalOps {
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("features", ArrayType(FloatType))))
-    val rdd = assets.select("doc_id", "media").rdd.mapPartitions { rows =>
-      // per-partition codec init would happen here
-      rows.map { r =>
-        val media = r.getAs[Array[Byte]]("media")
-        if (media == null) Row(r.getLong(0), null, null, null)
-        else {
-          val (w, h, f) = fakeDecode(media)
-          Row(r.getLong(0), w, h, f)
+    val rdd = assets.select(col("doc_id"), col("media"), col("meta.kind"))
+      .rdd.mapPartitions { rows =>
+        // per-partition codec init would happen here
+        rows.map { r =>
+          val media = r.getAs[Array[Byte]]("media")
+          val kind = r.getString(2)
+          if (media == null) Row(r.getLong(0), null, null, null)
+          else if (kind != null && kind.startsWith("image/"))
+            imageDecode(media) match {
+              case Some((w, h, f)) => Row(r.getLong(0), w, h, f)
+              case None => Row(r.getLong(0), null, null, null)
+            }
+          else {
+            val (w, h, f) = fakeDecode(media)
+            Row(r.getLong(0), w, h, f)
+          }
         }
       }
-    }
     spark.createDataFrame(rdd, schema)
   }
 

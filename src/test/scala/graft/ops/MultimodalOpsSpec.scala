@@ -28,6 +28,40 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(f1.forall(r => r.getAs[Int]("width") >= 16 && r.getAs[Int]("width") < 32))
   }
 
+  private def png(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeFeatures really decodes image/* via ImageIO (2x2 PNG, exact values)") {
+    // (0,0) white, (1,0) black / (0,1) red, (1,1) green
+    val bytes = png(Array(Array(0xffffff, 0x000000), Array(0xff0000, 0x00ff00)))
+    val assets = Seq((7L, bytes)).toDF("doc_id", "media")
+      .withColumn("meta", struct(lit("image/png").as("kind"),
+        octet_length($"media").as("nbytes")))
+    val r = MultimodalOps.decodeFeatures(assets).collect().head
+    assert(r.getAs[Int]("width") == 2 && r.getAs[Int]("height") == 2)
+    val f = r.getAs[scala.collection.Seq[Float]]("features")
+    assert(f.length == MultimodalOps.FeatureDims)
+    val third = (1.0 / 3.0).toFloat
+    // 2x4 grid over a 2x2 image fills cells 0,2,4,6; the rest stay 0
+    assert(f(0) == 1.0f && f(2) == 0.0f && f(4) == third && f(6) == third, f)
+    assert(f(1) == 0f && f(3) == 0f && f(5) == 0f && f(7) == 0f)
+  }
+
+  test("undecodable image/* bytes yield nulls, not fake numbers") {
+    val assets = Seq((1L, "not a png at all".getBytes)).toDF("doc_id", "media")
+      .withColumn("meta", struct(lit("image/png").as("kind"),
+        octet_length($"media").as("nbytes")))
+    val r = MultimodalOps.decodeFeatures(assets).collect().head
+    assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("features")))
+  }
+
   test("sampleFrames cuts fixed-offset byte windows") {
     val fr = MultimodalOps.sampleFrames(MultimodalOps.asAssets(docs()), 3, 8)
       .filter($"doc_id" === 0).orderBy("frame")
