@@ -70,6 +70,40 @@ object SimilarityOps {
   def hyperplaneBuckets(corpus: DataFrame, dims: Int): DataFrame =
     corpus.withColumn("bucket", bucketId(col("embedding"), dims))
 
+  /** DuckDB rendering of `bucketId` from the SAME unit() constants:
+    * both engines widen the float vector to double and accumulate the
+    * dot product sequentially in double, so the sign bits — and hence
+    * the buckets — agree bit-for-bit. `v` must be a DOUBLE[] expr. */
+  def bucketIdSql(v: String, dims: Int): String =
+    (0 until NumPlanes).map { p =>
+      val plane = (0 until dims).map(d => unit(p.toLong * 8192 + d).toString)
+        .mkString("[", ", ", "]::DOUBLE[]")
+      s"(CASE WHEN list_inner_product($v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Full DuckDB oracle for `annTopK` (bucket + Hamming-1 multi-probe +
+    * exact cosine rank within candidates), for queries vec_id < maxQid. */
+  def annTopKSql(k: Int, dims: Int, maxQid: Int): String = {
+    val flips = (0L +: (0 until NumPlanes).map(p => 1L << p)).mkString("(", "), (", ")")
+    s"""WITH cb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    ${bucketIdSql("CAST(embedding AS DOUBLE[])", dims)} AS bucket
+       |  FROM embeddings
+       |), flips(flip) AS (VALUES $flips),
+       |qp AS (
+       |  SELECT vec_id AS qid, v AS qv, xor(bucket, flip) AS bucket
+       |  FROM cb, flips WHERE vec_id < $maxQid
+       |), scored AS (
+       |  SELECT qp.qid, c.vec_id AS nid, list_cosine_similarity(qp.qv, c.v) AS sim
+       |  FROM qp JOIN cb c USING (bucket) WHERE c.vec_id != qp.qid
+       |)
+       |SELECT qid, nid, round(sim, 4) AS sim, rn FROM (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
   // ---- IVF (inverted-file) ANN: k-means coarse quantizer ----
   // The second scale path beside sign-LSH: corpus vectors are normalized
   // (so euclidean k-means ≈ spherical clustering and dot = cosine) and

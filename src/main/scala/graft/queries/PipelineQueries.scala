@@ -61,7 +61,8 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
-    // ---- LSH-bucketed ANN (scale path; rows-only, recall in spec) ----
+    // ---- LSH-bucketed ANN (scale path; oracle-checked: DuckDB rebuilds
+    // the sign-bit buckets + Hamming-1 probe from the same constants) ----
     "p07_ann_lsh" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       SimilarityOps.annTopK(emb, emb.filter(col("vec_id") < 5), 10, 64)
@@ -150,6 +151,7 @@ object PipelineQueries {
         |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
         |  WHERE a.vec_id < 5
         |) t WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "p07_ann_lsh" -> SimilarityOps.annTopKSql(k = 10, dims = 64, maxQid = 5),
     "p08_text_stats" ->
       s"""SELECT doc_id,
          |  len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
