@@ -14,6 +14,11 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // coalesce post-shuffle partitions by size, not parallelism: tiny
+      // exchanges collapse to few tasks (per-task overhead dominates
+      // small stages) while big ones keep the advisory-size split —
+      // Spark's own production recommendation for this knob
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,8 +26,14 @@ object Profile {
     fn(spark, sfDir).explain("formatted")
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val df = fn(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan // force analysis + optimization
+      val t2 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t3 = System.nanoTime()
+      println(f"[profile] $name run $i: ${(t3 - t0) / 1e9}%.3f s " +
+        f"(build ${(t1 - t0) / 1e9}%.3f, plan ${(t2 - t1) / 1e9}%.3f, exec ${(t3 - t2) / 1e9}%.3f)")
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Test-table access + temp-view registration for SQL-shaped queries.
   *
@@ -17,6 +17,48 @@ object Tables {
     init(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** `load` + size-aware round-robin repartition, for queries whose
+    * per-row map work (regex sweeps, md5 chains, JSON parsing) dominates.
+    * The test tables are ONE parquet file with ONE row group, so a plain
+    * scan is a single task and all that CPU work serializes on one core.
+    * Task count targets ~128 KB of compressed input per task (capped at
+    * the session's parallelism): tiny tables get a few tasks instead of
+    * cores-many (per-task overhead would exceed the work — measured 2×
+    * slower at 32 tasks than 4 on a 0.6 MB table), while big inputs fan
+    * out to every core. At 100 TB the input is thousands of files and
+    * scans parallelize on their own; the cap keeps this helper from
+    * hurting there. */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name).repartition(spreadTasks(spark, dir, name))
+
+  /** Size-aware task count: ~128 KB of compressed input per task, at
+    * least 2, at most the session's parallelism. */
+  private def spreadTasks(spark: SparkSession, dir: String, name: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val bytes =
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+      catch { case _: Exception => Long.MaxValue } // unknown -> full fan-out
+    math.max(2L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, bytes / (128L * 1024))).toInt
+  }
+
+  /** `loadSpread`, but spread by RANGE on `keys` and sorted within each
+    * partition — the "sort before the expensive projection" shape. A
+    * trailing `.orderBy` re-executes its whole child once more for range
+    * sampling, so a query that sorts AFTER a heavy map (regex sweeps,
+    * JSON parse, md5 chains) pays that map twice. Sorting first keeps
+    * the sampled subtree at just the scan; the heavy projection then
+    * runs exactly once, wide, and preserves per-partition order (range
+    * partition i ≤ i+1, so part files written in partition order read
+    * back globally sorted — same guarantee `.orderBy` gives the
+    * written output). */
+  def loadSorted(spark: SparkSession, dir: String, name: String,
+                 keys: Column*): DataFrame =
+    load(spark, dir, name)
+      .repartitionByRange(spreadTasks(spark, dir, name), keys: _*)
+      .sortWithinPartitions(keys: _*)
 
   /** One-time session setup: TIMESTAMP(NANOS) parquet columns surface as
     * int64 nanoseconds — exactly the reference's time model (SURVEY §1

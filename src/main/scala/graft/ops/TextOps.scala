@@ -39,15 +39,31 @@ object TextOps {
   private def hits(text: Column, lex: String): Column =
     size(regexp_extract_all(lower(text), lit(s"\\b($lex)\\b"), lit(0)))
 
-  def langId(text: Column): Column = {
-    val scores = Lexicons.map { case (l, lex) => l -> hits(text, lex) } :+
-      ("zh" -> size(regexp_extract_all(text, lit(CjkRegex), lit(0))))
+  val LangNames: Seq[String] = Lexicons.map(_._1) :+ "zh"
+
+  /** One (name, score) column per language — each an unconditional regex
+    * sweep. Materialize these with `.as(...)` in their OWN projection
+    * before calling `langIdFromScores` on the resulting attributes:
+    * Spark's subexpression elimination skips conditionally-evaluated
+    * CASE branches, so an argmax built over inline sweeps re-runs every
+    * regex per branch (~20 sweeps/row measured instead of 6). */
+  def langScores(text: Column): Seq[(String, Column)] =
+    (Lexicons.map { case (l, lex) => l -> hits(text, lex) } :+
+      ("zh" -> size(regexp_extract_all(text, lit(CjkRegex), lit(0)))))
+
+  /** Argmax with the fixed en>es>fr>de>zh tie-break over already-
+    * materialized score columns (cheap attribute reads). */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val total = scores.map(_._2).reduce(_ + _)
     scores.foldRight(lit("und"): Column) { case ((l, s), el) =>
       when(s >= scores.filter(_._1 != l).map(_._2).reduce(greatest(_, _)) && total > 0, l)
         .otherwise(el)
     }
   }
+
+  /** Single-column convenience — correct but slow in wide plans (see
+    * langScores); prefer the two-projection form on hot paths. */
+  def langId(text: Column): Column = langIdFromScores(langScores(text))
 
   /** DuckDB rendering of langId(textCol) — same lexicons, same tie-break. */
   def langIdSql(textCol: String): String = {
@@ -68,15 +84,20 @@ object TextOps {
   //            + 0.25*min(avg_token_len/8,1), rounded to 4dp. ----
   val StopLex: String = Lexicons.head._2
 
-  def qualityScore(text: Column): Column = {
+  /** qualityScore with a pre-materialized stopword hit count (StopLex is
+    * the `en` lexicon, so p09 reuses the langScores sweep). */
+  def qualityScoreWith(text: Column, stopHits: Column): Column = {
     val nTok = tokenCount(text).cast("double")
-    val stop = hits(text, StopLex).cast("double")
+    val stop = stopHits.cast("double")
     val avgLen = (length(regexp_replace(trim(lower(text)), "\\s+", "")).cast("double") / nTok)
     round(
       least(nTok / 100.0, lit(1.0)) * 0.5 +
         least(stop / nTok / 0.3, lit(1.0)) * 0.25 +
         least(avgLen / 8.0, lit(1.0)) * 0.25, 4)
   }
+
+  def qualityScore(text: Column): Column =
+    qualityScoreWith(text, hits(text, StopLex))
 
   def qualityScoreSql(textCol: String): String = {
     val nTok = s"CAST(len(string_split_regex(trim(lower($textCol)), '\\s+')) AS DOUBLE)"

@@ -39,9 +39,10 @@ object PipelineQueries {
         .orderBy(col("da"), col("db"))
     }),
 
-    // ---- SimHash signatures (md5-derived 60-bit hash → oracle-checked) ----
+    // ---- SimHash signatures (md5-derived 60-bit hash → oracle-checked;
+    //      loadSpread: the per-token md5 map dominates, spread it wide) ----
     "p04_simhash" -> ((s, dir) => {
-      DedupOps.simHashSignatures(Tables.load(s, dir, "documents"))
+      DedupOps.simHashSignatures(Tables.loadSpread(s, dir, "documents"))
         .select("doc_id", "simhash")
         .orderBy("doc_id")
     }),
@@ -80,24 +81,32 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
-    // ---- token counting + set fingerprint ----
+    // ---- token counting + set fingerprint (regex+md5-bound map;
+    //      loadSorted: sort first so range sampling never re-runs it) ----
     "p08_text_stats" -> ((s, dir) => {
-      Tables.load(s, dir, "documents").select(
+      Tables.loadSorted(s, dir, "documents", col("doc_id")).select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe"),
         length(col("text")).as("n_chars2"),
         TextOps.setFingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id"))
     }),
 
-    // ---- language ID + quality score ----
+    // ---- language ID + quality score. Two projections on purpose: the
+    //      lexicon sweeps materialize as columns once, then the argmax /
+    //      quality read attributes — inline sweeps inside the CASE would
+    //      re-run per branch (no subexpr elimination there), ~3× the work.
+    //      StopLex IS the en lexicon, so quality reuses that sweep. ----
     "p09_lang_quality" -> ((s, dir) => {
-      Tables.load(s, dir, "documents").select(
-        col("doc_id"),
-        TextOps.langId(col("text")).as("lang_pred"),
-        TextOps.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))
+      val scores = TextOps.langScores(col("text"))
+      Tables.loadSorted(s, dir, "documents", col("doc_id"))
+        .select(Seq(col("doc_id"), col("text")) ++
+          scores.map { case (l, c) => c.as(s"__h_$l") }: _*)
+        .select(
+          col("doc_id"),
+          TextOps.langIdFromScores(
+            TextOps.LangNames.map(l => l -> col(s"__h_$l"))).as("lang_pred"),
+          TextOps.qualityScoreWith(col("text"), col("__h_en")).as("quality"))
     }),
 
     // ---- multimodal binary plumbing (column-op stats; oracle-checked) ----
@@ -115,12 +124,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- order-sensitive rolling-hash fingerprint (md5 chain → oracle) ----
+    // ---- order-sensitive rolling-hash fingerprint (md5 chain → oracle;
+    //      the chained md5 per token is the costliest map here) ----
     "p12_rolling_fp" -> ((s, dir) => {
-      Tables.load(s, dir, "documents")
+      Tables.loadSorted(s, dir, "documents", col("doc_id"))
         .select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
         .select(col("doc_id"), TextOps.rollingFingerprintOf(col("__w")).as("rfp"))
-        .orderBy(col("doc_id"))
     }),
   )
 

@@ -200,13 +200,14 @@ object RelationalQueries {
           |ORDER BY event_id""".stripMargin)
     }),
 
-    // ---- JSON extraction over the props column ----
+    // ---- JSON extraction over the props column (per-row JSON parse is
+    //      the cost; loadSorted sorts FIRST so the range exchange's
+    //      sampling pass never re-executes the parse) ----
     "q16_json_extract" -> ((s, dir) => {
-      Tables.load(s, dir, "events")
+      Tables.loadSorted(s, dir, "events", col("event_id"))
         .select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .orderBy(col("event_id"))
     }),
   )
 
