@@ -1,8 +1,8 @@
 package graft.compact
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.Path
 import java.util.UUID
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 import graft.catalog.{TableCatalog, TableSpec}
@@ -137,7 +137,18 @@ object Compactor {
     * file (sources go to the drop queue for deferred deletion). */
   def executePlan(spark: SparkSession, spec: TableSpec, tableDir: Path,
                   partDir: Path, plan: Plan): String = {
-    val staging = Files.createTempDirectory(partDir, ".merge-")
+    // staging on the Hadoop FS API (not java.nio): the merged file is
+    // Spark-written, so on a real cluster it lands on whatever shared FS
+    // the partition URI names — same code for local, HDFS, s3a masters
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val partUri = new HPath(partDir.toUri)
+    // raw FS on checksummed locals: otherwise rename drags `.crc`
+    // sidecars into published partition dirs (HDFS/s3a are unaffected)
+    val fs = partUri.getFileSystem(hconf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+    val staging = new HPath(partUri, s".merge-${UUID.randomUUID()}")
     try {
       spark.read
         .option("mergeSchema", "true")
@@ -146,8 +157,9 @@ object Compactor {
         .coalesce(1)
         .sortWithinPartitions(spec.orderBy.map(col): _*)
         .write.mode("overwrite").parquet(staging.toString)
-      val part = Files.list(staging).iterator().asScala
-        .find(_.toString.endsWith(".parquet"))
+      val part = fs.listStatus(staging).toSeq
+        .find(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
         .getOrElse(throw new IllegalStateException(s"no merged output in $staging"))
       val destUri = spec.dataUrl match {
         case Some(_) =>
@@ -155,17 +167,17 @@ object Compactor {
           ObjectStore.copyPublish(spark, part, u)
           u
         case None =>
-          val dest = partDir.resolve(plan.to)
-          Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-          dest.toString
+          val dest = new HPath(partUri, plan.to)
+          if (!fs.rename(part, dest))
+            throw new java.io.IOException(s"publish rename failed: $part -> $dest")
+          dest.toUri.getPath
       }
       MetadataIndex.batch(partDir, spec.name,
         add = Seq(ParquetStats.manifestEntry(spark, destUri, plan.to)),
         remove = plan.from.map(u => u.substring(u.lastIndexOf('/') + 1)))
       destUri
     } finally {
-      Files.walk(staging).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
+      fs.delete(staging, true)
     }
   }
 }

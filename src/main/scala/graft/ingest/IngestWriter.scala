@@ -1,8 +1,9 @@
 package graft.ingest
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -129,8 +130,22 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     // tables: atomic move. Object-store tables (spec.dataUrl): bytes are
     // copied to their FINAL key and the metadata.json manifest is the
     // commit — no rename exists on S3 (reference save_service_s3.go:55-88).
-    val staging = tableDir.resolve("tmp").resolve(UUID.randomUUID().toString)
-    Files.createDirectories(staging)
+    //
+    // Staging runs on the Hadoop FileSystem API, NOT java.nio: on a real
+    // cluster `sorted.write.parquet(staging)` lands wherever the staging
+    // URI's FS says (shared HDFS/s3a), which the driver could never
+    // `Files.walk`. The same code therefore serves local[?], HDFS and s3a
+    // masters — only the table root URI changes.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tableUri = new HPath(tableDir.toUri)
+    // raw FS on checksummed locals: otherwise rename drags `.crc`
+    // sidecars into published partition dirs (HDFS/s3a are unaffected)
+    val fs = tableUri.getFileSystem(hconf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+    val staging = new HPath(new HPath(tableUri, "tmp"), UUID.randomUUID().toString)
+    fs.mkdirs(staging)
     // coalesce(1), not repartition(1): reads inputs straight into the
     // single sort task instead of adding a round-robin exchange first.
     // Parallel (streaming) path: sort each existing task's slice with
@@ -149,44 +164,56 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
 
     val remoteRoot = spec.dataUrl.map(u =>
       ObjectStore.resolveDataRoot(spark, u) + s"/${spec.database}/${spec.name}")
-    val written = Files.walk(staging).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toSeq
-    val out = written.map { part =>
-      val rel = staging.relativize(part).getParent // date=../hour=.. or null
-      val relStr = if (rel == null) "" else rel.toString.replace('\\', '/')
-      // partition dir always exists locally: it holds metadata.json
-      val destDir = if (rel == null) tableDir else tableDir.resolve(rel.toString)
-      Files.createDirectories(destDir)
-      val name = s"${UUID.randomUUID()}.1.parquet"
+    val stagingStr = staging.toString
+    val written = {
+      val it = fs.listFiles(staging, true)
+      val buf = Vector.newBuilder[HPath]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          buf += st.getPath
+      }
+      buf.result()
+    }
+    // plan final names up front so footer stats (read from the STAGED
+    // bytes — publish never rewrites them) can be gathered for ALL files
+    // in one Spark job instead of a serial driver loop (a T-task ×
+    // P-partition micro-batch would otherwise cost T×P driver footer opens)
+    val planned = written.map { part =>
+      val rel = part.getParent.toString.stripPrefix(stagingStr)
+        .stripPrefix("/") // "" or date=../hour=..
+      (part, rel, s"${UUID.randomUUID()}.1.parquet")
+    }
+    val entries: Map[String, FileEntry] = ParquetStats.manifestEntries(
+      spark, planned.map { case (p, _, name) => (p.toString, name) })
+    val out = planned.map { case (part, rel, name) =>
       val uri = remoteRoot match {
         case Some(r) =>
-          val u = r + (if (relStr.isEmpty) "" else "/" + relStr) + "/" + name
+          val u = r + (if (rel.isEmpty) "" else "/" + rel) + "/" + name
           ObjectStore.copyPublish(spark, part, u)
           u
         case None =>
-          val dest = destDir.resolve(name)
-          Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-          dest.toString
+          val destDir = if (rel.isEmpty) tableUri else new HPath(tableUri, rel)
+          fs.mkdirs(destDir)
+          val dest = new HPath(destDir, name)
+          if (!fs.rename(part, dest))
+            throw new java.io.IOException(s"publish rename failed: $part -> $dest")
+          dest.toUri.getPath
       }
-      (destDir, name, uri)
+      (rel, name, uri)
     }
-    deleteRecursively(staging)
+    fs.delete(staging, true)
 
-    // index each published file from its parquet footer stats; for remote
-    // tables this manifest write IS what makes the file visible
-    out.foreach { case (dir, name, uri) =>
-      MetadataIndex.batch(dir, spec.name,
-        add = Seq(ParquetStats.manifestEntry(spark, uri, name)))
+    // ONE manifest commit per partition dir (reference applies adds/removes
+    // in a single index Batch — json_index.go:312-416): N files into a
+    // partition is one read-modify-write of its metadata.json, not N. For
+    // remote tables this manifest write IS what makes the files visible.
+    out.groupBy(_._1).foreach { case (rel, group) =>
+      val dir = if (rel.isEmpty) tableDir else tableDir.resolve(rel)
+      MetadataIndex.batch(dir, spec.name, add = group.map { case (_, n, _) => entries(n) })
     }
     catalog.bumpVersion(spec.database, spec.name)
     out.map(_._3)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 }
 
@@ -200,27 +227,56 @@ object ParquetStats {
     * stats; data_min/max_time = client `time` stats, unbounded when the
     * column is absent). Used by both ingest and compaction so the two
     * can never drift. */
-  def manifestEntry(spark: SparkSession, uri: String, name: String): FileEntry = {
-    val stats = read(spark, uri, "__timestamp", extraCols = Seq("time"))
+  def manifestEntry(conf: Configuration, uri: String, name: String): FileEntry = {
+    val stats = read(conf, uri, "__timestamp", extraCols = Seq("time"))
     val (dmin, dmax) = stats.colRanges.getOrElse("time", (Long.MinValue, Long.MaxValue))
+    val p = new HPath(uri)
     FileEntry(
       id = 0, path = name,
-      sizeBytes = ObjectStore.sizeOf(spark, uri),
+      sizeBytes = p.getFileSystem(conf).getFileStatus(p).getLen,
       rowCount = stats.rowCount,
       chunkTime = stats.minTime,
       minTime = stats.minTime, maxTime = stats.maxTime,
       dataMinTime = dmin, dataMaxTime = dmax)
   }
 
+  def manifestEntry(spark: SparkSession, uri: String, name: String): FileEntry =
+    manifestEntry(spark.sparkContext.hadoopConfiguration, uri, name)
+
+  /** Threshold below which footer stats are read inline on the driver:
+    * the buffered-HTTP flush path publishes 1-2 files and a Spark job's
+    * scheduling round-trip would only add flush latency. Above it (the
+    * streaming firehose path: T tasks × P hour-partitions files) stats
+    * are gathered by ONE Spark job with the footer opens running in
+    * executors — the driver never does a per-file loop. */
+  private val InlineStatsMax = 4
+
+  /** Manifest entries for many staged files: `(stagedUri, finalName)` →
+    * name-keyed entries. Stats come from the staged bytes (publish is a
+    * rename/copy, never a rewrite). */
+  def manifestEntries(spark: SparkSession,
+                      files: Seq[(String, String)]): Map[String, FileEntry] = {
+    if (files.isEmpty) return Map.empty
+    if (files.size <= InlineStatsMax) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.map { case (uri, name) => name -> manifestEntry(conf, uri, name) }.toMap
+    } else {
+      import org.apache.spark.util.GraftHadoopConf
+      val bc = GraftHadoopConf.broadcast(spark.sparkContext)
+      spark.sparkContext
+        .parallelize(files, math.min(files.size, 64))
+        .map { case (uri, name) => name -> manifestEntry(GraftHadoopConf.value(bc), uri, name) }
+        .collect().toMap
+    }
+  }
+
   /** Row count + min/max of `timeCol`, plus ranges of any `extraCols`
     * that are present with int64 stats (absent → not in the map →
     * callers must treat as unknown/unbounded). */
-  def read(spark: SparkSession, file: String, timeCol: String,
+  def read(conf: Configuration, file: String, timeCol: String,
            extraCols: Seq[String] = Nil): Stats = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.hadoop.fs.{Path => HPath}
-    val conf = spark.sparkContext.hadoopConfiguration
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new HPath(file), conf))
     try {

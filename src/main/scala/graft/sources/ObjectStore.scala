@@ -92,13 +92,17 @@ object ObjectStore {
   private def fs(spark: SparkSession, uri: String): FileSystem =
     new HPath(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Upload a local file to its FINAL object key (PutObject semantics; no
-    * rename). Overwrite is safe: keys embed a fresh UUID. */
-  def copyPublish(spark: SparkSession, local: NioPath, destUri: String): Unit = {
+  /** Copy a staged file to its FINAL object key (PutObject semantics; no
+    * rename). Overwrite is safe: keys embed a fresh UUID. Source rides
+    * the Hadoop FS API too, so staging may live on any shared FS (local,
+    * HDFS) while the destination is an object store. */
+  def copyPublish(spark: SparkSession, src: HPath, destUri: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val dest = new HPath(destUri)
-    val f = fs(spark, destUri)
-    f.mkdirs(dest.getParent)
-    f.copyFromLocalFile(false, true, new HPath(local.toUri), dest)
+    val destFs = fs(spark, destUri)
+    destFs.mkdirs(dest.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(
+      src.getFileSystem(conf), src, destFs, dest, false, true, conf)
   }
 
   def delete(spark: SparkSession, uri: String): Boolean =

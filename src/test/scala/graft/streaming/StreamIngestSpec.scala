@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.streaming.Trigger
 import graft.SparkSpec
 import graft.catalog.TableCatalog
@@ -65,6 +66,39 @@ class StreamIngestSpec extends SparkSpec {
       spark.range(100).repartition(4).select(col("id").as("seq"),
         (lit(1700000000000000000L) + col("id")).as("time")))
     assert(one.size == 1)
+  }
+
+  test("manifest publish is batched: N files, ONE metadata.json rewrite, stats via Spark job") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-batchpub-root-")
+    val cat = new TableCatalog(root.toString)
+    cat.upsert(graft.catalog.TableSpec("default", "bp", orderBy = Seq("time")))
+    val writer = new IngestWriter(spark, root.toString, cat)
+
+    // 8 slices > InlineStatsMax -> footer stats ride the distributed job
+    val df = spark.range(8000).repartition(8).select(
+      (col("id") % 5).as("seq"),
+      (lit(1700000000000000000L) + col("id") * 1000L).as("time"))
+    val uris = writer.storeDataFrame("default", "bp", df, singleFile = false)
+    assert(uris.size == 8)
+
+    // single ingest timestamp -> exactly one (date, hour) partition dir
+    val parts = graft.index.MetadataIndex.partitionDirs(cat.tableDir("default", "bp"))
+    assert(parts.size == 1, s"expected one partition dir, got $parts")
+    val idx = graft.index.MetadataIndex.load(parts.head, "bp")
+    assert(idx.entries.size == 8)
+    // no checksum sidecars leaked into the published partition dir
+    assert(!Files.list(parts.head).iterator().asScala.exists(_.getFileName.toString.endsWith(".crc")),
+      "crc sidecars leaked into the published partition dir")
+    // the scale assertion: one read-modify-write of the partition index
+    // per storeDataFrame call, NOT one per published file
+    assert(idx.walSequence == 1L,
+      s"expected ONE manifest commit for 8 files, got wal_sequence=${idx.walSequence}")
+    // executor-gathered footer stats are real, not defaults
+    assert(idx.rowCount == 8000)
+    assert(idx.entries.values.forall(e => e.sizeBytes > 0 && e.rowCount > 0))
+    val dmins = idx.entries.values.map(_.dataMinTime)
+    assert(dmins.min == 1700000000000000000L)
   }
 
   test("routing: unprefixed lines adopt the stream's db; foreign lines drop") {
