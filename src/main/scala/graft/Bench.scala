@@ -8,9 +8,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // coalesce post-shuffle partitions by size, not parallelism —
-      // Spark's production recommendation; collapses the many tiny
-      // exchanges these small-SF runs otherwise schedule cores-wide
+      // collapses the many tiny exchanges these small-SF runs otherwise
+      // schedule cores-wide. The advisory size must be SMALL: coalescing
+      // merges adjacent partitions up to the target, so 64 MB (default)
+      // folded the heavy self-join exchanges (~10 MB/partition at sf0.1)
+      // down to a few tasks — measured +14..34% on p02/p03/p06/q12 in r3.
+      // At 1 MB sub-MB exchanges still collapse to one task while
+      // anything core-scale keeps its full fan-out (A/B: p02 3.44 s @
+      // 64 MB, 2.54 s @ 1 MB, 2.64 s with parallelismFirst=true).
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,11 +14,11 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // coalesce post-shuffle partitions by size, not parallelism: tiny
-      // exchanges collapse to few tasks (per-task overhead dominates
-      // small stages) while big ones keep the advisory-size split —
-      // Spark's own production recommendation for this knob
+      // match Bench's AQE setup (see Bench.scala: small advisory size so
+      // only sub-MB exchanges collapse; 64 MB default folded heavy
+      // self-joins to a few tasks)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
