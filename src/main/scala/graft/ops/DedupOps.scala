@@ -123,7 +123,7 @@ object DedupOps {
        |  SELECT a.doc_id da, b.doc_id db, count(*) c
        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
-       |SELECT da, db, round(c * 1.0 / (sa.n + sb.n - c), 6) AS j
+       |SELECT da, db, ${OracleSql.roundD("c * 1.0 / (sa.n + sb.n - c)", 6)} AS j
        |FROM common
        |JOIN sizes sa ON sa.doc_id = da
        |JOIN sizes sb ON sb.doc_id = db

@@ -97,7 +97,7 @@ object SimilarityOps {
        |  SELECT qp.qid, c.vec_id AS nid, list_cosine_similarity(qp.qv, c.v) AS sim
        |  FROM qp JOIN cb c USING (bucket) WHERE c.vec_id != qp.qid
        |)
-       |SELECT qid, nid, round(sim, 4) AS sim, rn FROM (
+       |SELECT qid, nid, ${OracleSql.roundD("sim", 4)} AS sim, rn FROM (
        |  SELECT qid, nid, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
        |  FROM scored) t
@@ -186,6 +186,52 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), dotf(col("qv"), col("nv")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Full DuckDB oracle for `ivfTopKWith` given the TRAINED centroids
+    * (the p07 pattern, with runtime-trained constants instead of seeded
+    * ones): one scored-cells CTE replays both corpus assignment (rank-1
+    * cell) and query probing (rank ≤ nprobe) with the same argmax
+    * objective the Spark plan uses — dot(v,c) − |c|²/2, ties to the
+    * lowest cell id — over the same double-normalized vectors, so cells,
+    * candidates and ranks agree bit-for-bit. `Double.toString` renders
+    * shortest-round-trip literals, which DuckDB parses back to the same
+    * bits. */
+  def ivfTopKSql(centers: Seq[Array[Double]], k: Int, nprobe: Int, maxQid: Int): String = {
+    val values = centers.zipWithIndex.map { case (c, i) =>
+      val arr = c.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      val hn2 = c.map(x => x * x).sum / 2.0
+      s"($i, $arr, $hn2)"
+    }.mkString(", ")
+    s"""WITH centers(cell, cv, hn2) AS (VALUES $values),
+       |nv AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                                       CAST(embedding AS DOUBLE[])))) AS v
+       |  FROM embeddings
+       |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                           CAST(embedding AS DOUBLE[])) > 0
+       |), cellrank AS (
+       |  SELECT nv.vec_id, nv.v, c.cell,
+       |    row_number() OVER (PARTITION BY nv.vec_id
+       |      ORDER BY (list_inner_product(nv.v, c.cv) - c.hn2) DESC, c.cell) AS cr
+       |  FROM nv, centers c
+       |), assigned AS (
+       |  SELECT vec_id, v, cell FROM cellrank WHERE cr = 1
+       |), probes AS (
+       |  SELECT vec_id AS qid, v AS qv, cell FROM cellrank
+       |  WHERE vec_id < $maxQid AND cr <= $nprobe
+       |), scored AS (
+       |  SELECT p.qid, a.vec_id AS nid, list_inner_product(p.qv, a.v) AS sim
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.vec_id != p.qid
+       |)
+       |SELECT qid, nid, ${OracleSql.roundD("sim", 4)} AS sim, rn FROM (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
   }
 
   /** ANN top-k with Hamming-1 multi-probe: each query probes its own

@@ -103,8 +103,8 @@ object TextOps {
     val nTok = s"CAST(len(string_split_regex(trim(lower($textCol)), '\\s+')) AS DOUBLE)"
     val stop = s"CAST(len(regexp_extract_all(lower($textCol), '\\b($StopLex)\\b')) AS DOUBLE)"
     val avgLen = s"(CAST(length(regexp_replace(trim(lower($textCol)), '\\s+', '', 'g')) AS DOUBLE) / $nTok)"
-    s"round(least($nTok / 100.0, 1.0) * 0.5 + least($stop / $nTok / 0.3, 1.0) * 0.25 + " +
-      s"least($avgLen / 8.0, 1.0) * 0.25, 4)"
+    OracleSql.roundD(s"least($nTok / 100.0, 1.0) * 0.5 + least($stop / $nTok / 0.3, 1.0) * 0.25 + " +
+      s"least($avgLen / 8.0, 1.0) * 0.25", 4)
   }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, MultimodalOps, OracleSql, SimilarityOps, TextOps}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -71,12 +71,16 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
-    // ---- IVF ANN (k-means cells, data-adaptive scale path; rows-only,
-    //      recall + exactness-at-full-probe in the spec) ----
+    // ---- IVF ANN (k-means cells, data-adaptive scale path). Oracle-
+    //      checked: the trained centroids are cached here and rendered
+    //      into the DuckDB SQL below, so assignment + probe + rank
+    //      replay in SQL (recall + exactness-at-full-probe also spec'd).
     "p13_ann_ivf" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 5), 10,
-        nlist = 16, nprobe = 4)
+      val (km, assigned) = SimilarityOps.ivfIndex(emb, nlist = 16)
+      ivfCenters.set(km.clusterCenters.map(_.toArray))
+      SimilarityOps.ivfTopKWith(km, assigned, emb.filter(col("vec_id") < 5), 10,
+        nprobe = 4)
         .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rn"))
         .orderBy(col("qid"), col("rn"))
     }),
@@ -133,7 +137,19 @@ object PipelineQueries {
     }),
   )
 
-  val oracle: Map[String, String] = Map(
+  /** p13's trained quantizer, captured when the query runs so the oracle
+    * SQL can replay the SAME centroids (Verify runs all queries, then
+    * dumps oracleSql — same JVM). Absent (p13 not run / failed) → the
+    * p13 oracle entry is omitted and the driver falls back to its
+    * rows-only check. */
+  private val ivfCenters =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
+  def oracle: Map[String, String] = staticOracle ++
+    Option(ivfCenters.get()).map(c =>
+      "p13_ann_ivf" -> SimilarityOps.ivfTopKSql(c.toSeq, k = 10, nprobe = 4, maxQid = 5))
+
+  private val staticOracle: Map[String, String] = Map(
     "p01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
@@ -142,14 +158,15 @@ object PipelineQueries {
     "p04_simhash" -> DedupOps.simHashSql(),
     "p05_embedding_neardup" ->
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
-         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-         |                               CAST(b.embedding AS DOUBLE[])), 4) AS sim
+         |  ${OracleSql.roundD(
+             """list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+               |                               CAST(b.embedding AS DOUBLE[]))""".stripMargin, 4)} AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
          |                             CAST(b.embedding AS DOUBLE[])) >= $EmbDupTau
          |ORDER BY va, vb""".stripMargin,
     "p06_ann_bruteforce" ->
-      """SELECT qid, nid, round(sim, 4) AS sim, rn FROM (
+      s"""SELECT qid, nid, ${OracleSql.roundD("sim", 4)} AS sim, rn FROM (
         |  SELECT a.vec_id qid, b.vec_id nid,
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                           CAST(b.embedding AS DOUBLE[])) sim,

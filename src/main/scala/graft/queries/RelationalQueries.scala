@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.ops.OracleSql.roundD
 
 /** The relational operator surface (SURVEY §2.2): the reference delegates
   * all relational execution to DuckDB SQL, so the capability contract is
@@ -213,27 +214,27 @@ object RelationalQueries {
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  count(*) AS cnt
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${roundD("sum(l_quantity)", 2)} AS sum_qty,
+         |  ${roundD("sum(l_extendedprice)", 2)} AS sum_base,
+         |  ${roundD("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS sum_disc,
+         |  ${roundD("avg(l_quantity)", 4)} AS avg_qty,
+         |  count(*) AS cnt
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_topk_groupby" ->
-      """SELECT p_brand, p_type, count(*) AS c, round(avg(p_retailprice)) AS m
-        |FROM part GROUP BY p_brand, p_type
-        |ORDER BY c DESC, p_brand, p_type LIMIT 10""".stripMargin,
+      s"""SELECT p_brand, p_type, count(*) AS c, ${roundD("avg(p_retailprice)", 0)} AS m
+         |FROM part GROUP BY p_brand, p_type
+         |ORDER BY c DESC, p_brand, p_type LIMIT 10""".stripMargin,
     "q03_join_revenue" ->
-      """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-        |  count(*) AS cnt
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      s"""SELECT n_name,
+         |  ${roundD("sum(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue,
+         |  count(*) AS cnt
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q04_filter_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
@@ -241,25 +242,26 @@ object RelationalQueries {
         |  AND l_discount > 0.05 AND l_quantity < 25
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q05_window_rank" ->
-      """SELECT * FROM (
-        |  SELECT o_custkey, o_orderkey,
-        |    rank() OVER w AS rk,
-        |    row_number() OVER w AS rn,
-        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-        |) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+      s"""SELECT * FROM (
+         |  SELECT o_custkey, o_orderkey,
+         |    rank() OVER w AS rk,
+         |    row_number() OVER w AS rn,
+         |    ${roundD(
+               """sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 |      ORDER BY o_totalprice DESC, o_orderkey
+                 |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin, 2)} AS running
+         |  FROM orders
+         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+         |) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q06_distinct_agg" ->
       """SELECT count(DISTINCT o_custkey) AS n_cust,
         |  count(DISTINCT o_orderpriority) AS n_prio,
         |  count(*) AS n
         |FROM orders""".stripMargin,
     "q07_subquery_avg" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > (SELECT round(avg(o_totalprice), 2) FROM orders)
-        |ORDER BY o_orderkey""".stripMargin,
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE o_totalprice > (SELECT ${roundD("avg(o_totalprice)", 2)} FROM orders)
+         |ORDER BY o_orderkey""".stripMargin,
     "q08_semijoin" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -298,9 +300,10 @@ object RelationalQueries {
         |  coalesce(nullif(o_orderstatus, 'O'), 'X') AS nf
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q13_time_buckets" ->
-      """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS sum_v, round(avg(value), 4) AS avg_v
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+         |  count(*) AS n, ${roundD("sum(value)", 2)} AS sum_v,
+         |  ${roundD("avg(value)", 4)} AS avg_v
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q14_ch_aliases" ->
       """SELECT o_orderkey,
         |  CAST(o_orderkey AS VARCHAR) AS k_str,
