@@ -6,9 +6,10 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct. The Spark-side dataflow
-  * (schema, partitioning, per-partition batch decode) is real; the codec
-  * itself is STUBBED with a deterministic fake (this container has no
-  * image/audio libraries) and clearly marked below.
+  * (schema, partitioning, per-partition batch decode) is real; image
+  * decode (JDK ImageIO) and WAV/PCM audio decode (javax.sound.sampled)
+  * are REAL too — only the video codec is a deterministic, clearly
+  * marked stand-in (no video codec ships with the JDK or container).
   *
   * At 100 TB: binary payloads stay columnar in parquet, metadata predicates
   * prune before any decode, and decode runs once per partition batch via
@@ -42,8 +43,11 @@ object MultimodalOps {
     * ship with the JVM — zero extra dependencies). Features are the mean
     * luminance of a 2×4 pixel grid, one float in [0,1] per cell; a grid
     * cell outside a tiny image stays 0. Returns None when the bytes are
-    * not a decodable image (corrupt payload, unsupported codec). */
-  private[ops] def imageDecode(media: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    * not a decodable image (unrecognized OR corrupt: a valid signature
+    * with a broken body makes the reader THROW rather than return null —
+    * the contract is one bad asset degrades to null features, never a
+    * failed job). */
+  private[ops] def imageDecode(media: Array[Byte]): Option[(Int, Int, Array[Float])] = try {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
     if (img == null) None
     else {
@@ -67,13 +71,77 @@ object MultimodalOps {
         if (cnt(i) == 0) 0f else (sum(i) / cnt(i)).toFloat)
       Some((w, h, feat))
     }
+  } catch { // IIOException on corrupt body; some plugins throw unchecked
+    case _: java.io.IOException => None
+    case _: RuntimeException => None
   }
 
-  /** STUB — deterministic fake "decode" for NON-image kinds: a real
-    * implementation would decode audio/video bytes and emit features
-    * (those codecs aren't in this container). The Spark plumbing
-    * (binary in, fixed-width float vector + dims out, batched per
-    * partition) is the real contract; only `fakeDecode` is fake. */
+  /** REAL audio decode for WAV/PCM via the JDK's javax.sound.sampled —
+    * zero extra dependencies. The frame stream splits into FeatureDims
+    * equal windows; feature i is the RMS energy of window i across all
+    * channels, normalized to [0,1]. Returns (frames, channels, features);
+    * None when the bytes are not decodable 8/16-bit PCM audio. */
+  private[ops] def audioDecode(media: Array[Byte]): Option[(Int, Int, Array[Float])] = try {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(media))
+    try {
+      import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      if ((enc != PCM_SIGNED && enc != PCM_UNSIGNED) || (bits != 8 && bits != 16) ||
+          fmt.getFrameSize <= 0) None
+      else {
+        val bytes = in.readAllBytes()
+        val channels = fmt.getChannels
+        val frameSize = fmt.getFrameSize
+        val bytesPerSample = bits / 8
+        val frames = bytes.length / frameSize
+        if (frames == 0) Some((0, channels, new Array[Float](FeatureDims)))
+        else {
+          val sum = new Array[Double](FeatureDims)
+          val cnt = new Array[Long](FeatureDims)
+          var f = 0
+          while (f < frames) {
+            val win = ((f.toLong * FeatureDims) / frames).toInt
+            var c = 0
+            while (c < channels) {
+              val off = f * frameSize + c * bytesPerSample
+              val s =
+                if (bits == 8) {
+                  if (enc == PCM_UNSIGNED) ((bytes(off) & 0xff) - 128) / 128.0
+                  else bytes(off) / 128.0
+                } else {
+                  val (hi, lo) =
+                    if (fmt.isBigEndian) (bytes(off), bytes(off + 1))
+                    else (bytes(off + 1), bytes(off))
+                  val raw = (hi.toInt << 8) | (lo & 0xff)
+                  val v = if (enc == PCM_UNSIGNED) (raw & 0xffff) - 32768 else raw
+                  v / 32768.0
+                }
+              sum(win) += s * s; cnt(win) += 1
+              c += 1
+            }
+            f += 1
+          }
+          val feat = Array.tabulate(FeatureDims)(i =>
+            if (cnt(i) == 0) 0f else math.sqrt(sum(i) / cnt(i)).toFloat)
+          Some((frames, channels, feat))
+        }
+      }
+    } finally in.close()
+  } catch {
+    case _: javax.sound.sampled.UnsupportedAudioFileException => None
+    case _: java.io.IOException => None
+    case _: RuntimeException => None
+  }
+
+  /** STUB — deterministic fake "decode" for VIDEO (and unknown) kinds: a
+    * real implementation would decode the container and emit frame
+    * features (no video codec ships with the JDK). Image and audio kinds
+    * decode for REAL above. The Spark plumbing (binary in, fixed-width
+    * float vector + dims out, batched per partition) is the real
+    * contract; only `fakeDecode` is fake. */
   private def fakeDecode(media: Array[Byte]): (Int, Int, Array[Float]) = {
     // ??? real codec goes here; deterministic stand-in below
     var h = 1125899906842597L
@@ -89,9 +157,10 @@ object MultimodalOps {
 
   /** Batched per-partition decode: binary media → (width, height,
     * feature vector). `meta.kind` routes the codec: image kinds (prefix
-    * "image/") go through the REAL ImageIO decoder (undecodable image
-    * bytes yield nulls, not fake numbers); other kinds keep the
-    * deterministic stand-in.
+    * "image/") through the REAL ImageIO decoder, audio kinds (prefix
+    * "audio/") through the REAL javax.sound WAV/PCM decoder — for both,
+    * undecodable bytes yield nulls, not fake numbers; remaining (video)
+    * kinds keep the deterministic stand-in.
     * mapPartitions keeps codec init per-batch, not per-row. */
   def decodeFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
@@ -102,19 +171,20 @@ object MultimodalOps {
       StructField("features", ArrayType(FloatType))))
     val rdd = assets.select(col("doc_id"), col("media"), col("meta.kind"))
       .rdd.mapPartitions { rows =>
-        // per-partition codec init would happen here
+        // codec init, once per batch: ImageIO otherwise backs EVERY
+        // in-memory decode with a temp-file cache (per-row disk I/O)
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val media = r.getAs[Array[Byte]]("media")
           val kind = r.getString(2)
-          if (media == null) Row(r.getLong(0), null, null, null)
-          else if (kind != null && kind.startsWith("image/"))
-            imageDecode(media) match {
-              case Some((w, h, f)) => Row(r.getLong(0), w, h, f)
-              case None => Row(r.getLong(0), null, null, null)
-            }
-          else {
-            val (w, h, f) = fakeDecode(media)
-            Row(r.getLong(0), w, h, f)
+          val decoded: Option[(Int, Int, Array[Float])] =
+            if (media == null) None
+            else if (kind != null && kind.startsWith("image/")) imageDecode(media)
+            else if (kind != null && kind.startsWith("audio/")) audioDecode(media)
+            else Some(fakeDecode(media))
+          decoded match {
+            case Some((w, h, f)) => Row(r.getLong(0), w, h, f)
+            case None => Row(r.getLong(0), null, null, null)
           }
         }
       }

@@ -303,9 +303,12 @@ object GigHttpServer {
       root = if (cfg.root.isEmpty) "." else cfg.root,
       port = cfg.port,
       saveTimeoutMs = math.max(1L, (cfg.saveTimeoutS * 1000).toLong),
-      mergeIntervalMs = cfg.mergeTimeoutS * 1000L,
+      // clamp like saveTimeoutMs: merge_timeout_s <= 0 would make
+      // scheduleWithFixedDelay throw at start() and crash boot; treat it
+      // as "don't merge" instead
+      mergeIntervalMs = math.max(1L, cfg.mergeTimeoutS * 1000L),
       host = cfg.host,
-      noMerges = cfg.noMerges)
+      noMerges = cfg.noMerges || cfg.mergeTimeoutS <= 0)
 }
 
 /** {"results":[…]} serializer with the reference's bigint-as-string

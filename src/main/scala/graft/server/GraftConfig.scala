@@ -73,7 +73,13 @@ object GraftConfig {
     case _ => None
   }
 
-  private def anyStr(v: Any): Option[String] = Some(String.valueOf(v))
+  // a present-but-empty YAML scalar ("root:") parses to null — that must
+  // fall back to the default, not become the literal string "null"
+  private def anyStr(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some(s)
+    case other => Some(other.toString)
+  }
   private def anyInt(v: Any): Option[Int] = v match {
     case n: java.lang.Number => Some(n.intValue())
     case s: String => s.toIntOption

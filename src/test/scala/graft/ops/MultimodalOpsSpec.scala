@@ -62,6 +62,60 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("features")))
   }
 
+  test("image/* bytes with a valid signature but corrupt body yield nulls (reader throws)") {
+    val good = png(Array(Array(0xffffff, 0x000000), Array(0xff0000, 0x00ff00)))
+    // keep the PNG signature + IHDR intact, garbage the rest: ImageIO
+    // recognizes the format, then THROWS mid-decode
+    val corrupt = good.take(33) ++ Array.fill[Byte](64)(0x5a)
+    val assets = Seq((2L, corrupt)).toDF("doc_id", "media")
+      .withColumn("meta", struct(lit("image/png").as("kind"),
+        octet_length($"media").as("nbytes")))
+    val r = MultimodalOps.decodeFeatures(assets).collect().head
+    assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("features")))
+  }
+
+  /** 16-bit signed little-endian mono WAV: 8 windows of 100 frames, each
+    * holding the constant amplitude `amps(i)`. */
+  private def wav(amps: Seq[Int], framesPerWindow: Int = 100): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val n = amps.length * framesPerWindow
+    val data = new Array[Byte](n * 2)
+    for (f <- 0 until n) {
+      val a = amps(f / framesPerWindow)
+      data(2 * f) = (a & 0xff).toByte
+      data(2 * f + 1) = ((a >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeFeatures really decodes audio/* WAV via javax.sound (exact RMS per window)") {
+    // amplitudes i*4000 have power-of-two denominators after /32768, so
+    // per-window RMS is bit-exactly amp/32768
+    val amps = (0 until MultimodalOps.FeatureDims).map(_ * 4000)
+    val assets = Seq((9L, wav(amps))).toDF("doc_id", "media")
+      .withColumn("meta", struct(lit("audio/wav").as("kind"),
+        octet_length($"media").as("nbytes")))
+    val r = MultimodalOps.decodeFeatures(assets).collect().head
+    assert(r.getAs[Int]("width") == 800, "width carries the frame count")
+    assert(r.getAs[Int]("height") == 1, "height carries the channel count")
+    val f = r.getAs[scala.collection.Seq[Float]]("features")
+    val expected = amps.map(a => (a / 32768.0).toFloat)
+    assert(f == expected, s"$f vs $expected")
+  }
+
+  test("undecodable audio/* bytes yield nulls, not fake numbers") {
+    val assets = Seq((3L, "definitely not RIFF".getBytes)).toDF("doc_id", "media")
+      .withColumn("meta", struct(lit("audio/wav").as("kind"),
+        octet_length($"media").as("nbytes")))
+    val r = MultimodalOps.decodeFeatures(assets).collect().head
+    assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("features")))
+  }
+
   test("sampleFrames cuts fixed-offset byte windows") {
     val fr = MultimodalOps.sampleFrames(MultimodalOps.asAssets(docs()), 3, 8)
       .filter($"doc_id" === 0).orderBy("frame")

@@ -44,6 +44,15 @@ class GraftConfigSpec extends AnyFunSuite {
       && !c.allowSaveToHd && c.port == 8080 && c.host == "127.0.0.1")
   }
 
+  test("present-but-empty YAML scalar falls back to the default, not \"null\"") {
+    val f = yamlFile(
+      """gigapi:
+        |  root:
+        |  secret:""".stripMargin)
+    val c = GraftConfig.load(Some(f), env = Map.empty)
+    assert(c.root == "" && c.secret == "")
+  }
+
   test("env overrides file (viper AutomaticEnv precedence)") {
     val f = yamlFile("gigapi:\n  root: /from-file\nport: 8080")
     val c = GraftConfig.load(Some(f), env = Map(
