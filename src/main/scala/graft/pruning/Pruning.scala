@@ -82,12 +82,48 @@ object Pruning {
   * same dataFilters path (and invalidates the cached name, since the
   * view then no longer means "the whole table").
   *
-  * `ensure` + `spark.sql` (eager analysis) must run under one lock —
-  * temp views are session-global, so concurrent requests with different
-  * time ranges would otherwise stomp each other mid-analysis.
+  * Concurrency: unranged default-scoped queries share the server session
+  * and its version-cached views; a RANGED or db-scoped request gets its
+  * own child session (`spark.newSession()`: same SparkContext, shared
+  * cache, private temp-view catalog + conf), so concurrent requests with
+  * different ranges cannot stomp each other and query planning never
+  * serializes on a global lock — `ensure`'s monitor now only guards the
+  * shared session's registration cache, not analysis.
   */
 final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
   private val registered = scala.collection.mutable.Map.empty[(String, String), Long]
+
+  /** Plan one request's SQL. Fresh-session path for ranged/scoped
+    * requests: registration cost equals what the old invalidate-and-
+    * re-register path paid, but with zero lock contention. */
+  def sqlFor(sqlText: String, timeRangeNs: Option[(Long, Long)],
+             bareDb: Option[String]): DataFrame = {
+    if (timeRangeNs.isEmpty && bareDb.forall(_ == "default")) {
+      ensure(None, None)
+      spark.sql(sqlText)
+    } else {
+      val s = spark.newSession()
+      graft.Tables.init(s) // child sessions don't inherit runtime conf/UDFs
+      registerOn(s, timeRangeNs, bareDb.getOrElse("default"))
+      s.sql(sqlText)
+    }
+  }
+
+  /** Register all catalog tables on a private session (no cache, no
+    * cross-request state — the session is this request's own). */
+  private def registerOn(s: SparkSession, timeRangeNs: Option[(Long, Long)],
+                         bare: String): Unit =
+    catalog.all().foreach { spec =>
+      val base = GraftFileIndex.readTable(s, catalog, spec.database, spec.name)
+      val df = timeRangeNs match {
+        // created-but-never-written tables have no __timestamp column yet
+        case Some((lo, hi)) if base.columns.contains("__timestamp") =>
+          base.filter(org.apache.spark.sql.functions.col("__timestamp").between(lo, hi))
+        case _ => base
+      }
+      df.createOrReplaceTempView(s"${spec.database}_${spec.name}")
+      if (spec.database == bare) df.createOrReplaceTempView(spec.name)
+    }
 
   def ensure(timeRangeNs: Option[(Long, Long)]): Unit = ensure(timeRangeNs, None)
 
@@ -129,11 +165,10 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
       }
     }
 
-  /** Plan a SQL statement against current views (eager analysis under
-    * the same monitor; SQL-embedded time predicates prune via the
-    * FileIndex automatically). Callers with an explicit range do
-    * `views.synchronized { views.ensure(range); spark.sql(...) }`. */
-  def sql(sqlText: String): DataFrame = synchronized {
+  /** Plan a SQL statement against the shared session's whole-table views
+    * (SQL-embedded time predicates prune via the FileIndex
+    * automatically). Equivalent to `sqlFor(sqlText, None, None)`. */
+  def sql(sqlText: String): DataFrame = {
     ensure(None)
     spark.sql(sqlText)
   }

@@ -137,7 +137,7 @@ final class GigHttpServer(spark: SparkSession, root: String,
     }
     // ?db= scopes bare table names, like the reference querier
     val bareDb = params.get("db").filter(_.nonEmpty)
-    val df = views.synchronized { views.ensure(explicit, bareDb); spark.sql(sql) }
+    val df = views.sqlFor(sql, explicit, bareDb)
     respond(ex, 200, JsonOut.results(df, maxRows), "application/json")
   }
 

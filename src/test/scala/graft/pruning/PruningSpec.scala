@@ -45,6 +45,44 @@ class PruningSpec extends SparkSpec {
       .collect().head.getLong(0) == 1)
   }
 
+  test("concurrent ranged queries run in private sessions, no cross-stomp") {
+    val root = Files.createTempDirectory("graft-conc-")
+    val cat = new TableCatalog(root.toString)
+    var tick = 0L
+    val t0 = 1700000000000000000L
+    val w = new IngestWriter(spark, root.toString, cat, () => { tick += 1; t0 + tick * 1000000L })
+    (1 to 4).foreach { i =>
+      LineProtocolParser.parse(s"cm v=${i}i", nowNs = () => t0 + tick * 1000000L)
+        .foreach(w.store)
+    }
+    val stamps = graft.index.MetadataIndex
+      .pruneByTime(root.resolve("default/cm"), "cm")
+      .map(p => graft.index.MetadataIndex.load(p.getParent, "cm"))
+      .flatMap(_.entries.values.map(_.minTime)).distinct.sorted
+    assert(stamps.size == 4)
+    val views = new QueryViews(spark, cat)
+    // each thread queries a different 1-file range many times; a shared
+    // temp view would intermittently serve another thread's range
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futs = stamps.zipWithIndex.map { case (ts, i) =>
+      Future {
+        (1 to 10).map { _ =>
+          views.sqlFor("SELECT v FROM cm", Some((ts, ts)), None)
+            .collect().map(_.getLong(0)).toSeq
+        }
+      }
+    }
+    val results = Await.result(Future.sequence(futs), 120.seconds)
+    results.zipWithIndex.foreach { case (runs, i) =>
+      assert(runs.forall(_ == Seq(i + 1L)), s"range $i saw $runs")
+    }
+    // and the shared unranged path still sees the whole table
+    assert(views.sqlFor("SELECT count(*) c FROM cm", None, None)
+      .collect().head.getLong(0) == 4)
+  }
+
   test("unranged views are cached by version and refresh on write") {
     val root = Files.createTempDirectory("graft-vcache-")
     val cat = new TableCatalog(root.toString)
