@@ -163,6 +163,46 @@ class GigHttpServerSpec extends SparkSpec {
     } finally s2.close()
   }
 
+  test("config boot e2e: write -> background compact -> query keeps the results shape") {
+    val root2 = Files.createTempDirectory("graft-cfge2e-").toString
+    val cfgFile = Files.createTempFile("graft-cfg2-", ".yaml")
+    Files.writeString(cfgFile,
+      s"""gigapi:
+         |  root: $root2
+         |  save_timeout_s: 0.05
+         |  merge_timeout_s: 1
+         |host: 127.0.0.1
+         |port: 0""".stripMargin)
+    val cfg = GraftConfig.load(Some(cfgFile.toString), env = Map.empty)
+    val s2 = GigHttpServer.fromConfig(spark, cfg).start()
+    try {
+      val b2 = s"http://localhost:${s2.boundPort}"
+      // three acked flushes -> three L1 files for the merge ticker
+      (1 to 3).foreach { i =>
+        val w = client.send(HttpRequest.newBuilder(URI.create(s"$b2/write"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"e2e v=${i}i ${1700000000000000000L + i}")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(w.statusCode() == 204)
+      }
+      val tdir = java.nio.file.Paths.get(root2, "default", "e2e")
+      def l2Count() = graft.index.MetadataIndex.partitionDirs(tdir)
+        .map(d => graft.index.MetadataIndex.load(d, "e2e")
+          .entries.keys.count(_.endsWith(".2.parquet"))).sum
+      val deadline = System.currentTimeMillis() + 30000
+      while (l2Count() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(l2Count() > 0, "background merge never produced an L2 file")
+      val q = client.send(HttpRequest.newBuilder(URI.create(s"$b2/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query": "SELECT v FROM e2e ORDER BY v"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(q.statusCode() == 200, q.body())
+      // the reference's exact envelope, with int64 as string
+      assert(q.body().startsWith("""{"results":["""), q.body())
+      Seq(1, 2, 3).foreach(i => assert(q.body().contains(s""""v":"$i""""), q.body()))
+    } finally s2.close()
+  }
+
   test("/query result over maxRows is marked truncated, not silently cut") {
     val root2 = Files.createTempDirectory("graft-trunc-").toString
     val s2 = new GigHttpServer(spark, root2, port = 0, saveTimeoutMs = 50,
