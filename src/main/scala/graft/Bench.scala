@@ -41,7 +41,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ingest throughput at the reference's e2e volume (20 M rows,
+    // e2e_test.go:44-94): bulk + stream write the full volume; the
+    // buffered path is capped — it is ack-latency-bound by design, so
+    // its rows/sec is flat in volume and a capped run measures the same
+    // figure without minutes of wall-clock.
+    val ingestRows = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "20000000").toLong
+    val ingest =
+      try IngestBench.run(spark, bulkRows = ingestRows, streamRows = ingestRows,
+        bufferedRows = math.min(ingestRows, 640000L))
+      catch { case e: Throwable => s"""{"error":${graft.server.JsonOut.str(e.toString)}}""" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ingest_rows_per_sec":$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,9 +10,9 @@ import graft.catalog.TableCatalog
 import graft.ingest.{BufferedIngest, IngestWriter}
 import graft.lineproto.LineProtocolParser
 
-/** Ingest throughput smoke — the analog of the reference's e2e test
+/** Ingest throughput bench — the analog of the reference's e2e test
   * (e2e_test.go:44-94: 200 goroutines × 100 k rows × 3 cols, prints
-  * rows/sec, no canonical figure). Two paths:
+  * rows/sec, no canonical figure). Three paths:
   *
   *  - `buffered`: the reference-shaped driver path — concurrent writers
   *    parse line protocol and enqueue into BufferedIngest; durable
@@ -20,29 +20,28 @@ import graft.lineproto.LineProtocolParser
   *    risk 3); it exists for protocol parity, not scale.
   *  - `bulk`: storeDataFrame of pre-built rows — the write-path ceiling
   *    (partitioned sort + parquet + manifest, no parse).
+  *  - `stream`: the StreamIngest micro-batch shape — per-task sorted
+  *    files (singleFile=false); write parallelism scales with cores.
   *
-  * Prints one JSON line. Env: SPARK_GRAFT_INGEST_ROWS (default 1M),
-  * SPARK_GRAFT_CPUS.
+  * `run` returns the JSON fragment so graft.Bench embeds the same
+  * measurements in the per-round BENCH line; the standalone main prints
+  * it alone. Env: SPARK_GRAFT_INGEST_ROWS (default 20 M, the reference
+  * e2e volume), SPARK_GRAFT_CPUS.
   */
 object IngestBench {
-  def main(args: Array[String]): Unit = {
-    val totalRows = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "1000000").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  /** Run the three paths; `bufferedRows` may be capped by the caller —
+    * the buffered path is ack-latency-bound by design and its rows/sec
+    * is flat in volume, so a capped run measures the same figure. */
+  def run(spark: SparkSession, bulkRows: Long, streamRows: Long,
+          bufferedRows: Long, threads: Int = 32): String = {
     // --- buffered path: writers -> parse -> BufferedIngest -> flush ---
     val root1 = Files.createTempDirectory("graft-ibench-buf-")
     val cat1 = new TableCatalog(root1.toString)
     val buf = new BufferedIngest(new IngestWriter(spark, root1.toString, cat1),
       saveTimeoutMs = 1000L)
-    val threads = 8
     val batchRows = 10000
-    val batches = math.max(1, totalRows / (threads * batchRows))
+    val batches = math.max(1, (bufferedRows / (threads.toLong * batchRows)).toInt)
     val pool = Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
@@ -62,7 +61,7 @@ object IngestBench {
     fs.foreach(Await.result(_, 30.minutes))
     buf.flush()
     val bufferedSec = (System.nanoTime() - t0) / 1e9
-    val bufferedRows = threads.toLong * batches * batchRows
+    val bufferedActual = threads.toLong * batches * batchRows
     buf.close(); pool.shutdown()
 
     // --- bulk path: storeDataFrame of pre-built rows ---
@@ -70,30 +69,43 @@ object IngestBench {
     val cat2 = new TableCatalog(root2.toString)
     val w2 = new IngestWriter(spark, root2.toString, cat2)
     import spark.implicits._
-    val df = spark.range(totalRows.toLong).select(
+    def rowsDf(n: Long) = spark.range(n).select(
       ($"id" % 8).cast("string").as("host"),
       ($"id" * 0.5).as("value"),
       $"id".as("seq"),
       (lit(1700000000000000000L) + $"id").as("time"))
     val t1 = System.nanoTime()
-    w2.storeDataFrame("default", "bulk", df)
+    w2.storeDataFrame("default", "bulk", rowsDf(bulkRows))
     val bulkSec = (System.nanoTime() - t1) / 1e9
 
-    // --- stream path: the StreamIngest micro-batch shape — per-task
-    // sorted files (singleFile=false), write scales with cores ---
+    // --- stream path: per-task sorted files, no single-task bottleneck ---
     val root3 = Files.createTempDirectory("graft-ibench-stream-")
     val cat3 = new TableCatalog(root3.toString)
     val w3 = new IngestWriter(spark, root3.toString, cat3)
-    val dfPar = df.repartition(cpus.toInt)
+    val dfPar = rowsDf(streamRows).repartition(spark.sparkContext.defaultParallelism)
     val t2 = System.nanoTime()
     val streamFiles = w3.storeDataFrame("default", "stream", dfPar, singleFile = false)
     val streamSec = (System.nanoTime() - t2) / 1e9
 
-    println(s"""{"metric":"ingest_rows_per_sec","buffered":${(bufferedRows / bufferedSec).toLong},""" +
-      s""""buffered_rows":$bufferedRows,"buffered_sec":$bufferedSec,""" +
-      s""""bulk":${(totalRows / bulkSec).toLong},"bulk_rows":$totalRows,"bulk_sec":$bulkSec,""" +
-      s""""stream":${(totalRows / streamSec).toLong},"stream_rows":$totalRows,""" +
-      s""""stream_sec":$streamSec,"stream_files":${streamFiles.size}}""")
+    s"""{"buffered":${(bufferedActual / bufferedSec).toLong},""" +
+      s""""buffered_rows":$bufferedActual,"buffered_sec":$bufferedSec,""" +
+      s""""bulk":${(bulkRows / bulkSec).toLong},"bulk_rows":$bulkRows,"bulk_sec":$bulkSec,""" +
+      s""""stream":${(streamRows / streamSec).toLong},"stream_rows":$streamRows,""" +
+      s""""stream_sec":$streamSec,"stream_files":${streamFiles.size}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val totalRows = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "20000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val json = run(spark, bulkRows = totalRows, streamRows = totalRows,
+      bufferedRows = totalRows, threads = 32)
+    println(s"""{"metric":"ingest_rows_per_sec",${json.drop(1)}""")
     spark.stop()
   }
 }
