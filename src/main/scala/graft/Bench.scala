@@ -22,10 +22,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // prime page cache + parquet footers + temp views + codegen JIT so
-    // per-query times measure the queries, not whichever one runs first
+    // per-query times measure the queries, not whichever one runs first.
+    // Each query also runs once against the smallest SF: a query's FIRST
+    // execution pays its class-loading + codegen compilation (measured:
+    // p02 9.2 s cold vs 2.0 s steady at sf0.1; p13's KMeans 3.1 vs 1.7),
+    // which would otherwise be billed to whichever query the map ordered
+    // first. sf0.001 is ~1000x smaller than the measured SF, so the warm
+    // pass costs seconds and touches none of the measured data.
     try {
       Tables.views(spark, sfDir)
       Tables.names.foreach(n => spark.table(n).count(): Unit)
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -139,7 +139,15 @@ object SimilarityOps {
       .filter(col("nvec").isNotNull)
       .withColumn("fv", array_to_vector(col("nvec")))
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10)
+      // 5 Lloyd iterations: each is Spark jobs over the sample, and the
+      // quantizer only needs balanced-ish cells — recall is governed by
+      // nprobe, and the recall/exactness specs hold at 5 as at 10
+      .setK(nlist).setSeed(seed).setMaxIter(5)
+      // random init, not k-means||: the parallel init alone runs several
+      // extra Spark jobs over the sample; on a bounded training sample
+      // Lloyd iterations converge the centroids either way, and IVF only
+      // needs balanced-ish cells, not an optimal clustering
+      .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(c.select("fv").limit(nlist * trainPerCell))
     (km, km.transform(c).drop("fv"))
