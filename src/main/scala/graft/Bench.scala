@@ -33,7 +33,11 @@ object Bench {
       Tables.views(spark, sfDir)
       Tables.names.foreach(n => spark.table(n).count(): Unit)
       val warmDir = "/root/testdata/sf0.001"
-      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      // canonical compare: a trailing slash / relative SPARK_GRAFT_SF_DIR
+      // naming the same dir must not defeat the don't-warm-on-measured guard
+      val warmF = new java.io.File(warmDir)
+      if (warmF.isDirectory &&
+          warmF.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath)
         SparkEntry.queries.foreach { case (_, fn) =>
           try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
           catch { case _: Throwable => () }

@@ -41,11 +41,14 @@ object IngestBench {
     val buf = new BufferedIngest(new IngestWriter(spark, root1.toString, cat1),
       saveTimeoutMs = 1000L)
     val batchRows = 10000
-    val batches = math.max(1, (bufferedRows / (threads.toLong * batchRows)).toInt)
-    val pool = Executors.newFixedThreadPool(threads)
+    // honor small bufferedRows requests: shrink the writer pool before
+    // rounding batches up, so a 100k smoke writes ~100k rows, not 320k
+    val effThreads = math.max(1, math.min(threads.toLong, bufferedRows / batchRows).toInt)
+    val batches = math.max(1, (bufferedRows / (effThreads.toLong * batchRows)).toInt)
+    val pool = Executors.newFixedThreadPool(effThreads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0 = System.nanoTime()
-    val fs = (0 until threads).map { t =>
+    val fs = (0 until effThreads).map { t =>
       Future {
         (0 until batches).foreach { b =>
           val base = 1700000000000000000L + (t.toLong * batches + b) * 1000000L
@@ -61,7 +64,7 @@ object IngestBench {
     fs.foreach(Await.result(_, 30.minutes))
     buf.flush()
     val bufferedSec = (System.nanoTime() - t0) / 1e9
-    val bufferedActual = threads.toLong * batches * batchRows
+    val bufferedActual = effThreads.toLong * batches * batchRows
     buf.close(); pool.shutdown()
 
     // --- bulk path: storeDataFrame of pre-built rows ---

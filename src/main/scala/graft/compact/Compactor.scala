@@ -142,12 +142,7 @@ object Compactor {
     // the partition URI names — same code for local, HDFS, s3a masters
     val hconf = spark.sparkContext.hadoopConfiguration
     val partUri = new HPath(partDir.toUri)
-    // raw FS on checksummed locals: otherwise rename drags `.crc`
-    // sidecars into published partition dirs (HDFS/s3a are unaffected)
-    val fs = partUri.getFileSystem(hconf) match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case f => f
-    }
+    val fs = ObjectStore.publishFs(partUri, hconf)
     val staging = new HPath(partUri, s".merge-${UUID.randomUUID()}")
     try {
       spark.read
@@ -168,8 +163,7 @@ object Compactor {
           u
         case None =>
           val dest = new HPath(partUri, plan.to)
-          if (!fs.rename(part, dest))
-            throw new java.io.IOException(s"publish rename failed: $part -> $dest")
+          ObjectStore.publishRename(fs, part, dest)
           dest.toUri.getPath
       }
       MetadataIndex.batch(partDir, spec.name,

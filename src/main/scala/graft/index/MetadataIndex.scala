@@ -20,6 +20,16 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   * Updates are read-modify-write + atomic rename (reference flush(),
   * json_index.go:405-416). One index per partition dir; callers
   * synchronize per-partition (the ingest writer and compactor do).
+  *
+  * Deployment contract (same as the reference, which is single-node):
+  * the index is DRIVER-owned — one writer process mutates manifests,
+  * executors never touch them. Data files may live elsewhere (the
+  * object-store path keeps bytes remote with the manifest as the commit,
+  * ObjectStore.scala); the manifest tree itself lives on the driver's
+  * root, which on a cluster is a shared/persistent mount. Spark-written
+  * DATA paths all go through the Hadoop FS API (IngestWriter/Compactor);
+  * java.nio here is fine because manifests are by contract local to the
+  * single writer.
   */
 final case class FileEntry(
     id: Long,

@@ -138,12 +138,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     // masters — only the table root URI changes.
     val hconf = spark.sparkContext.hadoopConfiguration
     val tableUri = new HPath(tableDir.toUri)
-    // raw FS on checksummed locals: otherwise rename drags `.crc`
-    // sidecars into published partition dirs (HDFS/s3a are unaffected)
-    val fs = tableUri.getFileSystem(hconf) match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case f => f
-    }
+    val fs = ObjectStore.publishFs(tableUri, hconf)
     val staging = new HPath(new HPath(tableUri, "tmp"), UUID.randomUUID().toString)
     fs.mkdirs(staging)
     // coalesce(1), not repartition(1): reads inputs straight into the
@@ -196,8 +191,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
           val destDir = if (rel.isEmpty) tableUri else new HPath(tableUri, rel)
           fs.mkdirs(destDir)
           val dest = new HPath(destDir, name)
-          if (!fs.rename(part, dest))
-            throw new java.io.IOException(s"publish rename failed: $part -> $dest")
+          ObjectStore.publishRename(fs, part, dest)
           dest.toUri.getPath
       }
       (rel, name, uri)
@@ -262,11 +256,32 @@ object ParquetStats {
       files.map { case (uri, name) => name -> manifestEntry(conf, uri, name) }.toMap
     } else {
       import org.apache.spark.util.GraftHadoopConf
-      val bc = GraftHadoopConf.broadcast(spark.sparkContext)
+      val bc = confBroadcast(spark)
       spark.sparkContext
         .parallelize(files, math.min(files.size, 64))
         .map { case (uri, name) => name -> manifestEntry(GraftHadoopConf.value(bc), uri, name) }
         .collect().toMap
+    }
+  }
+
+  /** One Hadoop-conf broadcast per SparkContext, not per micro-batch:
+    * the firehose path calls manifestEntries every few seconds, and a
+    * fresh broadcast each time churns the block manager between GCs.
+    * Staleness is a non-issue for THIS broadcast: stats jobs read staged
+    * files on the table root's FS, whose access needs no late-bound
+    * credentials (object-store creds only matter for published keys,
+    * which this job never touches). */
+  private val confBcRef = new java.util.concurrent.atomic.AtomicReference[
+    (org.apache.spark.SparkContext,
+     org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])]()
+  private def confBroadcast(spark: SparkSession) = {
+    val sc = spark.sparkContext
+    val cur = confBcRef.get()
+    if (cur != null && (cur._1 eq sc)) cur._2
+    else {
+      val bc = org.apache.spark.util.GraftHadoopConf.broadcast(sc)
+      confBcRef.set((sc, bc))
+      bc
     }
   }
 

@@ -199,12 +199,19 @@ object SimilarityOps {
   /** Full DuckDB oracle for `ivfTopKWith` given the TRAINED centroids
     * (the p07 pattern, with runtime-trained constants instead of seeded
     * ones): one scored-cells CTE replays both corpus assignment (rank-1
-    * cell) and query probing (rank ≤ nprobe) with the same argmax
-    * objective the Spark plan uses — dot(v,c) − |c|²/2, ties to the
-    * lowest cell id — over the same double-normalized vectors, so cells,
-    * candidates and ranks agree bit-for-bit. `Double.toString` renders
-    * shortest-round-trip literals, which DuckDB parses back to the same
-    * bits. */
+    * cell) and query probing (rank ≤ nprobe) with the argmax objective
+    * dot(v,c) − |c|²/2, ties to the lowest cell id, over the same
+    * double-normalized vectors. Probe ranking and final sims replay the
+    * Spark arithmetic exactly (`Double.toString` renders shortest-round-
+    * trip literals, which DuckDB parses back to the same bits). Corpus
+    * assignment is mathematically the same argmin KMeansModel.transform
+    * computes but NOT the same floating-point path (Spark ML's
+    * findClosest uses norm-based fastSquaredDistance with ~1e-6 relative
+    * bounds); a vector that close to equidistant between two centroids
+    * could be assigned differently. Both sides are deterministic on
+    * fixed data, so the tri-SF oracle pass means agreement holds for
+    * these datasets — keeping transform's map-only assignment (no
+    * corpus×nlist shuffle) is worth that bounded, gate-tested risk. */
   def ivfTopKSql(centers: Seq[Array[Double]], k: Int, nprobe: Int, maxQid: Int): String = {
     val values = centers.zipWithIndex.map { case (c, i) =>
       val arr = c.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")

@@ -86,9 +86,11 @@ object Pruning {
   * and its version-cached views; a RANGED or db-scoped request gets its
   * own child session (`spark.newSession()`: same SparkContext, shared
   * cache, private temp-view catalog + conf), so concurrent requests with
-  * different ranges cannot stomp each other and query planning never
-  * serializes on a global lock — `ensure`'s monitor now only guards the
-  * shared session's registration cache, not analysis.
+  * different ranges cannot stomp each other; only shared-session
+  * (unranged, default-scoped) requests still take the monitor, and only
+  * across registration + analysis (milliseconds — execution runs
+  * outside), to keep one query's table resolutions on a single
+  * registration snapshot.
   */
 final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
   private val registered = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -99,8 +101,14 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
   def sqlFor(sqlText: String, timeRangeNs: Option[(Long, Long)],
              bareDb: Option[String]): DataFrame = {
     if (timeRangeNs.isEmpty && bareDb.forall(_ == "default")) {
-      ensure(None, None)
-      spark.sql(sqlText)
+      // ensure + analysis under one monitor: a concurrent write bumping
+      // versions between this request's registration and its analysis
+      // would otherwise let one query resolve two tables at different
+      // manifest versions. Analysis is ms-scale; execution runs outside.
+      synchronized {
+        ensure(None, None)
+        spark.sql(sqlText)
+      }
     } else {
       val s = spark.newSession()
       graft.Tables.init(s) // child sessions don't inherit runtime conf/UDFs
@@ -168,8 +176,5 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
   /** Plan a SQL statement against the shared session's whole-table views
     * (SQL-embedded time predicates prune via the FileIndex
     * automatically). Equivalent to `sqlFor(sqlText, None, None)`. */
-  def sql(sqlText: String): DataFrame = {
-    ensure(None)
-    spark.sql(sqlText)
-  }
+  def sql(sqlText: String): DataFrame = sqlFor(sqlText, None, None)
 }

@@ -92,6 +92,21 @@ object ObjectStore {
   private def fs(spark: SparkSession, uri: String): FileSystem =
     new HPath(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** FileSystem for staging/publish work at `path` — raw (non-checksum)
+    * on locals, else rename drags `.crc` sidecars into published
+    * partition dirs. HDFS/s3a are unaffected by the unwrap. */
+  def publishFs(path: HPath, conf: org.apache.hadoop.conf.Configuration): FileSystem =
+    path.getFileSystem(conf) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+
+  /** Atomic-move publish for FS-resident tables (object-store tables use
+    * copyPublish + manifest commit instead — no rename on S3). */
+  def publishRename(fs: FileSystem, src: HPath, dest: HPath): Unit =
+    if (!fs.rename(src, dest))
+      throw new java.io.IOException(s"publish rename failed: $src -> $dest")
+
   /** Copy a staged file to its FINAL object key (PutObject semantics; no
     * rename). Overwrite is safe: keys embed a fresh UUID. Source rides
     * the Hadoop FS API too, so staging may live on any shared FS (local,
