@@ -132,4 +132,95 @@ object TextOps {
 
   def rollingFingerprintSql(textCol: String): String =
     s"list_reduce(string_split_regex(trim(lower($textCol)), '\\s+'), (acc, x) -> md5(acc || x))"
+
+  // ---- repetition filters (Gopher §A1.1 / C4-style quality rules):
+  //      natural text repeats little; scraped boilerplate, SEO spam and
+  //      generation loops repeat a lot. Standard pre-training gate. ----
+
+  /** Keep-thresholds on the rounded fractions (Gopher-inspired: its
+    * duplicate-line fraction cap is 0.30, top-2-gram 0.18). */
+  val DupWordMax = 0.5
+  val TopBigramMax = 0.18
+  val DupTrigramMax = 0.3
+
+  /** Per-doc repetition metrics + keep flag:
+    *  - dup_word_frac: 1 − distinct/total words (word-level repetition);
+    *  - top_bigram_frac: occurrences of the most frequent bigram over
+    *    all bigrams (loop/boilerplate detector);
+    *  - dup_trigram_frac: 1 − distinct/total trigrams;
+    *  - keep: all three under their caps (computed on the ROUNDED
+    *    values so the DuckDB oracle's boolean can never diverge at a
+    *    threshold boundary).
+    * Shape at scale: the n-gram arrays are per-row column expressions
+    * (no shuffle); only the bigram mode needs one explode + two
+    * partial-agged groupBys keyed by doc_id — linear, skew-free. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val w = col("__w")
+    def grams(n: Int): Column = {
+      val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+      transform(idx, i => concat_ws(" ", slice(w, i, lit(n))))
+    }
+    // tokenize, then materialize the gram arrays, THEN read them multiple
+    // times — HOF lambdas re-evaluate captured expressions per element,
+    // and size()/array_distinct() both re-reading an inline grams() would
+    // re-build the arrays (same trap as DedupOps.shingles)
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), size(w).as("n_words"),
+        size(array_distinct(w)).as("__dw"),
+        grams(2).as("__g2"), grams(3).as("__g3"))
+      .select(col("doc_id"), col("n_words"),
+        round(lit(1.0) - col("__dw").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        col("__g2"),
+        round(when(size(col("__g3")) > 0,
+          lit(1.0) - size(array_distinct(col("__g3"))).cast("double") / size(col("__g3")))
+          .otherwise(lit(0.0)), 6).as("dup_trigram_frac"))
+    val topBigram = base
+      .select(col("doc_id"), explode(col("__g2")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max("c").cast("double") / sum("c"), 6).as("top_bigram_frac"))
+    base.drop("__g2")
+      .join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        col("dup_trigram_frac"))
+      .withColumn("keep",
+        col("dup_word_frac") <= DupWordMax &&
+          col("top_bigram_frac") <= TopBigramMax &&
+          col("dup_trigram_frac") <= DupTrigramMax)
+  }
+
+  /** DuckDB oracle for repetitionStats (same constants, same rounding). */
+  def repetitionSql(table: String = "documents"): String = {
+    def r6(e: String) = OracleSql.roundD(e, 6)
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |g AS (
+       |  SELECT doc_id, w, len(w) AS nw,
+       |    list_transform(range(1, greatest(len(w), 1)), i -> w[i]||' '||w[i+1]) AS g2,
+       |    list_transform(range(1, greatest(len(w) - 1, 1)),
+       |                   i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS g3
+       |  FROM toks),
+       |bgc AS (
+       |  SELECT doc_id, gg, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(g2) AS gg FROM g) GROUP BY 1, 2),
+       |topb AS (
+       |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS tb FROM bgc GROUP BY 1),
+       |m AS (
+       |  SELECT g.doc_id, nw AS n_words,
+       |    ${r6("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / nw")} AS dup_word_frac,
+       |    coalesce(${r6("tb")}, 0.0) AS top_bigram_frac,
+       |    ${r6("CASE WHEN len(g3) > 0 THEN " +
+            "1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END")}
+       |      AS dup_trigram_frac
+       |  FROM g LEFT JOIN topb ON g.doc_id = topb.doc_id)
+       |SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, dup_trigram_frac,
+       |  (dup_word_frac <= $DupWordMax AND top_bigram_frac <= $TopBigramMax
+       |   AND dup_trigram_frac <= $DupTrigramMax) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 }

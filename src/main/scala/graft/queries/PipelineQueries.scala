@@ -135,6 +135,13 @@ object PipelineQueries {
         .select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
         .select(col("doc_id"), TextOps.rollingFingerprintOf(col("__w")).as("rfp"))
     }),
+
+    // ---- Gopher/C4-style repetition filters (dup-word / top-bigram /
+    //      dup-trigram fractions + keep gate; oracle-checked) ----
+    "p14_repetition_filters" -> ((s, dir) => {
+      TextOps.repetitionStats(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** p13's trained quantizer, captured when the query runs so the oracle
@@ -197,5 +204,6 @@ object PipelineQueries {
     "p12_rolling_fp" ->
       s"""SELECT doc_id, ${TextOps.rollingFingerprintSql("text")} AS rfp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "p14_repetition_filters" -> TextOps.repetitionSql(),
   )
 }

@@ -44,4 +44,30 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.rollingFingerprint($"text")).as[String].collect()
     assert(r(0) != r(1) && r(0) == r(2))
   }
+
+  test("repetitionStats: hand-computed fractions and keep gate") {
+    val df = TextOps.repetitionStats(docs(
+      "a a a b",        // doc 0: looping
+      "w x y z",        // doc 1: clean
+      "p q"))           // doc 2: too short for trigrams
+      .orderBy("doc_id").collect()
+
+    val d0 = df(0)
+    assert(d0.getAs[Int]("n_words") == 4)
+    // distinct {a,b}=2 of 4 -> 0.5; bigrams [a a, a a, a b] top 2/3;
+    // trigrams [a a a, a a b] all distinct -> 0
+    assert(d0.getAs[Double]("dup_word_frac") == 0.5)
+    assert(d0.getAs[Double]("top_bigram_frac") == 0.666667)
+    assert(d0.getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(!d0.getAs[Boolean]("keep"), "looping doc must be filtered")
+
+    val d1 = df(1)
+    assert(d1.getAs[Double]("dup_word_frac") == 0.0)
+    assert(d1.getAs[Double]("top_bigram_frac") == 0.333333) // 1 of 3
+    assert(!d1.getAs[Boolean]("keep"), "4 unique words still trip the bigram cap")
+
+    val d2 = df(2)
+    assert(d2.getAs[Double]("top_bigram_frac") == 1.0) // single bigram
+    assert(d2.getAs[Double]("dup_trigram_frac") == 0.0) // none -> defined 0
+  }
 }
