@@ -47,6 +47,45 @@ object DedupOps {
       .select(col("doc_id"), explode(array_distinct(sh)).as("s"))
   }
 
+  /** Benchmark-decontamination n-gram length. Real pipelines use 8-13
+    * word n-grams (GPT-3 used 13); 8 fits this corpus's 10-70-token
+    * documents while staying far above chance collision. */
+  val DecontamN = 8
+
+  /** Decontamination: flag corpus documents sharing ≥1 distinct n-gram
+    * with a held-out evaluation set (the standard pre-training hygiene
+    * pass before benchmark evaluation). Returns (doc_id, n_hits) for
+    * contaminated docs, n_hits = distinct shared n-grams.
+    *
+    * Scale shape: eval sets are tiny next to a 100 TB corpus, so the
+    * holdout's distinct shingles BROADCAST and the corpus side stays a
+    * map-side hash semi-join — no corpus shuffle until the per-doc hit
+    * count, which only aggregates matching rows. */
+  def decontaminate(corpus: DataFrame, holdout: DataFrame,
+                    n: Int = DecontamN): DataFrame = {
+    val hh = shingles(holdout, n).select(col("s")).distinct()
+    shingles(corpus, n)
+      .join(broadcast(hh), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** DuckDB oracle for `decontaminate` with holdout = doc_id < maxHoldout
+    * and corpus = the rest (the p15 query's split). */
+  def decontaminateSql(maxHoldout: Long, n: Int = DecontamN): String = {
+    val gram = (0 until n).map(k => s"w[i+$k]").mkString("||' '||")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - ${n - 2}, 1)), i -> $gram))) s
+       |  FROM toks),
+       |hold AS (SELECT DISTINCT s FROM sh WHERE doc_id < $maxHoldout)
+       |SELECT sh.doc_id, count(*) AS n_hits
+       |FROM sh JOIN hold USING (s)
+       |WHERE sh.doc_id >= $maxHoldout
+       |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+  }
+
   /** Default stop-shingle document-frequency cap, as a fraction of corpus
     * size: shingles present in more than max(ceil(frac·N), floor)
     * documents are dropped before the pair join. 1/256 is exactly

@@ -142,7 +142,20 @@ object PipelineQueries {
       TextOps.repetitionStats(Tables.load(s, dir, "documents"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- benchmark decontamination: corpus docs sharing an 8-gram with
+    //      the doc_id<50 holdout (broadcast semi-join; oracle-checked) ----
+    "p15_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      DedupOps.decontaminate(
+        docs.filter(col("doc_id") >= DecontamHoldout),
+        docs.filter(col("doc_id") < DecontamHoldout))
+        .orderBy(col("doc_id"))
+    }),
   )
+
+  /** p15's holdout split: the first docs stand in for an eval set. */
+  val DecontamHoldout = 50L
 
   /** p13's trained quantizer, captured when the query runs so the oracle
     * SQL can replay the SAME centroids (Verify runs all queries, then
@@ -205,5 +218,6 @@ object PipelineQueries {
       s"""SELECT doc_id, ${TextOps.rollingFingerprintSql("text")} AS rfp
          |FROM documents ORDER BY doc_id""".stripMargin,
     "p14_repetition_filters" -> TextOps.repetitionSql(),
+    "p15_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
   )
 }

@@ -108,4 +108,17 @@ class DedupOpsSpec extends SparkSpec {
     assert(blocked == pairsWith(1)) // 1 block == plain all-pairs
     assert((0L until 20L).forall(k => blocked.contains((k, k + 100L))))
   }
+
+  test("decontaminate flags corpus docs sharing an n-gram with the holdout") {
+    val holdout = Seq((0L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, base),                                   // verbatim copy: contaminated
+      (11L, "totally unrelated words here " * 5),    // clean
+      (12L, s"prefix $base suffix"))                 // embedded copy: contaminated
+      .toDF("doc_id", "text")
+    val r = DedupOps.decontaminate(corpus, holdout, n = 8)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // base has 20 tokens -> 13 8-grams, all shared by doc 10 and doc 12
+    assert(r == Seq((10L, 13L), (12L, 13L)), r)
+  }
 }
