@@ -151,9 +151,12 @@ object TextOps {
     *  - keep: all three under their caps (computed on the ROUNDED
     *    values so the DuckDB oracle's boolean can never diverge at a
     *    threshold boundary).
-    * Shape at scale: the n-gram arrays are per-row column expressions
-    * (no shuffle); only the bigram mode needs one explode + two
-    * partial-agged groupBys keyed by doc_id — linear, skew-free. */
+    * Shape at scale: everything is a per-row column expression — ZERO
+    * shuffles. The bigram mode (most frequent bigram's count) is the max
+    * run length over the SORTED bigram array, one aggregate() pass per
+    * row, instead of an explode + two groupBys + self-join that would
+    * recompute the tokenize/gram base for the exploded branch (measured
+    * 5.2 s vs 1 s at sf0.1). */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val w = col("__w")
@@ -162,11 +165,19 @@ object TextOps {
         .otherwise(array().cast("array<int>"))
       transform(idx, i => concat_ws(" ", slice(w, i, lit(n))))
     }
+    // run lengths over the sorted array: (prev, run, best) fold
+    val topRun = aggregate(array_sort(col("__g2")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
     // tokenize, then materialize the gram arrays, THEN read them multiple
     // times — HOF lambdas re-evaluate captured expressions per element,
     // and size()/array_distinct() both re-reading an inline grams() would
     // re-build the arrays (same trap as DedupOps.shingles)
-    val base = docs
+    docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
       .select(col("doc_id"), size(w).as("n_words"),
         size(array_distinct(w)).as("__dw"),
@@ -174,20 +185,12 @@ object TextOps {
       .select(col("doc_id"), col("n_words"),
         round(lit(1.0) - col("__dw").cast("double") / col("n_words"), 6)
           .as("dup_word_frac"),
-        col("__g2"),
+        round(when(size(col("__g2")) > 0,
+          topRun.cast("double") / size(col("__g2"))).otherwise(lit(0.0)), 6)
+          .as("top_bigram_frac"),
         round(when(size(col("__g3")) > 0,
           lit(1.0) - size(array_distinct(col("__g3"))).cast("double") / size(col("__g3")))
           .otherwise(lit(0.0)), 6).as("dup_trigram_frac"))
-    val topBigram = base
-      .select(col("doc_id"), explode(col("__g2")).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(round(max("c").cast("double") / sum("c"), 6).as("top_bigram_frac"))
-    base.drop("__g2")
-      .join(topBigram, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
-        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
-        col("dup_trigram_frac"))
       .withColumn("keep",
         col("dup_word_frac") <= DupWordMax &&
           col("top_bigram_frac") <= TopBigramMax &&
