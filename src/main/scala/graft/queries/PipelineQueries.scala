@@ -24,17 +24,21 @@ object PipelineQueries {
         .orderBy(col("h"))
     }),
 
-    // ---- n-gram Jaccard near-dup pairs (inverted-index join) ----
+    // ---- n-gram Jaccard near-dup pairs (inverted-index join;
+    //      loadSpread: the single-file scan would otherwise tokenize +
+    //      shingle the whole corpus in ONE task before the first
+    //      exchange) ----
     "p02_ngram_jaccard" -> ((s, dir) => {
-      DedupOps.ngramJaccardPairs(Tables.load(s, dir, "documents"), NearDupTau)
+      DedupOps.ngramJaccardPairs(Tables.loadSpread(s, dir, "documents"), NearDupTau)
         .select(col("da"), col("db"), round(col("j"), 6).as("j"))
         .orderBy(col("da"), col("db"))
     }),
 
     // ---- MinHash+LSH near-dup pairs, exact-verified (same oracle:
-    //      banded 16×4 signatures make a miss at j≥0.9 ~4e-8) ----
+    //      banded 16×4 signatures make a miss at j≥0.9 ~4e-8;
+    //      loadSpread as p02) ----
     "p03_minhash_lsh" -> ((s, dir) => {
-      DedupOps.minHashPairs(Tables.load(s, dir, "documents"), NearDupTau)
+      DedupOps.minHashPairs(Tables.loadSpread(s, dir, "documents"), NearDupTau)
         .select(col("da"), col("db"), round(col("j"), 6).as("j"))
         .orderBy(col("da"), col("db"))
     }),
