@@ -260,6 +260,9 @@ object ParquetStats {
       spark.sparkContext
         .parallelize(files, math.min(files.size, 64))
         .map { case (uri, name) => name -> manifestEntry(GraftHadoopConf.value(bc), uri, name) }
+        // metadata-only collect: one small FileEntry per published file,
+        // bounded by the batch's file count — the driver owns the
+        // manifest and must write these; no table data moves
         .collect().toMap
     }
   }
