@@ -69,9 +69,40 @@ final case class PartitionIndex(
 object MetadataIndex {
   val FileName = "metadata.json"
 
+  /** Parse cache keyed by (mtime, size): every GraftFileIndex snapshot
+    * and compaction tick calls `load` for EVERY partition dir, but only
+    * partitions written since the last call changed. `persist` always
+    * lands a fresh file via atomic rename, so (mtime, size) identifies
+    * content; unchanged manifests return the cached immutable
+    * PartitionIndex without re-reading JSON. At 10k hour-partitions and
+    * 1 s flush cadence this turns each refresh from 10k JSON parses
+    * into 10k stats + ~1 parse. */
+  private val parseCache =
+    new java.util.concurrent.ConcurrentHashMap[Path, (java.nio.file.attribute.FileTime, Long, PartitionIndex)]()
+  private val ParseCacheMax = 100000
+
   def load(partitionDir: Path, tableName: String): PartitionIndex = {
     val f = partitionDir.resolve(FileName)
     if (!Files.exists(f)) return PartitionIndex(tableName, Map.empty, Vector.empty)
+    val key = f.toAbsolutePath
+    val attrs =
+      try Some(Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes]))
+      catch { case _: java.io.IOException => None } // raced with a rename: parse fresh
+    attrs.flatMap { a =>
+      Option(parseCache.get(key)).collect {
+        case (m, s, idx) if m == a.lastModifiedTime() && s == a.size() => idx
+      }
+    }.getOrElse {
+      val idx = parse(f, tableName)
+      attrs.foreach { a =>
+        if (parseCache.size() > ParseCacheMax) parseCache.clear()
+        parseCache.put(key, (a.lastModifiedTime(), a.size(), idx))
+      }
+      idx
+    }
+  }
+
+  private def parse(f: Path, tableName: String): PartitionIndex = {
     implicit val fmts: Formats = DefaultFormats
     val j = JsonMethods.parse(Files.readString(f))
     val files = (j \ "files") match {

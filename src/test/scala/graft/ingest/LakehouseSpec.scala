@@ -135,6 +135,21 @@ class LakehouseSpec extends SparkSpec {
     assert(Pruning.readTable(spark, cat, "default", "ob").count() == 3)
   }
 
+  test("manifest parse cache: unchanged file returns the same instance; writes invalidate") {
+    val root = Files.createTempDirectory("graft-mcache-")
+    val dir = root.resolve("p")
+    graft.index.MetadataIndex.batch(dir, "t",
+      add = Seq(graft.index.FileEntry(0, "a.1.parquet", 10, 1, 5, 5, 6)))
+    val i1 = graft.index.MetadataIndex.load(dir, "t")
+    val i2 = graft.index.MetadataIndex.load(dir, "t")
+    assert(i1 eq i2, "unchanged manifest must hit the parse cache")
+    graft.index.MetadataIndex.batch(dir, "t",
+      add = Seq(graft.index.FileEntry(0, "b.1.parquet", 20, 2, 7, 7, 8)))
+    val i3 = graft.index.MetadataIndex.load(dir, "t")
+    assert(i3.entries.size == 2 && i3.walSequence == 2,
+      "a write must invalidate the cached parse")
+  }
+
   test("storeDataFrame ingests a typed DataFrame (NDJSON-style path)") {
     val root = freshRoot()
     val (cat, w) = writer(root)
