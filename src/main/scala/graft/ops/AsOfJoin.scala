@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of join — the time-series primitive Spark lacks (and
+  * the natural companion to this engine's int64-ns time model): for every
+  * left row, attach the latest right row whose time is ≤ the left row's
+  * time within the same key. DuckDB ships it natively (`ASOF JOIN`),
+  * which is exactly what the differential oracle uses.
+  *
+  * Composition, not a custom physical operator (preference (a) of the
+  * custom-op ladder): both sides union with a side flag, one window pass
+  * carries the last right-side payload forward in (time, side) order,
+  * left rows keep the carried struct. That is:
+  *
+  *  - ONE hash shuffle on the key (the window's partitionBy) — no join
+  *    explosion, no per-row probing, no broadcast requirement;
+  *  - linear in |left| + |right| with an in-partition sort, the same
+  *    cost shape as a sort-merge join's sort phase;
+  *  - inclusive ties (right time == left time matches), because right
+  *    rows sort BEFORE left rows at equal time.
+  *
+  * At 100 TB: partitions hold whole keys (series); a single dominant key
+  * is the same skew case as any keyed window — pre-split it with
+  * [[SkewOps]] salting and merge the carried edge, or range-partition by
+  * (key, time). The payload rides as ONE struct column, so a wide right
+  * side costs one carried value per row, not one window pass per column.
+  */
+object AsOfJoin {
+
+  /** `rightCols` are the right-side columns carried onto each left row
+    * (null when no right row at-or-before the left time exists — a right
+    * row with null payload VALUES still matches, like SQL ASOF). Both
+    * sides must expose `key`; `rightCols` must not collide with left
+    * column names. Output: all left columns + `rightCols`, left row
+    * count preserved. */
+  def asof(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String,
+           rightCols: Seq[String]): DataFrame = {
+    require(rightCols.forall(c => !left.columns.contains(c)),
+      s"right carry columns ${rightCols.mkString(",")} collide with left columns")
+    val leftOut = left.columns.toSeq
+    val payload = struct(rightCols.map(col): _*)
+
+    val l = left
+      .withColumn("__t", col(leftTime).cast("long"))
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(rightCols.map(c =>
+          org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
+      .select(col(key) +: col("__t") +: col("__side") +: col("__p") +:
+        leftOut.filterNot(_ == key).map(col): _*)
+    val r = right
+      .select(col(key), col(rightTime).cast("long").as("__t"), lit(0).as("__side"),
+        payload.as("__p"))
+      .select(col(key) +: col("__t") +: col("__side") +: col("__p") +:
+        leftOut.filterNot(_ == key).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)): _*)
+
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = last(when(col("__side") === 0, col("__p")), ignoreNulls = true).over(w)
+
+    l.unionByName(r)
+      .withColumn("__c", carried)
+      .filter(col("__side") === 1)
+      .select(leftOut.map(col) ++ rightCols.map(c => col(s"__c.$c").as(c)): _*)
+  }
+}

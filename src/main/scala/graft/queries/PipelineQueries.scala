@@ -147,6 +147,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- as-of join: per event-type, attach the latest even-id event
+    //      at-or-before each odd-id event. One keyed shuffle + window
+    //      carry (AsOfJoin); DuckDB's native ASOF JOIN is the oracle ----
+    "p16_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      // µs-truncated ns on BOTH sides: DuckDB reads TIMESTAMP_NS at µs,
+      // and as-of compares times, so sub-µs ns would flip same-µs ties
+      val tUs = expr("(ts DIV 1000) * 1000")
+      val l = ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id").as("l_id"), col("event_type").as("etype"),
+          tUs.as("lts"))
+      // right side deduped per (etype, ts) so the match is deterministic
+      val r = ev.filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type").as("etype"), tUs.as("rts"))
+        .agg(min("event_id").as("r_id"),
+          min_by(col("value"), col("event_id")).as("rv"))
+      graft.ops.AsOfJoin.asof(l, r, key = "etype",
+        leftTime = "lts", rightTime = "rts", rightCols = Seq("r_id", "rv"))
+        .select(col("l_id"), col("etype"), col("lts"), col("r_id"),
+          round(col("rv"), 4).as("rv"))
+        .orderBy(col("l_id"))
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing an 8-gram with
     //      the doc_id<50 holdout (broadcast semi-join; oracle-checked) ----
     "p15_decontaminate" -> ((s, dir) => {
@@ -223,5 +246,17 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "p14_repetition_filters" -> TextOps.repetitionSql(),
     "p15_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
+    "p16_asof_join" ->
+      s"""WITH l AS (
+         |  SELECT event_id AS l_id, event_type AS etype, epoch_ns(ts) AS lts
+         |  FROM events WHERE event_id % 2 = 1),
+         |r AS (
+         |  SELECT event_type AS etype, epoch_ns(ts) AS rts,
+         |    min(event_id) AS r_id, arg_min(value, event_id) AS rv
+         |  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2)
+         |SELECT l.l_id, l.etype, l.lts, r.r_id,
+         |  ${OracleSql.roundD("r.rv", 4)} AS rv
+         |FROM l ASOF LEFT JOIN r ON l.etype = r.etype AND r.rts <= l.lts
+         |ORDER BY l_id""".stripMargin,
   )
 }
