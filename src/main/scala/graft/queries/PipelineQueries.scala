@@ -170,6 +170,42 @@ object PipelineQueries {
         .orderBy(col("l_id"))
     }),
 
+    // ---- bucketed range join: odd-id events (points) vs 1-hour
+    //      intervals opened by even-id events; equi-join on (etype,
+    //      bucket) replaces the cartesian BETWEEN join. Oracle: plain
+    //      inequality join (fine at oracle scale) ----
+    "p17_range_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val tUs = expr("(ts DIV 1000) * 1000")
+      val p = ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id").as("p_id"), col("event_type").as("etype"), tUs.as("t"))
+      val iv = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").as("iv_id"), col("event_type").as("etype"),
+          tUs.as("s0"), (tUs + lit(IntervalNs)).as("e0"))
+      val matches = graft.ops.RangeJoin.pointInInterval(
+        p, iv, key = "etype", pointTime = "t", ivStart = "s0", ivEnd = "e0",
+        bucketNs = IntervalNs)
+      val agg = matches.groupBy("p_id")
+        .agg(count(lit(1)).as("n_cover"), min("iv_id").as("first_iv"))
+      p.join(agg, Seq("p_id"), "left")
+        .select(col("p_id"), col("etype"), col("t"),
+          coalesce(col("n_cover"), lit(0L)).as("n_cover"), col("first_iv"))
+        .orderBy(col("p_id"))
+    }),
+
+    // ---- gap-based sessionization (30 min silence splits; per-session
+    //      rollup). One keyed window + one partial-agged groupBy ----
+    "p18_sessionize" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type").as("etype"),
+          expr("(ts DIV 1000) * 1000").as("t"))
+      graft.ops.Sessionize.sessionize(ev, key = "etype", timeCol = "t",
+        tieCol = "event_id", gapNs = SessionGapNs)
+        .groupBy(col("etype"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"), min("t").as("t_start"), max("t").as("t_end"))
+        .orderBy(col("etype"), col("session_seq"))
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing an 8-gram with
     //      the doc_id<50 holdout (broadcast semi-join; oracle-checked) ----
     "p15_decontaminate" -> ((s, dir) => {
@@ -183,6 +219,13 @@ object PipelineQueries {
 
   /** p15's holdout split: the first docs stand in for an eval set. */
   val DecontamHoldout = 50L
+
+  /** p17's interval length AND bucket width (1 h in ns): each interval
+    * covers ≤ 2 buckets. */
+  val IntervalNs = 3600000000000L
+
+  /** p18's session gap (30 min in ns). */
+  val SessionGapNs = 1800000000000L
 
   /** p13's trained quantizer, captured when the query runs so the oracle
     * SQL can replay the SAME centroids (Verify runs all queries, then
@@ -246,6 +289,36 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "p14_repetition_filters" -> TextOps.repetitionSql(),
     "p15_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
+    "p17_range_join" ->
+      s"""WITH p AS (
+         |  SELECT event_id AS p_id, event_type AS etype, epoch_ns(ts) AS t
+         |  FROM events WHERE event_id % 2 = 1),
+         |iv AS (
+         |  SELECT event_id AS iv_id, event_type AS etype,
+         |    epoch_ns(ts) AS s0, epoch_ns(ts) + $IntervalNs AS e0
+         |  FROM events WHERE event_id % 2 = 0)
+         |SELECT p.p_id, p.etype, p.t,
+         |  count(iv.iv_id) AS n_cover, min(iv.iv_id) AS first_iv
+         |FROM p LEFT JOIN iv
+         |  ON p.etype = iv.etype AND p.t BETWEEN iv.s0 AND iv.e0
+         |GROUP BY 1, 2, 3 ORDER BY p_id""".stripMargin,
+    "p18_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type AS etype, epoch_ns(ts) AS t FROM events),
+         |flagged AS (
+         |  SELECT etype, t, event_id,
+         |    CASE WHEN t - lag(t) OVER (PARTITION BY etype ORDER BY t, event_id)
+         |              > $SessionGapNs THEN 1 ELSE 0 END AS nf
+         |  FROM e),
+         |s AS (
+         |  SELECT etype, t,
+         |    CAST(sum(nf) OVER (PARTITION BY etype ORDER BY t, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS session_seq
+         |  FROM flagged)
+         |SELECT etype, session_seq, count(*) AS n_events,
+         |  min(t) AS t_start, max(t) AS t_end
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "p16_asof_join" ->
       s"""WITH l AS (
          |  SELECT event_id AS l_id, event_type AS etype, epoch_ns(ts) AS lts
