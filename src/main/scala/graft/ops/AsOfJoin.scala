@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,28 +42,21 @@ object AsOfJoin {
     require(rightCols.forall(c => !left.columns.contains(c)),
       s"right carry columns ${rightCols.mkString(",")} collide with left columns")
     val leftOut = left.columns.toSeq
-    val payload = struct(rightCols.map(col): _*)
 
     val l = left
       .withColumn("__t", col(leftTime).cast("long"))
       .withColumn("__side", lit(1))
-      .withColumn("__p", lit(null).cast(
-        org.apache.spark.sql.types.StructType(rightCols.map(c =>
-          org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
-      .select(col(key) +: col("__t") +: col("__side") +: col("__p") +:
-        leftOut.filterNot(_ == key).map(col): _*)
     val r = right
       .select(col(key), col(rightTime).cast("long").as("__t"), lit(0).as("__side"),
-        payload.as("__p"))
-      .select(col(key) +: col("__t") +: col("__side") +: col("__p") +:
-        leftOut.filterNot(_ == key).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)): _*)
+        struct(rightCols.map(col): _*).as("__p"))
 
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = last(when(col("__side") === 0, col("__p")), ignoreNulls = true).over(w)
 
-    l.unionByName(r)
+    // allowMissingColumns null-fills each side's absent columns (the
+    // left's __p payload, the right's left-only columns)
+    l.unionByName(r, allowMissingColumns = true)
       .withColumn("__c", carried)
       .filter(col("__side") === 1)
       .select(leftOut.map(col) ++ rightCols.map(c => col(s"__c.$c").as(c)): _*)

@@ -72,8 +72,7 @@ object MultimodalOps {
       Some((w, h, feat))
     }
   } catch { // IIOException on corrupt body; some plugins throw unchecked
-    case _: java.io.IOException => None
-    case _: RuntimeException => None
+    case _: java.io.IOException | _: RuntimeException => None
   }
 
   /** REAL audio decode for WAV/PCM via the JDK's javax.sound.sampled —
@@ -131,9 +130,8 @@ object MultimodalOps {
       }
     } finally in.close()
   } catch {
-    case _: javax.sound.sampled.UnsupportedAudioFileException => None
-    case _: java.io.IOException => None
-    case _: RuntimeException => None
+    case _: javax.sound.sampled.UnsupportedAudioFileException |
+         _: java.io.IOException | _: RuntimeException => None
   }
 
   /** STUB — deterministic fake "decode" for VIDEO (and unknown) kinds: a

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{DedupOps, MultimodalOps, OracleSql, SimilarityOps, TextOps}
+import graft.ops.{AsOfJoin, DedupOps, MultimodalOps, OracleSql, RangeJoin, Sessionize, SimilarityOps, TextOps}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -154,7 +154,7 @@ object PipelineQueries {
       val ev = Tables.load(s, dir, "events")
       // µs-truncated ns on BOTH sides: DuckDB reads TIMESTAMP_NS at µs,
       // and as-of compares times, so sub-µs ns would flip same-µs ties
-      val tUs = expr("(ts DIV 1000) * 1000")
+      val tUs = eventTsUs
       val l = ev.filter(col("event_id") % 2 === 1)
         .select(col("event_id").as("l_id"), col("event_type").as("etype"),
           tUs.as("lts"))
@@ -163,7 +163,7 @@ object PipelineQueries {
         .groupBy(col("event_type").as("etype"), tUs.as("rts"))
         .agg(min("event_id").as("r_id"),
           min_by(col("value"), col("event_id")).as("rv"))
-      graft.ops.AsOfJoin.asof(l, r, key = "etype",
+      AsOfJoin.asof(l, r, key = "etype",
         leftTime = "lts", rightTime = "rts", rightCols = Seq("r_id", "rv"))
         .select(col("l_id"), col("etype"), col("lts"), col("r_id"),
           round(col("rv"), 4).as("rv"))
@@ -176,13 +176,13 @@ object PipelineQueries {
     //      inequality join (fine at oracle scale) ----
     "p17_range_join" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
-      val tUs = expr("(ts DIV 1000) * 1000")
+      val tUs = eventTsUs
       val p = ev.filter(col("event_id") % 2 === 1)
         .select(col("event_id").as("p_id"), col("event_type").as("etype"), tUs.as("t"))
       val iv = ev.filter(col("event_id") % 2 === 0)
         .select(col("event_id").as("iv_id"), col("event_type").as("etype"),
           tUs.as("s0"), (tUs + lit(IntervalNs)).as("e0"))
-      val matches = graft.ops.RangeJoin.pointInInterval(
+      val matches = RangeJoin.pointInInterval(
         p, iv, key = "etype", pointTime = "t", ivStart = "s0", ivEnd = "e0",
         bucketNs = IntervalNs)
       val agg = matches.groupBy("p_id")
@@ -198,8 +198,8 @@ object PipelineQueries {
     "p18_sessionize" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type").as("etype"),
-          expr("(ts DIV 1000) * 1000").as("t"))
-      graft.ops.Sessionize.sessionize(ev, key = "etype", timeCol = "t",
+          eventTsUs.as("t"))
+      Sessionize.sessionize(ev, key = "etype", timeCol = "t",
         tieCol = "event_id", gapNs = SessionGapNs)
         .groupBy(col("etype"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"), min("t").as("t_start"), max("t").as("t_end"))
@@ -216,6 +216,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
   )
+
+  /** events.ts at µs granularity (still ns units): DuckDB reads
+    * TIMESTAMP_NS truncated to µs, so every oracle-compared time — and
+    * every time COMPARISON (as-of, range, session gaps) — must happen on
+    * the truncated value or sub-µs ns flip same-µs ties. */
+  private def eventTsUs = expr("(ts DIV 1000) * 1000")
 
   /** p15's holdout split: the first docs stand in for an eval set. */
   val DecontamHoldout = 50L
