@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, DedupOps, MultimodalOps, OracleSql, RangeJoin, Sessionize, SimilarityOps, TextOps}
+import graft.ops.{AsOfJoin, DedupOps, MultimodalOps, OracleSql, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -206,6 +206,19 @@ object PipelineQueries {
         .orderBy(col("etype"), col("session_seq"))
     }),
 
+    // ---- deterministic source-weighted sampling: md5-bucketed keep
+    //      decision is a pure function of doc_id (partitioning/rerun
+    //      invariant, oracle-checkable); sources get different rates —
+    //      the training-mix use case. Map-only, zero shuffle ----
+    "p19_hash_sample" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 3).as("source"),
+          SampleOps.hashBucket(col("doc_id")).as("bucket"))
+        .filter(col("bucket") < when(col("source") === 0, 1000L)
+          .when(col("source") === 1, 500L).otherwise(250L))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing an 8-gram with
     //      the doc_id<50 holdout (broadcast semi-join; oracle-checked) ----
     "p15_decontaminate" -> ((s, dir) => {
@@ -295,6 +308,14 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "p14_repetition_filters" -> TextOps.repetitionSql(),
     "p15_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
+    "p19_hash_sample" ->
+      s"""SELECT doc_id, doc_id % 3 AS source,
+         |  ${SampleOps.bucketSql("doc_id")} AS bucket
+         |FROM documents
+         |WHERE ${SampleOps.bucketSql("doc_id")} <
+         |  CASE WHEN doc_id % 3 = 0 THEN 1000
+         |       WHEN doc_id % 3 = 1 THEN 500 ELSE 250 END
+         |ORDER BY doc_id""".stripMargin,
     "p17_range_join" ->
       s"""WITH p AS (
          |  SELECT event_id AS p_id, event_type AS etype, epoch_ns(ts) AS t
