@@ -40,11 +40,12 @@ object DedupOps {
     // non-cheap expression it survives CollapseProject, so the split runs
     // exactly once per row.
     val w = col("__w")
-    val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    val sh = transform(idx, i => concat_ws(" ", slice(w, i, lit(n))))
+    // ngrams: codegen expression, not transform(sequence(...)) — the
+    // interpreted HOF pays a closure dispatch + slice per gram per doc
+    // (graft.functions.WordNGrams; byte-identical output)
     docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__w"))
-      .select(col("doc_id"), explode(array_distinct(sh)).as("s"))
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextExprs.ngrams(w, n))).as("s"))
   }
 
   /** Benchmark-decontamination n-gram length. Real pipelines use 8-13

@@ -160,11 +160,8 @@ object TextOps {
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val w = col("__w")
-    def grams(n: Int): Column = {
-      val idx = when(size(w) >= n, sequence(lit(1), size(w) - (n - 1)))
-        .otherwise(array().cast("array<int>"))
-      transform(idx, i => concat_ws(" ", slice(w, i, lit(n))))
-    }
+    // codegen n-gram builder (WordNGrams), not an interpreted HOF
+    def grams(n: Int): Column = graft.functions.TextExprs.ngrams(w, n)
     // run lengths over the sorted array: (prev, run, best) fold
     val topRun = aggregate(array_sort(col("__g2")),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),

@@ -45,6 +45,16 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0) != r(1) && r(0) == r(2))
   }
 
+  test("WordNGrams expression: exact grams, short arrays, null input") {
+    import graft.functions.TextExprs.ngrams
+    val df = Seq(Some(Seq("a", "b", "c", "d")), Some(Seq("x", "y")), None)
+      .toDF("w").select(ngrams($"w", 3).as("g"))
+    val r = df.collect().map(x => if (x.isNullAt(0)) null else x.getSeq[String](0))
+    assert(r(0) == Seq("a b c", "b c d"))
+    assert(r(1) == Seq())
+    assert(r(2) == null)
+  }
+
   test("repetitionStats: hand-computed fractions and keep gate") {
     val df = TextOps.repetitionStats(docs(
       "a a a b",        // doc 0: looping
