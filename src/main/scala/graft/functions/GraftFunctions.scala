@@ -85,7 +85,10 @@ object GraftFunctions {
     reg("toFloatOrZero")(es => tryCastOrZero(es.head, DoubleType))
     reg("intDiv")(es => new Divide(es(0), es(1)))
     reg("match")(es => new Like(es(0), es(1)))
-    // graft-native vector kernel (not in aliases.sql): codegen'd dot product
+    // graft-native kernels (not in aliases.sql): codegen'd dot product
+    // and word n-grams — `ngrams(words, n)` needs a literal int n
     reg("dotf")(es => DotProduct(es(0), es(1)))
+    reg("ngrams")(es => WordNGrams(es(0),
+      es(1).eval().asInstanceOf[Number].intValue()))
   }
 }

@@ -59,4 +59,9 @@ class FunctionsSpec extends SparkSpec {
     assert(one("epoch_ns(TIMESTAMP '1970-01-01 00:00:01')") == 1000000000L)
     assert(one("epoch_ns(TIMESTAMP '2024-01-15 00:00:00')") == 1705276800000000000L)
   }
+
+  test("ngrams is SQL-callable") {
+    assert(one("ngrams(array('a','b','c'), 2)") ==
+      scala.collection.mutable.ArraySeq("a b", "b c"))
+  }
 }
