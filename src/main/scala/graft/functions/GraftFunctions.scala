@@ -88,7 +88,17 @@ object GraftFunctions {
     // graft-native kernels (not in aliases.sql): codegen'd dot product
     // and word n-grams — `ngrams(words, n)` needs a literal int n
     reg("dotf")(es => DotProduct(es(0), es(1)))
-    reg("ngrams")(es => WordNGrams(es(0),
-      es(1).eval().asInstanceOf[Number].intValue()))
+    reg("ngrams") { es =>
+      val n = es(1) match {
+        case e if e.foldable => e.eval() match {
+          case i: Number => i.intValue()
+          case other => throw new IllegalArgumentException(
+            s"ngrams(words, n): n must be a literal integer, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "ngrams(words, n): n must be a literal integer, not a column")
+      }
+      WordNGrams(es(0), n)
+    }
   }
 }

@@ -50,7 +50,13 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
     var i = 0
     while (i < m) {
       var k = 0
-      while (k < n) { parts(k) = w.getUTF8String(i + k); k += 1 }
+      while (k < n) {
+        // isNullAt BEFORE get: the ArrayData contract leaves getUTF8String
+        // on a null slot undefined (ColumnarArray returns garbage, not
+        // null); concatWs then skips nulls exactly like concat_ws
+        parts(k) = if (w.isNullAt(i + k)) null else w.getUTF8String(i + k)
+        k += 1
+      }
       out(i) = UTF8String.concatWs(sep, parts: _*)
       i += 1
     }

@@ -71,28 +71,39 @@ object MetadataIndex {
 
   /** Parse cache keyed by (mtime, size): every GraftFileIndex snapshot
     * and compaction tick calls `load` for EVERY partition dir, but only
-    * partitions written since the last call changed. `persist` always
-    * lands a fresh file via atomic rename, so (mtime, size) identifies
-    * content; unchanged manifests return the cached immutable
-    * PartitionIndex without re-reading JSON. At 10k hour-partitions and
-    * 1 s flush cadence this turns each refresh from 10k JSON parses
-    * into 10k stats + ~1 parse. */
+    * partitions written since the last call changed. At 10k
+    * hour-partitions and 1 s flush cadence this turns each refresh from
+    * 10k JSON parses into 10k stats + ~1 parse.
+    *
+    * (mtime, size) is only APPROXIMATE content identity — two persists
+    * inside the filesystem's mtime granularity can produce equal-size
+    * files — so the cache serves READERS only; the mutating
+    * read-modify-write paths (batch/gc) parse fresh under their monitor
+    * (a stale read there would silently drop the intervening commit),
+    * and every persist refreshes the cache with the index it just
+    * wrote, which keeps readers exact for same-JVM writes. */
   private val parseCache =
     new java.util.concurrent.ConcurrentHashMap[Path, (java.nio.file.attribute.FileTime, Long, PartitionIndex)]()
   private val ParseCacheMax = 100000
 
-  def load(partitionDir: Path, tableName: String): PartitionIndex = {
+  def load(partitionDir: Path, tableName: String): PartitionIndex =
+    load(partitionDir, tableName, useCache = true)
+
+  private def load(partitionDir: Path, tableName: String,
+                   useCache: Boolean): PartitionIndex = {
     val f = partitionDir.resolve(FileName)
     if (!Files.exists(f)) return PartitionIndex(tableName, Map.empty, Vector.empty)
     val key = f.toAbsolutePath
     val attrs =
       try Some(Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes]))
       catch { case _: java.io.IOException => None } // raced with a rename: parse fresh
-    attrs.flatMap { a =>
-      Option(parseCache.get(key)).collect {
-        case (m, s, idx) if m == a.lastModifiedTime() && s == a.size() => idx
-      }
-    }.getOrElse {
+    val cached =
+      if (useCache) attrs.flatMap { a =>
+        Option(parseCache.get(key)).collect {
+          case (m, s, idx) if m == a.lastModifiedTime() && s == a.size() => idx
+        }
+      } else None
+    cached.getOrElse {
       val idx = parse(f, tableName)
       attrs.foreach { a =>
         if (parseCache.size() > ParseCacheMax) parseCache.clear()
@@ -146,7 +157,7 @@ object MetadataIndex {
             add: Seq[FileEntry] = Nil, remove: Seq[String] = Nil,
             nowMs: Long = System.currentTimeMillis()): PartitionIndex =
     synchronized {
-      val cur = load(partitionDir, tableName)
+      val cur = load(partitionDir, tableName, useCache = false)
       val nextId = (cur.entries.values.map(_.id) ++ Seq(0L)).max + 1
       val added = add.zipWithIndex.map { case (e, i) =>
         val withId = if (e.id == 0) e.copy(id = nextId + i) else e
@@ -169,7 +180,7 @@ object MetadataIndex {
          graceMs: Long = DropGraceMs,
          nowMs: Long = System.currentTimeMillis(),
          delete: Option[String => Unit] = None): Unit = synchronized {
-    val cur = load(partitionDir, tableName)
+    val cur = load(partitionDir, tableName, useCache = false)
     if (cur.dropQueue.isEmpty) return
     val (due, young) = cur.dropQueue.partition(d => nowMs - d.enqueuedAtMs >= graceMs)
     if (due.isEmpty) return
@@ -212,8 +223,15 @@ object MetadataIndex {
       }))
     val tmp = partitionDir.resolve(FileName + ".bak")
     Files.writeString(tmp, compact(render(json)))
-    Files.move(tmp, partitionDir.resolve(FileName),
+    val dest = partitionDir.resolve(FileName)
+    Files.move(tmp, dest,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // refresh the reader cache with the index just written, so same-JVM
+    // readers are exact regardless of mtime granularity
+    try {
+      val a = Files.readAttributes(dest, classOf[java.nio.file.attribute.BasicFileAttributes])
+      parseCache.put(dest.toAbsolutePath, (a.lastModifiedTime(), a.size(), idx))
+    } catch { case _: java.io.IOException => () }
   }
 
   /** All partition dirs (dirs containing metadata.json) under a table. */

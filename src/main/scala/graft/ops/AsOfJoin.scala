@@ -34,13 +34,28 @@ object AsOfJoin {
     * (null when no right row at-or-before the left time exists — a right
     * row with null payload VALUES still matches, like SQL ASOF). Both
     * sides must expose `key`; `rightCols` must not collide with left
-    * column names. Output: all left columns + `rightCols`, left row
-    * count preserved. */
+    * column names. The right side must be UNIQUE per (key, time) —
+    * dedupe first (e.g. min_by) or the carried payload among duplicates
+    * is partition-order dependent. Time columns must be integral (int64
+    * ns); TimestampType is rejected because casting it to long truncates
+    * to SECONDS. Output: all left columns + `rightCols`, left row count
+    * preserved. */
   def asof(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
            rightCols: Seq[String]): DataFrame = {
     require(rightCols.forall(c => !left.columns.contains(c)),
       s"right carry columns ${rightCols.mkString(",")} collide with left columns")
+    def requireIntegral(df: DataFrame, c: String): Unit = {
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+      require(ok, s"$c must be an integral time (int64 ns) — cast timestamps " +
+        "explicitly (a long cast of TimestampType silently truncates to seconds)")
+    }
+    requireIntegral(left, leftTime)
+    requireIntegral(right, rightTime)
     val leftOut = left.columns.toSeq
 
     val l = left

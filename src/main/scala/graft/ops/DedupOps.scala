@@ -28,9 +28,8 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
 
   /** doc_id → distinct n-gram (word) shingles, exploded. Documents with
-    * fewer than n tokens yield no shingles (the empty-sequence guard —
-    * sequence(1, 0) would otherwise be the DESCENDING array [1, 0] and
-    * slice(w, 0, n) throws under ANSI mode). */
+    * fewer than n tokens yield no shingles (WordNGrams returns an empty
+    * array for short docs). */
   def shingles(docs: DataFrame, n: Int = 3,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // Tokenize in a SEPARATE projection: lambdas of higher-order
