@@ -6,10 +6,17 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct. The Spark-side dataflow
-  * (schema, partitioning, per-partition batch decode) is real; image
-  * decode (JDK ImageIO) and WAV/PCM audio decode (javax.sound.sampled)
-  * are REAL too — only the video codec is a deterministic, clearly
-  * marked stand-in (no video codec ships with the JDK or container).
+  * (schema, partitioning, per-partition batch decode) is real, and so are
+  * ALL the measured codecs: images via JDK ImageIO (PNG/BMP/JPEG/GIF),
+  * WAV/PCM audio via javax.sound.sampled, and multi-frame "video" via
+  * ImageIO's frame reader (animated GIF — the one multi-frame container
+  * the JDK decodes natively). Video containers the JDK has no codec for
+  * (mp4 …) yield null features, honestly — a production deployment drops
+  * an ffmpeg-style codec into the same per-partition init slot.
+  *
+  * Feature math is integer accumulation + one double division per cell
+  * (order-independent, exactly replayable in SQL — see MediaGen.decodeSql,
+  * which makes the p11 correctness row hash-checked end-to-end).
   *
   * At 100 TB: binary payloads stay columnar in parquet, metadata predicates
   * prune before any decode, and decode runs once per partition batch via
@@ -39,39 +46,92 @@ object MultimodalOps {
 
   val FeatureDims = 8
 
+  /** Mean luminance per 2×4 grid cell of one frame, accumulated as exact
+    * integer (r+g+b) sums with ONE double division per cell — order-
+    * independent and bit-replayable in SQL. Cells outside a tiny image
+    * stay 0. */
+  private def luminanceGrid(img: java.awt.image.BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = new Array[Long](FeatureDims)
+    val cnt = new Array[Long](FeatureDims)
+    var y = 0
+    while (y < h) {
+      val row = (y * 2) / h // 2 grid rows
+      var x = 0
+      while (x < w) {
+        val cell = row * 4 + (x * 4) / w // 4 grid cols
+        val rgb = img.getRGB(x, y)
+        sum(cell) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(FeatureDims)(i =>
+      if (cnt(i) == 0) 0f else (sum(i) / (cnt(i) * 765.0)).toFloat)
+  }
+
   /** REAL image decode via the JDK's ImageIO (PNG/BMP/JPEG/GIF readers
     * ship with the JVM — zero extra dependencies). Features are the mean
-    * luminance of a 2×4 pixel grid, one float in [0,1] per cell; a grid
-    * cell outside a tiny image stays 0. Returns None when the bytes are
-    * not a decodable image (unrecognized OR corrupt: a valid signature
-    * with a broken body makes the reader THROW rather than return null —
-    * the contract is one bad asset degrades to null features, never a
-    * failed job). */
+    * luminance of a 2×4 pixel grid, one float in [0,1] per cell. Returns
+    * None when the bytes are not a decodable image (unrecognized OR
+    * corrupt: a valid signature with a broken body makes the reader THROW
+    * rather than return null — the contract is one bad asset degrades to
+    * null features, never a failed job). */
   private[ops] def imageDecode(media: Array[Byte]): Option[(Int, Int, Array[Float])] = try {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
     if (img == null) None
-    else {
-      val (w, h) = (img.getWidth, img.getHeight)
-      val sum = new Array[Double](FeatureDims)
-      val cnt = new Array[Long](FeatureDims)
-      var y = 0
-      while (y < h) {
-        val row = (y * 2) / h // 2 grid rows
-        var x = 0
-        while (x < w) {
-          val cell = row * 4 + (x * 4) / w // 4 grid cols
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
-          sum(cell) += lum; cnt(cell) += 1
-          x += 1
-        }
-        y += 1
-      }
-      val feat = Array.tabulate(FeatureDims)(i =>
-        if (cnt(i) == 0) 0f else (sum(i) / cnt(i)).toFloat)
-      Some((w, h, feat))
-    }
+    else Some((img.getWidth, img.getHeight, luminanceGrid(img)))
   } catch { // IIOException on corrupt body; some plugins throw unchecked
+    case _: java.io.IOException | _: RuntimeException => None
+  }
+
+  /** REAL multi-frame "video" decode via ImageIO's sequence reader —
+    * covers animated GIF, the one multi-frame container with a built-in
+    * JDK codec. Feature i is the mean luminance of frame i (first
+    * FeatureDims frames; missing frames stay exactly 0); width/height
+    * come from frame 0. Returns None for containers the JDK can't read
+    * (mp4 …) or corrupt bytes. */
+  private[ops] def videoDecode(media: Array[Byte]): Option[(Int, Int, Array[Float])] = try {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(media))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else {
+            var w0 = 0; var h0 = 0
+            val feat = new Array[Float](FeatureDims)
+            var i = 0
+            while (i < n && i < FeatureDims) {
+              val img = reader.read(i)
+              if (i == 0) { w0 = img.getWidth; h0 = img.getHeight }
+              // per-frame mean luminance: exact integer sum, one division
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              feat(i) = (sum / (img.getWidth.toLong * img.getHeight * 765.0)).toFloat
+              i += 1
+            }
+            Some((w0, h0, feat))
+          }
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  } catch {
     case _: java.io.IOException | _: RuntimeException => None
   }
 
@@ -98,7 +158,11 @@ object MultimodalOps {
         val frames = bytes.length / frameSize
         if (frames == 0) Some((0, channels, new Array[Float](FeatureDims)))
         else {
-          val sum = new Array[Double](FeatureDims)
+          // exact integer Σs² per window + ONE double division + IEEE
+          // sqrt: order-independent, bit-replayable in SQL (s² ≤ 2^30,
+          // so a window stays exact below 2^33 samples)
+          val den = (1L << (bits - 1)).toDouble
+          val sumSq = new Array[Long](FeatureDims)
           val cnt = new Array[Long](FeatureDims)
           var f = 0
           while (f < frames) {
@@ -108,23 +172,23 @@ object MultimodalOps {
               val off = f * frameSize + c * bytesPerSample
               val s =
                 if (bits == 8) {
-                  if (enc == PCM_UNSIGNED) ((bytes(off) & 0xff) - 128) / 128.0
-                  else bytes(off) / 128.0
+                  if (enc == PCM_UNSIGNED) (bytes(off) & 0xff) - 128
+                  else bytes(off).toInt
                 } else {
                   val (hi, lo) =
                     if (fmt.isBigEndian) (bytes(off), bytes(off + 1))
                     else (bytes(off + 1), bytes(off))
                   val raw = (hi.toInt << 8) | (lo & 0xff)
-                  val v = if (enc == PCM_UNSIGNED) (raw & 0xffff) - 32768 else raw
-                  v / 32768.0
+                  if (enc == PCM_UNSIGNED) (raw & 0xffff) - 32768 else raw
                 }
-              sum(win) += s * s; cnt(win) += 1
+              sumSq(win) += s.toLong * s; cnt(win) += 1
               c += 1
             }
             f += 1
           }
           val feat = Array.tabulate(FeatureDims)(i =>
-            if (cnt(i) == 0) 0f else math.sqrt(sum(i) / cnt(i)).toFloat)
+            if (cnt(i) == 0) 0f
+            else math.sqrt(sumSq(i) / (cnt(i) * den * den)).toFloat)
           Some((frames, channels, feat))
         }
       }
@@ -134,31 +198,12 @@ object MultimodalOps {
          _: java.io.IOException | _: RuntimeException => None
   }
 
-  /** STUB — deterministic fake "decode" for VIDEO (and unknown) kinds: a
-    * real implementation would decode the container and emit frame
-    * features (no video codec ships with the JDK). Image and audio kinds
-    * decode for REAL above. The Spark plumbing (binary in, fixed-width
-    * float vector + dims out, batched per partition) is the real
-    * contract; only `fakeDecode` is fake. */
-  private def fakeDecode(media: Array[Byte]): (Int, Int, Array[Float]) = {
-    // ??? real codec goes here; deterministic stand-in below
-    var h = 1125899906842597L
-    media.foreach(b => h = h * 31 + b)
-    val w = 16 + math.floorMod(h, 16).toInt
-    val ht = 16 + math.floorMod(h >> 8, 16).toInt
-    val feat = Array.tabulate(FeatureDims) { i =>
-      val z = h * (2 * i + 1) + i
-      (math.floorMod(z, 1000).toInt / 1000.0f)
-    }
-    (w, ht, feat)
-  }
-
   /** Batched per-partition decode: binary media → (width, height,
-    * feature vector). `meta.kind` routes the codec: image kinds (prefix
-    * "image/") through the REAL ImageIO decoder, audio kinds (prefix
-    * "audio/") through the REAL javax.sound WAV/PCM decoder — for both,
-    * undecodable bytes yield nulls, not fake numbers; remaining (video)
-    * kinds keep the deterministic stand-in.
+    * feature vector). `meta.kind` routes the codec, and every route is a
+    * REAL decoder: image kinds → ImageIO still-image decode, audio kinds
+    * → javax.sound WAV/PCM decode, video kinds → ImageIO multi-frame
+    * decode (animated GIF). Undecodable bytes — corrupt payloads, containers
+    * with no JDK codec, unknown kinds — yield nulls, never fake numbers.
     * mapPartitions keeps codec init per-batch, not per-row. */
   def decodeFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
@@ -176,10 +221,11 @@ object MultimodalOps {
           val media = r.getAs[Array[Byte]]("media")
           val kind = r.getString(2)
           val decoded: Option[(Int, Int, Array[Float])] =
-            if (media == null) None
-            else if (kind != null && kind.startsWith("image/")) imageDecode(media)
-            else if (kind != null && kind.startsWith("audio/")) audioDecode(media)
-            else Some(fakeDecode(media))
+            if (media == null || kind == null) None
+            else if (kind.startsWith("image/")) imageDecode(media)
+            else if (kind.startsWith("audio/")) audioDecode(media)
+            else if (kind.startsWith("video/")) videoDecode(media)
+            else None
           decoded match {
             case Some((w, h, f)) => Row(r.getLong(0), w, h, f)
             case None => Row(r.getLong(0), null, null, null)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, DedupOps, MultimodalOps, OracleSql, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps}
+import graft.ops.{AsOfJoin, DedupOps, MediaGen, MultimodalOps, OracleSql, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -123,12 +123,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- multimodal stubbed decode via mapPartitions (rows-only) ----
+    // ---- multimodal REAL decode via mapPartitions: deterministic PNG /
+    //      WAV / animated-GIF bytes are synthesized per doc (MediaGen),
+    //      then decoded by the REAL JDK codecs (ImageIO, javax.sound,
+    //      ImageIO frame reader). Oracle-checked: the constructions make
+    //      decode(synthesize(doc_id)) exact integer arithmetic + one
+    //      IEEE division (and sqrt) that DuckDB replays bit-for-bit.
+    //      loadSpread: codec work dominates, fan it out ----
     "p11_mm_decode" -> ((s, dir) => {
       MultimodalOps.decodeFeatures(
-        MultimodalOps.asAssets(Tables.load(s, dir, "documents")))
+        MediaGen.syntheticAssets(Tables.loadSpread(s, dir, "documents")))
         .select(col("doc_id"), col("width"), col("height"),
-          col("features")(0).as("f0"))
+          col("features")(0).cast("double").as("f0"),
+          col("features")(7).cast("double").as("f7"))
         .orderBy(col("doc_id"))
     }),
 
@@ -303,6 +310,7 @@ object PipelineQueries {
       """SELECT doc_id, octet_length(encode(text)) AS nbytes,
         |  hex(encode(substring(text, 1, 8))) AS head8
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p11_mm_decode" -> MediaGen.decodeSql(Seq(0, 7)),
     "p12_rolling_fp" ->
       s"""SELECT doc_id, ${TextOps.rollingFingerprintSql("text")} AS rfp
          |FROM documents ORDER BY doc_id""".stripMargin,
