@@ -138,9 +138,9 @@ object DedupOps {
       .filter(col("j") >= tau)
   }
 
-  /** DuckDB oracle for ngramJaccardPairs (n=3), same cap semantics. */
-  def jaccardPairsSql(tau: Double, capFrac: Option[Double] = Some(StopShingleFrac),
-                      order: String = "da, db"): String = {
+  /** Shared CTE chain (toks → sh → pruned → sizes → common) used by both
+    * the pair oracle and the cluster oracle. */
+  private def jaccardCtes(capFrac: Option[Double]): String = {
     val prunedCte = capFrac match {
       case Some(frac) =>
         s"""df AS (SELECT s, count(*) c FROM sh GROUP BY s),
@@ -150,7 +150,7 @@ object DedupOps {
            |    ceil($frac * (SELECT count(*) FROM documents)), $StopShingleMinDf))""".stripMargin
       case None => "pruned AS (SELECT doc_id, s FROM sh)"
     }
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM documents),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -161,14 +161,19 @@ object DedupOps {
        |common AS (
        |  SELECT a.doc_id da, b.doc_id db, count(*) c
        |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB oracle for ngramJaccardPairs (n=3), same cap semantics. */
+  def jaccardPairsSql(tau: Double, capFrac: Option[Double] = Some(StopShingleFrac),
+                      order: String = "da, db"): String =
+    s"""WITH ${jaccardCtes(capFrac)}
        |SELECT da, db, ${OracleSql.roundD("c * 1.0 / (sa.n + sb.n - c)", 6)} AS j
        |FROM common
        |JOIN sizes sa ON sa.doc_id = da
        |JOIN sizes sb ON sb.doc_id = db
        |WHERE c * 1.0 / (sa.n + sb.n - c) >= $tau
        |ORDER BY $order""".stripMargin
-  }
 
   // ---- MinHash + LSH ----
   // 64 hash "permutations" h_i(x) = xxhash64(x, i) over xxhash64(shingle),
@@ -281,6 +286,101 @@ object DedupOps {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** Connected components over an undirected pair list — the cluster-
+    * resolution step that turns near-dup PAIRS into one canonical doc
+    * per duplicate cluster (the final stage of every dedup pipeline:
+    * keep min(doc_id), drop the rest).
+    *
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): converges
+    * in O(log n) rounds regardless of component DIAMETER — the property
+    * that matters at 100 TB, where naive min-label propagation pays
+    * O(diameter) shuffles and a single chain-shaped component stalls the
+    * whole job. Each round is two groupBy-min shuffles + a same-keyed
+    * join on node id; fan-in per key is bounded (min aggregates, no
+    * collect_set), and the only driver state is the O(log n) convergence
+    * loop with one tiny signature action per round. Per-round
+    * localCheckpoint truncates the iterated lineage so plan size stays
+    * constant across rounds.
+    *
+    * Returns (node, rep) for every node appearing in `pairs`, where rep
+    * is the component's minimum id. Nodes with no pairs are absent —
+    * callers left-join and coalesce to the node itself. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "da",
+                          bCol: String = "db", maxIter: Int = 50): DataFrame = {
+    // large-star: every node > u links to u's component-min candidate;
+    // small-star: every node ≤ u re-links likewise. Both keep edge count
+    // ≤ input edge count after distinct, and both only shrink the min.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).filter(col("u") =!= col("v"))
+      val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).localCheckpoint(true)
+    // convergence signature: (count, order-independent hash-sum) of the
+    // canonicalized edge set — stable signature across two consecutive
+    // rounds = fixpoint (collision odds ~2^-64 per round; the fixpoint
+    // itself is proven, the signature only detects it)
+    def sig(e: DataFrame): (Long, BigDecimal) = {
+      // decimal(38,0) sum: exact and overflow-free under ANSI mode
+      val r = e.agg(count(lit(1)), sum(xxhash64(least(col("u"), col("v")),
+        greatest(col("u"), col("v"))).cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var last = sig(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val s = sig(next)
+      converged = s == last
+      last = s
+      edges = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(s"connectedComponents: no fixpoint in $maxIter rounds")
+    // at the fixpoint every edge is (node, component-min); roots appear
+    // only on the right — give them a self row
+    edges.select(col("u").as("node"), col("v").as("rep"))
+      .union(edges.select(col("v").as("node"), col("v").as("rep")))
+      .groupBy("node").agg(min(col("rep")).as("rep"))
+  }
+
+  /** DuckDB oracle for cluster resolution over ngramJaccardPairs(tau):
+    * transitive closure via recursive CTE, then min-reachable label;
+    * docs in no pair become their own cluster. */
+  def clusterSql(tau: Double, capFrac: Option[Double] = Some(StopShingleFrac)): String =
+    s"""WITH RECURSIVE ${jaccardCtes(capFrac)},
+       |pairs AS (
+       |  SELECT da, db FROM common
+       |  JOIN sizes sa ON sa.doc_id = da
+       |  JOIN sizes sb ON sb.doc_id = db
+       |  WHERE c * 1.0 / (sa.n + sb.n - c) >= $tau),
+       |edges AS (
+       |  SELECT da AS u, db AS v FROM pairs
+       |  UNION ALL SELECT db, da FROM pairs),
+       |reach AS (
+       |  SELECT u AS a, v AS b FROM edges
+       |  UNION
+       |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+       |rep AS (SELECT a AS doc_id, least(min(b), a) AS rep FROM reach GROUP BY a)
+       |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN rep r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Exact embedding-cosine near-duplicate pairs, hash-blocked for scale.
     *

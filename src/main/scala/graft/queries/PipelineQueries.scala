@@ -226,6 +226,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- duplicate-cluster resolution: near-dup pairs → connected
+    //      components (large-star/small-star, O(log n) rounds) → one
+    //      canonical keeper per cluster; singletons keep themselves.
+    //      Oracle: recursive-CTE transitive closure ----
+    "p20_dedup_cluster" -> ((s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val rep = DedupOps.connectedComponents(
+        DedupOps.ngramJaccardPairs(docs, NearDupTau))
+      docs.select(col("doc_id"))
+        .join(rep, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing an 8-gram with
     //      the doc_id<50 holdout (broadcast semi-join; oracle-checked) ----
     "p15_decontaminate" -> ((s, dir) => {
@@ -316,6 +331,7 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "p14_repetition_filters" -> TextOps.repetitionSql(),
     "p15_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
+    "p20_dedup_cluster" -> DedupOps.clusterSql(NearDupTau),
     "p19_hash_sample" ->
       s"""SELECT doc_id, doc_id % 3 AS source,
          |  ${SampleOps.bucketSql("doc_id")} AS bucket

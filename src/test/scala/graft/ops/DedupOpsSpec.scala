@@ -121,4 +121,47 @@ class DedupOpsSpec extends SparkSpec {
     // base has 20 tokens -> 13 8-grams, all shared by doc 10 and doc 12
     assert(r == Seq((10L, 13L), (12L, 13L)), r)
   }
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupOps.connectedComponents(pairs.toDF("da", "db"))
+      .as[(Long, Long)].collect().toMap
+
+  test("connectedComponents labels a long chain with its min (diameter >> rounds)") {
+    // a 40-node path: naive min-propagation needs 40 rounds; star
+    // contraction must land the fixpoint within the O(log n) budget
+    val chain = (0L until 39L).map(i => (i, i + 1))
+    val labels = cc(chain)
+    assert(labels == (0L until 40L).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponents separates disjoint clusters and handles cycles") {
+    val labels = cc(Seq((5L, 3L), (3L, 9L), (9L, 5L), // cycle {3,5,9}
+      (20L, 21L),                                     // pair
+      (30L, 31L), (31L, 32L), (32L, 30L), (32L, 33L)))
+    assert(labels == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L))
+  }
+
+  test("connectedComponents on no pairs returns an empty labeling") {
+    assert(cc(Seq.empty) == Map.empty)
+  }
+
+  test("connectedComponents matches a reference union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: driver-side union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    assert(cc(edges) == expected)
+  }
 }
