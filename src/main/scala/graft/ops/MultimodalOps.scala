@@ -235,6 +235,125 @@ object MultimodalOps {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** REAL video-frame extraction: decode each video asset's frames via
+    * the ImageIO sequence reader (animated GIF), re-encode every sampled
+    * frame as a standalone PNG, and explode to one row per frame —
+    * (doc_id, frame, frame_media, width, height). `step` keeps every
+    * step-th frame (frame sampling); undecodable assets contribute no
+    * rows. Runs batched per partition like decode. */
+  def extractFrames(assets: DataFrame, step: Int = 1): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val spark = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame", IntegerType),
+      StructField("frame_media", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val rdd = assets.select(col("doc_id"), col("media"), col("meta.kind"))
+      .rdd.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val media = r.getAs[Array[Byte]]("media")
+          val kind = r.getString(2)
+          if (media == null || kind == null || !kind.startsWith("video/")) Iterator.empty
+          else try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(media))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) Iterator.empty
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis)
+                  val n = reader.getNumImages(true)
+                  // materialize inside the reader's lifetime: the
+                  // iterator must not outlive reader.dispose()
+                  (0 until n by step).map { i =>
+                    val src = reader.read(i)
+                    // normalize onto a plain sRGB canvas: encoding the
+                    // reader's palette image directly makes the JDK PNG
+                    // writer emit a gAMA chunk that shifts every pixel
+                    // (85 -> 156) on the next decode
+                    val img = new java.awt.image.BufferedImage(src.getWidth,
+                      src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                    val g2 = img.createGraphics()
+                    g2.drawImage(src, 0, 0, null)
+                    g2.dispose()
+                    val out = new java.io.ByteArrayOutputStream()
+                    javax.imageio.ImageIO.write(img, "png", out)
+                    Row(r.getLong(0), i, out.toByteArray, img.getWidth, img.getHeight)
+                  }.iterator
+                } finally reader.dispose()
+              }
+            } finally iis.close()
+          } catch {
+            case _: java.io.IOException | _: RuntimeException => Iterator.empty
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** REAL image resize: decode image kinds, downscale anything wider or
+    * taller than `maxDim` (aspect preserved, bilinear), re-encode as
+    * PNG, and update the metadata. Non-image kinds and small images pass
+    * through untouched (`resized = false`); undecodable image bytes
+    * degrade to a null media column. The metadata predicate shape still
+    * prunes before any codec work. */
+  def resizeImages(assets: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    val spark = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("media", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("kind", StringType),
+        StructField("nbytes", IntegerType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("resized", BooleanType))))))
+    val rdd = assets.select(col("doc_id"), col("media"), col("meta.kind"))
+      .rdd.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val media = r.getAs[Array[Byte]]("media")
+          val kind = r.getString(2)
+          def passThrough = Row(r.getLong(0), media, Row(kind,
+            if (media == null) 0 else media.length, null, null, false))
+          if (media == null || kind == null || !kind.startsWith("image/")) passThrough
+          else {
+            val decoded =
+              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media)))
+              catch { case _: java.io.IOException | _: RuntimeException => None }
+            decoded match {
+              case None => Row(r.getLong(0), null, Row(kind, 0, null, null, false))
+              case Some(img) if img.getWidth <= maxDim && img.getHeight <= maxDim =>
+                Row(r.getLong(0), media, Row(kind, media.length,
+                  img.getWidth, img.getHeight, false))
+              case Some(img) =>
+                val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+                val (nw, nh) = (math.max(1, (img.getWidth * scale).round.toInt),
+                  math.max(1, (img.getHeight * scale).round.toInt))
+                val dst = new java.awt.image.BufferedImage(nw, nh,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g2 = dst.createGraphics()
+                g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g2.drawImage(img, 0, 0, nw, nh, null)
+                g2.dispose()
+                val out = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(dst, "png", out)
+                val bytes = out.toByteArray
+                Row(r.getLong(0), bytes, Row("image/png", bytes.length, nw, nh, true))
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Frame sampling: cut `frames` fixed-offset byte windows per asset —
     * the video-frame-extraction dataflow shape (explode → per-frame rows,
     * all columnar; a real codec would seek keyframes instead of offsets). */
