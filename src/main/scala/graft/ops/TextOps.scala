@@ -223,4 +223,49 @@ object TextOps {
        |   AND dup_trigram_frac <= $DupTrigramMax) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
   }
+
+  /** Per-document salient terms: the top-k terms by a TF-IDF-style
+    * score, ties broken by term. The inverse-document-frequency factor
+    * is the exact rational N/df rather than the classical log(N/df):
+    * log's libm rounding differs across engines in the last ulp (no
+    * correctly-rounded guarantee), while multiply/divide are IEEE-exact
+    * everywhere — same ranking behavior for top-k purposes (N/df is a
+    * monotone transform of log(N/df)), and the score replays bit-for-bit
+    * in the DuckDB oracle.
+    *
+    * Scale shape: tf is one (doc, term) groupBy; df aggregates tf again
+    * by term (vocabulary-sized, Zipf-bounded); the tf⋈df join shuffles
+    * on term with bounded per-key rows (≤ docs containing the term, and
+    * the scoring join carries only ids+counts, not text); top-k is one
+    * doc-keyed window. No all-pairs anything. */
+  def salientTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("t"))
+    tf.join(dfreq, "t").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * (col("n").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("t").as("term"), col("score"), col("rk"))
+  }
+
+  /** DuckDB oracle for salientTerms (same exact-rational score). */
+  def salientTermsSql(k: Int = 3, table: String = "documents"): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) t
+       |  FROM $table),
+       |tf AS (SELECT doc_id, t, count(*) tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT t, count(*) df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, t, tf * ((SELECT count(*) FROM $table) * 1.0 / df) AS score
+       |  FROM tf JOIN df USING (t)),
+       |rk AS (
+       |  SELECT doc_id, t, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) rk
+       |  FROM scored)
+       |SELECT doc_id, t AS term, score, rk FROM rk
+       |WHERE rk <= $k ORDER BY doc_id, rk""".stripMargin
 }

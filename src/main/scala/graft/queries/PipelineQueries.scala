@@ -241,6 +241,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- salient-term extraction: top-3 terms per doc by the exact-
+    //      rational TF-IDF variant (tf·N/df — same ranking as log-IDF,
+    //      bit-replayable in SQL; see TextOps.salientTerms) ----
+    "p21_salient_terms" -> ((s, dir) => {
+      TextOps.salientTerms(Tables.loadSpread(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing an 8-gram with
     //      the doc_id<50 holdout (broadcast semi-join; oracle-checked) ----
     "p15_decontaminate" -> ((s, dir) => {
@@ -332,6 +340,7 @@ object PipelineQueries {
     "p14_repetition_filters" -> TextOps.repetitionSql(),
     "p15_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
     "p20_dedup_cluster" -> DedupOps.clusterSql(NearDupTau),
+    "p21_salient_terms" -> TextOps.salientTermsSql(),
     "p19_hash_sample" ->
       s"""SELECT doc_id, doc_id % 3 AS source,
          |  ${SampleOps.bucketSql("doc_id")} AS bucket

@@ -80,4 +80,23 @@ class TextOpsSpec extends SparkSpec {
     assert(d2.getAs[Double]("top_bigram_frac") == 1.0) // single bigram
     assert(d2.getAs[Double]("dup_trigram_frac") == 0.0) // none -> defined 0
   }
+
+  test("salientTerms ranks rare repeated terms above ubiquitous ones") {
+    // "common" is in all 4 docs (df=4 -> idf 1); "rare" only in doc 0,
+    // twice (score 2*4=8); "semi" in docs 0+1 (score 4/2=2 in each)
+    val docs = Seq(
+      (0L, "common rare rare semi"),
+      (1L, "common semi x y"),
+      (2L, "common only plain words"),
+      (3L, "common filler terms here")).toDF("doc_id", "text")
+    val r = TextOps.salientTerms(docs, k = 2)
+      .orderBy("doc_id", "rk")
+      .as[(Long, String, Double, Int)].collect().toSeq
+    val doc0 = r.filter(_._1 == 0L)
+    assert(doc0 == Seq((0L, "rare", 8.0, 1), (0L, "semi", 2.0, 2)), doc0)
+    val doc1 = r.filter(_._1 == 1L)
+    // semi (4/2=2) beats x and y (4/1=4 each)... no: x,y score 4 > semi 2
+    assert(doc1.map(_._2) == Seq("x", "y"), doc1) // ties broken by term asc
+    assert(r.forall(_._4 <= 2) && r.count(_._1 == 2L) == 2)
+  }
 }
