@@ -54,6 +54,26 @@ object StreamOps {
   /** Emitted per input point: running count/avg and the inter-arrival gap. */
   final case class SeriesUpdate(key: String, count: Long, avg: Double, gapNs: Long)
 
+  /** Streaming exact dedup: pass each distinct document through once,
+    * keyed by content hash, as data ARRIVES — the streaming face of
+    * p01's batch dedup for ingest-time pipelines.
+    *
+    * Spark-first: `dropDuplicatesWithinWatermark` on md5(text). Dedup
+    * state is kept by the engine and EVICTED once a key's event time
+    * falls behind the watermark, so state is bounded by the lateness
+    * horizon at any stream length — the property that matters on an
+    * unbounded corpus stream, where plain dropDuplicates' state grows
+    * forever. Duplicates farther apart than `lateness` are a job for
+    * the batch pass (p01/p20); this op guarantees exactly-once emission
+    * within the horizon and at-least-once beyond it. */
+  def dedupStream(docs: DataFrame, timeCol: String,
+                  lateness: String = "10 minutes"): DataFrame =
+    docs.withColumn("__h", md5(col("text")))
+      .withColumn("__event_time", timestamp_micros(expr(s"`$timeCol` DIV 1000")))
+      .withWatermark("__event_time", lateness)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h", "__event_time")
+
   /** Custom keyed state via flatMapGroupsWithState: running count/mean
     * and inter-arrival gap per series — the kind of per-key incremental
     * statistic the reference can only compute by re-querying. State is

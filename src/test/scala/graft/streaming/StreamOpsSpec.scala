@@ -83,4 +83,24 @@ class StreamOpsSpec extends SparkSpec {
       assert(ups(2).gapNs == 30L * 1000000000L)
     } finally q.stop()
   }
+
+  test("dedupStream emits each distinct text once across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val out = StreamOps.dedupStream(
+      in.toDF().toDF("time", "doc_id", "text"), "time", lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ns(0), 1L, "alpha"), (ns(1), 2L, "beta"), (ns(2), 3L, "alpha"))
+      q.processAllAvailable()
+      // cross-batch duplicate within the watermark horizon: suppressed
+      in.addData((ns(10), 4L, "beta"), (ns(11), 5L, "gamma"))
+      q.processAllAvailable()
+      val texts = spark.table("sdedup").select("text").as[String].collect().toSeq
+      assert(texts.sorted == Seq("alpha", "beta", "gamma"), texts)
+      // schema passes through untouched (hash + event-time are internal)
+      assert(spark.table("sdedup").columns.toSeq == Seq("time", "doc_id", "text"))
+    } finally q.stop()
+  }
 }
