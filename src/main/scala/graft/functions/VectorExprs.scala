@@ -79,9 +79,67 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "dotf"
 }
 
+/** `dotl(a, b)` — dot product of two `array<long>` columns in EXACT
+  * integer arithmetic, as a native codegen'd Catalyst expression.
+  *
+  * Powers the quantized-embedding similarity path (SimilarityOps
+  * .quantizedTopK): int8-quantized vectors dot in the integer domain —
+  * bit-replayable in an oracle, overflow-free for |q| ≤ 127 up to
+  * ~5.7e14 dimensions — at the same tight-primitive-loop speed as
+  * `dotf`. Same null semantics as DotProduct. */
+case class DotProductLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"dotl requires array<bigint> arguments, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dotl"
+}
+
 object VectorExprs {
   /** Column-level entry point for Scala callers. */
   def dotf(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Exact integer dot product of two array<long> columns. */
+  def dotl(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotProductLong(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

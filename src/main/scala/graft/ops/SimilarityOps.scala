@@ -271,4 +271,80 @@ object SimilarityOps {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  // ---- int8 quantized similarity (the storage/IO scale path) ----
+
+  /** Per-vector symmetric int8 quantization: q_i = floor(x_i·127/mx +
+    * 0.5) with mx = max|x| (an all-zero vector quantizes to zeros).
+    * floor(y + 0.5) instead of round(): Spark's round(double) goes
+    * through BigDecimal HALF_UP while DuckDB rounds the binary value —
+    * floor(+0.5) is the same IEEE op sequence in both engines, so the
+    * quantizer replays bit-for-bit in the oracle.
+    *
+    * Stored as array<long> here for exact integer math downstream; a
+    * production table would persist array<tinyint> — 4× smaller than
+    * float32, the point of quantized ANN at 100 TB (scan bytes and
+    * shuffle bytes both shrink 4×; recall loss is bounded by the
+    * quantization error and asserted in the spec). */
+  def quantize(v: Column): Column = {
+    val dv = transform(v, x => x.cast("double"))
+    val mx = array_max(transform(dv, x => abs(x)))
+    when(mx > 0,
+      transform(dv, x => floor(x * lit(127.0) / mx + lit(0.5)).cast("long")))
+      .otherwise(transform(dv, x => lit(0L)))
+  }
+
+  /** Exact top-k by QUANTIZED cosine for each query id < maxQid: the
+    * brute-force scan with int8 vectors — dot products in exact integer
+    * arithmetic (codegen `dotl`), then one sqrt + one division per pair.
+    * Every intermediate is an integer below 2^53, so the score is
+    * bit-replayable in DuckDB (list_dot_product over the same quantized
+    * doubles is exact) — no rounding needed in the oracle compare.
+    *
+    * Plan: quantized queries broadcast; corpus side streams — same
+    * shape as bruteForceTopK but at 1/4 the scan+shuffle bytes. Composes
+    * with the IVF/LSH pruning paths (quantize the residuals) when scan
+    * cost, not memory, dominates. */
+  def quantizedTopK(emb: DataFrame, k: Int, maxQid: Int): DataFrame = {
+    import graft.functions.VectorExprs.dotl
+    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", dotl(col("q"), col("q")))
+    val queries = q.filter(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("nq").as("na"))
+    val scored = q.select(col("vec_id").as("nid"), col("q").as("qb"), col("nq").as("nb"))
+      .crossJoin(broadcast(queries))
+      .filter(col("nid") =!= col("qid") && col("na") > 0 && col("nb") > 0)
+      .select(col("qid"), col("nid"),
+        (dotl(col("qa"), col("qb")).cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "nid", "sim", "rn")
+  }
+
+  /** DuckDB oracle for quantizedTopK: replays the quantizer and the
+    * integer-domain score over the same parquet floats. */
+  def quantizedTopKSql(k: Int, maxQid: Int): String =
+    s"""WITH dv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+       |m AS (
+       |  SELECT vec_id, d, list_max(list_transform(d, x -> abs(x))) AS mx FROM dv),
+       |qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN mx > 0
+       |      THEN list_transform(d, x -> floor(x * 127.0 / mx + 0.5))
+       |      ELSE list_transform(d, x -> 0.0) END AS q
+       |  FROM m),
+       |n AS (
+       |  SELECT vec_id, q, list_dot_product(q, q) AS nq FROM qz),
+       |p AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |    list_dot_product(a.q, b.q) / sqrt(a.nq * b.nq) AS sim
+       |  FROM n a JOIN n b ON b.vec_id != a.vec_id
+       |  WHERE a.vec_id < $maxQid AND a.nq > 0 AND b.nq > 0)
+       |SELECT qid, nid, sim, rn FROM (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM p) t
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, DedupOps, MediaGen, MultimodalOps, OracleSql, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps}
+import graft.ops.{AsOfJoin, DedupOps, MediaGen, MultimodalOps, OracleSql, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps, TimeSeriesOps}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -249,6 +249,60 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // ---- downsample + gap-fill: per-series hourly buckets over each
+    //      series' own [min,max] span, empty buckets materialized and
+    //      LOCF-filled — the canonical metrics-dashboard query. Events
+    //      sparsified (every 19th) so gaps exist at every SF ----
+    "p22_gap_fill" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") % GapSparsify === 0)
+        .select(col("event_type").as("etype"), eventTsUs.as("t"), col("value"))
+      TimeSeriesOps.gapFill(ev, key = "etype", timeCol = "t",
+        valCol = "value", bucketNs = GapBucketNs)
+        .select(col("etype"), col("bucket_ts"), col("n"),
+          round(col("v_avg"), 4).as("v_avg"),
+          round(col("v_fill"), 4).as("v_fill"))
+        .orderBy(col("etype"), col("bucket_ts"))
+    }),
+
+    // ---- ClickHouse-windowFunnel-style stage progression per user
+    //      (view → click → purchase within 6 h of the chain's first
+    //      event): chain DP via running-max windows, one sort per user,
+    //      no collect_list ----
+    "p23_window_funnel" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), eventTsUs.as("t"), col("event_id"),
+          col("event_type"))
+      TimeSeriesOps.windowFunnel(ev, key = "user_id", timeCol = "t",
+        tieCol = "event_id",
+        stages = FunnelStages.map(st => col("event_type") === st),
+        windowNs = FunnelWindowNs)
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- ClickHouse-retention-style cohort flags per user (purchased
+    //      in epoch-week 0; AND purchased in weeks 1..3 — purchase-only
+    //      so the flags actually discriminate at test SFs) — one keyed
+    //      partial-agged aggregate, order-independent ----
+    "p24_retention" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr(s"((ts DIV 1000) * 1000 - $RetentionOriginNs) DIV $WeekNs").as("wk"))
+      TimeSeriesOps.retention(ev, key = "user_id",
+        conds = (0 until RetentionWeeks).map(i =>
+          col("event_type") === RetentionEvent && col("wk") === i))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- int8-quantized brute-force ANN: 4× smaller vectors, exact
+    //      integer dot products (codegen dotl) — score bit-replayable
+    //      in SQL, so the oracle needs no rounding ----
+    "p25_quantized_ann" -> ((s, dir) => {
+      SimilarityOps.quantizedTopK(Tables.load(s, dir, "embeddings"),
+        k = 10, maxQid = 5)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing an 8-gram with
     //      the doc_id<50 holdout (broadcast semi-join; oracle-checked) ----
     "p15_decontaminate" -> ((s, dir) => {
@@ -275,6 +329,23 @@ object PipelineQueries {
 
   /** p18's session gap (30 min in ns). */
   val SessionGapNs = 1800000000000L
+
+  /** p22's downsample bucket (1 h in ns) and sparsifier (keep every
+    * 19th event so empty buckets — the gap-fill path — exist at every
+    * test SF, not just the smallest). */
+  val GapBucketNs = 3600000000000L
+  val GapSparsify = 19L
+
+  /** p23's funnel stages and window (6 h in ns). */
+  val FunnelStages = Seq("view", "click", "purchase")
+  val FunnelWindowNs = 21600000000000L
+
+  /** p24's cohort grid: epoch-anchored weeks from the testdata origin
+    * (2024-01-01T00:00:00Z in ns), flags on purchase activity. */
+  val RetentionOriginNs = 1704067200000000000L
+  val WeekNs = 604800000000000L
+  val RetentionWeeks = 4
+  val RetentionEvent = "purchase"
 
   /** p13's trained quantizer, captured when the query runs so the oracle
     * SQL can replay the SAME centroids (Verify runs all queries, then
@@ -341,6 +412,10 @@ object PipelineQueries {
     "p15_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
     "p20_dedup_cluster" -> DedupOps.clusterSql(NearDupTau),
     "p21_salient_terms" -> TextOps.salientTermsSql(),
+    "p22_gap_fill" -> TimeSeriesOps.gapFillSql(GapBucketNs, GapSparsify),
+    "p23_window_funnel" -> TimeSeriesOps.windowFunnelSql(FunnelStages, FunnelWindowNs),
+    "p24_retention" -> TimeSeriesOps.retentionSql(RetentionOriginNs, WeekNs, RetentionWeeks, RetentionEvent),
+    "p25_quantized_ann" -> SimilarityOps.quantizedTopKSql(k = 10, maxQid = 5),
     "p19_hash_sample" ->
       s"""SELECT doc_id, doc_id % 3 AS source,
          |  ${SampleOps.bucketSql("doc_id")} AS bucket

@@ -45,4 +45,74 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .select("session_seq").as[Long].collect().toSet
     assert(r == Set(0L))
   }
+
+  test("gapFill materializes every bucket per key, zero-count gaps LOCF-filled") {
+    // key a observes buckets 0 and 3 (width 10); grid must be 0,1,2,3
+    // with gaps carrying bucket-0's average; key b has its own range
+    val df = Seq(("a", 1L, 2.0), ("a", 3L, 4.0), ("a", 35L, 9.0),
+      ("b", 100L, 1.0)).toDF("k", "t", "v")
+    val r = TimeSeriesOps.gapFill(df, "k", "t", "v", bucketNs = 10L)
+      .select($"k", $"bucket_ts", $"n", $"v_avg", $"v_fill")
+      .as[(String, Long, Long, Option[Double], Double)].collect().toSet
+    assert(r == Set(
+      ("a", 0L, 2L, Some(3.0), 3.0),   // avg(2,4)
+      ("a", 10L, 0L, None, 3.0),       // gap: carried
+      ("a", 20L, 0L, None, 3.0),       // gap: carried
+      ("a", 30L, 1L, Some(9.0), 9.0),
+      ("b", 100L, 1L, Some(1.0), 1.0)))
+  }
+
+  test("windowFunnel: full chain within window reaches max level") {
+    val df = funnelDf(Seq((1L, 0L, "view"), (1L, 5L, "click"), (1L, 9L, "purchase")))
+    assert(funnelLevels(df) == Map(1L -> 3))
+  }
+
+  test("windowFunnel: window anchors at the chain's FIRST event (CH semantics)") {
+    // purchase is within 10 of the click but 11 from the view -> level 2
+    val df = funnelDf(Seq((6L, 0L, "view"), (6L, 9L, "click"), (6L, 11L, "purchase")))
+    assert(funnelLevels(df) == Map(6L -> 2))
+  }
+
+  test("windowFunnel: a later stage-1 event restarts the window (max-start DP)") {
+    // click at 15 is outside [0,10] but inside [8,18] of the second view
+    val df = funnelDf(Seq((4L, 0L, "view"), (4L, 8L, "view"), (4L, 15L, "click")))
+    assert(funnelLevels(df) == Map(4L -> 2))
+  }
+
+  test("windowFunnel: out-of-order stages don't chain; no stage-1 means level 0") {
+    val wrongOrder = funnelDf(Seq((5L, 0L, "purchase"), (5L, 1L, "click"), (5L, 2L, "view")))
+    assert(funnelLevels(wrongOrder) == Map(5L -> 1))
+    val noStage1 = funnelDf(Seq((3L, 0L, "click"), (3L, 1L, "purchase")))
+    assert(funnelLevels(noStage1) == Map(3L -> 0))
+  }
+
+  test("windowFunnel: same-timestamp events chain by tie order, not simultaneity") {
+    // click shares t=0 with the view but has a later tie id -> chains;
+    // the purchase at the SAME (t, id) rank as nothing after it stays out
+    val df = funnelDf(Seq((7L, 0L, "view"), (7L, 0L, "click")))
+    assert(funnelLevels(df) == Map(7L -> 2))
+  }
+
+  private def funnelDf(rows: Seq[(Long, Long, String)]) =
+    rows.zipWithIndex.map { case ((u, t, e), i) => (u, t, i.toLong, e) }
+      .toDF("user_id", "t", "event_id", "event_type")
+
+  private def funnelLevels(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+    TimeSeriesOps.windowFunnel(df, "user_id", "t", "event_id",
+      stages = Seq("view", "click", "purchase").map(s => col("event_type") === s),
+      windowNs = 10L)
+      .as[(Long, Int)].collect().toMap
+
+  test("retention: r_i requires BOTH cond0 and cond_i; cond0 gates everything") {
+    val df = Seq((1L, 0L), (1L, 1L), (1L, 3L),   // active w0, w1, w3
+      (2L, 1L), (2L, 2L),                         // no w0 -> all zeros
+      (3L, 0L)).toDF("user_id", "wk")             // only w0
+    val r = TimeSeriesOps.retention(df, "user_id",
+      conds = (0 until 4).map(i => col("wk") === i))
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map { case (u, a, b, c, d) => u -> ((a, b, c, d)) }.toMap
+    assert(r(1L) == ((1, 1, 0, 1)))
+    assert(r(2L) == ((0, 0, 0, 0)))
+    assert(r(3L) == ((1, 0, 0, 0)))
+  }
 }
