@@ -88,6 +88,7 @@ object GraftFunctions {
     // graft-native kernels (not in aliases.sql): codegen'd dot product
     // and word n-grams — `ngrams(words, n)` needs a literal int n
     reg("dotf")(es => DotProduct(es(0), es(1)))
+    reg("dotl")(es => DotProductLong(es(0), es(1)))
     reg("ngrams") { es =>
       val n = es(1) match {
         case e if e.foldable => e.eval() match {

@@ -74,6 +74,26 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h", "__event_time")
 
+  /** Streaming gap-based sessionization: the streaming face of p18's
+    * batch sessionize, via Spark's native `session_window` — sessions
+    * merge as points arrive and CLOSE (emit) once the watermark passes
+    * the session end + gap, so results are final when emitted.
+    *
+    * Spark-first: session_window is a built-in streaming state operator
+    * (merging-window state store, keyed by (key, window)); no custom
+    * state code, and state is evicted at the watermark horizon like all
+    * event-time state. Output per closed session: key, session start/
+    * end, event count, value sum. */
+  def sessionizeStream(rows: DataFrame, keyCol: String, timeCol: String,
+                       valueCol: String, gap: String = "30 minutes",
+                       lateness: String = "10 minutes"): DataFrame =
+    rows.withColumn("event_time", timestamp_micros(expr(s"`$timeCol` DIV 1000")))
+      .withWatermark("event_time", lateness)
+      .groupBy(session_window(col("event_time"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 6).as("sum_v"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"), col("sum_v"))
+
   /** Custom keyed state via flatMapGroupsWithState: running count/mean
     * and inter-arrival gap per series — the kind of per-key incremental
     * statistic the reference can only compute by re-querying. State is

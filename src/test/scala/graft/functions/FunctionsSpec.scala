@@ -64,4 +64,8 @@ class FunctionsSpec extends SparkSpec {
     assert(one("ngrams(array('a','b','c'), 2)") ==
       scala.collection.mutable.ArraySeq("a b", "b c"))
   }
+
+  test("dotl is SQL-callable and exact on bigint arrays") {
+    assert(one("dotl(array(1L, -2L, 3L), array(4L, 5L, -6L))") == -24L)
+  }
 }

@@ -103,4 +103,27 @@ class StreamOpsSpec extends SparkSpec {
       assert(spark.table("sdedup").columns.toSeq == Seq("time", "doc_id", "text"))
     } finally q.stop()
   }
+
+  test("sessionizeStream merges points within gap, closes sessions at the watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double)]
+    val out = StreamOps.sessionizeStream(
+      in.toDF().toDF("time", "k", "v"), "k", "time", "v",
+      gap = "1 minute", lateness = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("ssess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one session: 0s and 30s merge (gap 1 min); 200s starts a new one
+      in.addData((ns(0), "a", 1.0), (ns(30), "a", 2.0))
+      q.processAllAvailable()
+      in.addData((ns(200), "a", 5.0)) // watermark -> 190s: session 1 closes
+      q.processAllAvailable()
+      in.addData((ns(500), "a", 7.0)) // close session 2
+      q.processAllAvailable()
+      val rows = spark.table("ssess")
+        .selectExpr("k", "n", "sum_v").as[(String, Long, Double)].collect().toSet
+      assert(rows.contains(("a", 2L, 3.0)), rows) // merged 2-point session
+      assert(rows.contains(("a", 1L, 5.0)), rows) // singleton after the gap
+    } finally q.stop()
+  }
 }
