@@ -210,6 +210,23 @@ object RelationalQueries {
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
     }),
+
+    // ---- exact percentiles per series (THE metrics query: p50/p90/p99
+    //      latency). Spark's `percentile` is an exact sort-based
+    //      aggregate with linear interpolation — same definition as
+    //      DuckDB quantile_cont; partial-agged per group, one shuffle.
+    //      At 100 TB swap in percentile_approx (t-digest) for a fixed-
+    //      memory sketch; exact is right while an oracle must replay ----
+    "q17_percentiles" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -321,5 +338,12 @@ object RelationalQueries {
     "q16_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q17_percentiles" ->
+      s"""SELECT event_type,
+         |  ${roundD("quantile_cont(value, 0.5)", 4)} AS p50,
+         |  ${roundD("quantile_cont(value, 0.9)", 4)} AS p90,
+         |  ${roundD("quantile_cont(value, 0.99)", 4)} AS p99,
+         |  count(*) AS n
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
