@@ -89,6 +89,7 @@ object GraftFunctions {
     // and word n-grams — `ngrams(words, n)` needs a literal int n
     reg("dotf")(es => DotProduct(es(0), es(1)))
     reg("dotl")(es => DotProductLong(es(0), es(1)))
+    reg("quant8")(es => Quantize8(es(0)))
     reg("ngrams") { es =>
       val n = es(1) match {
         case e if e.foldable => e.eval() match {

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
@@ -132,6 +132,79 @@ case class DotProductLong(left: Expression, right: Expression) extends BinaryExp
   override def prettyName: String = "dotl"
 }
 
+/** `quant8(v)` — symmetric int8 quantization of an `array<float|double>`
+  * vector to `array<long>`: q_i = floor(x_i·127/mx + 0.5), mx = max|x|
+  * (all-zero vector → all zeros).
+  *
+  * One codegen'd two-pass primitive loop instead of the three
+  * interpreted `transform`/`array_max` passes the Column-level spelling
+  * costs (~260 µs/vector measured at 64 dims — quantization would
+  * dominate the quantized scan it exists to accelerate). floor(y + 0.5)
+  * rather than round(): identical IEEE op sequence in Spark and DuckDB,
+  * so the quantizer replays bit-for-bit in the oracle
+  * (SimilarityOps.quantizedTopKSql). Null array → null; null elements
+  * read as 0.0 (DotProduct convention). */
+case class Quantize8(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ =>
+      TypeCheckResult.TypeCheckFailure(
+        s"quant8 requires an array<float|double> argument, got ${child.dataType.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val elem = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    def get(i: Int): Double =
+      if (elem == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+    var mx = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(get(i)); if (a > mx) mx = a; i += 1 }
+    val out = new Array[Long](n)
+    if (mx > 0) {
+      i = 0
+      while (i < n) { out(i) = math.floor(get(i) * 127.0 / mx + 0.5).toLong; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val mx = ctx.freshName("mx")
+      val out = ctx.freshName("out")
+      val a = ctx.freshName("a")
+      def get(idx: String): String =
+        if (elem == FloatType) s"(double) $v.getFloat($idx)" else s"$v.getDouble($idx)"
+      s"""
+         |int $n = $v.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = java.lang.Math.abs(${get(i)});
+         |  if ($a > $mx) $mx = $a;
+         |}
+         |long[] $out = new long[$n];
+         |if ($mx > 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (long) java.lang.Math.floor(${get(i)} * 127.0 / $mx + 0.5);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Quantize8 =
+    copy(child = newChild)
+
+  override def prettyName: String = "quant8"
+}
+
 object VectorExprs {
   /** Column-level entry point for Scala callers. */
   def dotf(a: Column, b: Column): Column =
@@ -142,4 +215,8 @@ object VectorExprs {
   def dotl(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotProductLong(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Symmetric int8 quantization of a float/double vector (see Quantize8). */
+  def quant8(v: Column): Column =
+    GraftColumnBridge.column(Quantize8(GraftColumnBridge.expression(v)))
 }

@@ -286,13 +286,7 @@ object SimilarityOps {
     * float32, the point of quantized ANN at 100 TB (scan bytes and
     * shuffle bytes both shrink 4×; recall loss is bounded by the
     * quantization error and asserted in the spec). */
-  def quantize(v: Column): Column = {
-    val dv = transform(v, x => x.cast("double"))
-    val mx = array_max(transform(dv, x => abs(x)))
-    when(mx > 0,
-      transform(dv, x => floor(x * lit(127.0) / mx + lit(0.5)).cast("long")))
-      .otherwise(transform(dv, x => lit(0L)))
-  }
+  def quantize(v: Column): Column = graft.functions.VectorExprs.quant8(v)
 
   /** Exact top-k by QUANTIZED cosine for each query id < maxQid: the
     * brute-force scan with int8 vectors — dot products in exact integer

@@ -68,4 +68,9 @@ class FunctionsSpec extends SparkSpec {
   test("dotl is SQL-callable and exact on bigint arrays") {
     assert(one("dotl(array(1L, -2L, 3L), array(4L, 5L, -6L))") == -24L)
   }
+
+  test("quant8 is SQL-callable") {
+    assert(one("quant8(array(1.0F, -0.5F, 0.0F, 0.25F))") ==
+      scala.collection.mutable.ArraySeq(127L, -63L, 0L, 32L))
+  }
 }
