@@ -268,4 +268,38 @@ object TextOps {
        |  FROM scored)
        |SELECT doc_id, t AS term, score, rk FROM rk
        |WHERE rk <= $k ORDER BY doc_id, rk""".stripMargin
+
+  /** Conjunctive keyword search: docs containing ALL `terms`, scored by
+    * total occurrence count — the corpus-filtering primitive of a
+    * training-data pipeline ("every doc mentioning X and Y").
+    *
+    * Plan: tokenize → explode → filter to the query terms (a literal
+    * IN, evaluated map-side right at the explode — rows for non-query
+    * tokens never reach the exchange) → one doc-keyed groupBy asserting
+    * all terms matched. Work is linear in corpus tokens with a shuffle
+    * of only matching (doc, term) rows; no index build is needed for a
+    * one-shot query, and a reusable posting-list table is this same
+    * dataflow stopped before the filter. */
+  def keywordSearch(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "keywordSearch needs at least one term")
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct("tok").as("n_terms"), count(lit(1)).as("hits"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("hits"))
+  }
+
+  /** DuckDB oracle for keywordSearch (same tokenizer as p08/p21). */
+  def keywordSearchSql(terms: Seq[String], table: String = "documents"): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) tok
+       |  FROM $table),
+       |hit AS (
+       |  SELECT doc_id, count(DISTINCT tok) AS n_terms, count(*) AS hits
+       |  FROM tok WHERE tok IN ($inList) GROUP BY doc_id)
+       |SELECT doc_id, hits FROM hit WHERE n_terms = ${terms.size}
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -303,6 +303,14 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // ---- conjunctive keyword search: docs containing ALL query terms,
+    //      scored by occurrence count (map-side literal-IN filter at the
+    //      explode, one doc-keyed groupBy) ----
+    "p26_keyword_search" -> ((s, dir) => {
+      TextOps.keywordSearch(Tables.loadSpread(s, dir, "documents"), SearchTerms)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing an 8-gram with
     //      the doc_id<50 holdout (broadcast semi-join; oracle-checked) ----
     "p15_decontaminate" -> ((s, dir) => {
@@ -346,6 +354,9 @@ object PipelineQueries {
   val WeekNs = 604800000000000L
   val RetentionWeeks = 4
   val RetentionEvent = "purchase"
+
+  /** p26's query terms (conjunctive). */
+  val SearchTerms = Seq("spark", "vector", "window")
 
   /** p13's trained quantizer, captured when the query runs so the oracle
     * SQL can replay the SAME centroids (Verify runs all queries, then
@@ -416,6 +427,7 @@ object PipelineQueries {
     "p23_window_funnel" -> TimeSeriesOps.windowFunnelSql(FunnelStages, FunnelWindowNs),
     "p24_retention" -> TimeSeriesOps.retentionSql(RetentionOriginNs, WeekNs, RetentionWeeks, RetentionEvent),
     "p25_quantized_ann" -> SimilarityOps.quantizedTopKSql(k = 10, maxQid = 5),
+    "p26_keyword_search" -> TextOps.keywordSearchSql(SearchTerms),
     "p19_hash_sample" ->
       s"""SELECT doc_id, doc_id % 3 AS source,
          |  ${SampleOps.bucketSql("doc_id")} AS bucket

@@ -99,4 +99,15 @@ class TextOpsSpec extends SparkSpec {
     assert(doc1.map(_._2) == Seq("x", "y"), doc1) // ties broken by term asc
     assert(r.forall(_._4 <= 2) && r.count(_._1 == 2L) == 2)
   }
+
+  test("keywordSearch: conjunctive match, hits counts ALL query-term occurrences") {
+    val docs = Seq(
+      (0L, "spark window spark vector"),  // all 3 terms, 4 hits
+      (1L, "spark window window"),        // missing vector -> excluded
+      (2L, "VECTOR Spark window"),        // case-folds -> 3 hits
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val r = TextOps.keywordSearch(docs, Seq("spark", "vector", "window"))
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 4L, 2L -> 3L), r)
+  }
 }
