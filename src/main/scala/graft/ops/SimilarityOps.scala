@@ -169,12 +169,25 @@ object SimilarityOps {
   def ivfTopKWith(km: org.apache.spark.ml.clustering.KMeansModel, assigned: DataFrame,
                   queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val bc = assigned.select(col("vec_id").as("nid"), col("nvec").as("nv"), col("cell"))
-    // centroids ride as a small broadcast DataFrame, NOT as plan
-    // literals: nlist grows ∝ corpus (10⁴–10⁵ cells at 100 TB), and
-    // nlist × dims literal arrays would blow up analysis/codegen long
-    // before any data moves. A broadcast join keeps the plan O(1) in
-    // nlist while the probe math is unchanged.
-    val spark = assigned.sparkSession
+    val probes = probeCells(km, queries, nprobe)
+    val scored = probes.join(bc, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dotf(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** (qid, qv, cell) for each query's nprobe best cells — the shared
+    * IVF probe-selection stage.
+    *
+    * Centroids ride as a small broadcast DataFrame, NOT as plan
+    * literals: nlist grows ∝ corpus (10⁴–10⁵ cells at 100 TB), and
+    * nlist × dims literal arrays would blow up analysis/codegen long
+    * before any data moves. A broadcast join keeps the plan O(1) in
+    * nlist while the probe math is unchanged. */
+  private def probeCells(km: org.apache.spark.ml.clustering.KMeansModel,
+                         queries: DataFrame, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
     val centerRows = km.clusterCenters.zipWithIndex.map { case (v, i) =>
       val arr = v.toArray
       (i, arr, arr.map(x => x * x).sum / 2.0)
@@ -187,13 +200,91 @@ object SimilarityOps {
       .select(col("qid"), col("qv"), col("cell"),
         (dotf(col("qv"), col("cv")) - col("hn2")).as("cscore"))
     val wc = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("cell"))
-    val probes = q.withColumn("cr", row_number().over(wc)).filter(col("cr") <= nprobe)
+    q.withColumn("cr", row_number().over(wc)).filter(col("cr") <= nprobe)
       .select("qid", "qv", "cell")
-    val scored = probes.join(bc, Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), dotf(col("qv"), col("nv")).as("sim"))
+  }
+
+  /** IVF pruning × int8-quantized scoring — the IVF-PQ-style production
+    * composition: cells prune WHICH vectors are scanned (float centroid
+    * math, tiny), quantization shrinks WHAT is scanned (int8 vectors,
+    * 4× fewer bytes through scan and shuffle than the float path).
+    * Probe selection is identical to ivfTopKWith; candidate scoring is
+    * the p25 exact-integer cosine (`quant8` + `dotl`, both codegen),
+    * still bit-replayable in SQL given the trained centroids. */
+  def ivfQuantizedTopKWith(km: org.apache.spark.ml.clustering.KMeansModel,
+                           assigned: DataFrame, queries: DataFrame,
+                           k: Int, nprobe: Int): DataFrame = {
+    import graft.functions.VectorExprs.dotl
+    val bcq = assigned.select(col("vec_id").as("nid"),
+        quantize(col("nvec")).as("qb"), col("cell"))
+      .withColumn("nb", dotl(col("qb"), col("qb")))
+    val probes = probeCells(km, queries, nprobe)
+      .withColumn("qa", quantize(col("qv")))
+      .withColumn("na", dotl(col("qa"), col("qa")))
+      .select("qid", "qa", "na", "cell")
+    val scored = probes.join(bcq, Seq("cell"))
+      .filter(col("qid") =!= col("nid") && col("na") > 0 && col("nb") > 0)
+      .select(col("qid"), col("nid"),
+        (dotl(col("qa"), col("qb")).cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("qid", "nid", "sim", "rn")
+  }
+
+  /** DuckDB oracle for ivfQuantizedTopKWith: the ivfTopKSql replay
+    * (assignment + probes from the trained centroids) with the p25
+    * quantized score over the same normalized doubles — exact integer
+    * arithmetic, so no rounding in the compare. */
+  def ivfQuantizedTopKSql(centers: Seq[Array[Double]], k: Int, nprobe: Int,
+                          maxQid: Int): String = {
+    val values = centers.zipWithIndex.map { case (c, i) =>
+      val arr = c.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      val hn2 = c.map(x => x * x).sum / 2.0
+      s"($i, $arr, $hn2)"
+    }.mkString(", ")
+    s"""WITH centers(cell, cv, hn2) AS (VALUES $values),
+       |nv AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                                       CAST(embedding AS DOUBLE[])))) AS v
+       |  FROM embeddings
+       |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                           CAST(embedding AS DOUBLE[])) > 0
+       |), qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN mx > 0
+       |      THEN list_transform(v, x -> floor(x * 127.0 / mx + 0.5))
+       |      ELSE list_transform(v, x -> 0.0) END AS q
+       |  FROM (SELECT vec_id, v,
+       |          list_max(list_transform(v, x -> abs(x))) AS mx FROM nv)
+       |), cellrank AS (
+       |  SELECT nv.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY nv.vec_id
+       |      ORDER BY (list_inner_product(nv.v, c.cv) - c.hn2) DESC, c.cell) AS cr
+       |  FROM nv, centers c
+       |), assigned AS (
+       |  SELECT cr.vec_id, z.q, cr.cell FROM cellrank cr
+       |  JOIN qz z ON z.vec_id = cr.vec_id WHERE cr.cr = 1
+       |), probes AS (
+       |  SELECT cr.vec_id AS qid, z.q AS qa, cr.cell FROM cellrank cr
+       |  JOIN qz z ON z.vec_id = cr.vec_id
+       |  WHERE cr.vec_id < $maxQid AND cr.cr <= $nprobe
+       |), scored AS (
+       |  SELECT p.qid, a.vec_id AS nid,
+       |    list_dot_product(p.qa, a.q) /
+       |      sqrt(list_dot_product(p.qa, p.qa) * list_dot_product(a.q, a.q)) AS sim
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.vec_id != p.qid
+       |    AND list_dot_product(p.qa, p.qa) > 0
+       |    AND list_dot_product(a.q, a.q) > 0
+       |)
+       |SELECT qid, nid, sim, rn FROM (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
   }
 
   /** Full DuckDB oracle for `ivfTopKWith` given the TRAINED centroids

@@ -303,6 +303,18 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // ---- IVF pruning × int8-quantized scoring (IVF-PQ-style): cells
+    //      prune WHICH vectors are scanned, quantization shrinks WHAT
+    //      is scanned (4× fewer bytes); still bit-replayable in SQL ----
+    "p27_ivf_quantized" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (km, assigned) = SimilarityOps.ivfIndex(emb, nlist = 16)
+      ivfQCenters.set(km.clusterCenters.map(_.toArray))
+      SimilarityOps.ivfQuantizedTopKWith(km, assigned,
+        emb.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // ---- conjunctive keyword search: docs containing ALL query terms,
     //      scored by occurrence count (map-side literal-IN filter at the
     //      explode, one doc-keyed groupBy) ----
@@ -366,9 +378,15 @@ object PipelineQueries {
   private val ivfCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** p27's trained quantizer, captured the same way. */
+  private val ivfQCenters =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
   def oracle: Map[String, String] = staticOracle ++
     Option(ivfCenters.get()).map(c =>
-      "p13_ann_ivf" -> SimilarityOps.ivfTopKSql(c.toSeq, k = 10, nprobe = 4, maxQid = 5))
+      "p13_ann_ivf" -> SimilarityOps.ivfTopKSql(c.toSeq, k = 10, nprobe = 4, maxQid = 5)) ++
+    Option(ivfQCenters.get()).map(c =>
+      "p27_ivf_quantized" -> SimilarityOps.ivfQuantizedTopKSql(c.toSeq, k = 10, nprobe = 4, maxQid = 5))
 
   private val staticOracle: Map[String, String] = Map(
     "p01_dedup_exact" ->

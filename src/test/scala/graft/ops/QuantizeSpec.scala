@@ -44,4 +44,20 @@ class QuantizeSpec extends SparkSpec {
     val recall = qset.count(exact.contains).toDouble / exact.size
     assert(recall >= 0.8, s"quantized recall $recall < 0.8")
   }
+
+  test("ivfQuantizedTopK composes IVF pruning with quantized scoring") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val (km, assigned) = SimilarityOps.ivfIndex(emb, nlist = 8)
+    val got = SimilarityOps.ivfQuantizedTopKWith(km, assigned, queries, k = 10, nprobe = 3)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    // same pruning as the float IVF path at the same (nlist, nprobe):
+    // quantization only reorders WITHIN the probed cells, so the result
+    // set must overlap the float IVF top-k strongly
+    val float = SimilarityOps.ivfTopKWith(km, assigned, queries, k = 10, nprobe = 3)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val overlap = got.count(float.contains).toDouble / float.size
+    assert(overlap >= 0.8, s"quantized-vs-float IVF overlap $overlap < 0.8")
+  }
 }
