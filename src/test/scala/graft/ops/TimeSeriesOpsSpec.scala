@@ -103,6 +103,56 @@ class TimeSeriesOpsSpec extends SparkSpec {
       windowNs = 10L)
       .as[(Long, Int)].collect().toMap
 
+  test("windowFunnel matches a brute-force chain DP on randomized event sets") {
+    // 40 users x ~25 events, seeded: random stage/noise types, random
+    // times in a SMALL range so window-boundary (t - start == w) and
+    // duplicate-timestamp tie cases actually occur
+    val stages = Seq("view", "click", "purchase")
+    val types = stages :+ "noise"
+    val w = 10L
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      u <- 0L until 40L
+      i <- 0 until (5 + rnd.nextInt(25))
+    } yield (u, rnd.nextInt(40).toLong, u * 1000 + i, types(rnd.nextInt(types.size)))
+    val got = funnelLevelsW(
+      rows.toDF("user_id", "t", "event_id", "event_type"), stages, w)
+
+    // independent reference: O(n^2 * stages) DP over (t, id)-sorted
+    // events, chain start must satisfy t - start <= w at every step
+    def refLevel(evs: Seq[(Long, Long, String)]): Int = {
+      val sorted = evs.sortBy(e => (e._1, e._2)) // (t, id, type)
+      val n = sorted.length
+      val dp = Array.fill(n, stages.length + 1)(Long.MinValue)
+      var best = 0
+      for (i <- 0 until n) {
+        val (t, _, e) = sorted(i)
+        for (j <- 1 to stages.length if stages(j - 1) == e) {
+          if (j == 1) dp(i)(1) = t
+          else {
+            var m = Long.MinValue
+            for (p <- 0 until i)
+              if (dp(p)(j - 1) != Long.MinValue && t - dp(p)(j - 1) <= w)
+                m = math.max(m, dp(p)(j - 1))
+            dp(i)(j) = m
+          }
+          if (dp(i)(j) != Long.MinValue) best = math.max(best, j)
+        }
+      }
+      best
+    }
+    val expected = rows.groupBy(_._1).map { case (u, evs) =>
+      u -> refLevel(evs.map(e => (e._2, e._3, e._4)).toSeq)
+    }
+    assert(got == expected)
+  }
+
+  private def funnelLevelsW(df: org.apache.spark.sql.DataFrame,
+                            stages: Seq[String], w: Long): Map[Long, Int] =
+    TimeSeriesOps.windowFunnel(df, "user_id", "t", "event_id",
+      stages = stages.map(s => col("event_type") === s), windowNs = w)
+      .as[(Long, Int)].collect().toMap
+
   test("retention: r_i requires BOTH cond0 and cond_i; cond0 gates everything") {
     val df = Seq((1L, 0L), (1L, 1L), (1L, 3L),   // active w0, w1, w3
       (2L, 1L), (2L, 2L),                         // no w0 -> all zeros
