@@ -303,6 +303,16 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // ---- exact-N-per-stratum sampling: first StratifiedN docs of each
+    //      lang in md5 order — fixed quota (vs p19's fixed rate),
+    //      WindowGroupLimit keeps per-task state O(N) ----
+    "p28_stratified_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      SampleOps.stratifiedSample(docs, col("lang"), col("doc_id"), StratifiedN)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // ---- IVF pruning × int8-quantized scoring (IVF-PQ-style): cells
     //      prune WHICH vectors are scanned, quantization shrinks WHAT
     //      is scanned (4× fewer bytes); still bit-replayable in SQL ----
@@ -369,6 +379,9 @@ object PipelineQueries {
 
   /** p26's query terms (conjunctive). */
   val SearchTerms = Seq("spark", "vector", "window")
+
+  /** p28's per-stratum quota. */
+  val StratifiedN = 20
 
   /** p13's trained quantizer, captured when the query runs so the oracle
     * SQL can replay the SAME centroids (Verify runs all queries, then
@@ -446,6 +459,12 @@ object PipelineQueries {
     "p24_retention" -> TimeSeriesOps.retentionSql(RetentionOriginNs, WeekNs, RetentionWeeks, RetentionEvent),
     "p25_quantized_ann" -> SimilarityOps.quantizedTopKSql(k = 10, maxQid = 5),
     "p26_keyword_search" -> TextOps.keywordSearchSql(SearchTerms),
+    "p28_stratified_sample" ->
+      s"""SELECT lang, doc_id, rk FROM (
+         |  SELECT lang, doc_id,
+         |    ${SampleOps.stratifiedRankSql("lang", "doc_id")} AS rk
+         |  FROM documents) t
+         |WHERE rk <= $StratifiedN ORDER BY lang, rk""".stripMargin,
     "p19_hash_sample" ->
       s"""SELECT doc_id, doc_id % 3 AS source,
          |  ${SampleOps.bucketSql("doc_id")} AS bucket

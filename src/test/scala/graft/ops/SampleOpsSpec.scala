@@ -29,4 +29,21 @@ class SampleOpsSpec extends SparkSpec {
     val distinct = b.distinct().count()
     assert(distinct > 900, s"only $distinct of 1000 buckets hit")
   }
+
+  test("stratifiedSample takes exactly min(n, |stratum|) per stratum, order-invariant") {
+    val df = spark.range(100).select(col("id"), (col("id") % 3).as("g"))
+    val got = SampleOps.stratifiedSample(df, col("g"), col("id"), n = 10)
+    val per = got.groupBy("g").count().as[(Long, Long)].collect().toMap
+    assert(per.values.toSet == Set(10L), per)
+    // tiny stratum: quota caps at stratum size
+    val small = df.filter(col("id") < 5) // g=0:{0,3}, g=1:{1,4}, g=2:{2}
+    val perSmall = SampleOps.stratifiedSample(small, col("g"), col("id"), n = 10)
+      .groupBy("g").count().as[(Long, Long)].collect().toMap
+    assert(perSmall == Map(0L -> 2L, 1L -> 2L, 2L -> 1L), perSmall)
+    // membership is a pure function of the data, not its partitioning
+    def members(parts: Int) =
+      SampleOps.stratifiedSample(df.repartition(parts), col("g"), col("id"), 10)
+        .select("id").as[Long].collect().toSet
+    assert(members(1) == members(13))
+  }
 }
