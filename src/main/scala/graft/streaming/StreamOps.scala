@@ -94,6 +94,78 @@ object StreamOps {
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n"), col("sum_v"))
 
+  /** One funnel-relevant event: stage is the 0-based index into the
+    * funnel's stage list (pre-filtered — noise never enters the state). */
+  final case class FunnelPoint(user: Long, timeNs: Long, stage: Int)
+  /** Keyed funnel state: the max-start DP vector (starts(j) = best chain
+    * start reaching stage j, Long.MinValue = unreached), the buffer of
+    * events the watermark has not yet finalized, and the last emitted
+    * level. */
+  final case class FunnelState(starts: Seq[Long], buf: Seq[FunnelPoint], level: Int)
+  /** Emitted whenever a user's funnel level increases: the new level and
+    * the event time that reached it. */
+  final case class FunnelAdvance(user: Long, level: Int, atNs: Long)
+
+  /** Streaming windowFunnel: the p23 chain DP (max-start is the whole
+    * per-level state) lifted to an unbounded stream with OUT-OF-ORDER
+    * arrivals. The batch DP folds events in event-time order, so events
+    * buffer in keyed state until the watermark passes them — no earlier
+    * event can still arrive within the lateness horizon — then fold in
+    * (time, stage) order. An event-time timeout fires when the
+    * watermark passes the oldest buffered event, so chains complete
+    * even for users that stop sending.
+    *
+    * State per key is O(stages) longs + the non-final buffer (bounded
+    * by arrival rate × lateness horizon); emitted levels are final for
+    * data within the horizon. Beyond-horizon stragglers are the batch
+    * pass's job (p23), mirroring the dedupStream/p01 split. */
+  def funnelStream(points: Dataset[FunnelPoint], nStages: Int, windowNs: Long,
+                   lateness: String = "10 minutes"): Dataset[FunnelAdvance] = {
+    import points.sparkSession.implicits._
+    // the watermarked COLUMN must reach the stateful operator (a .map
+    // that drops it fails analysis), so carry it as a tuple field
+    val withTime = points
+      .withColumn("event_time", timestamp_micros(expr("timeNs DIV 1000")))
+      .withWatermark("event_time", lateness)
+      .as[(Long, Long, Int, java.sql.Timestamp)]
+    withTime.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Int, java.sql.Timestamp)],
+         state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(
+            FunnelState(Seq.fill(nStages)(Long.MinValue), Seq.empty, 0))
+          val wmNs = state.getCurrentWatermarkMs() * 1000000L
+          val buf = st.buf ++ rows.map(r => FunnelPoint(r._1, r._2, r._3))
+          val (ready, pending) = buf.partition(_.timeNs <= wmNs)
+          val starts = st.starts.toArray
+          val out = Seq.newBuilder[FunnelAdvance]
+          var level = st.level
+          // fold finalized events in event-time order (ties: stage asc,
+          // matching the batch DP's strictly-earlier row semantics for
+          // in-stage-order same-time chains)
+          ready.sortBy(p => (p.timeNs, p.stage)).foreach { p =>
+            if (p.stage == 0) starts(0) = math.max(starts(0), p.timeNs)
+            else {
+              val m = starts(p.stage - 1)
+              if (m != Long.MinValue && p.timeNs - m <= windowNs)
+                starts(p.stage) = math.max(starts(p.stage), m)
+            }
+            val reached = p.stage + 1
+            if (reached > level && starts(p.stage) != Long.MinValue) {
+              level = reached
+              out += FunnelAdvance(user, level, p.timeNs)
+            }
+          }
+          state.update(FunnelState(starts.toSeq, pending, level))
+          if (pending.nonEmpty)
+            // fire once the watermark passes the oldest buffered event
+            // (+1 ms: the timeout must sit strictly past the watermark)
+            state.setTimeoutTimestamp(pending.map(_.timeNs).min / 1000000L + 1)
+          out.result().iterator
+      }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running count/mean
     * and inter-arrival gap per series — the kind of per-key incremental
     * statistic the reference can only compute by re-querying. State is

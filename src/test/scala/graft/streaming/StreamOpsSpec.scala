@@ -104,6 +104,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream folds buffered events at the watermark and emits level advances") {
+    implicit val sq = spark.sqlContext
+    import StreamOps.{FunnelAdvance, FunnelPoint}
+    val in = MemoryStream[FunnelPoint]
+    // stages: 0=view, 1=click, 2=purchase; window 200 s; lateness 10 s
+    val out = StreamOps.funnelStream(in.toDS(), nStages = 3,
+      windowNs = 200L * 1000000000L, lateness = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sfunnel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // view + click buffer (watermark trails by 10 s)
+      in.addData(FunnelPoint(1L, ns(0), 0), FunnelPoint(1L, ns(5), 1))
+      q.processAllAvailable()
+      // another user's event advances the watermark to 90 s ->
+      // user 1's timeout fires, both events fold: level 2
+      in.addData(FunnelPoint(9L, ns(100), 0))
+      q.processAllAvailable()
+      // purchase at 95 s buffers (> wm 90 s), then folds once the
+      // watermark passes it: 95 - chain-start 0 <= 200 s -> level 3
+      in.addData(FunnelPoint(1L, ns(95), 2))
+      q.processAllAvailable()
+      in.addData(FunnelPoint(9L, ns(300), 0))
+      q.processAllAvailable()
+      val rows = spark.table("sfunnel").as[FunnelAdvance].collect().toSet
+      // every level advance is emitted with the event time that reached
+      // it: 1 at the view, 2 at the click, 3 at the purchase
+      val u1 = rows.filter(_.user == 1L)
+      assert(u1 == Set(FunnelAdvance(1L, 1, ns(0)),
+        FunnelAdvance(1L, 2, ns(5)), FunnelAdvance(1L, 3, ns(95))), rows)
+      // the watermark-advancing user reports its own level-1 entry
+      assert(rows.contains(FunnelAdvance(9L, 1, ns(100))), rows)
+    } finally q.stop()
+  }
+
   test("sessionizeStream merges points within gap, closes sessions at the watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String, Double)]
