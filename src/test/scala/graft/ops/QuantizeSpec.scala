@@ -45,6 +45,19 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.8, s"quantized recall $recall < 0.8")
   }
 
+  test("quantized cosine stays within the int8 error bound of the float cosine") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = SimilarityOps.quantizedTopK(emb, k = 10, maxQid = 5)
+      .select($"qid", $"nid", $"sim").as[(Long, Long, Double)].collect()
+    val f = SimilarityOps.bruteForceTopK(emb, emb.filter($"vec_id" < 5), k = 500)
+      .select($"qid", $"nid", $"sim").as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    // per-component error <= 0.5/127; over unit-ish vectors the cosine
+    // error stays well under 0.05 — a loose but meaningful bound
+    val errs = q.flatMap { case (a, b, s) => f.get((a, b)).map(x => math.abs(s - x)) }
+    assert(errs.nonEmpty && errs.max < 0.05, s"max quantization error ${errs.max}")
+  }
+
   test("ivfQuantizedTopK composes IVF pruning with quantized scoring") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 5)

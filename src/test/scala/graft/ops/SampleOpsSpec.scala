@@ -46,4 +46,11 @@ class SampleOpsSpec extends SparkSpec {
         .select("id").as[Long].collect().toSet
     assert(members(1) == members(13))
   }
+
+  test("stratifiedSample's rank<=N compiles to WindowGroupLimit (O(N) task state)") {
+    val df = spark.range(1000).select(col("id"), (col("id") % 3).as("g"))
+    val plan = SampleOps.stratifiedSample(df, col("g"), col("id"), n = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
