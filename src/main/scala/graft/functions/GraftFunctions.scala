@@ -90,6 +90,9 @@ object GraftFunctions {
     reg("dotf")(es => DotProduct(es(0), es(1)))
     reg("dotl")(es => DotProductLong(es(0), es(1)))
     reg("quant8")(es => Quantize8(es(0)))
+    // CH-compat AGGREGATE: window_funnel(window_ns, t, cond1, ...)
+    reg("window_funnel")(es => WindowFunnelAgg(es(0), es(1), es.drop(2))
+      .toAggregateExpression())
     reg("ngrams") { es =>
       val n = es(1) match {
         case e if e.foldable => e.eval() match {

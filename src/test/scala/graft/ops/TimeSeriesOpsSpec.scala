@@ -153,6 +153,38 @@ class TimeSeriesOpsSpec extends SparkSpec {
       stages = stages.map(s => col("event_type") === s), windowNs = w)
       .as[(Long, Int)].collect().toMap
 
+  test("window_funnel SQL aggregate matches the dataflow windowFunnel (unique times)") {
+    // unique times: the aggregate's tie rule is (t, stage-mask) while
+    // the dataflow uses (t, event_id) — identical whenever times differ
+    val stages = Seq("view", "click", "purchase")
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      u <- 0L until 30L
+      i <- 0 until 20
+    } yield (u, u * 10000 + rnd.nextInt(500) * 20 + i, u * 1000 + i,
+      (stages :+ "noise")(rnd.nextInt(4)))
+    val df = rows.toDF("user_id", "t", "event_id", "event_type")
+    val expected = funnelLevelsW(df, stages, w = 100L)
+    df.createOrReplaceTempView("wfev")
+    graft.Tables.init(spark)
+    val got = spark.sql(
+      """SELECT user_id, window_funnel(100L, t,
+        |  event_type = 'view', event_type = 'click', event_type = 'purchase')
+        |FROM wfev GROUP BY user_id""".stripMargin)
+      .as[(Long, Int)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("window_funnel: a multi-stage row folds against pre-row state (no self-chain)") {
+    // one row matching both view and click cannot be level 2 by itself
+    Seq((1L, 5L, "both")).toDF("user_id", "t", "k").createOrReplaceTempView("wfself")
+    graft.Tables.init(spark)
+    val lvl = spark.sql(
+      """SELECT window_funnel(10L, t, k = 'both', k = 'both') FROM wfself""")
+      .as[Int].head()
+    assert(lvl == 1)
+  }
+
   test("retention: r_i requires BOTH cond0 and cond_i; cond0 gates everything") {
     val df = Seq((1L, 0L), (1L, 1L), (1L, 3L),   // active w0, w1, w3
       (2L, 1L), (2L, 2L),                         // no w0 -> all zeros
