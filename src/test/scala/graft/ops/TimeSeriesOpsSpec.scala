@@ -185,6 +185,24 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(lvl == 1)
   }
 
+  test("retention SQL aggregate matches the dataflow retention op") {
+    val rnd = new scala.util.Random(11)
+    val rows = for (u <- 0L until 50L; _ <- 0 until 8)
+      yield (u, rnd.nextInt(5).toLong)
+    val df = rows.toDF("user_id", "wk")
+    df.createOrReplaceTempView("retev")
+    graft.Tables.init(spark)
+    val got = spark.sql(
+      """SELECT user_id, retention(wk = 0, wk = 1, wk = 2, wk = 3) AS r
+        |FROM retev GROUP BY user_id""".stripMargin)
+      .as[(Long, Seq[Int])].collect().toMap
+    val expected = TimeSeriesOps.retention(df, "user_id",
+      conds = (0 until 4).map(i => col("wk") === i))
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map { case (u, a, b, c, d) => u -> Seq(a, b, c, d) }.toMap
+    assert(got == expected)
+  }
+
   test("retention: r_i requires BOTH cond0 and cond_i; cond0 gates everything") {
     val df = Seq((1L, 0L), (1L, 1L), (1L, 3L),   // active w0, w1, w3
       (2L, 1L), (2L, 2L),                         // no w0 -> all zeros
