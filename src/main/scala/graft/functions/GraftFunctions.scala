@@ -95,6 +95,8 @@ object GraftFunctions {
     reg("window_funnel")(es => WindowFunnelAgg(es(0), es(1), es.drop(2))
       .toAggregateExpression())
     reg("retention")(es => RetentionAgg(es).toAggregateExpression())
+    // CH-compat AGGREGATE: top_k(k, expr) — space-saving heavy hitters
+    reg("top_k")(es => TopKAgg(es(0), es(1)).toAggregateExpression())
     reg("ngrams") { es =>
       val n = es(1) match {
         case e if e.foldable => e.eval() match {

@@ -73,4 +73,32 @@ class FunctionsSpec extends SparkSpec {
     assert(one("quant8(array(1.0F, -0.5F, 0.0F, 0.25F))") ==
       scala.collection.mutable.ArraySeq(127L, -63L, 0L, 32L))
   }
+
+  test("top_k is exact when distinct cardinality fits the summary") {
+    import spark.implicits._
+    // 10 distinct values, value i appearing i+1 times, spread over tasks
+    val rows = for (i <- 0 until 10; _ <- 0 to i) yield s"v$i"
+    scala.util.Random.shuffle(rows).toDF("s").repartition(7)
+      .createOrReplaceTempView("topk_exact")
+    val got = spark.sql("SELECT top_k(3, s) FROM topk_exact")
+      .as[Seq[(String, Long)]].head()
+    assert(got == Seq(("v9", 10L), ("v8", 9L), ("v7", 8L)), got)
+  }
+
+  test("top_k keeps true heavy hitters when cardinality exceeds capacity") {
+    import spark.implicits._
+    // capacity = 8k = 16; 400 distinct light values + 2 dominant ones
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(500)("dominant") ++ Seq.fill(300)("second") ++
+      Seq.fill(2000)(s"light${rnd.nextInt(400)}")
+    scala.util.Random.shuffle(rows).toDF("s").repartition(11)
+      .createOrReplaceTempView("topk_heavy")
+    val got = spark.sql("SELECT top_k(2, s) FROM topk_heavy")
+      .as[Seq[(String, Long)]].head()
+    val n = rows.size
+    assert(got.map(_._1) == Seq("dominant", "second"), got)
+    // space-saving overestimates by at most N/C
+    assert(got(0)._2 >= 500 && got(0)._2 <= 500 + n / 16, got)
+    assert(got(1)._2 >= 300 && got(1)._2 <= 300 + n / 16, got)
+  }
 }
