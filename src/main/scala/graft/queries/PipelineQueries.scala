@@ -303,6 +303,23 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // ---- heavy hitters per language via the native top_k aggregate
+    //      (space-saving, O(capacity) state per group — no full
+    //      (lang, token) shuffle). Oracle-checkable with an EXACT-count
+    //      oracle because the corpus vocabulary (31 tokens/lang at
+    //      every SF) fits the k·8 summary: the spec-pinned exact
+    //      regime. At true scale the same query is approximate with
+    //      the documented N/C overestimate bound ----
+    "p29_heavy_hitters" -> ((s, dir) => {
+      val tok = Tables.loadSpread(s, dir, "documents")
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      tok.groupBy("lang").agg(expr(s"top_k($HeavyHittersK, tok)").as("tk"))
+        .select(col("lang"), posexplode(col("tk")).as(Seq("rk0", "e")))
+        .select(col("lang"), (col("rk0") + 1).as("rk"),
+          col("e.value").as("term"), col("e.cnt").as("cnt"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // ---- exact-N-per-stratum sampling: first StratifiedN docs of each
     //      lang in md5 order — fixed quota (vs p19's fixed rate),
     //      WindowGroupLimit keeps per-task state O(N) ----
@@ -382,6 +399,10 @@ object PipelineQueries {
 
   /** p28's per-stratum quota. */
   val StratifiedN = 20
+
+  /** p29's k (summary capacity 8k must exceed the per-lang vocabulary
+    * for the exact-count oracle to replay; 31 tokens/lang < 40). */
+  val HeavyHittersK = 5
 
   /** p13's trained quantizer, captured when the query runs so the oracle
     * SQL can replay the SAME centroids (Verify runs all queries, then
@@ -465,6 +486,16 @@ object PipelineQueries {
          |    ${SampleOps.stratifiedRankSql("lang", "doc_id")} AS rk
          |  FROM documents) t
          |WHERE rk <= $StratifiedN ORDER BY lang, rk""".stripMargin,
+    "p29_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) tok
+         |  FROM documents),
+         |c AS (SELECT lang, tok AS term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |r AS (SELECT lang, term, cnt,
+         |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) rk
+         |      FROM c)
+         |SELECT lang, rk, term, cnt FROM r WHERE rk <= $HeavyHittersK
+         |ORDER BY lang, rk""".stripMargin,
     "p19_hash_sample" ->
       s"""SELECT doc_id, doc_id % 3 AS source,
          |  ${SampleOps.bucketSql("doc_id")} AS bucket
