@@ -20,7 +20,12 @@ import graft.index.MetadataIndex
   */
 final class MergeScheduler(spark: SparkSession, catalog: TableCatalog,
                            baseIntervalMs: Long = 10000L,
-                           graceMs: Long = MetadataIndex.DropGraceMs)
+                           graceMs: Long = MetadataIndex.DropGraceMs,
+                           // optional per-table TTL (max data age in ns):
+                           // expired partitions ride the same drop-queue +
+                           // grace GC as compaction deletes (RetentionEnforcer)
+                           retentionNs: (String, String) => Option[Long] =
+                             (_, _) => None)
   extends AutoCloseable {
 
   private val ticks = new AtomicLong(0L)
@@ -41,9 +46,15 @@ final class MergeScheduler(spark: SparkSession, catalog: TableCatalog,
     val due = (1 until Compactor.MaxLevel).filter(l => n % Compactor.cadenceFor(l) == 0)
     if (due.isEmpty) 0
     else catalog.all().map { spec =>
-      try Compactor.compactTable(spark, catalog, spec.database, spec.name,
-        levels = due, graceMs = graceMs)
-      catch {
+      try {
+        retentionNs(spec.database, spec.name).foreach { ttl =>
+          val root = catalog.tableDir(spec.database, spec.name)
+          RetentionEnforcer.enforce(root, spec.name, ttl)
+          RetentionEnforcer.sweep(root, spec.name, graceMs)
+        }
+        Compactor.compactTable(spark, catalog, spec.database, spec.name,
+          levels = due, graceMs = graceMs)
+      } catch {
         case NonFatal(e) =>
           System.err.println(s"[merge-scheduler] ${spec.database}.${spec.name}: ${e.getMessage}")
           0

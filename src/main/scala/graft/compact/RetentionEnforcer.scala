@@ -1,0 +1,75 @@
+package graft.compact
+
+import java.nio.file.{Files, Path}
+
+import graft.index.MetadataIndex
+
+import scala.jdk.CollectionConverters._
+
+/** Partition-TTL retention: expire whole hive partitions whose data has
+  * aged past a max-age policy — the operational loop every metrics
+  * lakehouse runs next to compaction (the reference has no TTL; this is
+  * an extension its InfluxDB-shaped users expect, built entirely on the
+  * existing manifest machinery).
+  *
+  * Expiry is PARTITION-granular and reader-safe: a partition expires
+  * only when its manifest max_time is entirely below the cutoff (a
+  * straddling partition is kept whole and ages out on a later pass),
+  * and expiry just moves the partition's live files onto the existing
+  * drop queue — the same 30 s-grace GC that protects in-flight readers
+  * from compaction deletes protects them from retention deletes.
+  * `sweep` then physically deletes due files and prunes drained
+  * partition dirs (manifest last) so the `date=/hour=` tree shrinks as
+  * data ages out.
+  *
+  * At 100 TB: enforcement reads only manifests (no data IO) — one
+  * metadata.json per partition, pruned by the same cached parses the
+  * query path uses; deletes are per-partition and idempotent, so a
+  * scheduler can run this at any cadence, concurrent with ingest into
+  * NEWER partitions (per-partition manifest synchronization is the
+  * existing writer contract). */
+object RetentionEnforcer {
+
+  /** Queue every fully-expired partition's live files for deletion.
+    * `nowNs` against the manifest's server-assigned `__timestamp` stats
+    * (min_time/max_time, the reference's partitioning clock). Returns
+    * the partition dirs expired this pass. */
+  def enforce(tableRoot: Path, tableName: String, maxAgeNs: Long,
+              nowNs: Long = System.currentTimeMillis() * 1000000L): Seq[Path] = {
+    val cutoff = nowNs - maxAgeNs
+    MetadataIndex.partitionDirs(tableRoot).flatMap { dir =>
+      val idx = MetadataIndex.load(dir, tableName)
+      if (idx.entries.nonEmpty && idx.maxTime < cutoff) {
+        MetadataIndex.batch(dir, tableName, remove = idx.entries.keys.toSeq)
+        Some(dir)
+      } else None
+    }
+  }
+
+  /** GC due drop-queue entries table-wide, then remove partition dirs
+    * that are fully drained (no live files, no queued deletes, nothing
+    * on disk but the manifest) and any empty `date=` parents. */
+  def sweep(tableRoot: Path, tableName: String,
+            graceMs: Long = MetadataIndex.DropGraceMs,
+            nowMs: Long = System.currentTimeMillis()): Unit = {
+    MetadataIndex.partitionDirs(tableRoot).foreach { dir =>
+      MetadataIndex.gc(dir, tableName, graceMs, nowMs)
+      val idx = MetadataIndex.load(dir, tableName)
+      if (idx.entries.isEmpty && idx.dropQueue.isEmpty) {
+        val residue = Files.list(dir).iterator().asScala
+          .filterNot(_.getFileName.toString == MetadataIndex.FileName).toSeq
+        if (residue.isEmpty) {
+          // manifest last: a dir with a manifest is always a valid
+          // (possibly empty) partition to any concurrent reader
+          Files.deleteIfExists(dir.resolve(MetadataIndex.FileName))
+          Files.deleteIfExists(dir)
+          val parent = dir.getParent
+          if (parent != null && parent != tableRoot &&
+              Files.isDirectory(parent) &&
+              !Files.list(parent).iterator().hasNext)
+            Files.deleteIfExists(parent)
+        }
+      }
+    }
+  }
+}
