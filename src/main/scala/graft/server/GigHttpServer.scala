@@ -44,7 +44,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
                           mergeIntervalMs: Long = 10000L,
                           dropGraceMs: Long = MetadataIndex.DropGraceMs,
                           host: String = "0.0.0.0",
-                          noMerges: Boolean = false)
+                          noMerges: Boolean = false,
+                          retentionNs: Option[Long] = None)
   extends AutoCloseable {
 
   val catalog = new TableCatalog(root)
@@ -52,7 +53,9 @@ final class GigHttpServer(spark: SparkSession, root: String,
   val buffer = new BufferedIngest(writer, saveTimeoutMs)
   private val views = new QueryViews(spark, catalog)
   // background LSM merges (reference RunMerge 10 s ticker, registry.go:42-62)
-  val merger = new MergeScheduler(spark, catalog, mergeIntervalMs, dropGraceMs)
+  // + the optional TTL policy riding the same beat (RetentionEnforcer)
+  val merger = new MergeScheduler(spark, catalog, mergeIntervalMs, dropGraceMs,
+    retentionNs = (_, _) => retentionNs)
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
   def start(): GigHttpServer = {
@@ -308,7 +311,8 @@ object GigHttpServer {
       // as "don't merge" instead
       mergeIntervalMs = math.max(1L, cfg.mergeTimeoutS * 1000L),
       host = cfg.host,
-      noMerges = cfg.noMerges || cfg.mergeTimeoutS <= 0)
+      noMerges = cfg.noMerges || cfg.mergeTimeoutS <= 0,
+      retentionNs = Some(cfg.retentionS * 1000000000L).filter(_ > 0))
 }
 
 /** {"results":[…]} serializer with the reference's bigint-as-string

@@ -24,7 +24,12 @@ final case class GraftConfig(
     saveTimeoutS: Double = 1.0,
     noMerges: Boolean = false,
     port: Int = 7971,
-    host: String = "0.0.0.0")
+    host: String = "0.0.0.0",
+    // EXTENSION beyond the reference config: partition-TTL retention in
+    // seconds (`retention_s` / GIGAPI_RETENTION_S); 0 = disabled.
+    // Expired partitions ride the compaction drop-queue + grace GC
+    // (compact.RetentionEnforcer).
+    retentionS: Long = 0L)
 
 object GraftConfig {
 
@@ -60,7 +65,9 @@ object GraftConfig {
       port = e("PORT").flatMap(_.toIntOption)
         .orElse(fromY(y, "port", anyInt)).getOrElse(d.port),
       host = e("HOST")
-        .orElse(fromY(y, "host", anyStr)).getOrElse(d.host))
+        .orElse(fromY(y, "host", anyStr)).getOrElse(d.host),
+      retentionS = e("GIGAPI_RETENTION_S").flatMap(_.toLongOption)
+        .orElse(fromY(section, "retention_s", anyLong)).getOrElse(d.retentionS))
     // reference guard: SaveTimeoutS == 0 → 1 (configuration.go:51-53)
     if (cfg.saveTimeoutS == 0) cfg.copy(saveTimeoutS = 1.0) else cfg
   }
@@ -83,6 +90,11 @@ object GraftConfig {
   private def anyInt(v: Any): Option[Int] = v match {
     case n: java.lang.Number => Some(n.intValue())
     case s: String => s.toIntOption
+    case _ => None
+  }
+  private def anyLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case s: String => s.toLongOption
     case _ => None
   }
   private def anyDouble(v: Any): Option[Double] = v match {

@@ -66,6 +66,14 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(c.mergeTimeoutS == 10)
   }
 
+  test("retention_s extension key: default off, yaml sets, env wins") {
+    assert(GraftConfig.load(None, env = Map.empty).retentionS == 0L)
+    val f = yamlFile("gigapi:\n  retention_s: 86400")
+    assert(GraftConfig.load(Some(f), env = Map.empty).retentionS == 86400L)
+    assert(GraftConfig.load(Some(f),
+      env = Map("GIGAPI_RETENTION_S" -> "3600")).retentionS == 3600L)
+  }
+
   test("save_timeout_s = 0 snaps to 1 (configuration.go:51-53)") {
     val f = yamlFile("gigapi:\n  save_timeout_s: 0")
     assert(GraftConfig.load(Some(f), env = Map.empty).saveTimeoutS == 1.0)
