@@ -50,7 +50,12 @@ final class MergeScheduler(spark: SparkSession, catalog: TableCatalog,
         retentionNs(spec.database, spec.name).foreach { ttl =>
           val root = catalog.tableDir(spec.database, spec.name)
           RetentionEnforcer.enforce(root, spec.name, ttl)
-          RetentionEnforcer.sweep(root, spec.name, graceMs)
+          // object-store tables delete remote bytes, not manifest-tree
+          // neighbors — same hook the compactor's GC uses
+          RetentionEnforcer.sweep(root, spec.name, graceMs,
+            deleteFor = dir => spec.dataUrl.map(_ => (p: String) =>
+              graft.sources.ObjectStore.delete(spark,
+                graft.sources.ObjectStore.dataUri(spark, spec, root, dir, p)): Unit))
         }
         Compactor.compactTable(spark, catalog, spec.database, spec.name,
           levels = due, graceMs = graceMs)

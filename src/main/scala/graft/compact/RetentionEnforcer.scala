@@ -48,12 +48,18 @@ object RetentionEnforcer {
 
   /** GC due drop-queue entries table-wide, then remove partition dirs
     * that are fully drained (no live files, no queued deletes, nothing
-    * on disk but the manifest) and any empty `date=` parents. */
+    * on disk but the manifest) and any empty `date=` parents.
+    *
+    * `deleteFor` mirrors the compactor's GC hook: for object-store
+    * tables it must return the remote deleter (ObjectStore.delete over
+    * dataUri) or retention would drain manifests while leaking the
+    * remote bytes; None (default) unlinks next to the manifest. */
   def sweep(tableRoot: Path, tableName: String,
             graceMs: Long = MetadataIndex.DropGraceMs,
-            nowMs: Long = System.currentTimeMillis()): Unit = {
+            nowMs: Long = System.currentTimeMillis(),
+            deleteFor: Path => Option[String => Unit] = _ => None): Unit = {
     MetadataIndex.partitionDirs(tableRoot).foreach { dir =>
-      MetadataIndex.gc(dir, tableName, graceMs, nowMs)
+      MetadataIndex.gc(dir, tableName, graceMs, nowMs, delete = deleteFor(dir))
       val idx = MetadataIndex.load(dir, tableName)
       if (idx.entries.isEmpty && idx.dropQueue.isEmpty) {
         val residue = Files.list(dir).iterator().asScala

@@ -75,6 +75,21 @@ class RetentionSpec extends AnyFunSuite {
     } finally sched.close()
   }
 
+  test("sweep routes deletes through the object-store hook when given one") {
+    val root = Files.createTempDirectory("graft-ttl4")
+    // object-store shape: manifest local, data bytes remote (no local file)
+    val dir = root.resolve("date=1970-01-01/hour=00")
+    Files.createDirectories(dir)
+    MetadataIndex.batch(dir, "t", add = Seq(FileEntry(0, "a.1.parquet", 3, 1, 1, 1, 2)))
+    RetentionEnforcer.enforce(root, "t", maxAgeNs = 1L, nowNs = 1000L * 1000000000L)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    RetentionEnforcer.sweep(root, "t", graceMs = 0L,
+      nowMs = System.currentTimeMillis() + 1,
+      deleteFor = d => Some(p => { deleted += s"${d.getFileName}/$p"; () }))
+    assert(deleted == Seq("hour=00/a.1.parquet"), deleted)
+    assert(!Files.exists(dir), "drained dir pruned after remote delete")
+  }
+
   test("a straddling partition ages out on a later pass, whole") {
     val root = Files.createTempDirectory("graft-ttl2")
     val p = mkPartition(root, "date=2024-01-02/hour=00",
