@@ -49,7 +49,11 @@ final class MergeScheduler(spark: SparkSession, catalog: TableCatalog,
       try {
         retentionNs(spec.database, spec.name).foreach { ttl =>
           val root = catalog.tableDir(spec.database, spec.name)
-          RetentionEnforcer.enforce(root, spec.name, ttl)
+          // version bump on expiry: cached query views must re-list, or
+          // they'd keep referencing dropped files past the GC grace —
+          // same contract as ingest (IngestWriter) and compaction
+          if (RetentionEnforcer.enforce(root, spec.name, ttl).nonEmpty)
+            catalog.bumpVersion(spec.database, spec.name)
           // object-store tables delete remote bytes, not manifest-tree
           // neighbors — same hook the compactor's GC uses
           RetentionEnforcer.sweep(root, spec.name, graceMs,

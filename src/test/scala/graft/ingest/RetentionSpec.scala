@@ -69,9 +69,12 @@ class RetentionSpec extends AnyFunSuite {
       graft.SparkSpec.session, catalog, graceMs = 0L,
       retentionNs = (_, _) => Some(86400L * 1000000000L))
     try {
+      val v0 = catalog.version("db", "m")
       sched.tick() // enforce queues the drop; sweep GCs at grace 0
       sched.tick() // second beat prunes the drained dir
       assert(!Files.exists(tdir.resolve("date=1970-01-01/hour=00")))
+      // expiry must invalidate cached query views, like ingest/compaction
+      assert(catalog.version("db", "m") > v0)
     } finally sched.close()
   }
 
