@@ -211,6 +211,26 @@ object RelationalQueries {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
     }),
 
+    // ---- grouped statistics: stddev / correlation-with-time / covar
+    //      per series — single-pass co-moment aggregates, partial-agged.
+    //      Time axis CENTERED to seconds since the data origin before
+    //      the co-moments: raw ns epochs (~1.7e18) would put the
+    //      accumulation-order ulps at hundreds absolute, past any
+    //      rounding; centered spans stay exact (< 2^53 ns) and one IEEE
+    //      division is engine-identical. roundD absorbs the rest ----
+    "q18_grouped_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          (expr(s"(ts DIV 1000) * 1000 - $StatsOriginNs").cast("double") /
+            lit(1e9)).as("td"))
+        .groupBy(col("event_type"))
+        .agg(round(stddev_samp(col("value")), 4).as("sd"),
+          round(corr(col("value"), col("td")), 4).as("corr_vt"),
+          round(covar_samp(col("value"), col("td")), 4).as("cov_vt"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- exact percentiles per series (THE metrics query: p50/p90/p99
     //      latency). Spark's `percentile` is an exact sort-based
     //      aggregate with linear interpolation — same definition as
@@ -345,5 +365,16 @@ object RelationalQueries {
          |  ${roundD("quantile_cont(value, 0.99)", 4)} AS p99,
          |  count(*) AS n
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q18_grouped_stats" ->
+      s"""SELECT event_type,
+         |  ${roundD("stddev_samp(value)", 4)} AS sd,
+         |  ${roundD(s"corr(value, CAST(epoch_ns(ts) - $StatsOriginNs AS DOUBLE) / 1e9)", 4)} AS corr_vt,
+         |  ${roundD(s"covar_samp(value, CAST(epoch_ns(ts) - $StatsOriginNs AS DOUBLE) / 1e9)", 4)} AS cov_vt,
+         |  count(*) AS n
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
+
+  /** q18's time-centering origin (2024-01-01T00:00:00Z in ns — the
+    * testdata epoch; keeps centered spans exactly representable). */
+  val StatsOriginNs = 1704067200000000000L
 }
