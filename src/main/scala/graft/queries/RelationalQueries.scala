@@ -25,6 +25,20 @@ import graft.ops.OracleSql.roundD
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  // constants used inside the maps below MUST be declared before them:
+  // a Scala object initializes vals in declaration order, and a forward
+  // reference silently yields null/0 into the interpolated SQL
+  /** q18's time-centering origin (2024-01-01T00:00:00Z in ns — the
+    * testdata epoch; keeps centered spans exactly representable). */
+  val StatsOriginNs = 1704067200000000000L
+
+  private val q19Oracle =
+    """SELECT event_type,
+      |  string_agg(event_id, ',' ORDER BY event_id) AS ids,
+      |  count(*) AS n
+      |FROM events WHERE event_id < 200
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // ---- aggregate: TPC-H Q1 shape (partial agg → 6-group exchange) ----
     "q01_pricing_summary" -> ((s, dir) => {
@@ -231,6 +245,19 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ---- ordered string aggregation (listagg/string_agg family):
+    //      deterministic via explicit element ordering — collect_list
+    //      alone is partition-order-dependent, array_sort pins it ----
+    "q19_string_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .filter(col("event_id") < 200)
+        .groupBy(col("event_type"))
+        .agg(
+          array_join(array_sort(collect_list(col("event_id"))), ",").as("ids"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- exact percentiles per series (THE metrics query: p50/p90/p99
     //      latency). Spark's `percentile` is an exact sort-based
     //      aggregate with linear interpolation — same definition as
@@ -365,6 +392,7 @@ object RelationalQueries {
          |  ${roundD("quantile_cont(value, 0.99)", 4)} AS p99,
          |  count(*) AS n
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q19_string_agg" -> q19Oracle,
     "q18_grouped_stats" ->
       s"""SELECT event_type,
          |  ${roundD("stddev_samp(value)", 4)} AS sd,
@@ -374,7 +402,4 @@ object RelationalQueries {
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
-  /** q18's time-centering origin (2024-01-01T00:00:00Z in ns — the
-    * testdata epoch; keeps centered spans exactly representable). */
-  val StatsOriginNs = 1704067200000000000L
 }
