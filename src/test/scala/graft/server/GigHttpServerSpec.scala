@@ -58,6 +58,31 @@ class GigHttpServerSpec extends SparkSpec {
     assert(unscoped.statusCode() == 500, unscoped.body())
   }
 
+  test("CH analytics aggregates run over ingested lakehouse data via /query") {
+    // line-protocol timestamps in ns; three users at funnel levels 3/1/2
+    val t0 = 1700000000000000000L
+    val lines = Seq(
+      s"""fun,user=1 stage="view" ${t0}""",
+      s"""fun,user=1 stage="click" ${t0 + 5000000000L}""",
+      s"""fun,user=1 stage="purchase" ${t0 + 9000000000L}""",
+      s"""fun,user=2 stage="view" ${t0}""",
+      s"""fun,user=3 stage="view" ${t0}""",
+      s"""fun,user=3 stage="click" ${t0 + 60000000000L}""" // outside 10 s window
+    ).mkString("\n")
+    assert(post("/write?db=fdb", lines).statusCode() == 204)
+
+    val q = post("/query?db=fdb",
+      """{"query": "SELECT user, window_funnel(10000000000L, time, stage = 'view', stage = 'click', stage = 'purchase') AS lvl FROM fun GROUP BY user ORDER BY user"}""")
+    assert(q.statusCode() == 200, q.body())
+    assert(q.body().contains(""""lvl":3"""), q.body())
+    assert(q.body().contains(""""lvl":1"""), q.body())
+
+    val r = post("/query?db=fdb",
+      """{"query": "SELECT top_k(2, stage) AS tk FROM fun"}""")
+    assert(r.statusCode() == 200, r.body())
+    assert(r.body().contains("view"), r.body())
+  }
+
   test("gzip write body is accepted") {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
