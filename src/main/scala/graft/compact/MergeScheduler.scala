@@ -54,15 +54,16 @@ final class MergeScheduler(spark: SparkSession, catalog: TableCatalog,
           // same contract as ingest (IngestWriter) and compaction
           if (RetentionEnforcer.enforce(root, spec.name, ttl).nonEmpty)
             catalog.bumpVersion(spec.database, spec.name)
-          // object-store tables delete remote bytes, not manifest-tree
-          // neighbors — same hook the compactor's GC uses
-          RetentionEnforcer.sweep(root, spec.name, graceMs,
-            deleteFor = dir => spec.dataUrl.map(_ => (p: String) =>
-              graft.sources.ObjectStore.delete(spark,
-                graft.sources.ObjectStore.dataUri(spark, spec, root, dir, p)): Unit))
         }
-        Compactor.compactTable(spark, catalog, spec.database, spec.name,
-          levels = due, graceMs = graceMs)
+        val merged = Compactor.compactTable(spark, catalog, spec.database,
+          spec.name, levels = due, graceMs = graceMs)
+        // prune-only sweep AFTER compactTable: its gc pass (which owns
+        // the object-store deleter) already drained due drop-queue
+        // entries this tick — no second gc walk, no duplicated deleter
+        if (retentionNs(spec.database, spec.name).isDefined)
+          RetentionEnforcer.sweep(catalog.tableDir(spec.database, spec.name),
+            spec.name, graceMs, runGc = false)
+        merged
       } catch {
         case NonFatal(e) =>
           System.err.println(s"[merge-scheduler] ${spec.database}.${spec.name}: ${e.getMessage}")

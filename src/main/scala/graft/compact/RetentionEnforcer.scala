@@ -57,25 +57,39 @@ object RetentionEnforcer {
   def sweep(tableRoot: Path, tableName: String,
             graceMs: Long = MetadataIndex.DropGraceMs,
             nowMs: Long = System.currentTimeMillis(),
-            deleteFor: Path => Option[String => Unit] = _ => None): Unit = {
+            deleteFor: Path => Option[String => Unit] = _ => None,
+            runGc: Boolean = true): Unit = {
     MetadataIndex.partitionDirs(tableRoot).foreach { dir =>
-      MetadataIndex.gc(dir, tableName, graceMs, nowMs, delete = deleteFor(dir))
-      val idx = MetadataIndex.load(dir, tableName)
-      if (idx.entries.isEmpty && idx.dropQueue.isEmpty) {
-        val residue = Files.list(dir).iterator().asScala
-          .filterNot(_.getFileName.toString == MetadataIndex.FileName).toSeq
-        if (residue.isEmpty) {
+      if (runGc)
+        MetadataIndex.gc(dir, tableName, graceMs, nowMs, delete = deleteFor(dir))
+      // prune INSIDE the manifest monitor: batch/gc hold the same lock,
+      // so a concurrent ingest commit can't land between the emptiness
+      // re-check and the manifest delete (it would either commit first —
+      // and the re-check sees it — or block until the dir is gone and
+      // recreate it from scratch). Outside the lock this silently
+      // destroyed a just-committed entry (object-store data is remote,
+      // so the residue check alone can never protect it).
+      MetadataIndex.synchronized {
+        val idx = MetadataIndex.load(dir, tableName)
+        if (idx.entries.isEmpty && idx.dropQueue.isEmpty &&
+            listDir(dir).forall(_.getFileName.toString == MetadataIndex.FileName)) {
           // manifest last: a dir with a manifest is always a valid
           // (possibly empty) partition to any concurrent reader
           Files.deleteIfExists(dir.resolve(MetadataIndex.FileName))
           Files.deleteIfExists(dir)
           val parent = dir.getParent
           if (parent != null && parent != tableRoot &&
-              Files.isDirectory(parent) &&
-              !Files.list(parent).iterator().hasNext)
+              Files.isDirectory(parent) && listDir(parent).isEmpty)
             Files.deleteIfExists(parent)
         }
       }
     }
+  }
+
+  /** Files.list with the stream CLOSED (the returned stream holds an
+    * open directory fd; iterator exhaustion does not release it). */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
   }
 }

@@ -40,6 +40,8 @@ case class TopKAgg(
 
   override def children: Seq[Expression] = Seq(kExpr, child)
 
+  val MaxK = 1 << 20
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (!kExpr.foldable)
       TypeCheckResult.TypeCheckFailure("top_k: k must be a literal")
@@ -47,7 +49,15 @@ case class TopKAgg(
       TypeCheckResult.TypeCheckFailure("top_k: k must be integral")
     else if (child.dataType != StringType)
       TypeCheckResult.TypeCheckFailure("top_k: expr must be STRING")
-    else TypeCheckResult.TypeCheckSuccess
+    else kExpr.eval() match {
+      // range-check at analysis: k <= 0 is meaningless (CH errors too)
+      // and a huge k would overflow capacity into a negative Int,
+      // making the summary reject every value and minBy throw at run
+      case n: java.lang.Number if n.longValue() >= 1 && n.longValue() <= MaxK =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"top_k: k must be in [1, $MaxK], got $other")
+    }
 
   private lazy val k: Int = kExpr.eval() match {
     case i: java.lang.Integer => i.intValue()

@@ -234,12 +234,16 @@ object MetadataIndex {
     } catch { case _: java.io.IOException => () }
   }
 
-  /** All partition dirs (dirs containing metadata.json) under a table. */
+  /** All partition dirs (dirs containing metadata.json) under a table.
+    * The walk stream is closed explicitly — it holds open directory fds
+    * that iterator exhaustion does not release. */
   def partitionDirs(tableRoot: Path): Seq[Path] = {
     if (!Files.isDirectory(tableRoot)) return Nil
-    Files.walk(tableRoot).iterator().asScala
+    val s = Files.walk(tableRoot)
+    try s.iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString == FileName)
       .map(_.getParent).toSeq
+    finally s.close()
   }
 
   /** Live files overlapping [minNs, maxNs] — querier-style time pruning

@@ -218,10 +218,17 @@ object SimilarityOps {
     val bcq = assigned.select(col("vec_id").as("nid"),
         quantize(col("nvec")).as("qb"), col("cell"))
       .withColumn("nb", dotl(col("qb"), col("qb")))
-    val probes = probeCells(km, queries, nprobe)
-      .withColumn("qa", quantize(col("qv")))
+    // quantize each query ONCE and join the tiny result onto the probe
+    // cells — quantizing after the nprobe explode would run the O(dims)
+    // kernel nprobe times per query and drag the float vector through
+    // the probe shuffle just to discard it
+    val qq = queries.select(col("vec_id").as("qid"),
+        quantize(normalized(col("embedding"))).as("qa"))
+      .filter(col("qa").isNotNull)
       .withColumn("na", dotl(col("qa"), col("qa")))
-      .select("qid", "qa", "na", "cell")
+    val probes = probeCells(km, queries, nprobe)
+      .select("qid", "cell")
+      .join(broadcast(qq), Seq("qid"))
     val scored = probes.join(bcq, Seq("cell"))
       .filter(col("qid") =!= col("nid") && col("na") > 0 && col("nb") > 0)
       .select(col("qid"), col("nid"),

@@ -94,7 +94,10 @@ object TimeSeriesOps {
       val m = max(col(s"s$i")).over(wPrev)
       df = df.withColumn(s"s${i + 1}", when(cond && t - m <= windowNs, m))
     }
-    val lvl = (stages.size to 1 by -1).foldLeft(lit(0)) { (acc, j) =>
+    // fold ASCENDING so the HIGHEST stage lands as the outermost when():
+    // a row matching several stages must report the highest level (the
+    // DuckDB rendering below lists WHEN s_max first for the same reason)
+    val lvl = (1 to stages.size).foldLeft(lit(0)) { (acc, j) =>
       when(col(s"s$j").isNotNull, j).otherwise(acc)
     }
     df.groupBy(col(key)).agg(max(lvl).as("funnel_level"))

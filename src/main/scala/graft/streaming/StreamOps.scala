@@ -157,11 +157,19 @@ object StreamOps {
               out += FunnelAdvance(user, level, p.timeNs)
             }
           }
-          state.update(FunnelState(starts.toSeq, pending, level))
-          if (pending.nonEmpty)
-            // fire once the watermark passes the oldest buffered event
-            // (+1 ms: the timeout must sit strictly past the watermark)
-            state.setTimeoutTimestamp(pending.map(_.timeNs).min / 1000000L + 1)
+          if (level >= nStages && pending.isEmpty)
+            // completed funnel with nothing buffered: provably dead
+            // state — evict it, or per-user entries accumulate forever
+            // on a high-cardinality stream (incomplete funnels must
+            // persist: a future event can still advance them)
+            state.remove()
+          else {
+            state.update(FunnelState(starts.toSeq, pending, level))
+            if (pending.nonEmpty)
+              // fire once the watermark passes the oldest buffered event
+              // (+1 ms: the timeout must sit strictly past the watermark)
+              state.setTimeoutTimestamp(pending.map(_.timeNs).min / 1000000L + 1)
+          }
           out.result().iterator
       }
   }

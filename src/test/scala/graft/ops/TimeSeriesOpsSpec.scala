@@ -103,6 +103,18 @@ class TimeSeriesOpsSpec extends SparkSpec {
       windowNs = 10L)
       .as[(Long, Int)].collect().toMap
 
+  test("windowFunnel: overlapping stage conditions report the HIGHEST matched level") {
+    // second event satisfies BOTH stage-1 (type in a,b) and stage-2
+    // (type = b): its row level must be 2, not 1
+    val df = Seq((1L, 0L, 0L, "a"), (1L, 5L, 1L, "b"))
+      .toDF("user_id", "t", "event_id", "event_type")
+    val got = TimeSeriesOps.windowFunnel(df, "user_id", "t", "event_id",
+      stages = Seq(col("event_type").isin("a", "b"), col("event_type") === "b"),
+      windowNs = 10L)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 2), got)
+  }
+
   test("windowFunnel matches a brute-force chain DP on randomized event sets") {
     // 40 users x ~25 events, seeded: random stage/noise types, random
     // times in a SMALL range so window-boundary (t - start == w) and
