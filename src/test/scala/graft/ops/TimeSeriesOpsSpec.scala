@@ -103,6 +103,31 @@ class TimeSeriesOpsSpec extends SparkSpec {
       windowNs = 10L)
       .as[(Long, Int)].collect().toMap
 
+  test("gapFill matches an in-memory reference on randomized sparse series") {
+    val rnd = new scala.util.Random(5)
+    val bucket = 10L
+    val rows = for {
+      k <- Seq("a", "b", "c")
+      _ <- 0 until 12
+    } yield (k, rnd.nextInt(300).toLong, rnd.nextInt(100) / 10.0)
+    val got = TimeSeriesOps.gapFill(rows.toDF("k", "t", "v"), "k", "t", "v", bucket)
+      .select($"k", $"bucket_ts", $"n", $"v_avg", $"v_fill")
+      .as[(String, Long, Long, Option[Double], Double)].collect().toSet
+
+    val expected = rows.groupBy(_._1).flatMap { case (k, evs) =>
+      val byB = evs.groupBy(_._2 / bucket)
+      val (b0, b1) = (byB.keys.min, byB.keys.max)
+      var lastAvg = 0.0
+      (b0 to b1).map { b =>
+        val vs = byB.getOrElse(b, Nil).map(_._3)
+        val avg = if (vs.nonEmpty) Some(vs.sum / vs.size) else None
+        avg.foreach(lastAvg = _)
+        (k, b * bucket, vs.size.toLong, avg, lastAvg)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("windowFunnel: overlapping stage conditions report the HIGHEST matched level") {
     // second event satisfies BOTH stage-1 (type in a,b) and stage-2
     // (type = b): its row level must be 2, not 1
