@@ -138,6 +138,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("top_k aggregate runs inside a streaming windowed aggregation (state-store round-trip)") {
+    implicit val sq = spark.sqlContext
+    graft.Tables.init(spark)
+    val in = MemoryStream[(Long, String)]
+    val agg = in.toDF().toDF("time", "s")
+      .withColumn("event_time",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("time DIV 1000")))
+      .withWatermark("event_time", "10 seconds")
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.col("event_time"), "1 minute"))
+      .agg(org.apache.spark.sql.functions.expr("top_k(2, s)").as("tk"))
+    val q = agg.writeStream.format("memory").queryName("stopk")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the sketch must survive state-store serialize/deserialize across
+      // micro-batches within one open window
+      in.addData((ns(1), "x"), (ns(2), "x"), (ns(3), "y"))
+      q.processAllAvailable()
+      in.addData((ns(5), "x"), (ns(6), "z"))
+      q.processAllAvailable()
+      in.addData((ns(200), "w")) // close the first window
+      q.processAllAvailable()
+      val tk = spark.table("stopk")
+        .selectExpr("tk").as[Seq[(String, Long)]].collect()
+      assert(tk.exists(_ == Seq(("x", 3L), ("y", 1L))), tk.toSeq)
+    } finally q.stop()
+  }
+
   test("sessionizeStream merges points within gap, closes sessions at the watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String, Double)]
