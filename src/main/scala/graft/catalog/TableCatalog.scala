@@ -59,9 +59,16 @@ final class TableCatalog(root: String) {
   def all(): Seq[TableSpec] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) return tables.values.toSeq
+    // close the list streams: each holds a directory fd that iterator
+    // exhaustion does not release, and all() runs every scheduler tick
+    def subdirs(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+      finally s.close()
+    }
     val onDisk = for {
-      db <- Files.list(r).iterator().asScala.filter(Files.isDirectory(_)).toSeq
-      t <- Files.list(db).iterator().asScala.filter(Files.isDirectory(_)).toSeq
+      db <- subdirs(r)
+      t <- subdirs(db)
       if Files.exists(t.resolve(".table.json"))
       spec <- loadFromDisk(db.getFileName.toString, t.getFileName.toString)
     } yield spec
