@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Count, HyperLogLogPlusPlus, Max, MaxBy, Min, MinBy, Sum}
 import org.apache.spark.sql.types._
 
 /** ClickHouse-compat function surface (reference aliases.sql:1-36) plus
@@ -97,6 +98,26 @@ object GraftFunctions {
     reg("retention")(es => RetentionAgg(es).toAggregateExpression())
     // CH-compat AGGREGATE: top_k(k, expr) — space-saving heavy hitters
     reg("top_k")(es => TopKAgg(es(0), es(1)).toAggregateExpression())
+    // CH -If aggregate combinators (countIf/sumIf/…): the condition gates
+    // the input to null, which every Spark aggregate already ignores —
+    // so each combinator partial-aggregates map-side like its base
+    // aggregate, no extra pass. CH argument order: xxxIf(column, cond).
+    def gated(value: Expression, cond: Expression): Expression =
+      If(cond, value, Literal.create(null, NullType))
+    reg("countIf")(es => Count(gated(Literal(1), es(0))).toAggregateExpression())
+    reg("sumIf")(es => Sum(gated(es(0), es(1))).toAggregateExpression())
+    reg("avgIf")(es => Average(gated(es(0), es(1))).toAggregateExpression())
+    reg("minIf")(es => Min(gated(es(0), es(1))).toAggregateExpression())
+    reg("maxIf")(es => Max(gated(es(0), es(1))).toAggregateExpression())
+    // CH argMax(arg, val)/argMin: value of `arg` at the max/min of `val`
+    // (the "latest value" idiom). Ties on `val` pick an arbitrary row,
+    // exactly like ClickHouse — pass a unique `val` for determinism.
+    reg("argMax")(es => MaxBy(es(0), es(1)).toAggregateExpression())
+    reg("argMin")(es => MinBy(es(0), es(1)).toAggregateExpression())
+    // CH uniq / uniqExact: HLL++ sketch (mergeable, fixed memory — the
+    // 100 TB path) vs exact distinct count (expands the shuffle key)
+    reg("uniq")(es => HyperLogLogPlusPlus(es.head).toAggregateExpression())
+    reg("uniqExact")(es => Count(es).toAggregateExpression(isDistinct = true))
     reg("ngrams") { es =>
       val n = es(1) match {
         case e if e.foldable => e.eval() match {

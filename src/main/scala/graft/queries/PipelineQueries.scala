@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, DedupOps, MediaGen, MultimodalOps, OracleSql, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps, TimeSeriesOps}
+import graft.ops.{AsOfJoin, DedupOps, MediaGen, MultimodalOps, OracleSql, PackOps, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps, TimeSeriesOps}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -350,6 +350,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- sequence packing: greedy next-fit of docs into 128-token
+    //      training rows, sharded by doc_id — the sequential recurrence
+    //      distributed as one hash shuffle + per-shard linear scan with
+    //      O(1) state (PackOps). Oracle: recursive-CTE replay ----
+    "p30_seq_packing" -> ((s, dir) => {
+      val sized = Tables.load(s, dir, "documents")
+        .select((col("doc_id") % PackShards).cast("int").as("shard"),
+          col("doc_id"), TextOps.tokenCount(col("text")).as("n_tok"))
+      PackOps.packGreedy(sized, PackBudget)
+        .orderBy(col("shard"), col("doc_id"))
+    }),
+
     // ---- benchmark decontamination: corpus docs sharing an 8-gram with
     //      the doc_id<50 holdout (broadcast semi-join; oracle-checked) ----
     "p15_decontaminate" -> ((s, dir) => {
@@ -403,6 +415,12 @@ object PipelineQueries {
   /** p29's k (summary capacity 8k must exceed the per-lang vocabulary
     * for the exact-count oracle to replay; 31 tokens/lang < 40). */
   val HeavyHittersK = 5
+
+  /** p30's packing grid: 8 shards; 128-token bins (docs run 10-99
+    * tokens at every SF, so bins hold 1-3 docs and overflow splits
+    * actually occur). */
+  val PackShards = 8
+  val PackBudget = 128
 
   /** p13's trained quantizer, captured when the query runs so the oracle
     * SQL can replay the SAME centroids (Verify runs all queries, then
@@ -474,6 +492,7 @@ object PipelineQueries {
     "p14_repetition_filters" -> TextOps.repetitionSql(),
     "p15_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
     "p20_dedup_cluster" -> DedupOps.clusterSql(NearDupTau),
+    "p30_seq_packing" -> PackOps.packGreedySql(PackShards, PackBudget),
     "p21_salient_terms" -> TextOps.salientTermsSql(),
     "p22_gap_fill" -> TimeSeriesOps.gapFillSql(GapBucketNs, GapSparsify),
     "p23_window_funnel" -> TimeSeriesOps.windowFunnelSql(FunnelStages, FunnelWindowNs),

@@ -258,6 +258,25 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ---- ClickHouse aggregate combinators (graft.functions): -If gates,
+    //      argMax/argMin (latest-value idiom, tie-broken by the unique
+    //      event_id), uniqExact. All partial-agg map-side like their base
+    //      aggregates; `uniq` (HLL++) is spec-tested instead — approx
+    //      counts aren't comparable across engines ----
+    "q20_ch_aggregates" -> ((s, dir) => {
+      Tables.views(s, dir).sql(
+        """SELECT event_type,
+          |  countIf(value > 0.5) AS n_hi,
+          |  round(sumIf(value, event_id % 2 = 0), 2) AS sum_even,
+          |  round(avgIf(value, event_id % 2 = 1), 4) AS avg_odd,
+          |  minIf(value, value > 0.25) AS min_q,
+          |  maxIf(value, event_id < 1000) AS max_lo,
+          |  argMax(value, event_id) AS last_v,
+          |  argMin(value, event_id) AS first_v,
+          |  uniqExact(user_id) AS n_users
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // ---- exact percentiles per series (THE metrics query: p50/p90/p99
     //      latency). Spark's `percentile` is an exact sort-based
     //      aggregate with linear interpolation — same definition as
@@ -393,6 +412,17 @@ object RelationalQueries {
          |  count(*) AS n
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q19_string_agg" -> q19Oracle,
+    "q20_ch_aggregates" ->
+      s"""SELECT event_type,
+         |  count(CASE WHEN value > 0.5 THEN 1 END) AS n_hi,
+         |  ${roundD("sum(CASE WHEN event_id % 2 = 0 THEN value END)", 2)} AS sum_even,
+         |  ${roundD("avg(CASE WHEN event_id % 2 = 1 THEN value END)", 4)} AS avg_odd,
+         |  min(CASE WHEN value > 0.25 THEN value END) AS min_q,
+         |  max(CASE WHEN event_id < 1000 THEN value END) AS max_lo,
+         |  arg_max(value, event_id) AS last_v,
+         |  arg_min(value, event_id) AS first_v,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q18_grouped_stats" ->
       s"""SELECT event_type,
          |  ${roundD("stddev_samp(value)", 4)} AS sd,

@@ -85,6 +85,51 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq(("v9", 10L), ("v8", 9L), ("v7", 8L)), got)
   }
 
+  test("-If combinators gate rows like their base aggregates") {
+    import spark.implicits._
+    Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)).toDF("id", "v")
+      .createOrReplaceTempView("agg_if")
+    val r = spark.sql(
+      """SELECT countIf(v > 15), sumIf(v, id % 2 = 0), avgIf(v, id > 1),
+        |  minIf(v, v > 10.0), maxIf(v, id < 4) FROM agg_if""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 60.0)
+    assert(r.getDouble(2) == 30.0)
+    assert(r.getDouble(3) == 20.0)
+    assert(r.getDouble(4) == 30.0)
+  }
+
+  test("-If combinators over zero matching rows yield null (not 0/NaN)") {
+    import spark.implicits._
+    Seq((1, 10.0)).toDF("id", "v").createOrReplaceTempView("agg_if0")
+    val r = spark.sql(
+      "SELECT countIf(v > 99), sumIf(v, id > 99), avgIf(v, id > 99) FROM agg_if0")
+      .collect().head
+    assert(r.getLong(0) == 0L)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("argMax / argMin return the value at the extremal key") {
+    import spark.implicits._
+    Seq((1L, 5.0), (9L, 7.5), (4L, 2.5)).toDF("id", "v")
+      .createOrReplaceTempView("agg_arg")
+    val r = spark.sql("SELECT argMax(v, id), argMin(v, id) FROM agg_arg")
+      .collect().head
+    assert(r.getDouble(0) == 7.5) // value at id=9
+    assert(r.getDouble(1) == 5.0) // value at id=1
+  }
+
+  test("uniqExact is exact; uniq (HLL++) lands within its 5% rsd") {
+    import spark.implicits._
+    val n = 3000
+    (0 until n).map(i => i % 750).toDF("k").repartition(9)
+      .createOrReplaceTempView("agg_uniq")
+    val r = spark.sql("SELECT uniqExact(k), uniq(k) FROM agg_uniq").collect().head
+    assert(r.getLong(0) == 750L)
+    assert(math.abs(r.getLong(1) - 750L) <= 75L, s"uniq=${r.getLong(1)}")
+  }
+
   test("top_k keeps true heavy hitters when cardinality exceeds capacity") {
     import spark.implicits._
     // capacity = 8k = 16; 400 distinct light values + 2 dominant ones
