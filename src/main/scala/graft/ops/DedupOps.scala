@@ -418,4 +418,58 @@ object DedupOps {
           (col("a.norm") * col("b.norm"))).as("sim"))
       .filter(col("sim") >= tau)
   }
+
+  /** Exact-substring duplication window length, in tokens. Real pipelines
+    * dedup on ~50-token spans (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", §4: 50-token matches); 15 fits this
+    * corpus's 10-70-token documents while staying far above chance
+    * collision for its vocabulary. */
+  val SubstrWindow = 15
+
+  /** Per-document exact-substring duplication stats: slide a `w`-token
+    * window over every document, hash each window (md5 — the primitive
+    * both engines share bit-for-bit), and count, per document, how many
+    * of its window INSTANCES also occur elsewhere in the corpus (globally
+    * ≥ 2 occurrences) and how many occur in some OTHER document. Returns
+    * `doc_id, n_windows, n_dup, n_cross` for docs with ≥ w tokens —
+    * the span-level signal that document-level near-dup (p02/p03) can't
+    * see: two long documents sharing one copied paragraph.
+    *
+    * Scale shape: window hashes shuffle once for the global count
+    * (map-side partial agg bounds hot keys), the instance⋈count join
+    * rides that same hash partitioning, and the per-doc rollup is the
+    * only other exchange. Work is linear in corpus tokens — the
+    * distributed stand-in for the suffix-array pass of the paper, which
+    * is inherently sequential. */
+  def substrDupStats(docs: DataFrame, w: Int = SubstrWindow): DataFrame = {
+    val inst = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.ngrams(col("__w"), w)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    val counts = inst.groupBy("h")
+      .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("nd"))
+    inst.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("c") > 1, 1)).as("n_dup"),
+        count(when(col("nd") > 1, 1)).as("n_cross"))
+  }
+
+  /** DuckDB oracle for substrDupStats (same tokenizer, same md5). */
+  def substrDupSql(w: Int = SubstrWindow, table: String = "documents"): String = {
+    val gram = (0 until w).map(k => s"w[i+$k]").mkString("||' '||")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |inst AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(w) - ${w - 2}), i -> md5($gram))) h
+       |  FROM toks WHERE len(w) >= $w),
+       |c AS (SELECT h, count(*) c, count(DISTINCT doc_id) nd FROM inst GROUP BY h)
+       |SELECT doc_id, count(*) AS n_windows,
+       |  count(*) FILTER (WHERE c > 1) AS n_dup,
+       |  count(*) FILTER (WHERE nd > 1) AS n_cross
+       |FROM inst JOIN c USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, DedupOps, MediaGen, MultimodalOps, OracleSql, PackOps, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps, TimeSeriesOps}
+import graft.ops.{AsOfJoin, DedupOps, MediaGen, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps, TimeSeriesOps}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -371,6 +371,25 @@ object PipelineQueries {
         docs.filter(col("doc_id") < DecontamHoldout))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- PII detection + redaction: regex sweeps + chained replaces,
+    //      map-only (zero shuffles). The corpus carries no natural PII,
+    //      so deterministic doc_id-derived PII is planted first — both
+    //      engines rebuild the identical input (MediaGen trick).
+    //      loadSorted: per-row regex work dominates, spread the scan ----
+    "p31_pii_redact" -> ((s, dir) => {
+      PiiOps.piiStats(PiiOps.withSyntheticPii(
+        Tables.loadSorted(s, dir, "documents", col("doc_id"))))
+    }),
+
+    // ---- exact-substring duplication spans (Lee et al. style): 15-token
+    //      sliding windows, md5'd, counted globally; per-doc instance/
+    //      cross-doc duplicate counts. One window-hash shuffle + the
+    //      doc rollup; linear in corpus tokens ----
+    "p32_substr_dedup" -> ((s, dir) => {
+      DedupOps.substrDupStats(Tables.loadSpread(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
@@ -499,6 +518,8 @@ object PipelineQueries {
     "p24_retention" -> TimeSeriesOps.retentionSql(RetentionOriginNs, WeekNs, RetentionWeeks, RetentionEvent),
     "p25_quantized_ann" -> SimilarityOps.quantizedTopKSql(k = 10, maxQid = 5),
     "p26_keyword_search" -> TextOps.keywordSearchSql(SearchTerms),
+    "p31_pii_redact" -> PiiOps.piiStatsSql(),
+    "p32_substr_dedup" -> DedupOps.substrDupSql(),
     "p28_stratified_sample" ->
       s"""SELECT lang, doc_id, rk FROM (
          |  SELECT lang, doc_id,

@@ -164,4 +164,36 @@ class DedupOpsSpec extends SparkSpec {
     val expected = parent.keys.map(k => k -> find(k)).toMap
     assert(cc(edges) == expected)
   }
+
+  test("substrDupStats counts shared and internal duplicated windows") {
+    // 15-token span shared verbatim between docs 0 and 1; doc 2 disjoint;
+    // doc 3 too short to emit any window
+    val span = (1 to 15).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, span + " tail0 more0"),
+      (1L, "head1 " + span),
+      (2L, (1 to 20).map(i => s"z$i").mkString(" ")),
+      (3L, "short doc"),
+    ).toDF("doc_id", "text")
+    val out = DedupOps.substrDupStats(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"), r.getAs[Long]("n_cross"))))
+      .toMap
+    // doc 0: 17 tokens → 3 windows, exactly one (the span) shared
+    assert(out(0L) == ((3L, 1L, 1L)))
+    assert(out(1L) == ((2L, 1L, 1L)))
+    assert(out(2L) == ((6L, 0L, 0L)))
+    assert(!out.contains(3L))
+  }
+
+  test("substrDupStats flags within-doc repetition as dup but not cross") {
+    // the same 15-token window occurs twice INSIDE one doc: both
+    // instances are duplicated (global count 2) but nd = 1 ⇒ n_cross = 0
+    val span = (1 to 15).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, span + " " + span)).toDF("doc_id", "text")
+    val r = DedupOps.substrDupStats(docs).collect().head
+    assert(r.getAs[Long]("n_windows") == 16L)
+    assert(r.getAs[Long]("n_dup") == 2L)
+    assert(r.getAs[Long]("n_cross") == 0L)
+  }
 }

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PiiOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiStats counts and redacts each PII kind") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org or jo@ex.io thanks"),
+      (2L, "call 555-123-4567 and 555-999-0000 now"),
+      (3L, "server 192.168.1.250 and 10.0.0.1 are up"),
+      (4L, "ssn 123-45-6789 on file"),
+      (5L, "no pii here at all"),
+    ).toDF("doc_id", "text")
+    val out = PiiOps.piiStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_email") == 2)
+    assert(out(2L).getAs[Int]("n_phone") == 2)
+    assert(out(3L).getAs[Int]("n_ip") == 2)
+    assert(out(4L).getAs[Int]("n_ssn") == 1)
+    assert(out(5L).getAs[Boolean]("has_pii") == false)
+    assert((1L to 4L).forall(out(_).getAs[Boolean]("has_pii")))
+  }
+
+  test("redact rewrites all occurrences with their tags, nothing else") {
+    val r = Seq(("a@b.co calls 555-123-4567 from 10.1.2.3, ssn 123-45-6789 ok"))
+      .toDF("text").select(PiiOps.redact(col("text"))).head.getString(0)
+    assert(r == "<EMAIL> calls <PHONE> from <IP>, ssn <SSN> ok")
+  }
+
+  test("phone and SSN patterns don't cross-match each other") {
+    val r = Seq(("p 555-123-4567 s 123-45-6789"))
+      .toDF("text").select(PiiOps.redact(col("text"))).head.getString(0)
+    assert(r == "p <PHONE> s <SSN>")
+  }
+
+  test("withSyntheticPii plants by residue class, deterministically") {
+    val docs = Seq((105L, "base"), (1L, "base")).toDF("doc_id", "text")
+    val aug = PiiOps.withSyntheticPii(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // 105 = 3·5·7: email + phone + ip, no ssn (105 % 11 != 0)
+    assert(aug(105L) == "base contact user105@example.com call 555-867-0105" +
+      " host 10.105.85.105")
+    assert(aug(1L) == "base")
+    // planted values are detected by the matching patterns
+    val stats = PiiOps.piiStats(PiiOps.withSyntheticPii(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(stats(105L).getAs[Int]("n_email") == 1)
+    assert(stats(105L).getAs[Int]("n_phone") == 1)
+    assert(stats(105L).getAs[Int]("n_ip") == 1)
+    assert(stats(105L).getAs[Int]("n_ssn") == 0)
+  }
+}
