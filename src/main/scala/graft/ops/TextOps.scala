@@ -269,6 +269,65 @@ object TextOps {
        |SELECT doc_id, t AS term, score, rk FROM rk
        |WHERE rk <= $k ORDER BY doc_id, rk""".stripMargin
 
+  // ---- rare-n-gram rate (perplexity proxy): the CCNet-style quality
+  //      signal without a log — score each doc by the fraction of its
+  //      word n-grams that are rare in the corpus-wide model. High
+  //      rare-fraction ≈ high LM surprisal (OOV-ish, noisy, or genuinely
+  //      novel text); integer counts + one IEEE division keep it exactly
+  //      oracle-replayable where a float log-prob sum would drift. ----
+  val RareN = 3
+  val RareMaxCount = 2L
+  val RareFracMax = 0.95
+
+  /** Per-doc rare-n-gram stats + keep gate:
+    * `doc_id, n_grams, n_rare, rare_frac, keep`. The model is the
+    * corpus' own n-gram frequency table (train = score corpus, the
+    * degenerate-but-standard self-scoring setup); `n_rare` counts gram
+    * INSTANCES whose corpus count ≤ maxC.
+    *
+    * Scale shape: the model groupBy shuffles map-side-combined (gram,
+    * count) pairs — Zipf-bounded vocabulary, far below corpus size; the
+    * instance⋈model join hashes on the same gram key (the exchange is
+    * reusable between the two branches), and the per-doc rollup is the
+    * only other shuffle. A pre-trained model table instead of the
+    * self-join is the same dataflow minus the model branch. */
+  def rareNgramStats(docs: DataFrame, n: Int = RareN,
+                     maxC: Long = RareMaxCount): DataFrame = {
+    val inst = docs
+      .select(col("doc_id"), tokens(col("text")).as("__w"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.ngrams(col("__w"), n)).as("g"))
+    val model = inst.groupBy("g").agg(count(lit(1)).as("c"))
+    inst.join(model, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("c") <= maxC, 1)).as("n_rare"))
+      .withColumn("rare_frac",
+        round(col("n_rare").cast("double") / col("n_grams"), 6))
+      .withColumn("keep", col("rare_frac") <= RareFracMax)
+  }
+
+  /** DuckDB oracle for rareNgramStats (same grams, counts, rounding). */
+  def rareNgramSql(n: Int = RareN, maxC: Long = RareMaxCount,
+                   table: String = "documents"): String = {
+    val gram = (0 until n).map(k => s"w[i+$k]").mkString("||' '||")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |inst AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(w) - ${n - 2}), i -> $gram)) g
+       |  FROM toks WHERE len(w) >= $n),
+       |model AS (SELECT g, count(*) c FROM inst GROUP BY g),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |    count(*) FILTER (WHERE c <= $maxC) AS n_rare
+       |  FROM inst JOIN model USING (g) GROUP BY doc_id)
+       |SELECT doc_id, n_grams, n_rare,
+       |  ${OracleSql.roundD("n_rare * 1.0 / n_grams", 6)} AS rare_frac,
+       |  (${OracleSql.roundD("n_rare * 1.0 / n_grams", 6)} <= $RareFracMax) AS keep
+       |FROM per ORDER BY doc_id""".stripMargin
+  }
+
   /** Conjunctive keyword search: docs containing ALL `terms`, scored by
     * total occurrence count — the corpus-filtering primitive of a
     * training-data pipeline ("every doc mentioning X and Y").

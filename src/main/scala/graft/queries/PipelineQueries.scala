@@ -390,6 +390,15 @@ object PipelineQueries {
       DedupOps.substrDupStats(Tables.loadSpread(s, dir, "documents"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- rare-n-gram rate (perplexity-proxy quality gate): corpus
+    //      trigram model + per-doc rare-instance fraction. Model groupBy
+    //      is Zipf-bounded; instance join rides the same gram-keyed
+    //      exchange; integer counts keep it exactly replayable ----
+    "p33_rare_ngrams" -> ((s, dir) => {
+      TextOps.rareNgramStats(Tables.loadSpread(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
@@ -520,6 +529,7 @@ object PipelineQueries {
     "p26_keyword_search" -> TextOps.keywordSearchSql(SearchTerms),
     "p31_pii_redact" -> PiiOps.piiStatsSql(),
     "p32_substr_dedup" -> DedupOps.substrDupSql(),
+    "p33_rare_ngrams" -> TextOps.rareNgramSql(),
     "p28_stratified_sample" ->
       s"""SELECT lang, doc_id, rk FROM (
          |  SELECT lang, doc_id,

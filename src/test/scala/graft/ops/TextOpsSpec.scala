@@ -110,4 +110,25 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(r == Map(0L -> 4L, 2L -> 3L), r)
   }
+
+  test("rareNgramStats scores rare-trigram instances against the corpus model") {
+    // "a b c d" appears in 3 docs -> its trigrams have count 3 (> maxC=2,
+    // common); doc 3's trigrams are unique (count 1, rare)
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b c d"),
+      (2L, "a b c d x"),   // 'a b c'/'b c d' common, 'c d x' rare
+      (3L, "p q r s"),     // all rare
+      (4L, "xy"),          // < 3 tokens -> absent
+    ).toDF("doc_id", "text")
+    val r = TextOps.rareNgramStats(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_grams"), x.getAs[Long]("n_rare"),
+          x.getAs[Double]("rare_frac"), x.getAs[Boolean]("keep")))).toMap
+    assert(r(0L) == ((2L, 0L, 0.0, true)))
+    assert(r(1L) == ((2L, 0L, 0.0, true)))
+    assert(r(2L) == ((3L, 1L, 0.333333, true)))
+    assert(r(3L) == ((2L, 2L, 1.0, false)))  // 1.0 > RareFracMax gate
+    assert(!r.contains(4L))
+  }
 }
