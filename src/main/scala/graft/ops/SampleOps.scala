@@ -53,4 +53,52 @@ object SampleOps {
   def stratifiedRankSql(stratumExpr: String, keyExpr: String): String =
     s"""row_number() OVER (PARTITION BY $stratumExpr
        |    ORDER BY md5(CAST($keyExpr AS VARCHAR)), $keyExpr)""".stripMargin
+
+  /** Temperature-weighted source mixing (α = 1/2): resample the corpus
+    * so over-represented sources shrink toward weights w_s ∝ √n_s — the
+    * DoReMi/data-mixture reweighting step of a pre-training pipeline.
+    * Per-source keep rate r_s = min(1, targetFrac·N·w_s / (Z·n_s)) with
+    * Z = Σw_s, applied via the same md5 bucket gate as sampleByHash, so
+    * membership is a pure function of the key (partition/re-run
+    * invariant) and the whole decision replays in the oracle.
+    *
+    * Exactness across engines: w_s = floor(√n_s) — IEEE sqrt and floor
+    * are correctly-rounded in BOTH engines, so w_s and the integer sum
+    * Z are order-independent exact; the rate is then a fixed left-
+    * associated chain of double ops on exact integers, identical in
+    * both renderings. No float aggregate whose order could drift.
+    *
+    * Scale shape: per-source counts are a dimension-sized aggregate
+    * that BROADCASTS back onto the corpus — the corpus itself never
+    * shuffles; the gate is map-side. */
+  def temperatureMix(df: DataFrame, source: Column, key: Column,
+                     targetFrac: Double): DataFrame = {
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+    val tot = counts.agg(sum(col("__n")).as("__bigN"), sum(col("__w")).as("__z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__rate", least(lit(1.0),
+        lit(targetFrac) * col("__bigN") * col("__w") / col("__z") / col("__n")))
+      .select(col("__src"), col("__rate"))
+    df.join(broadcast(rates), source === col("__src"))
+      .filter(hashBucket(key) < floor(col("__rate") * SampleBuckets))
+      .drop("__src", "__rate")
+  }
+
+  /** DuckDB oracle for temperatureMix over `table` keyed on `keyExpr`,
+    * returning the kept rows' (sourceExpr, keyExpr) subquery body. */
+  def temperatureMixSql(targetFrac: Double, sourceCol: String,
+                        keyExpr: String, table: String): String =
+    s"""SELECT d.* FROM $table d JOIN (
+       |  SELECT __src, least(1.0, $targetFrac * __bigN * __w / __z / __n) AS __rate
+       |  FROM (SELECT $sourceCol AS __src, count(*) AS __n,
+       |          CAST(floor(sqrt(count(*))) AS BIGINT) AS __w
+       |        FROM $table GROUP BY 1) c,
+       |       (SELECT CAST(sum(__n) AS BIGINT) AS __bigN,
+       |               CAST(sum(__w) AS BIGINT) AS __z
+       |        FROM (SELECT count(*) AS __n,
+       |                CAST(floor(sqrt(count(*))) AS BIGINT) AS __w
+       |              FROM $table GROUP BY $sourceCol)) t
+       |) r ON d.$sourceCol = r.__src
+       |WHERE ${bucketSql(keyExpr)} < CAST(floor(__rate * $SampleBuckets) AS BIGINT)""".stripMargin
 }

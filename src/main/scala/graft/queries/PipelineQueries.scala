@@ -399,6 +399,20 @@ object PipelineQueries {
       TextOps.rareNgramStats(Tables.loadSpread(s, dir, "documents"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- temperature-weighted source mixing (α = 1/2 resampling to
+    //      √n weights — the data-mixture reweighting step). The corpus'
+    //      `source` strata are uniform, so the mix runs on a
+    //      deterministic SKEWED stratum (length(bin(doc_id)): sizes
+    //      2^k) to exercise the flattening semantics; corpus never
+    //      shuffles — rates broadcast, gate is map-side ----
+    "p34_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("grp", length(bin(col("doc_id"))).cast("long"))
+      SampleOps.temperatureMix(docs, col("grp"), col("doc_id"), MixTargetFrac)
+        .groupBy("grp").agg(count(lit(1)).as("n_kept"))
+        .orderBy("grp")
+    }),
   )
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
@@ -439,6 +453,10 @@ object PipelineQueries {
 
   /** p28's per-stratum quota. */
   val StratifiedN = 20
+
+  /** p34's target resample fraction (¼ is exactly representable, so the
+    * rate arithmetic starts from an exact literal in both engines). */
+  val MixTargetFrac = 0.25
 
   /** p29's k (summary capacity 8k must exceed the per-lang vocabulary
     * for the exact-count oracle to replay; 31 tokens/lang < 40). */
@@ -530,6 +548,11 @@ object PipelineQueries {
     "p31_pii_redact" -> PiiOps.piiStatsSql(),
     "p32_substr_dedup" -> DedupOps.substrDupSql(),
     "p33_rare_ngrams" -> TextOps.rareNgramSql(),
+    "p34_temperature_mix" ->
+      s"""SELECT grp, count(*) AS n_kept FROM (
+         |${SampleOps.temperatureMixSql(MixTargetFrac, "grp", "doc_id",
+             "(SELECT *, length(bin(doc_id)) AS grp FROM documents)")}
+         |) GROUP BY grp ORDER BY grp""".stripMargin,
     "p28_stratified_sample" ->
       s"""SELECT lang, doc_id, rk FROM (
          |  SELECT lang, doc_id,

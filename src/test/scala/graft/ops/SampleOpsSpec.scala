@@ -53,4 +53,44 @@ class SampleOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("temperatureMix flattens skewed strata toward sqrt weights") {
+    // strata sizes 1000 / 100 / 10: α=1/2 weights √n ∝ 31.6/10/3.16
+    val df = spark.range(1110).select(col("id"),
+      when(col("id") < 1000, "big").when(col("id") < 1100, "mid")
+        .otherwise("tiny").as("src"))
+    val kept = SampleOps.temperatureMix(df, col("src"), col("id"), 0.25)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    val fBig = kept("big") / 1000.0
+    val fMid = kept("mid") / 100.0
+    val fTiny = kept.getOrElse("tiny", 0L) / 10.0
+    // keep-rate must INCREASE as stratum size decreases (flattening)
+    assert(fBig < fMid && fMid <= fTiny, kept)
+    // α=1/2 rates: r_s = 0.25·N·√n_s/(Z·n_s); bucket-floor granularity
+    // makes the realized fraction approximate — check within ±0.05
+    val z = math.floor(math.sqrt(1000)) + math.floor(math.sqrt(100)) +
+      math.floor(math.sqrt(10))
+    def expect(n: Double) =
+      math.min(1.0, 0.25 * 1110 * math.floor(math.sqrt(n)) / (z * n))
+    assert(math.abs(fBig - expect(1000)) < 0.05, (fBig, expect(1000)))
+    assert(math.abs(fMid - expect(100)) < 0.1, (fMid, expect(100)))
+  }
+
+  test("temperatureMix membership is partitioning-invariant") {
+    val df = spark.range(500).select(col("id"),
+      concat(lit("s"), (col("id") % 7)).as("src"))
+    def members(parts: Int) =
+      SampleOps.temperatureMix(df.repartition(parts), col("src"), col("id"), 0.5)
+        .select("id").as[Long].collect().toSet
+    assert(members(1) == members(11))
+  }
+
+  test("temperatureMix clamps tiny strata at rate 1 (kept whole)") {
+    // one doc in 'rare': targetFrac·N·w/(Z·1) > 1 -> min clamps, doc kept
+    val df = spark.range(101).select(col("id"),
+      when(col("id") < 100, "big").otherwise("rare").as("src"))
+    val kept = SampleOps.temperatureMix(df, col("src"), col("id"), 0.9)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("rare") == 1L, kept)
+  }
 }
