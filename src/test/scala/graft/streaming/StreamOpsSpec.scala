@@ -104,6 +104,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scrub-on-ingest: PII redaction + quality gates compose with a stream") {
+    // the map-only pipeline ops (p31 redact, p14 repetition gate columns,
+    // p08 token count) are stateless projections, so they drop into a
+    // readStream->writeStream pipeline unchanged — scrubbing AT ingest
+    // instead of in a later batch pass
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val scrubbed = in.toDF().toDF("doc_id", "text")
+      .withColumn("text",
+        graft.ops.PiiOps.redact(org.apache.spark.sql.functions.col("text")))
+      .withColumn("n_tokens",
+        graft.ops.TextOps.tokenCount(org.apache.spark.sql.functions.col("text")))
+    val q = scrubbed.writeStream.format("memory").queryName("scrub")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, "mail a@b.co now"), (2L, "call 555-123-4567 ok"))
+      q.processAllAvailable()
+      val rows = spark.table("scrub").as[(Long, String, Int)].collect()
+        .map { case (id, t, n) => id -> ((t, n)) }.toMap
+      assert(rows(1L) == (("mail <EMAIL> now", 3)))
+      assert(rows(2L) == (("call <PHONE> ok", 3)))
+    } finally q.stop()
+  }
+
   test("funnelStream folds buffered events at the watermark and emits level advances") {
     implicit val sq = spark.sqlContext
     import StreamOps.{FunnelAdvance, FunnelPoint}
