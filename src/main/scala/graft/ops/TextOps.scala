@@ -328,6 +328,52 @@ object TextOps {
        |FROM per ORDER BY doc_id""".stripMargin
   }
 
+  // ---- overlapping chunking (RAG/embedding prep): split each document
+  //      into fixed-size token windows on a stride, so every token lands
+  //      in ≥1 chunk and consecutive chunks overlap by size−stride
+  //      tokens — the standard unit-of-indexing transform before
+  //      embedding or retrieval. ----
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Per-doc overlapping chunks: `doc_id, start_tok, n_tok, chunk_fp`
+    * (md5 of the space-joined chunk — the compact equality handle; the
+    * chunk text itself is one `array_join` away when a sink wants it).
+    * Chunk starts are 1, 1+stride, ... ≤ n_tokens; the last chunk may be
+    * short. Map-only (tokenize → one transform → explode): zero
+    * shuffles, chunk count ≈ corpus_tokens/stride. */
+  def chunkDocs(docs: DataFrame, size: Int = ChunkSize,
+                stride: Int = ChunkStride): DataFrame = {
+    require(size >= 1 && stride >= 1, s"size/stride must be >= 1")
+    val w = col("__w")
+    // tokens materialized in their OWN projection (HOF lambdas re-run
+    // captured expressions per element — same trap as DedupOps.shingles)
+    docs.select(col("doc_id"), tokens(col("text")).as("__w"))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size_(w), lit(stride)),
+        s => struct(s.as("start"), slice(w, s, lit(size)).as("toks")))).as("c"))
+      .select(col("doc_id"), col("c.start").as("start_tok"),
+        size_(col("c.toks")).as("n_tok"),
+        md5(array_join(col("c.toks"), " ")).as("chunk_fp"))
+  }
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** DuckDB oracle for chunkDocs (same starts, slices, fingerprint). */
+  def chunkDocsSql(size: Int = ChunkSize, stride: Int = ChunkStride,
+                   table: String = "documents"): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |ch AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(w) + 1, $stride),
+       |    i -> struct_pack(start := i,
+       |                     txt := array_to_string(w[i:i+${size - 1}], ' '),
+       |                     nt := len(w[i:i+${size - 1}])))) AS c
+       |  FROM toks)
+       |SELECT doc_id, c.start AS start_tok, c.nt AS n_tok,
+       |  md5(c.txt) AS chunk_fp
+       |FROM ch ORDER BY doc_id, start_tok""".stripMargin
+
   /** Conjunctive keyword search: docs containing ALL `terms`, scored by
     * total occurrence count — the corpus-filtering primitive of a
     * training-data pipeline ("every doc mentioning X and Y").

@@ -413,6 +413,14 @@ object PipelineQueries {
         .groupBy("grp").agg(count(lit(1)).as("n_kept"))
         .orderBy("grp")
     }),
+
+    // ---- overlapping chunking (RAG/embedding prep): 32-token windows
+    //      on a 24 stride — map-only tokenize→transform→explode, the
+    //      unit-of-indexing transform before any embedding pass ----
+    "p35_chunking" -> ((s, dir) => {
+      TextOps.chunkDocs(Tables.loadSorted(s, dir, "documents", col("doc_id")))
+        .orderBy(col("doc_id"), col("start_tok"))
+    }),
   )
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
@@ -553,6 +561,7 @@ object PipelineQueries {
          |${SampleOps.temperatureMixSql(MixTargetFrac, "grp", "doc_id",
              "(SELECT *, length(bin(doc_id)) AS grp FROM documents)")}
          |) GROUP BY grp ORDER BY grp""".stripMargin,
+    "p35_chunking" -> TextOps.chunkDocsSql(),
     "p28_stratified_sample" ->
       s"""SELECT lang, doc_id, rk FROM (
          |  SELECT lang, doc_id,

@@ -111,6 +111,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r == Map(0L -> 4L, 2L -> 3L), r)
   }
 
+  test("chunkDocs: stride-overlapped windows cover every token, tail short") {
+    // 10 tokens, size 4, stride 3 -> starts 1,4,7,10; last chunk length 1
+    val docs = Seq((7L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextOps.chunkDocs(docs, size = 4, stride = 3)
+      .orderBy("start_tok")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(r.map(_._2) == Seq(1, 4, 7, 10))
+    assert(r.map(_._3) == Seq(4, 4, 4, 1))
+    // overlap: chunk k shares size-stride tokens with chunk k+1
+    val md5of = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.head._4 == md5of("t1 t2 t3 t4"))
+    assert(r.last._4 == md5of("t10"))
+    // every token index 1..10 is covered by at least one [start, start+n)
+    val covered = r.flatMap(c => c._2 until (c._2 + c._3)).toSet
+    assert((1 to 10).forall(covered))
+  }
+
   test("rareNgramStats scores rare-trigram instances against the corpus model") {
     // "a b c d" appears in 3 docs -> its trigrams have count 3 (> maxC=2,
     // common); doc 3's trigrams are unique (count 1, rare)
