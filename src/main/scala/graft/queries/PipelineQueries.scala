@@ -421,6 +421,33 @@ object PipelineQueries {
       TextOps.chunkDocs(Tables.loadSorted(s, dir, "documents", col("doc_id")))
         .orderBy(col("doc_id"), col("start_tok"))
     }),
+
+    // ---- canonical-keeper selection: the dedup DECISION step —
+    //      near-dup clusters (p20's star-contraction) × quality scores
+    //      (p09's gate), keep the best-quality member per cluster
+    //      (rounded-quality desc, doc_id tie-break). One window over
+    //      cluster_id on top of the clustering dataflow ----
+    "p36_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val cc = DedupOps.connectedComponents(
+        DedupOps.ngramJaccardPairs(docs, NearDupTau))
+      val labeled = docs
+        .join(cc, docs("doc_id") === cc("node"), "left")
+        .select(docs("doc_id"),
+          coalesce(col("rep"), docs("doc_id")).as("cluster_id"),
+          TextOps.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+      labeled
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("n_members"), col("quality"))
+        .orderBy(col("cluster_id"))
+    }),
   )
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
@@ -562,6 +589,19 @@ object PipelineQueries {
              "(SELECT *, length(bin(doc_id)) AS grp FROM documents)")}
          |) GROUP BY grp ORDER BY grp""".stripMargin,
     "p35_chunking" -> TextOps.chunkDocsSql(),
+    "p36_keep_best" ->
+      s"""WITH clus AS (${DedupOps.clusterSql(NearDupTau)}),
+         |q AS (SELECT doc_id, ${TextOps.qualityScoreSql("text")} AS quality
+         |      FROM documents),
+         |j AS (SELECT c.cluster_id, c.doc_id, q.quality
+         |      FROM clus c JOIN q USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, quality,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY quality DESC, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |      FROM j)
+         |SELECT cluster_id, doc_id AS keep_id, n_members, quality
+         |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     "p28_stratified_sample" ->
       s"""SELECT lang, doc_id, rk FROM (
          |  SELECT lang, doc_id,
