@@ -336,8 +336,9 @@ object DedupOps {
     // itself is proven, the signature only detects it)
     def sig(e: DataFrame): (Long, BigDecimal) = {
       // decimal(38,0) sum: exact and overflow-free under ANSI mode
+      // single-row aggregate fetch (convergence check), not a data collect
       val r = e.agg(count(lit(1)), sum(xxhash64(least(col("u"), col("v")),
-        greatest(col("u"), col("v"))).cast("decimal(38,0)"))).collect()(0)
+        greatest(col("u"), col("v"))).cast("decimal(38,0)"))).head()
       (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
     var last = sig(edges)
