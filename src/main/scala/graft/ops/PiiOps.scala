@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
 object PiiOps {
 
   /** (kind, pattern, replacement) — applied in this fixed order. The
-    * patterns are pairwise non-overlapping on any input (phone's 3-digit
-    * middle group can't match SSN's 2-digit one and vice versa; dotted
-    * quads share nothing with dashed numbers), but the fixed order makes
-    * the redaction chain deterministic regardless. */
+    * numeric patterns can't match each other (phone's 3-digit middle
+    * group vs SSN's 2-digit one; dotted quads vs dashed numbers), but
+    * an email LOCAL PART may contain a phone/SSN/IP-shaped substring
+    * ("555-123-4567@ex.co"), so order matters: each pattern is counted
+    * on the text AFTER the previous patterns were redacted, making the
+    * counts exactly what the redaction chain rewrites. */
   val Patterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
@@ -73,41 +75,49 @@ object PiiOps {
 
   /** Per-doc PII stats + redacted fingerprint:
     * `doc_id, n_email, n_phone, n_ip, n_ssn, has_pii, redacted_fp`.
-    * Counts sweep the ORIGINAL text (the patterns are disjoint, so
-    * count-then-redact and redact-order don't interact); the fingerprint
+    * Each count sweeps the text with the PRECEDING patterns already
+    * redacted (see Patterns order), so `n_phone` never reports a
+    * phone-shaped substring of an email the chain has already rewritten
+    * whole — the counts are exactly the rewrite counts. The fingerprint
     * is md5 of the fully redacted text — the compact way to
-    * hash-compare the actual rewritten corpus without shipping it. */
+    * hash-compare the actual rewritten corpus without shipping it.
+    * Staged projections keep each intermediate redaction materialized
+    * once (HOF-free, still one codegen stage). */
   def piiStats(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    val t = col("__t")
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
-      .select(
-        Seq(col("doc_id")) ++
-          Patterns.map { case (kind, re, _) =>
-            size(regexp_extract_all(t, lit(re), lit(0))).as(s"n_$kind")
-          } ++
-          Seq(md5(redact(t)).as("redacted_fp")): _*)
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t0"))
+    // stage k: count pattern k on __t{k}, then produce __t{k+1}
+    val staged = Patterns.zipWithIndex.foldLeft(base) {
+      case (df, ((kind, re, tag), i)) =>
+        df.withColumn(s"n_$kind",
+            size(regexp_extract_all(col(s"__t$i"), lit(re), lit(0))))
+          .withColumn(s"__t${i + 1}",
+            regexp_replace(col(s"__t$i"), re, tag))
+    }
+    staged
+      .withColumn("redacted_fp", md5(col(s"__t${Patterns.size}")))
       .withColumn("has_pii",
         Patterns.map { case (k, _, _) => col(s"n_$k") > 0 }.reduce(_ || _))
       .select("doc_id", "n_email", "n_phone", "n_ip", "n_ssn", "has_pii",
         "redacted_fp")
   }
 
-  /** DuckDB oracle for piiStats ∘ withSyntheticPii over `table`. */
+  /** DuckDB oracle for piiStats ∘ withSyntheticPii over `table` —
+    * same staged count-then-redact chain. */
   def piiStatsSql(table: String = "documents"): String = {
-    val red = Patterns.foldLeft("t") { case (e, (_, re, tag)) =>
-      s"regexp_replace($e, '$re', '$tag', 'g')"
-    }
-    val counts = Patterns.map { case (kind, re, _) =>
-      s"len(regexp_extract_all(t, '$re')) AS n_$kind"
-    }.mkString(", ")
+    // one CTE per stage: count on t{i}, redact into t{i+1}
+    val stages = Patterns.zipWithIndex.map { case ((kind, re, tag), i) =>
+      s"""s${i + 1} AS (
+         |  SELECT *, len(regexp_extract_all(__t$i, '$re')) AS n_$kind,
+         |    regexp_replace(__t$i, '$re', '$tag', 'g') AS __t${i + 1}
+         |  FROM s$i)""".stripMargin
+    }.mkString(",\n")
     val hasPii = Patterns.map { case (k, _, _) => s"n_$k > 0" }.mkString(" OR ")
-    s"""WITH aug AS (
-       |  SELECT doc_id, ${syntheticPiiSql()} AS t FROM $table),
-       |stats AS (
-       |  SELECT doc_id, $counts, md5($red) AS redacted_fp FROM aug)
+    s"""WITH s0 AS (
+       |  SELECT doc_id, ${syntheticPiiSql()} AS __t0 FROM $table),
+       |$stages
        |SELECT doc_id, n_email, n_phone, n_ip, n_ssn,
-       |  ($hasPii) AS has_pii, redacted_fp
-       |FROM stats ORDER BY doc_id""".stripMargin
+       |  ($hasPii) AS has_pii, md5(__t${Patterns.size}) AS redacted_fp
+       |FROM s${Patterns.size} ORDER BY doc_id""".stripMargin
   }
 }

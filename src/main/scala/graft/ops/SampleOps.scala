@@ -90,7 +90,8 @@ object SampleOps {
   def temperatureMixSql(targetFrac: Double, sourceCol: String,
                         keyExpr: String, table: String): String =
     s"""SELECT d.* FROM $table d JOIN (
-       |  SELECT __src, least(1.0, $targetFrac * __bigN * __w / __z / __n) AS __rate
+       |  SELECT __src, least(1.0,
+       |    CAST($targetFrac AS DOUBLE) * __bigN * __w / __z / __n) AS __rate
        |  FROM (SELECT $sourceCol AS __src, count(*) AS __n,
        |          CAST(floor(sqrt(count(*))) AS BIGINT) AS __w
        |        FROM $table GROUP BY 1) c,

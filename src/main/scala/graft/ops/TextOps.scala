@@ -345,6 +345,9 @@ object TextOps {
   def chunkDocs(docs: DataFrame, size: Int = ChunkSize,
                 stride: Int = ChunkStride): DataFrame = {
     require(size >= 1 && stride >= 1, s"size/stride must be >= 1")
+    // stride > size would skip tokens, breaking the every-token-covered
+    // invariant documented above
+    require(stride <= size, s"stride ($stride) must be <= size ($size)")
     val w = col("__w")
     // tokens materialized in their OWN projection (HOF lambdas re-run
     // captured expressions per element — same trap as DedupOps.shingles)

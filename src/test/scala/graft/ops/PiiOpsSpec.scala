@@ -30,6 +30,20 @@ class PiiOpsSpec extends SparkSpec {
     assert(r == "<EMAIL> calls <PHONE> from <IP>, ssn <SSN> ok")
   }
 
+  test("counts match the rewrite chain when patterns nest (phone inside email)") {
+    // the email regex swallows the whole address; the phone-shaped local
+    // part must NOT be double-counted — counts are staged on the
+    // already-redacted text, so n_phone sweeps '<EMAIL>'
+    val out = PiiOps.piiStats(
+      Seq((1L, "reach me at 555-123-4567@example.com ok"),
+        (2L, "ip-ish 1.2.3.4@ex.co here")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_email") == 1)
+    assert(out(1L).getAs[Int]("n_phone") == 0)
+    assert(out(2L).getAs[Int]("n_email") == 1)
+    assert(out(2L).getAs[Int]("n_ip") == 0)
+  }
+
   test("phone and SSN patterns don't cross-match each other") {
     val r = Seq(("p 555-123-4567 s 123-45-6789"))
       .toDF("text").select(PiiOps.redact(col("text"))).head.getString(0)
