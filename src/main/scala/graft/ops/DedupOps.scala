@@ -69,6 +69,37 @@ object DedupOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Bloom-prefiltered decontamination — same result as [[decontaminate]]
+    * (the exact broadcast semi-join still verifies every hit; the bloom
+    * only PREfilters, so its false positives are caught and it has no
+    * false negatives), but the map-side structure shipped to executors
+    * is a ~1.2 bytes/element sketch instead of the holdout's distinct
+    * shingle STRINGS. At a 100 TB corpus against a large holdout that is
+    * the difference between broadcasting kilobytes-per-million-shingles
+    * and gigabytes of text: the corpus-side scan drops ~all rows before
+    * the exchange, and only candidate shingles reach the exact join.
+    *
+    * The prefilter is a typed filter over the broadcast sketch (the one
+    * place a lambda beats a join: `BloomFilter.mightContain` has no
+    * Column rendering); everything around it stays declarative. */
+  def decontaminateBloom(corpus: DataFrame, holdout: DataFrame,
+                         n: Int = DecontamN, fpp: Double = 0.001): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val hh = shingles(holdout, n).select(col("s")).distinct()
+    // two metadata-scale driver steps: the sketch needs its capacity, and
+    // stat.bloomFilter builds the sketch itself (bits, not data rows)
+    val nHold = math.max(hh.count(), 1L)
+    val bf = hh.stat.bloomFilter("s", nHold, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val candidates = shingles(corpus, n).as[(Long, String)]
+      .filter(r => bc.value.mightContainString(r._2))
+      .toDF("doc_id", "s")
+    candidates
+      .join(broadcast(hh), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** DuckDB oracle for `decontaminate` with holdout = doc_id < maxHoldout
     * and corpus = the rest (the p15 query's split). */
   def decontaminateSql(maxHoldout: Long, n: Int = DecontamN): String = {

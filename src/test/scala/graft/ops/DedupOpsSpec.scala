@@ -165,6 +165,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(cc(edges) == expected)
   }
 
+  test("decontaminateBloom returns exactly decontaminate's result") {
+    // bloom prefilter + exact verify == exact semi-join, at any fpp
+    val corpus = Seq(
+      (10L, base),                                       // shares 8-grams with holdout
+      (11L, "totally different words here nothing shared with others at all ok"),
+      (12L, base.replaceAll("alpha beta gamma delta epsilon zeta eta theta", "x y")),
+    ).toDF("doc_id", "text")
+    val holdout = Seq((0L, base)).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val exact = m(DedupOps.decontaminate(corpus, holdout))
+    assert(exact.contains(10L) && !exact.contains(11L), exact)
+    assert(m(DedupOps.decontaminateBloom(corpus, holdout)) == exact)
+    // even at an absurd fpp the exact verify kills false positives
+    assert(m(DedupOps.decontaminateBloom(corpus, holdout, fpp = 0.5)) == exact)
+  }
+
   test("substrDupStats counts shared and internal duplicated windows") {
     // 15-token span shared verbatim between docs 0 and 1; doc 2 disjoint;
     // doc 3 too short to emit any window
