@@ -118,6 +118,21 @@ object GraftFunctions {
     // 100 TB path) vs exact distinct count (expands the shuffle key)
     reg("uniq")(es => HyperLogLogPlusPlus(es.head).toAggregateExpression())
     reg("uniqExact")(es => Count(es).toAggregateExpression(isDistinct = true))
+    // training-pipeline text ops on the SQL surface: the same Column
+    // expressions the p-series dataflows use, resolved through the
+    // Column bridge — /query users get scrubbing/scoring in plain SQL
+    // ("SELECT redact_pii(text), quality_score(text) FROM docs"), and
+    // every one stays a codegen'd column expression (no UDF boundary)
+    locally {
+      import org.apache.spark.sql.GraftColumnBridge.{column => c, toExpression => x}
+      reg("redact_pii")(es => x(graft.ops.PiiOps.redact(c(es.head))))
+      reg("quality_score")(es => x(graft.ops.TextOps.qualityScore(c(es.head))))
+      reg("lang_id")(es => x(graft.ops.TextOps.langId(c(es.head))))
+      reg("token_count")(es => x(graft.ops.TextOps.tokenCount(c(es.head))))
+      reg("set_fingerprint")(es => x(graft.ops.TextOps.setFingerprint(c(es.head))))
+      reg("rolling_fingerprint")(es =>
+        x(graft.ops.TextOps.rollingFingerprint(c(es.head))))
+    }
     reg("ngrams") { es =>
       val n = es(1) match {
         case e if e.foldable => e.eval() match {

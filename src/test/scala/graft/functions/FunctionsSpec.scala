@@ -146,4 +146,24 @@ class FunctionsSpec extends SparkSpec {
     assert(got(0)._2 >= 500 && got(0)._2 <= 500 + n / 16, got)
     assert(got(1)._2 >= 300 && got(1)._2 <= 300 + n / 16, got)
   }
+
+  test("pipeline text ops are callable from plain SQL") {
+    val r = spark.sql(
+      """SELECT redact_pii('mail a@b.co or call 555-123-4567') AS red,
+        |  token_count('a b  c') AS tc,
+        |  lang_id('the and of to in is was for that it') AS lang,
+        |  quality_score('the and of to in is was for that it') AS q,
+        |  set_fingerprint('b a a b') AS sfp,
+        |  rolling_fingerprint('x') AS rfp""".stripMargin).head()
+    assert(r.getAs[String]("red") == "mail <EMAIL> or call <PHONE>")
+    assert(r.getAs[Int]("tc") == 3)
+    assert(r.getAs[String]("lang") == "en")
+    val q = r.getAs[Double]("q")
+    assert(q > 0.0 && q <= 1.0, q)
+    // md5("a b") — the sorted distinct token set
+    assert(r.getAs[String]("sfp") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("a b".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(r.getAs[String]("rfp") == "x") // single token: the seed itself
+  }
 }

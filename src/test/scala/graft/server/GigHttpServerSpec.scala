@@ -58,6 +58,23 @@ class GigHttpServerSpec extends SparkSpec {
     assert(unscoped.statusCode() == 500, unscoped.body())
   }
 
+  test("pipeline text functions scrub ingested text via /query") {
+    // a string FIELD carries free text with PII; /query scrubs + scores
+    // it in plain SQL — the training-pipeline ops on the server surface
+    val lines =
+      """docs,src=a text="mail me at jo@ex.io today"
+        |docs,src=b text="the and of to in is was for that it"""".stripMargin
+    assert(post("/write?db=pii", lines).statusCode() == 204)
+    val q = post("/query?db=pii",
+      """{"query": "SELECT src, redact_pii(text) AS red, token_count(text) AS tc, lang_id(text) AS lang FROM docs ORDER BY src"}""")
+    assert(q.statusCode() == 200, q.body())
+    assert(q.body().contains(""""red":"mail me at <EMAIL> today""""), q.body())
+    assert(q.body().contains(""""lang":"en""""), q.body())
+    // int32, not BIGINT: renders as a bare number (bigint-as-string is
+    // reserved for 64-bit values, matching the reference)
+    assert(q.body().contains(""""tc":10"""), q.body())
+  }
+
   test("CH analytics aggregates run over ingested lakehouse data via /query") {
     // line-protocol timestamps in ns; three users at funnel levels 3/1/2
     val t0 = 1700000000000000000L
