@@ -50,6 +50,38 @@ class PiiOpsSpec extends SparkSpec {
     assert(r == "p <PHONE> s <SSN>")
   }
 
+  test("property: nothing PII-shaped survives redaction on random mixed docs") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "x1", "data", "ok")
+    def pii() = rnd.nextInt(4) match {
+      case 0 => s"u${rnd.nextInt(99)}@ex${rnd.nextInt(9)}.org"
+      case 1 => f"${rnd.nextInt(900) + 100}%d-${rnd.nextInt(900) + 100}%d-${rnd.nextInt(9000) + 1000}%d"
+      case 2 => s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}"
+      case _ => f"${rnd.nextInt(900) + 100}%d-${rnd.nextInt(90) + 10}%d-${rnd.nextInt(9000) + 1000}%d"
+    }
+    val docs = (0 until 200).map { i =>
+      val toks = Seq.fill(rnd.nextInt(12) + 1)(
+        if (rnd.nextInt(3) == 0) pii() else words(rnd.nextInt(words.size)))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val red = docs.select(PiiOps.redact(col("text")).as("r")).as[String].collect()
+    // after redaction, NO pattern matches anywhere (tags carry no
+    // digits/@, so they can't recreate a match)
+    PiiOps.Patterns.foreach { case (kind, re, _) =>
+      val p = java.util.regex.Pattern.compile(re)
+      assert(!red.exists(t => p.matcher(t).find()), s"$kind survives redaction")
+    }
+    // and counts equal the tags actually written
+    val stats = PiiOps.piiStats(docs).collect()
+    val totalCounts = PiiOps.Patterns.map { case (k, _, _) =>
+      k -> stats.map(_.getAs[Int](s"n_$k").toLong).sum
+    }.toMap
+    val tagTotals = PiiOps.Patterns.map { case (k, _, tag) =>
+      k -> red.map(t => t.sliding(tag.length).count(_ == tag)).sum.toLong
+    }.toMap
+    assert(totalCounts == tagTotals, (totalCounts, tagTotals))
+  }
+
   test("withSyntheticPii plants by residue class, deterministically") {
     val docs = Seq((105L, "base"), (1L, "base")).toDF("doc_id", "text")
     val aug = PiiOps.withSyntheticPii(docs).collect()
