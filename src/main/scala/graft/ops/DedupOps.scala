@@ -171,18 +171,19 @@ object DedupOps {
 
   /** Shared CTE chain (toks → sh → pruned → sizes → common) used by both
     * the pair oracle and the cluster oracle. */
-  private def jaccardCtes(capFrac: Option[Double]): String = {
+  private def jaccardCtes(capFrac: Option[Double],
+                          table: String = "documents"): String = {
     val prunedCte = capFrac match {
       case Some(frac) =>
         s"""df AS (SELECT s, count(*) c FROM sh GROUP BY s),
            |pruned AS (
            |  SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
            |  WHERE df.c <= greatest(
-           |    ceil($frac * (SELECT count(*) FROM documents)), $StopShingleMinDf))""".stripMargin
+           |    ceil($frac * (SELECT count(*) FROM $table)), $StopShingleMinDf))""".stripMargin
       case None => "pruned AS (SELECT doc_id, s FROM sh)"
     }
     s"""toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(1, greatest(len(w) - 1, 1)), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) s
@@ -395,8 +396,9 @@ object DedupOps {
   /** DuckDB oracle for cluster resolution over ngramJaccardPairs(tau):
     * transitive closure via recursive CTE, then min-reachable label;
     * docs in no pair become their own cluster. */
-  def clusterSql(tau: Double, capFrac: Option[Double] = Some(StopShingleFrac)): String =
-    s"""WITH RECURSIVE ${jaccardCtes(capFrac)},
+  def clusterSql(tau: Double, capFrac: Option[Double] = Some(StopShingleFrac),
+                 table: String = "documents"): String =
+    s"""WITH RECURSIVE ${jaccardCtes(capFrac, table)},
        |pairs AS (
        |  SELECT da, db FROM common
        |  JOIN sizes sa ON sa.doc_id = da
@@ -411,7 +413,7 @@ object DedupOps {
        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
        |rep AS (SELECT a AS doc_id, least(min(b), a) AS rep FROM reach GROUP BY a)
        |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_id
-       |FROM documents d LEFT JOIN rep r USING (doc_id)
+       |FROM $table d LEFT JOIN rep r USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
   /** Exact embedding-cosine near-duplicate pairs, hash-blocked for scale.

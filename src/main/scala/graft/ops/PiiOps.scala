@@ -102,6 +102,12 @@ object PiiOps {
         "redacted_fp")
   }
 
+  /** DuckDB rendering of redact(expr): the same fixed-order chain. */
+  def redactSql(expr: String): String =
+    Patterns.foldLeft(expr) { case (e, (_, re, tag)) =>
+      s"regexp_replace($e, '$re', '$tag', 'g')"
+    }
+
   /** DuckDB oracle for piiStats ∘ withSyntheticPii over `table` —
     * same staged count-then-redact chain. */
   def piiStatsSql(table: String = "documents"): String = {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, DedupOps, MediaGen, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps, TimeSeriesOps}
+import graft.ops.{AsOfJoin, CorpusPipeline, DedupOps, MediaGen, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps, TimeSeriesOps}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -448,6 +448,14 @@ object PipelineQueries {
           col("n_members"), col("quality"))
         .orderBy(col("cluster_id"))
     }),
+
+    // ---- the composed corpus-prep pipeline: gates -> cluster -> keep
+    //      best -> redact -> chunk, end-to-end in one dataflow, fully
+    //      oracle-replayed (CorpusPipeline) ----
+    "p37_prepare_corpus" -> ((s, dir) => {
+      CorpusPipeline.prepare(Tables.load(s, dir, "documents"), NearDupTau)
+        .orderBy(col("doc_id"), col("start_tok"))
+    }),
   )
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
@@ -589,6 +597,7 @@ object PipelineQueries {
              "(SELECT *, length(bin(doc_id)) AS grp FROM documents)")}
          |) GROUP BY grp ORDER BY grp""".stripMargin,
     "p35_chunking" -> TextOps.chunkDocsSql(),
+    "p37_prepare_corpus" -> CorpusPipeline.prepareSql(NearDupTau),
     "p36_keep_best" ->
       s"""WITH clus AS (${DedupOps.clusterSql(NearDupTau)}),
          |q AS (SELECT doc_id, ${TextOps.qualityScoreSql("text")} AS quality
