@@ -414,6 +414,73 @@ object SimilarityOps {
       .select("qid", "nid", "sim", "rn")
   }
 
+  /** Retrieval over the CHUNKED corpus (p38) — the capstone of the
+    * text→vector→search path: chunk the documents (TextOps.chunkTexts),
+    * featurize each chunk as its 26-dim integer letter profile
+    * (TextOps.letterVector — real, cheap, deterministic), and return
+    * exact cosine top-k corpus chunks for every query-doc chunk.
+    *
+    * Exactness: integer vectors make every dot product exact under
+    * IEEE doubles (dotl, |v|² ≤ 26·len² ≪ 2⁵³), so sim = dot/√(n²·m²)
+    * is a fixed rounding sequence both engines share — the oracle needs
+    * NO tolerance. A learned encoder drops into the featurize slot
+    * (mapInPandas-style batch, p11's pattern); the join/rank dataflow —
+    * query side broadcast, corpus side streamed, one window — is
+    * unchanged. Zero-letter chunks (no signal) are excluded. */
+  def chunkRetrieval(docs: DataFrame, k: Int, maxQdoc: Long): DataFrame = {
+    val ch = TextOps.chunkTexts(docs)
+      .select(col("doc_id"), col("start_tok"),
+        TextOps.letterVector(col("text")).as("__v"))
+      .withColumn("__n2", graft.functions.VectorExprs.dotl(col("__v"), col("__v")))
+      .filter(col("__n2") > 0)
+    val q = ch.filter(col("doc_id") < maxQdoc)
+      .select(col("doc_id").as("qdoc"), col("start_tok").as("qstart"),
+        col("__v").as("__qv"), col("__n2").as("__qn2"))
+    broadcast(q)
+      .join(ch,
+        !(col("qdoc") === col("doc_id") && col("qstart") === col("start_tok")))
+      .withColumn("sim",
+        graft.functions.VectorExprs.dotl(col("__qv"), col("__v")).cast("double") /
+          sqrt((col("__qn2") * col("__n2")).cast("double")))
+      .withColumn("rn", row_number().over(Window.partitionBy("qdoc", "qstart")
+        .orderBy(col("sim").desc, col("doc_id"), col("start_tok"))))
+      .filter(col("rn") <= k)
+      .select(col("qdoc"), col("qstart"), col("doc_id").as("ndoc"),
+        col("start_tok").as("nstart"), round(col("sim"), 4).as("sim"), col("rn"))
+  }
+
+  /** DuckDB oracle for chunkRetrieval: same chunks, same integer
+    * profiles (cast to DOUBLE[] — exact for counts), same rank. */
+  def chunkRetrievalSql(k: Int, maxQdoc: Long,
+                        size: Int = TextOps.ChunkSize,
+                        stride: Int = TextOps.ChunkStride,
+                        table: String = "documents"): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |ch AS (
+       |  SELECT doc_id, c.start AS stt, c.txt FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w) + 1, $stride),
+       |      i -> struct_pack(start := i,
+       |                       txt := array_to_string(w[i:i+${size - 1}], ' ')))) AS c
+       |    FROM toks)),
+       |lv AS (
+       |  SELECT doc_id, stt,
+       |    CAST(${TextOps.letterVectorSql("txt")} AS DOUBLE[]) AS v
+       |  FROM ch),
+       |n AS (
+       |  SELECT doc_id, stt, v, list_dot_product(v, v) AS n2 FROM lv
+       |  WHERE list_dot_product(v, v) > 0),
+       |p AS (
+       |  SELECT a.doc_id qdoc, a.stt qstart, b.doc_id ndoc, b.stt nstart,
+       |    list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) AS sim
+       |  FROM n a JOIN n b ON NOT (a.doc_id = b.doc_id AND a.stt = b.stt)
+       |  WHERE a.doc_id < $maxQdoc)
+       |SELECT qdoc, qstart, ndoc, nstart, ${OracleSql.roundD("sim", 4)} AS sim, rn
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qdoc, qstart
+       |    ORDER BY sim DESC, ndoc, nstart) AS rn FROM p) t
+       |WHERE rn <= $k ORDER BY qdoc, qstart, rn""".stripMargin
+
   /** DuckDB oracle for quantizedTopK: replays the quantizer and the
     * integer-domain score over the same parquet floats. */
   def quantizedTopKSql(k: Int, maxQid: Int): String =

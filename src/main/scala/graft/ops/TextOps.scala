@@ -342,8 +342,10 @@ object TextOps {
     * Chunk starts are 1, 1+stride, ... ≤ n_tokens; the last chunk may be
     * short. Map-only (tokenize → one transform → explode): zero
     * shuffles, chunk count ≈ corpus_tokens/stride. */
-  def chunkDocs(docs: DataFrame, size: Int = ChunkSize,
-                stride: Int = ChunkStride): DataFrame = {
+  /** Chunk rows WITH the chunk text: `doc_id, start_tok, n_tok, text`
+    * — the form downstream featurization (p38 retrieval) consumes. */
+  def chunkTexts(docs: DataFrame, size: Int = ChunkSize,
+                 stride: Int = ChunkStride): DataFrame = {
     require(size >= 1 && stride >= 1, s"size/stride must be >= 1")
     // stride > size would skip tokens, breaking the every-token-covered
     // invariant documented above
@@ -357,9 +359,29 @@ object TextOps {
         s => struct(s.as("start"), slice(w, s, lit(size)).as("toks")))).as("c"))
       .select(col("doc_id"), col("c.start").as("start_tok"),
         size_(col("c.toks")).as("n_tok"),
-        md5(array_join(col("c.toks"), " ")).as("chunk_fp"))
+        array_join(col("c.toks"), " ").as("text"))
   }
+
+  def chunkDocs(docs: DataFrame, size: Int = ChunkSize,
+                stride: Int = ChunkStride): DataFrame =
+    chunkTexts(docs, size, stride)
+      .select(col("doc_id"), col("start_tok"), col("n_tok"),
+        md5(col("text")).as("chunk_fp"))
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** 26-dim letter-count profile of a (lower-cased) text — the cheapest
+    * real featurization: integer counts, so every downstream dot
+    * product / cosine is exact integer arithmetic under IEEE doubles
+    * and replays in SQL with NO rounding tolerance. */
+  val Letters: Seq[String] = ('a' to 'z').map(_.toString)
+  def letterVector(t: Column): Column =
+    array(Letters.map(l =>
+      (length(t) - length(regexp_replace(t, l, ""))).cast("long")): _*)
+
+  /** DuckDB rendering of letterVector over `expr`. */
+  def letterVectorSql(expr: String): String =
+    Letters.map(l => s"CAST(length($expr) - length(replace($expr, '$l', '')) AS BIGINT)")
+      .mkString("[", ", ", "]")
 
   /** DuckDB oracle for chunkDocs (same starts, slices, fingerprint). */
   def chunkDocsSql(size: Int = ChunkSize, stride: Int = ChunkStride,

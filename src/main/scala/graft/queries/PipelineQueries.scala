@@ -456,6 +456,17 @@ object PipelineQueries {
       CorpusPipeline.prepare(Tables.load(s, dir, "documents"), NearDupTau)
         .orderBy(col("doc_id"), col("start_tok"))
     }),
+
+    // ---- chunk-level retrieval: chunks -> integer letter-profile
+    //      vectors -> exact cosine top-k for query-doc chunks (queries
+    //      broadcast, corpus streamed, one rank window). The capstone
+    //      of the text->vector->search path; a learned encoder drops
+    //      into the featurize slot without touching the dataflow ----
+    "p38_chunk_retrieval" -> ((s, dir) => {
+      SimilarityOps.chunkRetrieval(Tables.loadSpread(s, dir, "documents"),
+        k = RetrievalK, maxQdoc = RetrievalQDocs)
+        .orderBy(col("qdoc"), col("qstart"), col("rn"))
+    }),
   )
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
@@ -500,6 +511,10 @@ object PipelineQueries {
   /** p34's target resample fraction (¼ is exactly representable, so the
     * rate arithmetic starts from an exact literal in both engines). */
   val MixTargetFrac = 0.25
+
+  /** p38's retrieval shape: top-5 corpus chunks per chunk of docs 0-2. */
+  val RetrievalK = 5
+  val RetrievalQDocs = 3L
 
   /** p29's k (summary capacity 8k must exceed the per-lang vocabulary
     * for the exact-count oracle to replay; 31 tokens/lang < 40). */
@@ -598,6 +613,7 @@ object PipelineQueries {
          |) GROUP BY grp ORDER BY grp""".stripMargin,
     "p35_chunking" -> TextOps.chunkDocsSql(),
     "p37_prepare_corpus" -> CorpusPipeline.prepareSql(NearDupTau),
+    "p38_chunk_retrieval" -> SimilarityOps.chunkRetrievalSql(RetrievalK, RetrievalQDocs),
     "p36_keep_best" ->
       s"""WITH clus AS (${DedupOps.clusterSql(NearDupTau)}),
          |q AS (SELECT doc_id, ${TextOps.qualityScoreSql("text")} AS quality

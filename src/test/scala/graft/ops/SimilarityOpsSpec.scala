@@ -4,6 +4,36 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class SimilarityOpsSpec extends SparkSpec {
+
+  test("chunkRetrieval ranks the letter-identical chunk first, exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma"),        // query doc, one chunk
+      (10L, "beta gamma alpha"),       // anagram text -> identical profile, sim 1
+      (11L, "alpha beta delta"),       // close profile
+      (12L, "zzz zzz zzz"),            // distant profile
+    ).toDF("doc_id", "text")
+    val r = SimilarityOps.chunkRetrieval(docs, k = 3, maxQdoc = 1L)
+      .orderBy("rn").collect()
+    assert(r.length == 3)
+    assert(r(0).getAs[Long]("ndoc") == 10L)
+    assert(r(0).getAs[Double]("sim") == 1.0)
+    assert(r(1).getAs[Long]("ndoc") == 11L)
+    assert(r.last.getAs[Long]("ndoc") == 12L)
+    assert(r.map(_.getAs[Double]("sim")).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("chunkRetrieval excludes self and zero-letter chunks") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "abc def"),
+      (1L, "123 456"), // no letters -> excluded from corpus side
+      (2L, "abc xyz"),
+    ).toDF("doc_id", "text")
+    val r = SimilarityOps.chunkRetrieval(docs, k = 10, maxQdoc = 1L).collect()
+    val neighbors = r.map(_.getAs[Long]("ndoc")).toSet
+    assert(neighbors == Set(2L), neighbors) // not itself, not the digit doc
+  }
   import spark.implicits._
 
   private def vecs(n: Int, dims: Int) = {
