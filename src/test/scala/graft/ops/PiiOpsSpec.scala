@@ -82,6 +82,15 @@ class PiiOpsSpec extends SparkSpec {
     assert(totalCounts == tagTotals, (totalCounts, tagTotals))
   }
 
+  test("null text degrades to null stats, never a crash") {
+    val out = PiiOps.piiStats(
+      Seq((1L, null: String), (2L, "a@b.co")).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).isNullAt(out(1L).fieldIndex("n_email")))
+    assert(out(1L).isNullAt(out(1L).fieldIndex("redacted_fp")))
+    assert(out(2L).getAs[Int]("n_email") == 1)
+  }
+
   test("withSyntheticPii plants by residue class, deterministically") {
     val docs = Seq((105L, "base"), (1L, "base")).toDF("doc_id", "text")
     val aug = PiiOps.withSyntheticPii(docs).collect()

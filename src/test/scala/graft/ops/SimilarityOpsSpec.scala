@@ -23,6 +23,28 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(r.map(_.getAs[Double]("sim")).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("chunk vectors run through the LSH scale path with high recall") {
+    // substantiates SCALE.md: when query sets outgrow a broadcast, the
+    // p07 hyperplane bucketing applies to chunk vectors unchanged —
+    // cast the integer profiles to float and reuse annTopK as-is
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "fox")
+    val docs = (0L until 120L).map(i =>
+      (i, Seq.fill(10)(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val vecs = TextOps.chunkTexts(docs)
+      .select((col("doc_id")).as("vec_id"), // one chunk per 10-token doc
+        TextOps.letterVector(col("text")).cast("array<float>").as("embedding"))
+    val q = vecs.filter(col("vec_id") < 5)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").as[(Long, Long)].collect().toSet
+    val exact = hits(SimilarityOps.bruteForceTopK(vecs, q, 10))
+    val ann = hits(SimilarityOps.annTopK(vecs, q, 10, 64))
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall") // letter profiles are dense
+  }
+
   test("chunkRetrieval excludes self and zero-letter chunks") {
     import spark.implicits._
     val docs = Seq(

@@ -130,6 +130,14 @@ class TextOpsSpec extends SparkSpec {
     assert((1 to 10).forall(covered))
   }
 
+  test("chunkDocs / substrDupStats drop null-text docs, never crash") {
+    val docs = Seq((1L, null: String), (2L, "a b c d")).toDF("doc_id", "text")
+    val ch = TextOps.chunkDocs(docs, size = 4, stride = 3).collect()
+    assert(ch.map(_.getAs[Long]("doc_id")).toSet == Set(2L))
+    val sd = DedupOps.substrDupStats(docs, w = 2).collect()
+    assert(sd.map(_.getAs[Long]("doc_id")).toSet == Set(2L))
+  }
+
   test("rareNgramStats scores rare-trigram instances against the corpus model") {
     // "a b c d" appears in 3 docs -> its trigrams have count 3 (> maxC=2,
     // common); doc 3's trigrams are unique (count 1, rare)
