@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   *   5. overlapping chunking of the scrubbed text (the unit a
   *      downstream embedding/indexing pass consumes).
   *
-  * Returns one row per chunk with provenance:
-  * `doc_id, cluster_id, quality, start_tok, n_tok, chunk_fp`.
+  * Returns one row per chunk with provenance AND the scrubbed chunk
+  * text (what a downstream embedding/indexing pass consumes):
+  * `doc_id, cluster_id, quality, start_tok, n_tok, chunk_fp,
+  * chunk_text`. Documents too short to produce an n-gram (< RareN
+  * tokens) have no rarity evidence and pass that gate vacuously.
   *
   * Scale shape: it inherits each stage's plan — the gates are map-only
   * plus the Zipf-bounded gram model, clustering is the only pair-join
@@ -35,9 +38,12 @@ object CorpusPipeline {
       .select(col("doc_id"), col("keep").as("__kr"))
     val rare = TextOps.rareNgramStats(docs)
       .select(col("doc_id"), col("keep").as("__kq"))
+    // rare gate LEFT-joined: gram-less short docs emit no rare row and
+    // must pass vacuously, not silently vanish through an inner join
     val gated = docs.select("doc_id", "text")
-      .join(rep, "doc_id").join(rare, "doc_id")
-      .filter(col("__kr") && col("__kq"))
+      .join(rep, "doc_id")
+      .join(rare, Seq("doc_id"), "left")
+      .filter(col("__kr") && coalesce(col("__kq"), lit(true)))
       .select("doc_id", "text")
     val cc = DedupOps.connectedComponents(
       DedupOps.ngramJaccardPairs(gated, tau))
@@ -53,10 +59,11 @@ object CorpusPipeline {
       .filter(col("__rk") === 1)
       .select(col("doc_id"), col("cluster_id"), col("quality"),
         PiiOps.redact(col("text")).as("text"))
-    TextOps.chunkDocs(keepers.select("doc_id", "text"))
+    TextOps.chunkTexts(keepers.select("doc_id", "text"))
       .join(keepers.select("doc_id", "cluster_id", "quality"), "doc_id")
-      .select("doc_id", "cluster_id", "quality", "start_tok", "n_tok",
-        "chunk_fp")
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("start_tok"), col("n_tok"), md5(col("text")).as("chunk_fp"),
+        col("text").as("chunk_text"))
   }
 
   /** DuckDB oracle: the same five stages composed from each operator's
@@ -68,8 +75,9 @@ object CorpusPipeline {
        |  SELECT d.doc_id, d.text FROM $table d
        |  JOIN (${TextOps.repetitionSql(table)}) repk
        |    ON d.doc_id = repk.doc_id AND repk.keep
-       |  JOIN (${TextOps.rareNgramSql(table = table)}) rarek
-       |    ON d.doc_id = rarek.doc_id AND rarek.keep),
+       |  LEFT JOIN (${TextOps.rareNgramSql(table = table)}) rarek
+       |    ON d.doc_id = rarek.doc_id
+       |  WHERE coalesce(rarek.keep, true)),
        |clus AS (${DedupOps.clusterSql(tau, table = "gated")}),
        |q AS (SELECT doc_id, ${TextOps.qualityScoreSql("text")} AS quality
        |      FROM gated),
@@ -82,9 +90,9 @@ object CorpusPipeline {
        |  SELECT doc_id, cluster_id, quality,
        |    ${PiiOps.redactSql("text")} AS text
        |  FROM ranked WHERE rk = 1),
-       |ch AS (${TextOps.chunkDocsSql(table = "scrub")})
+       |ch AS (${TextOps.chunkTextsSql(table = "scrub")})
        |SELECT ch.doc_id, s.cluster_id, s.quality, ch.start_tok, ch.n_tok,
-       |  ch.chunk_fp
+       |  md5(ch.text) AS chunk_fp, ch.text AS chunk_text
        |FROM ch JOIN scrub s USING (doc_id)
        |ORDER BY ch.doc_id, ch.start_tok""".stripMargin
 }

@@ -70,8 +70,8 @@ object DedupOps {
   }
 
   /** Bloom-prefiltered decontamination — same result as [[decontaminate]]
-    * (the exact broadcast semi-join still verifies every hit; the bloom
-    * only PREfilters, so its false positives are caught and it has no
+    * (an exact join still verifies every hit; the bloom only
+    * PREfilters, so its false positives are caught and it has no
     * false negatives), but the map-side structure shipped to executors
     * is a ~1.2 bytes/element sketch instead of the holdout's distinct
     * shingle STRINGS. At a 100 TB corpus against a large holdout that is
@@ -95,8 +95,12 @@ object DedupOps {
     val candidates = shingles(corpus, n).as[(Long, String)]
       .filter(r => bc.value.mightContainString(r._2))
       .toDF("doc_id", "s")
+    // exact verify WITHOUT broadcasting hh — shipping the full shingle
+    // strings is precisely what the sketch exists to avoid; both sides
+    // of this join are small (candidates are the prefiltered hits), so
+    // the shuffle is on the post-bloom residue, not the corpus
     candidates
-      .join(broadcast(hh), Seq("s"))
+      .join(hh, Seq("s"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 

@@ -439,9 +439,13 @@ object SimilarityOps {
     broadcast(q)
       .join(ch,
         !(col("qdoc") === col("doc_id") && col("qstart") === col("start_tok")))
+      // norms cast to double BEFORE the product: a long·long product of
+      // two large-chunk norms can exceed 2⁶³ (ANSI-mode exception) —
+      // doubles match the oracle, which multiplies doubles, and stay
+      // exact for any product below 2⁵³
       .withColumn("sim",
         graft.functions.VectorExprs.dotl(col("__qv"), col("__v")).cast("double") /
-          sqrt((col("__qn2") * col("__n2")).cast("double")))
+          sqrt(col("__qn2").cast("double") * col("__n2").cast("double")))
       .withColumn("rn", row_number().over(Window.partitionBy("qdoc", "qstart")
         .orderBy(col("sim").desc, col("doc_id"), col("start_tok"))))
       .filter(col("rn") <= k)

@@ -383,9 +383,9 @@ object TextOps {
     Letters.map(l => s"CAST(length($expr) - length(replace($expr, '$l', '')) AS BIGINT)")
       .mkString("[", ", ", "]")
 
-  /** DuckDB oracle for chunkDocs (same starts, slices, fingerprint). */
-  def chunkDocsSql(size: Int = ChunkSize, stride: Int = ChunkStride,
-                   table: String = "documents"): String =
+  /** DuckDB rendering of chunkTexts (chunk rows WITH the text). */
+  def chunkTextsSql(size: Int = ChunkSize, stride: Int = ChunkStride,
+                    table: String = "documents"): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
        |ch AS (
@@ -395,9 +395,15 @@ object TextOps {
        |                     txt := array_to_string(w[i:i+${size - 1}], ' '),
        |                     nt := len(w[i:i+${size - 1}])))) AS c
        |  FROM toks)
-       |SELECT doc_id, c.start AS start_tok, c.nt AS n_tok,
-       |  md5(c.txt) AS chunk_fp
+       |SELECT doc_id, c.start AS start_tok, c.nt AS n_tok, c.txt AS text
        |FROM ch ORDER BY doc_id, start_tok""".stripMargin
+
+  /** DuckDB oracle for chunkDocs (same starts, slices, fingerprint). */
+  def chunkDocsSql(size: Int = ChunkSize, stride: Int = ChunkStride,
+                   table: String = "documents"): String =
+    s"""SELECT doc_id, start_tok, n_tok, md5(text) AS chunk_fp
+       |FROM (${chunkTextsSql(size, stride, table)})
+       |ORDER BY doc_id, start_tok""".stripMargin
 
   /** Conjunctive keyword search: docs containing ALL `terms`, scored by
     * total occurrence count — the corpus-filtering primitive of a

@@ -21,16 +21,22 @@ class CorpusPipelineSpec extends SparkSpec {
     val docs = (Seq(1L, 2L, 3L).map(_ -> f1) ++
       Seq(10L, 11L, 12L).map(_ -> f2) ++ Seq(13L -> f2v) ++
       Seq(20L, 21L, 22L).map(_ -> f3) ++
-      Seq(300L -> Seq.fill(12)("spam").mkString(" "))) // repetition junk
+      Seq(300L -> Seq.fill(12)("spam").mkString(" ")) ++ // repetition junk
+      // a gram-less single-token doc: no rarity evidence -> passes the
+      // rare gate VACUOUSLY (left join), must not silently vanish
+      Seq(400L -> "standalone"))
       .toDF("doc_id", "text")
 
     val out = CorpusPipeline.prepare(docs, tau = 0.5)
       .orderBy("doc_id", "start_tok").collect()
     val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
 
-    // one keeper per family; junk gated; every keeper is one chunk
-    assert(byDoc.keySet == Set(1L, 13L, 20L), byDoc.keySet)
-    assert(out.length == 3)
+    // one keeper per family; junk gated; short doc survives; every
+    // keeper is one chunk
+    assert(byDoc.keySet == Set(1L, 13L, 20L, 400L), byDoc.keySet)
+    assert(out.length == 4)
+    assert(byDoc(400L).getAs[Long]("cluster_id") == 400L)
+    assert(byDoc(400L).getAs[String]("chunk_text") == "standalone")
 
     // identical dups tie on quality -> min doc_id keeps (f1, f3)
     assert(byDoc(1L).getAs[Long]("cluster_id") == 1L)
