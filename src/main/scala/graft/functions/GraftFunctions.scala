@@ -91,6 +91,7 @@ object GraftFunctions {
     reg("dotf")(es => DotProduct(es(0), es(1)))
     reg("dotl")(es => DotProductLong(es(0), es(1)))
     reg("quant8")(es => Quantize8(es(0)))
+    reg("letter_counts")(es => LetterCounts(es(0)))
     // CH-compat AGGREGATES: window_funnel(window_ns, t, cond1, ...) and
     // retention(cond1, ..., condK)
     reg("window_funnel")(es => WindowFunnelAgg(es(0), es(1), es.drop(2))

@@ -375,8 +375,7 @@ object TextOps {
     * and replays in SQL with NO rounding tolerance. */
   val Letters: Seq[String] = ('a' to 'z').map(_.toString)
   def letterVector(t: Column): Column =
-    array(Letters.map(l =>
-      (length(t) - length(regexp_replace(t, l, ""))).cast("long")): _*)
+    graft.functions.VectorExprs.letterCounts(t)
 
   /** DuckDB rendering of letterVector over `expr`. */
   def letterVectorSql(expr: String): String =

@@ -51,4 +51,36 @@ class VectorExprsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [dotf("), plan)
   }
+
+  test("letter_counts matches the 26x regexp_replace spelling on messy strings") {
+    val rnd = new scala.util.Random(23)
+    // letters, uppercase (must NOT count), digits, punctuation, multi-byte
+    // UTF-8 (é/λ/中 — their encodings contain no bytes < 0x80, so the byte
+    // scan must ignore them), and the empty string
+    val alphabet = "abcxyzABCXYZ0189 .,;éλ中\n\t"
+    val strs = "" +: (1 to 60).map(_ =>
+      (0 until rnd.nextInt(120)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val slow = array(TextOps26.map(l =>
+      (length($"t") - length(regexp_replace($"t", l, ""))).cast("long")): _*)
+    val r = strs.toDF("t")
+      .select(VectorExprs.letterCounts($"t").as("fast"), slow.as("slow"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    r.foreach { case (fast, slow) => assert(fast == slow) }
+  }
+
+  test("letter_counts is null-safe, registered for SQL, and codegen'd") {
+    val nulls = Seq(Option.empty[String]).toDF("t")
+      .select(VectorExprs.letterCounts($"t")).collect().head
+    assert(nulls.isNullAt(0))
+    val sql = spark.sql("SELECT letter_counts('abba z') v")
+      .as[Seq[Long]].collect().head
+    assert(sql(0) == 2 && sql(1) == 2 && sql(25) == 1 && sql.sum == 5)
+    val df = Seq("hello").toDF("t").repartition(1)
+      .select(VectorExprs.letterCounts($"t").as("v"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [letter_counts("), plan)
+  }
+
+  private val TextOps26: Seq[String] = ('a' to 'z').map(_.toString)
 }
