@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Count, HyperLogLogPlusPlus, Max, MaxBy, Min, MinBy, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, Average, Count, HistogramNumeric, HyperLogLogPlusPlus, Max, MaxBy, Min, MinBy, Percentile, Sum}
 import org.apache.spark.sql.types._
 
 /** ClickHouse-compat function surface (reference aliases.sql:1-36) plus
@@ -119,6 +119,21 @@ object GraftFunctions {
     // 100 TB path) vs exact distinct count (expands the shuffle key)
     reg("uniq")(es => HyperLogLogPlusPlus(es.head).toAggregateExpression())
     reg("uniqExact")(es => Count(es).toAggregateExpression(isDistinct = true))
+    // CH quantile family, same approx/exact split as uniq/uniqExact.
+    // CH's parametric syntax quantile(0.5)(x) doesn't parse in Spark SQL,
+    // so parameters lead the argument list like window_funnel/top_k:
+    // quantile(level, x). `quantile` is the sketch (mergeable fixed-size
+    // summary — the 100 TB path, like CH's own sampling estimator);
+    // `quantileExact` is exact percentile_cont interpolation (CH
+    // quantileExact picks a nearest element instead of interpolating —
+    // documented deviation, matching q17's oracle-proven semantics).
+    // CH `median` needs no alias: Spark's built-in exact median stands.
+    reg("quantile")(es => new ApproximatePercentile(es(1), es(0)).toAggregateExpression())
+    reg("quantileExact")(es => new Percentile(es(1), es(0)).toAggregateExpression())
+    // CH histogram(bins)(x) → histogram(bins, x): adaptive-bin numeric
+    // histogram, array of (x, y) centroids (Spark's HistogramNumeric is
+    // the same streaming-merge algorithm family CH uses)
+    reg("histogram")(es => new HistogramNumeric(es(1), es(0)).toAggregateExpression())
     // training-pipeline text ops on the SQL surface: the same Column
     // expressions the p-series dataflows use, resolved through the
     // Column bridge — /query users get scrubbing/scoring in plain SQL

@@ -130,6 +130,36 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getLong(1) - 750L) <= 75L, s"uniq=${r.getLong(1)}")
   }
 
+  test("quantile family: exact matches percentile_cont, sketch lands close") {
+    import spark.implicits._
+    // 1..1000 shuffled across partitions: quantiles known in closed form
+    (1 to 1000).map(i => (i * 389) % 1000 + 1).toDF("v").repartition(7)
+      .createOrReplaceTempView("agg_q")
+    val r = spark.sql(
+      """SELECT quantileExact(0.25d, v), quantileExact(0.5d, v),
+        |       quantile(0.5d, v),
+        |       quantileExact(0.5d, v) - percentile(v, 0.5d)
+        |FROM agg_q""".stripMargin).collect().head
+    assert(r.getDouble(0) == 250.75) // percentile_cont interpolation
+    assert(r.getDouble(1) == 500.5)
+    // the sketch is deterministic GK with default accuracy: ±1 rank here
+    assert(math.abs(r.getInt(2) - 500) <= 1, s"quantile=${r.getInt(2)}")
+    assert(r.getDouble(3) == 0.0) // quantileExact IS Spark's percentile
+  }
+
+  test("histogram(bins, x) returns adaptive centroids covering the range") {
+    import spark.implicits._
+    (1 to 1000).map(_.toDouble).toDF("v").repartition(5)
+      .createOrReplaceTempView("agg_h")
+    val bins = spark.sql("SELECT histogram(10, v) FROM agg_h")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(bins.size == 10)
+    val total = bins.map(_.getDouble(1)).sum
+    assert(total == 1000.0, s"bin weights must sum to row count, got $total")
+    val xs = bins.map(_.getDouble(0))
+    assert(xs == xs.sorted && xs.head >= 1.0 && xs.last <= 1000.0)
+  }
+
   test("top_k keeps true heavy hitters when cardinality exceeds capacity") {
     import spark.implicits._
     // capacity = 8k = 16; 400 distinct light values + 2 dominant ones
