@@ -467,6 +467,34 @@ object PipelineQueries {
         k = RetrievalK, maxQdoc = RetrievalQDocs)
         .orderBy(col("qdoc"), col("qstart"), col("rn"))
     }),
+
+    // ---- corpus card: the per-language dataset-summary report every
+    //      corpus release ships — doc/token volume, median length and
+    //      quality, exact-dup rate — grouped by PREDICTED language (the
+    //      p09 classifier), driving the CH quantile surface through the
+    //      oracle gate. One partial-agg shuffle on a tiny key domain;
+    //      medians via exact percentile (order-independent, so replayable
+    //      — a double SUM of quality would be partial-order-dependent) ----
+    "p39_corpus_card" -> ((s, dir) => {
+      val scores = TextOps.langScores(col("text"))
+      Tables.loadSpread(s, dir, "documents")
+        .select(Seq(col("text")) ++
+          scores.map { case (l, c) => c.as(s"__h_$l") }: _*)
+        .select(
+          TextOps.langIdFromScores(
+            TextOps.LangNames.map(l => l -> col(s"__h_$l"))).as("lang_pred"),
+          TextOps.tokenCount(col("text")).as("__ntok"),
+          TextOps.qualityScoreWith(col("text"), col("__h_en")).as("__q"),
+          md5(col("text")).as("__h"))
+        .groupBy("lang_pred")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__ntok")).as("n_tokens"),
+          round(expr("quantileExact(0.5d, __ntok)"), 4).as("med_tok"),
+          round(expr("quantileExact(0.5d, __q)"), 4).as("med_q"),
+          countDistinct(col("__h")).as("n_uniq"))
+        .orderBy(col("lang_pred"))
+    }),
   )
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
@@ -614,6 +642,19 @@ object PipelineQueries {
     "p35_chunking" -> TextOps.chunkDocsSql(),
     "p37_prepare_corpus" -> CorpusPipeline.prepareSql(NearDupTau),
     "p38_chunk_retrieval" -> SimilarityOps.chunkRetrievalSql(RetrievalK, RetrievalQDocs),
+    "p39_corpus_card" ->
+      s"""WITH base AS (
+         |  SELECT ${TextOps.langIdSql("text")} AS lang_pred,
+         |    len(string_split_regex(trim(lower(text)), '\\s+')) AS ntok,
+         |    ${TextOps.qualityScoreSql("text")} AS q,
+         |    md5(text) AS h
+         |  FROM documents)
+         |SELECT lang_pred, count(*) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  ${OracleSql.roundD("quantile_cont(ntok, 0.5)", 4)} AS med_tok,
+         |  ${OracleSql.roundD("quantile_cont(q, 0.5)", 4)} AS med_q,
+         |  count(DISTINCT h) AS n_uniq
+         |FROM base GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
     "p36_keep_best" ->
       s"""WITH clus AS (${DedupOps.clusterSql(NearDupTau)}),
          |q AS (SELECT doc_id, ${TextOps.qualityScoreSql("text")} AS quality
