@@ -59,8 +59,9 @@ object CorpusPipeline {
       .filter(col("__rk") === 1)
       .select(col("doc_id"), col("cluster_id"), col("quality"),
         PiiOps.redact(col("text")).as("text"))
-    TextOps.chunkTexts(keepers.select("doc_id", "text"))
-      .join(keepers.select("doc_id", "cluster_id", "quality"), "doc_id")
+    // cluster_id/quality ride the chunker's map-only explode; a
+    // chunks⋈keepers re-join here would reshuffle every chunk row
+    TextOps.chunkTexts(keepers, passthrough = Seq("cluster_id", "quality"))
       .select(col("doc_id"), col("cluster_id"), col("quality"),
         col("start_tok"), col("n_tok"), md5(col("text")).as("chunk_fp"),
         col("text").as("chunk_text"))

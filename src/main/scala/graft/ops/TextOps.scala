@@ -345,21 +345,27 @@ object TextOps {
   /** Chunk rows WITH the chunk text: `doc_id, start_tok, n_tok, text`
     * — the form downstream featurization (p38 retrieval) consumes. */
   def chunkTexts(docs: DataFrame, size: Int = ChunkSize,
-                 stride: Int = ChunkStride): DataFrame = {
+                 stride: Int = ChunkStride,
+                 passthrough: Seq[String] = Nil): DataFrame = {
     require(size >= 1 && stride >= 1, s"size/stride must be >= 1")
     // stride > size would skip tokens, breaking the every-token-covered
     // invariant documented above
     require(stride <= size, s"stride ($stride) must be <= size ($size)")
     val w = col("__w")
+    val keep = passthrough.map(col)
+    // `passthrough` columns ride the map-only explode instead of being
+    // re-joined onto the chunk rows afterwards — a per-doc attribute
+    // (cluster id, quality) costs zero shuffles this way, where a
+    // chunk⋈doc join would reshuffle the whole chunk set at 100 TB
     // tokens materialized in their OWN projection (HOF lambdas re-run
     // captured expressions per element — same trap as DedupOps.shingles)
-    docs.select(col("doc_id"), tokens(col("text")).as("__w"))
-      .select(col("doc_id"), explode(transform(
+    docs.select(col("doc_id") +: keep :+ tokens(col("text")).as("__w"): _*)
+      .select(col("doc_id") +: keep :+ explode(transform(
         sequence(lit(1), size_(w), lit(stride)),
-        s => struct(s.as("start"), slice(w, s, lit(size)).as("toks")))).as("c"))
-      .select(col("doc_id"), col("c.start").as("start_tok"),
+        s => struct(s.as("start"), slice(w, s, lit(size)).as("toks")))).as("c"): _*)
+      .select(col("doc_id") +: keep :++ Seq(col("c.start").as("start_tok"),
         size_(col("c.toks")).as("n_tok"),
-        array_join(col("c.toks"), " ").as("text"))
+        array_join(col("c.toks"), " ").as("text")): _*)
   }
 
   def chunkDocs(docs: DataFrame, size: Int = ChunkSize,
