@@ -231,13 +231,51 @@ object DedupOps {
       .select(col("doc_id"), array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** The 16 band hashes of a signature column — shared by the batch
+    * candidate join and the streaming lookup index. */
+  def bandHashes(sig: Column): Column =
+    array((0 until Bands).map(b =>
+      xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => sig(i)): _*)): _*)
+
+  /** Per-ROW minhash signature over a pre-hashed shingle array (`hs` =
+    * xxhash64 of each distinct shingle): min over xxhash64(h, i) — the
+    * same hash family as minHashSignatures, but as a map-only column
+    * expression instead of a grouped min, so it drops into a STREAMING
+    * projection where the groupBy spelling would be a stateful
+    * aggregation. Empty array → null mins (callers filter size > 0). */
+  def rowSignature(hs: Column): Column =
+    array((0 until NumHashes).map(i =>
+      array_min(transform(hs, h => xxhash64(h, lit(i))))): _*)
+
+  /** doc_id → distinct shingle ARRAY (the set form of `shingles`; same
+    * tokenize-in-own-projection discipline). Docs too short for an
+    * n-gram are dropped, exactly like the exploded form. */
+  def shingleSets(docs: DataFrame, n: Int = 3,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.TextExprs.ngrams(col("__w"), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Static LSH lookup index for an arrival stream: `corpus_id, band,
+    * bh`. Precompute once per corpus snapshot (persist as parquet,
+    * partitioned by band at scale); StreamOps.nearDupStream probes it
+    * with an equi-join per micro-batch. */
+  def corpusBandIndex(corpus: DataFrame, n: Int = 3): DataFrame =
+    minHashSignatures(corpus, n).select(col("doc_id").as("corpus_id"),
+      posexplode(bandHashes(col("sig"))).as(Seq("band", "bh")))
+
+  /** Static exact-verify side: `corpus_id, sh (distinct shingle array)`
+    * — what the candidate join checks true Jaccard against. */
+  def corpusShingleSets(corpus: DataFrame, n: Int = 3): DataFrame =
+    shingleSets(corpus, n).select(col("doc_id").as("corpus_id"), col("sh"))
+
   /** LSH candidate pairs: equal band hash in ≥1 of the 16 bands. */
   def minHashCandidates(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(
       col("doc_id"),
-      posexplode(array((0 until Bands).map(b =>
-        xxhash64((b * RowsPerBand until (b + 1) * RowsPerBand)
-          .map(i => col("sig")(i)): _*)): _*)).as(Seq("band", "bh")))
+      posexplode(bandHashes(col("sig"))).as(Seq("band", "bh")))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

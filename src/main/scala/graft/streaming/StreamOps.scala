@@ -74,6 +74,61 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h", "__event_time")
 
+  /** Streaming NEAR-dup lookup: flag arriving documents that are
+    * MinHash-LSH + exact-Jaccard near-duplicates of an EXISTING corpus —
+    * the incremental face of p03's batch near-dup, for ingest-time
+    * filtering against a frozen snapshot.
+    *
+    * Spark-first shape: the arrival's signature is a map-only column
+    * expression (DedupOps.rowSignature — the grouped-min spelling would
+    * be a stateful streaming aggregation), candidates come from an
+    * equi-join of the arrival's 16 band hashes against the STATIC
+    * `DedupOps.corpusBandIndex` (stream-static joins are stateless), and
+    * the exact verify is `array_intersect` against the static shingle
+    * sets — per-candidate arithmetic, no aggregation. The only state is
+    * `dropDuplicatesWithinWatermark` over (doc_id, corpus_id), which
+    * collapses multi-band collisions and is EVICTED at the lateness
+    * horizon, so state stays bounded on an unbounded stream.
+    *
+    * At 100 TB the band index is a parquet table partitioned by band;
+    * each micro-batch probes it with a hash join (the arrival side is
+    * tiny — broadcast it per batch via AQE), and verify touches only
+    * band-colliding candidates, exactly like the batch plan.
+    *
+    * Output (Append): one row per (arriving doc, corpus near-dup) with
+    * the exact Jaccard — same pair semantics as minHashPairs restricted
+    * to arrival×corpus. */
+  def nearDupStream(arrivals: DataFrame, bandIndex: DataFrame,
+                    shingleSets: DataFrame, tau: Double,
+                    timeCol: String = "time",
+                    lateness: String = "10 minutes", n: Int = 3): DataFrame = {
+    import graft.ops.{DedupOps, TextOps}
+    // shingle-hash array materialized ONCE (its own projection) — the 64
+    // per-permutation mins re-scan it, they must not re-hash the strings
+    val sh = arrivals
+      .select(col("doc_id"), col(timeCol),
+        TextOps.tokens(col("text")).as("__w"))
+      .select(col("doc_id"), col(timeCol),
+        array_distinct(graft.functions.TextExprs.ngrams(col("__w"), n)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__hs", transform(col("__sh"), s => xxhash64(s)))
+      .withColumn("__sig", DedupOps.rowSignature(col("__hs")))
+    val cands = sh
+      .select(col("doc_id"), col(timeCol), col("__sh"),
+        posexplode(DedupOps.bandHashes(col("__sig"))).as(Seq("__band", "__bh")))
+      .join(bandIndex,
+        col("__band") === bandIndex("band") && col("__bh") === bandIndex("bh"))
+      .withColumn("__event_time", timestamp_micros(expr(s"`$timeCol` DIV 1000")))
+      .withWatermark("__event_time", lateness)
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+    cands.join(shingleSets, "corpus_id")
+      .withColumn("__inter", size(array_intersect(col("__sh"), col("sh"))))
+      .withColumn("j", col("__inter").cast("double") /
+        (size(col("__sh")) + size(col("sh")) - col("__inter")))
+      .filter(col("j") >= tau)
+      .select(col("doc_id"), col("corpus_id"), round(col("j"), 6).as("j"))
+  }
+
   /** Streaming gap-based sessionization: the streaming face of p18's
     * batch sessionize, via Spark's native `session_window` — sessions
     * merge as points arrive and CLOSE (emit) once the watermark passes

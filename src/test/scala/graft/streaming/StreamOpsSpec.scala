@@ -104,6 +104,46 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream matches batch minHashPairs restricted to arrival x corpus") {
+    implicit val sq = spark.sqlContext
+    import graft.ops.DedupOps
+    import org.apache.spark.sql.functions.{col, round}
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "one two three four five six seven eight nine ten eleven twelve"),
+      (102L, "totally different content about ships and harbors at dawn"))
+      .toDF("doc_id", "text")
+    val arrivalRows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+      (2L, "completely unrelated arrival text about mountains and snow"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "too short")) // < n tokens: no shingles, must pass through silently
+    val in = MemoryStream[(Long, Long, String)]
+    val out = StreamOps.nearDupStream(in.toDF().toDF("time", "doc_id", "text"),
+      DedupOps.corpusBandIndex(corpus), DedupOps.corpusShingleSets(corpus),
+      tau = 0.5, lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sneardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(arrivalRows.zipWithIndex.map { case ((id, t), i) => (ns(i), id, t) }: _*)
+      q.processAllAvailable()
+      // the same (doc, corpus) pair re-arriving within the horizon: suppressed
+      in.addData((ns(10), 3L, arrivalRows(2)._2))
+      q.processAllAvailable()
+      val got = spark.table("sneardup").as[(Long, Long, Double)].collect().toSet
+      // batch differential: identical band scheme + exact verify over the
+      // union, restricted to arrival-side x corpus-side pairs
+      val expected = DedupOps.minHashPairs(
+          arrivalRows.toDF("doc_id", "text").unionByName(corpus), tau = 0.5)
+        .filter(col("da") < 100 && col("db") >= 100)
+        .select(col("da"), col("db"), round(col("j"), 6).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"got=$got expected=$expected")
+      assert(got.map(_._1) == Set(1L, 3L)) // near-dup + exact dup, not 2L/4L
+      assert(got.exists { case (d, c, j) => d == 3L && c == 101L && j == 1.0 })
+    } finally q.stop()
+  }
+
   test("scrub-on-ingest: PII redaction + quality gates compose with a stream") {
     // the map-only pipeline ops (p31 redact, p14 repetition gate columns,
     // p08 token count) are stateless projections, so they drop into a
