@@ -63,10 +63,14 @@ object GraftFunctions {
     "toUInt64" -> DecimalType(20, 0),
   )
 
-  def registerAll(spark: SparkSession): Unit = {
-    val fr = spark.sessionState.functionRegistry
+  /** The whole surface as (name, builder) pairs — session-independent,
+    * consumed both by the imperative `registerAll` and by
+    * [[graft.GraftSparkExtensions]] (the `spark.sql.extensions` plug-in
+    * path, so a stock Spark session enables graft by config alone). */
+  lazy val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Expression] => Expression)]
     def reg(name: String)(b: Seq[Expression] => Expression): Unit =
-      fr.createOrReplaceTempFunction(name, b, "scala_udf")
+      out += ((name, b))
 
     reg("epoch_ns")(es => EpochNs(Cast(es.head, TimestampType)))
     reg("toString")(es => cast(es.head, StringType))
@@ -160,6 +164,14 @@ object GraftFunctions {
           "ngrams(words, n): n must be a literal integer, not a column")
       }
       WordNGrams(es(0), n)
+    }
+    out.toSeq
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    val fr = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      fr.createOrReplaceTempFunction(name, b, "scala_udf")
     }
   }
 }
