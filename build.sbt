@@ -31,3 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 
 // forward stdin to forked `run` mains (graft.SqlBootstrap reads stdin)
 run / connectInput := true
+
+// forked `run` output inherits this process's stdout/stderr RAW: the
+// bench/verify contract is a machine-parsed JSON line on stdout, and
+// sbt's default logger prefixes every line with "[info] " (and tags the
+// child's stderr "[error]"), which defeats a line-oriented JSON parser
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
