@@ -277,6 +277,27 @@ object RelationalQueries {
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // ---- event-time RANGE frame (the moving-window metrics query: per
+    //      series, stats over the trailing hour BY TIME, not row count —
+    //      uneven arrival gaps make ROWS frames wrong). Aggregates are
+    //      deliberately order-independent (count/min/max): ties on the
+    //      µs-truncated key enter the frame as a SET in both engines, so
+    //      the result replays exactly, where a double SUM would depend
+    //      on intra-frame order. One shuffle on the partition key; at
+    //      100 TB per-series data sorts within its hash partition ----
+    "q21_range_frame" -> ((s, dir) => {
+      Tables.views(s, dir).sql(
+        """SELECT event_id, event_type,
+          |  count(*) OVER w AS n_1h,
+          |  min(value) OVER w AS min_1h,
+          |  max(value) OVER w AS max_1h
+          |FROM (SELECT event_id, event_type, (ts DIV 1000) * 1000 AS t, value
+          |      FROM events)
+          |WINDOW w AS (PARTITION BY event_type ORDER BY t
+          |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)
+    }),
+
     // ---- exact percentiles per series (THE metrics query: p50/p90/p99
     //      latency). Spark's `percentile` is an exact sort-based
     //      aggregate with linear interpolation — same definition as
@@ -404,6 +425,16 @@ object RelationalQueries {
     "q16_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "q21_range_frame" ->
+      """SELECT event_id, event_type,
+        |  count(*) OVER w AS n_1h,
+        |  min(value) OVER w AS min_1h,
+        |  max(value) OVER w AS max_1h
+        |FROM (SELECT event_id, event_type, epoch_ns(ts) AS t, value
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY t
+        |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q17_percentiles" ->
       s"""SELECT event_type,
          |  ${roundD("quantile_cont(value, 0.5)", 4)} AS p50,

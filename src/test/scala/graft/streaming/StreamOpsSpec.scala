@@ -104,6 +104,24 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkTexts is map-only and composes with a stream unchanged") {
+    // the RAG-prep unit transform (p35/p37/p38) on a readStream: pure
+    // tokenize -> explode, no state, so chunks stream out per micro-batch
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = graft.ops.TextOps.chunkTexts(
+      in.toDF().toDF("doc_id", "text"), size = 4, stride = 3)
+    val q = out.writeStream.format("memory").queryName("schunk")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, "a b c d e f g"), (2L, "x y"))
+      q.processAllAvailable()
+      val rows = spark.table("schunk").as[(Long, Int, Int, String)].collect().toSet
+      assert(rows == Set((1L, 1, 4, "a b c d"), (1L, 4, 4, "d e f g"),
+        (1L, 7, 1, "g"), (2L, 1, 2, "x y")), rows)
+    } finally q.stop()
+  }
+
   test("nearDupStream matches batch minHashPairs restricted to arrival x corpus") {
     implicit val sq = spark.sqlContext
     import graft.ops.DedupOps
