@@ -40,6 +40,11 @@ object CorpusPipeline {
       .select(col("doc_id"), col("keep").as("__kq"))
     // rare gate LEFT-joined: gram-less short docs emit no rare row and
     // must pass vacuously, not silently vanish through an inner join
+    // gated feeds TWO consumers (the pair join inside the clustering and
+    // the keeper labeling); measured at sf0.1, re-evaluating the gate
+    // branch per consumer BEATS materializing it (a localCheckpoint here
+    // costs +0.9 s — the gram model's exchanges are already reused by
+    // ReuseExchange, so the "duplicate" work is mostly map-side)
     val gated = docs.select("doc_id", "text")
       .join(rep, "doc_id")
       .join(rare, Seq("doc_id"), "left")
