@@ -167,15 +167,8 @@ object SimilarityOps {
     * argmax (q·c − |c|²/2) — ranking by raw dot product alone would skip
     * the cell a neighbor was assigned to whenever centroid norms differ. */
   def ivfTopKWith(km: org.apache.spark.ml.clustering.KMeansModel, assigned: DataFrame,
-                  queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val bc = assigned.select(col("vec_id").as("nid"), col("nvec").as("nv"), col("cell"))
-    val probes = probeCells(km, queries, nprobe)
-    val scored = probes.join(bc, Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), dotf(col("qv"), col("nv")).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-  }
+                  queries: DataFrame, k: Int, nprobe: Int): DataFrame =
+    ivfTopKFrom(centersOf(km, queries.sparkSession), assigned, queries, k, nprobe)
 
   /** (qid, qv, cell) for each query's nprobe best cells — the shared
     * IVF probe-selection stage.
@@ -185,15 +178,55 @@ object SimilarityOps {
     * nlist × dims literal arrays would blow up analysis/codegen long
     * before any data moves. A broadcast join keeps the plan O(1) in
     * nlist while the probe math is unchanged. */
-  private def probeCells(km: org.apache.spark.ml.clustering.KMeansModel,
-                         queries: DataFrame, nprobe: Int): DataFrame = {
-    val spark = queries.sparkSession
+  /** The trained centroids as DATA — `cell, cv (centroid), hn2 (|c|²/2)`
+    * — the persistable form of the quantizer (saveIvfIndex). */
+  def centersOf(km: org.apache.spark.ml.clustering.KMeansModel,
+                spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val centerRows = km.clusterCenters.zipWithIndex.map { case (v, i) =>
       val arr = v.toArray
       (i, arr, arr.map(x => x * x).sum / 2.0)
     }.toSeq
     import spark.implicits._
-    val centers = centerRows.toDF("cell", "cv", "hn2")
+    centerRows.toDF("cell", "cv", "hn2")
+  }
+
+  /** Persist an IVF index as two plain parquet tables — centroids and
+    * the assigned (normalized) corpus. Build once per corpus snapshot,
+    * probe many: at 100 TB the quantizer is a batch artifact, not
+    * something re-trained per query session, and parquet round-trips it
+    * through any catalog/object store the rest of the lakehouse uses. */
+  def saveIvfIndex(km: org.apache.spark.ml.clustering.KMeansModel,
+                   assigned: DataFrame, dir: String): Unit = {
+    centersOf(km, assigned.sparkSession)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.select("vec_id", "nvec", "cell")
+      .write.mode("overwrite").parquet(s"$dir/assigned")
+  }
+
+  /** Load a saved IVF index: (centers, assigned) for `ivfTopKFrom`. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/centroids"), spark.read.parquet(s"$dir/assigned"))
+
+  /** Probe a LOADED index (the persisted-artifact face of ivfTopKWith —
+    * same plan: broadcast centroid join, cell-pruned exact cosine). */
+  def ivfTopKFrom(centers: DataFrame, assigned: DataFrame,
+                  queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val bc = assigned.select(col("vec_id").as("nid"), col("nvec").as("nv"), col("cell"))
+    val probes = probeCellsFrom(centers, queries, nprobe)
+    val scored = probes.join(bc, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), dotf(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  private def probeCells(km: org.apache.spark.ml.clustering.KMeansModel,
+                         queries: DataFrame, nprobe: Int): DataFrame =
+    probeCellsFrom(centersOf(km, queries.sparkSession), queries, nprobe)
+
+  private def probeCellsFrom(centers: DataFrame,
+                             queries: DataFrame, nprobe: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), normalized(col("embedding")).as("qv"))
       .filter(col("qv").isNotNull)
       .crossJoin(broadcast(centers))

@@ -107,6 +107,21 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("a saved IVF index round-trips through parquet and probes identically") {
+    val corpus = vecs(300, 16)
+    val q = corpus.filter($"vec_id" < 4)
+    val (km, assigned) = SimilarityOps.ivfIndex(corpus, nlist = 8)
+    val fresh = SimilarityOps.ivfTopKWith(km, assigned, q, 10, nprobe = 4)
+      .select($"qid", $"nid", $"rn").as[(Long, Long, Int)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx-").toString
+    SimilarityOps.saveIvfIndex(km, assigned, dir)
+    val (centers, loadedAssigned) = SimilarityOps.loadIvfIndex(spark, dir)
+    assert(centers.count() == 8 && loadedAssigned.count() == corpus.count())
+    val loaded = SimilarityOps.ivfTopKFrom(centers, loadedAssigned, q, 10, nprobe = 4)
+      .select($"qid", $"nid", $"rn").as[(Long, Long, Int)].collect().toSet
+    assert(loaded == fresh, s"loaded-index probe diverged: ${loaded.diff(fresh)}")
+  }
+
   test("ivfTopK finds an exact duplicate (same cell, sim 1)") {
     val corpus = vecs(200, 16)
     val dup = corpus.filter($"vec_id" === 0)
