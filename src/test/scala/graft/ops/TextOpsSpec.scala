@@ -130,6 +130,34 @@ class TextOpsSpec extends SparkSpec {
     assert((1 to 10).forall(covered))
   }
 
+  test("chunkTexts invariants hold for random (n, size, stride) combos") {
+    // for every combination: starts are exactly 1, 1+stride, ... ≤ n;
+    // every token index lands in ≥1 chunk; each chunk holds
+    // min(size, n-start+1) tokens; passthrough columns ride unchanged
+    val rnd = new scala.util.Random(41)
+    val combos = (1 to 25).map { _ =>
+      val size = 1 + rnd.nextInt(12)
+      (1 + rnd.nextInt(40), size, 1 + rnd.nextInt(size))
+    }
+    combos.foreach { case (n, size, stride) =>
+      val doc = Seq((7L, (1 to n).map(i => s"t$i").mkString(" "), "keepme"))
+        .toDF("doc_id", "text", "tag")
+      val rows = graft.ops.TextOps
+        .chunkTexts(doc, size = size, stride = stride, passthrough = Seq("tag"))
+        .select("start_tok", "n_tok", "tag")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+      val label = s"n=$n size=$size stride=$stride"
+      val starts = rows.map(_._1).sorted
+      assert(starts.toSeq == (1 to n by stride).toSeq, s"$label starts=$starts")
+      rows.foreach { case (st, nt, tag) =>
+        assert(nt == math.min(size, n - st + 1), s"$label start=$st n_tok=$nt")
+        assert(tag == "keepme", label)
+      }
+      val covered = rows.flatMap { case (st, nt, _) => st until (st + nt) }.toSet
+      assert(covered == (1 to n).toSet, s"$label uncovered=${(1 to n).toSet.diff(covered)}")
+    }
+  }
+
   test("chunkDocs / substrDupStats drop null-text docs, never crash") {
     val docs = Seq((1L, null: String), (2L, "a b c d")).toDF("doc_id", "text")
     val ch = TextOps.chunkDocs(docs, size = 4, stride = 3).collect()
