@@ -250,13 +250,20 @@ object DedupOps {
 
   /** doc_id → distinct shingle ARRAY (the set form of `shingles`; same
     * tokenize-in-own-projection discipline). Docs too short for an
-    * n-gram are dropped, exactly like the exploded form. */
+    * n-gram are dropped, exactly like the exploded form. `passthrough`
+    * columns ride the map-only projections (the chunkTexts pattern) —
+    * the streaming arrival path carries its event-time column this way,
+    * so the ONE shingle definition serves both sides of the
+    * stream-vs-static join. */
   def shingleSets(docs: DataFrame, n: Int = 3,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__w"))
-      .select(col("doc_id"),
-        array_distinct(graft.functions.TextExprs.ngrams(col("__w"), n)).as("sh"))
+                  idCol: String = "doc_id", textCol: String = "text",
+                  passthrough: Seq[String] = Nil): DataFrame = {
+    val keep = passthrough.map(col)
+    docs.select(col(idCol).as("doc_id") +: keep :+ TextOps.tokens(col(textCol)).as("__w"): _*)
+      .select(col("doc_id") +: keep :+
+        array_distinct(graft.functions.TextExprs.ngrams(col("__w"), n)).as("sh"): _*)
       .filter(size(col("sh")) > 0)
+  }
 
   /** Static LSH lookup index for an arrival stream: `corpus_id, band,
     * bh`. Precompute once per corpus snapshot (persist as parquet,

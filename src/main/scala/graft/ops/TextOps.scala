@@ -351,6 +351,12 @@ object TextOps {
     // stride > size would skip tokens, breaking the every-token-covered
     // invariant documented above
     require(stride <= size, s"stride ($stride) must be <= size ($size)")
+    // a passthrough name colliding with the chunker's own output (or its
+    // internals) would silently duplicate/shadow a column and surface as
+    // AMBIGUOUS_REFERENCE far downstream — fail fast like the guards above
+    val reserved = Set("doc_id", "text", "start_tok", "n_tok", "__w", "c")
+    require(passthrough.forall(!reserved(_)),
+      s"passthrough collides with chunker columns: ${passthrough.filter(reserved)}")
     val w = col("__w")
     val keep = passthrough.map(col)
     // `passthrough` columns ride the map-only explode instead of being

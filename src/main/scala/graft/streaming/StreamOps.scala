@@ -102,15 +102,14 @@ object StreamOps {
                     shingleSets: DataFrame, tau: Double,
                     timeCol: String = "time",
                     lateness: String = "10 minutes", n: Int = 3): DataFrame = {
-    import graft.ops.{DedupOps, TextOps}
-    // shingle-hash array materialized ONCE (its own projection) — the 64
+    import graft.ops.DedupOps
+    // the ONE shingle definition (DedupOps.shingleSets) builds the
+    // arrival side too — the stream must never drift from the static
+    // corpusShingleSets/corpusBandIndex it joins against. Shingle-hash
+    // array materialized ONCE (its own projection) — the 64
     // per-permutation mins re-scan it, they must not re-hash the strings
-    val sh = arrivals
-      .select(col("doc_id"), col(timeCol),
-        TextOps.tokens(col("text")).as("__w"))
-      .select(col("doc_id"), col(timeCol),
-        array_distinct(graft.functions.TextExprs.ngrams(col("__w"), n)).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    val sh = DedupOps.shingleSets(arrivals, n, passthrough = Seq(timeCol))
+      .withColumnRenamed("sh", "__sh")
       .withColumn("__hs", transform(col("__sh"), s => xxhash64(s)))
       .withColumn("__sig", DedupOps.rowSignature(col("__hs")))
     val cands = sh
