@@ -502,6 +502,78 @@ object DedupOps {
       .filter(col("sim") >= tau)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means cells SCOPE the pair search — cosine
+    * near-dup groups are resolved only WITHIN a cell, and each group
+    * keeps one representative (min vec_id, via the same star-contraction
+    * components as p20). Input is an ivfIndex-assigned corpus
+    * (`vec_id, nvec, cell` — normalized vectors, zero vectors already
+    * excluded). Returns `(vec_id, cell, keep_id, kept)` for every
+    * indexed vector; `kept = false` rows are the semantic duplicates a
+    * pipeline drops.
+    *
+    * vs p05 (hash-blocked exact all-pairs): p05 buys exactness with
+    * inherent Ω(n²) pair work; SemDeDup trades the (rare) cross-cell
+    * pair for pair work bounded by Σ|cell|² — with nlist ∝ corpus the
+    * per-cell population is ~constant, so total work stays near-linear.
+    * That is the published method's point, and exactly how the paper
+    * de-duplicated LAION/C4 at scale.
+    *
+    * Scale shape: ONE hash shuffle on `cell` for the self-join (cells
+    * are data-adaptive, so the key domain grows with the corpus and
+    * hot-cell fan-out is bounded by the quantizer's balance), then the
+    * O(log n) component rounds on the (sparse) near-dup pairs only. */
+  def semanticDedup(assigned: DataFrame, tau: Double): DataFrame = {
+    val a = assigned.select(col("vec_id"), col("nvec"), col("cell"))
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"),
+        dotf(col("x.nvec"), col("y.nvec")).as("sim"))
+      .filter(col("sim") >= tau)
+    val rep = connectedComponents(pairs, "va", "vb")
+    a.select(col("vec_id"), col("cell"))
+      .join(rep, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("rep"), col("vec_id")).as("keep_id"),
+        (coalesce(col("rep"), col("vec_id")) === col("vec_id")).as("kept"))
+  }
+
+  /** DuckDB oracle for semanticDedup given the TRAINED centroids (the
+    * p13 pattern): replay cell assignment (rank-1 cell by dot − |c|²/2
+    * over the same normalized doubles), the within-cell cosine pairs,
+    * and the component resolution (recursive-CTE closure, min label —
+    * the clusterSql pattern on vec_ids). */
+  def semanticDedupSql(centers: Seq[Array[Double]], tau: Double): String =
+    s"""WITH RECURSIVE centers(cell, cv, hn2) AS (
+       |  VALUES ${SimilarityOps.centersValuesSql(centers)}),
+       |nv AS (
+       |  ${SimilarityOps.NormalizedCorpusSql}
+       |), cellrank AS (
+       |  SELECT nv.vec_id, nv.v, c.cell,
+       |    row_number() OVER (PARTITION BY nv.vec_id
+       |      ORDER BY (list_inner_product(nv.v, c.cv) - c.hn2) DESC, c.cell) AS cr
+       |  FROM nv, centers c
+       |), assigned AS (
+       |  SELECT vec_id, v, cell FROM cellrank WHERE cr = 1
+       |), pairs AS (
+       |  SELECT x.vec_id AS va, y.vec_id AS vb
+       |  FROM assigned x JOIN assigned y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE list_inner_product(x.v, y.v) >= $tau
+       |), edges AS (
+       |  SELECT va AS u, vb AS v FROM pairs
+       |  UNION ALL SELECT vb, va FROM pairs
+       |), reach AS (
+       |  SELECT u AS a, v AS b FROM edges
+       |  UNION
+       |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+       |), rep AS (SELECT a AS vec_id, least(min(b), a) AS rep FROM reach GROUP BY a)
+       |SELECT a.vec_id, a.cell,
+       |  coalesce(r.rep, a.vec_id) AS keep_id,
+       |  coalesce(r.rep, a.vec_id) = a.vec_id AS kept
+       |FROM assigned a LEFT JOIN rep r USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
   /** Exact-substring duplication window length, in tokens. Real pipelines
     * dedup on ~50-token spans (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better", §4: 50-token matches); 15 fits this

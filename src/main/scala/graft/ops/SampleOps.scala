@@ -102,4 +102,73 @@ object SampleOps {
        |              FROM $table GROUP BY $sourceCol)) t
        |) r ON d.$sourceCol = r.__src
        |WHERE ${bucketSql(keyExpr)} < CAST(floor(__rate * $SampleBuckets) AS BIGINT)""".stripMargin
+
+  // ---- length-curriculum binning ----
+
+  /** Curriculum bins by document length: split the corpus into `nBins`
+    * quantile bins of token count (short → long, the length-curriculum /
+    * bucketed-batching prep step) and report per-bin volume + quality.
+    *
+    * Boundaries are TYPE-1 (no-interpolation) quantiles — b_k = the
+    * smallest length v with count(len ≤ v) · nBins ≥ k · N — computed
+    * from a length HISTOGRAM, not a corpus sort: token lengths live in a
+    * bounded value domain (≤ context size), so the groupBy is a
+    * bounded-key shuffle, the cumulative window runs over the DOMAIN
+    * (≤10⁵ rows at any corpus size), and the boundary row broadcasts.
+    * Bin assignment is then a map-side comparison — the corpus never
+    * shuffles for its bin, and every step is integer arithmetic, so the
+    * whole decision replays exactly in SQL (no interpolated-percentile
+    * FP drift can flip a bin).
+    *
+    * Per-bin medians use the exact mergeable percentile (p39's path);
+    * at 100 TB swap `quantileExact` → `quantile` (fixed-size sketch)
+    * in the same query. */
+  def lengthCurriculum(docs: DataFrame, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+      TextOps.qualityScore(col("text")).as("__q"))
+    val hist = sized.groupBy("n_tok").agg(count(lit(1)).as("__c"))
+    // domain-sized window (distinct lengths), not a corpus sort
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.orderBy("n_tok")))
+    val boundCols = (1 until nBins).map(k =>
+      min(when(col("__cum") * nBins >= col("__n") * k, col("n_tok")))
+        .as(s"__b$k"))
+    val bounds = cum.crossJoin(broadcast(sized.agg(count(lit(1)).as("__n"))))
+      .agg(boundCols.head, boundCols.tail: _*)
+    val bin = (1 until nBins).map(k =>
+      when(col("n_tok") > col(s"__b$k"), 1).otherwise(0)).reduce(_ + _) + lit(1)
+    sized.crossJoin(broadcast(bounds))
+      .select(col("n_tok"), col("__q"), bin.as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
+        round(expr("quantileExact(0.5d, __q)"), 4).as("med_q"))
+  }
+
+  /** DuckDB oracle for lengthCurriculum (same histogram boundaries, same
+    * integer bin rule, quality/median via the p09/p39 renderings). */
+  def lengthCurriculumSql(nBins: Int = 10, table: String = "documents"): String = {
+    val boundCols = (1 until nBins).map(k =>
+      s"min(CASE WHEN cum * $nBins >= n * $k THEN n_tok END) AS b$k").mkString(",\n  ")
+    val binExpr = (1 until nBins).map(k =>
+      s"(CASE WHEN s.n_tok > b.b$k THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH sized AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tok,
+       |    ${TextOps.qualityScoreSql("text")} AS q
+       |  FROM $table),
+       |hist AS (SELECT n_tok, count(*) AS c FROM sized GROUP BY n_tok),
+       |cum AS (SELECT n_tok, sum(c) OVER (ORDER BY n_tok) AS cum FROM hist),
+       |tot AS (SELECT count(*) AS n FROM sized),
+       |b AS (SELECT $boundCols FROM cum, tot),
+       |binned AS (
+       |  SELECT s.n_tok, s.q, 1 + $binExpr AS bin FROM sized s, b)
+       |SELECT bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+       |  round(quantile_cont(q, 0.5), 4) AS med_q
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+  }
 }

@@ -276,13 +276,33 @@ object SimilarityOps {
     * (assignment + probes from the trained centroids) with the p25
     * quantized score over the same normalized doubles — exact integer
     * arithmetic, so no rounding in the compare. */
-  def ivfQuantizedTopKSql(centers: Seq[Array[Double]], k: Int, nprobe: Int,
-                          maxQid: Int): String = {
-    val values = centers.zipWithIndex.map { case (c, i) =>
+  /** Trained centroids as a DuckDB VALUES list `(cell, cv, hn2)` —
+    * shared by every oracle that replays a k-means quantizer
+    * (ivfTopKSql, ivfQuantizedTopKSql, DedupOps.semanticDedupSql).
+    * `Double.toString` renders shortest-round-trip literals, which
+    * DuckDB parses back to the same bits. */
+  private[ops] def centersValuesSql(centers: Seq[Array[Double]]): String =
+    centers.zipWithIndex.map { case (c, i) =>
       val arr = c.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
       val hn2 = c.map(x => x * x).sum / 2.0
       s"($i, $arr, $hn2)"
     }.mkString(", ")
+
+  /** The normalized-corpus CTE body shared by the quantizer-replay
+    * oracles: unit-normalized double vectors, zero vectors excluded
+    * (exactly SimilarityOps.normalized). */
+  private[ops] val NormalizedCorpusSql: String =
+    """SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                                       CAST(embedding AS DOUBLE[])))) AS v
+      |  FROM embeddings
+      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                           CAST(embedding AS DOUBLE[])) > 0""".stripMargin
+
+  def ivfQuantizedTopKSql(centers: Seq[Array[Double]], k: Int, nprobe: Int,
+                          maxQid: Int): String = {
+    val values = centersValuesSql(centers)
     s"""WITH centers(cell, cv, hn2) AS (VALUES $values),
        |nv AS (
        |  SELECT vec_id,
@@ -344,11 +364,7 @@ object SimilarityOps {
     * these datasets — keeping transform's map-only assignment (no
     * corpus×nlist shuffle) is worth that bounded, gate-tested risk. */
   def ivfTopKSql(centers: Seq[Array[Double]], k: Int, nprobe: Int, maxQid: Int): String = {
-    val values = centers.zipWithIndex.map { case (c, i) =>
-      val arr = c.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
-      val hn2 = c.map(x => x * x).sum / 2.0
-      s"($i, $arr, $hn2)"
-    }.mkString(", ")
+    val values = centersValuesSql(centers)
     s"""WITH centers(cell, cv, hn2) AS (VALUES $values),
        |nv AS (
        |  SELECT vec_id,

@@ -449,4 +449,85 @@ object TextOps {
        |SELECT doc_id, hits FROM hit WHERE n_terms = ${terms.size}
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---- C4-style line-level cleaning ----
+
+  /** Tokens per synthesized line; C4's minimum word count per kept line. */
+  val LineTokens = 8
+  val MinLineTokens = 5
+
+  /** Rebuild each document as newline-separated lines of [[LineTokens]]
+    * tokens with deterministic doc_id-derived blemishes — the corpus has
+    * no natural line structure, so it is PLANTED identically in both
+    * engines (the PiiOps/MediaGen trick) and the real operator
+    * ([[c4Clean]]) is measured on top: line i loses its terminal '.'
+    * when (doc_id + i) % 3 = 0 and gains a ' noscript javascript'
+    * boilerplate tail when (doc_id + i) % 7 = 0; the final line is a
+    * short tail whenever the token count isn't a multiple of
+    * LineTokens. Map-only. */
+  def withSyntheticLines(docs: DataFrame): DataFrame = {
+    val w = col("__w")
+    val lineIdx = sequence(lit(0),
+      floor((size(w) - 1).cast("double") / LineTokens).cast("int"))
+    docs.select(col("doc_id"), tokens(col("text")).as("__w"))
+      .select(col("doc_id"), array_join(transform(lineIdx, i =>
+        concat(
+          array_join(slice(w, i * LineTokens + 1, lit(LineTokens)), " "),
+          when((col("doc_id") + i) % 7 === 0, lit(" noscript javascript"))
+            .otherwise(lit("")),
+          when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit("")))),
+        "\n").as("text"))
+  }
+
+  /** DuckDB rendering of withSyntheticLines (same slices, same planted
+    * blemishes — both engines clean the identical input). */
+  // NB: no line here may START with '|' or '||' — this fragment embeds
+  // into outer stripMargin strings (c4CleanSql), whose strip would eat
+  // one pipe from a leading '||'
+  def syntheticLinesSql(table: String = "documents"): String =
+    s"""SELECT doc_id, array_to_string(list_transform(
+       |    range(0, (len(w) - 1) // $LineTokens + 1),
+       |    i -> array_to_string(w[i*$LineTokens+1:i*$LineTokens+$LineTokens], ' ') ||
+       |      (CASE WHEN (doc_id + i) % 7 = 0 THEN ' noscript javascript' ELSE '' END) ||
+       |      (CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END)),
+       |  chr(10)) AS text
+       |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w
+       |      FROM $table)""".stripMargin
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    * heuristics expressible over this corpus): keep only lines that end
+    * in terminal punctuation, have ≥ [[MinLineTokens]] words, and carry
+    * no 'javascript' boilerplate. Returns per-doc
+    * `(doc_id, n_lines, n_kept, clean_fp)` where clean_fp fingerprints
+    * the cleaned text (kept lines re-joined).
+    *
+    * Lines materialize as a column ONCE (`__l`), then the gate runs as
+    * an array filter over it — pure column expressions, map-only, zero
+    * shuffle: the same 100 TB shape as the p08/p09/p31 text sweeps
+    * (linear in corpus bytes, parallelism = scan tasks). */
+  def c4Clean(lined: DataFrame): DataFrame = {
+    val kept = filter(col("__l"), l =>
+      l.endsWith(".") && org.apache.spark.sql.functions.size(split(l, " ")) >= MinLineTokens &&
+        !l.contains("javascript"))
+    lined.select(col("doc_id"), split(col("text"), "\n").as("__l"))
+      .select(col("doc_id"), col("__l"), kept.as("__k"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(col("__l")).as("n_lines"),
+        org.apache.spark.sql.functions.size(col("__k")).as("n_kept"),
+        md5(array_join(col("__k"), "\n")).as("clean_fp"))
+  }
+
+  /** DuckDB oracle for c4Clean over withSyntheticLines. */
+  def c4CleanSql(table: String = "documents"): String =
+    s"""WITH lined AS (${syntheticLinesSql(table)}),
+       |f AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS l FROM lined),
+       |g AS (
+       |  SELECT doc_id, l, list_filter(l, x ->
+       |    ends_with(x, '.') AND len(string_split(x, ' ')) >= $MinLineTokens
+       |    AND NOT contains(x, 'javascript')) AS k
+       |  FROM f)
+       |SELECT doc_id, len(l) AS n_lines, len(k) AS n_kept,
+       |  md5(coalesce(array_to_string(k, chr(10)), '')) AS clean_fp
+       |FROM g ORDER BY doc_id""".stripMargin
 }

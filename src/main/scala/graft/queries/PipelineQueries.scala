@@ -468,6 +468,36 @@ object PipelineQueries {
         .orderBy(col("qdoc"), col("qstart"), col("rn"))
     }),
 
+    // ---- SemDeDup-style semantic dedup: k-means cells scope the pair
+    //      search, cosine groups within a cell resolve to one keeper
+    //      (star-contraction CC). Oracle-checked via the trained-centroid
+    //      replay (p13's pattern) + recursive-CTE closure (p20's) ----
+    "p40_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (km, assigned) = SimilarityOps.ivfIndex(emb, nlist = SemCells)
+      semCenters.set(km.clusterCenters.map(_.toArray))
+      DedupOps.semanticDedup(assigned, EmbDupTau)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- C4-style line-level cleaning: line structure + blemishes are
+    //      PLANTED deterministically (the corpus has no natural lines —
+    //      the p31/p11 trick), then the real gates run: terminal
+    //      punctuation, ≥5 words, no javascript boilerplate. Map-only ----
+    "p41_c4_clean" -> ((s, dir) => {
+      TextOps.c4Clean(TextOps.withSyntheticLines(
+        Tables.loadSorted(s, dir, "documents", col("doc_id"))))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- length-curriculum bins: decile boundaries from a length
+    //      HISTOGRAM (type-1 quantiles, pure integers — no interpolation
+    //      FP to drift), broadcast back, bin assignment map-side ----
+    "p42_length_curriculum" -> ((s, dir) => {
+      SampleOps.lengthCurriculum(Tables.load(s, dir, "documents"))
+        .orderBy(col("bin"))
+    }),
+
     // ---- corpus card: the per-language dataset-summary report every
     //      corpus release ships — doc/token volume, median length and
     //      quality, exact-dup rate — grouped by PREDICTED language (the
@@ -566,11 +596,19 @@ object PipelineQueries {
   private val ivfQCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** p40's k-means cell count (data-adaptive; grows ∝ corpus at scale)
+    * and its trained centroids, captured like p13's. */
+  val SemCells = 8
+  private val semCenters =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
   def oracle: Map[String, String] = staticOracle ++
     Option(ivfCenters.get()).map(c =>
       "p13_ann_ivf" -> SimilarityOps.ivfTopKSql(c.toSeq, k = 10, nprobe = 4, maxQid = 5)) ++
     Option(ivfQCenters.get()).map(c =>
-      "p27_ivf_quantized" -> SimilarityOps.ivfQuantizedTopKSql(c.toSeq, k = 10, nprobe = 4, maxQid = 5))
+      "p27_ivf_quantized" -> SimilarityOps.ivfQuantizedTopKSql(c.toSeq, k = 10, nprobe = 4, maxQid = 5)) ++
+    Option(semCenters.get()).map(c =>
+      "p40_semantic_dedup" -> DedupOps.semanticDedupSql(c.toSeq, EmbDupTau))
 
   private val staticOracle: Map[String, String] = Map(
     "p01_dedup_exact" ->
@@ -640,6 +678,8 @@ object PipelineQueries {
              "(SELECT *, length(bin(doc_id)) AS grp FROM documents)")}
          |) GROUP BY grp ORDER BY grp""".stripMargin,
     "p35_chunking" -> TextOps.chunkDocsSql(),
+    "p41_c4_clean" -> TextOps.c4CleanSql(),
+    "p42_length_curriculum" -> SampleOps.lengthCurriculumSql(),
     "p37_prepare_corpus" -> CorpusPipeline.prepareSql(NearDupTau),
     "p38_chunk_retrieval" -> SimilarityOps.chunkRetrievalSql(RetrievalK, RetrievalQDocs),
     "p39_corpus_card" ->

@@ -213,4 +213,44 @@ class DedupOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_dup") == 2L)
     assert(r.getAs[Long]("n_cross") == 0L)
   }
+
+  test("semanticDedup resolves same-direction groups within k-means cells") {
+    // two duplicate groups (same direction = cosine 1 after normalize,
+    // so cell assignment MUST agree) + orthogonal singletons + one zero
+    // vector (unsearchable -> excluded by the index)
+    val emb = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(2f, 0f, 0f, 0f),
+      2L -> Array(0.5f, 0f, 0f, 0f),
+      3L -> Array(0f, 1f, 0f, 0f), 4L -> Array(0f, 3f, 0f, 0f),
+      5L -> Array(0f, 0f, 1f, 0f), 6L -> Array(0f, 0f, 0f, 1f),
+      9L -> Array(0f, 0f, 0f, 0f)
+    ).toDF("vec_id", "embedding")
+    val (_, assigned) = SimilarityOps.ivfIndex(emb, nlist = 2)
+    val out = DedupOps.semanticDedup(assigned, tau = 0.95).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Boolean]("kept")))).toMap
+    assert(!out.contains(9L), "zero vector excluded from the index")
+    assert(out(0L) == ((0L, true)) && out(1L) == ((0L, false)) &&
+      out(2L) == ((0L, false)), out)
+    assert(out(3L) == ((3L, true)) && out(4L) == ((3L, false)), out)
+    assert(out(5L) == ((5L, true)) && out(6L) == ((6L, true)), out)
+  }
+
+  test("semanticDedup: kept is exactly keep_id == vec_id, one keeper per group") {
+    val emb = Seq(
+      0L -> Array(1f, 1f, 0f, 0f), 1L -> Array(2f, 2f, 0f, 0f),
+      2L -> Array(1f, 0f, 1f, 0f), 3L -> Array(0f, 1f, 1f, 1f)
+    ).toDF("vec_id", "embedding")
+    val (_, assigned) = SimilarityOps.ivfIndex(emb, nlist = 2)
+    val rows = DedupOps.semanticDedup(assigned, tau = 0.99).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("kept") ==
+        (r.getAs[Long]("keep_id") == r.getAs[Long]("vec_id")), r.toString)
+    }
+    // every group's keeper is a member of the group
+    val byGroup = rows.groupBy(_.getAs[Long]("keep_id"))
+    byGroup.foreach { case (rep, members) =>
+      assert(members.exists(_.getAs[Long]("vec_id") == rep), s"rep $rep not a member")
+    }
+  }
 }

@@ -93,4 +93,35 @@ class SampleOpsSpec extends SparkSpec {
       .groupBy("src").count().as[(String, Long)].collect().toMap
     assert(kept("rare") == 1L, kept)
   }
+
+  test("lengthCurriculum: bins partition the corpus, ordered by length") {
+    // 100 docs, token counts 1..100 (text = k repeats of 'w')
+    val docs = spark.range(1, 101).select(col("id").as("doc_id"),
+      array_join(array_repeat(lit("w"), col("id").cast("int")), " ").as("text"))
+    val bins = SampleOps.lengthCurriculum(docs, nBins = 10)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getInt(0)).toSeq == (1 to 10), "all 10 bins present")
+    // every doc lands in exactly one bin
+    assert(bins.map(_.getLong(1)).sum == 100L)
+    // uniform 1..100 with type-1 decile boundaries: 10 docs per bin
+    assert(bins.map(_.getLong(1)).toSet == Set(10L), bins.mkString(", "))
+    // bins are length-ordered and non-overlapping
+    val ranges = bins.map(r => (r.getLong(3), r.getLong(4))) // (min_tok, max_tok)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"bins overlap: $hi >= $lo")
+    }
+    assert(ranges.head._1 == 1L && ranges.last._2 == 100L)
+  }
+
+  test("lengthCurriculum boundaries are integer data values (no interpolation)") {
+    // heavily tied lengths: boundaries must still be actual data values
+    // and every doc must be binned (sum preserved)
+    val docs = spark.range(60).select(col("id").as("doc_id"),
+      array_join(array_repeat(lit("w"), ((col("id") % 3) + 1).cast("int")), " ").as("text"))
+    val bins = SampleOps.lengthCurriculum(docs, nBins = 4).collect()
+    assert(bins.map(_.getLong(1)).sum == 60L)
+    bins.foreach { r =>
+      assert(Set(1L, 2L, 3L).contains(r.getLong(3)), r.toString) // min_tok a real value
+    }
+  }
 }

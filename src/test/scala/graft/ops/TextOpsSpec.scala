@@ -186,4 +186,41 @@ class TextOpsSpec extends SparkSpec {
     assert(r(3L) == ((2L, 2L, 1.0, false)))  // 1.0 > RareFracMax gate
     assert(!r.contains(4L))
   }
+
+  test("withSyntheticLines plants 8-token lines with deterministic blemishes") {
+    import spark.implicits._
+    // 17 tokens -> 3 lines (8, 8, 1); doc_id=0: line 0 gets boilerplate
+    // ((0+0)%7=0) AND no '.' ((0+0)%3=0); lines 1,2 get '.'
+    val doc = Seq((0L, (1 to 17).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val lines = TextOps.withSyntheticLines(doc)
+      .select("text").as[String].head().split("\n")
+    assert(lines.length == 3)
+    assert(lines(0) == "t1 t2 t3 t4 t5 t6 t7 t8 noscript javascript")
+    assert(lines(1) == "t9 t10 t11 t12 t13 t14 t15 t16.")
+    assert(lines(2) == "t17.")
+  }
+
+  test("c4Clean keeps only punctuated >=5-word non-boilerplate lines") {
+    import spark.implicits._
+    val doc = Seq((0L, (1 to 17).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val r = TextOps.c4Clean(TextOps.withSyntheticLines(doc)).head()
+    // of the 3 planted lines: line0 fails (javascript, no '.'),
+    // line1 passes (8 words, '.'), line2 fails (1 word)
+    assert(r.getInt(1) == 3, "n_lines")
+    assert(r.getInt(2) == 1, "n_kept")
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("t9 t10 t11 t12 t13 t14 t15 t16.".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getString(3) == expected, "clean_fp is md5 of the kept text")
+  }
+
+  test("c4Clean: a doc whose every line fails fingerprints the empty clean text") {
+    import spark.implicits._
+    // 4 tokens -> one line 't1 t2 t3 t4.' (doc 1: (1+0)%3!=0) -> fails
+    // the >=5-words gate; kept set is empty
+    val doc = Seq((1L, "t1 t2 t3 t4")).toDF("doc_id", "text")
+    val r = TextOps.c4Clean(TextOps.withSyntheticLines(doc)).head()
+    assert(r.getInt(1) == 1 && r.getInt(2) == 0)
+    assert(r.getString(3) == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+  }
 }
