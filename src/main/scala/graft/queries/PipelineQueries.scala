@@ -148,9 +148,11 @@ object PipelineQueries {
     }),
 
     // ---- Gopher/C4-style repetition filters (dup-word / top-bigram /
-    //      dup-trigram fractions + keep gate; oracle-checked) ----
+    //      dup-trigram fractions + keep gate; oracle-checked).
+    //      loadSpread: the per-doc gram builds + sorted-run fold dominate
+    //      — a single-file scan would fold the whole corpus in ONE task ----
     "p14_repetition_filters" -> ((s, dir) => {
-      TextOps.repetitionStats(Tables.load(s, dir, "documents"))
+      TextOps.repetitionStats(Tables.loadSpread(s, dir, "documents"))
         .orderBy(col("doc_id"))
     }),
 
@@ -365,6 +367,8 @@ object PipelineQueries {
     // ---- benchmark decontamination: corpus docs sharing an 8-gram with
     //      the doc_id<50 holdout (broadcast semi-join; oracle-checked) ----
     "p15_decontaminate" -> ((s, dir) => {
+      // plain load: docs feed both the corpus and holdout sides (two
+      // consumers) — spreading measured 0.89 s vs 0.79 s plain
       val docs = Tables.load(s, dir, "documents")
       DedupOps.decontaminate(
         docs.filter(col("doc_id") >= DecontamHoldout),
@@ -429,6 +433,10 @@ object PipelineQueries {
     //      cluster_id on top of the clustering dataflow ----
     "p36_keep_best" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // plain load, NOT loadSpread: docs feed multiple consumers (the
+      // pair join AND the labeling join); a round-robin repartition here
+      // measured 4.3 s vs 4.0 s plain (the spread exchange repeats per
+      // consumer), unlike the single-consumer p02/p20 path
       val docs = Tables.load(s, dir, "documents")
       val cc = DedupOps.connectedComponents(
         DedupOps.ngramJaccardPairs(docs, NearDupTau))
@@ -453,6 +461,10 @@ object PipelineQueries {
     //      best -> redact -> chunk, end-to-end in one dataflow, fully
     //      oracle-replayed (CorpusPipeline) ----
     "p37_prepare_corpus" -> ((s, dir) => {
+      // plain load, NOT loadSpread: the gated corpus feeds several
+      // consumers (both gate branches, the pair join, the labeling) —
+      // spreading measured 5.6 s vs 4.9 s plain (same multi-consumer
+      // effect as p36)
       CorpusPipeline.prepare(Tables.load(s, dir, "documents"), NearDupTau)
         .orderBy(col("doc_id"), col("start_tok"))
     }),
@@ -494,7 +506,8 @@ object PipelineQueries {
     //      HISTOGRAM (type-1 quantiles, pure integers — no interpolation
     //      FP to drift), broadcast back, bin assignment map-side ----
     "p42_length_curriculum" -> ((s, dir) => {
-      SampleOps.lengthCurriculum(Tables.load(s, dir, "documents"))
+      // loadSpread: the per-doc quality regex sweep dominates
+      SampleOps.lengthCurriculum(Tables.loadSpread(s, dir, "documents"))
         .orderBy(col("bin"))
     }),
 
