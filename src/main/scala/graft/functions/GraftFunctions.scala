@@ -152,6 +152,7 @@ object GraftFunctions {
       reg("set_fingerprint")(es => x(graft.ops.TextOps.setFingerprint(c(es.head))))
       reg("rolling_fingerprint")(es =>
         x(graft.ops.TextOps.rollingFingerprint(c(es.head))))
+      reg("clean_lines")(es => x(graft.ops.TextOps.cleanLines(c(es.head))))
     }
     reg("ngrams") { es =>
       val n = es(1) match {

@@ -505,10 +505,21 @@ object TextOps {
     * an array filter over it — pure column expressions, map-only, zero
     * shuffle: the same 100 TB shape as the p08/p09/p31 text sweeps
     * (linear in corpus bytes, parallelism = scan tasks). */
+  /** The C4 line gate: terminal punctuation, ≥ MinLineTokens words, no
+    * boilerplate marker. Shared by c4Clean and the SQL surface. */
+  private def lineGate(l: Column): Column =
+    l.endsWith(".") &&
+      org.apache.spark.sql.functions.size(split(l, " ")) >= MinLineTokens &&
+      !l.contains("javascript")
+
+  /** c4Clean's text→text core as ONE scalar expression (SQL surface:
+    * `clean_lines(text)`): split on newlines, gate each line, re-join
+    * the survivors. */
+  def cleanLines(text: Column): Column =
+    array_join(filter(split(text, "\n"), l => lineGate(l)), "\n")
+
   def c4Clean(lined: DataFrame): DataFrame = {
-    val kept = filter(col("__l"), l =>
-      l.endsWith(".") && org.apache.spark.sql.functions.size(split(l, " ")) >= MinLineTokens &&
-        !l.contains("javascript"))
+    val kept = filter(col("__l"), l => lineGate(l))
     lined.select(col("doc_id"), split(col("text"), "\n").as("__l"))
       .select(col("doc_id"), col("__l"), kept.as("__k"))
       .select(col("doc_id"),

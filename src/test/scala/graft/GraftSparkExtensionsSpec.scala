@@ -40,6 +40,13 @@ class GraftSparkExtensionsSpec extends SparkSpec {
       val child = ext.newSession()
       assert(child.sql("SELECT epoch_ns(timestamp'1970-01-01 00:00:01Z') v")
         .collect().head.getLong(0) == 1000000000L)
+      // line-level cleaning on the SQL surface: the 5-word punctuated
+      // line survives; the short and boilerplate lines drop
+      val cleaned = child.sql(
+        """SELECT clean_lines('one two three four five.\ntoo short.\n' ||
+          |'please enable javascript to view this.') v""".stripMargin)
+        .collect().head.getString(0)
+      assert(cleaned == "one two three four five.", cleaned)
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)
