@@ -90,6 +90,15 @@ object IngestBench {
     val streamFiles = w3.storeDataFrame("default", "stream", dfPar, singleFile = false)
     val streamSec = (System.nanoTime() - t2) / 1e9
 
+    // drop the ~750 MB of written parquet: repeated in-session runs must
+    // not compound page-cache/disk state (measured run-to-run drift)
+    Seq(root1, root2, root3).foreach { r =>
+      try {
+        Files.walk(r).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
+    }
+
     s"""{"buffered":${(bufferedActual / bufferedSec).toLong},""" +
       s""""buffered_rows":$bufferedActual,"buffered_sec":$bufferedSec,""" +
       s""""bulk":${(bulkRows / bulkSec).toLong},"bulk_rows":$bulkRows,"bulk_sec":$bulkSec,""" +
