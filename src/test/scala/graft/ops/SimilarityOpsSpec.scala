@@ -120,6 +120,15 @@ class SimilarityOpsSpec extends SparkSpec {
     val loaded = SimilarityOps.ivfTopKFrom(centers, loadedAssigned, q, 10, nprobe = 4)
       .select($"qid", $"nid", $"rn").as[(Long, Long, Int)].collect().toSet
     assert(loaded == fresh, s"loaded-index probe diverged: ${loaded.diff(fresh)}")
+    // the same persisted artifact feeds semantic dedup directly: the
+    // assigned table IS semanticDedup's input (build the index once per
+    // corpus snapshot, then both ANN probes and the dedup pass reuse it)
+    val fromFresh = DedupOps.semanticDedup(assigned, tau = 0.9)
+      .select($"vec_id", $"keep_id").as[(Long, Long)].collect().toSet
+    val fromLoaded = DedupOps.semanticDedup(loadedAssigned, tau = 0.9)
+      .select($"vec_id", $"keep_id").as[(Long, Long)].collect().toSet
+    assert(fromLoaded == fromFresh,
+      s"loaded-index dedup diverged: ${fromLoaded.diff(fromFresh)}")
   }
 
   test("ivfTopK finds an exact duplicate (same cell, sim 1)") {
