@@ -94,8 +94,13 @@ object IngestBench {
     // not compound page-cache/disk state (measured run-to-run drift)
     Seq(root1, root2, root3).foreach { r =>
       try {
-        Files.walk(r).sorted(java.util.Comparator.reverseOrder())
+        // close the walk stream explicitly — it holds open directory fds
+        // that iterator exhaustion does not release (MetadataIndex has
+        // the same hazard note), and Bench embeds this per round
+        val s = Files.walk(r)
+        try s.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.deleteIfExists(p))
+        finally s.close()
       } catch { case _: Exception => () }
     }
 

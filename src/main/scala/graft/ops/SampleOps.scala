@@ -125,6 +125,7 @@ object SampleOps {
     * in the same query. */
   def lengthCurriculum(docs: DataFrame, nBins: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nBins >= 2, s"lengthCurriculum needs nBins >= 2, got $nBins")
     val sized = docs.select(col("doc_id"),
       TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
       TextOps.qualityScore(col("text")).as("__q"))
@@ -135,7 +136,9 @@ object SampleOps {
     val boundCols = (1 until nBins).map(k =>
       min(when(col("__cum") * nBins >= col("__n") * k, col("n_tok")))
         .as(s"__b$k"))
-    val bounds = cum.crossJoin(broadcast(sized.agg(count(lit(1)).as("__n"))))
+    // total from the domain-sized hist (its exchange is reused), NOT a
+    // third corpus scan — sized already has two consumers
+    val bounds = cum.crossJoin(broadcast(hist.agg(sum(col("__c")).as("__n"))))
       .agg(boundCols.head, boundCols.tail: _*)
     val bin = (1 until nBins).map(k =>
       when(col("n_tok") > col(s"__b$k"), 1).otherwise(0)).reduce(_ + _) + lit(1)
@@ -162,13 +165,13 @@ object SampleOps {
        |  FROM $table),
        |hist AS (SELECT n_tok, count(*) AS c FROM sized GROUP BY n_tok),
        |cum AS (SELECT n_tok, sum(c) OVER (ORDER BY n_tok) AS cum FROM hist),
-       |tot AS (SELECT count(*) AS n FROM sized),
+       |tot AS (SELECT sum(c) AS n FROM hist),
        |b AS (SELECT $boundCols FROM cum, tot),
        |binned AS (
        |  SELECT s.n_tok, s.q, 1 + $binExpr AS bin FROM sized s, b)
        |SELECT bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |  min(n_tok) AS min_tok, max(n_tok) AS max_tok,
-       |  round(quantile_cont(q, 0.5), 4) AS med_q
+       |  ${OracleSql.roundD("quantile_cont(q, 0.5)", 4)} AS med_q
        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
   }
 }

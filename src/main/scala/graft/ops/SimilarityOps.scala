@@ -305,13 +305,7 @@ object SimilarityOps {
     val values = centersValuesSql(centers)
     s"""WITH centers(cell, cv, hn2) AS (VALUES $values),
        |nv AS (
-       |  SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]),
-       |      x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-       |                                       CAST(embedding AS DOUBLE[])))) AS v
-       |  FROM embeddings
-       |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
-       |                           CAST(embedding AS DOUBLE[])) > 0
+       |  $NormalizedCorpusSql
        |), qz AS (
        |  SELECT vec_id,
        |    CASE WHEN mx > 0
@@ -367,13 +361,7 @@ object SimilarityOps {
     val values = centersValuesSql(centers)
     s"""WITH centers(cell, cv, hn2) AS (VALUES $values),
        |nv AS (
-       |  SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]),
-       |      x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-       |                                       CAST(embedding AS DOUBLE[])))) AS v
-       |  FROM embeddings
-       |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
-       |                           CAST(embedding AS DOUBLE[])) > 0
+       |  $NormalizedCorpusSql
        |), cellrank AS (
        |  SELECT nv.vec_id, nv.v, c.cell,
        |    row_number() OVER (PARTITION BY nv.vec_id

@@ -494,17 +494,6 @@ object TextOps {
        |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w
        |      FROM $table)""".stripMargin
 
-  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
-    * heuristics expressible over this corpus): keep only lines that end
-    * in terminal punctuation, have ≥ [[MinLineTokens]] words, and carry
-    * no 'javascript' boilerplate. Returns per-doc
-    * `(doc_id, n_lines, n_kept, clean_fp)` where clean_fp fingerprints
-    * the cleaned text (kept lines re-joined).
-    *
-    * Lines materialize as a column ONCE (`__l`), then the gate runs as
-    * an array filter over it — pure column expressions, map-only, zero
-    * shuffle: the same 100 TB shape as the p08/p09/p31 text sweeps
-    * (linear in corpus bytes, parallelism = scan tasks). */
   /** The C4 line gate: terminal punctuation, ≥ MinLineTokens words, no
     * boilerplate marker. Shared by c4Clean and the SQL surface. */
   private def lineGate(l: Column): Column =
@@ -518,6 +507,17 @@ object TextOps {
   def cleanLines(text: Column): Column =
     array_join(filter(split(text, "\n"), l => lineGate(l)), "\n")
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    * heuristics expressible over this corpus): keep only lines that end
+    * in terminal punctuation, have ≥ [[MinLineTokens]] words, and carry
+    * no 'javascript' boilerplate. Returns per-doc
+    * `(doc_id, n_lines, n_kept, clean_fp)` where clean_fp fingerprints
+    * the cleaned text (kept lines re-joined).
+    *
+    * Lines materialize as a column ONCE (`__l`), then the gate runs as
+    * an array filter over it — pure column expressions, map-only, zero
+    * shuffle: the same 100 TB shape as the p08/p09/p31 text sweeps
+    * (linear in corpus bytes, parallelism = scan tasks). */
   def c4Clean(lined: DataFrame): DataFrame = {
     val kept = filter(col("__l"), l => lineGate(l))
     lined.select(col("doc_id"), split(col("text"), "\n").as("__l"))
