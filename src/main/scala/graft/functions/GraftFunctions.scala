@@ -154,6 +154,8 @@ object GraftFunctions {
         x(graft.ops.TextOps.rollingFingerprint(c(es.head))))
       reg("clean_lines")(es => x(graft.ops.TextOps.cleanLines(c(es.head))))
     }
+    // Unicode NFC normalization (codegen; DuckDB nfc_normalize parity)
+    reg("nfc")(es => NfcNormalize(es.head))
     reg("ngrams") { es =>
       val n = es(1) match {
         case e if e.foldable => e.eval() match {

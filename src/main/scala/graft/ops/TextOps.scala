@@ -528,6 +528,75 @@ object TextOps {
         md5(array_join(col("__k"), "\n")).as("clean_fp"))
   }
 
+  // ---- Unicode text hygiene: NFC normalization + control-char strip +
+  //      mojibake (U+FFFD) counting ----
+
+  /** Control characters stripped by textHygiene (C0 minus NUL, plus
+    * DEL — NUL is excluded only because SQL literals can't carry it;
+    * planted blemishes use BEL). Java regex and RE2 read the \xhh
+    * escapes identically. */
+  val CtlRegex = "[\\x01-\\x1f\\x7f]"
+
+  /** Plant deterministic Unicode blemishes (the corpus is clean ASCII —
+    * same trick as withSyntheticLines): every doc gains a trailing
+    * "café" spelled DECOMPOSED (e + U+0301) on even doc_ids and
+    * precomposed (U+00E9) on odd ones, plus a BEL control char when
+    * doc_id % 5 = 0 and a U+FFFD mojibake marker when doc_id % 7 = 0. */
+  def withSyntheticMojibake(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 2 === 0, lit(" cafe\u0301")) // e + combining acute
+        .otherwise(lit(" caf\u00e9")),                   // precomposed e-acute
+      when(col("doc_id") % 5 === 0, lit("\u0007")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("\ufffd")).otherwise(lit(""))).as("text"))
+
+  /** Unicode hygiene pass: count + strip control characters and U+FFFD
+    * mojibake markers, NFC-normalize (composed/decomposed
+    * spellings of the same text unify — without this, exact dedup and
+    * every fingerprint see two distinct documents where a human sees
+    * one), and fingerprint the normalized text. Returns
+    * `(doc_id, n_ctl, n_bad, changed, fp)`.
+    *
+    * Map-only, zero shuffle; `nfc` is the codegen'd Catalyst expression
+    * (graft.functions.NfcNormalize) with an already-normalized fast
+    * path, so the common all-ASCII row costs one scan and no
+    * allocation. */
+  def textHygiene(docs: DataFrame): DataFrame = {
+    import graft.functions.NfcNormalize.nfc
+    val raw = col("text")
+    docs.select(col("doc_id"),
+        (length(raw) - length(regexp_replace(raw, CtlRegex, ""))).as("n_ctl"),
+        (length(raw) - length(regexp_replace(raw, "\\ufffd", ""))).as("n_bad"),
+        regexp_replace(regexp_replace(raw, CtlRegex, ""), "\\ufffd", "")
+          .as("__clean"))
+      .select(col("doc_id"), col("n_ctl"), col("n_bad"),
+        col("__clean"), nfc(col("__clean")).as("__norm"))
+      .select(col("doc_id"), col("n_ctl"), col("n_bad"),
+        (col("__norm") =!= col("__clean")).as("changed"),
+        md5(col("__norm")).as("fp"))
+  }
+
+  /** DuckDB oracle for textHygiene over withSyntheticMojibake — DuckDB's
+    * nfc_normalize implements the same UAX #15 as java.text.Normalizer,
+    * so the normalized bytes (and their md5) agree engine-to-engine. */
+  def textHygieneSql(table: String = "documents"): String =
+    s"""WITH moj AS (
+       |  SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769)
+       |          ELSE ' caf' || chr(233) END) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN chr(65533) ELSE '' END) AS text
+       |  FROM $table),
+       |c AS (
+       |  SELECT doc_id,
+       |    length(text) - length(regexp_replace(text, '$CtlRegex', '', 'g')) AS n_ctl,
+       |    length(text) - length(replace(text, chr(65533), '')) AS n_bad,
+       |    replace(regexp_replace(text, '$CtlRegex', '', 'g'), chr(65533), '') AS clean
+       |  FROM moj)
+       |SELECT doc_id, n_ctl, n_bad,
+       |  nfc_normalize(clean) != clean AS changed,
+       |  md5(nfc_normalize(clean)) AS fp
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for c4Clean over withSyntheticLines. */
   def c4CleanSql(table: String = "documents"): String =
     s"""WITH lined AS (${syntheticLinesSql(table)}),

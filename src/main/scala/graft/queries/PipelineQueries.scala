@@ -511,6 +511,17 @@ object PipelineQueries {
         .orderBy(col("bin"))
     }),
 
+    // ---- Unicode text hygiene: NFC normalization (codegen Catalyst
+    //      expression — composed/decomposed spellings unify before any
+    //      hashing), control-char strip, mojibake count. Blemishes
+    //      planted deterministically (the p31/p41 trick); DuckDB's
+    //      nfc_normalize implements the same UAX #15, so fp hash-checks ----
+    "p43_text_hygiene" -> ((s, dir) => {
+      TextOps.textHygiene(TextOps.withSyntheticMojibake(
+        Tables.loadSorted(s, dir, "documents", col("doc_id"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus card: the per-language dataset-summary report every
     //      corpus release ships — doc/token volume, median length and
     //      quality, exact-dup rate — grouped by PREDICTED language (the
@@ -693,6 +704,7 @@ object PipelineQueries {
     "p35_chunking" -> TextOps.chunkDocsSql(),
     "p41_c4_clean" -> TextOps.c4CleanSql(),
     "p42_length_curriculum" -> SampleOps.lengthCurriculumSql(),
+    "p43_text_hygiene" -> TextOps.textHygieneSql(),
     "p37_prepare_corpus" -> CorpusPipeline.prepareSql(NearDupTau),
     "p38_chunk_retrieval" -> SimilarityOps.chunkRetrievalSql(RetrievalK, RetrievalQDocs),
     "p39_corpus_card" ->

@@ -223,4 +223,37 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getInt(1) == 1 && r.getInt(2) == 0)
     assert(r.getString(3) == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
   }
+
+  test("nfc expression composes decomposed text; already-NFC passes through") {
+    import spark.implicits._
+    import graft.functions.NfcNormalize.nfc
+    val df = Seq(
+      (0L, "cafe\u0301"),   // decomposed -> composes
+      (1L, "caf\u00e9"),    // already NFC -> unchanged
+      (2L, "plain ascii"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = df.select($"id", nfc($"t").as("n")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(0L).contains("caf\u00e9"), out(0L))
+    assert(out(1L).contains("caf\u00e9"))
+    assert(out(2L).contains("plain ascii"))
+    assert(out(3L).isEmpty, "null in -> null out")
+  }
+
+  test("textHygiene counts blemishes, strips controls, and unifies spellings") {
+    import spark.implicits._
+    // doc 0: decomposed tail + BEL + FFFD; doc 1: precomposed tail only.
+    // After hygiene both texts are byte-identical -> same fingerprint.
+    val docs = Seq((0L, "same text"), (1L, "same text")).toDF("doc_id", "text")
+    val r = TextOps.textHygiene(TextOps.withSyntheticMojibake(docs))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getBoolean(3), x.getString(4)))).toMap
+    assert(r(0L)._1 == 1, "doc 0 has one control char (BEL: 0 % 5 == 0)")
+    assert(r(0L)._2 == 1, "doc 0 has one U+FFFD (0 % 7 == 0)")
+    assert(r(0L)._3, "doc 0's decomposed tail changed under NFC")
+    assert(r(1L) == ((0, 0, false, r(1L)._4)))
+    assert(r(0L)._4 == r(1L)._4,
+      "after hygiene the two spellings fingerprint identically")
+  }
 }
