@@ -48,9 +48,14 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 }
 
 object NfcNormalize {
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. ASCII is NFC by
+    * definition, so the all-ASCII common case returns the input
+    * reference after one byte scan — no UTF-8 decode, no allocation.
+    * Non-ASCII rows pay one decode; `isNormalized` then short-circuits
+    * the (allocating) `normalize` call for already-NFC text. */
   def normalize(s: org.apache.spark.unsafe.types.UTF8String)
   : org.apache.spark.unsafe.types.UTF8String = {
+    if (s.isFullAscii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else org.apache.spark.unsafe.types.UTF8String.fromString(

@@ -531,11 +531,12 @@ object TextOps {
   // ---- Unicode text hygiene: NFC normalization + control-char strip +
   //      mojibake (U+FFFD) counting ----
 
-  /** Control characters stripped by textHygiene (C0 minus NUL, plus
-    * DEL — NUL is excluded only because SQL literals can't carry it;
-    * planted blemishes use BEL). Java regex and RE2 read the \xhh
-    * escapes identically. */
-  val CtlRegex = "[\\x01-\\x1f\\x7f]"
+  /** Control characters stripped by textHygiene: C0 minus NUL (SQL
+    * literals can't carry it) and minus TAB/LF/CR — standard corpus
+    * hygiene (C4/CCNet) PRESERVES whitespace controls, since newlines
+    * carry the line structure p41 cleans on. Planted blemishes use BEL.
+    * Java regex and RE2 read the \xhh escapes identically. */
+  val CtlRegex = "[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
 
   /** Plant deterministic Unicode blemishes (the corpus is clean ASCII —
     * same trick as withSyntheticLines): every doc gains a trailing
