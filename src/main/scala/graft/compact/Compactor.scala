@@ -88,7 +88,12 @@ object Compactor {
     * Returns the number of merge plans executed. */
   def compactTable(spark: SparkSession, catalog: TableCatalog,
                    db: String, table: String, gcDropQueue: Boolean = true,
-                   levels: Seq[Int] = 1 until MaxLevel,
+                   // 1 TO MaxLevel: the reference runs MERGE_ITERATIONS=4
+                   // iterations (cadences 1,10,100,420 — BASELINE.md's
+                   // "4200 s / 4 GB 4th iteration"), so level-4 files DO
+                   // merge (into terminal .5.parquet); `until` left L4
+                   // accumulating unbounded small files forever
+                   levels: Seq[Int] = 1 to MaxLevel,
                    graceMs: Long = MetadataIndex.DropGraceMs): Int = {
     val spec = catalog.get(db, table).getOrElse(return 0)
     val dirs = {
@@ -156,6 +161,11 @@ object Compactor {
         .find(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
         .getOrElse(throw new IllegalStateException(s"no merged output in $staging"))
+      // footer stats from the STAGED bytes, before publish (the
+      // IngestWriter rule: publish never rewrites them) — for remote
+      // tables reading from destUri would re-open the footer over S3
+      // right after uploading those same bytes from here
+      val entry = ParquetStats.manifestEntry(spark, part.toString, plan.to)
       val destUri = spec.dataUrl match {
         case Some(_) =>
           val u = ObjectStore.dataUri(spark, spec, tableDir, partDir, plan.to)
@@ -167,7 +177,7 @@ object Compactor {
           dest.toUri.getPath
       }
       MetadataIndex.batch(partDir, spec.name,
-        add = Seq(ParquetStats.manifestEntry(spark, destUri, plan.to)),
+        add = Seq(entry),
         remove = plan.from.map(u => u.substring(u.lastIndexOf('/') + 1)))
       destUri
     } finally {

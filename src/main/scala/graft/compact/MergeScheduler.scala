@@ -43,7 +43,7 @@ final class MergeScheduler(spark: SparkSession, catalog: TableCatalog,
     * divides the tick count. Visible for deterministic tests. */
   def tick(): Int = {
     val n = ticks.incrementAndGet()
-    val due = (1 until Compactor.MaxLevel).filter(l => n % Compactor.cadenceFor(l) == 0)
+    val due = (1 to Compactor.MaxLevel).filter(l => n % Compactor.cadenceFor(l) == 0)
     if (due.isEmpty) 0
     else catalog.all().map { spec =>
       try {

@@ -179,16 +179,29 @@ object MetadataIndex {
   def gc(partitionDir: Path, tableName: String,
          graceMs: Long = DropGraceMs,
          nowMs: Long = System.currentTimeMillis(),
-         delete: Option[String => Unit] = None): Unit = synchronized {
-    val cur = load(partitionDir, tableName, useCache = false)
-    if (cur.dropQueue.isEmpty) return
-    val (due, young) = cur.dropQueue.partition(d => nowMs - d.enqueuedAtMs >= graceMs)
+         delete: Option[String => Unit] = None): Unit = {
+    // snapshot the due entries under the monitor, but run the deletes
+    // OUTSIDE it: object-store deletes are remote round-trips, and this
+    // monitor is the same one every ingest manifest commit (batch) needs
+    // — holding it across S3 DELETEs would stall every flush ack for the
+    // duration of a compaction tick's GC
+    val due = synchronized {
+      val cur = load(partitionDir, tableName, useCache = false)
+      cur.dropQueue.filter(d => nowMs - d.enqueuedAtMs >= graceMs)
+    }
     if (due.isEmpty) return
     val del = delete.getOrElse((p: String) =>
       Files.deleteIfExists(partitionDir.resolve(p)): Unit)
-    due.foreach(d => del(d.path))
-    persist(partitionDir, cur.copy(dropQueue = young,
-      walSequence = cur.walSequence + 1))
+    due.foreach(d => del(d.path)) // idempotent; a throw leaves the rest queued
+    synchronized {
+      // re-load: a concurrent batch() may have enqueued new drops between
+      // the two critical sections — remove only what was deleted
+      val cur = load(partitionDir, tableName, useCache = false)
+      val deleted = due.map(_.path).toSet
+      persist(partitionDir, cur.copy(
+        dropQueue = cur.dropQueue.filterNot(d => deleted(d.path)),
+        walSequence = cur.walSequence + 1))
+    }
   }
 
   def persist(partitionDir: Path, idx: PartitionIndex): Unit = {

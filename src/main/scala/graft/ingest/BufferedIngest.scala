@@ -29,10 +29,18 @@ final class BufferedIngest(writer: IngestWriter,
   scheduler.scheduleWithFixedDelay(() => flush(), saveTimeoutMs, saveTimeoutMs,
     TimeUnit.MILLISECONDS)
 
+  @volatile private var closed = false
+
   def store(batch: Batch): Future[Unit] = {
+    // fail fast after close(): the ticker is gone, so an enqueued batch
+    // would never flush — the caller would block on the promise forever
+    // and the rows would be silently lost (and scheduler.execute below
+    // would throw RejectedExecutionException out of store)
+    if (closed)
+      return Future.failed(new IllegalStateException("BufferedIngest is closed"))
     val p = Promise[Unit]()
     queue.add(Pending(batch, p))
-    if (buffered.addAndGet(batch.size.toLong) >= maxBufferedRows)
+    if (buffered.addAndGet(batch.size.toLong) >= maxBufferedRows && !closed)
       scheduler.execute(() => flush())
     p.future
   }
@@ -55,7 +63,11 @@ final class BufferedIngest(writer: IngestWriter,
     }
   }
 
+  /** Stop accepting, then drain. A producer that raced past the closed
+    * check has its batch in the queue BEFORE this flush runs, so it is
+    * written; later store() calls fail fast. */
   override def close(): Unit = {
+    closed = true
     scheduler.shutdown()
     flush()
   }

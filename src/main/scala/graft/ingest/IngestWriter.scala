@@ -141,6 +141,11 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     val fs = ObjectStore.publishFs(tableUri, hconf)
     val staging = new HPath(new HPath(tableUri, "tmp"), UUID.randomUUID().toString)
     fs.mkdirs(staging)
+    // staging is removed in finally: a failed Spark write or publish step
+    // must not leak tmp/{uuid} partial parquet (at a 1 s flush cadence a
+    // flaky table would accumulate unbounded garbage; Compactor already
+    // wraps its identical pattern)
+    try {
     // coalesce(1), not repartition(1): reads inputs straight into the
     // single sort task instead of adding a round-robin exchange first.
     // Parallel (streaming) path: sort each existing task's slice with
@@ -196,7 +201,6 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
       }
       (rel, name, uri)
     }
-    fs.delete(staging, true)
 
     // ONE manifest commit per partition dir (reference applies adds/removes
     // in a single index Batch — json_index.go:312-416): N files into a
@@ -208,6 +212,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     }
     catalog.bumpVersion(spec.database, spec.name)
     out.map(_._3)
+    } finally fs.delete(staging, true)
   }
 }
 
@@ -320,7 +325,11 @@ object ParquetStats {
         }
       }
       val ranges = mins.keys.map(k => k -> (mins(k), maxs(k))).toMap
-      val (minT, maxT) = ranges.getOrElse(timeCol, (0L, 0L))
+      // missing/statless timeCol → UNBOUNDED, exactly like extraCols:
+      // (0, 0) would make the file prunable by any lower-bound > 0 query
+      // (silent missing rows) and retention-expirable (maxTime 0 < any
+      // cutoff → data loss) — conservative unknown is the only safe stat
+      val (minT, maxT) = ranges.getOrElse(timeCol, (Long.MinValue, Long.MaxValue))
       Stats(rows, minT, maxT, ranges - timeCol)
     } finally reader.close()
   }

@@ -25,31 +25,31 @@ object Pruning {
   def readTable(spark: SparkSession, catalog: TableCatalog, db: String, table: String,
                 timeRangeNs: Option[(Long, Long)] = None): DataFrame = {
     val root = catalog.tableDir(db, table)
+    val spec = catalog.get(db, table)
     val localFiles = timeRangeNs match {
       case Some((lo, hi)) => MetadataIndex.pruneByTime(root, table, lo, hi)
       case None => MetadataIndex.pruneByTime(root, table)
     }
-    val files = catalog.get(db, table).flatMap(_.dataUrl) match {
-      case Some(_) =>
-        val spec = catalog.get(db, table).get
+    val remote = spec.filter(_.dataUrl.isDefined)
+    val files = remote match {
+      case Some(s) =>
         localFiles.map(p => graft.sources.ObjectStore.dataUri(
-          spark, spec, root, p.getParent, p.getFileName.toString))
+          spark, s, root, p.getParent, p.getFileName.toString))
       case None => localFiles.map(_.toString)
     }
     if (files.isEmpty) {
-      // empty table: derive schema from the catalog
-      val spec = catalog.get(db, table)
+      // empty table: derive schema from the catalog (GraftTypes directly
+      // — the query path has no business constructing an IngestWriter)
+      val s = spec
         .getOrElse(throw new IllegalArgumentException(s"unknown table $db.$table"))
       import org.apache.spark.sql.types._
-      val w = new graft.ingest.IngestWriter(spark, root.toString, catalog)
-      val schema = StructType(spec.columns.map { case (n, t) =>
-        StructField(n, w.sparkType(t))
+      val schema = StructType(s.columns.map { case (n, t) =>
+        StructField(n, graft.catalog.GraftTypes.sparkType(t))
       })
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     } else {
-      val base = catalog.get(db, table).flatMap(_.dataUrl) match {
-        case Some(u) => graft.sources.ObjectStore.tableRemoteRoot(spark,
-          catalog.get(db, table).get).get
+      val base = remote match {
+        case Some(s) => graft.sources.ObjectStore.tableRemoteRoot(spark, s).get
         case None => root.toString
       }
       spark.read

@@ -77,8 +77,11 @@ final class GigHttpServer(spark: SparkSession, root: String,
 
   override def close(): Unit = {
     merger.close()
-    buffer.close()
+    // stop accepting HTTP writes BEFORE the final buffer drain — a /write
+    // landing after buffer.close()'s flush would otherwise enqueue into a
+    // dead buffer (no ticker left to ever complete its ack)
     server.stop(0)
+    buffer.close()
   }
 
   // ---- handlers ----

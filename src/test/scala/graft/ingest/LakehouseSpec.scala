@@ -114,6 +114,35 @@ class LakehouseSpec extends SparkSpec {
     assert(ts == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("level-4 files merge too (the reference's 4th iteration) into terminal .5") {
+    val root = freshRoot()
+    val (cat, w) = writer(root)
+    (1 to 4).foreach { i =>
+      LineProtocolParser.parse(s"t4 v=${i}i", nowNs = () => now()).foreach(w.store)
+    }
+    val spec = cat.get("default", "t4").get
+    val tableDir = cat.tableDir("default", "t4")
+    val partDir = MetadataIndex.partitionDirs(root.resolve("default/t4")).head
+    // stage TWO .4.parquet files directly (executePlan at level 3 names
+    // its output .4): pair up the four L1 files
+    val l1 = Compactor.filesToMerge(spark, spec, tableDir, partDir, 1).map(_._1)
+    assert(l1.size == 4)
+    l1.grouped(2).foreach { pair =>
+      Compactor.executePlan(spark, spec, tableDir, partDir,
+        Compactor.Plan(pair, s"${java.util.UUID.randomUUID()}.4.parquet", 3))
+    }
+    val before = MetadataIndex.load(partDir, "t4").entries.keys.toSeq
+    assert(before.count(_.endsWith(".4.parquet")) == 2, before)
+    // the 4th iteration: L4 files merge into a terminal .5.parquet —
+    // `1 until MaxLevel` would silently skip this level forever
+    Compactor.compactTable(spark, cat, "default", "t4")
+    val after = MetadataIndex.load(partDir, "t4")
+    assert(after.entries.keys.exists(_.endsWith(".5.parquet")), after.entries.keys)
+    assert(after.entries.keys.count(_.endsWith(".4.parquet")) == 0, after.entries.keys)
+    assert(after.rowCount == 4)
+    assert(Pruning.readTable(spark, cat, "default", "t4").count() == 4)
+  }
+
   test("compaction keeps __timestamp stats for custom order_by tables") {
     val root = freshRoot()
     val cat = new TableCatalog(root.toString)
