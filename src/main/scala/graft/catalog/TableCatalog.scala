@@ -69,6 +69,10 @@ final class TableCatalog(root: String) {
     val onDisk = for {
       db <- subdirs(r)
       t <- subdirs(db)
+      // memory-first, like get(): re-parsing a cached table's JSON every
+      // scheduler tick is wasted I/O AND opens the stale-clobber race
+      // loadFromDisk guards against
+      if !tables.contains((db.getFileName.toString, t.getFileName.toString))
       if Files.exists(t.resolve(".table.json"))
       spec <- loadFromDisk(db.getFileName.toString, t.getFileName.toString)
     } yield spec
@@ -138,8 +142,19 @@ final class TableCatalog(root: String) {
       dataUrl = (j \ "data_url").extractOpt[String],
       columns = (j \ "columns").extract[List[JObject]].map(o =>
         ((o \ "name").extract[String], (o \ "type").extract[String])))
-    tables((db, table)) = spec
-    Some(spec)
+    // never clobber a concurrent in-memory update with what was read from
+    // disk: a scheduler-thread load racing an evolve() could assign the
+    // PRE-evolution spec after the evolve committed, and the next write()
+    // would project the new column away — silently dropping acked data.
+    // synchronized + re-check: the freshest of (memory, disk) wins.
+    synchronized {
+      tables.get((db, table)) match {
+        case Some(cur) => Some(cur)
+        case None =>
+          tables((db, table)) = spec
+          Some(spec)
+      }
+    }
   }
 }
 

@@ -44,6 +44,11 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
 
   def sparkType(name: String): DataType = graft.catalog.GraftTypes.sparkType(name)
 
+  /** The table's directory (for callers like StreamIngest that persist
+    * per-table sidecar state next to the data). */
+  def tableDirOf(db: String, table: String): java.nio.file.Path =
+    catalog.tableDir(db, table)
+
   /** Line-proto batch → DataFrame with the batch's own schema.
     * parallelize (not the java-List createDataFrame): the List path
     * embeds every row in a LocalRelation, converting the whole batch

@@ -206,13 +206,21 @@ object LineProtocolParser {
     def skipSpaces(): Unit = while (!atEnd && line.charAt(i) == ' ') i += 1
     def rest(): String = line.substring(i)
 
+    // Influx models semantics (the reference parses via
+    // influxdata/influxdb/models): ONLY the protocol's recognized escape
+    // pairs unescape — identifiers: \, \  \= \\ ; quoted strings: \" \\ .
+    // A backslash before anything else is LITERAL data and is preserved
+    // ("C:\temp" must not become "C:temp").
     def scanIdent(stopAtComma: Boolean, stopAtSpace: Boolean,
                   stopAtEq: Boolean = false): String = {
       val sb = new StringBuilder
       var done = false
       while (!done && !atEnd) {
         val c = line.charAt(i)
-        if (c == '\\' && i + 1 < line.length) { sb += line.charAt(i + 1); i += 2 }
+        if (c == '\\' && i + 1 < line.length &&
+            ",= \\".indexOf(line.charAt(i + 1)) >= 0) {
+          sb += line.charAt(i + 1); i += 2
+        }
         else if ((stopAtComma && c == ',') || (stopAtSpace && c == ' ') ||
           (stopAtEq && c == '=')) done = true
         else { sb += c; i += 1 }
@@ -227,7 +235,10 @@ object LineProtocolParser {
       while (!closed) {
         if (atEnd) throw ParseException(no, "unterminated string field")
         val c = line.charAt(i)
-        if (c == '\\' && i + 1 < line.length) { sb += line.charAt(i + 1); i += 2 }
+        if (c == '\\' && i + 1 < line.length &&
+            (line.charAt(i + 1) == '"' || line.charAt(i + 1) == '\\')) {
+          sb += line.charAt(i + 1); i += 2
+        }
         else if (c == '"') { i += 1; closed = true }
         else { sb += c; i += 1 }
       }

@@ -58,9 +58,11 @@ final class GigHttpServer(spark: SparkSession, root: String,
     retentionNs = (_, _) => retentionNs)
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
+  private val httpPool = Executors.newFixedThreadPool(8)
+
   def start(): GigHttpServer = {
     if (!noMerges) merger.start() // GIGAPI_NO_MERGES (configuration.go:18)
-    server.setExecutor(Executors.newFixedThreadPool(8))
+    server.setExecutor(httpPool)
     Seq("/write", "/gigapi/write", "/gigapi/insert", "/api/v2/write",
       "/api/v3/write_lp").foreach(p => server.createContext(p, handle(handleWrite)))
     server.createContext("/query", handle(handleQuery))
@@ -79,9 +81,14 @@ final class GigHttpServer(spark: SparkSession, root: String,
     merger.close()
     // stop accepting HTTP writes BEFORE the final buffer drain — a /write
     // landing after buffer.close()'s flush would otherwise enqueue into a
-    // dead buffer (no ticker left to ever complete its ack)
-    server.stop(0)
+    // dead buffer (no ticker left to ever complete its ack). stop(1), not
+    // stop(0): the delay is what waits for IN-FLIGHT handlers, so a
+    // mid-flight store() finishes enqueueing before the final flush runs
+    server.stop(1)
     buffer.close()
+    // the handler pool is caller-supplied, so HttpServer.stop does NOT
+    // shut it down: 8 non-daemon threads would keep the JVM alive forever
+    httpPool.shutdown()
   }
 
   // ---- handlers ----
@@ -89,6 +96,9 @@ final class GigHttpServer(spark: SparkSession, root: String,
   private def handle(f: HttpExchange => Unit)(ex: HttpExchange): Unit =
     try f(ex)
     catch {
+      case e: BodyTooLarge =>
+        respond(ex, 413, JsonOut.obj("error" -> JsonOut.str(e.getMessage)),
+          "application/json")
       case NonFatal(e) =>
         respond(ex, 500, JsonOut.obj("error" -> JsonOut.str(e.getMessage)),
           "application/json")
@@ -170,6 +180,15 @@ final class GigHttpServer(spark: SparkSession, root: String,
 
   // ---- plumbing ----
 
+  /** Max accepted request body AFTER gzip inflation. The whole body is
+    * buffered on the driver heap (×8 handler threads), so an unbounded
+    * read — a 10 MB gzip bomb inflating to GBs — would OOM the server.
+    * Oversize requests fail with BodyTooLarge → 413. */
+  val MaxBodyBytes: Long = 512L * 1024 * 1024
+
+  private[server] final class BodyTooLarge
+    extends RuntimeException(s"request body exceeds $MaxBodyBytes bytes")
+
   private def readBody(ex: HttpExchange): Array[Byte] = {
     val raw: InputStream =
       if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
@@ -177,7 +196,15 @@ final class GigHttpServer(spark: SparkSession, root: String,
         new GZIPInputStream(ex.getRequestBody)
       else ex.getRequestBody
     val out = new ByteArrayOutputStream()
-    raw.transferTo(out)
+    val buf = new Array[Byte](64 * 1024)
+    var total = 0L
+    var n = raw.read(buf)
+    while (n >= 0) {
+      total += n
+      if (total > MaxBodyBytes) throw new BodyTooLarge
+      out.write(buf, 0, n)
+      n = raw.read(buf)
+    }
     out.toByteArray
   }
 

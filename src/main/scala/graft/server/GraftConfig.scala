@@ -19,6 +19,10 @@ final case class GraftConfig(
     enabled: Boolean = true,
     root: String = "", // "" = current directory, like the reference
     mergeTimeoutS: Int = 10,
+    // parsed for config-surface parity ONLY: the reference declares
+    // `secret` (configuration.go:15) but never wires it to any request
+    // auth either — no endpoint checks it in either engine. Do not set
+    // it expecting authentication.
     secret: String = "",
     allowSaveToHd: Boolean = true,
     saveTimeoutS: Double = 1.0,

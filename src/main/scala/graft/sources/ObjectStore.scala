@@ -31,10 +31,22 @@ object ObjectStore {
                             region: String, secure: Boolean) {
     def s3aRoot: String = s"s3a://$bucket/$path"
 
-    /** Hadoop s3a configs for this target (per-bucket so two tables can
-      * point at two stores). */
+    /** Hadoop s3a configs for this target. Per-BUCKET-NAME — the finest
+      * granularity s3a offers — so two tables can point at two stores as
+      * long as their bucket names differ. Two same-named buckets on
+      * DIFFERENT endpoints cannot coexist in one Hadoop conf: silently
+      * overwriting would redirect the earlier table's I/O to the later
+      * table's endpoint with the later table's keys (wrong data or auth
+      * failures on whichever was touched first), so that case fails
+      * loudly here instead. */
     def applyTo(spark: SparkSession): Unit = {
       val c = spark.sparkContext.hadoopConfiguration
+      val prev = c.get(s"fs.s3a.bucket.$bucket.endpoint")
+      if (prev != null && prev != endpoint)
+        throw new IllegalArgumentException(
+          s"bucket '$bucket' already configured for endpoint '$prev'; " +
+            s"cannot also target '$endpoint' — s3a per-bucket config is " +
+            "keyed by bucket name (use distinct bucket names per store)")
       def set(k: String, v: String): Unit = c.set(s"fs.s3a.bucket.$bucket.$k", v)
       set("endpoint", endpoint)
       set("access.key", key)

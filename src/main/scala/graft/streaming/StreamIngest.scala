@@ -43,6 +43,31 @@ object StreamIngest {
     * different (db, table) than the stream's spec are dropped, not
     * silently coerced into the target table (a stray measurement in the
     * landing dir must not corrupt the stream's table). */
+  /** Coerce one parsed value onto the DECLARED column type: exact kind
+    * matches plus safe widenings (int→double, uint→decimal/exact-long);
+    * anything else degrades to null FOR THAT CELL. Without this, a
+    * single line whose field type disagrees with the declared schema
+    * (e.g. `v=42i` against FLOAT64) would fail Row serialization, kill
+    * the task maxFailures times, terminate the query, and — because the
+    * checkpoint replays the same landing file on restart — crash-loop
+    * the whole firehose on one bad line. One producer's bad line must
+    * cost one cell, never the stream. */
+  private[streaming] def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, StringType) => s
+    case (l: java.lang.Long, LongType) => l
+    case (l: java.lang.Long, DoubleType) => l.doubleValue()
+    case (d: java.lang.Double, DoubleType) => d
+    case (b: java.lang.Boolean, BooleanType) => b
+    case (bd: BigDecimal, _: DecimalType) => bd.bigDecimal
+    case (bd: BigDecimal, LongType) =>
+      try bd.bigDecimal.longValueExact()
+      catch { case _: ArithmeticException => null }
+    case (bd: BigDecimal, DoubleType) => bd.bigDecimal.doubleValue()
+    case (l: java.lang.Long, _: DecimalType) => java.math.BigDecimal.valueOf(l)
+    case _ => null
+  }
+
   private[streaming] def parsePartition(lines: Iterator[String],
                                         schema: StructType,
                                         db: String, table: String): Iterator[Row] = {
@@ -55,13 +80,12 @@ object StreamIngest {
         .filter(b => b.database == db && b.table == table)
         .flatMap(_.rows.iterator.map { line =>
         val arr = new Array[Any](schema.length)
-        line.tags.foreach { case (k, v) => byName.get(k).foreach(arr(_) = v) }
-        line.fields.foreach { case (k, v, t) =>
-          byName.get(k).foreach { i =>
-            arr(i) = if (t == FieldType.U64) v.asInstanceOf[BigDecimal].bigDecimal else v
-          }
+        line.tags.foreach { case (k, v) =>
+          byName.get(k).foreach(i => arr(i) = coerce(v, schema(i).dataType)) }
+        line.fields.foreach { case (k, v, _) =>
+          byName.get(k).foreach(i => arr(i) = coerce(v, schema(i).dataType))
         }
-        byName.get("time").foreach(arr(_) = line.timeNs)
+        byName.get("time").foreach(i => arr(i) = coerce(line.timeNs, schema(i).dataType))
         Row.fromSeq(arr.toIndexedSeq)
       })
     }
@@ -81,14 +105,45 @@ object StreamIngest {
     val q = parsed.writeStream
       .trigger(trigger)
       .outputMode("append")
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        // singleFile = false: each executor task sorts and writes its own
-        // slice (no coalesce(1) bottleneck) — the write scales with cores
-        // and the compactor merges the per-task files
-        if (!df.isEmpty)
-          writer.storeDataFrame(spec.db, spec.table, df, singleFile = false): Unit
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a crash after the manifest commit
+        // but before the CHECKPOINT commit replays the batch on restart,
+        // and storeDataFrame would duplicate every row under fresh UUIDs.
+        // A per-table marker of the last committed batchId makes the
+        // replay a no-op. (Residual window: a crash between manifest
+        // commit and marker write still duplicates that one batch — true
+        // exactly-once needs the batchId inside the manifest transaction.)
+        if (!df.isEmpty && batchId > lastCommitted(writer, spec)) {
+          // singleFile = false: each executor task sorts and writes its
+          // own slice (no coalesce(1) bottleneck) — the write scales with
+          // cores and the compactor merges the per-task files
+          writer.storeDataFrame(spec.db, spec.table, df, singleFile = false)
+          recordCommitted(writer, spec, batchId)
+        }
       }
     checkpointDir.foreach(d => q.option("checkpointLocation", d))
     q.start()
+  }
+
+  private def markerPath(writer: IngestWriter, spec: StreamSpec) =
+    writer.tableDirOf(spec.db, spec.table).resolve(".stream_last_batch")
+
+  private[streaming] def lastCommitted(writer: IngestWriter, spec: StreamSpec): Long =
+    try {
+      val p = markerPath(writer, spec)
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+      else -1L
+    } catch { case _: Exception => -1L }
+
+  private[streaming] def recordCommitted(writer: IngestWriter, spec: StreamSpec,
+                                         batchId: Long): Unit = {
+    val p = markerPath(writer, spec)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s".stream_last_batch.tmp")
+    java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 }

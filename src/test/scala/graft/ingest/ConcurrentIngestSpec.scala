@@ -51,4 +51,18 @@ class ConcurrentIngestSpec extends SparkSpec {
       pool.shutdown()
     }
   }
+
+  test("store after close fails fast instead of hanging a dead promise") {
+    val root = Files.createTempDirectory("graft-closed-")
+    val cat = new TableCatalog(root.toString)
+    val buffer = new BufferedIngest(
+      new IngestWriter(spark, root.toString, cat), saveTimeoutMs = 50L)
+    val batch = LineProtocolParser.parse("c v=1i 1700000000000000000").toSeq.head
+    Await.result(buffer.store(batch), 1.minute) // alive: resolves
+    buffer.close()
+    val late = buffer.store(batch)
+    val e = intercept[IllegalStateException](
+      Await.result(late, 5.seconds))
+    assert(e.getMessage.contains("closed"))
+  }
 }

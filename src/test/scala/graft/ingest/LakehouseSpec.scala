@@ -143,6 +143,28 @@ class LakehouseSpec extends SparkSpec {
     assert(Pruning.readTable(spark, cat, "default", "t4").count() == 4)
   }
 
+  test("catalog: stale disk state never clobbers a newer in-memory spec") {
+    import graft.catalog.TableSpec
+    import java.nio.file.StandardCopyOption
+    val root = freshRoot()
+    val cat = new TableCatalog(root.toString)
+    cat.upsert(TableSpec("db1", "t", columns = Seq("a" -> "INT64")))
+    cat.evolve("db1", "t", Seq("b" -> "FLOAT64"))
+    // plant a STALE .table.json (pre-evolution shape), as if a racing
+    // loader had read disk before the evolve persisted
+    val staleRoot = freshRoot()
+    val staleCat = new TableCatalog(staleRoot.toString)
+    staleCat.upsert(TableSpec("db1", "t", columns = Seq("a" -> "INT64")))
+    Files.copy(staleCat.tableDir("db1", "t").resolve(".table.json"),
+      cat.tableDir("db1", "t").resolve(".table.json"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // a scheduler-style sweep must not replace the evolved in-memory spec
+    cat.all()
+    val cols = cat.get("db1", "t").get.columns.map(_._1)
+    assert(cols == Seq("a", "b"),
+      s"evolved column lost to stale disk state: $cols")
+  }
+
   test("compaction keeps __timestamp stats for custom order_by tables") {
     val root = freshRoot()
     val cat = new TableCatalog(root.toString)

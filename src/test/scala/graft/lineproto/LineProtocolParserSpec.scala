@@ -80,6 +80,19 @@ class LineProtocolParserSpec extends AnyFunSuite {
     assert(b.rows.head.tags == Vector("ta,g" -> "va lue"))
   }
 
+  test("lone backslashes are literal data (influx models semantics)") {
+    // only the protocol's recognized pairs unescape; "C:\temp" must not
+    // silently become "C:temp"
+    val b = parse("""m,host=a\b path="C:\temp\new",v=1""", nowNs = now).toVector.head
+    assert(b.rows.head.tags == Vector("host" -> """a\b"""))
+    val strField = b.rows.head.fields.find(_._1 == "path").get._2
+    assert(strField == """C:\temp\new""", strField)
+    // recognized pairs still unescape: \" in strings, \, in idents
+    val c = parse("""m,t=a\,b s="say \"hi\" \\ done",v=1""", nowNs = now).toVector.head
+    assert(c.rows.head.tags == Vector("t" -> "a,b"))
+    assert(c.rows.head.fields.find(_._1 == "s").get._2 == """say "hi" \ done""")
+  }
+
   test("malformed lines raise ParseException with line number") {
     val e = intercept[ParseException](parse("m v=", nowNs = now).toVector)
     assert(e.getMessage.contains("line 1"))

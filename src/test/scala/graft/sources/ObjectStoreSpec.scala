@@ -47,6 +47,15 @@ class ObjectStoreSpec extends SparkSpec {
     assert(c.get("fs.s3a.bucket.bkt.secret.key") == "sec1")
     assert(c.get("fs.s3a.bucket.bkt.path.style.access") == "true")
     assert(c.get("fs.s3a.bucket.bkt.connection.ssl.enabled") == "false")
+    // same bucket, same endpoint: idempotent re-apply is fine
+    ObjectStore.resolveDataRoot(spark,
+      "s3://key1:sec1@minio:9000/bkt/other?secure=false"): Unit
+    // same bucket NAME on a different endpoint would silently redirect
+    // the first table's I/O — must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      ObjectStore.resolveDataRoot(spark, "s3://k2:s2@minio2:9000/bkt/x")
+    }
+    assert(e.getMessage.contains("already configured"), e.getMessage)
   }
 
   test("copy-publish cycle over file://: write -> manifest -> read -> compact -> gc") {

@@ -113,4 +113,39 @@ class StreamIngestSpec extends SparkSpec {
     val rows = StreamIngest.parsePartition(lines, schema, "metrics", "cpu").toSeq
     assert(rows.map(_.getLong(0)).sorted == Seq(1L, 2L))
   }
+
+  test("one type-mismatched line costs one null cell, never the stream") {
+    import org.apache.spark.sql.types._
+    // declared FLOAT64 `v`: an int line (42i) widens, a string line nulls
+    // — neither may fail Row serialization (a poisoned checkpoint replay
+    // would crash-loop the whole firehose on one bad line)
+    val schema = StructType(Seq(
+      StructField("v", DoubleType), StructField("time", LongType)))
+    val lines = Iterator(
+      "cpu v=1.5 1700000000000000001",
+      "cpu v=42i 1700000000000000002",   // I64 -> widened to 42.0
+      "cpu v=\"oops\" 1700000000000000003") // STR -> null cell
+    val rows = StreamIngest.parsePartition(lines, schema, "metrics", "cpu").toSeq
+    assert(rows.map(r => if (r.isNullAt(0)) null else r.getDouble(0)) ==
+      Seq(1.5, 42.0, null))
+    // and the rows actually serialize under the declared encoder
+    import org.apache.spark.sql.{Encoders, Row}
+    val enc = Encoders.row(schema)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    assert(df.count() == 3 && df.filter(df("v").isNull).count() == 1)
+  }
+
+  test("coerce: exact kinds + safe widenings only; mismatches null") {
+    import org.apache.spark.sql.types._
+    import StreamIngest.coerce
+    assert(coerce(java.lang.Long.valueOf(7L), DoubleType) == 7.0)
+    assert(coerce(java.lang.Long.valueOf(7L), LongType) == 7L)
+    assert(coerce("x", LongType) == null)
+    assert(coerce(java.lang.Double.valueOf(1.5), LongType) == null)
+    assert(coerce(java.lang.Boolean.TRUE, BooleanType) == true)
+    assert(coerce(BigDecimal("184467440737095516150"), LongType) == null) // > Long.Max
+    assert(coerce(BigDecimal(42), LongType) == 42L)
+    assert(coerce(null, LongType) == null)
+  }
 }
