@@ -41,10 +41,31 @@ object GraftFunctions {
       "|0x[0-9a-f]*\\.?[0-9a-f]*(p[+-]?\\d+)?[df]?" +
       "|inf(inity)?|nan|true|false)[\\x00-\\x20]*$")
 
+  /** try_cast with the regex prefilter applied ONLY to string inputs.
+    * The guard exists to skip the per-row throw/catch on non-numeric
+    * STRINGS; for any other input type (timestamp, numeric, bool) the
+    * cast-to-string-then-regex detour would change SEMANTICS — e.g.
+    * toInt64OrNull(ts) rendered '2026-08-13 ...', failed the regex, and
+    * returned all NULLs where bare try_cast yields epoch seconds. The
+    * child's type is unknown at registration (builders get unresolved
+    * expressions), so the branch happens at analysis via
+    * RuntimeReplaceable. */
+  private case class GuardedTryCast(child: Expression, target: DataType)
+    extends Expression with RuntimeReplaceable
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    override lazy val replacement: Expression = child.dataType match {
+      case StringType =>
+        CaseWhen(
+          Seq((new RLike(child, NumericishRe), Cast(child, target, None, EvalMode.TRY))),
+          Some(Literal.create(null, target)))
+      case _ => Cast(child, target, None, EvalMode.TRY)
+    }
+    override protected def withNewChildInternal(newChild: Expression): GuardedTryCast =
+      copy(child = newChild)
+  }
+
   private def tryCast(e: Expression, t: DataType): Expression =
-    CaseWhen(
-      Seq((new RLike(Cast(e, StringType), NumericishRe), Cast(e, t, None, EvalMode.TRY))),
-      Some(Literal.create(null, t)))
+    GuardedTryCast(e, t)
   private def tryCastOrZero(e: Expression, t: DataType): Expression =
     Coalesce(Seq(tryCast(e, t), Cast(Literal(0), t)))
 

@@ -95,7 +95,15 @@ case class TopKAgg(
   override def merge(a: mutable.LinkedHashMap[String, Long],
                      b: mutable.LinkedHashMap[String, Long])
   : mutable.LinkedHashMap[String, Long] = {
-    // deterministic fold order regardless of partition arrival order
+    // within one merge CALL the fold order is canonical (sorted), but
+    // space-saving merge with eviction is non-associative, so when a
+    // group's cardinality EXCEEDS the summary capacity the result still
+    // depends on Spark's partial-buffer arrival order (not controllable
+    // here). Determinism therefore holds in the exact regime —
+    // cardinality ≤ 8k, where no eviction happens and merge IS
+    // commutative addition — which is the oracle-gated regime (p29);
+    // beyond it, results carry the documented N/C overestimate bound AND
+    // run-to-run arrival-order variance, like ClickHouse's own topK.
     b.toSeq.sortBy { case (v, c) => (-c, v) }.foreach { case (v, c) => add(a, v, c) }
     a
   }

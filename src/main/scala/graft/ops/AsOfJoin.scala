@@ -56,6 +56,13 @@ object AsOfJoin {
     }
     requireIntegral(left, leftTime)
     requireIntegral(right, rightTime)
+    // reserved internals (the chunkTexts precedent): a left column named
+    // __t would be silently overwritten by the cast time and returned
+    // corrupted; fail loudly instead
+    Seq("__t", "__side", "__c", "__p").foreach { n =>
+      require(!left.columns.contains(n) && !right.columns.contains(n),
+        s"asof: column name '$n' is reserved by the implementation")
+    }
     val leftOut = left.columns.toSeq
 
     val l = left

@@ -258,6 +258,11 @@ object DedupOps {
   def shingleSets(docs: DataFrame, n: Int = 3,
                   idCol: String = "doc_id", textCol: String = "text",
                   passthrough: Seq[String] = Nil): DataFrame = {
+    // the chunkTexts precedent: a passthrough named like an output or
+    // internal column would silently duplicate/shadow it
+    val reserved = Set("doc_id", "sh", "__w")
+    passthrough.find(reserved).foreach(n => throw new IllegalArgumentException(
+      s"shingleSets: passthrough column '$n' collides with a reserved name"))
     val keep = passthrough.map(col)
     docs.select(col(idCol).as("doc_id") +: keep :+ TextOps.tokens(col(textCol)).as("__w"): _*)
       .select(col("doc_id") +: keep :+
@@ -356,7 +361,11 @@ object DedupOps {
   /** Pairs with Hamming distance ≤ maxDist (≤3 guaranteed found by the
     * 4×15 band pigeonhole). */
   def simHashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sigs = simHashSignatures(docs).cache()
+    // no cache(): the self-join's two sides are the same subtree, so
+    // ReuseExchange shares one shuffle (the ngramJaccardPairs argument at
+    // :147); a cache here was never unpersisted and leaked an
+    // InMemoryRelation per call for the application's lifetime
+    val sigs = simHashSignatures(docs)
     val bands = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimHashBands).map(b => col(s"band$b")): _*)).as(Seq("band", "bh")))
     bands.as("a").join(bands.as("b"),

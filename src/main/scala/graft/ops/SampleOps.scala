@@ -148,7 +148,10 @@ object SampleOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
         min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"),
-        round(expr("quantileExact(0.5d, __q)"), 4).as("med_q"))
+        // built-in percentile, not the graft quantileExact shim — same
+        // exact interpolated Percentile expression, but this op must work
+        // on a stock session without registerAll
+        round(percentile(col("__q"), lit(0.5)), 4).as("med_q"))
   }
 
   /** DuckDB oracle for lengthCurriculum (same histogram boundaries, same

@@ -429,24 +429,28 @@ object TextOps {
     * dataflow stopped before the filter. */
   def keywordSearch(docs: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "keywordSearch needs at least one term")
+    // lower-case the TERMS too: the tokenizer lower-cases the corpus, so
+    // a mixed-case query term would silently match nothing
+    val q = terms.map(_.toLowerCase).distinct
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .filter(col("tok").isin(terms: _*))
+      .filter(col("tok").isin(q: _*))
       .groupBy("doc_id")
       .agg(countDistinct("tok").as("n_terms"), count(lit(1)).as("hits"))
-      .filter(col("n_terms") === terms.size)
+      .filter(col("n_terms") === q.size)
       .select(col("doc_id"), col("hits"))
   }
 
   /** DuckDB oracle for keywordSearch (same tokenizer as p08/p21). */
   def keywordSearchSql(terms: Seq[String], table: String = "documents"): String = {
-    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val q = terms.map(_.toLowerCase).distinct
+    val inList = q.map(t => s"'$t'").mkString(", ")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) tok
        |  FROM $table),
        |hit AS (
        |  SELECT doc_id, count(DISTINCT tok) AS n_terms, count(*) AS hits
        |  FROM tok WHERE tok IN ($inList) GROUP BY doc_id)
-       |SELECT doc_id, hits FROM hit WHERE n_terms = ${terms.size}
+       |SELECT doc_id, hits FROM hit WHERE n_terms = ${q.size}
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -36,7 +36,12 @@ object TimeSeriesOps {
     * cannot exist since the grid starts at the key's min). */
   def gapFill(ev: DataFrame, key: String, timeCol: String, valCol: String,
               bucketNs: Long): DataFrame = {
-    val obs = ev.groupBy(col(key), expr(s"$timeCol DIV $bucketNs").as("b"))
+    // FLOOR division, not DIV: Spark DIV truncates toward zero while the
+    // DuckDB oracle's // floors, so a pre-1970 (negative-ns) timestamp
+    // would bucket differently between engines. pmod is non-negative, so
+    // (t - pmod(t, b)) / b is exact floor division in long arithmetic.
+    val floorDiv = expr(s"($timeCol - pmod($timeCol, $bucketNs)) DIV $bucketNs")
+    val obs = ev.groupBy(col(key), floorDiv.as("b"))
       .agg(count(lit(1)).as("n"), avg(col(valCol)).as("v_avg"))
     val grid = obs.groupBy(col(key))
       .agg(min("b").as("b0"), max("b").as("b1"))
