@@ -34,6 +34,15 @@ class FunctionsSpec extends SparkSpec {
     assert(one("toFloatOrZero('oops')") == 0.0)
   }
 
+  test("OrNull on non-string inputs matches bare try_cast (no regex detour)") {
+    // the regex guard exists for non-numeric STRINGS only: a timestamp
+    // rendered to string fails the regex, so the old string-detour made
+    // toInt64OrNull(ts) all-NULL where try_cast yields epoch seconds
+    assert(one("toInt64OrNull(timestamp'1970-01-01 00:00:10Z')") == 10L)
+    assert(one("toInt64OrZero(timestamp'1970-01-01 00:00:10Z')") == 10L)
+    assert(one("toInt32OrNull(9.7)") == 9)
+  }
+
   test("OrZero variants default to 0") {
     assert(one("toInt64OrZero('abc')") == 0L)
     assert(one("toInt64OrZero('7')") == 7L)
