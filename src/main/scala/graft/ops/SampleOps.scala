@@ -154,6 +154,111 @@ object SampleOps {
         round(percentile(col("__q"), lit(0.5)), 4).as("med_q"))
   }
 
+  // ---- DSIR importance resampling (Xie et al., NeurIPS 2023: "Data
+  //      Selection for Language Models via Importance Resampling") ----
+
+  /** Hashed n-gram feature space size (the paper hashes uni+bigrams into
+    * a fixed bucket count; 10k there, 512 here — the corpus is smaller). */
+  val DsirBuckets = 512L
+
+  /** Target-domain tag: select raw text that "looks like" English docs. */
+  val DsirTargetLang = "en"
+
+  /** Quantized log2: floor(log2(c+1)) as the BIT LENGTH of c+1 — exact
+    * integer arithmetic (Spark `conv(_,10,2)` / DuckDB `bin()`), so the
+    * log-ratio sums replay bit-for-bit where a float log-prob sum would
+    * drift with partial-aggregation order. Rank fidelity loss vs real
+    * log2 is < 1 bit per gram, immaterial for a selection gate. */
+  private def llog2(c: Column): Column =
+    (length(conv((c + 1).cast("string"), 10, 2)) - 1).cast("long")
+
+  /** Stable feature bucket for a gram (md5 — the shared exact-hash
+    * primitive; 6 hex digits = 24 bits, always positive). */
+  def dsirBucket(g: Column): Column =
+    conv(substring(md5(g), 1, 6), 16, 10).cast("long") % DsirBuckets
+
+  /** DSIR importance scores: per-doc
+    * `doc_id, n_grams, logw, score, keep`.
+    *
+    * The method (hashed n-gram importance resampling): build bag-of-
+    * hashed-(uni+bi)gram models of the TARGET domain (`isTarget` rows)
+    * and the RAW corpus, then weight each document by
+    * `logw(x) = Σ_g [log p_tgt(b_g) − log p_raw(b_g)]` — documents whose
+    * feature mass sits in target-heavy buckets score high and are kept
+    * for training. Here log ≡ quantized [[llog2]] with +1 smoothing on
+    * every count (bucket and total), `score` = logw/n_grams (one IEEE
+    * division, rounded 6dp) and `keep` gates on the INTEGER logw ≥ 0,
+    * so no FP boundary can flip a decision between engines.
+    *
+    * Scale shape: the two models collapse into ONE bucket-keyed groupBy
+    * (count + filtered count) over a fixed 512-key domain; the model
+    * BROADCASTS back onto the gram instances (the corpus never shuffles
+    * for its score — the instance⋈model join is map-side), and the only
+    * corpus-sized shuffle is the per-doc rollup. Totals ride a 1-row
+    * broadcast. A pre-trained target model table drops in by replacing
+    * the filtered count. */
+  def dsirScores(docs: DataFrame, isTarget: Column): DataFrame = {
+    val w = col("__w")
+    val inst = docs
+      .select(col("doc_id"), isTarget.as("__tgt"),
+        TextOps.tokens(col("text")).as("__w"))
+      .select(col("doc_id"), col("__tgt"),
+        explode(concat(w, graft.functions.TextExprs.ngrams(w, 2))).as("__g"))
+      .select(col("doc_id"), col("__tgt"), dsirBucket(col("__g")).as("b"))
+    val model = inst.groupBy("b").agg(
+      count(lit(1)).as("__raw"),
+      count(when(col("__tgt"), 1)).as("__tgtc"))
+    val tot = model.agg(sum(col("__raw")).as("__bigR"),
+      sum(col("__tgtc")).as("__bigT"))
+    inst.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(llog2(col("__tgtc")) - llog2(col("__raw"))).as("__mw"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_grams"),
+        (col("__mw") + col("n_grams") *
+          (llog2(col("__bigR")) - llog2(col("__bigT")))).as("logw"))
+      .withColumn("score",
+        round(col("logw").cast("double") / col("n_grams"), 6))
+      .withColumn("keep", col("logw") >= 0)
+  }
+
+  /** DuckDB oracle for dsirScores with `isTarget` = (lang = target)
+    * (same buckets, same quantized logs, same smoothing). */
+  def dsirSql(target: String = DsirTargetLang,
+              table: String = "documents"): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang = '$target' AS tgt,
+       |    string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |gr AS (
+       |  SELECT doc_id, tgt, unnest(w || list_transform(
+       |    range(1, greatest(len(w), 1)), i -> w[i]||' '||w[i+1])) g
+       |  FROM toks),
+       |inst AS (
+       |  SELECT doc_id, tgt,
+       |    (('0x'||substr(md5(g),1,6))::UBIGINT)::BIGINT % $DsirBuckets AS b
+       |  FROM gr),
+       |model AS (
+       |  SELECT b, count(*) AS rawc, count(*) FILTER (WHERE tgt) AS tgtc
+       |  FROM inst GROUP BY b),
+       |tot AS (
+       |  SELECT CAST(sum(rawc) AS BIGINT) bigR, CAST(sum(tgtc) AS BIGINT) bigT
+       |  FROM model),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |    CAST(sum((length(bin(tgtc + 1)) - 1)
+       |           - (length(bin(rawc + 1)) - 1)) AS BIGINT) AS mw
+       |  FROM inst JOIN model USING (b) GROUP BY doc_id),
+       |fin AS (
+       |  SELECT doc_id, n_grams,
+       |    mw + n_grams * ((length(bin(bigR + 1)) - 1)
+       |                  - (length(bin(bigT + 1)) - 1)) AS logw
+       |  FROM per, tot)
+       |SELECT doc_id, n_grams, logw,
+       |  ${OracleSql.roundD("CAST(logw AS DOUBLE) / n_grams", 6)} AS score,
+       |  logw >= 0 AS keep
+       |FROM fin ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for lengthCurriculum (same histogram boundaries, same
     * integer bin rule, quality/median via the p09/p39 renderings). */
   def lengthCurriculumSql(nBins: Int = 10, table: String = "documents"): String = {

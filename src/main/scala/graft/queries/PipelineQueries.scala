@@ -522,6 +522,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- DSIR importance resampling (Xie et al. 2023): hashed
+    //      uni+bigram models of target (lang=en) vs raw corpus, per-doc
+    //      log importance weight with quantized-integer log2, keep gate
+    //      on the integer weight. Model = ONE 512-key groupBy broadcast
+    //      back onto instances; the corpus shuffles once (doc rollup) ----
+    "p44_importance_resampling" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      SampleOps.dsirScores(docs, col("lang") === SampleOps.DsirTargetLang)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus card: the per-language dataset-summary report every
     //      corpus release ships — doc/token volume, median length and
     //      quality, exact-dup rate — grouped by PREDICTED language (the
@@ -705,6 +716,7 @@ object PipelineQueries {
     "p41_c4_clean" -> TextOps.c4CleanSql(),
     "p42_length_curriculum" -> SampleOps.lengthCurriculumSql(),
     "p43_text_hygiene" -> TextOps.textHygieneSql(),
+    "p44_importance_resampling" -> SampleOps.dsirSql(),
     "p37_prepare_corpus" -> CorpusPipeline.prepareSql(NearDupTau),
     "p38_chunk_retrieval" -> SimilarityOps.chunkRetrievalSql(RetrievalK, RetrievalQDocs),
     "p39_corpus_card" ->

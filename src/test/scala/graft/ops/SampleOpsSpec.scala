@@ -113,6 +113,59 @@ class SampleOpsSpec extends SparkSpec {
     assert(ranges.head._1 == 1L && ranges.last._2 == 100L)
   }
 
+  test("dsirScores ranks target-like docs above off-target docs") {
+    // two disjoint vocabularies: 30 'target' docs of english-ish words,
+    // 30 off-target docs of digit-words; target model = the en docs, so
+    // en-vocab buckets carry all the target mass
+    val docs = spark.range(60).select(col("id").as("doc_id"),
+      when(col("id") < 30, "en").otherwise("xx").as("lang"),
+      when(col("id") < 30,
+        concat(lit("the quick brown fox word"), col("id") % 3))
+        .otherwise(concat(lit("111 222 333 444 num"), col("id") % 3)).as("text"))
+    val got = SampleOps.dsirScores(docs, col("lang") === "en")
+      .select("doc_id", "logw", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == 60)
+    val (tgt, off) = got.partition(_._1 < 30)
+    val minTgt = tgt.map(_._2).min
+    val maxOff = off.map(_._2).max
+    assert(minTgt > maxOff,
+      s"every target doc must outscore every off-target doc ($minTgt vs $maxOff)")
+    // keep is exactly the integer gate
+    got.foreach { case (_, lw, k) => assert(k == (lw >= 0)) }
+  }
+
+  test("dsirScores weight math matches a by-hand replay of the quantized formula") {
+    // tiny corpus, hand-replayable: compute expected logw in Scala from
+    // the same bucket/model/llog2 definitions and compare row-for-row
+    val rows = Seq((0L, "en", "aa bb"), (1L, "en", "aa"), (2L, "xx", "cc aa"))
+    val docs = rows.toDF("doc_id", "lang", "text")
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 6), 16) % SampleOps.DsirBuckets
+    }
+    def llog2(c: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(c + 1)
+    def grams(t: String): Seq[String] = {
+      val w = t.split("\\s+").toSeq
+      w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    }
+    val inst = rows.flatMap { case (id, lang, t) =>
+      grams(t).map(g => (id, lang == "en", bucket(g))) }
+    val model = inst.groupBy(_._3).map { case (b, xs) =>
+      b -> (xs.size.toLong, xs.count(_._2).toLong) }
+    val bigR = inst.size.toLong
+    val bigT = inst.count(_._2).toLong
+    val expected = inst.groupBy(_._1).map { case (id, xs) =>
+      val mw = xs.map { case (_, _, b) =>
+        val (raw, tgt) = model(b); llog2(tgt) - llog2(raw) }.sum
+      id -> (mw + xs.size * (llog2(bigR) - llog2(bigT)))
+    }
+    val got = SampleOps.dsirScores(docs, col("lang") === "en")
+      .select("doc_id", "logw").as[(Long, Long)].collect().toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("lengthCurriculum boundaries are integer data values (no interpolation)") {
     // heavily tied lengths: boundaries must still be actual data values
     // and every doc must be binned (sum preserved)
