@@ -259,6 +259,43 @@ object SampleOps {
        |  logw >= 0 AS keep
        |FROM fin ORDER BY doc_id""".stripMargin
 
+  // ---- leakage-safe train/val/test split ----
+
+  /** Split boundaries over [[SampleBuckets]]: train < 800, val < 900,
+    * test otherwise (80/10/10). */
+  val SplitTrainLt = 800L
+  val SplitValLt = 900L
+
+  /** Assign train/val/test by the near-dup CLUSTER representative's hash
+    * bucket, not the document's own: near-duplicate documents then land
+    * in the SAME split by construction, so eval examples can never leak
+    * into training as their own near-copies — the failure a naive
+    * per-doc hash split invites (train/test contamination via dups is a
+    * standard published eval hazard). Input: `(doc_id, cluster_id)` from
+    * the p20 clustering; singleton docs are their own cluster.
+    *
+    * Map-only on top of the clustering (one md5 per row, evaluated in
+    * its own projection); membership is a pure function of cluster_id —
+    * partitioning/re-run invariant and auditable, like every gate here. */
+  def leakageSafeSplit(clustered: DataFrame): DataFrame =
+    clustered
+      .withColumn("__b", hashBucket(col("cluster_id")))
+      .withColumn("split",
+        when(col("__b") < SplitTrainLt, "train")
+          .when(col("__b") < SplitValLt, "val")
+          .otherwise("test"))
+      .drop("__b")
+
+  /** DuckDB oracle: p20's recursive-closure clustering feeding the same
+    * bucket boundaries. */
+  def leakageSafeSplitSql(tau: Double, table: String = "documents"): String =
+    s"""WITH clus AS (${DedupOps.clusterSql(tau, table = table)})
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN ${bucketSql("cluster_id")} < $SplitTrainLt THEN 'train'
+       |       WHEN ${bucketSql("cluster_id")} < $SplitValLt THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM clus ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for lengthCurriculum (same histogram boundaries, same
     * integer bin rule, quality/median via the p09/p39 renderings). */
   def lengthCurriculumSql(nBins: Int = 10, table: String = "documents"): String = {

@@ -533,6 +533,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- leakage-safe split: train/val/test decided by the near-dup
+    //      CLUSTER rep's hash, so no eval doc's near-copy can sit in
+    //      train. p20's clustering + one map-only gate on top ----
+    "p45_leakage_split" -> ((s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val rep = DedupOps.connectedComponents(
+        DedupOps.ngramJaccardPairs(docs, NearDupTau))
+      val labeled = docs.select(col("doc_id"))
+        .join(rep, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("cluster_id"))
+      SampleOps.leakageSafeSplit(labeled).orderBy(col("doc_id"))
+    }),
+
     // ---- corpus card: the per-language dataset-summary report every
     //      corpus release ships — doc/token volume, median length and
     //      quality, exact-dup rate — grouped by PREDICTED language (the
@@ -717,6 +731,7 @@ object PipelineQueries {
     "p42_length_curriculum" -> SampleOps.lengthCurriculumSql(),
     "p43_text_hygiene" -> TextOps.textHygieneSql(),
     "p44_importance_resampling" -> SampleOps.dsirSql(),
+    "p45_leakage_split" -> SampleOps.leakageSafeSplitSql(NearDupTau),
     "p37_prepare_corpus" -> CorpusPipeline.prepareSql(NearDupTau),
     "p38_chunk_retrieval" -> SimilarityOps.chunkRetrievalSql(RetrievalK, RetrievalQDocs),
     "p39_corpus_card" ->

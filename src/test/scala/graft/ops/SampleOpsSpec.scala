@@ -166,6 +166,34 @@ class SampleOpsSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("leakageSafeSplit keeps every cluster member in one split, ~80/10/10 overall") {
+    // 3000 singleton clusters + 3 multi-member clusters
+    val singles = spark.range(10, 3010)
+      .select(col("id").as("doc_id"), col("id").as("cluster_id"))
+    val clustered = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L),          // cluster 0
+      (3L, 3L), (4L, 3L),                    // cluster 3
+      (5L, 5L), (6L, 5L), (7L, 5L), (8L, 5L) // cluster 5
+    ).toDF("doc_id", "cluster_id").union(singles)
+    val got = SampleOps.leakageSafeSplit(clustered)
+    // one split per cluster — the leakage guard itself
+    val perCluster = got.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n")).agg(max("n")).as[Long].head()
+    assert(perCluster == 1L, "a cluster straddled splits")
+    // overall proportions near 80/10/10 over the 3003 clusters
+    val dist = got.groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = dist.values.sum.toDouble
+    assert(math.abs(dist("train") / n - 0.8) < 0.03, dist)
+    assert(math.abs(dist("val") / n - 0.1) < 0.02, dist)
+    assert(math.abs(dist("test") / n - 0.1) < 0.02, dist)
+    // split is a pure function of cluster_id: same bucket rule as
+    // hashBucket, so re-partitioning cannot move a doc between splits
+    def members(parts: Int) =
+      SampleOps.leakageSafeSplit(clustered.repartition(parts))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(members(1) == members(17))
+  }
+
   test("lengthCurriculum boundaries are integer data values (no interpolation)") {
     // heavily tied lengths: boundaries must still be actual data values
     // and every doc must be binned (sum preserved)
