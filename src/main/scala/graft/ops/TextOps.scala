@@ -454,6 +454,79 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- vocabulary encoding (tokenizer-id step) ----
+
+  /** Vocabulary capacity for [[vocabEncode]]. */
+  val VocabSize = 128
+
+  /** The tokenize-to-ids step every training pipeline runs before
+    * sequence packing (p30): build a frequency vocabulary (top
+    * [[VocabSize]] tokens by corpus count, ties by token — id 1 =
+    * most frequent; 0 = UNK), encode each document as its id sequence,
+    * and report per-doc `doc_id, n_tok, n_oov, oov_rate, ids_fp` where
+    * `ids_fp` fingerprints the space-joined id sequence in token order
+    * (the equality handle for the encoded corpus — the ids themselves
+    * are one `collect_list` away when a sink wants them).
+    *
+    * Scale shape: the vocabulary is a Zipf-bounded token groupBy (map-
+    * side combined) ranked by one window over the VOCABULARY (not the
+    * corpus); the vocab then BROADCASTS onto the exploded tokens (map-
+    * side left join — the corpus never shuffles to look up ids), and
+    * the per-doc reassembly is the only corpus-keyed exchange. A fixed
+    * external vocabulary table drops in by replacing the groupBy. */
+  def vocabEncode(docs: DataFrame, vocabSize: Int = VocabSize): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    // vocabulary-sized global window (Zipf-bounded domain, same shape
+    // as lengthCurriculum's histogram window) — never corpus-sized
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("__c"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("__c").desc, col("t"))))
+      .filter(col("id") <= vocabSize)
+      .select(col("t"), col("id"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("id"), lit(0)).as("id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        count(when(col("id") === 0, 1)).as("n_oov"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id").cast("string")), " ")).as("ids_fp"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tok"), 6))
+      .select("doc_id", "n_tok", "n_oov", "oov_rate", "ids_fp")
+  }
+
+  /** DuckDB oracle for vocabEncode (same vocabulary rank, same UNK=0,
+    * same in-order id fingerprint). */
+  def vocabEncodeSql(vocabSize: Int = VocabSize,
+                     table: String = "documents"): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w
+       |  FROM $table),
+       |pos AS (
+       |  SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks),
+       |tok AS (SELECT doc_id, i, w[i] AS t FROM pos),
+       |vocab AS (
+       |  SELECT t, id FROM (
+       |    SELECT t, row_number() OVER (ORDER BY count(*) DESC, t) AS id
+       |    FROM tok GROUP BY t)
+       |  WHERE id <= $vocabSize),
+       |enc AS (
+       |  SELECT doc_id, i, coalesce(v.id, 0) AS id
+       |  FROM tok LEFT JOIN vocab v USING (t)),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_tok,
+       |    count(*) FILTER (WHERE id = 0) AS n_oov,
+       |    md5(array_to_string(list(CAST(id AS VARCHAR) ORDER BY i), ' '))
+       |      AS ids_fp
+       |  FROM enc GROUP BY doc_id)
+       |SELECT doc_id, n_tok, n_oov,
+       |  ${OracleSql.roundD("n_oov * 1.0 / n_tok", 6)} AS oov_rate, ids_fp
+       |FROM per ORDER BY doc_id""".stripMargin
+
   // ---- C4-style line-level cleaning ----
 
   /** Tokens per synthesized line; C4's minimum word count per kept line. */

@@ -547,6 +547,15 @@ object PipelineQueries {
       SampleOps.leakageSafeSplit(labeled).orderBy(col("doc_id"))
     }),
 
+    // ---- vocabulary encoding: the tokenize-to-ids step before p30's
+    //      packing — frequency vocab (Zipf-bounded groupBy + vocab-sized
+    //      rank window) broadcast onto the exploded corpus, UNK=0, OOV
+    //      rate + in-order id fingerprint per doc ----
+    "p46_vocab_encode" -> ((s, dir) => {
+      TextOps.vocabEncode(Tables.loadSpread(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus card: the per-language dataset-summary report every
     //      corpus release ships — doc/token volume, median length and
     //      quality, exact-dup rate — grouped by PREDICTED language (the
@@ -732,6 +741,7 @@ object PipelineQueries {
     "p43_text_hygiene" -> TextOps.textHygieneSql(),
     "p44_importance_resampling" -> SampleOps.dsirSql(),
     "p45_leakage_split" -> SampleOps.leakageSafeSplitSql(NearDupTau),
+    "p46_vocab_encode" -> TextOps.vocabEncodeSql(),
     "p37_prepare_corpus" -> CorpusPipeline.prepareSql(NearDupTau),
     "p38_chunk_retrieval" -> SimilarityOps.chunkRetrievalSql(RetrievalK, RetrievalQDocs),
     "p39_corpus_card" ->

@@ -241,6 +241,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L).isEmpty, "null in -> null out")
   }
 
+  test("vocabEncode: frequency-ranked ids, UNK=0, order-sensitive fingerprint") {
+    import spark.implicits._
+    // corpus frequencies: aa x4, bb x3, cc x2, dd x1 -> ids 1..4 with
+    // vocabSize 3 cutting dd to UNK
+    val docs = Seq(
+      (0L, "aa bb aa cc"),
+      (1L, "bb aa cc bb"),
+      (2L, "aa dd"),
+      (3L, "dd aa")).toDF("doc_id", "text")
+    val r = TextOps.vocabEncode(docs, vocabSize = 3).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(4)))).toMap
+    assert(r(0L)._1 == 4 && r(0L)._2 == 0, r(0L))
+    assert(r(2L)._2 == 1 && r(3L)._2 == 1, "dd is out-of-vocab")
+    def fp(ids: Seq[Int]) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(ids.mkString(" ").getBytes("UTF-8"))
+      md.map("%02x".format(_)).mkString
+    }
+    // aa=1 bb=2 cc=3, dd -> 0; doc 0 "aa bb aa cc" -> 1 2 1 3
+    assert(r(0L)._3 == fp(Seq(1, 2, 1, 3)), "id sequence in token order")
+    // docs 2 and 3 share a token SET but not order -> different fps
+    assert(r(2L)._3 == fp(Seq(1, 0)) && r(3L)._3 == fp(Seq(0, 1)))
+    assert(r(2L)._3 != r(3L)._3)
+  }
+
   test("textHygiene counts blemishes, strips controls, and unifies spellings") {
     import spark.implicits._
     // doc 0: decomposed tail + BEL + FFFD; doc 1: precomposed tail only.
