@@ -50,13 +50,8 @@ object CorpusPipeline {
       .join(rare, Seq("doc_id"), "left")
       .filter(col("__kr") && coalesce(col("__kq"), lit(true)))
       .select("doc_id", "text")
-    val cc = DedupOps.connectedComponents(
-      DedupOps.ngramJaccardPairs(gated, tau))
-    val labeled = gated
-      .join(cc, gated("doc_id") === cc("node"), "left")
-      .select(gated("doc_id"), col("text"),
-        coalesce(col("rep"), gated("doc_id")).as("cluster_id"),
-        TextOps.qualityScore(col("text")).as("quality"))
+    val labeled = DedupOps.clusterLabels(gated, tau,
+      Seq(col("text"), TextOps.qualityScore(col("text")).as("quality")))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("quality").desc, col("doc_id"))
     val keepers = labeled

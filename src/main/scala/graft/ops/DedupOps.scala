@@ -451,6 +451,20 @@ object DedupOps {
       .groupBy("node").agg(min(col("rep")).as("rep"))
   }
 
+  /** Label every document with its near-dup cluster representative —
+    * the one labeling contract shared by p20/p36/p45 and the composed
+    * pipeline: cluster the `ngramJaccardPairs(tau)` graph, left-join,
+    * and coalesce so singletons keep themselves. `keep` columns ride
+    * the same join (resolved against `docs`), costing zero extra
+    * shuffles. */
+  def clusterLabels(docs: DataFrame, tau: Double,
+                    keep: Seq[Column] = Nil): DataFrame = {
+    val cc = connectedComponents(ngramJaccardPairs(docs, tau))
+    docs.join(cc, docs("doc_id") === cc("node"), "left")
+      .select(docs("doc_id") +:
+        coalesce(col("rep"), docs("doc_id")).as("cluster_id") +: keep: _*)
+  }
+
   /** DuckDB oracle for cluster resolution over ngramJaccardPairs(tau):
     * transitive closure via recursive CTE, then min-reachable label;
     * docs in no pair become their own cluster. */

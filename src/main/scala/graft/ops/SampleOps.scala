@@ -190,30 +190,37 @@ object SampleOps {
     * division, rounded 6dp) and `keep` gates on the INTEGER logw ≥ 0,
     * so no FP boundary can flip a decision between engines.
     *
-    * Scale shape: the two models collapse into ONE bucket-keyed groupBy
-    * (count + filtered count) over a fixed 512-key domain; the model
-    * BROADCASTS back onto the gram instances (the corpus never shuffles
-    * for its score — the instance⋈model join is map-side), and the only
-    * corpus-sized shuffle is the per-doc rollup. Totals ride a 1-row
+    * Scale shape: gram instances pre-aggregate to per-(doc, bucket)
+    * counts FIRST, and that pre-aggregate is MATERIALIZED once
+    * (localCheckpoint — the connectedComponents pattern): the model,
+    * the totals, and the scoring join are three consumers whose
+    * column-pruned subtrees Catalyst cannot unify (measured: three full
+    * scan+tokenize+md5 evaluations without it), while the checkpoint
+    * is bounded at docs × min(grams, buckets) rows of four longs. The
+    * 512-key model then BROADCASTS back for map-side scoring (the
+    * corpus never shuffles for its score) and totals ride a 1-row
     * broadcast. A pre-trained target model table drops in by replacing
-    * the filtered count. */
+    * the filtered sum. */
   def dsirScores(docs: DataFrame, isTarget: Column): DataFrame = {
     val w = col("__w")
-    val inst = docs
+    val cnt = docs
       .select(col("doc_id"), isTarget.as("__tgt"),
         TextOps.tokens(col("text")).as("__w"))
       .select(col("doc_id"), col("__tgt"),
         explode(concat(w, graft.functions.TextExprs.ngrams(w, 2))).as("__g"))
       .select(col("doc_id"), col("__tgt"), dsirBucket(col("__g")).as("b"))
-    val model = inst.groupBy("b").agg(
-      count(lit(1)).as("__raw"),
-      count(when(col("__tgt"), 1)).as("__tgtc"))
+      .groupBy("doc_id", "b", "__tgt")
+      .agg(count(lit(1)).as("__k"))
+      .localCheckpoint(true)
+    val model = cnt.groupBy("b").agg(
+      sum(col("__k")).as("__raw"),
+      sum(when(col("__tgt"), col("__k")).otherwise(0L)).as("__tgtc"))
     val tot = model.agg(sum(col("__raw")).as("__bigR"),
       sum(col("__tgtc")).as("__bigT"))
-    inst.join(broadcast(model), "b")
+    cnt.join(broadcast(model), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(llog2(col("__tgtc")) - llog2(col("__raw"))).as("__mw"))
+      .agg(sum(col("__k")).as("n_grams"),
+        sum(col("__k") * (llog2(col("__tgtc")) - llog2(col("__raw")))).as("__mw"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("n_grams"),
         (col("__mw") + col("n_grams") *

@@ -468,22 +468,31 @@ object TextOps {
     * (the equality handle for the encoded corpus — the ids themselves
     * are one `collect_list` away when a sink wants them).
     *
-    * Scale shape: the vocabulary is a Zipf-bounded token groupBy (map-
-    * side combined) ranked by one window over the VOCABULARY (not the
-    * corpus); the vocab then BROADCASTS onto the exploded tokens (map-
-    * side left join — the corpus never shuffles to look up ids), and
-    * the per-doc reassembly is the only corpus-keyed exchange. A fixed
-    * external vocabulary table drops in by replacing the groupBy. */
+    * Scale shape: the vocabulary pass is a token groupBy (map-side
+    * combined onto the Zipf-bounded distinct-token domain) topped by a
+    * DISTRIBUTED top-V — `orderBy.limit` compiles to
+    * TakeOrderedAndProject (per-partition heaps of V, merged), so no
+    * single task ever sorts the full token domain (which grows with the
+    * corpus per Heaps' law) — and only the ≤V survivors pass through a
+    * rank window. The vocab then BROADCASTS onto the exploded tokens
+    * (map-side left join — the corpus never shuffles to look up ids),
+    * and the per-doc reassembly is the only corpus-keyed exchange.
+    * The vocab pass deliberately RESCANS the corpus (explode without
+    * positions) rather than sharing the encode pass's subtree: sharing
+    * would require a corpus-wide (doc, token) pre-aggregate exchange,
+    * and a map-only second scan beats shipping every token over the
+    * network — with a fixed external vocabulary (the production path)
+    * the pass disappears entirely. */
   def vocabEncode(docs: DataFrame, vocabSize: Int = VocabSize): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-    // vocabulary-sized global window (Zipf-bounded domain, same shape
-    // as lengthCurriculum's histogram window) — never corpus-sized
-    val vocab = tok.groupBy("t").agg(count(lit(1)).as("__c"))
+    val vocab = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("t")).limit(vocabSize)
+      // V-bounded rank (the window sees <= vocabSize rows)
       .withColumn("id",
         row_number().over(Window.orderBy(col("__c").desc, col("t"))))
-      .filter(col("id") <= vocabSize)
       .select(col("t"), col("id"))
     tok.join(broadcast(vocab), Seq("t"), "left")
       .select(col("doc_id"), col("pos"),

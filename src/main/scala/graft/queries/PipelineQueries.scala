@@ -234,13 +234,7 @@ object PipelineQueries {
     //      Oracle: recursive-CTE transitive closure ----
     "p20_dedup_cluster" -> ((s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
-      val rep = DedupOps.connectedComponents(
-        DedupOps.ngramJaccardPairs(docs, NearDupTau))
-      docs.select(col("doc_id"))
-        .join(rep, col("doc_id") === col("node"), "left")
-        .select(col("doc_id"),
-          coalesce(col("rep"), col("doc_id")).as("cluster_id"))
-        .orderBy(col("doc_id"))
+      DedupOps.clusterLabels(docs, NearDupTau).orderBy(col("doc_id"))
     }),
 
     // ---- salient-term extraction: top-3 terms per doc by the exact-
@@ -438,13 +432,8 @@ object PipelineQueries {
       // measured 4.3 s vs 4.0 s plain (the spread exchange repeats per
       // consumer), unlike the single-consumer p02/p20 path
       val docs = Tables.load(s, dir, "documents")
-      val cc = DedupOps.connectedComponents(
-        DedupOps.ngramJaccardPairs(docs, NearDupTau))
-      val labeled = docs
-        .join(cc, docs("doc_id") === cc("node"), "left")
-        .select(docs("doc_id"),
-          coalesce(col("rep"), docs("doc_id")).as("cluster_id"),
-          TextOps.qualityScore(col("text")).as("quality"))
+      val labeled = DedupOps.clusterLabels(docs, NearDupTau,
+        Seq(TextOps.qualityScore(col("text")).as("quality")))
       val w = Window.partitionBy("cluster_id")
         .orderBy(col("quality").desc, col("doc_id"))
       labeled
@@ -525,8 +514,9 @@ object PipelineQueries {
     // ---- DSIR importance resampling (Xie et al. 2023): hashed
     //      uni+bigram models of target (lang=en) vs raw corpus, per-doc
     //      log importance weight with quantized-integer log2, keep gate
-    //      on the integer weight. Model = ONE 512-key groupBy broadcast
-    //      back onto instances; the corpus shuffles once (doc rollup) ----
+    //      on the integer weight. Instances pre-aggregate to (doc,
+    //      bucket) counts whose exchange both consumers reuse; the
+    //      512-key model broadcasts back for map-side scoring ----
     "p44_importance_resampling" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       SampleOps.dsirScores(docs, col("lang") === SampleOps.DsirTargetLang)
@@ -538,19 +528,14 @@ object PipelineQueries {
     //      train. p20's clustering + one map-only gate on top ----
     "p45_leakage_split" -> ((s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
-      val rep = DedupOps.connectedComponents(
-        DedupOps.ngramJaccardPairs(docs, NearDupTau))
-      val labeled = docs.select(col("doc_id"))
-        .join(rep, col("doc_id") === col("node"), "left")
-        .select(col("doc_id"),
-          coalesce(col("rep"), col("doc_id")).as("cluster_id"))
-      SampleOps.leakageSafeSplit(labeled).orderBy(col("doc_id"))
+      SampleOps.leakageSafeSplit(DedupOps.clusterLabels(docs, NearDupTau))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- vocabulary encoding: the tokenize-to-ids step before p30's
-    //      packing — frequency vocab (Zipf-bounded groupBy + vocab-sized
-    //      rank window) broadcast onto the exploded corpus, UNK=0, OOV
-    //      rate + in-order id fingerprint per doc ----
+    //      packing — frequency vocab (Zipf-bounded groupBy + distributed
+    //      top-V + V-bounded rank) broadcast onto the exploded corpus,
+    //      UNK=0, OOV rate + in-order id fingerprint per doc ----
     "p46_vocab_encode" -> ((s, dir) => {
       TextOps.vocabEncode(Tables.loadSpread(s, dir, "documents"))
         .orderBy(col("doc_id"))
