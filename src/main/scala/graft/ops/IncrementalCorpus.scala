@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus processing: screen a batch of NEW documents
+  * against the accumulated corpus state — exact fingerprints plus the
+  * MinHash band index — so only genuinely new content flows into the
+  * (expensive) pipeline. A 100 TB corpus is never reprocessed from
+  * scratch; each ingest round costs the new batch, not the corpus:
+  * the same reason every production lakehouse pipeline (Delta/Hudi
+  * incremental consumers) is built incremental-first.
+  *
+  * The near-dup probe is the batch face of the streaming lookup
+  * ([[graft.streaming.StreamOps.nearDupStream]]): arrival signatures
+  * are map-only column expressions, candidates come from an equi-join
+  * of the arrival's 16 band hashes against the static band index, and
+  * the exact verify (`array_intersect` Jaccard ≥ tau) touches only
+  * band-colliding candidates. No state operator is needed in batch —
+  * a `distinct` collapses multi-band collisions.
+  *
+  * Scale shape: the batch side is small relative to the corpus (that
+  * is the point of incremental); the band index is a parquet table
+  * keyed by (band, bh), so the candidate join is one hash join whose
+  * corpus side never re-shuffles if the index is bucketed/partitioned
+  * by band; the shingle verify join carries candidates only.
+  */
+object IncrementalCorpus {
+
+  /** Drop every new doc that duplicates the seen corpus: exact (md5 in
+    * `fps(fp)`) then near (band collision against `bandIndex(corpus_id,
+    * band, bh)` verified ≥ tau against `shingles(corpus_id, sh)`).
+    * Docs too short to shingle pass the near screen vacuously (they
+    * cannot band-collide), exactly like the streaming face. */
+  def screen(newDocs: DataFrame, fps: DataFrame, bandIndex: DataFrame,
+             shingles: DataFrame, tau: Double, n: Int = 3): DataFrame = {
+    val exactNew = newDocs
+      .withColumn("__fp", md5(col("text")))
+      .join(fps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+    // the ONE shingle definition (DedupOps.shingleSets) builds the
+    // arrival side — screening must never drift from the index it
+    // probes. Shingle-hash array materialized once in its own
+    // projection (the nearDupStream discipline).
+    val sh = DedupOps.shingleSets(exactNew, n)
+      .withColumnRenamed("sh", "__sh")
+      .withColumn("__hs", transform(col("__sh"), s => xxhash64(s)))
+      .withColumn("__sig", DedupOps.rowSignature(col("__hs")))
+    val cands = sh
+      .select(col("doc_id"), col("__sh"),
+        posexplode(DedupOps.bandHashes(col("__sig"))).as(Seq("__band", "__bh")))
+      .join(bandIndex,
+        col("__band") === bandIndex("band") && col("__bh") === bandIndex("bh"))
+      .select(col("doc_id"), col("corpus_id"), col("__sh"))
+      .distinct()
+    val dupIds = cands.join(shingles, "corpus_id")
+      .withColumn("__inter", size(array_intersect(col("__sh"), col("sh"))))
+      .filter(col("__inter").cast("double") /
+        (size(col("__sh")) + size(col("sh")) - col("__inter")) >= tau)
+      .select("doc_id").distinct()
+    exactNew.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Distinct content fingerprints of a batch — the exact-dedup face of
+    * the state. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("fp")).distinct()
+}

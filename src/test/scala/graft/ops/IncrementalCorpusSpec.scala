@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.IncrementalPrepare
+import org.apache.spark.sql.functions._
+
+class IncrementalCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus families à la CorpusPipelineSpec: each trigram appears in
+  // >= 3 docs so the rare-n-gram gate passes; exact dups collapse in
+  // the pipeline itself
+  private val f1 = "the quick brown fox jumps over the lazy dog again"
+  private val f3 = "every good boy does fine with proper mailbox data here"
+  private val f4 = "seven silver ships sail slowly beyond calm harbor walls tonight"
+
+  test("screen drops exact and near dups of the seen corpus, keeps new docs") {
+    val corpus = (Seq(1L, 2L, 3L).map(_ -> f1)).toDF("doc_id", "text")
+    val fps = IncrementalCorpus.fingerprints(corpus)
+    val bands = DedupOps.corpusBandIndex(corpus)
+    val shingles = DedupOps.corpusShingleSets(corpus)
+    val batch = Seq(
+      50L -> f1,                      // exact dup
+      51L -> s"$f1 of to in is was",  // near dup (J > 0.5 vs f1)
+      60L -> f4,                      // new
+      70L -> "tiny"                   // too short to shingle: passes
+    ).toDF("doc_id", "text")
+    val kept = IncrementalCorpus.screen(batch, fps, bands, shingles, tau = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(60L, 70L), kept)
+  }
+
+  test("rounds accumulate: only new content is pipelined; re-run of a crashed round is idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("inc").toString
+    val in = s"$root/docs"
+    val state = s"$root/state"
+
+    // round 0: families f1 and f3
+    (Seq(1L, 2L, 3L).map(_ -> f1) ++ Seq(20L, 21L, 22L).map(_ -> f3))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    val (r0, a0) = IncrementalPrepare.run(spark, in, state)
+    assert(r0 == 0 && a0 == 6L)
+    val chunks0 = spark.read.parquet(s"$state/chunks")
+      .select("doc_id").as[Long].collect().toSet
+    assert(chunks0 == Set(1L, 20L), chunks0) // one keeper per family
+
+    // round 1: a new file with an exact dup of f1, a near dup of f3,
+    // and a genuinely new family f4
+    (Seq(50L -> f1, 51L -> s"$f3 of to in is was") ++
+      Seq(60L, 61L, 62L).map(_ -> f4))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    val (r1, a1) = IncrementalPrepare.run(spark, in, state)
+    assert(r1 == 1 && a1 == 3L, s"only the f4 docs pass screening ($a1)")
+    val chunks1 = spark.read.parquet(s"$state/chunks")
+      .select("doc_id").as[Long].collect().toSet
+    assert(chunks1 == Set(1L, 20L, 60L), chunks1)
+
+    // nothing new: a no-op round that does not advance state
+    val (r2, a2) = IncrementalPrepare.run(spark, in, state)
+    assert(r2 == 2 && a2 == 0L)
+    assert(spark.read.parquet(s"$state/processed")
+      .agg(max(col("round"))).head().getInt(0) == 1)
+
+    // crash simulation: delete round 1's commit marker; its orphaned
+    // fps/band state must not screen out its own re-run
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    rm(java.nio.file.Paths.get(s"$state/processed/round=1"))
+    val (r3, a3) = IncrementalPrepare.run(spark, in, state)
+    assert(r3 == 1 && a3 == 3L, "replayed round reaches the same verdicts")
+    val replayed = spark.read.parquet(s"$state/chunks")
+      .select("doc_id").as[Long].collect().toSet
+    assert(replayed == Set(1L, 20L, 60L), replayed)
+    // state carries exactly one copy of round 1 (overwritten, not
+    // doubled): the screened batch is three copies of f4 -> 1 distinct fp
+    assert(spark.read.parquet(s"$state/fps").filter(col("round") === 1)
+      .count() == 1L)
+  }
+}
