@@ -51,7 +51,10 @@ object IncrementalPrepare {
     def committed(path: String): Option[DataFrame] =
       readIf(spark, path).map(_.filter(col("round") < roundId))
 
-    val all = spark.read.parquet(in)
+    // pathGlobFilter: a lakehouse table dir carries metadata.json
+    // manifests beside its parquet (verified: a plain read attempts
+    // them as parquet and fails); harmless on a plain parquet dir
+    val all = spark.read.option("pathGlobFilter", "*.parquet").parquet(in)
       .select(col("*"), col("_metadata.file_path").as("__file"))
     val newRows = processed match {
       case Some(p) => all.join(

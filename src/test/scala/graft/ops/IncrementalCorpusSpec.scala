@@ -30,6 +30,22 @@ class IncrementalCorpusSpec extends SparkSpec {
     assert(kept == Set(60L, 70L), kept)
   }
 
+  test("runs unchanged on a lakehouse table dir (metadata.json beside the parquet)") {
+    val root = java.nio.file.Files.createTempDirectory("inclh").toString
+    val part = s"$root/table/date=2024-01-01/hour=01"
+    Seq(1L, 2L, 3L).map(_ -> f1).toDF("doc_id", "text")
+      .write.mode("append").parquet(part)
+    // the manifest the lakehouse writer leaves in every partition dir —
+    // a naive parquet read attempts it as parquet and fails the round
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$part/metadata.json"),
+      """{"type":"index","files":[]}""".getBytes("UTF-8"))
+    val (r0, a0) = IncrementalPrepare.run(spark, s"$root/table", s"$root/state")
+    assert(r0 == 0 && a0 == 3L)
+    assert(spark.read.parquet(s"$root/state/chunks")
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("rounds accumulate: only new content is pipelined; re-run of a crashed round is idempotent") {
     val root = java.nio.file.Files.createTempDirectory("inc").toString
     val in = s"$root/docs"
