@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, CorpusPipeline, DedupOps, MediaGen, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps, TimeSeriesOps}
+import graft.ops.{AsOfJoin, CorpusPipeline, DedupOps, MediaGen, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps, TimeSeriesOps}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -541,6 +541,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- model-based quality filter: train a hashed-n-gram Naive
+    //      Bayes on the heuristic gate's weak labels, score every doc
+    //      with quantized-integer log-likelihoods (the CCNet/GPT-3
+    //      classifier-filter step, distilled from p09's heuristic;
+    //      a curated seed corpus drops into the label slot). Model is
+    //      256 buckets → broadcasts; corpus never shuffles to score ----
+    "p47_quality_classifier" -> ((s, dir) => {
+      ModelOps.nbQualityScores(Tables.loadSpread(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus card: the per-language dataset-summary report every
     //      corpus release ships — doc/token volume, median length and
     //      quality, exact-dup rate — grouped by PREDICTED language (the
@@ -727,6 +738,7 @@ object PipelineQueries {
     "p44_importance_resampling" -> SampleOps.dsirSql(),
     "p45_leakage_split" -> SampleOps.leakageSafeSplitSql(NearDupTau),
     "p46_vocab_encode" -> TextOps.vocabEncodeSql(),
+    "p47_quality_classifier" -> ModelOps.nbQualitySql(),
     "p37_prepare_corpus" -> CorpusPipeline.prepareSql(NearDupTau),
     "p38_chunk_retrieval" -> SimilarityOps.chunkRetrievalSql(RetrievalK, RetrievalQDocs),
     "p39_corpus_card" ->
