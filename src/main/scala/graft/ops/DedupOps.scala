@@ -650,4 +650,59 @@ object DedupOps {
        |FROM inst JOIN c USING (h)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // ---- Global line-level dedup (CCNet §3.1: drop every duplicated
+  //      paragraph/line across the WHOLE corpus, keeping the first
+  //      occurrence) — the pass that kills boilerplate (nav bars, cookie
+  //      banners, license headers) that document-level dedup (p01) and
+  //      near-dup (p03) structurally cannot see, because the documents
+  //      CARRYING the repeated line differ. ----
+
+  /** Per-doc line-dedup report: `(doc_id, n_lines, n_kept, dedup_fp)`
+    * where an occurrence survives iff it is the corpus-global FIRST
+    * occurrence of that exact line (order = (doc_id, idx)), and
+    * dedup_fp fingerprints the surviving text re-joined in line order.
+    *
+    * Plan: explode lines → ONE window over the line's md5 (`row_number
+    * = 1` flags firsts; grouping by md5 is the p01 exact-dedup
+    * contract, and fixed 32-char keys sort cheaper than arbitrary-
+    * length lines) → per-doc rollup. Two shuffles total, both linear in
+    * corpus bytes: the line-key exchange and the doc reassembly. At
+    * 100 TB the line-key domain is corpus-sized but each group is tiny
+    * (dup count), so no hot key; the doc rollup's state is the doc's
+    * own surviving lines — bounded by document length. */
+  def lineDedup(lined: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = lined.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val w = Window.partitionBy(md5(col("line"))).orderBy(col("doc_id"), col("idx"))
+    lines.withColumn("__keep", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__keep"), 1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("idx"), col("line"))))),
+          s => s("line")), "\n")).as("dedup_fp"))
+  }
+
+  /** DuckDB oracle for lineDedup over withSyntheticLines: same md5
+    * grouping, same (doc_id, idx) first-occurrence rule, same re-join.
+    * DuckDB's ordered-aggregate `list(ln ORDER BY idx)` replays the
+    * sort_array(struct) reassembly. */
+  def lineDedupSql(table: String = "documents"): String =
+    s"""WITH lined AS (${TextOps.syntheticLinesSql(table)}),
+       |e AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(l)+1),
+       |    i -> {'idx': i, 'ln': l[i]}), recursive := true)
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined)),
+       |f AS (
+       |  SELECT doc_id, idx, ln,
+       |    row_number() OVER (PARTITION BY md5(ln) ORDER BY doc_id, idx) = 1 AS keep
+       |  FROM e)
+       |SELECT doc_id, count(*) AS n_lines, count(*) FILTER (keep) AS n_kept,
+       |  md5(coalesce(array_to_string(list(ln ORDER BY idx) FILTER (keep),
+       |    chr(10)), '')) AS dedup_fp
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

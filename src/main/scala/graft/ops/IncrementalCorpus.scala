@@ -65,4 +65,89 @@ object IncrementalCorpus {
     * the state. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(md5(col("text")).as("fp")).distinct()
+
+  /** [[screen]] with the audit trail kept: every new doc gets a fate —
+    * `exact` (content fingerprint already in the corpus), `near` (a
+    * band-colliding corpus doc verifies Jaccard ≥ tau), or `kept`. The
+    * screening order matches [[screen]]: a doc that is both an exact
+    * and a near dup reports `exact` (the near probe only ever sees
+    * exact survivors). The fate ledger is what a production dedup run
+    * publishes next to the surviving batch — drop rates per dump are a
+    * headline corpus-quality metric (every CC-dump pipeline reports
+    * them), and disputes about a dropped doc need the reason.
+    *
+    * Same plan as [[screen]] plus one broadcast-sized join: the fates
+    * of drops are dimension-small relative to the batch. */
+  def screenReport(newDocs: DataFrame, fps: DataFrame, bandIndex: DataFrame,
+                   shingles: DataFrame, tau: Double, n: Int = 3): DataFrame = {
+    val withFp = newDocs.withColumn("__fp", md5(col("text")))
+    val exactIds = withFp
+      .join(fps.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")
+      .select(col("doc_id"), lit("exact").as("fate"))
+    val exactNew = withFp
+      .join(fps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+    val sh = DedupOps.shingleSets(exactNew, n)
+      .withColumnRenamed("sh", "__sh")
+      .withColumn("__hs", transform(col("__sh"), s => xxhash64(s)))
+      .withColumn("__sig", DedupOps.rowSignature(col("__hs")))
+    val cands = sh
+      .select(col("doc_id"), col("__sh"),
+        posexplode(DedupOps.bandHashes(col("__sig"))).as(Seq("__band", "__bh")))
+      .join(bandIndex,
+        col("__band") === bandIndex("band") && col("__bh") === bandIndex("bh"))
+      .select(col("doc_id"), col("corpus_id"), col("__sh"))
+      .distinct()
+    val nearIds = cands.join(shingles, "corpus_id")
+      .withColumn("__inter", size(array_intersect(col("__sh"), col("sh"))))
+      .filter(col("__inter").cast("double") /
+        (size(col("__sh")) + size(col("sh")) - col("__inter")) >= tau)
+      .select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit("near").as("fate"))
+    val dropped = exactIds.unionByName(nearIds)
+    newDocs.select("doc_id")
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("fate"), lit("kept")).as("fate"))
+  }
+
+  /** DuckDB oracle for [[screenReport]] over a hash-gated seen/new
+    * split of `table`: seen = bucket < seenBuckets, new = rest. Exact =
+    * md5(text) appears among seen; near = ANY seen doc with classical
+    * 3-shingle Jaccard ≥ tau (band recall is 1 at this tau/band config
+    * — the p03-verified property the LSH probe inherits). */
+  def screenReportSql(tau: Double, seenBuckets: Long,
+                      table: String = "documents"): String =
+    s"""WITH seen AS (
+       |  SELECT * FROM $table
+       |  WHERE ${SampleOps.bucketSql("doc_id")} < $seenBuckets),
+       |newb AS (
+       |  SELECT * FROM $table
+       |  WHERE ${SampleOps.bucketSql("doc_id")} >= $seenBuckets),
+       |exact AS (
+       |  SELECT n.doc_id FROM newb n
+       |  WHERE md5(n.text) IN (SELECT md5(text) FROM seen)),
+       |survivors AS (SELECT * FROM newb WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+       |ssh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 1, 1)), i -> w[i]||' '||w[i+1]||' '||w[i+2])) sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w
+       |        FROM survivors)
+       |  WHERE len(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 1, 1)), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) > 0),
+       |csh AS (
+       |  SELECT doc_id corpus_id, list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 1, 1)), i -> w[i]||' '||w[i+1]||' '||w[i+2])) sh
+       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w
+       |        FROM seen)
+       |  WHERE len(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 1, 1)), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) > 0),
+       |near AS (
+       |  SELECT DISTINCT s.doc_id
+       |  FROM ssh s JOIN csh c ON len(list_intersect(s.sh, c.sh)) * 1.0 /
+       |    (len(s.sh) + len(c.sh) - len(list_intersect(s.sh, c.sh))) >= $tau)
+       |SELECT n.doc_id,
+       |  CASE WHEN n.doc_id IN (SELECT doc_id FROM exact) THEN 'exact'
+       |       WHEN n.doc_id IN (SELECT doc_id FROM near) THEN 'near'
+       |       ELSE 'kept' END AS fate
+       |FROM newb n ORDER BY n.doc_id""".stripMargin
 }

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-order generation: the seeded global shuffle + shard
+  * assignment every pre-training pipeline runs between corpus prep and
+  * the dataloader. Changing the seed reshuffles; re-running with the
+  * same seed reproduces the exact order — the order is a pure function
+  * of (seed, key), never of partitioning or execution (unlike
+  * `df.orderBy(rand(seed))`, whose per-partition RNG changes with the
+  * split layout).
+  *
+  * Scale shape: there is NO global sort. `shard` comes from the order
+  * hash itself (map-only), `seq` is a row_number inside each shard —
+  * one hash shuffle on the shard key + an in-partition sort, the same
+  * plan at 600 k docs or 100 TB (shard count grows with the corpus;
+  * each dataloader rank reads its shard sequentially). The interleaved
+  * `step` (= seq·S + shard) gives a global round-robin order across
+  * shards without ever materializing it: rank r at step t reads its
+  * own shard's seq t — the standard distributed-sampler contract.
+  *
+  * Oracle: md5 is the one hash Spark and DuckDB compute bit-identically
+  * (the [[SampleOps]] trick), and row_number ties are broken by the
+  * key, so the full (shard, seq, step) manifest hash-checks.
+  */
+object ShardOps {
+  /** Default shard count for the p48 query (dataloader world size). */
+  val Shards = 8
+
+  /** Seed for the p48 query — a different string is a different epoch
+    * order, which is exactly how epoch reshuffling should work. */
+  val Seed = "epoch-0"
+
+  /** Seeded order hash: md5 over seed|key. Shard and order both derive
+    * from it, so one map pass decides everything. */
+  private def ordHash(key: Column, seed: String): Column =
+    md5(concat(lit(seed), lit("|"), key.cast("string")))
+
+  /** Shuffle manifest: key → (shard, seq, step).
+    *  - shard: top-60-bits-of-md5 bucket mod `shards` (uniform, stable)
+    *  - seq:   this key's position within its shard's seeded order
+    *  - step:  global interleaved training step when ranks round-robin
+    *           (exact permutation when shards are balanced; hash
+    *           sharding keeps them balanced to O(√n) at any scale) */
+  def shuffleManifest(df: DataFrame, key: Column, seed: String = Seed,
+                      shards: Int = Shards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = ordHash(key, seed)
+    val shard = (conv(substring(ord, 1, 15), 16, 10).cast("long") % shards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord"), col("__key"))
+    df.select(key.as("__key"), ord.as("__ord"), shard.as("shard"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col("__key").as("doc_id"), col("shard"), col("seq"),
+        ((col("seq") - 1) * shards + col("shard")).as("step"))
+  }
+
+  /** DuckDB oracle: same md5 order hash, same bucket math, same
+    * row_number tie-break. */
+  def shuffleManifestSql(seed: String = Seed, shards: Int = Shards,
+                         table: String = "documents",
+                         keyExpr: String = "doc_id"): String =
+    s"""WITH t AS (
+       |  SELECT $keyExpr AS doc_id,
+       |    md5('$seed'||'|'||CAST($keyExpr AS VARCHAR)) AS ord
+       |  FROM $table),
+       |s AS (
+       |  SELECT doc_id, ord,
+       |    CAST((('0x'||substr(ord,1,15))::UBIGINT)::BIGINT % $shards AS INT) AS shard
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, shard,
+       |    row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS seq
+       |  FROM s)
+       |SELECT doc_id, shard, seq, (seq - 1) * $shards + shard AS step
+       |FROM r ORDER BY shard, seq""".stripMargin
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, CorpusPipeline, DedupOps, MediaGen, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, SimilarityOps, TextOps, TimeSeriesOps}
+import graft.ops.{AsOfJoin, CorpusPipeline, DedupOps, IncrementalCorpus, MediaGen, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, ShardOps, SimilarityOps, TextOps, TimeSeriesOps}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -579,6 +579,44 @@ object PipelineQueries {
           countDistinct(col("__h")).as("n_uniq"))
         .orderBy(col("lang_pred"))
     }),
+
+    // ---- training-order generation: the seeded global shuffle + shard
+    //      manifest between corpus prep and the dataloader. No global
+    //      sort — shard from the order hash (map-only), seq per shard
+    //      (one hash shuffle + in-partition sort), interleaved step
+    //      computed map-side. Changing the seed is epoch reshuffling ----
+    "p48_corpus_shuffle" -> ((s, dir) => {
+      ShardOps.shuffleManifest(Tables.load(s, dir, "documents"), col("doc_id"))
+        .orderBy(col("shard"), col("seq"))
+    }),
+
+    // ---- cross-corpus screening with a fate ledger: dedupe the new
+    //      dump against the accumulated corpus (exact fp anti-join +
+    //      band-index probe with candidate-only verify — the
+    //      IncrementalCorpus plan) and keep WHY each doc dropped. The
+    //      seen/new split is a deterministic hash gate so the oracle
+    //      replays it ----
+    "p49_cross_screen" -> ((s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val bucket = SampleOps.hashBucket(col("doc_id"))
+      val seen = docs.filter(bucket < CrossSeenBuckets)
+      val newb = docs.filter(bucket >= CrossSeenBuckets)
+      IncrementalCorpus.screenReport(newb,
+        IncrementalCorpus.fingerprints(seen),
+        DedupOps.corpusBandIndex(seen),
+        DedupOps.corpusShingleSets(seen), NearDupTau)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- global line-level dedup (CCNet): drop every duplicated LINE
+    //      across the corpus, first occurrence wins — the boilerplate
+    //      killer document-level dedup can't see. Line structure is
+    //      planted (withSyntheticLines, the p41 trick) ----
+    "p50_line_dedup" -> ((s, dir) => {
+      DedupOps.lineDedup(TextOps.withSyntheticLines(
+        Tables.loadSorted(s, dir, "documents", col("doc_id"))))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
@@ -637,6 +675,10 @@ object PipelineQueries {
     * actually occur). */
   val PackShards = 8
   val PackBudget = 128
+
+  /** p49's seen/new split: 80% of docs (by hash bucket) are the
+    * accumulated corpus, the rest are the incoming dump. */
+  val CrossSeenBuckets = 800L
 
   /** p13's trained quantizer, captured when the query runs so the oracle
     * SQL can replay the SAME centroids (Verify runs all queries, then
@@ -741,6 +783,9 @@ object PipelineQueries {
     "p47_quality_classifier" -> ModelOps.nbQualitySql(),
     "p37_prepare_corpus" -> CorpusPipeline.prepareSql(NearDupTau),
     "p38_chunk_retrieval" -> SimilarityOps.chunkRetrievalSql(RetrievalK, RetrievalQDocs),
+    "p48_corpus_shuffle" -> ShardOps.shuffleManifestSql(),
+    "p49_cross_screen" -> IncrementalCorpus.screenReportSql(NearDupTau, CrossSeenBuckets),
+    "p50_line_dedup" -> DedupOps.lineDedupSql(),
     "p39_corpus_card" ->
       s"""WITH base AS (
          |  SELECT ${TextOps.langIdSql("text")} AS lang_pred,

@@ -253,4 +253,49 @@ class DedupOpsSpec extends SparkSpec {
       assert(members.exists(_.getAs[Long]("vec_id") == rep), s"rep $rep not a member")
     }
   }
+
+  test("lineDedup: global first occurrence wins, later copies drop, empty doc -> md5('')") {
+    val docs = Seq(
+      1L -> "alpha one.\nbeta two.",
+      2L -> "beta two.\ngamma three.", // 'beta two.' already seen in doc 1
+      3L -> "alpha one."               // fully duplicated: loses its only line
+    ).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("dedup_fp")))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 2)
+    assert(out(2L) == ((2L, 1L,
+      md5Hex("gamma three."))), out(2L))
+    assert(out(3L) == ((1L, 0L, md5Hex(""))), out(3L))
+  }
+
+  test("lineDedup: surviving lines re-join in original intra-doc order") {
+    val docs = Seq(
+      1L -> "zz last.\naa first.", // survivors must keep doc order, not sorted-text order
+      2L -> "zz last.\nmm middle.\naa first."
+    ).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("dedup_fp")).toMap
+    assert(out(1L) == md5Hex("zz last.\naa first."), "doc order, not lexicographic")
+    assert(out(2L) == md5Hex("mm middle."))
+  }
+
+  test("lineDedup is partitioning-invariant") {
+    val docs = (0L until 200L).map(i =>
+      i -> s"shared boilerplate line.\nunique line number $i.").toDF("doc_id", "text")
+    def fps(parts: Int) = DedupOps.lineDedup(docs.repartition(parts))
+      .select("doc_id", "n_kept", "dedup_fp")
+      .as[(Long, Long, String)].collect().toSet
+    val once = fps(1)
+    assert(fps(17) == once)
+    // exactly ONE doc keeps the shared line
+    assert(once.count(_._2 == 2L) == 1 && once.count(_._2 == 1L) == 199)
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
 }

@@ -30,6 +30,28 @@ class IncrementalCorpusSpec extends SparkSpec {
     assert(kept == Set(60L, 70L), kept)
   }
 
+  test("screenReport assigns fates: exact wins over near, kept matches screen()") {
+    val corpus = (Seq(1L, 2L, 3L).map(_ -> f1) :+ (4L -> f3)).toDF("doc_id", "text")
+    val fps = IncrementalCorpus.fingerprints(corpus)
+    val bands = DedupOps.corpusBandIndex(corpus)
+    val shingles = DedupOps.corpusShingleSets(corpus)
+    val batch = Seq(
+      50L -> f1,                      // exact dup (ALSO a near dup: exact must win)
+      51L -> s"$f1 of to in is was",  // near dup only
+      60L -> f4,                      // new
+      70L -> "tiny"                   // too short to shingle: kept vacuously
+    ).toDF("doc_id", "text")
+    val fates = IncrementalCorpus
+      .screenReport(batch, fps, bands, shingles, tau = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(fates == Map(50L -> "exact", 51L -> "near", 60L -> "kept", 70L -> "kept"),
+      fates)
+    // the fate ledger and the survivor set are the same decision
+    val kept = IncrementalCorpus.screen(batch, fps, bands, shingles, tau = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fates.filter(_._2 == "kept").keySet == kept)
+  }
+
   test("runs unchanged on a lakehouse table dir (metadata.json beside the parquet)") {
     val root = java.nio.file.Files.createTempDirectory("inclh").toString
     val part = s"$root/table/date=2024-01-01/hour=01"

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ShardOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def manifest(parts: Int = 4) =
+    ShardOps.shuffleManifest(spark.range(1000).toDF("id").repartition(parts),
+      col("id"))
+
+  test("manifest is a permutation: every key once, per-shard seq contiguous, steps distinct") {
+    val m = manifest().cache()
+    try {
+      assert(m.count() == 1000 && m.select("doc_id").distinct().count() == 1000)
+      // seq is 1..n within each shard (row_number is gapless)
+      val bad = m.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max("seq").as("mx"), min("seq").as("mn"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+      assert(bad.isEmpty, "per-shard seq must be contiguous from 1")
+      assert(m.select("step").distinct().count() == 1000,
+        "interleaved steps must be distinct across shards")
+    } finally m.unpersist()
+  }
+
+  test("order is a pure function of (seed, key): partitioning-invariant, seed-sensitive") {
+    def rows(parts: Int) = manifest(parts)
+      .select("doc_id", "shard", "seq").as[(Long, Int, Long)].collect().toSet
+    val once = rows(1)
+    assert(rows(13) == once, "resplitting the input must not change the order")
+    val other = ShardOps.shuffleManifest(
+        spark.range(1000).toDF("id"), col("id"), seed = "epoch-1")
+      .select("doc_id", "shard", "seq").as[(Long, Int, Long)].collect().toSet
+    assert(other != once, "a new seed must be a new shuffle")
+  }
+
+  test("hash sharding balances shards") {
+    val per = manifest().groupBy("shard").count().as[(Int, Long)].collect().toMap
+    assert(per.size == ShardOps.Shards)
+    val (lo, hi) = (per.values.min, per.values.max)
+    assert(hi - lo < 100, s"shards too skewed: $per")
+  }
+
+  test("no global sort in the plan: one hash exchange on shard, no range partitioning") {
+    val plan = manifest().queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"shuffleManifest must not global-sort:\n$plan")
+    assert(plan.contains("hashpartitioning"), plan)
+  }
+}
