@@ -293,6 +293,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(once.count(_._2 == 2L) == 1 && once.count(_._2 == 1L) == 199)
   }
 
+  test("lineDedup invariant sweep: every distinct line survives exactly once") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val nDocs = 50 + rnd.nextInt(100)
+      // small line vocabulary so cross-doc dups are dense
+      val docs = (0L until nDocs.toLong).map { i =>
+        val lines = (0 to rnd.nextInt(5)).map(_ => s"line ${rnd.nextInt(40)}.")
+        i -> lines.mkString("\n")
+      }.toDF("doc_id", "text")
+      val out = DedupOps.lineDedup(docs).cache()
+      try {
+        val kept = out.agg(sum("n_kept")).as[Long].head()
+        val distinctLines = docs
+          .select(explode(split(col("text"), "\n")).as("l"))
+          .distinct().count()
+        assert(kept == distinctLines,
+          s"trial $trial: kept $kept != distinct $distinctLines")
+        val total = out.agg(sum("n_lines")).as[Long].head()
+        val allLines = docs.select(explode(split(col("text"), "\n"))).count()
+        assert(total == allLines)
+      } finally out.unpersist()
+    }
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))

@@ -48,4 +48,21 @@ class ShardOpsSpec extends SparkSpec {
       s"shuffleManifest must not global-sort:\n$plan")
     assert(plan.contains("hashpartitioning"), plan)
   }
+
+  test("permutation sweep: manifest stays a bijection at odd sizes and shard counts") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 3) {
+      val n = 1 + rnd.nextInt(500)
+      val shards = 1 + rnd.nextInt(15)
+      val m = ShardOps.shuffleManifest(
+        spark.range(n).toDF("id"), col("id"), seed = s"s$n", shards = shards)
+        .as[(Long, Int, Long, Long)].collect()
+      assert(m.length == n && m.map(_._1).toSet.size == n)
+      assert(m.map(_._4).toSet.size == n, "steps must be distinct")
+      // step formula: step = (seq-1)*shards + shard, shard in range
+      m.foreach { case (_, sh, seq, st) =>
+        assert(sh >= 0 && sh < shards && st == (seq - 1) * shards + sh)
+      }
+    }
+  }
 }
