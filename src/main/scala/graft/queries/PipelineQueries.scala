@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, CorpusPipeline, DedupOps, IncrementalCorpus, MediaGen, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, ShardOps, SimilarityOps, TextOps, TimeSeriesOps}
+import graft.ops.{AsOfJoin, BpeOps, CorpusPipeline, DedupOps, IncrementalCorpus, MediaGen, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, ShardOps, SimilarityOps, TextOps, TimeSeriesOps}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -617,6 +617,30 @@ object PipelineQueries {
         Tables.loadSorted(s, dir, "documents", col("doc_id"))))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- BPE tokenizer training: ONE corpus pass (word histogram),
+    //      then every merge step runs on the Heaps-bounded vocab alone.
+    //      The oracle re-derives each step's argmax from the re-encoded
+    //      vocab — training is verified inductively, not replayed ----
+    "p51_bpe_train" -> ((s, dir) => {
+      val merges = BpeOps.train(Tables.loadSpread(s, dir, "documents"))
+      if (merges.nonEmpty) bpeMerges.set(merges.toArray)
+      import s.implicits._
+      s.createDataset(merges).toDF()
+        .select(col("step"), col("l"), col("r"), col("merged"), col("cnt"))
+        .orderBy(col("step"))
+    }),
+
+    // ---- BPE encode: the trained merge table applied to the corpus as
+    //      a rank-ordered replace chain baked into one projection —
+    //      map-only until the per-doc rollup, the expensive face of a
+    //      tokenizer in the shape you want at 100 TB ----
+    "p52_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val merges = BpeOps.train(docs)
+      if (merges.nonEmpty) bpeEncMerges.set(merges.toArray)
+      BpeOps.encode(docs, merges).orderBy(col("doc_id"))
+    }),
   )
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
@@ -698,13 +722,24 @@ object PipelineQueries {
   private val semCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** p51's trained merge table, captured like p13's centroids; p52
+    * captures its own copy so the two queries stay order-independent. */
+  private val bpeMerges =
+    new java.util.concurrent.atomic.AtomicReference[Array[BpeOps.Merge]]()
+  private val bpeEncMerges =
+    new java.util.concurrent.atomic.AtomicReference[Array[BpeOps.Merge]]()
+
   def oracle: Map[String, String] = staticOracle ++
     Option(ivfCenters.get()).map(c =>
       "p13_ann_ivf" -> SimilarityOps.ivfTopKSql(c.toSeq, k = 10, nprobe = 4, maxQid = 5)) ++
     Option(ivfQCenters.get()).map(c =>
       "p27_ivf_quantized" -> SimilarityOps.ivfQuantizedTopKSql(c.toSeq, k = 10, nprobe = 4, maxQid = 5)) ++
     Option(semCenters.get()).map(c =>
-      "p40_semantic_dedup" -> DedupOps.semanticDedupSql(c.toSeq, EmbDupTau))
+      "p40_semantic_dedup" -> DedupOps.semanticDedupSql(c.toSeq, EmbDupTau)) ++
+    Option(bpeMerges.get()).map(m =>
+      "p51_bpe_train" -> BpeOps.bpeTrainSql(m.toSeq)) ++
+    Option(bpeEncMerges.get()).map(m =>
+      "p52_bpe_encode" -> BpeOps.bpeEncodeSql(m.toSeq))
 
   private val staticOracle: Map[String, String] = Map(
     "p01_dedup_exact" ->
