@@ -336,16 +336,7 @@ object MultimodalOps {
                 val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
                 val (nw, nh) = (math.max(1, (img.getWidth * scale).round.toInt),
                   math.max(1, (img.getHeight * scale).round.toInt))
-                val dst = new java.awt.image.BufferedImage(nw, nh,
-                  java.awt.image.BufferedImage.TYPE_INT_RGB)
-                val g2 = dst.createGraphics()
-                g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-                g2.drawImage(img, 0, 0, nw, nh, null)
-                g2.dispose()
-                val out = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(dst, "png", out)
-                val bytes = out.toByteArray
+                val bytes = bilinearPng(img, nw, nh)
                 Row(r.getLong(0), bytes, Row("image/png", bytes.length, nw, nh, true))
             }
           }
@@ -364,13 +355,56 @@ object MultimodalOps {
       .select(col("doc_id"), col("frame"),
         expr(s"substring(media, frame * $frameBytes + 1, $frameBytes)").as("frame_bytes"))
 
+  /** Bilinear downscale + PNG re-encode — the one pixel resampler both
+    * resize faces share (JDK-only: Graphics2D bilinear interpolation). */
+  private def bilinearPng(img: java.awt.image.BufferedImage,
+                          nw: Int, nh: Int): Array[Byte] = {
+    val dst = new java.awt.image.BufferedImage(nw, nh,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = dst.createGraphics()
+    g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g2.drawImage(img, 0, 0, nw, nh, null)
+    g2.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", out)
+    out.toByteArray
+  }
+
+  /** Fit an image into a byte budget: scale dims by √(budget/actual)
+    * (PNG size tracks pixel count to first order), bilinear-resample,
+    * re-encode; halve again while the encoding still overflows. Returns
+    * None when even 1×1 doesn't fit or the bytes don't decode. */
+  private def resampleToBudget(media: Array[Byte],
+                               maxBytes: Int): Option[(Array[Byte], Int, Int)] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media)))
+        .flatMap { img =>
+          var scale = math.min(1.0, math.sqrt(maxBytes.toDouble / media.length))
+          var res: Option[(Array[Byte], Int, Int)] = None
+          var attempts = 0
+          while (res.isEmpty && attempts < 12) {
+            val nw = math.max(1, (img.getWidth * scale).round.toInt)
+            val nh = math.max(1, (img.getHeight * scale).round.toInt)
+            val bytes = bilinearPng(img, nw, nh)
+            if (bytes.length <= maxBytes) res = Some((bytes, nw, nh))
+            else if (nw == 1 && nh == 1) attempts = 12 // floor reached: give up
+            else { scale /= 2; attempts += 1 }
+          }
+          res
+        }
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+
   /** Resize plumbing: media → fixed-budget media' + updated metadata.
-    * STUB resample (proportional byte subsampling stands in for a pixel
-    * resampler — same contract: bounded output size, metadata reflects
-    * the new dimensions); runs batched per partition like decode, and
-    * the metadata predicate (`meta.nbytes <= maxBytes` passes through
-    * untouched) prunes before any "codec" work. */
+    * Image kinds get a REAL pixel resample (bilinear downscale sized to
+    * the byte budget, PNG re-encode — resampleToBudget); non-image kinds
+    * fall back to proportional byte subsampling (same bounded-output
+    * contract — a real audio/video transcoder slots in per kind). Runs
+    * batched per partition like decode, and the metadata predicate
+    * (`meta.nbytes <= maxBytes` passes through untouched) prunes before
+    * any codec work. */
   def resizeAssets(assets: DataFrame, maxBytes: Int): DataFrame = {
+    require(maxBytes >= 1, s"maxBytes must be >= 1, got $maxBytes")
     val spark = assets.sparkSession
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -380,18 +414,29 @@ object MultimodalOps {
         StructField("nbytes", IntegerType),
         StructField("resized", BooleanType))))))
     val rdd = assets.select("doc_id", "media", "meta.kind").rdd.mapPartitions { rows =>
-      // per-partition codec init would happen here
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per decode
+      def subsample(media: Array[Byte]): Array[Byte] = {
+        val step = media.length.toDouble / maxBytes
+        Array.tabulate(maxBytes)(i => media((i * step).toInt))
+      }
       rows.map { r =>
         val media = r.getAs[Array[Byte]]("media")
-        if (media == null) Row(r.getLong(0), null, Row(r.getString(2), 0, false))
+        val kind = r.getString(2)
+        if (media == null) Row(r.getLong(0), null, Row(kind, 0, false))
+        else if (media.length <= maxBytes)
+          Row(r.getLong(0), media, Row(kind, media.length, false))
+        else if (kind != null && kind.startsWith("image/"))
+          resampleToBudget(media, maxBytes) match {
+            case Some((bytes, _, _)) =>
+              // re-encoded as PNG — the kind follows the bytes
+              Row(r.getLong(0), bytes, Row("image/png", bytes.length, true))
+            case None => // undecodable or budget below a 1x1 PNG
+              val out = subsample(media)
+              Row(r.getLong(0), out, Row(kind, out.length, true))
+          }
         else {
-          val out =
-            if (media.length <= maxBytes) media
-            else { // ??? real resampler goes here; proportional subsample stand-in
-              val step = media.length.toDouble / maxBytes
-              Array.tabulate(maxBytes)(i => media((i * step).toInt))
-            }
-          Row(r.getLong(0), out, Row(r.getString(2), out.length, media.length > maxBytes))
+          val out = subsample(media)
+          Row(r.getLong(0), out, Row(kind, out.length, true))
         }
       }
     }
