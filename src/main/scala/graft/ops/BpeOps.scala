@@ -13,14 +13,21 @@ import org.apache.spark.sql.functions._
   * scanned ONCE, into a word histogram — BPE statistics only ever
   * depend on (word, count), and the distinct-word domain is
   * Heaps-law-bounded, orders of magnitude smaller than the corpus.
-  * Every training iteration then runs on the vocab table alone:
-  * pair counting is a map-side explode + partial agg, the argmax is a
-  * TakeOrdered(1) (per-partition top-1, no global sort), and the merge
-  * application is a map-only fold over each word's symbol array. The
-  * driver holds one (l, r) pair per step — never the vocab. Production
-  * trainers add delta counting (re-count only words containing the
-  * merged pair); the full recount here keeps every step a pure
-  * function of the vocab, which is what lets the oracle replay it.
+  * Every training iteration then runs on the vocab table alone, with
+  * DELTA counting: the pair-count table is materialized once, and each
+  * merge step updates it by re-counting ONLY the words that contain
+  * the merged pair (subtract their old pair multiset, add their new
+  * one) — the refinement production trainers use, since at a real 30 k
+  * vocab a full recount per merge is O(corpus-vocab) × V. The argmax
+  * is a TakeOrdered(1) (per-partition top-1, no global sort), the
+  * merge application is a map-only fold over each affected word's
+  * symbol array, and the driver holds one (l, r) pair per step —
+  * never the vocab. Lazy per-step checkpoints make all of a step's
+  * work ride its single argmax job while keeping lineage depth
+  * constant. The delta is provably exact: a merged word cannot retain
+  * an (l,r) adjacency after the left-to-right fold, and unaffected
+  * words contribute identical pairs — so the state equals the full
+  * recount the oracle independently performs.
   *
   * Determinism: integer counts (no float aggregate), ties broken by
   * (count DESC, l, r) — the vocab is gated to `^[a-z0-9]+$` so string
@@ -38,9 +45,10 @@ import org.apache.spark.sql.functions._
   */
 object BpeOps {
   /** Merge steps for the p51 query (real trainers run ~30k; each step
-    * is the same bounded job, so the count is a dial, not a design
-    * change). */
-  val NumMerges = 12
+    * is the same bounded single job, so the count is a dial, not a
+    * design change — delta counting made a 10× raise from the original
+    * 12 affordable, see train()). */
+  val NumMerges = 120
 
   /** Words kept for training: lowercase alnum only (post-normalization
     * wordpieces, and ASCII-ordered ties for the oracle). */
@@ -66,31 +74,78 @@ object BpeOps {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** Per-word adjacent-pair multiset, weighted by word count — the unit
+    * both the initial count and every delta are built from. Guarded on
+    * size>1 (sequence(1,0) would generate a DESCENDING range). */
+  private def pairExplode(v: DataFrame): DataFrame =
+    v.filter(size(col("sym")) > 1)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("sym")) - 1),
+        i => struct(element_at(col("sym"), i).as("l"),
+          element_at(col("sym"), i + 1).as("r")))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt").as("c"))
+
+  /** Does the symbol array contain (l, r) adjacently? when-guarded so
+    * single-symbol words never build the descending sequence(1, 0). */
+  private def hasPair(sym: Column, l: String, r: String): Column =
+    when(size(sym) > 1,
+      exists(sequence(lit(1), size(sym) - 1),
+        i => element_at(sym, i) === lit(l) && element_at(sym, i + 1) === lit(r)))
+      .otherwise(lit(false))
+
   /** Train `numMerges` BPE merges from `docs`. Returns the merge table
-    * `(step, l, r, merged, cnt)`; stops early if no pair is left. */
+    * `(step, l, r, merged, cnt)`; stops early if no pair is left.
+    *
+    * State per step: `vocab` (sym, cnt) and `counts` (l, r, c), both
+    * lazily localCheckpoint'd — each materializes inside the NEXT step's
+    * argmax job (so a step costs ONE job), and both are delta-updated:
+    * only words containing the merged pair are re-folded and re-counted.
+    * Superseded checkpoints are unpersisted two steps later (their
+    * successor is materialized by then — unpersisting a local checkpoint
+    * earlier would discard blocks its not-yet-materialized successor
+    * still needs). */
   def train(docs: DataFrame, numMerges: Int = NumMerges): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // AQE off for the training loop (restored on exit): adaptive
+    // execution materializes every lazy checkpoint's shuffle stages as
+    // their own jobs at checkpoint-build time — measured ~170 ms of
+    // fixed planning+scheduling cost per extra job, ~2 jobs/step. With
+    // AQE off each step is literally ONE argmax job. The per-step
+    // relations are vocab-bounded and checkpointed, so none of AQE's
+    // runtime re-planning (skew, coalesce) has anything to win here.
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // per-step relations are Heaps-bounded (vocab, pair counts) — a
+    // corpus-wide shuffle fan-out would cost ~100 scheduled tasks per
+    // step for kilobytes of data (measured 333 ms/step at 32; the task
+    // floor dominates). Narrow the loop's shuffles to a width that
+    // still scales with the cluster, restore on exit.
+    val spBefore = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(4, spark.sparkContext.defaultParallelism / 8).toString)
+    try {
     // vocab state: (sym: array<string>, cnt) — starts as characters.
-    // localCheckpoint per step: the vocab is Heaps-bounded tiny relative
-    // to the corpus, and V chained folds would otherwise stack V plans.
     // the end-of-string lookahead split leaves a trailing "" under
     // Spark's split semantics — filter it, or "" symbols win merges
     var vocab = wordHistogram(docs)
       .select(filter(split(col("word"), "(?!^)"),
         x => length(x) > 0).as("sym"), col("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    var counts = pairExplode(vocab)
+      .groupBy("l", "r").agg(sum("c").as("c"))
+      .localCheckpoint(false)
+    // superseded states, freed once two generations old (see Scaladoc)
+    val retired = scala.collection.mutable.Queue.empty[DataFrame]
+    def retire(dfs: DataFrame*): Unit = {
+      dfs.foreach(retired.enqueue(_))
+      while (retired.size > 4) retired.dequeue().unpersist()
+    }
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var done = false
     while (step <= numMerges && !done) {
-      val top = vocab.filter(size(col("sym")) > 1)
-        .select(col("cnt"), explode(transform(
-          sequence(lit(1), size(col("sym")) - 1),
-          i => struct(element_at(col("sym"), i).as("l"),
-            element_at(col("sym"), i + 1).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").as("c"))
+      val top = counts
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1) // TakeOrderedAndProject: per-partition top-1, no global sort
         .as[(String, String, Long)]
@@ -98,16 +153,49 @@ object BpeOps {
       top.headOption match {
         case Some((l, r, c)) =>
           merges += Merge(step, l, r, l + r, c)
-          val next = vocab.select(applyMerge(col("sym"), l, r).as("sym"), col("cnt"))
-            .localCheckpoint()
-          vocab.unpersist()
-          vocab = next
+          val contains = hasPair(col("sym"), l, r)
+          val affected = vocab.filter(contains)
+          val merged = affected
+            .select(applyMerge(col("sym"), l, r).as("sym"), col("cnt"))
+          // counts' = counts − affected's old pairs + affected's new
+          // pairs; zero-count rows leave the table (never negative: the
+          // delta is exact, see object Scaladoc)
+          val nextCounts = counts
+            .unionAll(pairExplode(affected).select(col("l"), col("r"), (-col("c")).as("c")))
+            .unionAll(pairExplode(merged))
+            .groupBy("l", "r").agg(sum("c").as("c"))
+            .filter(col("c") > 0)
+            .localCheckpoint(false)
+          // single conditional projection, NOT filter(!contains) ∪ merged:
+          // a per-step union would DOUBLE the RDD's partition count each
+          // step (union concatenates partition lists → exponential task
+          // explosion by step ~20). CaseWhen evaluates per row, so only
+          // affected rows pay the fold — same work saving, one pass.
+          val nextVocab = vocab
+            .select(when(contains, applyMerge(col("sym"), l, r))
+              .otherwise(col("sym")).as("sym"), col("cnt"))
+            .localCheckpoint(false)
+          retire(vocab, counts)
+          vocab = nextVocab
+          counts = nextCounts
           step += 1
         case None => done = true
       }
     }
+    retired.foreach(_.unpersist())
     vocab.unpersist()
+    counts.unpersist()
     merges.result()
+    } finally {
+      aqeBefore match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+      spBefore match {
+        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+        case None => spark.conf.unset("spark.sql.shuffle.partitions")
+      }
+    }
   }
 
   /** [[train]] as a DataFrame (the p51 query shape). */
@@ -138,16 +226,19 @@ object BpeOps {
     * the projection — the artifact is code, not a join side. At 100 TB
     * the encode pass is the expensive face of a tokenizer and this is
     * the shape you want: linear in corpus bytes, zero extra shuffles,
-    * whole-stage codegen. A token containing the frame char `|` would
-    * degrade segmentation but not parity — the oracle runs the
-    * identical byte-level ops. */
+    * whole-stage codegen. The frame char `|` is stripped from tokens
+    * before wrapping (a token containing it would corrupt its own
+    * segmentation); tokens empty after the strip are dropped. The
+    * oracle applies the identical strip+drop. */
   def encode(docs: DataFrame, merges: Seq[Merge],
              textCol: String = "text"): DataFrame = {
     val enc = merges.foldLeft(wrapChars(col("w"))) { (c, m) =>
       replace(c, lit(s"|${m.l}||${m.r}|"), lit(s"|${m.merged}|"))
     }
+    val toks = filter(transform(TextOps.tokens(col(textCol)),
+      t => regexp_replace(t, "\\|", "")), t => length(t) > 0)
     docs
-      .select(col("doc_id"), posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"), enc.as("enc"))
       .groupBy("doc_id")
       .agg(
@@ -169,7 +260,9 @@ object BpeOps {
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)+1),
        |    i -> {'pos': i, 'w': ws[i]}), recursive := true)
-       |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') ws
+       |  FROM (SELECT doc_id, list_filter(list_transform(
+       |          string_split_regex(trim(lower(text)), '\\s+'),
+       |          w -> replace(w, '|', '')), w -> len(w) > 0) ws
        |        FROM $table)),
        |e AS (SELECT doc_id, pos, $enc AS enc FROM tok)
        |SELECT doc_id, count(*) AS n_tok,

@@ -436,6 +436,11 @@ object DedupOps {
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // the new round is materialized (eager checkpoint) — free the
+      // superseded round's blocks NOW instead of waiting for the
+      // ContextCleaner: six CC-consuming queries in one session
+      // otherwise stack O(rounds) checkpoint block sets each
+      edges.unpersist()
       val s = sig(next)
       converged = s == last
       last = s
@@ -445,10 +450,15 @@ object DedupOps {
     if (!converged)
       throw new IllegalStateException(s"connectedComponents: no fixpoint in $maxIter rounds")
     // at the fixpoint every edge is (node, component-min); roots appear
-    // only on the right — give them a self row
-    edges.select(col("u").as("node"), col("v").as("rep"))
+    // only on the right — give them a self row. Materialize the (small)
+    // label map eagerly so the final edge checkpoint can be freed too —
+    // only ONE bounded block set (the labels) outlives this call.
+    val labels = edges.select(col("u").as("node"), col("v").as("rep"))
       .union(edges.select(col("v").as("node"), col("v").as("rep")))
       .groupBy("node").agg(min(col("rep")).as("rep"))
+      .localCheckpoint(true)
+    edges.unpersist()
+    labels
   }
 
   /** Label every document with its near-dup cluster representative —
@@ -464,6 +474,21 @@ object DedupOps {
       .select(docs("doc_id") +:
         coalesce(col("rep"), docs("doc_id")).as("cluster_id") +: keep: _*)
   }
+
+  /** Persist a (doc_id, cluster_id) label map as a plain parquet table —
+    * the IVF-index pattern (SimilarityOps.saveIvfIndex): the clustering
+    * is built ONCE per corpus snapshot and every consumer (keeper
+    * selection, leakage-safe splits, incremental screens) composes on
+    * the artifact instead of re-running the pair join + connected
+    * components. At 100 TB the pair join is the most expensive stage of
+    * the corpus pipeline; recomputing it per consumer is toy-shaped. */
+  def saveClusterLabels(labels: DataFrame, dir: String): Unit =
+    labels.write.mode("overwrite").parquet(dir)
+
+  /** Load a persisted cluster-label map (see [[saveClusterLabels]]). */
+  def loadClusterLabels(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame =
+    spark.read.parquet(dir)
 
   /** DuckDB oracle for cluster resolution over ngramJaccardPairs(tau):
     * transitive closure via recursive CTE, then min-reachable label;
