@@ -1,9 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main. Prints ONE compact JSON line on stdout
+  * (the driver captures only a bounded stdout tail, so keys are the
+  * query's short id — `p02` for `p02_ngram_jaccard` — and seconds are
+  * rounded to ms; the r4 record lost 19 entries to line length) and
+  * writes the full-fidelity record (full names, per-rep times, sf1
+  * detail) to `BENCH_DETAIL.json` in the repo root.
+  *
+  * Measurement discipline (VERDICT r4 #1 — the official r4 record
+  * misstated steady state by up to 7× from single-JVM noise):
+  *  - per-query MEDIAN-OF-3: the measured section runs as three full
+  *    rounds (round 1 carries one-time artifact builds — the cluster
+  *    map, the BPE merge table — so the median reflects steady state
+  *    and round 1's build cost stays visible in BENCH_DETAIL.json);
+  *  - the ingest section runs in a FRESH SparkContext after an
+  *    explicit GC settle, so query-section heap/block-manager history
+  *    can't tax ingest throughput.
+  *
+  * sf1 section (VERDICT r4 #8): a 10× derived corpus
+  * (BenchData.ensureScaled — word-shuffled replicas, honest pair
+  * density) over the scale-sensitive query subset, one warm pass per
+  * query after an untimed artifact build, so sf1/sf0.1 ratios compare
+  * steady state to steady state. A time budget caps the section —
+  * skipped queries record -2 (vs -1 = query failed) rather than
+  * silently reading as covered.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** Scale-sensitive subset for the sf1 section: the clustering/
+    * composed-pipeline family (pair-join + connected components — the
+    * superlinear risk), both ANN paths, BPE training, and one
+    * representative per relational family. */
+  val Sf1Subset: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_topk_groupby", "q12_scalar_funcs",
+    "q16_json_extract", "p02_ngram_jaccard", "p03_minhash_lsh",
+    "p05_embedding_neardup", "p06_ann_bruteforce", "p13_ann_ivf",
+    "p20_dedup_cluster", "p36_keep_best", "p37_corpus_pipeline",
+    "p40_semantic_dedup", "p45_leakage_split", "p50_line_dedup",
+    "p51_bpe_train")
+
+  private def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,6 +57,41 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** noop sink executes the FULL plan (projection, sort, limit) —
+    * count() would let Spark drop projection work for some queries.
+    * -1 marks a failed query so fast failures never read as fast runs. */
+  private def timeOne(spark: SparkSession, dir: String,
+                      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    try { fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9 }
+    catch { case _: Throwable => -1.0 }
+  }
+
+  private def median3(v: Seq[Double]): Double = {
+    val ok = v.filter(_ >= 0)
+    if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
+  }
+
+  /** `p02_ngram_jaccard` → `p02`; falls back to the full name if the
+    * short form would collide. */
+  private def shortNames(names: Seq[String]): Map[String, String] = {
+    val short = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    val counts = short.values.groupBy(identity).view.mapValues(_.size)
+    short.map { case (full, s) => full -> (if (counts(s) == 1) s else full) }
+  }
+
+  private def r3(d: Double): Double = math.rint(d * 1000) / 1000
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_SEC", "300").toDouble
+    var spark = session(cpus)
     // prime page cache + parquet footers + temp views + codegen JIT so
     // per-query times measure the queries, not whichever one runs first.
     // Each query also runs once against the smallest SF: a query's FIRST
@@ -49,32 +120,70 @@ object Bench {
           catch { case _: Throwable => () }
         }
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink executes the FULL plan (projection, sort, limit) —
-      // count() would let Spark drop projection work for some queries.
-      // -1 marks a failed query so fast failures never read as fast runs.
-      val sec =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      name -> sec
+
+    // --- measured section: `reps` full rounds, median per query ---
+    val names = SparkEntry.queries.keys.toSeq
+    val perRep: Seq[Map[String, Double]] = (1 to reps).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        name -> timeOne(spark, sfDir, fn) }.toMap
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // ingest throughput at the reference's e2e volume (20 M rows,
-    // e2e_test.go:44-94): bulk + stream write the full volume; the
-    // buffered path is capped — it is ack-latency-bound by design, so
-    // its rows/sec is flat in volume and a capped run measures the same
-    // figure without minutes of wall-clock.
+    val med: Map[String, Double] =
+      names.map(n => n -> median3(perRep.map(_(n)))).toMap
+    val total = names.map(med).filter(_ >= 0).sum
+
+    // --- sf1 section: 10× derived corpus, warm pass per subset query ---
+    val sf1 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var sf1Dir = ""
+    var sf1GenSec = -1.0
+    if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") try {
+      val tg = System.nanoTime()
+      sf1Dir = BenchData.ensureScaled(spark, sfDir)
+      sf1GenSec = (System.nanoTime() - tg) / 1e9
+      val t0 = System.nanoTime()
+      Sf1Subset.filter(SparkEntry.queries.contains).foreach { n =>
+        val spent = (System.nanoTime() - t0) / 1e9
+        if (spent > sf1Budget) sf1(n) = -2.0 // budget-skipped, disclosed
+        else {
+          timeOne(spark, sf1Dir, SparkEntry.queries(n)) // artifact build / warm
+          sf1(n) = timeOne(spark, sf1Dir, SparkEntry.queries(n))
+        }
+      }
+    } catch { case _: Throwable => () }
+
+    // --- ingest: fresh SparkContext + GC settle (query-section heap
+    //     history otherwise taxes throughput — r4 embedded numbers ran
+    //     3-5× below the standalone run of the same code) ---
+    spark.stop()
+    System.gc()
+    Thread.sleep(2000)
+    spark = session(cpus)
     val ingestRows = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "20000000").toLong
     val ingest =
       try IngestBench.run(spark, bulkRows = ingestRows, streamRows = ingestRows,
         bufferedRows = math.min(ingestRows, 640000L))
       catch { case e: Throwable => s"""{"error":${graft.server.JsonOut.str(e.toString)}}""" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""ingest_rows_per_sec":$ingest,"sf":"$sfDir"}""")
+
+    // --- emit: compact stdout line + full-fidelity detail file ---
+    val sn = shortNames(names)
+    val qs = names.map(n => "\"" + sn(n) + "\":" + r3(med(n)))
+      .mkString("{", ",", "}")
+    val sf1qs = sf1.map { case (n, s) => "\"" + sn.getOrElse(n, n) + "\":" + r3(s) }
+      .mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,
+         |"queries_full":${jsonObj(names.map(n => n -> med(n)))},
+         |"per_rep":[${perRep.map(m => jsonObj(names.map(n => n -> m(n)))).mkString(",")}],
+         |"sf1_dir":${graft.server.JsonOut.str(sf1Dir)},"sf1_gen_sec":$sf1GenSec,
+         |"sf1_queries":${jsonObj(sf1.toSeq)},
+         |"ingest_rows_per_sec":$ingest,"sf":"$sfDir"}""".stripMargin.replace("\n", "")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf1":$sf1qs,"ingest_rows_per_sec":$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  private def jsonObj(kv: Seq[(String, Double)]): String =
+    kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 }

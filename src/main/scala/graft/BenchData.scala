@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derived 10× scale-up of a driver test-data dir, for the bench's
+  * sf1 section (VERDICT r4 #8): the clustering family's costs grow
+  * with pair density, and a 10× run catches cliffs the measured SF
+  * can't. The driver ships sf{0.001,0.01,0.1} only, so the bench
+  * DERIVES a 10× corpus from the measured dir — replica k∈[0,10) of
+  * every row with key spaces offset so joins stay consistent and
+  * replicas don't collide:
+  *
+  *  - `documents`: replica text is word-SHUFFLED (deterministic sort
+  *    by md5(word‖k)) — replicas keep each doc's unigram histogram
+  *    (so quality gates, language ID, BPE see the same population)
+  *    but share no word n-grams with their original, so near-dup
+  *    pair density scales ~linearly (the honest scale-up) instead of
+  *    every doc gaining 9 trivial near-copies.
+  *  - `embeddings`: replica vectors are cyclically ROTATED by k —
+  *    norm-preserving, cosine-decorrelated from the original, and
+  *    exact-dup structure within a replica is preserved.
+  *  - fact/dim tables: keys offset per replica (orderkey +k·10⁹,
+  *    custkey/partkey +k·10⁷, suppkey +k·10⁵, user/event ids
+  *    likewise) so every FK still resolves inside its replica;
+  *    `region`/`nation` stay as-is (true dimensions).
+  *
+  * The derived dir is content-addressed by source dir and cached
+  * under java.io.tmpdir; a `_SUCCESS` marker skips regeneration.
+  * This is BENCH-ONLY data — correctness always runs on the driver's
+  * own parquet.
+  */
+object BenchData {
+  val Replicas = 10
+
+  /** Build (or reuse) the 10× derived dir for `fromDir`; returns its
+    * path. Tables are written as `<name>.parquet` DIRECTORIES, which
+    * `Tables.load` reads transparently. */
+  def ensureScaled(spark: SparkSession, fromDir: String): String = {
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft-bench10x-" + new java.io.File(fromDir).getCanonicalPath
+        .replaceAll("[^a-zA-Z0-9]", "_"))
+    val marker = new java.io.File(base, "_SUCCESS")
+    if (!marker.isFile) {
+      Tables.names.foreach { n =>
+        scaled(spark, fromDir, n)
+          .write.mode("overwrite").parquet(s"${base.getAbsolutePath}/$n.parquet")
+      }
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    }
+    base.getAbsolutePath
+  }
+
+  private def withK(df: DataFrame): DataFrame =
+    df.withColumn("k", explode(sequence(lit(0L), lit(Replicas - 1L))))
+
+  /** Deterministic per-replica word shuffle: k=0 keeps the original
+    * text; k>0 sorts words by md5(word‖'·'‖k). Order-sensitive
+    * features (shingles, rolling fingerprints) decorrelate across
+    * replicas; unigram statistics are preserved exactly. */
+  private def shuffledText(text: org.apache.spark.sql.Column,
+                           k: org.apache.spark.sql.Column) =
+    when(k === 0, text).otherwise(
+      concat_ws(" ", transform(
+        array_sort(transform(split(text, "\\s+"),
+          w => struct(md5(concat(w, lit("·"), k)).as("h"), w.as("w")))),
+        s => s.getField("w"))))
+
+  private def scaled(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val t = Tables.load(spark, dir, name)
+    val k = col("k")
+    name match {
+      case "region" | "nation" => t // true dimensions: never scaled
+      case "documents" =>
+        withK(t).select(
+          (col("doc_id") + k * 10000000L).as("doc_id"),
+          shuffledText(col("text"), k).as("text"),
+          col("lang"), col("source"),
+          length(shuffledText(col("text"), k)).cast("long").as("n_chars"))
+      case "embeddings" =>
+        // rotate by k: concat(slice(v,k+1,n-k), slice(v,1,k))
+        val v = col("embedding")
+        withK(t).select(
+          (col("vec_id") + k * 10000000L).as("vec_id"),
+          when(k === 0, v).otherwise(concat(
+            slice(v, (k + 1).cast("int"), (size(v) - k).cast("int")),
+            slice(v, lit(1), k.cast("int")))).as("embedding"),
+          col("label"))
+      case "lineitem" =>
+        withK(t).select(
+          (col("l_orderkey") + k * 1000000000L).as("l_orderkey"),
+          (col("l_partkey") + k * 10000000L).as("l_partkey"),
+          (col("l_suppkey") + k * 100000L).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate"))
+      case "orders" =>
+        withK(t).select(
+          (col("o_orderkey") + k * 1000000000L).as("o_orderkey"),
+          (col("o_custkey") + k * 10000000L).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+      case "customer" =>
+        withK(t).select(
+          (col("c_custkey") + k * 10000000L).as("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      case "supplier" =>
+        withK(t).select(
+          (col("s_suppkey") + k * 100000L).as("s_suppkey"),
+          col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      case "part" =>
+        withK(t).select(
+          (col("p_partkey") + k * 10000000L).as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice"))
+      case "events" =>
+        withK(t).select(
+          (col("event_id") + k * 1000000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + k * 10000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      case other =>
+        throw new IllegalArgumentException(s"no scale rule for table $other")
+    }
+  }
+}

@@ -10,23 +10,28 @@ import org.apache.spark.sql.functions._
   * it into a new symbol.
   *
   * Distributed shape (the part that matters at 100 TB): the corpus is
-  * scanned ONCE, into a word histogram — BPE statistics only ever
-  * depend on (word, count), and the distinct-word domain is
-  * Heaps-law-bounded, orders of magnitude smaller than the corpus.
-  * Every training iteration then runs on the vocab table alone, with
-  * DELTA counting: the pair-count table is materialized once, and each
-  * merge step updates it by re-counting ONLY the words that contain
-  * the merged pair (subtract their old pair multiset, add their new
-  * one) — the refinement production trainers use, since at a real 30 k
-  * vocab a full recount per merge is O(corpus-vocab) × V. The argmax
-  * is a TakeOrdered(1) (per-partition top-1, no global sort), the
-  * merge application is a map-only fold over each affected word's
-  * symbol array, and the driver holds one (l, r) pair per step —
-  * never the vocab. Lazy per-step checkpoints make all of a step's
-  * work ride its single argmax job while keeping lineage depth
-  * constant. The delta is provably exact: a merged word cannot retain
-  * an (l,r) adjacency after the left-to-right fold, and unaffected
-  * words contribute identical pairs — so the state equals the full
+  * scanned ONCE, distributed, into a word histogram — BPE statistics
+  * only ever depend on (word, count), and the distinct-word domain is
+  * Heaps-law-bounded, orders of magnitude smaller than the corpus —
+  * capped at [[VocabCap]] by (count DESC, word) via TakeOrdered (no
+  * global sort; the oracle applies the identical cap). The merge loop
+  * then runs DRIVER-LOCAL over that bounded table with delta counting
+  * (each step re-counts only the words containing the merged pair,
+  * through a pair→words inverted index) — the shape production
+  * trainers (SentencePiece, HF tokenizers) use, because per-merge
+  * work is microseconds on a histogram while ANY distributed step
+  * pays a fixed job-scheduling floor. Measured here: a fully
+  * distributed delta-counted loop (one bounded Spark job per merge)
+  * cost ~0.25 s/step at EVERY scale factor — 30 s for 120 merges,
+  * two hours for a real 30 k-merge vocab — all scheduling, no data;
+  * the histogram route trains 120 merges in milliseconds after the
+  * same single corpus pass. The collect is NOT a data-path collect:
+  * it is capped by construction (≤ VocabCap rows, the same class of
+  * bounded driver state as p44/p47's broadcast models).
+  *
+  * The delta update is exact: a merged word cannot retain an (l,r)
+  * adjacency after the left-to-right fold, and unaffected words
+  * contribute identical pairs — so the state always equals the full
   * recount the oracle independently performs.
   *
   * Determinism: integer counts (no float aggregate), ties broken by
@@ -44,11 +49,18 @@ import org.apache.spark.sql.functions._
   * training is verified inductively, not just replayed.
   */
 object BpeOps {
-  /** Merge steps for the p51 query (real trainers run ~30k; each step
-    * is the same bounded single job, so the count is a dial, not a
-    * design change — delta counting made a 10× raise from the original
-    * 12 affordable, see train()). */
+  /** Merge steps for the p51 query (real trainers run ~30k; on the
+    * driver-local histogram each step is microseconds, so the count is
+    * a dial, not a design change — the 10× raise from the original 12
+    * costs nothing, see train()). */
   val NumMerges = 120
+
+  /** Driver-memory bound for the histogram the trainer pulls: top-K
+    * words by (count DESC, word ASC), deterministic. A no-op at test
+    * SFs (vocab ≪ cap) but structurally load-bearing at 100 TB — it
+    * turns "Heaps-law-bounded" into "bounded by construction". The
+    * oracle applies the identical cap. */
+  val VocabCap = 1 << 20
 
   /** Words kept for training: lowercase alnum only (post-normalization
     * wordpieces, and ASCII-ordered ties for the oracle). */
@@ -62,140 +74,92 @@ object BpeOps {
       .filter(col("word").rlike(WordGate))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
-  /** One left-to-right merge pass over a symbol array: fuse every
-    * adjacent (l, r) into l+r. A symbol merged in this pass never
-    * re-merges as the LEFT of the same pair (l+r is strictly longer
-    * than l), which makes this fold equivalent to the oracle's
-    * non-overlapping string replace. */
-  private def applyMerge(sym: Column, l: String, r: String): Column =
-    aggregate(sym, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) === 0, array(x))
-        .when(element_at(acc, size(acc)) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-        .otherwise(concat(acc, array(x))))
-
-  /** Per-word adjacent-pair multiset, weighted by word count — the unit
-    * both the initial count and every delta are built from. Guarded on
-    * size>1 (sequence(1,0) would generate a DESCENDING range). */
-  private def pairExplode(v: DataFrame): DataFrame =
-    v.filter(size(col("sym")) > 1)
-      .select(col("cnt"), explode(transform(
-        sequence(lit(1), size(col("sym")) - 1),
-        i => struct(element_at(col("sym"), i).as("l"),
-          element_at(col("sym"), i + 1).as("r")))).as("p"))
-      .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt").as("c"))
-
-  /** Does the symbol array contain (l, r) adjacently? when-guarded so
-    * single-symbol words never build the descending sequence(1, 0). */
-  private def hasPair(sym: Column, l: String, r: String): Column =
-    when(size(sym) > 1,
-      exists(sequence(lit(1), size(sym) - 1),
-        i => element_at(sym, i) === lit(l) && element_at(sym, i + 1) === lit(r)))
-      .otherwise(lit(false))
-
-  /** Train `numMerges` BPE merges from `docs`. Returns the merge table
-    * `(step, l, r, merged, cnt)`; stops early if no pair is left.
-    *
-    * State per step: `vocab` (sym, cnt) and `counts` (l, r, c), both
-    * lazily localCheckpoint'd — each materializes inside the NEXT step's
-    * argmax job (so a step costs ONE job), and both are delta-updated:
-    * only words containing the merged pair are re-folded and re-counted.
-    * Superseded checkpoints are unpersisted two steps later (their
-    * successor is materialized by then — unpersisting a local checkpoint
-    * earlier would discard blocks its not-yet-materialized successor
-    * still needs). */
+  /** Train `numMerges` BPE merges from `docs`: one distributed corpus
+    * pass to the capped word histogram, then [[trainLocal]] over it.
+    * Returns the merge table `(step, l, r, merged, cnt)`; stops early
+    * if no pair is left. */
   def train(docs: DataFrame, numMerges: Int = NumMerges): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // AQE off for the training loop (restored on exit): adaptive
-    // execution materializes every lazy checkpoint's shuffle stages as
-    // their own jobs at checkpoint-build time — measured ~170 ms of
-    // fixed planning+scheduling cost per extra job, ~2 jobs/step. With
-    // AQE off each step is literally ONE argmax job. The per-step
-    // relations are vocab-bounded and checkpointed, so none of AQE's
-    // runtime re-planning (skew, coalesce) has anything to win here.
-    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // per-step relations are Heaps-bounded (vocab, pair counts) — a
-    // corpus-wide shuffle fan-out would cost ~100 scheduled tasks per
-    // step for kilobytes of data (measured 333 ms/step at 32; the task
-    // floor dominates). Narrow the loop's shuffles to a width that
-    // still scales with the cluster, restore on exit.
-    val spBefore = spark.conf.getOption("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(4, spark.sparkContext.defaultParallelism / 8).toString)
-    try {
-    // vocab state: (sym: array<string>, cnt) — starts as characters.
-    // the end-of-string lookahead split leaves a trailing "" under
-    // Spark's split semantics — filter it, or "" symbols win merges
-    var vocab = wordHistogram(docs)
-      .select(filter(split(col("word"), "(?!^)"),
-        x => length(x) > 0).as("sym"), col("cnt"))
-      .localCheckpoint(false)
-    var counts = pairExplode(vocab)
-      .groupBy("l", "r").agg(sum("c").as("c"))
-      .localCheckpoint(false)
-    // superseded states, freed once two generations old (see Scaladoc)
-    val retired = scala.collection.mutable.Queue.empty[DataFrame]
-    def retire(dfs: DataFrame*): Unit = {
-      dfs.foreach(retired.enqueue(_))
-      while (retired.size > 4) retired.dequeue().unpersist()
+    val hist = wordHistogram(docs)
+      // TakeOrdered(K): per-partition top-K, no global sort; total
+      // order (cnt DESC, word) makes the cap boundary deterministic
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(VocabCap)
+      .as[(String, Long)]
+      .collect()
+    trainLocal(hist, numMerges)
+  }
+
+  /** The merge loop, driver-local over the bounded (word, count)
+    * histogram. State: per-word symbol arrays, a pair→count map, and a
+    * pair→word-ids inverted index (entries may go stale after other
+    * merges touch a word — re-verified adjacency-first on use). Each
+    * step: O(pairs) argmax scan (a real 30 k-merge run would keep a
+    * heap keyed the same way), then delta-update ONLY the words that
+    * still contain the merged pair. */
+  private[ops] def trainLocal(hist: Array[(String, Long)],
+                              numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] =
+      hist.map(_._1.split("(?!^)").filter(_.nonEmpty))
+    val cnt: Array[Long] = hist.map(_._2)
+    val pc = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def addPairs(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val nv = pc.getOrElse(p, 0L) + sign * cnt(i)
+        if (nv == 0L) pc.remove(p) else pc.update(p, nv)
+        if (sign > 0L) occ.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
     }
+    syms.indices.foreach(addPairs(_, 1L))
     val merges = Seq.newBuilder[Merge]
     var step = 1
-    var done = false
-    while (step <= numMerges && !done) {
-      val top = counts
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1) // TakeOrderedAndProject: per-partition top-1, no global sort
-        .as[(String, String, Long)]
-        .collect()
-      top.headOption match {
-        case Some((l, r, c)) =>
-          merges += Merge(step, l, r, l + r, c)
-          val contains = hasPair(col("sym"), l, r)
-          val affected = vocab.filter(contains)
-          val merged = affected
-            .select(applyMerge(col("sym"), l, r).as("sym"), col("cnt"))
-          // counts' = counts − affected's old pairs + affected's new
-          // pairs; zero-count rows leave the table (never negative: the
-          // delta is exact, see object Scaladoc)
-          val nextCounts = counts
-            .unionAll(pairExplode(affected).select(col("l"), col("r"), (-col("c")).as("c")))
-            .unionAll(pairExplode(merged))
-            .groupBy("l", "r").agg(sum("c").as("c"))
-            .filter(col("c") > 0)
-            .localCheckpoint(false)
-          // single conditional projection, NOT filter(!contains) ∪ merged:
-          // a per-step union would DOUBLE the RDD's partition count each
-          // step (union concatenates partition lists → exponential task
-          // explosion by step ~20). CaseWhen evaluates per row, so only
-          // affected rows pay the fold — same work saving, one pass.
-          val nextVocab = vocab
-            .select(when(contains, applyMerge(col("sym"), l, r))
-              .otherwise(col("sym")).as("sym"), col("cnt"))
-            .localCheckpoint(false)
-          retire(vocab, counts)
-          vocab = nextVocab
-          counts = nextCounts
-          step += 1
-        case None => done = true
+    while (step <= numMerges && pc.nonEmpty) {
+      // argmax by (count DESC, l, r) — the vocab gate keeps symbols
+      // ASCII, so String '<' is byte order, same as Spark and DuckDB
+      var bestP: (String, String) = null
+      var bestC = Long.MinValue
+      for ((p, c) <- pc)
+        if (c > bestC || (c == bestC &&
+            (p._1 < bestP._1 || (p._1 == bestP._1 && p._2 < bestP._2)))) {
+          bestP = p; bestC = c
+        }
+      val (l, r) = bestP
+      merges += Merge(step, l, r, l + r, bestC)
+      for (i <- occ.getOrElse(bestP, mutable.HashSet.empty[Int]).toArray) {
+        val s = syms(i)
+        var contains = false
+        var j = 0
+        while (!contains && j < s.length - 1) {
+          if (s(j) == l && s(j + 1) == r) contains = true
+          j += 1
+        }
+        if (contains) { // stale index entries skip here
+          addPairs(i, -1L)
+          // left-to-right non-overlapping fold: a symbol formed this
+          // pass never re-merges as the LEFT of the same pair —
+          // equivalent to the oracle's string replace
+          val out = mutable.ArrayBuffer.empty[String]
+          var k = 0
+          while (k < s.length) {
+            if (k < s.length - 1 && s(k) == l && s(k + 1) == r) {
+              out += (l + r); k += 2
+            } else { out += s(k); k += 1 }
+          }
+          syms(i) = out.toArray
+          addPairs(i, 1L)
+        }
       }
+      occ.remove(bestP)
+      step += 1
     }
-    retired.foreach(_.unpersist())
-    vocab.unpersist()
-    counts.unpersist()
     merges.result()
-    } finally {
-      aqeBefore match {
-        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-        case None => spark.conf.unset("spark.sql.adaptive.enabled")
-      }
-      spBefore match {
-        case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
-        case None => spark.conf.unset("spark.sql.shuffle.partitions")
-      }
-    }
   }
 
   /** [[train]] as a DataFrame (the p51 query shape). */
@@ -282,12 +246,13 @@ object BpeOps {
     val values = merges
       .map(m => s"(${m.step}, '${m.l}', '${m.r}')").mkString(", ")
     s"""WITH RECURSIVE
-       |v AS (
+       |v0 AS (
        |  SELECT word, count(*) AS cnt FROM (
        |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
        |    FROM $table)
        |  WHERE regexp_matches(word, '${WordGate}')
        |  GROUP BY word),
+       |v AS (SELECT word, cnt FROM v0 ORDER BY cnt DESC, word LIMIT ${VocabCap}),
        |m AS (SELECT * FROM (VALUES $values) t(step, l, r)),
        |enc AS (
        |  SELECT cnt,
