@@ -82,33 +82,70 @@ object Pruning {
   * same dataFilters path (and invalidates the cached name, since the
   * view then no longer means "the whole table").
   *
-  * Concurrency: unranged default-scoped queries share the server session
-  * and its version-cached views; a RANGED or db-scoped request gets its
-  * own child session (`spark.newSession()`: same SparkContext, shared
-  * cache, private temp-view catalog + conf), so concurrent requests with
-  * different ranges cannot stomp each other; only shared-session
-  * (unranged, default-scoped) requests still take the monitor, and only
-  * across registration + analysis (milliseconds — execution runs
-  * outside), to keep one query's table resolutions on a single
-  * registration snapshot.
+  * Concurrency: NO lock anywhere on the query path. A RANGED or
+  * db-scoped request gets its own child session (`spark.newSession()`:
+  * same SparkContext, shared cache, private temp-view catalog + conf).
+  * Unranged default-scoped requests — the common path — plan against an
+  * immutable PUBLISHED SNAPSHOT: a child session whose views were all
+  * registered while the catalog's version vector was observed unchanged
+  * (build reads the vector, registers, re-reads; a mismatch rebuilds),
+  * then published via an AtomicReference. A published session's views
+  * are never mutated afterwards, so any number of requests can analyze
+  * on it concurrently, and a manifest-version bump simply makes the
+  * next request build + publish a successor — readers never wait on a
+  * monitor (the r4 shape serialized every unranged default-db request
+  * through `synchronized{register; analyze}`).
   */
 final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
   private val registered = scala.collection.mutable.Map.empty[(String, String), Long]
 
-  /** Plan one request's SQL. Fresh-session path for ranged/scoped
-    * requests: registration cost equals what the old invalidate-and-
-    * re-register path paid, but with zero lock contention. */
+  /** An internally consistent planning snapshot: all views registered
+    * at one catalog version vector. */
+  private final case class Snapshot(versions: Map[(String, String), Long],
+                                    session: SparkSession)
+  private val published =
+    new java.util.concurrent.atomic.AtomicReference[Snapshot]
+
+  private def versionVector(): Map[(String, String), Long] =
+    catalog.all().map(s => (s.database, s.name) ->
+      catalog.version(s.database, s.name)).toMap
+
+  /** Current consistent snapshot, building + publishing one if the
+    * published snapshot is missing or stale. The build loop retries
+    * while a concurrent write moves the version vector mid-build
+    * (bounded: under sustained write pressure the last build is used
+    * for THIS request — the same tear-vs-writers exposure the
+    * monitor-based path had, since the monitor never excluded
+    * writers, only other readers). */
+  private def snapshotSession(): SparkSession = {
+    val v = versionVector()
+    val cur = published.get()
+    if (cur != null && cur.versions == v) return cur.session
+    var before = v
+    var attempt = 0
+    while (true) {
+      val s = spark.newSession()
+      graft.Tables.init(s) // child sessions don't inherit runtime conf/UDFs
+      registerOn(s, None, "default")
+      val after = versionVector()
+      if (after == before || attempt >= 5) {
+        // unconditional publish: every published snapshot is internally
+        // consistent, and a racing stale publish is self-healing (the
+        // next request's version check rebuilds)
+        published.set(Snapshot(after, s))
+        return s
+      }
+      before = after
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Plan one request's SQL — lock-free on every path. */
   def sqlFor(sqlText: String, timeRangeNs: Option[(Long, Long)],
              bareDb: Option[String]): DataFrame = {
     if (timeRangeNs.isEmpty && bareDb.forall(_ == "default")) {
-      // ensure + analysis under one monitor: a concurrent write bumping
-      // versions between this request's registration and its analysis
-      // would otherwise let one query resolve two tables at different
-      // manifest versions. Analysis is ms-scale; execution runs outside.
-      synchronized {
-        ensure(None, None)
-        spark.sql(sqlText)
-      }
+      snapshotSession().sql(sqlText)
     } else {
       val s = spark.newSession()
       graft.Tables.init(s) // child sessions don't inherit runtime conf/UDFs

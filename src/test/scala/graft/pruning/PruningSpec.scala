@@ -83,6 +83,42 @@ class PruningSpec extends SparkSpec {
       .collect().head.getLong(0) == 4)
   }
 
+  test("unranged default-db queries plan lock-free on published snapshots under concurrent writes") {
+    val root = Files.createTempDirectory("graft-lockfree-")
+    val cat = new TableCatalog(root.toString)
+    val w = new IngestWriter(spark, root.toString, cat)
+    import spark.implicits._
+    w.storeDataFrame("default", "lf", Seq((0L, "x")).toDF("id", "s"))
+    val views = new QueryViews(spark, cat)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val totalWrites = 10
+    val writer = Future {
+      (1 to totalWrites).foreach { i =>
+        w.storeDataFrame("default", "lf", Seq((i.toLong, "x")).toDF("id", "s"))
+      }
+    }
+    // readers hammer the unranged path while the version vector moves:
+    // every query must succeed and see SOME committed manifest state —
+    // a count in [1, writes+1]; a torn/stomped view would throw or
+    // return rows outside any committed version
+    val readers = (1 to 4).map { _ =>
+      Future {
+        (1 to 25).map { _ =>
+          views.sqlFor("SELECT count(*) c FROM lf", None, None)
+            .collect().head.getLong(0)
+        }
+      }
+    }
+    val counts = Await.result(Future.sequence(readers), 180.seconds).flatten
+    Await.result(writer, 180.seconds)
+    counts.foreach(c => assert(c >= 1 && c <= totalWrites + 1L, s"count $c"))
+    // writes settled: a fresh snapshot sees every committed row
+    assert(views.sqlFor("SELECT count(*) c FROM lf", None, None)
+      .collect().head.getLong(0) == totalWrites + 1L)
+  }
+
   test("unranged views are cached by version and refresh on write") {
     val root = Files.createTempDirectory("graft-vcache-")
     val cat = new TableCatalog(root.toString)
