@@ -440,7 +440,7 @@ object DedupOps {
       // superseded round's blocks NOW instead of waiting for the
       // ContextCleaner: six CC-consuming queries in one session
       // otherwise stack O(rounds) checkpoint block sets each
-      edges.unpersist()
+      freeCheckpoint(edges)
       val s = sig(next)
       converged = s == last
       last = s
@@ -457,9 +457,24 @@ object DedupOps {
       .union(edges.select(col("v").as("node"), col("v").as("rep")))
       .groupBy("node").agg(min(col("rep")).as("rep"))
       .localCheckpoint(true)
-    edges.unpersist()
+    freeCheckpoint(edges)
     labels
   }
+
+  /** Actually free a superseded localCheckpoint's blocks. A checkpointed
+    * Dataset's `.unpersist()` is a NO-OP for them — it only uncaches
+    * CacheManager entries, and a localCheckpoint persists the RDD
+    * directly — so the blocks otherwise survive until the ContextCleaner
+    * GCs the RDD object (probe-verified: getPersistentRDDs keeps the
+    * entry through df.unpersist, drops it on rdd.unpersist). Only ever
+    * call this on state that is never read again: unpersisting truncated
+    * lineage makes the frame unrecomputable. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false): Unit
+      case _ => ()
+    }
 
   /** Label every document with its near-dup cluster representative —
     * the one labeling contract shared by p20/p36/p45 and the composed
@@ -482,8 +497,13 @@ object DedupOps {
     * the artifact instead of re-running the pair join + connected
     * components. At 100 TB the pair join is the most expensive stage of
     * the corpus pipeline; recomputing it per consumer is toy-shaped. */
-  def saveClusterLabels(labels: DataFrame, dir: String): Unit =
+  def saveClusterLabels(labels: DataFrame, dir: String): Unit = {
     labels.write.mode("overwrite").parquet(dir)
+    // the parquet artifact replaces the in-memory clustering state —
+    // free the labeling's checkpoint blocks (the input frame must not
+    // be reused after saving; consumers read the artifact)
+    freeCheckpoint(labels)
+  }
 
   /** Load a persisted cluster-label map (see [[saveClusterLabels]]). */
   def loadClusterLabels(spark: org.apache.spark.sql.SparkSession,

@@ -38,27 +38,36 @@ object IncrementalCorpus {
       .withColumn("__fp", md5(col("text")))
       .join(fps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
-    // the ONE shingle definition (DedupOps.shingleSets) builds the
-    // arrival side — screening must never drift from the index it
-    // probes. Shingle-hash array materialized once in its own
-    // projection (the nearDupStream discipline).
-    val sh = DedupOps.shingleSets(exactNew, n)
-      .withColumnRenamed("sh", "__sh")
-      .withColumn("__hs", transform(col("__sh"), s => xxhash64(s)))
-      .withColumn("__sig", DedupOps.rowSignature(col("__hs")))
-    val cands = sh
-      .select(col("doc_id"), col("__sh"),
-        posexplode(DedupOps.bandHashes(col("__sig"))).as(Seq("__band", "__bh")))
-      .join(bandIndex,
-        col("__band") === bandIndex("band") && col("__bh") === bandIndex("bh"))
-      .select(col("doc_id"), col("corpus_id"), col("__sh"))
-      .distinct()
+    val cands = bandCandidates(exactNew, bandIndex, n)
     val dupIds = cands.join(shingles, "corpus_id")
       .withColumn("__inter", size(array_intersect(col("__sh"), col("sh"))))
       .filter(col("__inter").cast("double") /
         (size(col("__sh")) + size(col("sh")) - col("__inter")) >= tau)
       .select("doc_id").distinct()
     exactNew.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Band-colliding (doc_id, corpus_id, __sh) candidate pairs — the LSH
+    * probe both screen faces share. The ONE shingle definition
+    * (DedupOps.shingleSets) builds the arrival side — screening must
+    * never drift from the index it probes; the shingle-hash array is
+    * materialized once in its own projection (the nearDupStream
+    * discipline). Public so the recall property the oracle relies on
+    * (candidates ⊇ true ≥tau pairs at this band config) is ASSERTED in
+    * IncrementalCorpusSpec against a brute-force all-pairs sweep, not
+    * just assumed. */
+  def bandCandidates(newDocs: DataFrame, bandIndex: DataFrame,
+                     n: Int = 3): DataFrame = {
+    val sh = DedupOps.shingleSets(newDocs, n)
+      .withColumnRenamed("sh", "__sh")
+      .withColumn("__hs", transform(col("__sh"), s => xxhash64(s)))
+      .withColumn("__sig", DedupOps.rowSignature(col("__hs")))
+    sh.select(col("doc_id"), col("__sh"),
+        posexplode(DedupOps.bandHashes(col("__sig"))).as(Seq("__band", "__bh")))
+      .join(bandIndex,
+        col("__band") === bandIndex("band") && col("__bh") === bandIndex("bh"))
+      .select(col("doc_id"), col("corpus_id"), col("__sh"))
+      .distinct()
   }
 
   /** Distinct content fingerprints of a batch — the exact-dedup face of
@@ -87,17 +96,7 @@ object IncrementalCorpus {
     val exactNew = withFp
       .join(fps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
-    val sh = DedupOps.shingleSets(exactNew, n)
-      .withColumnRenamed("sh", "__sh")
-      .withColumn("__hs", transform(col("__sh"), s => xxhash64(s)))
-      .withColumn("__sig", DedupOps.rowSignature(col("__hs")))
-    val cands = sh
-      .select(col("doc_id"), col("__sh"),
-        posexplode(DedupOps.bandHashes(col("__sig"))).as(Seq("__band", "__bh")))
-      .join(bandIndex,
-        col("__band") === bandIndex("band") && col("__bh") === bandIndex("bh"))
-      .select(col("doc_id"), col("corpus_id"), col("__sh"))
-      .distinct()
+    val cands = bandCandidates(exactNew, bandIndex, n)
     val nearIds = cands.join(shingles, "corpus_id")
       .withColumn("__inter", size(array_intersect(col("__sh"), col("sh"))))
       .filter(col("__inter").cast("double") /
@@ -113,8 +112,12 @@ object IncrementalCorpus {
   /** DuckDB oracle for [[screenReport]] over a hash-gated seen/new
     * split of `table`: seen = bucket < seenBuckets, new = rest. Exact =
     * md5(text) appears among seen; near = ANY seen doc with classical
-    * 3-shingle Jaccard ≥ tau (band recall is 1 at this tau/band config
-    * — the p03-verified property the LSH probe inherits). */
+    * 3-shingle Jaccard ≥ tau. The oracle computes true ALL-PAIRS
+    * Jaccard while the impl only verifies band-colliding candidates —
+    * so this differential check leans on band recall being 1 at this
+    * tau/band config. That is probabilistic in general, so it is
+    * ASSERTED (candidates ⊇ true ≥tau pairs, brute-force sweep) in
+    * IncrementalCorpusSpec where it is relied on, not just assumed. */
   def screenReportSql(tau: Double, seenBuckets: Long,
                       table: String = "documents"): String =
     s"""WITH seen AS (

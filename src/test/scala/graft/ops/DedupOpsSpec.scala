@@ -126,6 +126,27 @@ class DedupOpsSpec extends SparkSpec {
     DedupOps.connectedComponents(pairs.toDF("da", "db"))
       .as[(Long, Long)].collect().toMap
 
+  test("connectedComponents frees superseded checkpoints; saveClusterLabels frees the last") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    // a 40-node path forces multiple star-contraction rounds, each with
+    // its own eager checkpoint — all but the final label map must be
+    // unpersisted by the time the call returns (df.unpersist alone is a
+    // no-op for checkpoint blocks; see DedupOps.freeCheckpoint)
+    val labels = DedupOps.connectedComponents(
+      (0L until 39L).map(i => (i, i + 1)).toDF("da", "db"))
+    assert(labels.count() == 40)
+    assert(sc.getPersistentRDDs.size <= before + 1,
+      s"superseded CC checkpoints leaked: $before -> ${sc.getPersistentRDDs.size}")
+    // persisting the artifact frees the final block set too: block-
+    // manager storage returns to its pre-clustering baseline
+    val out = java.nio.file.Files.createTempDirectory("graft-ccfree-")
+    DedupOps.saveClusterLabels(labels, s"$out/labels")
+    assert(sc.getPersistentRDDs.size <= before,
+      s"final checkpoint survived save: $before -> ${sc.getPersistentRDDs.size}")
+    assert(DedupOps.loadClusterLabels(spark, s"$out/labels").count() == 40)
+  }
+
   test("connectedComponents labels a long chain with its min (diameter >> rounds)") {
     // a 40-node path: naive min-propagation needs 40 rounds; star
     // contraction must land the fixpoint within the O(log n) budget

@@ -68,6 +68,37 @@ class IncrementalCorpusSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("band recall: candidates are a superset of true >=tau pairs (p49 corpus + split)") {
+    // p49's oracle computes true ALL-PAIRS Jaccard while screenReport
+    // only verifies band-colliding candidates — the differential check
+    // relies on band recall being 1 at this tau/band config. Assert it
+    // on the ACTUAL p49 inputs (driver documents table, same hash-gated
+    // seen/new split, same exact-survivor gating), via a brute-force
+    // all-pairs sweep over the same shingle sets.
+    val tau = graft.queries.PipelineQueries.NearDupTau
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bucket = SampleOps.hashBucket(col("doc_id"))
+    val seen = docs.filter(bucket < graft.queries.PipelineQueries.CrossSeenBuckets)
+    val newb = docs.filter(bucket >= graft.queries.PipelineQueries.CrossSeenBuckets)
+    val exactNew = newb.withColumn("__fp", md5(col("text")))
+      .join(IncrementalCorpus.fingerprints(seen).select(col("fp").as("__fp")),
+        Seq("__fp"), "left_anti").drop("__fp")
+    val cands = IncrementalCorpus
+      .bandCandidates(exactNew, DedupOps.corpusBandIndex(seen))
+      .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val truePairs = DedupOps.shingleSets(exactNew)
+      .select(col("doc_id"), col("sh").as("nsh"))
+      .crossJoin(DedupOps.corpusShingleSets(seen))
+      .withColumn("__i", size(array_intersect(col("nsh"), col("sh"))))
+      .filter(col("__i").cast("double") /
+        (size(col("nsh")) + size(col("sh")) - col("__i")) >= tau)
+      .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(truePairs.nonEmpty,
+      "no true near pairs across the split — recall assertion would be vacuous")
+    assert(truePairs.subsetOf(cands),
+      s"band probe MISSED true near pairs: ${truePairs -- cands}")
+  }
+
   test("rounds accumulate: only new content is pipelined; re-run of a crashed round is idempotent") {
     val root = java.nio.file.Files.createTempDirectory("inc").toString
     val in = s"$root/docs"
