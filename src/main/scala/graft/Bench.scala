@@ -23,8 +23,8 @@ import org.apache.spark.sql.SparkSession
   * density) over the scale-sensitive query subset, one warm pass per
   * query after an untimed artifact build, so sf1/sf0.1 ratios compare
   * steady state to steady state. A time budget caps the section —
-  * skipped queries record -2 (vs -1 = query failed) rather than
-  * silently reading as covered.
+  * skipped queries record -2 (vs -1 = query failed, -3 = watchdog
+  * kill) rather than silently reading as covered.
   */
 object Bench {
   /** Scale-sensitive subset for the sf1 section: the clustering/
@@ -35,7 +35,7 @@ object Bench {
     "q01_pricing_summary", "q02_topk_groupby", "q12_scalar_funcs",
     "q16_json_extract", "p02_ngram_jaccard", "p03_minhash_lsh",
     "p05_embedding_neardup", "p06_ann_bruteforce", "p13_ann_ivf",
-    "p20_dedup_cluster", "p36_keep_best", "p37_corpus_pipeline",
+    "p20_dedup_cluster", "p36_keep_best", "p37_prepare_corpus",
     "p40_semantic_dedup", "p45_leakage_split", "p50_line_dedup",
     "p51_bpe_train")
 
@@ -62,13 +62,33 @@ object Bench {
 
   /** noop sink executes the FULL plan (projection, sort, limit) —
     * count() would let Spark drop projection work for some queries.
-    * -1 marks a failed query so fast failures never read as fast runs. */
+    * -1 marks a failed query so fast failures never read as fast runs;
+    * -3 marks a watchdog kill (`capSec` exceeded — the query's Spark
+    * jobs are cancelled via its job group) so one pathological query
+    * can't eat the rest of the section (in r5 a generator artifact
+    * made sf1 p03 run 150 s and budget-skip 9 queries behind it). */
+  private lazy val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t
+    }
+
   private def timeOne(spark: SparkSession, dir: String,
-                      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+                      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                      capSec: Double = 0): Double = {
+    val sc = spark.sparkContext
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val group = "bench-" + java.util.UUID.randomUUID()
+    val kill = if (capSec > 0) {
+      sc.setJobGroup(group, "bench query", interruptOnCancel = true)
+      watchdog.schedule(new Runnable {
+        def run(): Unit = { timedOut.set(true); sc.cancelJobGroup(group) }
+      }, (capSec * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
+    } else null
     val t0 = System.nanoTime()
     try { fn(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9 }
-    catch { case _: Throwable => -1.0 }
+    catch { case _: Throwable => if (timedOut.get) -3.0 else -1.0 }
+    finally { if (kill != null) { kill.cancel(false); sc.clearJobGroup() } }
   }
 
   private def median3(v: Seq[Double]): Double = {
@@ -87,6 +107,10 @@ object Bench {
   private def r3(d: Double): Double = math.rint(d * 1000) / 1000
 
   def main(args: Array[String]): Unit = {
+    // a renamed query would silently drop from the sf1 section (r5:
+    // "p37_corpus_pipeline" vs the real p37_prepare_corpus) — fail loud
+    val missing = Sf1Subset.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"Sf1Subset names not in SparkEntry.queries: $missing")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -125,7 +149,9 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val perRep: Seq[Map[String, Double]] = (1 to reps).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
-        name -> timeOne(spark, sfDir, fn) }.toMap
+        // 180 s cap = pure hang guard, 30× the slowest steady-state
+        // query; a one-rep kill leaves median-of-3 over the other reps
+        name -> timeOne(spark, sfDir, fn, capSec = 180) }.toMap
     }
     val med: Map[String, Double] =
       names.map(n => n -> median3(perRep.map(_(n)))).toMap
@@ -144,8 +170,11 @@ object Bench {
         val spent = (System.nanoTime() - t0) / 1e9
         if (spent > sf1Budget) sf1(n) = -2.0 // budget-skipped, disclosed
         else {
-          timeOne(spark, sf1Dir, SparkEntry.queries(n)) // artifact build / warm
-          sf1(n) = timeOne(spark, sf1Dir, SparkEntry.queries(n))
+          // warm + measured each capped: a single runaway query must
+          // not starve the queries behind it (-3 = killed, disclosed)
+          val cap = math.min(90.0, sf1Budget - spent + 15.0)
+          timeOne(spark, sf1Dir, SparkEntry.queries(n), cap) // artifact build / warm
+          sf1(n) = timeOne(spark, sf1Dir, SparkEntry.queries(n), cap)
         }
       }
     } catch { case _: Throwable => () }

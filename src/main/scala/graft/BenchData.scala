@@ -11,12 +11,20 @@ import org.apache.spark.sql.functions._
   * every row with key spaces offset so joins stay consistent and
   * replicas don't collide:
   *
-  *  - `documents`: replica text is word-SHUFFLED (deterministic sort
-  *    by md5(word‖k)) — replicas keep each doc's unigram histogram
-  *    (so quality gates, language ID, BPE see the same population)
-  *    but share no word n-grams with their original, so near-dup
-  *    pair density scales ~linearly (the honest scale-up) instead of
-  *    every doc gaining 9 trivial near-copies.
+  *  - `documents`: replica text gets a per-replica BIJECTIVE token
+  *    rename — non-stopword tokens map to a same-length hex token
+  *    derived from md5(token‖k), stopwords stay verbatim. Word order
+  *    and token lengths are untouched, so language ID, stop ratios,
+  *    quality scores, token counts, repetition structure, and n_chars
+  *    are preserved EXACTLY per replica, and within a replica two
+  *    docs share an n-gram iff their originals did — pair density
+  *    scales exactly linearly (replica k's pair set mirrors the
+  *    original's). Across replicas the rename spaces are disjoint, so
+  *    replicas share no n-grams with each other or the original.
+  *    (The first cut sorted each doc's words by a GLOBAL md5(word‖k)
+  *    key; that canonicalized word order corpus-wide, so every
+  *    same-vocabulary doc pair became a near-dup — measured p03 at
+  *    sf1 = 150 s, ~100× its sf0.1 time, an artifact not a cliff.)
   *  - `embeddings`: replica vectors are cyclically ROTATED by k —
   *    norm-preserving, cosine-decorrelated from the original, and
   *    exact-dup structure within a replica is preserved.
@@ -44,8 +52,14 @@ object BenchData {
     val marker = new java.io.File(base, "_SUCCESS")
     if (!marker.isFile) {
       Tables.names.foreach { n =>
-        scaled(spark, fromDir, n)
-          .write.mode("overwrite").parquet(s"${base.getAbsolutePath}/$n.parquet")
+        // the source SF is often one file -> one partition; written
+        // as-is the 10× table lands in ONE file/row-group and every
+        // scan serializes on one core (measured: q16 14.3 s at sf1 =
+        // 40× its sf0.1 time from a single 7 MB events file). Spread
+        // to cores-many files so sf1 scans parallelize like real data.
+        val df = scaled(spark, fromDir, n)
+        val spread = if (n == "region" || n == "nation") df else df.repartition(32)
+        spread.write.mode("overwrite").parquet(s"${base.getAbsolutePath}/$n.parquet")
       }
       marker.getParentFile.mkdirs()
       java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
@@ -56,19 +70,30 @@ object BenchData {
   private def withK(df: DataFrame): DataFrame =
     df.withColumn("k", explode(sequence(lit(0L), lit(Replicas - 1L))))
 
-  /** Deterministic per-replica word shuffle: k=0 keeps the original
-    * text; k>0 sorts words by md5(word‖'·'‖k). Order-sensitive
-    * features (shingles, rolling fingerprints) decorrelate across
-    * replicas; unigram statistics are preserved exactly. */
-  private def shuffledText(text: org.apache.spark.sql.Column,
-                           k: org.apache.spark.sql.Column) =
-    when(k === 0, text).otherwise(
-      concat_ws(" ", transform(
-        array_sort(transform(split(text, "\\s+"),
-          w => struct(md5(concat(w, lit("·"), k)).as("h"), w.as("w")))),
-        s => s.getField("w"))))
+  /** Deterministic per-replica bijective token rename: k=0 keeps the
+    * original text; k>0 maps each non-stopword `^[a-z]+$` token to the
+    * same-length prefix of repeat(md5(token‖'·'‖k)) — injective per
+    * (length, k) up to md5-prefix collisions (negligible above 2-3
+    * chars; the test corpus vocabulary is ~30 words). Stopword tokens
+    * (the langid lexicons) and any token outside `^[a-z]+$` stay
+    * verbatim, so language ID, stop ratios, quality scores, and
+    * repetition structure are preserved exactly, while replica k's
+    * n-gram match structure mirrors the original's (bijections
+    * preserve n-gram equality) and replicas share nothing with each
+    * other. Tokens longer than 96 chars would truncate to 96 — none
+    * exist in the driver corpora (max doc 577 chars). */
+  private val StopWords: Seq[String] =
+    graft.ops.TextOps.Lexicons.flatMap(_._2.split("\\|")).distinct
 
-  private def scaled(spark: SparkSession, dir: String, name: String): DataFrame = {
+  private def renamedText(text: org.apache.spark.sql.Column,
+                          k: org.apache.spark.sql.Column) =
+    when(k === 0, text).otherwise(
+      concat_ws(" ", transform(split(text, "\\s+"), w =>
+        when(w.rlike("^[a-z]+$") && !w.isin(StopWords: _*),
+          repeat(md5(concat(w, lit("·"), k)), 3).substr(lit(1), length(w)))
+          .otherwise(w))))
+
+  private[graft] def scaled(spark: SparkSession, dir: String, name: String): DataFrame = {
     val t = Tables.load(spark, dir, name)
     val k = col("k")
     name match {
@@ -76,9 +101,10 @@ object BenchData {
       case "documents" =>
         withK(t).select(
           (col("doc_id") + k * 10000000L).as("doc_id"),
-          shuffledText(col("text"), k).as("text"),
+          renamedText(col("text"), k).as("text"),
           col("lang"), col("source"),
-          length(shuffledText(col("text"), k)).cast("long").as("n_chars"))
+          // same-length rename + untouched separators: length is preserved
+          length(renamedText(col("text"), k)).cast("long").as("n_chars"))
       case "embeddings" =>
         // rotate by k: concat(slice(v,k+1,n-k), slice(v,1,k))
         val v = col("embedding")

@@ -15,7 +15,24 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     init(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Normalize `ts` to the engine's time model — int64 epoch NANOSECONDS
+    // (the reference stores ns int64 and converts via epoch_ns at query
+    // time; SURVEY §1 "Time"). The driver's events.ts has arrived both as
+    // TIMESTAMP(NANOS) int64 (rounds 1-4; surfaced as ns long) and as
+    // timestamp[us] (round 5+; Spark infers TIMESTAMP_NTZ — the legacy
+    // nanosAsLong conf is ignored at runtime in Spark 4.1.2). Converting
+    // at the load boundary keeps every consumer on one type regardless
+    // of the driver's parquet encoding. Sessions pin UTC, so the
+    // NTZ->TIMESTAMP cast is offset-free.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) |
+           Some(org.apache.spark.sql.types.TimestampType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            df.col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+      case _ => df
+    }
   }
 
   /** `load` + size-aware round-robin repartition, for queries whose

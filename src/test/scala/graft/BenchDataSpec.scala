@@ -1,0 +1,89 @@
+package graft
+
+/** The sf1 bench section is only as honest as BenchData's 10× derive.
+  * These specs pin the properties the section's ratios rely on:
+  * replica k's documents must be INDISTINGUISHABLE from the original
+  * corpus to every gate (language ID, quality, token stats) while its
+  * n-gram pair structure exactly mirrors the original's and shares
+  * nothing across replicas — so near-dup pair density scales exactly
+  * linearly with the replica count. (The first cut sorted words by a
+  * global per-k key, which canonicalized order corpus-wide and made
+  * every same-vocabulary pair a near-dup: sf1 p03 measured 150 s,
+  * ~100× its sf0.1 time, a generator artifact.)
+  */
+class BenchDataSpec extends SparkSpec {
+  private val src = "/root/testdata/sf0.001"
+  private val Off = 10000000L
+
+  private def shingles(text: String, n: Int = 3): Set[Seq[String]] =
+    text.split("\\s+").toSeq.sliding(n).filter(_.size == n).map(_.toSeq).toSet
+
+  private lazy val all: Array[(Long, String, String, Long)] =
+    BenchData.scaled(spark, src, "documents")
+      .select("doc_id", "text", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+  private lazy val orig = all.filter(_._1 < Off).sortBy(_._1)
+  private def replica(k: Int) =
+    all.filter(t => t._1 >= k * Off && t._1 < (k + 1) * Off)
+      .map(t => (t._1 - k * Off, t._2, t._3, t._4)).sortBy(_._1)
+
+  test("10x rows, disjoint doc_id spaces, k=0 kept verbatim") {
+    val base = Tables.load(spark, src, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(all.length == base.length * BenchData.Replicas)
+    assert(orig.map(t => (t._1, t._2)).toSeq == base)
+    (1 until BenchData.Replicas).foreach(k => assert(replica(k).length == base.length))
+  }
+
+  test("rename preserves per-token lengths, stopword tokens, and n_chars") {
+    val stop = ops.TextOps.Lexicons.flatMap(_._2.split("\\|")).toSet
+    replica(3).zip(orig).foreach { case ((id, t, _, nc), (oid, ot, _, onc)) =>
+      assert(id == oid)
+      assert(nc == onc && t.length == ot.length)
+      val tw = t.split("\\s+"); val ow = ot.split("\\s+")
+      assert(tw.length == ow.length)
+      tw.zip(ow).foreach { case (a, b) =>
+        assert(a.length == b.length)
+        if (stop(b)) assert(a == b) // stopwords verbatim
+        else if (b.matches("[a-z]+")) assert(a != b) // content words renamed
+        // a renamed token must never BECOME a stopword (it would shift
+        // langid/stop-ratio for replicas; impossible for this corpus —
+        // the only all-hex stopword is 2-char "de" and the corpus has
+        // no 2-char content words — but assert it, don't assume it)
+        assert(stop(a) == stop(b))
+      }
+    }
+  }
+
+  test("language ID is identical for every replica of every doc") {
+    import org.apache.spark.sql.functions.col
+    val sess = spark
+    import sess.implicits._
+    val lid = all.toSeq.toDF("doc_id", "text", "lang", "n_chars")
+      .select(col("doc_id"), ops.TextOps.langId(col("text")).as("lid"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    orig.foreach { case (id, _, _, _) =>
+      (1 until BenchData.Replicas).foreach(k => assert(lid(id + k * Off) == lid(id),
+        s"doc $id replica $k classified ${lid(id + k * Off)} vs ${lid(id)}"))
+    }
+  }
+
+  test("within-replica n-gram Jaccard mirrors the original pair-for-pair; " +
+       "cross-replica shares only all-stopword shingles") {
+    def jac(a: Set[Seq[String]], b: Set[Seq[String]]): Double =
+      if (a.isEmpty && b.isEmpty) 1.0 else (a & b).size.toDouble / (a | b).size
+    val r = replica(1)
+    for (i <- orig.indices; j <- i + 1 until orig.length) {
+      val jo = jac(shingles(orig(i)._2), shingles(orig(j)._2))
+      val jr = jac(shingles(r(i)._2), shingles(r(j)._2))
+      assert(math.abs(jo - jr) < 1e-12,
+        s"pair (${orig(i)._1},${orig(j)._1}): original $jo vs replica $jr")
+    }
+    val stop = ops.TextOps.Lexicons.flatMap(_._2.split("\\|")).toSet
+    val shared = orig.flatMap(d => shingles(d._2)).toSet &
+      r.flatMap(d => shingles(d._2)).toSet
+    assert(shared.forall(_.forall(stop)), s"content shingles leak across replicas: " +
+      shared.filterNot(_.forall(stop)).take(3))
+  }
+}
