@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, CorpusPipeline, DedupOps, IncrementalCorpus, MediaGen, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, ShardOps, SimilarityOps, TextOps, TimeSeriesOps}
+import graft.ops.{AsOfJoin, BpeOps, CorpusPipeline, DedupOps, IncrementalCorpus, MediaGen, MixOps, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, ShardOps, SimilarityOps, TextOps, TimeSeriesOps}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -646,6 +646,23 @@ object PipelineQueries {
       if (merges.nonEmpty) bpeEncMerges.set(merges.toArray)
       BpeOps.encode(docs, merges).orderBy(col("doc_id"))
     }),
+
+    // ---- per-domain quality cap (RefinedWeb/FineWeb gate): top-C docs
+    //      per source by (quality DESC, doc_id) — computed histogram-
+    //      first, so no rank window ever spans a hot domain; only the
+    //      single boundary score-group per source gets ranked ----
+    "p53_domain_cap" -> ((s, dir) => {
+      MixOps.domainCap(Tables.loadSpread(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- token-budget mixture plan: per-(lang, source) √-temperature
+    //      allocation and epoch factor, all integer arithmetic — one
+    //      corpus pass to a dimension-sized table, 1-row total broadcast ----
+    "p54_mixture_plan" -> ((s, dir) => {
+      MixOps.mixturePlan(Tables.loadSpread(s, dir, "documents"))
+        .orderBy(col("lang"), col("source"))
+    }),
   )
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
@@ -855,6 +872,8 @@ object PipelineQueries {
     "p48_corpus_shuffle" -> ShardOps.shuffleManifestSql(),
     "p49_cross_screen" -> IncrementalCorpus.screenReportSql(NearDupTau, CrossSeenBuckets),
     "p50_line_dedup" -> DedupOps.lineDedupSql(),
+    "p53_domain_cap" -> MixOps.domainCapSql(),
+    "p54_mixture_plan" -> MixOps.mixturePlanSql(),
     "p39_corpus_card" ->
       s"""WITH base AS (
          |  SELECT ${TextOps.langIdSql("text")} AS lang_pred,
