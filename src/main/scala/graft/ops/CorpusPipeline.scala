@@ -33,7 +33,16 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  def prepare(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+  def prepare(docs: DataFrame, tau: Double = 0.5): DataFrame =
+    finish(gateAndLabel(docs, tau))
+
+  /** Stages 1-2, the ARTIFACT face: gates + near-dup cluster labels over
+    * the gated survivors — `doc_id, cluster_id, text, quality`. This is
+    * the once-per-corpus-snapshot table (the clusterMapFor/IVF-index
+    * pattern): the pair join + connected components are the pipeline's
+    * most expensive stages, and every downstream consumer composes on
+    * the materialized map instead of re-deriving it. */
+  def gateAndLabel(docs: DataFrame, tau: Double = 0.5): DataFrame = {
     val rep = TextOps.repetitionStats(docs)
       .select(col("doc_id"), col("keep").as("__kr"))
     val rare = TextOps.rareNgramStats(docs)
@@ -50,8 +59,13 @@ object CorpusPipeline {
       .join(rare, Seq("doc_id"), "left")
       .filter(col("__kr") && coalesce(col("__kq"), lit(true)))
       .select("doc_id", "text")
-    val labeled = DedupOps.clusterLabels(gated, tau,
+    DedupOps.clusterLabels(gated, tau,
       Seq(col("text"), TextOps.qualityScore(col("text")).as("quality")))
+  }
+
+  /** Stages 3-5 over a (possibly loaded-from-parquet) gate+label table:
+    * keeper selection, PII redaction, chunking. */
+  def finish(labeled: DataFrame): DataFrame = {
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("quality").desc, col("doc_id"))
     val keepers = labeled
