@@ -94,6 +94,136 @@ object ModelOps {
       .withColumn("agree", col("pred") === col("label"))
   }
 
+  // ---- CCNet-style bigram-LM perplexity gate ----
+
+  /** Feature space for the bigram LM: contexts and bigrams hash into
+    * this many buckets (CCNet trains a KenLM on a curated reference and
+    * buckets the crawl by perplexity percentile — here the LM is a
+    * hashed bigram model with quantized-bit logs so every score replays
+    * exactly in the oracle; a real KenLM would drop into the same
+    * dataflow). Larger than NbBuckets because bigram contexts collide
+    * more destructively than bag-of-grams features. */
+  val PplBuckets = 4096L
+
+  /** Stable LM bucket (md5, 24 bits, always positive). */
+  def pplBucket(g: Column): Column =
+    conv(substring(md5(g), 1, 6), 16, 10).cast("long") % PplBuckets
+
+  /** Train a hashed bigram LM on the heuristic-quality seed slice (the
+    * CCNet shape: LM learns the clean reference, scores the raw crawl)
+    * and bucket every document into per-language perplexity terciles:
+    * `doc_id, lang, n_big, qsum, bpt_milli, tercile, keep`.
+    *
+    * Per token position (context `<s>` at the start), add-one smoothing
+    * over the bucket space — the denominator carries the +V mass, so an
+    * UNSEEN bigram costs ≈ log2 V bits instead of reading as free:
+    *   qlp_i = llog2 c(ctx_i,w_i) − bits(c(ctx_i) + V)   [quantized bits]
+    * qsum = Σ qlp_i; bits-per-token (millibit, integer floor division)
+    *   bpt_milli = 1000·max(−qsum, 0) DIV n
+    * — hash collisions can make a bucket's bigram count exceed its
+    * context count, so the clamp keeps the scale non-negative. CCNet's
+    * head/middle/tail is the per-LANGUAGE perplexity tercile: ntile(3)
+    * over (bpt_milli, doc_id) within each lang — exact, deterministic,
+    * and identical ntile semantics in both engines. keep = head+middle
+    * (CCNet discards the tail).
+    *
+    * Scale shape (the p44/p47 dataflow): token instances pre-aggregate
+    * to per-(doc, ctx-bucket, bigram-bucket) counts, materialized once;
+    * the two model tables (≤ PplBuckets rows each) BROADCAST back for
+    * map-side scoring; the corpus never shuffles to be scored. The
+    * tercile split is one window per language — at 100 TB you'd cut on
+    * sampled percentile thresholds instead; the gate semantics (keep
+    * the best ⅔ per language) are unchanged. Docs with no tokens keep
+    * n_big = 0, score 0, and rank into the head by doc_id order. */
+  def bigramPerplexity(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = TextOps.tokens(col("text"))
+    val padded = concat(array(lit("<s>")), w)
+    val inst = docs
+      .select(col("doc_id"),
+        (TextOps.qualityScore(col("text")) >= NbSeedTau).as("__seed"),
+        slice(padded, lit(1), size(w)).as("__ctx"),
+        TextExprs.ngrams(padded, 2).as("__big"))
+      .select(col("doc_id"), col("__seed"),
+        explode(arrays_zip(col("__ctx"), col("__big"))).as("__z"))
+      .select(col("doc_id"), col("__seed"),
+        pplBucket(col("__z")("__ctx")).as("b1"),
+        pplBucket(col("__z")("__big")).as("b12"))
+    val cnt = inst.groupBy("doc_id", "__seed", "b1", "b12")
+      .agg(count(lit(1)).as("__k"))
+      .localCheckpoint(true)
+    val m12 = cnt.filter(col("__seed")).groupBy("b12")
+      .agg(sum(col("__k")).as("__c12"))
+    val m1 = cnt.filter(col("__seed")).groupBy("b1")
+      .agg(sum(col("__k")).as("__c1"))
+    val per = cnt
+      .join(broadcast(m12), Seq("b12"), "left")
+      .join(broadcast(m1), Seq("b1"), "left")
+      .na.fill(0L, Seq("__c12", "__c1"))
+      .groupBy("doc_id")
+      // llog2(x) = bits(x+1), so the +V denominator passes x = c1+V−1
+      .agg(sum(col("__k")).as("n_big"),
+        sum(col("__k") * (llog2(col("__c12"))
+          - llog2(col("__c1") + lit(PplBuckets - 1)))).as("qsum"))
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_big", "qsum"))
+      .withColumn("bpt_milli",
+        expr("(1000 * greatest(-qsum, 0L)) DIV greatest(n_big, 1L)"))
+    val terc = Window.partitionBy(col("lang"))
+      .orderBy(col("bpt_milli"), col("doc_id"))
+    scored.withColumn("tercile", ntile(3).over(terc))
+      .withColumn("keep", col("tercile") <= 2)
+  }
+
+  /** DuckDB oracle for bigramPerplexity (same buckets, same quantized
+    * logs, same seed gate, same ntile cut). */
+  def bigramPerplexitySql(table: String = "documents"): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    ${TextOps.qualityScoreSql("text")} >= $NbSeedTau AS seed,
+       |    list_prepend('<s>',
+       |      string_split_regex(trim(lower(text)), '\\s+')) AS p
+       |  FROM $table),
+       |inst AS (
+       |  SELECT doc_id, seed,
+       |    unnest(list_transform(range(1, len(p)), i -> p[i])) AS cx,
+       |    unnest(list_transform(range(1, len(p)), i -> p[i]||' '||p[i+1])) AS g
+       |  FROM toks),
+       |bk AS (
+       |  SELECT doc_id, seed,
+       |    (('0x'||substr(md5(cx),1,6))::UBIGINT)::BIGINT % $PplBuckets AS b1,
+       |    (('0x'||substr(md5(g),1,6))::UBIGINT)::BIGINT % $PplBuckets AS b12
+       |  FROM inst),
+       |cnt AS (
+       |  SELECT doc_id, seed, b1, b12, count(*) AS k
+       |  FROM bk GROUP BY ALL),
+       |m12 AS (
+       |  SELECT b12, CAST(sum(k) AS BIGINT) AS c12 FROM cnt
+       |  WHERE seed GROUP BY b12),
+       |m1 AS (
+       |  SELECT b1, CAST(sum(k) AS BIGINT) AS c1 FROM cnt
+       |  WHERE seed GROUP BY b1),
+       |per AS (
+       |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_big,
+       |    CAST(sum(k * ((length(bin(COALESCE(c12, 0) + 1)) - 1)
+       |               - (length(bin(COALESCE(c1, 0) + $PplBuckets)) - 1)))
+       |      AS BIGINT) AS qsum
+       |  FROM cnt LEFT JOIN m12 USING (b12) LEFT JOIN m1 USING (b1)
+       |  GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.doc_id, d.lang,
+       |    COALESCE(p.n_big, 0) AS n_big, COALESCE(p.qsum, 0) AS qsum,
+       |    (1000 * greatest(-COALESCE(p.qsum, 0), 0))
+       |      // greatest(COALESCE(p.n_big, 0), 1) AS bpt_milli
+       |  FROM $table d LEFT JOIN per p USING (doc_id))
+       |SELECT doc_id, lang, n_big, qsum, bpt_milli, tercile, tercile <= 2 AS keep
+       |FROM (
+       |  SELECT *, ntile(3) OVER (PARTITION BY lang
+       |    ORDER BY bpt_milli, doc_id) AS tercile
+       |  FROM scored) t
+       |ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for nbQualityScores (same buckets, same quantized
     * logs, same smoothing, same seed gate). */
   def nbQualitySql(table: String = "documents"): String =

@@ -118,7 +118,7 @@ object SimilarityOps {
     * zero vectors — a NaN vector inside KMeans.fit poisons centroid
     * updates for the whole corpus, where brute force would only degrade
     * for the one bad row. */
-  private def normalized(v: Column): Column = {
+  private[ops] def normalized(v: Column): Column = {
     val n = sqrt(dotf(v, v))
     when(n > 0.0, transform(v, x => x.cast("double") / n)).otherwise(lit(null))
   }
@@ -379,6 +379,73 @@ object SimilarityOps {
        |)
        |SELECT qid, nid, ${OracleSql.roundD("sim", 4)} AS sim, rn FROM (
        |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
+  // ---- hard-negative mining (retrieval-training data prep) ----
+
+  /** Mine HARD NEGATIVES for contrastive retrieval training: for each
+    * query vector, the top-k most-similar corpus vectors whose `label`
+    * DIFFERS from the query's — the semantically-closest wrong answers,
+    * the examples a dual-encoder learns most from (the in-batch-negative
+    * upgrade of DPR, Karpukhin 2020 §3.2 / ANCE, Xiong 2021: negatives
+    * mined from an ANN index over the current corpus, not random).
+    *
+    * Rides the SHARED IVF index (probe the nprobe nearest cells, exact
+    * cosine within them — the p13 plan) with one extra predicate: the
+    * label filter runs BEFORE the rank window, so mined negatives are
+    * dense even when a query's own class dominates its probe cells.
+    * `labeled` is the persisted IVF `assigned` table joined with its
+    * label column; at 100 TB labels live alongside the codes in the
+    * index artifact and this is the same one-pass probe scan. */
+  def hardNegativesFrom(centers: DataFrame, labeled: DataFrame,
+                        queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val bc = labeled.select(col("vec_id").as("nid"), col("nvec").as("nv"),
+      col("cell"), col("label").as("n_label"))
+    val ql = queries.select(col("vec_id").as("qid"), col("label").as("q_label"))
+    val probes = probeCellsFrom(centers, queries, nprobe)
+      .join(broadcast(ql), Seq("qid"))
+    val scored = probes.join(bc, Seq("cell"))
+      .filter(col("qid") =!= col("nid") && col("n_label") =!= col("q_label"))
+      .select(col("qid"), col("q_label"), col("nid"), col("n_label"),
+        dotf(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** DuckDB oracle for hardNegativesFrom: the ivfTopKSql replay with the
+    * label join + exclusion predicate in the same place (before the
+    * rank), over the same trained centroids. */
+  def hardNegativesSql(centers: Seq[Array[Double]], k: Int, nprobe: Int,
+                       maxQid: Int): String = {
+    val values = centersValuesSql(centers)
+    s"""WITH centers(cell, cv, hn2) AS (VALUES $values),
+       |nv AS (
+       |  $NormalizedCorpusSql
+       |), cellrank AS (
+       |  SELECT nv.vec_id, nv.v, c.cell,
+       |    row_number() OVER (PARTITION BY nv.vec_id
+       |      ORDER BY (list_inner_product(nv.v, c.cv) - c.hn2) DESC, c.cell) AS cr
+       |  FROM nv, centers c
+       |), assigned AS (
+       |  SELECT cr.vec_id, cr.v, cr.cell, e.label
+       |  FROM cellrank cr JOIN embeddings e ON e.vec_id = cr.vec_id
+       |  WHERE cr.cr = 1
+       |), probes AS (
+       |  SELECT cr.vec_id AS qid, cr.v AS qv, e.label AS q_label, cr.cell
+       |  FROM cellrank cr JOIN embeddings e ON e.vec_id = cr.vec_id
+       |  WHERE cr.vec_id < $maxQid AND cr.cr <= $nprobe
+       |), scored AS (
+       |  SELECT p.qid, p.q_label, a.vec_id AS nid, a.label AS n_label,
+       |    list_inner_product(p.qv, a.v) AS sim
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.vec_id != p.qid AND a.label != p.q_label
+       |)
+       |SELECT qid, q_label, nid, n_label,
+       |  ${OracleSql.roundD("sim", 4)} AS sim, rn FROM (
+       |  SELECT qid, q_label, nid, n_label, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
        |  FROM scored) t
        |WHERE rn <= $k ORDER BY qid, rn""".stripMargin

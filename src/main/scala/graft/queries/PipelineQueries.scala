@@ -665,6 +665,44 @@ object PipelineQueries {
       MixOps.mixturePlan(Tables.loadSpread(s, dir, "documents"))
         .orderBy(col("lang"), col("source"))
     }),
+
+    // ---- CCNet-style perplexity gate: hashed bigram LM trained on the
+    //      heuristic-quality seed slice, per-language head/middle/tail
+    //      terciles; model broadcasts, corpus never shuffles to score ----
+    "p55_ppl_filter" -> ((s, dir) => {
+      ModelOps.bigramPerplexity(Tables.loadSpread(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- product-quantization ANN: per-subspace codebooks compress
+    //      each vector to M bytes; ADC scan is M table lookups per
+    //      candidate. Trained codebooks cached per corpus dir (the IVF
+    //      pattern) and rendered into the oracle ----
+    "p56_pq_ann" -> ((s, dir) => {
+      val index = pqIndexFor(s, dir)
+      pqBooks.set(index.books)
+      graft.ops.PqOps.pqTopKFrom(index,
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 5),
+        k = 10, dims = EmbDims)
+        .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- hard-negative mining for retrieval training: top-k nearest
+    //      DIFFERENT-label vectors per query, probed through the SHARED
+    //      nlist=16 IVF index (the p13/p27 artifact — no retrain) ----
+    "p57_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (km, assigned) = ivfIndexFor(s, dir, nlist = 16)
+      hardNegCenters.set(km.clusterCenters.map(_.toArray))
+      val labeled = assigned.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      SimilarityOps.hardNegativesFrom(
+        SimilarityOps.centersOf(km, s), labeled,
+        emb.filter(col("vec_id") < 8), k = 10, nprobe = 4)
+        .select(col("qid"), col("q_label"), col("nid"), col("n_label"),
+          round(col("sim"), 4).as("sim"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
   )
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
@@ -790,6 +828,34 @@ object PipelineQueries {
     (km, Tables.init(s).read.parquet(path))
   }
 
+  /** Embedding dimensionality of the test tables (TESTDATA.md). */
+  val EmbDims = 64
+
+  /** Trained PQ index, built ONCE per corpus dir (the ivfIndexFor
+    * pattern): 8 per-subspace codebook fits + one map-only encode pass,
+    * the encoded corpus persists as parquet, consumers scan the codes. */
+  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Array[Double]]], String)]()
+  private def pqIndexFor(s: SparkSession, dir: String): graft.ops.PqOps.PqIndex = {
+    val (books, path) = pqIndexCache.computeIfAbsent(dir, _ => {
+      val idx = graft.ops.PqOps.pqIndex(
+        Tables.load(s, dir, "embeddings"), dims = EmbDims)
+      val out = java.nio.file.Files.createTempDirectory("graft-pqidx-")
+      idx.codes.write.mode("overwrite").parquet(out.toString)
+      (idx.books, out.toString)
+    })
+    graft.ops.PqOps.PqIndex(books, Tables.init(s).read.parquet(path))
+  }
+
+  /** p56's trained codebooks, captured like p13's centroids. */
+  private val pqBooks = new java.util.concurrent.atomic.AtomicReference[
+    Array[Array[Array[Double]]]]()
+
+  /** p57's probe centroids (the SHARED nlist=16 quantizer, captured
+    * separately so p57 stays order-independent of p13/p27). */
+  private val hardNegCenters =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
   /** p13's trained quantizer, captured when the query runs so the oracle
     * SQL can replay the SAME centroids (Verify runs all queries, then
     * dumps oracleSql — same JVM). Absent (p13 not run / failed) → the
@@ -834,7 +900,13 @@ object PipelineQueries {
     Option(bpeMerges.get()).map(m =>
       "p51_bpe_train" -> BpeOps.bpeTrainSql(m.toSeq)) ++
     Option(bpeEncMerges.get()).map(m =>
-      "p52_bpe_encode" -> BpeOps.bpeEncodeSql(m.toSeq))
+      "p52_bpe_encode" -> BpeOps.bpeEncodeSql(m.toSeq)) ++
+    Option(pqBooks.get()).map(b =>
+      "p56_pq_ann" -> graft.ops.PqOps.pqTopKSql(b.toSeq, k = 10, maxQid = 5,
+        dims = EmbDims)) ++
+    Option(hardNegCenters.get()).map(c =>
+      "p57_hard_negatives" -> SimilarityOps.hardNegativesSql(c.toSeq, k = 10,
+        nprobe = 4, maxQid = 8))
 
   private val staticOracle: Map[String, String] = Map(
     "p01_dedup_exact" ->
@@ -918,6 +990,7 @@ object PipelineQueries {
     "p50_line_dedup" -> DedupOps.lineDedupSql(),
     "p53_domain_cap" -> MixOps.domainCapSql(),
     "p54_mixture_plan" -> MixOps.mixturePlanSql(),
+    "p55_ppl_filter" -> ModelOps.bigramPerplexitySql(),
     "p39_corpus_card" ->
       s"""WITH base AS (
          |  SELECT ${TextOps.langIdSql("text")} AS lang_pred,

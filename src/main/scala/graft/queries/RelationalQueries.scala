@@ -216,10 +216,12 @@ object RelationalQueries {
     }),
 
     // ---- JSON extraction over the props column (per-row JSON parse is
-    //      the cost; loadSorted sorts FIRST so the range exchange's
-    //      sampling pass never re-executes the parse) ----
+    //      the cost; loadSpread fans the single-file scan out — no sort:
+    //      nothing downstream needs order (the driver's compare is
+    //      order-insensitive), and a global sort bolted onto a map-only
+    //      projection would be pure overhead at any scale) ----
     "q16_json_extract" -> ((s, dir) => {
-      Tables.loadSorted(s, dir, "events", col("event_id"))
+      Tables.loadSpread(s, dir, "events")
         .select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -314,9 +316,48 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),
+
+    // ---- ClickHouse sequenceMatch / sequenceCount (behavioral funnel
+    //      conditions over a user's event-time-ordered stream). The
+    //      per-user stream renders as a symbol string (one char per
+    //      event type, ordered by (ts, event_id) — the unique id breaks
+    //      same-µs ties identically in both engines); the pattern
+    //      '(?1).*(?2).*(?3)' = view→click→purchase is a regex over it.
+    //      sequenceCount uses LAZY gaps ('.*?'): leftmost-shortest
+    //      non-overlapping matches — exactly CH's earliest-completion
+    //      chain scan, and identical between Java regex and RE2. One
+    //      shuffle on user_id; the symbol string is bounded by a user's
+    //      event count (pair it with sessionized spans at 100 TB if
+    //      single users can span millions of events) ----
+    "q22_sequence_match" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          // µs-truncated sort key (the eventTsUs discipline): DuckDB
+          // compares µs timestamps, so sub-µs ns must not order ties
+          struct(expr("(ts DIV 1000) * 1000").as("t"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("sym")).as("e"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(array_sort(collect_list(col("e"))),
+            x => x("sym")), "").as("__seq"))
+        .select(col("user_id"), col("n_events"),
+          col("__seq").rlike("v.*c.*p").as("matched"),
+          regexp_count(col("__seq"), lit("v.*?c.*?p")).as("n_seq"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "q22_sequence_match" ->
+      """WITH seqs AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  regexp_matches(seq, 'v.*c.*p') AS matched,
+        |  len(regexp_extract_all(seq, 'v.*?c.*?p')) AS n_seq
+        |FROM seqs ORDER BY user_id""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${roundD("sum(l_quantity)", 2)} AS sum_qty,

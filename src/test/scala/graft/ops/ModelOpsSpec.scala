@@ -44,6 +44,56 @@ class ModelOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  // ---- bigramPerplexity (p55) ----
+
+  private def langCorpus = (0L until 30L).map { i =>
+    // two langs; even ids fluent (low perplexity under the seed LM),
+    // ids 7 and 9 word-salad (unseen bigrams -> high perplexity)
+    val text = if (i == 7L || i == 9L) "qq ww ee rr tt yy uu ii oo pp"
+    else good + s" extra${i % 3}"
+    (i, text, if (i % 2 == 0) "en" else "de")
+  }.toDF("doc_id", "text", "lang")
+
+  test("perplexity terciles are per-language, balanced, and rank salad last") {
+    val out = ModelOps.bigramPerplexity(langCorpus).cache()
+    assert(out.count() == 30)
+    // ntile invariant: within each lang the tercile sizes differ by <= 1
+    val sizes = out.groupBy("lang", "tercile").count()
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    sizes.groupBy(_._1).foreach { case (_, s) =>
+      val counts = s.map(_._2)
+      assert(counts.max - counts.min <= 1, s.toSeq)
+    }
+    // the word-salad docs cost the most bits per token in their language
+    val salad = out.filter(col("doc_id").isin(7L, 9L)).collect()
+    assert(salad.forall(_.getAs[Int]("tercile") == 3), salad.toSeq)
+    assert(salad.forall(!_.getAs[Boolean]("keep")))
+    out.unpersist()
+  }
+
+  test("perplexity handles empty documents and is partitioning-invariant") {
+    val withEmpty = langCorpus.union(Seq((100L, "", "en")).toDF())
+    val out = ModelOps.bigramPerplexity(withEmpty)
+    val empty = out.filter(col("doc_id") === 100L).collect().head
+    // split('') yields one empty token in BOTH engines (the p44/p47
+    // tokenizer contract) -> exactly one <s>-context bigram, scored like
+    // any unseen gram; what matters is the engines agree, not that the
+    // count reads zero
+    assert(empty.getAs[Long]("n_big") == 1L)
+    assert(empty.getAs[Long]("bpt_milli") > 0L)
+    def rows(parts: Int) =
+      ModelOps.bigramPerplexity(withEmpty.repartition(parts))
+        .select("doc_id", "qsum", "tercile").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(rows(1) == rows(13))
+  }
+
+  test("LM model joins broadcast; the corpus never shuffles to score") {
+    val plan = ModelOps.bigramPerplexity(langCorpus)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   private implicit class ToSortedMap(a: Array[(Long, Long)]) {
     def toSortedMap: Map[Long, Long] = a.toMap
   }

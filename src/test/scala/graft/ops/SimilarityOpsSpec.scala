@@ -165,4 +165,52 @@ class SimilarityOpsSpec extends SparkSpec {
       .select($"qid", $"sim").as[(Long, Double)].collect()
     assert(ann.forall { case (qid, s) => s <= brute(qid) + 1e-12 })
   }
+
+  // ---- hard-negative mining (p57) ----
+
+  private def labeledVecs(n: Int, dims: Int) = {
+    val rnd = new scala.util.Random(17)
+    (0L until n.toLong).map { i =>
+      (i, Array.fill(dims)(rnd.nextFloat() * 2 - 1), (i % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("hard negatives never share the query's label and never self-match") {
+    val corpus = labeledVecs(300, 16)
+    val (km, assigned) = SimilarityOps.ivfIndex(corpus, nlist = 8)
+    // the persisted index artifact carries (vec_id, nvec, cell); labels
+    // join on from the corpus table, as in p57
+    val labeled = assigned.select("vec_id", "nvec", "cell")
+      .join(corpus.select("vec_id", "label"), "vec_id")
+    val r = SimilarityOps.hardNegativesFrom(
+      SimilarityOps.centersOf(km, spark), labeled,
+      corpus.filter($"vec_id" < 6), k = 10, nprobe = 3)
+      .select($"qid", $"q_label", $"nid", $"n_label").collect()
+    assert(r.nonEmpty)
+    assert(r.forall(row => row.getLong(0) != row.getLong(2)))
+    assert(r.forall(row => row.getInt(1) != row.getInt(3)))
+  }
+
+  test("at full probe, hard negatives equal brute force filtered by label") {
+    val corpus = labeledVecs(200, 8)
+    val (km, assigned) = SimilarityOps.ivfIndex(corpus, nlist = 4)
+    val labeled = assigned.select("vec_id", "nvec", "cell")
+      .join(corpus.select("vec_id", "label"), "vec_id")
+    val q = corpus.filter($"vec_id" < 4)
+    val mined = SimilarityOps.hardNegativesFrom(
+      SimilarityOps.centersOf(km, spark), labeled, q, k = 5, nprobe = 4)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    // brute force over all pairs, keep only different-label, window top-5
+    val lbl = corpus.select($"vec_id".as("nid"), $"label".as("nl"))
+    val brute = SimilarityOps.bruteForceTopK(corpus, q, 200)
+      .join(lbl, "nid")
+      .join(corpus.select($"vec_id".as("qid"), $"label".as("ql")), "qid")
+      .filter($"nl" =!= $"ql")
+      .withColumn("rn2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"sim".desc, $"nid")))
+      .filter($"rn2" <= 5)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    assert(mined == brute)
+  }
 }
