@@ -37,7 +37,8 @@ object Bench {
     "p05_embedding_neardup", "p06_ann_bruteforce", "p13_ann_ivf",
     "p20_dedup_cluster", "p36_keep_best", "p37_prepare_corpus",
     "p40_semantic_dedup", "p45_leakage_split", "p50_line_dedup",
-    "p51_bpe_train", "p55_ppl_filter", "p56_pq_ann")
+    "p51_bpe_train", "p55_ppl_filter", "p56_pq_ann",
+    "p58_quality_ensemble", "p61_unigram_encode")
 
   private def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

@@ -121,6 +121,64 @@ object DedupOps {
        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
   }
 
+  /** Contamination fraction above which a document counts as dirty
+    * (GPT-3 appendix C removes documents by n-gram overlap with evals;
+    * the fraction, not just the hit flag, is what per-corpus
+    * contamination REPORTS publish). */
+  val ContamDirtyTau = 0.2
+
+  /** Per-document contamination REPORT against a holdout — the audit
+    * face of [[decontaminate]]: every corpus doc appears, with its
+    * distinct-shingle count, contaminated-shingle count, overlap
+    * fraction, and the dirty verdict at [[ContamDirtyTau]].
+    *
+    * Same plan as decontaminate (holdout shingles broadcast, map-side
+    * semi-join; the bloom prefilter drops in identically when the
+    * holdout outgrows a broadcast) plus one per-doc shingle count that
+    * rides the SAME shingle pass — the corpus still never shuffles its
+    * text. Fraction compares on integer counts scaled exactly
+    * (n_hits·1.0/n_shingles, one IEEE division) so the verdict replays. */
+  def contaminationReport(corpus: DataFrame, holdout: DataFrame,
+                          n: Int = DecontamN): DataFrame = {
+    val hh = shingles(holdout, n).select(col("s")).distinct()
+    val sh = shingles(corpus, n)
+    val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = sh.join(broadcast(hh), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_shingles"), 6).as("frac"))
+      .withColumn("dirty", col("frac") >= ContamDirtyTau)
+  }
+
+  /** DuckDB oracle for `contaminationReport` with holdout = doc_id <
+    * maxHoldout and corpus = the rest (the p15 split). */
+  def contaminationReportSql(maxHoldout: Long, n: Int = DecontamN): String = {
+    val gram = (0 until n).map(k => s"w[i+$k]").mkString("||' '||")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - ${n - 2}, 1)), i -> $gram))) s
+       |  FROM toks),
+       |hold AS (SELECT DISTINCT s FROM sh WHERE doc_id < $maxHoldout),
+       |tot AS (
+       |  SELECT doc_id, count(*) AS n_shingles FROM sh
+       |  WHERE doc_id >= $maxHoldout GROUP BY doc_id),
+       |hits AS (
+       |  SELECT sh.doc_id, count(*) AS n_hits
+       |  FROM sh JOIN hold USING (s)
+       |  WHERE sh.doc_id >= $maxHoldout GROUP BY sh.doc_id)
+       |SELECT doc_id, n_shingles, n_hits, frac,
+       |  frac >= $ContamDirtyTau AS dirty
+       |FROM (
+       |  SELECT t.doc_id, t.n_shingles, coalesce(h.n_hits, 0) AS n_hits,
+       |    ${OracleSql.roundD("CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_shingles", 6)} AS frac
+       |  FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Default stop-shingle document-frequency cap, as a fraction of corpus
     * size: shingles present in more than max(ceil(frac·N), floor)
     * documents are dropped before the pair join. 1/256 is exactly

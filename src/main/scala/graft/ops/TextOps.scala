@@ -157,19 +157,24 @@ object TextOps {
     * row, instead of an explode + two groupBys + self-join that would
     * recompute the tokenize/gram base for the exploded branch (measured
     * 5.2 s vs 1 s at sf0.1). */
-  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
-    val w = col("__w")
-    // codegen n-gram builder (WordNGrams), not an interpreted HOF
-    def grams(n: Int): Column = graft.functions.TextExprs.ngrams(w, n)
-    // run lengths over the sorted array: (prev, run, best) fold
-    val topRun = aggregate(array_sort(col("__g2")),
+  /** Longest run over the SORTED array = the mode's count: one
+    * aggregate() fold per row ((prev, run, best) state), no explode. */
+  private def topRunOf(sortedArr: Column): Column =
+    aggregate(sortedArr,
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
         val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
         struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
       },
       acc => acc("best"))
+
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val w = col("__w")
+    // codegen n-gram builder (WordNGrams), not an interpreted HOF
+    def grams(n: Int): Column = graft.functions.TextExprs.ngrams(w, n)
+    // run lengths over the sorted array: (prev, run, best) fold
+    val topRun = topRunOf(array_sort(col("__g2")))
     // tokenize, then materialize the gram arrays, THEN read them multiple
     // times — HOF lambdas re-evaluate captured expressions per element,
     // and size()/array_distinct() both re-reading an inline grams() would
@@ -192,6 +197,131 @@ object TextOps {
         col("dup_word_frac") <= DupWordMax &&
           col("top_bigram_frac") <= TopBigramMax &&
           col("dup_trigram_frac") <= DupTrigramMax)
+  }
+
+  // ---- multi-signal ensemble gate (the Dolma/FineWeb tagger→mixer
+  //      shape: every filter runs as an independent TAGGER, the mixer
+  //      records WHICH gate dropped a doc — drop-reason attribution is
+  //      what lets a pipeline audit its own yield per rule). ----
+
+  /** Gate thresholds (Gopher-adjacent, matching the standalone ops'
+    * constants where one exists). */
+  val EnsembleMinWords = 5L
+  val EnsembleSymbolMax = 0.4
+  val EnsembleQualityMin = 0.5
+
+  /** Every signal + per-gate verdicts + keep + first-tripped reason:
+    * `doc_id, n_words, symbol_frac, dup_word_frac, top_bigram_frac,
+    * dup_trigram_frac, quality, g_short..g_lowq, keep, reason`.
+    *
+    * All signals are pure column expressions over one tokenize pass —
+    * ZERO shuffles, whole-stage codegen, linear in corpus bytes (the
+    * p08/p09/p31 sweep shape). Verdicts compare ROUNDED values so the
+    * oracle's booleans can never diverge at a threshold boundary.
+    * Reason priority is structural-first (short → symbolic → repetition
+    * → model-ish quality), mirroring how production cascades order
+    * cheap structural rules before scored ones. */
+  def ensembleGate(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val w = col("__w")
+    def grams(n: Int): Column = graft.functions.TextExprs.ngrams(w, n)
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), col("__t"), w,
+        size(w).cast("long").as("n_words"),
+        size(array_distinct(w)).as("__dw"),
+        grams(2).as("__g2"), grams(3).as("__g3"))
+      .select(col("doc_id"),
+        col("n_words"),
+        // symbol_frac = 1 − (letters + digits + _ + whitespace)/chars;
+        // \p{L}/\p{N} (not ASCII-only \w) so CJK text isn't all-symbol;
+        // the classes mean the same thing in Java regex and RE2.
+        // int/int division then one subtract — engine-exact
+        round(when(length(col("__t")) > 0,
+          lit(1.0) - length(regexp_replace(col("__t"), "[^\\p{L}\\p{N}_\\s]", ""))
+            .cast("double") / length(col("__t"))).otherwise(lit(0.0)), 6)
+          .as("symbol_frac"),
+        round(lit(1.0) - col("__dw").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        round(when(size(col("__g2")) > 0,
+          topRunOf(array_sort(col("__g2"))).cast("double") / size(col("__g2")))
+          .otherwise(lit(0.0)), 6).as("top_bigram_frac"),
+        round(when(size(col("__g3")) > 0,
+          lit(1.0) - size(array_distinct(col("__g3"))).cast("double") /
+            size(col("__g3"))).otherwise(lit(0.0)), 6).as("dup_trigram_frac"),
+        qualityScore(col("__t")).as("quality"))
+      .withColumn("g_short", col("n_words") >= EnsembleMinWords)
+      .withColumn("g_symbolic", col("symbol_frac") <= EnsembleSymbolMax)
+      .withColumn("g_dupword", col("dup_word_frac") <= DupWordMax)
+      .withColumn("g_topbigram", col("top_bigram_frac") <= TopBigramMax)
+      .withColumn("g_duptrigram", col("dup_trigram_frac") <= DupTrigramMax)
+      .withColumn("g_lowq", col("quality") >= EnsembleQualityMin)
+      .withColumn("keep",
+        col("g_short") && col("g_symbolic") && col("g_dupword") &&
+          col("g_topbigram") && col("g_duptrigram") && col("g_lowq"))
+      .withColumn("reason",
+        when(!col("g_short"), "short")
+          .when(!col("g_symbolic"), "symbolic")
+          .when(!col("g_dupword"), "dup_word")
+          .when(!col("g_topbigram"), "top_bigram")
+          .when(!col("g_duptrigram"), "dup_trigram")
+          .when(!col("g_lowq"), "low_quality")
+          .otherwise("pass"))
+  }
+
+  /** DuckDB oracle for ensembleGate (same signals, same rounding, same
+    * reason priority). */
+  def ensembleSql(table: String = "documents"): String = {
+    def r6(e: String) = OracleSql.roundD(e, 6)
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') w
+       |  FROM $table),
+       |g AS (
+       |  SELECT doc_id, text, w, len(w) AS nw,
+       |    list_transform(range(1, greatest(len(w), 1)), i -> w[i]||' '||w[i+1]) AS g2,
+       |    list_transform(range(1, greatest(len(w) - 1, 1)),
+       |                   i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS g3
+       |  FROM toks),
+       |bgc AS (
+       |  SELECT doc_id, gg, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(g2) AS gg FROM g) GROUP BY 1, 2),
+       |topb AS (
+       |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS tb FROM bgc GROUP BY 1),
+       |m AS (
+       |  SELECT g.doc_id, CAST(nw AS BIGINT) AS n_words,
+       |    ${r6("CASE WHEN length(text) > 0 THEN 1.0 - " +
+            "CAST(length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')) AS DOUBLE)" +
+            " / length(text) ELSE 0.0 END")} AS symbol_frac,
+       |    ${r6("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / nw")} AS dup_word_frac,
+       |    coalesce(${r6("tb")}, 0.0) AS top_bigram_frac,
+       |    ${r6("CASE WHEN len(g3) > 0 THEN " +
+            "1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END")}
+       |      AS dup_trigram_frac,
+       |    ${qualityScoreSql("text")} AS quality
+       |  FROM g LEFT JOIN topb ON g.doc_id = topb.doc_id),
+       |v AS (
+       |  SELECT *,
+       |    n_words >= $EnsembleMinWords AS g_short,
+       |    symbol_frac <= $EnsembleSymbolMax AS g_symbolic,
+       |    dup_word_frac <= $DupWordMax AS g_dupword,
+       |    top_bigram_frac <= $TopBigramMax AS g_topbigram,
+       |    dup_trigram_frac <= $DupTrigramMax AS g_duptrigram,
+       |    quality >= $EnsembleQualityMin AS g_lowq
+       |  FROM m)
+       |SELECT doc_id, n_words, symbol_frac, dup_word_frac, top_bigram_frac,
+       |  dup_trigram_frac, quality, g_short, g_symbolic, g_dupword,
+       |  g_topbigram, g_duptrigram, g_lowq,
+       |  (g_short AND g_symbolic AND g_dupword AND g_topbigram
+       |   AND g_duptrigram AND g_lowq) AS keep,
+       |  CASE WHEN NOT g_short THEN 'short'
+       |       WHEN NOT g_symbolic THEN 'symbolic'
+       |       WHEN NOT g_dupword THEN 'dup_word'
+       |       WHEN NOT g_topbigram THEN 'top_bigram'
+       |       WHEN NOT g_duptrigram THEN 'dup_trigram'
+       |       WHEN NOT g_lowq THEN 'low_quality'
+       |       ELSE 'pass' END AS reason
+       |FROM v ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB oracle for repetitionStats (same constants, same rounding). */

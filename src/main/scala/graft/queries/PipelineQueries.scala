@@ -688,6 +688,50 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // ---- multi-signal ensemble gate (Dolma tagger→mixer shape): six
+    //      independent gates over one tokenize pass, keep + first-
+    //      tripped reason; zero shuffles, pure codegen sweeps ----
+    "p58_quality_ensemble" -> ((s, dir) => {
+      TextOps.ensembleGate(Tables.loadSpread(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-doc contamination REPORT (the audit face of p15): overlap
+    //      fraction + dirty verdict for every corpus doc; holdout
+    //      shingles broadcast, total counts ride the same shingle pass ----
+    "p59_contamination_report" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      DedupOps.contaminationReport(
+        docs.filter(col("doc_id") >= DecontamHoldout),
+        docs.filter(col("doc_id") < DecontamHoldout))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- unigram-LM tokenizer TRAINING (Kudo 2018 / SentencePiece):
+    //      EM over a capped word histogram (driver-local, the p51
+    //      discipline), integer quantized-bit piece costs; output = the
+    //      top-200 word head with optimal (cost, n_pieces) — the oracle
+    //      re-derives every word's optimal cost' by recursive-CTE DP
+    //      over the rendered piece table ----
+    "p60_unigram_train" -> ((s, dir) => {
+      val pieces = trainedPiecesFor(s, dir)
+      if (pieces.nonEmpty) unigramPieces.set(pieces.toArray)
+      graft.ops.UnigramOps.trainTable(
+        Tables.loadSpread(s, dir, "documents"), pieces)
+        .orderBy(col("word"))
+    }),
+
+    // ---- unigram-LM encode (p61): distinct corpus words segment by
+    //      distributed Viterbi (mapPartitions + broadcast pieces), docs
+    //      roll up their tokens' results — corpus text never shuffles ----
+    "p61_unigram_encode" -> ((s, dir) => {
+      val pieces = trainedPiecesFor(s, dir)
+      if (pieces.nonEmpty) unigramEncPieces.set(pieces.toArray)
+      graft.ops.UnigramOps.encodeDocs(
+        Tables.loadSpread(s, dir, "documents"), pieces)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- hard-negative mining for retrieval training: top-k nearest
     //      DIFFERENT-label vectors per query, probed through the SHARED
     //      nlist=16 IVF index (the p13/p27 artifact — no retrain) ----
@@ -890,6 +934,20 @@ object PipelineQueries {
   private val bpeEncMerges =
     new java.util.concurrent.atomic.AtomicReference[Array[BpeOps.Merge]]()
 
+  /** Unigram-LM piece table, trained ONCE per corpus dir and shared by
+    * p60/p61 (the trainedMergesFor pattern); captured per query so the
+    * two stay order-independent. */
+  private val trainedPiecesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[graft.ops.UnigramOps.Piece]]()
+  private def trainedPiecesFor(s: SparkSession, dir: String)
+      : Seq[graft.ops.UnigramOps.Piece] =
+    trainedPiecesCache.computeIfAbsent(dir,
+      _ => graft.ops.UnigramOps.train(Tables.loadSpread(s, dir, "documents")))
+  private val unigramPieces = new java.util.concurrent.atomic.AtomicReference[
+    Array[graft.ops.UnigramOps.Piece]]()
+  private val unigramEncPieces = new java.util.concurrent.atomic.AtomicReference[
+    Array[graft.ops.UnigramOps.Piece]]()
+
   def oracle: Map[String, String] = staticOracle ++
     Option(ivfCenters.get()).map(c =>
       "p13_ann_ivf" -> SimilarityOps.ivfTopKSql(c.toSeq, k = 10, nprobe = 4, maxQid = 5)) ++
@@ -906,7 +964,11 @@ object PipelineQueries {
         dims = EmbDims)) ++
     Option(hardNegCenters.get()).map(c =>
       "p57_hard_negatives" -> SimilarityOps.hardNegativesSql(c.toSeq, k = 10,
-        nprobe = 4, maxQid = 8))
+        nprobe = 4, maxQid = 8)) ++
+    Option(unigramPieces.get()).map(p =>
+      "p60_unigram_train" -> graft.ops.UnigramOps.trainTableSql(p.toSeq)) ++
+    Option(unigramEncPieces.get()).map(p =>
+      "p61_unigram_encode" -> graft.ops.UnigramOps.encodeDocsSql(p.toSeq))
 
   private val staticOracle: Map[String, String] = Map(
     "p01_dedup_exact" ->
@@ -991,6 +1053,8 @@ object PipelineQueries {
     "p53_domain_cap" -> MixOps.domainCapSql(),
     "p54_mixture_plan" -> MixOps.mixturePlanSql(),
     "p55_ppl_filter" -> ModelOps.bigramPerplexitySql(),
+    "p58_quality_ensemble" -> TextOps.ensembleSql(),
+    "p59_contamination_report" -> DedupOps.contaminationReportSql(DecontamHoldout),
     "p39_corpus_card" ->
       s"""WITH base AS (
          |  SELECT ${TextOps.langIdSql("text")} AS lang_pred,

@@ -338,6 +338,38 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("contaminationReport: every corpus doc reported, fractions exact") {
+    import spark.implicits._
+    // shingles are 8-grams (DecontamN): docs need >= 8 words to report
+    val ten = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val hold = Seq((0L, ten)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, ten),                                              // fully contaminated
+      (11L, "one two three four five six seven eight nine ten"), // clean
+      (12L, "alpha beta gamma delta epsilon zeta eta theta t1 t2 t3 t4"), // partial
+    ).toDF("doc_id", "text")
+    val r = DedupOps.contaminationReport(corpus, hold).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4)))).toMap
+    assert(r.keySet == Set(10L, 11L, 12L), "clean docs must still appear")
+    assert(r(10L)._3 == 1.0 && r(10L)._4)
+    assert(r(11L) == ((3L, 0L, 0.0, false)))
+    assert(r(12L)._2 > 0 && r(12L)._3 < 1.0)
+    // fraction is hits/shingles exactly
+    r.values.foreach { case (n, h, f, _) =>
+      assert(f == math.rint(h.toDouble / n * 1e6) / 1e6) }
+  }
+
+  test("contaminationReport broadcasts the holdout; corpus text unshuffled") {
+    import spark.implicits._
+    val hold = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = (10L until 40L).map(i => (i, s"w$i x$i y$i z$i q$i"))
+      .toDF("doc_id", "text")
+    val plan = DedupOps.contaminationReport(corpus, hold)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))

@@ -282,4 +282,42 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0L)._4 == r(1L)._4,
       "after hygiene the two spellings fingerprint identically")
   }
+
+  test("ensembleGate attributes the first-tripped reason in priority order") {
+    import spark.implicits._
+    // passes all six gates: 120 words, 1/3 stopwords (quality's stop
+    // ratio), long distinct content words (dup/bigram/trigram low,
+    // avg-token-length high)
+    val good = (0 until 120)
+      .map(i => if (i % 3 == 0) "the" else s"wonderful$i").mkString(" ")
+    val docs = Seq(
+      (0L, good),                        // passes everything
+      (1L, "one two"),                   // < 5 words -> short
+      (2L, "!!! ### $$$ %%% ^^^ &&&"),   // symbols (and short-safe: 6 words)
+      (3L, ("spam spam " * 30).trim),    // dup words AND top bigram -> dup_word wins
+      (4L, ""),                          // empty -> short
+    ).toDF("doc_id", "text")
+    val r = TextOps.ensembleGate(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Boolean]("keep"), x.getAs[String]("reason")))).toMap
+    assert(r(0L) == ((true, "pass")), r(0L))
+    assert(r(1L) == ((false, "short")))
+    assert(r(2L) == ((false, "symbolic")))
+    assert(r(3L) == ((false, "dup_word")), r(3L))
+    assert(r(4L) == ((false, "short")))
+  }
+
+  test("ensembleGate is map-only: zero exchanges in the physical plan") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val plan = TextOps.ensembleGate(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("ensembleGate symbol fraction treats CJK letters as letters") {
+    import spark.implicits._
+    val docs = Seq((0L, "中文 文本 中文 文本 中文 句子")).toDF("doc_id", "text")
+    val r = TextOps.ensembleGate(docs).collect().head
+    assert(r.getAs[Double]("symbol_frac") == 0.0, r.toString)
+  }
 }
