@@ -541,11 +541,63 @@ object DedupOps {
     * the same join (resolved against `docs`), costing zero extra
     * shuffles. */
   def clusterLabels(docs: DataFrame, tau: Double,
-                    keep: Seq[Column] = Nil): DataFrame = {
-    val cc = connectedComponents(ngramJaccardPairs(docs, tau))
+                    keep: Seq[Column] = Nil,
+                    capFrac: Option[Double] = Some(StopShingleFrac)): DataFrame = {
+    val cc = connectedComponents(ngramJaccardPairs(docs, tau, capFrac = capFrac))
     docs.join(cc, docs("doc_id") === cc("node"), "left")
       .select(docs("doc_id") +:
         coalesce(col("rep"), docs("doc_id")).as("cluster_id") +: keep: _*)
+  }
+
+  /** Incrementally refresh a cluster-label map with a new batch — the
+    * update face of the materialized artifact ([[saveClusterLabels]]):
+    * a 100 TB corpus never re-runs its pair join from scratch when a
+    * daily dump lands.
+    *
+    * Inputs: the OLD label map (doc_id, cluster_id), the old corpus's
+    * persisted per-doc shingle rows (doc_id, s — the state p49's screen
+    * already keeps), and the new batch. Edges for the merged clustering:
+    *  - old labels as STAR edges (doc — its representative): stars
+    *    preserve every old component's connectivity without its pairs;
+    *  - new↔new: the exact pair join over the batch alone;
+    *  - new↔old: one inverted-index join of batch shingles against the
+    *    shingle state — cost ∝ batch, never ∝ corpus.
+    * Connected components over the union then yields EXACTLY the
+    * clustering a full recompute would (connectivity is preserved under
+    * star contraction; cross pairs are computed exactly) — which is
+    * precisely what the p62 oracle checks: DuckDB re-clusters the FULL
+    * corpus from scratch and the results must hash-match.
+    *
+    * Predicate note: this composes on the UNCAPPED Jaccard. The
+    * production stop-shingle cap is df-RELATIVE (df ≤ frac·N), which is
+    * not incrementally stable — a shingle's df drifts past the
+    * threshold as the corpus grows, silently changing old pair
+    * decisions. An incremental deployment reintroduces the cap as an
+    * ABSOLUTE df threshold (monotone under appends, so decisions only
+    * ever move one way) or re-derives it per refresh epoch. */
+  def incrementalClusterLabels(oldLabels: DataFrame, oldShingles: DataFrame,
+                               newDocs: DataFrame, tau: Double,
+                               n: Int = 3): DataFrame = {
+    val shNew = shingles(newDocs, n)
+    val sizesNew = shNew.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizesOld = oldShingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pNN = ngramJaccardPairs(newDocs, tau, n, capFrac = None)
+      .select("da", "db")
+    val common = shNew.as("a").join(oldShingles.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    val pNO = common
+      .join(sizesNew.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizesOld.as("sb"), col("db") === col("sb.doc_id"))
+      .filter(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")) >= tau)
+      .select("da", "db")
+    val oldEdges = oldLabels.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("da"), col("cluster_id").as("db"))
+    val cc = connectedComponents(pNN.union(pNO).union(oldEdges))
+    val docs = oldLabels.select("doc_id").union(newDocs.select("doc_id"))
+    docs.join(cc, docs("doc_id") === cc("node"), "left")
+      .select(docs("doc_id"),
+        coalesce(col("rep"), docs("doc_id")).as("cluster_id"))
   }
 
   /** Persist a (doc_id, cluster_id) label map as a plain parquet table —

@@ -732,6 +732,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- incremental cluster-map refresh: the corpus splits at
+    //      RefreshSplit into an "already-clustered" snapshot (labels +
+    //      shingle state) and a "new dump"; Spark refreshes the
+    //      artifact incrementally (star edges + exact cross pairs),
+    //      the oracle re-clusters the FULL corpus from scratch — the
+    //      hash match PROVES incremental ≡ batch ----
+    "p62_cluster_refresh" -> ((s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val oldDocs = docs.filter(col("doc_id") < RefreshSplit)
+      val newDocs = docs.filter(col("doc_id") >= RefreshSplit)
+      val oldLabels = DedupOps.clusterLabels(oldDocs, NearDupTau, capFrac = None)
+      DedupOps.incrementalClusterLabels(
+        oldLabels, DedupOps.shingles(oldDocs, 3), newDocs, NearDupTau)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- hard-negative mining for retrieval training: top-k nearest
     //      DIFFERENT-label vectors per query, probed through the SHARED
     //      nlist=16 IVF index (the p13/p27 artifact — no retrain) ----
@@ -757,6 +773,10 @@ object PipelineQueries {
 
   /** p15's holdout split: the first docs stand in for an eval set. */
   val DecontamHoldout = 50L
+
+  /** p62's corpus split point: docs below are the already-clustered
+    * snapshot, docs at/above are the incoming dump. */
+  val RefreshSplit = 300L
 
   /** p17's interval length AND bucket width (1 h in ns): each interval
     * covers ≤ 2 buckets. */
@@ -810,6 +830,21 @@ object PipelineQueries {
     * accumulated corpus, the rest are the incoming dump. */
   val CrossSeenBuckets = 800L
 
+  /** Where trained artifacts (cluster maps, IVF/PQ indexes) persist.
+    * Default: a driver-local temp dir — correct for local[] and
+    * local-cluster[] (one machine). On a real cluster set
+    * GRAFT_ARTIFACT_DIR to SHARED storage (hdfs://, s3a://, a mount):
+    * the path is only ever handed to Spark readers/writers, so any
+    * Hadoop-FS scheme works; executors never resolve it as a local
+    * java.nio path. */
+  private def artifactDir(prefix: String): String =
+    sys.env.get("GRAFT_ARTIFACT_DIR") match {
+      case Some(base) =>
+        s"${base.stripSuffix("/")}/$prefix-${java.util.UUID.randomUUID()}"
+      case None =>
+        java.nio.file.Files.createTempDirectory(prefix + "-").toString
+    }
+
   /** Materialized near-dup cluster map, built ONCE per corpus dir and
     * persisted as parquet (DedupOps.saveClusterLabels — the IVF-index
     * pattern): p20 is the build face, p36/p45 compose on the artifact.
@@ -821,7 +856,7 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def clusterMapFor(s: SparkSession, dir: String): DataFrame = {
     val path = clusterMapDirs.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-clustermap-")
+      val out = artifactDir("graft-clustermap")
       DedupOps.saveClusterLabels(
         DedupOps.clusterLabels(Tables.loadSpread(s, dir, "documents"), NearDupTau),
         out.toString)
@@ -841,7 +876,7 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def gatedMapFor(s: SparkSession, dir: String): DataFrame = {
     val path = gatedMapDirs.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-gatedmap-")
+      val out = artifactDir("graft-gatedmap")
       DedupOps.saveClusterLabels(
         CorpusPipeline.gateAndLabel(Tables.load(s, dir, "documents"), NearDupTau),
         out.toString)
@@ -864,7 +899,7 @@ object PipelineQueries {
     val (km, path) = ivfIndexCache.computeIfAbsent(s"$dir#$nlist", _ => {
       val (m, assigned) =
         SimilarityOps.ivfIndex(Tables.load(s, dir, "embeddings"), nlist)
-      val out = java.nio.file.Files.createTempDirectory("graft-ivfidx-")
+      val out = artifactDir("graft-ivfidx")
       assigned.select(col("vec_id"), col("nvec"), col("cell"))
         .write.mode("overwrite").parquet(out.toString)
       (m, out.toString)
@@ -876,15 +911,16 @@ object PipelineQueries {
   val EmbDims = 64
 
   /** Trained PQ index, built ONCE per corpus dir (the ivfIndexFor
-    * pattern): 8 per-subspace codebook fits + one map-only encode pass,
-    * the encoded corpus persists as parquet, consumers scan the codes. */
+    * pattern): driver-local Lloyd over one bounded sample + one
+    * map-only encode pass; the encoded corpus persists as parquet,
+    * consumers scan the codes. */
   private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Array[Double]]], String)]()
   private def pqIndexFor(s: SparkSession, dir: String): graft.ops.PqOps.PqIndex = {
     val (books, path) = pqIndexCache.computeIfAbsent(dir, _ => {
       val idx = graft.ops.PqOps.pqIndex(
         Tables.load(s, dir, "embeddings"), dims = EmbDims)
-      val out = java.nio.file.Files.createTempDirectory("graft-pqidx-")
+      val out = artifactDir("graft-pqidx")
       idx.codes.write.mode("overwrite").parquet(out.toString)
       (idx.books, out.toString)
     })
@@ -1055,6 +1091,10 @@ object PipelineQueries {
     "p55_ppl_filter" -> ModelOps.bigramPerplexitySql(),
     "p58_quality_ensemble" -> TextOps.ensembleSql(),
     "p59_contamination_report" -> DedupOps.contaminationReportSql(DecontamHoldout),
+    // full-corpus batch re-clustering: the hash match proves the
+    // incremental refresh's algebra (uncapped predicate — see
+    // incrementalClusterLabels' predicate note)
+    "p62_cluster_refresh" -> DedupOps.clusterSql(NearDupTau, capFrac = None),
     "p39_corpus_card" ->
       s"""WITH base AS (
          |  SELECT ${TextOps.langIdSql("text")} AS lang_pred,

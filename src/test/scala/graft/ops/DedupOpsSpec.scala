@@ -360,6 +360,39 @@ class DedupOpsSpec extends SparkSpec {
       assert(f == math.rint(h.toDouble / n * 1e6) / 1e6) }
   }
 
+  test("incremental cluster refresh equals full batch recompute") {
+    import spark.implicits._
+    // clusters that STRADDLE the old/new boundary: docs 0-5 old, 6-9 new;
+    // texts built so (0,1,6) share a cluster via 6's overlap with 1,
+    // (2,7,8) likewise, 3/4/5/9 singletons
+    val t = Map(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma delta epsilon zeta eta iota",
+      2L -> "one two three four five six seven eight",
+      3L -> "completely different text about weather patterns today",
+      4L -> "numbers nine ten eleven twelve thirteen fourteen fifteen",
+      5L -> "lone document with its very own unique content",
+      6L -> "alpha beta gamma delta epsilon zeta iota kappa", // near 1
+      7L -> "one two three four five six seven nine",         // near 2
+      8L -> "one two three four five six eight nine",         // near 2,7
+      9L -> "brand new unrelated material in the final dump",
+    )
+    val docs = t.toSeq.map { case (id, tx) => (id, tx) }.toDF("doc_id", "text")
+    val oldDocs = docs.filter($"doc_id" < 6)
+    val newDocs = docs.filter($"doc_id" >= 6)
+    val tau = 0.5
+    val full = DedupOps.clusterLabels(docs, tau, capFrac = None)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oldLabels = DedupOps.clusterLabels(oldDocs, tau, capFrac = None)
+    val inc = DedupOps.incrementalClusterLabels(
+      oldLabels, DedupOps.shingles(oldDocs, 3), newDocs, tau)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"incremental $inc vs batch $full")
+    // sanity: the straddling merges actually happened
+    assert(full(6L) == full(1L) && full(7L) == full(2L) && full(8L) == full(2L))
+    assert(full(9L) == 9L)
+  }
+
   test("contaminationReport broadcasts the holdout; corpus text unshuffled") {
     import spark.implicits._
     val hold = Seq((0L, "a b c d e")).toDF("doc_id", "text")
