@@ -97,12 +97,14 @@ object ModelOps {
   // ---- CCNet-style bigram-LM perplexity gate ----
 
   /** Feature space for the bigram LM: contexts and bigrams hash into
-    * this many buckets (CCNet trains a KenLM on a curated reference and
-    * buckets the crawl by perplexity percentile — here the LM is a
-    * hashed bigram model with quantized-bit logs so every score replays
-    * exactly in the oracle; a real KenLM would drop into the same
-    * dataflow). Larger than NbBuckets because bigram contexts collide
-    * more destructively than bag-of-grams features. */
+    * this many buckets (CCNet — Wenzek et al., "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data", LREC 2020 —
+    * trains a KenLM on a curated reference and buckets the crawl into
+    * head/middle/tail by per-language perplexity percentile; here the
+    * LM is a hashed bigram model with quantized-bit logs so every score
+    * replays exactly in the oracle, and a real KenLM would drop into
+    * the same dataflow). Larger than NbBuckets because bigram contexts
+    * collide more destructively than bag-of-grams features. */
   val PplBuckets = 4096L
 
   /** Stable LM bucket (md5, 24 bits, always positive). */

@@ -97,6 +97,22 @@ object LocalClusterE2E {
         require(q.statusCode() == 200, s"query: ${q.statusCode()} ${q.body()}")
         require(q.body().contains(""""s":"6"""") && q.body().contains(""""c":"3""""),
           s"wrong query result: ${q.body()}")
+        // pipeline ops across real executor processes: the broadcast
+        // piece table + mapPartitions Viterbi DP (p61) and the CC
+        // localCheckpoint rounds (p20/p62) must survive executors that
+        // share nothing with the driver but the cluster protocol
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val docs = (0L until 12L).map(i =>
+          (i, if (i % 2 == 0) "alpha beta gamma alpha beta"
+              else s"delta epsilon zeta unique$i tail$i")).toDF("doc_id", "text")
+        val pieces = graft.ops.UnigramOps.train(docs)
+        require(pieces.nonEmpty, "unigram training empty on local-cluster")
+        val enc = graft.ops.UnigramOps.encodeDocs(docs, pieces).collect()
+        require(enc.length == 12, s"unigram encode rows: ${enc.length}")
+        val labels = graft.ops.DedupOps.clusterLabels(docs, 0.5, capFrac = None)
+        require(labels.filter(col("cluster_id") === 0L).count() == 6,
+          "identical even docs must cluster to doc 0 on local-cluster")
         println(s"E2E_OK executors=${exec.map(_._1).toSeq.sorted.mkString(",")} " +
           s"driver=$driverPid l2=${l2Count()}")
       } finally server.close()
