@@ -806,6 +806,81 @@ object DedupOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Duplicated-span REMOVAL — the editing face of [[substrDupStats]]
+    * (Lee et al. §4 actually cut the duplicate occurrences out of the
+    * training text; the stats op only reports them). Every w-token
+    * window instance that is NOT the corpus-global first occurrence of
+    * its content (order = (doc_id, position)) marks its token span for
+    * removal; the cleaned document is the surviving tokens rejoined.
+    * Returns `doc_id, n_tokens, n_removed, clean_fp` for EVERY doc
+    * (short docs pass through untouched; clean_fp fingerprints the
+    * exact cleaned token stream, so the oracle checks the edit itself,
+    * not just counts).
+    *
+    * Plan: ONE window over the span hash flags non-first instances
+    * (the lineDedup device — rn>1 implies dup, no count join needed);
+    * covered positions explode from just the flagged instances; the
+    * per-doc rollup joins the bounded cover set back onto the token
+    * array and filters by index. Two keyed shuffles (span hash, doc
+    * rollup), both linear in corpus tokens. The per-doc membership
+    * test is O(|cover|) per token — bounded by document length here;
+    * at 100 TB-scale span density, merge the cover set into disjoint
+    * segments first (same dataflow, one extra per-doc fold). */
+  def removeDupSpans(docs: DataFrame, w: Int = SubstrWindow): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+    val inst = toks.select(col("doc_id"),
+        posexplode(graft.functions.TextExprs.ngrams(col("__toks"), w))
+          .as(Seq("__p0", "__g")))
+      .select(col("doc_id"), (col("__p0") + 1).cast("long").as("i"),
+        md5(col("__g")).as("h"))
+    val win = Window.partitionBy("h").orderBy("doc_id", "i")
+    val dup = inst.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") > 1)
+    val cov = dup
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (w - 1))).as("cv"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_list(col("cv"))).as("__cs"))
+    toks.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cs")), lit(0)).cast("long").as("n_removed"),
+        md5(array_join(
+          filter(col("__toks"), (_, ix) =>
+            !coalesce(array_contains(col("__cs"), (ix + 1).cast("long")),
+              lit(false))), " ")).as("clean_fp"))
+  }
+
+  /** DuckDB oracle for removeDupSpans (same tokenizer, same md5, same
+    * first-instance order, same rejoin). */
+  def removeDupSpansSql(w: Int = SubstrWindow, table: String = "documents"): String = {
+    val gram = (0 until w).map(k => s"w[i+$k]").mkString("||' '||")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |inst AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(w) - ${w - 2})) AS i,
+       |    unnest(list_transform(range(1, len(w) - ${w - 2}), i -> md5($gram))) AS h
+       |  FROM toks WHERE len(w) >= $w),
+       |dup AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, i,
+       |      row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+       |    FROM inst) WHERE rn > 1),
+       |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + $w)) AS cv FROM dup),
+       |cs AS (SELECT doc_id, list_sort(list(cv)) AS cs FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(len(c.cs), 0) AS BIGINT) AS n_removed,
+       |  -- array_to_string([]) is NULL in DuckDB where Spark's
+       |  -- array_join gives '' — coalesce for the fully-removed case
+       |  md5(coalesce(array_to_string(
+       |    list_filter(t.w, (x, ix) ->
+       |      NOT coalesce(list_contains(c.cs, CAST(ix AS BIGINT)), false)),
+       |    ' '), '')) AS clean_fp
+       |FROM toks t LEFT JOIN cs c USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   // ---- Global line-level dedup (CCNet §3.1: drop every duplicated
   //      paragraph/line across the WHOLE corpus, keeping the first
   //      occurrence) — the pass that kills boilerplate (nav bars, cookie

@@ -748,6 +748,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- duplicated-span removal (Lee et al.'s editing step, not just
+    //      the report): non-first window instances cut their spans,
+    //      cleaned text fingerprinted so the oracle checks the EDIT ----
+    "p63_span_removal" -> ((s, dir) => {
+      DedupOps.removeDupSpans(Tables.loadSpread(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- hard-negative mining for retrieval training: top-k nearest
     //      DIFFERENT-label vectors per query, probed through the SHARED
     //      nlist=16 IVF index (the p13/p27 artifact — no retrain) ----
@@ -1095,6 +1103,7 @@ object PipelineQueries {
     // incremental refresh's algebra (uncapped predicate — see
     // incrementalClusterLabels' predicate note)
     "p62_cluster_refresh" -> DedupOps.clusterSql(NearDupTau, capFrac = None),
+    "p63_span_removal" -> DedupOps.removeDupSpansSql(),
     "p39_corpus_card" ->
       s"""WITH base AS (
          |  SELECT ${TextOps.langIdSql("text")} AS lang_pred,

@@ -393,6 +393,46 @@ class DedupOpsSpec extends SparkSpec {
     assert(full(9L) == 9L)
   }
 
+  test("removeDupSpans cuts non-first span instances, keeps the first") {
+    import spark.implicits._
+    val span = (1 to 15).map(i => s"s$i").mkString(" ") // exactly one window
+    val docs = Seq(
+      (0L, span + " tail0 tail1 tail2"),       // first occurrence -> kept
+      (1L, "head0 head1 " + span),             // second -> span removed
+      (2L, "clean doc with no duplication at all"),
+      (3L, span),                              // third, removed entirely
+    ).toDF("doc_id", "text")
+    val r = DedupOps.removeDupSpans(docs).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    def fp(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    assert(r(0L) == ((18L, 0L, fp(span + " tail0 tail1 tail2"))))
+    assert(r(1L) == ((17L, 15L, fp("head0 head1"))))
+    assert(r(2L)._2 == 0L)
+    assert(r(3L) == ((15L, 15L, fp(""))), "full removal -> empty text fp")
+    // conservation: kept + removed = total
+    r.values.foreach { case (n, rm, _) => assert(rm <= n) }
+  }
+
+  test("removeDupSpans overlapping dup windows remove the union of spans") {
+    import spark.implicits._
+    // doc 1 repeats a 16-token run from doc 0 -> two overlapping dup
+    // windows in doc 1 covering 16 positions, counted once each
+    val run = (1 to 16).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (0L, run + " x y z"),
+      (1L, "a b " + run),
+    ).toDF("doc_id", "text")
+    val r = DedupOps.removeDupSpans(docs).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r(0L) == 0L)
+    assert(r(1L) == 16L, s"union of overlapping spans: ${r(1L)}")
+  }
+
   test("contaminationReport broadcasts the holdout; corpus text unshuffled") {
     import spark.implicits._
     val hold = Seq((0L, "a b c d e")).toDF("doc_id", "text")
