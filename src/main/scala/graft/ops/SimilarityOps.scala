@@ -451,6 +451,89 @@ object SimilarityOps {
        |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
   }
 
+  // ---- kNN label propagation (semi-supervised label expansion) ----
+
+  /** Propagate labels from a SEED subset to every unlabeled vector by
+    * k-nearest-neighbor majority vote through the shared IVF index —
+    * the classic semi-supervised expansion of a small annotated set
+    * over a large corpus (the non-parametric cousin of FineWeb-Edu's
+    * classifier-scaling step: label thousands, propagate to billions).
+    *
+    * Per query: probe the nprobe nearest cells, rank the SEED vectors
+    * within them by exact cosine, keep k, majority-vote their labels
+    * (ties: higher count first, then the smaller label — both integer
+    * comparisons). `queries` carry their own `label` column so the
+    * output includes `agree` — in-place eval of the propagation against
+    * held-out truth, the number you watch before trusting the expansion.
+    *
+    * Scale: the probe scan is the p13 plan (nprobe/nlist of the seed
+    * set per query); voting is two integer aggregations on the tiny
+    * top-k result. Seed labels ride the index artifact. */
+  def labelPropagationFrom(centers: DataFrame, seedLabeled: DataFrame,
+                           queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val bc = seedLabeled.select(col("vec_id").as("nid"), col("nvec").as("nv"),
+      col("cell"), col("label").as("n_label"))
+    val truth = queries.select(col("vec_id").as("qid"), col("label").as("true_label"))
+    val probes = probeCellsFrom(centers, queries, nprobe)
+    val scored = probes.join(bc, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("n_label"),
+        dotf(col("qv"), col("nv")).as("sim"))
+    val wk = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    val topk = scored.withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+    val votes = topk.groupBy("qid", "n_label").agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+      .select(col("qid"), col("n_label").as("pred_label"), col("votes"))
+      .join(broadcast(truth), Seq("qid"))
+      .withColumn("agree", col("pred_label") === col("true_label"))
+  }
+
+  /** DuckDB oracle for labelPropagationFrom with seed = vec_id %
+    * seedMod == 0 and queries = the rest (the p64 split), over the
+    * rendered centroids. */
+  def labelPropagationSql(centers: Seq[Array[Double]], k: Int, nprobe: Int,
+                          seedMod: Long): String = {
+    val values = centersValuesSql(centers)
+    s"""WITH centers(cell, cv, hn2) AS (VALUES $values),
+       |nv AS (
+       |  $NormalizedCorpusSql
+       |), cellrank AS (
+       |  SELECT nv.vec_id, nv.v, c.cell,
+       |    row_number() OVER (PARTITION BY nv.vec_id
+       |      ORDER BY (list_inner_product(nv.v, c.cv) - c.hn2) DESC, c.cell) AS cr
+       |  FROM nv, centers c
+       |), seed AS (
+       |  SELECT cr.vec_id, cr.v, cr.cell, e.label
+       |  FROM cellrank cr JOIN embeddings e ON e.vec_id = cr.vec_id
+       |  WHERE cr.cr = 1 AND cr.vec_id % $seedMod = 0
+       |), probes AS (
+       |  SELECT cr.vec_id AS qid, cr.v AS qv, e.label AS true_label, cr.cell
+       |  FROM cellrank cr JOIN embeddings e ON e.vec_id = cr.vec_id
+       |  WHERE cr.vec_id % $seedMod != 0 AND cr.cr <= $nprobe
+       |), topk AS (
+       |  SELECT qid, true_label, n_label FROM (
+       |    SELECT p.qid, p.true_label, s.label AS n_label,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY list_inner_product(p.qv, s.v) DESC, s.vec_id) AS rn
+       |    FROM probes p JOIN seed s USING (cell)
+       |    WHERE s.vec_id != p.qid) t
+       |  WHERE rn <= $k
+       |), votes AS (
+       |  SELECT qid, true_label, n_label, count(*) AS votes
+       |  FROM topk GROUP BY ALL
+       |)
+       |SELECT qid, pred_label, votes, true_label,
+       |  pred_label = true_label AS agree
+       |FROM (
+       |  SELECT qid, n_label AS pred_label, votes, true_label,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY votes DESC, n_label) AS vr
+       |  FROM votes) t
+       |WHERE vr = 1 ORDER BY qid""".stripMargin
+  }
+
   /** ANN top-k with Hamming-1 multi-probe: each query probes its own
     * bucket plus the NumPlanes buckets one sign-flip away — recall
     * recovers near-boundary neighbors while still pruning most of the

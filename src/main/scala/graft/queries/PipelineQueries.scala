@@ -756,6 +756,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- kNN label propagation: seed labels (vec_id % 5 == 0) expand
+    //      to the unlabeled rest by majority vote through the SHARED
+    //      IVF index; `agree` evals the expansion against held-out
+    //      truth in the same pass ----
+    "p64_label_propagation" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (km, assigned) = ivfIndexFor(s, dir, nlist = 16)
+      labelPropCenters.set(km.clusterCenters.map(_.toArray))
+      val labeled = assigned.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      SimilarityOps.labelPropagationFrom(
+        SimilarityOps.centersOf(km, s),
+        labeled.filter(col("vec_id") % LabelSeedMod === 0),
+        emb.filter(col("vec_id") % LabelSeedMod =!= 0), k = 8, nprobe = 4)
+        .orderBy(col("qid"))
+    }),
+
     // ---- hard-negative mining for retrieval training: top-k nearest
     //      DIFFERENT-label vectors per query, probed through the SHARED
     //      nlist=16 IVF index (the p13/p27 artifact — no retrain) ----
@@ -944,6 +960,12 @@ object PipelineQueries {
   private val hardNegCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** p64's seed-selection modulus (vec_id % mod == 0 → labeled seed)
+    * and its captured probe centroids. */
+  val LabelSeedMod = 5L
+  private val labelPropCenters =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
   /** p13's trained quantizer, captured when the query runs so the oracle
     * SQL can replay the SAME centroids (Verify runs all queries, then
     * dumps oracleSql — same JVM). Absent (p13 not run / failed) → the
@@ -1012,7 +1034,10 @@ object PipelineQueries {
     Option(unigramPieces.get()).map(p =>
       "p60_unigram_train" -> graft.ops.UnigramOps.trainTableSql(p.toSeq)) ++
     Option(unigramEncPieces.get()).map(p =>
-      "p61_unigram_encode" -> graft.ops.UnigramOps.encodeDocsSql(p.toSeq))
+      "p61_unigram_encode" -> graft.ops.UnigramOps.encodeDocsSql(p.toSeq)) ++
+    Option(labelPropCenters.get()).map(c =>
+      "p64_label_propagation" -> SimilarityOps.labelPropagationSql(c.toSeq,
+        k = 8, nprobe = 4, seedMod = LabelSeedMod))
 
   private val staticOracle: Map[String, String] = Map(
     "p01_dedup_exact" ->

@@ -191,6 +191,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(r.forall(row => row.getInt(1) != row.getInt(3)))
   }
 
+  test("label propagation recovers planted cluster labels from a 20% seed") {
+    // 4 well-separated direction clusters: label = cluster -> kNN vote
+    // from the seed fifth must recover nearly every held-out label
+    val rnd = new scala.util.Random(31)
+    val base = Array.tabulate(4, 16)((c, d) => if (d % 4 == c) 5f else 0f)
+    val corpus = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      val v = base(c).map(x => x + rnd.nextFloat() * 0.5f)
+      (i, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    val (km, assigned) = SimilarityOps.ivfIndex(corpus, nlist = 8)
+    val labeled = assigned.select("vec_id", "nvec", "cell")
+      .join(corpus.select("vec_id", "label"), "vec_id")
+    val seed = labeled.filter($"vec_id" % 5 === 0)
+    val queries = corpus.filter($"vec_id" % 5 =!= 0)
+    val r = SimilarityOps.labelPropagationFrom(
+      SimilarityOps.centersOf(km, spark), seed, queries, k = 8, nprobe = 4)
+      .collect()
+    assert(r.length == queries.count())
+    val acc = r.count(_.getAs[Boolean]("agree")).toDouble / r.length
+    assert(acc >= 0.95, s"propagation accuracy $acc")
+    // votes never exceed k and the winner's count is at least 1
+    assert(r.forall(x => x.getAs[Long]("votes") >= 1 && x.getAs[Long]("votes") <= 8))
+  }
+
   test("at full probe, hard negatives equal brute force filtered by label") {
     val corpus = labeledVecs(200, 8)
     val (km, assigned) = SimilarityOps.ivfIndex(corpus, nlist = 4)
