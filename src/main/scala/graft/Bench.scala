@@ -38,7 +38,8 @@ object Bench {
     "p20_dedup_cluster", "p36_keep_best", "p37_prepare_corpus",
     "p40_semantic_dedup", "p45_leakage_split", "p50_line_dedup",
     "p51_bpe_train", "p55_ppl_filter", "p56_pq_ann",
-    "p58_quality_ensemble", "p61_unigram_encode")
+    "p58_quality_ensemble", "p61_unigram_encode",
+    "p62_cluster_refresh", "p63_span_removal", "p64_label_propagation")
 
   private def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

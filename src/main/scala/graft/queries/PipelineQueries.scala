@@ -740,8 +740,14 @@ object PipelineQueries {
     //      hash match PROVES incremental ≡ batch ----
     "p62_cluster_refresh" -> ((s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
-      val oldDocs = docs.filter(col("doc_id") < RefreshSplit)
-      val newDocs = docs.filter(col("doc_id") >= RefreshSplit)
+      // data-adaptive split (60% snapshot / 40% dump) so the scenario —
+      // most of the corpus already clustered, a smaller dump arriving —
+      // holds at every SF; the oracle re-clusters the FULL corpus, so
+      // the split constant never reaches the SQL. One 1-row agg.
+      val split = math.ceil(
+        docs.agg(max(col("doc_id"))).head().getLong(0) * 0.6).toLong
+      val oldDocs = docs.filter(col("doc_id") < split)
+      val newDocs = docs.filter(col("doc_id") >= split)
       val oldLabels = DedupOps.clusterLabels(oldDocs, NearDupTau, capFrac = None)
       DedupOps.incrementalClusterLabels(
         oldLabels, DedupOps.shingles(oldDocs, 3), newDocs, NearDupTau)
@@ -797,10 +803,6 @@ object PipelineQueries {
 
   /** p15's holdout split: the first docs stand in for an eval set. */
   val DecontamHoldout = 50L
-
-  /** p62's corpus split point: docs below are the already-clustered
-    * snapshot, docs at/above are the incoming dump. */
-  val RefreshSplit = 300L
 
   /** p17's interval length AND bucket width (1 h in ns): each interval
     * covers ≤ 2 buckets. */
