@@ -145,10 +145,18 @@ object DedupOps {
     val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = sh.join(broadcast(hh), Seq("s"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_hits"))
+    // anchor on the CORPUS doc list, not the shingle stream: a doc
+    // shorter than the shingle width has no windows but must still
+    // report (0, 0, 0.0, clean) — "every corpus doc appears" is the
+    // contract auditors divide by
+    corpus.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_hits"))
       .select(col("doc_id"), col("n_shingles"), col("n_hits"),
-        round(col("n_hits").cast("double") / col("n_shingles"), 6).as("frac"))
+        when(col("n_shingles") > 0,
+          round(col("n_hits").cast("double") / col("n_shingles"), 6))
+          .otherwise(lit(0.0)).as("frac"))
       .withColumn("dirty", col("frac") >= ContamDirtyTau)
   }
 
@@ -173,9 +181,17 @@ object DedupOps {
        |SELECT doc_id, n_shingles, n_hits, frac,
        |  frac >= $ContamDirtyTau AS dirty
        |FROM (
-       |  SELECT t.doc_id, t.n_shingles, coalesce(h.n_hits, 0) AS n_hits,
-       |    ${OracleSql.roundD("CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_shingles", 6)} AS frac
-       |  FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id)
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |    CASE WHEN coalesce(t.n_shingles, 0) > 0
+       |      THEN ${OracleSql.roundD(
+            "CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_shingles", 6)}
+       |      ELSE 0.0 END AS frac
+       |  FROM documents d
+       |  LEFT JOIN tot t ON d.doc_id = t.doc_id
+       |  LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |  WHERE d.doc_id >= $maxHoldout)
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -109,13 +109,16 @@ object PqOps {
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](pts.head.length))
       val ns = new Array[Int](k)
+      // half-norms are per-iteration invariants — hoist out of the
+      // per-point loop (they change only when centers move)
+      val hn2 = centers.map(c => c.map(x => x * x).sum / 2.0)
       pts.foreach { p =>
         var best = 0; var bestScore = Double.NegativeInfinity
         for (c <- 0 until k) {
           var d = 0.0
           var i = 0
           while (i < p.length) { d += p(i) * centers(c)(i); i += 1 }
-          val score = d - centers(c).map(x => x * x).sum / 2.0
+          val score = d - hn2(c)
           if (score > bestScore) { bestScore = score; best = c }
         }
         ns(best) += 1

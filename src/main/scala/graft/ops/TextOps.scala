@@ -168,13 +168,36 @@ object TextOps {
       },
       acc => acc("best"))
 
+  /** The three repetition fractions over materialized (n_words, distinct
+    * words, bigram, trigram) columns — ONE spelling shared by
+    * repetitionStats (p14) and ensembleGate (p58), so the gates cannot
+    * drift apart. Rounded to 6dp; verdicts compare the rounded value. */
+  private def dupWordFracCol(nWords: Column, dw: Column): Column =
+    round(lit(1.0) - dw.cast("double") / nWords, 6)
+  private def topBigramFracCol(g2: Column): Column =
+    round(when(size(g2) > 0,
+      topRunOf(array_sort(g2)).cast("double") / size(g2))
+      .otherwise(lit(0.0)), 6)
+  private def dupTrigramFracCol(g3: Column): Column =
+    round(when(size(g3) > 0,
+      lit(1.0) - size(array_distinct(g3)).cast("double") / size(g3))
+      .otherwise(lit(0.0)), 6)
+
+  /** The same three fractions in DuckDB SQL (columns `nw, w, tb, g3` in
+    * scope) — shared by repetitionSql and ensembleSql. */
+  private def dupWordFracSql: String =
+    OracleSql.roundD("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / nw", 6)
+  private def topBigramFracSql: String =
+    s"coalesce(${OracleSql.roundD("tb", 6)}, 0.0)"
+  private def dupTrigramFracSql: String =
+    OracleSql.roundD("CASE WHEN len(g3) > 0 THEN " +
+      "1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END", 6)
+
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val w = col("__w")
     // codegen n-gram builder (WordNGrams), not an interpreted HOF
     def grams(n: Int): Column = graft.functions.TextExprs.ngrams(w, n)
-    // run lengths over the sorted array: (prev, run, best) fold
-    val topRun = topRunOf(array_sort(col("__g2")))
     // tokenize, then materialize the gram arrays, THEN read them multiple
     // times — HOF lambdas re-evaluate captured expressions per element,
     // and size()/array_distinct() both re-reading an inline grams() would
@@ -185,14 +208,9 @@ object TextOps {
         size(array_distinct(w)).as("__dw"),
         grams(2).as("__g2"), grams(3).as("__g3"))
       .select(col("doc_id"), col("n_words"),
-        round(lit(1.0) - col("__dw").cast("double") / col("n_words"), 6)
-          .as("dup_word_frac"),
-        round(when(size(col("__g2")) > 0,
-          topRun.cast("double") / size(col("__g2"))).otherwise(lit(0.0)), 6)
-          .as("top_bigram_frac"),
-        round(when(size(col("__g3")) > 0,
-          lit(1.0) - size(array_distinct(col("__g3"))).cast("double") / size(col("__g3")))
-          .otherwise(lit(0.0)), 6).as("dup_trigram_frac"))
+        dupWordFracCol(col("n_words"), col("__dw")).as("dup_word_frac"),
+        topBigramFracCol(col("__g2")).as("top_bigram_frac"),
+        dupTrigramFracCol(col("__g3")).as("dup_trigram_frac"))
       .withColumn("keep",
         col("dup_word_frac") <= DupWordMax &&
           col("top_bigram_frac") <= TopBigramMax &&
@@ -242,14 +260,9 @@ object TextOps {
           lit(1.0) - length(regexp_replace(col("__t"), "[^\\p{L}\\p{N}_\\s]", ""))
             .cast("double") / length(col("__t"))).otherwise(lit(0.0)), 6)
           .as("symbol_frac"),
-        round(lit(1.0) - col("__dw").cast("double") / col("n_words"), 6)
-          .as("dup_word_frac"),
-        round(when(size(col("__g2")) > 0,
-          topRunOf(array_sort(col("__g2"))).cast("double") / size(col("__g2")))
-          .otherwise(lit(0.0)), 6).as("top_bigram_frac"),
-        round(when(size(col("__g3")) > 0,
-          lit(1.0) - size(array_distinct(col("__g3"))).cast("double") /
-            size(col("__g3"))).otherwise(lit(0.0)), 6).as("dup_trigram_frac"),
+        dupWordFracCol(col("n_words"), col("__dw")).as("dup_word_frac"),
+        topBigramFracCol(col("__g2")).as("top_bigram_frac"),
+        dupTrigramFracCol(col("__g3")).as("dup_trigram_frac"),
         qualityScore(col("__t")).as("quality"))
       .withColumn("g_short", col("n_words") >= EnsembleMinWords)
       .withColumn("g_symbolic", col("symbol_frac") <= EnsembleSymbolMax)
@@ -293,11 +306,9 @@ object TextOps {
        |    ${r6("CASE WHEN length(text) > 0 THEN 1.0 - " +
             "CAST(length(regexp_replace(text, '[^\\p{L}\\p{N}_\\s]', '', 'g')) AS DOUBLE)" +
             " / length(text) ELSE 0.0 END")} AS symbol_frac,
-       |    ${r6("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / nw")} AS dup_word_frac,
-       |    coalesce(${r6("tb")}, 0.0) AS top_bigram_frac,
-       |    ${r6("CASE WHEN len(g3) > 0 THEN " +
-            "1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END")}
-       |      AS dup_trigram_frac,
+       |    $dupWordFracSql AS dup_word_frac,
+       |    $topBigramFracSql AS top_bigram_frac,
+       |    $dupTrigramFracSql AS dup_trigram_frac,
        |    ${qualityScoreSql("text")} AS quality
        |  FROM g LEFT JOIN topb ON g.doc_id = topb.doc_id),
        |v AS (
@@ -342,11 +353,9 @@ object TextOps {
        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS tb FROM bgc GROUP BY 1),
        |m AS (
        |  SELECT g.doc_id, nw AS n_words,
-       |    ${r6("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / nw")} AS dup_word_frac,
-       |    coalesce(${r6("tb")}, 0.0) AS top_bigram_frac,
-       |    ${r6("CASE WHEN len(g3) > 0 THEN " +
-            "1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END")}
-       |      AS dup_trigram_frac
+       |    $dupWordFracSql AS dup_word_frac,
+       |    $topBigramFracSql AS top_bigram_frac,
+       |    $dupTrigramFracSql AS dup_trigram_frac
        |  FROM g LEFT JOIN topb ON g.doc_id = topb.doc_id)
        |SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, dup_trigram_frac,
        |  (dup_word_frac <= $DupWordMax AND top_bigram_frac <= $TopBigramMax

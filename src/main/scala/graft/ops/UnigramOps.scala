@@ -87,12 +87,20 @@ object UnigramOps {
 
   def trainOn(hist: Seq[(String, Long)]): Seq[Piece] = {
     if (hist.isEmpty) return Seq.empty
-    // candidate substrings weighted by (occurrences in word) × word freq
+    // candidate substrings weighted by (occurrences in word) × word freq.
+    // All indexing is in CODE POINTS (DuckDB's length/substr semantics),
+    // never UTF-16 units: a supplementary-plane char is ONE position in
+    // both engines and no candidate can be a lone surrogate.
     val weight = scala.collection.mutable.HashMap.empty[String, Long]
-    for ((w, f) <- hist; l <- 1 to MaxPieceLen; i <- 0 to w.length - l)
-      weight.updateWith(w.substring(i, i + l))(c => Some(c.getOrElse(0L) + f))
-    val chars = weight.keys.filter(_.length == 1).toSeq.sorted
-    val multis = weight.filter(_._1.length > 1).toSeq
+    for ((w, f) <- hist) {
+      val cp = codePoints(w)
+      for (l <- 1 to MaxPieceLen; i <- 0 to cp.length - l)
+        weight.updateWith(cp.slice(i, i + l).mkString)(c =>
+          Some(c.getOrElse(0L) + f))
+    }
+    def nCp(p: String) = p.codePointCount(0, p.length)
+    val chars = weight.keys.filter(nCp(_) == 1).toSeq.sorted
+    val multis = weight.filter(kv => nCp(kv._1) > 1).toSeq
       .sortBy { case (p, c) => (-c, p) }.take(SeedSize).map(_._1)
     var vocab: Seq[String] = chars ++ multis
     // init costs from raw weights, then EM
@@ -103,7 +111,7 @@ object UnigramOps {
         usage.updateWith(p)(c => Some(c.getOrElse(0L) + f))
       if (it == EmIters) {
         // prune: all single chars + top multi-char pieces by usage
-        val keptMultis = usage.filter(_._1.length > 1).toSeq
+        val keptMultis = usage.filter(kv => nCp(kv._1) > 1).toSeq
           .sortBy { case (p, c) => (-c, p) }.take(VocabSize).map(_._1)
         vocab = chars ++ keptMultis
       }
@@ -125,19 +133,26 @@ object UnigramOps {
     * cost' = cost·PieceCountBase + nPieces is the minimized objective; unknown
     * characters step at [[UnkCost]]. */
   def segment(w: String, costs: Map[String, Long]): (Long, Long, Seq[String]) = {
-    val n = w.length
+    val cp = codePoints(w)
+    val n = cp.length
     if (n == 0) return (0L, 0L, Seq.empty)
+    // the cost' decode needs n_pieces < PieceCountBase; a single token
+    // this long is corpus pathology (base64 blob, DNA string) that the
+    // hygiene passes (p41/p43 line gates) cap upstream in a real
+    // pipeline — fail loud rather than publish wrapped numbers
+    require(n < PieceCountBase,
+      s"word of $n code points exceeds PieceCountBase=$PieceCountBase")
     val INF = Long.MaxValue / 4
     val dp = Array.fill(n + 1)(INF)
     val back = new Array[Int](n + 1) // chosen piece length at each end pos
     dp(0) = 0L
     for (i <- 1 to n) {
-      // the always-available unk step (one char)
+      // the always-available unk step (one code point)
       if (dp(i - 1) < INF && dp(i - 1) + UnkCost * PieceCountBase + 1 < dp(i)) {
         dp(i) = dp(i - 1) + UnkCost * PieceCountBase + 1; back(i) = 1
       }
       for (l <- 1 to math.min(MaxPieceLen, i)) {
-        costs.get(w.substring(i - l, i)).foreach { c =>
+        costs.get(cp.slice(i - l, i).mkString).foreach { c =>
           val cand = dp(i - l) + c * PieceCountBase + 1
           if (dp(i - l) < INF && cand < dp(i)) { dp(i) = cand; back(i) = l }
         }
@@ -145,9 +160,14 @@ object UnigramOps {
     }
     val pieces = scala.collection.mutable.ListBuffer.empty[String]
     var i = n
-    while (i > 0) { pieces.prepend(w.substring(i - back(i), i)); i -= back(i) }
+    while (i > 0) { pieces.prepend(cp.slice(i - back(i), i).mkString); i -= back(i) }
     (dp(n) / PieceCountBase, dp(n) % PieceCountBase, pieces.toList)
   }
+
+  /** The word as an array of single-code-point strings — the unit of
+    * every index here (matches DuckDB's length/substr semantics). */
+  private def codePoints(w: String): Array[String] =
+    w.codePoints().toArray.map(c => new String(Character.toChars(c)))
 
   // ---- distributed encode ----
 
@@ -238,7 +258,7 @@ object UnigramOps {
        |words AS (SELECT w FROM freqs),
        |${dpSql(pieces)}
        |SELECT f.w AS word, f.freq,
-       |  s.best // 4096 AS cost_q, s.best % 4096 AS n_pieces
+       |  s.best // $PieceCountBase AS cost_q, s.best % $PieceCountBase AS n_pieces
        |FROM freqs f JOIN seg s ON f.w = s.w
        |ORDER BY word""".stripMargin
 
@@ -250,8 +270,8 @@ object UnigramOps {
        |words AS (SELECT DISTINCT w FROM toks WHERE length(w) > 0),
        |${dpSql(pieces)}
        |SELECT doc_id, count(*) AS n_words,
-       |  CAST(sum(s.best % 4096) AS BIGINT) AS total_pieces,
-       |  CAST(sum(s.best // 4096) AS BIGINT) AS total_cost
+       |  CAST(sum(s.best % $PieceCountBase) AS BIGINT) AS total_pieces,
+       |  CAST(sum(s.best // $PieceCountBase) AS BIGINT) AS total_cost
        |FROM toks t JOIN seg s ON t.w = s.w
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

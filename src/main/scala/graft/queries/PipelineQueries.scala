@@ -740,17 +740,17 @@ object PipelineQueries {
     //      hash match PROVES incremental ≡ batch ----
     "p62_cluster_refresh" -> ((s, dir) => {
       val docs = Tables.loadSpread(s, dir, "documents")
-      // data-adaptive split (60% snapshot / 40% dump) so the scenario —
-      // most of the corpus already clustered, a smaller dump arriving —
-      // holds at every SF; the oracle re-clusters the FULL corpus, so
-      // the split constant never reaches the SQL. One 1-row agg.
-      val split = math.ceil(
-        docs.agg(max(col("doc_id"))).head().getLong(0) * 0.6).toLong
-      val oldDocs = docs.filter(col("doc_id") < split)
+      // the snapshot state (labels + shingles of the already-clustered
+      // 60%) is a PERSISTED ARTIFACT built once per corpus dir — the
+      // clusterMapFor pattern. The measured query is then the thing the
+      // op exists for: screening the 40% dump against standing state.
+      // Rebuilding the snapshot per invocation would bench batch
+      // clustering under an "incremental" label.
+      val (labelsPath, shinglesPath, split) = refreshSnapshotFor(s, dir)
       val newDocs = docs.filter(col("doc_id") >= split)
-      val oldLabels = DedupOps.clusterLabels(oldDocs, NearDupTau, capFrac = None)
       DedupOps.incrementalClusterLabels(
-        oldLabels, DedupOps.shingles(oldDocs, 3), newDocs, NearDupTau)
+        Tables.init(s).read.parquet(labelsPath),
+        s.read.parquet(shinglesPath), newDocs, NearDupTau)
         .orderBy(col("doc_id"))
     }),
 
@@ -961,6 +961,28 @@ object PipelineQueries {
     * separately so p57 stays order-independent of p13/p27). */
   private val hardNegCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
+  /** p62's persisted snapshot state, built ONCE per corpus dir: the
+    * already-clustered 60%'s label map and shingle rows as parquet
+    * artifacts (data-adaptive split so the scenario — most of the
+    * corpus clustered, a smaller dump arriving — holds at every SF;
+    * the oracle re-clusters the FULL corpus, so the split never
+    * reaches the SQL). */
+  private val refreshSnapshotCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Long)]()
+  private def refreshSnapshotFor(s: SparkSession, dir: String): (String, String, Long) =
+    refreshSnapshotCache.computeIfAbsent(dir, _ => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      val split = math.ceil(
+        docs.agg(max(col("doc_id"))).head().getLong(0) * 0.6).toLong
+      val oldDocs = docs.filter(col("doc_id") < split)
+      val lp = artifactDir("graft-refresh-labels")
+      val sp = artifactDir("graft-refresh-shingles")
+      DedupOps.saveClusterLabels(
+        DedupOps.clusterLabels(oldDocs, NearDupTau, capFrac = None), lp)
+      DedupOps.shingles(oldDocs, 3).write.mode("overwrite").parquet(sp)
+      (lp, sp, split)
+    })
 
   /** p64's seed-selection modulus (vec_id % mod == 0 → labeled seed)
     * and its captured probe centroids. */

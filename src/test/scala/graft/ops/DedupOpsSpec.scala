@@ -352,6 +352,14 @@ class DedupOpsSpec extends SparkSpec {
       .map(x => x.getLong(0) ->
         ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4)))).toMap
     assert(r.keySet == Set(10L, 11L, 12L), "clean docs must still appear")
+    // a doc SHORTER than the shingle width must still report (0 windows,
+    // clean) — the denominator contract auditors divide by
+    val short = DedupOps.contaminationReport(
+      corpus.union(Seq((13L, "only three words")).toDF("doc_id", "text")), hold)
+      .filter($"doc_id" === 13L).collect()
+    assert(short.length == 1)
+    assert(short.head.getLong(1) == 0L && short.head.getDouble(3) == 0.0 &&
+      !short.head.getBoolean(4), short.head.toString)
     assert(r(10L)._3 == 1.0 && r(10L)._4)
     assert(r(11L) == ((3L, 0L, 0.0, false)))
     assert(r(12L)._2 > 0 && r(12L)._3 < 1.0)
