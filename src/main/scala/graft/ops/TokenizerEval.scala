@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tokenizer EVALUATION: the per-language fertility table comparing the
+  * two trained tokenizers (BPE p51/p52 vs unigram-LM p60/p61).
+  * Fertility — pieces emitted per word — is THE cross-lingual tokenizer
+  * metric (a tokenizer trained on English-heavy data fragments other
+  * scripts; fertility per language is how that bias is measured and
+  * reported, e.g. in the XLM-R and NLLB tokenizer analyses). Closing
+  * the loop train → encode → EVALUATE is what makes the tokenizer ops a
+  * usable pipeline rather than two artifacts.
+  *
+  * Exact-replay discipline: all sums are integers; the fertility ratio
+  * is integer millis ((1000·pieces) DIV words), so the report replays
+  * bit-for-bit from the same trained artifacts the p52/p61 oracles
+  * already render. Docs whose token stream is empty under a tokenizer's
+  * hygiene (BPE strips the frame char; both drop empty tokens) carry no
+  * encode row and drop from the joined report in BOTH engines.
+  *
+  * Scale: two map-only encode passes + one language rollup
+  * (dimension-sized result); the per-doc joins ride the doc_id key the
+  * encodes already group on. */
+object TokenizerEval {
+
+  /** Per-language fertility: `lang, n_docs, bpe_tok, bpe_pieces,
+    * bpe_fert_milli, uni_tok, uni_pieces, uni_fert_milli`. */
+  def fertilityReport(docs: DataFrame, merges: Seq[BpeOps.Merge],
+                      pieces: Seq[UnigramOps.Piece]): DataFrame = {
+    val bpe = BpeOps.encode(docs, merges)
+      .select(col("doc_id"), col("n_tok").as("bpe_tok"),
+        col("n_pieces").as("bpe_pieces"))
+    val uni = UnigramOps.encodeDocs(docs, pieces)
+      .select(col("doc_id"), col("n_words").as("uni_tok"),
+        col("total_pieces").as("uni_pieces"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(bpe, "doc_id").join(uni, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bpe_tok")).as("bpe_tok"),
+        sum(col("bpe_pieces")).as("bpe_pieces"),
+        sum(col("uni_tok")).as("uni_tok"),
+        sum(col("uni_pieces")).as("uni_pieces"))
+      .select(col("lang"), col("n_docs"),
+        col("bpe_tok"), col("bpe_pieces"),
+        expr("(1000 * bpe_pieces) DIV greatest(bpe_tok, 1L)")
+          .as("bpe_fert_milli"),
+        col("uni_tok"), col("uni_pieces"),
+        expr("(1000 * uni_pieces) DIV greatest(uni_tok, 1L)")
+          .as("uni_fert_milli"))
+  }
+
+  /** DuckDB oracle: the p52 and p61 per-doc encode oracles embedded as
+    * subqueries (each carries its own WITH), joined on doc_id and
+    * rolled up per language with the same integer-milli ratios. */
+  def fertilitySql(merges: Seq[BpeOps.Merge],
+                   pieces: Seq[UnigramOps.Piece],
+                   table: String = "documents"): String =
+    s"""WITH bpe AS (
+       |  SELECT * FROM (
+       |${BpeOps.bpeEncodeSql(merges, table).linesIterator.map("    " + _).mkString("\n")}
+       |  )),
+       |uni AS (
+       |  SELECT * FROM (
+       |${UnigramOps.encodeDocsSql(pieces, table).linesIterator.map("    " + _).mkString("\n")}
+       |  ))
+       |SELECT d.lang, count(*) AS n_docs,
+       |  CAST(sum(b.n_tok) AS BIGINT) AS bpe_tok,
+       |  CAST(sum(b.n_pieces) AS BIGINT) AS bpe_pieces,
+       |  (1000 * CAST(sum(b.n_pieces) AS BIGINT))
+       |    // greatest(CAST(sum(b.n_tok) AS BIGINT), 1) AS bpe_fert_milli,
+       |  CAST(sum(u.n_words) AS BIGINT) AS uni_tok,
+       |  CAST(sum(u.total_pieces) AS BIGINT) AS uni_pieces,
+       |  (1000 * CAST(sum(u.total_pieces) AS BIGINT))
+       |    // greatest(CAST(sum(u.n_words) AS BIGINT), 1) AS uni_fert_milli
+       |FROM $table d
+       |JOIN bpe b ON d.doc_id = b.doc_id
+       |JOIN uni u ON d.doc_id = u.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+}

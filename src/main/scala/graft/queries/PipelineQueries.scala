@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, CorpusPipeline, DedupOps, IncrementalCorpus, MediaGen, MixOps, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, ShardOps, SimilarityOps, TextOps, TimeSeriesOps}
+import graft.ops.{AsOfJoin, BpeOps, CorpusPipeline, DedupOps, IncrementalCorpus, MediaGen, MixOps, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, ShardOps, SimilarityOps, TextOps, TimeSeriesOps, TokenizerEval}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -778,6 +778,19 @@ object PipelineQueries {
         .orderBy(col("qid"))
     }),
 
+    // ---- tokenizer fertility eval: per-language pieces-per-word for
+    //      BOTH trained tokenizers (BPE vs unigram), integer millis —
+    //      the cross-lingual bias table; closes train→encode→evaluate ----
+    "p65_tokenizer_fertility" -> ((s, dir) => {
+      val merges = trainedMergesFor(s, dir)
+      val pieces = trainedPiecesFor(s, dir)
+      if (merges.nonEmpty && pieces.nonEmpty)
+        fertilityArtifacts.set((merges.toArray, pieces.toArray))
+      TokenizerEval.fertilityReport(
+        Tables.loadSpread(s, dir, "documents"), merges, pieces)
+        .orderBy(col("lang"))
+    }),
+
     // ---- hard-negative mining for retrieval training: top-k nearest
     //      DIFFERENT-label vectors per query, probed through the SHARED
     //      nlist=16 IVF index (the p13/p27 artifact — no retrain) ----
@@ -1038,6 +1051,10 @@ object PipelineQueries {
   private val unigramEncPieces = new java.util.concurrent.atomic.AtomicReference[
     Array[graft.ops.UnigramOps.Piece]]()
 
+  /** p65's captured artifacts (BOTH trained tokenizers). */
+  private val fertilityArtifacts = new java.util.concurrent.atomic.AtomicReference[
+    (Array[BpeOps.Merge], Array[graft.ops.UnigramOps.Piece])]()
+
   def oracle: Map[String, String] = staticOracle ++
     Option(ivfCenters.get()).map(c =>
       "p13_ann_ivf" -> SimilarityOps.ivfTopKSql(c.toSeq, k = 10, nprobe = 4, maxQid = 5)) ++
@@ -1061,7 +1078,9 @@ object PipelineQueries {
       "p61_unigram_encode" -> graft.ops.UnigramOps.encodeDocsSql(p.toSeq)) ++
     Option(labelPropCenters.get()).map(c =>
       "p64_label_propagation" -> SimilarityOps.labelPropagationSql(c.toSeq,
-        k = 8, nprobe = 4, seedMod = LabelSeedMod))
+        k = 8, nprobe = 4, seedMod = LabelSeedMod)) ++
+    Option(fertilityArtifacts.get()).map { case (m, p) =>
+      "p65_tokenizer_fertility" -> TokenizerEval.fertilitySql(m.toSeq, p.toSeq) }
 
   private val staticOracle: Map[String, String] = Map(
     "p01_dedup_exact" ->
