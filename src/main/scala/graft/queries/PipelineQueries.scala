@@ -791,6 +791,16 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // ---- corpus snapshot diff (dataset versioning): per-doc ledger of
+    //      added/removed/changed/unchanged between two planted snapshot
+    //      transforms; one md5 per side + one full-outer join ----
+    "p66_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ops.DiffOps.snapshotDiff(
+        graft.ops.DiffOps.snapshotA(docs), graft.ops.DiffOps.snapshotB(docs))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- hard-negative mining for retrieval training: top-k nearest
     //      DIFFERENT-label vectors per query, probed through the SHARED
     //      nlist=16 IVF index (the p13/p27 artifact — no retrain) ----
@@ -1172,6 +1182,7 @@ object PipelineQueries {
     // incrementalClusterLabels' predicate note)
     "p62_cluster_refresh" -> DedupOps.clusterSql(NearDupTau, capFrac = None),
     "p63_span_removal" -> DedupOps.removeDupSpansSql(),
+    "p66_snapshot_diff" -> graft.ops.DiffOps.snapshotDiffSql(),
     "p39_corpus_card" ->
       s"""WITH base AS (
          |  SELECT ${TextOps.langIdSql("text")} AS lang_pred,
