@@ -822,6 +822,47 @@ object DedupOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** TEMPLATE-instance detection: structural dedup for machine-generated
+    * text. Instantiations of one template ("Buy item 4711 now for $12" /
+    * "Buy item 9215 now for $99") can sit BELOW any Jaccard threshold
+    * once enough fill-ins differ, yet are exactly the SEO/listing spam a
+    * corpus wants collapsed. The structural fingerprint normalizes every
+    * digit run to `0` and hashes the full in-order token stream — same
+    * template ⇒ same fp, one honest content change ⇒ different fp.
+    * Returns per doc: `doc_id, tfp, tsize, is_templated, keep` (keep =
+    * lowest doc_id of the template group — the p01 keeper contract).
+    *
+    * Map-only fingerprint + ONE window over the fp (the lineDedup
+    * device: group size and first-occurrence flag share the hash
+    * partition); linear in corpus bytes at any scale. Production
+    * normalizers add hex runs / UUIDs / emails to the same replace
+    * chain without changing the plan. */
+  def templateGroups(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = transform(TextOps.tokens(col("text")),
+      t => regexp_replace(t, "[0-9]+", "0"))
+    val fp = md5(array_join(norm, " "))
+    val w = Window.partitionBy(col("tfp"))
+    val wo = Window.partitionBy(col("tfp")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), fp.as("tfp"))
+      .withColumn("tsize", count(lit(1)).over(w))
+      .withColumn("is_templated", col("tsize") > 1)
+      .withColumn("keep", row_number().over(wo) === 1)
+  }
+
+  /** DuckDB oracle for templateGroups (same normalizer, same hash). */
+  def templateGroupsSql(table: String = "documents"): String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, md5(array_to_string(list_transform(
+       |    string_split_regex(trim(lower(text)), '\\s+'),
+       |    t -> regexp_replace(t, '[0-9]+', '0', 'g')), ' ')) AS tfp
+       |  FROM $table)
+       |SELECT doc_id, tfp,
+       |  count(*) OVER (PARTITION BY tfp) AS tsize,
+       |  count(*) OVER (PARTITION BY tfp) > 1 AS is_templated,
+       |  row_number() OVER (PARTITION BY tfp ORDER BY doc_id) = 1 AS keep
+       |FROM fp ORDER BY doc_id""".stripMargin
+
   /** Duplicated-span REMOVAL — the editing face of [[substrDupStats]]
     * (Lee et al. §4 actually cut the duplicate occurrences out of the
     * training text; the stats op only reports them). Every w-token

@@ -791,6 +791,15 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // ---- template-instance detection: structural fingerprint (digit
+    //      runs normalized) collapses machine-generated instantiations
+    //      that Jaccard misses once fill-ins diverge; map-only + one
+    //      fp window ----
+    "p67_template_groups" -> ((s, dir) => {
+      DedupOps.templateGroups(Tables.loadSpread(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus snapshot diff (dataset versioning): per-doc ledger of
     //      added/removed/changed/unchanged between two planted snapshot
     //      transforms; one md5 per side + one full-outer join ----
@@ -1183,6 +1192,7 @@ object PipelineQueries {
     "p62_cluster_refresh" -> DedupOps.clusterSql(NearDupTau, capFrac = None),
     "p63_span_removal" -> DedupOps.removeDupSpansSql(),
     "p66_snapshot_diff" -> graft.ops.DiffOps.snapshotDiffSql(),
+    "p67_template_groups" -> DedupOps.templateGroupsSql(),
     "p39_corpus_card" ->
       s"""WITH base AS (
          |  SELECT ${TextOps.langIdSql("text")} AS lang_pred,

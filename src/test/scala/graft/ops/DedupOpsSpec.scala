@@ -441,6 +441,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(r(1L) == 16L, s"union of overlapping spans: ${r(1L)}")
   }
 
+  test("templateGroups collapses digit-fill-in instantiations, not real edits") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "buy item 4711 now for only 12 dollars"),
+      (1L, "buy item 9215 now for only 99 dollars"),  // same template as 0
+      (2L, "buy item 5550 now for only 31 dollars"),  // same template
+      (3L, "buy gadget 4711 now for only 12 dollars"), // WORD differs -> distinct
+      (4L, "completely different content here"),
+    ).toDF("doc_id", "text")
+    val r = DedupOps.templateGroups(docs).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getBoolean(3), x.getBoolean(4)))).toMap
+    assert(r(0L)._1 == r(1L)._1 && r(1L)._1 == r(2L)._1, "one template group")
+    assert(r(3L)._1 != r(0L)._1, "a word-level edit is a different template")
+    assert(Seq(0L, 1L, 2L).forall(i => r(i)._2 == 3L && r(i)._3))
+    assert(r(0L)._4 && !r(1L)._4 && !r(2L)._4, "lowest doc_id is the keeper")
+    assert(r(4L) == ((r(4L)._1, 1L, false, true)))
+    // below-threshold for Jaccard: the instances share < half their
+    // distinct trigrams once fill-ins differ, which is the gap this op closes
+    val j = DedupOps.ngramJaccardPairs(docs.filter($"doc_id" < 3), 0.9,
+      capFrac = None).count()
+    assert(j == 0L, "at tau=0.9 Jaccard misses these template instances")
+  }
+
   test("contaminationReport broadcasts the holdout; corpus text unshuffled") {
     import spark.implicits._
     val hold = Seq((0L, "a b c d e")).toDF("doc_id", "text")
