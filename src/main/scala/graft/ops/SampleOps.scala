@@ -123,9 +123,14 @@ object SampleOps {
     * Per-bin medians use the exact mergeable percentile (p39's path);
     * at 100 TB swap `quantileExact` → `quantile` (fixed-size sketch)
     * in the same query. */
-  def lengthCurriculum(docs: DataFrame, nBins: Int = 10): DataFrame = {
+  /** Per-document length-decile assignment `(doc_id, n_tok, __q, bin)`
+    * — the shared core of [[lengthCurriculum]] (which summarizes it per
+    * bin) and the curriculum manifest p68 (which orders training by
+    * it). Same integer histogram-quantile boundaries, broadcast back
+    * for a map-side comparison; the corpus never shuffles for its bin. */
+  def docBins(docs: DataFrame, nBins: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nBins >= 2, s"lengthCurriculum needs nBins >= 2, got $nBins")
+    require(nBins >= 2, s"docBins needs nBins >= 2, got $nBins")
     val sized = docs.select(col("doc_id"),
       TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
       TextOps.qualityScore(col("text")).as("__q"))
@@ -143,7 +148,12 @@ object SampleOps {
     val bin = (1 until nBins).map(k =>
       when(col("n_tok") > col(s"__b$k"), 1).otherwise(0)).reduce(_ + _) + lit(1)
     sized.crossJoin(broadcast(bounds))
-      .select(col("n_tok"), col("__q"), bin.as("bin"))
+      .select(col("doc_id"), col("n_tok"), col("__q"), bin.as("bin"))
+  }
+
+  def lengthCurriculum(docs: DataFrame, nBins: Int = 10): DataFrame = {
+    docBins(docs, nBins)
+      .select(col("n_tok"), col("__q"), col("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
@@ -305,12 +315,14 @@ object SampleOps {
 
   /** DuckDB oracle for lengthCurriculum (same histogram boundaries, same
     * integer bin rule, quality/median via the p09/p39 renderings). */
-  def lengthCurriculumSql(nBins: Int = 10, table: String = "documents"): String = {
+  /** Shared CTE chain ending in `binned(doc_id, n_tok, q, bin)` — used
+    * by both the p42 summary and the p68 manifest oracles. */
+  private[ops] def docBinsSqlCtes(nBins: Int, table: String): String = {
     val boundCols = (1 until nBins).map(k =>
       s"min(CASE WHEN cum * $nBins >= n * $k THEN n_tok END) AS b$k").mkString(",\n  ")
     val binExpr = (1 until nBins).map(k =>
       s"(CASE WHEN s.n_tok > b.b$k THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH sized AS (
+    s"""sized AS (
        |  SELECT doc_id,
        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tok,
        |    ${TextOps.qualityScoreSql("text")} AS q
@@ -320,10 +332,13 @@ object SampleOps {
        |tot AS (SELECT sum(c) AS n FROM hist),
        |b AS (SELECT $boundCols FROM cum, tot),
        |binned AS (
-       |  SELECT s.n_tok, s.q, 1 + $binExpr AS bin FROM sized s, b)
+       |  SELECT s.doc_id, s.n_tok, s.q, 1 + $binExpr AS bin FROM sized s, b)""".stripMargin
+  }
+
+  def lengthCurriculumSql(nBins: Int = 10, table: String = "documents"): String =
+    s"""WITH ${docBinsSqlCtes(nBins, table)}
        |SELECT bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |  min(n_tok) AS min_tok, max(n_tok) AS max_tok,
        |  ${OracleSql.roundD("quantile_cont(q, 0.5)", 4)} AS med_q
        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
-  }
 }

@@ -55,6 +55,49 @@ object ShardOps {
         ((col("seq") - 1) * shards + col("shard")).as("step"))
   }
 
+  /** CURRICULUM manifest (p68): [[shuffleManifest]] with a curriculum
+    * stage ordering the seeded shuffle — within each shard, `seq` sorts
+    * by (bin ASC, order-hash): every dataloader rank sees stage-1 docs
+    * (short, per p42's deciles) before stage 2, while WITHIN a stage
+    * the order is the same seeded uniform shuffle (and shard assignment
+    * stays pure hash, so ranks stay balanced per stage). This is the
+    * standard length-curriculum prep (short-to-long warmup); a quality
+    * or difficulty stage drops into the same `bin` column. Same plan as
+    * shuffleManifest — shard hash map-side, one shard-keyed shuffle,
+    * NO global sort (the bin prefix rides the in-partition sort). */
+  def curriculumManifest(bins: DataFrame, seed: String = Seed,
+                         shards: Int = Shards): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = ordHash(col("doc_id"), seed)
+    val shard = (conv(substring(ord, 1, 15), 16, 10).cast("long") % shards).cast("int")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("bin"), col("__ord"), col("doc_id"))
+    bins.select(col("doc_id"), col("bin"), ord.as("__ord"), shard.as("shard"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("bin"), col("shard"), col("seq"),
+        ((col("seq") - 1) * shards + col("shard")).as("step"))
+  }
+
+  /** DuckDB oracle for [[curriculumManifest]] over p42's bins. */
+  def curriculumManifestSql(nBins: Int = 10, seed: String = Seed,
+                            shards: Int = Shards,
+                            table: String = "documents"): String =
+    s"""WITH ${SampleOps.docBinsSqlCtes(nBins, table)},
+       |t AS (
+       |  SELECT doc_id, bin,
+       |    md5('$seed'||'|'||CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM binned),
+       |s AS (
+       |  SELECT doc_id, bin, ord,
+       |    CAST((('0x'||substr(ord,1,15))::UBIGINT)::BIGINT % $shards AS INT) AS shard
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, bin, shard,
+       |    row_number() OVER (PARTITION BY shard ORDER BY bin, ord, doc_id) AS seq
+       |  FROM s)
+       |SELECT doc_id, bin, shard, seq, (seq - 1) * $shards + shard AS step
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle: same md5 order hash, same bucket math, same
     * row_number tie-break. */
   def shuffleManifestSql(seed: String = Seed, shards: Int = Shards,

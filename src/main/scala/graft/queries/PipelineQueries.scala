@@ -791,6 +791,16 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // ---- curriculum shard manifest: p42's length deciles ORDER p48's
+    //      seeded shuffle (short-to-long warmup per dataloader rank);
+    //      no global sort — the stage prefix rides the in-shard sort ----
+    "p68_curriculum_manifest" -> ((s, dir) => {
+      ShardOps.curriculumManifest(
+        SampleOps.docBins(Tables.loadSpread(s, dir, "documents"))
+          .select(col("doc_id"), col("bin")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- template-instance detection: structural fingerprint (digit
     //      runs normalized) collapses machine-generated instantiations
     //      that Jaccard misses once fill-ins diverge; map-only + one
@@ -1193,6 +1203,7 @@ object PipelineQueries {
     "p63_span_removal" -> DedupOps.removeDupSpansSql(),
     "p66_snapshot_diff" -> graft.ops.DiffOps.snapshotDiffSql(),
     "p67_template_groups" -> DedupOps.templateGroupsSql(),
+    "p68_curriculum_manifest" -> ShardOps.curriculumManifestSql(),
     "p39_corpus_card" ->
       s"""WITH base AS (
          |  SELECT ${TextOps.langIdSql("text")} AS lang_pred,

@@ -65,4 +65,34 @@ class ShardOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("curriculumManifest: stages ordered within every shard, shuffle within stage") {
+    import org.apache.spark.sql.functions.col
+    // 300 docs across 3 planted bins
+    val bins = spark.range(300).toDF("doc_id")
+      .withColumn("bin", (col("doc_id") % 3 + 1).cast("int"))
+    val m = ShardOps.curriculumManifest(bins, seed = "e0", shards = 4)
+      .as[(Long, Int, Int, Long, Long)].collect()
+    assert(m.length == 300 && m.map(_._1).toSet.size == 300)
+    assert(m.map(_._5).toSet.size == 300, "steps distinct")
+    // within each shard, bin is non-decreasing along seq
+    m.groupBy(_._3).foreach { case (_, rows) =>
+      val byseq = rows.sortBy(_._4).map(_._2)
+      assert(byseq.sameElements(byseq.sorted), "curriculum order violated")
+    }
+    // shard assignment ignores the bin: same as the plain shuffle's
+    val plain = ShardOps.shuffleManifest(
+      bins.select(col("doc_id")), col("doc_id"), seed = "e0", shards = 4)
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(m.forall { case (id, _, sh, _, _) => plain(id) == sh })
+    // a new seed reorders WITHIN a stage but never across stages
+    val m2 = ShardOps.curriculumManifest(bins, seed = "e1", shards = 4)
+      .as[(Long, Int, Int, Long, Long)].collect()
+    m2.groupBy(_._3).foreach { case (_, rows) =>
+      val byseq = rows.sortBy(_._4).map(_._2)
+      assert(byseq.sameElements(byseq.sorted))
+    }
+    assert(m.map(r => r._1 -> r._4).toMap != m2.map(r => r._1 -> r._4).toMap,
+      "different epoch seed must reshuffle")
+  }
 }
