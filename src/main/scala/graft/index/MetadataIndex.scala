@@ -248,15 +248,36 @@ object MetadataIndex {
   }
 
   /** All partition dirs (dirs containing metadata.json) under a table.
-    * The walk stream is closed explicitly — it holds open directory fds
-    * that iterator exhaustion does not release. */
+    *
+    * Hand-rolled walk instead of `Files.walk`: the table root is walked
+    * WHILE writers commit (atomic-rename staging creates and removes
+    * transient `.bak`/tmp files), and `Files.walk`'s FileTreeIterator
+    * throws UncheckedIOException(NoSuchFileException) when an entry it
+    * listed vanishes before it stats it — planning must tolerate
+    * concurrently-vanishing entries, not crash on them (a vanished
+    * transient is by definition not a metadata.json we needed). Each
+    * directory stream is closed explicitly (open fds). */
   def partitionDirs(tableRoot: Path): Seq[Path] = {
     if (!Files.isDirectory(tableRoot)) return Nil
-    val s = Files.walk(tableRoot)
-    try s.iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString == FileName)
-      .map(_.getParent).toSeq
-    finally s.close()
+    val out = scala.collection.mutable.ListBuffer.empty[Path]
+    def walk(dir: Path): Unit = {
+      val ds =
+        try Files.newDirectoryStream(dir)
+        catch { case _: java.io.IOException => return } // dir vanished mid-walk
+      try {
+        val it = ds.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (Files.isDirectory(p)) walk(p)
+          else if (p.getFileName.toString == FileName) out += p.getParent
+        }
+      } catch {
+        // an entry vanished between readdir batches — keep what we have
+        case _: java.nio.file.DirectoryIteratorException => ()
+      } finally ds.close()
+    }
+    walk(tableRoot)
+    out.toList
   }
 
   /** Live files overlapping [minNs, maxNs] — querier-style time pruning
