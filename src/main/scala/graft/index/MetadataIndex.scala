@@ -255,25 +255,38 @@ object MetadataIndex {
     * throws UncheckedIOException(NoSuchFileException) when an entry it
     * listed vanishes before it stats it — planning must tolerate
     * concurrently-vanishing entries, not crash on them (a vanished
-    * transient is by definition not a metadata.json we needed). Each
-    * directory stream is closed explicitly (open fds). */
+    * transient is by definition not a metadata.json we needed). ONLY
+    * the vanished-entry races are swallowed: a genuine I/O failure
+    * (AccessDenied, transient read error) rethrows — silently
+    * excluding partitions there would return partial query results.
+    * Directory checks do NOT follow symlinks (a link cycle under the
+    * table root must not recurse unboundedly; Files.walk had the same
+    * no-follow default). Each directory stream is closed explicitly
+    * (open fds). */
   def partitionDirs(tableRoot: Path): Seq[Path] = {
     if (!Files.isDirectory(tableRoot)) return Nil
     val out = scala.collection.mutable.ListBuffer.empty[Path]
     def walk(dir: Path): Unit = {
       val ds =
         try Files.newDirectoryStream(dir)
-        catch { case _: java.io.IOException => return } // dir vanished mid-walk
+        catch {
+          // dir vanished mid-walk (compaction GC'd it); anything else
+          // is a real failure the planner must surface
+          case _: java.nio.file.NoSuchFileException => return
+          case _: java.nio.file.NotDirectoryException => return
+        }
       try {
         val it = ds.iterator()
         while (it.hasNext) {
           val p = it.next()
-          if (Files.isDirectory(p)) walk(p)
+          if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) walk(p)
           else if (p.getFileName.toString == FileName) out += p.getParent
         }
       } catch {
-        // an entry vanished between readdir batches — keep what we have
-        case _: java.nio.file.DirectoryIteratorException => ()
+        // an entry vanished between readdir batches — keep what we
+        // have; other causes (wrapped real I/O errors) rethrow
+        case e: java.nio.file.DirectoryIteratorException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
       } finally ds.close()
     }
     walk(tableRoot)

@@ -610,7 +610,10 @@ object DedupOps {
     val oldEdges = oldLabels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("da"), col("cluster_id").as("db"))
     val cc = connectedComponents(pNN.union(pNO).union(oldEdges))
-    val docs = oldLabels.select("doc_id").union(newDocs.select("doc_id"))
+    // distinct: a doc_id present in BOTH sides (a re-ingested doc in an
+    // overlapping refresh) must not yield duplicate output rows — the
+    // p62 split is disjoint, but the public contract holds either way
+    val docs = oldLabels.select("doc_id").union(newDocs.select("doc_id")).distinct()
     docs.join(cc, docs("doc_id") === cc("node"), "left")
       .select(docs("doc_id"),
         coalesce(col("rep"), docs("doc_id")).as("cluster_id"))

@@ -73,7 +73,12 @@ object PqOps {
     val sub = dims / M
     val nv = corpus.withColumn("nvec", SimilarityOps.normalized(col("embedding")))
       .filter(col("nvec").isNotNull)
-    val sample = nv.select("nvec").limit(Ksub * trainPerCell).collect()
+    // deterministic sample: limit() alone has no defined row order, so
+    // the trained books (and every PQ result) could differ across runs
+    // or partition layouts; the vec_id sort pins them (same seeded-
+    // reproducibility discipline as the Lloyd loop below)
+    val sample = nv.orderBy(col("vec_id")).select("nvec")
+      .limit(Ksub * trainPerCell).collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.length >= Ksub, s"corpus too small: ${sample.length} < $Ksub")
     val books = Array.tabulate(M) { j =>

@@ -43,9 +43,33 @@ object SimilarityOps {
   }
 
   // ---- random-hyperplane LSH ----
-  // 64 buckets + Hamming-1 multi-probe: each query scans ~7/64 of the
-  // corpus. Tune NumPlanes up with corpus size (buckets ≈ corpus/10k).
+  // 2^planes buckets + Hamming-1 multi-probe: each query scans
+  // ~(planes+1)/2^planes of the corpus. `NumPlanes` is the floor;
+  // callers at scale pass `adaptivePlanes(corpusRows)` so bucket
+  // population — and hence per-query candidate count — stays constant
+  // as the corpus grows.
   val NumPlanes = 6
+
+  /** Hyperplane count sized to the corpus: enough sign bits that each
+    * bucket holds ~`targetBucketRows` vectors, floored at [[NumPlanes]].
+    * Candidates per query ≈ (planes+1) × targetBucketRows stays O(1) in
+    * corpus size, so a fixed query set probes in constant time and an
+    * all-corpus query set stays linear — the property that breaks when
+    * the plane count is pinned (r5's p64 lesson, there for IVF). */
+  def adaptivePlanes(corpusRows: Long, targetBucketRows: Long = 50): Int =
+    math.max(NumPlanes,
+      math.ceil(math.log(math.max(1L, corpusRows).toDouble /
+        targetBucketRows) / math.log(2.0)).toInt)
+
+  /** IVF cell count sized to the corpus: cells of ~`targetCellRows`
+    * vectors, floored at 16. Per-query candidates = nprobe ×
+    * targetCellRows stay O(1) as the corpus grows (pinning nlist makes
+    * them ∝ n — p64 measured 20.3× for 10× data at r5). At 100 TB the
+    * same rule gives cells of ~targetCellRows vectors; train on a
+    * bounded sample, assignment stays one linear pass. */
+  def adaptiveNlist(corpusRows: Long, targetCellRows: Long = 125,
+                    floor: Int = 16): Int =
+    math.max(floor, math.ceil(corpusRows.toDouble / targetCellRows).toInt)
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1). */
   private def unit(seed: Long): Double = {
@@ -59,23 +83,24 @@ object SimilarityOps {
   private def planeLit(p: Int, dims: Int): Column =
     array((0 until dims).map(d => lit(unit(p.toLong * 8192 + d))): _*)
 
-  /** Sign-bit bucket id of the embedding under NumPlanes hyperplanes. */
-  def bucketId(emb: Column, dims: Int): Column =
-    (0 until NumPlanes).map { p =>
+  /** Sign-bit bucket id of the embedding under `planes` hyperplanes. */
+  def bucketId(emb: Column, dims: Int, planes: Int = NumPlanes): Column =
+    (0 until planes).map { p =>
       when(dotf(emb, planeLit(p, dims)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
   /** Corpus bucketing: (vec_id, embedding, bucket). At scale, write this
     * out partitioned by bucket so probes prune to one partition. */
-  def hyperplaneBuckets(corpus: DataFrame, dims: Int): DataFrame =
-    corpus.withColumn("bucket", bucketId(col("embedding"), dims))
+  def hyperplaneBuckets(corpus: DataFrame, dims: Int,
+                        planes: Int = NumPlanes): DataFrame =
+    corpus.withColumn("bucket", bucketId(col("embedding"), dims, planes))
 
   /** DuckDB rendering of `bucketId` from the SAME unit() constants:
     * both engines widen the float vector to double and accumulate the
     * dot product sequentially in double, so the sign bits — and hence
     * the buckets — agree bit-for-bit. `v` must be a DOUBLE[] expr. */
-  def bucketIdSql(v: String, dims: Int): String =
-    (0 until NumPlanes).map { p =>
+  def bucketIdSql(v: String, dims: Int, planes: Int = NumPlanes): String =
+    (0 until planes).map { p =>
       val plane = (0 until dims).map(d => unit(p.toLong * 8192 + d).toString)
         .mkString("[", ", ", "]::DOUBLE[]")
       s"(CASE WHEN list_inner_product($v, $plane) >= 0 THEN ${1L << p} ELSE 0 END)"
@@ -83,11 +108,12 @@ object SimilarityOps {
 
   /** Full DuckDB oracle for `annTopK` (bucket + Hamming-1 multi-probe +
     * exact cosine rank within candidates), for queries vec_id < maxQid. */
-  def annTopKSql(k: Int, dims: Int, maxQid: Int): String = {
-    val flips = (0L +: (0 until NumPlanes).map(p => 1L << p)).mkString("(", "), (", ")")
+  def annTopKSql(k: Int, dims: Int, maxQid: Int,
+                 planes: Int = NumPlanes): String = {
+    val flips = (0L +: (0 until planes).map(p => 1L << p)).mkString("(", "), (", ")")
     s"""WITH cb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |    ${bucketIdSql("CAST(embedding AS DOUBLE[])", dims)} AS bucket
+       |    ${bucketIdSql("CAST(embedding AS DOUBLE[])", dims, planes)} AS bucket
        |  FROM embeddings
        |), flips(flip) AS (VALUES $flips),
        |qp AS (
@@ -535,17 +561,20 @@ object SimilarityOps {
   }
 
   /** ANN top-k with Hamming-1 multi-probe: each query probes its own
-    * bucket plus the NumPlanes buckets one sign-flip away — recall
+    * bucket plus the `planes` buckets one sign-flip away — recall
     * recovers near-boundary neighbors while still pruning most of the
-    * corpus. Recall vs bruteForceTopK is asserted in the spec. */
-  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int): DataFrame = {
-    val bc = hyperplaneBuckets(corpus, dims)
+    * corpus. Recall vs bruteForceTopK is asserted in the spec. Pass
+    * `planes = adaptivePlanes(corpusRows)` so candidate counts stay
+    * O(1) as the corpus grows. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+              planes: Int = NumPlanes): DataFrame = {
+    val bc = hyperplaneBuckets(corpus, dims, planes)
       .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("bucket"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("nnorm"))
-    val bq = hyperplaneBuckets(queries, dims)
+    val bq = hyperplaneBuckets(queries, dims, planes)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("qnorm"),
-        explode(array(lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p)): _*))
+        explode(array(lit(0L) +: (0 until planes).map(p => lit(1L << p)): _*))
           .as("flip"), col("bucket"))
       .select(col("qid"), col("qv"), col("qnorm"),
         col("bucket").bitwiseXOR(col("flip")).as("bucket"))

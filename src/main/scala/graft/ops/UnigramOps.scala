@@ -74,7 +74,9 @@ object UnigramOps {
     * asc — the deterministic head) from one distributed corpus pass. */
   def wordHistogram(docs: DataFrame, cap: Int = MaxTrainWords): Seq[(String, Long)] =
     docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0)
+      // same oversized-word skip as segmentWords: one pathological
+      // token must not abort training's driver-side EM
+      .filter(length(col("w")) > 0 && length(col("w")) < PieceCountBase)
       .groupBy("w").agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w"))
       .limit(cap)
@@ -178,10 +180,18 @@ object UnigramOps {
     val spark = words.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(pieces.map(p => p.piece -> p.qcost).toMap)
-    words.select(col("w")).as[String].mapPartitions { it =>
-      val costs = bc.value
-      it.map { w => val (c, n, _) = segment(w, costs); (w, c, n) }
-    }.toDF("w", "cost_q", "n_pieces")
+    // words at/over PieceCountBase code points are SKIPPED, not thrown
+    // on: segment's fail-loud require would kill the whole distributed
+    // encode on one pathological token (base64 blob, DNA string), and
+    // the SQL oracle — which shares this filter (length(w) here and in
+    // DuckDB both count code points) — would otherwise silently wrap
+    // via % PieceCountBase and publish wrong numbers. Both engines drop
+    // the same words, so encode rollups stay differential.
+    words.select(col("w")).filter(length(col("w")) < PieceCountBase)
+      .as[String].mapPartitions { it =>
+        val costs = bc.value
+        it.map { w => val (c, n, _) = segment(w, costs); (w, c, n) }
+      }.toDF("w", "cost_q", "n_pieces")
   }
 
   /** Training table query (p60): the top-`show` corpus words with their
@@ -255,7 +265,7 @@ object UnigramOps {
        |    FROM $table)
        |  WHERE length(w) > 0
        |  GROUP BY w ORDER BY freq DESC, w LIMIT $show),
-       |words AS (SELECT w FROM freqs),
+       |words AS (SELECT w FROM freqs WHERE length(w) < $PieceCountBase),
        |${dpSql(pieces)}
        |SELECT f.w AS word, f.freq,
        |  s.best // $PieceCountBase AS cost_q, s.best % $PieceCountBase AS n_pieces
@@ -267,7 +277,8 @@ object UnigramOps {
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
        |  FROM $table),
-       |words AS (SELECT DISTINCT w FROM toks WHERE length(w) > 0),
+       |words AS (SELECT DISTINCT w FROM toks
+       |  WHERE length(w) > 0 AND length(w) < $PieceCountBase),
        |${dpSql(pieces)}
        |SELECT doc_id, count(*) AS n_words,
        |  CAST(sum(s.best % $PieceCountBase) AS BIGINT) AS total_pieces,

@@ -70,7 +70,9 @@ object PipelineQueries {
     // the sign-bit buckets + Hamming-1 probe from the same constants) ----
     "p07_ann_lsh" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      SimilarityOps.annTopK(emb, emb.filter(col("vec_id") < 5), 10, 64)
+      val planes = SimilarityOps.adaptivePlanes(embRowsFor(s, dir))
+      lshPlanes.set(planes)
+      SimilarityOps.annTopK(emb, emb.filter(col("vec_id") < 5), 10, 64, planes)
         .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rn"))
         .orderBy(col("qid"), col("rn"))
     }),
@@ -81,7 +83,7 @@ object PipelineQueries {
     //      replay in SQL (recall + exactness-at-full-probe also spec'd).
     "p13_ann_ivf" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val (km, assigned) = ivfIndexFor(s, dir, nlist = 16)
+      val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
       ivfCenters.set(km.clusterCenters.map(_.toArray))
       SimilarityOps.ivfTopKWith(km, assigned, emb.filter(col("vec_id") < 5), 10,
         nprobe = 4)
@@ -332,7 +334,7 @@ object PipelineQueries {
     //      is scanned (4× fewer bytes); still bit-replayable in SQL ----
     "p27_ivf_quantized" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val (km, assigned) = ivfIndexFor(s, dir, nlist = 16)
+      val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
       ivfQCenters.set(km.clusterCenters.map(_.toArray))
       SimilarityOps.ivfQuantizedTopKWith(km, assigned,
         emb.filter(col("vec_id") < 5), k = 10, nprobe = 4)
@@ -479,7 +481,7 @@ object PipelineQueries {
     //      (star-contraction CC). Oracle-checked via the trained-centroid
     //      replay (p13's pattern) + recursive-CTE closure (p20's) ----
     "p40_semantic_dedup" -> ((s, dir) => {
-      val (km, assigned) = ivfIndexFor(s, dir, nlist = SemCells)
+      val (km, assigned) = ivfIndexFor(s, dir, semCellsFor(s, dir))
       semCenters.set(km.clusterCenters.map(_.toArray))
       DedupOps.semanticDedup(assigned, EmbDupTau)
         .orderBy(col("vec_id"))
@@ -768,7 +770,7 @@ object PipelineQueries {
     //      truth in the same pass ----
     "p64_label_propagation" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val (km, assigned) = ivfIndexFor(s, dir, nlist = 16)
+      val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
       labelPropCenters.set(km.clusterCenters.map(_.toArray))
       val labeled = assigned.join(emb.select(col("vec_id"), col("label")), "vec_id")
       SimilarityOps.labelPropagationFrom(
@@ -822,10 +824,10 @@ object PipelineQueries {
 
     // ---- hard-negative mining for retrieval training: top-k nearest
     //      DIFFERENT-label vectors per query, probed through the SHARED
-    //      nlist=16 IVF index (the p13/p27 artifact — no retrain) ----
+    //      adaptive-nlist IVF index (the p13/p27 artifact — no retrain) ----
     "p57_hard_negatives" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val (km, assigned) = ivfIndexFor(s, dir, nlist = 16)
+      val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
       hardNegCenters.set(km.clusterCenters.map(_.toArray))
       val labeled = assigned.join(emb.select(col("vec_id"), col("label")), "vec_id")
       SimilarityOps.hardNegativesFrom(
@@ -913,6 +915,64 @@ object PipelineQueries {
         java.nio.file.Files.createTempDirectory(prefix + "-").toString
     }
 
+  /** Staleness guard for the artifact caches (SCALE.md "artifact cache
+    * contract"): caches key on the corpus dir PLUS this snapshot id
+    * (name/size/mtime of every file, driver-side metadata only — no
+    * Spark job), so a corpus dir mutated in place misses the cache and
+    * rebuilds instead of serving a stale trained artifact. Lakehouse
+    * snapshot dirs are immutable, so the recheck normally re-hits the
+    * same key. Non-local schemes (hdfs://, s3a://) fall back to the
+    * bare dir string — there the immutable-snapshot assumption is the
+    * contract. */
+  private def snapshotId(dir: String): String =
+    try {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.isDirectory(p)) dir
+      else {
+        val s = java.nio.file.Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq.map(_.toString).sorted.map { f =>
+            val fp = java.nio.file.Paths.get(f)
+            s"${fp.getFileName}:${java.nio.file.Files.size(fp)}:" +
+              s"${java.nio.file.Files.getLastModifiedTime(fp).toMillis}"
+          }.mkString("|").hashCode.toString
+        } finally s.close()
+      }
+    } catch { case _: Exception => dir }
+
+  /** computeIfAbsent keyed by corpus dir + snapshot id — the shared
+    * shape of every per-corpus artifact cache below. Entries for
+    * superseded snapshots linger (bounded by snapshots seen per JVM);
+    * correctness needs only that the CURRENT snapshot never maps to an
+    * artifact trained on different bytes. */
+  private def snapCached[V](cache: java.util.concurrent.ConcurrentHashMap[String, V],
+                            dir: String, extra: String = "")(build: => V): V =
+    cache.computeIfAbsent(s"$dir@${snapshotId(dir)}$extra", _ => build)
+
+  /** Embedding-corpus row count, one metadata-only count per corpus
+    * snapshot — the input to data-adaptive index sizing (VERDICT r5 #1:
+    * pinned nlist made p64 super-linear; cells must stay ~constant-size
+    * as the corpus grows). */
+  private val embRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embRowsFor(s: SparkSession, dir: String): Long =
+    snapCached(embRowsCache, dir)(Tables.load(s, dir, "embeddings").count())
+
+  /** Cell count of the SHARED IVF index: 16 at the test SFs (≤2000
+    * vectors / 125-row target cells), growing ∝ corpus beyond — the
+    * trained-centroid oracles render whatever was trained, so sizing
+    * changes never touch the SQL. */
+  private def ivfNlistFor(s: SparkSession, dir: String): Int =
+    SimilarityOps.adaptiveNlist(embRowsFor(s, dir))
+
+  /** p40's semantic-dedup cell count: SemCells (8) at the test SFs,
+    * cells of ~250 vectors beyond — within-cell pair work stays
+    * O(cellRows²·ncells) = linear in the corpus. */
+  private def semCellsFor(s: SparkSession, dir: String): Int =
+    SimilarityOps.adaptiveNlist(embRowsFor(s, dir), targetCellRows = 250,
+      floor = SemCells)
+
   /** Materialized near-dup cluster map, built ONCE per corpus dir and
     * persisted as parquet (DedupOps.saveClusterLabels — the IVF-index
     * pattern): p20 is the build face, p36/p45 compose on the artifact.
@@ -923,13 +983,13 @@ object PipelineQueries {
   private val clusterMapDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def clusterMapFor(s: SparkSession, dir: String): DataFrame = {
-    val path = clusterMapDirs.computeIfAbsent(dir, _ => {
+    val path = snapCached(clusterMapDirs, dir) {
       val out = artifactDir("graft-clustermap")
       DedupOps.saveClusterLabels(
         DedupOps.clusterLabels(Tables.loadSpread(s, dir, "documents"), NearDupTau),
         out.toString)
       out.toString
-    })
+    }
     DedupOps.loadClusterLabels(Tables.init(s), path)
   }
 
@@ -943,20 +1003,20 @@ object PipelineQueries {
   private val gatedMapDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def gatedMapFor(s: SparkSession, dir: String): DataFrame = {
-    val path = gatedMapDirs.computeIfAbsent(dir, _ => {
+    val path = snapCached(gatedMapDirs, dir) {
       val out = artifactDir("graft-gatedmap")
       DedupOps.saveClusterLabels(
         CorpusPipeline.gateAndLabel(Tables.load(s, dir, "documents"), NearDupTau),
         out.toString)
       out.toString
-    })
+    }
     DedupOps.loadClusterLabels(Tables.init(s), path)
   }
 
   /** Trained IVF index, built ONCE per (corpus dir, nlist): the k-means
     * fit + full-corpus assignment persist as parquet (the saveIvfIndex
     * "batch artifact" contract) and every consumer probes the loaded
-    * table — p13 and p27 SHARE the nlist=16 quantizer (they previously
+    * table — p13 and p27 SHARE the adaptive-nlist quantizer (they previously
     * each trained an identical one), p40 owns nlist=SemCells. The
     * in-JVM model handle serves centersOf for probe math and the
     * captured-centroid oracles. */
@@ -964,14 +1024,14 @@ object PipelineQueries {
     String, (org.apache.spark.ml.clustering.KMeansModel, String)]()
   private def ivfIndexFor(s: SparkSession, dir: String, nlist: Int)
       : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
-    val (km, path) = ivfIndexCache.computeIfAbsent(s"$dir#$nlist", _ => {
+    val (km, path) = snapCached(ivfIndexCache, dir, s"#$nlist") {
       val (m, assigned) =
         SimilarityOps.ivfIndex(Tables.load(s, dir, "embeddings"), nlist)
       val out = artifactDir("graft-ivfidx")
       assigned.select(col("vec_id"), col("nvec"), col("cell"))
         .write.mode("overwrite").parquet(out.toString)
       (m, out.toString)
-    })
+    }
     (km, Tables.init(s).read.parquet(path))
   }
 
@@ -985,13 +1045,13 @@ object PipelineQueries {
   private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Array[Double]]], String)]()
   private def pqIndexFor(s: SparkSession, dir: String): graft.ops.PqOps.PqIndex = {
-    val (books, path) = pqIndexCache.computeIfAbsent(dir, _ => {
+    val (books, path) = snapCached(pqIndexCache, dir) {
       val idx = graft.ops.PqOps.pqIndex(
         Tables.load(s, dir, "embeddings"), dims = EmbDims)
       val out = artifactDir("graft-pqidx")
       idx.codes.write.mode("overwrite").parquet(out.toString)
       (idx.books, out.toString)
-    })
+    }
     graft.ops.PqOps.PqIndex(books, Tables.init(s).read.parquet(path))
   }
 
@@ -999,7 +1059,7 @@ object PipelineQueries {
   private val pqBooks = new java.util.concurrent.atomic.AtomicReference[
     Array[Array[Array[Double]]]]()
 
-  /** p57's probe centroids (the SHARED nlist=16 quantizer, captured
+  /** p57's probe centroids (the SHARED adaptive-nlist quantizer, captured
     * separately so p57 stays order-independent of p13/p27). */
   private val hardNegCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
@@ -1013,7 +1073,7 @@ object PipelineQueries {
   private val refreshSnapshotCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, String, Long)]()
   private def refreshSnapshotFor(s: SparkSession, dir: String): (String, String, Long) =
-    refreshSnapshotCache.computeIfAbsent(dir, _ => {
+    snapCached(refreshSnapshotCache, dir) {
       val docs = Tables.loadSpread(s, dir, "documents")
       val split = math.ceil(
         docs.agg(max(col("doc_id"))).head().getLong(0) * 0.6).toLong
@@ -1024,13 +1084,18 @@ object PipelineQueries {
         DedupOps.clusterLabels(oldDocs, NearDupTau, capFrac = None), lp)
       DedupOps.shingles(oldDocs, 3).write.mode("overwrite").parquet(sp)
       (lp, sp, split)
-    })
+    }
 
   /** p64's seed-selection modulus (vec_id % mod == 0 → labeled seed)
     * and its captured probe centroids. */
   val LabelSeedMod = 5L
   private val labelPropCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
+  /** p07's hyperplane count (adaptivePlanes over the corpus), captured
+    * when the query runs so the oracle rebuilds the SAME buckets; the
+    * static entry (NumPlanes) covers a dump where p07 never ran. */
+  private val lshPlanes = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** p13's trained quantizer, captured when the query runs so the oracle
     * SQL can replay the SAME centroids (Verify runs all queries, then
@@ -1044,7 +1109,7 @@ object PipelineQueries {
   private val ivfQCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
-  /** p40's k-means cell count (data-adaptive; grows ∝ corpus at scale)
+  /** p40's k-means cell-count FLOOR (semCellsFor grows it ∝ corpus)
     * and its trained centroids, captured like p13's. */
   val SemCells = 8
   private val semCenters =
@@ -1056,8 +1121,8 @@ object PipelineQueries {
   private val trainedMergesCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[BpeOps.Merge]]()
   private def trainedMergesFor(s: SparkSession, dir: String): Seq[BpeOps.Merge] =
-    trainedMergesCache.computeIfAbsent(dir,
-      _ => BpeOps.train(Tables.loadSpread(s, dir, "documents")))
+    snapCached(trainedMergesCache, dir)(
+      BpeOps.train(Tables.loadSpread(s, dir, "documents")))
 
   /** p51's trained merge table, captured like p13's centroids; p52
     * captures its own copy so the two queries stay order-independent. */
@@ -1073,8 +1138,8 @@ object PipelineQueries {
     String, Seq[graft.ops.UnigramOps.Piece]]()
   private def trainedPiecesFor(s: SparkSession, dir: String)
       : Seq[graft.ops.UnigramOps.Piece] =
-    trainedPiecesCache.computeIfAbsent(dir,
-      _ => graft.ops.UnigramOps.train(Tables.loadSpread(s, dir, "documents")))
+    snapCached(trainedPiecesCache, dir)(
+      graft.ops.UnigramOps.train(Tables.loadSpread(s, dir, "documents")))
   private val unigramPieces = new java.util.concurrent.atomic.AtomicReference[
     Array[graft.ops.UnigramOps.Piece]]()
   private val unigramEncPieces = new java.util.concurrent.atomic.AtomicReference[
@@ -1085,6 +1150,9 @@ object PipelineQueries {
     (Array[BpeOps.Merge], Array[graft.ops.UnigramOps.Piece])]()
 
   def oracle: Map[String, String] = staticOracle ++
+    Some(lshPlanes.get()).filter(_ > 0).map(p =>
+      "p07_ann_lsh" -> SimilarityOps.annTopKSql(k = 10, dims = 64, maxQid = 5,
+        planes = p)) ++
     Option(ivfCenters.get()).map(c =>
       "p13_ann_ivf" -> SimilarityOps.ivfTopKSql(c.toSeq, k = 10, nprobe = 4, maxQid = 5)) ++
     Option(ivfQCenters.get()).map(c =>

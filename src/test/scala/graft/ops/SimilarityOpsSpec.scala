@@ -216,6 +216,45 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(r.forall(x => x.getAs[Long]("votes") >= 1 && x.getAs[Long]("votes") <= 8))
   }
 
+  // ---- data-adaptive index sizing (VERDICT r5 #1/#6) ----
+
+  test("adaptiveNlist keeps cells near the target size as the corpus grows") {
+    // the regression guard for the r5 scale-killer: pinning nlist makes
+    // per-query candidates ∝ corpus; adaptive sizing must keep
+    // rows-per-cell inside a constant band at every size past the floor
+    for (n <- Seq(2000L, 20000L, 200000L, 2000000L)) {
+      val nlist = SimilarityOps.adaptiveNlist(n)
+      val perCell = n.toDouble / nlist
+      assert(perCell <= 125.0 && perCell >= 62.0,
+        s"n=$n nlist=$nlist rows/cell=$perCell outside [62,125]")
+    }
+    // below the floor the floor wins (16 cells, test-SF behavior)
+    assert(SimilarityOps.adaptiveNlist(500) == 16)
+    assert(SimilarityOps.adaptiveNlist(2000) == 16)
+    // LSH planes: bucket population likewise bounded as the corpus grows
+    for (n <- Seq(2000L, 20000L, 200000L)) {
+      val planes = SimilarityOps.adaptivePlanes(n)
+      val perBucket = n.toDouble / (1L << planes)
+      assert(perBucket <= 50.0, s"n=$n planes=$planes rows/bucket=$perBucket")
+    }
+    assert(SimilarityOps.adaptivePlanes(500) == 6) // floor at the test SFs
+  }
+
+  test("a 10x corpus trains ~10x the cells and rows-per-cell stays banded") {
+    // build the REAL index at two corpus sizes (the end-to-end face of
+    // the guard above): cell count must scale with the data, and actual
+    // assigned rows-per-cell must stay within a constant band
+    for (n <- Seq(2000, 20000)) {
+      val corpus = vecs(n, 8)
+      val nlist = SimilarityOps.adaptiveNlist(n.toLong)
+      val (km, assigned) = SimilarityOps.ivfIndex(corpus, nlist)
+      assert(km.clusterCenters.length == nlist)
+      val perCell = assigned.count().toDouble / nlist
+      assert(perCell <= 130.0,
+        s"n=$n nlist=$nlist assigned rows/cell $perCell — candidates grow with corpus")
+    }
+  }
+
   test("at full probe, hard negatives equal brute force filtered by label") {
     val corpus = labeledVecs(200, 8)
     val (km, assigned) = SimilarityOps.ivfIndex(corpus, nlist = 4)
