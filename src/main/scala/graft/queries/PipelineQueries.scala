@@ -825,6 +825,50 @@ object PipelineQueries {
     // ---- hard-negative mining for retrieval training: top-k nearest
     //      DIFFERENT-label vectors per query, probed through the SHARED
     //      adaptive-nlist IVF index (the p13/p27 artifact — no retrain) ----
+    // ---- SQL face of the persisted artifacts (VERDICT r5 #5): the
+    //      cluster map joins a corpus table in PLAIN SQL — the exact
+    //      shape a /query user POSTs after /gigapi/artifacts publishes
+    //      the view. The oracle re-derives the full clustering. ----
+    "p69_sql_cluster_join" -> ((s, dir) => {
+      Tables.load(s, dir, "documents").createOrReplaceTempView("p69_docs")
+      clusterMapFor(s, dir).createOrReplaceTempView("p69_cluster_map")
+      s.sql("""SELECT d.doc_id, m.cluster_id,
+               |  d.doc_id = m.cluster_id AS is_keeper
+               |FROM p69_docs d JOIN p69_cluster_map m USING (doc_id)
+               |ORDER BY d.doc_id""".stripMargin)
+    }),
+
+    // ---- SQL face of the IVF index: `ivf_probe(vec, nprobe)` (bound
+    //      to the shared trained quantizer) + the published assigned
+    //      view replay the p13 probe plan from POSTed SQL — explode the
+    //      probe cells, hash-join the index, rank by codegen'd dotf.
+    //      Normalization spells out the exact normalized() op sequence
+    //      so the replay is bit-identical to the DataFrame path. ----
+    "p70_sql_ivf_probe" -> ((s, dir) => {
+      val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
+      sqlProbeCenters.set(km.clusterCenters.map(_.toArray))
+      val centers = km.clusterCenters.map(_.toArray)
+      s.sessionState.functionRegistry.createOrReplaceTempFunction("ivf_probe",
+        es => graft.functions.IvfProbeCells(es(0), es(1), centers), "scala_udf")
+      assigned.createOrReplaceTempView("p70_ivf_assigned")
+      Tables.load(s, dir, "embeddings").createOrReplaceTempView("p70_emb")
+      s.sql(
+        """SELECT qid, nid, round(sim, 4) AS sim, rn FROM (
+          |  SELECT q.qid, c.vec_id AS nid, dotf(q.nv, c.nvec) AS sim,
+          |    row_number() OVER (PARTITION BY q.qid
+          |      ORDER BY dotf(q.nv, c.nvec) DESC, c.vec_id) AS rn
+          |  FROM (
+          |    SELECT vec_id AS qid,
+          |      transform(embedding,
+          |        x -> CAST(x AS DOUBLE) / sqrt(dotf(embedding, embedding))) AS nv,
+          |      explode(ivf_probe(embedding, 4)) AS cell
+          |    FROM p70_emb
+          |    WHERE vec_id < 5 AND dotf(embedding, embedding) > 0) q
+          |  JOIN p70_ivf_assigned c USING (cell)
+          |  WHERE c.vec_id != q.qid) t
+          |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
+    }),
+
     "p57_hard_negatives" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
@@ -1109,6 +1153,11 @@ object PipelineQueries {
   private val ivfQCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** p70's captured quantizer (its own copy, order-independent of
+    * p13/p27 — the shared index means the same centers). */
+  private val sqlProbeCenters =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
   /** p40's k-means cell-count FLOOR (semCellsFor grows it ∝ corpus)
     * and its trained centroids, captured like p13's. */
   val SemCells = 8
@@ -1177,7 +1226,13 @@ object PipelineQueries {
       "p64_label_propagation" -> SimilarityOps.labelPropagationSql(c.toSeq,
         k = 8, nprobe = 4, seedMod = LabelSeedMod)) ++
     Option(fertilityArtifacts.get()).map { case (m, p) =>
-      "p65_tokenizer_fertility" -> TokenizerEval.fertilitySql(m.toSeq, p.toSeq) }
+      "p65_tokenizer_fertility" -> TokenizerEval.fertilitySql(m.toSeq, p.toSeq) } ++
+    // p70 replays the p13 probe (same k/nprobe/query set) through the
+    // SQL surface; the oracle is the SAME trained-centroid replay — the
+    // differential proves SQL face ≡ DataFrame face ≡ DuckDB rebuild
+    Option(sqlProbeCenters.get()).map(c =>
+      "p70_sql_ivf_probe" -> SimilarityOps.ivfTopKSql(c.toSeq, k = 10,
+        nprobe = 4, maxQid = 5))
 
   private val staticOracle: Map[String, String] = Map(
     "p01_dedup_exact" ->
@@ -1231,6 +1286,12 @@ object PipelineQueries {
     "p14_repetition_filters" -> TextOps.repetitionSql(),
     "p15_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
     "p20_dedup_cluster" -> DedupOps.clusterSql(NearDupTau),
+    // p69: the clusterSql re-derivation wrapped with the join's output
+    // shape (every doc joins its label; is_keeper = doc is its rep)
+    "p69_sql_cluster_join" ->
+      s"""SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
+         |FROM (${DedupOps.clusterSql(NearDupTau)}) t
+         |ORDER BY doc_id""".stripMargin,
     "p30_seq_packing" -> PackOps.packGreedySql(PackShards, PackBudget),
     "p21_salient_terms" -> TextOps.salientTermsSql(),
     "p22_gap_fill" -> TimeSeriesOps.gapFillSql(GapBucketNs, GapSparsify),

@@ -31,6 +31,15 @@ import graft.pruning.{Pruning, QueryViews}
   *    as strings for JS safety, like the reference README.md:131-133)
   *  - POST /gigapi/create — create-table DDL (JSON, or the reference's
   *    YAML shape — F8 subset)
+  *  - POST /gigapi/artifacts?db=… {"kind": "cluster_map"|"ivf",
+  *    "table": …} — build a pipeline artifact (near-dup cluster map /
+  *    IVF ANN index) over an ingested table and publish it onto the SQL
+  *    surface: parquet-backed temp views (`<table>_cluster_map`,
+  *    `<table>_ivf_centroids`/`_assigned`) joinable from any /query
+  *    SQL, plus `ivf_probe(vec, nprobe)` bound to the trained
+  *    quantizer. Beyond reference parity (its query story is
+  *    "POST SQL"; this makes the Scala-only pipeline artifacts
+  *    reachable from it).
   *  - GET /health, GET /ping
   *
   * The server is driver-side protocol plumbing only; all data work is
@@ -67,6 +76,7 @@ final class GigHttpServer(spark: SparkSession, root: String,
       "/api/v3/write_lp").foreach(p => server.createContext(p, handle(handleWrite)))
     server.createContext("/query", handle(handleQuery))
     server.createContext("/gigapi/create", handle(handleCreate))
+    server.createContext("/gigapi/artifacts", handle(handleArtifacts))
     server.createContext("/health", handle { ex =>
       respond(ex, 200, """{"status":"ok"}""", "application/json")
     })
@@ -176,6 +186,79 @@ final class GigHttpServer(spark: SparkSession, root: String,
       columns = req.fields,
       dataUrl = req.s3Url))
     respond(ex, 200, """{"status":"created"}""", "application/json")
+  }
+
+  /** Build + publish a pipeline artifact over an ingested table (see
+    * class doc). The artifact persists as parquet under the lakehouse
+    * root (`.artifacts/`, a fresh dir per build — the immutable-
+    * snapshot contract of SCALE.md), and the views re-register on every
+    * planning session, so they survive catalog-version rebuilds. */
+  private def handleArtifacts(ex: HttpExchange): Unit = {
+    import org.apache.spark.sql.functions.col
+    val j = JsonMethods.parse(new String(readBody(ex), UTF_8))
+    def str(f: String): Option[String] =
+      j \ f match { case JString(s) => Some(s); case _ => None }
+    val kind = str("kind").getOrElse(throw new IllegalArgumentException(
+      """body must be {"kind": "cluster_map"|"ivf", "table": "..."}"""))
+    val table = str("table").getOrElse(
+      throw new IllegalArgumentException(""""table" is required"""))
+    val db = queryParams(ex).getOrElse("db", "default")
+    graft.Tables.init(spark)
+    val base = Pruning.readTable(spark, catalog, db, table)
+    val prefix = if (db == "default") table else s"${db}_$table"
+    val outDir = java.nio.file.Paths.get(root, ".artifacts",
+      s"$prefix-$kind-${java.util.UUID.randomUUID()}").toString
+    kind match {
+      case "cluster_map" =>
+        val id = str("id").getOrElse("doc_id")
+        val text = str("text").getOrElse("text")
+        val tau = j \ "tau" match {
+          case JDouble(d) => d
+          case JDecimal(d) => d.toDouble
+          case _ => 0.6
+        }
+        val labels = graft.ops.DedupOps.clusterLabels(
+          base.select(col(id).cast("long").as("doc_id"), col(text).as("text")), tau)
+        graft.ops.DedupOps.saveClusterLabels(labels, outDir)
+        views.publishArtifactView(s"${prefix}_cluster_map", outDir)
+        respond(ex, 200, JsonOut.obj(
+          "view" -> JsonOut.str(s"${prefix}_cluster_map")), "application/json")
+      case "ivf" =>
+        val id = str("id").getOrElse("vec_id")
+        val vec = str("vec").getOrElse("embedding")
+        // the lakehouse type system is scalar (GraftTypes), so ingested
+        // embeddings live as wide float columns; "vec_cols" assembles
+        // them ("vec" names a ready array column for external tables)
+        val vecCols = j \ "vec_cols" match {
+          case JArray(vs) => vs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        val embCol =
+          if (vecCols.nonEmpty)
+            org.apache.spark.sql.functions.array(
+              vecCols.map(c => col(c).cast("double")): _*)
+          else col(vec)
+        val df = base.select(col(id).cast("long").as("vec_id"),
+          embCol.as("embedding"))
+        // cap at the corpus size: k-means cannot train more centers
+        // than vectors (tiny tables hit the adaptive floor of 16)
+        val rows = df.count()
+        val nlist = math.max(1, math.min(rows,
+          graft.ops.SimilarityOps.adaptiveNlist(rows).toLong).toInt)
+        val (km, assigned) = graft.ops.SimilarityOps.ivfIndex(df, nlist)
+        graft.ops.SimilarityOps.saveIvfIndex(km, assigned, outDir)
+        views.publishArtifactView(s"${prefix}_ivf_centroids", s"$outDir/centroids")
+        views.publishArtifactView(s"${prefix}_ivf_assigned", s"$outDir/assigned")
+        val centers = km.clusterCenters.map(_.toArray)
+        views.publishArtifactFunction("ivf_probe",
+          es => graft.functions.IvfProbeCells(es(0), es(1), centers))
+        respond(ex, 200, JsonOut.obj(
+          "views" -> s"""["${prefix}_ivf_centroids","${prefix}_ivf_assigned"]""",
+          "function" -> JsonOut.str("ivf_probe"),
+          "nlist" -> nlist.toString), "application/json")
+      case other => throw new IllegalArgumentException(
+        s"unknown artifact kind '$other' (cluster_map | ivf)")
+    }
   }
 
   // ---- plumbing ----

