@@ -178,6 +178,55 @@ object ModelOps {
       .withColumn("keep", col("tercile") <= 2)
   }
 
+  /** The trained hashed-bigram LM as two driver-side bucket→count maps
+    * — the broadcastable artifact of bigramPerplexity's training stage
+    * (≤ PplBuckets entries each at ANY corpus size, so collecting is
+    * bounded by design, like the PQ codebooks). Train once per corpus
+    * snapshot; [[graft.streaming.StreamOps.pplGateStream]] binds the
+    * maps for map-only scoring of an unbounded arrival stream. */
+  def bigramLmMaps(docs: DataFrame): (Map[Long, Long], Map[Long, Long]) = {
+    val w = TextOps.tokens(col("text"))
+    val padded = concat(array(lit("<s>")), w)
+    val inst = docs
+      .filter(TextOps.qualityScore(col("text")) >= NbSeedTau)
+      .select(slice(padded, lit(1), size(w)).as("__ctx"),
+        TextExprs.ngrams(padded, 2).as("__big"))
+      .select(explode(arrays_zip(col("__ctx"), col("__big"))).as("__z"))
+      .select(pplBucket(col("__z")("__ctx")).as("b1"),
+        pplBucket(col("__z")("__big")).as("b12"))
+    def toMap(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (toMap(inst.groupBy("b12").agg(count(lit(1)).as("c"))),
+      toMap(inst.groupBy("b1").agg(count(lit(1)).as("c"))))
+  }
+
+  /** Map-only LM scoring with the trained maps bound as ONE map literal
+    * each: per-doc `n_big, qsum, bpt_milli` exactly as bigramPerplexity
+    * computes them, but with NO aggregation — the form a streaming
+    * frame can run statelessly. The per-position sum runs inside the
+    * `aggregate` higher-order function; a missing bucket scores 0
+    * (bigramPerplexity's na.fill path). */
+  def pplScore(docs: DataFrame, m12: Map[Long, Long],
+               m1: Map[Long, Long]): DataFrame = {
+    val m12L = typedlit(m12)
+    val m1L = typedlit(m1)
+    val w = TextOps.tokens(col("text"))
+    val padded = concat(array(lit("<s>")), w)
+    docs
+      .withColumn("__ctx", slice(padded, lit(1), size(w)))
+      .withColumn("__big", TextExprs.ngrams(padded, 2))
+      .withColumn("n_big", size(col("__big")).cast("long"))
+      .withColumn("qsum",
+        aggregate(arrays_zip(col("__ctx"), col("__big")), lit(0L),
+          (acc, z) => acc
+            + llog2(coalesce(element_at(m12L, pplBucket(z("__big"))), lit(0L)))
+            - llog2(coalesce(element_at(m1L, pplBucket(z("__ctx"))), lit(0L))
+              + lit(PplBuckets - 1))))
+      .withColumn("bpt_milli",
+        expr("(1000 * greatest(-qsum, 0L)) DIV greatest(n_big, 1L)"))
+      .drop("__ctx", "__big")
+  }
+
   /** DuckDB oracle for bigramPerplexity (same buckets, same quantized
     * logs, same seed gate, same ntile cut). */
   def bigramPerplexitySql(table: String = "documents"): String =

@@ -148,6 +148,35 @@ object StreamOps {
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n"), col("sum_v"))
 
+  /** Streaming CCNet perplexity gate — the streaming face of p55 for
+    * ingest-time filtering: the hashed-bigram LM trains ONCE on a
+    * curated/seed batch (`ModelOps.bigramLmMaps`, ≤ PplBuckets entries
+    * per table at any corpus size), then every arriving document scores
+    * map-only against the bound model and gates on bits-per-token.
+    *
+    * Spark-first: ZERO streaming state — scoring is a per-row
+    * `aggregate` over the doc's own bigrams with the model as two map
+    * literals, so there is no watermark, no aggregation buffer, and
+    * the stream sustains any rate the executors scan at. The batch
+    * tercile cut becomes a fixed `maxBptMilli` threshold (at scale the
+    * threshold comes from a sampled percentile of the reference — the
+    * CCNet deployment shape; the batch op's own bpt_milli distribution
+    * supplies it, as the spec demonstrates). */
+  def pplGateStream(arrivals: DataFrame, m12: Map[Long, Long],
+                    m1: Map[Long, Long], maxBptMilli: Long): DataFrame =
+    graft.ops.ModelOps.pplScore(arrivals, m12, m1)
+      .withColumn("keep", col("bpt_milli") <= maxBptMilli)
+
+  /** Streaming Dolma-style ensemble gate — the streaming face of p58:
+    * all six quality gates (length, symbol fraction, duplication
+    * fractions, heuristic quality) are ONE map-only projection over the
+    * document text, so the batch operator applies to a streaming frame
+    * UNCHANGED — stateless, watermark-free, append-mode. This wrapper
+    * names that contract (and the spec drains it against the batch
+    * results as its oracle). */
+  def ensembleGateStream(arrivals: DataFrame): DataFrame =
+    graft.ops.TextOps.ensembleGate(arrivals)
+
   /** One funnel-relevant event: stage is the 0-based index into the
     * funnel's stage list (pre-filtered — noise never enters the state). */
   final case class FunnelPoint(user: Long, timeNs: Long, stage: Int)

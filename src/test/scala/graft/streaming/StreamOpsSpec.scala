@@ -249,6 +249,86 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** 120 words, 1/3 stopwords, distinct long content words — clears the
+    * heuristic quality gate (the TextOpsSpec "good" construction), so
+    * these docs both seed the LM and pass the ensemble. */
+  private def prose(stem: String) = (0 until 120)
+    .map(i => if (i % 3 == 0) "the" else s"$stem$i").mkString(" ")
+  private def corpusDocs = Seq(
+    0L -> prose("wonder"),
+    1L -> prose("window"),
+    2L -> prose("wander"),
+    3L -> "zzz qqq xxx 123 9981 !!! ### $$$ %%%",      // symbolic junk
+    4L -> "the the the the the the the the the the the the", // dup words
+    5L -> prose("winter"),
+    6L -> "buy now click here free offer win cash prize instantly today", // low quality
+    7L -> prose("wonder")) // exact repeat of 0: identical LM score
+
+  test("pplGateStream scores a drained stream identically to the batch LM pass") {
+    import graft.ops.ModelOps
+    val docs = corpusDocs.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    // train the LM once on the batch (the curated/seed snapshot) ...
+    val (m12, m1) = ModelOps.bigramLmMaps(docs)
+    assert(m12.nonEmpty && m1.nonEmpty)
+    // ... and take the batch op as the oracle: per-doc integer scores
+    // must match EXACTLY, and the streaming threshold gate must
+    // reproduce the batch keep-set when fed the batch's own cut
+    val batch = ModelOps.bigramPerplexity(docs)
+      .select("doc_id", "n_big", "qsum", "bpt_milli", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4), r._5)).toMap
+    val cut = batch.collect { case (_, (t, true)) => t._3 }.max
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.pplGateStream(
+      in.toDF().toDF("doc_id", "text"), m12, m1, maxBptMilli = cut)
+      .select("doc_id", "n_big", "qsum", "bpt_milli", "keep")
+      .writeStream.format("memory").queryName("pplgate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(corpusDocs.take(4): _*)
+      q.processAllAvailable()
+      in.addData(corpusDocs.drop(4): _*) // second micro-batch: no state needed
+      q.processAllAvailable()
+      val got = spark.table("pplgate")
+        .as[(Long, Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4), r._5)).toMap
+      assert(got.size == corpusDocs.size)
+      for ((id, (scores, _)) <- batch)
+        assert(got(id)._1 == scores, s"doc $id: stream ${got(id)._1} vs batch $scores")
+      // the threshold gate reproduces every batch keep; it may keep
+      // MORE only where the batch tercile cut split equal scores
+      for ((id, (s, keep)) <- batch if keep)
+        assert(got(id)._2, s"doc $id kept by batch (bpt ${s._3}) but gated out")
+      for ((id, (s, _)) <- batch if s._3 > cut)
+        assert(!got(id)._2, s"doc $id over cut $cut but kept")
+    } finally q.stop()
+  }
+
+  test("ensembleGateStream drains to the batch gate verdicts") {
+    val docs = corpusDocs.toDF("doc_id", "text")
+    val batch = graft.ops.TextOps.ensembleGate(docs)
+      .select("doc_id", "keep", "reason")
+      .as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.ensembleGateStream(in.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "keep", "reason")
+      .writeStream.format("memory").queryName("ensgate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(corpusDocs: _*)
+      q.processAllAvailable()
+      val got = spark.table("ensgate").as[(Long, Boolean, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      // the planted junk docs are rejected, the prose kept
+      assert(!got(3L)._1 && !got(4L)._1 && got(0L)._1)
+    } finally q.stop()
+  }
+
   test("sessionizeStream merges points within gap, closes sessions at the watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String, Double)]
