@@ -45,10 +45,19 @@ object BenchData {
     * path. Tables are written as `<name>.parquet` DIRECTORIES, which
     * `Tables.load` reads transparently. */
   def ensureScaled(spark: SparkSession, fromDir: String): String = {
+    // content fingerprint in the derived-dir name: the driver
+    // REGENERATES the source testdata between rounds, so a path-only
+    // key would silently reuse a 10x corpus derived from last round's
+    // bytes and the sf1 section would compare different corpora (the
+    // SCALE.md immutable-snapshot-dir lesson, here for the bench)
+    val srcFiles = Option(new java.io.File(fromDir).listFiles()).getOrElse(Array())
+    val fp = java.lang.Integer.toHexString(
+      srcFiles.sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|").hashCode)
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       "graft-bench10x-" + new java.io.File(fromDir).getCanonicalPath
-        .replaceAll("[^a-zA-Z0-9]", "_"))
+        .replaceAll("[^a-zA-Z0-9]", "_") + "-" + fp)
     val marker = new java.io.File(base, "_SUCCESS")
     if (!marker.isFile) {
       Tables.names.foreach { n =>
