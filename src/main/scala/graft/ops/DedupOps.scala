@@ -121,6 +121,92 @@ object DedupOps {
        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
   }
 
+  // ---- pure-sketch decontamination screen (p72) ----
+  // decontaminateBloom PREfilters and then exact-verifies — right when
+  // candidate volume is small. When the holdout is itself huge (every
+  // benchmark ever published) and an over-drop at the sketch's FP rate
+  // is acceptable, production screens on the sketch ALONE: the filter
+  // is constant-size (BloomBits/8 bytes at ANY holdout size), mergeable
+  // across holdout shards by bitwise OR, and the corpus pass is pure
+  // map — no join, no shuffle of candidates. The md5-derived probes
+  // make every bit — and hence every screen decision, false positives
+  // included — replayable in the DuckDB oracle.
+
+  /** Sketch size: 2^15 bits = 4 KB — deliberately small so the
+    * differential gate exercises FP-inclusive replay (at sf0.01 the
+    * screen flags ~70 docs where exact flags 6 — EVERY one of those
+    * over-drops hash-matches the oracle, because the sketch IS the
+    * spec). Per-shingle FP ≈ (1−e^(−K·n/M))^K; a doc trips on ANY of
+    * its ~40 shingles, so doc-level over-drop is ~K·40× that.
+    * Production sizes M ∝ holdout for the target rate (still KBs per
+    * million grams) — the dataflow is unchanged. */
+  val BloomBits = 1L << 15
+  val BloomK = 4
+
+  /** Probe k's bit position for shingle s (md5 — the shared exact-hash
+    * primitive; 6 hex digits = 24 bits, then mod M). */
+  def bloomPos(s: Column, k: Int): Column =
+    conv(substring(md5(concat(s, lit("#" + k))), 1, 6), 16, 10)
+      .cast("long") % BloomBits
+
+  /** The holdout's Bloom filter as a bit-packed long array — a bounded
+    * driver artifact (BloomBits/64 longs, independent of holdout size;
+    * the position collect is capped at K·distinct-shingles ≤ BloomBits). */
+  def bloomBits(holdout: DataFrame, n: Int = DecontamN): Array[Long] = {
+    val pos = shingles(holdout, n).select(col("s")).distinct()
+      .select(explode(array((0 until BloomK).map(k => bloomPos(col("s"), k)): _*))
+        .as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bits = new Array[Long]((BloomBits / 64).toInt)
+    pos.foreach(p => bits((p / 64).toInt) |= (1L << (p % 64).toInt))
+    bits
+  }
+
+  /** Screen the corpus on the sketch alone: (doc_id, n_hits) for every
+    * corpus doc with ≥1 distinct shingle whose K probe bits are ALL set
+    * — the decision the pure-sketch pass makes, bounded false positives
+    * included (no exact verify, no join: the filter rides the plan as
+    * ONE array literal and membership is codegen'd element_at/AND). */
+  def bloomScreen(corpus: DataFrame, holdout: DataFrame,
+                  n: Int = DecontamN): DataFrame = {
+    val bitsL = typedlit(bloomBits(holdout, n).toIndexedSeq)
+    val masksL = typedlit((0 until 64).map(b => 1L << b))
+    def isSet(p: Column): Column =
+      element_at(bitsL, (p / 64L).cast("int") + 1)
+        .bitwiseAND(element_at(masksL, (p % 64L).cast("int") + 1)) =!= 0L
+    val hit = (0 until BloomK).map(k => isSet(bloomPos(col("s"), k))).reduce(_ && _)
+    shingles(corpus, n).filter(hit)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** DuckDB oracle for [[bloomScreen]] with the p15 split: the filter's
+    * bit positions re-derive from the holdout via the same md5 probes,
+    * membership = all K probe positions present — bit-for-bit the same
+    * decisions, so false positives match too (the sketch IS the spec). */
+  def bloomScreenSql(maxHoldout: Long, n: Int = DecontamN): String = {
+    val gram = (0 until n).map(k => s"w[i+$k]").mkString("||' '||")
+    def posSql(s: String) =
+      s"(('0x'||substr(md5($s||'#'||k),1,6))::UBIGINT)::BIGINT % $BloomBits"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - ${n - 2}, 1)), i -> $gram))) s
+       |  FROM toks),
+       |ks(k) AS (VALUES ${(0 until BloomK).map(k => s"($k)").mkString(", ")}),
+       |bloomp AS (
+       |  SELECT DISTINCT ${posSql("s")} AS p
+       |  FROM sh, ks WHERE doc_id < $maxHoldout),
+       |probe AS (
+       |  SELECT doc_id, s, k, ${posSql("s")} AS p
+       |  FROM sh, ks WHERE doc_id >= $maxHoldout),
+       |hits AS (
+       |  SELECT doc_id, s FROM probe JOIN bloomp USING (p)
+       |  GROUP BY doc_id, s HAVING count(*) = $BloomK)
+       |SELECT doc_id, count(*) AS n_hits FROM hits
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Contamination fraction above which a document counts as dirty
     * (GPT-3 appendix C removes documents by n-gram overlap with evals;
     * the fraction, not just the hit flag, is what per-corpus

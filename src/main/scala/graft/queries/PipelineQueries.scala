@@ -373,6 +373,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- sketch-PREFILTERED decontamination: the p15 result through
+    //      decontaminateBloom — Spark's BloomFilter sketch drops ~all
+    //      corpus shingles map-side, the exact join verifies only the
+    //      residue (no false positives survive, none are missed), so
+    //      the oracle is p15's own exact SQL. The broadcast shrinks
+    //      from holdout STRINGS to a ~1.2 bytes/element sketch ----
+    "p71_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      DedupOps.decontaminateBloom(
+        docs.filter(col("doc_id") >= DecontamHoldout),
+        docs.filter(col("doc_id") < DecontamHoldout))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- pure-SKETCH contamination screen: constant-size (4 KB)
+    //      md5-probed Bloom bits as ONE array literal, membership
+    //      codegen'd — no join, no exact verify; the oracle re-derives
+    //      every bit and so matches the decisions INCLUDING the
+    //      sketch's bounded false positives ----
+    "p72_bloom_screen" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      DedupOps.bloomScreen(
+        docs.filter(col("doc_id") >= DecontamHoldout),
+        docs.filter(col("doc_id") < DecontamHoldout))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- PII detection + redaction: regex sweeps + chained replaces,
     //      map-only (zero shuffles). The corpus carries no natural PII,
     //      so deterministic doc_id-derived PII is planted first — both
@@ -1285,6 +1312,10 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "p14_repetition_filters" -> TextOps.repetitionSql(),
     "p15_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
+    // p71: the sketch only prefilters — the exact verify makes the
+    // result identical to p15's, so the same SQL is the oracle
+    "p71_bloom_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
+    "p72_bloom_screen" -> DedupOps.bloomScreenSql(DecontamHoldout),
     "p20_dedup_cluster" -> DedupOps.clusterSql(NearDupTau),
     // p69: the clusterSql re-derivation wrapped with the join's output
     // shape (every doc joins its label; is_keeper = doc is its rep)

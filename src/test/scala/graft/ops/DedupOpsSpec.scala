@@ -203,6 +203,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(m(DedupOps.decontaminateBloom(corpus, holdout, fpp = 0.5)) == exact)
   }
 
+  test("bloomScreen: no false negatives vs exact; filter size is holdout-independent") {
+    val corpus = Seq(
+      (10L, base),                                       // shares 8-grams with holdout
+      (11L, "totally different words here nothing shared with others at all ok"),
+      (12L, base.replaceAll("alpha beta gamma delta epsilon zeta eta theta", "x y")),
+    ).toDF("doc_id", "text")
+    val holdout = Seq((0L, base)).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val exact = m(DedupOps.decontaminate(corpus, holdout))
+    val screen = m(DedupOps.bloomScreen(corpus, holdout))
+    // the Bloom property: every exact hit is screened, with at LEAST
+    // the exact hit count (false positives only ever add)
+    for ((doc, hits) <- exact)
+      assert(screen.get(doc).exists(_ >= hits), s"doc $doc: $screen vs $exact")
+    // the sketch is 4 KB regardless of holdout size — the scale contract
+    assert(DedupOps.bloomBits(holdout).length == (DedupOps.BloomBits / 64).toInt)
+    val bigHoldout = (0L until 40L)
+      .map(i => (i, (1 to 30).map(j => s"h${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(DedupOps.bloomBits(bigHoldout).length == (DedupOps.BloomBits / 64).toInt)
+  }
+
   test("substrDupStats counts shared and internal duplicated windows") {
     // 15-token span shared verbatim between docs 0 and 1; doc 2 disjoint;
     // doc 3 too short to emit any window
