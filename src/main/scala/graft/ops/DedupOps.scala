@@ -207,6 +207,83 @@ object DedupOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- content-defined chunking (CDC) duplicate coverage (p73) ----
+  // Fixed-size chunks break under insertion: one added word early in a
+  // doc shifts every later boundary, and byte-identical trailing
+  // content stops deduplicating. CDC (the rsync/LBFS trick, used by
+  // CAS stores and long-doc dedup alike) cuts where the CONTENT says
+  // so — a token whose hash lands in a fixed residue class starts a new
+  // chunk — so boundaries are shift-invariant: edits perturb only the
+  // chunk they touch (spec-proven). Chunks hash to md5; only
+  // (hash, doc_id) ever shuffles, never chunk text.
+
+  /** Expected tokens per chunk: boundary tokens are the ~1/CdcMod of
+    * the vocabulary whose hash ≡ 0 (mod CdcMod). */
+  val CdcMod = 8L
+
+  /** True for tokens that START a new chunk. */
+  private def cdcBoundary(t: Column): Column =
+    conv(substring(md5(t), 1, 6), 16, 10).cast("long") % CdcMod === 0L
+
+  /** Per-doc CDC chunks: `doc_id, idx, h` (chunk index, chunk md5).
+    * Map-only: the boundary marker rides a transform (a \\u0001 sentinel
+    * prefixed to boundary tokens), one split recovers the chunks — no
+    * per-position aggregation, no O(n²) prefix scan. */
+  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val sentinel = "\u0001"
+    val marked = array_join(
+      transform(TextOps.tokens(col(textCol)),
+        t => when(cdcBoundary(t), concat(lit(sentinel), t)).otherwise(t)), " ")
+    docs.select(col(idCol).as("doc_id"), split(marked, sentinel).as("__cs"))
+      .select(col("doc_id"), posexplode(col("__cs")).as(Seq("idx", "__c")))
+      .withColumn("__c", trim(col("__c")))
+      .filter(length(col("__c")) > 0)
+      .select(col("doc_id"), col("idx"), md5(col("__c")).as("h"))
+  }
+
+  /** CDC duplicate-coverage report: for every doc, how many of its
+    * chunks also appear (by hash) in at least one OTHER doc —
+    * `doc_id, n_chunks, n_dup, dup_milli` (integer per-mille, exact).
+    * The cross-doc spread is one hash-keyed aggregate joined back on
+    * the same key; chunk text never leaves the map side. */
+  def cdcDupCoverage(docs: DataFrame): DataFrame = {
+    val ch = cdcChunks(docs)
+    val spread = ch.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("__docs"))
+    ch.join(spread, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_milli",
+        expr("(1000 * n_dup) DIV greatest(n_chunks, 1L)"))
+  }
+
+  /** DuckDB oracle for [[cdcDupCoverage]]: the same sentinel-split
+    * chunking and hash counts re-derived from raw text. */
+  def cdcDupCoverageSql(table: String = "documents"): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w
+       |  FROM $table),
+       |chunks AS (
+       |  SELECT doc_id, trim(c) AS c
+       |  FROM (
+       |    SELECT doc_id, unnest(string_split(array_to_string(
+       |      list_transform(w, t -> CASE
+       |        WHEN (('0x'||substr(md5(t),1,6))::UBIGINT)::BIGINT % $CdcMod = 0
+       |        THEN chr(1)||t ELSE t END), ' '), chr(1))) AS c
+       |    FROM toks)
+       |  WHERE length(trim(c)) > 0),
+       |hashes AS (SELECT doc_id, md5(c) AS h FROM chunks),
+       |hdocs AS (SELECT h, count(DISTINCT doc_id) AS n_docs
+       |  FROM hashes GROUP BY h)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  (1000 * CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT))
+       |    // greatest(count(*), 1) AS dup_milli
+       |FROM hashes JOIN hdocs USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Contamination fraction above which a document counts as dirty
     * (GPT-3 appendix C removes documents by n-gram overlap with evals;
     * the fraction, not just the hit flag, is what per-corpus

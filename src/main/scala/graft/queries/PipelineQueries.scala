@@ -400,6 +400,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- content-defined-chunking dup coverage: hash-residue token
+    //      boundaries make chunking SHIFT-INVARIANT (an insertion
+    //      perturbs only its own chunk — spec-proven), so trailing
+    //      identical content dedups where fixed-size chunks would
+    //      break; map-only chunking, (hash, doc_id)-only shuffle ----
+    "p73_cdc_coverage" -> ((s, dir) => {
+      DedupOps.cdcDupCoverage(Tables.loadSpread(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- PII detection + redaction: regex sweeps + chained replaces,
     //      map-only (zero shuffles). The corpus carries no natural PII,
     //      so deterministic doc_id-derived PII is planted first — both
@@ -1316,6 +1326,7 @@ object PipelineQueries {
     // result identical to p15's, so the same SQL is the oracle
     "p71_bloom_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
     "p72_bloom_screen" -> DedupOps.bloomScreenSql(DecontamHoldout),
+    "p73_cdc_coverage" -> DedupOps.cdcDupCoverageSql(),
     "p20_dedup_cluster" -> DedupOps.clusterSql(NearDupTau),
     // p69: the clusterSql re-derivation wrapped with the join's output
     // shape (every doc joins its label; is_keeper = doc is its rep)

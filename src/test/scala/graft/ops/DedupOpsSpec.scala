@@ -226,6 +226,32 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.bloomBits(bigHoldout).length == (DedupOps.BloomBits / 64).toInt)
   }
 
+  test("CDC chunking is shift-invariant: an insertion perturbs only its own chunk") {
+    // the property fixed-size chunking lacks, and the whole point of
+    // content-defined boundaries: chunk hashes AFTER the edit's chunk
+    // are identical between the original and the shifted doc
+    val words = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (0L, words),
+      (1L, "inserted " + words), // one token prepended: everything shifts
+    ).toDF("doc_id", "text")
+    val ch = DedupOps.cdcChunks(docs)
+      .select($"doc_id", $"h").as[(Long, String)].collect()
+    val h0 = ch.filter(_._1 == 0L).map(_._2).toSet
+    val h1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    // all but the first chunk (which absorbed the insertion) survive
+    val shared = (h0 & h1).size
+    assert(shared >= h0.size - 1, s"only $shared of ${h0.size} chunks survived the shift")
+    assert(h0.size > 3, s"chunking degenerated: ${h0.size} chunks") // boundaries exist
+
+    // coverage report: near-total dup for the pair, integer per-mille
+    val cov = DedupOps.cdcDupCoverage(docs)
+      .select($"doc_id", $"n_chunks", $"n_dup", $"dup_milli")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(cov(0L)._4 >= 900, cov(0L))
+    assert(cov(1L)._3 == cov(1L)._2 - 1 || cov(1L)._3 == cov(1L)._2, cov(1L))
+  }
+
   test("substrDupStats counts shared and internal duplicated windows") {
     // 15-token span shared verbatim between docs 0 and 1; doc 2 disjoint;
     // doc 3 too short to emit any window
