@@ -46,7 +46,7 @@ object Bench {
     "p51_bpe_train", "p55_ppl_filter", "p56_pq_ann",
     "p58_quality_ensemble", "p61_unigram_encode",
     "p62_cluster_refresh", "p63_span_removal", "p64_label_propagation",
-    "p65_tokenizer_fertility")
+    "p65_tokenizer_fertility", "p72_bloom_screen", "p73_cdc_coverage")
 
   private def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

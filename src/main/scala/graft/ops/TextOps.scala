@@ -377,6 +377,62 @@ object TextOps {
     * on term with bounded per-key rows (≤ docs containing the term, and
     * the scoring join carries only ids+counts, not text); top-k is one
     * doc-keyed window. No all-pairs anything. */
+  /** Vocabulary-growth (Heaps-law) curve: cumulative token and distinct
+    * type counts at `points` doc-id checkpoints, type-token ratio in
+    * exact integer per-mille — the corpus statistic that says whether
+    * more data still buys new vocabulary (what a tokenizer trainer's
+    * vocab cap and a dedup pass's marginal value both track).
+    *
+    * ONE corpus pass at any checkpoint count: each word's first-seen
+    * doc (min doc_id) is a single hash aggregate and per-doc token
+    * counts another; both collapse to small frames BEFORE the tiny
+    * checkpoint crossJoin, so the whole curve costs two linear shuffles
+    * — never one corpus pass per checkpoint. */
+  def vocabGrowth(docs: DataFrame, points: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cps = (1 to points)
+      .map(k => (maxId * k + (points - 1)) / points).distinct.toDF("cp")
+    val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val types = tk.groupBy("w").agg(min(col("doc_id")).as("fs"))
+      .crossJoin(broadcast(cps)).filter(col("fs") <= col("cp"))
+      .groupBy("cp").agg(count(lit(1)).as("n_types"))
+    val toks = tk.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .crossJoin(broadcast(cps)).filter(col("doc_id") <= col("cp"))
+      .groupBy("cp").agg(sum(col("nt")).as("n_tokens"))
+    toks.join(types, Seq("cp"))
+      .withColumn("ttr_milli",
+        expr("(1000 * n_types) DIV greatest(n_tokens, 1L)"))
+  }
+
+  /** DuckDB oracle for [[vocabGrowth]] (same checkpoints, same integer
+    * ceil, same filters). */
+  def vocabGrowthSql(points: Int = 5, table: String = "documents"): String = {
+    val ks = (1 to points).map(k => s"($k)").mkString(", ")
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM $table),
+       |cps AS (SELECT DISTINCT (m * k + ${points - 1}) // $points AS cp
+       |  FROM mx, (VALUES $ks) ks(k)),
+       |tk AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(trim(lower(text)), '\\s+')) w
+       |    FROM $table)
+       |  WHERE length(w) > 0),
+       |types AS (
+       |  SELECT cp, count(*) AS n_types
+       |  FROM (SELECT w, min(doc_id) AS fs FROM tk GROUP BY w), cps
+       |  WHERE fs <= cp GROUP BY cp),
+       |toks AS (
+       |  SELECT cp, CAST(sum(nt) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, count(*) AS nt FROM tk GROUP BY doc_id), cps
+       |  WHERE doc_id <= cp GROUP BY cp)
+       |SELECT cp, n_tokens, n_types,
+       |  (1000 * n_types) // greatest(n_tokens, 1) AS ttr_milli
+       |FROM toks JOIN types USING (cp) ORDER BY cp""".stripMargin
+  }
+
   def salientTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))

@@ -623,6 +623,14 @@ object PipelineQueries {
         .orderBy(col("lang_pred"))
     }),
 
+    // ---- vocabulary-growth (Heaps) curve: cumulative tokens/types at
+    //      doc-id checkpoints from ONE first-seen aggregate + one
+    //      per-doc count — two linear shuffles for the whole curve ----
+    "p74_vocab_growth" -> ((s, dir) => {
+      TextOps.vocabGrowth(Tables.loadSpread(s, dir, "documents"))
+        .orderBy(col("cp"))
+    }),
+
     // ---- training-order generation: the seeded global shuffle + shard
     //      manifest between corpus prep and the dataloader. No global
     //      sort — shard from the order hash (map-only), seq per shard
@@ -1327,6 +1335,7 @@ object PipelineQueries {
     "p71_bloom_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
     "p72_bloom_screen" -> DedupOps.bloomScreenSql(DecontamHoldout),
     "p73_cdc_coverage" -> DedupOps.cdcDupCoverageSql(),
+    "p74_vocab_growth" -> TextOps.vocabGrowthSql(),
     "p20_dedup_cluster" -> DedupOps.clusterSql(NearDupTau),
     // p69: the clusterSql re-derivation wrapped with the join's output
     // shape (every doc joins its label; is_keeper = doc is its rep)

@@ -320,4 +320,21 @@ class TextOpsSpec extends SparkSpec {
     val r = TextOps.ensembleGate(docs).collect().head
     assert(r.getAs[Double]("symbol_frac") == 0.0, r.toString)
   }
+
+  test("vocabGrowth: monotone curve whose last point is the global count") {
+    import spark.implicits._
+    // vocabulary saturates: later docs repeat earlier words
+    val docs = (0L until 100L).map { i =>
+      (i, (0 to 9).map(j => s"w${(i * 7 + j * 3) % 60}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = TextOps.vocabGrowth(docs)
+      .orderBy($"cp").as[(Long, Long, Long, Long)].collect()
+    assert(r.length == 5, r.mkString(", "))
+    assert(r.map(_._2).sliding(2).forall(p => p(0) <= p(1)), "tokens not monotone")
+    assert(r.map(_._3).sliding(2).forall(p => p(0) <= p(1)), "types not monotone")
+    assert(r.last._2 == 1000L) // 100 docs x 10 tokens
+    assert(r.last._3 == 60L)   // the full planted vocabulary
+    // saturation: TTR falls as the corpus grows (Heaps with V << N)
+    assert(r.head._4 > r.last._4, r.mkString(", "))
+  }
 }
