@@ -162,22 +162,35 @@ object DedupOps {
     bits
   }
 
-  /** Screen the corpus on the sketch alone: (doc_id, n_hits) for every
-    * corpus doc with ≥1 distinct shingle whose K probe bits are ALL set
-    * — the decision the pure-sketch pass makes, bounded false positives
-    * included (no exact verify, no join: the filter rides the plan as
-    * ONE array literal and membership is codegen'd element_at/AND). */
-  def bloomScreen(corpus: DataFrame, holdout: DataFrame,
-                  n: Int = DecontamN): DataFrame = {
-    val bitsL = typedlit(bloomBits(holdout, n).toIndexedSeq)
+  /** Bloom membership of shingle column `s` under trained `bits`: ALL
+    * K probe bits set. The filter rides the plan as ONE array literal;
+    * the test is codegen'd element_at/AND — usable in a batch filter
+    * and, because it is a pure column predicate, in a STATELESS
+    * streaming projection alike. */
+  def bloomHit(bits: Array[Long], s: Column): Column = {
+    val bitsL = typedlit(bits.toIndexedSeq)
     val masksL = typedlit((0 until 64).map(b => 1L << b))
     def isSet(p: Column): Column =
       element_at(bitsL, (p / 64L).cast("int") + 1)
         .bitwiseAND(element_at(masksL, (p % 64L).cast("int") + 1)) =!= 0L
-    val hit = (0 until BloomK).map(k => isSet(bloomPos(col("s"), k))).reduce(_ && _)
-    shingles(corpus, n).filter(hit)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    (0 until BloomK).map(k => isSet(bloomPos(s, k))).reduce(_ && _)
   }
+
+  /** Screen the corpus against a TRAINED filter: (doc_id, n_hits) for
+    * every corpus doc with ≥1 distinct shingle whose K probe bits are
+    * ALL set — the decision the pure-sketch pass makes, bounded false
+    * positives included (no exact verify, no join). */
+  def bloomScreenWith(corpus: DataFrame, bits: Array[Long],
+                      n: Int = DecontamN): DataFrame =
+    shingles(corpus, n).filter(bloomHit(bits, col("s")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+
+  /** [[bloomScreenWith]] with the filter trained in place — the
+    * self-contained form; at scale the bits are a per-holdout-snapshot
+    * artifact built once (PipelineQueries caches them per corpus). */
+  def bloomScreen(corpus: DataFrame, holdout: DataFrame,
+                  n: Int = DecontamN): DataFrame =
+    bloomScreenWith(corpus, bloomBits(holdout, n), n)
 
   /** DuckDB oracle for [[bloomScreen]] with the p15 split: the filter's
     * bit positions re-derive from the holdout via the same md5 probes,

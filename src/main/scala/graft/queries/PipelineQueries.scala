@@ -394,9 +394,8 @@ object PipelineQueries {
     //      sketch's bounded false positives ----
     "p72_bloom_screen" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      DedupOps.bloomScreen(
-        docs.filter(col("doc_id") >= DecontamHoldout),
-        docs.filter(col("doc_id") < DecontamHoldout))
+      DedupOps.bloomScreenWith(
+        docs.filter(col("doc_id") >= DecontamHoldout), bloomBitsFor(s, dir))
         .orderBy(col("doc_id"))
     }),
 
@@ -1047,6 +1046,15 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def embRowsFor(s: SparkSession, dir: String): Long =
     snapCached(embRowsCache, dir)(Tables.load(s, dir, "embeddings").count())
+
+  /** p72's trained Bloom bits, built ONCE per corpus snapshot (the
+    * ivfIndexFor pattern — a 4 KB driver artifact; the streaming screen
+    * binds the same bits). */
+  private val bloomBitsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private def bloomBitsFor(s: SparkSession, dir: String): Array[Long] =
+    snapCached(bloomBitsCache, dir)(DedupOps.bloomBits(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < DecontamHoldout)))
 
   /** Cell count of the SHARED IVF index: 16 at the test SFs (≤2000
     * vectors / 125-row target cells), growing ∝ corpus beyond — the

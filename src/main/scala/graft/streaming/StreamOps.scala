@@ -177,6 +177,24 @@ object StreamOps {
   def ensembleGateStream(arrivals: DataFrame): DataFrame =
     graft.ops.TextOps.ensembleGate(arrivals)
 
+  /** Streaming decontamination screen — p72's pure-sketch face at
+    * INGEST time (the natural deployment: screen arriving documents
+    * against the benchmark/eval-set filter before they ever land). The
+    * holdout's Bloom bits bind as one 4 KB literal and each arriving
+    * doc counts its own distinct n-gram hits via a higher-order filter
+    * over the doc's shingle array — no explode, no join, no
+    * aggregation, ZERO streaming state. Decisions (false positives
+    * included) are identical to the batch screen, as the spec drains. */
+  def decontamScreenStream(arrivals: DataFrame, bits: Array[Long],
+                           n: Int = graft.ops.DedupOps.DecontamN): DataFrame = {
+    val sh = array_distinct(graft.functions.TextExprs.ngrams(
+      graft.ops.TextOps.tokens(col("text")), n))
+    arrivals
+      .withColumn("n_hits",
+        size(filter(sh, s => graft.ops.DedupOps.bloomHit(bits, s))))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** One funnel-relevant event: stage is the 0-based index into the
     * funnel's stage list (pre-filtered — noise never enters the state). */
   final case class FunnelPoint(user: Long, timeNs: Long, stage: Int)

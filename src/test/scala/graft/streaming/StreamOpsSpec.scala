@@ -329,6 +329,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamScreenStream drains to the batch sketch-screen decisions") {
+    import graft.ops.DedupOps
+    // holdout shares 8-grams with docs 0/7 (prose("wonder")) and nothing
+    // else; the sketch decisions — FPs included — must match the batch
+    val holdout = Seq(100L -> prose("wonder")).toDF("doc_id", "text")
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val bits = DedupOps.bloomBits(holdout)
+    val batch = DedupOps.bloomScreenWith(corpus, bits)
+      .as[(Long, Long)].collect().toMap
+    assert(batch.contains(0L) && batch.contains(7L), batch)
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.decontamScreenStream(in.toDF().toDF("doc_id", "text"), bits)
+      .select("doc_id", "n_hits", "contaminated")
+      .writeStream.format("memory").queryName("dscreen")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(corpusDocs: _*)
+      q.processAllAvailable()
+      val got = spark.table("dscreen").as[(Long, Int, Boolean)].collect()
+        .map(r => r._1 -> ((r._2.toLong, r._3))).toMap
+      assert(got.size == corpusDocs.size)
+      for ((id, _) <- corpusDocs) {
+        val expected = batch.getOrElse(id, 0L)
+        assert(got(id) == ((expected, expected > 0)),
+          s"doc $id: stream ${got(id)} vs batch $expected")
+      }
+    } finally q.stop()
+  }
+
   test("sessionizeStream merges points within gap, closes sessions at the watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String, Double)]
