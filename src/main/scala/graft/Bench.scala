@@ -159,6 +159,9 @@ object Bench {
 
     // --- measured section: `reps` full rounds, median per query ---
     val names = SparkEntry.queries.keys.toSeq
+    // per-rep artifact-build seconds (cache misses inside the rep):
+    // disambiguates "slow query" from "rep carried a one-time build"
+    val repBuildSec = scala.collection.mutable.ArrayBuffer.empty[Double]
     val perRep: Seq[Map[String, Double]] = (1 to reps).map { rep =>
       // GC settle between rounds: r5 measured systematic drift on
       // UNCHANGED queries in later rounds (q05 0.93→3.06 s rep-to-rep)
@@ -166,10 +169,14 @@ object Bench {
       // round. A full GC + pause between rounds drains that debt so
       // reps measure the queries, not the JVM's accumulated state.
       if (rep > 1) { System.gc(); Thread.sleep(3000) }
-      SparkEntry.queries.map { case (name, fn) =>
+      val b0 = graft.queries.PipelineQueries.artifactBuildNanos.get()
+      val m = SparkEntry.queries.map { case (name, fn) =>
         // 180 s cap = pure hang guard, 30× the slowest steady-state
         // query; a one-rep kill leaves median-of-3 over the other reps
         name -> timeOne(spark, sfDir, fn, capSec = 180) }.toMap
+      repBuildSec += r3(
+        (graft.queries.PipelineQueries.artifactBuildNanos.get() - b0) / 1e9)
+      m
     }
     val med: Map[String, Double] =
       names.map(n => n -> median3(perRep.map(_(n)))).toMap
@@ -227,6 +234,7 @@ object Bench {
          |"ingest_note":${graft.server.JsonOut.str(ingestNote)},
          |"queries_full":${jsonObj(names.map(n => n -> med(n)))},
          |"per_rep":[${perRep.map(m => jsonObj(names.map(n => n -> m(n)))).mkString(",")}],
+         |"artifact_build_sec_per_rep":[${repBuildSec.mkString(",")}],
          |"sf1_dir":${graft.server.JsonOut.str(sf1Dir)},"sf1_gen_sec":$sf1GenSec,
          |"sf1_queries":${jsonObj(sf1.toSeq)},
          |"ingest_rows_per_sec":$ingest,"sf":"$sfDir"}""".stripMargin.replace("\n", "")

@@ -1029,6 +1029,13 @@ object PipelineQueries {
       }
     } catch { case _: Exception => dir }
 
+  /** Nanoseconds spent BUILDING artifacts (cache misses) since JVM
+    * start — the bench reads the delta per rep so a rep that carried a
+    * one-time build (rep 1, typically) is interpretable in the record
+    * instead of reading as a slow query (VERDICT r5: p62's 4.3× rep
+    * spread was exactly this). */
+  val artifactBuildNanos = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** computeIfAbsent keyed by corpus dir + snapshot id — the shared
     * shape of every per-corpus artifact cache below. Entries for
     * superseded snapshots linger (bounded by snapshots seen per JVM);
@@ -1036,7 +1043,10 @@ object PipelineQueries {
     * artifact trained on different bytes. */
   private def snapCached[V](cache: java.util.concurrent.ConcurrentHashMap[String, V],
                             dir: String, extra: String = "")(build: => V): V =
-    cache.computeIfAbsent(s"$dir@${snapshotId(dir)}$extra", _ => build)
+    cache.computeIfAbsent(s"$dir@${snapshotId(dir)}$extra", _ => {
+      val t0 = System.nanoTime()
+      try build finally artifactBuildNanos.addAndGet(System.nanoTime() - t0): Unit
+    })
 
   /** Embedding-corpus row count, one metadata-only count per corpus
     * snapshot — the input to data-adaptive index sizing (VERDICT r5 #1:
