@@ -1117,6 +1117,72 @@ object DedupOps {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** Decontamination EDIT — the removal face of p15 (GPT-3 appendix C
+    * removes the text AROUND an eval-set collision, not the whole doc):
+    * every n-token window whose gram appears in the holdout cuts its
+    * span from the document; cleaned text is rebuilt and fingerprinted
+    * so the oracle checks the EDIT itself, not just counts
+    * (`doc_id, n_tokens, n_removed, clean_fp` — p63's contract).
+    *
+    * Plan: the holdout's distinct grams broadcast (the p15 semi-join —
+    * the bloom prefilter composes in front when the holdout outgrows
+    * it); span cover + rebuild are p63's machinery: one distinct
+    * cover-position explode + per-doc filter-by-index. The corpus
+    * shuffles once (doc rollup), text never moves past its tokens. */
+  def removeContaminatedSpans(corpus: DataFrame, holdout: DataFrame,
+                              n: Int = DecontamN): DataFrame = {
+    val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+    val hh = shingles(holdout, n).select(col("s")).distinct()
+    val inst = toks.select(col("doc_id"),
+        posexplode(graft.functions.TextExprs.ngrams(col("__toks"), n))
+          .as(Seq("__p0", "s")))
+      .select(col("doc_id"), (col("__p0") + 1).cast("long").as("i"), col("s"))
+    val cov = inst.join(broadcast(hh), Seq("s"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("cv"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_list(col("cv"))).as("__cs"))
+    toks.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cs")), lit(0)).cast("long").as("n_removed"),
+        md5(array_join(
+          filter(col("__toks"), (_, ix) =>
+            !coalesce(array_contains(col("__cs"), (ix + 1).cast("long")),
+              lit(false))), " ")).as("clean_fp"))
+  }
+
+  /** DuckDB oracle for removeContaminatedSpans with the p15 split. */
+  def removeContaminatedSpansSql(maxHoldout: Long,
+                                 n: Int = DecontamN,
+                                 table: String = "documents"): String = {
+    val gram = (0 until n).map(k => s"w[i+$k]").mkString("||' '||")
+    s"""WITH alltoks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w
+       |  FROM $table),
+       |toks AS (SELECT * FROM alltoks WHERE doc_id >= $maxHoldout),
+       |hold AS (
+       |  SELECT DISTINCT unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - ${n - 2}, 1)), i -> $gram))) s
+       |  FROM alltoks WHERE doc_id < $maxHoldout),
+       |inst AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(w) - ${n - 2})) AS i,
+       |    unnest(list_transform(range(1, len(w) - ${n - 2}), i -> $gram)) AS g
+       |  FROM toks WHERE len(w) >= $n),
+       |dirty AS (SELECT doc_id, i FROM inst JOIN hold ON g = s),
+       |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i + $n)) AS cv FROM dirty),
+       |cs AS (SELECT doc_id, list_sort(list(cv)) AS cs FROM cov GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(len(c.cs), 0) AS BIGINT) AS n_removed,
+       |  md5(coalesce(array_to_string(
+       |    list_filter(t.w, (x, ix) ->
+       |      NOT coalesce(list_contains(c.cs, CAST(ix AS BIGINT)), false)),
+       |    ' '), '')) AS clean_fp
+       |FROM toks t LEFT JOIN cs c USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   // ---- Global line-level dedup (CCNet §3.1: drop every duplicated
   //      paragraph/line across the WHOLE corpus, keeping the first
   //      occurrence) — the pass that kills boilerplate (nav bars, cookie

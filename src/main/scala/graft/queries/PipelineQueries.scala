@@ -409,6 +409,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- decontamination EDIT: remove the spans around eval-set
+    //      collisions (GPT-3 app. C's removal, the edit face of p15) —
+    //      holdout grams broadcast, p63's span-cover rebuild; the
+    //      oracle fingerprints the edited text itself ----
+    "p75_decontam_edit" -> ((s, dir) => {
+      val docs = Tables.loadSpread(s, dir, "documents")
+      DedupOps.removeContaminatedSpans(
+        docs.filter(col("doc_id") >= DecontamHoldout),
+        docs.filter(col("doc_id") < DecontamHoldout))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- PII detection + redaction: regex sweeps + chained replaces,
     //      map-only (zero shuffles). The corpus carries no natural PII,
     //      so deterministic doc_id-derived PII is planted first — both
@@ -1354,6 +1366,7 @@ object PipelineQueries {
     "p72_bloom_screen" -> DedupOps.bloomScreenSql(DecontamHoldout),
     "p73_cdc_coverage" -> DedupOps.cdcDupCoverageSql(),
     "p74_vocab_growth" -> TextOps.vocabGrowthSql(),
+    "p75_decontam_edit" -> DedupOps.removeContaminatedSpansSql(DecontamHoldout),
     "p20_dedup_cluster" -> DedupOps.clusterSql(NearDupTau),
     // p69: the clusterSql re-derivation wrapped with the join's output
     // shape (every doc joins its label; is_keeper = doc is its rep)

@@ -252,6 +252,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(cov(1L)._3 == cov(1L)._2 - 1 || cov(1L)._3 == cov(1L)._2, cov(1L))
   }
 
+  test("removeContaminatedSpans cuts exactly the eval-overlapping windows") {
+    // doc 10 embeds an 8-token holdout span mid-document; doc 11 is
+    // clean. The edit must remove the span's full window cover and
+    // leave the surrounding text intact (fingerprint-checked).
+    val evalSpan = (1 to 8).map(i => s"ev$i").mkString(" ")
+    val pre = (1 to 5).map(i => s"a$i").mkString(" ")
+    val post = (1 to 5).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (10L, s"$pre $evalSpan $post"),
+      (11L, "totally unrelated words that never touch the holdout at all"),
+    ).toDF("doc_id", "text")
+    val holdout = Seq((0L, evalSpan)).toDF("doc_id", "text")
+    val r = DedupOps.removeContaminatedSpans(corpus, holdout)
+      .as[(Long, Long, Long, String)].collect().map(x => x._1 -> x).toMap
+    // exactly the one 8-token window matched -> its 8 positions removed
+    assert(r(10L)._2 == 18L && r(10L)._3 == 8L, r(10L))
+    assert(r(11L)._3 == 0L, r(11L))
+    // the rebuilt text is pre + post with the span gone
+    val cleanFp = spark.sql(
+      s"SELECT md5('$pre $post') AS fp").as[String].head()
+    assert(r(10L)._4 == cleanFp, "edited text mismatch")
+  }
+
   test("substrDupStats counts shared and internal duplicated windows") {
     // 15-token span shared verbatim between docs 0 and 1; doc 2 disjoint;
     // doc 3 too short to emit any window
