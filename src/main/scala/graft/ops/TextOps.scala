@@ -377,6 +377,70 @@ object TextOps {
     * on term with bounded per-key rows (≤ docs containing the term, and
     * the scoring join carries only ids+counts, not text); top-k is one
     * doc-keyed window. No all-pairs anything. */
+  /** Max lag probed by [[periodicity]]. */
+  val MaxPeriodLag = 8
+
+  /** Periodic-repetition score: for lags 1..MaxPeriodLag, the per-mille
+    * fraction of positions where token i equals token i+lag; the MAX
+    * over lags (`rep_milli`) with the smallest lag achieving it
+    * (`best_lag`, 0 when nothing repeats). Degenerate loops ("ha ha ha
+    * …", cycled boilerplate) score ~1000 at their period — a signal the
+    * dup-n-gram FRACTIONS miss once the cycle is longer than the gram
+    * (a lag-3 loop has every trigram distinct). Pure map: one HOF
+    * filter per lag over the doc's own token array, exact integer
+    * arithmetic, zero shuffles. */
+  def periodicity(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val w = col("__w")
+    val n = size(w)
+    def matches(lag: Int): Column =
+      when(n > lag,
+        size(filter(sequence(lit(1), n - lag),
+          i => element_at(w, i) === element_at(w, i + lag))).cast("long"))
+        .otherwise(lit(0L))
+    val withC = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__w"))
+      .select(Seq(col("doc_id"), n.cast("long").as("n_tokens")) ++
+        (1 to MaxPeriodLag).map(l => matches(l).as(s"__c$l")): _*)
+    // integer DIV (not float /): per-mille replays exactly in DuckDB
+    val withM = (1 to MaxPeriodLag).foldLeft(withC) { (df, l) =>
+      df.withColumn(s"__m$l", expr(
+        s"CASE WHEN n_tokens > $l THEN (1000 * __c$l) DIV (n_tokens - $l) " +
+          "ELSE 0L END"))
+    }
+    val rep = greatest((1 to MaxPeriodLag).map(l => col(s"__m$l")): _*)
+    val lagCase = (1 to MaxPeriodLag).foldRight(lit(0)) { (l, rest) =>
+      when(col(s"__m$l") === col("rep_milli"), lit(l)).otherwise(rest)
+    }
+    withM.withColumn("rep_milli", rep)
+      .withColumn("best_lag",
+        when(col("rep_milli") === 0L, lit(0)).otherwise(lagCase))
+      .select("doc_id", "n_tokens", "best_lag", "rep_milli")
+  }
+
+  /** DuckDB oracle for [[periodicity]] (same integer DIV, same lag
+    * tie-break). */
+  def periodicitySql(table: String = "documents"): String = {
+    def milli(l: Int) =
+      s"""CASE WHEN len(w) > $l THEN
+         |    (1000 * len(list_filter(range(1, len(w) - $l + 1),
+         |       i -> w[i] = w[i + $l]))) // (len(w) - $l)
+         |  ELSE 0 END""".stripMargin
+    val ms = (1 to MaxPeriodLag).map(l => s"${milli(l)} AS m$l").mkString(",\n")
+    val rep = s"greatest(${(1 to MaxPeriodLag).map(l => s"m$l").mkString(", ")})"
+    val lagCase = (1 to MaxPeriodLag)
+      .map(l => s"WHEN m$l = rep_milli THEN $l").mkString(" ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w
+       |  FROM $table),
+       |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, $ms FROM toks),
+       |r AS (SELECT *, $rep AS rep_milli FROM m)
+       |SELECT doc_id, n_tokens,
+       |  CASE WHEN rep_milli = 0 THEN 0 $lagCase ELSE 0 END AS best_lag,
+       |  CAST(rep_milli AS BIGINT) AS rep_milli
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: cumulative token and distinct
     * type counts at `points` doc-id checkpoints, type-token ratio in
     * exact integer per-mille — the corpus statistic that says whether

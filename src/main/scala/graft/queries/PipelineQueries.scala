@@ -409,6 +409,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- periodicity score: max per-mille lag-agreement over lags
+    //      1..8 — catches degenerate loops whose cycle is longer than
+    //      any dup-n-gram's width; pure map, integer-exact ----
+    "p76_periodicity" -> ((s, dir) => {
+      TextOps.periodicity(Tables.loadSorted(s, dir, "documents", col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- decontamination EDIT: remove the spans around eval-set
     //      collisions (GPT-3 app. C's removal, the edit face of p15) —
     //      holdout grams broadcast, p63's span-cover rebuild; the
@@ -1367,6 +1375,7 @@ object PipelineQueries {
     "p73_cdc_coverage" -> DedupOps.cdcDupCoverageSql(),
     "p74_vocab_growth" -> TextOps.vocabGrowthSql(),
     "p75_decontam_edit" -> DedupOps.removeContaminatedSpansSql(DecontamHoldout),
+    "p76_periodicity" -> TextOps.periodicitySql(),
     "p20_dedup_cluster" -> DedupOps.clusterSql(NearDupTau),
     // p69: the clusterSql re-derivation wrapped with the join's output
     // shape (every doc joins its label; is_keeper = doc is its rep)

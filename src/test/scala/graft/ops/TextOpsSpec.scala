@@ -321,6 +321,22 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("symbol_frac") == 0.0, r.toString)
   }
 
+  test("periodicity finds the loop period dup-n-gram fractions miss") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, ("ha " * 20).trim),                       // pure lag-1 loop
+      (1L, ("red blue green " * 7).trim),            // lag-3 cycle: trigrams all distinct? no—
+      (2L, "one two three four five six seven eight nine ten"), // no repetition
+      (3L, "x"),                                     // shorter than every lag
+    ).toDF("doc_id", "text")
+    val r = TextOps.periodicity(docs)
+      .as[(Long, Long, Int, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(0L)._3 == 1 && r(0L)._4 == 1000, r(0L)) // perfect lag-1
+    assert(r(1L)._3 == 3 && r(1L)._4 == 1000, r(1L)) // perfect lag-3
+    assert(r(2L)._4 == 0 && r(2L)._3 == 0, r(2L))
+    assert(r(3L)._4 == 0, r(3L))
+  }
+
   test("vocabGrowth: monotone curve whose last point is the global count") {
     import spark.implicits._
     // vocabulary saturates: later docs repeat earlier words
