@@ -560,6 +560,27 @@ object SimilarityOps {
        |WHERE vr = 1 ORDER BY qid""".stripMargin
   }
 
+  /** DuckDB oracle for cluster-balanced sampling over a trained IVF
+    * index (p77): assignment re-derived from the rendered centroids,
+    * then the p28 md5-order quota per cell. */
+  def diverseSampleSql(centers: Seq[Array[Double]], n: Int): String = {
+    val values = centersValuesSql(centers)
+    s"""WITH centers(cell, cv, hn2) AS (VALUES $values),
+       |nv AS (
+       |  $NormalizedCorpusSql
+       |), cellrank AS (
+       |  SELECT nv.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY nv.vec_id
+       |      ORDER BY (list_inner_product(nv.v, c.cv) - c.hn2) DESC, c.cell) AS cr
+       |  FROM nv, centers c
+       |), assigned AS (SELECT vec_id, cell FROM cellrank WHERE cr = 1)
+       |SELECT cell, vec_id, rk FROM (
+       |  SELECT cell, vec_id,
+       |    ${SampleOps.stratifiedRankSql("cell", "vec_id")} AS rk
+       |  FROM assigned) t
+       |WHERE rk <= $n ORDER BY cell, rk""".stripMargin
+  }
+
   /** ANN top-k with Hamming-1 multi-probe: each query probes its own
     * bucket plus the `planes` buckets one sign-flip away — recall
     * recovers near-boundary neighbors while still pruning most of the

@@ -409,6 +409,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- cluster-balanced (diversity) sample: N vectors per semantic
+    //      cell of the SHARED IVF index — the cluster-balanced data-
+    //      selection step (cover every mode, cap the dominant ones);
+    //      rides the persisted artifact, md5-keyed quota winners so
+    //      the pick is a pure function of the data ----
+    "p77_diverse_sample" -> ((s, dir) => {
+      val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
+      diverseCenters.set(km.clusterCenters.map(_.toArray))
+      SampleOps.stratifiedSample(assigned.select(col("cell"), col("vec_id")),
+        col("cell"), col("vec_id"), DiverseN)
+        .select(col("cell"), col("vec_id"), col("rk"))
+        .orderBy(col("cell"), col("rk"))
+    }),
+
     // ---- periodicity score: max per-mille lag-agreement over lags
     //      1..8 — catches degenerate loops whose cycle is longer than
     //      any dup-n-gram's width; pure map, integer-exact ----
@@ -1241,6 +1255,11 @@ object PipelineQueries {
   private val sqlProbeCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** p77's per-cell quota and captured quantizer. */
+  val DiverseN = 5
+  private val diverseCenters =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
   /** p40's k-means cell-count FLOOR (semCellsFor grows it ∝ corpus)
     * and its trained centroids, captured like p13's. */
   val SemCells = 8
@@ -1315,7 +1334,9 @@ object PipelineQueries {
     // differential proves SQL face ≡ DataFrame face ≡ DuckDB rebuild
     Option(sqlProbeCenters.get()).map(c =>
       "p70_sql_ivf_probe" -> SimilarityOps.ivfTopKSql(c.toSeq, k = 10,
-        nprobe = 4, maxQid = 5))
+        nprobe = 4, maxQid = 5)) ++
+    Option(diverseCenters.get()).map(c =>
+      "p77_diverse_sample" -> SimilarityOps.diverseSampleSql(c.toSeq, DiverseN))
 
   private val staticOracle: Map[String, String] = Map(
     "p01_dedup_exact" ->
