@@ -51,6 +51,11 @@ case class IvfProbeCells(vec: Expression, nprobe: Expression,
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // nullable even over non-null children: a zero vector (unsearchable
+  // under cosine) yields null, and without this override CodegenFallback
+  // would hardcode isNull=false and NPE downstream
+  override def nullable: Boolean = true
+
   private lazy val elem = vec.dataType.asInstanceOf[ArrayType].elementType
   // |c|²/2 per cell, precomputed once per task like centersOf's hn2
   private lazy val hn2 = centers.map(c => c.map(x => x * x).sum / 2.0)

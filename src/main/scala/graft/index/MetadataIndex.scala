@@ -259,14 +259,19 @@ object MetadataIndex {
     * the vanished-entry races are swallowed: a genuine I/O failure
     * (AccessDenied, transient read error) rethrows — silently
     * excluding partitions there would return partial query results.
-    * Directory checks do NOT follow symlinks (a link cycle under the
-    * table root must not recurse unboundedly; Files.walk had the same
-    * no-follow default). Each directory stream is closed explicitly
-    * (open fds). */
+    * Symlinked partition dirs ARE followed (an archive layout may
+    * assemble a table from links), but a visited-realpath set bounds
+    * link cycles — termination without dropping symlink support. Each
+    * directory stream is closed explicitly (open fds). */
   def partitionDirs(tableRoot: Path): Seq[Path] = {
     if (!Files.isDirectory(tableRoot)) return Nil
     val out = scala.collection.mutable.ListBuffer.empty[Path]
+    val seen = scala.collection.mutable.HashSet.empty[Path]
     def walk(dir: Path): Unit = {
+      val real =
+        try dir.toRealPath()
+        catch { case _: java.io.IOException => return } // vanished/broken link
+      if (!seen.add(real)) return // link cycle or diamond: already walked
       val ds =
         try Files.newDirectoryStream(dir)
         catch {
@@ -279,7 +284,7 @@ object MetadataIndex {
         val it = ds.iterator()
         while (it.hasNext) {
           val p = it.next()
-          if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) walk(p)
+          if (Files.isDirectory(p)) walk(p)
           else if (p.getFileName.toString == FileName) out += p.getParent
         }
       } catch {

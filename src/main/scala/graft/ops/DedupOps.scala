@@ -143,11 +143,10 @@ object DedupOps {
   val BloomBits = 1L << 15
   val BloomK = 4
 
-  /** Probe k's bit position for shingle s (md5 — the shared exact-hash
-    * primitive; 6 hex digits = 24 bits, then mod M). */
+  /** Probe k's bit position for shingle s (the shared md5Bucket
+    * primitive over the k-salted gram). */
   def bloomPos(s: Column, k: Int): Column =
-    conv(substring(md5(concat(s, lit("#" + k))), 1, 6), 16, 10)
-      .cast("long") % BloomBits
+    TextOps.md5Bucket(concat(s, lit("#" + k)), BloomBits)
 
   /** The holdout's Bloom filter as a bit-packed long array — a bounded
     * driver artifact (BloomBits/64 longs, independent of holdout size;
@@ -199,7 +198,7 @@ object DedupOps {
   def bloomScreenSql(maxHoldout: Long, n: Int = DecontamN): String = {
     val gram = (0 until n).map(k => s"w[i+$k]").mkString("||' '||")
     def posSql(s: String) =
-      s"(('0x'||substr(md5($s||'#'||k),1,6))::UBIGINT)::BIGINT % $BloomBits"
+      TextOps.md5BucketSql(s"$s||'#'||k", BloomBits)
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM documents),
        |sh AS (
@@ -236,7 +235,7 @@ object DedupOps {
 
   /** True for tokens that START a new chunk. */
   private def cdcBoundary(t: Column): Column =
-    conv(substring(md5(t), 1, 6), 16, 10).cast("long") % CdcMod === 0L
+    TextOps.md5Bucket(t, CdcMod) === 0L
 
   /** Per-doc CDC chunks: `doc_id, idx, h` (chunk index, chunk md5).
     * Map-only: the boundary marker rides a transform (a \\u0001 sentinel
@@ -283,7 +282,7 @@ object DedupOps {
        |  FROM (
        |    SELECT doc_id, unnest(string_split(array_to_string(
        |      list_transform(w, t -> CASE
-       |        WHEN (('0x'||substr(md5(t),1,6))::UBIGINT)::BIGINT % $CdcMod = 0
+       |        WHEN ${TextOps.md5BucketSql("t", CdcMod)} = 0
        |        THEN chr(1)||t ELSE t END), ' '), chr(1))) AS c
        |    FROM toks)
        |  WHERE length(trim(c)) > 0),

@@ -17,6 +17,16 @@ object TextOps {
   /** Whitespace tokens of lower-cased trimmed text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Shared md5 bucket primitive (24 bits mod `mod`, always positive)
+    * — the ONE spelling the Bloom probes and CDC boundaries hash with,
+    * paired with [[md5BucketSql]] so the two engines cannot drift. */
+  def md5Bucket(c: Column, mod: Long): Column =
+    conv(substring(md5(c), 1, 6), 16, 10).cast("long") % mod
+
+  /** DuckDB rendering of [[md5Bucket]]. */
+  def md5BucketSql(expr: String, mod: Long): String =
+    s"(('0x'||substr(md5($expr),1,6))::UBIGINT)::BIGINT % $mod"
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword proxy: word chunks + standalone non-word glyphs. */

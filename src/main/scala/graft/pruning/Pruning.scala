@@ -142,7 +142,12 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
   private def registerArtifactsOn(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     artifactViews.asScala.foreach { case (name, path) =>
-      s.read.parquet(path).createOrReplaceTempView(name)
+      // one vanished/corrupt artifact must not break session building
+      // for EVERY query: skip it — queries referencing the view then
+      // fail loudly ("table not found") while unrelated queries plan
+      // normally, and a transient FS error self-heals next rebuild
+      try s.read.parquet(path).createOrReplaceTempView(name)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     artifactFns.asScala.foreach { case (name, b) =>
       s.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1051,15 +1051,26 @@ object PipelineQueries {
       val p = java.nio.file.Paths.get(dir)
       if (!java.nio.file.Files.isDirectory(p)) dir
       else {
-        val s = java.nio.file.Files.list(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toSeq.map(_.toString).sorted.map { f =>
-            val fp = java.nio.file.Paths.get(f)
-            s"${fp.getFileName}:${java.nio.file.Files.size(fp)}:" +
-              s"${java.nio.file.Files.getLastModifiedTime(fp).toMillis}"
-          }.mkString("|").hashCode.toString
-        } finally s.close()
+        // walk three levels: corpus dirs hold table DIRECTORIES
+        // (documents.parquet/part-*.parquet), and a directory's own
+        // (name, size) is content-independent — the id must reach the
+        // data files or an in-place rewrite within one mtime tick
+        // would serve stale artifacts
+        def sig(d: java.nio.file.Path, depth: Int): Seq[String] = {
+          val s = java.nio.file.Files.list(d)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.toSeq.map(_.toString).sorted.flatMap { f =>
+              val fp = java.nio.file.Paths.get(f)
+              val own = s"${d.relativize(fp)}:${java.nio.file.Files.size(fp)}:" +
+                s"${java.nio.file.Files.getLastModifiedTime(fp).toMillis}"
+              if (depth > 0 && java.nio.file.Files.isDirectory(fp))
+                own +: sig(fp, depth - 1).map(c => s"${d.relativize(fp)}/$c")
+              else Seq(own)
+            }
+          } finally s.close()
+        }
+        sig(p, 2).mkString("|").hashCode.toString
       }
     } catch { case _: Exception => dir }
 

@@ -215,6 +215,7 @@ final class GigHttpServer(spark: SparkSession, root: String,
         val tau = j \ "tau" match {
           case JDouble(d) => d
           case JDecimal(d) => d.toDouble
+          case JInt(i) => i.toDouble // {"tau": 1} must not silently default
           case _ => 0.6
         }
         val labels = graft.ops.DedupOps.clusterLabels(
@@ -243,18 +244,29 @@ final class GigHttpServer(spark: SparkSession, root: String,
         // cap at the corpus size: k-means cannot train more centers
         // than vectors (tiny tables hit the adaptive floor of 16)
         val rows = df.count()
-        val nlist = math.max(1, math.min(rows,
-          graft.ops.SimilarityOps.adaptiveNlist(rows).toLong).toInt)
+        // fail with a clear message, not a raw MLlib stack from a
+        // zero-sample KMeans fit
+        if (rows == 0) throw new IllegalArgumentException(
+          s"table $db.$table has no rows — nothing to index")
+        val nlist = math.min(rows,
+          graft.ops.SimilarityOps.adaptiveNlist(rows).toLong).toInt
         val (km, assigned) = graft.ops.SimilarityOps.ivfIndex(df, nlist)
         graft.ops.SimilarityOps.saveIvfIndex(km, assigned, outDir)
         views.publishArtifactView(s"${prefix}_ivf_centroids", s"$outDir/centroids")
         views.publishArtifactView(s"${prefix}_ivf_assigned", s"$outDir/assigned")
         val centers = km.clusterCenters.map(_.toArray)
-        views.publishArtifactFunction("ivf_probe",
-          es => graft.functions.IvfProbeCells(es(0), es(1), centers))
+        // per-table function name: a second table's index must not
+        // silently rebind the first table's probes to the wrong
+        // quantizer; bare `ivf_probe` stays as a latest-index alias
+        val fn = s"${prefix}_ivf_probe"
+        val builder = (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.IvfProbeCells(es(0), es(1), centers)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        views.publishArtifactFunction(fn, builder)
+        views.publishArtifactFunction("ivf_probe", builder)
         respond(ex, 200, JsonOut.obj(
           "views" -> s"""["${prefix}_ivf_centroids","${prefix}_ivf_assigned"]""",
-          "function" -> JsonOut.str("ivf_probe"),
+          "function" -> JsonOut.str(fn),
           "nlist" -> nlist.toString), "application/json")
       case other => throw new IllegalArgumentException(
         s"unknown artifact kind '$other' (cluster_map | ivf)")

@@ -32,13 +32,13 @@ class MetadataIndexWalkSpec extends AnyFunSuite {
     // loop: root/date=2024-01-01/loop -> root (a cycle through the walk)
     try Files.createSymbolicLink(root.resolve("date=2024-01-01/loop"), root)
     catch { case _: UnsupportedOperationException => cancel("no symlinks here") }
-    // Files.walk (no FOLLOW_LINKS) never descended links; the hand-rolled
-    // walk must not either — termination IS the assertion
+    // the visited-realpath set terminates the cycle; each partition is
+    // still discovered exactly once
     val dirs = MetadataIndex.partitionDirs(root)
     assert(dirs.size == 2, dirs)
   }
 
-  test("a metadata.json reachable ONLY through a symlink is not discovered") {
+  test("a partition assembled via symlink IS discovered (archive layouts)") {
     val root = mkTable()
     val outside = Files.createTempDirectory("graft-walk-out-")
     val op = outside.resolve("p")
@@ -46,7 +46,7 @@ class MetadataIndexWalkSpec extends AnyFunSuite {
     Files.writeString(op.resolve(MetadataIndex.FileName), "{}")
     try Files.createSymbolicLink(root.resolve("linked"), outside)
     catch { case _: UnsupportedOperationException => cancel("no symlinks here") }
-    assert(MetadataIndex.partitionDirs(root).size == 2)
+    assert(MetadataIndex.partitionDirs(root).size == 3)
   }
 
   test("a missing table root yields no partitions (vanished-entry tolerance)") {
