@@ -174,6 +174,10 @@ object GraftFunctions {
       reg("rolling_fingerprint")(es =>
         x(graft.ops.TextOps.rollingFingerprint(c(es.head))))
       reg("clean_lines")(es => x(graft.ops.TextOps.cleanLines(c(es.head))))
+      // content-defined chunk hashes + periodicity: the p73/p76 kernels
+      // as /query scalars — ad-hoc chunk joins and loop screening in SQL
+      reg("cdc_chunks")(es => x(graft.ops.DedupOps.cdcChunkHashes(c(es.head))))
+      reg("rep_milli")(es => x(graft.ops.TextOps.periodicityMilli(c(es.head))))
     }
     // Unicode NFC normalization (codegen; DuckDB nfc_normalize parity)
     reg("nfc")(es => NfcNormalize(es.head))

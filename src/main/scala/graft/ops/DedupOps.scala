@@ -254,6 +254,18 @@ object DedupOps {
       .select(col("doc_id"), col("idx"), md5(col("__c")).as("h"))
   }
 
+  /** The doc's CDC chunk hashes as ONE array column — the SQL-surface
+    * face (`cdc_chunks(text)` on /query): same boundaries, same
+    * hashes, usable for ad-hoc chunk-level joins in POSTed SQL. */
+  def cdcChunkHashes(text: Column): Column = {
+    val sentinel = "\u0001"
+    val marked = array_join(
+      transform(TextOps.tokens(text),
+        t => when(cdcBoundary(t), concat(lit(sentinel), t)).otherwise(t)), " ")
+    transform(filter(split(marked, sentinel), c => length(trim(c)) > 0),
+      c => md5(trim(c)))
+  }
+
   /** CDC duplicate-coverage report: for every doc, how many of its
     * chunks also appear (by hash) in at least one OTHER doc —
     * `doc_id, n_chunks, n_dup, dup_milli` (integer per-mille, exact).

@@ -428,6 +428,22 @@ object TextOps {
       .select("doc_id", "n_tokens", "best_lag", "rep_milli")
   }
 
+  /** rep_milli alone as ONE column — the SQL-surface face
+    * (`rep_milli(text)` on /query). floor(double÷) equals integer DIV
+    * here: both operands are positive ints ≤ 10⁷, far below the
+    * magnitude where a half-ulp could cross an integer boundary. */
+  def periodicityMilli(text: Column): Column = {
+    val w = tokens(text)
+    val n = size(w)
+    def milli(lag: Int): Column =
+      when(n > lag,
+        floor((lit(1000) * size(filter(sequence(lit(1), n - lag),
+          i => element_at(w, i) === element_at(w, i + lag))))
+          .cast("double") / (n - lag)).cast("long"))
+        .otherwise(lit(0L))
+    greatest((1 to MaxPeriodLag).map(milli): _*)
+  }
+
   /** DuckDB oracle for [[periodicity]] (same integer DIV, same lag
     * tie-break). */
   def periodicitySql(table: String = "documents"): String = {

@@ -73,6 +73,13 @@ class GigHttpServerSpec extends SparkSpec {
     // int32, not BIGINT: renders as a bare number (bigint-as-string is
     // reserved for 64-bit values, matching the reference)
     assert(q.body().contains(""""tc":10"""), q.body())
+
+    // the p73/p76 kernels as SQL scalars: chunk-hash arrays + loop score
+    val k = post("/query?db=pii",
+      """{"query": "SELECT src, size(cdc_chunks(text)) AS nch, rep_milli(repeat('spam ', 10)) AS rm FROM docs ORDER BY src"}""")
+    assert(k.statusCode() == 200, k.body())
+    assert(k.body().contains(""""rm":"1000""""), k.body()) // perfect lag-1 loop
+    assert(k.body().contains(""""nch":"""), k.body())
   }
 
   test("CH analytics aggregates run over ingested lakehouse data via /query") {
