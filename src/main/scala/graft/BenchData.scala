@@ -50,17 +50,8 @@ object BenchData {
     // key would silently reuse a 10x corpus derived from last round's
     // bytes and the sf1 section would compare different corpora (the
     // SCALE.md immutable-snapshot-dir lesson, here for the bench)
-    def sigs(d: java.io.File, depth: Int): Seq[String] =
-      Option(d.listFiles()).getOrElse(Array()).sortBy(_.getName).toSeq.flatMap { f =>
-        val own = s"${f.getName}:${f.length}:${f.lastModified}"
-        // reach the data files: a dir's own (name, size) is
-        // content-independent, and driver-side regeneration can land
-        // within one mtime tick
-        if (depth > 0 && f.isDirectory) own +: sigs(f, depth - 1)
-        else Seq(own)
-      }
     val fp = java.lang.Integer.toHexString(
-      sigs(new java.io.File(fromDir), 2).mkString("|").hashCode)
+      graft.util.Fingerprint.dirToken(fromDir).hashCode)
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       "graft-bench10x-" + new java.io.File(fromDir).getCanonicalPath

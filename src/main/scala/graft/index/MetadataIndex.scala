@@ -263,14 +263,21 @@ object MetadataIndex {
     * assemble a table from links), but a visited-realpath set bounds
     * link cycles — termination without dropping symlink support. Each
     * directory stream is closed explicitly (open fds). */
+  /** Partition trees are date=/hour= (≤ ~4 levels); 16 caps a stray
+    * symlink into a deep foreign tree without touching real layouts. */
+  val MaxWalkDepth = 16
+
   def partitionDirs(tableRoot: Path): Seq[Path] = {
     if (!Files.isDirectory(tableRoot)) return Nil
     val out = scala.collection.mutable.ListBuffer.empty[Path]
     val seen = scala.collection.mutable.HashSet.empty[Path]
-    def walk(dir: Path): Unit = {
+    def walk(dir: Path, depth: Int): Unit = {
+      if (depth > MaxWalkDepth) return // stray deep link: bounded, not crawled
       val real =
         try dir.toRealPath()
-        catch { case _: java.io.IOException => return } // vanished/broken link
+        // ONLY a vanished entry / dangling link; AccessDenied etc. must
+        // rethrow — silent exclusion would return partial results
+        catch { case _: java.nio.file.NoSuchFileException => return }
       if (!seen.add(real)) return // link cycle or diamond: already walked
       val ds =
         try Files.newDirectoryStream(dir)
@@ -284,7 +291,7 @@ object MetadataIndex {
         val it = ds.iterator()
         while (it.hasNext) {
           val p = it.next()
-          if (Files.isDirectory(p)) walk(p)
+          if (Files.isDirectory(p)) walk(p, depth + 1)
           else if (p.getFileName.toString == FileName) out += p.getParent
         }
       } catch {
@@ -294,7 +301,7 @@ object MetadataIndex {
           if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
       } finally ds.close()
     }
-    walk(tableRoot)
+    walk(tableRoot, 0)
     out.toList
   }
 

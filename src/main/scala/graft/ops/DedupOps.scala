@@ -237,34 +237,37 @@ object DedupOps {
   private def cdcBoundary(t: Column): Column =
     TextOps.md5Bucket(t, CdcMod) === 0L
 
-  /** Per-doc CDC chunks: `doc_id, idx, h` (chunk index, chunk md5).
-    * Map-only: the boundary marker rides a transform (a \\u0001 sentinel
-    * prefixed to boundary tokens), one split recovers the chunks — no
-    * per-position aggregation, no O(n²) prefix scan. */
-  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
-    val sentinel = "\u0001"
-    val marked = array_join(
-      transform(TextOps.tokens(col(textCol)),
-        t => when(cdcBoundary(t), concat(lit(sentinel), t)).otherwise(t)), " ")
-    docs.select(col(idCol).as("doc_id"), split(marked, sentinel).as("__cs"))
-      .select(col("doc_id"), posexplode(col("__cs")).as(Seq("idx", "__c")))
-      .withColumn("__c", trim(col("__c")))
-      .filter(length(col("__c")) > 0)
-      .select(col("doc_id"), col("idx"), md5(col("__c")).as("h"))
-  }
-
-  /** The doc's CDC chunk hashes as ONE array column — the SQL-surface
-    * face (`cdc_chunks(text)` on /query): same boundaries, same
-    * hashes, usable for ad-hoc chunk-level joins in POSTed SQL. */
-  def cdcChunkHashes(text: Column): Column = {
+  /** The ONE chunking expression both faces share: the boundary marker
+    * rides a transform (a \\u0001 sentinel prefixed to boundary
+    * tokens), one split recovers the chunk strings (entries may carry
+    * edge whitespace / be empty — callers trim+filter) — no
+    * per-position aggregation, no O(n\u00b2) prefix scan. A drift between
+    * the DataFrame and SQL faces would silently desynchronize chunk
+    * hashes. */
+  private def cdcSegments(text: Column): Column = {
     val sentinel = "\u0001"
     val marked = array_join(
       transform(TextOps.tokens(text),
         t => when(cdcBoundary(t), concat(lit(sentinel), t)).otherwise(t)), " ")
-    transform(filter(split(marked, sentinel), c => length(trim(c)) > 0),
-      c => md5(trim(c)))
+    split(marked, sentinel)
   }
+
+  /** Per-doc CDC chunks: `doc_id, idx, h` (chunk index, chunk md5),
+    * map-only (see [[cdcSegments]]). */
+  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), cdcSegments(col(textCol)).as("__cs"))
+      .select(col("doc_id"), posexplode(col("__cs")).as(Seq("idx", "__c")))
+      .withColumn("__c", trim(col("__c")))
+      .filter(length(col("__c")) > 0)
+      .select(col("doc_id"), col("idx"), md5(col("__c")).as("h"))
+
+  /** The doc's CDC chunk hashes as ONE array column — the SQL-surface
+    * face (`cdc_chunks(text)` on /query): same [[cdcSegments]], same
+    * hashes, usable for ad-hoc chunk-level joins in POSTed SQL. */
+  def cdcChunkHashes(text: Column): Column =
+    transform(filter(cdcSegments(text), c => length(trim(c)) > 0),
+      c => md5(trim(c)))
 
   /** CDC duplicate-coverage report: for every doc, how many of its
     * chunks also appear (by hash) in at least one OTHER doc —

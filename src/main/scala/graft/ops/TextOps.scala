@@ -429,20 +429,26 @@ object TextOps {
   }
 
   /** rep_milli alone as ONE column — the SQL-surface face
-    * (`rep_milli(text)` on /query). floor(double÷) equals integer DIV
-    * here: both operands are positive ints ≤ 10⁷, far below the
-    * magnitude where a half-ulp could cross an integer boundary. */
-  def periodicityMilli(text: Column): Column = {
-    val w = tokens(text)
-    val n = size(w)
-    def milli(lag: Int): Column =
-      when(n > lag,
-        floor((lit(1000) * size(filter(sequence(lit(1), n - lag),
-          i => element_at(w, i) === element_at(w, i + lag))))
-          .cast("double") / (n - lag)).cast("long"))
-        .otherwise(lit(0L))
-    greatest((1 to MaxPeriodLag).map(milli): _*)
-  }
+    * (`rep_milli(text)` on /query). The token array binds as a LAMBDA
+    * VARIABLE (a 1-element transform), so tokenization runs ONCE per
+    * row — inlining `tokens(text)` inside the per-position filter
+    * lambda would re-split the whole document per position per lag
+    * (HOF lambda bodies evaluate per element; nothing hoists them).
+    * The count multiplies in LONG (a multi-million-token doc would
+    * wrap Int), and floor(double÷) equals integer DIV here: positive
+    * operands ≤ 10¹⁰/10⁷, far below where a half-ulp could cross an
+    * integer boundary. */
+  def periodicityMilli(text: Column): Column =
+    element_at(transform(array(tokens(text)), w => {
+      val n = size(w)
+      def milli(lag: Int): Column =
+        when(n > lag,
+          floor((lit(1000L) * size(filter(sequence(lit(1), n - lag),
+            i => element_at(w, i) === element_at(w, i + lag))).cast("long"))
+            .cast("double") / (n - lag)).cast("long"))
+          .otherwise(lit(0L))
+      greatest((1 to MaxPeriodLag).map(milli): _*)
+    }), 1)
 
   /** DuckDB oracle for [[periodicity]] (same integer DIV, same lag
     * tie-break). */

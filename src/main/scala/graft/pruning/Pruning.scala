@@ -139,20 +139,26 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
     artifactVersion.incrementAndGet(): Unit
   }
 
-  private def registerArtifactsOn(s: SparkSession): Unit = {
+  /** Returns false if any artifact view failed to register. A failed
+    * view is SKIPPED (one vanished/corrupt artifact must not break
+    * session building for EVERY query — queries referencing it fail
+    * loudly with "table not found" while unrelated queries plan
+    * normally), but the caller must then NOT cache the session as the
+    * published snapshot: a cached incomplete snapshot would pin the
+    * missing view until the next catalog-version bump, which on a
+    * read-only serving window never comes. */
+  private def registerArtifactsOn(s: SparkSession): Boolean = {
     import scala.jdk.CollectionConverters._
+    var ok = true
     artifactViews.asScala.foreach { case (name, path) =>
-      // one vanished/corrupt artifact must not break session building
-      // for EVERY query: skip it — queries referencing the view then
-      // fail loudly ("table not found") while unrelated queries plan
-      // normally, and a transient FS error self-heals next rebuild
       try s.read.parquet(path).createOrReplaceTempView(name)
-      catch { case scala.util.control.NonFatal(_) => () }
+      catch { case scala.util.control.NonFatal(_) => ok = false }
     }
     artifactFns.asScala.foreach { case (name, b) =>
       s.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, b, "scala_udf")
     }
+    ok
   }
 
   private def versionVector(): Map[(String, String), Long] =
@@ -176,13 +182,17 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
     while (true) {
       val s = spark.newSession()
       graft.Tables.init(s) // child sessions don't inherit runtime conf/UDFs
-      registerOn(s, None, "default")
+      val artifactsOk = registerOn(s, None, "default")
       val after = versionVector()
       if (after == before || attempt >= 5) {
-        // unconditional publish: every published snapshot is internally
-        // consistent, and a racing stale publish is self-healing (the
-        // next request's version check rebuilds)
-        published.set(Snapshot(after, s))
+        // publish only COMPLETE snapshots: a session missing an
+        // artifact view (transient FS failure) serves THIS request —
+        // its queries fail loudly if they touch the view — but caching
+        // it would pin the hole until the next version bump, which a
+        // read-only serving window never delivers. Every published
+        // snapshot is internally consistent; a racing stale publish is
+        // self-healing (the next request's version check rebuilds).
+        if (artifactsOk) published.set(Snapshot(after, s))
         return s
       }
       before = after
@@ -206,8 +216,10 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
 
   /** Register all catalog tables on a private session (no cache, no
     * cross-request state — the session is this request's own). */
+  /** Returns the artifact-registration verdict (false = a view was
+    * skipped); callers that CACHE the session must check it. */
   private def registerOn(s: SparkSession, timeRangeNs: Option[(Long, Long)],
-                         bare: String): Unit = {
+                         bare: String): Boolean = {
     catalog.all().foreach { spec =>
       val base = GraftFileIndex.readTable(s, catalog, spec.database, spec.name)
       val df = timeRangeNs match {

@@ -1047,32 +1047,7 @@ object PipelineQueries {
     * bare dir string — there the immutable-snapshot assumption is the
     * contract. */
   private def snapshotId(dir: String): String =
-    try {
-      val p = java.nio.file.Paths.get(dir)
-      if (!java.nio.file.Files.isDirectory(p)) dir
-      else {
-        // walk three levels: corpus dirs hold table DIRECTORIES
-        // (documents.parquet/part-*.parquet), and a directory's own
-        // (name, size) is content-independent — the id must reach the
-        // data files or an in-place rewrite within one mtime tick
-        // would serve stale artifacts
-        def sig(d: java.nio.file.Path, depth: Int): Seq[String] = {
-          val s = java.nio.file.Files.list(d)
-          try {
-            import scala.jdk.CollectionConverters._
-            s.iterator().asScala.toSeq.map(_.toString).sorted.flatMap { f =>
-              val fp = java.nio.file.Paths.get(f)
-              val own = s"${d.relativize(fp)}:${java.nio.file.Files.size(fp)}:" +
-                s"${java.nio.file.Files.getLastModifiedTime(fp).toMillis}"
-              if (depth > 0 && java.nio.file.Files.isDirectory(fp))
-                own +: sig(fp, depth - 1).map(c => s"${d.relativize(fp)}/$c")
-              else Seq(own)
-            }
-          } finally s.close()
-        }
-        sig(p, 2).mkString("|").hashCode.toString
-      }
-    } catch { case _: Exception => dir }
+    graft.util.Fingerprint.dirToken(dir)
 
   /** Nanoseconds spent BUILDING artifacts (cache misses) since JVM
     * start — the bench reads the delta per rep so a rep that carried a
