@@ -113,6 +113,28 @@ object LocalClusterE2E {
         val labels = graft.ops.DedupOps.clusterLabels(docs, 0.5, capFrac = None)
         require(labels.filter(col("cluster_id") === 0L).count() == 6,
           "identical even docs must cluster to doc 0 on local-cluster")
+        // round-6 faces across real executor processes: plan-literal
+        // sketches (Bloom bits) and the centroid-embedded ivf_probe
+        // expression must serialize to executors intact
+        val screen = graft.ops.DedupOps.bloomScreen(
+          docs.filter(col("doc_id") >= 1), docs.filter(col("doc_id") === 0L),
+          n = 3).collect()
+        require(screen.length == 5, // the 5 other even docs share doc 0's text
+          s"bloom screen rows on local-cluster: ${screen.length}")
+        val rm = docs.select(
+          graft.ops.TextOps.periodicityMilli(col("text")).as("rm")).collect()
+        require(rm.length == 12, "rep_milli rows on local-cluster")
+        val vecs = (0L until 40L).map(i =>
+          (i, Array.tabulate(8)(d => ((i + d) % 5).toFloat + 0.1f)))
+          .toDF("vec_id", "embedding")
+        val (km, _) = graft.ops.SimilarityOps.ivfIndex(vecs, nlist = 4)
+        val probe = vecs.select(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.IvfProbeCells(
+            org.apache.spark.sql.GraftColumnBridge.toExpression(col("embedding")),
+            org.apache.spark.sql.catalyst.expressions.Literal(2),
+            km.clusterCenters.map(_.toArray))).as("cells")).collect()
+        require(probe.forall(r => r.getSeq[Int](0).length == 2),
+          "ivf_probe cells on local-cluster")
         println(s"E2E_OK executors=${exec.map(_._1).toSeq.sorted.mkString(",")} " +
           s"driver=$driverPid l2=${l2Count()}")
       } finally server.close()
