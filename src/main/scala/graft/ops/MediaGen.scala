@@ -205,4 +205,30 @@ object MediaGen {
        |  ${feats.mkString(",\n  ")}
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB oracle for the image aHash query (p78): per grid cell the
+    * INTEGER luminance-triple sum of its 2×2 synthetic pixels, bit c =
+    * 8·sum_c > total (the equal-cell-count form of the exact
+    * cross-multiplied mean compare the real decoder uses), then group
+    * sizes per hash. The REAL ImageIO decode must land on exactly these
+    * integers — the p11 inductive pattern, extended from features to
+    * the dedup KEY. */
+  def imageAHashSql(table: String = "documents"): String = {
+    def cellSum(c: Int): String = {
+      val row = c / 4; val col = c % 4
+      val terms = for (y <- Seq(2 * row, 2 * row + 1); x <- Seq(2 * col, 2 * col + 1))
+        yield s"3*((doc_id*31 + ${x * 7 + y * 13}) % 256)"
+      s"(${terms.mkString(" + ")})"
+    }
+    val total = (0 until 8).map(cellSum).mkString(" + ")
+    val bits = (0 until 8)
+      .map(c => s"(CASE WHEN 8*${cellSum(c)} > ($total) THEN ${1 << c} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT doc_id, CAST($bits AS BIGINT) AS ahash
+       |  FROM $table WHERE doc_id % 3 = 0),
+       |g AS (SELECT ahash, count(*) AS n_same FROM h GROUP BY ahash)
+       |SELECT h.doc_id, h.ahash, g.n_same FROM h JOIN g USING (ahash)
+       |ORDER BY h.doc_id""".stripMargin
+  }
 }

@@ -235,6 +235,69 @@ object MultimodalOps {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Perceptual average-hash (aHash) of a decoded image over the SAME
+    * 2×4 luminance grid the feature decoder uses: bit c = 1 iff cell
+    * c's mean luminance exceeds the whole-image mean, compared by exact
+    * integer cross-multiplication (sum_c·totalCnt > cnt_c·totalSum — no
+    * division, so the REAL-decode face and the arithmetic oracle can
+    * never disagree on a boundary). Identical structural light/dark
+    * layout ⇒ identical hash at any brightness scale shift that
+    * preserves ordering — the classic near-dup key for image dedup. */
+  private[ops] def imageAHash(media: Array[Byte]): Option[Int] = try {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sum = new Array[Long](FeatureDims)
+      val cnt = new Array[Long](FeatureDims)
+      var y = 0
+      while (y < h) {
+        val row = (y * 2) / h
+        var x = 0
+        while (x < w) {
+          val cell = row * 4 + (x * 4) / w
+          val rgb = img.getRGB(x, y)
+          sum(cell) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          cnt(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val totalSum = sum.sum
+      val totalCnt = cnt.sum
+      var bits = 0
+      var c = 0
+      while (c < FeatureDims) {
+        if (cnt(c) > 0 && sum(c) * totalCnt > cnt(c) * totalSum) bits |= 1 << c
+        c += 1
+      }
+      Some(bits)
+    }
+  } catch {
+    case _: java.io.IOException | _: RuntimeException => None
+  }
+
+  /** (doc_id, ahash) for every DECODABLE image asset — batched
+    * per-partition like decodeFeatures; non-images and corrupt bytes
+    * contribute no rows. */
+  def imageAHashes(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ahash", LongType)))
+    val rdd = assets.select(col("doc_id"), col("media"), col("meta.kind"))
+      .rdd.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val media = r.getAs[Array[Byte]]("media")
+          val kind = r.getString(2)
+          if (media == null || kind == null || !kind.startsWith("image/")) None
+          else imageAHash(media).map(h => Row(r.getLong(0), h.toLong))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** REAL video-frame extraction: decode each video asset's frames via
     * the ImageIO sequence reader (animated GIF), re-encode every sampled
     * frame as a standalone PNG, and explode to one row per frame —

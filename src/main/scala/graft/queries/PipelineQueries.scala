@@ -423,6 +423,20 @@ object PipelineQueries {
         .orderBy(col("cell"), col("rk"))
     }),
 
+    // ---- image perceptual-hash dedup: REAL ImageIO decode → aHash
+    //      over the luminance grid (exact integer mean compares) →
+    //      hash-group sizes; the oracle re-derives every bit from the
+    //      synthetic-pixel arithmetic (p11's inductive pattern on the
+    //      dedup KEY, not just features) ----
+    "p78_image_ahash" -> ((s, dir) => {
+      val hashes = MultimodalOps.imageAHashes(
+        MediaGen.syntheticAssets(Tables.loadSpread(s, dir, "documents")))
+      val groups = hashes.groupBy("ahash").agg(count(lit(1)).as("n_same"))
+      hashes.join(groups, Seq("ahash"))
+        .select(col("doc_id"), col("ahash"), col("n_same"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- periodicity score: max per-mille lag-agreement over lags
     //      1..8 — catches degenerate loops whose cycle is longer than
     //      any dup-n-gram's width; pure map, integer-exact ----
@@ -1383,6 +1397,7 @@ object PipelineQueries {
     "p74_vocab_growth" -> TextOps.vocabGrowthSql(),
     "p75_decontam_edit" -> DedupOps.removeContaminatedSpansSql(DecontamHoldout),
     "p76_periodicity" -> TextOps.periodicitySql(),
+    "p78_image_ahash" -> MediaGen.imageAHashSql(),
     "p20_dedup_cluster" -> DedupOps.clusterSql(NearDupTau),
     // p69: the clusterSql re-derivation wrapped with the join's output
     // shape (every doc joins its label; is_keeper = doc is its rep)
