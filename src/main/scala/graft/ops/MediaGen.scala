@@ -213,22 +213,39 @@ object MediaGen {
     * sizes per hash. The REAL ImageIO decode must land on exactly these
     * integers — the p11 inductive pattern, extended from features to
     * the dedup KEY. */
-  def imageAHashSql(table: String = "documents"): String = {
-    def cellSum(c: Int): String = {
-      val row = c / 4; val col = c % 4
-      val terms = for (y <- Seq(2 * row, 2 * row + 1); x <- Seq(2 * col, 2 * col + 1))
-        yield s"3*((doc_id*31 + ${x * 7 + y * 13}) % 256)"
-      s"(${terms.mkString(" + ")})"
-    }
-    val total = (0 until 8).map(cellSum).mkString(" + ")
+  /** Shared oracle shape for the fingerprint queries: bit w = 1 iff
+    * 8·part_w > total (the equal-count form of the exact
+    * cross-multiplied mean compare the real decoders use). */
+  private def fingerprintSql(partSum: Int => String, kindMod: Int,
+                             table: String): String = {
+    val total = (0 until 8).map(partSum).mkString(" + ")
     val bits = (0 until 8)
-      .map(c => s"(CASE WHEN 8*${cellSum(c)} > ($total) THEN ${1 << c} ELSE 0 END)")
+      .map(c => s"(CASE WHEN 8*${partSum(c)} > ($total) THEN ${1 << c} ELSE 0 END)")
       .mkString(" + ")
     s"""WITH h AS (
        |  SELECT doc_id, CAST($bits AS BIGINT) AS ahash
-       |  FROM $table WHERE doc_id % 3 = 0),
+       |  FROM $table WHERE doc_id % 3 = $kindMod),
        |g AS (SELECT ahash, count(*) AS n_same FROM h GROUP BY ahash)
        |SELECT h.doc_id, h.ahash, g.n_same FROM h JOIN g USING (ahash)
        |ORDER BY h.doc_id""".stripMargin
   }
+
+  def imageAHashSql(table: String = "documents"): String =
+    fingerprintSql(c => {
+      val row = c / 4; val col = c % 4
+      val terms = for (y <- Seq(2 * row, 2 * row + 1); x <- Seq(2 * col, 2 * col + 1))
+        yield s"3*((doc_id*31 + ${x * 7 + y * 13}) % 256)"
+      s"(${terms.mkString(" + ")})"
+    }, kindMod = 0, table)
+
+  /** Oracle for the audio energy fingerprint (p79): window w's exact
+    * integer Σs² from the synthetic PCM formula. */
+  def audioEnergyHashSql(table: String = "documents"): String =
+    fingerprintSql(w => {
+      val terms = for (f <- (8 * w) until (8 * w + 8)) yield {
+        val s = s"((doc_id*7919 + ${f * 104729L}) % 65536 - 32768)"
+        s"$s*$s"
+      }
+      s"(${terms.mkString(" + ")})"
+    }, kindMod = 1, table)
 }

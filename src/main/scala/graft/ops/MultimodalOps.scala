@@ -140,7 +140,12 @@ object MultimodalOps {
     * equal windows; feature i is the RMS energy of window i across all
     * channels, normalized to [0,1]. Returns (frames, channels, features);
     * None when the bytes are not decodable 8/16-bit PCM audio. */
-  private[ops] def audioDecode(media: Array[Byte]): Option[(Int, Int, Array[Float])] = try {
+  /** The shared REAL PCM decode: per-window exact integer Σs² and
+    * sample counts (plus the bit-depth denominator) — the ONE loop the
+    * RMS features and the energy fingerprint both consume, so the two
+    * faces can never drift. */
+  private[ops] def audioRaw(media: Array[Byte])
+      : Option[(Int, Int, Double, Array[Long], Array[Long])] = try {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(media))
     try {
@@ -156,47 +161,67 @@ object MultimodalOps {
         val frameSize = fmt.getFrameSize
         val bytesPerSample = bits / 8
         val frames = bytes.length / frameSize
-        if (frames == 0) Some((0, channels, new Array[Float](FeatureDims)))
-        else {
-          // exact integer Σs² per window + ONE double division + IEEE
-          // sqrt: order-independent, bit-replayable in SQL (s² ≤ 2^30,
-          // so a window stays exact below 2^33 samples)
-          val den = (1L << (bits - 1)).toDouble
-          val sumSq = new Array[Long](FeatureDims)
-          val cnt = new Array[Long](FeatureDims)
-          var f = 0
-          while (f < frames) {
-            val win = ((f.toLong * FeatureDims) / frames).toInt
-            var c = 0
-            while (c < channels) {
-              val off = f * frameSize + c * bytesPerSample
-              val s =
-                if (bits == 8) {
-                  if (enc == PCM_UNSIGNED) (bytes(off) & 0xff) - 128
-                  else bytes(off).toInt
-                } else {
-                  val (hi, lo) =
-                    if (fmt.isBigEndian) (bytes(off), bytes(off + 1))
-                    else (bytes(off + 1), bytes(off))
-                  val raw = (hi.toInt << 8) | (lo & 0xff)
-                  if (enc == PCM_UNSIGNED) (raw & 0xffff) - 32768 else raw
-                }
-              sumSq(win) += s.toLong * s; cnt(win) += 1
-              c += 1
-            }
-            f += 1
+        val den = (1L << (bits - 1)).toDouble
+        val sumSq = new Array[Long](FeatureDims)
+        val cnt = new Array[Long](FeatureDims)
+        var f = 0
+        while (f < frames) {
+          val win = ((f.toLong * FeatureDims) / frames).toInt
+          var c = 0
+          while (c < channels) {
+            val off = f * frameSize + c * bytesPerSample
+            val s =
+              if (bits == 8) {
+                if (enc == PCM_UNSIGNED) (bytes(off) & 0xff) - 128
+                else bytes(off).toInt
+              } else {
+                val (hi, lo) =
+                  if (fmt.isBigEndian) (bytes(off), bytes(off + 1))
+                  else (bytes(off + 1), bytes(off))
+                val raw = (hi.toInt << 8) | (lo & 0xff)
+                if (enc == PCM_UNSIGNED) (raw & 0xffff) - 32768 else raw
+              }
+            sumSq(win) += s.toLong * s; cnt(win) += 1
+            c += 1
           }
-          val feat = Array.tabulate(FeatureDims)(i =>
-            if (cnt(i) == 0) 0f
-            else math.sqrt(sumSq(i) / (cnt(i) * den * den)).toFloat)
-          Some((frames, channels, feat))
+          f += 1
         }
+        Some((frames, channels, den, sumSq, cnt))
       }
     } finally in.close()
   } catch {
     case _: javax.sound.sampled.UnsupportedAudioFileException |
          _: java.io.IOException | _: RuntimeException => None
   }
+
+  private[ops] def audioDecode(media: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    audioRaw(media).map { case (frames, channels, den, sumSq, cnt) =>
+      // exact integer Σs² per window + ONE double division + IEEE
+      // sqrt: order-independent, bit-replayable in SQL (s² ≤ 2^30,
+      // so a window stays exact below 2^33 samples)
+      val feat = Array.tabulate(FeatureDims)(i =>
+        if (cnt(i) == 0) 0f
+        else math.sqrt(sumSq(i) / (cnt(i) * den * den)).toFloat)
+      (frames, channels, feat)
+    }
+
+  /** Energy-envelope fingerprint of a PCM clip: bit w = 1 iff window
+    * w's mean energy (Σs²/count) exceeds the whole-clip mean, compared
+    * by exact integer cross-multiplication (the image aHash's audio
+    * sibling — loudness scaling that preserves envelope ordering keeps
+    * the hash; exact below ~2^63/(Σs²) total samples). */
+  private[ops] def audioEnergyHash(media: Array[Byte]): Option[Int] =
+    audioRaw(media).map { case (_, _, _, sumSq, cnt) =>
+      val ts = sumSq.sum
+      val tc = cnt.sum
+      var bits = 0
+      var w = 0
+      while (w < FeatureDims) {
+        if (cnt(w) > 0 && sumSq(w) * tc > cnt(w) * ts) bits |= 1 << w
+        w += 1
+      }
+      bits
+    }
 
   /** Batched per-partition decode: binary media → (width, height,
     * feature vector). `meta.kind` routes the codec, and every route is a
@@ -277,10 +302,11 @@ object MultimodalOps {
     case _: java.io.IOException | _: RuntimeException => None
   }
 
-  /** (doc_id, ahash) for every DECODABLE image asset — batched
-    * per-partition like decodeFeatures; non-images and corrupt bytes
-    * contribute no rows. */
-  def imageAHashes(assets: DataFrame): DataFrame = {
+  /** (doc_id, ahash) for every decodable asset of `kindPrefix`, hashed
+    * by `hash` — batched per-partition like decodeFeatures; other kinds
+    * and corrupt bytes contribute no rows. */
+  private def fingerprints(assets: DataFrame, kindPrefix: String,
+                           hash: Array[Byte] => Option[Int]): DataFrame = {
     val spark = assets.sparkSession
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -291,12 +317,20 @@ object MultimodalOps {
         rows.flatMap { r =>
           val media = r.getAs[Array[Byte]]("media")
           val kind = r.getString(2)
-          if (media == null || kind == null || !kind.startsWith("image/")) None
-          else imageAHash(media).map(h => Row(r.getLong(0), h.toLong))
+          if (media == null || kind == null || !kind.startsWith(kindPrefix)) None
+          else hash(media).map(h => Row(r.getLong(0), h.toLong))
         }
       }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Perceptual image hashes (see [[imageAHash]]). */
+  def imageAHashes(assets: DataFrame): DataFrame =
+    fingerprints(assets, "image/", imageAHash)
+
+  /** Audio energy-envelope hashes (see [[audioEnergyHash]]). */
+  def audioEnergyHashes(assets: DataFrame): DataFrame =
+    fingerprints(assets, "audio/", audioEnergyHash)
 
   /** REAL video-frame extraction: decode each video asset's frames via
     * the ImageIO sequence reader (animated GIF), re-encode every sampled

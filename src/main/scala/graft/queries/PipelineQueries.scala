@@ -437,6 +437,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- audio energy fingerprint: the aHash's audio sibling — REAL
+    //      javax.sound PCM decode → per-window exact Σs² → envelope
+    //      bits (integer cross-multiplied mean compares) → groups ----
+    "p79_audio_fingerprint" -> ((s, dir) => {
+      val hashes = MultimodalOps.audioEnergyHashes(
+        MediaGen.syntheticAssets(Tables.loadSpread(s, dir, "documents")))
+      val groups = hashes.groupBy("ahash").agg(count(lit(1)).as("n_same"))
+      hashes.join(groups, Seq("ahash"))
+        .select(col("doc_id"), col("ahash"), col("n_same"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- periodicity score: max per-mille lag-agreement over lags
     //      1..8 — catches degenerate loops whose cycle is longer than
     //      any dup-n-gram's width; pure map, integer-exact ----
@@ -1398,6 +1410,7 @@ object PipelineQueries {
     "p75_decontam_edit" -> DedupOps.removeContaminatedSpansSql(DecontamHoldout),
     "p76_periodicity" -> TextOps.periodicitySql(),
     "p78_image_ahash" -> MediaGen.imageAHashSql(),
+    "p79_audio_fingerprint" -> MediaGen.audioEnergyHashSql(),
     "p20_dedup_cluster" -> DedupOps.clusterSql(NearDupTau),
     // p69: the clusterSql re-derivation wrapped with the join's output
     // shape (every doc joins its label; is_keeper = doc is its rep)
