@@ -206,13 +206,6 @@ object MediaGen {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** DuckDB oracle for the image aHash query (p78): per grid cell the
-    * INTEGER luminance-triple sum of its 2×2 synthetic pixels, bit c =
-    * 8·sum_c > total (the equal-cell-count form of the exact
-    * cross-multiplied mean compare the real decoder uses), then group
-    * sizes per hash. The REAL ImageIO decode must land on exactly these
-    * integers — the p11 inductive pattern, extended from features to
-    * the dedup KEY. */
   /** Shared oracle shape for the fingerprint queries: bit w = 1 iff
     * 8·part_w > total (the equal-count form of the exact
     * cross-multiplied mean compare the real decoders use). */
@@ -230,6 +223,13 @@ object MediaGen {
        |ORDER BY h.doc_id""".stripMargin
   }
 
+  /** DuckDB oracle for the image aHash query (p78): per grid cell the
+    * INTEGER luminance-triple sum of its 2×2 synthetic pixels, bit c =
+    * 8·sum_c > total (the equal-cell-count form of the exact
+    * cross-multiplied mean compare the real decoder uses), then group
+    * sizes per hash. The REAL ImageIO decode must land on exactly these
+    * integers — the p11 inductive pattern, extended from features to
+    * the dedup KEY. */
   def imageAHashSql(table: String = "documents"): String =
     fingerprintSql(c => {
       val row = c / 4; val col = c % 4

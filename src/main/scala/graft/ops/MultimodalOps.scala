@@ -207,9 +207,9 @@ object MultimodalOps {
 
   /** Energy-envelope fingerprint of a PCM clip: bit w = 1 iff window
     * w's mean energy (Σs²/count) exceeds the whole-clip mean, compared
-    * by exact integer cross-multiplication (the image aHash's audio
-    * sibling — loudness scaling that preserves envelope ordering keeps
-    * the hash; exact below ~2^63/(Σs²) total samples). */
+    * by exact 128-bit integer cross-multiplication (the image aHash's
+    * audio sibling — loudness scaling that preserves envelope ordering
+    * keeps the hash; exact at any clip length). */
   private[ops] def audioEnergyHash(media: Array[Byte]): Option[Int] =
     audioRaw(media).map { case (_, _, _, sumSq, cnt) =>
       val ts = sumSq.sum
@@ -217,7 +217,7 @@ object MultimodalOps {
       var bits = 0
       var w = 0
       while (w < FeatureDims) {
-        if (cnt(w) > 0 && sumSq(w) * tc > cnt(w) * ts) bits |= 1 << w
+        if (cnt(w) > 0 && cmpProd(sumSq(w), tc, cnt(w), ts) > 0) bits |= 1 << w
         w += 1
       }
       bits
@@ -260,14 +260,25 @@ object MultimodalOps {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** a·b vs c·d for non-negative longs in FULL 128-bit precision — the
+    * cross-multiplied mean compares below stay exact at ANY image/clip
+    * size (a 12000² image's sum_c·totalCnt overflows a bare long). */
+  private def cmpProd(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = java.lang.Math.multiplyHigh(a, b)
+    val hi2 = java.lang.Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
+  }
+
   /** Perceptual average-hash (aHash) of a decoded image over the SAME
     * 2×4 luminance grid the feature decoder uses: bit c = 1 iff cell
     * c's mean luminance exceeds the whole-image mean, compared by exact
-    * integer cross-multiplication (sum_c·totalCnt > cnt_c·totalSum — no
-    * division, so the REAL-decode face and the arithmetic oracle can
-    * never disagree on a boundary). Identical structural light/dark
-    * layout ⇒ identical hash at any brightness scale shift that
-    * preserves ordering — the classic near-dup key for image dedup. */
+    * 128-bit integer cross-multiplication (sum_c·totalCnt >
+    * cnt_c·totalSum — no division, no overflow, so the REAL-decode face
+    * and the arithmetic oracle can never disagree on a boundary).
+    * Identical structural light/dark layout ⇒ identical hash at any
+    * brightness scale shift that preserves ordering — the classic
+    * near-dup key for image dedup. */
   private[ops] def imageAHash(media: Array[Byte]): Option[Int] = try {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
     if (img == null) None
@@ -293,7 +304,8 @@ object MultimodalOps {
       var bits = 0
       var c = 0
       while (c < FeatureDims) {
-        if (cnt(c) > 0 && sum(c) * totalCnt > cnt(c) * totalSum) bits |= 1 << c
+        if (cnt(c) > 0 && cmpProd(sum(c), totalCnt, cnt(c), totalSum) > 0)
+          bits |= 1 << c
         c += 1
       }
       Some(bits)

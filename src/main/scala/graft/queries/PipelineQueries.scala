@@ -429,10 +429,13 @@ object PipelineQueries {
     //      synthetic-pixel arithmetic (p11's inductive pattern on the
     //      dedup KEY, not just features) ----
     "p78_image_ahash" -> ((s, dir) => {
-      val hashes = MultimodalOps.imageAHashes(
+      // group size via ONE window on the hash shuffle — a self-join
+      // against the aggregate would re-run the synth+decode lineage
+      // for the second side (the decode dominates these queries)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ahash"))
+      MultimodalOps.imageAHashes(
         MediaGen.syntheticAssets(Tables.loadSpread(s, dir, "documents")))
-      val groups = hashes.groupBy("ahash").agg(count(lit(1)).as("n_same"))
-      hashes.join(groups, Seq("ahash"))
+        .withColumn("n_same", count(lit(1)).over(w))
         .select(col("doc_id"), col("ahash"), col("n_same"))
         .orderBy(col("doc_id"))
     }),
@@ -441,10 +444,10 @@ object PipelineQueries {
     //      javax.sound PCM decode → per-window exact Σs² → envelope
     //      bits (integer cross-multiplied mean compares) → groups ----
     "p79_audio_fingerprint" -> ((s, dir) => {
-      val hashes = MultimodalOps.audioEnergyHashes(
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ahash"))
+      MultimodalOps.audioEnergyHashes(
         MediaGen.syntheticAssets(Tables.loadSpread(s, dir, "documents")))
-      val groups = hashes.groupBy("ahash").agg(count(lit(1)).as("n_same"))
-      hashes.join(groups, Seq("ahash"))
+        .withColumn("n_same", count(lit(1)).over(w))
         .select(col("doc_id"), col("ahash"), col("n_same"))
         .orderBy(col("doc_id"))
     }),
