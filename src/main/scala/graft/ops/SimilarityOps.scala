@@ -149,6 +149,16 @@ object SimilarityOps {
     when(n > 0.0, transform(v, x => x.cast("double") / n)).otherwise(lit(null))
   }
 
+  /** Count of INDEXABLE vectors in `corpus` — non-null, non-zero after
+    * [[normalized]] (zero vectors are unsearchable under cosine and
+    * excluded from every index here). This is the number both the
+    * empty-table guard and the nlist cap must use: a table whose raw
+    * row count clears the guard but whose usable count is below k
+    * would otherwise reach MLlib and fail with a raw KMeans stack. */
+  def usableVectors(corpus: DataFrame, vecCol: String = "embedding"): Long =
+    corpus.withColumn("__nv", normalized(col(vecCol)))
+      .filter(col("__nv").isNotNull).count()
+
   /** (model, corpus with `cell`): k-means fit over normalized vectors.
     * The quantizer trains on a bounded sample (~trainPerCell × nlist
     * rows) — at 100 TB you never fit on the full corpus; centroids from
@@ -175,7 +185,13 @@ object SimilarityOps {
       // needs balanced-ish cells, not an optimal clustering
       .setInitMode("random")
       .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(c.select("fv").limit(nlist * trainPerCell))
+      // deterministic training sample: limit() alone has no defined row
+      // order (the PqOps.pqIndex discipline), so trained centroids — and
+      // every persisted IVF artifact and published ivf_probe binding —
+      // would differ across runs/partition layouts. TakeOrdered by
+      // vec_id, no global sort.
+      .fit(c.select(col("vec_id"), col("fv")).orderBy(col("vec_id"))
+        .limit(nlist * trainPerCell).select("fv"))
     (km, km.transform(c).drop("fv"))
   }
 

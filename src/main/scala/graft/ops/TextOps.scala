@@ -487,7 +487,13 @@ object TextOps {
   def vocabGrowth(docs: DataFrame, points: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    // empty corpus: max() is NULL — degrade to an empty curve like the
+    // sibling ops instead of throwing from the driver
+    val maxIdRow = Option(docs.agg(max(col("doc_id"))).head().get(0))
+    if (maxIdRow.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("cp", "n_tokens", "n_types", "ttr_milli")
+    val maxId = maxIdRow.get.asInstanceOf[Long]
     val cps = (1 to points)
       .map(k => (maxId * k + (points - 1)) / points).distinct.toDF("cp")
     val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))

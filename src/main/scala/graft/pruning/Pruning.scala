@@ -272,7 +272,17 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
         if (spec.database != bare && !bareOwned.contains(spec.name))
           spark.catalog.dropTempView(spec.name): Unit
       }
-      registerArtifactsOn(spark)
+      // surface a skipped artifact view on the SHARED session too —
+      // snapshot() refuses to cache incomplete sessions for this exact
+      // failure; here the session is long-lived, so a silent skip would
+      // make the view vanish until the next ensure. The next ensure
+      // retries registration unconditionally (this call is outside the
+      // per-table version cache), so logging is the missing piece.
+      if (!registerArtifactsOn(spark))
+        System.err.println(
+          "[query-views] one or more artifact views failed to register " +
+            "on the shared session; queries touching them will fail " +
+            "until the next request retries")
     }
 
   /** Plan a SQL statement against the shared session's whole-table views

@@ -241,13 +241,15 @@ final class GigHttpServer(spark: SparkSession, root: String,
           else col(vec)
         val df = base.select(col(id).cast("long").as("vec_id"),
           embCol.as("embedding"))
-        // cap at the corpus size: k-means cannot train more centers
-        // than vectors (tiny tables hit the adaptive floor of 16)
-        val rows = df.count()
-        // fail with a clear message, not a raw MLlib stack from a
-        // zero-sample KMeans fit
+        // cap at the USABLE vector count — non-null, non-zero after
+        // normalization — not the raw row count: ivfIndex drops
+        // unusable vectors before the fit, so a table of mostly zero
+        // vectors would otherwise reach MLlib with k > sample size and
+        // fail with the raw stack this guard exists to avoid
+        val rows = graft.ops.SimilarityOps.usableVectors(df)
         if (rows == 0) throw new IllegalArgumentException(
-          s"table $db.$table has no rows — nothing to index")
+          s"table $db.$table has no indexable vectors " +
+            "(no rows, or all embeddings null/zero)")
         val nlist = math.min(rows,
           graft.ops.SimilarityOps.adaptiveNlist(rows).toLong).toInt
         val (km, assigned) = graft.ops.SimilarityOps.ivfIndex(df, nlist)

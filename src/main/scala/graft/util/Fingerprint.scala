@@ -37,12 +37,23 @@ object Fingerprint {
     } finally s.close()
   }
 
-  /** The signature collapsed to a short stable token; `fallback` when
-    * the path is not a directory (e.g. a remote scheme string). */
+  /** The signature collapsed to a short stable token; the bare `dir`
+    * string when the path is not a directory (e.g. a remote scheme
+    * string — there the immutable-snapshot contract applies). md5, not
+    * String.hashCode: the artifact-cache staleness guard rests on this
+    * key, and 32 bits over many snapshots invites silent collisions.
+    * Only the invalid-path case falls back to content-blind keying;
+    * real I/O errors surface (dirSignature already absorbs the
+    * benign list/stat races as `unlistable`/`gone` entries). */
   def dirToken(dir: String, depth: Int = 2): String =
     try {
       val p = java.nio.file.Paths.get(dir)
       if (!java.nio.file.Files.isDirectory(p)) dir
-      else dirSignature(p, depth).mkString("|").hashCode.toString
-    } catch { case _: Exception => dir }
+      else {
+        val sig = dirSignature(p, depth).mkString("|")
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        d.map("%02x".format(_)).mkString
+      }
+    } catch { case _: java.nio.file.InvalidPathException => dir }
 }

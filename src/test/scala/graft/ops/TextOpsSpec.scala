@@ -353,4 +353,12 @@ class TextOpsSpec extends SparkSpec {
     // saturation: TTR falls as the corpus grows (Heaps with V << N)
     assert(r.head._4 > r.last._4, r.mkString(", "))
   }
+
+  test("vocabGrowth: empty corpus yields an empty curve, not a throw") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = TextOps.vocabGrowth(empty)
+    assert(r.columns.toSeq == Seq("cp", "n_tokens", "n_types", "ttr_milli"))
+    assert(r.count() == 0)
+  }
 }
