@@ -976,6 +976,107 @@ object PipelineQueries {
           |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
     }),
 
+    // ---- SQL faces of the trained TEXT-MODEL artifacts (VERDICT r6
+    //      #2): the tokenizers, the quality classifier, the perplexity
+    //      gate, and the Bloom screen as artifact-bound scalar
+    //      functions — exactly what /gigapi/artifacts publishes — each
+    //      hash-matched against the SAME oracle as its batch twin, so
+    //      SQL face ≡ batch face ≡ DuckDB rebuild. ----
+
+    // p80: bpe_encode(text) -> array of per-token piece arrays; the
+    // SQL reconstructs p52's exact (n_tok, n_pieces, fp) rollup
+    "p80_sql_bpe_encode" -> ((s, dir) => {
+      val merges = trainedMergesFor(s, dir)
+      if (merges.nonEmpty) sqlBpeMerges.set(merges.toArray)
+      s.sessionState.functionRegistry.createOrReplaceTempFunction("bpe_encode",
+        es => org.apache.spark.sql.GraftColumnBridge.toExpression(
+          BpeOps.encodePiecesCol(
+            org.apache.spark.sql.GraftColumnBridge.column(es.head), merges)),
+        "scala_udf")
+      Tables.loadSpread(s, dir, "documents").createOrReplaceTempView("p80_docs")
+      s.sql(
+        """SELECT doc_id, n_tok, n_pieces, fp FROM (
+          |  SELECT doc_id, CAST(size(enc) AS BIGINT) AS n_tok,
+          |    aggregate(enc, CAST(0 AS BIGINT), (a, ps) -> a + size(ps)) AS n_pieces,
+          |    md5(array_join(transform(enc,
+          |      ps -> concat('|', array_join(ps, '||'), '|')), ' ')) AS fp
+          |  FROM (SELECT doc_id, bpe_encode(text) AS enc FROM p80_docs))
+          |WHERE n_tok > 0 ORDER BY doc_id""".stripMargin)
+    }),
+
+    // p81: unigram_encode(text) -> (n_words, total_pieces, total_cost)
+    // struct — the boxed-pieces Viterbi expression, p61's rollup
+    "p81_sql_unigram_encode" -> ((s, dir) => {
+      val pieces = trainedPiecesFor(s, dir)
+      if (pieces.nonEmpty) sqlUnigramPieces.set(pieces.toArray)
+      val costs = pieces.map(p => p.piece -> p.qcost).toMap
+      s.sessionState.functionRegistry.createOrReplaceTempFunction("unigram_encode",
+        es => graft.functions.UnigramEncode(es.head, costs), "scala_udf")
+      Tables.loadSpread(s, dir, "documents").createOrReplaceTempView("p81_docs")
+      s.sql(
+        """SELECT doc_id, u.n_words AS n_words, u.total_pieces AS total_pieces,
+          |  u.total_cost AS total_cost
+          |FROM (SELECT doc_id, unigram_encode(text) AS u FROM p81_docs)
+          |WHERE u.n_words > 0 ORDER BY doc_id""".stripMargin)
+    }),
+
+    // p82: nb_quality(text) -> p47's full classifier verdict struct
+    "p82_sql_nb_quality" -> ((s, dir) => {
+      val model = nbModelFor(s, dir)
+      s.sessionState.functionRegistry.createOrReplaceTempFunction("nb_quality",
+        es => org.apache.spark.sql.GraftColumnBridge.toExpression(
+          ModelOps.nbQualityCol(
+            org.apache.spark.sql.GraftColumnBridge.column(es.head), model)),
+        "scala_udf")
+      Tables.loadSpread(s, dir, "documents").createOrReplaceTempView("p82_docs")
+      s.sql(
+        """SELECT doc_id, q.label AS label, q.n_grams AS n_grams,
+          |  q.score AS score, q.pred AS pred, q.agree AS agree
+          |FROM (SELECT doc_id, nb_quality(text) AS q FROM p82_docs)
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
+    // p83: ppl_bits(text) -> (n_big, qsum, bpt_milli); the CCNet
+    // tercile cut stays plain SQL window on top — p55's full output
+    "p83_sql_ppl_gate" -> ((s, dir) => {
+      val (m12, m1) = pplMapsFor(s, dir)
+      s.sessionState.functionRegistry.createOrReplaceTempFunction("ppl_bits",
+        es => org.apache.spark.sql.GraftColumnBridge.toExpression(
+          ModelOps.pplBitsCol(
+            org.apache.spark.sql.GraftColumnBridge.column(es.head), m12, m1)),
+        "scala_udf")
+      Tables.loadSpread(s, dir, "documents").createOrReplaceTempView("p83_docs")
+      s.sql(
+        """SELECT doc_id, lang, n_big, qsum, bpt_milli, tercile,
+          |  tercile <= 2 AS keep
+          |FROM (
+          |  SELECT doc_id, lang, p.n_big AS n_big, p.qsum AS qsum,
+          |    p.bpt_milli AS bpt_milli,
+          |    ntile(3) OVER (PARTITION BY lang
+          |      ORDER BY p.bpt_milli, doc_id) AS tercile
+          |  FROM (SELECT doc_id, lang, ppl_bits(text) AS p FROM p83_docs))
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
+    // p84: bloom_hit(shingle) + the shingles() scalar replay p72's
+    // pure-sketch screen from POSTed SQL — decisions (false positives
+    // included) hash-match the same bit-rederiving oracle
+    "p84_sql_bloom_screen" -> ((s, dir) => {
+      val bits = bloomBitsFor(s, dir)
+      s.sessionState.functionRegistry.createOrReplaceTempFunction("bloom_hit",
+        es => org.apache.spark.sql.GraftColumnBridge.toExpression(
+          DedupOps.bloomHit(bits,
+            org.apache.spark.sql.GraftColumnBridge.column(es.head))),
+        "scala_udf")
+      Tables.load(s, dir, "documents").createOrReplaceTempView("p84_docs")
+      s.sql(
+        s"""SELECT doc_id, count(*) AS n_hits FROM (
+           |  SELECT doc_id, explode(shingles(text, ${DedupOps.DecontamN})) AS sh
+           |  FROM p84_docs WHERE doc_id >= $DecontamHoldout)
+           |WHERE bloom_hit(sh)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    }),
+
     "p57_hard_negatives" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
@@ -1315,6 +1416,31 @@ object PipelineQueries {
   private val fertilityArtifacts = new java.util.concurrent.atomic.AtomicReference[
     (Array[BpeOps.Merge], Array[graft.ops.UnigramOps.Piece])]()
 
+  /** p80/p81's captured tokenizer artifacts (own copies, so the SQL
+    * faces stay order-independent of p51/p52/p60/p61). */
+  private val sqlBpeMerges =
+    new java.util.concurrent.atomic.AtomicReference[Array[BpeOps.Merge]]()
+  private val sqlUnigramPieces = new java.util.concurrent.atomic.AtomicReference[
+    Array[graft.ops.UnigramOps.Piece]]()
+
+  /** p83's trained bigram-LM maps, built ONCE per corpus snapshot (the
+    * bloomBitsFor pattern — two ≤ PplBuckets-entry driver maps; the
+    * streaming pplGate binds the same artifact shape). */
+  private val pplMapsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[Long, Long], Map[Long, Long])]()
+  private def pplMapsFor(s: SparkSession, dir: String)
+      : (Map[Long, Long], Map[Long, Long]) =
+    snapCached(pplMapsCache, dir)(
+      ModelOps.bigramLmMaps(Tables.load(s, dir, "documents")))
+
+  /** p82's trained NB model, built ONCE per corpus snapshot (≤ NbBuckets
+    * bucket entries + totals/priors). */
+  private val nbModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ModelOps.NbModel]()
+  private def nbModelFor(s: SparkSession, dir: String): ModelOps.NbModel =
+    snapCached(nbModelCache, dir)(
+      ModelOps.nbModelOf(Tables.load(s, dir, "documents")))
+
   def oracle: Map[String, String] = staticOracle ++
     Some(lshPlanes.get()).filter(_ > 0).map(p =>
       "p07_ann_lsh" -> SimilarityOps.annTopKSql(k = 10, dims = 64, maxQid = 5,
@@ -1351,7 +1477,14 @@ object PipelineQueries {
       "p70_sql_ivf_probe" -> SimilarityOps.ivfTopKSql(c.toSeq, k = 10,
         nprobe = 4, maxQid = 5)) ++
     Option(diverseCenters.get()).map(c =>
-      "p77_diverse_sample" -> SimilarityOps.diverseSampleSql(c.toSeq, DiverseN))
+      "p77_diverse_sample" -> SimilarityOps.diverseSampleSql(c.toSeq, DiverseN)) ++
+    // p80/p81 replay the p52/p61 rollups through the artifact-bound SQL
+    // functions; the oracles are the SAME trained-artifact renders — the
+    // differential proves SQL face ≡ batch face ≡ DuckDB rebuild
+    Option(sqlBpeMerges.get()).map(m =>
+      "p80_sql_bpe_encode" -> BpeOps.bpeEncodeSql(m.toSeq)) ++
+    Option(sqlUnigramPieces.get()).map(p =>
+      "p81_sql_unigram_encode" -> graft.ops.UnigramOps.encodeDocsSql(p.toSeq))
 
   private val staticOracle: Map[String, String] = Map(
     "p01_dedup_exact" ->
@@ -1409,6 +1542,13 @@ object PipelineQueries {
     "p71_bloom_decontaminate" -> DedupOps.decontaminateSql(DecontamHoldout),
     "p72_bloom_screen" -> DedupOps.bloomScreenSql(DecontamHoldout),
     "p73_cdc_coverage" -> DedupOps.cdcDupCoverageSql(),
+    // the model-face SQL queries share their batch twins' self-deriving
+    // oracles (p47/p55/p72): the oracle retrains from the table, the
+    // Spark side scores through the bound artifact — a drift in either
+    // binding or evaluation breaks the hash
+    "p82_sql_nb_quality" -> ModelOps.nbQualitySql(),
+    "p83_sql_ppl_gate" -> ModelOps.bigramPerplexitySql(),
+    "p84_sql_bloom_screen" -> DedupOps.bloomScreenSql(DecontamHoldout),
     "p74_vocab_growth" -> TextOps.vocabGrowthSql(),
     "p75_decontam_edit" -> DedupOps.removeContaminatedSpansSql(DecontamHoldout),
     "p76_periodicity" -> TextOps.periodicitySql(),

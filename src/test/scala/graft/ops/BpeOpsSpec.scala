@@ -53,4 +53,28 @@ class BpeOpsSpec extends SparkSpec {
     assert(df.as[(Int, String, String, String, Long)].collect()
       .toSeq == Seq((1, "a", "b", "ab", 2L)))
   }
+
+  test("encodePiecesCol rebuilds encode's exact rollup (p80's binding)") {
+    val docs = Seq(
+      0L -> "low lower lowest newer new|er low",
+      1L -> "| || |||",   // every token strips to empty -> no row either way
+      2L -> "ab ab abc naïve café").toDF("doc_id", "text")
+    val merges = BpeOps.train(docs, numMerges = 6)
+    assert(merges.nonEmpty)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))
+    val viaCol = docs
+      .select(col("doc_id"), BpeOps.encodePiecesCol(col("text"), merges).as("enc"))
+      .select(col("doc_id"), size(col("enc")).cast("long").as("n_tok"),
+        aggregate(col("enc"), lit(0L), (a, ps) => a + size(ps)).as("n_pieces"),
+        md5(array_join(transform(col("enc"),
+          ps => concat(lit("|"), array_join(ps, "||"), lit("|"))), " ")).as("fp"))
+      .filter(col("n_tok") > 0)
+      .collect().map(key).toMap
+    val batch = BpeOps.encode(docs, merges)
+      .select(col("doc_id"), col("n_tok"), col("n_pieces"), col("fp"))
+      .collect().map(key).toMap
+    assert(viaCol == batch)
+    assert(!viaCol.contains(1L)) // the stripped-empty doc is absent in both
+  }
 }

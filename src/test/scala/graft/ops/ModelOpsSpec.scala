@@ -94,6 +94,35 @@ class ModelOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("nb_quality scalar face == batch classifier (p82's binding)") {
+    val model = ModelOps.nbModelOf(corpus)
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+    val scalar = corpus
+      .select(col("doc_id"), ModelOps.nbQualityCol(col("text"), model).as("q"))
+      .select(col("doc_id"), col("q")("label"), col("q")("n_grams"),
+        col("q")("score"), col("q")("pred"), col("q")("agree"))
+      .collect().map(key).toMap
+    val batch = ModelOps.nbQualityScores(corpus)
+      .select(col("doc_id"), col("label"), col("n_grams"), col("score"),
+        col("pred"), col("agree"))
+      .collect().map(key).toMap
+    assert(scalar == batch)
+  }
+
+  test("ppl_bits scalar face == batch LM scoring (p83's binding)") {
+    val (m12, m1) = ModelOps.bigramLmMaps(langCorpus)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+    val scalar = ModelOps.pplScore(langCorpus, m12, m1)
+      .select(col("doc_id"), col("n_big"), col("qsum"), col("bpt_milli"))
+      .collect().map(key).toMap
+    val batch = ModelOps.bigramPerplexity(langCorpus)
+      .select(col("doc_id"), col("n_big"), col("qsum"), col("bpt_milli"))
+      .collect().map(key).toMap
+    assert(scalar == batch)
+  }
+
   private implicit class ToSortedMap(a: Array[(Long, Long)]) {
     def toSortedMap: Map[Long, Long] = a.toMap
   }

@@ -87,4 +87,30 @@ class UnigramOpsSpec extends SparkSpec {
     val chars = a.filter(_.piece.length == 1).map(_.piece.head).toSet
     assert(Set('a', 'i', 'n', 't').subsetOf(chars), chars)
   }
+
+  test("UnigramEncode expression == encodeDocs rollup (p81's binding)") {
+    import org.apache.spark.sql.GraftColumnBridge
+    val docs = Seq(
+      (0L, "interna tional internationalization alpha"),
+      (1L, "xyz qqq"),          // unknown-heavy: unk steps, never fails
+      (2L, ""),                 // empty -> no row on either face
+      (3L, "naïve café naïve")) // non-ASCII: code-point indexing
+      .toDF("doc_id", "text")
+    val pieces = UnigramOps.train(corpus)
+    val costs = pieces.map(p => p.piece -> p.qcost).toMap
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+    val u = GraftColumnBridge.column(graft.functions.UnigramEncode(
+      GraftColumnBridge.toExpression(col("text")), costs))
+    val viaExpr = docs.select(col("doc_id"), u.as("u"))
+      .select(col("doc_id"), col("u")("n_words").as("n_words"),
+        col("u")("total_pieces"), col("u")("total_cost"))
+      .filter(col("n_words") > 0)
+      .collect().map(key).toMap
+    val batch = UnigramOps.encodeDocs(docs, pieces)
+      .select(col("doc_id"), col("n_words"), col("total_pieces"), col("total_cost"))
+      .collect().map(key).toMap
+    assert(viaExpr == batch)
+    assert(!viaExpr.contains(2L))
+  }
 }
