@@ -281,16 +281,21 @@ object DedupOps {
   /** CDC duplicate-coverage report: for every doc, how many of its
     * chunks also appear (by hash) in at least one OTHER doc —
     * `doc_id, n_chunks, n_dup, dup_milli` (integer per-mille, exact).
-    * The cross-doc spread is one hash-keyed aggregate joined back on
-    * the same key; chunk text never leaves the map side. */
+    * The cross-doc spread rides ONE window over the hash shuffle
+    * (min ≠ max of doc_id within a hash ⇔ ≥ 2 distinct docs — the
+    * only fact the report needs), so the plan is exactly two
+    * exchanges: hash, then doc (the r6 aggregate-then-rejoin shape
+    * paid a third; the p78/p79 one-window discipline). Chunk text
+    * never leaves the map side either way. */
   def cdcDupCoverage(docs: DataFrame): DataFrame = {
-    val ch = cdcChunks(docs)
-    val spread = ch.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("__docs"))
-    ch.join(spread, Seq("h"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("h"))
+    cdcChunks(docs)
+      .withColumn("__dup",
+        min(col("doc_id")).over(w) =!= max(col("doc_id")).over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("n_dup"))
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_milli",
         expr("(1000 * n_dup) DIV greatest(n_chunks, 1L)"))
   }

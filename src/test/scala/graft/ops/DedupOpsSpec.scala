@@ -252,6 +252,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(cov(1L)._3 == cov(1L)._2 - 1 || cov(1L)._3 == cov(1L)._2, cov(1L))
   }
 
+  test("cdcDupCoverage plan: spread rides one window — two exchanges, no join") {
+    // the r6 shape aggregated per hash and re-joined the chunk rows on
+    // the same key (a third exchange); the report only needs "≥2
+    // distinct docs share this hash", which min≠max answers inside the
+    // hash shuffle itself (the p48 'no global sort' spec pattern)
+    val docs = Seq((0L, "a b c"), (1L, "a b c")).toDF("doc_id", "text")
+    val plan = DedupOps.cdcDupCoverage(docs).queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("removeContaminatedSpans cuts exactly the eval-overlapping windows") {
     // doc 10 embeds an 8-token holdout span mid-document; doc 11 is
     // clean. The edit must remove the span's full window cover and
