@@ -157,18 +157,34 @@ object DedupOps {
   def bloomPos(s: Column, k: Int): Column =
     TextOps.md5Bucket(concat(s, lit("#" + k)), BloomBits)
 
-  /** The holdout's Bloom filter as a bit-packed long array — a bounded
-    * driver artifact (BloomBits/64 longs, independent of holdout size;
-    * the position collect is capped at K·distinct-shingles ≤ BloomBits). */
-  def bloomBits(holdout: DataFrame, n: Int = DecontamN): Array[Long] = {
-    val pos = shingles(holdout, n).select(col("s")).distinct()
-      .select(explode(array((0 until BloomK).map(k => bloomPos(col("s"), k)): _*))
+  /** Distinct probe positions of a key frame's `key` column → packed
+    * bit array (the collect is capped at K·distinct-keys ≤ BloomBits —
+    * positions, never keys). Shared by the shingle and CDC-chunk
+    * filters. */
+  private def packedBloomBits(keys: DataFrame, key: String): Array[Long] = {
+    val pos = keys.select(col(key)).distinct()
+      .select(explode(array((0 until BloomK).map(k => bloomPos(col(key), k)): _*))
         .as("p"))
       .distinct().collect().map(_.getLong(0))
     val bits = new Array[Long]((BloomBits / 64).toInt)
     pos.foreach(p => bits((p / 64).toInt) |= (1L << (p % 64).toInt))
     bits
   }
+
+  /** The holdout's Bloom filter as a bit-packed long array — a bounded
+    * driver artifact (BloomBits/64 longs, independent of holdout size;
+    * the position collect is capped at K·distinct-shingles ≤ BloomBits). */
+  def bloomBits(holdout: DataFrame, n: Int = DecontamN): Array[Long] =
+    packedBloomBits(shingles(holdout, n), "s")
+
+  /** A corpus's CDC chunk-hash set as the same constant-size sketch —
+    * the chunk-level membership filter an INGEST screen binds: "is this
+    * arriving chunk already stored somewhere?", the CAS-store dedup
+    * question, with the same mergeable-by-OR / bounded-FP contract as
+    * the shingle filter ([[graft.streaming.StreamOps.cdcScreenStream]]
+    * is the consumer). */
+  def cdcBloomBits(corpus: DataFrame): Array[Long] =
+    packedBloomBits(cdcChunks(corpus), "h")
 
   /** Bloom membership of shingle column `s` under trained `bits`: ALL
     * K probe bits set. The filter rides the plan as ONE array literal;

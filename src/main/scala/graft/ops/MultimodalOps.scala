@@ -344,6 +344,31 @@ object MultimodalOps {
   def audioEnergyHashes(assets: DataFrame): DataFrame =
     fingerprints(assets, "audio/", audioEnergyHash)
 
+  /** (doc_id, mkind, ahash) for every decodable image AND audio asset
+    * in ONE decode pass — Dataset-typed mapPartitions instead of the
+    * RDD path, so the SAME operator runs over a batch frame or an
+    * unbounded STREAMING frame (stateless; RDDs don't exist on a
+    * stream). `mkind` ∈ {image, audio} namespaces the two 8-bit hash
+    * families so a match join can't cross modalities. Corrupt bytes
+    * and other kinds contribute no rows, as in [[imageAHashes]]. */
+  def mediaFingerprints(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("doc_id"), col("media"), col("meta.kind").as("kind"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, media, kind) =>
+          if (media == null || kind == null) None
+          else if (kind.startsWith("image/"))
+            imageAHash(media).map(h => (id, "image", h.toLong))
+          else if (kind.startsWith("audio/"))
+            audioEnergyHash(media).map(h => (id, "audio", h.toLong))
+          else None
+        }
+      }.toDF("doc_id", "mkind", "ahash")
+  }
+
   /** REAL video-frame extraction: decode each video asset's frames via
     * the ImageIO sequence reader (animated GIF), re-encode every sampled
     * frame as a standalone PNG, and explode to one row per frame —

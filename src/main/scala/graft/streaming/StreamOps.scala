@@ -195,6 +195,41 @@ object StreamOps {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Streaming CDC-chunk screen — p73's chunk keys at INGEST time:
+    * each arriving document chunks by content-defined boundaries
+    * (shift-invariant, so trailing shared content still matches) and
+    * counts how many of its chunks an EXISTING corpus already stores,
+    * via the corpus chunk-hash set as a constant-size Bloom sketch
+    * (`DedupOps.cdcBloomBits` — 4 KB at ANY corpus size, mergeable
+    * across corpus shards by bitwise OR). ZERO streaming state: the
+    * bits ride as one literal, chunking + membership are per-row
+    * column expressions (the decontamScreenStream pattern extended to
+    * chunk keys). Bounded false positives over-count n_dup, never
+    * under; the exact accounting is the batch pass (p73). */
+  def cdcScreenStream(arrivals: DataFrame, bits: Array[Long]): DataFrame =
+    arrivals
+      .withColumn("__ch", graft.ops.DedupOps.cdcChunkHashes(col("text")))
+      .withColumn("n_chunks", size(col("__ch")).cast("long"))
+      .withColumn("n_dup", size(filter(col("__ch"),
+        h => graft.ops.DedupOps.bloomHit(bits, h))).cast("long"))
+      .withColumn("dup_milli",
+        expr("(1000 * n_dup) DIV greatest(n_chunks, 1L)"))
+      .drop("__ch")
+
+  /** Streaming media-fingerprint match — p78/p79's perceptual dedup
+    * keys at INGEST time: each arriving image/audio asset decodes to
+    * its fingerprint (real codec decode in a Dataset mapPartitions —
+    * stateless, so it runs on the stream unchanged) and matches a
+    * STATIC fingerprint index `(mkind, ahash, corpus_id)` by exact
+    * hash equality. The index is fingerprint rows, not media — tiny
+    * next to the assets — so the stream-static join broadcasts and
+    * the arriving bytes never shuffle. Append-mode, no watermark, no
+    * state. Output: one row per (arriving asset, matching corpus
+    * asset). */
+  def mediaMatchStream(arrivals: DataFrame, index: DataFrame): DataFrame =
+    graft.ops.MultimodalOps.mediaFingerprints(arrivals)
+      .join(broadcast(index), Seq("mkind", "ahash"))
+
   /** One funnel-relevant event: stage is the 0-based index into the
     * funnel's stage list (pre-filtered — noise never enters the state). */
   final case class FunnelPoint(user: Long, timeNs: Long, stage: Int)

@@ -359,6 +359,82 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcScreenStream drains to the batch chunk-screen decisions") {
+    import graft.ops.DedupOps
+    // the corpus stores prose("wonder")/("window")/("wander")… chunks;
+    // arrivals: an exact corpus doc (all chunks stored), a doc sharing a
+    // long TAIL with a corpus doc (shift-invariance: trailing chunks
+    // still hit), and novel prose
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val bits = DedupOps.cdcBloomBits(corpus)
+    val arrivals = Seq(
+      10L -> prose("wonder"),                    // exact corpus content
+      11L -> ("freshly inserted words " + prose("window")), // shifted tail
+      12L -> prose("novel"))                     // unseen stems
+    // batch face of the SAME screen = the oracle for the drain
+    val batch = StreamOps.cdcScreenStream(arrivals.toDF("doc_id", "text"), bits)
+      .select("doc_id", "n_chunks", "n_dup", "dup_milli")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.cdcScreenStream(in.toDF().toDF("doc_id", "text"), bits)
+      .select("doc_id", "n_chunks", "n_dup", "dup_milli")
+      .writeStream.format("memory").queryName("cdcscreen")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      in.addData(arrivals.drop(2): _*) // second micro-batch: no state
+      q.processAllAvailable()
+      val got = spark.table("cdcscreen")
+        .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+      // the planted structure: exact dup ~fully covered; the shifted
+      // doc still matches its surviving tail chunks; novel stays low
+      // (sketch FPs can only ADD hits, never remove)
+      assert(got(10L)._4 == 1000L, got(10L))
+      assert(got(11L)._3 >= got(11L)._2 / 2, got(11L))
+      assert(got(12L)._4 < got(11L)._4, s"${got(12L)} vs ${got(11L)}")
+    } finally q.stop()
+  }
+
+  test("mediaMatchStream fingerprints arriving assets and matches the static index") {
+    import graft.ops.{MediaGen, MultimodalOps}
+    import org.apache.spark.sql.functions.{col, struct}
+    // static index: fingerprints of the corpus assets (ids 0-11 cover
+    // all three kinds; video assets contribute no fingerprint rows)
+    val corpusAssets = MediaGen.syntheticAssets(
+      (0L until 12L).toDF("doc_id"))
+    val index = MultimodalOps.mediaFingerprints(corpusAssets)
+      .withColumnRenamed("doc_id", "corpus_id")
+    assert(index.count() == 8, "4 images + 4 audios expected") // 12/3 each
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Byte], String)]
+    val arrivals = in.toDF().toDF("doc_id", "media", "kind")
+      .withColumn("meta", struct(col("kind")))
+    val q = StreamOps.mediaMatchStream(arrivals, index)
+      .select("doc_id", "mkind", "ahash", "corpus_id")
+      .writeStream.format("memory").queryName("mmatch")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // re-ingest corpus asset 0's image and 1's audio bytes under new
+      // ids, plus a video (never fingerprinted, never matched)
+      in.addData(
+        (100L, MediaGen.mediaFor(0L), MediaGen.kindOf(0L)),
+        (101L, MediaGen.mediaFor(1L), MediaGen.kindOf(1L)),
+        (102L, MediaGen.mediaFor(2L), MediaGen.kindOf(2L)))
+      q.processAllAvailable()
+      val got = spark.table("mmatch")
+        .as[(Long, String, Long, Long)].collect()
+      // identical bytes -> identical fingerprint -> the original corpus
+      // id is among the matches (8-bit hashes collide by design, so
+      // other corpus ids may match too — that IS perceptual grouping)
+      assert(got.exists(r => r._1 == 100L && r._2 == "image" && r._4 == 0L), got.toSeq)
+      assert(got.exists(r => r._1 == 101L && r._2 == "audio" && r._4 == 1L), got.toSeq)
+      assert(!got.exists(_._1 == 102L), got.toSeq) // video: no fingerprint
+    } finally q.stop()
+  }
+
   test("sessionizeStream merges points within gap, closes sessions at the watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String, Double)]
