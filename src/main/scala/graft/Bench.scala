@@ -46,7 +46,11 @@ object Bench {
     "p51_bpe_train", "p55_ppl_filter", "p56_pq_ann",
     "p58_quality_ensemble", "p61_unigram_encode",
     "p62_cluster_refresh", "p63_span_removal", "p64_label_propagation",
-    "p65_tokenizer_fertility", "p72_bloom_screen", "p73_cdc_coverage")
+    "p65_tokenizer_fertility", "p72_bloom_screen", "p73_cdc_coverage",
+    // VERDICT r6 #4: prove the codec-decode cost (p78/p79) is linear in
+    // asset count and the Bloom exact-residue join (p71) stays flat —
+    // "should be linear" is what this section replaces with a number
+    "p71_bloom_decontaminate", "p78_image_ahash", "p79_audio_fingerprint")
 
   private def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -204,6 +208,32 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
+    // --- sf1 ratio-regression guard (VERDICT r6 #5): pin the adaptive-
+    //     sizing gains. SF1_RATIOS.json carries the last recorded
+    //     round's sf1/sf0.1 ratios; any query whose ratio grew >1.5×
+    //     since is annotated LOUDLY here and in BENCH_DETAIL (p64's
+    //     20.3× would have been caught one round earlier by this).
+    //     Annotate-not-fail: a kill would suppress the rest of the
+    //     record the diagnosis needs. ---
+    val ratioFile = java.nio.file.Paths.get("SF1_RATIOS.json")
+    val ratios: Seq[(String, Double)] = sf1.toSeq.collect {
+      case (n, s) if s > 0 && med.getOrElse(n, -1.0) > 0 => n -> r3(s / med(n))
+    }
+    val prevRatios: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(ratioFile), "UTF-8")
+        """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val regressions = ratios.filter { case (n, r) =>
+      prevRatios.get(n).exists(p => p > 0 && r > p * 1.5) }
+    regressions.foreach { case (n, r) =>
+      System.err.println(
+        f"[bench] SF1 RATIO REGRESSION: $n ${prevRatios(n)}%.2f -> $r%.2f (>1.5x)") }
+    try java.nio.file.Files.write(ratioFile,
+      (jsonObj(ratios) + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+
     // --- ingest: fresh SparkContext + GC settle (query-section heap
     //     history otherwise taxes throughput — r4 embedded numbers ran
     //     3-5× below the standalone run of the same code) ---
@@ -237,6 +267,8 @@ object Bench {
          |"artifact_build_sec_per_rep":[${repBuildSec.mkString(",")}],
          |"sf1_dir":${graft.server.JsonOut.str(sf1Dir)},"sf1_gen_sec":$sf1GenSec,
          |"sf1_queries":${jsonObj(sf1.toSeq)},
+         |"sf1_ratios":${jsonObj(ratios)},
+         |"sf1_ratio_regressions":${jsonObj(regressions)},
          |"ingest_rows_per_sec":$ingest,"sf":"$sfDir"}""".stripMargin.replace("\n", "")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
