@@ -217,19 +217,17 @@ object BpeOps {
     * per input token (frame char `|` stripped, empties dropped — the
     * [[encode]] hygiene), that token's BPE pieces in order, so the
     * value is `array<array<string>>` and `flatten(...)` is the piece
-    * stream. The SQL surface's `bpe_encode(text)`: the identical
-    * rank-ordered replace chain as [[encode]], exhaustive per pass, so
-    * the SQL face and the batch rollup cannot drift — p80 proves it by
-    * reconstructing [[encode]]'s exact (n_tok, n_pieces, fp) from this
-    * array against the [[bpeEncodeSql]] oracle. */
-  def encodePiecesCol(text: Column, merges: Seq[Merge]): Column = {
-    val toks = filter(transform(TextOps.tokens(text),
-      t => regexp_replace(t, "\\|", "")), t => length(t) > 0)
-    transform(toks, w => split(
-      trim(merges.foldLeft(wrapChars(w)) { (c, m) =>
-        replace(c, lit(s"|${m.l}||${m.r}|"), lit(s"|${m.merged}|"))
-      }, "|"), "\\|\\|"))
-  }
+    * stream. The SQL surface's `bpe_encode(text)`, backed by the
+    * memoizing [[graft.functions.BpeEncode]] expression (symbol-array
+    * fold ≡ the replace chain; a 120-merge chain inside a `transform`
+    * lambda runs interpreted per element — measured 4× the batch
+    * projection) — p80 proves the equivalence by reconstructing
+    * [[encode]]'s exact (n_tok, n_pieces, fp) from this array against
+    * the [[bpeEncodeSql]] oracle's replace-chain render. */
+  def encodePiecesCol(text: Column, merges: Seq[Merge]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.functions.BpeEncode(
+      org.apache.spark.sql.GraftColumnBridge.toExpression(text),
+      merges.map(m => (m.l, m.r))))
 
   /** DuckDB oracle for [[encode]]: the same rank-ordered replace chain
     * rendered as nested `replace` calls over the same wrapped form. */

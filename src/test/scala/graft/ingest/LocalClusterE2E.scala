@@ -135,6 +135,31 @@ object LocalClusterE2E {
             km.clusterCenters.map(_.toArray))).as("cells")).collect()
         require(probe.forall(r => r.getSeq[Int](0).length == 2),
           "ivf_probe cells on local-cluster")
+        // round-7 faces: the boxed-artifact scalar expressions (Viterbi
+        // piece costs, NB model map, LM maps) and the Dataset-typed
+        // media decode must serialize to executor PROCESSES intact —
+        // local[] would hide a non-serializable capture
+        val costs = pieces.map(p => p.piece -> p.qcost).toMap
+        val uenc = docs.select(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.UnigramEncode(
+            org.apache.spark.sql.GraftColumnBridge.toExpression(col("text")),
+            costs)).as("u"))
+          .select(col("u")("n_words")).collect()
+        require(uenc.length == 12, "unigram_encode expression on local-cluster")
+        val nbm = graft.ops.ModelOps.nbModelOf(docs)
+        val nbq = docs.select(
+          graft.ops.ModelOps.nbQualityCol(col("text"), nbm).as("q"))
+          .select(col("q")("score"), col("q")("agree")).collect()
+        require(nbq.length == 12, "nb_quality on local-cluster")
+        val (m12, m1) = graft.ops.ModelOps.bigramLmMaps(docs)
+        val ppl = docs.select(
+          graft.ops.ModelOps.pplBitsCol(col("text"), m12, m1).as("p"))
+          .select(col("p")("bpt_milli")).collect()
+        require(ppl.length == 12, "ppl_bits on local-cluster")
+        val assets = graft.ops.MediaGen.syntheticAssets((0L until 6L).toDF("doc_id"))
+        val fps = graft.ops.MultimodalOps.mediaFingerprints(assets).collect()
+        require(fps.length == 4, // ids 0,3 image + 1,4 audio; 2,5 video skip
+          s"media fingerprints on local-cluster: ${fps.length}")
         println(s"E2E_OK executors=${exec.map(_._1).toSeq.sorted.mkString(",")} " +
           s"driver=$driverPid l2=${l2Count()}")
       } finally server.close()
