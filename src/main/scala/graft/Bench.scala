@@ -230,9 +230,15 @@ object Bench {
     regressions.foreach { case (n, r) =>
       System.err.println(
         f"[bench] SF1 RATIO REGRESSION: $n ${prevRatios(n)}%.2f -> $r%.2f (>1.5x)") }
-    try java.nio.file.Files.write(ratioFile,
-      (jsonObj(ratios) + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // MERGE into the baseline, and only when this run measured anything:
+    // a skipped/failed sf1 section (SPARK_GRAFT_SF1=0, budget-skips)
+    // must not clobber the committed baseline with {} and silently
+    // disarm the guard for the next real run
+    if (ratios.nonEmpty)
+      try java.nio.file.Files.write(ratioFile,
+        (jsonObj((prevRatios ++ ratios.toMap).toSeq.sortBy(_._1)) + "\n")
+          .getBytes("UTF-8"))
+      catch { case _: Throwable => () }
 
     // --- ingest: fresh SparkContext + GC settle (query-section heap
     //     history otherwise taxes throughput — r4 embedded numbers ran

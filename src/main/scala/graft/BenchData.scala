@@ -50,8 +50,15 @@ object BenchData {
     // key would silently reuse a 10x corpus derived from last round's
     // bytes and the sf1 section would compare different corpora (the
     // SCALE.md immutable-snapshot-dir lesson, here for the bench)
-    val fp = java.lang.Integer.toHexString(
-      graft.util.Fingerprint.dirToken(fromDir).hashCode)
+    // first 16 hex chars of the md5 dir token (64 bits) — NOT a 32-bit
+    // hashCode collapse, which would reopen the silent-collision class
+    // the md5 token exists to close; non-directory fallback tokens
+    // (remote schemes) md5 once more so the name stays path-safe
+    val tok = graft.util.Fingerprint.dirToken(fromDir)
+    val fp = (if (tok.matches("[0-9a-f]{32}")) tok
+      else java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .take(16)
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       "graft-bench10x-" + new java.io.File(fromDir).getCanonicalPath

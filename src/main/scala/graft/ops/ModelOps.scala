@@ -108,21 +108,28 @@ object ModelOps {
                            tp: Long, tn: Long, np: Long, nn: Long)
 
   /** Train the NB model once per corpus snapshot (bounded collect:
-    * NbBuckets rows + one 1-row prior aggregate). */
+    * NbBuckets rows + one 1-row prior aggregate). The per-(doc, bucket,
+    * label) pre-aggregate materializes ONCE (localCheckpoint — the
+    * [[nbQualityScores]] discipline): buckets and priors are two
+    * consumers Catalyst cannot unify, and without it each action
+    * re-runs the full tokenize+hash+explode lineage over the corpus. */
   def nbModelOf(docs: DataFrame): NbModel = {
     val w = col("__w")
-    val inst = docs
+    val cnt = docs
       .select(col("doc_id"),
         (TextOps.qualityScore(col("text")) >= NbSeedTau).as("__pos"),
         TextOps.tokens(col("text")).as("__w"))
       .select(col("doc_id"), col("__pos"),
         explode(concat(w, TextExprs.ngrams(w, 2))).as("__g"))
       .select(col("doc_id"), col("__pos"), nbBucket(col("__g")).as("b"))
-    val buckets = inst.groupBy("b").agg(
-      sum(when(col("__pos"), 1L).otherwise(0L)).as("cp"),
-      sum(when(!col("__pos"), 1L).otherwise(0L)).as("cn"))
+      .groupBy("doc_id", "b", "__pos")
+      .agg(count(lit(1)).as("__k"))
+      .localCheckpoint(true)
+    val buckets = cnt.groupBy("b").agg(
+      sum(when(col("__pos"), col("__k")).otherwise(0L)).as("cp"),
+      sum(when(!col("__pos"), col("__k")).otherwise(0L)).as("cn"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val pr = inst.select("doc_id", "__pos").distinct()
+    val pr = cnt.select("doc_id", "__pos").distinct()
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("np"),
         sum(when(!col("__pos"), 1L).otherwise(0L)).as("nn")).head()
     def g(i: Int): Long = if (pr.isNullAt(i)) 0L else pr.getLong(i)

@@ -209,22 +209,45 @@ final class GigHttpServer(spark: SparkSession, root: String,
     * build-inline behavior for tests and tiny tables. GET
     * `/gigapi/artifacts/{id}`: pending/running/done/failed (+ the
     * publish result or error). */
+  /** Shared JSON string-field extractor for the artifact request body
+    * (ONE spelling — POST validation and build-time parsing must not
+    * drift). */
+  private def jsonStr(j: JValue, f: String): Option[String] =
+    j \ f match { case JString(s) => Some(s); case _ => None }
+
+  private def jsonInt(j: JValue, f: String): Option[Int] =
+    j \ f match { case JInt(i) => Some(i.toInt); case _ => None }
+
   private def handleArtifacts(ex: HttpExchange): Unit = {
     if (ex.getRequestMethod == "GET") return handleArtifactStatus(ex)
     val j = JsonMethods.parse(new String(readBody(ex), UTF_8))
-    def str(f: String): Option[String] =
-      j \ f match { case JString(s) => Some(s); case _ => None }
-    val kind = str("kind").getOrElse(throw new IllegalArgumentException(
+    val kind = jsonStr(j, "kind").getOrElse(throw new IllegalArgumentException(
       s"""body must be {"kind": <${ArtifactKinds.mkString("|")}>, "table": "..."}"""))
     if (!ArtifactKinds.contains(kind)) throw new IllegalArgumentException(
       s"unknown artifact kind '$kind' (${ArtifactKinds.mkString(" | ")})")
-    val table = str("table").getOrElse(
+    val table = jsonStr(j, "table").getOrElse(
       throw new IllegalArgumentException(""""table" is required"""))
     val db = queryParams(ex).getOrElse("db", "default")
-    // cheap validation BEFORE accepting the job: an unknown table is a
-    // client error the caller should see as such, not a failed job
+    // REQUEST-SHAPE validation BEFORE accepting the job: an unknown
+    // table or a malformed parameter is a client error the caller
+    // should see on the POST, not a failed job discovered by polling.
+    // (Data-dependent failures — an all-zero-vector table, a corpus
+    // too small for PQ — necessarily surface via job status: deciding
+    // them up front would cost the very Spark jobs the async contract
+    // keeps off the handler thread.)
     if (catalog.get(db, table).isEmpty) throw new IllegalArgumentException(
       s"unknown table $db.$table")
+    if (kind == "pq") {
+      val vecCols = j \ "vec_cols" match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => Nil
+      }
+      jsonInt(j, "dims").orElse(Some(vecCols.size).filter(_ > 0)).foreach { d =>
+        if (d <= 0 || d % graft.ops.PqOps.M != 0)
+          throw new IllegalArgumentException(
+            s"PQ needs dims divisible by ${graft.ops.PqOps.M}, got $d")
+      }
+    }
     val sync = j \ "sync" match { case JBool(b) => b; case _ => false }
     if (sync) respond(ex, 200, buildArtifact(kind, db, table, j), "application/json")
     else {
@@ -266,11 +289,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.GraftColumnBridge.{column => cc, toExpression => tx}
     import org.apache.spark.sql.catalyst.expressions.Expression
-    def str(f: String): Option[String] =
-      j \ f match { case JString(s) => Some(s); case _ => None }
-    def intOf(f: String): Option[Int] = j \ f match {
-      case JInt(i) => Some(i.toInt); case _ => None
-    }
+    def str(f: String): Option[String] = jsonStr(j, f)
+    def intOf(f: String): Option[Int] = jsonInt(j, f)
     graft.Tables.init(spark)
     val base = Pruning.readTable(spark, catalog, db, table)
     val prefix = if (db == "default") table else s"${db}_$table"
@@ -304,9 +324,13 @@ final class GigHttpServer(spark: SparkSession, root: String,
         embCol.as("embedding"))
       val dims = intOf("dims").orElse(Some(vecCols.size).filter(_ > 0))
         .getOrElse {
-          val r = df.select(org.apache.spark.sql.functions
-            .size(col("embedding"))).limit(1).collect()
-          if (r.isEmpty) 0 else r(0).getInt(0)
+          // infer from a sampled non-null embedding; a table of only
+          // null embeddings yields 0, which the PQ guard turns into
+          // the clear 'pass {"dims": ...}' error, not an NPE
+          val r = df.filter(col("embedding").isNotNull)
+            .select(org.apache.spark.sql.functions.size(col("embedding")))
+            .limit(1).collect()
+          if (r.isEmpty || r(0).isNullAt(0)) 0 else r(0).getInt(0)
         }
       (df, dims)
     }

@@ -23,7 +23,13 @@ object Fingerprint {
       catch { case _: java.io.IOException => return Seq("unlistable") }
     try {
       import scala.jdk.CollectionConverters._
-      s.iterator().asScala.toSeq.map(_.toString).sorted.flatMap { f =>
+      // the stream ITERATION can also fail mid-listing (readdir errors
+      // surface as UncheckedIOException / DirectoryIteratorException —
+      // RuntimeExceptions, not the IOException the open guard catches):
+      // that is the same concurrent-regeneration race as a vanished
+      // entry, so it degrades to the same sentinel instead of
+      // propagating out of cache-key derivation
+      try s.iterator().asScala.toSeq.map(_.toString).sorted.flatMap { f =>
         val fp = java.nio.file.Paths.get(f)
         val name = dir.relativize(fp).toString
         val own =
@@ -33,6 +39,9 @@ object Fingerprint {
         if (depth > 0 && java.nio.file.Files.isDirectory(fp))
           own +: dirSignature(fp, depth - 1).map(c => s"$name/$c")
         else Seq(own)
+      } catch {
+        case _: java.io.UncheckedIOException |
+             _: java.nio.file.DirectoryIteratorException => Seq("unlistable")
       }
     } finally s.close()
   }
