@@ -1077,6 +1077,62 @@ object PipelineQueries {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     }),
 
+    // p85: the PQ probe plan in PLAIN SQL over the published artifact
+    // views (`_pq_codes`, `_pq_books` — what the server's pq kind
+    // publishes): LUT build, left-assoc ADC over element_at lookups,
+    // shortlist cut, exact re-rank — every index artifact (cluster
+    // map p69, IVF p70, PQ here) now has a SQL probe face. No bound
+    // function needed: the codebooks ARE view-shaped data.
+    "p85_sql_pq_ann" -> ((s, dir) => {
+      val index = pqIndexFor(s, dir)
+      sqlPqBooks.set(index.books)
+      import s.implicits._
+      index.books.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
+      }.toSeq.toDF("j", "c", "cv").createOrReplaceTempView("p85_pq_books")
+      index.codes.createOrReplaceTempView("p85_pq_codes")
+      Tables.load(s, dir, "embeddings").createOrReplaceTempView("p85_emb")
+      val sub = EmbDims / graft.ops.PqOps.M
+      val ksub = graft.ops.PqOps.Ksub
+      val adc = (0 until graft.ops.PqOps.M)
+        .map(j => s"element_at(l.lut, ${j * ksub} + 1 + element_at(c.codes, ${j + 1}))")
+        .reduceLeft((a, b) => s"($a + $b)")
+      s.sql(
+        s"""WITH q AS (
+           |  SELECT vec_id AS qid,
+           |    transform(embedding,
+           |      x -> CAST(x AS DOUBLE) / sqrt(dotf(embedding, embedding))) AS qv
+           |  FROM p85_emb
+           |  WHERE vec_id < 5 AND dotf(embedding, embedding) > 0),
+           |lut AS (
+           |  SELECT qid, first(qv) AS qv,
+           |    transform(array_sort(collect_list(struct(j, c, d))),
+           |      x -> x.d) AS lut
+           |  FROM (SELECT q.qid, q.qv, b.j, b.c,
+           |          dotf(slice(q.qv, b.j * $sub + 1, $sub), b.cv) AS d
+           |        FROM q CROSS JOIN p85_pq_books b)
+           |  GROUP BY qid),
+           |adc AS (
+           |  SELECT l.qid, l.qv, c.vec_id AS nid, $adc AS adc
+           |  FROM p85_pq_codes c CROSS JOIN lut l
+           |  WHERE l.qid != c.vec_id),
+           |shortlist AS (
+           |  SELECT qid, qv, nid,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY adc DESC, nid) AS ra
+           |  FROM adc),
+           |exact AS (
+           |  SELECT s.qid, s.nid, dotf(s.qv, n.nvec) AS sim
+           |  FROM shortlist s JOIN p85_pq_codes n ON n.vec_id = s.nid
+           |  WHERE s.ra <= ${10 * graft.ops.PqOps.RerankFactor})
+           |SELECT qid, nid, round(sim, 4) AS sim, rn FROM (
+           |  SELECT qid, nid, sim,
+           |    row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, nid) AS rn
+           |  FROM exact) t
+           |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
+    }),
+
     "p57_hard_negatives" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
@@ -1316,6 +1372,11 @@ object PipelineQueries {
   private val pqBooks = new java.util.concurrent.atomic.AtomicReference[
     Array[Array[Array[Double]]]]()
 
+  /** p85's captured codebooks (own copy — the SQL face stays
+    * order-independent of p56; the shared index means the same books). */
+  private val sqlPqBooks = new java.util.concurrent.atomic.AtomicReference[
+    Array[Array[Array[Double]]]]()
+
   /** p57's probe centroids (the SHARED adaptive-nlist quantizer, captured
     * separately so p57 stays order-independent of p13/p27). */
   private val hardNegCenters =
@@ -1484,7 +1545,12 @@ object PipelineQueries {
     Option(sqlBpeMerges.get()).map(m =>
       "p80_sql_bpe_encode" -> BpeOps.bpeEncodeSql(m.toSeq)) ++
     Option(sqlUnigramPieces.get()).map(p =>
-      "p81_sql_unigram_encode" -> graft.ops.UnigramOps.encodeDocsSql(p.toSeq))
+      "p81_sql_unigram_encode" -> graft.ops.UnigramOps.encodeDocsSql(p.toSeq)) ++
+    // p85 replays the p56 probe (same k/RerankFactor/query set) through
+    // the artifact views — the same trained-books oracle render
+    Option(sqlPqBooks.get()).map(b =>
+      "p85_sql_pq_ann" -> graft.ops.PqOps.pqTopKSql(b.toSeq, k = 10,
+        maxQid = 5, dims = EmbDims))
 
   private val staticOracle: Map[String, String] = Map(
     "p01_dedup_exact" ->
