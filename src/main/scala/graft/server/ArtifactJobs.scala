@@ -57,5 +57,12 @@ final class ArtifactJobs(workers: Int = 2) extends AutoCloseable {
 
   def status(id: String): Option[State] = Option(jobs.get(id))
 
+  /** All jobs this process accepted, newest first (ids are sequential). */
+  def all(): Seq[(String, State)] = {
+    import scala.jdk.CollectionConverters._
+    jobs.asScala.toSeq
+      .sortBy { case (id, _) => -id.stripPrefix("job-").toLong }
+  }
+
   override def close(): Unit = pool.shutdown()
 }

@@ -261,8 +261,15 @@ final class GigHttpServer(spark: SparkSession, root: String,
   private def handleArtifactStatus(ex: HttpExchange): Unit = {
     val id = ex.getRequestURI.getPath.stripPrefix("/gigapi/artifacts")
       .stripPrefix("/")
-    if (id.isEmpty) throw new IllegalArgumentException(
-      "GET /gigapi/artifacts/{job-id}")
+    if (id.isEmpty) {
+      // bare GET: the job list (newest first) — how a caller that lost
+      // its id (or a dashboard) finds in-flight builds
+      val rows = artifacts.all().map { case (jid, s) =>
+        s"""{"job":${JsonOut.str(jid)},"status":${JsonOut.str(s.name)}}"""
+      }
+      return respond(ex, 200, s"""{"jobs":[${rows.mkString(",")}]}""",
+        "application/json")
+    }
     artifacts.status(id) match {
       case None => respond(ex, 404, JsonOut.obj(
         "error" -> JsonOut.str(s"unknown job $id")), "application/json")

@@ -149,6 +149,12 @@ class GigHttpServerSpec extends SparkSpec {
     val done = awaitJob(jobIdOf(a.body()))
     assert(done.contains("art_corpus_cluster_map"), done)
 
+    // bare GET lists accepted jobs (newest first); the completed build
+    // is present as done
+    val list = get("/gigapi/artifacts")
+    assert(list.statusCode() == 200 && list.body().contains(""""status":"done""""),
+      list.body())
+
     // unknown job id -> 404; unknown table -> client error up front
     assert(get("/gigapi/artifacts/job-999999").statusCode() == 404)
     val bad = post("/gigapi/artifacts?db=art",
