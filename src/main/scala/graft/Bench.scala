@@ -233,12 +233,16 @@ object Bench {
     // MERGE into the baseline, and only when this run measured anything:
     // a skipped/failed sf1 section (SPARK_GRAFT_SF1=0, budget-skips)
     // must not clobber the committed baseline with {} and silently
-    // disarm the guard for the next real run
-    if (ratios.nonEmpty)
+    // disarm the guard. REGRESSED entries keep their prior (better)
+    // baseline — writing the regressed ratio would make the alarm fire
+    // exactly once and then read the regression as the new normal.
+    if (ratios.nonEmpty) {
+      val regressed = regressions.map(_._1).toSet
+      val merged = prevRatios ++ ratios.toMap.view.filterKeys(!regressed(_))
       try java.nio.file.Files.write(ratioFile,
-        (jsonObj((prevRatios ++ ratios.toMap).toSeq.sortBy(_._1)) + "\n")
-          .getBytes("UTF-8"))
+        (jsonObj(merged.toSeq.sortBy(_._1)) + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
+    }
 
     // --- ingest: fresh SparkContext + GC settle (query-section heap
     //     history otherwise taxes throughput — r4 embedded numbers ran

@@ -763,7 +763,11 @@ object DedupOps {
     * entry through df.unpersist, drops it on rdd.unpersist). Only ever
     * call this on state that is never read again: unpersisting truncated
     * lineage makes the frame unrecomputable. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  /** Drop a localCheckpoint's persisted blocks NOW instead of waiting
+    * for the ContextCleaner — for frames fully consumed before return
+    * (private[ops]: ModelOps' bounded-artifact training shares the
+    * need). */
+  private[ops] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(false): Unit

@@ -61,9 +61,15 @@ object ModelOps {
     * consumers Catalyst cannot unify; the 256-key model BROADCASTS back
     * for map-side scoring — the corpus never shuffles for its score;
     * totals and priors ride 1-row broadcasts. */
-  def nbQualityScores(docs: DataFrame): DataFrame = {
+  /** The ONE NB pre-aggregate both training faces consume: per-(doc,
+    * bucket, label) gram-instance counts, materialized once
+    * (localCheckpoint — the model and its other consumer cannot be
+    * unified by Catalyst). Shared by [[nbQualityScores]] and
+    * [[nbModelOf]] so the SQL face's model can never drift from the
+    * batch face's (p82's equivalence rests on identical counts). */
+  private def nbCounts(docs: DataFrame): DataFrame = {
     val w = col("__w")
-    val cnt = docs
+    docs
       .select(col("doc_id"),
         (TextOps.qualityScore(col("text")) >= NbSeedTau).as("__pos"),
         TextOps.tokens(col("text")).as("__w"))
@@ -73,6 +79,10 @@ object ModelOps {
       .groupBy("doc_id", "b", "__pos")
       .agg(count(lit(1)).as("__k"))
       .localCheckpoint(true)
+  }
+
+  def nbQualityScores(docs: DataFrame): DataFrame = {
+    val cnt = nbCounts(docs)
     val model = cnt.groupBy("b").agg(
       sum(when(col("__pos"), col("__k")).otherwise(0L)).as("__cp"),
       sum(when(!col("__pos"), col("__k")).otherwise(0L)).as("__cn"))
@@ -114,28 +124,24 @@ object ModelOps {
     * consumers Catalyst cannot unify, and without it each action
     * re-runs the full tokenize+hash+explode lineage over the corpus. */
   def nbModelOf(docs: DataFrame): NbModel = {
-    val w = col("__w")
-    val cnt = docs
-      .select(col("doc_id"),
-        (TextOps.qualityScore(col("text")) >= NbSeedTau).as("__pos"),
-        TextOps.tokens(col("text")).as("__w"))
-      .select(col("doc_id"), col("__pos"),
-        explode(concat(w, TextExprs.ngrams(w, 2))).as("__g"))
-      .select(col("doc_id"), col("__pos"), nbBucket(col("__g")).as("b"))
-      .groupBy("doc_id", "b", "__pos")
-      .agg(count(lit(1)).as("__k"))
-      .localCheckpoint(true)
-    val buckets = cnt.groupBy("b").agg(
-      sum(when(col("__pos"), col("__k")).otherwise(0L)).as("cp"),
-      sum(when(!col("__pos"), col("__k")).otherwise(0L)).as("cn"))
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val pr = cnt.select("doc_id", "__pos").distinct()
-      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("np"),
-        sum(when(!col("__pos"), 1L).otherwise(0L)).as("nn")).head()
-    def g(i: Int): Long = if (pr.isNullAt(i)) 0L else pr.getLong(i)
-    NbModel(buckets,
-      buckets.valuesIterator.map(_._1).sum, buckets.valuesIterator.map(_._2).sum,
-      g(0), g(1))
+    val cnt = nbCounts(docs)
+    try {
+      val buckets = cnt.groupBy("b").agg(
+        sum(when(col("__pos"), col("__k")).otherwise(0L)).as("cp"),
+        sum(when(!col("__pos"), col("__k")).otherwise(0L)).as("cn"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val pr = cnt.select("doc_id", "__pos").distinct()
+        .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(!col("__pos"), 1L).otherwise(0L)).as("nn")).head()
+      def g(i: Int): Long = if (pr.isNullAt(i)) 0L else pr.getLong(i)
+      NbModel(buckets,
+        buckets.valuesIterator.map(_._1).sum, buckets.valuesIterator.map(_._2).sum,
+        g(0), g(1))
+    } finally
+      // unlike nbQualityScores (whose returned frame still references
+      // the checkpoint), the model is fully extracted here — free the
+      // corpus-proportional blocks NOW, not at the next GC
+      DedupOps.freeCheckpoint(cnt)
   }
 
   /** Map-only NB scoring with the trained model bound as ONE map

@@ -136,6 +136,18 @@ object PqOps {
     centers
   }
 
+  /** The trained codebooks as a view-shaped frame `(j, c, cv)` — THE
+    * `_pq_books` schema the server publishes and p85's probe SQL reads;
+    * one spelling so the published view and the oracle-gated SQL face
+    * can never drift apart. */
+  def booksDf(spark: org.apache.spark.sql.SparkSession,
+              books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
+    }.toSeq.toDF("j", "c", "cv")
+  }
+
   /** Shortlist multiplier for the exact re-rank stage: the ADC scan
     * keeps `RerankFactor`·k candidates, which then re-rank by exact
     * cosine (the paper's IVFADC+R refinement, §5.3 — at scale the

@@ -1086,10 +1086,10 @@ object PipelineQueries {
     "p85_sql_pq_ann" -> ((s, dir) => {
       val index = pqIndexFor(s, dir)
       sqlPqBooks.set(index.books)
-      import s.implicits._
-      index.books.zipWithIndex.flatMap { case (book, j) =>
-        book.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
-      }.toSeq.toDF("j", "c", "cv").createOrReplaceTempView("p85_pq_books")
+      // the SHARED published-view schema (PqOps.booksDf): this SQL runs
+      // verbatim against a server-published `<table>_pq_books`
+      graft.ops.PqOps.booksDf(s, index.books)
+        .createOrReplaceTempView("p85_pq_books")
       index.codes.createOrReplaceTempView("p85_pq_codes")
       Tables.load(s, dir, "embeddings").createOrReplaceTempView("p85_emb")
       val sub = EmbDims / graft.ops.PqOps.M

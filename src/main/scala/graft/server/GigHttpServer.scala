@@ -398,12 +398,10 @@ final class GigHttpServer(spark: SparkSession, root: String,
               """(pass {"dims": ...} or "vec_cols")""")
         val idx = graft.ops.PqOps.pqIndex(df, dims)
         idx.codes.write.mode("overwrite").parquet(s"$outDir/codes")
-        // codebooks as a queryable view too: (sub, code, center)
-        val books = idx.books.zipWithIndex.flatMap { case (book, s) =>
-          book.zipWithIndex.map { case (cv, ci) => (s, ci, cv.toSeq) }
-        }.toSeq
-        import spark.implicits._
-        books.toDF("sub", "code", "center")
+        // codebooks as a queryable view too — the SHARED (j, c, cv)
+        // schema (PqOps.booksDf), so p85's oracle-gated probe SQL runs
+        // verbatim against the published view
+        graft.ops.PqOps.booksDf(spark, idx.books)
           .write.mode("overwrite").parquet(s"$outDir/books")
         views.publishArtifactView(s"${prefix}_pq_codes", s"$outDir/codes")
         views.publishArtifactView(s"${prefix}_pq_books", s"$outDir/books")
