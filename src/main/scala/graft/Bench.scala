@@ -130,7 +130,12 @@ object Bench {
     // 480 s: the r6 subset adds the sf0.1 heavy tail (p49/p27/p44/p47),
     // whose sf1 runs alone can spend ~3 min; budget-skips (-2) on the
     // tail would defeat the coverage the additions exist for
-    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_SEC", "480").toDouble
+    // 600 s: the r8 sf1 section runs TWO measured reps per query (r7's
+    // single-rep ratios could not separate machine noise from plan
+    // regressions — the driver's ratio guard tripped on six queries and
+    // the diagnosis stalled on exactly that ambiguity), so the section
+    // costs ~1.5× the r7 time
+    val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_SEC", "600").toDouble
     var spark = session(cpus)
     // prime page cache + parquet footers + temp views + codegen JIT so
     // per-query times measure the queries, not whichever one runs first.
@@ -194,16 +199,32 @@ object Bench {
       val tg = System.nanoTime()
       sf1Dir = BenchData.ensureScaled(spark, sfDir)
       sf1GenSec = (System.nanoTime() - tg) / 1e9
+      // GC settle entering the section (VERDICT r7 #8): the ~107-query
+      // sf0.1 section leaves heap/block-manager debt that would tax
+      // whichever sf1 query runs first — the same drift the full-round
+      // reps already guard against. A periodic settle (every 10th query)
+      // drains debt accumulated WITHIN the section at ~9 s total cost.
+      System.gc(); Thread.sleep(3000)
       val t0 = System.nanoTime()
+      var qi = 0
       Sf1Subset.filter(SparkEntry.queries.contains).foreach { n =>
+        if (qi > 0 && qi % 10 == 0) { System.gc(); Thread.sleep(3000) }
+        qi += 1
         val spent = (System.nanoTime() - t0) / 1e9
         if (spent > sf1Budget) sf1(n) = -2.0 // budget-skipped, disclosed
         else {
           // warm + measured each capped: a single runaway query must
-          // not starve the queries behind it (-3 = killed, disclosed)
+          // not starve the queries behind it (-3 = killed, disclosed).
+          // TWO measured reps, best-of (VERDICT r7 #1): single-rep sf1
+          // ratios conflate machine noise with plan behavior — min is
+          // the steady-state estimator least sensitive to one-off GC /
+          // scheduler stalls, which is what the ratio guard compares.
           val cap = math.min(90.0, sf1Budget - spent + 15.0)
           timeOne(spark, sf1Dir, SparkEntry.queries(n), cap) // artifact build / warm
-          sf1(n) = timeOne(spark, sf1Dir, SparkEntry.queries(n), cap)
+          val r1 = timeOne(spark, sf1Dir, SparkEntry.queries(n), cap)
+          val r2 = timeOne(spark, sf1Dir, SparkEntry.queries(n), cap)
+          sf1(n) = if (r1 >= 0 && r2 >= 0) math.min(r1, r2)
+                   else math.max(r1, r2) // one failed: keep the honest rep / worst code
         }
       }
     } catch { case _: Throwable => () }

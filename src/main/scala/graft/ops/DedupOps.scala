@@ -415,15 +415,29 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Default stop-shingle document-frequency cap, as a fraction of corpus
-    * size: shingles present in more than max(ceil(frac·N), floor)
-    * documents are dropped before the pair join. 1/256 is exactly
-    * representable in binary, so Spark and the DuckDB oracle compute
-    * bit-identical thresholds; the floor keeps small corpora intact (a
-    * shingle shared by a handful of documents is dedup *evidence*, not a
-    * stop-shingle). */
+  /** Default stop-shingle document-frequency cap: shingles present in
+    * more than clamp(ceil(frac·N), floor, ceiling) documents are dropped
+    * before the pair join. 1/256 is exactly representable in binary, so
+    * Spark and the DuckDB oracle compute bit-identical thresholds; the
+    * floor keeps small corpora intact (a shingle shared by a handful of
+    * documents is dedup *evidence*, not a stop-shingle).
+    *
+    * The CEILING is the scale guard (round-7 finding): pair-join work is
+    * Σdf² over admitted shingles, so an N-proportional cap admits
+    * quadratically hotter groups as the corpus grows — the r7 sf1 bench
+    * measured exactly that (p02 5.9 s → 20.2 s when the cap rose 64 →
+    * 196 on the 10× corpus). With the absolute bound the per-shingle
+    * pair work is O(MaxDf²) = O(1) and the whole join is O(#shingles) =
+    * O(N). MinDf == MaxDf means the effective cap is the constant 64 at
+    * every N; for N ≤ 16384 that is bit-identical to the old
+    * max(ceil(N/256), 64), so every oracle hash at the test SFs is
+    * unchanged. Docs duplicated across > MaxDf copies lose their shared
+    * shingles to the cap by design — exact-hash dedup (p01) and banded
+    * MinHash (p03, uncapped) are the faces that catch mega-clusters;
+    * capped Jaccard is the pairwise near-dup face (see SCALE.md). */
   val StopShingleFrac: Double = 1.0 / 256.0
   val StopShingleMinDf: Long = 64L
+  val StopShingleMaxDf: Long = 64L
 
   /** Near-duplicate pairs by exact n-gram Jaccard ≥ tau over the capped
     * shingle universe: the inverted index drops stop-shingles (document
@@ -435,6 +449,17 @@ object DedupOps {
     * classical uncapped Jaccard (used by minHashPairs' exact verify). */
   def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3,
                         capFrac: Option[Double] = Some(StopShingleFrac)): DataFrame = {
+    // Opt-in cost attribution (-Dgraft.dedup.costLog=1 /
+    // GRAFT_DEDUP_COST_LOG=1): one extra aggregation job that prints the
+    // Σdf² line BEFORE the pair join runs, so the next sf1-style blowup
+    // is attributable without reconstructing the number by hand (r7).
+    if (sys.props.get("graft.dedup.costLog").contains("1") ||
+        sys.env.get("GRAFT_DEDUP_COST_LOG").contains("1")) {
+      val r = shingleCostStats(docs, n, capFrac).collect()(0)
+      System.err.println(s"[graft] ngramJaccardPairs cost: cap=${r.getLong(0)} " +
+        s"admitted_shingles=${r.getLong(1)} dropped_shingles=${r.getLong(2)} " +
+        s"candidate_pairs=${r.getLong(3)} sum_df2=${r.getLong(4)}")
+    }
     // no cache(): shingling is one cheap projection post-tokenize-fix, and
     // the self-join's two sides share one shuffle via ReuseExchange — an
     // explicit InMemoryRelation would cost more to build than it saves.
@@ -449,8 +474,8 @@ object DedupOps {
         import org.apache.spark.sql.expressions.Window
         sh.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
           .crossJoin(broadcast(total))
-          .filter(col("df") <= greatest(ceil(lit(frac) * col("ndocs")),
-            lit(StopShingleMinDf)))
+          .filter(col("df") <= least(greatest(ceil(lit(frac) * col("ndocs")),
+            lit(StopShingleMinDf)), lit(StopShingleMaxDf)))
           .select("doc_id", "s")
       case None => sh
     }
@@ -467,6 +492,33 @@ object DedupOps {
       .filter(col("j") >= tau)
   }
 
+  /** Σdf² cost probe for the pair join: one row with the cap in force,
+    * admitted/dropped distinct-shingle counts, the candidate-pair total
+    * (each shingle group of document frequency df contributes
+    * df·(df−1)/2 pairs — the pair-join's exact work upper bound), and
+    * Σdf² over admitted shingles. The r7 sf1 regression (p02 20.2 s) was
+    * attributable only by reconstructing this number; now it is one call
+    * (or a flag — see ngramJaccardPairs). */
+  def shingleCostStats(docs: DataFrame, n: Int = 3,
+                       capFrac: Option[Double] = Some(StopShingleFrac)): DataFrame = {
+    val dfs = shingles(docs, n).groupBy("s").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("ndocs"))
+    val capCol = capFrac match {
+      case Some(frac) => least(greatest(ceil(lit(frac) * col("ndocs")),
+        lit(StopShingleMinDf)), lit(StopShingleMaxDf))
+      case None => lit(Long.MaxValue)
+    }
+    dfs.crossJoin(broadcast(total))
+      .withColumn("cap", capCol.cast("long"))
+      .agg(first(col("cap")).as("cap"),
+        count(when(col("df") <= col("cap"), lit(1))).as("admitted_shingles"),
+        count(when(col("df") > col("cap"), lit(1))).as("dropped_shingles"),
+        sum(when(col("df") <= col("cap"), col("df") * (col("df") - 1) / 2)
+          .otherwise(lit(0))).cast("long").as("candidate_pairs"),
+        sum(when(col("df") <= col("cap"), col("df") * col("df"))
+          .otherwise(lit(0))).cast("long").as("sum_df2"))
+  }
+
   /** Shared CTE chain (toks → sh → pruned → sizes → common) used by both
     * the pair oracle and the cluster oracle. */
   private def jaccardCtes(capFrac: Option[Double],
@@ -476,8 +528,9 @@ object DedupOps {
         s"""df AS (SELECT s, count(*) c FROM sh GROUP BY s),
            |pruned AS (
            |  SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)
-           |  WHERE df.c <= greatest(
-           |    ceil($frac * (SELECT count(*) FROM $table)), $StopShingleMinDf))""".stripMargin
+           |  WHERE df.c <= least(greatest(
+           |    ceil($frac * (SELECT count(*) FROM $table)), $StopShingleMinDf),
+           |    $StopShingleMaxDf))""".stripMargin
       case None => "pruned AS (SELECT doc_id, s FROM sh)"
     }
     s"""toks AS (

@@ -559,6 +559,36 @@ class DedupOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("stop-shingle cap is bounded ABSOLUTELY (r7 sf1 scale guard)") {
+    import spark.implicits._
+    // 70 identical docs: both trigrams have df=70. With capFrac=1.0 the
+    // frac part of the cap is ceil(1.0*70)=70 — the OLD formula
+    // (greatest only) would admit the hot groups and emit 70*69/2 pairs;
+    // the absolute ceiling (least(..., 64)) must prune them. This is the
+    // property that keeps pair work O(MaxDf²) per shingle at any N.
+    val docs = (0L until 70L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.StopShingleMaxDf == 64L)
+    val stats = DedupOps.shingleCostStats(docs, capFrac = Some(1.0)).collect()(0)
+    assert(stats.getLong(0) == 64L, s"cap must clamp to MaxDf: $stats")
+    assert(stats.getLong(1) == 0L && stats.getLong(2) == 2L,
+      s"both df=70 trigrams dropped: $stats")
+    assert(stats.getLong(3) == 0L && stats.getLong(4) == 0L, s"no pair work: $stats")
+    assert(DedupOps.ngramJaccardPairs(docs, 0.5, capFrac = Some(1.0)).count() == 0L)
+  }
+
+  test("shingleCostStats counts the pair join's exact candidate work") {
+    import spark.implicits._
+    // 3 docs sharing "a b c"+"b c d" (df=3 each), 1 doc apart (df=1 x2):
+    // uncapped candidate_pairs = 2*(3*2/2) + 2*0 = 6, sum_df2 = 2*9+2*1=20
+    val docs = Seq((0L, "a b c d"), (1L, "a b c d"), (2L, "a b c d"),
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val st = DedupOps.shingleCostStats(docs, capFrac = None).collect()(0)
+    assert(st.getLong(1) == 4L && st.getLong(2) == 0L, st.toString)
+    assert(st.getLong(3) == 6L, s"candidate pairs: $st")
+    assert(st.getLong(4) == 20L, s"sum df^2: $st")
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
