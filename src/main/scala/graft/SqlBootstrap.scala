@@ -27,7 +27,9 @@ object SqlBootstrap {
     val sql = scala.io.Source.stdin.mkString
     // statement split on ';' outside quotes (reference splits on ';')
     splitStatements(sql).foreach { stmt =>
-      println(graft.server.JsonOut.results(spark.sql(stmt), 10000))
+      // same DuckDB-dialect acceptance as /query (`expr::TYPE` casts)
+      println(graft.server.JsonOut.results(
+        spark.sql(graft.server.DuckDialect.rewrite(stmt)), 10000))
     }
     spark.stop()
   }

@@ -182,33 +182,129 @@ object GraftFunctions {
       // as a /query scalar (explode(shingles(text, 8)) IS the
       // DedupOps.shingles frame); n literal like ngrams
       reg("shingles") { es =>
-        val n = es(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: Number => i.intValue()
-            case other => throw new IllegalArgumentException(
-              s"shingles(text, n): n must be a literal integer, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            "shingles(text, n): n must be a literal integer, not a column")
-        }
+        val n = literalIntArg("shingles(text, n)", es, 2, 1)
         x(graft.ops.DedupOps.shingleArr(c(es.head), n))
       }
     }
     // Unicode NFC normalization (codegen; DuckDB nfc_normalize parity)
     reg("nfc")(es => NfcNormalize(es.head))
     reg("ngrams") { es =>
-      val n = es(1) match {
-        case e if e.foldable => e.eval() match {
-          case i: Number => i.intValue()
-          case other => throw new IllegalArgumentException(
-            s"ngrams(words, n): n must be a literal integer, got $other")
-        }
-        case _ => throw new IllegalArgumentException(
-          "ngrams(words, n): n must be a literal integer, not a column")
-      }
+      val n = literalIntArg("ngrams(words, n)", es, 2, 1)
       WordNGrams(es(0), n)
     }
+    duckCompat(reg)
     out.toSeq
+  }
+
+  /** Validate-and-extract a literal INTEGRAL argument (ADVICE r7: the
+    * old inline version indexed es(1) unguarded — a one-argument call
+    * from /query SQL surfaced as an opaque IndexOutOfBounds 500 — and
+    * Number.intValue silently truncated fractional literals like 2.5). */
+  private def literalIntArg(usage: String, es: Seq[Expression],
+                            arity: Int, idx: Int): Int = {
+    if (es.length != arity) throw new IllegalArgumentException(
+      s"$usage: expected $arity arguments, got ${es.length}")
+    es(idx) match {
+      case e if e.foldable => e.eval() match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long =>
+          if (l.longValue() != l.intValue()) throw new IllegalArgumentException(
+            s"$usage: n out of int range: $l")
+          l.intValue()
+        case s: java.lang.Short => s.intValue()
+        case b: java.lang.Byte => b.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$usage: n must be a literal integer, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$usage: n must be a literal integer, not a column")
+    }
+  }
+
+  /** `len(x)`: DuckDB's len works on strings AND lists and returns
+    * BIGINT; the dispatch needs the child's resolved type, hence
+    * RuntimeReplaceable (same pattern as GuardedTryCast). */
+  private case class DuckLen(child: Expression)
+    extends Expression with RuntimeReplaceable
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    override lazy val replacement: Expression = child.dataType match {
+      case _: ArrayType | _: MapType => Cast(Size(child), LongType)
+      case _ => Cast(Length(Cast(child, StringType)), LongType)
+    }
+    override protected def withNewChildInternal(newChild: Expression): DuckLen =
+      copy(child = newChild)
+  }
+
+  /** DuckDB strftime/strptime C-style format → Java DateTimeFormatter
+    * pattern. Literal text letters are quoted ('T' in ISO stamps),
+    * unknown %X specifiers fail loudly rather than silently mangling. */
+  private[functions] def cFormatToJava(fmt: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    def lit(seg: String): Unit =
+      if (seg.exists(ch => Character.isLetter(ch) || ch == '\''))
+        b.append("'").append(seg.replace("'", "''")).append("'")
+      else b.append(seg)
+    val map = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'e' -> "d",
+      'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'f' -> "SSSSSS",
+      'g' -> "SSS", 'p' -> "a", 'j' -> "DDD", 'b' -> "MMM", 'B' -> "MMMM",
+      'a' -> "EEE", 'A' -> "EEEE", 'Z' -> "zz", 'z' -> "xxx")
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val (spec, skip) = fmt.charAt(i + 1) match {
+          case '-' if i + 2 < fmt.length => (fmt.charAt(i + 2), 3) // %-d: no pad
+          case s => (s, 2)
+        }
+        if (spec == '%') { lit("%"); i += skip }
+        else map.get(spec) match {
+          case Some(j) =>
+            b.append(if (skip == 3) j.substring(0, 1) else j); i += skip
+          case None => throw new IllegalArgumentException(
+            s"strftime/strptime: unsupported format specifier %$spec in '$fmt'")
+        }
+      } else { lit(c.toString); i += 1 }
+    }
+    b.toString
+  }
+
+  private def literalString(usage: String, e: Expression): String =
+    if (e.foldable) e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$usage: expected a string literal, got $other")
+    } else throw new IllegalArgumentException(
+      s"$usage: format/separator must be a literal, not a column")
+
+  /** DuckDB-compat function names (VERDICT r7 #2, the alias-map half of
+    * the dialect shim): a reference user's DuckDB SQL calls these
+    * through /query. Every one is a thin builder over existing Catalyst
+    * expressions — codegen'd, no UDF boundary, registered on every
+    * session (imperative + extensions path) like the CH macros above. */
+  private def duckCompat(reg: String => (Seq[Expression] => Expression) => Unit): Unit = {
+    reg("len")(es => DuckLen(es.head))
+    reg("list_contains")(es => ArrayContains(es(0), es(1)))
+    reg("list_has")(es => ArrayContains(es(0), es(1)))
+    reg("list_distinct")(es => ArrayDistinct(es.head))
+    // DuckDB string_split splits on a PLAIN separator (regex form is
+    // string_split_regex); Spark's split takes a regex, so quote it
+    reg("string_split")(es => StringSplit(es(0),
+      Literal(java.util.regex.Pattern.quote(
+        literalString("string_split(s, sep)", es(1)))), Literal(-1)))
+    reg("string_split_regex")(es => StringSplit(es(0), es(1), Literal(-1)))
+    reg("regexp_matches")(es => new RLike(es(0), es(1)))
+    reg("nfc_normalize")(es => NfcNormalize(es.head))
+    reg("strftime")(es => new DateFormatClass(Cast(es(0), TimestampType),
+      Literal(cFormatToJava(literalString("strftime(ts, fmt)", es(1))))))
+    reg("strptime")(es => new ParseToTimestamp(es(0),
+      Literal(cFormatToJava(literalString("strptime(s, fmt)", es(1))))))
+    // epoch family: seconds/millis/micros since epoch as BIGINT
+    // (epoch_ns is graft-native above, reference README.md:121)
+    reg("epoch")(es => UnixSeconds(Cast(es.head, TimestampType)))
+    reg("epoch_ms")(es => UnixMillis(Cast(es.head, TimestampType)))
+    reg("epoch_us")(es => UnixMicros(Cast(es.head, TimestampType)))
   }
 
   def registerAll(spark: SparkSession): Unit = {

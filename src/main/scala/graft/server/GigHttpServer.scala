@@ -156,7 +156,9 @@ final class GigHttpServer(spark: SparkSession, root: String,
   private def handleQuery(ex: HttpExchange): Unit = {
     val body = new String(readBody(ex), UTF_8)
     val sql = JsonMethods.parse(body) \ "query" match {
-      case JString(s) => s
+      // DuckDB-dialect acceptance (reference README.md:115-133 promises
+      // DuckDB SQL here): rewrite `expr::TYPE` casts before Spark parses
+      case JString(s) => DuckDialect.rewrite(s)
       case _ => throw new IllegalArgumentException("""body must be {"query": "..."}""")
     }
     graft.Tables.init(spark)

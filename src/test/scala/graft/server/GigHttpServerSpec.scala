@@ -58,6 +58,23 @@ class GigHttpServerSpec extends SparkSpec {
     assert(unscoped.statusCode() == 500, unscoped.body())
   }
 
+  test("reference README's canonical DuckDB query runs VERBATIM (VERDICT r7 #2)") {
+    // reference README.md:121 — the first query a porting user tries;
+    // `::TIMESTAMP` is DuckDB postfix-cast syntax Spark rejects unshimmed.
+    // One row before the 2025-04-24 cutoff, two after (explicit ns stamps).
+    val lines =
+      """weather temperature=61 1713916800000000000
+        |weather temperature=82 1745539200000000000
+        |weather temperature=99 1777075200000000000""".stripMargin
+    assert(post("/write?db=ducky", lines).statusCode() == 204)
+    val q = post("/query?db=ducky",
+      """{"query": "SELECT time, temperature FROM weather WHERE time >= epoch_ns('2025-04-24T00:00:00'::TIMESTAMP)"}""")
+    assert(q.statusCode() == 200, q.body())
+    assert(q.body().contains(""""temperature":82"""), q.body())
+    assert(q.body().contains(""""temperature":99"""), q.body())
+    assert(!q.body().contains(""""temperature":61"""), q.body())
+  }
+
   test("pipeline text functions scrub ingested text via /query") {
     // a string FIELD carries free text with PII; /query scrubs + scores
     // it in plain SQL — the training-pipeline ops on the server surface
