@@ -240,12 +240,27 @@ object Bench {
     val ratios: Seq[(String, Double)] = sf1.toSeq.collect {
       case (n, s) if s > 0 && med.getOrElse(n, -1.0) > 0 => n -> r3(s / med(n))
     }
+    // ratios are DATA-DISTRIBUTION-dependent (the r7 shingle cluster
+    // moved because the regenerated corpus had a heavier shingle tail),
+    // so the baseline is keyed on the source data's content fingerprint:
+    // a baseline measured on last generation's bytes doesn't constrain
+    // this generation's ratios — reset it LOUDLY instead of flagging
+    // every data-sensitive query as a plan regression.
+    val dataFp = try BenchData.contentFingerprint(sfDir)
+      catch { case _: Throwable => "" }
+    val ratioTxt =
+      try new String(java.nio.file.Files.readAllBytes(ratioFile), "UTF-8")
+      catch { case _: Throwable => "" }
+    val prevFp = """"__data_fp":"([0-9a-f]+)"""".r
+      .findFirstMatchIn(ratioTxt).map(_.group(1))
+    val baselineReset = prevFp.exists(_ != dataFp)
+    if (baselineReset) System.err.println(
+      s"[bench] SF1 baseline reset: data fingerprint ${prevFp.get} -> $dataFp " +
+        "(driver regenerated testdata; cross-generation ratios don't compare)")
     val prevRatios: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(ratioFile), "UTF-8")
-        """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+      if (baselineReset) Map.empty
+      else """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(ratioTxt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val regressions = ratios.filter { case (n, r) =>
       prevRatios.get(n).exists(p => p > 0 && r > p * 1.5) }
     regressions.foreach { case (n, r) =>
@@ -260,8 +275,11 @@ object Bench {
     if (ratios.nonEmpty) {
       val regressed = regressions.map(_._1).toSet
       val merged = prevRatios ++ ratios.toMap.view.filterKeys(!regressed(_))
+      val body = jsonObj(merged.toSeq.sortBy(_._1))
+      val withFp = if (dataFp.isEmpty) body
+        else s"""{"__data_fp":"$dataFp",""" + body.drop(1)
       try java.nio.file.Files.write(ratioFile,
-        (jsonObj(merged.toSeq.sortBy(_._1)) + "\n").getBytes("UTF-8"))
+        (withFp + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
 
@@ -300,6 +318,7 @@ object Bench {
          |"sf1_queries":${jsonObj(sf1.toSeq)},
          |"sf1_ratios":${jsonObj(ratios)},
          |"sf1_ratio_regressions":${jsonObj(regressions)},
+         |"sf1_baseline_reset":$baselineReset,"sf1_data_fp":"$dataFp",
          |"ingest_rows_per_sec":$ingest,"sf":"$sfDir"}""".stripMargin.replace("\n", "")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))

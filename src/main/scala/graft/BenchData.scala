@@ -44,6 +44,20 @@ object BenchData {
   /** Build (or reuse) the 10× derived dir for `fromDir`; returns its
     * path. Tables are written as `<name>.parquet` DIRECTORIES, which
     * `Tables.load` reads transparently. */
+  /** 64-bit content fingerprint of the source dir (also the suffix of
+    * the derived-dir name). The sf1 ratio baseline is keyed on it: the
+    * driver regenerates testdata between rounds, and sf1/sf0.1 ratios
+    * are data-distribution-dependent — comparing a ratio measured on
+    * last generation's bytes against this generation's is exactly the
+    * ambiguity that stalled the r7 regression diagnosis. */
+  def contentFingerprint(fromDir: String): String = {
+    val tok = graft.util.Fingerprint.dirToken(fromDir)
+    (if (tok.matches("[0-9a-f]{32}")) tok
+     else java.security.MessageDigest.getInstance("MD5")
+       .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .take(16)
+  }
+
   def ensureScaled(spark: SparkSession, fromDir: String): String = {
     // content fingerprint in the derived-dir name: the driver
     // REGENERATES the source testdata between rounds, so a path-only
@@ -54,11 +68,7 @@ object BenchData {
     // hashCode collapse, which would reopen the silent-collision class
     // the md5 token exists to close; non-directory fallback tokens
     // (remote schemes) md5 once more so the name stays path-safe
-    val tok = graft.util.Fingerprint.dirToken(fromDir)
-    val fp = (if (tok.matches("[0-9a-f]{32}")) tok
-      else java.security.MessageDigest.getInstance("MD5")
-        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString)
-      .take(16)
+    val fp = contentFingerprint(fromDir)
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       "graft-bench10x-" + new java.io.File(fromDir).getCanonicalPath
