@@ -71,8 +71,9 @@ final class GigHttpServer(spark: SparkSession, root: String,
   val merger = new MergeScheduler(spark, catalog, mergeIntervalMs, dropGraceMs,
     retentionNs = (_, _) => retentionNs)
   // background artifact builds: POST /gigapi/artifacts enqueues here and
-  // returns a job id; builds never hold an HTTP handler thread
-  val artifacts = new ArtifactJobs()
+  // returns a job id; builds never hold an HTTP handler thread. The job
+  // ledger persists under the lakehouse root so ids survive restarts.
+  val artifacts = new ArtifactJobs(Some(new java.io.File(root, ".artifacts")))
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
   private val httpPool = Executors.newFixedThreadPool(8)
@@ -118,6 +119,16 @@ final class GigHttpServer(spark: SparkSession, root: String,
       case e: BodyTooLarge =>
         respond(ex, 413, JsonOut.obj("error" -> JsonOut.str(e.getMessage)),
           "application/json")
+      // request-shape errors are the CALLER's to see on the request
+      // (ADVICE r7): 400, distinguishable from server faults. Analysis
+      // errors from /query SQL stay 500 — the reference surfaces engine
+      // errors the same way.
+      case e: IllegalArgumentException =>
+        respond(ex, 400, JsonOut.obj("error" -> JsonOut.str(e.getMessage)),
+          "application/json")
+      case e: ArtifactJobs#DuplicateJob =>
+        respond(ex, 409, JsonOut.obj("error" -> JsonOut.str(e.getMessage),
+          "job" -> JsonOut.str(e.existingId)), "application/json")
       case NonFatal(e) =>
         respond(ex, 500, JsonOut.obj("error" -> JsonOut.str(e.getMessage)),
           "application/json")
@@ -221,7 +232,23 @@ final class GigHttpServer(spark: SparkSession, root: String,
     j \ f match { case JInt(i) => Some(i.toInt); case _ => None }
 
   private def handleArtifacts(ex: HttpExchange): Unit = {
-    if (ex.getRequestMethod == "GET") return handleArtifactStatus(ex)
+    // method routing (ADVICE r7): only GET (status/list) and POST-to-
+    // the-collection (create) exist; a POST to a job URL used to fall
+    // into the create path with the suffix silently ignored
+    val suffix = ex.getRequestURI.getPath
+      .stripPrefix("/gigapi/artifacts").stripPrefix("/")
+    ex.getRequestMethod match {
+      case "GET" => return handleArtifactStatus(ex)
+      case "POST" if suffix.nonEmpty =>
+        return respond(ex, 404, JsonOut.obj("error" -> JsonOut.str(
+          s"job URLs are GET-only; POST builds to /gigapi/artifacts")),
+          "application/json")
+      case "POST" =>
+      case m =>
+        ex.getResponseHeaders.add("Allow", "GET, POST")
+        return respond(ex, 405, JsonOut.obj("error" -> JsonOut.str(
+          s"method $m not allowed on /gigapi/artifacts")), "application/json")
+    }
     val j = JsonMethods.parse(new String(readBody(ex), UTF_8))
     val kind = jsonStr(j, "kind").getOrElse(throw new IllegalArgumentException(
       s"""body must be {"kind": <${ArtifactKinds.mkString("|")}>, "table": "..."}"""))
@@ -253,7 +280,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
     val sync = j \ "sync" match { case JBool(b) => b; case _ => false }
     if (sync) respond(ex, 200, buildArtifact(kind, db, table, j), "application/json")
     else {
-      val id = artifacts.submit(() => buildArtifact(kind, db, table, j))
+      val id = artifacts.submit(s"$kind:$db:$table",
+        () => buildArtifact(kind, db, table, j))
       respond(ex, 202, JsonOut.obj(
         "job" -> JsonOut.str(id), "status" -> JsonOut.str("pending")),
         "application/json")

@@ -172,12 +172,24 @@ class GigHttpServerSpec extends SparkSpec {
     assert(list.statusCode() == 200 && list.body().contains(""""status":"done""""),
       list.body())
 
-    // unknown job id -> 404; unknown table -> client error up front
+    // unknown job id -> 404; unknown table -> 400 on the POST (ADVICE
+    // r7: request-shape errors are the caller's, distinct from 500s)
     assert(get("/gigapi/artifacts/job-999999").statusCode() == 404)
     val bad = post("/gigapi/artifacts?db=art",
       """{"kind": "cluster_map", "table": "nope"}""")
-    assert(bad.statusCode() == 500 && bad.body().contains("unknown table"),
+    assert(bad.statusCode() == 400 && bad.body().contains("unknown table"),
       bad.body())
+
+    // method routing (ADVICE r7): POST to a job URL must not create;
+    // non-GET/POST methods are 405 with Allow
+    val postToJob = post("/gigapi/artifacts/job-1",
+      """{"kind": "cluster_map", "table": "corpus"}""")
+    assert(postToJob.statusCode() == 404, postToJob.body())
+    val del = client.send(HttpRequest.newBuilder(
+      URI.create(s"$base/gigapi/artifacts")).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(del.statusCode() == 405 && del.headers().firstValue("Allow").isPresent,
+      del.body())
 
     val q = post("/query?db=art",
       """{"query": "SELECT d.doc_id AS id, m.cluster_id AS cid, d.doc_id = m.cluster_id AS keeper FROM corpus d JOIN art_corpus_cluster_map m ON d.doc_id = m.doc_id ORDER BY id"}""")
@@ -327,10 +339,10 @@ class GigHttpServerSpec extends SparkSpec {
     assert(server.catalog.get("default", "jt").nonEmpty)
   }
 
-  test("create-table validation errors -> 500 with message") {
+  test("create-table validation errors -> 400 with message") {
     val bad = """{"create_table":"x","fields":{"a":"INT64"},"order_by":["nope"]}"""
     val r = post("/gigapi/create", bad)
-    assert(r.statusCode() == 500 && r.body().contains("order_by"))
+    assert(r.statusCode() == 400 && r.body().contains("order_by"), r.body())
   }
 
   test("query on unknown table errors gracefully") {
@@ -368,7 +380,58 @@ class GigHttpServerSpec extends SparkSpec {
       .header("Content-Type", "application/x-ndjson")
       .POST(HttpRequest.BodyPublishers.ofString("""{"v":1}""")).build()
     val r = client.send(bad, HttpResponse.BodyHandlers.ofString())
-    assert(r.statusCode() == 500 && r.body().contains("table"))
+    assert(r.statusCode() == 400 && r.body().contains("table"), r.body())
+  }
+
+  test("artifact job ledger survives a server restart (VERDICT r7 #6)") {
+    // the async contract's durability hole: a restart between the 202
+    // and the status poll must not lose the id the caller holds — the
+    // ledger under <root>/.artifacts answers done across processes
+    val root2 = Files.createTempDirectory("graft-ledger-").toString
+    val s1 = new GigHttpServer(spark, root2, port = 0, saveTimeoutMs = 100).start()
+    val id = try {
+      val b1 = s"http://localhost:${s1.boundPort}"
+      def post1(path: String, body: String) =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b1$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val lines = Seq(
+        "alpha beta gamma delta", "alpha beta gamma epsilon",
+        "one two three four").zipWithIndex
+        .map { case (t, i) => s"""corpus doc_id=${i}i,text="$t"""" }.mkString("\n")
+      assert(post1("/write?db=led", lines).statusCode() == 204)
+      val a = post1("/gigapi/artifacts?db=led",
+        """{"kind": "cluster_map", "table": "corpus", "tau": 0.5}""")
+      assert(a.statusCode() == 202, a.body())
+      val jid = jobIdOf(a.body())
+      val deadline = System.currentTimeMillis + 120000
+      var st = ""
+      while (!st.contains("\"status\":\"done\"") &&
+             System.currentTimeMillis < deadline) {
+        st = client.send(HttpRequest.newBuilder(
+          URI.create(s"$b1/gigapi/artifacts/$jid")).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+        assert(!st.contains("\"failed\""), st)
+        Thread.sleep(100)
+      }
+      assert(st.contains("\"status\":\"done\""), st)
+      jid
+    } finally s1.close()
+
+    val s2 = new GigHttpServer(spark, root2, port = 0, saveTimeoutMs = 100).start()
+    try {
+      val b2 = s"http://localhost:${s2.boundPort}"
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"$b2/gigapi/artifacts/$id")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, r.body())
+      assert(r.body().contains("\"status\":\"done\""), r.body())
+      assert(r.body().contains("cluster_map"), r.body()) // result JSON intact
+      val list = client.send(HttpRequest.newBuilder(
+        URI.create(s"$b2/gigapi/artifacts")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(list.body().contains(id), list.body())
+    } finally s2.close()
   }
 
   test("config-booted server (GraftConfig -> fromConfig): write -> query e2e") {
