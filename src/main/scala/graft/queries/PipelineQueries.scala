@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, CorpusPipeline, DedupOps, IncrementalCorpus, MediaGen, MixOps, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, Sessionize, ShardOps, SimilarityOps, TextOps, TimeSeriesOps, TokenizerEval}
+import graft.ops.{AsOfJoin, BpeOps, CorpusPipeline, DedupOps, IncrementalCorpus, MediaGen, MixOps, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, SearchOps, Sessionize, ShardOps, SimilarityOps, TextOps, TimeSeriesOps, TokenizerEval}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -16,6 +16,9 @@ object PipelineQueries {
 
   val NearDupTau = 0.5
   val EmbDupTau = 0.45
+  /** p86's fixed query — mixed-frequency terms over the synthetic
+    * corpus vocabulary so idf/tf both differentiate. */
+  val Bm25Terms: Seq[String] = Seq("spark", "vector", "stream")
 
   val queries: Map[String, Q] = Map(
     // ---- exact dedup (hash group-by; single shuffle) ----
@@ -1133,6 +1136,14 @@ object PipelineQueries {
            |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin)
     }),
 
+    // ---- scored keyword search: Okapi BM25 top-k (VERDICT r7 #7 —
+    //      the reference image ships DuckDB's fts unused; this is the
+    //      match_bm25 analog). Map-only tf/dl per doc + one 1-row
+    //      broadcast of (N, avgdl, df) + TakeOrdered: zero doc shuffles ----
+    "p86_bm25_search" -> ((s, dir) => {
+      SearchOps.bm25(Tables.loadSpread(s, dir, "documents"), Bm25Terms, k = 20)
+    }),
+
     "p57_hard_negatives" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
@@ -1557,6 +1568,7 @@ object PipelineQueries {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
     "p02_ngram_jaccard" -> DedupOps.jaccardPairsSql(NearDupTau),
+    "p86_bm25_search" -> SearchOps.bm25Sql(Bm25Terms, k = 20),
     "p03_minhash_lsh" -> DedupOps.jaccardPairsSql(NearDupTau, capFrac = None),
     "p04_simhash" -> DedupOps.simHashSql(),
     "p05_embedding_neardup" ->

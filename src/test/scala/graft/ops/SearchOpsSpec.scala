@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Okapi BM25 scored keyword search (p86). */
+class SearchOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def docs() = {
+    import spark.implicits._
+    Seq(
+      (0L, "spark spark spark fast"),            // tf=3, short
+      (1L, "spark slow and steady here now ok"), // tf=1, longer
+      (2L, "nothing relevant at all"),
+      (3L, "vector spark")                       // both terms, shortest
+    ).toDF("doc_id", "text")
+  }
+
+  test("ranks by tf and length; excludes non-matching docs; k caps rows") {
+    val r = SearchOps.bm25(docs(), Seq("spark", "vector"), k = 10).collect()
+    val byId = r.map(x => x.getLong(0) -> (x.getInt(1), x.getDouble(2))).toMap
+    assert(!byId.contains(2L), "no query term -> not in results")
+    assert(byId(3L)._1 == 2 && byId(0L)._1 == 1, "matches counts distinct terms")
+    assert(byId(0L)._2 > byId(1L)._2,
+      s"higher tf in a shorter doc must outscore: $byId")
+    assert(r.map(_.getDouble(2)).toSeq == r.map(_.getDouble(2)).sortBy(-_).toSeq,
+      "rows come back score-descending")
+    assert(SearchOps.bm25(docs(), Seq("spark"), k = 2).count() == 2L)
+  }
+
+  test("scale shape: top-k is TakeOrdered, stats broadcast, no doc-data shuffle join") {
+    // explainString, not executedPlan-after-collect: collect() plans the
+    // limit through the CollectLimit fast path; Verify/Bench execute via
+    // write, where the Limit(Sort) pattern is what actually runs
+    // k below the relation's maxRows — EliminateLimits would otherwise
+    // drop the limit on this 4-row fixture and hide the TakeOrdered
+    val plan = SearchOps.bm25(docs(), Seq("spark", "vector"), k = 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // 1-row stats side
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("oracle SQL matches the impl's own numbers (engine-side replay)") {
+    // replay the DuckDB oracle shape through Spark SQL on the same tiny
+    // corpus: same tokenize, same rounded-contribution chain — guards
+    // the renderer's formula against drift from the Column impl
+    docs().createOrReplaceTempView("documents")
+    val ora = SearchOps.bm25Sql(Seq("spark", "vector"), k = 10)
+      .replace("string_split_regex(trim(lower(text)), '\\s+')",
+        "split(trim(lower(text)), '\\\\s+')")
+      .replace("len(", "size(")
+      .replace("list_filter", "filter")
+      .replace("AS VARCHAR", "AS STRING")
+    val a = SearchOps.bm25(docs(), Seq("spark", "vector"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val b = spark.sql(ora).collect()
+      .map(r => (r.getLong(0), math.toIntExact(r.getAs[Number](1).longValue()),
+        r.getDouble(2)))
+    assert(a.toSeq == b.toSeq, s"\nimpl:   ${a.toSeq}\noracle: ${b.toSeq}")
+  }
+}
