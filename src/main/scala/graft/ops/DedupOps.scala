@@ -492,6 +492,26 @@ object DedupOps {
       .filter(col("j") >= tau)
   }
 
+  /** Corpus-size threshold where the production near-dup face switches
+    * from capped exact Jaccard to banded MinHash (SCALE.md routing). */
+  val NearDupExactMaxDocs: Long = 1000000L
+
+  /** The PRODUCTION near-dup face (VERDICT r7 #3): routes by corpus
+    * size. Below `exactMaxDocs`, capped exact Jaccard (p02 — also the
+    * VERIFY face for the banded path at any size); above it, banded
+    * MinHash with candidate-only exact verify (p03), whose band shuffle
+    * is O(corpus) and whose verify cost follows candidates, not Σdf²
+    * over the admitted shingle universe. The routing count is one
+    * cheap scan against the O(N·MaxDf²) decision it guards; pass a
+    * known count via `knownDocs` to skip it (e.g. from catalog stats). */
+  def nearDupPairs(docs: DataFrame, tau: Double, n: Int = 3,
+                   exactMaxDocs: Long = NearDupExactMaxDocs,
+                   knownDocs: Option[Long] = None): DataFrame = {
+    val nDocs = knownDocs.getOrElse(docs.count())
+    if (nDocs <= exactMaxDocs) ngramJaccardPairs(docs, tau, n)
+    else minHashPairs(docs, tau, n)
+  }
+
   /** Σdf² cost probe for the pair join: one row with the cap in force,
     * admitted/dropped distinct-shingle counts, the candidate-pair total
     * (each shingle group of document frequency df contributes

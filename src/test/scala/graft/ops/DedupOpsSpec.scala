@@ -577,6 +577,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.ngramJaccardPairs(docs, 0.5, capFrac = Some(1.0)).count() == 0L)
   }
 
+  test("nearDupPairs routes: exact face small, banded MinHash above the threshold") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 0
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    // small corpus: exact plan (window-capped self-join — has a Window,
+    // no band posexplode)
+    val exact = DedupOps.nearDupPairs(docs, 0.5)
+    val exactPlan = exact.queryExecution.optimizedPlan.toString
+    assert(exactPlan.contains("window"), exactPlan)
+    assert(!exactPlan.contains("posexplode"), exactPlan)
+    // forced over-threshold: banded MinHash plan (band posexplode)
+    val banded = DedupOps.nearDupPairs(docs, 0.5, exactMaxDocs = 2)
+    val bandedPlan = banded.queryExecution.optimizedPlan.toString
+    assert(bandedPlan.contains("posexplode"), bandedPlan)
+    // both faces agree on this corpus (band recall 1 at this tau/config)
+    val a = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == Set((0L, 1L)) && b == a, s"$a vs $b")
+    // knownDocs skips the routing count but routes identically
+    val known = DedupOps.nearDupPairs(docs, 0.5, exactMaxDocs = 2,
+      knownDocs = Some(3L))
+    assert(known.queryExecution.optimizedPlan.toString.contains("posexplode"))
+  }
+
   test("shingleCostStats counts the pair join's exact candidate work") {
     import spark.implicits._
     // 3 docs sharing "a b c"+"b c d" (df=3 each), 1 doc apart (df=1 x2):
