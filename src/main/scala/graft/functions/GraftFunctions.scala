@@ -193,6 +193,7 @@ object GraftFunctions {
       WordNGrams(es(0), n)
     }
     duckCompat(reg)
+    chsqlCompat(reg)
     out.toSeq
   }
 
@@ -277,6 +278,134 @@ object GraftFunctions {
         s"$usage: expected a string literal, got $other")
     } else throw new IllegalArgumentException(
       s"$usage: format/separator must be a literal, not a column")
+
+  /** `empty`/`notEmpty`/`length` work on strings AND arrays in
+    * ClickHouse; dispatch needs the resolved child type. */
+  private case class ChEmpty(child: Expression, negate: Boolean)
+    extends Expression with RuntimeReplaceable
+      with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    override lazy val replacement: Expression = {
+      val len = child.dataType match {
+        case _: ArrayType | _: MapType => Size(child)
+        case _ => Length(Cast(child, StringType))
+      }
+      if (negate) GreaterThan(len, Literal(0)) else EqualTo(len, Literal(0))
+    }
+    override protected def withNewChildInternal(newChild: Expression): ChEmpty =
+      copy(child = newChild)
+  }
+
+  /** ClickHouse-compat surface BEYOND the reference's aliases.sql: the
+    * reference image installs the community `chsql` extension
+    * (reference merge/service/merge_service_fs.go:147-152,
+    * Dockerfile:11), so any chsql macro works through its /query even
+    * though nothing in its own code calls one. This covers the
+    * commonly-used families (date parts/truncation, string tests, URL
+    * parts, IPv4, JSON extraction, array membership, multiIf) — every
+    * one a thin builder over existing Catalyst expressions, codegen'd,
+    * no UDF boundary. ClickHouse semantics notes inline. */
+  private def chsqlCompat(reg: String => (Seq[Expression] => Expression) => Unit): Unit = {
+    def ts(e: Expression) = Cast(e, TimestampType)
+    def dt(e: Expression) = Cast(e, DateType)
+    // date parts (CH returns small ints; Spark's are int — fine upcast)
+    reg("toYear")(es => Year(dt(es.head)))
+    reg("toMonth")(es => Month(dt(es.head)))
+    reg("toDayOfMonth")(es => DayOfMonth(dt(es.head)))
+    // CH toDayOfWeek is ISO Monday=1..Sunday=7
+    reg("toDayOfWeek")(es => Add(WeekDay(dt(es.head)), Literal(1)))
+    reg("toDayOfYear")(es => DayOfYear(dt(es.head)))
+    reg("toHour")(es => Hour(ts(es.head)))
+    reg("toMinute")(es => Minute(ts(es.head)))
+    reg("toSecond")(es => Second(ts(es.head)))
+    reg("toDate")(es => dt(es.head))
+    reg("toDateTime")(es => ts(es.head))
+    reg("toUnixTimestamp")(es => UnixSeconds(ts(es.head)))
+    reg("toYYYYMM")(es =>
+      Add(Multiply(Year(dt(es.head)), Literal(100)), Month(dt(es.head))))
+    reg("toYYYYMMDD")(es =>
+      Add(Add(Multiply(Year(dt(es.head)), Literal(10000)),
+        Multiply(Month(dt(es.head)), Literal(100))), DayOfMonth(dt(es.head))))
+    reg("toStartOfYear")(es => TruncDate(dt(es.head), Literal("year")))
+    reg("toStartOfMonth")(es => TruncDate(dt(es.head), Literal("month")))
+    reg("toStartOfWeek")(es => TruncDate(dt(es.head), Literal("week")))
+    reg("toStartOfDay")(es => TruncTimestamp(Literal("day"), ts(es.head)))
+    reg("toStartOfHour")(es => TruncTimestamp(Literal("hour"), ts(es.head)))
+    reg("toStartOfMinute")(es => TruncTimestamp(Literal("minute"), ts(es.head)))
+    reg("today")(_ => CurrentDate())
+    reg("yesterday")(_ => DateSub(CurrentDate(), Literal(1)))
+    // string tests / transforms (UTF8-suffixed CH names are the
+    // character-wise forms — Spark strings are character-wise already)
+    reg("empty")(es => ChEmpty(es.head, negate = false))
+    reg("notEmpty")(es => ChEmpty(es.head, negate = true))
+    reg("lengthUTF8")(es => Length(Cast(es.head, StringType)))
+    reg("lowerUTF8")(es => Lower(es.head))
+    reg("upperUTF8")(es => Upper(es.head))
+    reg("substringUTF8")(es => Substring(es(0), es(1), es(2)))
+    reg("leftPad")(es => StringLPad(es(0), es(1),
+      if (es.length > 2) es(2) else Literal(" ")))
+    reg("rightPad")(es => StringRPad(es(0), es(1),
+      if (es.length > 2) es(2) else Literal(" ")))
+    reg("startsWith")(es => StartsWith(es(0), es(1)))
+    reg("endsWith")(es => EndsWith(es(0), es(1)))
+    reg("splitByChar")(es => StringSplit(es(1),
+      Literal(java.util.regex.Pattern.quote(
+        literalString("splitByChar(sep, s)", es(0)))), Literal(-1)))
+    // URL parts via Catalyst ParseUrl (null on non-URLs, like CH's
+    // permissive parsers return '')
+    reg("protocol")(es => ParseUrl(Seq(es.head, Literal("PROTOCOL"))))
+    reg("domain")(es => ParseUrl(Seq(es.head, Literal("HOST"))))
+    reg("path")(es => ParseUrl(Seq(es.head, Literal("PATH"))))
+    reg("queryString")(es => ParseUrl(Seq(es.head, Literal("QUERY"))))
+    // IPv4 dotted-quad <-> UInt32
+    reg("IPv4NumToString") { es =>
+      val n = Cast(es.head, LongType)
+      def oct(shift: Int) = Cast(
+        BitwiseAnd(ShiftRight(n, Literal(shift)), Literal(255L)), StringType)
+      Concat(Seq(oct(24), Literal("."), oct(16), Literal("."),
+        oct(8), Literal("."), Cast(BitwiseAnd(n, Literal(255L)), StringType)))
+    }
+    reg("IPv4StringToNum") { es =>
+      val parts = StringSplit(es.head, Literal("\\."), Literal(-1))
+      def oct(i: Int, scale: Long) =
+        Multiply(Cast(ElementAt(parts, Literal(i)), LongType), Literal(scale))
+      Add(Add(Add(oct(1, 16777216L), oct(2, 65536L)), oct(3, 256L)),
+        Cast(ElementAt(parts, Literal(4)), LongType))
+    }
+    // JSON extraction (CH simple-key form; nested paths pass through
+    // as $.a.b via the same spelling)
+    def jpath(es: Seq[Expression]): Expression =
+      Concat(Seq(Literal("$."), Cast(es(1), StringType)))
+    reg("JSONExtractString")(es => GetJsonObject(es(0), jpath(es)))
+    reg("JSONExtractInt")(es =>
+      Cast(GetJsonObject(es(0), jpath(es)), LongType, None, EvalMode.TRY))
+    reg("JSONExtractFloat")(es =>
+      Cast(GetJsonObject(es(0), jpath(es)), DoubleType, None, EvalMode.TRY))
+    reg("JSONExtractBool")(es =>
+      Cast(GetJsonObject(es(0), jpath(es)), BooleanType, None, EvalMode.TRY))
+    reg("JSONHas")(es => IsNotNull(GetJsonObject(es(0), jpath(es))))
+    // arrays
+    reg("has")(es => ArrayContains(es(0), es(1)))
+    reg("indexOf")(es => ArrayPosition(es(0), es(1)))
+    reg("arrayDistinct")(es => ArrayDistinct(es.head))
+    reg("arrayReverse")(es => Reverse(es.head))
+    // omitted length = to the end: the array's own size is always an
+    // upper bound (a huge literal overflows Slice's start+length math)
+    reg("arraySlice")(es => Slice(es(0), es(1),
+      if (es.length > 2) es(2) else Size(es(0))))
+    // conditionals / arithmetic names
+    reg("multiIf") { es =>
+      require(es.length >= 3 && es.length % 2 == 1,
+        s"multiIf(cond1, v1, ..., else): odd arity >= 3, got ${es.length}")
+      val branches = es.dropRight(1).grouped(2).map(p => (p(0), p(1))).toSeq
+      CaseWhen(branches, Some(es.last))
+    }
+    reg("plus")(es => Add(es(0), es(1)))
+    reg("minus")(es => Subtract(es(0), es(1)))
+    reg("multiply")(es => Multiply(es(0), es(1)))
+    reg("modulo")(es => Remainder(es(0), es(1)))
+    reg("negate")(es => UnaryMinus(es.head))
+    reg("bitCount")(es => BitwiseCount(es.head))
+  }
 
   /** DuckDB-compat function names (VERDICT r7 #2, the alias-map half of
     * the dialect shim): a reference user's DuckDB SQL calls these

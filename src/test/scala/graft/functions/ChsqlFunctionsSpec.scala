@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** chsql-compat surface: the reference image installs the community
+  * chsql extension (reference merge/service/merge_service_fs.go:147-152)
+  * so these names work through its /query; ours registers them as
+  * native Catalyst builders. ClickHouse semantics asserted per family. */
+class ChsqlFunctionsSpec extends SparkSpec {
+
+  private def one(sql: String): Any =
+    spark.sql(s"SELECT $sql AS v").collect().head.get(0)
+
+  test("date parts and truncation") {
+    val t = "TIMESTAMP '2025-04-24 13:45:56'"
+    assert(one(s"toYear($t)") == 2025)
+    assert(one(s"toMonth($t)") == 4)
+    assert(one(s"toDayOfMonth($t)") == 24)
+    assert(one(s"toDayOfWeek($t)") == 4) // 2025-04-24 is Thursday, ISO 4
+    assert(one(s"toDayOfYear($t)") == 114)
+    assert(one(s"toHour($t)") == 13)
+    assert(one(s"toMinute($t)") == 45)
+    assert(one(s"toSecond($t)") == 56)
+    assert(one(s"toYYYYMM($t)") == 202504)
+    assert(one(s"toYYYYMMDD($t)") == 20250424)
+    assert(one(s"toDate($t)").toString == "2025-04-24")
+    assert(one(s"toStartOfMonth($t)").toString == "2025-04-01")
+    assert(one(s"toStartOfYear($t)").toString == "2025-01-01")
+    assert(one(s"toStartOfDay($t)").toString == "2025-04-24 00:00:00.0")
+    assert(one(s"toStartOfHour($t)").toString == "2025-04-24 13:00:00.0")
+    assert(one(s"toStartOfMinute($t)").toString == "2025-04-24 13:45:00.0")
+    assert(one(s"toUnixTimestamp(TIMESTAMP '1970-01-01 00:02:00')") == 120L)
+    assert(one("yesterday() < today()") == true)
+  }
+
+  test("string tests work on strings AND arrays (CH empty/notEmpty/length)") {
+    assert(one("empty('')") == true)
+    assert(one("empty('x')") == false)
+    assert(one("notEmpty(array(1))") == true)
+    assert(one("empty(array())") == true)
+    assert(one("lengthUTF8('héllo')") == 5)
+    assert(one("lowerUTF8('AbC')") == "abc")
+    assert(one("upperUTF8('AbC')") == "ABC")
+    assert(one("substringUTF8('hello', 2, 3)") == "ell")
+    assert(one("leftPad('7', 3, '0')") == "007")
+    assert(one("rightPad('7', 3)") == "7  ")
+    assert(one("startsWith('graft', 'gr')") == true)
+    assert(one("endsWith('graft', 'ft')") == true)
+    assert(one("splitByChar(',', 'a,b,c')") == Seq("a", "b", "c"))
+    assert(one("splitByChar('.', 'a.b')") == Seq("a", "b")) // literal, not regex
+  }
+
+  test("URL parts") {
+    val u = "'https://example.com/a/b?x=1'"
+    assert(one(s"protocol($u)") == "https")
+    assert(one(s"domain($u)") == "example.com")
+    assert(one(s"path($u)") == "/a/b")
+    assert(one(s"queryString($u)") == "x=1")
+  }
+
+  test("IPv4 round-trip") {
+    assert(one("IPv4NumToString(3232235777)") == "192.168.1.1")
+    assert(one("IPv4StringToNum('192.168.1.1')") == 3232235777L)
+    assert(one("IPv4NumToString(IPv4StringToNum('10.0.0.255'))") == "10.0.0.255")
+  }
+
+  test("JSON extraction") {
+    val j = """'{"a": 7, "s": "hi", "f": 1.5, "b": true}'"""
+    assert(one(s"JSONExtractInt($j, 'a')") == 7L)
+    assert(one(s"JSONExtractString($j, 's')") == "hi")
+    assert(one(s"JSONExtractFloat($j, 'f')") == 1.5)
+    assert(one(s"JSONExtractBool($j, 'b')") == true)
+    assert(one(s"JSONHas($j, 'a')") == true)
+    assert(one(s"JSONHas($j, 'zz')") == false)
+    assert(one(s"JSONExtractInt($j, 's')") == null) // non-numeric: null, not throw
+  }
+
+  test("arrays, multiIf, arithmetic names") {
+    assert(one("has(array(1, 2, 3), 2)") == true)
+    assert(one("indexOf(array(10, 20), 20)") == 2L)
+    assert(one("arrayDistinct(array(1, 1, 2))") == Seq(1, 2))
+    assert(one("arrayReverse(array(1, 2))") == Seq(2, 1))
+    assert(one("arraySlice(array(1, 2, 3, 4), 2, 2)") == Seq(2, 3))
+    assert(one("arraySlice(array(1, 2, 3, 4), 3)") == Seq(3, 4)) // to end
+    assert(one("multiIf(false, 1, true, 2, 3)") == 2)
+    assert(one("multiIf(false, 1, false, 2, 3)") == 3)
+    intercept[Exception](spark.sql("SELECT multiIf(true, 1)").collect())
+    assert(one("plus(2, 3)") == 5)
+    assert(one("minus(2, 3)") == -1)
+    assert(one("multiply(4, 3)") == 12)
+    assert(one("modulo(7, 3)") == 1)
+    assert(one("negate(5)") == -5)
+    assert(one("bitCount(7)") == 3)
+  }
+}
