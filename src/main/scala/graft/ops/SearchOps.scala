@@ -77,6 +77,71 @@ object SearchOps {
       .limit(k)
   }
 
+  /** Corpus statistics backing the artifact-bound scorer: the full
+    * (term, df) table plus a 1-row (n, sdl) totals frame. One explode
+    * + Zipf-bounded groupBy — the same cost class as the p46 vocab
+    * pass; the df domain is Heaps-bounded, never corpus-sized. */
+  def corpusStats(docs: DataFrame,
+                  textCol: String = "text"): (DataFrame, DataFrame) = {
+    val toks = docs.select(TextOps.tokens(col(textCol)).as("__w"))
+    val dfTable = toks
+      .select(explode(array_distinct(col("__w"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = toks.agg(count(lit(1)).as("n"), sum(size(col("__w"))).as("sdl"))
+    (dfTable, totals)
+  }
+
+  /** Driver-side scoring model: N, avgdl, and the term→df map. The
+    * vocabulary loads highest-df first up to `maxVocab` — a dropped
+    * term is by construction rarer than every kept one, and treating
+    * its df as 0 only nudges an already-maximal idf; the common terms
+    * whose df actually shapes scores always fit. */
+  final case class Bm25Model(n: Long, avgdl: Double, df: Map[String, Long])
+
+  def modelOf(dfTable: DataFrame, totals: DataFrame,
+              maxVocab: Int = 1 << 20): Bm25Model = {
+    val t = totals.collect()(0)
+    val n = t.getLong(0)
+    val avgdl = if (n == 0) 1.0 else t.getLong(1).toDouble / n
+    val dfMap = dfTable.orderBy(col("df").desc, col("term"))
+      .limit(maxVocab).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Bm25Model(n, avgdl, dfMap)
+  }
+
+  /** Scalar BM25 score of one text against a fixed query, with the
+    * corpus stats baked as literals (the artifact-bound SQL face —
+    * `match_bm25(text, 'query terms')` on /query). ONE tokenize and
+    * ONE array pass: dl and every per-term tf accumulate through a
+    * single `aggregate` fold, so the t-term query costs one scan of
+    * the token array, not t regex splits (the shingles discipline,
+    * scalar-expression edition). Same formula, same 6dp-per-term /
+    * 4dp-total rounding as [[bm25]]. */
+  def scoreCol(text: Column, query: String, model: Bm25Model): Column = {
+    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "match_bm25: query has no terms")
+    val zero = struct(
+      lit(0L).as("dl") +: terms.indices.map(i => lit(0L).as(s"tf$i")): _*)
+    val folded = aggregate(
+      TextOps.tokens(text), zero,
+      (acc, x) => struct(
+        (acc.getField("dl") + lit(1L)).as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            (acc.getField(s"tf$i") +
+              when(x === lit(t), lit(1L)).otherwise(lit(0L))).as(s"tf$i")
+          }: _*))
+    val dl = folded.getField("dl").cast("double")
+    val contribs = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = model.df.getOrElse(t, 0L)
+      val idf = math.log((model.n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val tf = folded.getField(s"tf$i").cast("double")
+      val c = lit(idf) * (tf * lit(K1 + 1)) /
+        (tf + lit(K1) * (lit(1 - B) + lit(B) * (dl / lit(model.avgdl))))
+      when(folded.getField(s"tf$i") > 0, round(c, 6)).otherwise(lit(0.0))
+    }
+    round(contribs.reduceLeft(_ + _), 4)
+  }
+
   /** DuckDB oracle for [[bm25]] — same tokenization as the dedup
     * oracles, same rounded-contribution chain in the same term order. */
   def bm25Sql(terms: Seq[String], k: Int = 20,

@@ -212,7 +212,7 @@ final class GigHttpServer(spark: SparkSession, root: String,
 
   /** Artifact kinds the endpoint can build (class doc). */
   private val ArtifactKinds = Set(
-    "cluster_map", "ivf", "pq", "bloom", "bpe", "unigram", "nb", "ppl")
+    "cluster_map", "ivf", "pq", "bloom", "bpe", "unigram", "nb", "ppl", "bm25")
 
   /** POST: validate cheaply (kind, table existence), enqueue the build
     * on the background pool, answer 202 `{"job": id}` immediately —
@@ -225,6 +225,26 @@ final class GigHttpServer(spark: SparkSession, root: String,
   /** Shared JSON string-field extractor for the artifact request body
     * (ONE spelling — POST validation and build-time parsing must not
     * drift). */
+  /** Literal-string argument of an artifact-bound SQL function (the
+    * query text of match_bm25): validated at analysis with a clear
+    * message, not an eval-time ClassCastException. */
+  private def literalStringArg(usage: String,
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      idx: Int): String = {
+    if (es.length <= idx) throw new IllegalArgumentException(
+      s"$usage: expected ${idx + 1} arguments, got ${es.length}")
+    es(idx) match {
+      case e if e.foldable => e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case s: String => s
+        case other => throw new IllegalArgumentException(
+          s"$usage: query must be a string literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$usage: query must be a literal, not a column")
+    }
+  }
+
   private def jsonStr(j: JValue, f: String): Option[String] =
     j \ f match { case JString(s) => Some(s); case _ => None }
 
@@ -489,6 +509,28 @@ final class GigHttpServer(spark: SparkSession, root: String,
           es => tx(graft.ops.ModelOps.pplBitsCol(cc(es.head), m12, m1)))
         JsonOut.obj("function" -> JsonOut.str(fn),
           "m12" -> m12.size.toString, "m1" -> m1.size.toString)
+
+      case "bm25" =>
+        // the fts story's server face: corpus stats persist as views,
+        // and match_bm25(text, 'query terms') scores any text against
+        // them as one codegen'd fold (SearchOps.scoreCol). Deviation
+        // from DuckDB fts spelled out: theirs scores AGAINST a built
+        // index by row id; ours is the scalar-over-text form — the
+        // shape a SQL pipeline composes with WHERE/ORDER BY directly.
+        val (dfTable, totals) = graft.ops.SearchOps.corpusStats(docsOf)
+        dfTable.write.mode("overwrite").parquet(s"$outDir/df")
+        totals.write.mode("overwrite").parquet(s"$outDir/totals")
+        views.publishArtifactView(s"${prefix}_bm25_df", s"$outDir/df")
+        views.publishArtifactView(s"${prefix}_bm25_totals", s"$outDir/totals")
+        val model = graft.ops.SearchOps.modelOf(
+          spark.read.parquet(s"$outDir/df"), spark.read.parquet(s"$outDir/totals"))
+        val fn = publishFn("match_bm25", es =>
+          tx(graft.ops.SearchOps.scoreCol(cc(es(0)),
+            literalStringArg("match_bm25(text, 'query terms')", es, 1), model)))
+        JsonOut.obj(
+          "views" -> s"""["${prefix}_bm25_df","${prefix}_bm25_totals"]""",
+          "function" -> JsonOut.str(fn),
+          "vocab" -> model.df.size.toString, "n" -> model.n.toString)
 
       case other => throw new IllegalArgumentException(
         s"unknown artifact kind '$other' (${ArtifactKinds.mkString(" | ")})")

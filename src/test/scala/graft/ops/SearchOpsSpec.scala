@@ -42,6 +42,20 @@ class SearchOpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("scoreCol (the artifact-bound scalar face) reproduces bm25's scores exactly") {
+    val d = docs()
+    val (dfT, tot) = SearchOps.corpusStats(d)
+    val model = SearchOps.modelOf(dfT, tot)
+    assert(model.n == 4L && model.df("spark") == 3L && model.df("vector") == 1L)
+    val viaScalar = d.select(col("doc_id"),
+        SearchOps.scoreCol(col("text"), "Spark  VECTOR", model).as("score"))
+      .filter(col("score") > 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaTopK = SearchOps.bm25(d, Seq("spark", "vector"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(viaScalar == viaTopK, s"\nscalar: $viaScalar\ntopk:   $viaTopK")
+  }
+
   test("oracle SQL matches the impl's own numbers (engine-side replay)") {
     // replay the DuckDB oracle shape through Spark SQL on the same tiny
     // corpus: same tokenize, same rounded-contribution chain — guards

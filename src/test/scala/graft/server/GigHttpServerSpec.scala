@@ -383,6 +383,41 @@ class GigHttpServerSpec extends SparkSpec {
     assert(r.statusCode() == 400 && r.body().contains("table"), r.body())
   }
 
+  test("bm25 artifact: stats views + match_bm25 scores through /query SQL") {
+    val texts = Seq(
+      0 -> "alpha beta gamma delta epsilon zeta",
+      1 -> "alpha beta gamma delta epsilon eta",
+      2 -> "one two three four five six",
+      3 -> "alpha alpha alpha beta beta gamma")
+    val lines = texts.map { case (i, t) =>
+      s"""corpus doc_id=${i}i,text="$t"""" }.mkString("\n")
+    assert(post("/write?db=fts", lines).statusCode() == 204)
+    val a = post("/gigapi/artifacts?db=fts",
+      """{"kind": "bm25", "table": "corpus", "sync": true}""")
+    assert(a.statusCode() == 200, a.body())
+    assert(a.body().contains("match_bm25"), a.body())
+
+    // stats views are queryable: df of 'alpha' counts docs 0,1,3
+    val dfq = post("/query?db=fts",
+      """{"query": "SELECT df FROM fts_corpus_bm25_df WHERE term = 'alpha'"}""")
+    assert(dfq.body().contains(""""df":"3""""), dfq.body())
+
+    // the bound scalar ranks the tf-heavy doc first; no-match scores 0
+    val q = post("/query?db=fts",
+      """{"query": "SELECT doc_id, match_bm25(text, 'alpha beta') AS s FROM corpus ORDER BY s DESC, doc_id"}""")
+    assert(q.statusCode() == 200, q.body())
+    val order = """"doc_id":"(\d)"""".r.findAllMatchIn(q.body())
+      .map(_.group(1)).toSeq
+    assert(order.head == "3", s"tf-heavy doc must rank first: ${q.body()}")
+    assert(order.last == "2", s"no-match doc must rank last: ${q.body()}")
+    assert(q.body().contains(""""s":0.0"""), q.body()) // doc 2 scored 0
+
+    // request-shape error on a non-literal query arg -> 400, clear text
+    val bad = post("/query?db=fts",
+      """{"query": "SELECT match_bm25(text, text) FROM corpus"}""")
+    assert(bad.statusCode() == 400 && bad.body().contains("literal"), bad.body())
+  }
+
   test("artifact job ledger survives a server restart (VERDICT r7 #6)") {
     // the async contract's durability hole: a restart between the 202
     // and the status poll must not lose the id the caller holds — the
