@@ -270,14 +270,16 @@ object GraftFunctions {
     b.toString
   }
 
-  private def literalString(usage: String, e: Expression): String =
+  /** Shared foldable-literal-string extraction — also the server's
+    * artifact-bound function arguments (match_bm25's query text). */
+  private[graft] def literalString(usage: String, e: Expression): String =
     if (e.foldable) e.eval() match {
       case s: org.apache.spark.unsafe.types.UTF8String => s.toString
       case s: String => s
       case other => throw new IllegalArgumentException(
         s"$usage: expected a string literal, got $other")
     } else throw new IllegalArgumentException(
-      s"$usage: format/separator must be a literal, not a column")
+      s"$usage: the argument must be a string literal, not a column")
 
   /** `empty`/`notEmpty`/`length` work on strings AND arrays in
     * ClickHouse; dispatch needs the resolved child type. */
@@ -327,7 +329,10 @@ object GraftFunctions {
         Multiply(Month(dt(es.head)), Literal(100))), DayOfMonth(dt(es.head))))
     reg("toStartOfYear")(es => TruncDate(dt(es.head), Literal("year")))
     reg("toStartOfMonth")(es => TruncDate(dt(es.head), Literal("month")))
-    reg("toStartOfWeek")(es => TruncDate(dt(es.head), Literal("week")))
+    // CH default mode 0 weeks start SUNDAY (trunc('week') is Monday):
+    // date - (dayofweek - 1), Spark DayOfWeek being 1=Sunday..7
+    reg("toStartOfWeek")(es =>
+      DateSub(dt(es.head), Subtract(DayOfWeek(dt(es.head)), Literal(1))))
     reg("toStartOfDay")(es => TruncTimestamp(Literal("day"), ts(es.head)))
     reg("toStartOfHour")(es => TruncTimestamp(Literal("hour"), ts(es.head)))
     reg("toStartOfMinute")(es => TruncTimestamp(Literal("minute"), ts(es.head)))

@@ -41,8 +41,11 @@ object SearchOps {
   /** Top-k BM25 scores for `terms` over `docs`. Output: doc_id,
     * matches (distinct query terms present), score — score DESC,
     * doc_id ASC, first k rows. */
-  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
+  def bm25(docs: DataFrame, terms0: Seq[String], k: Int = 20,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // dedupe: a repeated query term would double-count its contribution
+    // and overcount `matches` ("distinct query terms present")
+    val terms = terms0.distinct
     require(terms.nonEmpty, "bm25 needs at least one query term")
     // tokenize ONCE in its own projection (the shingles discipline:
     // array lambdas re-evaluate captured outer expressions per element)
@@ -102,7 +105,9 @@ object SearchOps {
               maxVocab: Int = 1 << 20): Bm25Model = {
     val t = totals.collect()(0)
     val n = t.getLong(0)
-    val avgdl = if (n == 0) 1.0 else t.getLong(1).toDouble / n
+    // sdl aggregates to NULL when every text is NULL (sum over no
+    // values): n > 0 with a null sdl must not NPE the artifact build
+    val avgdl = if (n == 0 || t.isNullAt(1)) 1.0 else t.getLong(1).toDouble / n
     val dfMap = dfTable.orderBy(col("df").desc, col("term"))
       .limit(maxVocab).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -118,7 +123,8 @@ object SearchOps {
     * scalar-expression edition). Same formula, same 6dp-per-term /
     * 4dp-total rounding as [[bm25]]. */
   def scoreCol(text: Column, query: String, model: Bm25Model): Column = {
-    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = query.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).toSeq.distinct
     require(terms.nonEmpty, "match_bm25: query has no terms")
     val zero = struct(
       lit(0L).as("dl") +: terms.indices.map(i => lit(0L).as(s"tf$i")): _*)
@@ -144,8 +150,9 @@ object SearchOps {
 
   /** DuckDB oracle for [[bm25]] — same tokenization as the dedup
     * oracles, same rounded-contribution chain in the same term order. */
-  def bm25Sql(terms: Seq[String], k: Int = 20,
+  def bm25Sql(terms0: Seq[String], k: Int = 20,
               table: String = "documents"): String = {
+    val terms = terms0.distinct // mirror bm25's dedupe exactly
     def esc(t: String) = t.replace("'", "''")
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(w, x -> x = '${esc(t)}')) AS tf$i" }.mkString(", ")

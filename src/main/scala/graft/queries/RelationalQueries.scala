@@ -225,15 +225,17 @@ object RelationalQueries {
       // get_json_object: the path-extract API re-tokenizes the whole
       // JSON per call (k calls = k parses at 100 TB), while from_json
       // parses once into a struct — the right shape for multi-key
-      // extraction and schema-checked from the start. FAILFAST is wrong
-      // here: permissive null-on-malformed matches the oracle's
-      // json_extract semantics.
+      // extraction. The field stays STRING + cast (not LONG in the
+      // schema): from_json's LongType treats a quoted "12" as malformed
+      // → null, where the oracle's json_extract_string + CAST yields 12
+      // — extract-as-string keeps the two engines value-identical for
+      // every JSON value shape.
       Tables.loadSpread(s, dir, "events")
         .select(
           col("event_id"),
           from_json(col("props"),
-            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
-            .getField("k").as("k"))
+            org.apache.spark.sql.types.StructType.fromDDL("k STRING"))
+            .getField("k").cast("long").as("k"))
     }),
 
     // ---- grouped statistics: stddev / correlation-with-time / covar

@@ -93,7 +93,40 @@ final class ArtifactJobs(ledgerDir: Option[java.io.File] = None,
     id
   }
 
+  /** Run a SYNCHRONOUS build under the same per-key in-flight guard
+    * the async path uses — a {"sync": true} build racing an async one
+    * for the same (kind, db, table) would otherwise reopen exactly the
+    * publication race the guard exists to close. The job is recorded
+    * in the registry/ledger like any other; returns the result JSON. */
+  def runSync(key: String)(build: () => String): String = {
+    if (closing) throw new IllegalStateException(
+      "server shutting down; build not accepted")
+    val id = s"job-${seq.incrementAndGet()}"
+    val prior = inFlight.putIfAbsent(key, id)
+    if (prior != null) throw new DuplicateJob(prior, key)
+    transition(id, key, Running)
+    try {
+      val r = build()
+      transition(id, key, Done(r))
+      r
+    } catch {
+      case NonFatal(e) =>
+        transition(id, key, Failed(Option(e.getMessage).getOrElse(e.toString)))
+        throw e
+    } finally inFlight.remove(key, id)
+  }
+
   def status(id: String): Option[State] = Option(jobs.get(id)).map(_._2)
+
+  /** Completed builds oldest-first: (key, resultJson) — the rebind
+    * replay order (newest same-key build must publish last and win
+    * the bare latest-binding alias). */
+  def completedOldestFirst(): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    jobs.asScala.toSeq
+      .sortBy { case (id, _) => id.stripPrefix("job-").toLong }
+      .collect { case (_, (key, Done(r))) => (key, r) }
+  }
 
   /** All jobs this registry knows (including loaded-from-ledger ones),
     * newest first (ids are sequential). */
@@ -133,13 +166,26 @@ final class ArtifactJobs(ledgerDir: Option[java.io.File] = None,
 
   /** Rewrite-and-rename, serialized: concurrent worker transitions must
     * not interleave partial writes (same contract as MetadataIndex). */
+  /** Terminal entries kept in the ledger (newest first). Bounds both
+    * the per-transition rewrite cost and what loadLedger re-materializes
+    * after years of builds; in-flight jobs are always retained. */
+  val MaxLedgerTerminal = 1000
+
   private def persist(): Unit = synchronized {
     ledgerFile.foreach { f =>
       try {
         f.getParentFile.mkdirs()
         import scala.jdk.CollectionConverters._
-        val rows = jobs.asScala.toSeq
+        val all = jobs.asScala.toSeq
           .sortBy { case (id, _) => id.stripPrefix("job-").toLong }
+        val terminalOver = all.count {
+          case (_, (_, Done(_) | Failed(_))) => true; case _ => false
+        } - MaxLedgerTerminal
+        var drop = math.max(0, terminalOver)
+        val rows = all.filter {
+          case (_, (_, Done(_) | Failed(_))) if drop > 0 => drop -= 1; false
+          case _ => true
+        }
           .map { case (id, (key, s)) =>
             val extra = s match {
               case Done(r) => s""","result":$r"""
@@ -171,7 +217,10 @@ final class ArtifactJobs(ledgerDir: Option[java.io.File] = None,
             val id = v \ "job" match { case JString(s) => s; case _ => "" }
             val key = v \ "key" match { case JString(s) => s; case _ => "" }
             val st = v \ "status" match { case JString(s) => s; case _ => "" }
-            if (id.isEmpty) None
+            // ids must be job-<digits>: a corrupt/hand-edited entry
+            // would otherwise crash every all() sort (toLong) and 500
+            // the list route until the file is fixed
+            if (!id.matches("job-\\d+")) None
             else Some(id -> (key, st match {
               case "done" =>
                 val r = v \ "result"

@@ -76,18 +76,28 @@ object DuckDialect {
         val st = i; i += 1
         var done = false
         while (i < n && !done) {
-          if (s.charAt(i) == '\'') {
+          // Spark's default parser honors backslash escapes inside
+          // string literals (escapedStringLiterals=false), and this
+          // shim runs on EVERY /query — skipping \x is what keeps
+          // previously-valid Spark SQL like 'it\'s::ok' unmangled.
+          // DuckDB strings have no backslash escapes, so a DuckDB
+          // query is only affected if it contains a literal
+          // backslash-quote pair — which Spark would reject anyway.
+          if (s.charAt(i) == '\\' && i + 1 < n) i += 2
+          else if (s.charAt(i) == '\'') {
             if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2 // '' escape
             else { i += 1; done = true }
           } else i += 1
         }
         out += Tok(Str, st, i)
-      } else if (c == '"') {
+      } else if (c == '"' || c == '`') {
+        // double-quoted (DuckDB) or backtick (Spark) identifier
+        val q = c
         val st = i; i += 1
         var done = false
         while (i < n && !done) {
-          if (s.charAt(i) == '"') {
-            if (i + 1 < n && s.charAt(i + 1) == '"') i += 2
+          if (s.charAt(i) == q) {
+            if (i + 1 < n && s.charAt(i + 1) == q) i += 2
             else { i += 1; done = true }
           } else i += 1
         }

@@ -90,6 +90,10 @@ final class GigHttpServer(spark: SparkSession, root: String,
       respond(ex, 200, """{"status":"ok"}""", "application/json")
     })
     server.createContext("/ping", handle(ex => respond(ex, 204, "", null)))
+    // completed builds' views/functions must resolve again before the
+    // first /query — the ledger's `done` answers would otherwise name
+    // publications this process never made
+    rebindArtifacts()
     server.start()
     this
   }
@@ -227,22 +231,14 @@ final class GigHttpServer(spark: SparkSession, root: String,
     * drift). */
   /** Literal-string argument of an artifact-bound SQL function (the
     * query text of match_bm25): validated at analysis with a clear
-    * message, not an eval-time ClassCastException. */
+    * message, not an eval-time ClassCastException. Delegates to the
+    * ONE extraction (GraftFunctions.literalString) after arity-checking. */
   private def literalStringArg(usage: String,
       es: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       idx: Int): String = {
     if (es.length <= idx) throw new IllegalArgumentException(
       s"$usage: expected ${idx + 1} arguments, got ${es.length}")
-    es(idx) match {
-      case e if e.foldable => e.eval() match {
-        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-        case s: String => s
-        case other => throw new IllegalArgumentException(
-          s"$usage: query must be a string literal, got $other")
-      }
-      case _ => throw new IllegalArgumentException(
-        s"$usage: query must be a literal, not a column")
-    }
+    graft.functions.GraftFunctions.literalString(usage, es(idx))
   }
 
   private def jsonStr(j: JValue, f: String): Option[String] =
@@ -298,7 +294,9 @@ final class GigHttpServer(spark: SparkSession, root: String,
       }
     }
     val sync = j \ "sync" match { case JBool(b) => b; case _ => false }
-    if (sync) respond(ex, 200, buildArtifact(kind, db, table, j), "application/json")
+    if (sync) respond(ex, 200,
+      artifacts.runSync(s"$kind:$db:$table")(() => buildArtifact(kind, db, table, j)),
+      "application/json")
     else {
       val id = artifacts.submit(s"$kind:$db:$table",
         () => buildArtifact(kind, db, table, j))
@@ -392,15 +390,13 @@ final class GigHttpServer(spark: SparkSession, root: String,
       (df, dims)
     }
 
-    /** Publish fn under its per-table name AND the bare latest-binding
-      * alias (the ivf_probe discipline: a second table's artifact must
-      * not silently rebind the first's per-table name). */
-    def publishFn(bare: String, builder: Seq[Expression] => Expression): String = {
-      val fn = s"${prefix}_$bare"
-      views.publishArtifactFunction(fn, builder)
-      views.publishArtifactFunction(bare, builder)
-      fn
-    }
+    /** Train + save done: publish by LOADING what was just saved —
+      * the serving path always reads exactly what a restart would
+      * rebind — and stamp the result with the artifact dir so
+      * rebindArtifacts() can replay the publication at boot. */
+    def finish(extra: (String, String)*): String =
+      JsonOut.obj(bindArtifact(kind, db, table, outDir) ++ extra :+
+        ("out" -> JsonOut.str(outDir)): _*)
 
     kind match {
       case "cluster_map" =>
@@ -412,8 +408,7 @@ final class GigHttpServer(spark: SparkSession, root: String,
         }
         val labels = graft.ops.DedupOps.clusterLabels(docsOf, tau)
         graft.ops.DedupOps.saveClusterLabels(labels, outDir)
-        views.publishArtifactView(s"${prefix}_cluster_map", outDir)
-        JsonOut.obj("view" -> JsonOut.str(s"${prefix}_cluster_map"))
+        finish()
 
       case "ivf" =>
         val (df, _) = vecsOf
@@ -430,15 +425,7 @@ final class GigHttpServer(spark: SparkSession, root: String,
           graft.ops.SimilarityOps.adaptiveNlist(rows).toLong).toInt
         val (km, assigned) = graft.ops.SimilarityOps.ivfIndex(df, nlist)
         graft.ops.SimilarityOps.saveIvfIndex(km, assigned, outDir)
-        views.publishArtifactView(s"${prefix}_ivf_centroids", s"$outDir/centroids")
-        views.publishArtifactView(s"${prefix}_ivf_assigned", s"$outDir/assigned")
-        val centers = km.clusterCenters.map(_.toArray)
-        val fn = publishFn("ivf_probe",
-          es => graft.functions.IvfProbeCells(es(0), es(1), centers))
-        JsonOut.obj(
-          "views" -> s"""["${prefix}_ivf_centroids","${prefix}_ivf_assigned"]""",
-          "function" -> JsonOut.str(fn),
-          "nlist" -> nlist.toString)
+        finish("nlist" -> nlist.toString)
 
       case "pq" =>
         val (df, dims) = vecsOf
@@ -453,62 +440,64 @@ final class GigHttpServer(spark: SparkSession, root: String,
         // verbatim against the published view
         graft.ops.PqOps.booksDf(spark, idx.books)
           .write.mode("overwrite").parquet(s"$outDir/books")
-        views.publishArtifactView(s"${prefix}_pq_codes", s"$outDir/codes")
-        views.publishArtifactView(s"${prefix}_pq_books", s"$outDir/books")
-        JsonOut.obj(
-          "views" -> s"""["${prefix}_pq_codes","${prefix}_pq_books"]""",
-          "m" -> graft.ops.PqOps.M.toString,
+        finish("m" -> graft.ops.PqOps.M.toString,
           "ksub" -> graft.ops.PqOps.Ksub.toString)
 
       case "bloom" =>
         val n = intOf("n").getOrElse(graft.ops.DedupOps.DecontamN)
         val bits = graft.ops.DedupOps.bloomBits(docsOf, n)
-        val fn = publishFn("bloom_hit",
-          es => tx(graft.ops.DedupOps.bloomHit(bits, cc(es.head))))
-        JsonOut.obj("function" -> JsonOut.str(fn), "n" -> n.toString,
+        locally {
+          import spark.implicits._
+          bits.toSeq.zipWithIndex.map { case (w, i) => (i, w) }
+            .toDF("idx", "w").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/bits")
+        }
+        finish("n" -> n.toString,
           "bits" -> graft.ops.DedupOps.BloomBits.toString)
 
       case "bpe" =>
         val numMerges = intOf("merges").getOrElse(graft.ops.BpeOps.NumMerges)
         val merges = graft.ops.BpeOps.train(docsOf, numMerges)
-        import spark.implicits._
-        spark.createDataset(merges).toDF()
-          .select(col("step"), col("l"), col("r"), col("merged"), col("cnt"))
-          .write.mode("overwrite").parquet(outDir)
-        views.publishArtifactView(s"${prefix}_bpe_merges", outDir)
-        val fn = publishFn("bpe_encode",
-          es => tx(graft.ops.BpeOps.encodePiecesCol(cc(es.head), merges)))
-        JsonOut.obj("function" -> JsonOut.str(fn),
-          "view" -> JsonOut.str(s"${prefix}_bpe_merges"),
-          "n_merges" -> merges.size.toString)
+        locally {
+          import spark.implicits._
+          spark.createDataset(merges).toDF()
+            .select(col("step"), col("l"), col("r"), col("merged"), col("cnt"))
+            .write.mode("overwrite").parquet(outDir)
+        }
+        finish("n_merges" -> merges.size.toString)
 
       case "unigram" =>
         val pieces = graft.ops.UnigramOps.train(docsOf)
-        import spark.implicits._
-        spark.createDataset(pieces).toDF()
-          .select(col("piece"), col("qcost"))
-          .write.mode("overwrite").parquet(outDir)
-        views.publishArtifactView(s"${prefix}_unigram_pieces", outDir)
-        val costs = pieces.map(p => p.piece -> p.qcost).toMap
-        val fn = publishFn("unigram_encode",
-          es => graft.functions.UnigramEncode(es.head, costs))
-        JsonOut.obj("function" -> JsonOut.str(fn),
-          "view" -> JsonOut.str(s"${prefix}_unigram_pieces"),
-          "n_pieces" -> pieces.size.toString)
+        locally {
+          import spark.implicits._
+          spark.createDataset(pieces).toDF()
+            .select(col("piece"), col("qcost"))
+            .write.mode("overwrite").parquet(outDir)
+        }
+        finish("n_pieces" -> pieces.size.toString)
 
       case "nb" =>
         val model = graft.ops.ModelOps.nbModelOf(docsOf)
-        val fn = publishFn("nb_quality",
-          es => tx(graft.ops.ModelOps.nbQualityCol(cc(es.head), model)))
-        JsonOut.obj("function" -> JsonOut.str(fn),
-          "buckets" -> model.buckets.size.toString)
+        locally {
+          import spark.implicits._
+          model.buckets.toSeq.map { case (b, (cp, cn)) => (b, cp, cn) }
+            .toDF("b", "cp", "cn").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/buckets")
+          Seq((model.np, model.nn)).toDF("np", "nn")
+            .write.mode("overwrite").parquet(s"$outDir/priors")
+        }
+        finish("buckets" -> model.buckets.size.toString)
 
       case "ppl" =>
         val (m12, m1) = graft.ops.ModelOps.bigramLmMaps(docsOf)
-        val fn = publishFn("ppl_bits",
-          es => tx(graft.ops.ModelOps.pplBitsCol(cc(es.head), m12, m1)))
-        JsonOut.obj("function" -> JsonOut.str(fn),
-          "m12" -> m12.size.toString, "m1" -> m1.size.toString)
+        locally {
+          import spark.implicits._
+          m12.toSeq.toDF("b", "c").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/m12")
+          m1.toSeq.toDF("b", "c").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/m1")
+        }
+        finish("m12" -> m12.size.toString, "m1" -> m1.size.toString)
 
       case "bm25" =>
         // the fts story's server face: corpus stats persist as views,
@@ -520,22 +509,141 @@ final class GigHttpServer(spark: SparkSession, root: String,
         val (dfTable, totals) = graft.ops.SearchOps.corpusStats(docsOf)
         dfTable.write.mode("overwrite").parquet(s"$outDir/df")
         totals.write.mode("overwrite").parquet(s"$outDir/totals")
-        views.publishArtifactView(s"${prefix}_bm25_df", s"$outDir/df")
-        views.publishArtifactView(s"${prefix}_bm25_totals", s"$outDir/totals")
-        val model = graft.ops.SearchOps.modelOf(
-          spark.read.parquet(s"$outDir/df"), spark.read.parquet(s"$outDir/totals"))
-        val fn = publishFn("match_bm25", es =>
-          tx(graft.ops.SearchOps.scoreCol(cc(es(0)),
-            literalStringArg("match_bm25(text, 'query terms')", es, 1), model)))
-        JsonOut.obj(
-          "views" -> s"""["${prefix}_bm25_df","${prefix}_bm25_totals"]""",
-          "function" -> JsonOut.str(fn),
-          "vocab" -> model.df.size.toString, "n" -> model.n.toString)
+        finish()
 
       case other => throw new IllegalArgumentException(
         s"unknown artifact kind '$other' (${ArtifactKinds.mkString(" | ")})")
     }
   }
+
+  /** (Re-)publish a SAVED artifact's views + bound SQL functions from
+    * its parquet dir. buildArtifact calls this right after saving — so
+    * what serves after a build is exactly what a restart would reload —
+    * and [[rebindArtifacts]] replays it at boot for every done job in
+    * the ledger (code-review r8: a restarted server answered `done`
+    * with result JSON naming views/functions that no longer resolved).
+    * Returns the result fields describing the published names. */
+  private def bindArtifact(kind: String, db: String, table: String,
+                           outDir: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.GraftColumnBridge.{column => cc, toExpression => tx}
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val prefix = if (db == "default") table else s"${db}_$table"
+    /** Per-table name AND the bare latest-binding alias (the ivf_probe
+      * discipline: a second table's artifact must not silently rebind
+      * the first's per-table name). */
+    def publishFn(bare: String, builder: Seq[Expression] => Expression): String = {
+      val fn = s"${prefix}_$bare"
+      views.publishArtifactFunction(fn, builder)
+      views.publishArtifactFunction(bare, builder)
+      fn
+    }
+    kind match {
+      case "cluster_map" =>
+        views.publishArtifactView(s"${prefix}_cluster_map", outDir)
+        Seq("view" -> JsonOut.str(s"${prefix}_cluster_map"))
+
+      case "ivf" =>
+        views.publishArtifactView(s"${prefix}_ivf_centroids", s"$outDir/centroids")
+        views.publishArtifactView(s"${prefix}_ivf_assigned", s"$outDir/assigned")
+        // (cell, cv, hn2) ordered by cell: centers(i) must be cell i
+        val centers = spark.read.parquet(s"$outDir/centroids")
+          .orderBy(col("cell")).collect()
+          .map(_.getSeq[Double](1).toArray)
+        val fn = publishFn("ivf_probe",
+          es => graft.functions.IvfProbeCells(es(0), es(1), centers))
+        Seq("views" -> s"""["${prefix}_ivf_centroids","${prefix}_ivf_assigned"]""",
+          "function" -> JsonOut.str(fn))
+
+      case "pq" =>
+        views.publishArtifactView(s"${prefix}_pq_codes", s"$outDir/codes")
+        views.publishArtifactView(s"${prefix}_pq_books", s"$outDir/books")
+        Seq("views" -> s"""["${prefix}_pq_codes","${prefix}_pq_books"]""")
+
+      case "bloom" =>
+        val bits = spark.read.parquet(s"$outDir/bits")
+          .orderBy(col("idx")).collect().map(_.getLong(1))
+        val fn = publishFn("bloom_hit",
+          es => tx(graft.ops.DedupOps.bloomHit(bits, cc(es.head))))
+        Seq("function" -> JsonOut.str(fn))
+
+      case "bpe" =>
+        views.publishArtifactView(s"${prefix}_bpe_merges", outDir)
+        val merges = spark.read.parquet(outDir).orderBy(col("step")).collect()
+          .map(r => graft.ops.BpeOps.Merge(r.getInt(0), r.getString(1),
+            r.getString(2), r.getString(3), r.getLong(4))).toSeq
+        val fn = publishFn("bpe_encode",
+          es => tx(graft.ops.BpeOps.encodePiecesCol(cc(es.head), merges)))
+        Seq("function" -> JsonOut.str(fn),
+          "view" -> JsonOut.str(s"${prefix}_bpe_merges"))
+
+      case "unigram" =>
+        views.publishArtifactView(s"${prefix}_unigram_pieces", outDir)
+        val costs = spark.read.parquet(outDir).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val fn = publishFn("unigram_encode",
+          es => graft.functions.UnigramEncode(es.head, costs))
+        Seq("function" -> JsonOut.str(fn),
+          "view" -> JsonOut.str(s"${prefix}_unigram_pieces"))
+
+      case "nb" =>
+        val b = spark.read.parquet(s"$outDir/buckets").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val pr = spark.read.parquet(s"$outDir/priors").collect()(0)
+        val model = graft.ops.ModelOps.NbModel(b,
+          b.valuesIterator.map(_._1).sum, b.valuesIterator.map(_._2).sum,
+          pr.getLong(0), pr.getLong(1))
+        val fn = publishFn("nb_quality",
+          es => tx(graft.ops.ModelOps.nbQualityCol(cc(es.head), model)))
+        Seq("function" -> JsonOut.str(fn))
+
+      case "ppl" =>
+        def m(p: String): Map[Long, Long] =
+          spark.read.parquet(s"$outDir/$p").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val (m12, m1) = (m("m12"), m("m1"))
+        val fn = publishFn("ppl_bits",
+          es => tx(graft.ops.ModelOps.pplBitsCol(cc(es.head), m12, m1)))
+        Seq("function" -> JsonOut.str(fn))
+
+      case "bm25" =>
+        views.publishArtifactView(s"${prefix}_bm25_df", s"$outDir/df")
+        views.publishArtifactView(s"${prefix}_bm25_totals", s"$outDir/totals")
+        val model = graft.ops.SearchOps.modelOf(
+          spark.read.parquet(s"$outDir/df"),
+          spark.read.parquet(s"$outDir/totals"))
+        val fn = publishFn("match_bm25", es =>
+          tx(graft.ops.SearchOps.scoreCol(cc(es(0)),
+            literalStringArg("match_bm25(text, 'query terms')", es, 1), model)))
+        Seq("views" -> s"""["${prefix}_bm25_df","${prefix}_bm25_totals"]""",
+          "function" -> JsonOut.str(fn),
+          "vocab" -> model.df.size.toString, "n" -> model.n.toString)
+
+      case other => throw new IllegalArgumentException(
+        s"unknown artifact kind '$other'")
+    }
+  }
+
+  /** Replay the publications of every completed artifact build in the
+    * ledger, oldest first (so the newest build of a key wins the bare
+    * latest-binding alias). Failures skip that artifact with a stderr
+    * note — a deleted .artifacts dir must not take the server down. */
+  private def rebindArtifacts(): Unit =
+    artifacts.completedOldestFirst().foreach { case (key, result) =>
+      try key.split(":", 3) match {
+        case Array(kind, db, table) =>
+          val out = JsonMethods.parse(result) \ "out" match {
+            case JString(s) => s
+            case _ => "" // pre-ledger-v2 result without an out stamp
+          }
+          if (out.nonEmpty && new java.io.File(out).exists())
+            bindArtifact(kind, db, table, out)
+        case _ => ()
+      } catch {
+        case NonFatal(e) =>
+          System.err.println(s"[graft] artifact rebind failed for $key: $e")
+      }
+    }
 
   // ---- plumbing ----
 

@@ -26,6 +26,10 @@ class ChsqlFunctionsSpec extends SparkSpec {
     assert(one(s"toDate($t)").toString == "2025-04-24")
     assert(one(s"toStartOfMonth($t)").toString == "2025-04-01")
     assert(one(s"toStartOfYear($t)").toString == "2025-01-01")
+    // CH default mode 0: weeks start SUNDAY (2025-04-24 is a Thursday);
+    // a Sunday is its own week start
+    assert(one(s"toStartOfWeek($t)").toString == "2025-04-20")
+    assert(one("toStartOfWeek(DATE '2025-04-20')").toString == "2025-04-20")
     assert(one(s"toStartOfDay($t)").toString == "2025-04-24 00:00:00.0")
     assert(one(s"toStartOfHour($t)").toString == "2025-04-24 13:00:00.0")
     assert(one(s"toStartOfMinute($t)").toString == "2025-04-24 13:45:00.0")

@@ -466,6 +466,13 @@ class GigHttpServerSpec extends SparkSpec {
         URI.create(s"$b2/gigapi/artifacts")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(list.body().contains(id), list.body())
+      // `done` must not lie about availability (code-review r8): the
+      // published view REBINDS at boot and serves on the new process
+      val q = client.send(HttpRequest.newBuilder(URI.create(s"$b2/query?db=led"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query": "SELECT count(*) AS c FROM led_corpus_cluster_map"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(q.statusCode() == 200 && q.body().contains(""""c":"3""""), q.body())
     } finally s2.close()
   }
 
