@@ -148,6 +148,108 @@ object SearchOps {
     round(contribs.reduceLeft(_ + _), 4)
   }
 
+  /** Batch BM25 for MANY queries via posting lists — the
+    * inverted-index face SCALE.md's p86 row defers to when queries
+    * vastly outnumber corpus passes. One tokenize pass builds postings
+    * RESTRICTED to the query vocabulary (map-side literal-IN at the
+    * explode, the p26 shape), so the only corpus-keyed shuffles carry
+    * (doc, term∈queries) rows — at 100 TB that is the matching slice,
+    * not the corpus. Stats (N, avgdl, per-term df) are dimension-sized
+    * broadcasts; the query table broadcasts onto postings; top-k is a
+    * per-qid rank window.
+    *
+    * Float discipline, aggregation edition: the per-(qid, doc) score
+    * IS a SUM here, and float sums are accumulation-order-dependent —
+    * so each term contribution quantizes to integer MICRO-units
+    * (round(c·10⁶) as BIGINT, the p65 integer-ratio device) and the
+    * sum is exact integer arithmetic. Output is `score_micro` BIGINT:
+    * no float ever crosses the oracle compare. */
+  def bm25Batch(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+                k: Int = 10): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty))
+    val spark = docs.sparkSession
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
+    // dl rides the postings rows from the start (a grouping column,
+    // constant per doc): joining a corpus-sized (doc, dl) frame back
+    // onto postings would shuffle the whole corpus — the exact cost
+    // this face exists to avoid. The array filter runs BEFORE the
+    // explode, so non-matching tokens never become rows.
+    val postings = toks
+      .select(col("doc_id"), size(col("__w")).as("dl"),
+        explode(filter(col("__w"), x => x.isin(allTerms: _*))).as("t"))
+      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
+    val totals = toks.agg(
+      count(lit(1)).as("n"), sum(size(col("__w"))).as("sdl"))
+    val dfs = postings.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+    import spark.implicits._
+    val qdf = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+      .toDF("qid", "t")
+    val avgdl = col("sdl").cast("double") / col("n")
+    val c = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf").cast("double") * lit(K1 + 1)) /
+      (col("tf").cast("double") +
+        lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / avgdl)))
+    val perTerm = postings
+      .join(broadcast(qdf), "t")
+      .join(broadcast(dfs.as("d")), "t")
+      .crossJoin(broadcast(totals))
+      .select(col("qid"), col("doc_id"),
+        round(c * lit(1000000.0)).cast("long").as("micro"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    perTerm.groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("matches"), sum(col("micro")).as("score_micro"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** DuckDB oracle for [[bm25Batch]]: same postings, same micro-unit
+    * quantization (roundD at scale 0 reproduces Spark's HALF_UP), same
+    * integer sum — order-independent on both sides by construction. */
+  def bm25BatchSql(queries: Seq[(Int, Seq[String])], k: Int = 10,
+                   table: String = "documents"): String = {
+    def esc(t: String) = t.replace("'", "''")
+    val allTerms = queries.flatMap(_._2).distinct
+      .map(t => s"'${esc(t)}'").mkString(", ")
+    val qrows = queries.flatMap { case (q, ts) =>
+      ts.distinct.map(t => s"($q, '${esc(t)}')") }.mkString(", ")
+    val core = "ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
+      s"(CAST(tf AS DOUBLE) * ${K1 + 1}) / " +
+      s"(CAST(tf AS DOUBLE) + $K1 * (${1 - B} + $B * (dl / (CAST(sdl AS DOUBLE) / n))))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |post AS (
+       |  SELECT doc_id, dl, t, count(*) AS tf FROM (
+       |    SELECT doc_id, len(w) AS dl,
+       |      unnest(list_filter(w, x -> x IN ($allTerms))) AS t
+       |    FROM toks)
+       |  GROUP BY doc_id, dl, t),
+       |totals AS (SELECT count(*) AS n, sum(len(w)) AS sdl FROM toks),
+       |dfs AS (SELECT t, count(DISTINCT doc_id) AS df FROM post GROUP BY t),
+       |q(qid, t) AS (VALUES $qrows),
+       |per_term AS (
+       |  SELECT q.qid, p.doc_id,
+       |    CAST(${OracleSql.roundD(s"($core) * 1000000.0", 0)} AS BIGINT) AS micro
+       |  FROM post p
+       |  JOIN q ON p.t = q.t
+       |  JOIN dfs ON p.t = dfs.t
+       |  CROSS JOIN totals),
+       |scored AS (
+       |  SELECT qid, doc_id, count(*) AS matches,
+       |    CAST(sum(micro) AS BIGINT) AS score_micro -- DuckDB sum(BIGINT)=HUGEINT
+       |  FROM per_term GROUP BY qid, doc_id)
+       |SELECT qid, doc_id, matches, score_micro, rn FROM (
+       |  SELECT qid, doc_id, matches, score_micro,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY score_micro DESC, doc_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
   /** DuckDB oracle for [[bm25]] — same tokenization as the dedup
     * oracles, same rounded-contribution chain in the same term order. */
   def bm25Sql(terms0: Seq[String], k: Int = 20,

@@ -19,6 +19,13 @@ object PipelineQueries {
   /** p86's fixed query — mixed-frequency terms over the synthetic
     * corpus vocabulary so idf/tf both differentiate. */
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "stream")
+  /** p87's query batch (the posting-list face): overlapping
+    * vocabularies and differing lengths exercise the per-qid ranks. */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "vector"),
+    2 -> Seq("stream", "batch", "join"),
+    3 -> Seq("customer", "query"),
+    4 -> Seq("hash"))
 
   val queries: Map[String, Q] = Map(
     // ---- exact dedup (hash group-by; single shuffle) ----
@@ -1144,6 +1151,14 @@ object PipelineQueries {
       SearchOps.bm25(Tables.loadSpread(s, dir, "documents"), Bm25Terms, k = 20)
     }),
 
+    // ---- batch BM25 over MANY queries via posting lists: the
+    //      inverted-index face for the queries >> corpus-passes regime;
+    //      postings restricted to query vocab at the explode, integer
+    //      micro-unit scores (float-sum-proof by construction) ----
+    "p87_bm25_batch" -> ((s, dir) => {
+      SearchOps.bm25Batch(Tables.loadSpread(s, dir, "documents"), Bm25Queries, k = 10)
+    }),
+
     "p57_hard_negatives" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
@@ -1569,6 +1584,7 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
     "p02_ngram_jaccard" -> DedupOps.jaccardPairsSql(NearDupTau),
     "p86_bm25_search" -> SearchOps.bm25Sql(Bm25Terms, k = 20),
+    "p87_bm25_batch" -> SearchOps.bm25BatchSql(Bm25Queries, k = 10),
     "p03_minhash_lsh" -> DedupOps.jaccardPairsSql(NearDupTau, capFrac = None),
     "p04_simhash" -> DedupOps.simHashSql(),
     "p05_embedding_neardup" ->

@@ -56,6 +56,25 @@ class SearchOpsSpec extends SparkSpec {
     assert(viaScalar == viaTopK, s"\nscalar: $viaScalar\ntopk:   $viaTopK")
   }
 
+  test("bm25Batch: per-qid top-k, postings filtered before explode, no corpus re-join") {
+    val qs = Seq(1 -> Seq("spark", "vector"), 2 -> Seq("zzz_absent"))
+    val df = SearchOps.bm25Batch(docs(), qs, k = 10)
+    val rows = df.collect()
+    val q1 = rows.filter(_.getInt(0) == 1)
+    assert(q1.map(_.getLong(1)).toSet == Set(0L, 1L, 3L), q1.mkString(","))
+    // doc 3 has both terms (matches=2) and is shortest: ranks first
+    assert(q1.head.getLong(1) == 3L && q1.head.getLong(2) == 2L)
+    assert(q1.map(_.getInt(4)).toSeq == (1 to q1.length), "rn dense per qid")
+    assert(!rows.exists(_.getInt(0) == 2), "no posting rows for unmatched query")
+    // plan shape: the query/df/totals sides broadcast; the corpus-sized
+    // (doc, dl) frame is never re-joined (dl rides the postings rows)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("oracle SQL matches the impl's own numbers (engine-side replay)") {
     // replay the DuckDB oracle shape through Spark SQL on the same tiny
     // corpus: same tokenize, same rounded-contribution chain — guards
