@@ -32,7 +32,7 @@ import graft.pruning.{Pruning, QueryViews}
   *  - POST /gigapi/create — create-table DDL (JSON, or the reference's
   *    YAML shape — F8 subset)
   *  - POST /gigapi/artifacts?db=… {"kind": "cluster_map"|"ivf"|"pq"|
-  *    "bloom"|"bpe"|"unigram"|"nb"|"ppl", "table": …} — train a
+  *    "bloom"|"bpe"|"unigram"|"nb"|"ppl"|"bm25", "table": …} — train a
   *    pipeline artifact over an ingested table IN THE BACKGROUND
   *    (202 + {"job": id}; GET /gigapi/artifacts/{id} polls; {"sync":
   *    true} builds inline for tests) and publish it onto the SQL
@@ -41,8 +41,11 @@ import graft.pruning.{Pruning, QueryViews}
   *    `<table>_bpe_merges`, `<table>_unigram_pieces`) joinable from any
   *    /query SQL, plus artifact-BOUND scalar functions: `ivf_probe(vec,
   *    nprobe)`, `bloom_hit(shingle)`, `bpe_encode(text)`,
-  *    `unigram_encode(text)`, `nb_quality(text)`, `ppl_bits(text)` —
-  *    each also under its `<table>_`-prefixed name. Beyond reference
+  *    `unigram_encode(text)`, `nb_quality(text)`, `ppl_bits(text)`,
+  *    `match_bm25(text, 'query terms')` —
+  *    each also under its `<table>_`-prefixed name. Publications
+  *    REBIND at boot from the job ledger + saved parquet, so a
+  *    restart serves every completed build. Beyond reference
   *    parity (its query story is "POST SQL"; this makes the Scala-only
   *    trained artifacts reachable from it).
   *  - GET /health, GET /ping
