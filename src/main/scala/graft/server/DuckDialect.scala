@@ -24,19 +24,85 @@ package graft.server
   */
 object DuckDialect {
 
-  /** Rewrite every `::TYPE` postfix cast outside string literals /
-    * quoted identifiers / comments. Fixpoint loop: each pass rewrites
-    * the first cast (chains like `x::INT::VARCHAR` resolve inner-out). */
+  /** Rewrite every `::TYPE` postfix cast and `read_parquet`/`read_json`
+    * table function outside string literals / quoted identifiers /
+    * comments. Fixpoint loop: each pass rewrites the first occurrence
+    * (chains like `x::INT::VARCHAR` resolve inner-out). */
   def rewrite(sql: String): String = {
     var s = sql
     var guard = 0
     while (guard < 256) { // a query with >256 casts is not a query
-      rewriteFirst(s) match {
+      rewriteFirst(s).orElse(rewriteFirstTableFn(s)) match {
         case Some(n) => s = n; guard += 1
         case None => return s
       }
     }
     s
+  }
+
+  /** DuckDB file-reading table function → Spark's direct-path form:
+    * `read_parquet('p')` → `parquet.\`p\``, list form
+    * `read_parquet(['a','b'])` / `read_parquet(ARRAY['a','b'])` →
+    * a `{a,b}` Hadoop glob. The reference promises DuckDB SQL on its
+    * query route and its own merge SQL uses exactly these spellings
+    * (reference merge_service_fs.go:214-217, 265-268). Calls with
+    * extra option arguments (hive_partitioning=..., union_by_name=...)
+    * are left untouched — rewriting while dropping options would
+    * silently change semantics. */
+  private val TableFns = Map(
+    "read_parquet" -> "parquet", "parquet_scan" -> "parquet",
+    "read_json" -> "json", "read_json_auto" -> "json",
+    "read_ndjson_auto" -> "json")
+
+  private def rewriteFirstTableFn(s: String): Option[String] = {
+    val ts = lex(s)
+    def strVal(t: Tok): String = // strip quotes, undo '' doubling
+      s.substring(t.start + 1, math.max(t.start + 1, t.end - 1))
+        .replace("''", "'")
+    var k = 0
+    while (k < ts.length) {
+      val isFn = ts(k).kind == Word && TableFns.contains(
+        s.substring(ts(k).start, ts(k).end).toLowerCase(java.util.Locale.ROOT))
+      if (isFn && k + 1 < ts.length && ts(k + 1).kind == Punct('(')) {
+        val source = TableFns(
+          s.substring(ts(k).start, ts(k).end).toLowerCase(java.util.Locale.ROOT))
+        // single-path form: fn ( 'p' )
+        if (k + 3 < ts.length && ts(k + 2).kind == Str &&
+            ts(k + 3).kind == Punct(')')) {
+          return Some(s.substring(0, ts(k).start) +
+            s"$source.`${strVal(ts(k + 2)).replace("`", "``")}`" +
+            s.substring(ts(k + 3).end))
+        }
+        // list form: fn ( [ARRAY] [ 'a' , 'b' ... ] )
+        var i = k + 2
+        if (i < ts.length && ts(i).kind == Word &&
+            s.substring(ts(i).start, ts(i).end)
+              .equalsIgnoreCase("ARRAY")) i += 1
+        if (i < ts.length && ts(i).kind == Punct('[')) {
+          val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = i + 1
+          var ok = true
+          var done = false
+          while (ok && !done && j + 1 < ts.length) {
+            (ts(j).kind, ts(j + 1).kind) match {
+              case (Str, Punct(',')) => paths += strVal(ts(j)); j += 2
+              case (Str, Punct(']')) => paths += strVal(ts(j)); j += 1; done = true
+              case _ => ok = false
+            }
+          }
+          if (ok && done && paths.nonEmpty && j + 1 < ts.length &&
+              ts(j + 1).kind == Punct(')')) {
+            val glob = if (paths.size == 1) paths.head
+              else paths.mkString("{", ",", "}")
+            return Some(s.substring(0, ts(k).start) +
+              s"$source.`${glob.replace("`", "``")}`" +
+              s.substring(ts(j + 1).end))
+          }
+        }
+      }
+      k += 1
+    }
+    None
   }
 
   /** DuckDB type name → Spark type name. Unlisted names pass through

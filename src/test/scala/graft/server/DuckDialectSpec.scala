@@ -54,6 +54,35 @@ class DuckDialectSpec extends SparkSpec {
     assert(rw("SELECT x::REAL") == "SELECT CAST(x AS FLOAT)")
   }
 
+  test("read_parquet/read_json table functions map to Spark direct-path reads") {
+    assert(rw("SELECT * FROM read_parquet('/data/t.parquet')") ==
+      "SELECT * FROM parquet.`/data/t.parquet`")
+    assert(rw("SELECT * FROM read_parquet(['/a.parquet', '/b.parquet'])") ==
+      "SELECT * FROM parquet.`{/a.parquet,/b.parquet}`")
+    assert(rw("SELECT * FROM read_parquet(ARRAY['/a.parquet', '/b.parquet'])") ==
+      "SELECT * FROM parquet.`{/a.parquet,/b.parquet}`")
+    assert(rw("SELECT * FROM read_json_auto('/d.json')") ==
+      "SELECT * FROM json.`/d.json`")
+    // option arguments: rewriting while dropping them would change
+    // semantics — leave for the parser to reject loudly
+    val opt = "SELECT * FROM read_parquet('/a.parquet', union_by_name=true)"
+    assert(rw(opt) == opt)
+    // inside a string: untouched
+    assert(rw("SELECT 'read_parquet(''x'')'") == "SELECT 'read_parquet(''x'')'")
+    // composes with the cast rewrite in one call
+    assert(rw("SELECT v::INT FROM read_parquet('/t.parquet')") ==
+      "SELECT CAST(v AS INT) FROM parquet.`/t.parquet`")
+  }
+
+  test("read_parquet actually reads through Spark") {
+    val dir = java.nio.file.Files.createTempDirectory("duckrp-").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.mode("overwrite").parquet(dir)
+    val out = spark.sql(rw(s"SELECT count(*) AS c FROM read_parquet('$dir')"))
+      .collect().head.getLong(0)
+    assert(out == 2L)
+  }
+
   test("rewritten SQL actually runs on Spark") {
     val r = spark.sql(rw(
       "SELECT 42::VARCHAR AS s, '7'::INT2 AS i, epoch_ns('2025-04-24T00:00:00'::TIMESTAMP) AS ns"))
