@@ -32,7 +32,8 @@ object DuckDialect {
     var s = sql
     var guard = 0
     while (guard < 256) { // a query with >256 casts is not a query
-      rewriteFirst(s).orElse(rewriteFirstTableFn(s)) match {
+      rewriteFirst(s).orElse(rewriteFirstTableFn(s))
+        .orElse(rewriteFirstZeroArgCount(s)) match {
         case Some(n) => s = n; guard += 1
         case None => return s
       }
@@ -54,6 +55,17 @@ object DuckDialect {
     "read_json" -> "json", "read_json_auto" -> "json",
     "read_ndjson_auto" -> "json")
 
+  /** DuckDB range-reads http(s) URLs natively (reference
+    * BENCHMARK.md:11 scans `read_parquet('https://…')`); Hadoop has no
+    * https FileSystem, so remote paths route through the
+    * download-through cache ([[graft.sources.HttpParquet]]) — fetched
+    * once, content-addressed, scanned as a normal local pruned
+    * columnar read. Local paths pass through untouched. */
+  private def localize(p: String): String =
+    if (p.startsWith("http://") || p.startsWith("https://"))
+      graft.sources.HttpParquet.fetch(p).toString
+    else p
+
   private def rewriteFirstTableFn(s: String): Option[String] = {
     val ts = lex(s)
     def strVal(t: Tok): String = // strip quotes, undo '' doubling
@@ -70,7 +82,7 @@ object DuckDialect {
         if (k + 3 < ts.length && ts(k + 2).kind == Str &&
             ts(k + 3).kind == Punct(')')) {
           return Some(s.substring(0, ts(k).start) +
-            s"$source.`${strVal(ts(k + 2)).replace("`", "``")}`" +
+            s"$source.`${localize(strVal(ts(k + 2))).replace("`", "``")}`" +
             s.substring(ts(k + 3).end))
         }
         // list form: fn ( [ARRAY] [ 'a' , 'b' ... ] )
@@ -92,14 +104,35 @@ object DuckDialect {
           }
           if (ok && done && paths.nonEmpty && j + 1 < ts.length &&
               ts(j + 1).kind == Punct(')')) {
-            val glob = if (paths.size == 1) paths.head
-              else paths.mkString("{", ",", "}")
+            val local = paths.map(localize)
+            val glob = if (local.size == 1) local.head
+              else local.mkString("{", ",", "}")
             return Some(s.substring(0, ts(k).start) +
               s"$source.`${glob.replace("`", "``")}`" +
               s.substring(ts(j + 1).end))
           }
         }
       }
+      k += 1
+    }
+    None
+  }
+
+  /** DuckDB allows zero-argument `count()` (= `count(*)` — the
+    * reference's published benchmark query, BENCHMARK.md:11, uses it);
+    * Spark's parser requires an argument. Rewrite `count()` →
+    * `count(*)` outside strings/comments. */
+  private def rewriteFirstZeroArgCount(s: String): Option[String] = {
+    val ts = lex(s)
+    var k = 0
+    while (k + 2 < ts.length) {
+      if (ts(k).kind == Word &&
+          s.substring(ts(k).start, ts(k).end)
+            .equalsIgnoreCase("count") &&
+          ts(k + 1).kind == Punct('(') && ts(k + 2).kind == Punct(')') &&
+          ts(k).end == ts(k + 1).start) // fn-head needs char adjacency
+        return Some(s.substring(0, ts(k + 1).end) + "*" +
+          s.substring(ts(k + 2).start))
       k += 1
     }
     None
