@@ -193,6 +193,11 @@ object Bench {
 
     // --- sf1 section: 10× derived corpus, warm pass per subset query ---
     val sf1 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-query (warm/artifact-build sec, rep1, rep2) — VERDICT r8 #1a:
+    // best-of alone cannot adjudicate a 3 s-vs-18.7 s discrepancy
+    // between two runs of identical code+data after the fact
+    val sf1Reps =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     var sf1Dir = ""
     var sf1GenSec = -1.0
     if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") try {
@@ -220,9 +225,10 @@ object Bench {
           // the steady-state estimator least sensitive to one-off GC /
           // scheduler stalls, which is what the ratio guard compares.
           val cap = math.min(90.0, sf1Budget - spent + 15.0)
-          timeOne(spark, sf1Dir, SparkEntry.queries(n), cap) // artifact build / warm
+          val w = timeOne(spark, sf1Dir, SparkEntry.queries(n), cap) // artifact build / warm
           val r1 = timeOne(spark, sf1Dir, SparkEntry.queries(n), cap)
           val r2 = timeOne(spark, sf1Dir, SparkEntry.queries(n), cap)
+          sf1Reps(n) = (r3(w), r3(r1), r3(r2))
           sf1(n) = if (r1 >= 0 && r2 >= 0) math.min(r1, r2)
                    else math.max(r1, r2) // one failed: keep the honest rep / worst code
         }
@@ -253,10 +259,17 @@ object Bench {
       catch { case _: Throwable => "" }
     val prevFp = """"__data_fp":"([0-9a-f]+)"""".r
       .findFirstMatchIn(ratioTxt).map(_.group(1))
-    val baselineReset = prevFp.exists(_ != dataFp)
+    // a fingerprint-LESS prior baseline is also a mismatch (ADVICE r8):
+    // it may predate the current data generation, and comparing against
+    // it reproduces the exact cross-generation ambiguity the fingerprint
+    // exists to kill — reset loudly the first time a fingerprint is
+    // available rather than trusting it for one more round
+    val baselineReset = dataFp.nonEmpty && ratioTxt.nonEmpty &&
+      !prevFp.contains(dataFp)
     if (baselineReset) System.err.println(
-      s"[bench] SF1 baseline reset: data fingerprint ${prevFp.get} -> $dataFp " +
-        "(driver regenerated testdata; cross-generation ratios don't compare)")
+      s"[bench] SF1 baseline reset: data fingerprint " +
+        s"${prevFp.getOrElse("<absent>")} -> $dataFp " +
+        "(prior baseline not from these bytes; cross-generation ratios don't compare)")
     val prevRatios: Map[String, Double] =
       if (baselineReset) Map.empty
       else """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(ratioTxt)
@@ -316,6 +329,9 @@ object Bench {
          |"artifact_build_sec_per_rep":[${repBuildSec.mkString(",")}],
          |"sf1_dir":${graft.server.JsonOut.str(sf1Dir)},"sf1_gen_sec":$sf1GenSec,
          |"sf1_queries":${jsonObj(sf1.toSeq)},
+         |"sf1_per_rep":${sf1Reps.map { case (n, (w, a, b)) =>
+           "\"" + n + "\":{\"warm_build\":" + w + ",\"reps\":[" + a + "," + b + "]}"
+         }.mkString("{", ",", "}")},
          |"sf1_ratios":${jsonObj(ratios)},
          |"sf1_ratio_regressions":${jsonObj(regressions)},
          |"sf1_baseline_reset":$baselineReset,"sf1_data_fp":"$dataFp",

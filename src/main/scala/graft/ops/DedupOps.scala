@@ -447,18 +447,27 @@ object DedupOps {
     * guard: without it one hyper-frequent shingle makes the `a.s = b.s`
     * self-join quadratic on that key. `capFrac = None` gives the
     * classical uncapped Jaccard (used by minHashPairs' exact verify). */
+  /** Opt-in cost attribution (-Dgraft.dedup.costLog=1 /
+    * GRAFT_DEDUP_COST_LOG=1). The probes cost roughly one extra
+    * shingling/signature pass per call — diagnosis-only, never on in
+    * production paths by default. */
+  private def costLogEnabled: Boolean =
+    sys.props.get("graft.dedup.costLog").contains("1") ||
+      sys.env.get("GRAFT_DEDUP_COST_LOG").contains("1")
+
   def ngramJaccardPairs(docs: DataFrame, tau: Double, n: Int = 3,
                         capFrac: Option[Double] = Some(StopShingleFrac)): DataFrame = {
-    // Opt-in cost attribution (-Dgraft.dedup.costLog=1 /
-    // GRAFT_DEDUP_COST_LOG=1): one extra aggregation job that prints the
+    // one extra aggregation job that prints the
     // Σdf² line BEFORE the pair join runs, so the next sf1-style blowup
     // is attributable without reconstructing the number by hand (r7).
-    if (sys.props.get("graft.dedup.costLog").contains("1") ||
-        sys.env.get("GRAFT_DEDUP_COST_LOG").contains("1")) {
+    if (costLogEnabled) {
+      // empty corpus: first(cap)/sum(df²) aggregate to NULL — print zeros
+      // rather than NPE (the probe must never be the thing that fails)
       val r = shingleCostStats(docs, n, capFrac).collect()(0)
-      System.err.println(s"[graft] ngramJaccardPairs cost: cap=${r.getLong(0)} " +
-        s"admitted_shingles=${r.getLong(1)} dropped_shingles=${r.getLong(2)} " +
-        s"candidate_pairs=${r.getLong(3)} sum_df2=${r.getLong(4)}")
+      def gl(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      System.err.println(s"[graft] ngramJaccardPairs cost: cap=${gl(0)} " +
+        s"admitted_shingles=${gl(1)} dropped_shingles=${gl(2)} " +
+        s"candidate_pairs=${gl(3)} sum_df2=${gl(4)}")
     }
     // no cache(): shingling is one cheap projection post-tokenize-fix, and
     // the self-join's two sides share one shuffle via ReuseExchange — an
@@ -509,7 +518,11 @@ object DedupOps {
                    knownDocs: Option[Long] = None): DataFrame = {
     val nDocs = knownDocs.getOrElse(docs.count())
     if (nDocs <= exactMaxDocs) ngramJaccardPairs(docs, tau, n)
-    else minHashPairs(docs, tau, n)
+    // the production banded face caps band buckets (MaxBandBucket) on
+    // top of the exact-dup collapse — bounded work even when >4096
+    // DISTINCT texts collide in one band (recall on such a family is
+    // carried by the other 15 bands; documented SCALE.md tradeoff)
+    else minHashPairs(docs, tau, n, maxBandBucket = Some(MaxBandBucket))
   }
 
   /** Σdf² cost probe for the pair join: one row with the cap in force,
@@ -650,11 +663,39 @@ object DedupOps {
   def corpusShingleSets(corpus: DataFrame, n: Int = 3): DataFrame =
     shingleSets(corpus, n).select(col("doc_id").as("corpus_id"), col("sh"))
 
-  /** LSH candidate pairs: equal band hash in ≥1 of the 16 bands. */
-  def minHashCandidates(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(
+  /** Production band-bucket cap (see [[minHashCandidates]]): a (band,
+    * bh) bucket holding more than this many DISTINCT-text docs is
+    * dropped from candidate generation. With exact duplicates collapsed
+    * first (minHashPairs), a bucket this deep means >4096 genuinely
+    * distinct texts whose minima all collide in one band — either a
+    * vast near-dup family (whose pairs the other 15 bands keep
+    * re-finding) or a degenerate band (corpus-wide shared minima, pure
+    * noise). Dropping it bounds per-bucket pair work at O(cap²) = O(1);
+    * the test-SF p03 face runs UNCAPPED (None) so the oracle's exact
+    * Jaccard answer is untouched. */
+  val MaxBandBucket: Long = 4096L
+
+  /** LSH candidate pairs: equal band hash in ≥1 of the 16 bands.
+    * `maxBucket` caps the per-(band, bh) bucket size: a bucket of c
+    * docs contributes c·(c−1)/2 candidate pairs, so one hot bucket
+    * (a mega-cluster of near-identical docs, or a degenerate band hash)
+    * makes the self-join quadratic on that key — the banded analog of
+    * the stop-shingle cap. The cap rides the join's own shuffle as a
+    * window over (band, bh), exactly the [[ngramJaccardPairs]]
+    * discipline. */
+  def minHashCandidates(sigs: DataFrame,
+                        maxBucket: Option[Long] = None): DataFrame = {
+    val exploded = sigs.select(
       col("doc_id"),
       posexplode(bandHashes(col("sig"))).as(Seq("band", "bh")))
+    val bands = maxBucket match {
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        exploded
+          .withColumn("__c", count(lit(1)).over(Window.partitionBy("band", "bh")))
+          .filter(col("__c") <= cap).drop("__c")
+      case None => exploded
+    }
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -664,22 +705,107 @@ object DedupOps {
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified ≥ tau (verify is
     * against the classical uncapped Jaccard — jaccardPairsSql(tau, None)).
-    * Candidate generation is O(corpus) + a band-key shuffle; the exact
-    * verify join touches only candidates. */
-  def minHashPairs(docs: DataFrame, tau: Double, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n)
-    val cands = minHashCandidates(minHashSignaturesFrom(sh))
+    *
+    * Exact-duplicate texts are collapsed to one representative BEFORE
+    * signatures (the [[exactGroups]] md5 contract): identical text ⇒
+    * identical signature, so a cluster of m exact copies would flood
+    * every band bucket with m colliding rows and push m²/2 candidates
+    * through the verify join only to conclude j = 1.0 — the mega-cluster
+    * quadratic (VERDICT r8 #1; viral boilerplate at 100 TB). With
+    * representatives the banded machinery sees each distinct text once;
+    * member pairs are reconstructed exactly afterwards (same text ⇒ same
+    * shingle set ⇒ intra-cluster j is exactly 1.0 and a cross-cluster
+    * member pair scores its representatives' j), so the output — and the
+    * oracle — is bit-identical to the uncollapsed plan. The expansion
+    * joins produce exactly the answer rows; only the answer itself is
+    * quadratic in cluster size (a pairs API cannot do better — the
+    * cluster face is the bounded-output production surface).
+    *
+    * Candidate generation is O(#distinct texts) + a band-key shuffle;
+    * the exact verify join touches only candidates. `maxBandBucket`
+    * additionally caps band buckets (see [[minHashCandidates]]) — None
+    * here (the oracle-gated face); [[nearDupPairs]] passes the
+    * production [[MaxBandBucket]]. */
+  def minHashPairs(docs: DataFrame, tau: Double, n: Int = 3,
+                   maxBandBucket: Option[Long] = None): DataFrame = {
+    // fp join key: md5(coalesce(text,'')) — a NULL fp would drop the
+    // doc at the members join; null-text docs shingle to nothing and
+    // fall out via the rep-has-shingles gate exactly as before
+    val fps = docs.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as("fp"))
+    val reps = fps.groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
+    val members = fps.join(reps, "fp").select(col("doc_id"), col("rep_id"))
+    val repDocs = docs.join(
+      reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val sh = shingles(repDocs, n)
+    if (costLogEnabled) {
+      val r = bandCostStats(docs, n).collect()(0)
+      def gl(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      System.err.println(s"[graft] minHashPairs cost: n_docs=${gl(0)} " +
+        s"n_reps=${gl(1)} buckets=${gl(2)} max_bucket=${gl(3)} " +
+        s"candidate_pairs=${gl(4)} sum_c2=${gl(5)}")
+    }
+    val cands = minHashCandidates(minHashSignaturesFrom(sh), maxBandBucket)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cands
       .join(sh.as("x"), col("da") === col("x.doc_id"))
       .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.s") === col("y.s"))
       .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    common
+    val repPairs = common
       .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"),
         (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("j"))
       .filter(col("j") >= tau)
+    // expansion: intra-cluster pairs are exact copies (j = 1.0; gated on
+    // the representative having ≥1 shingle — shingle-less docs never
+    // appeared in the uncollapsed output either) …
+    val intra = members.as("x").join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .join(sizes.withColumnRenamed("doc_id", "rep_id").select("rep_id"),
+        Seq("rep_id"), "left_semi")
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        lit(1.0).as("j"))
+      .filter(lit(1.0) >= tau)
+    // … and a cross-cluster member pair inherits its representatives' j
+    // (identical shingle sets); least/greatest restores da < db when
+    // member ids interleave across clusters
+    val cross = repPairs
+      .join(members.as("ma"), col("da") === col("ma.rep_id"))
+      .join(members.as("mb"), col("db") === col("mb.rep_id"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("da"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("db"), col("j"))
+    intra.unionByName(cross)
+  }
+
+  /** Band-bucket cost probe for the banded-MinHash path (the
+    * [[shingleCostStats]] analog — VERDICT r8 task 1b): one row with the
+    * corpus size, the distinct-text count the collapse reduces it to,
+    * the non-singleton (band, bh) bucket count, the deepest bucket, the
+    * candidate-pair total Σ c·(c−1)/2 (the band self-join's exact work
+    * bound), and Σc². Computed over collapsed representatives — what
+    * [[minHashPairs]] actually joins. Loggable via the same
+    * -Dgraft.dedup.costLog=1 flag. */
+  def bandCostStats(docs: DataFrame, n: Int = 3): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as("fp"))
+    val reps = fps.groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
+    val repDocs = docs.join(
+      reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val buckets = minHashSignatures(repDocs, n)
+      .select(posexplode(bandHashes(col("sig"))).as(Seq("band", "bh")))
+      .groupBy("band", "bh").agg(count(lit(1)).as("c"))
+    val nDocs = docs.count()
+    val nReps = reps.count()
+    buckets.agg(
+        count(when(col("c") > 1, lit(1))).as("multi_buckets"),
+        max(col("c")).as("max_bucket"),
+        sum(col("c") * (col("c") - 1) / 2).cast("long").as("candidate_pairs"),
+        sum(col("c") * col("c")).cast("long").as("sum_c2"))
+      .select(lit(nDocs).as("n_docs"), lit(nReps).as("n_reps"),
+        col("multi_buckets"), col("max_bucket"), col("candidate_pairs"),
+        col("sum_c2"))
   }
 
   // ---- SimHash: 60-bit signature from token-hash bit votes ----
