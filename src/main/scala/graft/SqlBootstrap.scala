@@ -27,9 +27,20 @@ object SqlBootstrap {
     val sql = scala.io.Source.stdin.mkString
     // statement split on ';' outside quotes (reference splits on ';')
     splitStatements(sql).foreach { stmt =>
-      // same DuckDB-dialect acceptance as /query (`expr::TYPE` casts)
-      println(graft.server.JsonOut.results(
-        spark.sql(graft.server.DuckDialect.rewrite(stmt)), 10000))
+      // same DuckDB-dialect acceptance as /query: `expr::TYPE` casts,
+      // LOAD/INSTALL/PRAGMA no-ops (the reference's Docker build sends
+      // `INSTALL chsql; LOAD chsql;` through exactly this surface,
+      // reference stdin/init.go), CREATE SECRET → fs.s3a.* conf
+      import graft.server.DuckDialect
+      if (DuckDialect.isExtensionNoOp(stmt)) ()
+      else DuckDialect.parseSecret(stmt) match {
+        case Some(confs) => confs.foreach { case (k, v) =>
+          spark.sparkContext.hadoopConfiguration.set(k, v) }
+        case None =>
+          val rw = DuckDialect.rewriteInfo(stmt, fetchRemote = true)
+          rw.confs.foreach { case (k, v) => spark.conf.set(k, v) }
+          println(graft.server.JsonOut.results(spark.sql(rw.sql), 10000))
+      }
     }
     spark.stop()
   }

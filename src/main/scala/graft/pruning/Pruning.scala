@@ -201,15 +201,20 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Plan one request's SQL — lock-free on every path. */
+  /** Plan one request's SQL — lock-free on every path. `extraConfs`
+    * (e.g. parquet mergeSchema from a DuckDB `union_by_name=true`
+    * rewrite) forces a PRIVATE session: the cached snapshot session is
+    * shared across requests and must never carry one request's conf. */
   def sqlFor(sqlText: String, timeRangeNs: Option[(Long, Long)],
-             bareDb: Option[String]): DataFrame = {
-    if (timeRangeNs.isEmpty && bareDb.forall(_ == "default")) {
+             bareDb: Option[String],
+             extraConfs: Map[String, String] = Map.empty): DataFrame = {
+    if (extraConfs.isEmpty && timeRangeNs.isEmpty && bareDb.forall(_ == "default")) {
       snapshotSession().sql(sqlText)
     } else {
       val s = spark.newSession()
       graft.Tables.init(s) // child sessions don't inherit runtime conf/UDFs
       registerOn(s, timeRangeNs, bareDb.getOrElse("default"))
+      extraConfs.foreach { case (k, v) => s.conf.set(k, v) }
       s.sql(sqlText)
     }
   }

@@ -24,21 +24,45 @@ package graft.server
   */
 object DuckDialect {
 
+  /** One statement's rewrite result: the Spark SQL text, session confs
+    * the rewrite requires (`union_by_name=true` → parquet mergeSchema),
+    * and every remote http(s) URL the emitted text references. */
+  final case class Rewritten(sql: String, confs: Map[String, String],
+                             remoteUrls: Seq[String])
+
   /** Rewrite every `::TYPE` postfix cast and `read_parquet`/`read_json`
     * table function outside string literals / quoted identifiers /
     * comments. Fixpoint loop: each pass rewrites the first occurrence
-    * (chains like `x::INT::VARCHAR` resolve inner-out). */
-  def rewrite(sql: String): String = {
+    * (chains like `x::INT::VARCHAR` resolve inner-out). Fetches any
+    * remote parquet immediately — callers that must not fetch before
+    * validating (ADVICE r8: /query) use [[rewriteInfo]] twice. */
+  def rewrite(sql: String): String = rewriteInfo(sql, fetchRemote = true).sql
+
+  /** [[rewrite]], with the fetch deferred: `fetchRemote = false` leaves
+    * http(s) paths in place (listing them in `remoteUrls`) so the caller
+    * can parse-validate the text BEFORE any outbound download — a query
+    * that fails to parse must not trigger network I/O. A second call
+    * with `fetchRemote = true` produces the runnable text. */
+  def rewriteInfo(sql: String, fetchRemote: Boolean): Rewritten = {
+    val confs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val urls = scala.collection.mutable.LinkedHashSet.empty[String]
+    val loc: String => String = p => {
+      if (p.startsWith("http://") || p.startsWith("https://")) {
+        urls += p
+        if (fetchRemote) localize(p) else p
+      } else p
+    }
     var s = sql
     var guard = 0
-    while (guard < 256) { // a query with >256 casts is not a query
-      rewriteFirst(s).orElse(rewriteFirstTableFn(s))
+    var done = false
+    while (!done && guard < 256) { // a query with >256 casts is not a query
+      rewriteFirst(s).orElse(rewriteFirstTableFn(s, loc, confs))
         .orElse(rewriteFirstZeroArgCount(s)) match {
         case Some(n) => s = n; guard += 1
-        case None => return s
+        case None => done = true
       }
     }
-    s
+    Rewritten(s, confs.toMap, urls.toSeq)
   }
 
   /** DuckDB file-reading table function → Spark's direct-path form:
@@ -46,10 +70,16 @@ object DuckDialect {
     * `read_parquet(['a','b'])` / `read_parquet(ARRAY['a','b'])` →
     * a `{a,b}` Hadoop glob. The reference promises DuckDB SQL on its
     * query route and its own merge SQL uses exactly these spellings
-    * (reference merge_service_fs.go:214-217, 265-268). Calls with
-    * extra option arguments (hive_partitioning=..., union_by_name=...)
-    * are left untouched — rewriting while dropping options would
-    * silently change semantics. */
+    * (reference merge_service_fs.go:214-217, 265-268), WITH the option
+    * arguments `hive_partitioning = false, union_by_name = true`
+    * (VERDICT r8 #3): `hive_partitioning=false` is Spark's direct-path
+    * behavior for explicit file lists already (no directory-derived
+    * partition columns) and is dropped; `union_by_name=true` maps to
+    * the parquet mergeSchema session conf, surfaced via
+    * [[Rewritten]].confs. Options whose semantics Spark's direct path
+    * can NOT honor (`hive_partitioning=true`, `filename=true`, anything
+    * unrecognized) leave the whole call untouched — a loud parse error
+    * beats silently changed semantics. */
   private val TableFns = Map(
     "read_parquet" -> "parquet", "parquet_scan" -> "parquet",
     "read_json" -> "json", "read_json_auto" -> "json",
@@ -66,56 +96,178 @@ object DuckDialect {
       graft.sources.HttpParquet.fetch(p).toString
     else p
 
-  private def rewriteFirstTableFn(s: String): Option[String] = {
+  private def rewriteFirstTableFn(
+      s: String, localizer: String => String,
+      confs: scala.collection.mutable.Map[String, String]): Option[String] = {
     val ts = lex(s)
     def strVal(t: Tok): String = // strip quotes, undo '' doubling
       s.substring(t.start + 1, math.max(t.start + 1, t.end - 1))
         .replace("''", "'")
+    def word(t: Tok): String =
+      s.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
     var k = 0
     while (k < ts.length) {
-      val isFn = ts(k).kind == Word && TableFns.contains(
-        s.substring(ts(k).start, ts(k).end).toLowerCase(java.util.Locale.ROOT))
+      val isFn = ts(k).kind == Word && TableFns.contains(word(ts(k)))
       if (isFn && k + 1 < ts.length && ts(k + 1).kind == Punct('(')) {
-        val source = TableFns(
-          s.substring(ts(k).start, ts(k).end).toLowerCase(java.util.Locale.ROOT))
-        // single-path form: fn ( 'p' )
-        if (k + 3 < ts.length && ts(k + 2).kind == Str &&
-            ts(k + 3).kind == Punct(')')) {
-          return Some(s.substring(0, ts(k).start) +
-            s"$source.`${localize(strVal(ts(k + 2))).replace("`", "``")}`" +
-            s.substring(ts(k + 3).end))
-        }
-        // list form: fn ( [ARRAY] [ 'a' , 'b' ... ] )
+        val source = TableFns(word(ts(k)))
+        // path argument: fn ( 'p' …  |  fn ( [ARRAY] [ 'a' , 'b' … ] …
+        val paths = scala.collection.mutable.ArrayBuffer.empty[String]
         var i = k + 2
-        if (i < ts.length && ts(i).kind == Word &&
-            s.substring(ts(i).start, ts(i).end)
-              .equalsIgnoreCase("ARRAY")) i += 1
-        if (i < ts.length && ts(i).kind == Punct('[')) {
-          val paths = scala.collection.mutable.ArrayBuffer.empty[String]
-          var j = i + 1
-          var ok = true
-          var done = false
-          while (ok && !done && j + 1 < ts.length) {
-            (ts(j).kind, ts(j + 1).kind) match {
-              case (Str, Punct(',')) => paths += strVal(ts(j)); j += 2
-              case (Str, Punct(']')) => paths += strVal(ts(j)); j += 1; done = true
-              case _ => ok = false
+        var ok = true
+        var isList = false
+        if (i < ts.length && ts(i).kind == Str) { paths += strVal(ts(i)); i += 1 }
+        else {
+          isList = true
+          if (i < ts.length && ts(i).kind == Word &&
+              word(ts(i)) == "array") i += 1
+          if (i < ts.length && ts(i).kind == Punct('[')) {
+            var done = false
+            i += 1
+            while (ok && !done && i + 1 < ts.length) {
+              (ts(i).kind, ts(i + 1).kind) match {
+                case (Str, Punct(',')) => paths += strVal(ts(i)); i += 2
+                case (Str, Punct(']')) => paths += strVal(ts(i)); i += 2; done = true
+                case _ => ok = false
+              }
             }
+            ok = ok && done && paths.nonEmpty
+          } else ok = false
+        }
+        // option tail: ( , name = value )* — honor-or-bail per option
+        val pending = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        while (ok && i + 3 < ts.length && ts(i).kind == Punct(',')) {
+          (ts(i + 1).kind, ts(i + 2).kind, ts(i + 3).kind) match {
+            case (Word, Punct('='), Word | Str) =>
+              val v = if (ts(i + 3).kind == Str) strVal(ts(i + 3))
+                else word(ts(i + 3))
+              (word(ts(i + 1)), v.toLowerCase(java.util.Locale.ROOT)) match {
+                case ("hive_partitioning", "false" | "0") => // direct-path default
+                case ("union_by_name", "false" | "0") => // Spark's default
+                case ("union_by_name", "true" | "1") if source == "parquet" =>
+                  pending += ("spark.sql.parquet.mergeSchema" -> "true")
+                case _ => ok = false // can't honor: leave the call alone
+              }
+              i += 4
+            case _ => ok = false
           }
-          if (ok && done && paths.nonEmpty && j + 1 < ts.length &&
-              ts(j + 1).kind == Punct(')')) {
-            val local = paths.map(localize)
-            val glob = if (local.size == 1) local.head
-              else local.mkString("{", ",", "}")
-            return Some(s.substring(0, ts(k).start) +
-              s"$source.`${glob.replace("`", "``")}`" +
-              s.substring(ts(j + 1).end))
-          }
+        }
+        // a path containing glob metacharacters would corrupt the {a,b}
+        // join in the LIST form (ADVICE r8); single-path globs pass
+        // through verbatim — DuckDB and Hadoop agree on * ? globbing
+        if (isList && paths.size > 1 &&
+            paths.exists(p => p.exists("{},".contains(_)))) ok = false
+        if (ok && i < ts.length && ts(i).kind == Punct(')')) {
+          val local = paths.map(localizer)
+          val glob = if (local.size == 1) local.head
+            else local.mkString("{", ",", "}")
+          confs ++= pending
+          return Some(s.substring(0, ts(k).start) +
+            s"$source.`${glob.replace("`", "``")}`" +
+            s.substring(ts(i).end))
         }
       }
       k += 1
     }
     None
+  }
+
+  /** Split SQL text on top-level `;` — outside string literals, quoted
+    * identifiers and comments (the lexer already skips all three). The
+    * reference's published benchmark text is a statement LIST
+    * (`LOAD parquet; SELECT …`, reference BENCHMARK.md:11) and its
+    * stdin bootstrap splits on `;` the same way. */
+  def splitStatements(sql: String): Seq[String] = {
+    val cuts = lex(sql).collect { case Tok(Punct(';'), st, _) => st }
+    val bounds = (-1 +: cuts) :+ sql.length
+    bounds.lazyZip(bounds.drop(1)).map((a, b) => sql.substring(a + 1, b))
+      .map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** DuckDB extension/session management with no Spark counterpart —
+    * `LOAD x`, `INSTALL x`, `PRAGMA …` (reference init.go installs
+    * chsql this way; BENCHMARK.md:11 leads with `LOAD parquet`).
+    * Accepted and ignored: the capability they request (parquet scan,
+    * the chsql function surface) is built in here. `SET` is NOT
+    * no-opped — Spark has its own SET semantics. */
+  def isExtensionNoOp(stmt: String): Boolean =
+    lex(stmt).headOption.exists { t =>
+      t.kind == Word && Set("load", "install", "pragma", "force")(
+        stmt.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT))
+    }
+
+  /** `CREATE SECRET` (DuckDB's in-dialect S3 credential statement —
+    * the reference's S3 merge path issues exactly this,
+    * merge_service_s3.go:94-118) → the equivalent Hadoop `fs.s3a.*`
+    * configuration, returned as a key→value map for the caller to
+    * apply. `SCOPE 's3://bucket[/…]'` narrows to DuckDB's secret
+    * scoping; here it maps to Hadoop's per-bucket override namespace
+    * (`fs.s3a.bucket.<bucket>.…`). Returns None when the statement is
+    * not a CREATE SECRET; throws on a CREATE SECRET it cannot map
+    * (unknown TYPE) so misconfiguration fails loudly, not silently. */
+  def parseSecret(stmt: String): Option[Map[String, String]] = {
+    val ts = lex(stmt)
+    def word(t: Tok): String =
+      stmt.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
+    def strVal(t: Tok): String =
+      stmt.substring(t.start + 1, math.max(t.start + 1, t.end - 1))
+        .replace("''", "'")
+    if (ts.isEmpty || ts.head.kind != Word || word(ts.head) != "create") return None
+    // CREATE [OR REPLACE] [PERSISTENT|TEMPORARY] SECRET [name] ( … )
+    var i = 1
+    while (i < ts.length && ts(i).kind == Word &&
+      Set("or", "replace", "persistent", "temporary")(word(ts(i)))) i += 1
+    if (i >= ts.length || ts(i).kind != Word || word(ts(i)) != "secret") return None
+    i += 1
+    if (i < ts.length && ts(i).kind == Word) i += 1 // optional secret name
+    if (i >= ts.length || ts(i).kind != Punct('(')) return None
+    i += 1
+    // key value [, key value]* ) — DuckDB accepts `KEY 'v'`, `KEY v`,
+    // and booleans/numbers as bare words
+    val kv = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var ok = true
+    var done = false
+    while (ok && !done && i < ts.length) {
+      if (ts(i).kind == Punct(')')) done = true
+      else (ts(i).kind, if (i + 1 < ts.length) ts(i + 1).kind else Punct(0)) match {
+        case (Word, Str) => kv += (word(ts(i)) -> strVal(ts(i + 1))); i += 2
+        case (Word, Word) => kv += (word(ts(i)) -> word(ts(i + 1))); i += 2
+        case _ => ok = false
+      }
+      if (!done && ok) {
+        if (i < ts.length && ts(i).kind == Punct(',')) i += 1
+        else if (i < ts.length && ts(i).kind == Punct(')')) done = true
+        else ok = false
+      }
+    }
+    if (!ok || !done) return None
+    val typ = kv.getOrElse("type", "s3").toLowerCase(java.util.Locale.ROOT)
+    require(Set("s3", "r2", "gcs")(typ),
+      s"CREATE SECRET TYPE '$typ' has no s3a mapping")
+    val scopeBucket = kv.get("scope").flatMap { sc =>
+      val p = sc.stripPrefix("s3://").stripPrefix("s3a://").stripPrefix("r2://")
+        .stripPrefix("gcs://")
+      p.takeWhile(_ != '/') match { case "" => None; case b => Some(b) }
+    }
+    val prefix = scopeBucket match {
+      case Some(b) => s"fs.s3a.bucket.$b."
+      case None => "fs.s3a."
+    }
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    kv.foreach {
+      case ("key_id", v) => out += (prefix + "access.key" -> v)
+      case ("secret", v) => out += (prefix + "secret.key" -> v)
+      case ("session_token", v) => out += (prefix + "session.token" -> v)
+      case ("region", v) => out += (prefix + "endpoint.region" -> v)
+      case ("endpoint", v) => out += (prefix + "endpoint" -> v)
+      case ("use_ssl", v) =>
+        out += (prefix + "connection.ssl.enabled" ->
+          (v == "true" || v == "1").toString)
+      case ("url_style", v) =>
+        out += (prefix + "path.style.access" -> (v == "path").toString)
+      case ("type", _) | ("scope", _) | ("provider", _) => // structural
+      case (k, _) => require(false, s"CREATE SECRET key '$k' has no s3a mapping")
+    }
+    Some(out.toMap)
   }
 
   /** DuckDB allows zero-argument `count()` (= `count(*)` — the

@@ -39,10 +39,17 @@ object HttpParquet {
     Files.createDirectories(cacheDir)
     val tmp = cacheDir.resolve(s".${UUID.randomUUID()}.part")
     try {
+      // bounded I/O (ADVICE r8): the fetch runs on an HTTP handler
+      // thread for /query-supplied URLs — an unresponsive remote must
+      // time out, not pin the handler. Whole-exchange timeout covers
+      // connect + body; tune via -Dgraft.http.fetchTimeoutSec.
+      val timeoutSec = sys.props.getOrElse("graft.http.fetchTimeoutSec", "120").toLong
       val client = HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(10))
         .followRedirects(HttpClient.Redirect.NORMAL).build()
       val resp = client.send(
-        HttpRequest.newBuilder(URI.create(url)).GET().build(),
+        HttpRequest.newBuilder(URI.create(url))
+          .timeout(java.time.Duration.ofSeconds(timeoutSec)).GET().build(),
         HttpResponse.BodyHandlers.ofFile(tmp))
       require(resp.statusCode() / 100 == 2,
         s"GET $url -> HTTP ${resp.statusCode()}")

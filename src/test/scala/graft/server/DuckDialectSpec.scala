@@ -63,15 +63,90 @@ class DuckDialectSpec extends SparkSpec {
       "SELECT * FROM parquet.`{/a.parquet,/b.parquet}`")
     assert(rw("SELECT * FROM read_json_auto('/d.json')") ==
       "SELECT * FROM json.`/d.json`")
-    // option arguments: rewriting while dropping them would change
-    // semantics — leave for the parser to reject loudly
-    val opt = "SELECT * FROM read_parquet('/a.parquet', union_by_name=true)"
-    assert(rw(opt) == opt)
     // inside a string: untouched
     assert(rw("SELECT 'read_parquet(''x'')'") == "SELECT 'read_parquet(''x'')'")
     // composes with the cast rewrite in one call
     assert(rw("SELECT v::INT FROM read_parquet('/t.parquet')") ==
       "SELECT CAST(v AS INT) FROM parquet.`/t.parquet`")
+  }
+
+  test("read_parquet option args: the reference's own merge-SQL spelling rewrites") {
+    // reference merge_service_fs.go:214-217 — honor-or-bail per option
+    val r = DuckDialect.rewriteInfo(
+      "SELECT * FROM read_parquet(ARRAY['/a.parquet','/b.parquet'], " +
+        "hive_partitioning = false, union_by_name = true)",
+      fetchRemote = false)
+    assert(r.sql == "SELECT * FROM parquet.`{/a.parquet,/b.parquet}`")
+    assert(r.confs == Map("spark.sql.parquet.mergeSchema" -> "true"))
+    // single-path form with options
+    val s1 = DuckDialect.rewriteInfo(
+      "SELECT * FROM read_parquet('/a.parquet', union_by_name=true)",
+      fetchRemote = false)
+    assert(s1.sql == "SELECT * FROM parquet.`/a.parquet`")
+    assert(s1.confs.nonEmpty)
+    // options Spark's direct path can NOT honor: whole call untouched
+    val f = "SELECT * FROM read_parquet('/a.parquet', filename=true)"
+    assert(rw(f) == f)
+    val hp = "SELECT * FROM read_parquet('/a.parquet', hive_partitioning=true)"
+    assert(rw(hp) == hp)
+    // glob metachars in a LIST path would corrupt the {a,b} join (ADVICE
+    // r8): untouched; a single-path glob still passes through verbatim
+    val g = "SELECT * FROM read_parquet(['/a{1}.parquet', '/b.parquet'])"
+    assert(rw(g) == g)
+    assert(rw("SELECT * FROM read_parquet('/data/*.parquet')") ==
+      "SELECT * FROM parquet.`/data/*.parquet`")
+  }
+
+  test("rewriteInfo defers remote fetches and lists the URLs") {
+    val u = "https://example.invalid/x.parquet"
+    val dry = DuckDialect.rewriteInfo(
+      s"SELECT * FROM read_parquet('$u')", fetchRemote = false)
+    // no fetch happened (example.invalid would throw); URL kept in place
+    assert(dry.sql == s"SELECT * FROM parquet.`$u`")
+    assert(dry.remoteUrls == Seq(u))
+  }
+
+  test("splitStatements / isExtensionNoOp: the published benchmark shape") {
+    // reference BENCHMARK.md:11 leads its query with `LOAD parquet;`
+    assert(DuckDialect.splitStatements("LOAD parquet; SELECT 1") ==
+      Seq("LOAD parquet", "SELECT 1"))
+    assert(DuckDialect.splitStatements("SELECT ';' AS x; SELECT 2;") ==
+      Seq("SELECT ';' AS x", "SELECT 2"))
+    assert(DuckDialect.splitStatements("-- c;\nSELECT 1") == Seq("-- c;\nSELECT 1"))
+    assert(DuckDialect.isExtensionNoOp("LOAD chsql"))
+    assert(DuckDialect.isExtensionNoOp("INSTALL chsql FROM community"))
+    assert(DuckDialect.isExtensionNoOp("PRAGMA memory_limit='1GB'"))
+    assert(DuckDialect.isExtensionNoOp("FORCE INSTALL chsql"))
+    assert(!DuckDialect.isExtensionNoOp("SELECT 1"))
+    assert(!DuckDialect.isExtensionNoOp("SET spark.sql.ansi.enabled=true"))
+  }
+
+  test("CREATE SECRET maps to fs.s3a.* (reference merge_service_s3.go:94-118)") {
+    val sec = DuckDialect.parseSecret(
+      """CREATE SECRET (
+        |  TYPE S3,
+        |  KEY_ID 'k',
+        |  SECRET 's',
+        |  ENDPOINT 'minio:9000',
+        |  USE_SSL false,
+        |  URL_STYLE 'path'
+        |)""".stripMargin).get
+    assert(sec == Map(
+      "fs.s3a.access.key" -> "k", "fs.s3a.secret.key" -> "s",
+      "fs.s3a.endpoint" -> "minio:9000",
+      "fs.s3a.connection.ssl.enabled" -> "false",
+      "fs.s3a.path.style.access" -> "true"))
+    // scoped secret → Hadoop's per-bucket override namespace
+    val sc = DuckDialect.parseSecret(
+      "CREATE SECRET mysec (TYPE S3, KEY_ID 'k', SECRET 's', SCOPE 's3://bkt/pre')").get
+    assert(sc("fs.s3a.bucket.bkt.access.key") == "k")
+    assert(sc("fs.s3a.bucket.bkt.secret.key") == "s")
+    // non-secret statements pass through as None
+    assert(DuckDialect.parseSecret("SELECT 1").isEmpty)
+    assert(DuckDialect.parseSecret("CREATE TABLE t (a INT)").isEmpty)
+    // unmappable TYPE fails loudly, not silently
+    intercept[IllegalArgumentException](
+      DuckDialect.parseSecret("CREATE SECRET (TYPE AZURE, KEY_ID 'k')"))
   }
 
   test("read_parquet actually reads through Spark") {

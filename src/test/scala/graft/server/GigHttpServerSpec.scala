@@ -75,6 +75,58 @@ class GigHttpServerSpec extends SparkSpec {
     assert(!q.body().contains(""""temperature":61"""), q.body())
   }
 
+  test("/query accepts the reference's statement-list benchmark shape (VERDICT r8 #4)") {
+    // reference BENCHMARK.md:11 spells its published query as a
+    // statement LIST: `LOAD parquet; SELECT town, district, count() …
+    // FROM read_parquet('…')` — the LOAD no-ops, the tail runs
+    val dir = Files.createTempDirectory("bench-shape-").toString
+    import spark.implicits._
+    Seq(("london", "a", 100.0), ("london", "a", 200.0), ("leeds", "b", 50.0))
+      .toDF("town", "district", "price").write.mode("overwrite").parquet(dir)
+    val q = post("/query",
+      s"""{"query": "LOAD parquet; SELECT town, district, count() AS c, round(avg(price)) AS price FROM read_parquet('$dir') GROUP BY town, district ORDER BY town LIMIT 10"}""")
+    assert(q.statusCode() == 200, q.body())
+    assert(q.body().contains(""""town":"london""""), q.body())
+    assert(q.body().contains(""""c":"2""""), q.body())
+    // a body of ONLY no-ops acks with an empty result set, not an error
+    val n = post("/query", """{"query": "INSTALL chsql; LOAD chsql;"}""")
+    assert(n.statusCode() == 200 && n.body().contains("results"), n.body())
+  }
+
+  test("CREATE SECRET on /query maps to fs.s3a.* conf (VERDICT r8 #6)") {
+    // reference merge_service_s3.go:94-118 configures S3 credentials
+    // in-dialect; here the statement lands in Hadoop's s3a conf. The
+    // actual object-store scan is driven hermetically over file:// in
+    // ObjectStoreSpec — no s3 endpoint (or hadoop-aws jar) exists here.
+    val q = post("/query",
+      """{"query": "CREATE SECRET (TYPE S3, KEY_ID 'AKID', SECRET 'sec', ENDPOINT 'minio:9000', USE_SSL false, URL_STYLE 'path'); SELECT 1 AS ok"}""")
+    assert(q.statusCode() == 200, q.body())
+    assert(q.body().contains(""""ok":1"""), q.body())
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.access.key") == "AKID")
+    assert(hc.get("fs.s3a.secret.key") == "sec")
+    assert(hc.get("fs.s3a.endpoint") == "minio:9000")
+    assert(hc.get("fs.s3a.connection.ssl.enabled") == "false")
+    assert(hc.get("fs.s3a.path.style.access") == "true")
+    // a scoped secret lands in the per-bucket namespace
+    val s2 = post("/query",
+      """{"query": "CREATE SECRET scoped (TYPE S3, KEY_ID 'BK', SECRET 'bs', SCOPE 's3://warm/data')"}""")
+    assert(s2.statusCode() == 200, s2.body())
+    assert(hc.get("fs.s3a.bucket.warm.access.key") == "BK")
+    // an unmappable secret is the caller's 400
+    assert(post("/query",
+      """{"query": "CREATE SECRET (TYPE AZURE, KEY_ID 'x')"}""").statusCode() == 400)
+  }
+
+  test("request-shape errors are 400; engine-side IAE subclasses stay 500 (ADVICE r8)") {
+    assert(post("/query", """{"notquery": 1}""").statusCode() == 400)
+    // ANSI cast failure at EXECUTION throws a SparkNumberFormatException
+    // (an IllegalArgumentException subclass) — an engine fault, not the
+    // request's shape: it must surface as 500
+    val e = post("/query", """{"query": "SELECT CAST('nope' AS INT) AS x"}""")
+    assert(e.statusCode() == 500, s"${e.statusCode()} ${e.body()}")
+  }
+
   test("pipeline text functions scrub ingested text via /query") {
     // a string FIELD carries free text with PII; /query scrubs + scores
     // it in plain SQL — the training-pipeline ops on the server surface
