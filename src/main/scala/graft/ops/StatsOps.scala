@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Grouped order statistics with a scale route (VERDICT r8 #7).
+  *
+  * Spark's exact `percentile` is a sort-based aggregate that holds each
+  * group's full value multiset on the reducer — the right default while
+  * a differential oracle must replay the exact number, and an OOM risk
+  * once single groups stop fitting (SCALE.md q17 row names the swap).
+  * Above [[ExactPercentileMaxGroup]] values in the largest group, the
+  * route switches to `approx_percentile` (t-digest sketch, fixed memory
+  * per group, mergeable map-side) — the [[DedupOps.nearDupPairs]]
+  * routing discipline: one cheap count-only scan guards the decision,
+  * and a caller holding catalog stats passes `knownMaxGroup` to skip
+  * even that. */
+object StatsOps {
+
+  /** Largest per-group value count the exact sort-based percentile may
+    * hold. 10 M doubles ≈ 80 MB of reducer heap for that group's
+    * multiset — safely inside an executor at the default 32-partition
+    * shuffle; past it the t-digest's fixed ~`accuracy` centroids win. */
+  val ExactPercentileMaxGroup: Long = 10000000L
+
+  /** `groupBy(groupCol).agg(percentile(valueCol, p) …)` with the
+    * exact-vs-sketch route decided by the largest group's row count.
+    * Returns `groupCol, <aliases…>, n` (percentiles rounded to 4dp —
+    * the oracle-compare discipline for emitted floats). */
+  def groupedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                         ps: Seq[(Double, String)],
+                         exactMaxGroup: Long = ExactPercentileMaxGroup,
+                         knownMaxGroup: Option[Long] = None): DataFrame = {
+    val maxGroup = knownMaxGroup.getOrElse {
+      val r = df.groupBy(col(groupCol)).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val fn = if (maxGroup <= exactMaxGroup) "percentile" else "approx_percentile"
+    val aggs = ps.map { case (p, a) =>
+      round(expr(s"$fn($valueCol, $p)"), 4).as(a)
+    } :+ count(lit(1)).as("n")
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

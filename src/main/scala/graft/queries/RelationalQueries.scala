@@ -318,13 +318,13 @@ object RelationalQueries {
     //      At 100 TB swap in percentile_approx (t-digest) for a fixed-
     //      memory sketch; exact is right while an oracle must replay ----
     "q17_percentiles" -> ((s, dir) => {
-      Tables.load(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(
-          round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.9)"), 4).as("p90"),
-          round(expr("percentile(value, 0.99)"), 4).as("p99"),
-          count(lit(1)).as("n"))
+      // exact-vs-sketch routed by largest group (StatsOps — VERDICT r8
+      // #7): test SFs stay deep inside the exact regime, so the oracle
+      // replays the exact number; past 10 M values in one group the
+      // same call plans approx_percentile (fixed-memory t-digest)
+      graft.ops.StatsOps.groupedPercentiles(
+        Tables.load(s, dir, "events"), "event_type", "value",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
         .orderBy(col("event_type"))
     }),
 
