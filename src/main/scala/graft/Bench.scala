@@ -270,12 +270,27 @@ object Bench {
       s"[bench] SF1 baseline reset: data fingerprint " +
         s"${prevFp.getOrElse("<absent>")} -> $dataFp " +
         "(prior baseline not from these bytes; cross-generation ratios don't compare)")
-    val prevRatios: Map[String, Double] =
+    val AbsPrefix = "__abs__"
+    val prevAll: Map[String, Double] =
       if (baselineReset) Map.empty
       else """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(ratioTxt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val prevRatios = prevAll.filter(!_._1.startsWith("__"))
+    val prevAbs = prevAll.collect {
+      case (k, v) if k.startsWith(AbsPrefix) => k.stripPrefix(AbsPrefix) -> v }
+    val absNow: Map[String, Double] = sf1.toSeq.collect {
+      case (n, s) if s > 0 => n -> r3(s) }.toMap
+    // a regression needs BOTH dimensions (r8 post-mortem: the ratio-only
+    // guard flagged q01 whose sf1 run was FASTER than its sf0.1 median —
+    // a ratio can grow because the DENOMINATOR improved or because two
+    // sub-second numbers wiggled): the ratio grew >1.5×, the sf1
+    // absolute is past the noise floor, and — when the baseline carries
+    // absolutes — the sf1 absolute itself grew >1.25×. A genuine scale
+    // cliff (p64's 20.3×, many seconds) trips all three.
     val regressions = ratios.filter { case (n, r) =>
-      prevRatios.get(n).exists(p => p > 0 && r > p * 1.5) }
+      prevRatios.get(n).exists(p => p > 0 && r > p * 1.5) &&
+        absNow.getOrElse(n, 0.0) >= 1.0 &&
+        prevAbs.get(n).forall(pa => absNow.getOrElse(n, 0.0) > pa * 1.25) }
     regressions.foreach { case (n, r) =>
       System.err.println(
         f"[bench] SF1 RATIO REGRESSION: $n ${prevRatios(n)}%.2f -> $r%.2f (>1.5x)") }
@@ -287,7 +302,13 @@ object Bench {
     // exactly once and then read the regression as the new normal.
     if (ratios.nonEmpty) {
       val regressed = regressions.map(_._1).toSet
-      val merged = prevRatios ++ ratios.toMap.view.filterKeys(!regressed(_))
+      val merged = prevRatios ++ ratios.toMap.view.filterKeys(!regressed(_)) ++
+        // sf1 absolutes ride the same file under a reserved prefix so
+        // the next round's guard can tell ratio-noise from real growth;
+        // regressed entries keep their prior (better) absolute, like
+        // the ratio entries do
+        (prevAbs ++ absNow.view.filterKeys(!regressed(_)))
+          .map { case (k, v) => (AbsPrefix + k) -> v }
       val body = jsonObj(merged.toSeq.sortBy(_._1))
       val withFp = if (dataFp.isEmpty) body
         else s"""{"__data_fp":"$dataFp",""" + body.drop(1)

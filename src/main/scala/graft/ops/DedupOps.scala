@@ -706,7 +706,9 @@ object DedupOps {
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified ≥ tau (verify is
     * against the classical uncapped Jaccard — jaccardPairsSql(tau, None)).
     *
-    * Exact-duplicate texts are collapsed to one representative BEFORE
+    * When any exact-dup cluster exceeds `collapseMinCluster` copies
+    * (one hash-agg probe scan decides), exact-duplicate texts are
+    * collapsed to one representative BEFORE
     * signatures (the [[exactGroups]] md5 contract): identical text ⇒
     * identical signature, so a cluster of m exact copies would flood
     * every band bucket with m colliding rows and push m²/2 candidates
@@ -727,7 +729,58 @@ object DedupOps {
     * here (the oracle-gated face); [[nearDupPairs]] passes the
     * production [[MaxBandBucket]]. */
   def minHashPairs(docs: DataFrame, tau: Double, n: Int = 3,
-                   maxBandBucket: Option[Long] = None): DataFrame = {
+                   maxBandBucket: Option[Long] = None,
+                   collapseMinCluster: Long = CollapseMinCluster): DataFrame = {
+    if (costLogEnabled) {
+      val r = bandCostStats(docs, n).collect()(0)
+      def gl(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      System.err.println(s"[graft] minHashPairs cost: n_docs=${gl(0)} " +
+        s"n_reps=${gl(1)} buckets=${gl(2)} max_bucket=${gl(3)} " +
+        s"candidate_pairs=${gl(4)} sum_c2=${gl(5)}")
+    }
+    // collapse only when a mega-cluster actually exists: the
+    // collapse+expand machinery costs ~30% extra wall at a dup-FREE
+    // sf1 (measured r9: 4.8 s vs 3.3 s on 50 k docs, 80 dups), while
+    // exact-dup clusters of ≤ collapseMinCluster copies contribute
+    // ≤ C(64,2) ≈ 2 k foregone candidates each — O(1) per cluster, the
+    // p02 MaxDf rationale. One hash-agg probe scan decides; its cost
+    // is O(corpus) with partial aggregation, trivia next to signatures.
+    val maxDup = {
+      val r = docs.groupBy(md5(coalesce(col("text"), lit(""))).as("__fp"))
+        .agg(count(lit(1)).as("__c")).agg(max(col("__c"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    if (maxDup <= collapseMinCluster) minHashPairsDirect(docs, tau, n, maxBandBucket)
+    else minHashPairsCollapsed(docs, tau, n, maxBandBucket)
+  }
+
+  /** Largest exact-dup cluster minHashPairs tolerates on the direct
+    * (uncollapsed) path — the p02 stop-shingle constant's rationale:
+    * ≤64 copies means ≤C(64,2) band candidates per cluster, O(1). */
+  val CollapseMinCluster: Long = 64L
+
+  /** The classical banded plan — signatures over every doc. Correct at
+    * any dup density; quadratic band buckets only when exact-dup
+    * clusters exceed [[CollapseMinCluster]] (the router's job). */
+  private def minHashPairsDirect(docs: DataFrame, tau: Double, n: Int,
+                                 maxBandBucket: Option[Long]): DataFrame = {
+    val sh = shingles(docs, n)
+    val cands = minHashCandidates(minHashSignaturesFrom(sh), maxBandBucket)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cands
+      .join(sh.as("x"), col("da") === col("x.doc_id"))
+      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("j"))
+      .filter(col("j") >= tau)
+  }
+
+  private def minHashPairsCollapsed(docs: DataFrame, tau: Double, n: Int,
+                                    maxBandBucket: Option[Long]): DataFrame = {
     // fp join key: md5(coalesce(text,'')) — a NULL fp would drop the
     // doc at the members join; null-text docs shingle to nothing and
     // fall out via the rep-has-shingles gate exactly as before
@@ -738,13 +791,6 @@ object DedupOps {
     val repDocs = docs.join(
       reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
     val sh = shingles(repDocs, n)
-    if (costLogEnabled) {
-      val r = bandCostStats(docs, n).collect()(0)
-      def gl(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
-      System.err.println(s"[graft] minHashPairs cost: n_docs=${gl(0)} " +
-        s"n_reps=${gl(1)} buckets=${gl(2)} max_bucket=${gl(3)} " +
-        s"candidate_pairs=${gl(4)} sum_c2=${gl(5)}")
-    }
     val cands = minHashCandidates(minHashSignaturesFrom(sh), maxBandBucket)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cands

@@ -100,6 +100,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(crossSpot == 1000L)
   }
 
+  test("minHashPairs collapse route is output-identical to the direct plan") {
+    // force the collapsed path on a small mixed corpus (threshold 0 ⇒
+    // any dup collapses) and pin it against the direct path's answer
+    val near = base.replace("gamma", "GAMMA2")
+    val corpus = (Seq((0L, base), (1L, base), (2L, base), (3L, near),
+      (4L, "totally different words here nothing shared at all ok right")))
+      .toDF("doc_id", "text")
+    def pairs(minCluster: Long) =
+      DedupOps.minHashPairs(corpus, 0.5, collapseMinCluster = minCluster)
+        .select("da", "db", "j").as[(Long, Long, Double)].collect().toSet
+    assert(pairs(0L) == pairs(Long.MaxValue))
+    assert(pairs(0L).map(p => (p._1, p._2)).contains((0L, 2L)))
+  }
+
   test("minHashCandidates maxBucket drops hot band buckets, keeps small ones") {
     // two signature groups: 10 docs sharing one signature (a 10-deep
     // bucket in every band) and 2 docs sharing another. Cap 5: the hot
