@@ -49,20 +49,88 @@ object DuckDialect {
     val loc: String => String = p => {
       if (p.startsWith("http://") || p.startsWith("https://")) {
         urls += p
-        if (fetchRemote) localize(p) else p
+        // the cache path is DETERMINISTIC (content-addressed by url), so
+        // the dry pass emits the same text the fetching pass will —
+        // parse-validation sees the final SQL without any download
+        if (fetchRemote) localize(p)
+        else graft.sources.HttpParquet.defaultCacheDir
+          .resolve(graft.sources.HttpParquet.cacheKey(p)).toString
       } else p
     }
     var s = sql
     var guard = 0
     var done = false
     while (!done && guard < 256) { // a query with >256 casts is not a query
-      rewriteFirst(s).orElse(rewriteFirstTableFn(s, loc, confs))
+      rewriteFirst(s).orElse(rewriteFirstMergeTree(s, loc))
+        .orElse(rewriteFirstTableFn(s, loc, confs))
         .orElse(rewriteFirstZeroArgCount(s)) match {
         case Some(n) => s = n; guard += 1
         case None => done = true
       }
     }
     Rewritten(s, confs.toMap, urls.toSeq)
+  }
+
+  /** `read_parquet_mergetree(ARRAY['a','b'], 'k1,k2')` — the ONE chsql
+    * symbol the reference's own code calls (its L≥2 k-way merge of
+    * sorted runs, merge_service_fs.go:265-268 / merge_service_s3.go:
+    * 122-126). A k-way merge of sorted runs is relationally the sorted
+    * union, and Spark's sort IS an external merge sort that exploits
+    * presorted runs, so the honest Spark spelling is
+    * `(SELECT * FROM parquet.\`{a,b}\` ORDER BY k1, k2)` — same rows,
+    * same order, no custom operator (SURVEY N17). */
+  private def rewriteFirstMergeTree(
+      s: String, localizer: String => String): Option[String] = {
+    val ts = lex(s)
+    def strVal(t: Tok): String =
+      s.substring(t.start + 1, math.max(t.start + 1, t.end - 1))
+        .replace("''", "'")
+    def word(t: Tok): String =
+      s.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
+    var k = 0
+    while (k < ts.length) {
+      if (ts(k).kind == Word && word(ts(k)) == "read_parquet_mergetree" &&
+          k + 1 < ts.length && ts(k + 1).kind == Punct('(')) {
+        val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = k + 2
+        var ok = true
+        if (i < ts.length && ts(i).kind == Str) { paths += strVal(ts(i)); i += 1 }
+        else {
+          if (i < ts.length && ts(i).kind == Word && word(ts(i)) == "array") i += 1
+          if (i < ts.length && ts(i).kind == Punct('[')) {
+            var done = false
+            i += 1
+            while (ok && !done && i + 1 < ts.length) {
+              (ts(i).kind, ts(i + 1).kind) match {
+                case (Str, Punct(',')) => paths += strVal(ts(i)); i += 2
+                case (Str, Punct(']')) => paths += strVal(ts(i)); i += 2; done = true
+                case _ => ok = false
+              }
+            }
+            ok = ok && done && paths.nonEmpty
+          } else ok = false
+        }
+        // second argument: the comma-joined ORDER BY column list
+        val order =
+          if (ok && i + 2 < ts.length && ts(i).kind == Punct(',') &&
+              ts(i + 1).kind == Str && ts(i + 2).kind == Punct(')')) {
+            val cols = strVal(ts(i + 1)).split(",").map(_.trim).filter(_.nonEmpty)
+            i += 2
+            if (cols.nonEmpty) Some(cols) else None
+          } else None
+        if (ok && order.nonEmpty &&
+            !(paths.size > 1 && paths.exists(p => p.exists("{},".contains(_))))) {
+          joinGlob(paths.map(localizer).toSeq).foreach { glob =>
+            val ob = order.get.map(c => s"`${c.replace("`", "``")}`").mkString(", ")
+            return Some(s.substring(0, ts(k).start) +
+              s"(SELECT * FROM parquet.`${glob.replace("`", "``")}` ORDER BY $ob)" +
+              s.substring(ts(i).end))
+          }
+        }
+      }
+      k += 1
+    }
+    None
   }
 
   /** DuckDB file-reading table function → Spark's direct-path form:
@@ -95,6 +163,20 @@ object DuckDialect {
     if (p.startsWith("http://") || p.startsWith("https://"))
       graft.sources.HttpParquet.fetch(p).toString
     else p
+
+  /** Join localized paths into ONE Hadoop-readable path expression.
+    * `{a,b}` alone is a RELATIVE path (Hadoop resolves it against the
+    * cwd — the r9 spec caught exactly that), so multi-path lists emit
+    * `/{a,b}` with the per-path leading slash folded into the brace
+    * alternatives; Hadoop's GlobExpander expands alternatives
+    * containing slashes before component matching. Lists that are not
+    * all absolute local paths return None → the call stays unrewritten
+    * and the parser complains loudly. */
+  private def joinGlob(paths: Seq[String]): Option[String] =
+    if (paths.size == 1) Some(paths.head)
+    else if (paths.forall(_.startsWith("/")))
+      Some(paths.map(_.stripPrefix("/")).mkString("/{", ",", "}"))
+    else None
 
   private def rewriteFirstTableFn(
       s: String, localizer: String => String,
@@ -157,13 +239,14 @@ object DuckDialect {
         if (isList && paths.size > 1 &&
             paths.exists(p => p.exists("{},".contains(_)))) ok = false
         if (ok && i < ts.length && ts(i).kind == Punct(')')) {
-          val local = paths.map(localizer)
-          val glob = if (local.size == 1) local.head
-            else local.mkString("{", ",", "}")
-          confs ++= pending
-          return Some(s.substring(0, ts(k).start) +
-            s"$source.`${glob.replace("`", "``")}`" +
-            s.substring(ts(i).end))
+          joinGlob(paths.map(localizer).toSeq) match {
+            case Some(glob) =>
+              confs ++= pending
+              return Some(s.substring(0, ts(k).start) +
+                s"$source.`${glob.replace("`", "``")}`" +
+                s.substring(ts(i).end))
+            case None => // not an absolute-local list: leave untouched
+          }
         }
       }
       k += 1

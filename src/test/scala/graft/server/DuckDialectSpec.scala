@@ -58,9 +58,9 @@ class DuckDialectSpec extends SparkSpec {
     assert(rw("SELECT * FROM read_parquet('/data/t.parquet')") ==
       "SELECT * FROM parquet.`/data/t.parquet`")
     assert(rw("SELECT * FROM read_parquet(['/a.parquet', '/b.parquet'])") ==
-      "SELECT * FROM parquet.`{/a.parquet,/b.parquet}`")
+      "SELECT * FROM parquet.`/{a.parquet,b.parquet}`")
     assert(rw("SELECT * FROM read_parquet(ARRAY['/a.parquet', '/b.parquet'])") ==
-      "SELECT * FROM parquet.`{/a.parquet,/b.parquet}`")
+      "SELECT * FROM parquet.`/{a.parquet,b.parquet}`")
     assert(rw("SELECT * FROM read_json_auto('/d.json')") ==
       "SELECT * FROM json.`/d.json`")
     // inside a string: untouched
@@ -76,7 +76,7 @@ class DuckDialectSpec extends SparkSpec {
       "SELECT * FROM read_parquet(ARRAY['/a.parquet','/b.parquet'], " +
         "hive_partitioning = false, union_by_name = true)",
       fetchRemote = false)
-    assert(r.sql == "SELECT * FROM parquet.`{/a.parquet,/b.parquet}`")
+    assert(r.sql == "SELECT * FROM parquet.`/{a.parquet,b.parquet}`")
     assert(r.confs == Map("spark.sql.parquet.mergeSchema" -> "true"))
     // single-path form with options
     val s1 = DuckDialect.rewriteInfo(
@@ -97,12 +97,40 @@ class DuckDialectSpec extends SparkSpec {
       "SELECT * FROM parquet.`/data/*.parquet`")
   }
 
+  test("read_parquet_mergetree: the reference's k-way merge spelling") {
+    // reference merge_service_fs.go:265-268 — sorted-run merge becomes
+    // the sorted union (Spark's sort is an external merge sort)
+    assert(rw("COPY(SELECT * FROM read_parquet_mergetree(ARRAY['/a.parquet','/b.parquet'], 'ts,id'))")
+      .contains("(SELECT * FROM parquet.`/{a.parquet,b.parquet}` ORDER BY `ts`, `id`)"))
+    assert(rw("SELECT * FROM read_parquet_mergetree(['/a.parquet'], 'k')") ==
+      "SELECT * FROM (SELECT * FROM parquet.`/a.parquet` ORDER BY `k`)")
+    // missing order arg: not the reference shape — leave untouched
+    val bad = "SELECT * FROM read_parquet_mergetree(ARRAY['/a.parquet'])"
+    assert(rw(bad) == bad)
+  }
+
+  test("read_parquet_mergetree reads + sorts through Spark") {
+    val d1 = java.nio.file.Files.createTempDirectory("mt1-").toString
+    val d2 = java.nio.file.Files.createTempDirectory("mt2-").toString
+    import spark.implicits._
+    Seq((3L, "c"), (1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(d1)
+    Seq((2L, "b")).toDF("id", "s").write.mode("overwrite").parquet(d2)
+    val rows = spark.sql(rw(
+      s"SELECT id FROM read_parquet_mergetree(ARRAY['$d1','$d2'], 'id')"))
+      .collect().map(_.getLong(0))
+    assert(rows.sorted.sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("rewriteInfo defers remote fetches and lists the URLs") {
     val u = "https://example.invalid/x.parquet"
     val dry = DuckDialect.rewriteInfo(
       s"SELECT * FROM read_parquet('$u')", fetchRemote = false)
-    // no fetch happened (example.invalid would throw); URL kept in place
-    assert(dry.sql == s"SELECT * FROM parquet.`$u`")
+    // no fetch happened (example.invalid would throw); the dry pass
+    // emits the DETERMINISTIC cache path the fetching pass will use,
+    // so parse-validation sees the final text
+    val cached = graft.sources.HttpParquet.defaultCacheDir
+      .resolve(graft.sources.HttpParquet.cacheKey(u)).toString
+    assert(dry.sql == s"SELECT * FROM parquet.`$cached`")
     assert(dry.remoteUrls == Seq(u))
   }
 
