@@ -30,6 +30,28 @@ class IncrementalCorpusSpec extends SparkSpec {
     assert(kept == Set(60L, 70L), kept)
   }
 
+  test("corpus band index collapses exact-dup clusters; verdicts unchanged") {
+    // 500 exact copies in the seen corpus (a stream-side mega-cluster):
+    // the index must carry ONE row set per distinct text, not 500 —
+    // otherwise every colliding arrival joins 500 identical entries
+    val corpus = ((1 to 500).map(_.toLong -> f1) :+ (900L -> f3)).toDF("doc_id", "text")
+    val bands = DedupOps.corpusBandIndex(corpus)
+    assert(bands.count() == 2L * DedupOps.Bands) // 2 distinct texts x 16 bands
+    assert(DedupOps.corpusShingleSets(corpus).count() == 2L)
+    // representative ids follow the exactGroups min-id survivor contract
+    assert(bands.select("corpus_id").distinct().as[Long].collect().toSet ==
+      Set(1L, 900L))
+    // and screening against the collapsed index gives the same fates
+    val fps = IncrementalCorpus.fingerprints(corpus)
+    val shingles = DedupOps.corpusShingleSets(corpus)
+    val batch = Seq(50L -> f1, 51L -> s"$f1 of to in is was", 60L -> f4)
+      .toDF("doc_id", "text")
+    val fates = IncrementalCorpus
+      .screenReport(batch, fps, bands, shingles, tau = 0.5)
+      .as[(Long, String)].collect().toMap
+    assert(fates == Map(50L -> "exact", 51L -> "near", 60L -> "kept"), fates)
+  }
+
   test("screenReport assigns fates: exact wins over near, kept matches screen()") {
     val corpus = (Seq(1L, 2L, 3L).map(_ -> f1) :+ (4L -> f3)).toDF("doc_id", "text")
     val fps = IncrementalCorpus.fingerprints(corpus)
