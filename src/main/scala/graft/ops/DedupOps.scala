@@ -516,13 +516,25 @@ object DedupOps {
   def nearDupPairs(docs: DataFrame, tau: Double, n: Int = 3,
                    exactMaxDocs: Long = NearDupExactMaxDocs,
                    knownDocs: Option[Long] = None): DataFrame = {
-    val nDocs = knownDocs.getOrElse(docs.count())
+    // ONE probe scan feeds both route decisions: the corpus size (exact
+    // vs banded) and the largest exact-dup cluster (whether the banded
+    // plan must collapse) come out of the same md5 hash-agg
+    val (nDocs, maxDup) = knownDocs match {
+      case Some(nd) => (nd, None)
+      case None =>
+        val r = docs.groupBy(md5(coalesce(col("text"), lit(""))).as("__fp"))
+          .agg(count(lit(1)).as("__c"))
+          .agg(sum(col("__c")), max(col("__c"))).collect()(0)
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          Some(if (r.isNullAt(1)) 0L else r.getLong(1)))
+    }
     if (nDocs <= exactMaxDocs) ngramJaccardPairs(docs, tau, n)
     // the production banded face caps band buckets (MaxBandBucket) on
     // top of the exact-dup collapse — bounded work even when >4096
     // DISTINCT texts collide in one band (recall on such a family is
     // carried by the other 15 bands; documented SCALE.md tradeoff)
-    else minHashPairs(docs, tau, n, maxBandBucket = Some(MaxBandBucket))
+    else minHashPairs(docs, tau, n, maxBandBucket = Some(MaxBandBucket),
+      knownMaxDup = maxDup)
   }
 
   /** Σdf² cost probe for the pair join: one row with the cap in force,
@@ -754,7 +766,8 @@ object DedupOps {
     * production [[MaxBandBucket]]. */
   def minHashPairs(docs: DataFrame, tau: Double, n: Int = 3,
                    maxBandBucket: Option[Long] = None,
-                   collapseMinCluster: Long = CollapseMinCluster): DataFrame = {
+                   collapseMinCluster: Long = CollapseMinCluster,
+                   knownMaxDup: Option[Long] = None): DataFrame = {
     if (costLogEnabled) {
       val r = bandCostStats(docs, n).collect()(0)
       def gl(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
@@ -767,9 +780,11 @@ object DedupOps {
     // sf1 (measured r9: 4.8 s vs 3.3 s on 50 k docs, 80 dups), while
     // exact-dup clusters of ≤ collapseMinCluster copies contribute
     // ≤ C(64,2) ≈ 2 k foregone candidates each — O(1) per cluster, the
-    // p02 MaxDf rationale. One hash-agg probe scan decides; its cost
-    // is O(corpus) with partial aggregation, trivia next to signatures.
-    val maxDup = {
+    // p02 MaxDf rationale. One hash-agg probe scan decides (skipped
+    // when the caller already measured it — nearDupPairs fuses this
+    // into its routing scan); its cost is O(corpus) with partial
+    // aggregation, trivia next to signatures.
+    val maxDup = knownMaxDup.getOrElse {
       val r = docs.groupBy(md5(coalesce(col("text"), lit(""))).as("__fp"))
         .agg(count(lit(1)).as("__c")).agg(max(col("__c"))).collect()(0)
       if (r.isNullAt(0)) 0L else r.getLong(0)
