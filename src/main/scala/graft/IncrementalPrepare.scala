@@ -90,8 +90,11 @@ object IncrementalPrepare {
     // round's quality gates dropped the doc — the gates are
     // deterministic, re-judging a copy cannot change the verdict
     put(ops.IncrementalCorpus.fingerprints(fresh), fpsDir)
-    put(ops.DedupOps.corpusBandIndex(fresh), bandsDir)
-    put(ops.DedupOps.corpusShingleSets(fresh), shinglesDir)
+    // screening-only consumers (the screen() gate above): collapse
+    // exact dups so a mega-cluster costs one index row set, not one
+    // per copy — boolean fates provably unchanged
+    put(ops.DedupOps.corpusBandIndex(fresh, collapseExact = true), bandsDir)
+    put(ops.DedupOps.corpusShingleSets(fresh, collapseExact = true), shinglesDir)
     val accepted = fresh.count()
     put(files, processedDir) // commit marker: written last
     println(s"[incremental] round $roundId: " +

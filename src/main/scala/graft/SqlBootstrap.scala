@@ -38,30 +38,26 @@ object SqlBootstrap {
           spark.sparkContext.hadoopConfiguration.set(k, v) }
         case None =>
           val rw = DuckDialect.rewriteInfo(stmt, fetchRemote = true)
+          // rewrite-required confs (mergeSchema) are scoped to THIS
+          // statement — the session is shared, and a leaked conf would
+          // silently change every later read's schema semantics (the
+          // same reason /query runs them on a private session)
+          val prior = rw.confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
           rw.confs.foreach { case (k, v) => spark.conf.set(k, v) }
-          println(graft.server.JsonOut.results(spark.sql(rw.sql), 10000))
+          try println(graft.server.JsonOut.results(spark.sql(rw.sql), 10000))
+          finally prior.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None) => spark.conf.unset(k)
+          }
       }
     }
     spark.stop()
   }
 
-  private[graft] def splitStatements(sql: String): Seq[String] = {
-    val out = Vector.newBuilder[String]
-    val cur = new StringBuilder
-    var quote: Char = 0
-    var escaped = false
-    sql.foreach { c =>
-      if (quote != 0) {
-        cur += c
-        if (escaped) escaped = false // backslash-escaped char inside a literal
-        else if (c == '\\') escaped = true
-        else if (c == quote) quote = 0
-      }
-      else if (c == '\'' || c == '"') { quote = c; cur += c }
-      else if (c == ';') { out += cur.result(); cur.clear() }
-      else cur += c
-    }
-    out += cur.result()
-    out.result().map(_.trim).filter(_.nonEmpty)
-  }
+  /** Delegates to the dialect shim's lexer-based splitter (one
+    * definition of "top-level `;`"): the previous char-scanner here
+    * split inside comments (`-- setup; see docs`) and disagreed with
+    * /query on double-quoted identifiers. */
+  private[graft] def splitStatements(sql: String): Seq[String] =
+    graft.server.DuckDialect.splitStatements(sql)
 }

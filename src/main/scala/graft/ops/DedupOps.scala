@@ -668,11 +668,21 @@ object DedupOps {
     * indexes: identical text ⇒ identical shingle set ⇒ any
     * Jaccard/band decision against a member equals the decision
     * against its representative. */
-  def exactReps(docs: DataFrame): DataFrame = {
+  def exactReps(docs: DataFrame): DataFrame =
+    docs.join(
+      memberMap(docs).filter(col("doc_id") === col("rep_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+  /** `(doc_id, rep_id)` for every doc — THE one definition of the
+    * representative contract (md5(coalesce(text,'')), min doc_id):
+    * [[exactReps]], the collapsed pair plan, and the routing probes all
+    * derive from it so the fingerprint definition can never diverge
+    * between them. */
+  private def memberMap(docs: DataFrame): DataFrame = {
     val fps = docs.select(col("doc_id"),
       md5(coalesce(col("text"), lit(""))).as("fp"))
     val reps = fps.groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
-    docs.join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    fps.join(reps, "fp").select(col("doc_id"), col("rep_id"))
   }
 
   /** Static LSH lookup index for an arrival stream: `corpus_id, band,
@@ -680,24 +690,34 @@ object DedupOps {
     * partitioned by band at scale); StreamOps.nearDupStream probes it
     * with an equi-join per micro-batch.
     *
-    * Built over [[exactReps]] (r9): a corpus mega-cluster of m exact
-    * copies would otherwise put m identical rows in every one of its
-    * band buckets, making each colliding ARRIVAL join m index rows and
-    * verify m identical shingle sets — the stream-side face of the
-    * VERDICT r8 #1 quadratic. Screening verdicts are unchanged (an
-    * arrival near-dups a member iff it near-dups the representative —
-    * same shingle set), which is why p49's exact-Jaccard oracle stays
-    * green without modeling the collapse. */
-  def corpusBandIndex(corpus: DataFrame, n: Int = 3): DataFrame =
-    minHashSignatures(exactReps(corpus), n).select(col("doc_id").as("corpus_id"),
+    * `collapseExact = true` builds over [[exactReps]] (r9): a corpus
+    * mega-cluster of m exact copies otherwise puts m identical rows in
+    * every one of its band buckets, making each colliding ARRIVAL join
+    * m index rows and verify m identical shingle sets — the
+    * stream-side face of the VERDICT r8 #1 quadratic. Use it for
+    * SCREENING consumers (screen/screenReport — boolean fates are
+    * provably unchanged: a doc near-dups a member iff it near-dups the
+    * representative). Leave it false for consumers whose OUTPUT names
+    * corpus members ([[graft.streaming.StreamOps.nearDupStream]] emits
+    * one row per (arrival, corpus near-dup) — collapsing would shrink
+    * its answer, not just its work). Both sides of a probe must agree:
+    * pass the same flag to [[corpusShingleSets]]. */
+  def corpusBandIndex(corpus: DataFrame, n: Int = 3,
+                      collapseExact: Boolean = false): DataFrame = {
+    val base = if (collapseExact) exactReps(corpus) else corpus
+    minHashSignatures(base, n).select(col("doc_id").as("corpus_id"),
       posexplode(bandHashes(col("sig"))).as(Seq("band", "bh")))
+  }
 
   /** Static exact-verify side: `corpus_id, sh (distinct shingle array)`
-    * — what the candidate join checks true Jaccard against. Collapsed
-    * to [[exactReps]] like the band index (the two sides must agree on
-    * the id universe: candidates join shingles on corpus_id). */
-  def corpusShingleSets(corpus: DataFrame, n: Int = 3): DataFrame =
-    shingleSets(exactReps(corpus), n).select(col("doc_id").as("corpus_id"), col("sh"))
+    * — what the candidate join checks true Jaccard against.
+    * `collapseExact` must MATCH the paired [[corpusBandIndex]] (the
+    * candidate join meets the shingle sets on corpus_id). */
+  def corpusShingleSets(corpus: DataFrame, n: Int = 3,
+                        collapseExact: Boolean = false): DataFrame = {
+    val base = if (collapseExact) exactReps(corpus) else corpus
+    shingleSets(base, n).select(col("doc_id").as("corpus_id"), col("sh"))
+  }
 
   /** Production band-bucket cap (see [[minHashCandidates]]): a (band,
     * bh) bucket holding more than this many DISTINCT-text docs is
@@ -789,7 +809,14 @@ object DedupOps {
         .agg(count(lit(1)).as("__c")).agg(max(col("__c"))).collect()(0)
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    if (maxDup <= collapseMinCluster) minHashPairsDirect(docs, tau, n, maxBandBucket)
+    // a band-bucket CAP demands the collapsed plan whenever any exact
+    // dup exists: bucket depth on the direct plan counts COPIES, so a
+    // family of ~70 distinct texts duplicated ~60× would cross a
+    // 4096 cap with far fewer than 4096 distinct texts and silently
+    // lose recall the cap's contract (distinct texts) rules out. With
+    // maxDup == 1 direct and collapsed are the same id universe.
+    val directMax = if (maxBandBucket.isDefined) 1L else collapseMinCluster
+    if (maxDup <= directMax) minHashPairsDirect(docs, tau, n, maxBandBucket)
     else minHashPairsCollapsed(docs, tau, n, maxBandBucket)
   }
 
@@ -820,15 +847,11 @@ object DedupOps {
 
   private def minHashPairsCollapsed(docs: DataFrame, tau: Double, n: Int,
                                     maxBandBucket: Option[Long]): DataFrame = {
-    // fp join key: md5(coalesce(text,'')) — a NULL fp would drop the
-    // doc at the members join; null-text docs shingle to nothing and
-    // fall out via the rep-has-shingles gate exactly as before
-    val fps = docs.select(col("doc_id"),
-      md5(coalesce(col("text"), lit(""))).as("fp"))
-    val reps = fps.groupBy("fp").agg(min(col("doc_id")).as("rep_id"))
-    val members = fps.join(reps, "fp").select(col("doc_id"), col("rep_id"))
-    val repDocs = docs.join(
-      reps.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    // null-text docs get the coalesce('') fingerprint (a NULL fp would
+    // drop them at the members join); they shingle to nothing and fall
+    // out via the rep-has-shingles gate exactly as before
+    val members = memberMap(docs)
+    val repDocs = exactReps(docs)
     val sh = shingles(repDocs, n)
     val cands = minHashCandidates(minHashSignaturesFrom(sh), maxBandBucket)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -726,8 +726,8 @@ object PipelineQueries {
       val newb = docs.filter(bucket >= CrossSeenBuckets)
       IncrementalCorpus.screenReport(newb,
         IncrementalCorpus.fingerprints(seen),
-        DedupOps.corpusBandIndex(seen),
-        DedupOps.corpusShingleSets(seen), NearDupTau)
+        DedupOps.corpusBandIndex(seen, collapseExact = true),
+        DedupOps.corpusShingleSets(seen, collapseExact = true), NearDupTau)
         .orderBy(col("doc_id"))
     }),
 

@@ -305,7 +305,10 @@ object DuckDialect {
     if (i >= ts.length || ts(i).kind != Punct('(')) return None
     i += 1
     // key value [, key value]* ) — DuckDB accepts `KEY 'v'`, `KEY v`,
-    // and booleans/numbers as bare words
+    // and booleans/numbers as bare words. Only the KEY is lowercased:
+    // a bare-word VALUE keeps its case (credentials are case-sensitive
+    // — lowercasing AKIA… would corrupt it with no hint why auth fails)
+    def rawWord(t: Tok): String = stmt.substring(t.start, t.end)
     val kv = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var ok = true
     var done = false
@@ -313,7 +316,7 @@ object DuckDialect {
       if (ts(i).kind == Punct(')')) done = true
       else (ts(i).kind, if (i + 1 < ts.length) ts(i + 1).kind else Punct(0)) match {
         case (Word, Str) => kv += (word(ts(i)) -> strVal(ts(i + 1))); i += 2
-        case (Word, Word) => kv += (word(ts(i)) -> word(ts(i + 1))); i += 2
+        case (Word, Word) => kv += (word(ts(i)) -> rawWord(ts(i + 1))); i += 2
         case _ => ok = false
       }
       if (!done && ok) {
@@ -344,9 +347,10 @@ object DuckDialect {
       case ("endpoint", v) => out += (prefix + "endpoint" -> v)
       case ("use_ssl", v) =>
         out += (prefix + "connection.ssl.enabled" ->
-          (v == "true" || v == "1").toString)
+          Set("true", "1")(v.toLowerCase(java.util.Locale.ROOT)).toString)
       case ("url_style", v) =>
-        out += (prefix + "path.style.access" -> (v == "path").toString)
+        out += (prefix + "path.style.access" ->
+          (v.toLowerCase(java.util.Locale.ROOT) == "path").toString)
       case ("type", _) | ("scope", _) | ("provider", _) => // structural
       case (k, _) => require(false, s"CREATE SECRET key '$k' has no s3a mapping")
     }

@@ -188,12 +188,15 @@ final class GigHttpServer(spark: SparkSession, root: String,
     // itself need no extraction — the GraftFileIndex views prune from the
     // query's own pushed-down predicates during Catalyst planning
     val params = queryParams(ex)
-    val explicit = (params.get("from"), params.get("to")) match {
+    // malformed ?from=/?to= is the caller's 400 (NumberFormatException
+    // is an IAE subclass — without the relabel it would 500 under the
+    // narrowed BadRequest mapping)
+    val explicit = BadRequest.relabel((params.get("from"), params.get("to")) match {
       case (Some(f), Some(t)) => Some((f.toLong, t.toLong))
       case (Some(f), None) => Some((f.toLong, Long.MaxValue))
       case (None, Some(t)) => Some((Long.MinValue, t.toLong))
       case _ => None
-    }
+    })
     // ?db= scopes bare table names, like the reference querier
     val bareDb = params.get("db").filter(_.nonEmpty)
     // DuckDB statement-LIST acceptance (VERDICT r8 #4 — the reference's
@@ -673,15 +676,18 @@ final class GigHttpServer(spark: SparkSession, root: String,
     * build (ADVICE r8: every bind does parquet reads + driver collects
     * — bloom bits, vocab maps up to 1 M rows — so replaying superseded
     * same-key builds made boot latency grow with build history, each
-    * redone only to be overwritten). Replay order stays oldest-first
-    * ACROSS distinct keys (a LinkedHashMap update keeps first-insert
-    * position), preserving the previous aliasing order. Failures skip
-    * that artifact with a stderr note — a deleted .artifacts dir must
-    * not take the server down. */
+    * redone only to be overwritten). Replay order is each key's NEWEST
+    * build's ledger position (remove-and-reinsert on update) — NOT the
+    * key's first-build position, which would let an older key's bare
+    * latest-binding alias (match_bm25, bloom_hit, …) publish after a
+    * newer rebuild of another key and steal it on restart. Failures
+    * skip that artifact with a stderr note — a deleted .artifacts dir
+    * must not take the server down. */
   private def rebindArtifacts(): Unit = {
     val newestPerKey =
       scala.collection.mutable.LinkedHashMap.empty[String, String]
     artifacts.completedOldestFirst().foreach { case (key, result) =>
+      newestPerKey.remove(key)
       newestPerKey(key) = result }
     newestPerKey.foreach { case (key, result) =>
       try key.split(":", 3) match {

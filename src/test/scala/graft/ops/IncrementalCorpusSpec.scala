@@ -35,15 +35,15 @@ class IncrementalCorpusSpec extends SparkSpec {
     // the index must carry ONE row set per distinct text, not 500 —
     // otherwise every colliding arrival joins 500 identical entries
     val corpus = ((1 to 500).map(_.toLong -> f1) :+ (900L -> f3)).toDF("doc_id", "text")
-    val bands = DedupOps.corpusBandIndex(corpus)
+    val bands = DedupOps.corpusBandIndex(corpus, collapseExact = true)
     assert(bands.count() == 2L * DedupOps.Bands) // 2 distinct texts x 16 bands
-    assert(DedupOps.corpusShingleSets(corpus).count() == 2L)
+    assert(DedupOps.corpusShingleSets(corpus, collapseExact = true).count() == 2L)
     // representative ids follow the exactGroups min-id survivor contract
     assert(bands.select("corpus_id").distinct().as[Long].collect().toSet ==
       Set(1L, 900L))
     // and screening against the collapsed index gives the same fates
     val fps = IncrementalCorpus.fingerprints(corpus)
-    val shingles = DedupOps.corpusShingleSets(corpus)
+    val shingles = DedupOps.corpusShingleSets(corpus, collapseExact = true)
     val batch = Seq(50L -> f1, 51L -> s"$f1 of to in is was", 60L -> f4)
       .toDF("doc_id", "text")
     val fates = IncrementalCorpus

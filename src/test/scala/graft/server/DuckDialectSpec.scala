@@ -169,6 +169,13 @@ class DuckDialectSpec extends SparkSpec {
       "CREATE SECRET mysec (TYPE S3, KEY_ID 'k', SECRET 's', SCOPE 's3://bkt/pre')").get
     assert(sc("fs.s3a.bucket.bkt.access.key") == "k")
     assert(sc("fs.s3a.bucket.bkt.secret.key") == "s")
+    // bare-word VALUES keep their case — credentials are case-sensitive
+    // (only keys and booleans normalize)
+    val bare = DuckDialect.parseSecret(
+      "CREATE SECRET (TYPE S3, KEY_ID AKIAIOSFODNN7, SECRET x9Fz, USE_SSL TRUE)").get
+    assert(bare("fs.s3a.access.key") == "AKIAIOSFODNN7")
+    assert(bare("fs.s3a.secret.key") == "x9Fz")
+    assert(bare("fs.s3a.connection.ssl.enabled") == "true")
     // non-secret statements pass through as None
     assert(DuckDialect.parseSecret("SELECT 1").isEmpty)
     assert(DuckDialect.parseSecret("CREATE TABLE t (a INT)").isEmpty)

@@ -120,6 +120,10 @@ class GigHttpServerSpec extends SparkSpec {
 
   test("request-shape errors are 400; engine-side IAE subclasses stay 500 (ADVICE r8)") {
     assert(post("/query", """{"notquery": 1}""").statusCode() == 400)
+    // malformed ?from=/?to= is a request-shape 400 (regression guard:
+    // the BadRequest narrowing briefly let NumberFormatException 500)
+    assert(post("/query?from=abc",
+      """{"query": "SELECT 1 AS x"}""").statusCode() == 400)
     // ANSI cast failure at EXECUTION throws a SparkNumberFormatException
     // (an IllegalArgumentException subclass) — an engine fault, not the
     // request's shape: it must surface as 500
@@ -525,6 +529,47 @@ class GigHttpServerSpec extends SparkSpec {
           """{"query": "SELECT count(*) AS c FROM led_corpus_cluster_map"}""")).build(),
         HttpResponse.BodyHandlers.ofString())
       assert(q.statusCode() == 200 && q.body().contains(""""c":"3""""), q.body())
+    } finally s2.close()
+  }
+
+  test("boot rebind: bare alias binds each key's NEWEST build in ledger order") {
+    // regression (code-review r9): newest-per-key dedup replayed keys in
+    // FIRST-build order, so rebuilding key A after key B made the bare
+    // alias (bloom_hit) bind B's model on restart while the live server
+    // had A's. Build bloom(c1), bloom(c2), bloom(c1) again — after a
+    // restart the bare bloom_hit must still be c1's model.
+    val root2 = Files.createTempDirectory("graft-rebindord-").toString
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val t2 = "uno dos tres cuatro cinco seis siete ocho nueve"
+    val s1 = new GigHttpServer(spark, root2, port = 0, saveTimeoutMs = 100).start()
+    try {
+      val b1 = s"http://localhost:${s1.boundPort}"
+      def post1(path: String, body: String) =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b1$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      assert(post1("/write?db=ord", s"""c1 doc_id=1i,text="$t1"""").statusCode() == 204)
+      assert(post1("/write?db=ord", s"""c2 doc_id=2i,text="$t2"""").statusCode() == 204)
+      def build(t: String) = post1("/gigapi/artifacts?db=ord",
+        s"""{"kind": "bloom", "table": "$t", "sync": true}""")
+      val r1 = build("c1"); assert(r1.statusCode() == 200, r1.body())
+      val r2 = build("c2"); assert(r2.statusCode() == 200, r2.body())
+      val r3 = build("c1"); assert(r3.statusCode() == 200, r3.body()) // c1 rebuilt LAST
+    } finally s1.close()
+    val s2 = new GigHttpServer(spark, root2, port = 0, saveTimeoutMs = 100).start()
+    try {
+      val b2 = s"http://localhost:${s2.boundPort}"
+      def q(sql: String) =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b2/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"query": ${JsonOut.str(sql)}}""")).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val hit = q(s"SELECT bloom_hit('${t1.split(" ").take(8).mkString(" ")}') AS h")
+      assert(hit.statusCode() == 200 && hit.body().contains(""""h":true"""),
+        hit.body())
+      val miss = q(s"SELECT bloom_hit('${t2.split(" ").take(8).mkString(" ")}') AS h")
+      assert(miss.statusCode() == 200 && miss.body().contains(""""h":false"""),
+        miss.body())
     } finally s2.close()
   }
 
