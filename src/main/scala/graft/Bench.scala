@@ -50,7 +50,11 @@ object Bench {
     // VERDICT r6 #4: prove the codec-decode cost (p78/p79) is linear in
     // asset count and the Bloom exact-residue join (p71) stays flat —
     // "should be linear" is what this section replaces with a number
-    "p71_bloom_decontaminate", "p78_image_ahash", "p79_audio_fingerprint")
+    "p71_bloom_decontaminate", "p78_image_ahash", "p79_audio_fingerprint",
+    // r9: the BM25 search family — corpus-scan top-k (p86) must stay
+    // linear and the posting-list batch face (p87) must shuffle only
+    // the query-vocabulary slice at 10× corpus
+    "p86_bm25_search", "p87_bm25_batch")
 
   private def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
