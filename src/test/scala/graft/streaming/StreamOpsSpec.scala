@@ -162,6 +162,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream names every corpus MEMBER, even inside exact-dup clusters") {
+    // regression (code-review r9): collapsing the corpus index to
+    // exact-dup representatives silently shrank this stream's output —
+    // the contract is one row per (arrival, corpus near-dup), and the
+    // prior spec's corpus had no exact dups to catch it
+    implicit val sq = spark.sqlContext
+    import graft.ops.DedupOps
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((100L, t), (101L, t), (102L, t), // 3 exact copies
+      (200L, "totally different content about ships and harbors at dawn"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, Long, String)]
+    val out = StreamOps.nearDupStream(in.toDF().toDF("time", "doc_id", "text"),
+      DedupOps.corpusBandIndex(corpus), DedupOps.corpusShingleSets(corpus),
+      tau = 0.5, lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sneardup_members")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ns(0), 1L, s"$t extra"))
+      q.processAllAvailable()
+      val got = spark.table("sneardup_members")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.map(_._2) == Set(100L, 101L, 102L), got) // ALL members named
+    } finally q.stop()
+  }
+
   test("scrub-on-ingest: PII redaction + quality gates compose with a stream") {
     // the map-only pipeline ops (p31 redact, p14 repetition gate columns,
     // p08 token count) are stateless projections, so they drop into a
