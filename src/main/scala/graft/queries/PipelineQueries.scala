@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, CorpusPipeline, DedupOps, IncrementalCorpus, MediaGen, MixOps, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, SearchOps, Sessionize, ShardOps, SimilarityOps, TextOps, TimeSeriesOps, TokenizerEval}
+import graft.ops.{AsOfJoin, BpeOps, CorpusPipeline, DedupOps, IncrementalCorpus, LayoutOps, MediaGen, MixOps, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, SearchOps, Sessionize, ShardOps, SimilarityOps, TextOps, TimeSeriesOps, TokenizerEval}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -1159,6 +1159,18 @@ object PipelineQueries {
       SearchOps.bm25Batch(Tables.loadSpread(s, dir, "documents"), Bm25Queries, k = 10)
     }),
 
+    // ---- Z-order (Morton) layout key: the multi-dimension clustering
+    //      that makes per-file zone maps tight on time AND series at
+    //      once (LayoutOps — Delta/Iceberg OPTIMIZE ZORDER analog).
+    //      Pure integer shift/mask chain, whole-stage codegen; the
+    //      oracle re-derives every z-value bit for bit ----
+    "p88_zorder_key" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          LayoutOps.zorder2(expr("ts DIV 3600000000000"), col("user_id")).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     "p57_hard_negatives" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
@@ -1585,6 +1597,10 @@ object PipelineQueries {
     "p02_ngram_jaccard" -> DedupOps.jaccardPairsSql(NearDupTau),
     "p86_bm25_search" -> SearchOps.bm25Sql(Bm25Terms, k = 20),
     "p87_bm25_batch" -> SearchOps.bm25BatchSql(Bm25Queries, k = 10),
+    "p88_zorder_key" ->
+      s"""SELECT event_id, ${LayoutOps.zorder2Sql(
+            "epoch_ns(ts) // 3600000000000", "user_id")} AS z
+         |FROM events ORDER BY event_id""".stripMargin,
     "p03_minhash_lsh" -> DedupOps.jaccardPairsSql(NearDupTau, capFrac = None),
     "p04_simhash" -> DedupOps.simHashSql(),
     "p05_embedding_neardup" ->
