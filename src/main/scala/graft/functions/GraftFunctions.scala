@@ -185,6 +185,11 @@ object GraftFunctions {
         val n = literalIntArg("shingles(text, n)", es, 2, 1)
         x(graft.ops.DedupOps.shingleArr(c(es.head), n))
       }
+      // Morton z-value (LayoutOps, p88): lets /query users cluster a
+      // CTAS/INSERT by two dimensions — "… ORDER BY zorder_key(ts DIV
+      // 3600000000000, user_id)" — the OPTIMIZE ZORDER analog in SQL
+      reg("zorder_key")(es =>
+        x(graft.ops.LayoutOps.zorder2(c(es(0)), c(es(1)))))
     }
     // Unicode NFC normalization (codegen; DuckDB nfc_normalize parity)
     reg("nfc")(es => NfcNormalize(es.head))

@@ -51,6 +51,11 @@ class LayoutOpsSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("zorder_key is on the SQL surface as a native builder") {
+    val z = spark.sql("SELECT zorder_key(3, 5) AS z").as[Long].collect()(0)
+    assert(z == mortonRef(3L, 5L))
+  }
+
   test("z-order layout makes per-file rectangles tight on BOTH dimensions") {
     // 32x32 grid of (hour, series): a time-sorted layout stripes hours,
     // so every file spans the full series range and a series predicate
