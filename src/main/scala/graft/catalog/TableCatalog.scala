@@ -31,7 +31,13 @@ final case class TableSpec(
     // object-store data residency (reference create_table.go s3_url):
     // reference s3:// grammar or any Hadoop scheme; data files live
     // there, metadata.json/catalog stay on the local root (manifest)
-    dataUrl: Option[String] = None) {
+    dataUrl: Option[String] = None,
+    // opt-in z-order compaction (beyond-reference, LayoutOps p88):
+    // merges cluster rows on the Morton curve of the two order_by
+    // keys' min/max-bucketed values instead of a lexicographic sort,
+    // so row-group zone maps get tight on BOTH dimensions. Requires
+    // exactly two numeric order_by keys (validated at create).
+    zorder: Boolean = false) {
   require(TableCatalog.NameRe.matches(name), s"invalid table name: $name")
   require(TableCatalog.NameRe.matches(database), s"invalid database name: $database")
 }
@@ -117,6 +123,7 @@ final class TableCatalog(root: String) {
       "timestamp_field" -> spec.timestampField.map(JString(_)).getOrElse(JNull),
       "timestamp_precision" -> JString(spec.timestampPrecision),
       "data_url" -> spec.dataUrl.map(JString(_)).getOrElse(JNull),
+      "zorder" -> JBool(spec.zorder),
       "columns" -> JArray(spec.columns.map { case (n, t) =>
         JObject("name" -> JString(n), "type" -> JString(t))
       }.toList))
@@ -140,6 +147,7 @@ final class TableCatalog(root: String) {
       timestampField = (j \ "timestamp_field").extractOpt[String],
       timestampPrecision = (j \ "timestamp_precision").extract[String],
       dataUrl = (j \ "data_url").extractOpt[String],
+      zorder = (j \ "zorder").extractOpt[Boolean].getOrElse(false),
       columns = (j \ "columns").extract[List[JObject]].map(o =>
         ((o \ "name").extract[String], (o \ "type").extract[String])))
     // never clobber a concurrent in-memory update with what was read from

@@ -3,7 +3,7 @@ package graft.compact
 import java.nio.file.Path
 import java.util.UUID
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import graft.catalog.{TableCatalog, TableSpec}
 import graft.index.{FileEntry, MetadataIndex, ParquetLevels}
@@ -135,6 +135,41 @@ object Compactor {
     plans.size
   }
 
+  /** The merge's in-file row order. Default: lexicographic on the
+    * table's ORDER BY keys (the mergetree contract). With the spec's
+    * opt-in `zorder` flag (exactly two numeric keys, validated at
+    * create), rows cluster on the Morton curve of the two keys'
+    * min/max-normalized 2048-bucket values instead
+    * ([[graft.ops.LayoutOps]]): row-group zone maps inside the merged
+    * file get tight on BOTH dimensions, so parquet row-group pruning
+    * serves time x series predicates — the OPTIMIZE ZORDER analog on
+    * the compaction path. The min/max probe is one tiny agg over the
+    * files being merged (bounded by the plan's byte cap); a constant
+    * or empty dimension falls back to bucket 0, and the first ORDER BY
+    * key breaks z-ties so output order is deterministic. */
+  private[compact] def clusterSort(df: DataFrame, spec: TableSpec): DataFrame =
+    if (!spec.zorder || spec.orderBy.size != 2)
+      df.sortWithinPartitions(spec.orderBy.map(col): _*)
+    else {
+      import org.apache.spark.sql.functions._
+      val Seq(c1, c2) = spec.orderBy
+      val r = df.agg(
+        min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+        min(col(c2)).cast("double"), max(col(c2)).cast("double")).collect()(0)
+      def bucket(c: String, loIdx: Int): Column =
+        if (r.isNullAt(loIdx) || r.isNullAt(loIdx + 1) ||
+            r.getDouble(loIdx + 1) <= r.getDouble(loIdx)) lit(0L)
+        else {
+          val (lo, hi) = (r.getDouble(loIdx), r.getDouble(loIdx + 1))
+          least(lit(2047L), greatest(lit(0L),
+            (((col(c).cast("double") - lit(lo)) / lit(hi - lo)) * 2047.0)
+              .cast("long")))
+        }
+      df.sortWithinPartitions(
+        graft.ops.LayoutOps.zorder2(bucket(c1, 0), bucket(c2, 2)),
+        col(c1), col(c2))
+    }
+
   /** Merge one plan: sorted single-file output, staged locally then
     * published (atomic move locally; copy-to-final-key + manifest commit
     * for object-store tables — reference merge_service_s3.go:73-144
@@ -150,12 +185,11 @@ object Compactor {
     val fs = ObjectStore.publishFs(partUri, hconf)
     val staging = new HPath(partUri, s".merge-${UUID.randomUUID()}")
     try {
-      spark.read
+      clusterSort(spark.read
         .option("mergeSchema", "true")
         .parquet(plan.from: _*)
         // coalesce, not repartition: no round-robin exchange before the sort
-        .coalesce(1)
-        .sortWithinPartitions(spec.orderBy.map(col): _*)
+        .coalesce(1), spec)
         .write.mode("overwrite").parquet(staging.toString)
       val part = fs.listStatus(staging).toSeq
         .find(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

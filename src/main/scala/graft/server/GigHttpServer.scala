@@ -253,7 +253,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
       timestampField = req.tsField,
       timestampPrecision = req.tsPrecision.getOrElse("ns"),
       columns = req.fields,
-      dataUrl = req.s3Url))
+      dataUrl = req.s3Url,
+      zorder = req.zorder))
     respond(ex, 200, """{"status":"created"}""", "application/json")
   }
 
@@ -764,13 +765,18 @@ final case class CreateRequest(
     orderBy: Seq[String],
     tsField: Option[String],
     tsPrecision: Option[String],
-    s3Url: Option[String] = None) {
+    s3Url: Option[String] = None,
+    zorder: Boolean = false) {
 
   def validate(): Unit = {
     require(TableCatalog.NameRe.matches(name), s"invalid table name: $name")
     val names = fields.map(_._1).toSet
     orderBy.foreach(c => require(names.contains(c), s"order_by field '$c' not in fields"))
     tsField.foreach(c => require(names.contains(c), s"timestamp field '$c' not in fields"))
+    // the Morton curve interleaves exactly two dimensions; a silent
+    // fallback would accept the option and not deliver the layout
+    if (zorder) require(orderBy.size == 2,
+      s"zorder requires exactly two order_by keys, got ${orderBy.size}")
   }
 }
 
@@ -798,7 +804,8 @@ object CreateRequest {
       orderBy = (j \ "order_by").extractOrElse[List[String]](Nil),
       tsField = (j \ "timestamp" \ "field").extractOpt[String],
       tsPrecision = (j \ "timestamp" \ "precision").extractOpt[String],
-      s3Url = (j \ "s3_url").extractOpt[String]) // reference create_table.go
+      s3Url = (j \ "s3_url").extractOpt[String], // reference create_table.go
+      zorder = (j \ "zorder").extractOrElse[Boolean](false))
   }
 
   /** Minimal YAML subset for the reference's documented create shape (F8):
@@ -811,6 +818,7 @@ object CreateRequest {
     var tsField: Option[String] = None
     var tsPrecision: Option[String] = None
     var s3Url: Option[String] = None
+    var zorder = false
     val fields = Vector.newBuilder[(String, String)]
     var inFields = false
     var inTimestamp = false
@@ -825,6 +833,7 @@ object CreateRequest {
           case ("create_table", false) => name = value
           case ("engine", false) => engine = Some(value)
           case ("s3_url", false) => s3Url = Some(value)
+          case ("zorder", false) => zorder = value.equalsIgnoreCase("true")
           case ("order_by", false) =>
             orderBy = value.stripPrefix("[").stripSuffix("]")
               .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
@@ -851,7 +860,7 @@ object CreateRequest {
         }
       }
     }
-    CreateRequest(name, fields.result(), engine, orderBy, tsField, tsPrecision, s3Url)
+    CreateRequest(name, fields.result(), engine, orderBy, tsField, tsPrecision, s3Url, zorder)
   }
 }
 

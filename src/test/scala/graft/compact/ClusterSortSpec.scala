@@ -1,0 +1,65 @@
+package graft.compact
+
+import graft.SparkSpec
+import graft.catalog.{TableCatalog, TableSpec}
+import org.apache.spark.sql.functions._
+
+class ClusterSortSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mortonRef(x: Long, y: Long): Long = {
+    var z = 0L; var i = 0
+    while (i < 31) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  private val grid = for (h <- 0L until 4L; u <- 0L until 4L) yield (h, u)
+
+  test("clusterSort default: lexicographic on the order_by keys") {
+    val spec = TableSpec("db", "t", orderBy = Seq("h", "u"))
+    val out = Compactor.clusterSort(
+      scala.util.Random.shuffle(grid).toDF("h", "u").coalesce(1), spec)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == grid.sortBy(identity))
+  }
+
+  test("clusterSort with zorder: rows follow the Morton curve of bucketed keys") {
+    val spec = TableSpec("db", "t", orderBy = Seq("h", "u"), zorder = true)
+    val out = Compactor.clusterSort(
+      scala.util.Random.shuffle(grid).toDF("h", "u").coalesce(1), spec)
+      .as[(Long, Long)].collect().toSeq
+    // same bucketing arithmetic as clusterSort: min 0, max 3, 2048 cells
+    def bucket(v: Long): Long = math.min(2047L, (v.toDouble / 3.0 * 2047.0).toLong)
+    val expected = grid.sortBy { case (h, u) =>
+      (mortonRef(bucket(h), bucket(u)), h, u) }
+    assert(out == expected)
+    // and the curve actually differs from the lexicographic order
+    assert(out != grid.sortBy(identity))
+  }
+
+  test("zorder with a constant or absent dimension degrades to a stable sort") {
+    val spec = TableSpec("db", "t", orderBy = Seq("h", "u"), zorder = true)
+    val const = Seq((1L, 5L), (1L, 2L), (1L, 9L)).toDF("h", "u").coalesce(1)
+    // h is constant → its bucket is 0 for every row; u still clusters
+    val out = Compactor.clusterSort(const, spec).as[(Long, Long)].collect().toSeq
+    assert(out.map(_._2).sorted == Seq(2L, 5L, 9L))
+    val empty = Seq.empty[(Long, Long)].toDF("h", "u")
+    assert(Compactor.clusterSort(empty, spec).count() == 0L)
+  }
+
+  test("zorder persists through the catalog JSON roundtrip") {
+    val root = java.nio.file.Files.createTempDirectory("zcat").toString
+    val cat = new TableCatalog(root)
+    cat.upsert(TableSpec("db", "zt", orderBy = Seq("a", "b"), zorder = true))
+    val reloaded = new TableCatalog(root).get("db", "zt").get
+    assert(reloaded.zorder)
+    assert(reloaded.orderBy == Seq("a", "b"))
+    // absent key in older catalog files reads as false
+    cat.upsert(TableSpec("db", "plain"))
+    assert(!new TableCatalog(root).get("db", "plain").get.zorder)
+  }
+}

@@ -573,6 +573,18 @@ class GigHttpServerSpec extends SparkSpec {
     } finally s2.close()
   }
 
+  test("create-table accepts the opt-in zorder flag; wrong key count is a 400") {
+    val ok = post("/gigapi/create?db=zdb",
+      """{"create_table": "zt", "fields": {"h": "INT64", "u": "INT64", "v": "FLOAT64"},
+        | "order_by": ["h", "u"], "zorder": true}""".stripMargin)
+    assert(ok.statusCode() == 200, ok.body())
+    assert(server.catalog.get("zdb", "zt").exists(_.zorder))
+    val bad = post("/gigapi/create?db=zdb",
+      """{"create_table": "zbad", "fields": {"h": "INT64"},
+        | "order_by": ["h"], "zorder": true}""".stripMargin)
+    assert(bad.statusCode() == 400, bad.body())
+  }
+
   test("config-booted server (GraftConfig -> fromConfig): write -> query e2e") {
     val root2 = Files.createTempDirectory("graft-cfgboot-").toString
     val cfgFile = Files.createTempFile("graft-cfg-", ".yaml")
