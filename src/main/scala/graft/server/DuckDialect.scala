@@ -272,11 +272,20 @@ object DuckDialect {
     * Accepted and ignored: the capability they request (parquet scan,
     * the chsql function surface) is built in here. `SET` is NOT
     * no-opped — Spark has its own SET semantics. */
-  def isExtensionNoOp(stmt: String): Boolean =
-    lex(stmt).headOption.exists { t =>
-      t.kind == Word && Set("load", "install", "pragma", "force")(
-        stmt.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT))
+  def isExtensionNoOp(stmt: String): Boolean = {
+    val ts = lex(stmt)
+    ts.headOption.exists { t =>
+      t.kind == Word && (stmt.substring(t.start, t.end)
+        .toLowerCase(java.util.Locale.ROOT) match {
+        // `LOAD <ext>` only — Spark's own `LOAD DATA INPATH …` must NOT
+        // silently no-op (it should fail loudly like any unsupported
+        // statement, not read as success)
+        case "load" => ts.length == 2 && ts(1).kind == Word
+        case "install" | "pragma" | "force" => true
+        case _ => false
+      })
     }
+  }
 
   /** `CREATE SECRET` (DuckDB's in-dialect S3 credential statement —
     * the reference's S3 merge path issues exactly this,

@@ -147,6 +147,8 @@ class DuckDialectSpec extends SparkSpec {
     assert(DuckDialect.isExtensionNoOp("FORCE INSTALL chsql"))
     assert(!DuckDialect.isExtensionNoOp("SELECT 1"))
     assert(!DuckDialect.isExtensionNoOp("SET spark.sql.ansi.enabled=true"))
+    // Spark's own Hive-style LOAD DATA must not silently no-op
+    assert(!DuckDialect.isExtensionNoOp("LOAD DATA INPATH '/x' INTO TABLE t"))
   }
 
   test("CREATE SECRET maps to fs.s3a.* (reference merge_service_s3.go:94-118)") {
