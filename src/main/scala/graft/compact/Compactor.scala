@@ -143,29 +143,40 @@ object Compactor {
     * ([[graft.ops.LayoutOps]]): row-group zone maps inside the merged
     * file get tight on BOTH dimensions, so parquet row-group pruning
     * serves time x series predicates — the OPTIMIZE ZORDER analog on
-    * the compaction path. The min/max probe is one tiny agg over the
-    * files being merged (bounded by the plan's byte cap); a constant
-    * or empty dimension falls back to bucket 0, and the first ORDER BY
-    * key breaks z-ties so output order is deterministic. */
+    * the compaction path. The min/max probe runs on the PRE-coalesce
+    * frame — a parallel, column-pruned scan of just the two key
+    * columns, not a single-task re-read of the whole plan; NaNs are
+    * excluded from the probe and bucket to 0 per-row (Spark's max()
+    * ranks NaN greatest, and lo/hi = NaN would make every row's
+    * normalization NaN → an ANSI cast error failing the merge
+    * forever). A constant or empty dimension falls back to bucket 0,
+    * and the first ORDER BY key breaks z-ties so output order is
+    * deterministic. Returns the coalesce(1)'d sorted frame (coalesce,
+    * not repartition: no round-robin exchange before the sort). */
   private[compact] def clusterSort(df: DataFrame, spec: TableSpec): DataFrame =
     if (!spec.zorder || spec.orderBy.size != 2)
-      df.sortWithinPartitions(spec.orderBy.map(col): _*)
+      df.coalesce(1).sortWithinPartitions(spec.orderBy.map(col): _*)
     else {
       import org.apache.spark.sql.functions._
       val Seq(c1, c2) = spec.orderBy
+      def finite(c: String): Column = {
+        val d = col(c).cast("double")
+        when(!isnan(d), d) // NULL (excluded by min/max) when NaN
+      }
       val r = df.agg(
-        min(col(c1)).cast("double"), max(col(c1)).cast("double"),
-        min(col(c2)).cast("double"), max(col(c2)).cast("double")).collect()(0)
+        min(finite(c1)), max(finite(c1)),
+        min(finite(c2)), max(finite(c2))).collect()(0)
       def bucket(c: String, loIdx: Int): Column =
         if (r.isNullAt(loIdx) || r.isNullAt(loIdx + 1) ||
             r.getDouble(loIdx + 1) <= r.getDouble(loIdx)) lit(0L)
         else {
           val (lo, hi) = (r.getDouble(loIdx), r.getDouble(loIdx + 1))
-          least(lit(2047L), greatest(lit(0L),
-            (((col(c).cast("double") - lit(lo)) / lit(hi - lo)) * 2047.0)
-              .cast("long")))
+          val d = col(c).cast("double")
+          when(d.isNull || isnan(d), lit(0L)).otherwise(
+            least(lit(2047L), greatest(lit(0L),
+              (((d - lit(lo)) / lit(hi - lo)) * 2047.0).cast("long"))))
         }
-      df.sortWithinPartitions(
+      df.coalesce(1).sortWithinPartitions(
         graft.ops.LayoutOps.zorder2(bucket(c1, 0), bucket(c2, 2)),
         col(c1), col(c2))
     }
@@ -187,9 +198,7 @@ object Compactor {
     try {
       clusterSort(spark.read
         .option("mergeSchema", "true")
-        .parquet(plan.from: _*)
-        // coalesce, not repartition: no round-robin exchange before the sort
-        .coalesce(1), spec)
+        .parquet(plan.from: _*), spec)
         .write.mode("overwrite").parquet(staging.toString)
       val part = fs.listStatus(staging).toSeq
         .find(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

@@ -188,8 +188,11 @@ object GraftFunctions {
       // Morton z-value (LayoutOps, p88): lets /query users cluster a
       // CTAS/INSERT by two dimensions — "… ORDER BY zorder_key(ts DIV
       // 3600000000000, user_id)" — the OPTIMIZE ZORDER analog in SQL
-      reg("zorder_key")(es =>
-        x(graft.ops.LayoutOps.zorder2(c(es(0)), c(es(1)))))
+      reg("zorder_key") { es =>
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"zorder_key(x, y): expected 2 arguments, got ${es.length}")
+        x(graft.ops.LayoutOps.zorder2(c(es(0)), c(es(1))))
+      }
     }
     // Unicode NFC normalization (codegen; DuckDB nfc_normalize parity)
     reg("nfc")(es => NfcNormalize(es.head))

@@ -68,10 +68,13 @@ object LayoutOps {
     * the (x, y) plane instead of striping one dimension. */
   def zorderLayout(df: DataFrame, x: Column, y: Column,
                    numFiles: Int): DataFrame = {
-    val z = zorder2(x, y).as("__z")
-    df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    // collision-safe scratch name: silently overwriting (then dropping)
+    // a caller's own `__z` column would lose its data
+    val zc = Iterator.from(0).map(i => if (i == 0) "__z" else s"__z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(zc, zorder2(x, y))
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
   }
 }

@@ -775,8 +775,19 @@ final case class CreateRequest(
     tsField.foreach(c => require(names.contains(c), s"timestamp field '$c' not in fields"))
     // the Morton curve interleaves exactly two dimensions; a silent
     // fallback would accept the option and not deliver the layout
-    if (zorder) require(orderBy.size == 2,
-      s"zorder requires exactly two order_by keys, got ${orderBy.size}")
+    if (zorder) {
+      require(orderBy.size == 2,
+        s"zorder requires exactly two order_by keys, got ${orderBy.size}")
+      // numeric-only: clusterSort min/max-normalizes the keys, and under
+      // ANSI mode a string key would fail EVERY merge of the table at
+      // compaction time instead of this create call
+      val types = fields.toMap
+      orderBy.foreach { c =>
+        val t = types.getOrElse(c, "")
+        require(Set("INT64", "UINT64", "FLOAT64")(t),
+          s"zorder order_by key '$c' must be numeric, got $t")
+      }
+    }
   }
 }
 

@@ -51,6 +51,21 @@ class ClusterSortSpec extends SparkSpec {
     assert(Compactor.clusterSort(empty, spec).count() == 0L)
   }
 
+  test("zorder survives NaN key values (excluded from probe, bucket 0 per-row)") {
+    // Spark's max() ranks NaN greatest: an unguarded probe would take
+    // hi = NaN, every row's normalization would be NaN, and the ANSI
+    // NaN->long cast would fail EVERY merge of the table forever
+    val spec = TableSpec("db", "t", orderBy = Seq("h", "u"), zorder = true)
+    val rows = Seq((1.0, 5L), (Double.NaN, 2L), (3.0, 9L), (2.0, 7L))
+    val out = Compactor.clusterSort(rows.toDF("h", "u"), spec)
+      .as[(Double, Long)].collect().toSeq
+    assert(out.length == 4)
+    assert(out.count(_._1.isNaN) == 1)
+    // all-NaN dimension: probe sees an empty min/max -> stable fallback
+    val allNaN = Seq((Double.NaN, 5L), (Double.NaN, 2L)).toDF("h", "u")
+    assert(Compactor.clusterSort(allNaN, spec).count() == 2L)
+  }
+
   test("zorder persists through the catalog JSON roundtrip") {
     val root = java.nio.file.Files.createTempDirectory("zcat").toString
     val cat = new TableCatalog(root)

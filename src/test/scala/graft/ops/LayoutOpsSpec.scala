@@ -54,6 +54,18 @@ class LayoutOpsSpec extends SparkSpec {
   test("zorder_key is on the SQL surface as a native builder") {
     val z = spark.sql("SELECT zorder_key(3, 5) AS z").as[Long].collect()(0)
     assert(z == mortonRef(3L, 5L))
+    // wrong arity: a clear usage message, not an opaque IndexOutOfBounds
+    val e = intercept[Exception](spark.sql("SELECT zorder_key(3)").collect())
+    assert(e.getMessage.contains("expected 2 arguments"), e.getMessage)
+  }
+
+  test("zorderLayout does not clobber a caller's own __z column") {
+    val df = Seq((1L, 2L, "keep-me"), (3L, 4L, "also"))
+      .toDF("x", "y", "__z")
+    val out = LayoutOps.zorderLayout(df, col("x"), col("y"), 2)
+    assert(out.columns.toSeq == Seq("x", "y", "__z"))
+    assert(out.select("__z").as[String].collect().toSet ==
+      Set("keep-me", "also"))
   }
 
   test("z-order layout makes per-file rectangles tight on BOTH dimensions") {

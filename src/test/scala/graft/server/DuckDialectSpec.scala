@@ -149,6 +149,8 @@ class DuckDialectSpec extends SparkSpec {
     assert(!DuckDialect.isExtensionNoOp("SET spark.sql.ansi.enabled=true"))
     // Spark's own Hive-style LOAD DATA must not silently no-op
     assert(!DuckDialect.isExtensionNoOp("LOAD DATA INPATH '/x' INTO TABLE t"))
+    // DuckDB's quoted-path form still does
+    assert(DuckDialect.isExtensionNoOp("LOAD './chsql.duckdb_extension'"))
   }
 
   test("CREATE SECRET maps to fs.s3a.* (reference merge_service_s3.go:94-118)") {

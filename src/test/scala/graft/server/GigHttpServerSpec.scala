@@ -583,6 +583,13 @@ class GigHttpServerSpec extends SparkSpec {
       """{"create_table": "zbad", "fields": {"h": "INT64"},
         | "order_by": ["h"], "zorder": true}""".stripMargin)
     assert(bad.statusCode() == 400, bad.body())
+    // non-numeric keys must fail HERE, not at the first compaction merge
+    // (clusterSort min/max-normalizes; ANSI string->double cast throws)
+    val nonNum = post("/gigapi/create?db=zdb",
+      """{"create_table": "zstr", "fields": {"tag": "STRING", "host": "STRING"},
+        | "order_by": ["tag", "host"], "zorder": true}""".stripMargin)
+    assert(nonNum.statusCode() == 400, nonNum.body())
+    assert(nonNum.body().contains("numeric"), nonNum.body())
   }
 
   test("config-booted server (GraftConfig -> fromConfig): write -> query e2e") {
