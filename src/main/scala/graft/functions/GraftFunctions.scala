@@ -124,6 +124,12 @@ object GraftFunctions {
     reg("retention")(es => RetentionAgg(es).toAggregateExpression())
     // CH-compat AGGREGATE: top_k(k, expr) — space-saving heavy hitters
     reg("top_k")(es => TopKAgg(es(0), es(1)).toAggregateExpression())
+    // deterministic HLL cardinality (uniq-family; SketchOps, p89/p90)
+    reg("hll_distinct") { es =>
+      if (es.length != 1) throw new IllegalArgumentException(
+        s"hll_distinct(expr): expected 1 argument, got ${es.length}")
+      HllAgg(es.head).toAggregateExpression()
+    }
     // CH -If aggregate combinators (countIf/sumIf/…): the condition gates
     // the input to null, which every Spark aggregate already ignores —
     // so each combinator partial-aggregates map-side like its base

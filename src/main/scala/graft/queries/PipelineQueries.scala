@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, CorpusPipeline, DedupOps, IncrementalCorpus, LayoutOps, MediaGen, MixOps, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, SearchOps, Sessionize, ShardOps, SimilarityOps, TextOps, TimeSeriesOps, TokenizerEval}
+import graft.ops.{AsOfJoin, BpeOps, CorpusPipeline, DedupOps, IncrementalCorpus, LayoutOps, MediaGen, MixOps, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, SearchOps, Sessionize, ShardOps, SimilarityOps, SketchOps, TextOps, TimeSeriesOps, TokenizerEval}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -1171,6 +1171,20 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ---- p89/p90: deterministic HyperLogLog cardinality (SketchOps).
+    //      COUNT(DISTINCT) without the distinct-value shuffle: one
+    //      map-side pass to m=64 integer registers; the oracle replays
+    //      every register and the estimate bit for bit ----
+    "p89_hll_distinct" -> ((s, dir) =>
+      SketchOps.hllSummary(Tables.load(s, dir, "documents"), col("text"))),
+
+    "p90_sql_hll" -> ((s, dir) => {
+      Tables.load(s, dir, "events").createOrReplaceTempView("p90_events")
+      s.sql(
+        """SELECT hll_distinct(CAST(event_id AS STRING)) AS est_distinct
+          |FROM p90_events""".stripMargin)
+    }),
+
     "p57_hard_negatives" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
@@ -1601,6 +1615,10 @@ object PipelineQueries {
       s"""SELECT event_id, ${LayoutOps.zorder2Sql(
             "epoch_ns(ts) // 3600000000000", "user_id")} AS z
          |FROM events ORDER BY event_id""".stripMargin,
+    "p89_hll_distinct" -> SketchOps.hllSummarySql("documents", "text"),
+    "p90_sql_hll" ->
+      s"""SELECT est_distinct FROM (
+         |${SketchOps.hllSummarySql("events", "CAST(event_id AS VARCHAR)")})""".stripMargin,
     "p03_minhash_lsh" -> DedupOps.jaccardPairsSql(NearDupTau, capFrac = None),
     "p04_simhash" -> DedupOps.simHashSql(),
     "p05_embedding_neardup" ->
