@@ -564,6 +564,17 @@ object DedupOps {
           .otherwise(lit(0))).cast("long").as("sum_df2"))
   }
 
+  /** DuckDB rendering of [[shingles]] (n=3): the `toks`/`sh` CTE pair
+    * yielding `(doc_id, s)` per-doc-distinct word 3-grams — shared by
+    * the Jaccard oracles here and the CMS oracle in [[SketchOps]]. */
+  def shingleCtes(table: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(w) - 1, 1)), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) s
+       |  FROM toks)""".stripMargin
+
   /** Shared CTE chain (toks → sh → pruned → sizes → common) used by both
     * the pair oracle and the cluster oracle. */
   private def jaccardCtes(capFrac: Option[Double],
@@ -578,12 +589,7 @@ object DedupOps {
            |    $StopShingleMaxDf))""".stripMargin
       case None => "pruned AS (SELECT doc_id, s FROM sh)"
     }
-    s"""toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
-       |sh AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(
-       |    range(1, greatest(len(w) - 1, 1)), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) s
-       |  FROM toks),
+    s"""${shingleCtes(table)},
        |$prunedCte,
        |sizes AS (SELECT doc_id, count(*) n FROM pruned GROUP BY doc_id),
        |common AS (

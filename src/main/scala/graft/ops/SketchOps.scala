@@ -104,6 +104,182 @@ object SketchOps {
         .otherwise(round(raw, 2)).as("est_distinct"))
   }
 
+  // =========================================================================
+  // Count-min sketch: frequency estimation with a broadcastable state
+  // =========================================================================
+
+  /** Hash rows. Overestimate bound: est ≤ exact + e·N/w with probability
+    * 1 − (1/e)^d ≈ 0.98 at d = 4 (Cormode & Muthukrishnan 2005). */
+  val CmsDepth = 4
+
+  /** Counters per row: 2^16 divides the md5-bucket primitive's 24-bit
+    * slice evenly (no modulo bias). The whole sketch is d·w = 2^18
+    * longs (2 MB) REGARDLESS of corpus size — overestimate ≤ e·N/w
+    * with prob. ~0.98, so point queries stay sharp while N ≲ 10^7
+    * distinct-shingle occurrences and degrade gracefully (never
+    * under-count) beyond; size the width to the corpus like any CMS. */
+  val CmsWidth = 65536
+
+  /** Probe set size for the heavy-hitter demo face. */
+  val CmsTopK = 10
+
+  /** Row-j slot of value `s`: the engines' shared md5-bucket primitive
+    * over the row-tagged value, so Spark and DuckDB land every count in
+    * the same counter. */
+  private def cmsSlot(j: Column, s: Column): Column =
+    TextOps.md5Bucket(concat_ws(":", j.cast("string"), s), CmsWidth)
+
+  /** Count-min heavy-hitter demo over per-doc-distinct word 3-gram
+    * shingles: `(s, exact_df, cms_df)` for the top-[[CmsTopK]] shingles
+    * by document frequency, proving `cms_df ≥ exact_df` with the
+    * overestimate tiny at sketch scale.
+    *
+    * The PRODUCT here is the counter build: one explode by the d = 4
+    * hash rows, then a hash aggregate whose map-side partial combine
+    * caps the shuffle at d·w rows per partition — the sketch is 32 KB
+    * of state no matter how many petabytes of shingles stream through,
+    * merges by elementwise SUM (commutative + associative), and
+    * broadcasts to answer any point query without touching the corpus
+    * again. The exact side exists to DIFFERENTIAL-TEST the estimate
+    * (and is itself the full shingle shuffle you deploy the sketch to
+    * avoid). */
+  def cmsHeavyHitters(docs: DataFrame): DataFrame = {
+    val sh = DedupOps.shingles(docs, 3).select(col("s"))
+    val exact = sh.groupBy("s").agg(count(lit(1)).as("exact_df"))
+    val top = exact.orderBy(col("exact_df").desc, col("s")).limit(CmsTopK)
+    val rows = (0 until CmsDepth).map(lit(_))
+    val counters = sh
+      .select(explode(array(rows: _*)).as("j"), col("s"))
+      .groupBy(col("j"), cmsSlot(col("j"), col("s")).as("slot"))
+      .agg(count(lit(1)).as("c"))
+    top
+      .select(col("s"), col("exact_df"), explode(array(rows: _*)).as("j"))
+      .withColumn("slot", cmsSlot(col("j"), col("s")))
+      .join(broadcast(counters), Seq("j", "slot"))
+      .groupBy("s", "exact_df").agg(min("c").as("cms_df"))
+      .orderBy(col("exact_df").desc, col("s"))
+  }
+
+  /** The identical computation as DuckDB SQL ([[cmsHeavyHitters]]'s
+    * differential oracle); shingling reuses the Jaccard oracles' CTE
+    * spelling so the two sketch families cannot drift apart. */
+  def cmsHeavyHittersSql(table: String = "documents"): String =
+    s"""WITH ${DedupOps.shingleCtes(table)},
+       |exact AS (SELECT s, count(*) AS exact_df FROM sh GROUP BY s),
+       |top AS (SELECT s, exact_df FROM exact
+       |        ORDER BY exact_df DESC, s LIMIT $CmsTopK),
+       |counters AS (
+       |  SELECT j, ${TextOps.md5BucketSql("j::VARCHAR||':'||s", CmsWidth)} AS slot,
+       |         count(*) AS c
+       |  FROM sh CROSS JOIN range($CmsDepth) r(j) GROUP BY 1, 2),
+       |probe AS (
+       |  SELECT top.s, top.exact_df, j,
+       |         ${TextOps.md5BucketSql("j::VARCHAR||':'||top.s", CmsWidth)} AS slot
+       |  FROM top CROSS JOIN range($CmsDepth) r(j))
+       |SELECT s, exact_df, min(c) AS cms_df
+       |FROM probe JOIN counters USING (j, slot)
+       |GROUP BY s, exact_df ORDER BY exact_df DESC, s""".stripMargin
+
+  // =========================================================================
+  // HDR-style log-linear histogram: quantiles without sorting
+  // =========================================================================
+
+  /** Sub-bucket resolution bits: each power-of-two octave splits into
+    * 2^(b−1) = 32 linear buckets → relative bucket width ≤ 2^−(b−1) =
+    * 3.125% (the HdrHistogram layout, Tene's `bucketIndex`/
+    * `subBucketIndex` decomposition, reduced to one integer formula). */
+  val HdrSubBits = 6
+
+  /** Quantiles reported by [[hdrQuantiles]], in per-mille. */
+  val HdrQs: Seq[Int] = Seq(500, 900, 990, 999)
+
+  /** Half an octave's worth of sub-buckets: 2^(b−1) = 32. */
+  private val HdrHalf = (1 << (HdrSubBits - 1)).toLong
+
+  /** Quantile summary of a nonnegative DOUBLE column, quantized to
+    * integer milli-units (`floor(x·1000)` — one IEEE multiply, bitwise
+    * identical across engines): `(q_permille, rank, est_lo_milli,
+    * est_hi_milli)` with the true q-quantile guaranteed inside
+    * `[lo, hi]` and `hi − lo ≤ lo·2^−(b−1)` = 3.125% relative.
+    *
+    * Bucket index of milli-value v: `k = max(0, bitlen(v) − b)`,
+    * `idx = (v >> k) + 2^(b−1)·k` — the HdrHistogram log-linear layout
+    * as ONE integer formula: identity below 2^b, top-b-bits-plus-octave
+    * above, continuous at every power-of-two boundary (spec-pinned).
+    * Decode is exact: `k = max(idx/2^(b−1) − 1, 0)`,
+    * `lo = (idx − 2^(b−1)·k) << k`, `hi = lo + 2^k − 1`.
+    *
+    * Plan shape at 100 TB: ONE map pass computes the bucket index in
+    * pure integer arithmetic (no sort, no float log), then a hash
+    * aggregate with map-side combine reduces the corpus to ≲1.5 k
+    * bucket rows (49-bit domain × 32/octave); the cumulative window and
+    * the 4-row quantile probe run over that bucket-count-bounded frame,
+    * so everything after the scan is constant-size. Histograms merge by
+    * bucket-wise SUM — the same commutative shape as the CMS counters —
+    * so per-partition or per-day histograms roll up without re-reading
+    * data. The no-partition window is over ≤1.5 k rows by construction,
+    * not data-bounded. */
+  def hdrQuantiles(df: DataFrame, c: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bkt = df.where(c.isNotNull && c >= 0)
+      .select(floor(c * lit(1000)).cast("long").as("vm"))
+      .select(col("vm"),
+        greatest(length(conv(col("vm").cast("string"), 10, 2)).cast("long")
+          - lit(HdrSubBits.toLong), lit(0L)).as("k"))
+      .select((expr("shiftright(vm, CAST(k AS INT))") + lit(HdrHalf) * col("k"))
+        .as("idx"))
+      .groupBy("idx").agg(count(lit(1)).as("cnt"))
+    val cum = bkt.select(col("idx"),
+      sum("cnt").over(Window.orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+    val targets = cum.agg(max("cum").as("t"))
+      .select(explode(array(HdrQs.map(q => lit(q.toLong)): _*)).as("qpm"), col("t"))
+      .select(col("qpm"),
+        expr("CAST((qpm * t + 999) DIV 1000 AS BIGINT)").as("rank"))
+    broadcast(targets)
+      .join(cum, col("cum") >= col("rank"))
+      .groupBy("qpm", "rank").agg(min("idx").as("idx"))
+      .select(col("qpm").as("q_permille"), col("rank"),
+        expr(s"greatest(idx DIV $HdrHalf - 1, 0)").as("dk"), col("idx"))
+      .select(col("q_permille"), col("rank"),
+        expr(s"shiftleft(idx - $HdrHalf * dk, CAST(dk AS INT))")
+          .as("est_lo_milli"), col("dk"))
+      .select(col("q_permille"), col("rank"), col("est_lo_milli"),
+        (col("est_lo_milli") + expr("shiftleft(1L, CAST(dk AS INT))") - lit(1L))
+          .as("est_hi_milli"))
+      .orderBy("q_permille")
+  }
+
+  /** The identical computation as DuckDB SQL ([[hdrQuantiles]]'s
+    * differential oracle). `sum()` windows widen to HUGEINT in DuckDB,
+    * so `cum`/`rank` pin BIGINT for the driver's type compare. */
+  def hdrQuantilesSql(source: String, valueExpr: String): String = {
+    val b = HdrSubBits; val half = HdrHalf
+    s"""WITH v AS (
+       |  SELECT CAST(floor(($valueExpr) * 1000) AS BIGINT) AS vm
+       |  FROM $source WHERE ($valueExpr) IS NOT NULL AND ($valueExpr) >= 0),
+       |bx AS (
+       |  SELECT (vm >> greatest(length(bin(vm)) - $b, 0))
+       |         + $half * greatest(length(bin(vm)) - $b, 0) AS idx FROM v),
+       |bkt AS (SELECT idx, count(*) AS cnt FROM bx GROUP BY idx),
+       |cum AS (SELECT idx, CAST(sum(cnt) OVER (ORDER BY idx) AS BIGINT) AS cum
+       |        FROM bkt),
+       |tgt AS (
+       |  SELECT CAST(qpm AS BIGINT) AS qpm,
+       |         CAST((qpm * t + 999) // 1000 AS BIGINT) AS rank
+       |  FROM (SELECT max(cum) AS t FROM cum)
+       |  CROSS JOIN (VALUES ${HdrQs.map(q => s"($q)").mkString(",")}) q(qpm)),
+       |sel AS (
+       |  SELECT qpm, rank, min(idx) AS idx
+       |  FROM tgt JOIN cum ON cum.cum >= tgt.rank GROUP BY qpm, rank),
+       |dec AS (
+       |  SELECT qpm, rank, idx, greatest(idx // $half - 1, 0) AS dk FROM sel)
+       |SELECT qpm AS q_permille, rank,
+       |  (idx - $half * dk) << dk AS est_lo_milli,
+       |  ((idx - $half * dk) << dk) + (1::BIGINT << dk) - 1 AS est_hi_milli
+       |FROM dec ORDER BY q_permille""".stripMargin
+  }
+
   /** The identical computation as DuckDB SQL (differential oracle);
     * every constant and the arithmetic shape mirror [[hllSummary]]. */
   def hllSummarySql(source: String, valueExpr: String): String =

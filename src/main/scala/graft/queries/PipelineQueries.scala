@@ -1185,6 +1185,16 @@ object PipelineQueries {
           |FROM p90_events""".stripMargin)
     }),
 
+    // ---- p91: count-min sketch heavy hitters — n-gram frequency service
+    //      with 32 KB of mergeable state; exact side = differential gate ----
+    "p91_cms_heavy_hitters" -> ((s, dir) =>
+      SketchOps.cmsHeavyHitters(Tables.load(s, dir, "documents"))),
+
+    // ---- p92: HDR log-linear histogram quantiles — percentiles with no
+    //      sort, integer-exact bucketing, constant-size post-scan tail ----
+    "p92_hdr_quantiles" -> ((s, dir) =>
+      SketchOps.hdrQuantiles(Tables.load(s, dir, "events"), col("value"))),
+
     "p57_hard_negatives" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
@@ -1619,6 +1629,8 @@ object PipelineQueries {
     "p90_sql_hll" ->
       s"""SELECT est_distinct FROM (
          |${SketchOps.hllSummarySql("events", "CAST(event_id AS VARCHAR)")})""".stripMargin,
+    "p91_cms_heavy_hitters" -> SketchOps.cmsHeavyHittersSql("documents"),
+    "p92_hdr_quantiles" -> SketchOps.hdrQuantilesSql("events", "value"),
     "p03_minhash_lsh" -> DedupOps.jaccardPairsSql(NearDupTau, capFrac = None),
     "p04_simhash" -> DedupOps.simHashSql(),
     "p05_embedding_neardup" ->

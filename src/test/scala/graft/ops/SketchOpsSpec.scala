@@ -67,6 +67,72 @@ class SketchOpsSpec extends SparkSpec {
     assert(nulls.getAs[Double]("est_distinct") == 0.0)
   }
 
+  test("cms: planted heavy hitter surfaces exactly; estimates never undercount") {
+    // 400 background docs + one 3-gram planted in 50 of them
+    val docs = (0 until 400).map { i =>
+      val planted = if (i % 8 == 0) " alpha beta gamma" else ""
+      (i.toLong, s"w${i * 3} w${i * 3 + 1} w${i * 3 + 2} w${i * 3 + 3}$planted")
+    }.toDF("doc_id", "text")
+    val rows = SketchOps.cmsHeavyHitters(docs).collect()
+    val top = rows.head
+    assert(top.getString(0).contains("alpha beta gamma") || top.getLong(1) >= 50L)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted ${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+    val hit = rows.find(_.getString(0) == "alpha beta gamma").get
+    assert(hit.getLong(1) == 50L)
+  }
+
+  test("cms: counters merge by sum — estimates are partition-invariant") {
+    val docs = (0 until 300).map(i => (i.toLong, s"a b c d${i % 40} e$i")).toDF("doc_id", "text")
+    val a = SketchOps.cmsHeavyHitters(docs.repartition(1)).collect().toSeq
+    val b = SketchOps.cmsHeavyHitters(docs.repartition(13)).collect().toSeq
+    assert(a == b)
+  }
+
+  test("hdr: decode brackets the true rank value across octave boundaries") {
+    // value sweep crossing several powers of two (in milli-units: the
+    // doubles are exact integers so floor(x*1000) is exactly x*1000)
+    val vs = ((0L until 200L) ++ Seq(4095L, 4096L, 1000000L,
+      (1L << 40) - 1, 1L << 40)).distinct
+    val rows = SketchOps.hdrQuantiles(vs.map(_.toDouble).toDF("x"), col("x")).collect()
+    val sortedMilli = vs.map(_ * 1000L).sorted
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rank = r.getLong(1).toInt
+      val truth = sortedMilli(rank - 1)
+      assert(truth >= r.getLong(2) && truth <= r.getLong(3),
+        s"q=${r.getLong(0)} true=$truth outside [${r.getLong(2)}, ${r.getLong(3)}]")
+    }
+  }
+
+  test("hdr: true quantile lies inside every reported bucket; width <= 3.125% relative") {
+    val n = 20000
+    // deterministic skewed-ish values via a hash spread (no RNG)
+    val vals = (0 until n).map(i => ((i * 2654435761L) % 1000003L).toDouble / 7.0)
+    val rows = SketchOps.hdrQuantiles(vals.toDF("x"), col("x")).collect()
+    assert(rows.length == SketchOps.HdrQs.length)
+    val sortedMilli = vals.map(v => math.floor(v * 1000).toLong).sorted
+    rows.foreach { r =>
+      val (rank, lo, hi) = (r.getLong(1).toInt, r.getLong(2), r.getLong(3))
+      val truth = sortedMilli(rank - 1)
+      assert(truth >= lo && truth <= hi, s"q=${r.getLong(0)} true=$truth not in [$lo,$hi]")
+      assert(lo < 64 || (hi - lo).toDouble / lo <= 0.03125 + 1e-9,
+        s"bucket too wide: [$lo,$hi]")
+    }
+  }
+
+  test("hdr: NULLs and negatives are excluded; histogram merges are partition-invariant") {
+    val base = (1 to 5000).map(i => Option(i * 0.37)) ++ Seq(None, Some(-5.0), None)
+    val a = SketchOps.hdrQuantiles(base.toDF("x").repartition(1), col("x")).collect().toSeq
+    val b = SketchOps.hdrQuantiles(base.toDF("x").repartition(11), col("x")).collect().toSeq
+    val clean = SketchOps.hdrQuantiles(
+      base.flatten.filter(_ >= 0).map(Option(_)).toDF("x"), col("x")).collect().toSeq
+    assert(a == b)
+    assert(a == clean)
+  }
+
   test("hll_distinct works per-group and rejects wrong arity with a clear message") {
     Seq(("a", "x1"), ("a", "x2"), ("b", "x1"), ("b", "x1"))
       .toDF("g", "v").createOrReplaceTempView("hll_g")
