@@ -145,11 +145,12 @@ object Compactor {
     * serves time x series predicates — the OPTIMIZE ZORDER analog on
     * the compaction path. The min/max probe runs on the PRE-coalesce
     * frame — a parallel, column-pruned scan of just the two key
-    * columns, not a single-task re-read of the whole plan; NaNs are
-    * excluded from the probe and bucket to 0 per-row (Spark's max()
-    * ranks NaN greatest, and lo/hi = NaN would make every row's
-    * normalization NaN → an ANSI cast error failing the merge
-    * forever). A constant or empty dimension falls back to bucket 0,
+    * columns, not a single-task re-read of the whole plan; NaN and
+    * ±Inf are excluded from the probe (non-finite lo/hi would make
+    * every row's normalization NaN → an ANSI cast error failing the
+    * merge forever) and handled per-row: NaN buckets to 0, ±Inf pins
+    * to the curve's ends, and the clamp runs in double space before
+    * the long cast. A constant or empty dimension falls back to bucket 0,
     * and the first ORDER BY key breaks z-ties so output order is
     * deterministic. Returns the coalesce(1)'d sorted frame (coalesce,
     * not repartition: no round-robin exchange before the sort). */
@@ -161,7 +162,11 @@ object Compactor {
       val Seq(c1, c2) = spec.orderBy
       def finite(c: String): Column = {
         val d = col(c).cast("double")
-        when(!isnan(d), d) // NULL (excluded by min/max) when NaN
+        // NULL (excluded by min/max) unless finite: NaN sorts greatest in
+        // Spark SQL and ±Inf falls outside [-Max, Max], so one between()
+        // excludes all three — an Inf lo/hi would make the normalization
+        // below NaN (Inf/Inf) and fail the merge forever under ANSI
+        when(d.between(lit(Double.MinValue), lit(Double.MaxValue)), d)
       }
       val r = df.agg(
         min(finite(c1)), max(finite(c1)),
@@ -172,9 +177,18 @@ object Compactor {
         else {
           val (lo, hi) = (r.getDouble(loIdx), r.getDouble(loIdx + 1))
           val d = col(c).cast("double")
-          when(d.isNull || isnan(d), lit(0L)).otherwise(
-            least(lit(2047L), greatest(lit(0L),
-              (((d - lit(lo)) / lit(hi - lo)) * 2047.0).cast("long"))))
+          // ROW values may still be non-finite even though lo/hi are
+          // finite-filtered: ±Inf pins to the curve's ends, and the
+          // normalization is clamped in DOUBLE space (then nanvl'd for
+          // the (d-lo)=Inf ∧ (hi-lo)=Inf corner near ±1.7e308) BEFORE
+          // the long cast, so no non-finite value ever reaches the ANSI
+          // cast that would poison every future merge of the table
+          val norm = nanvl(((d - lit(lo)) / lit(hi - lo)) * 2047.0, lit(0.0))
+          when(d.isNull || isnan(d), lit(0L))
+            .when(d === lit(Double.PositiveInfinity), lit(2047L))
+            .when(d === lit(Double.NegativeInfinity), lit(0L))
+            .otherwise(
+              least(lit(2047.0), greatest(lit(0.0), norm)).cast("long"))
         }
       df.coalesce(1).sortWithinPartitions(
         graft.ops.LayoutOps.zorder2(bucket(c1, 0), bucket(c2, 2)),

@@ -136,8 +136,8 @@ object SketchOps {
     *
     * The PRODUCT here is the counter build: one explode by the d = 4
     * hash rows, then a hash aggregate whose map-side partial combine
-    * caps the shuffle at d·w rows per partition — the sketch is 32 KB
-    * of state no matter how many petabytes of shingles stream through,
+    * caps the shuffle at d·w rows per partition — the sketch is
+    * d·w = 2^18 longs (2 MB) no matter how many petabytes stream through,
     * merges by elementwise SUM (commutative + associative), and
     * broadcasts to answer any point query without touching the corpus
     * again. The exact side exists to DIFFERENTIAL-TEST the estimate
@@ -196,7 +196,17 @@ object SketchOps {
   /** Half an octave's worth of sub-buckets: 2^(b−1) = 32. */
   private val HdrHalf = (1 << (HdrSubBits - 1)).toLong
 
-  /** Quantile summary of a nonnegative DOUBLE column, quantized to
+  /** Highest trackable value (the HdrHistogram concept): milli-units
+    * must fit a BIGINT in BOTH engines — Spark's floor().cast(long)
+    * saturates silently where DuckDB's CAST raises, so anything past
+    * the shared domain is EXCLUDED up front rather than diverging. */
+  val HdrMaxValue: Double = 9.0e15
+
+  /** Quantile summary of a finite nonnegative DOUBLE column (values
+    * outside [0, [[HdrMaxValue]]], NaN, and ±Inf are excluded as out of
+    * the histogram's trackable domain — identically in both engines,
+    * since Spark would silently map NaN→0 and +Inf→Long.Max where
+    * DuckDB raises on the cast), quantized to
     * integer milli-units (`floor(x·1000)` — one IEEE multiply, bitwise
     * identical across engines): `(q_permille, rank, est_lo_milli,
     * est_hi_milli)` with the true q-quantile guaranteed inside
@@ -221,7 +231,9 @@ object SketchOps {
     * not data-bounded. */
   def hdrQuantiles(df: DataFrame, c: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bkt = df.where(c.isNotNull && c >= 0)
+    // between() excludes NULL, NaN (sorts greatest), and ±Inf in one
+    // predicate — the trackable-domain contract from the scaladoc
+    val bkt = df.where(c.between(lit(0d), lit(HdrMaxValue)))
       .select(floor(c * lit(1000)).cast("long").as("vm"))
       .select(col("vm"),
         greatest(length(conv(col("vm").cast("string"), 10, 2)).cast("long")
@@ -257,7 +269,8 @@ object SketchOps {
     val b = HdrSubBits; val half = HdrHalf
     s"""WITH v AS (
        |  SELECT CAST(floor(($valueExpr) * 1000) AS BIGINT) AS vm
-       |  FROM $source WHERE ($valueExpr) IS NOT NULL AND ($valueExpr) >= 0),
+       |  FROM $source WHERE isfinite($valueExpr)
+       |    AND ($valueExpr) BETWEEN 0 AND ${HdrMaxValue.toLong}),
        |bx AS (
        |  SELECT (vm >> greatest(length(bin(vm)) - $b, 0))
        |         + $half * greatest(length(bin(vm)) - $b, 0) AS idx FROM v),
@@ -304,9 +317,9 @@ object SketchOps {
        |  CASE WHEN ($HllM - used) > 0
        |        AND ${HllC.toString} / (sp + ($HllM - used) * $HllScale)
        |              <= ${HllLcThreshold.toString}
-       |       THEN round($HllM * ln($HllM.0 / ($HllM - used)), 2)
-       |       ELSE round(${HllC.toString}
-       |                  / (sp + ($HllM - used) * $HllScale), 2) END
+       |       THEN ${OracleSql.roundD(s"$HllM * ln($HllM.0 / ($HllM - used))", 2)}
+       |       ELSE ${OracleSql.roundD(
+                s"${HllC.toString} / (sp + ($HllM - used) * $HllScale)", 2)} END
        |    AS est_distinct
        |FROM agg""".stripMargin
 }

@@ -1186,7 +1186,7 @@ object PipelineQueries {
     }),
 
     // ---- p91: count-min sketch heavy hitters — n-gram frequency service
-    //      with 32 KB of mergeable state; exact side = differential gate ----
+    //      with 2 MB of mergeable state; exact side = differential gate ----
     "p91_cms_heavy_hitters" -> ((s, dir) =>
       SketchOps.cmsHeavyHitters(Tables.load(s, dir, "documents"))),
 

@@ -277,11 +277,11 @@ object DuckDialect {
     ts.headOption.exists { t =>
       t.kind == Word && (stmt.substring(t.start, t.end)
         .toLowerCase(java.util.Locale.ROOT) match {
-        // `LOAD <ext>` / `LOAD 'path/ext'` only — Spark's own
-        // `LOAD DATA INPATH …` must NOT silently no-op (it should fail
-        // loudly like any unsupported statement, not read as success)
+        // `LOAD <ext>` / `LOAD 'path/ext'` / `LOAD "ext"` only — Spark's
+        // own `LOAD DATA INPATH …` must NOT silently no-op (it should
+        // fail loudly like any unsupported statement, not read as success)
         case "load" => ts.length == 2 &&
-          (ts(1).kind == Word || ts(1).kind == Str)
+          (ts(1).kind == Word || ts(1).kind == Str || ts(1).kind == QIdent)
         case "install" | "pragma" | "force" => true
         case _ => false
       })

@@ -816,7 +816,14 @@ object CreateRequest {
       tsField = (j \ "timestamp" \ "field").extractOpt[String],
       tsPrecision = (j \ "timestamp" \ "precision").extractOpt[String],
       s3Url = (j \ "s3_url").extractOpt[String], // reference create_table.go
-      zorder = (j \ "zorder").extractOrElse[Boolean](false))
+      // strict: a mistyped value (e.g. the string "true") must 400, not
+      // silently create the table without the layout the caller asked for
+      zorder = (j \ "zorder") match {
+        case JBool(b) => b
+        case JNothing | JNull => false
+        case other => throw new BadRequest(
+          s"zorder must be a JSON boolean, got ${JsonMethods.compact(other)}")
+      })
   }
 
   /** Minimal YAML subset for the reference's documented create shape (F8):
@@ -844,7 +851,12 @@ object CreateRequest {
           case ("create_table", false) => name = value
           case ("engine", false) => engine = Some(value)
           case ("s3_url", false) => s3Url = Some(value)
-          case ("zorder", false) => zorder = value.equalsIgnoreCase("true")
+          case ("zorder", false) => zorder = value.toLowerCase match {
+            case "true" => true
+            case "false" => false
+            case other => throw new BadRequest(
+              s"zorder must be true or false, got '$other'")
+          }
           case ("order_by", false) =>
             orderBy = value.stripPrefix("[").stripSuffix("]")
               .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))

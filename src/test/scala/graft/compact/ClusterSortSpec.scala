@@ -66,6 +66,29 @@ class ClusterSortSpec extends SparkSpec {
     assert(Compactor.clusterSort(allNaN, spec).count() == 2L)
   }
 
+  test("zorder survives ±Inf key values (excluded from probe, pinned to curve ends)") {
+    // finite() must exclude ±Inf like NaN: an Inf hi would make every
+    // row's normalization Inf/Inf = NaN and fail the ANSI long cast on
+    // every merge of the table forever; per-row Inf pins to an extreme
+    // bucket instead of erroring
+    val spec = TableSpec("db", "t", orderBy = Seq("h", "u"), zorder = true)
+    val rows = Seq((1.0, 5L), (Double.PositiveInfinity, 2L),
+      (Double.NegativeInfinity, 9L), (3.0, 7L), (2.0, 3L))
+    val out = Compactor.clusterSort(rows.toDF("h", "u"), spec)
+      .as[(Double, Long)].collect().toSeq
+    assert(out.length == 5)
+    assert(out.count(_._1.isPosInfinity) == 1)
+    assert(out.count(_._1.isNegInfinity) == 1)
+    // lo/hi from the finite rows only: +Inf buckets like the max (2047),
+    // so it sorts with/after the hi-end finite row, never mid-curve
+    assert(out.indexWhere(_._1.isPosInfinity) >
+      out.indexWhere(_._1 == 1.0))
+    // a lo/hi pair whose difference overflows to Inf must not error
+    // (norm = finite/Inf -> 0, or Inf/Inf nanvl'd to 0)
+    val wide = Seq((-1.7e308, 1L), (1.7e308, 2L), (0.0, 3L))
+    assert(Compactor.clusterSort(wide.toDF("h", "u"), spec).count() == 3L)
+  }
+
   test("zorder persists through the catalog JSON roundtrip") {
     val root = java.nio.file.Files.createTempDirectory("zcat").toString
     val cat = new TableCatalog(root)

@@ -123,12 +123,20 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
-  test("hdr: NULLs and negatives are excluded; histogram merges are partition-invariant") {
-    val base = (1 to 5000).map(i => Option(i * 0.37)) ++ Seq(None, Some(-5.0), None)
+  test("hdr: NULL/negative/NaN/Inf/oversize are excluded; merges are partition-invariant") {
+    // NaN would silently map to vm=0 in Spark (skewing low quantiles)
+    // while DuckDB raises on the cast; +Inf and >HdrMaxValue likewise
+    // saturate vs overflow — all must be OUT of the trackable domain
+    // identically in both engines
+    val base = (1 to 5000).map(i => Option(i * 0.37)) ++
+      Seq(None, Some(-5.0), None, Some(Double.NaN),
+        Some(Double.PositiveInfinity), Some(Double.NegativeInfinity),
+        Some(SketchOps.HdrMaxValue * 2))
     val a = SketchOps.hdrQuantiles(base.toDF("x").repartition(1), col("x")).collect().toSeq
     val b = SketchOps.hdrQuantiles(base.toDF("x").repartition(11), col("x")).collect().toSeq
     val clean = SketchOps.hdrQuantiles(
-      base.flatten.filter(_ >= 0).map(Option(_)).toDF("x"), col("x")).collect().toSeq
+      base.flatten.filter(v => v >= 0 && v <= SketchOps.HdrMaxValue)
+        .map(Option(_)).toDF("x"), col("x")).collect().toSeq
     assert(a == b)
     assert(a == clean)
   }

@@ -151,6 +151,9 @@ class DuckDialectSpec extends SparkSpec {
     assert(!DuckDialect.isExtensionNoOp("LOAD DATA INPATH '/x' INTO TABLE t"))
     // DuckDB's quoted-path form still does
     assert(DuckDialect.isExtensionNoOp("LOAD './chsql.duckdb_extension'"))
+    // ... and the double-quoted-IDENTIFIER form (valid DuckDB; lexes as
+    // QIdent, which the Word|Str narrowing regressed once)
+    assert(DuckDialect.isExtensionNoOp("LOAD \"httpfs\""))
   }
 
   test("CREATE SECRET maps to fs.s3a.* (reference merge_service_s3.go:94-118)") {

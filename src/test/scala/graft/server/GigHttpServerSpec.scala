@@ -590,6 +590,20 @@ class GigHttpServerSpec extends SparkSpec {
         | "order_by": ["tag", "host"], "zorder": true}""".stripMargin)
     assert(nonNum.statusCode() == 400, nonNum.body())
     assert(nonNum.body().contains("numeric"), nonNum.body())
+    // a MISTYPED zorder value must 400, not silently create the table
+    // without the layout the caller asked for (the YAML path accepts
+    // the string spelling, so "true"-as-JSON-string is a likely habit)
+    val strTyped = post("/gigapi/create?db=zdb",
+      """{"create_table": "zstrbool", "fields": {"h": "INT64", "u": "INT64"},
+        | "order_by": ["h", "u"], "zorder": "true"}""".stripMargin)
+    assert(strTyped.statusCode() == 400, strTyped.body())
+    assert(strTyped.body().contains("boolean"), strTyped.body())
+    assert(server.catalog.get("zdb", "zstrbool").isEmpty)
+    // same strictness on the YAML path ("yes" is not a boolean here)
+    intercept[BadRequest] {
+      CreateRequest.fromYaml("create_table: t\nzorder: yes\n")
+    }
+    assert(CreateRequest.fromYaml("create_table: t\nzorder: TRUE\n").zorder)
   }
 
   test("config-booted server (GraftConfig -> fromConfig): write -> query e2e") {
