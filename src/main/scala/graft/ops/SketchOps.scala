@@ -129,6 +129,25 @@ object SketchOps {
   private def cmsSlot(j: Column, s: Column): Column =
     TextOps.md5Bucket(concat_ws(":", j.cast("string"), s), CmsWidth)
 
+  /** JVM replay of [[cmsSlot]] for point queries against a collected
+    * sketch ([[graft.functions.CmsCount]]). */
+  def cmsSlotJvm(j: Int, s: String): Long =
+    TextOps.md5BucketJvm(s"$j:$s", CmsWidth)
+
+  /** The CMS counter state over per-doc-distinct word 3-gram shingles:
+    * `(j, slot, c)` for every OCCUPIED slot — the production artifact.
+    * One explode by the d = [[CmsDepth]] hash rows, then a hash
+    * aggregate whose map-side partial combine caps the shuffle at
+    * d·w rows per partition; merges across corpora/days by elementwise
+    * SUM of `c` on (j, slot). */
+  def cmsCounters(docs: DataFrame): DataFrame = {
+    val sh = DedupOps.shingles(docs, 3).select(col("s"))
+    val rows = (0 until CmsDepth).map(lit(_))
+    sh.select(explode(array(rows: _*)).as("j"), col("s"))
+      .groupBy(col("j"), cmsSlot(col("j"), col("s")).as("slot"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** Count-min heavy-hitter demo over per-doc-distinct word 3-gram
     * shingles: `(s, exact_df, cms_df)` for the top-[[CmsTopK]] shingles
     * by document frequency, proving `cms_df ≥ exact_df` with the
@@ -148,10 +167,7 @@ object SketchOps {
     val exact = sh.groupBy("s").agg(count(lit(1)).as("exact_df"))
     val top = exact.orderBy(col("exact_df").desc, col("s")).limit(CmsTopK)
     val rows = (0 until CmsDepth).map(lit(_))
-    val counters = sh
-      .select(explode(array(rows: _*)).as("j"), col("s"))
-      .groupBy(col("j"), cmsSlot(col("j"), col("s")).as("slot"))
-      .agg(count(lit(1)).as("c"))
+    val counters = cmsCounters(docs)
     top
       .select(col("s"), col("exact_df"), explode(array(rows: _*)).as("j"))
       .withColumn("slot", cmsSlot(col("j"), col("s")))
@@ -229,11 +245,13 @@ object SketchOps {
     * so per-partition or per-day histograms roll up without re-reading
     * data. The no-partition window is over ≤1.5 k rows by construction,
     * not data-bounded. */
-  def hdrQuantiles(df: DataFrame, c: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // between() excludes NULL, NaN (sorts greatest), and ±Inf in one
-    // predicate — the trackable-domain contract from the scaladoc
-    val bkt = df.where(c.between(lit(0d), lit(HdrMaxValue)))
+  /** The histogram state: `(idx, cnt)` per occupied log-linear bucket
+    * (≤1.5 k rows at any corpus size) — the production artifact.
+    * between() excludes NULL, NaN (sorts greatest), and ±Inf in one
+    * predicate — the trackable-domain contract from [[hdrQuantiles]]'s
+    * scaladoc. Merges across corpora/days by bucket-wise SUM of `cnt`. */
+  def hdrHistogram(df: DataFrame, c: Column): DataFrame =
+    df.where(c.between(lit(0d), lit(HdrMaxValue)))
       .select(floor(c * lit(1000)).cast("long").as("vm"))
       .select(col("vm"),
         greatest(length(conv(col("vm").cast("string"), 10, 2)).cast("long")
@@ -241,6 +259,19 @@ object SketchOps {
       .select((expr("shiftright(vm, CAST(k AS INT))") + lit(HdrHalf) * col("k"))
         .as("idx"))
       .groupBy("idx").agg(count(lit(1)).as("cnt"))
+
+  /** Exact decode of bucket `idx` → inclusive `[lo, hi]` milli-range
+    * (the scaladoc's decode formula; shared by the dataflow face, the
+    * [[graft.functions.HdrQuantile]] scalar, and specs). */
+  def hdrDecode(idx: Long): (Long, Long) = {
+    val k = math.max(idx / HdrHalf - 1, 0L)
+    val lo = (idx - HdrHalf * k) << k
+    (lo, lo + (1L << k) - 1)
+  }
+
+  def hdrQuantiles(df: DataFrame, c: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bkt = hdrHistogram(df, c)
     val cum = bkt.select(col("idx"),
       sum("cnt").over(Window.orderBy("idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))

@@ -27,6 +27,18 @@ object TextOps {
   def md5BucketSql(expr: String, mod: Long): String =
     s"(('0x'||substr(md5($expr),1,6))::UBIGINT)::BIGINT % $mod"
 
+  /** JVM rendering of [[md5Bucket]] — the same first-6-hex-chars slice
+    * (= top 3 digest bytes, 24 bits) mod `mod`, for scalar expressions
+    * that replay an engine-side hash driver/executor-locally
+    * ([[graft.functions.CmsCount]]); spec-pinned equal to the Column
+    * face so the three spellings cannot drift. */
+  def md5BucketJvm(s: String, mod: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
+    v % mod
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword proxy: word chunks + standalone non-word glyphs. */

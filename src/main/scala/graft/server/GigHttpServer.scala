@@ -32,17 +32,19 @@ import graft.pruning.{Pruning, QueryViews}
   *  - POST /gigapi/create — create-table DDL (JSON, or the reference's
   *    YAML shape — F8 subset)
   *  - POST /gigapi/artifacts?db=… {"kind": "cluster_map"|"ivf"|"pq"|
-  *    "bloom"|"bpe"|"unigram"|"nb"|"ppl"|"bm25", "table": …} — train a
+  *    "bloom"|"bpe"|"unigram"|"nb"|"ppl"|"bm25"|"cms"|"hdr", "table": …} — train a
   *    pipeline artifact over an ingested table IN THE BACKGROUND
   *    (202 + {"job": id}; GET /gigapi/artifacts/{id} polls; {"sync":
   *    true} builds inline for tests) and publish it onto the SQL
   *    surface: parquet-backed temp views (`<table>_cluster_map`,
   *    `<table>_ivf_centroids`/`_assigned`, `<table>_pq_codes`/`_books`,
-  *    `<table>_bpe_merges`, `<table>_unigram_pieces`) joinable from any
+  *    `<table>_bpe_merges`, `<table>_unigram_pieces`,
+  *    `<table>_cms_counters`, `<table>_hdr_hist`) joinable from any
   *    /query SQL, plus artifact-BOUND scalar functions: `ivf_probe(vec,
   *    nprobe)`, `bloom_hit(shingle)`, `bpe_encode(text)`,
   *    `unigram_encode(text)`, `nb_quality(text)`, `ppl_bits(text)`,
-  *    `match_bm25(text, 'query terms')` —
+  *    `match_bm25(text, 'query terms')`, `cms_count(term)`,
+  *    `hdr_quantile(q_permille)` —
   *    each also under its `<table>_`-prefixed name. Publications
   *    REBIND at boot from the job ledger + saved parquet, so a
   *    restart serves every completed build. Beyond reference
@@ -260,7 +262,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
 
   /** Artifact kinds the endpoint can build (class doc). */
   private val ArtifactKinds = Set(
-    "cluster_map", "ivf", "pq", "bloom", "bpe", "unigram", "nb", "ppl", "bm25")
+    "cluster_map", "ivf", "pq", "bloom", "bpe", "unigram", "nb", "ppl", "bm25",
+    "cms", "hdr")
 
   /** POST: validate cheaply (kind, table existence), enqueue the build
     * on the background pool, answer 202 `{"job": id}` immediately —
@@ -559,6 +562,32 @@ final class GigHttpServer(spark: SparkSession, root: String,
         totals.write.mode("overwrite").parquet(s"$outDir/totals")
         finish()
 
+      case "cms" =>
+        // count-min counters over the table's word 3-grams: the
+        // frequency service whose TOTAL state is d·w longs (2 MB) at
+        // any corpus size; cms_count('term') answers point queries
+        // without touching the corpus again
+        graft.ops.SketchOps.cmsCounters(docsOf)
+          .coalesce(1).write.mode("overwrite").parquet(outDir)
+        finish("depth" -> graft.ops.SketchOps.CmsDepth.toString,
+          "width" -> graft.ops.SketchOps.CmsWidth.toString)
+
+      case "hdr" =>
+        // log-linear histogram of a numeric column (default "value"):
+        // ≤1.5 k bucket rows at any corpus size; hdr_quantile(qpm)
+        // answers sort-free percentiles against the bound histogram
+        val column = str("column").getOrElse("value")
+        val f = base.schema.fields.find(_.name == column).getOrElse(
+          throw new IllegalArgumentException(
+            s"hdr: no column '$column' in $db.$table " +
+              """(pass {"column": "..."})"""))
+        if (!f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          throw new IllegalArgumentException(
+            s"hdr: column '$column' must be numeric, got ${f.dataType.sql}")
+        graft.ops.SketchOps.hdrHistogram(base, col(column).cast("double"))
+          .coalesce(1).write.mode("overwrite").parquet(outDir)
+        finish("column" -> JsonOut.str(column))
+
       case other => throw new IllegalArgumentException(
         s"unknown artifact kind '$other' (${ArtifactKinds.mkString(" | ")})")
     }
@@ -666,6 +695,43 @@ final class GigHttpServer(spark: SparkSession, root: String,
         Seq("views" -> s"""["${prefix}_bm25_df","${prefix}_bm25_totals"]""",
           "function" -> JsonOut.str(fn),
           "vocab" -> model.df.size.toString, "n" -> model.n.toString)
+
+      case "cms" =>
+        views.publishArtifactView(s"${prefix}_cms_counters", outDir)
+        // the FULL flattened sketch (d·w longs, 2 MB) — bounded by the
+        // sketch's own constants, never by corpus size; unoccupied
+        // slots stay 0 so absent terms read their honest CMS estimate
+        val arr = new Array[Long](
+          graft.ops.SketchOps.CmsDepth * graft.ops.SketchOps.CmsWidth)
+        spark.read.parquet(outDir)
+          .select(col("j").cast("int"), col("slot").cast("long"),
+            col("c").cast("long"))
+          .collect().foreach { r =>
+            arr(r.getInt(0) * graft.ops.SketchOps.CmsWidth +
+              r.getLong(1).toInt) = r.getLong(2) }
+        val fn = publishFn("cms_count", {
+          case Seq(e) => graft.functions.CmsCount(e, arr)
+          case es => throw new IllegalArgumentException(
+            s"cms_count(term) takes exactly 1 argument, got ${es.size}")
+        })
+        Seq("function" -> JsonOut.str(fn),
+          "view" -> JsonOut.str(s"${prefix}_cms_counters"))
+
+      case "hdr" =>
+        views.publishArtifactView(s"${prefix}_hdr_hist", outDir)
+        val rows = spark.read.parquet(outDir)
+          .select(col("idx").cast("long"), col("cnt").cast("long"))
+          .orderBy(col("idx")).collect()
+        val idxs = rows.map(_.getLong(0))
+        var run = 0L
+        val cums = rows.map { r => run += r.getLong(1); run }
+        val fn = publishFn("hdr_quantile", {
+          case Seq(e) => graft.functions.HdrQuantile(e, idxs, cums)
+          case es => throw new IllegalArgumentException(
+            s"hdr_quantile(q_permille) takes exactly 1 argument, got ${es.size}")
+        })
+        Seq("function" -> JsonOut.str(fn),
+          "view" -> JsonOut.str(s"${prefix}_hdr_hist"))
 
       case other => throw new IllegalArgumentException(
         s"unknown artifact kind '$other'")

@@ -141,6 +141,74 @@ class SketchOpsSpec extends SparkSpec {
     assert(a == clean)
   }
 
+  test("md5BucketJvm replays the Column md5-bucket spelling bit for bit") {
+    val samples = Seq("0:alpha beta gamma", "3:x", "1:", "2:ünïcode ße",
+      "0:a b c", "2:the quick brown")
+    val viaCol = samples.toDF("s")
+      .select(TextOps.md5Bucket(col("s"), SketchOps.CmsWidth).as("b"))
+      .as[Long].collect().toSeq
+    val viaJvm = samples.map(TextOps.md5BucketJvm(_, SketchOps.CmsWidth))
+    assert(viaCol == viaJvm)
+  }
+
+  test("cms_count scalar agrees with the dataflow estimate; collected state is the sketch") {
+    import org.apache.spark.sql.GraftColumnBridge.{column => cc, toExpression => tx}
+    val docs = (0 until 200).map { i =>
+      val planted = if (i % 5 == 0) " alpha beta gamma" else ""
+      (i.toLong, s"u${i * 3} u${i * 3 + 1} u${i * 3 + 2}$planted")
+    }.toDF("doc_id", "text")
+    val arr = new Array[Long](SketchOps.CmsDepth * SketchOps.CmsWidth)
+    SketchOps.cmsCounters(docs).collect().foreach { r =>
+      arr(r.getInt(0) * SketchOps.CmsWidth + r.getLong(1).toInt) = r.getLong(2) }
+    def est(term: String): Long = Seq(term).toDF("t")
+      .select(cc(graft.functions.CmsCount(tx(col("t")), arr)).as("e"))
+      .as[Long].collect()(0)
+    // the scalar and the dataflow face answer from the SAME counters
+    val flowRows = SketchOps.cmsHeavyHitters(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    flowRows.foreach { case (s, (exact, flowEst)) =>
+      assert(est(s) == flowEst, s"scalar/dataflow drift on '$s'")
+      assert(est(s) >= exact)
+    }
+    assert(est("alpha beta gamma") >= 40L) // planted in 40 docs
+    // NULL in, NULL out
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(cc(graft.functions.CmsCount(tx(col("t")), arr)).as("e"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("hdr_quantile scalar replays the dataflow face; domain edges are NULL") {
+    import org.apache.spark.sql.GraftColumnBridge.{column => cc, toExpression => tx}
+    val vals = (1 to 7000).map(i => ((i * 2654435761L) % 99991L).toDouble / 3.0)
+    val hist = SketchOps.hdrHistogram(vals.toDF("x"), col("x"))
+      .orderBy("idx").collect()
+    val idxs = hist.map(_.getLong(0))
+    var run = 0L
+    val cums = hist.map { r => run += r.getLong(1); run }
+    def q(qpm: Long): org.apache.spark.sql.Row = Seq(qpm).toDF("q")
+      .select(cc(graft.functions.HdrQuantile(tx(col("q")), idxs, cums)).as("r"))
+      .select(col("r.rank"), col("r.est_lo_milli"), col("r.est_hi_milli"))
+      .collect()(0)
+    val flow = SketchOps.hdrQuantiles(vals.toDF("x"), col("x")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    SketchOps.HdrQs.foreach { qpm =>
+      val s = q(qpm.toLong)
+      assert((s.getLong(0), s.getLong(1), s.getLong(2)) == flow(qpm.toLong),
+        s"scalar/dataflow drift at q=$qpm")
+    }
+    // out-of-domain q and the empty histogram return NULL, not garbage
+    assert(Seq(0L, 1001L).forall { bad =>
+      Seq(bad).toDF("q")
+        .select(cc(graft.functions.HdrQuantile(tx(col("q")), idxs, cums)).as("r"))
+        .collect()(0).isNullAt(0)
+    })
+    assert(Seq(500L).toDF("q")
+      .select(cc(graft.functions.HdrQuantile(tx(col("q")),
+        Array.empty[Long], Array.empty[Long])).as("r"))
+      .collect()(0).isNullAt(0))
+  }
+
   test("hll_distinct works per-group and rejects wrong arity with a clear message") {
     Seq(("a", "x1"), ("a", "x2"), ("b", "x1"), ("b", "x1"))
       .toDF("g", "v").createOrReplaceTempView("hll_g")

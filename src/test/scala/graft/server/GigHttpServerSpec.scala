@@ -474,6 +474,54 @@ class GigHttpServerSpec extends SparkSpec {
     assert(bad.statusCode() == 400 && bad.body().contains("literal"), bad.body())
   }
 
+  test("cms/hdr artifacts: sketch state views + bound scalars through /query SQL") {
+    // cms: the 2 MB frequency service — point df estimates with the
+    // corpus dropped; hdr: sort-free percentiles from ≤1.5 k buckets
+    val texts = Seq(
+      0 -> "alpha beta gamma delta epsilon zeta",
+      1 -> "alpha beta gamma delta epsilon eta",
+      2 -> "alpha beta gamma delta theta iota",
+      3 -> "unrelated words entirely different here now")
+    val lines = texts.map { case (i, t) =>
+      s"""sdocs doc_id=${i}i,text="$t"""" }.mkString("\n")
+    assert(post("/write?db=sk", lines).statusCode() == 204)
+    val cm = post("/gigapi/artifacts?db=sk",
+      """{"kind": "cms", "table": "sdocs", "sync": true}""")
+    assert(cm.statusCode() == 200 && cm.body().contains("sk_sdocs_cms_count"),
+      cm.body())
+    // 'alpha beta gamma' is a shingle of docs 0,1,2: estimate >= 3 and,
+    // at 4 shingles/doc vs w=65536 slots, ~never inflated past the corpus
+    val cq = post("/query?db=sk",
+      """{"query": "SELECT cms_count('alpha beta gamma') >= 3 AS ge, cms_count('alpha beta gamma') <= 16 AS le"}""")
+    assert(cq.statusCode() == 200, cq.body())
+    assert(cq.body().contains(""""ge":true"""), cq.body())
+    assert(cq.body().contains(""""le":true"""), cq.body())
+    val cv = post("/query?db=sk",
+      """{"query": "SELECT count(*) AS n FROM sk_sdocs_cms_counters"}""")
+    assert(cv.statusCode() == 200 && cv.body().contains(""""n":""""), cv.body())
+
+    // hdr over a numeric column: values 1..100 -> p50 bucket brackets 50.0
+    val mlines = (1 to 100).map(i => s"smet v=$i.0").mkString("\n")
+    assert(post("/write?db=sk", mlines).statusCode() == 204)
+    val hd = post("/gigapi/artifacts?db=sk",
+      """{"kind": "hdr", "table": "smet", "column": "v", "sync": true}""")
+    assert(hd.statusCode() == 200 && hd.body().contains("sk_smet_hdr_quantile"),
+      hd.body())
+    val hq = post("/query?db=sk",
+      """{"query": "SELECT (hdr_quantile(500)).rank AS r, (hdr_quantile(500)).est_lo_milli <= 50000 AND (hdr_quantile(500)).est_hi_milli >= 50000 AS ok, hdr_quantile(0) IS NULL AS nul"}""")
+    assert(hq.statusCode() == 200, hq.body())
+    assert(hq.body().contains(""""r":"50""""), hq.body())
+    assert(hq.body().contains(""""ok":true"""), hq.body())
+    assert(hq.body().contains(""""nul":true"""), hq.body())
+
+    // a non-numeric column fails the BUILD with a clear message, not a
+    // downstream ANSI cast error at first query time
+    val bad = post("/gigapi/artifacts?db=sk",
+      """{"kind": "hdr", "table": "sdocs", "column": "text", "sync": true}""")
+    assert(bad.statusCode() != 200, bad.body())
+    assert(bad.body().contains("numeric"), bad.body())
+  }
+
   test("artifact job ledger survives a server restart (VERDICT r7 #6)") {
     // the async contract's durability hole: a restart between the 202
     // and the status poll must not lose the id the caller holds — the
