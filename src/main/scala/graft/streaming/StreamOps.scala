@@ -230,6 +230,34 @@ object StreamOps {
     graft.ops.MultimodalOps.mediaFingerprints(arrivals)
       .join(broadcast(index), Seq("mkind", "ahash"))
 
+  /** Streaming count-min sketch — the p91 counter build run as a
+    * streaming aggregation: arriving documents shingle map-side and
+    * fold into the `(j, slot)`-keyed counters, whose TOTAL state is
+    * ≤ d·w = 2^18 rows BY THE SKETCH'S CONSTRUCTION — a streaming
+    * aggregate with a constant state bound needing no watermark to
+    * stay finite (most streaming aggs bound state by time horizon;
+    * this one is bounded by algebra). It is LITERALLY the batch
+    * builder ([[graft.ops.SketchOps.cmsCounters]] — pure column
+    * expressions + one aggregation), so batch and stream cannot
+    * drift: the spec drains a two-batch stream and asserts set
+    * equality with the batch face over the union. Run in
+    * Update/Complete mode; the emitted counter rows merge downstream
+    * by elementwise SUM (the artifact contract). */
+  def cmsCounterStream(arrivals: DataFrame): DataFrame =
+    graft.ops.SketchOps.cmsCounters(arrivals)
+
+  /** Streaming HDR histogram — the p92 bucket build as a streaming
+    * aggregation: values bucket map-side in pure integer arithmetic
+    * and fold into the idx-keyed counts, state ≤1.5 k rows by the
+    * log-linear layout's construction (49-bit domain × 32/octave) —
+    * the same constant-state-bound shape as [[cmsCounterStream]].
+    * Same definition as the batch face
+    * ([[graft.ops.SketchOps.hdrHistogram]]); quantile probes run
+    * against any emitted snapshot via
+    * [[graft.functions.HdrQuantile]] or the batch tail. */
+  def hdrHistogramStream(rows: DataFrame, valueCol: String): DataFrame =
+    graft.ops.SketchOps.hdrHistogram(rows, col(valueCol))
+
   /** One funnel-relevant event: stage is the 0-based index into the
     * funnel's stage list (pre-filtered — noise never enters the state). */
   final case class FunnelPoint(user: Long, timeNs: Long, stage: Int)

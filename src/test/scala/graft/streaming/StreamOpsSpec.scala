@@ -483,4 +483,48 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows.contains(("a", 1L, 5.0)), rows) // singleton after the gap
     } finally q.stop()
   }
+
+  test("cmsCounterStream: streamed counters equal the batch sketch over the union") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.cmsCounterStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cmsstream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val b1 = (0 until 60).map(i => (i.toLong, s"alpha beta gamma d$i e${i * 2}"))
+      val b2 = (60 until 90).map(i => (i.toLong, s"alpha beta gamma d$i"))
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("cmsstream")
+        .as[(Int, Long, Long)].collect().toSet
+      val batch = graft.ops.SketchOps.cmsCounters(
+        (b1 ++ b2).toDF("doc_id", "text")).as[(Int, Long, Long)].collect().toSet
+      assert(streamed == batch) // batch and stream are ONE definition
+      // the state bound is the sketch's own constant, not the stream's length
+      assert(streamed.size <=
+        graft.ops.SketchOps.CmsDepth * graft.ops.SketchOps.CmsWidth)
+    } finally q.stop()
+  }
+
+  test("hdrHistogramStream: streamed buckets equal the batch histogram; out-of-domain dropped") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Double]
+    val q = StreamOps.hdrHistogramStream(in.toDF().toDF("v"), "v")
+      .writeStream.format("memory").queryName("hdrstream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val b1 = (1 to 500).map(i => i * 0.73)
+      val b2 = Seq(Double.NaN, -3.0, Double.PositiveInfinity) ++
+        (500 to 900).map(i => i * 12.5)
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("hdrstream").as[(Long, Long)].collect().toSet
+      val batch = graft.ops.SketchOps.hdrHistogram(
+        (b1 ++ b2).toDF("v"), org.apache.spark.sql.functions.col("v"))
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+      // non-finite/negative never entered: totals count only domain rows
+      assert(streamed.toSeq.map(_._2).sum == (b1.size + 401).toLong)
+    } finally q.stop()
+  }
 }
