@@ -55,10 +55,12 @@ object Bench {
     // linear and the posting-list batch face (p87) must shuffle only
     // the query-vocabulary slice at 10× corpus
     "p86_bm25_search", "p87_bm25_batch",
-    // r9: the sketch family — CMS (p91) shuffles ≤ d·w counter rows per
-    // partition and HDR (p92) collapses to ≤1.5 k buckets before its
-    // window, so BOTH must scale sublinearly past the scan; a ratio
-    // near 10 here means a partial-combine stopped combining
+    // r9: the sketch family. p91's measured face INCLUDES the exact
+    // differential side (a full distinct-shingle shuffle — linear by
+    // design), so expect ~linear there and read >>10 as the alarm;
+    // p92 collapses to ≤1.5 k buckets map-side, so IT must scale
+    // sublinearly past the scan — a p92 ratio near 10 means the
+    // partial combine stopped combining
     "p91_cms_heavy_hitters", "p92_hdr_quantiles")
 
   private def session(cpus: String): SparkSession = {

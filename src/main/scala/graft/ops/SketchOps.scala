@@ -218,33 +218,6 @@ object SketchOps {
     * the shared domain is EXCLUDED up front rather than diverging. */
   val HdrMaxValue: Double = 9.0e15
 
-  /** Quantile summary of a finite nonnegative DOUBLE column (values
-    * outside [0, [[HdrMaxValue]]], NaN, and ±Inf are excluded as out of
-    * the histogram's trackable domain — identically in both engines,
-    * since Spark would silently map NaN→0 and +Inf→Long.Max where
-    * DuckDB raises on the cast), quantized to
-    * integer milli-units (`floor(x·1000)` — one IEEE multiply, bitwise
-    * identical across engines): `(q_permille, rank, est_lo_milli,
-    * est_hi_milli)` with the true q-quantile guaranteed inside
-    * `[lo, hi]` and `hi − lo ≤ lo·2^−(b−1)` = 3.125% relative.
-    *
-    * Bucket index of milli-value v: `k = max(0, bitlen(v) − b)`,
-    * `idx = (v >> k) + 2^(b−1)·k` — the HdrHistogram log-linear layout
-    * as ONE integer formula: identity below 2^b, top-b-bits-plus-octave
-    * above, continuous at every power-of-two boundary (spec-pinned).
-    * Decode is exact: `k = max(idx/2^(b−1) − 1, 0)`,
-    * `lo = (idx − 2^(b−1)·k) << k`, `hi = lo + 2^k − 1`.
-    *
-    * Plan shape at 100 TB: ONE map pass computes the bucket index in
-    * pure integer arithmetic (no sort, no float log), then a hash
-    * aggregate with map-side combine reduces the corpus to ≲1.5 k
-    * bucket rows (49-bit domain × 32/octave); the cumulative window and
-    * the 4-row quantile probe run over that bucket-count-bounded frame,
-    * so everything after the scan is constant-size. Histograms merge by
-    * bucket-wise SUM — the same commutative shape as the CMS counters —
-    * so per-partition or per-day histograms roll up without re-reading
-    * data. The no-partition window is over ≤1.5 k rows by construction,
-    * not data-bounded. */
   /** The histogram state: `(idx, cnt)` per occupied log-linear bucket
     * (≤1.5 k rows at any corpus size) — the production artifact.
     * between() excludes NULL, NaN (sorts greatest), and ±Inf in one
@@ -269,6 +242,34 @@ object SketchOps {
     (lo, lo + (1L << k) - 1)
   }
 
+  /** Quantile summary of a finite nonnegative DOUBLE column (values
+    * outside [0, [[HdrMaxValue]]], NaN, and ±Inf are excluded as out of
+    * the histogram's trackable domain — identically in both engines,
+    * since Spark would silently map NaN→0 and +Inf→Long.Max where
+    * DuckDB raises on the cast), quantized to
+    * integer milli-units (`floor(x·1000)` — one IEEE multiply, bitwise
+    * identical across engines): `(q_permille, rank, est_lo_milli,
+    * est_hi_milli)` with the true q-quantile guaranteed inside
+    * `[lo, hi]` and `hi − lo ≤ lo·2^−(b−1)` = 3.125% relative.
+    *
+    * Bucket index of milli-value v: `k = max(0, bitlen(v) − b)`,
+    * `idx = (v >> k) + 2^(b−1)·k` — the HdrHistogram log-linear layout
+    * as ONE integer formula: identity below 2^b, top-b-bits-plus-octave
+    * above, continuous at every power-of-two boundary (spec-pinned).
+    * Decode is exact: `k = max(idx/2^(b−1) − 1, 0)`,
+    * `lo = (idx − 2^(b−1)·k) << k`, `hi = lo + 2^k − 1`.
+    *
+    * Plan shape at 100 TB: ONE map pass computes the bucket index in
+    * pure integer arithmetic (no sort, no float log), then a hash
+    * aggregate with map-side combine reduces the corpus to ≲1.5 k
+    * bucket rows (49-bit domain × 32/octave — [[hdrHistogram]]); the
+    * cumulative window and the 4-row quantile probe run over that
+    * bucket-count-bounded frame, so everything after the scan is
+    * constant-size. Histograms merge by bucket-wise SUM — the same
+    * commutative shape as the CMS counters — so per-partition or
+    * per-day histograms roll up without re-reading data. The
+    * no-partition window is over ≤1.5 k rows by construction, not
+    * data-bounded. */
   def hdrQuantiles(df: DataFrame, c: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bkt = hdrHistogram(df, c)

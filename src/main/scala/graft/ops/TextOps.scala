@@ -32,8 +32,13 @@ object TextOps {
     * that replay an engine-side hash driver/executor-locally
     * ([[graft.functions.CmsCount]]); spec-pinned equal to the Column
     * face so the three spellings cannot drift. */
+  // digest() resets the instance, so one per thread serves every call —
+  // a per-call getInstance would dominate an interpreted per-row probe
+  private val Md5Jvm = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   def md5BucketJvm(s: String, mod: Long): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = Md5Jvm.get()
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val v = ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
     v % mod

@@ -577,14 +577,18 @@ final class GigHttpServer(spark: SparkSession, root: String,
         // ≤1.5 k bucket rows at any corpus size; hdr_quantile(qpm)
         // answers sort-free percentiles against the bound histogram
         val column = str("column").getOrElse("value")
-        val f = base.schema.fields.find(_.name == column).getOrElse(
-          throw new IllegalArgumentException(
+        // case-insensitive like Spark's own resolution, and the resolved
+        // name goes through backticks so a field containing '.' is a
+        // field reference, not a nested path
+        val f = base.schema.fields.find(_.name.equalsIgnoreCase(column))
+          .getOrElse(throw new IllegalArgumentException(
             s"hdr: no column '$column' in $db.$table " +
               """(pass {"column": "..."})"""))
         if (!f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
           throw new IllegalArgumentException(
             s"hdr: column '$column' must be numeric, got ${f.dataType.sql}")
-        graft.ops.SketchOps.hdrHistogram(base, col(column).cast("double"))
+        graft.ops.SketchOps.hdrHistogram(base,
+            col(s"`${f.name}`").cast("double"))
           .coalesce(1).write.mode("overwrite").parquet(outDir)
         finish("column" -> JsonOut.str(column))
 

@@ -503,8 +503,9 @@ class GigHttpServerSpec extends SparkSpec {
     // hdr over a numeric column: values 1..100 -> p50 bucket brackets 50.0
     val mlines = (1 to 100).map(i => s"smet v=$i.0").mkString("\n")
     assert(post("/write?db=sk", mlines).statusCode() == 204)
+    // "V" pins case-insensitive resolution (Spark's own behavior)
     val hd = post("/gigapi/artifacts?db=sk",
-      """{"kind": "hdr", "table": "smet", "column": "v", "sync": true}""")
+      """{"kind": "hdr", "table": "smet", "column": "V", "sync": true}""")
     assert(hd.statusCode() == 200 && hd.body().contains("sk_smet_hdr_quantile"),
       hd.body())
     val hq = post("/query?db=sk",
