@@ -123,6 +123,12 @@ object SketchOps {
   /** Probe set size for the heavy-hitter demo face. */
   val CmsTopK = 10
 
+  /** p93's probe slice: every distinct shingle of the first-N docs —
+    * a deterministic, corpus-bounded probe set for the SQL point-query
+    * face (documents' doc-id head doesn't scale with SF, so the slice
+    * is the same shape at every scale). */
+  val CmsProbeDocs = 40
+
   /** Row-j slot of value `s`: the engines' shared md5-bucket primitive
     * over the row-tagged value, so Spark and DuckDB land every count in
     * the same counter. */
@@ -195,6 +201,28 @@ object SketchOps {
        |SELECT s, exact_df, min(c) AS cms_df
        |FROM probe JOIN counters USING (j, slot)
        |GROUP BY s, exact_df ORDER BY exact_df DESC, s""".stripMargin
+
+  /** DuckDB oracle for the SQL point-query face (p93): re-derives every
+    * probe shingle's d counter cells from the corpus and takes the
+    * min — the answer the bound [[graft.functions.CmsCount]] scalar
+    * must reproduce from its COLLECTED array. Probe terms come from the
+    * corpus, so each of their slots is occupied by construction (their
+    * own contribution) and the inner join drops nothing. */
+  def cmsProbeSql(table: String = "documents",
+                  maxDocId: Int = CmsProbeDocs): String =
+    s"""WITH ${DedupOps.shingleCtes(table)},
+       |counters AS (
+       |  SELECT j, ${TextOps.md5BucketSql("j::VARCHAR||':'||s", CmsWidth)} AS slot,
+       |         count(*) AS c
+       |  FROM sh CROSS JOIN range($CmsDepth) r(j) GROUP BY 1, 2),
+       |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id < $maxDocId),
+       |pslots AS (
+       |  SELECT probe.s, j,
+       |         ${TextOps.md5BucketSql("j::VARCHAR||':'||probe.s", CmsWidth)} AS slot
+       |  FROM probe CROSS JOIN range($CmsDepth) r(j))
+       |SELECT s, CAST(min(c) AS BIGINT) AS est
+       |FROM pslots JOIN counters USING (j, slot)
+       |GROUP BY s ORDER BY s""".stripMargin
 
   // =========================================================================
   // HDR-style log-linear histogram: quantiles without sorting

@@ -1195,6 +1195,47 @@ object PipelineQueries {
     "p92_hdr_quantiles" -> ((s, dir) =>
       SketchOps.hdrQuantiles(Tables.load(s, dir, "events"), col("value"))),
 
+    // ---- p93: CMS point probes in PLAIN SQL — the bound cms_count
+    //      scalar (what the server's `cms` kind publishes) answering a
+    //      deterministic probe slice, vs a DuckDB re-derivation of
+    //      every probe's d counter cells from the corpus: proves
+    //      SQL face ≡ collected sketch ≡ oracle rebuild ----
+    "p93_sql_cms" -> ((s, dir) => {
+      val arr = cmsArrFor(s, dir)
+      s.sessionState.functionRegistry.createOrReplaceTempFunction("cms_count",
+        { case Seq(e) => graft.functions.CmsCount(e, arr)
+          case es => throw new IllegalArgumentException(
+            s"cms_count(term) takes exactly 1 argument, got ${es.size}") },
+        "scala_udf")
+      Tables.load(s, dir, "documents").createOrReplaceTempView("p93_docs")
+      s.sql(
+        s"""SELECT s, cms_count(s) AS est FROM (
+           |  SELECT DISTINCT s FROM (
+           |    SELECT explode(shingles(text, 3)) AS s
+           |    FROM p93_docs WHERE doc_id < ${SketchOps.CmsProbeDocs}))
+           |ORDER BY s""".stripMargin)
+    }),
+
+    // ---- p94: HDR quantile lookup in PLAIN SQL — the bound
+    //      hdr_quantile scalar (what the server's `hdr` kind publishes)
+    //      against the SAME oracle as the dataflow face p92: the two
+    //      faces must answer identically ----
+    "p94_sql_hdr" -> ((s, dir) => {
+      val (idxs, cums) = hdrArraysFor(s, dir)
+      s.sessionState.functionRegistry.createOrReplaceTempFunction("hdr_quantile",
+        { case Seq(e) => graft.functions.HdrQuantile(e, idxs, cums)
+          case es => throw new IllegalArgumentException(
+            s"hdr_quantile(q_permille) takes exactly 1 argument, got ${es.size}") },
+        "scala_udf")
+      s.sql(
+        s"""SELECT CAST(qpm AS BIGINT) AS q_permille,
+           |  (hdr_quantile(qpm)).rank AS rank,
+           |  (hdr_quantile(qpm)).est_lo_milli AS est_lo_milli,
+           |  (hdr_quantile(qpm)).est_hi_milli AS est_hi_milli
+           |FROM VALUES ${SketchOps.HdrQs.map(q => s"($q)").mkString(",")} AS t(qpm)
+           |ORDER BY q_permille""".stripMargin)
+    }),
+
     "p57_hard_negatives" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
@@ -1333,6 +1374,37 @@ object PipelineQueries {
   private def bloomBitsFor(s: SparkSession, dir: String): Array[Long] =
     snapCached(bloomBitsCache, dir)(DedupOps.bloomBits(
       Tables.load(s, dir, "documents").filter(col("doc_id") < DecontamHoldout)))
+
+  /** p93's trained CMS counters, built ONCE per corpus snapshot — the
+    * flattened d·w array the server's `cms` kind also binds (2 MB,
+    * bounded by the sketch constants). */
+  private val cmsArrCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private def cmsArrFor(s: SparkSession, dir: String): Array[Long] =
+    snapCached(cmsArrCache, dir) {
+      val arr = new Array[Long](SketchOps.CmsDepth * SketchOps.CmsWidth)
+      SketchOps.cmsCounters(Tables.load(s, dir, "documents"))
+        .select(col("j").cast("int"), col("slot").cast("long"),
+          col("c").cast("long"))
+        .collect().foreach(r => arr(r.getInt(0) * SketchOps.CmsWidth +
+          r.getLong(1).toInt) = r.getLong(2))
+      arr
+    }
+
+  /** p94's trained HDR histogram (sorted bucket indices + cumulative
+    * counts), built ONCE per corpus snapshot — ≤1.5 k entries, the
+    * arrays the server's `hdr` kind also binds. */
+  private val hdrHistCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Long], Array[Long])]()
+  private def hdrArraysFor(s: SparkSession, dir: String): (Array[Long], Array[Long]) =
+    snapCached(hdrHistCache, dir) {
+      val rows = SketchOps.hdrHistogram(
+        Tables.load(s, dir, "events"), col("value")).orderBy("idx").collect()
+      val idxs = rows.map(_.getLong(0))
+      var run = 0L
+      val cums = rows.map { r => run += r.getLong(1); run }
+      (idxs, cums)
+    }
 
   /** Cell count of the SHARED IVF index: 16 at the test SFs (≤2000
     * vectors / 125-row target cells), growing ∝ corpus beyond — the
@@ -1631,6 +1703,10 @@ object PipelineQueries {
          |${SketchOps.hllSummarySql("events", "CAST(event_id AS VARCHAR)")})""".stripMargin,
     "p91_cms_heavy_hitters" -> SketchOps.cmsHeavyHittersSql("documents"),
     "p92_hdr_quantiles" -> SketchOps.hdrQuantilesSql("events", "value"),
+    "p93_sql_cms" -> SketchOps.cmsProbeSql("documents"),
+    // p94 shares p92's oracle BY DESIGN: the SQL scalar face and the
+    // dataflow face must answer identically
+    "p94_sql_hdr" -> SketchOps.hdrQuantilesSql("events", "value"),
     "p03_minhash_lsh" -> DedupOps.jaccardPairsSql(NearDupTau, capFrac = None),
     "p04_simhash" -> DedupOps.simHashSql(),
     "p05_embedding_neardup" ->
