@@ -270,6 +270,15 @@ object SketchOps {
     (lo, lo + (1L << k) - 1)
   }
 
+  /** JVM replica of the bucket formula (bitlen via nlz — spec-pinned
+    * equal to the Column face's decimal→binary-string spelling): the
+    * property-test surface for the layout's invariants — monotone in
+    * vm, decode brackets vm, width ≤ lo·2^−(b−1). Nonnegative vm only. */
+  def hdrBucket(vm: Long): Long = {
+    val k = math.max(64 - java.lang.Long.numberOfLeadingZeros(vm) - HdrSubBits, 0)
+    (vm >> k) + HdrHalf * k
+  }
+
   /** Quantile summary of a finite nonnegative DOUBLE column (values
     * outside [0, [[HdrMaxValue]]], NaN, and ±Inf are excluded as out of
     * the histogram's trackable domain — identically in both engines,

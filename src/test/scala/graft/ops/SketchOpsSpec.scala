@@ -141,6 +141,21 @@ class SketchOpsSpec extends SparkSpec {
     assert(a == clean)
   }
 
+  test("hdrBucket (JVM) matches the Column bucket formula's histogram exactly") {
+    // integer-valued doubles: floor(w*1000) is exactly 1000w, so the
+    // Column pipeline and the JVM replica see the same milli-values;
+    // the sweep crosses many octaves (w up to 2^42)
+    val ws = ((0L to 300L) ++
+      (1 to 42).flatMap(p => Seq((1L << p) - 1, 1L << p, (1L << p) + 1)))
+      .distinct
+    val dfIdx = SketchOps.hdrHistogram(ws.map(_.toDouble).toDF("x"), col("x"))
+      .orderBy("idx").as[(Long, Long)].collect().toSeq
+    val jvmIdx = ws.map(w => SketchOps.hdrBucket(w * 1000L))
+      .groupBy(identity).map { case (i, g) => (i, g.size.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(dfIdx == jvmIdx)
+  }
+
   test("md5BucketJvm replays the Column md5-bucket spelling bit for bit") {
     val samples = Seq("0:alpha beta gamma", "3:x", "1:", "2:ünïcode ße",
       "0:a b c", "2:the quick brown")
