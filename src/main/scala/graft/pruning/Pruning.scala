@@ -1,6 +1,5 @@
 package graft.pruning
 
-import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.catalog.TableCatalog
 import graft.index.MetadataIndex
@@ -58,15 +57,6 @@ object Pruning {
         .parquet(files: _*)
     }
   }
-
-  /** Register every catalog table as `db_table` temp view for spark.sql. */
-  def registerViews(spark: SparkSession, catalog: TableCatalog,
-                    timeRangeNs: Option[(Long, Long)] = None): Unit =
-    catalog.all().foreach { spec =>
-      val df = readTable(spark, catalog, spec.database, spec.name, timeRangeNs)
-      df.createOrReplaceTempView(s"${spec.database}_${spec.name}")
-      if (spec.database == "default") df.createOrReplaceTempView(spec.name)
-    }
 
 }
 
@@ -192,7 +182,15 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
         // read-only serving window never delivers. Every published
         // snapshot is internally consistent; a racing stale publish is
         // self-healing (the next request's version check rebuilds).
-        if (artifactsOk) published.set(Snapshot(after, s))
+        // A GIVE-UP publish (attempt cap hit with the vector still
+        // moving) stamps the PRE-build vector: the session may be torn
+        // across the mid-build writes, so stamping `after` would let a
+        // subsequent read-only window match it forever — `before` is
+        // guaranteed already-stale (versions are monotone and moved),
+        // so the next request rebuilds while THIS one still gets a
+        // usable session (code-review r9).
+        if (artifactsOk)
+          published.set(Snapshot(if (after == before) after else before, s))
         return s
       }
       before = after

@@ -48,6 +48,13 @@ final class ArtifactJobs(ledgerDir: Option[java.io.File] = None,
     extends IllegalStateException(
       s"a build for $key is already in flight: $existingId")
 
+  /** Terminal entries kept (newest first) BEYOND the always-retained
+    * set — declared BEFORE the constructor's loadLedger() call: a val
+    * below it would still read 0 during the boot-time demotion persist,
+    * truncating every terminal entry from the ledger at startup (the
+    * latent double-restart data loss the eviction spec caught). */
+  val MaxLedgerTerminal = 1000
+
   private val seq = new AtomicLong(0L)
   private val jobs = new ConcurrentHashMap[String, (String, State)]() // id -> (key, state)
   private val inFlight = new ConcurrentHashMap[String, String]()      // key -> id
@@ -74,13 +81,20 @@ final class ArtifactJobs(ledgerDir: Option[java.io.File] = None,
     try pool.submit(new Runnable {
       def run(): Unit = {
         transition(id, key, Running)
-        try transition(id, key, Done(build()))
+        // free the key BEFORE the terminal transition: a caller who
+        // polls `done` must be able to resubmit immediately — the old
+        // remove-after order left a window where status read terminal
+        // but a same-key submit still hit DuplicateJob. Safe: build()
+        // (including its publication) has fully completed first.
+        try { val r = build(); inFlight.remove(key, id); transition(id, key, Done(r)) }
         catch {
           case _: InterruptedException =>
+            inFlight.remove(key, id)
             transition(id, key, Failed("server shutting down"))
           case NonFatal(e) =>
+            inFlight.remove(key, id)
             transition(id, key, Failed(Option(e.getMessage).getOrElse(e.toString)))
-        } finally inFlight.remove(key, id)
+        } finally inFlight.remove(key, id) // backstop for fatal throws
       }
     })
     catch {
@@ -107,10 +121,12 @@ final class ArtifactJobs(ledgerDir: Option[java.io.File] = None,
     transition(id, key, Running)
     try {
       val r = build()
+      inFlight.remove(key, id) // before the terminal transition, as above
       transition(id, key, Done(r))
       r
     } catch {
       case NonFatal(e) =>
+        inFlight.remove(key, id)
         transition(id, key, Failed(Option(e.getMessage).getOrElse(e.toString)))
         throw e
     } finally inFlight.remove(key, id)
@@ -166,38 +182,42 @@ final class ArtifactJobs(ledgerDir: Option[java.io.File] = None,
 
   /** Rewrite-and-rename, serialized: concurrent worker transitions must
     * not interleave partial writes (same contract as MetadataIndex). */
-  /** Terminal entries kept in the ledger (newest first). Bounds both
-    * the per-transition rewrite cost and what loadLedger re-materializes
-    * after years of builds; in-flight jobs are always retained. */
-  val MaxLedgerTerminal = 1000
-
+  /** Eviction policy (window = [[MaxLedgerTerminal]]): bounds the
+    * per-transition rewrite cost, what loadLedger re-materializes after
+    * years of builds, AND the in-memory registry (evicted ids answer
+    * 404 on the status route — the honest bound). Always retained
+    * regardless of the window: in-flight jobs, and the NEWEST Done
+    * entry per artifact key — that entry is a still-served
+    * publication's only rebind record, and a global newest-N window
+    * would silently drop it (and its boot rebind) once enough unrelated
+    * build history accumulated after it (code-review r9). */
   private def persist(): Unit = synchronized {
+    import scala.jdk.CollectionConverters._
+    val all = jobs.asScala.toSeq
+      .sortBy { case (id, _) => id.stripPrefix("job-").toLong }
+    val newestDonePerKey: Set[String] = all
+      .collect { case (id, (key, Done(_))) => (id, key) }
+      .groupBy(_._2).map { case (_, g) => g.last._1 }.toSet
+    val evictable = all.collect {
+      case (id, (_, Done(_) | Failed(_))) if !newestDonePerKey(id) => id }
+    val drop = evictable.dropRight(MaxLedgerTerminal).toSet
+    val rows = all.filterNot { case (id, _) => drop(id) }
+    drop.foreach(jobs.remove) // same window bounds memory, not just disk
     ledgerFile.foreach { f =>
       try {
         f.getParentFile.mkdirs()
-        import scala.jdk.CollectionConverters._
-        val all = jobs.asScala.toSeq
-          .sortBy { case (id, _) => id.stripPrefix("job-").toLong }
-        val terminalOver = all.count {
-          case (_, (_, Done(_) | Failed(_))) => true; case _ => false
-        } - MaxLedgerTerminal
-        var drop = math.max(0, terminalOver)
-        val rows = all.filter {
-          case (_, (_, Done(_) | Failed(_))) if drop > 0 => drop -= 1; false
-          case _ => true
-        }
-          .map { case (id, (key, s)) =>
-            val extra = s match {
-              case Done(r) => s""","result":$r"""
-              case Failed(e) => s""","error":${JsonOut.str(e)}"""
-              case _ => ""
-            }
-            s"""{"job":${JsonOut.str(id)},"key":${JsonOut.str(key)},""" +
-              s""""status":${JsonOut.str(s.name)}$extra}"""
+        val body = rows.map { case (id, (key, s)) =>
+          val extra = s match {
+            case Done(r) => s""","result":$r"""
+            case Failed(e) => s""","error":${JsonOut.str(e)}"""
+            case _ => ""
           }
+          s"""{"job":${JsonOut.str(id)},"key":${JsonOut.str(key)},""" +
+            s""""status":${JsonOut.str(s.name)}$extra}"""
+        }
         val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
         java.nio.file.Files.write(tmp.toPath,
-          s"""{"jobs":[${rows.mkString(",")}]}""".getBytes("UTF-8"))
+          s"""{"jobs":[${body.mkString(",")}]}""".getBytes("UTF-8"))
         java.nio.file.Files.move(tmp.toPath, f.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)

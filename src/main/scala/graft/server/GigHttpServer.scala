@@ -137,6 +137,17 @@ final class GigHttpServer(spark: SparkSession, root: String,
       case e: BadRequest =>
         respond(ex, 400, JsonOut.obj("error" -> JsonOut.str(e.getMessage)),
           "application/json")
+      // a body that is not JSON at all (jackson) or whose fields can't
+      // map to the request shape (json4s extract) is the caller's 400;
+      // both exception types arise only while parsing REQUEST bodies —
+      // engine-side JSON work (from_json etc.) never throws them to
+      // the handler
+      case e: com.fasterxml.jackson.core.JsonProcessingException =>
+        respond(ex, 400, JsonOut.obj("error" -> JsonOut.str(
+          s"malformed JSON body: ${e.getOriginalMessage}")), "application/json")
+      case e: org.json4s.MappingException =>
+        respond(ex, 400, JsonOut.obj("error" -> JsonOut.str(
+          s"malformed request body: ${e.getMessage}")), "application/json")
       case e: ArtifactJobs#DuplicateJob =>
         respond(ex, 409, JsonOut.obj("error" -> JsonOut.str(e.getMessage),
           "job" -> JsonOut.str(e.existingId)), "application/json")
@@ -156,7 +167,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
       case p if p.startsWith("/gigapi/write/") => Some(p.stripPrefix("/gigapi/write/"))
       case _ => None
     }
-    val db = params.get("db").orElse(pathDb).filter(_.nonEmpty).getOrElse("default")
+    val db = validDb(
+      params.get("db").orElse(pathDb).filter(_.nonEmpty).getOrElse("default"))
     val precision = BadRequest.relabel(
       Precision.of(params.getOrElse("precision", "ns")))
     val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
@@ -244,7 +256,7 @@ final class GigHttpServer(spark: SparkSession, root: String,
     val req = BadRequest.relabel(
       if (body.startsWith("{")) CreateRequest.fromJson(body)
       else CreateRequest.fromYaml(body))
-    val db = queryParams(ex).getOrElse("db", "default")
+    val db = validDb(queryParams(ex).getOrElse("db", "default"))
     BadRequest.relabel(req.validate())
     catalog.upsert(TableSpec(
       database = db,
@@ -295,8 +307,57 @@ final class GigHttpServer(spark: SparkSession, root: String,
   private def jsonStr(j: JValue, f: String): Option[String] =
     j \ f match { case JString(s) => Some(s); case _ => None }
 
+  /** Strict: a PRESENT but mistyped numeric param is the caller's 400,
+    * not a silently ignored option (the zorder strictness precedent —
+    * a silently defaulted "dims"/"n"/"merges" builds the wrong
+    * artifact with a 200). Whole doubles are accepted because many
+    * JSON serializers emit 8.0 for integer 8. */
   private def jsonInt(j: JValue, f: String): Option[Int] =
-    j \ f match { case JInt(i) => Some(i.toInt); case _ => None }
+    j \ f match {
+      case JInt(i) => Some(i.toInt)
+      case JDouble(d) if d.isWhole => Some(d.toInt)
+      case JNothing | JNull => None
+      case other => throw new BadRequest(
+        s""""$f" must be an integer, got ${JsonMethods.compact(other)}""")
+    }
+
+  /** cluster_map's threshold, one spelling for POST validation and the
+    * build (strict like [[jsonInt]]: {"tau": "0.7"} must not silently
+    * train at the 0.6 default). */
+  private def jsonTau(j: JValue): Double = j \ "tau" match {
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JInt(i) => i.toDouble // {"tau": 1} must not silently default
+    case JNothing | JNull => 0.6
+    case other => throw new BadRequest(
+      s""""tau" must be a number, got ${JsonMethods.compact(other)}""")
+  }
+
+  /** vec_cols extraction, ONE spelling for POST validation and
+    * build-time vecsOf (the doc'd no-drift discipline). */
+  private def jsonStrArray(j: JValue, f: String): Seq[String] =
+    j \ f match {
+      case JArray(vs) => vs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+
+  /** ?db= names reach TableSpec construction and filesystem paths:
+    * reject non-identifier names as the caller's 400 up front —
+    * TableSpec's own require would surface as a 500 engine fault. */
+  private def validDb(db: String): String =
+    if (graft.catalog.TableCatalog.NameRe.matches(db)) db
+    else throw new BadRequest(s"invalid database name: $db")
+
+  /** Arity gate for artifact-bound SQL functions: wrong-arity misuse in
+    * caller SQL is a request error thrown at analysis (400, the
+    * literalStringArg discipline), not an IndexOutOfBounds 500. */
+  private def nArgs(usage: String, n: Int,
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (es.length != n) throw new BadRequest(
+      s"$usage: expected $n argument(s), got ${es.length}")
+    es
+  }
 
   private def handleArtifacts(ex: HttpExchange): Unit = {
     // method routing (ADVICE r7): only GET (status/list) and POST-to-
@@ -323,7 +384,7 @@ final class GigHttpServer(spark: SparkSession, root: String,
       s"unknown artifact kind '$kind' (${ArtifactKinds.mkString(" | ")})")
     val table = jsonStr(j, "table").getOrElse(
       throw new BadRequest(""""table" is required"""))
-    val db = queryParams(ex).getOrElse("db", "default")
+    val db = validDb(queryParams(ex).getOrElse("db", "default"))
     // REQUEST-SHAPE validation BEFORE accepting the job: an unknown
     // table or a malformed parameter is a client error the caller
     // should see on the POST, not a failed job discovered by polling.
@@ -333,11 +394,11 @@ final class GigHttpServer(spark: SparkSession, root: String,
     // keeps off the handler thread.)
     if (catalog.get(db, table).isEmpty) throw new BadRequest(
       s"unknown table $db.$table")
+    // mistyped numeric params 400 HERE (jsonInt/jsonTau are strict),
+    // not as a failed async job discovered by polling
+    jsonInt(j, "n"); jsonInt(j, "merges"); jsonTau(j): Unit
     if (kind == "pq") {
-      val vecCols = j \ "vec_cols" match {
-        case JArray(vs) => vs.collect { case JString(s) => s }
-        case _ => Nil
-      }
+      val vecCols = jsonStrArray(j, "vec_cols")
       jsonInt(j, "dims").orElse(Some(vecCols.size).filter(_ > 0)).foreach { d =>
         if (d <= 0 || d % graft.ops.PqOps.M != 0)
           throw new BadRequest(
@@ -417,10 +478,7 @@ final class GigHttpServer(spark: SparkSession, root: String,
     def vecsOf: (org.apache.spark.sql.DataFrame, Int) = {
       val id = str("id").getOrElse("vec_id")
       val vec = str("vec").getOrElse("embedding")
-      val vecCols = j \ "vec_cols" match {
-        case JArray(vs) => vs.collect { case JString(s) => s }
-        case _ => Nil
-      }
+      val vecCols = jsonStrArray(j, "vec_cols")
       val embCol =
         if (vecCols.nonEmpty)
           org.apache.spark.sql.functions.array(
@@ -451,13 +509,7 @@ final class GigHttpServer(spark: SparkSession, root: String,
 
     kind match {
       case "cluster_map" =>
-        val tau = j \ "tau" match {
-          case JDouble(d) => d
-          case JDecimal(d) => d.toDouble
-          case JInt(i) => i.toDouble // {"tau": 1} must not silently default
-          case _ => 0.6
-        }
-        val labels = graft.ops.DedupOps.clusterLabels(docsOf, tau)
+        val labels = graft.ops.DedupOps.clusterLabels(docsOf, jsonTau(j))
         graft.ops.DedupOps.saveClusterLabels(labels, outDir)
         finish()
 
@@ -569,8 +621,11 @@ final class GigHttpServer(spark: SparkSession, root: String,
         // without touching the corpus again
         graft.ops.SketchOps.cmsCounters(docsOf)
           .coalesce(1).write.mode("overwrite").parquet(outDir)
+        // "n" documents the probe contract: counters count word
+        // 3-grams, so cms_count expects 3-gram terms
         finish("depth" -> graft.ops.SketchOps.CmsDepth.toString,
-          "width" -> graft.ops.SketchOps.CmsWidth.toString)
+          "width" -> graft.ops.SketchOps.CmsWidth.toString,
+          "n" -> "3")
 
       case "hdr" =>
         // log-linear histogram of a numeric column (default "value"):
@@ -631,8 +686,10 @@ final class GigHttpServer(spark: SparkSession, root: String,
         val centers = spark.read.parquet(s"$outDir/centroids")
           .orderBy(col("cell")).collect()
           .map(_.getSeq[Double](1).toArray)
-        val fn = publishFn("ivf_probe",
-          es => graft.functions.IvfProbeCells(es(0), es(1), centers))
+        val fn = publishFn("ivf_probe", es => {
+          val a = nArgs("ivf_probe(vec, nprobe)", 2, es)
+          graft.functions.IvfProbeCells(a(0), a(1), centers)
+        })
         Seq("views" -> s"""["${prefix}_ivf_centroids","${prefix}_ivf_assigned"]""",
           "function" -> JsonOut.str(fn))
 
@@ -644,8 +701,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
       case "bloom" =>
         val bits = spark.read.parquet(s"$outDir/bits")
           .orderBy(col("idx")).collect().map(_.getLong(1))
-        val fn = publishFn("bloom_hit",
-          es => tx(graft.ops.DedupOps.bloomHit(bits, cc(es.head))))
+        val fn = publishFn("bloom_hit", es => tx(graft.ops.DedupOps.bloomHit(
+          bits, cc(nArgs("bloom_hit(shingle)", 1, es).head))))
         Seq("function" -> JsonOut.str(fn))
 
       case "bpe" =>
@@ -653,8 +710,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
         val merges = spark.read.parquet(outDir).orderBy(col("step")).collect()
           .map(r => graft.ops.BpeOps.Merge(r.getInt(0), r.getString(1),
             r.getString(2), r.getString(3), r.getLong(4))).toSeq
-        val fn = publishFn("bpe_encode",
-          es => tx(graft.ops.BpeOps.encodePiecesCol(cc(es.head), merges)))
+        val fn = publishFn("bpe_encode", es => tx(graft.ops.BpeOps
+          .encodePiecesCol(cc(nArgs("bpe_encode(text)", 1, es).head), merges)))
         Seq("function" -> JsonOut.str(fn),
           "view" -> JsonOut.str(s"${prefix}_bpe_merges"))
 
@@ -662,8 +719,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
         views.publishArtifactView(s"${prefix}_unigram_pieces", outDir)
         val costs = spark.read.parquet(outDir).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val fn = publishFn("unigram_encode",
-          es => graft.functions.UnigramEncode(es.head, costs))
+        val fn = publishFn("unigram_encode", es => graft.functions
+          .UnigramEncode(nArgs("unigram_encode(text)", 1, es).head, costs))
         Seq("function" -> JsonOut.str(fn),
           "view" -> JsonOut.str(s"${prefix}_unigram_pieces"))
 
@@ -674,8 +731,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
         val model = graft.ops.ModelOps.NbModel(b,
           b.valuesIterator.map(_._1).sum, b.valuesIterator.map(_._2).sum,
           pr.getLong(0), pr.getLong(1))
-        val fn = publishFn("nb_quality",
-          es => tx(graft.ops.ModelOps.nbQualityCol(cc(es.head), model)))
+        val fn = publishFn("nb_quality", es => tx(graft.ops.ModelOps
+          .nbQualityCol(cc(nArgs("nb_quality(text)", 1, es).head), model)))
         Seq("function" -> JsonOut.str(fn))
 
       case "ppl" =>
@@ -683,8 +740,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
           spark.read.parquet(s"$outDir/$p").collect()
             .map(r => r.getLong(0) -> r.getLong(1)).toMap
         val (m12, m1) = (m("m12"), m("m1"))
-        val fn = publishFn("ppl_bits",
-          es => tx(graft.ops.ModelOps.pplBitsCol(cc(es.head), m12, m1)))
+        val fn = publishFn("ppl_bits", es => tx(graft.ops.ModelOps
+          .pplBitsCol(cc(nArgs("ppl_bits(text)", 1, es).head), m12, m1)))
         Seq("function" -> JsonOut.str(fn))
 
       case "bm25" =>
@@ -693,9 +750,11 @@ final class GigHttpServer(spark: SparkSession, root: String,
         val model = graft.ops.SearchOps.modelOf(
           spark.read.parquet(s"$outDir/df"),
           spark.read.parquet(s"$outDir/totals"))
-        val fn = publishFn("match_bm25", es =>
-          tx(graft.ops.SearchOps.scoreCol(cc(es(0)),
-            literalStringArg("match_bm25(text, 'query terms')", es, 1), model)))
+        val fn = publishFn("match_bm25", es => {
+          val a = nArgs("match_bm25(text, 'query terms')", 2, es)
+          tx(graft.ops.SearchOps.scoreCol(cc(a(0)),
+            literalStringArg("match_bm25(text, 'query terms')", a, 1), model))
+        })
         Seq("views" -> s"""["${prefix}_bm25_df","${prefix}_bm25_totals"]""",
           "function" -> JsonOut.str(fn),
           "vocab" -> model.df.size.toString, "n" -> model.n.toString)
@@ -713,11 +772,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
           .collect().foreach { r =>
             arr(r.getInt(0) * graft.ops.SketchOps.CmsWidth +
               r.getLong(1).toInt) = r.getLong(2) }
-        val fn = publishFn("cms_count", {
-          case Seq(e) => graft.functions.CmsCount(e, arr)
-          case es => throw new IllegalArgumentException(
-            s"cms_count(term) takes exactly 1 argument, got ${es.size}")
-        })
+        val fn = publishFn("cms_count", es => graft.functions.CmsCount(
+          nArgs("cms_count(term)", 1, es).head, arr))
         Seq("function" -> JsonOut.str(fn),
           "view" -> JsonOut.str(s"${prefix}_cms_counters"))
 
@@ -729,11 +785,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
         val idxs = rows.map(_.getLong(0))
         var run = 0L
         val cums = rows.map { r => run += r.getLong(1); run }
-        val fn = publishFn("hdr_quantile", {
-          case Seq(e) => graft.functions.HdrQuantile(e, idxs, cums)
-          case es => throw new IllegalArgumentException(
-            s"hdr_quantile(q_permille) takes exactly 1 argument, got ${es.size}")
-        })
+        val fn = publishFn("hdr_quantile", es => graft.functions.HdrQuantile(
+          nArgs("hdr_quantile(q_permille)", 1, es).head, idxs, cums))
         Seq("function" -> JsonOut.str(fn),
           "view" -> JsonOut.str(s"${prefix}_hdr_hist"))
 
@@ -808,14 +861,16 @@ final class GigHttpServer(spark: SparkSession, root: String,
   }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).map(_.split('&').flatMap { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) => Some(java.net.URLDecoder.decode(k, UTF_8) ->
-          java.net.URLDecoder.decode(v, UTF_8))
-        case Array(k) => Some(java.net.URLDecoder.decode(k, UTF_8) -> "")
-        case _ => None
-      }
-    }.toMap).getOrElse(Map.empty)
+    // malformed %-escapes (URLDecoder's IAE) are the caller's 400
+    BadRequest.relabel(
+      Option(ex.getRequestURI.getRawQuery).map(_.split('&').flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(java.net.URLDecoder.decode(k, UTF_8) ->
+            java.net.URLDecoder.decode(v, UTF_8))
+          case Array(k) => Some(java.net.URLDecoder.decode(k, UTF_8) -> "")
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty))
 
   private def respond(ex: HttpExchange, code: Int, body: String,
                       contentType: String): Unit = {

@@ -81,5 +81,42 @@ class ArtifactJobsSpec extends AnyFunSuite {
     val fresh = b.submit("x:d:t", () => "{}")
     assert(fresh.stripPrefix("job-").toLong > 7L)
     b.close()
+
+    // a SECOND restart must still serve the done job: the boot-time
+    // demotion persist once ran before MaxLedgerTerminal initialized
+    // (read 0) and truncated every terminal entry from the ledger —
+    // silent data loss on the restart after a restart
+    val c = new ArtifactJobs(Some(dir), workers = 1)
+    c.status(id) match {
+      case Some(c.Done(r)) => assert(r.contains("\"ok\":true"), r)
+      case other => fail(s"done job lost across SECOND reload: $other")
+    }
+    c.close()
+  }
+
+  test("eviction never drops a live publication's newest Done; memory stays bounded") {
+    // code-review r9: a global newest-N window could silently evict a
+    // still-served artifact's only rebind record once enough unrelated
+    // build history accumulated — the newest Done per key is exempt,
+    // and the same window now bounds the in-memory map too
+    val a = new ArtifactJobs(None, workers = 1)
+    val early = a.runSync("bm25:d:tA")(() => """{"v":1}""")
+    assert(early == """{"v":1}""")
+    // a superseded same-key Done IS evictable; the newer one is not
+    a.runSync("bm25:d:tA")(() => """{"v":2}""")
+    // pile far more than MaxLedgerTerminal failures on other keys
+    (1 to a.MaxLedgerTerminal + 150).foreach { i =>
+      intercept[RuntimeException] {
+        a.runSync(s"bloom:d:t$i")(() => sys.error(s"boom $i"))
+      }
+    }
+    val completed = a.completedOldestFirst()
+    assert(completed == Seq("bm25:d:tA" -> """{"v":2}"""),
+      s"newest Done per key must survive any amount of history: $completed")
+    // the in-memory registry is bounded by the same window (+ exempt set)
+    assert(a.all().size <= a.MaxLedgerTerminal + 2, a.all().size.toString)
+    // the oldest failures were evicted from status serving too
+    assert(a.status("job-3").isEmpty)
+    a.close()
   }
 }

@@ -129,6 +129,31 @@ class GigHttpServerSpec extends SparkSpec {
     // request's shape: it must surface as 500
     val e = post("/query", """{"query": "SELECT CAST('nope' AS INT) AS x"}""")
     assert(e.statusCode() == 500, s"${e.statusCode()} ${e.body()}")
+    // a body that is not JSON at all is the caller's 400, not a jackson
+    // stack trace behind a 500 (code-review r9)
+    val mj = post("/query", """{bad""")
+    assert(mj.statusCode() == 400 && mj.body().contains("malformed"), mj.body())
+    assert(post("/gigapi/artifacts", """not json""").statusCode() == 400)
+    // malformed %-escapes in params are a 400 somewhere in the stack
+    // (the JDK server rejects most at the protocol layer; queryParams
+    // relabels URLDecoder's IAE for anything that slips through) — the
+    // pinned contract is 400-not-500, via a raw socket because the
+    // test HttpClient's own URI parser would reject the escape first
+    locally {
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      try {
+        val req = "POST /query?db=%zz HTTP/1.1\r\nHost: x\r\n" +
+          "Content-Length: 2\r\nConnection: close\r\n\r\n{}"
+        sock.getOutputStream.write(req.getBytes("UTF-8"))
+        sock.getOutputStream.flush()
+        val resp = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+        assert(resp.startsWith("HTTP/1.1 400"), resp.linesIterator.next())
+      } finally sock.close()
+    }
+    val bd = post("/gigapi/create?db=my-db",
+      """{"create_table": "t", "fields": {"v": "INT64"}}""")
+    assert(bd.statusCode() == 400 && bd.body().contains("database"), bd.body())
+    assert(post("/write?db=my-db", "m v=1i").statusCode() == 400)
   }
 
   test("pipeline text functions scrub ingested text via /query") {
@@ -521,6 +546,18 @@ class GigHttpServerSpec extends SparkSpec {
       """{"kind": "hdr", "table": "sdocs", "column": "text", "sync": true}""")
     assert(bad.statusCode() != 200, bad.body())
     assert(bad.body().contains("numeric"), bad.body())
+    // wrong-arity misuse of a bound scalar in caller SQL is a 400 with
+    // the function's usage, not an IndexOutOfBounds 500 (code-review r9)
+    val ar = post("/query?db=sk", """{"query": "SELECT cms_count() AS x"}""")
+    assert(ar.statusCode() == 400 && ar.body().contains("cms_count"), ar.body())
+    // mistyped numeric artifact params 400 at POST time, not as a
+    // failed async job discovered by polling (jsonTau/jsonInt strict)
+    val mt = post("/gigapi/artifacts?db=sk",
+      """{"kind": "cluster_map", "table": "sdocs", "tau": "0.7"}""")
+    assert(mt.statusCode() == 400 && mt.body().contains("tau"), mt.body())
+    val md = post("/gigapi/artifacts?db=sk",
+      """{"kind": "bloom", "table": "sdocs", "n": "2"}""")
+    assert(md.statusCode() == 400 && md.body().contains("\\\"n\\\""), md.body())
   }
 
   test("artifact job ledger survives a server restart (VERDICT r7 #6)") {
