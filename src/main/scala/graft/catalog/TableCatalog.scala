@@ -98,16 +98,28 @@ final class TableCatalog(root: String) {
     * hive_merge_tree_service.go:309-329). */
   def evolve(db: String, table: String, incoming: Seq[(String, String)]): TableSpec =
     synchronized {
+      // conflicts WITHIN one batch throw like cross-batch ones, and
+      // same-name duplicates collapse to one entry — an appended column
+      // list must never enter the persisted spec twice (a duplicated
+      // name makes every later write's select() fail permanently)
+      incoming.groupBy(_._1).foreach { case (n, ts) =>
+        val distinctTypes = ts.map(_._2).distinct
+        if (distinctTypes.size > 1)
+          throw new IllegalArgumentException(
+            s"column '$n' type conflict within one batch: " +
+              distinctTypes.mkString(" vs "))
+      }
+      val deduped = incoming.distinct
       val cur = get(db, table).getOrElse(TableSpec(db, table))
       val known = cur.columns.toMap
-      incoming.foreach { case (n, t) =>
+      deduped.foreach { case (n, t) =>
         known.get(n).foreach { prev =>
           if (prev != t)
             throw new IllegalArgumentException(
               s"column '$n' type conflict: table has $prev, batch has $t")
         }
       }
-      val added = incoming.filterNot { case (n, _) => known.contains(n) }
+      val added = deduped.filterNot { case (n, _) => known.contains(n) }
       upsert(cur.copy(columns = cur.columns ++ added))
     }
 

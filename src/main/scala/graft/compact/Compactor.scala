@@ -53,7 +53,13 @@ object Compactor {
     idx.entries.values.toSeq
       .filter(e => ParquetLevels.levelOf(e.path) == level)
       .map(e => (ObjectStore.dataUri(spark, spec, tableDir, partDir, e.path), e.sizeBytes))
-      .filter { case (p, _) => ObjectStore.exists(spark, p) }
+      // local: one cheap stat guards out-of-band deletions (the original
+      // Files.exists defense). Remote: the manifest commit protocol IS
+      // the existence guarantee — a per-file HEAD here would cost one
+      // serial driver S3 round-trip per live file per 10 s tick; an
+      // out-of-band S3 deletion surfaces as one failed, logged merge of
+      // that partition instead of a permanent per-tick tax on all of them
+      .filter { case (p, _) => spec.dataUrl.isDefined || ObjectStore.exists(spark, p) }
       .sortBy(-_._2)
   }
 
@@ -233,9 +239,22 @@ object Compactor {
           ObjectStore.publishRename(fs, part, dest)
           dest.toUri.getPath
       }
-      MetadataIndex.batch(partDir, spec.name,
+      try MetadataIndex.batch(partDir, spec.name,
         add = Seq(entry),
         remove = plan.from.map(u => u.substring(u.lastIndexOf('/') + 1)))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // un-publish on a failed manifest commit: a published file in
+          // NO manifest is invisible AND unreachable by the drop queue,
+          // so it would leak forever (unbounded at the remote store on
+          // a flaky table — the staging-cleanup argument applies to the
+          // final key too)
+          try {
+            if (spec.dataUrl.isDefined) ObjectStore.delete(spark, destUri)
+            else fs.delete(new HPath(partUri, plan.to), false)
+          } catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      }
       destUri
     } finally {
       fs.delete(staging, true)

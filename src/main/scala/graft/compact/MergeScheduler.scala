@@ -34,8 +34,16 @@ final class MergeScheduler(spark: SparkSession, catalog: TableCatalog,
   })
 
   def start(): MergeScheduler = {
-    scheduler.scheduleWithFixedDelay(() => tick(), baseIntervalMs, baseIntervalMs,
-      TimeUnit.MILLISECONDS)
+    // the outer guard matters: tick()'s per-table try does not cover
+    // catalog.all() (per-tick disk listing + JSON parse), and ONE
+    // uncaught throw makes scheduleWithFixedDelay cancel the task
+    // FOREVER with no output — compaction and retention silently halt,
+    // the exact failure this scheduler exists to prevent
+    scheduler.scheduleWithFixedDelay(() => {
+      try { tick(): Unit }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[merge-scheduler] tick failed: ${e.getMessage}") }
+    }, baseIntervalMs, baseIntervalMs, TimeUnit.MILLISECONDS)
     this
   }
 

@@ -40,8 +40,21 @@ final class BufferedIngest(writer: IngestWriter,
       return Future.failed(new IllegalStateException("BufferedIngest is closed"))
     val p = Promise[Unit]()
     queue.add(Pending(batch, p))
-    if (buffered.addAndGet(batch.size.toLong) >= maxBufferedRows && !closed)
-      scheduler.execute(() => flush())
+    val big = buffered.addAndGet(batch.size.toLong) >= maxBufferedRows
+    // re-check AFTER the add: a close() racing past the first check
+    // drains the queue once — if we now read closed=true, our add may
+    // have landed after that drain, so flush ourselves (idempotent,
+    // synchronized). If we read false, close()'s volatile write hadn't
+    // happened yet, so its later drain observes our earlier add. Either
+    // way the batch is written and the promise completes — the old
+    // order could silently drop the rows and park the caller for the
+    // full ack timeout.
+    if (closed) flush()
+    else if (big)
+      try scheduler.execute(() => flush())
+      catch { // shutdown raced between the check and the submit
+        case _: java.util.concurrent.RejectedExecutionException => flush()
+      }
     p.future
   }
 
@@ -64,8 +77,10 @@ final class BufferedIngest(writer: IngestWriter,
   }
 
   /** Stop accepting, then drain. A producer that raced past the closed
-    * check has its batch in the queue BEFORE this flush runs, so it is
-    * written; later store() calls fail fast. */
+    * check either lands its batch before this drain (it reads
+    * closed=false on the post-add re-check, so our volatile write —
+    * and this flush — come after its add), or reads closed=true and
+    * flushes its own batch; later store() calls fail fast. */
   override def close(): Unit = {
     closed = true
     scheduler.shutdown()

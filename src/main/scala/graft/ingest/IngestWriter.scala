@@ -75,6 +75,13 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
   /** Store one parsed batch: evolve schema (first-type-wins), add
     * `__timestamp`, write partitioned+sorted, index. Returns URIs written. */
   def store(batch: Batch): Seq[String] = {
+    // the engine OWNS __timestamp (arrival-time projection below): a
+    // client field/tag of that name would silently lose its values to
+    // the projection and double-enter the catalog — reject loudly
+    if (batch.schema.exists(_._1 == "__timestamp"))
+      throw new IllegalArgumentException(
+        "column '__timestamp' is reserved (engine arrival time); " +
+          "use the line-protocol timestamp token for event time")
     val spec0 = catalog.evolve(batch.database, batch.table,
       batch.schema.map { case (n, t) => (n, typeName(t)) } :+ ("__timestamp" -> "INT64"))
     write(spec0, toDataFrame(batch).withColumn("__timestamp", lit(nowNs())))
@@ -98,7 +105,13 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     val cols = df.schema.fields.map { f =>
       val t = f.dataType match {
         case LongType => "INT64"
-        case _: DecimalType => "UINT64"
+        // UINT64 IS decimal(20,0): any other precision/scale would write
+        // parquet files mergeSchema can never reconcile with the
+        // table's decimal(20,0) files, breaking every later read+merge
+        case d: DecimalType if d.precision == 20 && d.scale == 0 => "UINT64"
+        case d: DecimalType => throw new IllegalArgumentException(
+          s"decimal(${d.precision},${d.scale}) unsupported for column " +
+            s"${f.name}: UINT64 is decimal(20,0) exactly")
         case DoubleType => "FLOAT64"
         case StringType => "STRING"
         case BooleanType => "BOOL"
@@ -107,6 +120,13 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
       }
       (f.name, t)
     }
+    // a pre-set __timestamp (the StreamIngest firehose contract) must
+    // already be the engine's epoch-ns model, not a lookalike type
+    if (df.columns.contains("__timestamp") &&
+        df.schema("__timestamp").dataType != LongType)
+      throw new IllegalArgumentException(
+        s"__timestamp must be INT64 epoch-ns, got " +
+          df.schema("__timestamp").dataType.simpleString)
     val spec = catalog.evolve(db, table, cols.toSeq :+ ("__timestamp" -> "INT64"))
     val withTs = if (df.columns.contains("__timestamp")) df
       else df.withColumn("__timestamp", lit(nowNs()))
@@ -124,6 +144,14 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     }.select(full.columns.map(c => col(c._1)): _*)
 
     val hive = spec.engine == "HiveMerge"
+    // on HiveMerge tables `date`/`hour` are DERIVED partition columns:
+    // withColumn below would silently replace a client column of that
+    // name (and partitionBy would strip it into the dir name) — acked
+    // data destroyed invisibly. Reject before anything persists.
+    if (hive) Seq("date", "hour").foreach { c =>
+      if (dfIn.columns.contains(c)) throw new IllegalArgumentException(
+        s"column '$c' is reserved on HiveMerge tables (derived partition)")
+    }
     val tsUs = expr("__timestamp DIV 1000")
     val partitioned =
       if (hive)
@@ -167,8 +195,10 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     (if (hive) writer.partitionBy("date", "hour") else writer)
       .parquet(staging.toString)
 
-    val remoteRoot = spec.dataUrl.map(u =>
-      ObjectStore.resolveDataRoot(spark, u) + s"/${spec.database}/${spec.name}")
+    // ONE spelling of the remote key layout (ObjectStore owns it): a
+    // divergent inline reassembly here would publish to keys the
+    // dataUri-based readers and the GC deleter could never find
+    val remoteRoot = ObjectStore.tableRemoteRoot(spark, spec)
     val stagingStr = staging.toString
     val written = {
       val it = fs.listFiles(staging, true)
@@ -191,6 +221,13 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     }
     val entries: Map[String, FileEntry] = ParquetStats.manifestEntries(
       spark, planned.map { case (p, _, name) => (p.toString, name) })
+    // published-but-not-yet-committed URIs: a failure between publish
+    // and the manifest commit would otherwise leak final-key objects
+    // that no manifest references and no drop queue can ever reclaim
+    // (unbounded at a 1 s flush cadence on a flaky table — the same
+    // argument as the staging cleanup in `finally`)
+    val uncommitted = scala.collection.mutable.LinkedHashSet.empty[String]
+    try {
     val out = planned.map { case (part, rel, name) =>
       val uri = remoteRoot match {
         case Some(r) =>
@@ -204,6 +241,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
           ObjectStore.publishRename(fs, part, dest)
           dest.toUri.getPath
       }
+      uncommitted += uri
       (rel, name, uri)
     }
 
@@ -214,9 +252,18 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     out.groupBy(_._1).foreach { case (rel, group) =>
       val dir = if (rel.isEmpty) tableDir else tableDir.resolve(rel)
       MetadataIndex.batch(dir, spec.name, add = group.map { case (_, n, _) => entries(n) })
+      group.foreach { case (_, _, u) => uncommitted -= u }
     }
     catalog.bumpVersion(spec.database, spec.name)
     out.map(_._3)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        uncommitted.foreach { u =>
+          try ObjectStore.delete(spark, u)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw e
+    }
     } finally fs.delete(staging, true)
   }
 }

@@ -258,6 +258,15 @@ final class GigHttpServer(spark: SparkSession, root: String,
       else CreateRequest.fromYaml(body))
     val db = validDb(queryParams(ex).getOrElse("db", "default"))
     BadRequest.relabel(req.validate())
+    // HiveMerge derives date/hour partition columns at write time — a
+    // declared field of that name would be silently clobbered on every
+    // ingest (the IngestWriter guard would then fail every write; fail
+    // the CREATE instead, where the caller can fix the schema)
+    if (req.engine.contains("HiveMerge"))
+      Seq("date", "hour").foreach { c =>
+        if (req.fields.exists(_._1 == c)) throw new BadRequest(
+          s"field '$c' is reserved on HiveMerge tables (derived partition)")
+      }
     catalog.upsert(TableSpec(
       database = db,
       name = req.name,

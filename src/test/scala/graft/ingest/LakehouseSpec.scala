@@ -212,4 +212,44 @@ class LakehouseSpec extends SparkSpec {
     assert(cat.get("default", "nd").get.columns.map(_._1)
       .containsSlice(Seq("id", "name", "score")))
   }
+
+  test("reserved/duplicate column guards: nothing corrupting ever reaches the catalog") {
+    val root = freshRoot()
+    val (cat, w) = writer(root)
+    import spark.implicits._
+    // a client field named __timestamp once DOUBLE-ENTERED the catalog
+    // (evolve appended the engine column to a list already carrying it),
+    // permanently failing every later write with duplicate-column
+    val e1 = intercept[IllegalArgumentException] {
+      w.store(LineProtocolParser.parse("t1 __timestamp=5i,v=1i").next())
+    }
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    assert(cat.get("default", "t1").isEmpty) // nothing persisted
+    // evolve itself: duplicates collapse, in-batch conflicts throw
+    cat.evolve("default", "t2", Seq("a" -> "INT64", "a" -> "INT64", "b" -> "STRING"))
+    assert(cat.get("default", "t2").get.columns == Seq("a" -> "INT64", "b" -> "STRING"))
+    val e2 = intercept[IllegalArgumentException] {
+      cat.evolve("default", "t2", Seq("c" -> "INT64", "c" -> "FLOAT64"))
+    }
+    assert(e2.getMessage.contains("conflict"), e2.getMessage)
+    // UINT64 is decimal(20,0) EXACTLY: any other decimal would write
+    // files mergeSchema can never reconcile with the table's
+    val e3 = intercept[IllegalArgumentException] {
+      w.storeDataFrame("default", "t3", Seq(BigDecimal("1.5")).toDF("d")
+        .select(col("d").cast(org.apache.spark.sql.types.DecimalType(38, 10))))
+    }
+    assert(e3.getMessage.contains("decimal(38,10)"), e3.getMessage)
+    // a pre-set __timestamp must be the engine's epoch-ns long
+    val e4 = intercept[IllegalArgumentException] {
+      w.storeDataFrame("default", "t4", Seq(1.5).toDF("__timestamp"))
+    }
+    assert(e4.getMessage.contains("INT64"), e4.getMessage)
+    // HiveMerge derives date/hour: a client column of that name would be
+    // silently replaced + stripped into the dir name — acked data gone
+    cat.upsert(graft.catalog.TableSpec("default", "t5", engine = "HiveMerge"))
+    val e5 = intercept[IllegalArgumentException] {
+      w.store(LineProtocolParser.parse("t5,date=monday v=1i").next())
+    }
+    assert(e5.getMessage.contains("reserved"), e5.getMessage)
+  }
 }

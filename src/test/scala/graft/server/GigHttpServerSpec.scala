@@ -424,6 +424,11 @@ class GigHttpServerSpec extends SparkSpec {
     val bad = """{"create_table":"x","fields":{"a":"INT64"},"order_by":["nope"]}"""
     val r = post("/gigapi/create", bad)
     assert(r.statusCode() == 400 && r.body().contains("order_by"), r.body())
+    // HiveMerge derives date/hour: declaring them as fields would make
+    // every write fail the reserved-column guard — reject the CREATE
+    val hv = post("/gigapi/create",
+      """{"create_table":"h","engine":"HiveMerge","fields":{"date":"STRING","v":"INT64"}}""")
+    assert(hv.statusCode() == 400 && hv.body().contains("reserved"), hv.body())
   }
 
   test("query on unknown table errors gracefully") {
