@@ -55,9 +55,17 @@ object GraftFunctions {
       with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
     override lazy val replacement: Expression = child.dataType match {
       case StringType =>
-        CaseWhen(
-          Seq((new RLike(child, NumericishRe), Cast(child, target, None, EvalMode.TRY))),
-          Some(Literal.create(null, target)))
+        // With = ONE child evaluation shared by guard and cast: the
+        // conditional CaseWhen branch defeats subexpression elimination,
+        // so a bare repeat would pay an expensive child twice per row
+        // (and test a DIFFERENT value than it casts for a
+        // non-deterministic child)
+        With(child) { refs =>
+          CaseWhen(
+            Seq((new RLike(refs.head, NumericishRe),
+              Cast(refs.head, target, None, EvalMode.TRY))),
+            Some(Literal.create(null, target)))
+        }
       case _ => Cast(child, target, None, EvalMode.TRY)
     }
     override protected def withNewChildInternal(newChild: Expression): GuardedTryCast =
@@ -90,8 +98,18 @@ object GraftFunctions {
     * path, so a stock Spark session enables graft by config alone). */
   lazy val builders: Seq[(String, Seq[Expression] => Expression)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Expression] => Expression)]
+    // builders index es(0)/es(1) for their declared shape; a wrong-arity
+    // SQL call would surface the raw IndexOutOfBounds with no function
+    // name — rethrow as the clear analysis-time message instead (the
+    // literalIntArg/hll_distinct guard, generalized to the whole surface)
     def reg(name: String)(b: Seq[Expression] => Expression): Unit =
-      out += ((name, b))
+      out += ((name, (es: Seq[Expression]) =>
+        try b(es)
+        catch {
+          case _: IndexOutOfBoundsException | _: NoSuchElementException =>
+            throw new IllegalArgumentException(
+              s"$name: wrong or missing arguments (got ${es.size})")
+        }))
 
     reg("epoch_ns")(es => EpochNs(Cast(es.head, TimestampType)))
     reg("toString")(es => cast(es.head, StringType))
@@ -256,10 +274,19 @@ object GraftFunctions {
   private[functions] def cFormatToJava(fmt: String): String = {
     val b = new StringBuilder
     var i = 0
-    def lit(seg: String): Unit =
+    // literal characters BUFFER into runs and flush as ONE quoted
+    // segment: per-character quoting produced '' between adjacent
+    // letters ("%d on %Y" → "dd 'o''n' yyyy"), which DateTimeFormatter
+    // reads as an embedded apostrophe — output corrupted, strptime of
+    // valid input failing
+    val run = new StringBuilder
+    def lit(seg: String): Unit = run.append(seg)
+    def flushLit(): Unit = if (run.nonEmpty) {
+      val seg = run.toString; run.clear()
       if (seg.exists(ch => Character.isLetter(ch) || ch == '\''))
         b.append("'").append(seg.replace("'", "''")).append("'")
       else b.append(seg)
+    }
     val map = Map(
       'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'e' -> "d",
       'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'f' -> "SSSSSS",
@@ -275,12 +302,14 @@ object GraftFunctions {
         if (spec == '%') { lit("%"); i += skip }
         else map.get(spec) match {
           case Some(j) =>
+            flushLit()
             b.append(if (skip == 3) j.substring(0, 1) else j); i += skip
           case None => throw new IllegalArgumentException(
             s"strftime/strptime: unsupported format specifier %$spec in '$fmt'")
         }
       } else { lit(c.toString); i += 1 }
     }
+    flushLit()
     b.toString
   }
 
@@ -384,11 +413,23 @@ object GraftFunctions {
         oct(8), Literal("."), Cast(BitwiseAnd(n, Literal(255L)), StringType)))
     }
     reg("IPv4StringToNum") { es =>
-      val parts = StringSplit(es.head, Literal("\\."), Literal(-1))
-      def oct(i: Int, scale: Long) =
-        Multiply(Cast(ElementAt(parts, Literal(i)), LongType), Literal(scale))
-      Add(Add(Add(oct(1, 16777216L), oct(2, 65536L)), oct(3, 256L)),
-        Cast(ElementAt(parts, Literal(4)), LongType))
+      // validated: the old unguarded form returned silently-wrong values
+      // for out-of-range octets ('300.1.2.3' → a >2^32 number that
+      // round-trips through IPv4NumToString as '44.1.2.3') and its
+      // failure mode for missing octets flipped with the ANSI setting.
+      // Malformed input → NULL, deterministically. Octet checks nest
+      // INSIDE the shape guard so ElementAt(4) never evaluates unless
+      // four octets exist.
+      val str = Cast(es.head, StringType)
+      val parts = StringSplit(str, Literal("\\."), Literal(-1))
+      def oc(i: Int) = Cast(ElementAt(parts, Literal(i)), LongType)
+      val shapeOk = new RLike(str, Literal("^\\d{1,3}(\\.\\d{1,3}){3}$"))
+      val octetsOk = (1 to 4).map(i => LessThanOrEqual(oc(i), Literal(255L)))
+        .reduce[Expression](And(_, _))
+      val value = Add(Add(Add(Multiply(oc(1), Literal(16777216L)),
+        Multiply(oc(2), Literal(65536L))), Multiply(oc(3), Literal(256L))), oc(4))
+      val nul = Literal.create(null, LongType)
+      CaseWhen(Seq((shapeOk, CaseWhen(Seq((octetsOk, value)), Some(nul)))), Some(nul))
     }
     // JSON extraction (CH simple-key form; nested paths pass through
     // as $.a.b via the same spelling)

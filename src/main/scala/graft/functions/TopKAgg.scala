@@ -40,7 +40,10 @@ case class TopKAgg(
 
   override def children: Seq[Expression] = Seq(kExpr, child)
 
-  val MaxK = 1 << 20
+  /** ClickHouse's own topK threshold cap is 65536 — matching it also
+    * bounds the space-saving eviction scan (O(8k) per non-resident
+    * insert) to something a hot aggregate path can afford. */
+  val MaxK = 1 << 16
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (!kExpr.foldable)
@@ -79,8 +82,15 @@ case class TopKAgg(
       case Some(c) => buf.update(v, c + n)
       case None if buf.size < capacity => buf.update(v, n)
       case None =>
-        // space-saving eviction: replace the min counter, inherit count
-        val (mv, mc) = buf.minBy { case (value, c) => (c, value) }
+        // space-saving eviction: replace the min counter, inherit count.
+        // Manual scan, not minBy: this runs once per non-resident insert
+        // on the aggregate hot path, and minBy allocates a tuple per
+        // entry (capacity = 8k of them)
+        var mv: String = null
+        var mc = Long.MaxValue
+        buf.foreach { case (value, c) =>
+          if (c < mc || (c == mc && (mv == null || value < mv))) { mv = value; mc = c }
+        }
         buf.remove(mv)
         buf.update(v, mc + n)
     }

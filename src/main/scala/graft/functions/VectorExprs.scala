@@ -48,8 +48,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (leftElem == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rightElem == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+      // isNullAt BEFORE the typed getter: ColumnarArray returns stale
+      // buffer garbage (not 0.0) for null slots — the WordNGrams note
+      val xv = if (x.isNullAt(i)) 0.0
+        else if (leftElem == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (y.isNullAt(i)) 0.0
+        else if (rightElem == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
       i += 1
     }
@@ -61,8 +65,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
-      def get(arr: String, t: DataType): String =
-        if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      def get(arr: String, t: DataType): String = {
+        val raw = if (t == FloatType) s"(double) $arr.getFloat($i)"
+          else s"$arr.getDouble($i)"
+        s"($arr.isNullAt($i) ? 0.0 : $raw)" // null slot = 0.0, not garbage
+      }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
@@ -105,7 +112,11 @@ case class DotProductLong(left: Expression, right: Expression) extends BinaryExp
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += x.getLong(i) * y.getLong(i)
+      // null slot = 0 (see DotProduct): typed getters on null slots
+      // return garbage from reused columnar buffers
+      val xv = if (x.isNullAt(i)) 0L else x.getLong(i)
+      val yv = if (y.isNullAt(i)) 0L else y.getLong(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -120,7 +131,8 @@ case class DotProductLong(left: Expression, right: Expression) extends BinaryExp
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |  $acc += ($a.isNullAt($i) ? 0L : $a.getLong($i))
+         |      * ($b.isNullAt($i) ? 0L : $b.getLong($i));
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -161,7 +173,8 @@ case class Quantize8(child: Expression) extends UnaryExpression {
     val x = v.asInstanceOf[ArrayData]
     val n = x.numElements()
     def get(i: Int): Double =
-      if (elem == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+      if (x.isNullAt(i)) 0.0 // doc'd convention; columnar null slots are garbage
+      else if (elem == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
     var mx = 0.0
     var i = 0
     while (i < n) { val a = math.abs(get(i)); if (a > mx) mx = a; i += 1 }
@@ -180,8 +193,11 @@ case class Quantize8(child: Expression) extends UnaryExpression {
       val mx = ctx.freshName("mx")
       val out = ctx.freshName("out")
       val a = ctx.freshName("a")
-      def get(idx: String): String =
-        if (elem == FloatType) s"(double) $v.getFloat($idx)" else s"$v.getDouble($idx)"
+      def get(idx: String): String = {
+        val raw = if (elem == FloatType) s"(double) $v.getFloat($idx)"
+          else s"$v.getDouble($idx)"
+        s"($v.isNullAt($idx) ? 0.0 : $raw)" // null slot = 0.0, not garbage
+      }
       s"""
          |int $n = $v.numElements();
          |double $mx = 0.0;

@@ -49,7 +49,14 @@ case class WindowFunnelAgg(
       TypeCheckResult.TypeCheckFailure("window_funnel: 1..31 stage conditions")
     else if (conds.exists(_.dataType != BooleanType))
       TypeCheckResult.TypeCheckFailure("window_funnel: stage conditions must be BOOLEAN")
-    else TypeCheckResult.TypeCheckSuccess
+    else windowExpr.eval() match {
+      // null/degenerate window literals fail HERE, not after the whole
+      // job has scanned and shuffled (the TopKAgg k-range discipline)
+      case n: java.lang.Number if n.longValue() > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"window_funnel: window_ns must be a positive literal, got $other")
+    }
 
   private lazy val windowNs: Long = windowExpr.eval() match {
     case i: java.lang.Integer => i.longValue()

@@ -66,6 +66,16 @@ class ChsqlFunctionsSpec extends SparkSpec {
     assert(one("IPv4NumToString(3232235777)") == "192.168.1.1")
     assert(one("IPv4StringToNum('192.168.1.1')") == 3232235777L)
     assert(one("IPv4NumToString(IPv4StringToNum('10.0.0.255'))") == "10.0.0.255")
+    // malformed/out-of-range input is NULL in BOTH ANSI modes — the
+    // unguarded form returned a silently-WRONG number for '300.1.2.3'
+    // (round-tripping as '44.1.2.3') and flipped NULL/throw with ANSI
+    Seq("'300.1.2.3'", "'1.2.3'", "'1.2.3.4.5'", "'a.b.c.d'", "''")
+      .foreach { bad =>
+        val r = spark.sql(s"SELECT IPv4StringToNum($bad) v").collect()(0)
+        assert(r.isNullAt(0), s"$bad must be NULL")
+      }
+    assert(one("IPv4StringToNum('0.0.0.0')") == 0L)
+    assert(one("IPv4StringToNum('255.255.255.255')") == 4294967295L)
   }
 
   test("JSON extraction") {

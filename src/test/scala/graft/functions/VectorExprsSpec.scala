@@ -39,6 +39,37 @@ class VectorExprsSpec extends SparkSpec {
     assert(sql == 4.0)
   }
 
+  test("null ELEMENTS read as zero in dotf/dotl/quant8 (not columnar garbage)") {
+    // a null slot must contribute 0, in BOTH eval and codegen paths —
+    // unguarded typed getters on ColumnarArray return stale buffer bytes
+    val r = spark.sql(
+      """SELECT dotf(array(1.0D, CAST(NULL AS DOUBLE), 3.0D),
+        |            array(10.0D, 20.0D, 30.0D)) AS f,
+        |       dotl(array(2L, CAST(NULL AS BIGINT)), array(5L, 7L)) AS l,
+        |       quant8(array(CAST(NULL AS DOUBLE), 127.0D)) AS q""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0 * 10.0 + 3.0 * 30.0)
+    assert(r.getLong(1) == 10L)
+    assert(r.getSeq[Long](2) == Seq(0L, 127L))
+    // and through a PARQUET round-trip (the vectorized columnar reader
+    // is where null slots actually carry garbage)
+    val dir = java.nio.file.Files.createTempDirectory("nullvec").toString
+    Seq((Array[java.lang.Double](1.0, null, 3.0),
+         Array[java.lang.Double](10.0, 20.0, 30.0)))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val p = spark.read.parquet(dir)
+      .selectExpr("dotf(a, b) AS f").as[Double].collect()(0)
+    assert(p == 1.0 * 10.0 + 3.0 * 30.0)
+  }
+
+  test("wrong-arity calls to any registered function fail with the name, not IndexOutOfBounds") {
+    val e = intercept[Exception](spark.sql("SELECT quantile(0.5)").collect())
+    assert(e.getMessage.contains("quantile"), e.getMessage)
+    assert(e.getMessage.contains("arguments"), e.getMessage)
+    val e2 = intercept[Exception](spark.sql("SELECT dotf(array(1.0D))").collect())
+    assert(e2.getMessage.contains("dotf"), e2.getMessage)
+  }
+
   test("dotf stays inside whole-stage codegen (no interpreted fallback)") {
     // repartition defeats ConvertToLocalRelation so a real projection runs;
     // execute first — AQE only materializes the final plan afterwards

@@ -220,6 +220,13 @@ class TimeSeriesOpsSpec extends SparkSpec {
       """SELECT window_funnel(10L, t, k = 'both', k = 'both') FROM wfself""")
       .as[Int].head()
     assert(lvl == 1)
+    // a NULL/degenerate window literal fails at ANALYSIS (TopKAgg's
+    // k-range discipline) — not after the whole job scanned+shuffled
+    Seq("CAST(NULL AS BIGINT)", "0L", "-5L").foreach { w =>
+      val e = intercept[Exception](spark.sql(
+        s"SELECT window_funnel($w, t, k = 'both') FROM wfself").collect())
+      assert(e.getMessage.contains("positive literal"), s"$w: ${e.getMessage}")
+    }
   }
 
   test("retention SQL aggregate matches the dataflow retention op") {

@@ -222,6 +222,13 @@ class DuckDialectSpec extends SparkSpec {
     assert(one("strftime(TIMESTAMP '2025-04-24 01:02:03', '%Y-%m-%dT%H:%M:%S')") ==
       "2025-04-24T01:02:03")
     assert(one("strftime(TIMESTAMP '2025-04-03 00:00:00', '%-d/%-m/%y')") == "3/4/25")
+    // adjacent literal LETTERS must quote as one run: per-character
+    // quoting emitted '' between them, which DateTimeFormatter reads as
+    // an embedded apostrophe ("%d on %Y" once rendered "24 o'n 2025")
+    assert(one("strftime(TIMESTAMP '2025-04-24 00:00:00', '%d on %Y')") ==
+      "24 on 2025")
+    assert(one("epoch(strptime('24/04 on 2025', '%d/%m on %Y'))") ==
+      one("epoch(TIMESTAMP '2025-04-24 00:00:00')"))
     assert(one("epoch(TIMESTAMP '1970-01-01 00:01:00')") == 60L)
     assert(one("epoch_ms(TIMESTAMP '1970-01-01 00:01:00')") == 60000L)
     assert(one("epoch_us(TIMESTAMP '1970-01-01 00:01:00')") == 60000000L)
