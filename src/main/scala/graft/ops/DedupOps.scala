@@ -834,10 +834,11 @@ object DedupOps {
   /** The classical banded plan — signatures over every doc. Correct at
     * any dup density; quadratic band buckets only when exact-dup
     * clusters exceed [[CollapseMinCluster]] (the router's job). */
-  private def minHashPairsDirect(docs: DataFrame, tau: Double, n: Int,
-                                 maxBandBucket: Option[Long]): DataFrame = {
-    val sh = shingles(docs, n)
-    val cands = minHashCandidates(minHashSignaturesFrom(sh), maxBandBucket)
+  /** Exact-Jaccard verify of band candidates: the ONE spelling both
+    * routed faces use — they are contractually bit-identical, so the
+    * verify plan must not exist twice to drift apart. */
+  private def verifyCandidatePairs(sh: DataFrame, cands: DataFrame,
+                                   tau: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = cands
       .join(sh.as("x"), col("da") === col("x.doc_id"))
@@ -851,6 +852,13 @@ object DedupOps {
       .filter(col("j") >= tau)
   }
 
+  private def minHashPairsDirect(docs: DataFrame, tau: Double, n: Int,
+                                 maxBandBucket: Option[Long]): DataFrame = {
+    val sh = shingles(docs, n)
+    val cands = minHashCandidates(minHashSignaturesFrom(sh), maxBandBucket)
+    verifyCandidatePairs(sh, cands, tau)
+  }
+
   private def minHashPairsCollapsed(docs: DataFrame, tau: Double, n: Int,
                                     maxBandBucket: Option[Long]): DataFrame = {
     // null-text docs get the coalesce('') fingerprint (a NULL fp would
@@ -861,16 +869,7 @@ object DedupOps {
     val sh = shingles(repDocs, n)
     val cands = minHashCandidates(minHashSignaturesFrom(sh), maxBandBucket)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = cands
-      .join(sh.as("x"), col("da") === col("x.doc_id"))
-      .join(sh.as("y"), col("db") === col("y.doc_id") && col("x.s") === col("y.s"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    val repPairs = common
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"),
-        (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("j"))
-      .filter(col("j") >= tau)
+    val repPairs = verifyCandidatePairs(sh, cands, tau)
     // expansion: intra-cluster pairs are exact copies (j = 1.0; gated on
     // the representative having ≥1 shingle — shingle-less docs never
     // appeared in the uncollapsed output either) …
@@ -1117,22 +1116,60 @@ object DedupOps {
     * precisely what the p62 oracle checks: DuckDB re-clusters the FULL
     * corpus from scratch and the results must hash-match.
     *
-    * Predicate note: this composes on the UNCAPPED Jaccard. The
+    * Predicate note: with `maxDf = None` this composes on the UNCAPPED
+    * Jaccard (what the p62 full-recompute oracle checks). The
     * production stop-shingle cap is df-RELATIVE (df ≤ frac·N), which is
     * not incrementally stable — a shingle's df drifts past the
     * threshold as the corpus grows, silently changing old pair
-    * decisions. An incremental deployment reintroduces the cap as an
-    * ABSOLUTE df threshold (monotone under appends, so decisions only
-    * ever move one way) or re-derives it per refresh epoch. */
+    * decisions. `maxDf = Some(cap)` ships the incremental form: an
+    * ABSOLUTE total-df threshold (old-state df + batch df; monotone
+    * under appends, so a dropped shingle stays dropped) applied to BOTH
+    * sides of every join — without it ONE boilerplate shingle with
+    * df ∝ corpus makes the new↔old join fan out ∝ corpus, the exact
+    * hot-shingle quadratic the batch cap (StopShingleMaxDf) exists to
+    * prevent. The df aggregate over the state is one linear pass per
+    * refresh; a production deployment keeps per-shingle df AS state and
+    * increments it per batch instead. */
   def incrementalClusterLabels(oldLabels: DataFrame, oldShingles: DataFrame,
                                newDocs: DataFrame, tau: Double,
-                               n: Int = 3): DataFrame = {
-    val shNew = shingles(newDocs, n)
+                               n: Int = 3,
+                               maxDf: Option[Long] = None): DataFrame = {
+    val shNewAll = shingles(newDocs, n)
+    val (shNew, shOld) = maxDf match {
+      case Some(cap) =>
+        val dfAll = oldShingles.groupBy("s").agg(count(lit(1)).as("__dfo"))
+          .join(shNewAll.groupBy("s").agg(count(lit(1)).as("__dfn")),
+            Seq("s"), "full")
+          .select(col("s"), (coalesce(col("__dfo"), lit(0L)) +
+            coalesce(col("__dfn"), lit(0L))).as("__df"))
+        val hot = dfAll.filter(col("__df") > cap).select("s")
+        (shNewAll.join(hot, Seq("s"), "left_anti"),
+          oldShingles.join(hot, Seq("s"), "left_anti"))
+      case None => (shNewAll, oldShingles)
+    }
+    val oldShinglesK = shOld
     val sizesNew = shNew.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val sizesOld = oldShingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pNN = ngramJaccardPairs(newDocs, tau, n, capFrac = None)
-      .select("da", "db")
-    val common = shNew.as("a").join(oldShingles.as("b"), col("a.s") === col("b.s"))
+    val sizesOld = oldShinglesK.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pNN = maxDf match {
+      case None =>
+        // the uncapped face keeps the EXACT spelling the p62 oracle
+        // re-derives
+        ngramJaccardPairs(newDocs, tau, n, capFrac = None).select("da", "db")
+      case Some(_) =>
+        // capped: new↔new over the SAME filtered shingles as new↔old,
+        // so the cap's Jaccard (denominators included) is one semantics
+        shNew.as("a")
+          .join(shNew.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("c"))
+          .join(sizesNew.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sizesNew.as("sb"), col("db") === col("sb.doc_id"))
+          .filter(col("c").cast("double") /
+            (col("sa.n") + col("sb.n") - col("c")) >= tau)
+          .select("da", "db")
+    }
+    val common = shNew.as("a").join(oldShinglesK.as("b"), col("a.s") === col("b.s"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("c"))
     val pNO = common
@@ -1218,6 +1255,9 @@ object DedupOps {
     val e = emb.select(col("vec_id"), col("embedding"),
       sqrt(dotf(col("embedding"), col("embedding"))).as("norm"),
       pmod(xxhash64(col("vec_id")), lit(numBlocks.toLong)).as("blk"))
+      // zero vectors have no cosine: 0/0 = NaN would pass ANY >= tau
+      // filter (NaN compares greatest) and poison the pair set
+      .filter(col("norm") > 0)
     val ids = emb.sparkSession.range(numBlocks)
     val bpairs = ids.as("x").join(ids.as("y"), col("x.id") <= col("y.id"))
       .select(col("x.id").as("bi"), col("y.id").as("bj"))

@@ -44,8 +44,11 @@ object SearchOps {
   def bm25(docs: DataFrame, terms0: Seq[String], k: Int = 20,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // dedupe: a repeated query term would double-count its contribution
-    // and overcount `matches` ("distinct query terms present")
-    val terms = terms0.distinct
+    // and overcount `matches` ("distinct query terms present").
+    // Lowercase FIRST (the scoreCol face already does): doc tokens are
+    // lowercased by TextOps.tokens, so a raw 'Paris' would silently
+    // match nothing while match_bm25 scored it
+    val terms = terms0.map(_.toLowerCase).distinct
     require(terms.nonEmpty, "bm25 needs at least one query term")
     // tokenize ONCE in its own projection (the shingles discipline:
     // array lambdas re-evaluate captured outer expressions per element)
@@ -168,7 +171,10 @@ object SearchOps {
                 k: Int = 10): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty))
     val spark = docs.sparkSession
-    val allTerms = queries.flatMap(_._2).distinct
+    // lowercase like bm25/scoreCol: doc tokens are lowercased, so a raw
+    // uppercase term would silently match nothing
+    val queriesLc = queries.map { case (q, ts) => (q, ts.map(_.toLowerCase)) }
+    val allTerms = queriesLc.flatMap(_._2).distinct
     val toks = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
     // dl rides the postings rows from the start (a grouping column,
@@ -184,10 +190,13 @@ object SearchOps {
       count(lit(1)).as("n"), sum(size(col("__w"))).as("sdl"))
     val dfs = postings.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
     import spark.implicits._
-    val qdf = queries.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+    val qdf = queriesLc.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
       .toDF("qid", "t")
     val avgdl = col("sdl").cast("double") / col("n")
-    val c = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+    // ONE spelling of the smoothed idf (the private helper bm25 uses):
+    // an inline copy here once risked silently desynchronizing the two
+    // faces and their oracles on a smoothing tweak
+    val c = idf(col("n"), col("df")) *
       (col("tf").cast("double") * lit(K1 + 1)) /
       (col("tf").cast("double") +
         lit(K1) * (lit(1 - B) + lit(B) * (col("dl") / avgdl)))
@@ -213,9 +222,11 @@ object SearchOps {
   def bm25BatchSql(queries: Seq[(Int, Seq[String])], k: Int = 10,
                    table: String = "documents"): String = {
     def esc(t: String) = t.replace("'", "''")
-    val allTerms = queries.flatMap(_._2).distinct
+    // lowercase like the face (doc tokens are lowercased in both engines)
+    val qlc = queries.map { case (q, ts) => (q, ts.map(_.toLowerCase)) }
+    val allTerms = qlc.flatMap(_._2).distinct
       .map(t => s"'${esc(t)}'").mkString(", ")
-    val qrows = queries.flatMap { case (q, ts) =>
+    val qrows = qlc.flatMap { case (q, ts) =>
       ts.distinct.map(t => s"($q, '${esc(t)}')") }.mkString(", ")
     val core = "ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
       s"(CAST(tf AS DOUBLE) * ${K1 + 1}) / " +
@@ -254,7 +265,8 @@ object SearchOps {
     * oracles, same rounded-contribution chain in the same term order. */
   def bm25Sql(terms0: Seq[String], k: Int = 20,
               table: String = "documents"): String = {
-    val terms = terms0.distinct // mirror bm25's dedupe exactly
+    // mirror bm25's lowercase + dedupe exactly
+    val terms = terms0.map(_.toLowerCase).distinct
     def esc(t: String) = t.replace("'", "''")
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(w, x -> x = '${esc(t)}')) AS tf$i" }.mkString(", ")

@@ -30,10 +30,16 @@ object SimilarityOps {
 
   /** Exact top-k neighbors for each query vector (queries broadcast). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norm > 0 on BOTH sides: a zero vector's sim is 0/0 = NaN, which
+    // Spark ranks ABOVE every real neighbor — one zero row would sit at
+    // rn = 1 of every query (the usableVectors contract, enforced here
+    // too; null embeddings already yield null norms, which sort last)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       sqrt(dotf(col("embedding"), col("embedding"))).as("qnorm"))
+      .filter(col("qnorm") > 0)
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"),
       sqrt(dotf(col("embedding"), col("embedding"))).as("nnorm"))
+      .filter(col("nnorm") > 0)
     val scored = q.crossJoin(c)
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -115,6 +121,8 @@ object SimilarityOps {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    ${bucketIdSql("CAST(embedding AS DOUBLE[])", dims, planes)} AS bucket
        |  FROM embeddings
+       |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                           CAST(embedding AS DOUBLE[])) > 0
        |), flips(flip) AS (VALUES $flips),
        |qp AS (
        |  SELECT vec_id AS qid, v AS qv, xor(bucket, flip) AS bucket
@@ -188,9 +196,14 @@ object SimilarityOps {
       // deterministic training sample: limit() alone has no defined row
       // order (the PqOps.pqIndex discipline), so trained centroids — and
       // every persisted IVF artifact and published ivf_probe binding —
-      // would differ across runs/partition layouts. TakeOrdered by
-      // vec_id, no global sort.
-      .fit(c.select(col("vec_id"), col("fv")).orderBy(col("vec_id"))
+      // would differ across runs/partition layouts. TakeOrdered by the
+      // HASH of vec_id, not vec_id itself: a head-of-table sample is
+      // biased whenever ids correlate with the embedding distribution
+      // (time-ordered ids under encoder drift train centroids on the
+      // oldest vectors only, unbalancing every cell) — the hash order
+      // is equally deterministic and distribution-blind.
+      .fit(c.select(col("vec_id"), col("fv"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
         .limit(nlist * trainPerCell).select("fv"))
     (km, km.transform(c).drop("fv"))
   }
@@ -608,6 +621,7 @@ object SimilarityOps {
     val bc = hyperplaneBuckets(corpus, dims, planes)
       .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("bucket"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("nnorm"))
+      .filter(col("nnorm") > 0) // zero vector => NaN sim => rn 1 (see bruteForceTopK)
     val bq = hyperplaneBuckets(queries, dims, planes)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("qnorm"),
@@ -615,6 +629,7 @@ object SimilarityOps {
           .as("flip"), col("bucket"))
       .select(col("qid"), col("qv"), col("qnorm"),
         col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+      .filter(col("qnorm") > 0)
     val scored = bq.join(bc, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),

@@ -32,13 +32,19 @@ object StatsOps {
                          exactMaxGroup: Long = ExactPercentileMaxGroup,
                          knownMaxGroup: Option[Long] = None): DataFrame = {
     val maxGroup = knownMaxGroup.getOrElse {
-      val r = df.groupBy(col(groupCol)).agg(count(lit(1)).as("c"))
-        .agg(max(col("c"))).collect()(0)
+      // __-prefixed internal alias (codebase convention): a bare "c"
+      // collides with a group column literally named c
+      val r = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+        .agg(max(col("__c"))).collect()(0)
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     val fn = if (maxGroup <= exactMaxGroup) "percentile" else "approx_percentile"
     val aggs = ps.map { case (p, a) =>
-      round(expr(s"$fn($valueCol, $p)"), 4).as(a)
+      // CAST(... AS DOUBLE) before round: percentile returns DOUBLE but
+      // approx_percentile returns the INPUT type, so without it the
+      // documented 4dp-float contract silently flipped to integer
+      // output at the route boundary (schema mismatch on any union)
+      round(expr(s"CAST($fn($valueCol, $p) AS DOUBLE)"), 4).as(a)
     } :+ count(lit(1)).as("n")
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }

@@ -1715,7 +1715,11 @@ object PipelineQueries {
              """list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                |                               CAST(b.embedding AS DOUBLE[]))""".stripMargin, 4)} AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]),
+         |                         CAST(a.embedding AS DOUBLE[])) > 0
+         |  AND list_inner_product(CAST(b.embedding AS DOUBLE[]),
+         |                         CAST(b.embedding AS DOUBLE[])) > 0
+         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
          |                             CAST(b.embedding AS DOUBLE[])) >= $EmbDupTau
          |ORDER BY va, vb""".stripMargin,
     "p06_ann_bruteforce" ->
@@ -1729,6 +1733,10 @@ object PipelineQueries {
         |               b.vec_id) rn
         |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
         |  WHERE a.vec_id < 5
+        |    AND list_inner_product(CAST(a.embedding AS DOUBLE[]),
+        |                           CAST(a.embedding AS DOUBLE[])) > 0
+        |    AND list_inner_product(CAST(b.embedding AS DOUBLE[]),
+        |                           CAST(b.embedding AS DOUBLE[])) > 0
         |) t WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
     "p07_ann_lsh" -> SimilarityOps.annTopKSql(k = 10, dims = 64, maxQid = 5),
     "p08_text_stats" ->

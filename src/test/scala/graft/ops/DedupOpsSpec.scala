@@ -557,6 +557,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(full(9L) == 9L)
   }
 
+  test("incremental refresh: the absolute-df cap kills the hot-shingle fan-out") {
+    import spark.implicits._
+    // every doc shares one boilerplate shingle ('copy right notice') —
+    // uncapped, the new↔old join fans out |old| rows per batch doc on
+    // that shingle alone; docs 0/1 and 100/101 are genuinely similar
+    val boiler = " copy right notice"
+    val oldDocs = (0L until 40L).map {
+      case 0L => (0L, "alpha beta gamma delta epsilon zeta" + boiler)
+      case i => (i, s"old o${i}a o${i}b o${i}c o${i}d o${i}e" + boiler)
+    }.toDF("doc_id", "text")
+    val newDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta" + boiler), // near doc 0
+      (101L, "fresh f1 f2 f3 f4 f5" + boiler)).toDF("doc_id", "text")
+    val oldLabels = DedupOps.clusterLabels(oldDocs, 0.5, capFrac = None)
+    val capped = DedupOps.incrementalClusterLabels(
+      oldLabels, DedupOps.shingles(oldDocs, 3), newDocs, 0.5,
+      maxDf = Some(8L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the genuine near-dup still merges (its evidence shingles are rare)
+    assert(capped(100L) == capped(0L), capped.toString)
+    // boilerplate-only overlap does NOT merge anything
+    assert(capped(101L) == 101L, capped.toString)
+    assert(capped(5L) != capped(7L))
+    // and old-epoch clusters are preserved via star edges regardless
+    assert(oldLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .forall { case (d, c) => capped(d) == capped(c) })
+  }
+
   test("removeDupSpans cuts non-first span instances, keeps the first") {
     import spark.implicits._
     val span = (1 to 15).map(i => s"s$i").mkString(" ") // exactly one window

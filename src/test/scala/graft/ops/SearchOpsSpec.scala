@@ -28,6 +28,18 @@ class SearchOpsSpec extends SparkSpec {
     assert(SearchOps.bm25(docs(), Seq("spark"), k = 2).count() == 2L)
   }
 
+  test("uppercase query terms match (doc tokens are lowercased; so are terms, all faces)") {
+    // a raw 'Spark' once silently matched nothing in bm25/bm25Batch
+    // while match_bm25 lowercased — the three faces must agree
+    val up = SearchOps.bm25(docs(), Seq("Spark", "VECTOR"), k = 10).collect()
+    val lo = SearchOps.bm25(docs(), Seq("spark", "vector"), k = 10).collect()
+    assert(up.map(_.toString).toSeq == lo.map(_.toString).toSeq)
+    assert(up.nonEmpty)
+    val bUp = SearchOps.bm25Batch(docs(), Seq(1 -> Seq("Spark")), k = 5).collect()
+    val bLo = SearchOps.bm25Batch(docs(), Seq(1 -> Seq("spark")), k = 5).collect()
+    assert(bUp.map(_.toString).toSeq == bLo.map(_.toString).toSeq && bUp.nonEmpty)
+  }
+
   test("scale shape: top-k is TakeOrdered, stats broadcast, no doc-data shuffle join") {
     // explainString, not executedPlan-after-collect: collect() plans the
     // limit through the CollectLimit fast path; Verify/Bench execute via

@@ -92,6 +92,27 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq(999L))
   }
 
+  test("a zero vector never enters cosine top-k (its NaN sim would rank FIRST)") {
+    // 0/0 = NaN, and Spark ranks NaN above every real similarity — an
+    // unguarded zero row sat at rn = 1 of EVERY query
+    val corpus = vecs(50, 16)
+    val zero = Seq((999L, Array.fill(16)(0.0f))).toDF("vec_id", "embedding")
+    val all = corpus.union(zero)
+    val bf = SimilarityOps.bruteForceTopK(all, all.filter($"vec_id" < 3), 5)
+      .select("nid").as[Long].collect()
+    assert(!bf.contains(999L), "zero vector leaked into bruteForceTopK")
+    val ann = SimilarityOps.annTopK(all, all.filter($"vec_id" < 3), 5, 16)
+      .select("nid").as[Long].collect()
+    assert(!ann.contains(999L), "zero vector leaked into annTopK")
+    // and a zero QUERY returns no rows rather than NaN garbage
+    assert(SimilarityOps.bruteForceTopK(corpus, zero, 5).count() == 0L)
+    // p05's pair face: NaN >= tau is TRUE in Spark's ordering — the
+    // zero row must not fabricate near-dup pairs
+    val pairs = graft.ops.DedupOps.embeddingNearDupPairs(all, 0.9)
+      .select("va", "vb").as[(Long, Long)].collect()
+    assert(!pairs.exists(p => p._1 == 999L || p._2 == 999L))
+  }
+
   test("ivfTopK: probing a few cells recovers most brute-force neighbors") {
     val corpus = vecs(400, 16)
     val q = corpus.filter($"vec_id" < 5)

@@ -39,6 +39,22 @@ class StatsOpsSpec extends SparkSpec {
     assert(approx.queryExecution.analyzed.toString.contains("approx_percentile"))
   }
 
+  test("output type is DOUBLE on both routes; internal alias survives a group column named c") {
+    // approx_percentile returns the INPUT type (BIGINT here) — without
+    // the cast the 4dp-float contract silently flipped to integer at
+    // the route boundary and cross-route unions failed on schema
+    val longs = (0 until 100).map(i => ("g", i.toLong)).toDF("c", "v")
+    val exact = StatsOps.groupedPercentiles(longs, "c", "v", Seq(0.5 -> "p50"))
+    val approx = StatsOps.groupedPercentiles(longs, "c", "v", Seq(0.5 -> "p50"),
+      exactMaxGroup = 10L)
+    assert(exact.schema("p50").dataType.typeName == "double")
+    assert(approx.schema("p50").dataType.typeName == "double")
+    assert(exact.unionByName(approx).count() == 2L) // schemas agree
+    // the route probe's internal count alias must not collide with a
+    // group column literally named "c"
+    assert(approx.collect()(0).getAs[Double]("p50") >= 0.0)
+  }
+
   test("threshold is pinned where the exact multiset stops fitting comfortably") {
     // 10 M doubles ≈ 80 MB reducer heap for one group's multiset — the
     // documented bound the SCALE.md q17 row routes around
