@@ -141,6 +141,14 @@ object LineProtocolParser {
       if (s.peek != '=') throw ParseException(no, s"tag '$k' missing '='")
       s.advance()
       val v = s.scanIdent(stopAtComma = true, stopAtSpace = true, stopAtEq = true)
+      // 'time' is the trailing-timestamp column the engine owns: the
+      // batch schema forces it to I64 and the writer assigns line.timeNs
+      // over it, so a client tag/field of that name would be silently
+      // destroyed after a 204 ack — reject loudly (the __timestamp
+      // discipline; documented deviation from the reference's
+      // last-write-wins map, which clobbers)
+      if (k == "time") throw ParseException(no,
+        "tag 'time' is reserved (the trailing timestamp token)")
       tags += (k -> v)
     }
     if (s.peek != ' ') throw ParseException(no, "expected fields after measurement/tags")
@@ -151,6 +159,8 @@ object LineProtocolParser {
       val k = s.scanIdent(stopAtComma = true, stopAtSpace = true, stopAtEq = true)
       if (s.peek != '=') throw ParseException(no, s"field '$k' missing '='")
       s.advance()
+      if (k == "time") throw ParseException(no,
+        "field 'time' is reserved (the trailing timestamp token)")
       fields += parseValue(k, s, no)
       if (s.peek == ',') s.advance() else more = false
     }
@@ -160,9 +170,19 @@ object LineProtocolParser {
         if (s.atEnd) nowNs()
         else {
           val t = s.rest().trim
-          try t.toLong * precision.toNs
-          catch { case _: NumberFormatException =>
-            throw ParseException(no, s"bad timestamp '$t'") }
+          // multiplyExact: a ms-epoch value sent with ?precision=s (the
+          // classic unit mixup) would otherwise wrap past Long.Max into
+          // a garbage negative time accepted silently — corrupting the
+          // date/hour partitions and every min/max time stat
+          try Math.multiplyExact(t.toLong, precision.toNs)
+          catch {
+            case _: NumberFormatException =>
+              throw ParseException(no, s"bad timestamp '$t'")
+            case _: ArithmeticException =>
+              throw ParseException(no,
+                s"timestamp '$t' overflows ns-epoch at this ?precision= " +
+                  "(check the precision matches the values)")
+          }
         }
       } else if (s.atEnd) nowNs()
       else throw ParseException(no, s"unexpected trailing input '${s.rest()}'")
@@ -181,8 +201,15 @@ object LineProtocolParser {
         catch { case _: NumberFormatException =>
           throw ParseException(no, s"bad int field '$key'='$raw'") }
       } else if (last == 'u') {
-        try (key, BigDecimal(new java.math.BigInteger(raw.dropRight(1))), FieldType.U64)
-        catch { case _: NumberFormatException =>
+        try {
+          val v = new java.math.BigInteger(raw.dropRight(1))
+          // uint64 range up front: BigInteger accepts negatives and any
+          // width, which the decimal(20,0) column would only reject at
+          // the durable flush — an engine 500 for a malformed body
+          if (v.signum < 0 || v.bitLength > 64)
+            throw ParseException(no, s"uint field '$key'='$raw' out of uint64 range")
+          (key, BigDecimal(v), FieldType.U64)
+        } catch { case _: NumberFormatException =>
           throw ParseException(no, s"bad uint field '$key'='$raw'") }
       } else if (raw == "true" || raw == "t" || raw == "T" || raw == "True" || raw == "TRUE") {
         (key, true, FieldType.Bool)

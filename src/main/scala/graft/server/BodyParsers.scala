@@ -35,7 +35,11 @@ object NdJsonParser {
   def toDataFrame(spark: SparkSession, body: String): DataFrame = {
     val lines = body.linesIterator.map(_.trim).filter(_.nonEmpty).toVector
     require(lines.nonEmpty, "empty NDJSON body")
-    val parsed: Vector[Map[String, Any]] = lines.map { l =>
+    // ORDERED pairs, not a Map: column discovery below must see the
+    // client's own key order — a HashMap's iteration order would
+    // scramble the table's permanent first-seen schema for any object
+    // with more than 4 keys
+    val parsed: Vector[Vector[(String, Any)]] = lines.map { l =>
       JsonMethods.parse(l) match {
         case JObject(kvs) => kvs.flatMap {
           case (k, JInt(v)) =>
@@ -54,7 +58,7 @@ object NdJsonParser {
             // nested shapes must error loudly, not silently become null
             s"NDJSON field '$k' has unsupported ${other.getClass.getSimpleName
               .stripPrefix("J").toLowerCase} value (flat scalars only)")
-        }.toMap
+        }.toVector
         case other => throw new IllegalArgumentException(
           s"NDJSON line is not an object: ${other.getClass.getSimpleName}")
       }
@@ -76,7 +80,8 @@ object NdJsonParser {
       }
     })
     val schema = StructType(columns.result().map { case (n, t) => StructField(n, t) })
-    val rows = parsed.map { m =>
+    val rows = parsed.map { kvs =>
+      val m = kvs.toMap
       Row.fromSeq(schema.fields.toIndexedSeq.map { f =>
         m.get(f.name) match {
           case None => null

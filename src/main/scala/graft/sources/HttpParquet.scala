@@ -28,6 +28,14 @@ object HttpParquet {
   def defaultCacheDir: Path = Paths.get(
     sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-http-cache")
 
+  // ONE shared client: a per-fetch HttpClient leaks a selector thread
+  // and connection pool until GC finalization — a burst of /query
+  // fetches over distinct URLs churned threads for nothing (timeouts
+  // are per-request anyway)
+  private lazy val sharedClient = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .followRedirects(HttpClient.Redirect.NORMAL).build()
+
   def cacheKey(url: String): String =
     MessageDigest.getInstance("SHA-256").digest(url.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString + ".parquet"
@@ -41,16 +49,25 @@ object HttpParquet {
     try {
       // bounded I/O (ADVICE r8): the fetch runs on an HTTP handler
       // thread for /query-supplied URLs — an unresponsive remote must
-      // time out, not pin the handler. Whole-exchange timeout covers
-      // connect + body; tune via -Dgraft.http.fetchTimeoutSec.
+      // time out, not pin the handler. NOTE HttpRequest.timeout alone
+      // would NOT do this: the JDK cancels that timer once response
+      // HEADERS arrive, so a remote that trickles (or stalls) the BODY
+      // pins the thread forever. orTimeout on the async future bounds
+      // the WHOLE exchange and cancel(true) aborts the transfer.
+      // Tune via -Dgraft.http.fetchTimeoutSec.
       val timeoutSec = sys.props.getOrElse("graft.http.fetchTimeoutSec", "120").toLong
-      val client = HttpClient.newBuilder()
-        .connectTimeout(java.time.Duration.ofSeconds(10))
-        .followRedirects(HttpClient.Redirect.NORMAL).build()
-      val resp = client.send(
+      val fut = sharedClient.sendAsync(
         HttpRequest.newBuilder(URI.create(url))
           .timeout(java.time.Duration.ofSeconds(timeoutSec)).GET().build(),
         HttpResponse.BodyHandlers.ofFile(tmp))
+      val resp =
+        try fut.orTimeout(timeoutSec, java.util.concurrent.TimeUnit.SECONDS).join()
+        catch {
+          case e: java.util.concurrent.CompletionException =>
+            fut.cancel(true)
+            throw new java.io.IOException(
+              s"GET $url did not complete within ${timeoutSec}s: ${e.getCause}")
+        }
       require(resp.statusCode() / 100 == 2,
         s"GET $url -> HTTP ${resp.statusCode()}")
       try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)

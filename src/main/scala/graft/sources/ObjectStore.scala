@@ -42,11 +42,16 @@ object ObjectStore {
     def applyTo(spark: SparkSession): Unit = {
       val c = spark.sparkContext.hadoopConfiguration
       val prev = c.get(s"fs.s3a.bucket.$bucket.endpoint")
-      if (prev != null && prev != endpoint)
+      val prevKey = c.get(s"fs.s3a.bucket.$bucket.access.key")
+      // the guard compares CREDENTIALS too: same bucket+endpoint with
+      // different per-tenant keys would silently swap the earlier
+      // table's auth (cross-tenant access or auth failures)
+      if ((prev != null && prev != endpoint) ||
+          (prevKey != null && prevKey != key))
         throw new IllegalArgumentException(
-          s"bucket '$bucket' already configured for endpoint '$prev'; " +
-            s"cannot also target '$endpoint' — s3a per-bucket config is " +
-            "keyed by bucket name (use distinct bucket names per store)")
+          s"bucket '$bucket' already configured for endpoint '$prev' " +
+            s"with different endpoint/credentials; s3a per-bucket config " +
+            "is keyed by bucket name (use distinct bucket names per store)")
       def set(k: String, v: String): Unit = c.set(s"fs.s3a.bucket.$bucket.$k", v)
       set("endpoint", endpoint)
       set("access.key", key)
@@ -75,6 +80,10 @@ object ObjectStore {
     val params = Option(u.getQuery).getOrElse("").split('&').filter(_.nonEmpty).flatMap { kv =>
       kv.split("=", 2) match { case Array(k, v) => Some(k -> v); case _ => None }
     }.toMap
+    // URI's server-based parse returns null host for RFC-invalid names
+    // (underscored docker service names) — fail loudly, not "null:9000"
+    require(u.getHost != null,
+      s"invalid S3 URL host (RFC hostname required, got '$url')")
     S3Target(
       endpoint = u.getHost + (if (u.getPort > 0) s":${u.getPort}" else ""),
       key = key, secret = secret,

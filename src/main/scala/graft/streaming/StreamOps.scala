@@ -187,8 +187,9 @@ object StreamOps {
     * included) are identical to the batch screen, as the spec drains. */
   def decontamScreenStream(arrivals: DataFrame, bits: Array[Long],
                            n: Int = graft.ops.DedupOps.DecontamN): DataFrame = {
-    val sh = array_distinct(graft.functions.TextExprs.ngrams(
-      graft.ops.TextOps.tokens(col("text")), n))
+    // the ONE shingle spelling (shared with the batch screen/oracles):
+    // an inline copy here could silently drift from bloomScreen's
+    val sh = graft.ops.DedupOps.shingleArr(col("text"), n)
     arrivals
       .withColumn("n_hits",
         size(filter(sh, s => graft.ops.DedupOps.bloomHit(bits, s))))
@@ -348,20 +349,47 @@ object StreamOps {
     * gaps are arrival-order across batches. A late point (event time
     * before state.lastNs) emits gap 0 and leaves lastNs at the max seen
     * — never a negative gap or a backward-moving clock. */
-  def runningSeriesStats(points: Dataset[SeriesPoint]): Dataset[SeriesUpdate] = {
+  def runningSeriesStats(points: Dataset[SeriesPoint],
+                         idleLateness: String = "30 minutes"): Dataset[SeriesUpdate] = {
     import points.sparkSession.implicits._
-    points.groupByKey(_.key)
+    // idle-eviction (the funnelStream discipline): one state entry per
+    // key EVER SEEN otherwise accumulates forever on churning key
+    // spaces (session/host ids) until the state store exhausts executor
+    // memory. EVENT-time timeouts, not processing-time: a key whose
+    // last point falls `idleLateness` behind the watermark drops its
+    // state (and restarts from zero if it reappears — running stats,
+    // not an exact ledger). ProcessingTimeTimeout would ALSO make the
+    // engine re-run batches continuously (shouldRunAnotherBatch is
+    // always true under wall-clock timeouts — processAllAvailable never
+    // returns), so event time is both the cheaper and the correct axis.
+    points.toDF()
+      .withColumn("__event_time", timestamp_micros(expr("timeNs DIV 1000")))
+      .withWatermark("__event_time", idleLateness)
+      .as[(String, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[SeriesState, SeriesUpdate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[SeriesPoint], state: GroupState[SeriesState]) =>
-          var st = state.getOption.getOrElse(SeriesState(0L, 0.0, 0L))
-          val out = rows.toSeq.sortBy(_.timeNs).map { p =>
-            val gap = if (st.lastNs == 0L) 0L else math.max(0L, p.timeNs - st.lastNs)
-            st = SeriesState(st.count + 1, st.sum + p.value, math.max(st.lastNs, p.timeNs))
-            SeriesUpdate(key, st.count, st.sum / st.count, gap)
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows0: Iterator[(String, Long, Double, java.sql.Timestamp)],
+         state: GroupState[SeriesState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SeriesState(0L, 0.0, 0L))
+            val out = rows0.map(r => SeriesPoint(r._1, r._2, r._3))
+              .toSeq.sortBy(_.timeNs).map { p =>
+                val gap = if (st.lastNs == 0L) 0L else math.max(0L, p.timeNs - st.lastNs)
+                st = SeriesState(st.count + 1, st.sum + p.value, math.max(st.lastNs, p.timeNs))
+                SeriesUpdate(key, st.count, st.sum / st.count, gap)
+              }
+            state.update(st)
+            // timeout base must sit at/after the current watermark (a
+            // fully-late batch's lastNs may be behind it)
+            state.setTimeoutTimestamp(
+              math.max(st.lastNs / 1000000L, state.getCurrentWatermarkMs()),
+              idleLateness)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

@@ -100,6 +100,28 @@ class LineProtocolParserSpec extends AnyFunSuite {
     intercept[ParseException](parse("m v=abc", nowNs = now).toVector)
   }
 
+  test("range/reserved guards: u64 bounds, timestamp overflow, 'time' name") {
+    // BigInteger accepts negatives and any width — the decimal(20,0)
+    // column would only reject at the durable flush as an engine 500
+    intercept[ParseException](parse("m f=-5u", nowNs = now).toVector)
+    intercept[ParseException](
+      parse("m f=99999999999999999999999u", nowNs = now).toVector)
+    assert(parse("m f=18446744073709551615u", nowNs = now) // 2^64-1 ok
+      .toVector.head.rows.nonEmpty)
+    // ms-epoch value with ?precision=s (the classic unit mixup) must
+    // 400, not wrap past Long.Max into a garbage negative time
+    val o = intercept[ParseException](parse("m f=1i 1765000000000",
+      precision = Precision.S, nowNs = now).toVector)
+    assert(o.getMessage.contains("overflow"), o.getMessage)
+    // 'time' is the trailing-timestamp column the engine owns: a client
+    // tag/field of that name was silently clobbered after the 204 ack
+    val t1 = intercept[ParseException](
+      parse("""m time="maintenance" 1000""", nowNs = now).toVector)
+    assert(t1.getMessage.contains("reserved"), t1.getMessage)
+    intercept[ParseException](
+      parse("m,time=x v=1i 1000", nowNs = now).toVector)
+  }
+
   test("property: render→parse round-trips (simplified ScalaCheck-style sweep)") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { _ =>

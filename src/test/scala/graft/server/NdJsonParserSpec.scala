@@ -42,6 +42,14 @@ class NdJsonParserSpec extends SparkSpec {
     }
   }
 
+  test("column order is the client's own key order, even past 4 keys") {
+    // >4 keys once collapsed into a HashMap before discovery, so the
+    // table's PERMANENT first-seen schema order came out hash-scrambled
+    val df = NdJsonParser.toDataFrame(spark,
+      """{"zz":1,"m":2,"aa":3,"q":4,"b":5,"x":6,"c":7}""")
+    assert(df.columns.toSeq == Seq("zz", "m", "aa", "q", "b", "x", "c"))
+  }
+
   test("type conflict across lines is a clear error") {
     val e = intercept[IllegalArgumentException] {
       NdJsonParser.toDataFrame(spark, "{\"a\": 1}\n{\"a\": \"oops\"}").collect()

@@ -37,6 +37,26 @@ class ObjectStoreSpec extends SparkSpec {
     assert(t.bucket == "bkt" && t.path == "p")
   }
 
+  test("RFC-invalid hosts fail loudly; same-bucket credential conflicts are rejected") {
+    // java.net.URI returns a NULL host for underscored names (docker
+    // service names routinely have them) — the endpoint must not read
+    // "null:9000" with the failure surfacing as an unresolvable host
+    val e = intercept[IllegalArgumentException](
+      ObjectStore.parseS3("s3://k:s@minio_local:9000/bkt/p"))
+    assert(e.getMessage.contains("host"), e.getMessage)
+    // same bucket + endpoint with DIFFERENT credentials must not
+    // silently swap the earlier table's auth (per-tenant keys)
+    val c = spark.sparkContext.hadoopConfiguration
+    val bucket = s"credbkt${System.nanoTime()}"
+    ObjectStore.parseS3(s"s3://keyA:secA@minio:9000/$bucket/a").applyTo(spark)
+    val dup = intercept[IllegalArgumentException](
+      ObjectStore.parseS3(s"s3://keyB:secB@minio:9000/$bucket/b").applyTo(spark))
+    assert(dup.getMessage.contains("credentials"), dup.getMessage)
+    assert(c.get(s"fs.s3a.bucket.$bucket.access.key") == "keyA") // untouched
+    // identical credentials re-apply fine (idempotent)
+    ObjectStore.parseS3(s"s3://keyA:secA@minio:9000/$bucket/c").applyTo(spark)
+  }
+
   test("resolveDataRoot applies per-bucket s3a configs") {
     val root = ObjectStore.resolveDataRoot(spark,
       "s3://key1:sec1@minio:9000/bkt/warehouse?secure=false")

@@ -484,6 +484,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningSeriesStats evicts idle keys at the event-time horizon") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SeriesPoint]
+    val q = StreamOps.runningSeriesStats(in.toDS(), idleLateness = "1 minute")
+      .writeStream.format("memory").queryName("revict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(SeriesPoint("s1", ns(0), 10.0)); q.processAllAvailable()
+      // another key advances the watermark far past s1's idle horizon
+      in.addData(SeriesPoint("s2", ns(600), 1.0)); q.processAllAvailable()
+      in.addData(SeriesPoint("s2", ns(1200), 1.0)); q.processAllAvailable()
+      // s1 reappears: its state was EVICTED, so the running count
+      // restarts at 1 — without eviction every key ever seen holds a
+      // state-store entry forever on churning key spaces
+      in.addData(SeriesPoint("s1", ns(1300), 20.0)); q.processAllAvailable()
+      val s1 = spark.table("revict").as[SeriesUpdate].collect()
+        .filter(_.key == "s1")
+      assert(s1.map(_.count).sorted.toSeq == Seq(1L, 1L), s1.mkString(","))
+    } finally q.stop()
+  }
+
   test("cmsCounterStream: streamed counters equal the batch sketch over the union") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String)]
