@@ -57,10 +57,21 @@ final class TableCatalog(root: String) {
     versions.getOrElseUpdate((db, table),
       new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet(): Unit
 
-  def tableDir(db: String, table: String): Path = Paths.get(root, db, table)
+  def tableDir(db: String, table: String): Path = {
+    // names become FILESYSTEM path segments here: a lookup key like
+    // "../otherdb/t" from an HTTP body would escape root and load (or
+    // create) a spec outside it — TableSpec's own require only guards
+    // the parsed JSON's fields, not the lookup key
+    require(TableCatalog.NameRe.matches(db), s"invalid database name: $db")
+    require(TableCatalog.NameRe.matches(table), s"invalid table name: $table")
+    Paths.get(root, db, table)
+  }
 
   def get(db: String, table: String): Option[TableSpec] =
-    tables.get((db, table)).orElse(loadFromDisk(db, table))
+    // invalid names are simply UNKNOWN tables on the read path (the
+    // handlers' 'unknown table' 400), never a path lookup
+    if (!TableCatalog.NameRe.matches(db) || !TableCatalog.NameRe.matches(table)) None
+    else tables.get((db, table)).orElse(loadFromDisk(db, table))
 
   def all(): Seq[TableSpec] = {
     val r = Paths.get(root)
@@ -80,7 +91,14 @@ final class TableCatalog(root: String) {
       // loadFromDisk guards against
       if !tables.contains((db.getFileName.toString, t.getFileName.toString))
       if Files.exists(t.resolve(".table.json"))
-      spec <- loadFromDisk(db.getFileName.toString, t.getFileName.toString)
+      // per-table isolation: ONE truncated/hand-edited .table.json must
+      // not 500 every query and halt compaction for every healthy table
+      spec <- (try loadFromDisk(db.getFileName.toString, t.getFileName.toString)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[catalog] skipping unparseable " +
+            s"${t.resolve(".table.json")}: ${e.getMessage}")
+          None
+        })
     } yield spec
     (tables.values.toSeq ++ onDisk).distinctBy(s => (s.database, s.name))
   }

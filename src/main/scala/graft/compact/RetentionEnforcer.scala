@@ -74,13 +74,21 @@ object RetentionEnforcer {
         if (idx.entries.isEmpty && idx.dropQueue.isEmpty &&
             listDir(dir).forall(_.getFileName.toString == MetadataIndex.FileName)) {
           // manifest last: a dir with a manifest is always a valid
-          // (possibly empty) partition to any concurrent reader
+          // (possibly empty) partition to any concurrent reader.
+          // DATA-file publishes happen OUTSIDE this monitor (only
+          // manifest commits share it), so a parquet can still land
+          // between the emptiness check and the dir delete — that race
+          // is benign as long as it doesn't ABORT the sweep: the dir
+          // simply survives until the next sweep (its manifest is
+          // recreated by the commit that races us)
           Files.deleteIfExists(dir.resolve(MetadataIndex.FileName))
-          Files.deleteIfExists(dir)
+          try Files.deleteIfExists(dir)
+          catch { case _: java.nio.file.DirectoryNotEmptyException => () }
           val parent = dir.getParent
           if (parent != null && parent != tableRoot &&
               Files.isDirectory(parent) && listDir(parent).isEmpty)
-            Files.deleteIfExists(parent)
+            try Files.deleteIfExists(parent)
+            catch { case _: java.nio.file.DirectoryNotEmptyException => () }
         }
       }
     }

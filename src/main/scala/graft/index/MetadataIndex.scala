@@ -66,6 +66,11 @@ final case class PartitionIndex(
   def maxTime: Long = if (entries.isEmpty) 0L else entries.values.map(_.maxTime).max
 }
 
+// LOCKING NOTE: batch/gc serialize on THIS object's monitor, and
+// RetentionEnforcer.sweep holds the same monitor externally to exclude
+// manifest commits during empty-dir pruning — if this lock is ever
+// striped per-partition, sweep must move to an index-owned prune
+// operation or its commit-exclusion silently vanishes.
 object MetadataIndex {
   val FileName = "metadata.json"
 

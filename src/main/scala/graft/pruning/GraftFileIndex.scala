@@ -33,8 +33,11 @@ import graft.sources.ObjectStore
   *
   * At 100 TB this is the difference between "list and footer-read a
   * million objects" and "plan from a few thousand manifest files";
-  * `sizeInBytes` comes from the manifest too, so broadcast decisions see
-  * the PRUNED size. Files resolve through the table's data residency
+  * `sizeInBytes` comes from the manifest (no FS stat calls) but is the
+  * WHOLE-table total — the FileIndex interface reports one static size
+  * before any filter exists, so per-query pruned sizes are not
+  * expressible here; AQE's runtime shuffle statistics are what turn a
+  * well-pruned side into a broadcast join at execution. Files resolve through the table's data residency
   * (local or object store).
   */
 final class GraftFileIndex(spark: SparkSession, catalog: TableCatalog, spec: TableSpec)

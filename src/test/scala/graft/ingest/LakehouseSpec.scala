@@ -213,6 +213,29 @@ class LakehouseSpec extends SparkSpec {
       .containsSlice(Seq("id", "name", "score")))
   }
 
+  test("catalog: traversal keys are unknown tables; one corrupt spec never takes down all()") {
+    val root = freshRoot()
+    val cat = new TableCatalog(root.toString)
+    cat.upsert(graft.catalog.TableSpec("db1", "good"))
+    // a lookup key with path segments must NEVER become a filesystem
+    // path — it reads as an unknown table (the handlers' 400), and
+    // tableDir refuses it outright
+    assert(cat.get("db1", "../db1/good").isEmpty)
+    assert(cat.get("../x", "good").isEmpty)
+    intercept[IllegalArgumentException](cat.tableDir("db1", "../escape"))
+    // one truncated .table.json is SKIPPED with a log line, not a
+    // MappingException that 500s every query + halts all compaction
+    val badDir = root.resolve("db1").resolve("broken")
+    java.nio.file.Files.createDirectories(badDir)
+    java.nio.file.Files.writeString(badDir.resolve(".table.json"), "{trunc")
+    val names = new TableCatalog(root.toString).all().map(_.name)
+    assert(names.contains("good") && !names.contains("broken"), names.toString)
+    // compaction-level parse: a foreign timestamp-shaped digit run must
+    // read as the default level, not overflow Int and fail every tick
+    assert(graft.index.ParquetLevels.levelOf("data.20260815123456789.parquet") == 1)
+    assert(graft.index.ParquetLevels.levelOf("x.3.parquet") == 3)
+  }
+
   test("reserved/duplicate column guards: nothing corrupting ever reaches the catalog") {
     val root = freshRoot()
     val (cat, w) = writer(root)
