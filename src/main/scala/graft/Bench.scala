@@ -67,6 +67,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Tables.load's NTZ→ts conversion assumes UTC sessions (Verify
+      // pins it too): on a non-UTC host the bench would scan DIFFERENT
+      // row subsets than the correctness run for time-window queries
+      .config("spark.sql.session.timeZone", "UTC")
       // coalesce post-shuffle partitions by size, not parallelism —
       // collapses the many tiny exchanges these small-SF runs otherwise
       // schedule cores-wide. The advisory size must be SMALL: coalescing
@@ -238,7 +242,11 @@ object Bench {
           val cap = math.min(90.0, sf1Budget - spent + 15.0)
           val w = timeOne(spark, sf1Dir, SparkEntry.queries(n), cap) // artifact build / warm
           val r1 = timeOne(spark, sf1Dir, SparkEntry.queries(n), cap)
-          val r2 = timeOne(spark, sf1Dir, SparkEntry.queries(n), cap)
+          // r1 killed at the cap ⇒ r2 would be killed identically:
+          // skip it instead of burning another cap's worth of the
+          // budget (which would -2-skip the queries behind it)
+          val r2 = if (r1 == -3.0) -3.0
+            else timeOne(spark, sf1Dir, SparkEntry.queries(n), cap)
           sf1Reps(n) = (r3(w), r3(r1), r3(r2))
           sf1(n) = if (r1 >= 0 && r2 >= 0) math.min(r1, r2)
                    else math.max(r1, r2) // one failed: keep the honest rep / worst code
@@ -312,14 +320,15 @@ object Bench {
     // baseline — writing the regressed ratio would make the alarm fire
     // exactly once and then read the regression as the new normal.
     if (ratios.nonEmpty) {
-      val regressed = regressions.map(_._1).toSet
-      val merged = prevRatios ++ ratios.toMap.view.filterKeys(!regressed(_)) ++
+      // the FIRST same-fingerprint measurement stays the baseline (prev
+      // wins on existing keys): re-baselining every run let sub-1.5×
+      // creep compound silently across rounds — 1.4× per round never
+      // trips a guard that resets its own reference (boiling frog).
+      // Improvements only shrink the compared ratio, never alarm.
+      val merged = ratios.toMap ++ prevRatios ++
         // sf1 absolutes ride the same file under a reserved prefix so
-        // the next round's guard can tell ratio-noise from real growth;
-        // regressed entries keep their prior (better) absolute, like
-        // the ratio entries do
-        (prevAbs ++ absNow.view.filterKeys(!regressed(_)))
-          .map { case (k, v) => (AbsPrefix + k) -> v }
+        // the next round's guard can tell ratio-noise from real growth
+        (absNow ++ prevAbs).map { case (k, v) => (AbsPrefix + k) -> v }
       val body = jsonObj(merged.toSeq.sortBy(_._1))
       val withFp = if (dataFp.isEmpty) body
         else s"""{"__data_fp":"$dataFp",""" + body.drop(1)
@@ -366,13 +375,16 @@ object Bench {
          }.mkString("{", ",", "}")},
          |"sf1_ratios":${jsonObj(ratios)},
          |"sf1_ratio_regressions":${jsonObj(regressions)},
-         |"sf1_baseline_reset":$baselineReset,"sf1_data_fp":"$dataFp",
-         |"ingest_rows_per_sec":$ingest,"sf":"$sfDir"}""".stripMargin.replace("\n", "")
+         |"sf1_baseline_reset":$baselineReset,
+         |"sf1_data_fp":${graft.server.JsonOut.str(dataFp)},
+         |"ingest_rows_per_sec":$ingest,
+         |"sf":${graft.server.JsonOut.str(sfDir)}}""".stripMargin.replace("\n", "")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf1":$sf1qs,"ingest_rows_per_sec":$ingest,"sf":"$sfDir"}""")
+      s""""sf1":$sf1qs,"ingest_rows_per_sec":$ingest,""" +
+        s""""sf":${graft.server.JsonOut.str(sfDir)}}""")
     spark.stop()
   }
 

@@ -75,6 +75,19 @@ object BenchData {
         .replaceAll("[^a-zA-Z0-9]", "_") + "-" + fp)
     val marker = new java.io.File(base, "_SUCCESS")
     if (!marker.isFile) {
+      // evict SIBLING generations first: the fingerprint names a new
+      // multi-hundred-MB dir per driver regeneration and nothing else
+      // ever deletes the old ones — tmp would fill by GBs over rounds
+      // until generation dies with ENOSPC mid-bench
+      val prefix = base.getName.substring(0, base.getName.lastIndexOf('-') + 1)
+      Option(base.getParentFile.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith(prefix) && f.getName != base.getName) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+          }
+          rm(f)
+        }
+      })
       Tables.names.foreach { n =>
         // the source SF is often one file -> one partition; written
         // as-is the 10× table lands in ONE file/row-group and every
@@ -104,7 +117,13 @@ object BenchData {
     * repetition structure are preserved exactly, while replica k's
     * n-gram match structure mirrors the original's (bijections
     * preserve n-gram equality) and replicas share nothing with each
-    * other. Tokens longer than 96 chars would truncate to 96 — none
+    * other — EXCEPT all-stopword n-grams (stopwords stay verbatim in
+    * every replica), whose candidate groups therefore grow ~Replicas²
+    * rather than linearly; the driver corpora carry only a handful of
+    * such shingles today, but a stopword-heavy regeneration would
+    * reintroduce a superlinear sf1 artifact through this class — if a
+    * ratio guard ever fires on a shingle query, check Σdf² of
+    * stopword-only shingles (shingleCostStats) before blaming the plan. Tokens longer than 96 chars would truncate to 96 — none
     * exist in the driver corpora (max doc 577 chars). */
   private val StopWords: Seq[String] =
     graft.ops.TextOps.Lexicons.flatMap(_._2.split("\\|")).distinct

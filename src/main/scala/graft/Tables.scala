@@ -94,10 +94,17 @@ object Tables {
     * Memoized per (session, dir): re-registering re-infers every table's
     * schema from parquet footers, which costs seconds per call. */
   def views(spark: SparkSession, dir: String): SparkSession = {
-    val key = s"graft.views.$dir"
-    if (!spark.conf.getOption(key).contains("true")) {
+    // track the CURRENTLY registered dir, not a per-dir seen-flag: temp
+    // view names are session-global, so a later registration over a
+    // DIFFERENT dir silently re-points every view — with the old memo,
+    // Bench's sf0.001 warm pass re-registered the views and the
+    // measured sf0.1 section then no-op'd on its memo hit, silently
+    // benchmarking view-based queries (q07/q14/q15/q20/q21) against
+    // the 1000× smaller warm corpus
+    val key = "graft.views.current"
+    if (!spark.conf.getOption(key).contains(dir)) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      spark.conf.set(key, "true")
+      spark.conf.set(key, dir)
     }
     spark
   }

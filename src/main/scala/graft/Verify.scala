@@ -11,6 +11,11 @@ object Verify {
     // optional per-query filter for iteration; the driver passes 2 args
     // and gets the full dump, so the contract is unchanged
     val only = args.drop(2).toSet
+    // loud, like Bench's Sf1Subset require: a misspelled filter name
+    // otherwise dumps nothing and exits 0 — iterating against stale
+    // or missing output with no signal
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,6 +33,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any PREVIOUS run's output for this query: a stale
+        // parquet from an older build would otherwise pass the DuckDB
+        // compare and mask a newly introduced crash as correctness
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(s"$outDir/$name"))
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
