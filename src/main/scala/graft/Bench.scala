@@ -61,7 +61,14 @@ object Bench {
     // p92 collapses to ≤1.5 k buckets map-side, so IT must scale
     // sublinearly past the scan — a p92 ratio near 10 means the
     // partial combine stopped combining
-    "p91_cms_heavy_hitters", "p92_hdr_quantiles")
+    "p91_cms_heavy_hitters", "p92_hdr_quantiles",
+    // r10 (VERDICT r9 #7): the rest of the sketch family — the "fixed
+    // state at any scale" claim deserves its 10× ratio on record. All
+    // four collapse to constant-size state map-side (64 HLL registers /
+    // d·w CMS counters / ≤1.5 k HDR buckets), so their ratios must stay
+    // ≲ the scan's own linearity; a ratio near 10 means a partial
+    // combine stopped combining
+    "p89_hll_distinct", "p90_sql_hll", "p93_sql_cms", "p94_sql_hdr")
 
   private def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -306,29 +313,83 @@ object Bench {
     // absolute is past the noise floor, and — when the baseline carries
     // absolutes — the sf1 absolute itself grew >1.25×. A genuine scale
     // cliff (p64's 20.3×, many seconds) trips all three.
-    val regressions = ratios.filter { case (n, r) =>
+    def trips(n: String, r: Double, abs: Double): Boolean =
       prevRatios.get(n).exists(p => p > 0 && r > p * 1.5) &&
-        absNow.getOrElse(n, 0.0) >= 1.0 &&
-        prevAbs.get(n).forall(pa => absNow.getOrElse(n, 0.0) > pa * 1.25) }
+        abs >= 1.0 &&
+        prevAbs.get(n).forall(pa => abs > pa * 1.25)
+    val candidates = ratios.filter { case (n, r) =>
+      trips(n, r, absNow.getOrElse(n, 0.0)) }
+    // --- confirm pass (r10, VERDICT r9 #1-#3): ONE adjudication rep per
+    //     would-be flag, after a fresh GC settle. The r9 end-of-round
+    //     run flagged six queries whose per-rep record showed scattered
+    //     end-of-section noise (a 31.3 s rep beside a 3.1 s rep of
+    //     identical code+data; both p63 reps 3-4× the values the same
+    //     code measured in two earlier same-fingerprint runs). A REAL
+    //     regression re-measures slow and stays flagged — with three
+    //     consistent reps on record — while one-off session/machine
+    //     drift clears itself instead of reading as a plan change. ---
+    val confirmRep = scala.collection.mutable.Map.empty[String, Double]
+    if (candidates.nonEmpty && sf1Dir.nonEmpty) {
+      System.gc(); Thread.sleep(3000)
+      candidates.foreach { case (n, _) =>
+        val c = timeOne(spark, sf1Dir, SparkEntry.queries(n), capSec = 90)
+        confirmRep(n) = r3(c)
+        if (c > 0 && c < sf1(n)) sf1(n) = c
+      }
+    }
+    val absFinal: Map[String, Double] = sf1.toSeq.collect {
+      case (n, s) if s > 0 => n -> r3(s) }.toMap
+    val ratiosFinal: Seq[(String, Double)] = sf1.toSeq.collect {
+      case (n, s) if s > 0 && med.getOrElse(n, -1.0) > 0 => n -> r3(s / med(n)) }
+    val regressions = ratiosFinal.filter { case (n, r) =>
+      trips(n, r, absFinal.getOrElse(n, 0.0)) }
+    val clearedNames = candidates.map(_._1).toSet -- regressions.map(_._1).toSet
+    // the record carries its own adjudication evidence (VERDICT r9 #3):
+    // per-rep times + warm_build + the confirm rep, inline with each
+    // entry in BOTH the stderr print and the JSON — p55's 3.12/31.30 s
+    // spread should read as environment at a glance, not after a
+    // BENCH_DETAIL cross-reference
+    def regDetail(n: String, r: Double): String = {
+      val (w, a, b) = sf1Reps.getOrElse(n, (-1.0, -1.0, -1.0))
+      "\"" + n + "\":{\"ratio\":" + r +
+        ",\"prev_ratio\":" + prevRatios.getOrElse(n, -1.0) +
+        ",\"abs\":" + absFinal.getOrElse(n, -1.0) +
+        ",\"prev_abs\":" + prevAbs.getOrElse(n, -1.0) +
+        ",\"warm_build\":" + w + ",\"reps\":[" + a + "," + b + "]" +
+        confirmRep.get(n).map(c => ",\"confirm\":" + c).getOrElse("") + "}"
+    }
+    val regressionsJson =
+      regressions.map { case (n, r) => regDetail(n, r) }.mkString("{", ",", "}")
+    val clearedJson = candidates.collect { case (n, r) if clearedNames(n) =>
+      regDetail(n, ratiosFinal.toMap.getOrElse(n, r)) }.mkString("{", ",", "}")
     regressions.foreach { case (n, r) =>
+      val (w, a, b) = sf1Reps.getOrElse(n, (-1.0, -1.0, -1.0))
       System.err.println(
-        f"[bench] SF1 RATIO REGRESSION: $n ${prevRatios(n)}%.2f -> $r%.2f (>1.5x)") }
+        f"[bench] SF1 RATIO REGRESSION: $n ${prevRatios(n)}%.2f -> $r%.2f (>1.5x) " +
+          f"abs=${absFinal.getOrElse(n, -1.0)}%.2f prev_abs=${prevAbs.getOrElse(n, -1.0)}%.2f " +
+          s"reps=[warm $w, $a, $b, confirm ${confirmRep.getOrElse(n, -1.0)}]") }
+    clearedNames.foreach { n =>
+      val (w, a, b) = sf1Reps.getOrElse(n, (-1.0, -1.0, -1.0))
+      System.err.println(
+        s"[bench] sf1 flag CLEARED by confirm rep (one-off drift, not a " +
+          s"plan change): $n reps=[warm $w, $a, $b, " +
+          s"confirm ${confirmRep.getOrElse(n, -1.0)}]") }
     // MERGE into the baseline, and only when this run measured anything:
     // a skipped/failed sf1 section (SPARK_GRAFT_SF1=0, budget-skips)
     // must not clobber the committed baseline with {} and silently
     // disarm the guard. REGRESSED entries keep their prior (better)
     // baseline — writing the regressed ratio would make the alarm fire
     // exactly once and then read the regression as the new normal.
-    if (ratios.nonEmpty) {
+    if (ratiosFinal.nonEmpty) {
       // the FIRST same-fingerprint measurement stays the baseline (prev
       // wins on existing keys): re-baselining every run let sub-1.5×
       // creep compound silently across rounds — 1.4× per round never
       // trips a guard that resets its own reference (boiling frog).
       // Improvements only shrink the compared ratio, never alarm.
-      val merged = ratios.toMap ++ prevRatios ++
+      val merged = ratiosFinal.toMap ++ prevRatios ++
         // sf1 absolutes ride the same file under a reserved prefix so
         // the next round's guard can tell ratio-noise from real growth
-        (absNow ++ prevAbs).map { case (k, v) => (AbsPrefix + k) -> v }
+        (absFinal ++ prevAbs).map { case (k, v) => (AbsPrefix + k) -> v }
       val body = jsonObj(merged.toSeq.sortBy(_._1))
       val withFp = if (dataFp.isEmpty) body
         else s"""{"__data_fp":"$dataFp",""" + body.drop(1)
@@ -371,10 +432,12 @@ object Bench {
          |"sf1_dir":${graft.server.JsonOut.str(sf1Dir)},"sf1_gen_sec":$sf1GenSec,
          |"sf1_queries":${jsonObj(sf1.toSeq)},
          |"sf1_per_rep":${sf1Reps.map { case (n, (w, a, b)) =>
-           "\"" + n + "\":{\"warm_build\":" + w + ",\"reps\":[" + a + "," + b + "]}"
+           "\"" + n + "\":{\"warm_build\":" + w + ",\"reps\":[" + a + "," + b + "]" +
+             confirmRep.get(n).map(c => ",\"confirm\":" + c).getOrElse("") + "}"
          }.mkString("{", ",", "}")},
-         |"sf1_ratios":${jsonObj(ratios)},
-         |"sf1_ratio_regressions":${jsonObj(regressions)},
+         |"sf1_ratios":${jsonObj(ratiosFinal)},
+         |"sf1_ratio_regressions":$regressionsJson,
+         |"sf1_flags_cleared":$clearedJson,
          |"sf1_baseline_reset":$baselineReset,
          |"sf1_data_fp":${graft.server.JsonOut.str(dataFp)},
          |"ingest_rows_per_sec":$ingest,

@@ -34,8 +34,11 @@ object SqlBootstrap {
       import graft.server.DuckDialect
       if (DuckDialect.isExtensionNoOp(stmt)) ()
       else DuckDialect.parseSecret(stmt) match {
-        case Some(confs) => confs.foreach { case (k, v) =>
-          spark.sparkContext.hadoopConfiguration.set(k, v) }
+        case Some(confs) =>
+          // same conflict guard as /query (ADVICE r9): a bootstrap
+          // script's later secret must not silently swap an earlier
+          // table's configured credentials/endpoint
+          graft.sources.ObjectStore.applySecretConfs(spark, confs)
         case None =>
           val rw = DuckDialect.rewriteInfo(stmt, fetchRemote = true)
           // rewrite-required confs (mergeSchema) are scoped to THIS

@@ -412,25 +412,7 @@ object GraftFunctions {
       Concat(Seq(oct(24), Literal("."), oct(16), Literal("."),
         oct(8), Literal("."), Cast(BitwiseAnd(n, Literal(255L)), StringType)))
     }
-    reg("IPv4StringToNum") { es =>
-      // validated: the old unguarded form returned silently-wrong values
-      // for out-of-range octets ('300.1.2.3' → a >2^32 number that
-      // round-trips through IPv4NumToString as '44.1.2.3') and its
-      // failure mode for missing octets flipped with the ANSI setting.
-      // Malformed input → NULL, deterministically. Octet checks nest
-      // INSIDE the shape guard so ElementAt(4) never evaluates unless
-      // four octets exist.
-      val str = Cast(es.head, StringType)
-      val parts = StringSplit(str, Literal("\\."), Literal(-1))
-      def oc(i: Int) = Cast(ElementAt(parts, Literal(i)), LongType)
-      val shapeOk = new RLike(str, Literal("^\\d{1,3}(\\.\\d{1,3}){3}$"))
-      val octetsOk = (1 to 4).map(i => LessThanOrEqual(oc(i), Literal(255L)))
-        .reduce[Expression](And(_, _))
-      val value = Add(Add(Add(Multiply(oc(1), Literal(16777216L)),
-        Multiply(oc(2), Literal(65536L))), Multiply(oc(3), Literal(256L))), oc(4))
-      val nul = Literal.create(null, LongType)
-      CaseWhen(Seq((shapeOk, CaseWhen(Seq((octetsOk, value)), Some(nul)))), Some(nul))
-    }
+    reg("IPv4StringToNum")(es => ipv4StringToNum(es.head))
     // JSON extraction (CH simple-key form; nested paths pass through
     // as $.a.b via the same spelling)
     def jpath(es: Seq[Expression]): Expression =
@@ -465,6 +447,83 @@ object GraftFunctions {
     reg("modulo")(es => Remainder(es(0), es(1)))
     reg("negate")(es => UnaryMinus(es.head))
     reg("bitCount")(es => BitwiseCount(es.head))
+    // ---- next-used tier (VERDICT r9 #5's "closes it properly" half):
+    //      every one still a thin builder over existing Catalyst
+    //      expressions. Names with CH-DIVERGENT same-named Spark
+    //      builtins (any, dateDiff, topK) cannot be mapped — Spark
+    //      resolves them case-insensitively first; they stay on the
+    //      SURVEY §2.3 deviation list. ----
+    reg("toQuarter")(es => Quarter(dt(es.head)))
+    reg("toStartOfQuarter")(es => TruncDate(dt(es.head), Literal("quarter")))
+    reg("toYYYYMMDDhhmmss") { es =>
+      val t = ts(es.head)
+      Seq(Multiply(Cast(Year(dt(es.head)), LongType), Literal(10000000000L)),
+        Multiply(Cast(Month(dt(es.head)), LongType), Literal(100000000L)),
+        Multiply(Cast(DayOfMonth(dt(es.head)), LongType), Literal(1000000L)),
+        Multiply(Cast(Hour(t), LongType), Literal(10000L)),
+        Multiply(Cast(Minute(t), LongType), Literal(100L)),
+        Cast(Second(t), LongType)).reduce[Expression](Add(_, _))
+    }
+    reg("fragment")(es => ParseUrl(Seq(es.head, Literal("REF"))))
+    reg("extractURLParameter")(es =>
+      ParseUrl(Seq(es(0), Literal("QUERY"), es(1))))
+    reg("domainWithoutWWW")(es => RegExpReplace(
+      ParseUrl(Seq(es.head, Literal("HOST"))), Literal("^www\\."), Literal("")))
+    // '' when the host has no dot — CH's permissive convention; null
+    // propagates for non-URLs like the rest of this URL family
+    reg("topLevelDomain")(es => RegExpExtract(
+      ParseUrl(Seq(es.head, Literal("HOST"))), Literal("\\.([^.]+)$"), Literal(1)))
+    reg("splitByString")(es => StringSplit(es(1),
+      Literal(java.util.regex.Pattern.quote(
+        literalString("splitByString(sep, s)", es(0)))), Literal(-1)))
+    reg("arrayStringConcat")(es => ArrayJoin(es(0),
+      if (es.length > 1) es(1) else Literal(""), None))
+    reg("arrayFlatten")(es => Flatten(es.head))
+    // the OrZero division forms follow the documented intDiv deviation
+    // (plain division, aliases.sql:35)
+    reg("intDivOrZero")(es => CaseWhen(
+      Seq((EqualTo(es(1), Literal(0)), Literal(0))),
+      Some(new Divide(es(0), es(1)))))
+    reg("moduloOrZero")(es => CaseWhen(
+      Seq((EqualTo(es(1), Literal(0)), Literal(0))),
+      Some(Remainder(es(0), es(1)))))
+    reg("isIPv4String")(es => IsNotNull(ipv4StringToNum(es.head)))
+    reg("leftPadUTF8")(es => StringLPad(es(0), es(1),
+      if (es.length > 2) es(2) else Literal(" ")))
+    reg("rightPadUTF8")(es => StringRPad(es(0), es(1),
+      if (es.length > 2) es(2) else Literal(" ")))
+    // DateTime64 epoch forms: CH's 64-bit sub-second epoch family
+    reg("toUnixTimestamp64Milli")(es => UnixMillis(ts(es.head)))
+    reg("toUnixTimestamp64Micro")(es => UnixMicros(ts(es.head)))
+    reg("toUnixTimestamp64Nano")(es =>
+      Multiply(UnixMicros(ts(es.head)), Literal(1000L)))
+    reg("fromUnixTimestamp64Milli")(es =>
+      MillisToTimestamp(Cast(es.head, LongType)))
+    reg("fromUnixTimestamp64Micro")(es =>
+      MicrosToTimestamp(Cast(es.head, LongType)))
+    reg("fromUnixTimestamp64Nano")(es => MicrosToTimestamp(
+      new IntegralDivide(Cast(es.head, LongType), Literal(1000L))))
+  }
+
+  /** Dotted-quad → UInt32, malformed → NULL deterministically (shared
+    * by IPv4StringToNum and isIPv4String). Validated: the old unguarded
+    * form returned silently-wrong values for out-of-range octets
+    * ('300.1.2.3' → a >2^32 number that round-trips through
+    * IPv4NumToString as '44.1.2.3') and its failure mode for missing
+    * octets flipped with the ANSI setting. Octet checks nest INSIDE
+    * the shape guard so ElementAt(4) never evaluates unless four
+    * octets exist. */
+  private def ipv4StringToNum(e: Expression): Expression = {
+    val str = Cast(e, StringType)
+    val parts = StringSplit(str, Literal("\\."), Literal(-1))
+    def oc(i: Int) = Cast(ElementAt(parts, Literal(i)), LongType)
+    val shapeOk = new RLike(str, Literal("^\\d{1,3}(\\.\\d{1,3}){3}$"))
+    val octetsOk = (1 to 4).map(i => LessThanOrEqual(oc(i), Literal(255L)))
+      .reduce[Expression](And(_, _))
+    val value = Add(Add(Add(Multiply(oc(1), Literal(16777216L)),
+      Multiply(oc(2), Literal(65536L))), Multiply(oc(3), Literal(256L))), oc(4))
+    val nul = Literal.create(null, LongType)
+    CaseWhen(Seq((shapeOk, CaseWhen(Seq((octetsOk, value)), Some(nul)))), Some(nul))
   }
 
   /** DuckDB-compat function names (VERDICT r7 #2, the alias-map half of

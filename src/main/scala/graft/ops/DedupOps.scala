@@ -515,12 +515,15 @@ object DedupOps {
     * known count via `knownDocs` to skip it (e.g. from catalog stats). */
   def nearDupPairs(docs: DataFrame, tau: Double, n: Int = 3,
                    exactMaxDocs: Long = NearDupExactMaxDocs,
-                   knownDocs: Option[Long] = None): DataFrame = {
+                   knownDocs: Option[Long] = None,
+                   knownMaxDup: Option[Long] = None): DataFrame = {
     // ONE probe scan feeds both route decisions: the corpus size (exact
     // vs banded) and the largest exact-dup cluster (whether the banded
-    // plan must collapse) come out of the same md5 hash-agg
+    // plan must collapse) come out of the same md5 hash-agg. Callers
+    // holding catalog stats pass BOTH (VERDICT r9 #6): knownDocs alone
+    // still lets minHashPairs re-probe for maxDup on the banded route.
     val (nDocs, maxDup) = knownDocs match {
-      case Some(nd) => (nd, None)
+      case Some(nd) => (nd, knownMaxDup)
       case None =>
         val r = docs.groupBy(md5(coalesce(col("text"), lit(""))).as("__fp"))
           .agg(count(lit(1)).as("__c"))

@@ -48,7 +48,7 @@ object SearchOps {
     // Lowercase FIRST (the scoreCol face already does): doc tokens are
     // lowercased by TextOps.tokens, so a raw 'Paris' would silently
     // match nothing while match_bm25 scored it
-    val terms = terms0.map(_.toLowerCase).distinct
+    val terms = terms0.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     require(terms.nonEmpty, "bm25 needs at least one query term")
     // tokenize ONCE in its own projection (the shingles discipline:
     // array lambdas re-evaluate captured outer expressions per element)
@@ -126,7 +126,7 @@ object SearchOps {
     * scalar-expression edition). Same formula, same 6dp-per-term /
     * 4dp-total rounding as [[bm25]]. */
   def scoreCol(text: Column, query: String, model: Bm25Model): Column = {
-    val terms = query.trim.toLowerCase.split("\\s+")
+    val terms = query.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
       .filter(_.nonEmpty).toSeq.distinct
     require(terms.nonEmpty, "match_bm25: query has no terms")
     val zero = struct(
@@ -173,7 +173,7 @@ object SearchOps {
     val spark = docs.sparkSession
     // lowercase like bm25/scoreCol: doc tokens are lowercased, so a raw
     // uppercase term would silently match nothing
-    val queriesLc = queries.map { case (q, ts) => (q, ts.map(_.toLowerCase)) }
+    val queriesLc = queries.map { case (q, ts) => (q, ts.map(_.toLowerCase(java.util.Locale.ROOT))) }
     val allTerms = queriesLc.flatMap(_._2).distinct
     val toks = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
@@ -223,7 +223,7 @@ object SearchOps {
                    table: String = "documents"): String = {
     def esc(t: String) = t.replace("'", "''")
     // lowercase like the face (doc tokens are lowercased in both engines)
-    val qlc = queries.map { case (q, ts) => (q, ts.map(_.toLowerCase)) }
+    val qlc = queries.map { case (q, ts) => (q, ts.map(_.toLowerCase(java.util.Locale.ROOT))) }
     val allTerms = qlc.flatMap(_._2).distinct
       .map(t => s"'${esc(t)}'").mkString(", ")
     val qrows = qlc.flatMap { case (q, ts) =>
@@ -266,7 +266,7 @@ object SearchOps {
   def bm25Sql(terms0: Seq[String], k: Int = 20,
               table: String = "documents"): String = {
     // mirror bm25's lowercase + dedupe exactly
-    val terms = terms0.map(_.toLowerCase).distinct
+    val terms = terms0.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     def esc(t: String) = t.replace("'", "''")
     val tfs = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(w, x -> x = '${esc(t)}')) AS tf$i" }.mkString(", ")

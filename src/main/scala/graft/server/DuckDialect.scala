@@ -63,12 +63,136 @@ object DuckDialect {
     while (!done && guard < 256) { // a query with >256 casts is not a query
       rewriteFirst(s).orElse(rewriteFirstMergeTree(s, loc))
         .orElse(rewriteFirstTableFn(s, loc, confs))
-        .orElse(rewriteFirstZeroArgCount(s)) match {
+        .orElse(rewriteFirstZeroArgCount(s))
+        .orElse(rewriteFirstExclude(s))
+        .orElse(rewriteFirstQualify(s)) match {
         case Some(n) => s = n; guard += 1
         case None => done = true
       }
     }
     Rewritten(s, confs.toMap, urls.toSeq)
+  }
+
+  /** DuckDB `* EXCLUDE (a, b)` / `* EXCLUDE a` → Spark's native
+    * `* EXCEPT (a, b)` (VERDICT r9 #4 — among the first DuckDB idioms
+    * a migrating user types). Only a star-expression position rewrites:
+    * the token before `*` must be SELECT/DISTINCT/`,`/`(`/`.` so that
+    * `a * exclude` (multiplication by a column named exclude) is never
+    * touched. DuckDB's parenthesis-less form takes exactly one column;
+    * Spark's EXCEPT always takes the parenthesized list, so the single
+    * bare column gains parens. */
+  private def rewriteFirstExclude(s: String): Option[String] = {
+    val ts = lex(s)
+    def word(t: Tok): String =
+      s.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
+    var k = 1
+    while (k + 1 < ts.length) {
+      val starPos = ts(k).kind == Punct('*') && (ts(k - 1).kind match {
+        case Punct(',') | Punct('(') | Punct('.') => true
+        case Word => Set("select", "distinct")(word(ts(k - 1)))
+        case _ => false
+      })
+      if (starPos && ts(k + 1).kind == Word && word(ts(k + 1)) == "exclude") {
+        val ex = ts(k + 1)
+        if (k + 2 < ts.length && ts(k + 2).kind == Punct('(')) {
+          // parenthesized list: EXCLUDE -> EXCEPT, list survives verbatim
+          return Some(s.substring(0, ex.start) + "EXCEPT" + s.substring(ex.end))
+        } else if (k + 2 < ts.length &&
+            (ts(k + 2).kind == Word || ts(k + 2).kind == QIdent)) {
+          val c = ts(k + 2)
+          return Some(s.substring(0, ex.start) + "EXCEPT (" +
+            s.substring(c.start, c.end) + ")" + s.substring(c.end))
+        }
+      }
+      k += 1
+    }
+    None
+  }
+
+  /** DuckDB `QUALIFY <pred>` → ranked-subquery form (VERDICT r9 #4):
+    * the predicate (usually a window comparison — `QUALIFY row_number()
+    * OVER (…) <= 3`) is injected into the SELECT list as a boolean
+    * column, the query wrapped, and the outer filter applied where
+    * window results ARE filterable:
+    *
+    *   SELECT … FROM … QUALIFY p [ORDER BY …] →
+    *   SELECT * EXCEPT (__graft_qualify) FROM
+    *     (SELECT …, (p) AS __graft_qualify FROM …) __graft_qualified
+    *   WHERE __graft_qualify [ORDER BY …]
+    *
+    * The ORDER BY/LIMIT tail stays on the OUTER query (QUALIFY applies
+    * before both, exactly DuckDB's evaluation order). Bounded on
+    * purpose: a leading WITH survives (the wrap starts at the main
+    * SELECT), but DISTINCT (the injected column would change distinct
+    * semantics) and set operations (which branch owns the QUALIFY)
+    * stay unrewritten — Spark's parser then rejects the raw QUALIFY
+    * loudly rather than this shim guessing semantics. */
+  private def rewriteFirstQualify(s: String): Option[String] = {
+    val ts = lex(s)
+    def word(t: Tok): String =
+      s.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
+    // one pass records token depths (lex emits no whitespace, so depth
+    // changes ride the Punct tokens themselves)
+    val depth = new Array[Int](ts.length)
+    var d = 0
+    var i = 0
+    while (i < ts.length) {
+      ts(i).kind match {
+        case Punct('(') => depth(i) = d; d += 1
+        case Punct(')') => d = math.max(0, d - 1); depth(i) = d
+        case _ => depth(i) = d
+      }
+      i += 1
+    }
+    def topWord(name: String, from: Int, until: Int): Int = {
+      var j = from
+      while (j < until) {
+        if (depth(j) == 0 && ts(j).kind == Word && word(ts(j)) == name) return j
+        j += 1
+      }
+      -1
+    }
+    val q = topWord("qualify", 0, ts.length)
+    if (q < 0) return None
+    val sel = topWord("select", 0, q)
+    if (sel < 0) return None
+    // bail-outs: DISTINCT select, set operations, a second top-level
+    // QUALIFY (malformed anyway) — leave the text for the parser
+    if (sel + 1 < ts.length && ts(sel + 1).kind == Word &&
+        word(ts(sel + 1)) == "distinct") return None
+    if (topWord("qualify", q + 1, ts.length) >= 0) return None
+    val setOp = (sel until q).exists { j =>
+      depth(j) == 0 && ts(j).kind == Word &&
+        (word(ts(j)) match {
+          case "union" | "intersect" | "minus" => true
+          // set-op EXCEPT vs star-EXCEPT: the star form is always
+          // immediately preceded by `*`
+          case "except" => j == 0 || ts(j - 1).kind != Punct('*')
+          case _ => false
+        })
+    }
+    if (setOp) return None
+    val from = topWord("from", sel + 1, q)
+    if (from < 0) return None // QUALIFY without FROM is not a query
+    // predicate runs to the start of the top-level ORDER/LIMIT/OFFSET
+    // tail (an ORDER BY inside OVER (…) sits at depth >= 1)
+    var tail = ts.length
+    var j = q + 1
+    while (j < ts.length && tail == ts.length) {
+      if (depth(j) == 0 && ts(j).kind == Word &&
+        Set("order", "limit", "offset")(word(ts(j)))) tail = j
+      j += 1
+    }
+    val pred = s.substring(ts(q).end, if (tail < ts.length) ts(tail).start
+      else s.length).trim
+    if (pred.isEmpty) return None
+    val prefix = s.substring(0, ts(sel).start) // WITH clause, if any
+    val selectList = s.substring(ts(sel).end, ts(from).start)
+    val body = s.substring(ts(from).start, ts(q).start)
+    val tailTxt = if (tail < ts.length) " " + s.substring(ts(tail).start) else ""
+    Some(prefix + "SELECT * EXCEPT (__graft_qualify) FROM (SELECT " +
+      selectList.trim + ", (" + pred + ") AS __graft_qualify " + body.trim +
+      ") __graft_qualified WHERE __graft_qualify" + tailTxt)
   }
 
   /** `read_parquet_mergetree(ARRAY['a','b'], 'k1,k2')` — the ONE chsql
@@ -386,6 +510,62 @@ object DuckDialect {
     }
     None
   }
+
+  /** Known chsql/ClickHouse/DuckDB function names NOT yet mapped to a
+    * Catalyst builder (VERDICT r9 #5). The /query route consults this
+    * when Spark reports UNRESOLVED_ROUTINE so the caller gets "this is
+    * a dialect-surface gap — report it" instead of a generic analyzer
+    * error that reads like a typo. Names whose ClickHouse semantics
+    * DIFFER from a same-named Spark builtin (any, dateDiff, topK) can't
+    * appear here — Spark resolves them case-insensitively first; the
+    * deviation list in SURVEY §2.3 covers those. Curated from the chsql
+    * extension surface + ClickHouse function reference + DuckDB
+    * functions the shim doesn't rewrite. */
+  private val KnownUnmappedFns: Map[String, String] = {
+    val ch = Seq(
+      // date/time
+      "formatDateTime", "parseDateTimeBestEffort", "toStartOfInterval",
+      "toStartOfFiveMinutes", "toStartOfTenMinutes", "toStartOfFifteenMinutes",
+      "toStartOfSecond", "toISOWeek", "toISOYear", "toWeek", "toMonday",
+      "toRelativeDayNum", "toRelativeHourNum", "timeSlot", "age",
+      // hashes (CH hash families have CH-specific bit layouts; mapping a
+      // same-named Spark hash would return DIFFERENT values silently)
+      "halfMD5", "sipHash64", "sipHash128", "cityHash64", "farmHash64",
+      "farmFingerprint64", "intHash32", "intHash64", "URLHash",
+      // URL family beyond the mapped parts
+      "firstSignificantSubdomain", "cutToFirstSignificantSubdomain",
+      "extractURLParameters", "extractURLParameterNames", "netloc",
+      "cutWWW", "cutQueryString", "cutFragment", "cutQueryStringAndFragment",
+      "decodeURLComponent", "encodeURLComponent", "queryStringAndFragment",
+      // IP
+      "IPv6NumToString", "IPv6StringToNum", "toIPv4", "toIPv6", "isIPv6String",
+      // strings/arrays/aggregates
+      "multiSearchAny", "multiSearchFirstPosition", "positionCaseInsensitive",
+      "extractAll", "extractGroups", "ngramDistance", "ngramSearch",
+      "arrayJoin", "arrayMap", "arrayFilter", "arrayExists", "arrayAll",
+      "arrayCount", "arrayCumSum", "arrayDifference", "arrayEnumerate",
+      "arrayCompact", "arrayZip", "groupArray", "groupUniqArray",
+      "uniqCombined", "quantiles", "anyLast",
+      "runningDifference", "neighbor",
+      // JSON
+      "JSONExtractRaw", "JSONExtractArrayRaw", "JSONLength", "JSONType",
+      "visitParamExtractString", "simpleJSONExtractString")
+    val duck = Seq(
+      "read_csv", "read_csv_auto", "read_ndjson", "list_aggregate",
+      "list_aggr", "list_sort", "list_reverse_sort", "list_unique",
+      "list_value", "list_pack", "struct_pack", "unnest", "generate_series",
+      "generate_subscripts", "string_agg", "group_concat", "arg_min", "arg_max")
+    (ch.map(_ -> "chsql/ClickHouse") ++ duck.map(_ -> "DuckDB")).map {
+      case (n, s) => n.toLowerCase(java.util.Locale.ROOT) -> s }.toMap
+  }
+
+  /** The dialect surface owning an unresolved function name, if known —
+    * `Some("chsql/ClickHouse")` / `Some("DuckDB")` for a name on the
+    * reference's /query surface that graft has not mapped yet. */
+  def dialectGap(fnName: String): Option[String] =
+    KnownUnmappedFns.get(
+      fnName.stripPrefix("`").stripSuffix("`")
+        .toLowerCase(java.util.Locale.ROOT))
 
   /** DuckDB type name → Spark type name. Unlisted names pass through
     * (INT, BIGINT, DOUBLE, DATE, TIMESTAMP, DECIMAL(p,s) are shared). */

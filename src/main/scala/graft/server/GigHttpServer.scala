@@ -225,9 +225,12 @@ final class GigHttpServer(spark: SparkSession, root: String,
       else BadRequest.relabel(DuckDialect.parseSecret(stmt)) match {
         case Some(confs) =>
           // hadoopConfiguration is process-global — the scope a DuckDB
-          // secret has in the reference's single-process server
-          confs.foreach { case (k, v) =>
-            spark.sparkContext.hadoopConfiguration.set(k, v) }
+          // secret has in the reference's single-process server. Same
+          // conflict guard as ObjectStore.applyTo (ADVICE r9): an
+          // unauthenticated POST must not silently swap an
+          // already-configured bucket's credentials/endpoint
+          BadRequest.relabel(
+            graft.sources.ObjectStore.applySecretConfs(spark, confs))
         case None =>
           // two-phase rewrite (ADVICE r8): dry rewrite (no fetch) →
           // parse-validate → only then download any remote parquet, so
@@ -238,7 +241,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
               spark.sessionState.sqlParser.parsePlan(dry.sql)
               DuckDialect.rewriteInfo(stmt, fetchRemote = true)
             }
-          last = Some(views.sqlFor(fin.sql, explicit, bareDb, fin.confs))
+          last = Some(dialectGapRelabel(
+            views.sqlFor(fin.sql, explicit, bareDb, fin.confs)))
       }
     }
     last match {
@@ -248,6 +252,25 @@ final class GigHttpServer(spark: SparkSession, root: String,
         respond(ex, 200, """{"results":[]}""", "application/json")
     }
   }
+
+  /** An UNRESOLVED_ROUTINE for a name on the reference's chsql/DuckDB
+    * /query surface is a DIALECT GAP, not a user typo (VERDICT r9 #5):
+    * answer 400 naming the surface so confusion turns into a bug
+    * report. Unknown names keep Spark's own analyzer error (with its
+    * did-you-mean suggestions). */
+  private def dialectGapRelabel[T](body: => T): T =
+    try body catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNRESOLVED_ROUTINE" =>
+        val name = Option(e.getMessageParameters.get("routineName")).getOrElse("?")
+        DuckDialect.dialectGap(name) match {
+          case Some(surface) => throw new BadRequest(
+            s"function $name is ${surface} surface not yet mapped by " +
+              "graft (the registered compat names cover the documented " +
+              "reference usage; see SURVEY §2.3) — please report this gap")
+          case None => throw e
+        }
+    }
 
   /** Create-table request (reference create_table.go:15-81 + F8):
     * accepts the reference's YAML shape or the same structure as JSON. */
@@ -412,6 +435,26 @@ final class GigHttpServer(spark: SparkSession, root: String,
         if (d <= 0 || d % graft.ops.PqOps.M != 0)
           throw new BadRequest(
             s"PQ needs dims divisible by ${graft.ops.PqOps.M}, got $d")
+      }
+    }
+    if (kind == "hdr") {
+      // request-shape validation BEFORE accepting the job (ADVICE r9):
+      // a mistyped {"column": ...} is the caller's 400 on the POST, not
+      // a failed async build discovered by polling. The catalog spec's
+      // declared columns are available here without any Spark job;
+      // spec-less tables (schema known only from data) keep the
+      // build-time check as the backstop.
+      val column = jsonStr(j, "column").getOrElse("value")
+      val specCols = catalog.get(db, table).get.columns
+      if (specCols.nonEmpty && !column.equalsIgnoreCase("__timestamp")) {
+        specCols.find(_._1.equalsIgnoreCase(column)) match {
+          case None => throw new BadRequest(
+            s"""hdr: no column '$column' in $db.$table (pass {"column": "..."})""")
+          case Some((_, t)) if !Set("INT64", "UINT64", "FLOAT64")(t) =>
+            throw new BadRequest(
+              s"hdr: column '$column' must be numeric, got $t")
+          case _ =>
+        }
       }
     }
     val sync = j \ "sync" match { case JBool(b) => b; case _ => false }

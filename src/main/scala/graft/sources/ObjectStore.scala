@@ -62,6 +62,36 @@ object ObjectStore {
     }
   }
 
+  /** Apply CREATE SECRET-derived `fs.s3a.*` confs under the same
+    * conflict discipline as [[S3Target.applyTo]] (ADVICE r9): the
+    * hadoopConfiguration is process-global, so one POST must not
+    * silently swap an already-configured bucket's — or the global
+    * namespace's — endpoint/credentials out from under every other
+    * table and later caller. Re-applying the SAME values is idempotent
+    * (the reference's merge path issues its unscoped secret per merge,
+    * merge_service_s3.go:94-118, and that must keep working); a
+    * DIFFERENT value for an identity-bearing key fails loudly with the
+    * scoping fix in the message. */
+  private val GuardedSecretKeys =
+    Seq("endpoint", "access.key", "secret.key", "session.token")
+
+  def applySecretConfs(spark: SparkSession, confs: Map[String, String]): Unit = {
+    val c = spark.sparkContext.hadoopConfiguration
+    confs.foreach { case (k, v) =>
+      val guarded = GuardedSecretKeys.exists(g =>
+        k == s"fs.s3a.$g" ||
+          (k.startsWith("fs.s3a.bucket.") && k.endsWith(s".$g")))
+      val prev = if (guarded) c.get(k) else null
+      if (prev != null && prev != v)
+        throw new IllegalArgumentException(
+          s"CREATE SECRET conflicts with the existing configuration of " +
+            s"'$k': a secret must not silently swap configured " +
+            "credentials/endpoints; scope secrets to distinct buckets " +
+            "(SCOPE 's3://bucket') or restart with the new credentials")
+    }
+    confs.foreach { case (k, v) => c.set(k, v) }
+  }
+
   /** Parse the reference's S3 URL grammar. Credentials with reserved
     * characters (':' '/' '@' '%' — AWS secrets routinely contain '/')
     * must be percent-encoded in the URL, like the reference's url.Parse;

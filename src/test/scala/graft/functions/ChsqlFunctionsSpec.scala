@@ -106,4 +106,38 @@ class ChsqlFunctionsSpec extends SparkSpec {
     assert(one("negate(5)") == -5)
     assert(one("bitCount(7)") == 3)
   }
+
+  test("next-used tier: quarter/epoch64/url/string/array forms (VERDICT r9 #5)") {
+    val t = "TIMESTAMP '2025-04-24 13:45:56'"
+    assert(one(s"toQuarter($t)") == 2)
+    assert(one(s"toStartOfQuarter($t)").toString == "2025-04-01")
+    assert(one(s"toYYYYMMDDhhmmss($t)") == 20250424134556L)
+    assert(one(s"toUnixTimestamp64Milli($t)") == 1745502356000L)
+    assert(one(s"toUnixTimestamp64Micro($t)") == 1745502356000000L)
+    assert(one(s"toUnixTimestamp64Nano($t)") == 1745502356000000000L)
+    assert(one("toUnixTimestamp64Milli(fromUnixTimestamp64Milli(1745502356123))")
+      == 1745502356123L)
+    assert(one("toUnixTimestamp64Micro(fromUnixTimestamp64Micro(1745502356123456))")
+      == 1745502356123456L)
+    assert(one("toUnixTimestamp64Nano(fromUnixTimestamp64Nano(1745502356123456000))")
+      == 1745502356123456000L)
+    val u = "'https://www.example.com/a/b?q=1&r=2#frag'"
+    assert(one(s"fragment($u)") == "frag")
+    assert(one(s"extractURLParameter($u, 'r')") == "2")
+    assert(one(s"domainWithoutWWW($u)") == "example.com")
+    assert(one(s"topLevelDomain($u)") == "com")
+    assert(one("topLevelDomain('https://localhost/x')") == "")
+    assert(one("splitByString('ab', '1ab2ab3')") == Seq("1", "2", "3"))
+    assert(one("arrayStringConcat(array('a', 'b'), '-')") == "a-b")
+    assert(one("arrayStringConcat(array('a', 'b'))") == "ab")
+    assert(one("arrayFlatten(array(array(1, 2), array(3)))") == Seq(1, 2, 3))
+    assert(one("intDivOrZero(6, 0)") == 0.0)
+    assert(one("moduloOrZero(7, 0)") == 0)
+    assert(one("moduloOrZero(7, 3)") == 1)
+    assert(one("isIPv4String('192.168.1.1')") == true)
+    assert(one("isIPv4String('300.1.2.3')") == false)
+    assert(one("isIPv4String('nope')") == false)
+    assert(one("leftPadUTF8('x', 3, '_')") == "__x")
+    assert(one("rightPadUTF8('x', 3)") == "x  ")
+  }
 }

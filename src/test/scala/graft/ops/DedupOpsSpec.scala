@@ -73,6 +73,35 @@ class DedupOpsSpec extends SparkSpec {
     assert(mh == exact)
   }
 
+  test("minHashPairs with knownMaxDup runs NO probe job at plan construction (VERDICT r9 #6)") {
+    val sc = spark.sparkContext
+    // plan CONSTRUCTION under group A must schedule zero Spark jobs
+    // when the caller supplies the routing stat; the default path runs
+    // its md5 hash-agg probe eagerly (group B, >= 1 job). Group B's
+    // jobs appearing in the status tracker orders-after group A's
+    // (the listener bus is FIFO), so B non-empty + A empty is a sound
+    // zero-assert without private listener-bus access.
+    sc.setJobGroup("dup-probe-known", "known stats")
+    DedupOps.minHashPairs(docs(), 0.5, knownMaxDup = Some(2L)): Unit
+    sc.clearJobGroup()
+    sc.setJobGroup("dup-probe-scan", "probe scan")
+    DedupOps.minHashPairs(docs(), 0.5): Unit
+    sc.clearJobGroup()
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (sc.statusTracker.getJobIdsForGroup("dup-probe-scan").isEmpty &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(sc.statusTracker.getJobIdsForGroup("dup-probe-scan").nonEmpty)
+    assert(sc.statusTracker.getJobIdsForGroup("dup-probe-known").isEmpty)
+    // and the supplied stat routes identically: maxDup=2 (the exact
+    // pair in docs()) stays on the direct plan at this cluster size,
+    // same output as the probing call
+    val known = DedupOps.minHashPairs(docs(), 0.5, knownMaxDup = Some(2L))
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val probed = DedupOps.minHashPairs(docs(), 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(known == probed)
+  }
+
   test("minHashPairs: 1000-copy cluster keeps banded candidates O(distinct texts)") {
     // VERDICT r8 #2: a viral-boilerplate cluster of m exact copies must
     // NOT push m²/2 candidates through the band join — exact duplicates

@@ -121,6 +121,87 @@ class DuckDialectSpec extends SparkSpec {
     assert(rows.sorted.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("star EXCLUDE maps to Spark's native EXCEPT (VERDICT r9 #4)") {
+    assert(rw("SELECT * EXCLUDE (a, b) FROM t") ==
+      "SELECT * EXCEPT (a, b) FROM t")
+    assert(rw("SELECT * EXCLUDE a FROM t") == "SELECT * EXCEPT (a) FROM t")
+    assert(rw("SELECT t.* EXCLUDE (a) FROM t") ==
+      "SELECT t.* EXCEPT (a) FROM t")
+    assert(rw("SELECT count(*), * EXCLUDE (b) FROM t GROUP BY ALL") ==
+      "SELECT count(*), * EXCEPT (b) FROM t GROUP BY ALL")
+    // multiplication by a column NAMED exclude is not a star expression
+    assert(rw("SELECT a * exclude FROM t") == "SELECT a * exclude FROM t")
+    // and the word inside a string literal is untouched
+    assert(rw("SELECT '* EXCLUDE (a)' AS s") == "SELECT '* EXCLUDE (a)' AS s")
+  }
+
+  test("QUALIFY rewrites to the ranked subquery Spark can run (VERDICT r9 #4)") {
+    assert(rw("SELECT k, v FROM t QUALIFY row_number()" +
+      " OVER (PARTITION BY k ORDER BY v) = 1") ==
+      "SELECT * EXCEPT (__graft_qualify) FROM (SELECT k, v, (row_number()" +
+        " OVER (PARTITION BY k ORDER BY v) = 1) AS __graft_qualify" +
+        " FROM t) __graft_qualified WHERE __graft_qualify")
+    // the ORDER BY/LIMIT tail stays on the OUTER query (QUALIFY applies
+    // before both, DuckDB's evaluation order); an ORDER BY inside
+    // OVER (…) is depth>=1 and never mistaken for the tail
+    assert(rw("SELECT k FROM t QUALIFY rank() OVER (ORDER BY k) <= 2" +
+      " ORDER BY k LIMIT 1") ==
+      "SELECT * EXCEPT (__graft_qualify) FROM (SELECT k, (rank()" +
+        " OVER (ORDER BY k) <= 2) AS __graft_qualify FROM t)" +
+        " __graft_qualified WHERE __graft_qualify ORDER BY k LIMIT 1")
+    // a leading WITH survives outside the wrap
+    assert(rw("WITH c AS (SELECT 1 AS k) SELECT k FROM c" +
+      " QUALIFY row_number() OVER (ORDER BY k) = 1") ==
+      "WITH c AS (SELECT 1 AS k) SELECT * EXCEPT (__graft_qualify) FROM" +
+        " (SELECT k, (row_number() OVER (ORDER BY k) = 1) AS __graft_qualify" +
+        " FROM c) __graft_qualified WHERE __graft_qualify")
+    // bounded on purpose: DISTINCT and set operations stay unrewritten
+    // (the parser rejects the raw QUALIFY loudly instead of this shim
+    // guessing semantics)
+    val distinct = "SELECT DISTINCT k FROM t QUALIFY row_number()" +
+      " OVER (ORDER BY k) = 1"
+    assert(rw(distinct) == distinct)
+    val setop = "SELECT k FROM a UNION ALL SELECT k FROM b" +
+      " QUALIFY row_number() OVER (ORDER BY k) = 1"
+    assert(rw(setop) == setop)
+    // a subquery's own internal QUALIFY keyword at depth>=1 in the
+    // FROM does not trigger the top-level rewrite path twice
+    assert(rw("SELECT 'QUALIFY x' AS s FROM t") == "SELECT 'QUALIFY x' AS s FROM t")
+  }
+
+  test("QUALIFY + EXCLUDE execute end-to-end through spark.sql") {
+    import spark.implicits._
+    Seq(("a", 1L), ("a", 3L), ("b", 2L)).toDF("k", "v")
+      .createOrReplaceTempView("dlx")
+    val top = spark.sql(rw("SELECT k, v FROM dlx QUALIFY row_number()" +
+      " OVER (PARTITION BY k ORDER BY v DESC) = 1 ORDER BY k"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq(("a", 3L), ("b", 2L)))
+    val ex = spark.sql(rw("SELECT * EXCLUDE v FROM dlx"))
+    assert(ex.columns.toSeq == Seq("k"))
+    // GROUP BY ALL needs no rewrite — Spark 4 parses it natively; pin
+    // that the shim leaves it alone and it runs
+    val gba = "SELECT k, count(*) AS c FROM dlx GROUP BY ALL"
+    assert(rw(gba) == gba)
+    assert(spark.sql(gba).collect().map(r => (r.getString(0), r.getLong(1)))
+      .toMap == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("dialectGap names the surface for known-unmapped functions (VERDICT r9 #5)") {
+    assert(DuckDialect.dialectGap("formatDateTime") == Some("chsql/ClickHouse"))
+    assert(DuckDialect.dialectGap("`formatDateTime`") == Some("chsql/ClickHouse"))
+    assert(DuckDialect.dialectGap("read_csv") == Some("DuckDB"))
+    assert(DuckDialect.dialectGap("definitely_not_a_function") == None)
+    // mapped names never appear in the gap list (len IS registered)
+    assert(DuckDialect.dialectGap("len") == None)
+    // structural: the gap list and the registry must stay DISJOINT —
+    // a registered name in the list would never fire (dialectGap only
+    // consults on UNRESOLVED_ROUTINE) but misdocuments the surface
+    val ghosts = graft.functions.GraftFunctions.builders.map(_._1)
+      .filter(n => DuckDialect.dialectGap(n).nonEmpty)
+    assert(ghosts.isEmpty, s"registered names in the gap list: $ghosts")
+  }
+
   test("rewriteInfo defers remote fetches and lists the URLs") {
     val u = "https://example.invalid/x.parquet"
     val dry = DuckDialect.rewriteInfo(
