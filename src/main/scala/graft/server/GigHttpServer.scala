@@ -261,8 +261,12 @@ final class GigHttpServer(spark: SparkSession, root: String,
   private def dialectGapRelabel[T](body: => T): T =
     try body catch {
       case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "UNRESOLVED_ROUTINE" =>
-        val name = Option(e.getMessageParameters.get("routineName")).getOrElse("?")
+          if e.getCondition == "UNRESOLVED_ROUTINE" ||
+            e.getCondition == "UNRESOLVABLE_TABLE_VALUED_FUNCTION" =>
+        // scalar names arrive as routineName, table functions (read_csv,
+        // generate_series) as name — both backticked
+        val name = Option(e.getMessageParameters.get("routineName"))
+          .orElse(Option(e.getMessageParameters.get("name"))).getOrElse("?")
         DuckDialect.dialectGap(name) match {
           case Some(surface) => throw new BadRequest(
             s"function $name is ${surface} surface not yet mapped by " +

@@ -155,6 +155,13 @@ class GigHttpServerSpec extends SparkSpec {
     // Spark's own analyzer error (with its did-you-mean), as a 500
     val u = post("/query", """{"query": "SELECT zorblefy(1) AS x"}""")
     assert(u.statusCode() == 500, s"${u.statusCode()} ${u.body()}")
+    // table-valued gap names (a different analyzer error class) relabel
+    // the same way
+    val tv = post("/query",
+      """{"query": "SELECT * FROM read_csv('/tmp/nope.csv')"}""")
+    assert(tv.statusCode() == 400, s"${tv.statusCode()} ${tv.body()}")
+    assert(tv.body().contains("read_csv") && tv.body().contains("DuckDB"),
+      tv.body())
   }
 
   test("CREATE SECRET conflict guard: swapped credentials are a 400 (ADVICE r9)") {
