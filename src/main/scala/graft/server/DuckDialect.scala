@@ -82,6 +82,9 @@ object DuckDialect {
     * Spark's EXCEPT always takes the parenthesized list, so the single
     * bare column gains parens. */
   private def rewriteFirstExclude(s: String): Option[String] = {
+    // cheap pre-screen: the overwhelming majority of statements contain
+    // neither keyword — don't pay a lex pass per fixpoint iteration
+    if (!s.toLowerCase(java.util.Locale.ROOT).contains("exclude")) return None
     val ts = lex(s)
     def word(t: Tok): String =
       s.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
@@ -124,10 +127,17 @@ object DuckDialect {
     * before both, exactly DuckDB's evaluation order). Bounded on
     * purpose: a leading WITH survives (the wrap starts at the main
     * SELECT), but DISTINCT (the injected column would change distinct
-    * semantics) and set operations (which branch owns the QUALIFY)
-    * stay unrewritten — Spark's parser then rejects the raw QUALIFY
-    * loudly rather than this shim guessing semantics. */
+    * semantics) and set operations on either side of the QUALIFY
+    * (which branch owns it) stay unrewritten — Spark's parser then
+    * rejects the raw QUALIFY loudly rather than this shim guessing
+    * semantics — and an identifier merely NAMED `qualify` (alias
+    * position, detected by its follower token) is never touched.
+    * Known limit: a tail `ORDER BY` referencing a column the SELECT
+    * list does not project (DuckDB allows it) fails with Spark's own
+    * UNRESOLVED_COLUMN naming that column — loud, attributable, and
+    * unfixable here without schema knowledge. */
   private def rewriteFirstQualify(s: String): Option[String] = {
+    if (!s.toLowerCase(java.util.Locale.ROOT).contains("qualify")) return None
     val ts = lex(s)
     def word(t: Tok): String =
       s.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
@@ -154,6 +164,21 @@ object DuckDialect {
     }
     val q = topWord("qualify", 0, ts.length)
     if (q < 0) return None
+    // `qualify` is NOT reserved in Spark — a table alias of that name
+    // ("FROM t qualify WHERE …", "FROM t qualify JOIN u …") is valid SQL
+    // that ran before this rewrite existed. In clause position the next
+    // token starts a predicate expression; in alias position it starts
+    // another clause / join / list — bail on those so previously-valid
+    // statements stay untouched (review r10)
+    val aliasFollower = Set("where", "group", "having", "window", "order",
+      "limit", "offset", "union", "intersect", "except", "minus",
+      "join", "inner", "left", "right", "full", "cross", "natural",
+      "on", "using", "as")
+    if (q + 1 < ts.length && ((ts(q + 1).kind match {
+      case Punct(',') | Punct(')') => true
+      case Word => aliasFollower(word(ts(q + 1)))
+      case _ => false
+    }))) return None
     val sel = topWord("select", 0, q)
     if (sel < 0) return None
     // bail-outs: DISTINCT select, set operations, a second top-level
@@ -183,6 +208,16 @@ object DuckDialect {
         Set("order", "limit", "offset")(word(ts(j)))) tail = j
       j += 1
     }
+    // a depth-0 set-op or SELECT inside the would-be predicate means the
+    // QUALIFY belongs to a non-last branch ("… QUALIFY p UNION ALL
+    // SELECT …") — the set-op bail-out above only covers operators
+    // BEFORE the QUALIFY; swallow-into-predicate would emit mangled SQL
+    // blaming generated text (review r10). Leave it for the parser.
+    val predHasBranch = (q + 1 until tail).exists { j =>
+      depth(j) == 0 && ts(j).kind == Word &&
+        Set("union", "intersect", "except", "minus", "select")(word(ts(j)))
+    }
+    if (predHasBranch) return None
     val pred = s.substring(ts(q).end, if (tail < ts.length) ts(tail).start
       else s.length).trim
     if (pred.isEmpty) return None

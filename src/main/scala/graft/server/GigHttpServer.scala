@@ -428,8 +428,8 @@ final class GigHttpServer(spark: SparkSession, root: String,
     // too small for PQ — necessarily surface via job status: deciding
     // them up front would cost the very Spark jobs the async contract
     // keeps off the handler thread.)
-    if (catalog.get(db, table).isEmpty) throw new BadRequest(
-      s"unknown table $db.$table")
+    val spec = catalog.get(db, table).getOrElse(throw new BadRequest(
+      s"unknown table $db.$table"))
     // mistyped numeric params 400 HERE (jsonInt/jsonTau are strict),
     // not as a failed async job discovered by polling
     jsonInt(j, "n"); jsonInt(j, "merges"); jsonTau(j): Unit
@@ -445,11 +445,12 @@ final class GigHttpServer(spark: SparkSession, root: String,
       // request-shape validation BEFORE accepting the job (ADVICE r9):
       // a mistyped {"column": ...} is the caller's 400 on the POST, not
       // a failed async build discovered by polling. The catalog spec's
-      // declared columns are available here without any Spark job;
-      // spec-less tables (schema known only from data) keep the
-      // build-time check as the backstop.
+      // declared columns are available here without any Spark job.
+      // Backstops stay build-time for shapes the spec can't decide:
+      // spec-less tables, and external-dataUrl tables whose parquet may
+      // carry columns the declaration omits (review r10).
       val column = jsonStr(j, "column").getOrElse("value")
-      val specCols = catalog.get(db, table).get.columns
+      val specCols = if (spec.dataUrl.isEmpty) spec.columns else Nil
       if (specCols.nonEmpty && !column.equalsIgnoreCase("__timestamp")) {
         specCols.find(_._1.equalsIgnoreCase(column)) match {
           case None => throw new BadRequest(

@@ -75,22 +75,29 @@ object ObjectStore {
   private val GuardedSecretKeys =
     Seq("endpoint", "access.key", "secret.key", "session.token")
 
-  def applySecretConfs(spark: SparkSession, confs: Map[String, String]): Unit = {
-    val c = spark.sparkContext.hadoopConfiguration
-    confs.foreach { case (k, v) =>
-      val guarded = GuardedSecretKeys.exists(g =>
-        k == s"fs.s3a.$g" ||
-          (k.startsWith("fs.s3a.bucket.") && k.endsWith(s".$g")))
-      val prev = if (guarded) c.get(k) else null
-      if (prev != null && prev != v)
-        throw new IllegalArgumentException(
-          s"CREATE SECRET conflicts with the existing configuration of " +
-            s"'$k': a secret must not silently swap configured " +
-            "credentials/endpoints; scope secrets to distinct buckets " +
-            "(SCOPE 's3://bucket') or restart with the new credentials")
+  // check-then-set below must be atomic: the HTTP handlers run on a
+  // thread pool, and two concurrent secrets for one bucket passing the
+  // guard together would last-write-wins — the exact swap the guard
+  // exists to prevent (review r10)
+  private val secretLock = new Object
+
+  def applySecretConfs(spark: SparkSession, confs: Map[String, String]): Unit =
+    secretLock.synchronized {
+      val c = spark.sparkContext.hadoopConfiguration
+      confs.foreach { case (k, v) =>
+        val guarded = GuardedSecretKeys.exists(g =>
+          k == s"fs.s3a.$g" ||
+            (k.startsWith("fs.s3a.bucket.") && k.endsWith(s".$g")))
+        val prev = if (guarded) c.get(k) else null
+        if (prev != null && prev != v)
+          throw new IllegalArgumentException(
+            s"CREATE SECRET conflicts with the existing configuration of " +
+              s"'$k': a secret must not silently swap configured " +
+              "credentials/endpoints; scope secrets to distinct buckets " +
+              "(SCOPE 's3://bucket') or restart with the new credentials")
+      }
+      confs.foreach { case (k, v) => c.set(k, v) }
     }
-    confs.foreach { case (k, v) => c.set(k, v) }
-  }
 
   /** Parse the reference's S3 URL grammar. Credentials with reserved
     * characters (':' '/' '@' '%' — AWS secrets routinely contain '/')

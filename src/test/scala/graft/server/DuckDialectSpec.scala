@@ -167,6 +167,20 @@ class DuckDialectSpec extends SparkSpec {
     // a subquery's own internal QUALIFY keyword at depth>=1 in the
     // FROM does not trigger the top-level rewrite path twice
     assert(rw("SELECT 'QUALIFY x' AS s FROM t") == "SELECT 'QUALIFY x' AS s FROM t")
+    // an identifier merely NAMED qualify (alias position) is never
+    // touched — the statement was valid Spark SQL before the rewrite
+    // existed (review r10)
+    val alias1 = "SELECT a FROM t qualify WHERE a > 0"
+    assert(rw(alias1) == alias1)
+    val alias2 = "SELECT a FROM t qualify JOIN u ON qualify.a = u.a"
+    assert(rw(alias2) == alias2)
+    val alias3 = "SELECT q.a FROM t qualify, u WHERE a > 0"
+    assert(rw(alias3) == alias3)
+    // QUALIFY on a NON-LAST set-op branch: the set op lands in the
+    // would-be predicate — bail, never emit mangled generated SQL
+    val headBranch = "SELECT k FROM a QUALIFY row_number()" +
+      " OVER (ORDER BY k) = 1 UNION ALL SELECT k FROM b"
+    assert(rw(headBranch) == headBranch)
   }
 
   test("QUALIFY + EXCLUDE execute end-to-end through spark.sql") {
