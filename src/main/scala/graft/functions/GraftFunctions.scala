@@ -164,6 +164,16 @@ object GraftFunctions {
     // exactly like ClickHouse — pass a unique `val` for determinism.
     reg("argMax")(es => MaxBy(es(0), es(1)).toAggregateExpression())
     reg("argMin")(es => MinBy(es(0), es(1)).toAggregateExpression())
+    // CH groupArray/groupUniqArray: Spark's collect_list/collect_set
+    // ARE the same aggregates (order within a group is arrival order —
+    // non-deterministic distributed, in both engines). anyLast = last
+    // non-null encountered (CH aggregates skip NULLs).
+    reg("groupArray")(es =>
+      aggregate.CollectList(es.head).toAggregateExpression())
+    reg("groupUniqArray")(es =>
+      aggregate.CollectSet(es.head).toAggregateExpression())
+    reg("anyLast")(es =>
+      aggregate.Last(es.head, ignoreNulls = true).toAggregateExpression())
     // CH uniq / uniqExact: HLL++ sketch (mergeable, fixed memory — the
     // 100 TB path) vs exact distinct count (expands the shuffle key)
     reg("uniq")(es => HyperLogLogPlusPlus(es.head).toAggregateExpression())

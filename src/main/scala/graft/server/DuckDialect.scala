@@ -579,8 +579,8 @@ object DuckDialect {
       "extractAll", "extractGroups", "ngramDistance", "ngramSearch",
       "arrayJoin", "arrayMap", "arrayFilter", "arrayExists", "arrayAll",
       "arrayCount", "arrayCumSum", "arrayDifference", "arrayEnumerate",
-      "arrayCompact", "arrayZip", "groupArray", "groupUniqArray",
-      "uniqCombined", "quantiles", "anyLast",
+      "arrayCompact", "arrayZip",
+      "uniqCombined", "quantiles",
       "runningDifference", "neighbor",
       // JSON
       "JSONExtractRaw", "JSONExtractArrayRaw", "JSONLength", "JSONType",

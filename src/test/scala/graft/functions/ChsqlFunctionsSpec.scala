@@ -140,4 +140,22 @@ class ChsqlFunctionsSpec extends SparkSpec {
     assert(one("leftPadUTF8('x', 3, '_')") == "__x")
     assert(one("rightPadUTF8('x', 3)") == "x  ")
   }
+
+  test("groupArray / groupUniqArray / anyLast aggregate forms") {
+    import spark.implicits._
+    Seq(("a", 1), ("a", 2), ("a", 2), ("b", 5)).toDF("k", "v")
+      .createOrReplaceTempView("gagg")
+    val r = spark.sql(
+      "SELECT k, groupArray(v) AS ga, groupUniqArray(v) AS gu, " +
+        "anyLast(v) AS al FROM gagg GROUP BY k ORDER BY k")
+      .collect()
+    assert(r(0).getSeq[Int](1).sorted == Seq(1, 2, 2))
+    assert(r(0).getSeq[Int](2).sorted == Seq(1, 2))
+    assert(Seq(1, 2).contains(r(0).getInt(3)))
+    assert(r(1).getSeq[Int](1) == Seq(5) && r(1).getInt(3) == 5)
+    // anyLast skips nulls (CH aggregate convention)
+    val n = spark.sql("SELECT anyLast(x) AS v FROM VALUES (1), (NULL) t(x)")
+      .collect()(0)
+    assert(n.getInt(0) == 1)
+  }
 }
