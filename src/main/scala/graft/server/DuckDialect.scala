@@ -65,12 +65,39 @@ object DuckDialect {
         .orElse(rewriteFirstTableFn(s, loc, confs))
         .orElse(rewriteFirstZeroArgCount(s))
         .orElse(rewriteFirstExclude(s))
-        .orElse(rewriteFirstQualify(s)) match {
+        .orElse(rewriteFirstQualify(s))
+        .orElse(rewriteFromFirst(s)) match {
         case Some(n) => s = n; guard += 1
         case None => done = true
       }
     }
     Rewritten(s, confs.toMap, urls.toSeq)
+  }
+
+  /** DuckDB FROM-first shorthand — a bare `FROM t [WHERE …] [LIMIT …]`
+    * is `SELECT * FROM …` (the first exploratory query a DuckDB user
+    * types: `FROM tbl LIMIT 5`). Only the select-less form rewrites:
+    * a statement that contains its own top-level SELECT later
+    * (`FROM t SELECT a, b` — DuckDB reorders clauses) stays untouched
+    * for a loud parse error rather than a guessed clause reordering. */
+  private def rewriteFromFirst(s: String): Option[String] = {
+    val ts = lex(s)
+    def word(t: Tok): String =
+      s.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
+    if (ts.isEmpty || ts.head.kind != Word || word(ts.head) != "from")
+      return None
+    var d = 0
+    var i = 0
+    while (i < ts.length) {
+      ts(i).kind match {
+        case Punct('(') => d += 1
+        case Punct(')') => d = math.max(0, d - 1)
+        case Word if d == 0 && word(ts(i)) == "select" => return None
+        case _ =>
+      }
+      i += 1
+    }
+    Some("SELECT * " + s)
   }
 
   /** DuckDB `* EXCLUDE (a, b)` / `* EXCLUDE a` → Spark's native

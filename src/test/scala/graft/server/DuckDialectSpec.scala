@@ -183,6 +183,22 @@ class DuckDialectSpec extends SparkSpec {
     assert(rw(headBranch) == headBranch)
   }
 
+  test("FROM-first shorthand becomes SELECT * (VERDICT r9 what's-missing #1)") {
+    assert(rw("FROM t") == "SELECT * FROM t")
+    assert(rw("FROM t WHERE a > 0 LIMIT 5") ==
+      "SELECT * FROM t WHERE a > 0 LIMIT 5")
+    assert(rw("from read_parquet('/x.parquet') limit 3") ==
+      "SELECT * from parquet.`/x.parquet` limit 3")
+    // a later top-level SELECT means DuckDB clause reordering — leave
+    // it for the parser rather than guessing
+    val reorder = "FROM t SELECT a, b"
+    assert(rw(reorder) == reorder)
+    // subquery SELECTs don't block the rewrite
+    assert(rw("FROM (SELECT 1 AS a)") == "SELECT * FROM (SELECT 1 AS a)")
+    // non-leading FROM is untouched
+    assert(rw("SELECT * FROM t") == "SELECT * FROM t")
+  }
+
   test("QUALIFY + EXCLUDE execute end-to-end through spark.sql") {
     import spark.implicits._
     Seq(("a", 1L), ("a", 3L), ("b", 2L)).toDF("k", "v")
