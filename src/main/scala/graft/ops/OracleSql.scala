@@ -21,4 +21,11 @@ object OracleSql {
     * 18 integer digits — far above any aggregate here. */
   def roundD(expr: String, scale: Int): String =
     s"CAST(round(CAST(CAST(($expr) AS VARCHAR) AS DECIMAL(38,20)), $scale) AS DOUBLE)"
+
+  /** SQL string literal with `''` doubling — the ONE escaping spelling
+    * every oracle builder interpolating user/trained text must use
+    * (review r10: four independent copies existed and the seed
+    * interpolations in ShardOps skipped escaping entirely, so a quote
+    * in a seed broke the oracle at differential-run time). */
+  def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 }

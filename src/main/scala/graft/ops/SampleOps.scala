@@ -89,17 +89,16 @@ object SampleOps {
     * returning the kept rows' (sourceExpr, keyExpr) subquery body. */
   def temperatureMixSql(targetFrac: Double, sourceCol: String,
                         keyExpr: String, table: String): String =
-    s"""SELECT d.* FROM $table d JOIN (
+    s"""WITH c AS (
+       |  SELECT $sourceCol AS __src, count(*) AS __n,
+       |    CAST(floor(sqrt(count(*))) AS BIGINT) AS __w
+       |  FROM $table GROUP BY 1)
+       |SELECT d.* FROM $table d JOIN (
        |  SELECT __src, least(1.0,
        |    CAST($targetFrac AS DOUBLE) * __bigN * __w / __z / __n) AS __rate
-       |  FROM (SELECT $sourceCol AS __src, count(*) AS __n,
-       |          CAST(floor(sqrt(count(*))) AS BIGINT) AS __w
-       |        FROM $table GROUP BY 1) c,
+       |  FROM c,
        |       (SELECT CAST(sum(__n) AS BIGINT) AS __bigN,
-       |               CAST(sum(__w) AS BIGINT) AS __z
-       |        FROM (SELECT count(*) AS __n,
-       |                CAST(floor(sqrt(count(*))) AS BIGINT) AS __w
-       |              FROM $table GROUP BY $sourceCol)) t
+       |               CAST(sum(__w) AS BIGINT) AS __z FROM c) t
        |) r ON d.$sourceCol = r.__src
        |WHERE ${bucketSql(keyExpr)} < CAST(floor(__rate * $SampleBuckets) AS BIGINT)""".stripMargin
 

@@ -221,13 +221,12 @@ object SearchOps {
     * integer sum — order-independent on both sides by construction. */
   def bm25BatchSql(queries: Seq[(Int, Seq[String])], k: Int = 10,
                    table: String = "documents"): String = {
-    def esc(t: String) = t.replace("'", "''")
     // lowercase like the face (doc tokens are lowercased in both engines)
     val qlc = queries.map { case (q, ts) => (q, ts.map(_.toLowerCase(java.util.Locale.ROOT))) }
     val allTerms = qlc.flatMap(_._2).distinct
-      .map(t => s"'${esc(t)}'").mkString(", ")
+      .map(OracleSql.sqlStr).mkString(", ")
     val qrows = qlc.flatMap { case (q, ts) =>
-      ts.distinct.map(t => s"($q, '${esc(t)}')") }.mkString(", ")
+      ts.distinct.map(t => s"($q, ${OracleSql.sqlStr(t)})") }.mkString(", ")
     val core = "ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
       s"(CAST(tf AS DOUBLE) * ${K1 + 1}) / " +
       s"(CAST(tf AS DOUBLE) + $K1 * (${1 - B} + $B * (dl / (CAST(sdl AS DOUBLE) / n))))"
@@ -267,9 +266,8 @@ object SearchOps {
               table: String = "documents"): String = {
     // mirror bm25's lowercase + dedupe exactly
     val terms = terms0.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
-    def esc(t: String) = t.replace("'", "''")
     val tfs = terms.zipWithIndex.map { case (t, i) =>
-      s"len(list_filter(w, x -> x = '${esc(t)}')) AS tf$i" }.mkString(", ")
+      s"len(list_filter(w, x -> x = ${OracleSql.sqlStr(t)})) AS tf$i" }.mkString(", ")
     val dfs = terms.indices.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
     val contribs = terms.indices.map { i =>

@@ -37,6 +37,25 @@ object ShardOps {
   private def ordHash(key: Column, seed: String): Column =
     md5(concat(lit(seed), lit("|"), key.cast("string")))
 
+  /** Shared shard/seq/step construction (review r10: this existed
+    * twice, and the bucket math + step formula must never diverge
+    * between the shuffle and curriculum faces). Input rows carry
+    * `__key` plus any passthrough columns; `orderPrefix` columns sort
+    * BEFORE the seeded order inside each shard (the curriculum stage). */
+  private def manifest(rows: DataFrame, seed: String, shards: Int,
+                       orderPrefix: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withOrd = rows
+      .withColumn("__ord", ordHash(col("__key"), seed))
+      .withColumn("shard",
+        (conv(substring(col("__ord"), 1, 15), 16, 10).cast("long") % shards)
+          .cast("int"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(orderPrefix :+ col("__ord") :+ col("__key"): _*)
+    withOrd.withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("step", (col("seq") - 1) * shards + col("shard"))
+  }
+
   /** Shuffle manifest: key → (shard, seq, step).
     *  - shard: top-60-bits-of-md5 bucket mod `shards` (uniform, stable)
     *  - seq:   this key's position within its shard's seeded order
@@ -44,16 +63,9 @@ object ShardOps {
     *           (exact permutation when shards are balanced; hash
     *           sharding keeps them balanced to O(√n) at any scale) */
   def shuffleManifest(df: DataFrame, key: Column, seed: String = Seed,
-                      shards: Int = Shards): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ord = ordHash(key, seed)
-    val shard = (conv(substring(ord, 1, 15), 16, 10).cast("long") % shards).cast("int")
-    val w = Window.partitionBy(col("shard")).orderBy(col("__ord"), col("__key"))
-    df.select(key.as("__key"), ord.as("__ord"), shard.as("shard"))
-      .withColumn("seq", row_number().over(w).cast("long"))
-      .select(col("__key").as("doc_id"), col("shard"), col("seq"),
-        ((col("seq") - 1) * shards + col("shard")).as("step"))
-  }
+                      shards: Int = Shards): DataFrame =
+    manifest(df.select(key.as("__key")), seed, shards, Nil)
+      .select(col("__key").as("doc_id"), col("shard"), col("seq"), col("step"))
 
   /** CURRICULUM manifest (p68): [[shuffleManifest]] with a curriculum
     * stage ordering the seeded shuffle — within each shard, `seq` sorts
@@ -66,17 +78,11 @@ object ShardOps {
     * shuffleManifest — shard hash map-side, one shard-keyed shuffle,
     * NO global sort (the bin prefix rides the in-partition sort). */
   def curriculumManifest(bins: DataFrame, seed: String = Seed,
-                         shards: Int = Shards): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ord = ordHash(col("doc_id"), seed)
-    val shard = (conv(substring(ord, 1, 15), 16, 10).cast("long") % shards).cast("int")
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("bin"), col("__ord"), col("doc_id"))
-    bins.select(col("doc_id"), col("bin"), ord.as("__ord"), shard.as("shard"))
-      .withColumn("seq", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("bin"), col("shard"), col("seq"),
-        ((col("seq") - 1) * shards + col("shard")).as("step"))
-  }
+                         shards: Int = Shards): DataFrame =
+    manifest(bins.select(col("doc_id").as("__key"), col("bin")),
+        seed, shards, Seq(col("bin")))
+      .select(col("__key").as("doc_id"), col("bin"), col("shard"),
+        col("seq"), col("step"))
 
   /** DuckDB oracle for [[curriculumManifest]] over p42's bins. */
   def curriculumManifestSql(nBins: Int = 10, seed: String = Seed,
@@ -85,7 +91,7 @@ object ShardOps {
     s"""WITH ${SampleOps.docBinsSqlCtes(nBins, table)},
        |t AS (
        |  SELECT doc_id, bin,
-       |    md5('$seed'||'|'||CAST(doc_id AS VARCHAR)) AS ord
+       |    md5(${OracleSql.sqlStr(seed)}||'|'||CAST(doc_id AS VARCHAR)) AS ord
        |  FROM binned),
        |s AS (
        |  SELECT doc_id, bin, ord,
@@ -105,7 +111,7 @@ object ShardOps {
                          keyExpr: String = "doc_id"): String =
     s"""WITH t AS (
        |  SELECT $keyExpr AS doc_id,
-       |    md5('$seed'||'|'||CAST($keyExpr AS VARCHAR)) AS ord
+       |    md5(${OracleSql.sqlStr(seed)}||'|'||CAST($keyExpr AS VARCHAR)) AS ord
        |  FROM $table),
        |s AS (
        |  SELECT doc_id, ord,

@@ -224,13 +224,19 @@ object UnigramOps {
 
   // ---- DuckDB oracle ----
 
-  /** SQL string literal (single quotes doubled). */
-  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** SQL string literal — the ONE shared escaping spelling. */
+  private def sqlStr(s: String): String = OracleSql.sqlStr(s)
 
-  /** Rendered piece table as VALUES rows. */
-  private def piecesValues(pieces: Seq[Piece]): String =
+  /** Rendered piece table as VALUES rows. An empty model would render
+    * `VALUES ` — invalid SQL that fails at differential-compare time
+    * far from the cause (review r10; the bpeTrainSql require is the
+    * precedent) — so it fails fast here instead. */
+  private def piecesValues(pieces: Seq[Piece]): String = {
+    require(pieces.nonEmpty,
+      "unigram oracle needs a non-empty piece table (train produced none)")
     pieces.map(p => s"(${sqlStr(p.piece)}, ${p.qcost})")
       .mkString(", ")
+  }
 
   /** Recursive-CTE Viterbi over the rendered pieces: for every word in
     * `wordsCte` (column `w`), the minimal cost' reachable at each
