@@ -71,6 +71,11 @@ object AsOfJoin {
     val r = right
       .select(col(key), col(rightTime).cast("long").as("__t"), lit(0).as("__side"),
         struct(rightCols.map(col): _*).as("__p"))
+      // a null right time would sort FIRST (asc-nulls-first) and its
+      // payload struct (non-null even with null fields) would carry
+      // onto every left row before the first real right row; SQL ASOF
+      // semantics (rts <= t is NULL) match nothing — drop it (review r10)
+      .filter(col("__t").isNotNull)
 
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

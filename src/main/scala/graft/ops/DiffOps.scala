@@ -20,13 +20,22 @@ object DiffOps {
   /** Per-document diff ledger: `doc_id, status` with status ∈
     * {added, removed, changed, unchanged} from old → new. */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val a = oldDocs.select(col("doc_id"), md5(col("text")).as("__ha"))
-    val b = newDocs.select(col("doc_id"), md5(col("text")).as("__hb"))
+    // presence must be its OWN indicator, not hash-nullness (review
+    // r10): md5(null text) is null, so a null-text doc would read as
+    // absent-from-its-own-side — 'removed' reported 'added', and the
+    // oracle (which tests doc_id nullness) disagreeing on every
+    // null-text row. The hash comparison is null-safe on both sides
+    // (<=> here, IS DISTINCT FROM in the oracle): null vs non-null
+    // text is 'changed', null vs null is 'unchanged'.
+    val a = oldDocs.select(col("doc_id"), md5(col("text")).as("__ha"),
+      lit(true).as("__ina"))
+    val b = newDocs.select(col("doc_id"), md5(col("text")).as("__hb"),
+      lit(true).as("__inb"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("__ha").isNull, "added")
-          .when(col("__hb").isNull, "removed")
-          .when(col("__ha") =!= col("__hb"), "changed")
+        when(col("__ina").isNull, "added")
+          .when(col("__inb").isNull, "removed")
+          .when(!(col("__ha") <=> col("__hb")), "changed")
           .otherwise("unchanged").as("status"))
   }
 
@@ -60,7 +69,7 @@ object DiffOps {
        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
        |  CASE WHEN a.doc_id IS NULL THEN 'added'
        |       WHEN b.doc_id IS NULL THEN 'removed'
-       |       WHEN a.ha != b.hb THEN 'changed'
+       |       WHEN a.ha IS DISTINCT FROM b.hb THEN 'changed'
        |       ELSE 'unchanged' END AS status
        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
        |ORDER BY doc_id""".stripMargin

@@ -172,9 +172,10 @@ object PqOps {
     val sub = dims / M
     val spark = queries.sparkSession
     import spark.implicits._
-    val cents = index.books.zipWithIndex.flatMap { case (book, j) =>
-      book.zipWithIndex.map { case (cv, c) => (j, c, cv) }
-    }.toSeq.toDF("j", "c", "cv")
+    // the ONE codebook-frame spelling (review r10: this was a second
+    // inline copy of booksDf, whose doc exists precisely so the probe
+    // path and the published _pq_books view cannot drift)
+    val cents = booksDf(spark, index.books)
     val q = queries
       .select(col("vec_id").as("qid"),
         SimilarityOps.normalized(col("embedding")).as("qv"))

@@ -33,8 +33,14 @@ object RangeJoin {
     require(collisions.isEmpty, s"column collision beyond the key: $collisions")
     // DIV, not `/`: long `/` is DOUBLE division, and ns-epochs exceed
     // 2^53 — double rounding would put points in the wrong bucket
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "pointInInterval: column name '__b' is reserved by the implementation")
     val p = points.withColumn("__b", expr(s"$pointTime DIV ${bucketNs}L"))
-    val iv = intervals.withColumn("__b",
+    // inverted intervals (end < start) must match NOTHING — but Spark's
+    // sequence(start, stop) defaults to step -1 when start > stop, so
+    // one corrupt row would explode a huge DESCENDING bucket range (or
+    // kill the job at the array-size limit) instead of zero (review r10)
+    val iv = intervals.filter(col(ivEnd) >= col(ivStart)).withColumn("__b",
       explode(sequence(expr(s"$ivStart DIV ${bucketNs}L"), expr(s"$ivEnd DIV ${bucketNs}L"))))
     p.join(iv, Seq(key, "__b"))
       .filter(col(pointTime).between(col(ivStart), col(ivEnd)))

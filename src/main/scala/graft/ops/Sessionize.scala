@@ -20,6 +20,13 @@ object Sessionize {
   /** Adds `session_seq` (0-based per key, in time order). */
   def sessionize(df: DataFrame, key: String, timeCol: String, tieCol: String,
                  gapNs: Long): DataFrame = {
+    // reserved internals / output name (the asof precedent): a caller
+    // column named __new would be silently replaced then dropped, an
+    // existing session_seq silently clobbered — fail loudly (review r10)
+    Seq("__new", "session_seq").foreach { n =>
+      require(!df.columns.contains(n),
+        s"sessionize: column name '$n' is reserved by the implementation")
+    }
     val w = Window.partitionBy(col(key)).orderBy(col(timeCol), col(tieCol))
     df
       // lag is null on each key's first row -> otherwise(0): first event

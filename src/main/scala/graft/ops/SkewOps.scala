@@ -26,6 +26,10 @@ object SkewOps {
     * (dimension) side: its replication factor is `salt`. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // reserved internal (the asof precedent): a caller's __salt would
+    // be silently overwritten and change the join result (review r10)
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin: column name '__salt' is reserved by the implementation")
     val l = left.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val r = right.withColumn("__salt",

@@ -36,6 +36,10 @@ object TimeSeriesOps {
     * cannot exist since the grid starts at the key's min). */
   def gapFill(ev: DataFrame, key: String, timeCol: String, valCol: String,
               bucketNs: Long): DataFrame = {
+    // a zero bucket silently yields an empty frame in non-ANSI Spark
+    // (pmod/DIV by 0 -> null everywhere) — fail loudly instead, the
+    // RangeJoin precedent (review r10)
+    require(bucketNs > 0, "bucketNs must be positive")
     // FLOOR division, not DIV: Spark DIV truncates toward zero while the
     // DuckDB oracle's // floors, so a pre-1970 (negative-ns) timestamp
     // would bucket differently between engines. pmod is non-negative, so
@@ -91,6 +95,13 @@ object TimeSeriesOps {
   def windowFunnel(ev: DataFrame, key: String, timeCol: String, tieCol: String,
                    stages: Seq[Column], windowNs: Long): DataFrame = {
     require(stages.nonEmpty, "windowFunnel needs at least one stage")
+    // reserved internals (the asof precedent): a caller column named
+    // s<j> would be silently overwritten — and silently CORRUPT the
+    // result if a stage condition references it (review r10)
+    (1 to stages.size).map(j => s"s$j").foreach { n =>
+      require(!ev.columns.contains(n),
+        s"windowFunnel: column name '$n' is reserved by the implementation")
+    }
     val wPrev = Window.partitionBy(key).orderBy(col(timeCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val t = col(timeCol)
@@ -115,13 +126,13 @@ object TimeSeriesOps {
       s"""WITH e0 AS (
          |  SELECT user_id, epoch_ns(ts) AS t, event_id, event_type
          |  FROM events),
-         |e1 AS (SELECT *, CASE WHEN event_type = '${stages.head}' THEN t END AS s1 FROM e0)""".stripMargin
+         |e1 AS (SELECT *, CASE WHEN event_type = ${OracleSql.sqlStr(stages.head)} THEN t END AS s1 FROM e0)""".stripMargin
     val layers = stages.zipWithIndex.drop(1).map { case (st, i) =>
       val j = i + 1
       s"""m$i AS (SELECT *, max(s$i) OVER (PARTITION BY user_id
          |    ORDER BY t, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx$i FROM ${if (i == 1) "e1" else s"m${i - 1}x"}),
-         |m${i}x AS (SELECT *, CASE WHEN event_type = '$st'
+         |m${i}x AS (SELECT *, CASE WHEN event_type = ${OracleSql.sqlStr(st)}
          |    AND t - mx$i <= $windowNs THEN mx$i END AS s$j FROM m$i)""".stripMargin
     }
     val lvl = (stages.size to 1 by -1)
@@ -156,7 +167,7 @@ object TimeSeriesOps {
   def retentionSql(originNs: Long, weekNs: Long, weeks: Int,
                    eventType: String): String = {
     val fs = (0 until weeks).map(i =>
-      s"""max(CASE WHEN event_type = '$eventType'
+      s"""max(CASE WHEN event_type = ${OracleSql.sqlStr(eventType)}
          |    AND (epoch_ns(ts) - $originNs) // $weekNs = $i
          |    THEN 1 ELSE 0 END) AS f$i""".stripMargin)
     val rs = (0 until weeks).map(i => if (i == 0) "f0 AS r0" else s"f0 * f$i AS r$i")

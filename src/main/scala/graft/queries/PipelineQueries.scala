@@ -297,9 +297,15 @@ object PipelineQueries {
     //      so the flags actually discriminate at test SFs) — one keyed
     //      partial-agged aggregate, order-independent ----
     "p24_retention" -> ((s, dir) => {
+      // FLOOR-divide into weeks (pmod device), matching the oracle's
+      // DuckDB `//`: plain DIV truncates toward zero, which would file
+      // a pre-origin event into week 0 while the oracle says week -1
+      // (review r10; latent at test SFs — generated events start after
+      // the origin — but a contract divergence, the gapFill trap)
+      val diff = s"((ts DIV 1000) * 1000 - $RetentionOriginNs)"
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_type"),
-          expr(s"((ts DIV 1000) * 1000 - $RetentionOriginNs) DIV $WeekNs").as("wk"))
+          expr(s"($diff - pmod($diff, ${WeekNs}L)) DIV ${WeekNs}L").as("wk"))
       TimeSeriesOps.retention(ev, key = "user_id",
         conds = (0 until RetentionWeeks).map(i =>
           col("event_type") === RetentionEvent && col("wk") === i))

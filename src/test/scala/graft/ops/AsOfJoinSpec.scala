@@ -34,6 +34,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("v")), "and carry its null value")
   }
 
+  test("a right row with NULL time matches nothing (SQL ASOF semantics, review r10)") {
+    // null __t sorted first (asc-nulls-first) and its payload struct
+    // carried onto every left row before the first real right row
+    val left = Seq(("a", 5L)).toDF("k", "lt")
+    val right = Seq(("a", Option.empty[Long], 30.0), ("a", Some(10L), 99.0))
+      .toDF("k", "rt", "v")
+    val r = AsOfJoin.asof(left, right, key = "k", leftTime = "lt",
+      rightTime = "rt", rightCols = Seq("v")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("v")), r.toString)
+  }
+
   test("left row count and columns are preserved") {
     val left = spark.range(100).select(lit("k").as("k"), $"id".as("lt"), ($"id" * 2).as("x"))
     val right = spark.range(10).select(lit("k").as("k"), ($"id" * 10).as("rt"), $"id".as("rv"))

@@ -31,6 +31,22 @@ class DiffOpsSpec extends SparkSpec {
     }
   }
 
+  test("null text is presence, not absence (review r10)") {
+    // md5(null) is null: with hash-nullness as the presence proxy a
+    // null-text doc read as absent-from-its-own-side
+    val oldS = Seq((1L, Option.empty[String]), (2L, Some("x")),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    val newS = Seq((2L, Option.empty[String]), (3L, Option.empty[String]),
+      (4L, Option.empty[String])).toDF("doc_id", "text")
+    val r = DiffOps.snapshotDiff(oldS, newS).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(
+      1L -> "removed",   // null text, old only — NOT 'added'
+      2L -> "changed",   // "x" -> null is a content change
+      3L -> "unchanged", // null -> null
+      4L -> "added"))
+  }
+
   test("diff never shuffles document text, only hashes") {
     val docs = (0L until 50L).map(i => (i, s"t $i")).toDF("doc_id", "text")
     val plan = DiffOps.snapshotDiff(DiffOps.snapshotA(docs),

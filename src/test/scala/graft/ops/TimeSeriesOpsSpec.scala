@@ -29,6 +29,19 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got == 1)
   }
 
+  test("an inverted interval (end < start) matches nothing, cheaply (review r10)") {
+    // sequence(start, stop) defaults to step -1 when start > stop: one
+    // corrupt row would explode a huge descending bucket range instead
+    // of matching zero points
+    val points = Seq(("k", 100L)).toDF("k", "pt")
+    val ivs = Seq(("k", 3_600_000_000_000_000_000L, 0L, "bad"),
+      ("k", 50L, 200L, "good")).toDF("k", "s0", "e0", "tag")
+    val r = RangeJoin.pointInInterval(points, ivs, key = "k",
+      pointTime = "pt", ivStart = "s0", ivEnd = "e0",
+      bucketNs = 3_600_000_000_000L).select("tag").collect().map(_.getString(0))
+    assert(r.toSeq == Seq("good"))
+  }
+
   test("sessionize splits on gaps > gapNs, numbering deterministically") {
     val df = Seq(
       ("a", 1L, 0L), ("a", 2L, 10L), ("a", 3L, 31L),  // gap 21 > 20 -> new session
