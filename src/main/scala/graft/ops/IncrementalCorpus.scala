@@ -32,18 +32,34 @@ object IncrementalCorpus {
     * band, bh)` verified ≥ tau against `shingles(corpus_id, sh)`).
     * Docs too short to shingle pass the near screen vacuously (they
     * cannot band-collide), exactly like the streaming face. */
-  def screen(newDocs: DataFrame, fps: DataFrame, bandIndex: DataFrame,
-             shingles: DataFrame, tau: Double, n: Int = 3): DataFrame = {
-    val exactNew = newDocs
-      .withColumn("__fp", md5(col("text")))
+  /** Content fingerprint — md5(coalesce(text,'')), the
+    * DedupOps.memberMap contract (review r10): raw md5(text) is null
+    * for null text, and a null key never joins, so null-text
+    * duplicates silently passed the exact screen on both faces (the
+    * oracle is updated in lockstep — it had the same null-IN gap). */
+  private def fpCol = md5(coalesce(col("text"), lit("")))
+
+  /** New docs whose content fingerprint is NOT in the seen set — the
+    * exact screen both faces share (review r10: it existed twice). */
+  private def exactSurvivors(newDocs: DataFrame, fps: DataFrame): DataFrame =
+    newDocs.withColumn("__fp", fpCol)
       .join(fps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
-    val cands = bandCandidates(exactNew, bandIndex, n)
-    val dupIds = cands.join(shingles, "corpus_id")
+
+  /** doc_ids among `cands` with exact Jaccard >= tau against their
+    * colliding corpus doc — the ONE verify spelling (review r10). */
+  private def nearDupIds(cands: DataFrame, shingles: DataFrame,
+                         tau: Double): DataFrame =
+    cands.join(shingles, "corpus_id")
       .withColumn("__inter", size(array_intersect(col("__sh"), col("sh"))))
       .filter(col("__inter").cast("double") /
         (size(col("__sh")) + size(col("sh")) - col("__inter")) >= tau)
       .select("doc_id").distinct()
+
+  def screen(newDocs: DataFrame, fps: DataFrame, bandIndex: DataFrame,
+             shingles: DataFrame, tau: Double, n: Int = 3): DataFrame = {
+    val exactNew = exactSurvivors(newDocs, fps)
+    val dupIds = nearDupIds(bandCandidates(exactNew, bandIndex, n), shingles, tau)
     exactNew.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
@@ -73,7 +89,7 @@ object IncrementalCorpus {
   /** Distinct content fingerprints of a batch — the exact-dedup face of
     * the state. */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(md5(col("text")).as("fp")).distinct()
+    docs.select(fpCol.as("fp")).distinct()
 
   /** [[screen]] with the audit trail kept: every new doc gets a fate —
     * `exact` (content fingerprint already in the corpus), `near` (a
@@ -89,20 +105,13 @@ object IncrementalCorpus {
     * of drops are dimension-small relative to the batch. */
   def screenReport(newDocs: DataFrame, fps: DataFrame, bandIndex: DataFrame,
                    shingles: DataFrame, tau: Double, n: Int = 3): DataFrame = {
-    val withFp = newDocs.withColumn("__fp", md5(col("text")))
-    val exactIds = withFp
+    val exactIds = newDocs.withColumn("__fp", fpCol)
       .join(fps.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")
       .select(col("doc_id"), lit("exact").as("fate"))
-    val exactNew = withFp
-      .join(fps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
-      .drop("__fp")
-    val cands = bandCandidates(exactNew, bandIndex, n)
-    val nearIds = cands.join(shingles, "corpus_id")
-      .withColumn("__inter", size(array_intersect(col("__sh"), col("sh"))))
-      .filter(col("__inter").cast("double") /
-        (size(col("__sh")) + size(col("sh")) - col("__inter")) >= tau)
-      .select(col("doc_id")).distinct()
-      .select(col("doc_id"), lit("near").as("fate"))
+    val exactNew = exactSurvivors(newDocs, fps)
+    val nearIds =
+      nearDupIds(bandCandidates(exactNew, bandIndex, n), shingles, tau)
+        .select(col("doc_id"), lit("near").as("fate"))
     val dropped = exactIds.unionByName(nearIds)
     newDocs.select("doc_id")
       .join(dropped, Seq("doc_id"), "left")
@@ -128,7 +137,8 @@ object IncrementalCorpus {
        |  WHERE ${SampleOps.bucketSql("doc_id")} >= $seenBuckets),
        |exact AS (
        |  SELECT n.doc_id FROM newb n
-       |  WHERE md5(n.text) IN (SELECT md5(text) FROM seen)),
+       |  WHERE md5(coalesce(n.text, '')) IN
+       |    (SELECT md5(coalesce(text, '')) FROM seen)),
        |survivors AS (SELECT * FROM newb WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
        |ssh AS (
        |  SELECT doc_id, list_distinct(list_transform(

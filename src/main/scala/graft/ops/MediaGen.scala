@@ -177,20 +177,32 @@ object MediaGen {
     *  - video: frame i is uniform gray → f_i = (32·3·g) / (32·765.0),
     *    frames ≥ GifFrames stay exactly 0
     */
+  /** Integer (r+g+b) pixel-sum terms of grid cell c — the ONE
+    * synthetic-pixel spelling the decode oracle (p11) and the aHash
+    * oracle (p78) share (review r10: a formula change applied to one
+    * copy would make the two oracles disagree about the same bytes). */
+  private def imgCellTerms(c: Int): String = {
+    val row = c / 4; val col = c % 4
+    val terms = for (y <- Seq(2 * row, 2 * row + 1); x <- Seq(2 * col, 2 * col + 1))
+      yield s"3*((doc_id*31 + ${x * 7 + y * 13}) % 256)"
+    s"(${terms.mkString(" + ")})"
+  }
+
+  /** Exact integer Σs² terms of audio window w — shared by the decode
+    * (p11) and energy-hash (p79) oracles, same rationale. */
+  private def audioWinTerms(w: Int): String = {
+    val terms = for (f <- (8 * w) until (8 * w + 8)) yield {
+      val s = s"((doc_id*7919 + ${f * 104729L}) % 65536 - 32768)"
+      s"$s*$s"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
+
   def decodeSql(fIdx: Seq[Int]): String = {
-    def imgCell(c: Int): String = {
-      val row = c / 4; val col = c % 4
-      val terms = for (y <- Seq(2 * row, 2 * row + 1); x <- Seq(2 * col, 2 * col + 1))
-        yield s"3*((doc_id*31 + ${x * 7 + y * 13}) % 256)"
-      s"CAST(CAST((${terms.mkString(" + ")}) / (4*765.0) AS REAL) AS DOUBLE)"
-    }
-    def audioWin(w: Int): String = {
-      val terms = for (f <- (8 * w) until (8 * w + 8)) yield {
-        val s = s"((doc_id*7919 + ${f * 104729L}) % 65536 - 32768)"
-        s"$s*$s"
-      }
-      s"CAST(CAST(sqrt((${terms.mkString(" + ")}) / (8*32768.0*32768.0)) AS REAL) AS DOUBLE)"
-    }
+    def imgCell(c: Int): String =
+      s"CAST(CAST(${imgCellTerms(c)} / (4*765.0) AS REAL) AS DOUBLE)"
+    def audioWin(w: Int): String =
+      s"CAST(CAST(sqrt(${audioWinTerms(w)} / (8*32768.0*32768.0)) AS REAL) AS DOUBLE)"
     def gifFrame(i: Int): String =
       if (i >= GifFrames) "CAST(0.0 AS DOUBLE)"
       else s"CAST(CAST((${GifW * GifH}*3*((doc_id*17 + ${i * 29}) % 256)) " +
@@ -231,21 +243,10 @@ object MediaGen {
     * integers — the p11 inductive pattern, extended from features to
     * the dedup KEY. */
   def imageAHashSql(table: String = "documents"): String =
-    fingerprintSql(c => {
-      val row = c / 4; val col = c % 4
-      val terms = for (y <- Seq(2 * row, 2 * row + 1); x <- Seq(2 * col, 2 * col + 1))
-        yield s"3*((doc_id*31 + ${x * 7 + y * 13}) % 256)"
-      s"(${terms.mkString(" + ")})"
-    }, kindMod = 0, table)
+    fingerprintSql(imgCellTerms, kindMod = 0, table)
 
   /** Oracle for the audio energy fingerprint (p79): window w's exact
     * integer Σs² from the synthetic PCM formula. */
   def audioEnergyHashSql(table: String = "documents"): String =
-    fingerprintSql(w => {
-      val terms = for (f <- (8 * w) until (8 * w + 8)) yield {
-        val s = s"((doc_id*7919 + ${f * 104729L}) % 65536 - 32768)"
-        s"$s*$s"
-      }
-      s"(${terms.mkString(" + ")})"
-    }, kindMod = 1, table)
+    fingerprintSql(audioWinTerms, kindMod = 1, table)
 }

@@ -271,10 +271,19 @@ object ModelOps {
       .select(explode(arrays_zip(col("__ctx"), col("__big"))).as("__z"))
       .select(pplBucket(col("__z")("__ctx")).as("b1"),
         pplBucket(col("__z")("__big")).as("b12"))
+    // ONE corpus pass (review r10): the two collect() actions each
+    // re-ran the full tokenize+hash+explode lineage (exchange reuse
+    // does not span actions). The (b1, b12) pair pre-aggregate is
+    // bigramPerplexity's cnt shape — bounded by PplBuckets² (4096²)
+    // worst-case and by distinct observed bigrams in practice — and
+    // both maps marginalize from it after one materialization.
+    val cnt = inst.groupBy("b1", "b12").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     def toMap(df: DataFrame): Map[Long, Long] =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (toMap(inst.groupBy("b12").agg(count(lit(1)).as("c"))),
-      toMap(inst.groupBy("b1").agg(count(lit(1)).as("c"))))
+    try (toMap(cnt.groupBy("b12").agg(sum(col("c")).as("c"))),
+      toMap(cnt.groupBy("b1").agg(sum(col("c")).as("c"))))
+    finally DedupOps.freeCheckpoint(cnt)
   }
 
   /** The per-doc LM bits as ONE struct column `(n_big, qsum,

@@ -50,7 +50,13 @@ object MultimodalOps {
     * integer (r+g+b) sums with ONE double division per cell — order-
     * independent and bit-replayable in SQL. Cells outside a tiny image
     * stay 0. */
-  private def luminanceGrid(img: java.awt.image.BufferedImage): Array[Float] = {
+  /** Exact integer (r+g+b) luminance sums + pixel counts per 2×4 grid
+    * cell — the ONE cell-accumulation spelling the feature face
+    * (luminanceGrid) and the dedup-key face (imageAHash) both build on
+    * (review r10: it existed twice; the oracles assume one grid
+    * definition). */
+  private def cellSums(
+      img: java.awt.image.BufferedImage): (Array[Long], Array[Long]) = {
     val (w, h) = (img.getWidth, img.getHeight)
     val sum = new Array[Long](FeatureDims)
     val cnt = new Array[Long](FeatureDims)
@@ -67,6 +73,17 @@ object MultimodalOps {
       }
       y += 1
     }
+    (sum, cnt)
+  }
+
+  /** Guarded ImageIO decode — None for unrecognized/corrupt bytes (the
+    * ONE decode spelling; review r10: it was inlined four times). */
+  private[ops] def safeImageRead(
+      media: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media)))
+
+  private def luminanceGrid(img: java.awt.image.BufferedImage): Array[Float] = {
+    val (sum, cnt) = cellSums(img)
     Array.tabulate(FeatureDims)(i =>
       if (cnt(i) == 0) 0f else (sum(i) / (cnt(i) * 765.0)).toFloat)
   }
@@ -79,9 +96,8 @@ object MultimodalOps {
     * rather than return null — the contract is one bad asset degrades to
     * null features, never a failed job). */
   private[ops] def imageDecode(media: Array[Byte]): Option[(Int, Int, Array[Float])] = try {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
-    if (img == null) None
-    else Some((img.getWidth, img.getHeight, luminanceGrid(img)))
+    safeImageRead(media).map(img =>
+      (img.getWidth, img.getHeight, luminanceGrid(img)))
   } catch { // IIOException on corrupt body; some plugins throw unchecked
     case _: java.io.IOException | _: RuntimeException => None
   }
@@ -92,7 +108,15 @@ object MultimodalOps {
     * FeatureDims frames; missing frames stay exactly 0); width/height
     * come from frame 0. Returns None for containers the JDK can't read
     * (mp4 …) or corrupt bytes. */
-  private[ops] def videoDecode(media: Array[Byte]): Option[(Int, Int, Array[Float])] = try {
+  /** Run `f` against ImageIO's sequence reader for `media`, holding the
+    * reader lifecycle (input stream, setInput, dispose/close ordering)
+    * in ONE place (review r10: videoDecode and extractFrames carried
+    * verbatim copies). None when no installed reader claims the bytes.
+    * `f`'s result must be fully materialized before returning — the
+    * reader is disposed on exit; decode exceptions propagate to the
+    * caller's catch. */
+  private def withFrameReader[T](media: Array[Byte])(
+      f: javax.imageio.ImageReader => T): Option[T] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(media))
     try {
@@ -100,37 +124,41 @@ object MultimodalOps {
       if (!readers.hasNext) None
       else {
         val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          val n = reader.getNumImages(true)
-          if (n <= 0) None
-          else {
-            var w0 = 0; var h0 = 0
-            val feat = new Array[Float](FeatureDims)
-            var i = 0
-            while (i < n && i < FeatureDims) {
-              val img = reader.read(i)
-              if (i == 0) { w0 = img.getWidth; h0 = img.getHeight }
-              // per-frame mean luminance: exact integer sum, one division
-              var sum = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val rgb = img.getRGB(x, y)
-                  sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                  x += 1
-                }
-                y += 1
-              }
-              feat(i) = (sum / (img.getWidth.toLong * img.getHeight * 765.0)).toFloat
-              i += 1
-            }
-            Some((w0, h0, feat))
-          }
-        } finally reader.dispose()
+        try { reader.setInput(iis); Some(f(reader)) }
+        finally reader.dispose()
       }
     } finally iis.close()
+  }
+
+  private[ops] def videoDecode(media: Array[Byte]): Option[(Int, Int, Array[Float])] = try {
+    withFrameReader(media) { reader =>
+      val n = reader.getNumImages(true)
+      if (n <= 0) None
+      else {
+        var w0 = 0; var h0 = 0
+        val feat = new Array[Float](FeatureDims)
+        var i = 0
+        while (i < n && i < FeatureDims) {
+          val img = reader.read(i)
+          if (i == 0) { w0 = img.getWidth; h0 = img.getHeight }
+          // per-frame mean luminance: exact integer sum, one division
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          feat(i) = (sum / (img.getWidth.toLong * img.getHeight * 765.0)).toFloat
+          i += 1
+        }
+        Some((w0, h0, feat))
+      }
+    }.flatten
   } catch {
     case _: java.io.IOException | _: RuntimeException => None
   }
@@ -280,25 +308,8 @@ object MultimodalOps {
     * brightness scale shift that preserves ordering — the classic
     * near-dup key for image dedup. */
   private[ops] def imageAHash(media: Array[Byte]): Option[Int] = try {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
-    if (img == null) None
-    else {
-      val (w, h) = (img.getWidth, img.getHeight)
-      val sum = new Array[Long](FeatureDims)
-      val cnt = new Array[Long](FeatureDims)
-      var y = 0
-      while (y < h) {
-        val row = (y * 2) / h
-        var x = 0
-        while (x < w) {
-          val cell = row * 4 + (x * 4) / w
-          val rgb = img.getRGB(x, y)
-          sum(cell) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-          cnt(cell) += 1
-          x += 1
-        }
-        y += 1
-      }
+    safeImageRead(media).map { img =>
+      val (sum, cnt) = cellSums(img)
       val totalSum = sum.sum
       val totalCnt = cnt.sum
       var bits = 0
@@ -308,7 +319,7 @@ object MultimodalOps {
           bits |= 1 << c
         c += 1
       }
-      Some(bits)
+      bits
     }
   } catch {
     case _: java.io.IOException | _: RuntimeException => None
@@ -392,36 +403,26 @@ object MultimodalOps {
           val kind = r.getString(2)
           if (media == null || kind == null || !kind.startsWith("video/")) Iterator.empty
           else try {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(media))
-            try {
-              val readers = javax.imageio.ImageIO.getImageReaders(iis)
-              if (!readers.hasNext) Iterator.empty
-              else {
-                val reader = readers.next()
-                try {
-                  reader.setInput(iis)
-                  val n = reader.getNumImages(true)
-                  // materialize inside the reader's lifetime: the
-                  // iterator must not outlive reader.dispose()
-                  (0 until n by step).map { i =>
-                    val src = reader.read(i)
-                    // normalize onto a plain sRGB canvas: encoding the
-                    // reader's palette image directly makes the JDK PNG
-                    // writer emit a gAMA chunk that shifts every pixel
-                    // (85 -> 156) on the next decode
-                    val img = new java.awt.image.BufferedImage(src.getWidth,
-                      src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
-                    val g2 = img.createGraphics()
-                    g2.drawImage(src, 0, 0, null)
-                    g2.dispose()
-                    val out = new java.io.ByteArrayOutputStream()
-                    javax.imageio.ImageIO.write(img, "png", out)
-                    Row(r.getLong(0), i, out.toByteArray, img.getWidth, img.getHeight)
-                  }.iterator
-                } finally reader.dispose()
+            withFrameReader(media) { reader =>
+              val n = reader.getNumImages(true)
+              // materialize inside the reader's lifetime: the rows must
+              // not be produced lazily after reader.dispose()
+              (0 until n by step).map { i =>
+                val src = reader.read(i)
+                // normalize onto a plain sRGB canvas: encoding the
+                // reader's palette image directly makes the JDK PNG
+                // writer emit a gAMA chunk that shifts every pixel
+                // (85 -> 156) on the next decode
+                val img = new java.awt.image.BufferedImage(src.getWidth,
+                  src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g2 = img.createGraphics()
+                g2.drawImage(src, 0, 0, null)
+                g2.dispose()
+                val out = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "png", out)
+                Row(r.getLong(0), i, out.toByteArray, img.getWidth, img.getHeight)
               }
-            } finally iis.close()
+            }.map(_.iterator).getOrElse(Iterator.empty)
           } catch {
             case _: java.io.IOException | _: RuntimeException => Iterator.empty
           }
@@ -459,7 +460,7 @@ object MultimodalOps {
           if (media == null || kind == null || !kind.startsWith("image/")) passThrough
           else {
             val decoded =
-              try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media)))
+              try safeImageRead(media)
               catch { case _: java.io.IOException | _: RuntimeException => None }
             decoded match {
               case None => Row(r.getLong(0), null, Row(kind, 0, null, null, false))
@@ -482,12 +483,19 @@ object MultimodalOps {
   /** Frame sampling: cut `frames` fixed-offset byte windows per asset —
     * the video-frame-extraction dataflow shape (explode → per-frame rows,
     * all columnar; a real codec would seek keyframes instead of offsets). */
-  def sampleFrames(assets: DataFrame, frames: Int, frameBytes: Int): DataFrame =
+  def sampleFrames(assets: DataFrame, frames: Int, frameBytes: Int): DataFrame = {
+    // frames=0 would NOT be empty: sequence(0, -1) descends (default
+    // step -1) and emits two bogus frame rows per asset with negative-
+    // offset substring garbage (review r10; the sibling ops' require
+    // precedent)
+    require(frames > 0, "sampleFrames: frames must be positive")
+    require(frameBytes > 0, "sampleFrames: frameBytes must be positive")
     assets.select(col("doc_id"), col("media"),
         explode(sequence(lit(0), lit(frames - 1))).as("frame"))
       .filter(octet_length(col("media")) > col("frame") * frameBytes)
       .select(col("doc_id"), col("frame"),
         expr(s"substring(media, frame * $frameBytes + 1, $frameBytes)").as("frame_bytes"))
+  }
 
   /** Bilinear downscale + PNG re-encode — the one pixel resampler both
     * resize faces share (JDK-only: Graphics2D bilinear interpolation). */
@@ -512,7 +520,7 @@ object MultimodalOps {
   private def resampleToBudget(media: Array[Byte],
                                maxBytes: Int): Option[(Array[Byte], Int, Int)] =
     try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media)))
+      safeImageRead(media)
         .flatMap { img =>
           var scale = math.min(1.0, math.sqrt(maxBytes.toDouble / media.length))
           var res: Option[(Array[Byte], Int, Int)] = None

@@ -30,6 +30,24 @@ class IncrementalCorpusSpec extends SparkSpec {
     assert(kept == Set(60L, 70L), kept)
   }
 
+  test("null-text duplicates do not slip the exact screen (review r10)") {
+    // md5(null) is null and a null key never joins: with raw md5(text)
+    // a null-text arrival duplicating a null-text corpus doc was 'kept'
+    val corpus = Seq((1L, Option.empty[String]), (2L, Some(f1)))
+      .toDF("doc_id", "text")
+    val fps = IncrementalCorpus.fingerprints(corpus)
+    val bands = DedupOps.corpusBandIndex(corpus)
+    val shingles = DedupOps.corpusShingleSets(corpus)
+    val batch = Seq((50L, Option.empty[String]), (51L, Some(f4)))
+      .toDF("doc_id", "text")
+    val kept = IncrementalCorpus.screen(batch, fps, bands, shingles, tau = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(51L), kept)
+    val fates = IncrementalCorpus.screenReport(batch, fps, bands, shingles, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fates == Map(50L -> "exact", 51L -> "kept"), fates)
+  }
+
   test("corpus band index collapses exact-dup clusters; verdicts unchanged") {
     // 500 exact copies in the seen corpus (a stream-side mega-cluster):
     // the index must carry ONE row set per distinct text, not 500 —
