@@ -38,6 +38,15 @@ object StatsOps {
         .agg(max(col("__c"))).collect()(0)
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
+    // alias hygiene (review r10; the fcdd834 '__c'-collision precedent):
+    // an alias equal to the emitted 'n' count, the group column, or a
+    // sibling alias would produce a duplicate/ambiguous column that
+    // fails far from this call site
+    val aliases = ps.map(_._2)
+    require(aliases.distinct.size == aliases.size &&
+      !aliases.contains("n") && !aliases.contains(groupCol),
+      s"groupedPercentiles aliases must be distinct and avoid 'n'/'$groupCol'" +
+        s" (got ${aliases.mkString(", ")})")
     val fn = if (maxGroup <= exactMaxGroup) "percentile" else "approx_percentile"
     val aggs = ps.map { case (p, a) =>
       // CAST(... AS DOUBLE) before round: percentile returns DOUBLE but

@@ -111,10 +111,13 @@ object TextOps {
   //            + 0.25*min(avg_token_len/8,1), rounded to 4dp. ----
   val StopLex: String = Lexicons.head._2
 
-  /** qualityScore with a pre-materialized stopword hit count (StopLex is
-    * the `en` lexicon, so p09 reuses the langScores sweep). */
-  def qualityScoreWith(text: Column, stopHits: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+  /** qualityScore with BOTH inputs pre-materialized — token count and
+    * stopword hits (review r10: ensembleGate re-derived nTok from text,
+    * re-tokenizing per row when size(__w) was already a column; the
+    * avg-len regex strip remains the one unavoidable text pass). */
+  def qualityScoreFrom(text: Column, nTokens: Column,
+                       stopHits: Column): Column = {
+    val nTok = nTokens.cast("double")
     val stop = stopHits.cast("double")
     val avgLen = (length(regexp_replace(trim(lower(text)), "\\s+", "")).cast("double") / nTok)
     round(
@@ -122,6 +125,11 @@ object TextOps {
         least(stop / nTok / 0.3, lit(1.0)) * 0.25 +
         least(avgLen / 8.0, lit(1.0)) * 0.25, 4)
   }
+
+  /** qualityScore with a pre-materialized stopword hit count (StopLex is
+    * the `en` lexicon, so p09 reuses the langScores sweep). */
+  def qualityScoreWith(text: Column, stopHits: Column): Column =
+    qualityScoreFrom(text, tokenCount(text), stopHits)
 
   def qualityScore(text: Column): Column =
     qualityScoreWith(text, hits(text, StopLex))
@@ -290,7 +298,10 @@ object TextOps {
         dupWordFracCol(col("n_words"), col("__dw")).as("dup_word_frac"),
         topBigramFracCol(col("__g2")).as("top_bigram_frac"),
         dupTrigramFracCol(col("__g3")).as("dup_trigram_frac"),
-        qualityScore(col("__t")).as("quality"))
+        // n_words IS tokenCount(__t) (materialized one projection up) —
+        // qualityScoreFrom reuses it instead of re-tokenizing (review r10)
+        qualityScoreFrom(col("__t"), col("n_words"),
+          hits(col("__t"), StopLex)).as("quality"))
       .withColumn("g_short", col("n_words") >= EnsembleMinWords)
       .withColumn("g_symbolic", col("symbol_frac") <= EnsembleSymbolMax)
       .withColumn("g_dupword", col("dup_word_frac") <= DupWordMax)
@@ -510,7 +521,9 @@ object TextOps {
     if (maxIdRow.isEmpty)
       return Seq.empty[(Long, Long, Long, Long)]
         .toDF("cp", "n_tokens", "n_types", "ttr_milli")
-    val maxId = maxIdRow.get.asInstanceOf[Long]
+    // type-tolerant: an IntegerType doc_id would CCE on asInstanceOf
+    // (review r10); Number covers every integral column type
+    val maxId = maxIdRow.get.asInstanceOf[Number].longValue()
     val cps = (1 to points)
       .map(k => (maxId * k + (points - 1)) / points).distinct.toDF("cp")
     val tk = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
@@ -743,9 +756,15 @@ object TextOps {
     * dataflow stopped before the filter. */
   def keywordSearch(docs: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "keywordSearch needs at least one term")
+    // a term containing whitespace can never equal a whitespace-split
+    // token — the conjunctive filter would silently return zero rows;
+    // the caller meant multiple terms (review r10)
+    require(terms.forall(!_.exists(_.isWhitespace)),
+      "keywordSearch terms are single tokens; split multi-word queries " +
+        s"into terms (got: ${terms.filter(_.exists(_.isWhitespace)).mkString("; ")})")
     // lower-case the TERMS too: the tokenizer lower-cases the corpus, so
     // a mixed-case query term would silently match nothing
-    val q = terms.map(_.toLowerCase).distinct
+    val q = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .filter(col("tok").isin(q: _*))
       .groupBy("doc_id")
@@ -756,8 +775,8 @@ object TextOps {
 
   /** DuckDB oracle for keywordSearch (same tokenizer as p08/p21). */
   def keywordSearchSql(terms: Seq[String], table: String = "documents"): String = {
-    val q = terms.map(_.toLowerCase).distinct
-    val inList = q.map(t => s"'$t'").mkString(", ")
+    val q = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val inList = q.map(OracleSql.sqlStr).mkString(", ")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) tok
        |  FROM $table),
