@@ -63,9 +63,17 @@ final class BufferedIngest(writer: IngestWriter,
     val drained = Iterator.continually(queue.poll()).takeWhile(_ != null).toVector
     if (drained.isEmpty) return
     buffered.addAndGet(-drained.map(_.batch.size.toLong).sum)
-    // group consecutive same-(db,table,schema) batches like the parser does
-    drained.groupBy(p => (p.batch.database, p.batch.table, p.batch.schema)).foreach {
-      case ((db, table, schema), ps) =>
+    // group same-(db,table,schema) batches IN FIRST-ARRIVAL ORDER
+    // (review r10): groupBy's Map iterates hash-ordered, so two
+    // different-schema batches for one new table could reach
+    // catalog.evolve reversed — the opposite of the reference's
+    // arrival-order first-type-wins. Sorting groups by their first
+    // drained index restores the write order the queue guarantees.
+    drained.zipWithIndex
+      .groupBy { case (p, _) => (p.batch.database, p.batch.table, p.batch.schema) }
+      .toSeq.sortBy { case (_, ps) => ps.head._2 }
+      .foreach { case ((db, table, schema), psi) =>
+        val ps = psi.map(_._1)
         try {
           val merged = Batch(db, table, schema, ps.flatMap(_.batch.rows).toVector)
           writer.store(merged)
@@ -73,7 +81,7 @@ final class BufferedIngest(writer: IngestWriter,
         } catch {
           case e: Throwable => ps.foreach(_.done.tryFailure(e))
         }
-    }
+      }
   }
 
   /** Stop accepting, then drain. A producer that raced past the closed

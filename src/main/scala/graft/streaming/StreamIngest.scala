@@ -75,8 +75,18 @@ object StreamIngest {
     lines.flatMap { text =>
       // parse with the stream's db as default so UNPREFIXED lines route to
       // this stream's database; only genuinely foreign (db.table-prefixed
-      // for someone else) lines are dropped
-      LineProtocolParser.parse(text, defaultDb = db)
+      // for someone else) lines are dropped. One producer's MALFORMED
+      // line must cost that line, never the stream (review r10: an
+      // uncaught ParseException fails the task, the query terminates,
+      // and checkpoint replay re-delivers the same file — a permanent
+      // crash-loop on one bad line; the coerce() discipline, extended
+      // from cell level to line level).
+      // parse() is LAZY — materialize inside the try or the exception
+      // escapes into the downstream iteration (the spec caught exactly
+      // that); `text` is one landing line (the .text() source is
+      // row-per-line), so the vector is one batch
+      (try LineProtocolParser.parse(text, defaultDb = db).toVector
+       catch { case scala.util.control.NonFatal(_) => Vector.empty })
         .filter(b => b.database == db && b.table == table)
         .flatMap(_.rows.iterator.map { line =>
         val arr = new Array[Any](schema.length)
@@ -102,6 +112,17 @@ object StreamIngest {
       .text(landingDir)
       .select("value").as(Encoders.STRING)
       .mapPartitions(it => parsePartition(it, schema, spec.db, spec.table))(enc)
+    // Replay-guard identity (review r10): a batchId only means anything
+    // within ONE checkpoint's lifetime. The old bare per-table marker
+    // OUTLIVED a temporary checkpoint — a restarted checkpoint-less
+    // query restarts batchIds at 0, so its first N batches of NEW data
+    // read as already-committed: permanent silent loss. The marker is
+    // now keyed by the checkpoint path (checkpoint-less runs get a
+    // fresh key per start() — at-least-once across restarts, never
+    // loss), and the key hashes into the marker FILENAME so two
+    // queries targeting one table guard independently.
+    val guardKey = checkpointDir.getOrElse(
+      "ephemeral-" + java.util.UUID.randomUUID())
     val q = parsed.writeStream
       .trigger(trigger)
       .outputMode("append")
@@ -109,38 +130,45 @@ object StreamIngest {
         // foreachBatch is at-least-once: a crash after the manifest commit
         // but before the CHECKPOINT commit replays the batch on restart,
         // and storeDataFrame would duplicate every row under fresh UUIDs.
-        // A per-table marker of the last committed batchId makes the
-        // replay a no-op. (Residual window: a crash between manifest
-        // commit and marker write still duplicates that one batch — true
-        // exactly-once needs the batchId inside the manifest transaction.)
-        if (!df.isEmpty && batchId > lastCommitted(writer, spec)) {
+        // A per-(table, checkpoint) marker of the last committed batchId
+        // makes the replay a no-op. (Residual window: a crash between
+        // manifest commit and marker write still duplicates that one
+        // batch — true exactly-once needs the batchId inside the
+        // manifest transaction.)
+        if (!df.isEmpty && batchId > lastCommitted(writer, spec, guardKey)) {
           // singleFile = false: each executor task sorts and writes its
           // own slice (no coalesce(1) bottleneck) — the write scales with
           // cores and the compactor merges the per-task files
           writer.storeDataFrame(spec.db, spec.table, df, singleFile = false)
-          recordCommitted(writer, spec, batchId)
+          recordCommitted(writer, spec, guardKey, batchId)
         }
       }
     checkpointDir.foreach(d => q.option("checkpointLocation", d))
     q.start()
   }
 
-  private def markerPath(writer: IngestWriter, spec: StreamSpec) =
-    writer.tableDirOf(spec.db, spec.table).resolve(".stream_last_batch")
+  private def markerPath(writer: IngestWriter, spec: StreamSpec,
+                         guardKey: String) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(guardKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    writer.tableDirOf(spec.db, spec.table).resolve(s".stream_last_batch.$h")
+  }
 
-  private[streaming] def lastCommitted(writer: IngestWriter, spec: StreamSpec): Long =
+  private[streaming] def lastCommitted(writer: IngestWriter, spec: StreamSpec,
+                                       guardKey: String): Long =
     try {
-      val p = markerPath(writer, spec)
+      val p = markerPath(writer, spec, guardKey)
       if (java.nio.file.Files.exists(p))
         new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
       else -1L
     } catch { case _: Exception => -1L }
 
   private[streaming] def recordCommitted(writer: IngestWriter, spec: StreamSpec,
-                                         batchId: Long): Unit = {
-    val p = markerPath(writer, spec)
+                                         guardKey: String, batchId: Long): Unit = {
+    val p = markerPath(writer, spec, guardKey)
     java.nio.file.Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling(s".stream_last_batch.tmp")
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
     java.nio.file.Files.write(tmp, batchId.toString.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,

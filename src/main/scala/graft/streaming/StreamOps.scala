@@ -21,6 +21,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** ns-epoch long → event-time timestamp, the ONE spelling (review
+    * r10: it existed six times). INTEGER division: `col / 1000` is
+    * DOUBLE division, and ns-epoch values exceed double's 2^53
+    * mantissa — rows within ~256 ns of a window boundary would land
+    * in the wrong window. */
+  private def eventTimeNs(timeCol: String): org.apache.spark.sql.Column =
+    timestamp_micros(expr(s"`$timeCol` DIV 1000"))
+
   /** Tumbling event-time window aggregates with late-data tolerance.
     * `timeCol` is int64 ns (the reference time model); rows later than
     * `lateness` behind the max seen event time are dropped by the
@@ -29,11 +37,7 @@ object StreamOps {
                   groupCols: Seq[String],
                   windowLen: String = "1 minute",
                   lateness: String = "30 seconds"): DataFrame = {
-    // integer division: `col / 1000` is DOUBLE division, and ns-epoch
-    // values exceed double's 2^53 mantissa — rows within ~256 ns of a
-    // window boundary would land in the wrong window
-    val withTime = rows.withColumn("event_time",
-      timestamp_micros(expr(s"`$timeCol` DIV 1000")))
+    val withTime = rows.withColumn("event_time", eventTimeNs(timeCol))
       .withWatermark("event_time", lateness)
     withTime
       .groupBy(window(col("event_time"), windowLen) +: groupCols.map(col): _*)
@@ -68,8 +72,11 @@ object StreamOps {
     * within the horizon and at-least-once beyond it. */
   def dedupStream(docs: DataFrame, timeCol: String,
                   lateness: String = "10 minutes"): DataFrame =
-    docs.withColumn("__h", md5(col("text")))
-      .withColumn("__event_time", timestamp_micros(expr(s"`$timeCol` DIV 1000")))
+    // md5(coalesce(text,'')) — the batch fingerprint contract
+    // (DedupOps.memberMap / IncrementalCorpus, review r10): the stream
+    // face of p01 must agree with the batch pass on null-text docs
+    docs.withColumn("__h", md5(coalesce(col("text"), lit(""))))
+      .withColumn("__event_time", eventTimeNs(timeCol))
       .withWatermark("__event_time", lateness)
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h", "__event_time")
@@ -117,7 +124,7 @@ object StreamOps {
         posexplode(DedupOps.bandHashes(col("__sig"))).as(Seq("__band", "__bh")))
       .join(bandIndex,
         col("__band") === bandIndex("band") && col("__bh") === bandIndex("bh"))
-      .withColumn("__event_time", timestamp_micros(expr(s"`$timeCol` DIV 1000")))
+      .withColumn("__event_time", eventTimeNs(timeCol))
       .withWatermark("__event_time", lateness)
       .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
     cands.join(shingleSets, "corpus_id")
@@ -141,7 +148,7 @@ object StreamOps {
   def sessionizeStream(rows: DataFrame, keyCol: String, timeCol: String,
                        valueCol: String, gap: String = "30 minutes",
                        lateness: String = "10 minutes"): DataFrame =
-    rows.withColumn("event_time", timestamp_micros(expr(s"`$timeCol` DIV 1000")))
+    rows.withColumn("event_time", eventTimeNs(timeCol))
       .withWatermark("event_time", lateness)
       .groupBy(session_window(col("event_time"), gap), col(keyCol))
       .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 6).as("sum_v"))
@@ -283,14 +290,29 @@ object StreamOps {
     * State per key is O(stages) longs + the non-final buffer (bounded
     * by arrival rate × lateness horizon); emitted levels are final for
     * data within the horizon. Beyond-horizon stragglers are the batch
-    * pass's job (p23), mirroring the dedupStream/p01 split. */
+    * pass's job (p23), mirroring the dedupStream/p01 split.
+    *
+    * Eviction semantics (review r10): state is evicted once it is DEAD
+    * — the funnel completed, or the watermark passed every chain's
+    * reach (newest start + window). Advance levels are therefore
+    * PER-JOURNEY: a user whose state was evicted and who later sends
+    * stage-0 starts a new journey and re-reports its levels; a
+    * downstream unique-converter count dedupes on user, not on
+    * advance rows. Without dead-state eviction, every one-event user
+    * would hold state forever on a high-cardinality stream. */
   def funnelStream(points: Dataset[FunnelPoint], nStages: Int, windowNs: Long,
                    lateness: String = "10 minutes"): Dataset[FunnelAdvance] = {
     import points.sparkSession.implicits._
+    // out-of-contract stages cost the EVENT, not the stream (review
+    // r10): starts(stage) on stage >= nStages would throw inside the
+    // stateful operator, and checkpoint replay re-delivers the same
+    // event — a permanent crash-loop (the StreamIngest coerce
+    // discipline, state-op edition)
+    val bounded = points.filter(p => p.stage >= 0 && p.stage < nStages)
     // the watermarked COLUMN must reach the stateful operator (a .map
     // that drops it fails analysis), so carry it as a tuple field
-    val withTime = points
-      .withColumn("event_time", timestamp_micros(expr("timeNs DIV 1000")))
+    val withTime = bounded
+      .withColumn("event_time", eventTimeNs("timeNs"))
       .withWatermark("event_time", lateness)
       .as[(Long, Long, Int, java.sql.Timestamp)]
     withTime.groupByKey(_._1)
@@ -322,18 +344,29 @@ object StreamOps {
               out += FunnelAdvance(user, level, p.timeNs)
             }
           }
-          if (level >= nStages && pending.isEmpty)
-            // completed funnel with nothing buffered: provably dead
-            // state — evict it, or per-user entries accumulate forever
-            // on a high-cardinality stream (incomplete funnels must
-            // persist: a future event can still advance them)
-            state.remove()
+          // dead-state eviction (review r10 extended the completed-only
+          // rule): with nothing buffered, state is dead once the funnel
+          // completed OR the watermark passed every chain's reach
+          // (newest start + window — no in-horizon event can extend a
+          // chain after that; stage-0 re-entry builds a NEW journey).
+          // Per-journey semantics documented on the class: a user
+          // returning after eviction re-reports levels for the new
+          // journey. Without the idle arm, one-event users accumulated
+          // state forever on a high-cardinality stream.
+          val newest = starts.max
+          val dead = pending.isEmpty && (level >= nStages ||
+            newest == Long.MinValue || wmNs > newest + windowNs)
+          if (dead) state.remove()
           else {
             state.update(FunnelState(starts.toSeq, pending, level))
             if (pending.nonEmpty)
               // fire once the watermark passes the oldest buffered event
               // (+1 ms: the timeout must sit strictly past the watermark)
               state.setTimeoutTimestamp(pending.map(_.timeNs).min / 1000000L + 1)
+            else
+              // idle arm: fire once the watermark passes the newest
+              // chain's reach, so the eviction above actually runs
+              state.setTimeoutTimestamp((newest + windowNs) / 1000000L + 1)
           }
           out.result().iterator
       }
@@ -363,7 +396,7 @@ object StreamOps {
     // always true under wall-clock timeouts — processAllAvailable never
     // returns), so event time is both the cheaper and the correct axis.
     points.toDF()
-      .withColumn("__event_time", timestamp_micros(expr("timeNs DIV 1000")))
+      .withColumn("__event_time", eventTimeNs("timeNs"))
       .withWatermark("__event_time", idleLateness)
       .as[(String, Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)

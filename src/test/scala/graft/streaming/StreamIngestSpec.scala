@@ -37,6 +37,42 @@ class StreamIngestSpec extends SparkSpec {
     assert(hosts == Seq("a", "a", "b"))
   }
 
+  test("replay marker is scoped to its checkpoint; a new query's batch 0 is not skipped (review r10)") {
+    val root = Files.createTempDirectory("graft-marker-root-")
+    val cat = new TableCatalog(root.toString)
+    val writer = new IngestWriter(spark, root.toString, cat)
+    val spec = StreamIngest.StreamSpec("default", "mk",
+      Seq("v" -> "FLOAT64", "time" -> "INT64"))
+    // query A (checkpoint ckA) committed batch 99; a NEW query (fresh
+    // checkpoint — batchIds restart at 0) must NOT read 99 as its own
+    // high-water mark, or its first 100 batches of new data are
+    // silently dropped
+    StreamIngest.recordCommitted(writer, spec, "ckA", 99L)
+    assert(StreamIngest.lastCommitted(writer, spec, "ckA") == 99L)
+    assert(StreamIngest.lastCommitted(writer, spec, "ckB") == -1L)
+    // and the two guards persist independently
+    StreamIngest.recordCommitted(writer, spec, "ckB", 3L)
+    assert(StreamIngest.lastCommitted(writer, spec, "ckA") == 99L)
+    assert(StreamIngest.lastCommitted(writer, spec, "ckB") == 3L)
+  }
+
+  test("one malformed line costs that line, not the stream (review r10)") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("host",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("usage",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("time",
+        org.apache.spark.sql.types.LongType)))
+    val rows = StreamIngest.parsePartition(Iterator(
+      "cpu,host=a usage=0.5 1700000000000000000",
+      "cpu,host=b",                 // no fields: parser throws
+      "not line protocol at all ,,,=,=,",
+      "cpu,host=c usage=0.7 1700000000000000001"),
+      schema, "default", "cpu").toVector
+    assert(rows.map(_.getString(0)) == Vector("a", "c"))
+  }
+
   test("parallel write path: a multi-partition batch writes one sorted file per task, not one total") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft-par-root-")
