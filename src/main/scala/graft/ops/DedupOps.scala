@@ -1259,8 +1259,11 @@ object DedupOps {
       sqrt(dotf(col("embedding"), col("embedding"))).as("norm"),
       pmod(xxhash64(col("vec_id")), lit(numBlocks.toLong)).as("blk"))
       // zero vectors have no cosine: 0/0 = NaN would pass ANY >= tau
-      // filter (NaN compares greatest) and poison the pair set
-      .filter(col("norm") > 0)
+      // filter (NaN compares greatest) and poison the pair set; a NaN
+      // norm (one NaN component) passes `> 0` for the same
+      // NaN-compares-greatest reason, so it is excluded too (review
+      // r10; the p05 oracle carries the matching isnan filter)
+      .filter(SimilarityOps.usable(col("norm")))
     val ids = emb.sparkSession.range(numBlocks)
     val bpairs = ids.as("x").join(ids.as("y"), col("x.id") <= col("y.id"))
       .select(col("x.id").as("bi"), col("y.id").as("bj"))

@@ -36,10 +36,10 @@ object SimilarityOps {
     // too; null embeddings already yield null norms, which sort last)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       sqrt(dotf(col("embedding"), col("embedding"))).as("qnorm"))
-      .filter(col("qnorm") > 0)
+      .filter(usable(col("qnorm")))
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"),
       sqrt(dotf(col("embedding"), col("embedding"))).as("nnorm"))
-      .filter(col("nnorm") > 0)
+      .filter(usable(col("nnorm")))
     val scored = q.crossJoin(c)
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -77,14 +77,30 @@ object SimilarityOps {
                     floor: Int = 16): Int =
     math.max(floor, math.ceil(corpusRows.toDouble / targetCellRows).toInt)
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  /** Deterministic pseudo-random hyperplane component in [-1, 1).
+    * `z >>> 11` keeps 53 bits, so the divisor must be 2^53 (review r10:
+    * 2^52 mapped onto [-1, 3) — ~76% of components positive, clustering
+    * hyperplane normals in the positive orthant; on non-zero-mean
+    * embeddings the sign bits skewed one way and buckets degenerated
+    * toward one mega-bucket. The oracles render the same constants, so
+    * this was a recall/pruning-quality bug the gate could not see). */
   private def unit(seed: Long): Double = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
+
+  /** Usable-vector guard: positive AND NOT NaN. NaN compares GREATEST
+    * in both engines, so `norm > 0` alone passes a NaN norm (one NaN
+    * component), and the NaN sim then ranks first everywhere — the
+    * zero-vector failure mode all over again (review r10). Faces use
+    * [[usable]]; oracles the SQL twin. */
+  private[ops] def usable(norm: Column): Column = norm > 0 && !isnan(norm)
+
+  def usableSql(v: String): String =
+    s"(list_inner_product($v, $v) > 0 AND NOT isnan(list_inner_product($v, $v)))"
 
   private def planeLit(p: Int, dims: Int): Column =
     array((0 until dims).map(d => lit(unit(p.toLong * 8192 + d))): _*)
@@ -121,8 +137,7 @@ object SimilarityOps {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |    ${bucketIdSql("CAST(embedding AS DOUBLE[])", dims, planes)} AS bucket
        |  FROM embeddings
-       |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
-       |                           CAST(embedding AS DOUBLE[])) > 0
+       |  WHERE ${usableSql("CAST(embedding AS DOUBLE[])")}
        |), flips(flip) AS (VALUES $flips),
        |qp AS (
        |  SELECT vec_id AS qid, v AS qv, xor(bucket, flip) AS bucket
@@ -154,7 +169,7 @@ object SimilarityOps {
     * for the one bad row. */
   private[ops] def normalized(v: Column): Column = {
     val n = sqrt(dotf(v, v))
-    when(n > 0.0, transform(v, x => x.cast("double") / n)).otherwise(lit(null))
+    when(usable(n), transform(v, x => x.cast("double") / n)).otherwise(lit(null))
   }
 
   /** Count of INDEXABLE vectors in `corpus` — non-null, non-zero after
@@ -347,13 +362,12 @@ object SimilarityOps {
     * oracles: unit-normalized double vectors, zero vectors excluded
     * (exactly SimilarityOps.normalized). */
   private[ops] val NormalizedCorpusSql: String =
-    """SELECT vec_id,
-      |    list_transform(CAST(embedding AS DOUBLE[]),
-      |      x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-      |                                       CAST(embedding AS DOUBLE[])))) AS v
-      |  FROM embeddings
-      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
-      |                           CAST(embedding AS DOUBLE[])) > 0""".stripMargin
+    s"""SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                                       CAST(embedding AS DOUBLE[])))) AS v
+       |  FROM embeddings
+       |  WHERE ${usableSql("CAST(embedding AS DOUBLE[])")}""".stripMargin
 
   def ivfQuantizedTopKSql(centers: Seq[Array[Double]], k: Int, nprobe: Int,
                           maxQid: Int): String = {
@@ -621,7 +635,7 @@ object SimilarityOps {
     val bc = hyperplaneBuckets(corpus, dims, planes)
       .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("bucket"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("nnorm"))
-      .filter(col("nnorm") > 0) // zero vector => NaN sim => rn 1 (see bruteForceTopK)
+      .filter(usable(col("nnorm"))) // zero/NaN vector => NaN sim => rn 1
     val bq = hyperplaneBuckets(queries, dims, planes)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         sqrt(dotf(col("embedding"), col("embedding"))).as("qnorm"),
@@ -629,7 +643,7 @@ object SimilarityOps {
           .as("flip"), col("bucket"))
       .select(col("qid"), col("qv"), col("qnorm"),
         col("bucket").bitwiseXOR(col("flip")).as("bucket"))
-      .filter(col("qnorm") > 0)
+      .filter(usable(col("qnorm")))
     val scored = bq.join(bc, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -667,7 +681,14 @@ object SimilarityOps {
     * cost, not memory, dominates. */
   def quantizedTopK(emb: DataFrame, k: Int, maxQid: Int): DataFrame = {
     import graft.functions.VectorExprs.dotl
-    val q = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    // NaN-component vectors are excluded BEFORE quantization (review
+    // r10): the JVM quantizer maps NaN elements to 0 (floor(NaN)=0 and
+    // NaN never updates the max) while DuckDB's replay propagates NaN —
+    // the one input class where the bit-replay contract would diverge;
+    // the oracle carries the same isnan filter
+    val q = emb
+      .filter(!isnan(dotf(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", dotl(col("q"), col("q")))
     val queries = q.filter(col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"), col("q").as("qa"), col("nq").as("na"))
@@ -757,7 +778,9 @@ object SimilarityOps {
     * integer-domain score over the same parquet floats. */
   def quantizedTopKSql(k: Int, maxQid: Int): String =
     s"""WITH dv AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings
+       |  WHERE NOT isnan(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                                     CAST(embedding AS DOUBLE[])))),
        |m AS (
        |  SELECT vec_id, d, list_max(list_transform(d, x -> abs(x))) AS mx FROM dv),
        |qz AS (

@@ -1743,10 +1743,8 @@ object PipelineQueries {
              """list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                |                               CAST(b.embedding AS DOUBLE[]))""".stripMargin, 4)} AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE list_inner_product(CAST(a.embedding AS DOUBLE[]),
-         |                         CAST(a.embedding AS DOUBLE[])) > 0
-         |  AND list_inner_product(CAST(b.embedding AS DOUBLE[]),
-         |                         CAST(b.embedding AS DOUBLE[])) > 0
+         |WHERE ${SimilarityOps.usableSql("CAST(a.embedding AS DOUBLE[])")}
+         |  AND ${SimilarityOps.usableSql("CAST(b.embedding AS DOUBLE[])")}
          |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
          |                             CAST(b.embedding AS DOUBLE[])) >= $EmbDupTau
          |ORDER BY va, vb""".stripMargin,
@@ -1761,10 +1759,8 @@ object PipelineQueries {
         |               b.vec_id) rn
         |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
         |  WHERE a.vec_id < 5
-        |    AND list_inner_product(CAST(a.embedding AS DOUBLE[]),
-        |                           CAST(a.embedding AS DOUBLE[])) > 0
-        |    AND list_inner_product(CAST(b.embedding AS DOUBLE[]),
-        |                           CAST(b.embedding AS DOUBLE[])) > 0
+        |    AND ${SimilarityOps.usableSql("CAST(a.embedding AS DOUBLE[])")}
+        |    AND ${SimilarityOps.usableSql("CAST(b.embedding AS DOUBLE[])")}
         |) t WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
     "p07_ann_lsh" -> SimilarityOps.annTopKSql(k = 10, dims = 64, maxQid = 5),
     "p08_text_stats" ->
