@@ -68,7 +68,12 @@ object BenchData {
     // hashCode collapse, which would reopen the silent-collision class
     // the md5 token exists to close; non-directory fallback tokens
     // (remote schemes) md5 once more so the name stays path-safe
-    val fp = contentFingerprint(fromDir)
+    // the derived bytes are a function of (source content, GENERATOR
+    // version): a generation-logic change (r10: the whitespace-run
+    // rename fix) must not silently reuse a prior build of the same
+    // source bytes. The version rides the fp token so the sibling
+    // eviction treats old-generator dirs as stale generations too.
+    val fp = contentFingerprint(fromDir) + "g2"
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       "graft-bench10x-" + new java.io.File(fromDir).getCanonicalPath
@@ -81,12 +86,8 @@ object BenchData {
       // until generation dies with ENOSPC mid-bench
       val prefix = base.getName.substring(0, base.getName.lastIndexOf('-') + 1)
       Option(base.getParentFile.listFiles()).foreach(_.foreach { f =>
-        if (f.getName.startsWith(prefix) && f.getName != base.getName) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
-          }
-          rm(f)
-        }
+        if (f.getName.startsWith(prefix) && f.getName != base.getName)
+          graft.util.Fingerprint.deleteRecursively(f)
       })
       Tables.names.foreach { n =>
         // the source SF is often one file -> one partition; written
@@ -130,8 +131,15 @@ object BenchData {
 
   private def renamedText(text: org.apache.spark.sql.Column,
                           k: org.apache.spark.sql.Column) =
+    // split on the LITERAL single space, not \s+ (review r10): "\\s+"
+    // collapsed whitespace RUNS in k>0 replicas, breaking the
+    // length/n_chars-preserved invariant the header documents. With
+    // " " the empty tokens of a run survive the round-trip ("a  b" →
+    // ["a","","b"] → "a  b"), and a token carrying a tab/newline fails
+    // ^[a-z]+$ so it stays verbatim (length preserved; it shares
+    // across replicas like stopwords do — same documented class)
     when(k === 0, text).otherwise(
-      concat_ws(" ", transform(split(text, "\\s+"), w =>
+      concat_ws(" ", transform(split(text, " ", -1), w =>
         when(w.rlike("^[a-z]+$") && !w.isin(StopWords: _*),
           repeat(md5(concat(w, lit("·"), k)), 3).substr(lit(1), length(w)))
           .otherwise(w))))
@@ -142,12 +150,15 @@ object BenchData {
     name match {
       case "region" | "nation" => t // true dimensions: never scaled
       case "documents" =>
+        // rename projected ONCE (review r10): the per-token md5 HOF is
+        // the dominant generation cost and was evaluated again inside
+        // length(); same-length rename + preserved separators keep
+        // n_chars = length(text)
         withK(t).select(
           (col("doc_id") + k * 10000000L).as("doc_id"),
           renamedText(col("text"), k).as("text"),
-          col("lang"), col("source"),
-          // same-length rename + untouched separators: length is preserved
-          length(renamedText(col("text"), k)).cast("long").as("n_chars"))
+          col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
       case "embeddings" =>
         // rotate by k: concat(slice(v,k+1,n-k), slice(v,1,k))
         val v = col("embedding")

@@ -103,6 +103,12 @@ object Tables {
     // the 1000× smaller warm corpus
     val key = "graft.views.current"
     if (!spark.conf.getOption(key).contains(dir)) {
+      // invalidate BEFORE re-registering (review r10): a mid-loop
+      // failure (missing/corrupt table in the new dir, caller swallows
+      // it) would otherwise leave MIXED-dir views behind a memo that
+      // still names the old dir — the next same-dir call memo-hits and
+      // silently serves them. The key only records success.
+      spark.conf.unset(key)
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
       spark.conf.set(key, dir)
     }

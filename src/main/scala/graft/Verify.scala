@@ -36,12 +36,9 @@ object Verify {
         // remove any PREVIOUS run's output for this query: a stale
         // parquet from an older build would otherwise pass the DuckDB
         // compare and mask a newly introduced crash as correctness
-        try {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(new java.io.File(s"$outDir/$name"))
-        } catch { case _: Throwable => () }
+        try graft.util.Fingerprint.deleteRecursively(
+          new java.io.File(s"$outDir/$name"))
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1174,9 +1174,15 @@ object PipelineQueries {
     //      Pure integer shift/mask chain, whole-stage codegen; the
     //      oracle re-derives every z-value bit for bit ----
     "p88_zorder_key" -> ((s, dir) => {
+      // FLOOR-divide into hours (the p24 pmod device, review r10): the
+      // oracle uses DuckDB's flooring `//`, and plain DIV truncates
+      // toward zero — a pre-epoch ts would interleave a different
+      // z-value (latent at test SFs; contract divergence regardless)
       Tables.load(s, dir, "events")
         .select(col("event_id"),
-          LayoutOps.zorder2(expr("ts DIV 3600000000000"), col("user_id")).as("z"))
+          LayoutOps.zorder2(
+            expr("(ts - pmod(ts, 3600000000000L)) DIV 3600000000000L"),
+            col("user_id")).as("z"))
         .orderBy(col("event_id"))
     }),
 

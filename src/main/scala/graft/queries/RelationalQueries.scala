@@ -183,7 +183,12 @@ object RelationalQueries {
     "q13_time_buckets" -> ((s, dir) => {
       Tables.load(s, dir, "events")
         .groupBy(
-          expr("(ts DIV 3600000000000) * 3600000").as("bucket_ms"),
+          // FLOOR-divide (pmod device, review r10): the oracle's
+          // date_trunc('hour') floors for pre-epoch timestamps while
+          // DIV truncates toward zero — latent at test SFs, a contract
+          // divergence regardless
+          expr("((ts - pmod(ts, 3600000000000L)) DIV 3600000000000L)" +
+            " * 3600000").as("bucket_ms"),
           col("event_type"))
         .agg(
           count(lit(1)).as("n"),

@@ -14,6 +14,15 @@ package graft.util
   * degrading the whole signature to a content-blind fallback. */
 object Fingerprint {
 
+  /** Recursive delete — the ONE walker (review r10: Verify's failure
+    * cleanup and BenchData's generation eviction carried identical
+    * inline copies). Best-effort: deletion failures are ignored, like
+    * both original call sites. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** Signature lines for every entry under `dir`, depth-limited;
     * deterministic order. Empty for a non-directory. */
   def dirSignature(dir: java.nio.file.Path, depth: Int): Seq[String] = {
