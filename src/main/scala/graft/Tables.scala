@@ -77,6 +77,16 @@ object Tables {
       .repartitionByRange(spreadTasks(spark, dir, name), keys: _*)
       .sortWithinPartitions(keys: _*)
 
+  /** µs-truncation of the ns `ts` column — `(ts DIV 1000) * 1000`, the
+    * ONE spelling (review r10: it was hand-spelled in five query
+    * sites). events.ts arrives as µs-precision timestamps normalized
+    * to ns, so the truncation is an identity on current data — but it
+    * is TIE-ORDER-load-bearing in every oracle comparison (DuckDB sees
+    * µs timestamps), so a one-site drift silently breaks that query's
+    * hash. String form for SQL-text queries; wrap with expr() for
+    * Column sites. */
+  val EventTsUsSql: String = "(ts DIV 1000) * 1000"
+
   /** One-time session setup: TIMESTAMP(NANOS) parquet columns surface as
     * int64 nanoseconds — exactly the reference's time model (SURVEY §1
     * "Time"; the reference stores ns int64 and converts via epoch_ns at

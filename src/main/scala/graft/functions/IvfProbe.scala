@@ -67,10 +67,21 @@ case class IvfProbeCells(vec: Expression, nprobe: Expression,
     var i = 0
     var sq = 0.0
     while (i < n) {
-      val xv = if (elem == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+      // isNullAt BEFORE the typed getter (the DotProduct discipline):
+      // ColumnarArray returns stale buffer garbage for null slots. A
+      // null slot makes the vector unusable — treated like NaN below.
+      val xv =
+        if (x.isNullAt(i)) Double.NaN
+        else if (elem == FloatType) x.getFloat(i).toDouble
+        else x.getDouble(i)
       q(i) = xv; sq += xv * xv; i += 1
     }
-    if (sq <= 0.0) return null // zero vector: unsearchable under cosine
+    // usable-vector guard, scalar edition (review r10, matching
+    // SimilarityOps.usable): !(sq > 0) also catches NaN under JVM
+    // comparison semantics — the old `sq <= 0.0` let a NaN norm through
+    // and the probe returned the first nprobe cells regardless of the
+    // vector; an Inf component degrades the ranking the same way
+    if (!(sq > 0.0) || java.lang.Double.isInfinite(sq)) return null
     val norm = math.sqrt(sq)
     i = 0
     while (i < n) { q(i) /= norm; i += 1 }

@@ -77,6 +77,15 @@ case class TopKAgg(
   override def createAggregationBuffer(): mutable.LinkedHashMap[String, Long] =
     mutable.LinkedHashMap.empty
 
+  // UTF-8 binary (code-point) order — the order Spark, DuckDB and
+  // ClickHouse compare strings in. Java String.compareTo is UTF-16
+  // code-unit order, which flips supplementary-plane characters
+  // against U+E000..U+FFFF on count ties (review r10): the reported
+  // order, the take(k) boundary survivor, and the evicted counter
+  // could all differ from any engine-side rendering.
+  private def utf8Lt(a: String, b: String): Boolean =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+
   private def add(buf: mutable.LinkedHashMap[String, Long], v: String, n: Long): Unit =
     buf.get(v) match {
       case Some(c) => buf.update(v, c + n)
@@ -89,7 +98,7 @@ case class TopKAgg(
         var mv: String = null
         var mc = Long.MaxValue
         buf.foreach { case (value, c) =>
-          if (c < mc || (c == mc && (mv == null || value < mv))) { mv = value; mc = c }
+          if (c < mc || (c == mc && (mv == null || utf8Lt(value, mv)))) { mv = value; mc = c }
         }
         buf.remove(mv)
         buf.update(v, mc + n)
@@ -114,12 +123,16 @@ case class TopKAgg(
     // commutative addition — which is the oracle-gated regime (p29);
     // beyond it, results carry the documented N/C overestimate bound AND
     // run-to-run arrival-order variance, like ClickHouse's own topK.
-    b.toSeq.sortBy { case (v, c) => (-c, v) }.foreach { case (v, c) => add(a, v, c) }
+    b.toSeq.sortWith { case ((v1, c1), (v2, c2)) =>
+      c1 > c2 || (c1 == c2 && utf8Lt(v1, v2))
+    }.foreach { case (v, c) => add(a, v, c) }
     a
   }
 
   override def eval(buf: mutable.LinkedHashMap[String, Long]): Any = {
-    val top = buf.toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
+    val top = buf.toSeq.sortWith { case ((v1, c1), (v2, c2)) =>
+      c1 > c2 || (c1 == c2 && utf8Lt(v1, v2))
+    }.take(k)
     new GenericArrayData(top.map { case (v, c) =>
       InternalRow(UTF8String.fromString(v), c)
     }.toArray[Any])

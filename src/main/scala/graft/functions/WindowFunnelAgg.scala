@@ -16,14 +16,19 @@ import scala.collection.mutable.ArrayBuffer
   * scalars; this covers the aggregate a CH funnel user reaches for).
   *
   * Semantics match ops.TimeSeriesOps.windowFunnel (the dataflow
-  * spelling): max level L such that events matching stages 1..L occur
-  * at increasing rank with t_L − t_1 ≤ window_ns, window anchored at
-  * the chain's first event, max-start DP. Rank order here is (t,
-  * stage-mask): an aggregate sees rows in arbitrary order, so the
-  * buffer sorts by a total key before folding — making the result
-  * deterministic under any partitioning/merge order (ties at the same
-  * (t, mask) are interchangeable). A row may match several conds; it
-  * folds against the PRE-row state, so it never chains on itself.
+  * spelling) for UNIQUE event times: max level L such that events
+  * matching stages 1..L occur at increasing rank with t_L − t_1 ≤
+  * window_ns, window anchored at the chain's first event, max-start
+  * DP. Rank order here is (t, stage-mask): an aggregate sees rows in
+  * arbitrary order, so the buffer sorts by a total key before folding
+  * — making the result deterministic under any partitioning/merge
+  * order (ties at the same (t, mask) are interchangeable). KNOWN
+  * deviation (review r10): same-TIMESTAMP ties rank by mask here but
+  * by the caller's tie column (event_id) in the dataflow — the
+  * aggregate never sees that column — so the two faces can report
+  * different levels for same-µs chains; the spec pins agreement on
+  * unique times only. A row may match several conds; it folds against
+  * the PRE-row state, so it never chains on itself.
   *
   * State: one (t: long, mask: int) pair per row that matches ≥1 cond —
   * rows matching nothing are never buffered. Like ClickHouse, per-group
@@ -102,7 +107,14 @@ case class WindowFunnelAgg(
           if (j == 0) ext(0) = t
           else {
             val m = starts(j - 1)
-            if (m != Long.MinValue && t - m <= windowNs) ext(j) = m
+            // d >= 0 guards the overflow class too: t values are
+            // user-controlled through /query, and t - m for m near
+            // Long.MinValue wraps negative and would pass <= windowNs
+            // for events ~2^64 ns apart (review r10). Sorted fold
+            // guarantees m <= t for real chains, so d >= 0 rejects
+            // only wrapped arithmetic.
+            val d = t - m
+            if (m != Long.MinValue && d >= 0 && d <= windowNs) ext(j) = m
           }
         }
         j += 1

@@ -302,7 +302,7 @@ object PipelineQueries {
       // a pre-origin event into week 0 while the oracle says week -1
       // (review r10; latent at test SFs — generated events start after
       // the origin — but a contract divergence, the gapFill trap)
-      val diff = s"((ts DIV 1000) * 1000 - $RetentionOriginNs)"
+      val diff = s"(${Tables.EventTsUsSql} - $RetentionOriginNs)"
       val ev = Tables.load(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           expr(s"($diff - pmod($diff, ${WeekNs}L)) DIV ${WeekNs}L").as("wk"))
@@ -1269,7 +1269,7 @@ object PipelineQueries {
     * TIMESTAMP_NS truncated to µs, so every oracle-compared time — and
     * every time COMPARISON (as-of, range, session gaps) — must happen on
     * the truncated value or sub-µs ns flip same-µs ties. */
-  private def eventTsUs = expr("(ts DIV 1000) * 1000")
+  private def eventTsUs = expr(Tables.EventTsUsSql)
 
   /** p15's holdout split: the first docs stand in for an eval set. */
   val DecontamHoldout = 50L

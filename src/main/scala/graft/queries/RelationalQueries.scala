@@ -214,7 +214,7 @@ object RelationalQueries {
     //      stored int64-ns column filtered by an epoch_ns(literal)) ----
     "q15_epoch_ns_filter" -> ((s, dir) => {
       Tables.views(s, dir).sql(
-        """SELECT event_id, (ts DIV 1000) * 1000 AS ts_ns
+        s"""SELECT event_id, ${Tables.EventTsUsSql} AS ts_ns
           |FROM events
           |WHERE ts >= epoch_ns(TIMESTAMP '2024-01-15 00:00:00')
           |ORDER BY event_id""".stripMargin)
@@ -253,7 +253,7 @@ object RelationalQueries {
     "q18_grouped_stats" -> ((s, dir) => {
       Tables.load(s, dir, "events")
         .select(col("event_type"), col("value"),
-          (expr(s"(ts DIV 1000) * 1000 - $StatsOriginNs").cast("double") /
+          (expr(s"${Tables.EventTsUsSql} - $StatsOriginNs").cast("double") /
             lit(1e9)).as("td"))
         .groupBy(col("event_type"))
         .agg(round(stddev_samp(col("value")), 4).as("sd"),
@@ -305,11 +305,11 @@ object RelationalQueries {
     //      100 TB per-series data sorts within its hash partition ----
     "q21_range_frame" -> ((s, dir) => {
       Tables.views(s, dir).sql(
-        """SELECT event_id, event_type,
+        s"""SELECT event_id, event_type,
           |  count(*) OVER w AS n_1h,
           |  min(value) OVER w AS min_1h,
           |  max(value) OVER w AS max_1h
-          |FROM (SELECT event_id, event_type, (ts DIV 1000) * 1000 AS t, value
+          |FROM (SELECT event_id, event_type, ${Tables.EventTsUsSql} AS t, value
           |      FROM events)
           |WINDOW w AS (PARTITION BY event_type ORDER BY t
           |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
@@ -350,7 +350,7 @@ object RelationalQueries {
         .select(col("user_id"),
           // µs-truncated sort key (the eventTsUs discipline): DuckDB
           // compares µs timestamps, so sub-µs ns must not order ties
-          struct(expr("(ts DIV 1000) * 1000").as("t"), col("event_id"),
+          struct(expr(Tables.EventTsUsSql).as("t"), col("event_id"),
             substring(col("event_type"), 1, 1).as("sym")).as("e"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
