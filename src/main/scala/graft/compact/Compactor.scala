@@ -241,7 +241,14 @@ object Compactor {
       }
       try MetadataIndex.batch(partDir, spec.name,
         add = Seq(entry),
-        remove = plan.from.map(u => u.substring(u.lastIndexOf('/') + 1)))
+        // normalize separators before taking the basename (review r10,
+        // the ObjectStore.dataUri convention): on a platform-native
+        // local path lastIndexOf('/') would return the WHOLE path,
+        // the manifest remove would silently no-op, and every tick
+        // would re-merge the same still-live sources
+        remove = plan.from.map { u =>
+          val n = u.replace('\\', '/'); n.substring(n.lastIndexOf('/') + 1)
+        })
       catch {
         case scala.util.control.NonFatal(e) =>
           // un-publish on a failed manifest commit: a published file in
@@ -257,7 +264,19 @@ object Compactor {
       }
       destUri
     } finally {
-      fs.delete(staging, true)
+      // cleanup must not turn a COMMITTED plan into a Failure (review
+      // r10): the manifest batch is already durable at this point, and
+      // a throwing delete would suppress the caller's bumpVersion —
+      // cached query snapshots would then keep serving the removed
+      // source files until the next gc unlinks them (FileNotFound on
+      // every query of an otherwise idle table). A leaked dot-prefixed
+      // staging dir is invisible to manifest-driven reads — wasted
+      // space, never wrong results.
+      try fs.delete(staging, true): Unit
+      catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[graft] compactor: staging cleanup failed (will re-sweep): $e")
+      }
     }
   }
 }

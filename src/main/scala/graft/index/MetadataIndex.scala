@@ -109,7 +109,17 @@ object MetadataIndex {
         }
       } else None
     cached.getOrElse {
-      val idx = parse(f, tableName)
+      // the manifest can VANISH between the exists check and the read —
+      // planning racing RetentionEnforcer's drained-partition sweep
+      // (review r10; partitionDirs documents exactly this tolerance but
+      // the read step lacked it). A vanished partition is an empty one.
+      val idx =
+        try parse(f, tableName)
+        catch {
+          case _: java.nio.file.NoSuchFileException |
+               _: java.io.FileNotFoundException =>
+            return PartitionIndex(tableName, Map.empty, Vector.empty)
+        }
       attrs.foreach { a =>
         if (parseCache.size() > ParseCacheMax) parseCache.clear()
         parseCache.put(key, (a.lastModifiedTime(), a.size(), idx))

@@ -44,6 +44,13 @@ final class GraftFileIndex(spark: SparkSession, catalog: TableCatalog, spec: Tab
   extends FileIndex {
 
   private val tableRoot: NioPath = catalog.tableDir(spec.database, spec.name)
+
+  // the remote root is constant per table: resolve it ONCE per index
+  // (review r10 — the per-file dataUri call re-parsed the S3 URL and
+  // re-applied the global s3a confs for every manifest entry on every
+  // query plan of a remote table)
+  private lazy val remoteRoot: Option[String] =
+    graft.sources.ObjectStore.tableRemoteRoot(spark, spec)
   private val hive = spec.engine == "HiveMerge"
 
   @volatile private var snapshot: Seq[(NioPath, PartitionIndex)] = loadSnapshot()
@@ -169,7 +176,7 @@ final class GraftFileIndex(spark: SparkSession, catalog: TableCatalog, spec: Tab
             e.dataMinTime <= dhi && e.dataMaxTime >= dlo)
           .sortBy(_.path)
           .map { e =>
-            val uri = ObjectStore.dataUri(spark, spec, tableRoot, dir, e.path)
+            val uri = ObjectStore.dataUriFrom(remoteRoot, tableRoot, dir, e.path)
             // mtime is ms in Hadoop; maxTime is ns (the _metadata column
             // would otherwise show year ~55000)
             new FileStatus(e.sizeBytes, false, 1, 128L * 1024 * 1024,
@@ -182,7 +189,7 @@ final class GraftFileIndex(spark: SparkSession, catalog: TableCatalog, spec: Tab
 
   override def inputFiles: Array[String] =
     snapshot.flatMap { case (dir, idx) =>
-      idx.entries.values.map(e => ObjectStore.dataUri(spark, spec, tableRoot, dir, e.path))
+      idx.entries.values.map(e => ObjectStore.dataUriFrom(remoteRoot, tableRoot, dir, e.path))
     }.toArray
 
   override def refresh(): Unit = snapshot = loadSnapshot()

@@ -51,10 +51,20 @@ object Pruning {
         case Some(s) => graft.sources.ObjectStore.tableRemoteRoot(spark, s).get
         case None => root.toString
       }
-      spark.read
+      val df = spark.read
         .option("mergeSchema", "true")
         .option("basePath", base)
         .parquet(files: _*)
+      // the range must also filter ROWS (review r10): pruneByTime is
+      // file-granular, so a partially-overlapping file would otherwise
+      // leak rows outside [lo, hi] — the scaladoc promises a pruned
+      // range, not a superset
+      timeRangeNs match {
+        case Some((lo, hi)) if df.columns.contains("__timestamp") =>
+          df.filter(org.apache.spark.sql.functions
+            .col("__timestamp").between(lo, hi))
+        case _ => df
+      }
     }
   }
 
@@ -172,7 +182,7 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
     while (true) {
       val s = spark.newSession()
       graft.Tables.init(s) // child sessions don't inherit runtime conf/UDFs
-      val artifactsOk = registerOn(s, None, "default")
+      val complete = registerOn(s, None, "default")
       val after = versionVector()
       if (after == before || attempt >= 5) {
         // publish only COMPLETE snapshots: a session missing an
@@ -189,7 +199,7 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
         // guaranteed already-stale (versions are monotone and moved),
         // so the next request rebuilds while THIS one still gets a
         // usable session (code-review r9).
-        if (artifactsOk)
+        if (complete)
           published.set(Snapshot(if (after == before) after else before, s))
         return s
       }
@@ -217,24 +227,52 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
     }
   }
 
-  /** Register all catalog tables on a private session (no cache, no
-    * cross-request state — the session is this request's own). */
-  /** Returns the artifact-registration verdict (false = a view was
-    * skipped); callers that CACHE the session must check it. */
-  private def registerOn(s: SparkSession, timeRangeNs: Option[(Long, Long)],
-                         bare: String): Boolean = {
-    catalog.all().foreach { spec =>
+  /** Register ONE table's (ranged) view(s) on `s` — the single spelling
+    * registerOn (snapshot sessions) and ensure (the cached session)
+    * share (review r10: it existed twice and could drift). Failures are
+    * ISOLATED per table, the catalog's corrupt-spec discipline lifted
+    * to the manifest layer: one corrupt/vanished metadata.json must not
+    * take every table's queries down. The failed table's stale views
+    * are dropped so ITS queries fail attributably (unresolved relation)
+    * rather than serving an older snapshot; returns false so callers
+    * that cache never pin the hole. */
+  private def registerTable(s: SparkSession, spec: graft.catalog.TableSpec,
+                            timeRangeNs: Option[(Long, Long)],
+                            bare: String): Boolean =
+    try {
       val base = GraftFileIndex.readTable(s, catalog, spec.database, spec.name)
       val df = timeRangeNs match {
-        // created-but-never-written tables have no __timestamp column yet
+        // created-but-never-written tables have no __timestamp column
+        // yet (it appears on first write) — an unresolvable filter here
+        // would 500 EVERY ranged request for ALL tables
         case Some((lo, hi)) if base.columns.contains("__timestamp") =>
           base.filter(org.apache.spark.sql.functions.col("__timestamp").between(lo, hi))
         case _ => base
       }
       df.createOrReplaceTempView(s"${spec.database}_${spec.name}")
       if (spec.database == bare) df.createOrReplaceTempView(spec.name)
+      true
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft] table ${spec.database}.${spec.name} " +
+          s"failed to register (manifest unreadable?): ${e.getMessage}")
+        try {
+          s.catalog.dropTempView(s"${spec.database}_${spec.name}"): Unit
+          if (spec.database == bare) s.catalog.dropTempView(spec.name): Unit
+        } catch { case _: Exception => () }
+        false
     }
-    registerArtifactsOn(s)
+
+  /** Register all catalog tables on a private session (no cache, no
+    * cross-request state — the session is this request's own).
+    * Returns the COMPLETENESS verdict (false = a table or artifact
+    * view was skipped); callers that CACHE the session must check it. */
+  private def registerOn(s: SparkSession, timeRangeNs: Option[(Long, Long)],
+                         bare: String): Boolean = {
+    val tablesOk = catalog.all()
+      .map(spec => registerTable(s, spec, timeRangeNs, bare))
+      .forall(identity)
+    registerArtifactsOn(s) && tablesOk
   }
 
   def ensure(timeRangeNs: Option[(Long, Long)]): Unit = ensure(timeRangeNs, None)
@@ -253,18 +291,8 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
         val cacheOk = timeRangeNs.isEmpty && bare == "default" &&
           registered.get(key).contains(v)
         if (!cacheOk) {
-          val base = GraftFileIndex.readTable(spark, catalog, spec.database, spec.name)
-          val df = timeRangeNs match {
-            // created-but-never-written tables have no __timestamp column
-            // yet (it appears on first write) — an unresolvable filter here
-            // would 500 EVERY ranged request for ALL tables
-            case Some((lo, hi)) if base.columns.contains("__timestamp") =>
-              base.filter(org.apache.spark.sql.functions.col("__timestamp").between(lo, hi))
-            case _ => base
-          }
-          df.createOrReplaceTempView(s"${spec.database}_${spec.name}")
-          if (spec.database == bare) df.createOrReplaceTempView(spec.name)
-          val cacheable = timeRangeNs.isEmpty && bare == "default"
+          val ok = registerTable(spark, spec, timeRangeNs, bare)
+          val cacheable = ok && timeRangeNs.isEmpty && bare == "default"
           if (cacheable) registered(key) = v else registered.remove(key): Unit
         }
       }

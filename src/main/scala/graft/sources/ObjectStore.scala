@@ -195,7 +195,15 @@ object ObjectStore {
     * local manifest dir mirroring the (possibly remote) data layout. */
   def dataUri(spark: SparkSession, spec: graft.catalog.TableSpec,
               localTableDir: NioPath, localPartDir: NioPath, name: String): String =
-    tableRemoteRoot(spark, spec) match {
+    dataUriFrom(tableRemoteRoot(spark, spec), localTableDir, localPartDir, name)
+
+  /** [[dataUri]] with the remote root PRE-resolved — the per-file form
+    * for listing hot paths (review r10: resolving per file re-parsed
+    * the S3 URL and re-applied ~6 process-global hadoopConfiguration
+    * keys per manifest entry per query plan of a remote table). */
+  def dataUriFrom(remoteRoot: Option[String], localTableDir: NioPath,
+                  localPartDir: NioPath, name: String): String =
+    remoteRoot match {
       case Some(r) =>
         val rel = localTableDir.relativize(localPartDir).toString.replace('\\', '/')
         r + (if (rel.isEmpty) "" else "/" + rel) + "/" + name

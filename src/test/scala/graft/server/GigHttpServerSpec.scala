@@ -195,6 +195,26 @@ class GigHttpServerSpec extends SparkSpec {
     assert(nonNum.body().contains("numeric"), nonNum.body())
   }
 
+  test("one corrupt partition manifest does not take other tables down (review r10)") {
+    assert(post("/write?db=isoa", "ka v=1 1700000000000000000").statusCode() == 204)
+    assert(post("/write?db=isob", "kb v=2 1700000000000000000").statusCode() == 204)
+    // garble isob's manifest: the catalog's corrupt-spec discipline
+    // lifted to the manifest layer — isoa must keep serving
+    val manifests = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .filter(p => p.toString.contains("isob") &&
+        p.getFileName.toString == "metadata.json")
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+    assert(manifests.nonEmpty, "no isob manifest found")
+    manifests.foreach(p => java.nio.file.Files.writeString(p, "{garbage"))
+    val ok = post("/query?db=isoa", """{"query": "SELECT count(*) AS c FROM ka"}""")
+    assert(ok.statusCode() == 200, s"${ok.statusCode()} ${ok.body()}")
+    assert(ok.body().contains(""""c":"1""""), ok.body())
+    // the corrupt table's own queries fail attributably (unresolved
+    // view), not with a parser stack against every table
+    val bad = post("/query?db=isob", """{"query": "SELECT count(*) FROM kb"}""")
+    assert(bad.statusCode() == 500, s"${bad.statusCode()} ${bad.body()}")
+  }
+
   test("request-shape errors are 400; engine-side IAE subclasses stay 500 (ADVICE r8)") {
     assert(post("/query", """{"notquery": 1}""").statusCode() == 400)
     // malformed ?from=/?to= is a request-shape 400 (regression guard:
