@@ -41,6 +41,16 @@ import org.apache.spark.sql.functions._
 object BenchData {
   val Replicas = 10
 
+  /** Version of the scale-up GENERATOR logic (scaled()/renamedText/
+    * withK). Bump whenever derived bytes change for the same source
+    * bytes (r10: the whitespace-run rename fix). Rides BOTH the
+    * derived-dir key (ensureScaled) and the sf1 ratio-baseline key
+    * (Bench — VERDICT r10 #4: a baseline frozen on g_{n-1} bytes must
+    * not constrain g_n ratios; the r10 record compared g2 measurements
+    * against a g1-frozen baseline because only the dir key carried the
+    * version). */
+  val GeneratorVersion = "g2"
+
   /** Build (or reuse) the 10× derived dir for `fromDir`; returns its
     * path. Tables are written as `<name>.parquet` DIRECTORIES, which
     * `Tables.load` reads transparently. */
@@ -73,7 +83,7 @@ object BenchData {
     // rename fix) must not silently reuse a prior build of the same
     // source bytes. The version rides the fp token so the sibling
     // eviction treats old-generator dirs as stale generations too.
-    val fp = contentFingerprint(fromDir) + "g2"
+    val fp = contentFingerprint(fromDir) + GeneratorVersion
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       "graft-bench10x-" + new java.io.File(fromDir).getCanonicalPath
