@@ -158,6 +158,13 @@ object Bench {
     // the diagnosis stalled on exactly that ambiguity), so the section
     // costs ~1.5× the r7 time
     val sf1Budget = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_SEC", "600").toDouble
+    // provenance (r12, VERDICT r11 #1a): the record proves WHICH code it
+    // measured — `head_sha` + whether the tree had uncommitted changes —
+    // making the bench-at-final-HEAD round rule checkable after the fact
+    // (rounds 9-11 each spent a session re-establishing exactly this).
+    // Captured BEFORE the run: a commit landing mid-bench must not
+    // relabel measurements taken on the pre-commit tree.
+    val (headSha, treeDirty) = BenchGuard.gitProvenance()
     var spark = session(cpus)
     // prime page cache + parquet footers + temp views + codegen JIT so
     // per-query times measure the queries, not whichever one runs first.
@@ -274,24 +281,24 @@ object Bench {
     }
     // ratios are DATA-DISTRIBUTION-dependent (the r7 shingle cluster
     // moved because the regenerated corpus had a heavier shingle tail),
-    // so the baseline is keyed on the source data's content fingerprint:
-    // a baseline measured on last generation's bytes doesn't constrain
-    // this generation's ratios — reset it LOUDLY instead of flagging
-    // every data-sensitive query as a plan regression.
-    val dataFp = try BenchData.contentFingerprint(sfDir)
+    // so the baseline is keyed on the source data's content fingerprint
+    // PLUS the scale-up generator version (BenchGuard.baselineKey,
+    // VERDICT r10 #4): a baseline measured on last generation's bytes —
+    // or on a prior GENERATOR's derived bytes — doesn't constrain this
+    // generation's ratios; reset LOUDLY instead of flagging every
+    // data-sensitive query as a plan regression.
+    val dataFp = try BenchGuard.baselineKey(BenchData.contentFingerprint(sfDir))
       catch { case _: Throwable => "" }
     val ratioTxt =
       try new String(java.nio.file.Files.readAllBytes(ratioFile), "UTF-8")
       catch { case _: Throwable => "" }
-    val prevFp = """"__data_fp":"([0-9a-f]+)"""".r
-      .findFirstMatchIn(ratioTxt).map(_.group(1))
+    val prevFp = BenchGuard.parsePrevFp(ratioTxt)
     // a fingerprint-LESS prior baseline is also a mismatch (ADVICE r8):
     // it may predate the current data generation, and comparing against
     // it reproduces the exact cross-generation ambiguity the fingerprint
     // exists to kill — reset loudly the first time a fingerprint is
     // available rather than trusting it for one more round
-    val baselineReset = dataFp.nonEmpty && ratioTxt.nonEmpty &&
-      !prevFp.contains(dataFp)
+    val baselineReset = BenchGuard.baselineReset(dataFp, ratioTxt)
     if (baselineReset) System.err.println(
       s"[bench] SF1 baseline reset: data fingerprint " +
         s"${prevFp.getOrElse("<absent>")} -> $dataFp " +
@@ -314,9 +321,7 @@ object Bench {
     // absolutes — the sf1 absolute itself grew >1.25×. A genuine scale
     // cliff (p64's 20.3×, many seconds) trips all three.
     def trips(n: String, r: Double, abs: Double): Boolean =
-      prevRatios.get(n).exists(p => p > 0 && r > p * 1.5) &&
-        abs >= 1.0 &&
-        prevAbs.get(n).forall(pa => abs > pa * 1.25)
+      BenchGuard.trips(prevRatios.get(n), prevAbs.get(n), r, abs)
     val candidates = ratios.filter { case (n, r) =>
       trips(n, r, absNow.getOrElse(n, 0.0)) }
     // --- confirm pass (r10, VERDICT r9 #1-#3): ONE adjudication rep per
@@ -329,11 +334,31 @@ object Bench {
     //     consistent reps on record — while one-off session/machine
     //     drift clears itself instead of reading as a plan change. ---
     val confirmRep = scala.collection.mutable.Map.empty[String, Double]
+    // sentinel-normalized confirms (r12, VERDICT r11 #1b): a fixed
+    // PLAN-STABLE probe — q01, a plain hash aggregate whose plan cannot
+    // have changed between the section and the confirm pass — runs
+    // inside each confirm window against its OWN clean measurement from
+    // the main section. Concurrent machine load (the r9-r11 pattern:
+    // driver end-of-round runs measuring 2-5× on queries whose clean
+    // re-runs sit at baseline) shows up as sentinel drift, and a
+    // candidate whose elevation matches it self-clears as environment
+    // AT RECORD TIME instead of costing the next round an adjudication
+    // session. A true regression re-measures slow beside a calm
+    // sentinel and stays flagged, with the evidence inline.
+    val SentinelQuery = "q01_pricing_summary"
+    // (sentinel sec, sentinel base sec, drift) per adjudicated candidate
+    val sentinelInfo =
+      scala.collection.mutable.Map.empty[String, (Double, Double, Double)]
     if (candidates.nonEmpty && sf1Dir.nonEmpty) {
       System.gc(); Thread.sleep(3000)
+      val sentinelBase = sf1.getOrElse(SentinelQuery, -1.0)
       candidates.foreach { case (n, _) =>
+        val sTime = if (n == SentinelQuery) -1.0 // itself: no evidence
+          else timeOne(spark, sf1Dir, SparkEntry.queries(SentinelQuery), capSec = 90)
+        val drift = BenchGuard.sentinelDrift(sTime, sentinelBase)
         val c = timeOne(spark, sf1Dir, SparkEntry.queries(n), capSec = 90)
         confirmRep(n) = r3(c)
+        sentinelInfo(n) = (r3(sTime), r3(sentinelBase), r3(drift))
         if (c > 0 && c < sf1(n)) sf1(n) = c
       }
     }
@@ -341,8 +366,21 @@ object Bench {
       case (n, s) if s > 0 => n -> r3(s) }.toMap
     val ratiosFinal: Seq[(String, Double)] = sf1.toSeq.collect {
       case (n, s) if s > 0 && med.getOrElse(n, -1.0) > 0 => n -> r3(s / med(n)) }
-    val regressions = ratiosFinal.filter { case (n, r) =>
-      trips(n, r, absFinal.getOrElse(n, 0.0)) }
+    // the flag decision sees the sentinel-normalized confirm (the
+    // recorded measurements stay raw — normalization adjudicates, it
+    // never rewrites evidence)
+    def effAbsOf(n: String): Double = {
+      val raw = absFinal.getOrElse(n, 0.0)
+      (confirmRep.get(n), sentinelInfo.get(n)) match {
+        case (Some(c), Some((_, _, drift))) =>
+          r3(BenchGuard.effectiveAbs(raw, c, drift))
+        case _ => raw
+      }
+    }
+    val regressions = ratiosFinal.filter { case (n, _) =>
+      val a = effAbsOf(n)
+      val m = med.getOrElse(n, -1.0)
+      m > 0 && trips(n, r3(a / m), a) }
     val clearedNames = candidates.map(_._1).toSet -- regressions.map(_._1).toSet
     // the record carries its own adjudication evidence (VERDICT r9 #3):
     // per-rep times + warm_build + the confirm rep, inline with each
@@ -356,7 +394,11 @@ object Bench {
         ",\"abs\":" + absFinal.getOrElse(n, -1.0) +
         ",\"prev_abs\":" + prevAbs.getOrElse(n, -1.0) +
         ",\"warm_build\":" + w + ",\"reps\":[" + a + "," + b + "]" +
-        confirmRep.get(n).map(c => ",\"confirm\":" + c).getOrElse("") + "}"
+        confirmRep.get(n).map(c => ",\"confirm\":" + c).getOrElse("") +
+        sentinelInfo.get(n).map { case (s, base, d) =>
+          ",\"sentinel\":" + s + ",\"sentinel_base\":" + base +
+            ",\"sentinel_drift\":" + d + ",\"eff_abs\":" + effAbsOf(n)
+        }.getOrElse("") + "}"
     }
     val regressionsJson =
       regressions.map { case (n, r) => regDetail(n, r) }.mkString("{", ",", "}")
@@ -370,9 +412,12 @@ object Bench {
           s"reps=[warm $w, $a, $b, confirm ${confirmRep.getOrElse(n, -1.0)}]") }
     clearedNames.foreach { n =>
       val (w, a, b) = sf1Reps.getOrElse(n, (-1.0, -1.0, -1.0))
+      val drift = sentinelInfo.get(n).map(_._3).getOrElse(1.0)
+      val how = if (drift > 1.0 && effAbsOf(n) < absFinal.getOrElse(n, 0.0))
+        s"sentinel-normalized (concurrent load x$drift on a plan-stable probe)"
+      else "confirm rep (one-off drift, not a plan change)"
       System.err.println(
-        s"[bench] sf1 flag CLEARED by confirm rep (one-off drift, not a " +
-          s"plan change): $n reps=[warm $w, $a, $b, " +
+        s"[bench] sf1 flag CLEARED by $how: $n reps=[warm $w, $a, $b, " +
           s"confirm ${confirmRep.getOrElse(n, -1.0)}]") }
     // MERGE into the baseline, and only when this run measured anything:
     // a skipped/failed sf1 section (SPARK_GRAFT_SF1=0, budget-skips)
@@ -425,6 +470,8 @@ object Bench {
       "INGEST_BENCH_20M.json (standalone clean-JVM run of the same code)"
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,
+         |"head_sha":${graft.server.JsonOut.str(headSha)},
+         |"tree_dirty":${treeDirty.map(_.toString).getOrElse("null")},
          |"ingest_note":${graft.server.JsonOut.str(ingestNote)},
          |"queries_full":${jsonObj(names.map(n => n -> med(n)))},
          |"per_rep":[${perRep.map(m => jsonObj(names.map(n => n -> m(n)))).mkString(",")}],

@@ -44,11 +44,12 @@ object BenchData {
   /** Version of the scale-up GENERATOR logic (scaled()/renamedText/
     * withK). Bump whenever derived bytes change for the same source
     * bytes (r10: the whitespace-run rename fix). Rides BOTH the
-    * derived-dir key (ensureScaled) and the sf1 ratio-baseline key
-    * (Bench — VERDICT r10 #4: a baseline frozen on g_{n-1} bytes must
-    * not constrain g_n ratios; the r10 record compared g2 measurements
-    * against a g1-frozen baseline because only the dir key carried the
-    * version). */
+    * derived-dir key (ensureScaled) and — via [[BenchGuard.baselineKey]]
+    * (r12, closing VERDICT r10 #4 for real) — the sf1 ratio-baseline
+    * key persisted as SF1_RATIOS.json's `__data_fp`: a baseline frozen
+    * on g_{n-1} derived bytes must not constrain g_n ratios, so a
+    * version bump with unchanged source bytes hits the same loud-reset
+    * path a driver data regeneration does (BenchGuardSpec pins it). */
   val GeneratorVersion = "g2"
 
   /** Build (or reuse) the 10× derived dir for `fromDir`; returns its

@@ -1,0 +1,101 @@
+package graft
+
+/** Measurement-integrity helpers for [[Bench]]'s sf1 ratio guard,
+  * extracted pure so specs can pin the adjudication behavior without a
+  * bench run (VERDICT r11 #1-#2 — the r11 record *claimed* this
+  * machinery shipped; this object is it actually shipping).
+  *
+  * Three features live here:
+  *  - the ratio-baseline KEY carries the scale-up generator version
+  *    (VERDICT r10 #4): ratios measured on g_n derived bytes must never
+  *    compare against a baseline frozen on g_{n-1} bytes, even when the
+  *    SOURCE bytes are identical — a generator-logic change alters the
+  *    derived corpus and with it every data-distribution-dependent
+  *    ratio. A version bump now hits the same loud-reset path a driver
+  *    data regeneration does.
+  *  - provenance: `head_sha` + `tree_dirty` recorded in BENCH_DETAIL,
+  *    so a flag adjudication can prove WHICH code a record measured
+  *    (rounds 9-11 each spent a session re-establishing exactly that)
+  *    and the bench-at-final-HEAD round rule becomes checkable.
+  *  - sentinel normalization: a plan-stable probe measured inside each
+  *    confirm window separates machine load from plan regressions at
+  *    record time — a candidate whose elevation matches the sentinel's
+  *    concurrent drift self-clears as environment instead of costing
+  *    the next round an adjudication session.
+  */
+object BenchGuard {
+
+  /** The sf1 ratio-baseline key: source content fingerprint + scale-up
+    * generator version. Empty stays empty (fingerprint unavailable →
+    * the guard disarms rather than comparing garbage). */
+  def baselineKey(contentFp: String): String =
+    if (contentFp.isEmpty) "" else contentFp + BenchData.GeneratorVersion
+
+  /** The `__data_fp` value persisted in SF1_RATIOS.json, if any.
+    * Accepts both the legacy bare-hex form and the versioned form —
+    * a legacy value never equals a versioned key, so the first run
+    * after the version joined the key resets loudly (correct: the
+    * legacy baseline's generator is unknown). */
+  def parsePrevFp(ratioTxt: String): Option[String] =
+    """"__data_fp":"([0-9a-zA-Z]+)"""".r.findFirstMatchIn(ratioTxt).map(_.group(1))
+
+  /** True when a prior baseline exists but was frozen under a different
+    * (data bytes, generator version) key — reset loudly instead of
+    * flagging every data-sensitive query as a plan regression. A
+    * missing fingerprint on either side is also a mismatch (ADVICE r8). */
+  def baselineReset(dataFp: String, ratioTxt: String): Boolean =
+    dataFp.nonEmpty && ratioTxt.nonEmpty && !parsePrevFp(ratioTxt).contains(dataFp)
+
+  /** The two-dimension regression rule (r8, unchanged): the ratio grew
+    * >1.5× over the frozen baseline, the sf1 absolute is past the noise
+    * floor, and — when the baseline carries absolutes — the absolute
+    * itself grew >1.25×. */
+  def trips(prevRatio: Option[Double], prevAbs: Option[Double],
+            ratio: Double, abs: Double): Boolean =
+    prevRatio.exists(p => p > 0 && ratio > p * 1.5) &&
+      abs >= 1.0 &&
+      prevAbs.forall(pa => abs > pa * 1.25)
+
+  /** Concurrent-load factor observed by the sentinel during a confirm
+    * window: how much slower the plan-stable probe ran than its own
+    * clean measurement earlier in the same section. Never below 1 (a
+    * faster-than-base sentinel is noise, not negative load); invalid
+    * measurements (failed probe, missing base) mean "no evidence" → 1. */
+  def sentinelDrift(sentinel: Double, sentinelBase: Double): Double =
+    if (sentinel > 0 && sentinelBase > 0) math.max(1.0, sentinel / sentinelBase)
+    else 1.0
+
+  /** A confirm rep with the sentinel's concurrent drift divided out —
+    * the steady-state estimate the flag decision should see when the
+    * window was loaded. Failed reps (<=0) pass through untouched. */
+  def normalizedConfirm(confirm: Double, drift: Double): Double =
+    if (confirm > 0) confirm / math.max(1.0, drift) else confirm
+
+  /** The effective sf1 absolute the final trip rule sees for a
+    * confirmed candidate: the best clean evidence available — the raw
+    * best-of (reps + confirm) or the sentinel-normalized confirm,
+    * whichever is lower. A candidate whose elevation ≈ the sentinel's
+    * drift normalizes back under the threshold and self-clears as
+    * environment; a true regression re-measures slow against a calm
+    * sentinel and stays flagged with three consistent reps on record. */
+  def effectiveAbs(rawAbs: Double, confirm: Double, drift: Double): Double = {
+    val norm = normalizedConfirm(confirm, drift)
+    if (norm > 0) math.min(rawAbs, norm) else rawAbs
+  }
+
+  /** Git provenance of the measuring tree, empty-safe: `head_sha` is ""
+    * and `tree_dirty` None when git is unavailable (the record then
+    * carries `"tree_dirty":null` — unknown, not clean). */
+  def gitProvenance(repoDir: java.io.File = new java.io.File(".")): (String, Option[Boolean]) = {
+    def run(cmd: Seq[String]): Option[String] =
+      try {
+        val p = new ProcessBuilder(cmd: _*).directory(repoDir)
+          .redirectErrorStream(false).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: Throwable => None }
+    val sha = run(Seq("git", "rev-parse", "HEAD")).map(_.trim).getOrElse("")
+    val dirty = run(Seq("git", "status", "--porcelain")).map(_.trim.nonEmpty)
+    (sha, dirty)
+  }
+}
