@@ -41,6 +41,8 @@ object SqlBootstrap {
           graft.sources.ObjectStore.applySecretConfs(spark, confs)
         case None =>
           val rw = DuckDialect.rewriteInfo(stmt, fetchRemote = true)
+          // read_csv views ride the global temp catalog, same as /query
+          graft.sources.CsvReads.ensure(spark, rw.csvViews)
           // rewrite-required confs (mergeSchema) are scoped to THIS
           // statement — the session is shared, and a leaked conf would
           // silently change every later read's schema semantics (the

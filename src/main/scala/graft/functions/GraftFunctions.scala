@@ -513,6 +513,90 @@ object GraftFunctions {
       MicrosToTimestamp(Cast(es.head, LongType)))
     reg("fromUnixTimestamp64Nano")(es => MicrosToTimestamp(
       new IntegralDivide(Cast(es.head, LongType), Literal(1000L))))
+    // ---- r12 tier (VERDICT r10 #6 / r11 #5): the next-used chsql
+    //      names. Semantics follow ClickHouse docs like the rest of
+    //      this section (toDayOfWeek/toStartOfWeek precedent). ----
+    // formatDateTime(Time, Format): CH's specifiers are C-strftime
+    // compatible in modern CH (%M = minute), plus MySQL-style %i =
+    // minute — preprocess %i and reuse the shared strftime translation
+    reg("formatDateTime") { es =>
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"formatDateTime(ts, fmt): expected 2 arguments, got ${es.length}" +
+          (if (es.length == 3) " (timezone argument not supported)" else ""))
+      val fmt = literalString("formatDateTime(ts, fmt)", es(1))
+        .replace("%i", "%M")
+      new DateFormatClass(ts(es.head), Literal(cFormatToJava(fmt)))
+    }
+    // toStartOfInterval(t, INTERVAL n unit): floor to the n-unit grid
+    // anchored at the epoch (CH's anchor for months and for day-time
+    // units alike). Day-time intervals floor epoch-micros; year-month
+    // intervals floor months-since-1970-01 and return a DATE (CH
+    // returns Date for month-granularity). `x - pmod(x, n)` is floor
+    // division even for pre-1970 instants.
+    reg("toStartOfInterval") { es =>
+      if (es.length != 2) throw new IllegalArgumentException(
+        s"toStartOfInterval(t, INTERVAL): expected 2 arguments, got ${es.length}")
+      val iv = es(1)
+      if (!iv.foldable) throw new IllegalArgumentException(
+        "toStartOfInterval: the interval must be a literal")
+      iv.dataType match {
+        case _: DayTimeIntervalType =>
+          val micros = iv.eval() match {
+            case l: java.lang.Long => l.longValue()
+            case other => throw new IllegalArgumentException(
+              s"toStartOfInterval: unsupported interval value $other")
+          }
+          if (micros <= 0) throw new IllegalArgumentException(
+            "toStartOfInterval: the interval must be positive")
+          val us = UnixMicros(ts(es.head))
+          MicrosToTimestamp(Subtract(us, Pmod(us, Literal(micros))))
+        case _: YearMonthIntervalType =>
+          val months = iv.eval() match {
+            case i: java.lang.Integer => i.intValue()
+            case other => throw new IllegalArgumentException(
+              s"toStartOfInterval: unsupported interval value $other")
+          }
+          if (months <= 0) throw new IllegalArgumentException(
+            "toStartOfInterval: the interval must be positive")
+          val d = dt(es.head)
+          val monthsSinceEpoch = Add(
+            Multiply(Subtract(Year(d), Literal(1970)), Literal(12)),
+            Subtract(Month(d), Literal(1)))
+          AddMonths(Literal.create(0, DateType), // 1970-01-01
+            Subtract(monthsSinceEpoch, Pmod(monthsSinceEpoch, Literal(months))))
+        case other => throw new IllegalArgumentException(
+          s"toStartOfInterval: INTERVAL literal expected, got ${other.simpleString}")
+      }
+    }
+    // toWeek(d[, mode]): CH default mode 0 = MySQL WEEK() mode 0 —
+    // weeks start Sunday, week 1 is the first week containing a Sunday
+    // of this year, earlier days are week 0. Computed from the year's
+    // first-Sunday offset; mode 3 (ISO) maps to Spark's weekofyear.
+    // Other CH modes stay unmapped (loud error, not a silent guess).
+    reg("toWeek") { es =>
+      if (es.isEmpty || es.length > 2) throw new IllegalArgumentException(
+        s"toWeek(date[, mode]): expected 1-2 arguments, got ${es.length}")
+      val mode = if (es.length > 1)
+        literalIntArg("toWeek(date, mode)", es, 2, 1) else 0
+      val d = dt(es.head)
+      mode match {
+        case 0 =>
+          val jan1 = MakeDate(Year(d), Literal(1), Literal(1))
+          // days from Jan 1 to the year's first Sunday (Spark DayOfWeek:
+          // 1=Sunday..7=Saturday)
+          val toFirstSunday = Pmod(Subtract(Literal(8), DayOfWeek(jan1)), Literal(7))
+          Cast(new IntegralDivide(
+            Subtract(Add(DayOfYear(d), Literal(6)), toFirstSunday),
+            Literal(7)), IntegerType)
+        case 3 => WeekOfYear(d)
+        case other => throw new IllegalArgumentException(
+          s"toWeek: mode $other not supported (0 = CH default, 3 = ISO)")
+      }
+    }
+    reg("toISOWeek")(es => WeekOfYear(dt(es.head)))
+    // CH toMonday: round DOWN to the nearest Monday, returns Date —
+    // Spark's trunc(date, 'week') is exactly Monday-anchored
+    reg("toMonday")(es => TruncDate(dt(es.head), Literal("week")))
   }
 
   /** Dotted-quad → UInt32, malformed → NULL deterministically (shared
@@ -563,6 +647,73 @@ object GraftFunctions {
     reg("epoch")(es => UnixSeconds(Cast(es.head, TimestampType)))
     reg("epoch_ms")(es => UnixMillis(Cast(es.head, TimestampType)))
     reg("epoch_us")(es => UnixMicros(Cast(es.head, TimestampType)))
+    // ---- r12 tier (VERDICT r10 #5 / r11 #4): the everyday-DuckDB
+    //      names that still answered 400. Semantics pinned against
+    //      DuckDB itself (null ordering, default separators, inclusive
+    //      series bounds); every one still a thin Catalyst builder. ----
+    // arg_min/arg_max(arg, val): DuckDB's value-at-extremum — exactly
+    // Spark's min_by/max_by (ties pick an arbitrary row in both)
+    reg("arg_min")(es => MinBy(es(0), es(1)).toAggregateExpression())
+    reg("arg_max")(es => MaxBy(es(0), es(1)).toAggregateExpression())
+    // string_agg(s[, sep]) / group_concat: DuckDB's default separator is
+    // ','. Group-internal order is arrival order — non-deterministic
+    // distributed, in both engines (DuckDB documents string_agg order
+    // as arbitrary without ORDER BY).
+    def listAgg(es: Seq[Expression]): Expression =
+      new aggregate.ListAgg(es(0),
+        if (es.length > 1) es(1) else Literal(",")).toAggregateExpression()
+    reg("string_agg")(listAgg)
+    reg("group_concat")(listAgg)
+    // list_sort: DuckDB default is ASC NULLS LAST = Spark array_sort's
+    // default comparator; list_reverse_sort is DESC NULLS LAST =
+    // sort_array(x, false). The optional DuckDB order/null-order string
+    // arguments select among the four combos (DESC NULLS FIRST is the
+    // reverse of ASC NULLS LAST).
+    def listSort(usage: String, defaultDesc: Boolean)(es: Seq[Expression]): Expression = {
+      val ord = if (es.length > 1)
+        literalString(usage, es(1)).trim.toUpperCase(java.util.Locale.ROOT)
+      else if (defaultDesc) "DESC" else "ASC"
+      val desc = ord match {
+        case "ASC" | "" => false
+        case "DESC" => true
+        case other => throw new IllegalArgumentException(
+          s"$usage: sort order must be ASC or DESC, got '$other'")
+      }
+      val nullsFirst = if (es.length > 2)
+        literalString(usage, es(2)).trim.toUpperCase(java.util.Locale.ROOT) match {
+          case "NULLS FIRST" => true
+          case "NULLS LAST" => false
+          case other => throw new IllegalArgumentException(
+            s"$usage: null order must be NULLS FIRST or NULLS LAST, got '$other'")
+        }
+      else false // DuckDB default_null_order: NULLS LAST
+      (desc, nullsFirst) match {
+        case (false, false) => new ArraySort(es.head) // ASC NULLS LAST
+        case (false, true)  => new SortArray(es.head, Literal(true))
+        case (true, false)  => new SortArray(es.head, Literal(false))
+        case (true, true)   => Reverse(new ArraySort(es.head))
+      }
+    }
+    reg("list_sort")(listSort("list_sort(arr[, order[, null_order]])",
+      defaultDesc = false))
+    reg("list_reverse_sort")(es => listSort(
+      "list_reverse_sort(arr[, null_order])", defaultDesc = true)(
+      // the optional argument of list_reverse_sort is the NULL order
+      if (es.length > 1) Seq(es(0), Literal("DESC"), es(1)) else es))
+    // generate_series(a, b[, step]) in SELECT position returns the
+    // INCLUSIVE list — exactly Spark's sequence (DuckDB's exclusive
+    // `range` stays unmapped: Spark resolves its own range TVF first).
+    // FROM-position generate_series is rewritten by DuckDialect.
+    reg("generate_series")(es =>
+      if (es.length > 2) new Sequence(es(0), es(1), es(2))
+      else new Sequence(es(0), es(1)))
+    // unnest(list) in SELECT position: one row per element — Explode,
+    // which the analyzer's generator extraction lifts out of the
+    // projection. (Column is named `col` Spark-style unless aliased;
+    // DuckDB names it `unnest`.) FROM-position unnest is rewritten by
+    // DuckDialect; struct-flattening unnest(recursive:=true) stays
+    // unmapped — different shape, loud analyzer error.
+    reg("unnest")(es => Explode(es.head))
   }
 
   def registerAll(spark: SparkSession): Unit = {

@@ -26,9 +26,13 @@ object DuckDialect {
 
   /** One statement's rewrite result: the Spark SQL text, session confs
     * the rewrite requires (`union_by_name=true` → parquet mergeSchema),
-    * and every remote http(s) URL the emitted text references. */
+    * every remote http(s) URL the emitted text references, and the
+    * global-temp csv views the text expects (`read_csv` rewrites to
+    * `global_temp.__graft_csv_<h>`; the caller materializes them via
+    * [[graft.sources.CsvReads.ensure]] before executing). */
   final case class Rewritten(sql: String, confs: Map[String, String],
-                             remoteUrls: Seq[String])
+                             remoteUrls: Seq[String],
+                             csvViews: Seq[graft.sources.CsvReads.CsvView] = Nil)
 
   /** Rewrite every `::TYPE` postfix cast and `read_parquet`/`read_json`
     * table function outside string literals / quoted identifiers /
@@ -57,12 +61,16 @@ object DuckDialect {
           .resolve(graft.sources.HttpParquet.cacheKey(p)).toString
       } else p
     }
+    val csvViews =
+      scala.collection.mutable.LinkedHashMap.empty[String, graft.sources.CsvReads.CsvView]
     var s = sql
     var guard = 0
     var done = false
     while (!done && guard < 256) { // a query with >256 casts is not a query
       rewriteFirst(s).orElse(rewriteFirstMergeTree(s, loc))
         .orElse(rewriteFirstTableFn(s, loc, confs))
+        .orElse(rewriteFirstCsv(s, loc, csvViews))
+        .orElse(rewriteFirstFromGenerator(s))
         .orElse(rewriteFirstZeroArgCount(s))
         .orElse(rewriteFirstExclude(s))
         .orElse(rewriteFirstQualify(s))
@@ -71,7 +79,7 @@ object DuckDialect {
         case None => done = true
       }
     }
-    Rewritten(s, confs.toMap, urls.toSeq)
+    Rewritten(s, confs.toMap, urls.toSeq, csvViews.values.toSeq)
   }
 
   /** DuckDB FROM-first shorthand — a bare `FROM t [WHERE …] [LIMIT …]`
@@ -440,6 +448,171 @@ object DuckDialect {
     None
   }
 
+  /** DuckDB `read_csv('p'[, opt = val, …])` / `read_csv_auto` →
+    * a content-addressed GLOBAL temp view (VERDICT r10 #5). The direct
+    * path (`csv.\`p\``) can't carry options or header/type sniffing, so
+    * unlike read_parquet this one maps to a view the caller
+    * materializes via [[graft.sources.CsvReads.ensure]] with
+    * `spark.read.options(…).csv(paths)` — global-temp because /query
+    * executes on snapshot/child sessions that don't share the outer
+    * session's temp catalog. Options translate honor-or-bail, the
+    * TableFns discipline: anything Spark's csv reader can't express
+    * (`skip=`, `columns={…}`, `filename=true`, …) leaves the call
+    * untouched for a loud parse error rather than silently changed
+    * semantics. Types are inferred (DuckDB's auto-sniff) unless
+    * `all_varchar=true`; the header is sniffed from the first line
+    * unless `header=` says otherwise. */
+  private val CsvFns = Set("read_csv", "read_csv_auto")
+
+  private def rewriteFirstCsv(
+      s: String, localizer: String => String,
+      views: scala.collection.mutable.Map[String, graft.sources.CsvReads.CsvView])
+      : Option[String] = {
+    val ts = lex(s)
+    def strVal(t: Tok): String =
+      s.substring(t.start + 1, math.max(t.start + 1, t.end - 1))
+        .replace("''", "'")
+    def word(t: Tok): String =
+      s.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
+    var k = 0
+    while (k < ts.length) {
+      if (ts(k).kind == Word && CsvFns.contains(word(ts(k))) &&
+          k + 1 < ts.length && ts(k + 1).kind == Punct('(')) {
+        // path argument: same grammar as rewriteFirstTableFn
+        val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = k + 2
+        var ok = true
+        if (i < ts.length && ts(i).kind == Str) { paths += strVal(ts(i)); i += 1 }
+        else {
+          if (i < ts.length && ts(i).kind == Word && word(ts(i)) == "array") i += 1
+          if (i < ts.length && ts(i).kind == Punct('[')) {
+            var done = false
+            i += 1
+            while (ok && !done && i + 1 < ts.length) {
+              (ts(i).kind, ts(i + 1).kind) match {
+                case (Str, Punct(',')) => paths += strVal(ts(i)); i += 2
+                case (Str, Punct(']')) => paths += strVal(ts(i)); i += 2; done = true
+                case _ => ok = false
+              }
+            }
+            ok = ok && done && paths.nonEmpty
+          } else ok = false
+        }
+        // option tail: ( , name = value )* — honor-or-bail per option
+        val opts = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        var headerGiven = false
+        var inferSchema = true
+        def boolOf(v: String): Option[Boolean] = v match {
+          case "true" | "1" => Some(true)
+          case "false" | "0" => Some(false)
+          case _ => None
+        }
+        while (ok && i + 3 < ts.length && ts(i).kind == Punct(',')) {
+          (ts(i + 1).kind, ts(i + 2).kind, ts(i + 3).kind) match {
+            case (Word, Punct('='), Word | Str) =>
+              val v = if (ts(i + 3).kind == Str) strVal(ts(i + 3))
+                else word(ts(i + 3))
+              val vl = v.toLowerCase(java.util.Locale.ROOT)
+              word(ts(i + 1)) match {
+                case "header" => boolOf(vl) match {
+                  case Some(b) => opts += ("header" -> b.toString); headerGiven = true
+                  case None => ok = false
+                }
+                case "delim" | "sep" | "delimiter" => opts += ("sep" -> v)
+                case "quote" => opts += ("quote" -> v)
+                case "escape" => opts += ("escape" -> v)
+                case "nullstr" => opts += ("nullValue" -> v)
+                case "dateformat" => opts += ("dateFormat" -> v)
+                case "timestampformat" => opts += ("timestampFormat" -> v)
+                case "ignore_errors" => boolOf(vl) match {
+                  case Some(true) => opts += ("mode" -> "DROPMALFORMED")
+                  case Some(false) =>
+                  case None => ok = false
+                }
+                case "all_varchar" => boolOf(vl) match {
+                  case Some(b) => inferSchema = !b
+                  case None => ok = false
+                }
+                case "auto_detect" => // true is the default; false needs
+                  // a columns={} spec Spark can't take here — bail
+                  if (!vl.startsWith("t") && vl != "1") ok = false
+                case "sample_size" => // Spark infers from the full file
+                case "compression" => if (vl != "auto") ok = false
+                case "hive_partitioning" => if (boolOf(vl) != Some(false)) ok = false
+                case _ => ok = false // can't honor: leave the call alone
+              }
+              i += 4
+            case _ => ok = false
+          }
+        }
+        if (ok && i < ts.length && ts(i).kind == Punct(')') &&
+            !(paths.size > 1 && paths.exists(_.isEmpty))) {
+          val localized = paths.map(localizer).toSeq
+          opts += ("inferSchema" -> inferSchema.toString)
+          val name = graft.sources.CsvReads.viewName(
+            localized, opts.toMap, sniffHeader = !headerGiven)
+          views(name) = graft.sources.CsvReads.CsvView(
+            name, localized, opts.toMap, sniffHeader = !headerGiven)
+          return Some(s.substring(0, ts(k).start) +
+            s"global_temp.`$name`" + s.substring(ts(i).end))
+        }
+      }
+      k += 1
+    }
+    None
+  }
+
+  /** DuckDB FROM-position `generate_series(…)` / `unnest(…)` (VERDICT
+    * r10 #5): table-function position resolves from Spark's
+    * TableFunctionRegistry, where neither name exists, so the shim
+    * rewrites the call to the equivalent generator subquery —
+    * `FROM generate_series(a, b[, s])` →
+    * `FROM (SELECT explode(sequence(a, b[, s])) AS generate_series)`
+    * (inclusive bounds: sequence IS generate_series; DuckDB's exclusive
+    * `range` stays unmapped — Spark's own range TVF resolves first) and
+    * `FROM unnest(expr)` → `FROM (SELECT explode(expr) AS unnest)`.
+    * Only the unambiguous table positions rewrite — the token before
+    * the call must be FROM or JOIN; the SELECT-position scalar forms
+    * are native builders (GraftFunctions duckCompat) and need no text
+    * rewrite. A trailing alias (`FROM generate_series(1,3) t(x)`)
+    * survives verbatim after the emitted subquery. */
+  private def rewriteFirstFromGenerator(s: String): Option[String] = {
+    val low = s.toLowerCase(java.util.Locale.ROOT)
+    if (!low.contains("generate_series") && !low.contains("unnest")) return None
+    val ts = lex(s)
+    def word(t: Tok): String =
+      s.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
+    var k = 1
+    while (k + 1 < ts.length) {
+      val name = if (ts(k).kind == Word) word(ts(k)) else ""
+      if ((name == "generate_series" || name == "unnest") &&
+          ts(k + 1).kind == Punct('(') &&
+          ts(k - 1).kind == Word && Set("from", "join")(word(ts(k - 1)))) {
+        var depth = 0
+        var i = k + 1
+        var close = -1
+        while (i < ts.length && close < 0) {
+          ts(i).kind match {
+            case Punct('(') => depth += 1
+            case Punct(')') => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close > 0) {
+          val args = s.substring(ts(k + 1).end, ts(close).start).trim
+          if (args.nonEmpty) {
+            val inner = if (name == "generate_series") s"sequence($args)" else args
+            return Some(s.substring(0, ts(k).start) +
+              s"(SELECT explode($inner) AS $name)" + s.substring(ts(close).end))
+          }
+        }
+      }
+      k += 1
+    }
+    None
+  }
+
   /** Split SQL text on top-level `;` — outside string literals, quoted
     * identifiers and comments (the lexer already skips all three). The
     * reference's published benchmark text is a statement LIST
@@ -585,10 +758,11 @@ object DuckDialect {
     * functions the shim doesn't rewrite. */
   private val KnownUnmappedFns: Map[String, String] = {
     val ch = Seq(
-      // date/time
-      "formatDateTime", "parseDateTimeBestEffort", "toStartOfInterval",
+      // date/time (formatDateTime/toStartOfInterval/toWeek/toISOWeek/
+      // toMonday mapped in r12 — GraftFunctions chsqlCompat)
+      "parseDateTimeBestEffort",
       "toStartOfFiveMinutes", "toStartOfTenMinutes", "toStartOfFifteenMinutes",
-      "toStartOfSecond", "toISOWeek", "toISOYear", "toWeek", "toMonday",
+      "toStartOfSecond", "toISOYear",
       "toRelativeDayNum", "toRelativeHourNum", "timeSlot", "age",
       // hashes (CH hash families have CH-specific bit layouts; mapping a
       // same-named Spark hash would return DIFFERENT values silently)
@@ -612,11 +786,14 @@ object DuckDialect {
       // JSON
       "JSONExtractRaw", "JSONExtractArrayRaw", "JSONLength", "JSONType",
       "visitParamExtractString", "simpleJSONExtractString")
+    // (read_csv/read_csv_auto, list_sort/list_reverse_sort, unnest,
+    // generate_series, string_agg/group_concat, arg_min/arg_max mapped
+    // in r12 — GraftFunctions duckCompat + the table-fn rewrites here)
     val duck = Seq(
-      "read_csv", "read_csv_auto", "read_ndjson", "list_aggregate",
-      "list_aggr", "list_sort", "list_reverse_sort", "list_unique",
-      "list_value", "list_pack", "struct_pack", "unnest", "generate_series",
-      "generate_subscripts", "string_agg", "group_concat", "arg_min", "arg_max")
+      "read_ndjson", "list_aggregate",
+      "list_aggr", "list_unique",
+      "list_value", "list_pack", "struct_pack",
+      "generate_subscripts")
     (ch.map(_ -> "chsql/ClickHouse") ++ duck.map(_ -> "DuckDB")).map {
       case (n, s) => n.toLowerCase(java.util.Locale.ROOT) -> s }.toMap
   }

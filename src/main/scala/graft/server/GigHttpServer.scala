@@ -241,6 +241,9 @@ final class GigHttpServer(spark: SparkSession, root: String,
               spark.sessionState.sqlParser.parsePlan(dry.sql)
               DuckDialect.rewriteInfo(stmt, fetchRemote = true)
             }
+          // read_csv views materialize on the GLOBAL temp catalog so
+          // the snapshot/child session sqlFor executes on can see them
+          BadRequest.relabel(graft.sources.CsvReads.ensure(spark, fin.csvViews))
           last = Some(dialectGapRelabel(
             views.sqlFor(fin.sql, explicit, bareDb, fin.confs)))
       }

@@ -158,4 +158,62 @@ class ChsqlFunctionsSpec extends SparkSpec {
       .collect()(0)
     assert(n.getInt(0) == 1)
   }
+
+  // ---- r12 tier (VERDICT r10 #6): formatDateTime, toStartOfInterval,
+  //      the week family ----
+
+  test("formatDateTime: C-compatible specifiers plus CH/MySQL %i = minute") {
+    val t = "TIMESTAMP '2025-04-24 13:45:56'"
+    assert(one(s"formatDateTime($t, '%Y-%m-%d %H:%M:%S')") == "2025-04-24 13:45:56")
+    assert(one(s"formatDateTime($t, '%Y-%m-%d %H:%i:%S')") == "2025-04-24 13:45:56")
+    assert(one(s"formatDateTime($t, '%d/%m/%Y')") == "24/04/2025")
+    val e = intercept[Exception](
+      spark.sql(s"SELECT formatDateTime($t, '%Q')").collect())
+    assert(e.getMessage.contains("unsupported format specifier"))
+  }
+
+  test("toStartOfInterval floors to the epoch-anchored grid (CH)") {
+    val t = "TIMESTAMP '2025-04-24 13:45:56'"
+    assert(one(s"toStartOfInterval($t, INTERVAL 15 MINUTE)").toString
+      == "2025-04-24 13:45:00.0")
+    assert(one(s"toStartOfInterval($t, INTERVAL 1 HOUR)").toString
+      == "2025-04-24 13:00:00.0")
+    assert(one(s"toStartOfInterval($t, INTERVAL 6 HOUR)").toString
+      == "2025-04-24 12:00:00.0")
+    assert(one(s"toStartOfInterval($t, INTERVAL 1 DAY)").toString
+      == "2025-04-24 00:00:00.0")
+    // month grid anchored at 1970-01: April 2025 = 663 months since
+    // epoch → floor to 662 → 2025-03-01 (CH returns Date here)
+    assert(one(s"toStartOfInterval($t, INTERVAL 2 MONTH)").toString == "2025-03-01")
+    assert(one(s"toStartOfInterval($t, INTERVAL 1 YEAR)").toString == "2025-01-01")
+    val e = intercept[Exception](
+      spark.sql(s"SELECT toStartOfInterval($t, INTERVAL 0 MINUTE)").collect())
+    assert(e.getMessage.contains("positive"))
+  }
+
+  test("toWeek mode 0 (CH/MySQL Sunday weeks), mode 3 = ISO; toISOWeek; toMonday") {
+    // 2024-01-01 is a Monday: days before the year's first Sunday are
+    // week 0; the first Sunday (Jan 7) starts week 1 — MySQL WEEK(,0)
+    assert(one("toWeek(DATE '2024-01-01')") == 0)
+    assert(one("toWeek(DATE '2024-01-06')") == 0)
+    assert(one("toWeek(DATE '2024-01-07')") == 1)
+    assert(one("toWeek(DATE '2024-01-13')") == 1)
+    // 2023-01-01 is a Sunday: week 1 starts on day one
+    assert(one("toWeek(DATE '2023-01-01')") == 1)
+    // 2025-04-24: first Sunday is Jan 5; (2025-04-24 - Jan 5) = 109 d
+    // → week 16
+    assert(one("toWeek(DATE '2025-04-24')") == 16)
+    // mode 3 = ISO = Spark weekofyear; 2025-04-24 is ISO week 17
+    assert(one("toWeek(DATE '2025-04-24', 3)") == 17)
+    assert(one("toISOWeek(DATE '2025-04-24')") == 17)
+    // ISO week-1-belongs-to-next-year edge: 2024-12-30 is ISO week 1
+    assert(one("toISOWeek(DATE '2024-12-30')") == 1)
+    val e = intercept[Exception](
+      spark.sql("SELECT toWeek(DATE '2024-01-01', 7)").collect())
+    assert(e.getMessage.contains("mode 7 not supported"))
+    // toMonday rounds DOWN to Monday (2025-04-24 is a Thursday)
+    assert(one("toMonday(DATE '2025-04-24')").toString == "2025-04-21")
+    assert(one("toMonday(DATE '2025-04-21')").toString == "2025-04-21")
+    assert(one("toMonday(TIMESTAMP '2025-04-27 23:59:59')").toString == "2025-04-21")
+  }
 }

@@ -205,4 +205,59 @@ class FunctionsSpec extends SparkSpec {
         .digest("a b".getBytes("UTF-8")).map("%02x".format(_)).mkString)
     assert(r.getAs[String]("rfp") == "x") // single token: the seed itself
   }
+
+  // ---- r12 DuckDB-compat tier (VERDICT r10 #5), semantics pinned
+  //      against DuckDB itself ----
+
+  test("arg_min/arg_max return the value at the extremal key (DuckDB order)") {
+    import spark.implicits._
+    Seq(("x", 1), ("y", 3), ("z", 2)).toDF("a", "b").createOrReplaceTempView("amx")
+    val r = spark.sql(
+      "SELECT arg_min(a, b) AS lo, arg_max(a, b) AS hi FROM amx").collect().head
+    assert(r.getString(0) == "x" && r.getString(1) == "y")
+  }
+
+  test("string_agg/group_concat: DuckDB's default ',' separator and custom sep") {
+    import spark.implicits._
+    Seq("a", "b", "c").toDF("s").createOrReplaceTempView("sagg")
+    def one(sql: String): String =
+      spark.sql(s"SELECT $sql AS v FROM sagg").collect().head.getString(0)
+    // single partition here, so arrival order is the input order
+    assert(one("string_agg(s)").split(",").sorted.toSeq == Seq("a", "b", "c"))
+    assert(one("string_agg(s, '|')").split("\\|").sorted.toSeq == Seq("a", "b", "c"))
+    assert(one("group_concat(s)").split(",").sorted.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("list_sort is ASC NULLS LAST; list_reverse_sort DESC NULLS LAST (DuckDB)") {
+    def arr(sql: String): Seq[Any] =
+      spark.sql(s"SELECT $sql AS v").collect().head.getSeq[Any](0)
+    // probed against DuckDB: list_sort([3,null,1]) = [1,3,NULL],
+    // list_reverse_sort([3,null,1]) = [3,1,NULL]
+    assert(arr("list_sort(array(3, null, 1))") == Seq(1, 3, null))
+    assert(arr("list_reverse_sort(array(3, null, 1))") == Seq(3, 1, null))
+    // the optional DuckDB order/null-order arguments select the combo
+    assert(arr("list_sort(array(3, null, 1), 'DESC')") == Seq(3, 1, null))
+    assert(arr("list_sort(array(3, null, 1), 'ASC', 'NULLS FIRST')") ==
+      Seq(null, 1, 3))
+    assert(arr("list_sort(array(3, null, 1), 'DESC', 'NULLS FIRST')") ==
+      Seq(null, 3, 1))
+    assert(arr("list_reverse_sort(array(3, null, 1), 'NULLS FIRST')") ==
+      Seq(null, 3, 1))
+    val e = intercept[Exception](
+      spark.sql("SELECT list_sort(array(1), 'SIDEWAYS')").collect())
+    assert(e.getMessage.contains("ASC or DESC"))
+  }
+
+  test("generate_series scalar form is the inclusive list (DuckDB)") {
+    def arr(sql: String): Seq[Any] =
+      spark.sql(s"SELECT $sql AS v").collect().head.getSeq[Any](0)
+    assert(arr("generate_series(1, 5)") == (1 to 5))
+    assert(arr("generate_series(1, 10, 3)") == Seq(1, 4, 7, 10))
+    assert(arr("generate_series(5, 1, -2)") == Seq(5, 3, 1))
+  }
+
+  test("unnest in SELECT position explodes one row per element") {
+    val r = spark.sql("SELECT unnest(array(1, 2, 3)) AS u")
+    assert(r.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
 }

@@ -218,12 +218,18 @@ class DuckDialectSpec extends SparkSpec {
   }
 
   test("dialectGap names the surface for known-unmapped functions (VERDICT r9 #5)") {
-    assert(DuckDialect.dialectGap("formatDateTime") == Some("chsql/ClickHouse"))
-    assert(DuckDialect.dialectGap("`formatDateTime`") == Some("chsql/ClickHouse"))
-    assert(DuckDialect.dialectGap("read_csv") == Some("DuckDB"))
+    assert(DuckDialect.dialectGap("parseDateTimeBestEffort") == Some("chsql/ClickHouse"))
+    assert(DuckDialect.dialectGap("`parseDateTimeBestEffort`") == Some("chsql/ClickHouse"))
+    assert(DuckDialect.dialectGap("read_ndjson") == Some("DuckDB"))
     assert(DuckDialect.dialectGap("definitely_not_a_function") == None)
     // mapped names never appear in the gap list (len IS registered)
     assert(DuckDialect.dialectGap("len") == None)
+    // the r12 tier fell OFF the gap list when it got mapped
+    Seq("formatDateTime", "toStartOfInterval", "toWeek", "toISOWeek",
+      "toMonday", "read_csv", "read_csv_auto", "generate_series", "unnest",
+      "string_agg", "group_concat", "arg_min", "arg_max", "list_sort",
+      "list_reverse_sort").foreach(n =>
+      assert(DuckDialect.dialectGap(n) == None, s"$n still on the gap list"))
     // structural: the gap list and the registry must stay DISJOINT —
     // a registered name in the list would never fire (dialectGap only
     // consults on UNRESOLVED_ROUTINE) but misdocuments the surface
@@ -362,5 +368,100 @@ class DuckDialectSpec extends SparkSpec {
     // the valid shapes still work
     assert(spark.sql("SELECT shingles('a b c d', 3) AS v").collect()
       .head.getSeq[String](0).nonEmpty)
+  }
+
+  // ---- r12 tier (VERDICT r10 #5): FROM-position table functions ----
+
+  test("FROM generate_series rewrites to the explode subquery and runs") {
+    val r = rw("SELECT * FROM generate_series(1, 5)")
+    assert(r.contains("explode(sequence(1, 5))") && r.contains("AS generate_series"))
+    assert(spark.sql(r).collect().map(_.getInt(0)).toSeq == (1 to 5))
+    // step form, inclusive bounds (DuckDB semantics = Spark sequence)
+    assert(spark.sql(rw("SELECT * FROM generate_series(1, 10, 3)"))
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 4, 7, 10))
+    // trailing alias survives; JOIN position rewrites too
+    val j = rw("SELECT t.generate_series FROM generate_series(1, 2) t")
+    assert(spark.sql(j).collect().length == 2)
+    // SELECT-position generate_series is the scalar list — NOT rewritten
+    val sel = "SELECT generate_series(1, 3) AS g"
+    assert(rw(sel) == sel)
+    assert(spark.sql(sel).collect().head.getSeq[Int](0) == Seq(1, 2, 3))
+  }
+
+  test("FROM unnest rewrites; SELECT-position unnest explodes natively") {
+    val r = rw("SELECT * FROM unnest(array(7, 8, 9))")
+    assert(r.contains("explode(array(7, 8, 9)) AS unnest"))
+    assert(spark.sql(r).collect().map(_.getInt(0)).toSeq == Seq(7, 8, 9))
+    // SELECT position: the registered builder returns Explode and the
+    // analyzer lifts it; needs no text rewrite
+    val sel = "SELECT unnest(array('a', 'b')) AS u"
+    assert(rw(sel) == sel)
+    assert(spark.sql(sel).collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // a column merely NAMED unnest/generate_series in scalar position
+    // is untouched (no FROM/JOIN before it)
+    assert(rw("SELECT unnest + 1 FROM t") == "SELECT unnest + 1 FROM t")
+  }
+
+  test("read_csv/read_csv_auto map to a sniffing global-temp view (VERDICT r10 #5)") {
+    val dir = java.nio.file.Files.createTempDirectory("csvdlx")
+    val f = dir.resolve("people.csv")
+    java.nio.file.Files.write(f,
+      "name,age\nalice,31\nbob,47\n".getBytes("UTF-8"))
+    val info = DuckDialect.rewriteInfo(
+      s"SELECT name, age FROM read_csv_auto('$f') ORDER BY age",
+      fetchRemote = true)
+    assert(info.csvViews.size == 1)
+    val v = info.csvViews.head
+    assert(info.sql.contains(s"global_temp.`${v.name}`"))
+    assert(v.sniffHeader) // no header option: sniffed
+    graft.sources.CsvReads.ensure(spark, info.csvViews)
+    val rows = spark.sql(info.sql).collect()
+    // header sniffed (all first-line fields non-numeric) + types inferred
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("alice", 31), ("bob", 47)))
+    // the view is GLOBAL: a fresh child session (the /query execution
+    // path, Pruning.sqlFor's newSession) sees it
+    assert(spark.newSession().sql(info.sql).collect().length == 2)
+
+    // headerless numeric file: sniff says no header, columns are _c0...
+    val g = dir.resolve("nums.csv")
+    java.nio.file.Files.write(g, "1,2\n3,4\n".getBytes("UTF-8"))
+    val i2 = DuckDialect.rewriteInfo(
+      s"SELECT * FROM read_csv('$g')", fetchRemote = true)
+    graft.sources.CsvReads.ensure(spark, i2.csvViews)
+    val r2 = spark.sql(i2.sql).collect()
+    assert(r2.length == 2 && r2.head.schema.fieldNames.head == "_c0")
+
+    // honored options: explicit header + delimiter + all_varchar
+    val h = dir.resolve("pipe.csv")
+    java.nio.file.Files.write(h, "x|y\n10|20\n".getBytes("UTF-8"))
+    val i3 = DuckDialect.rewriteInfo(
+      s"SELECT * FROM read_csv('$h', header = true, delim = '|', all_varchar = true)",
+      fetchRemote = true)
+    assert(i3.csvViews.head.options("sep") == "|")
+    assert(i3.csvViews.head.options("inferSchema") == "false")
+    assert(!i3.csvViews.head.sniffHeader)
+    graft.sources.CsvReads.ensure(spark, i3.csvViews)
+    val r3 = spark.sql(i3.sql).collect()
+    assert(r3.head.schema.fieldNames.toSeq == Seq("x", "y"))
+    assert(r3.head.getString(0) == "10") // all_varchar: no inference
+
+    // un-honorable option: the call stays untouched for a loud error
+    val bail = s"SELECT * FROM read_csv('$f', skip = 2)"
+    assert(rw(bail) == bail)
+  }
+
+  test("read_csv re-registers when the file changes (stat fingerprint)") {
+    val dir = java.nio.file.Files.createTempDirectory("csvdlx2")
+    val f = dir.resolve("data.csv")
+    java.nio.file.Files.write(f, "k,v\na,1\n".getBytes("UTF-8"))
+    val info = DuckDialect.rewriteInfo(
+      s"SELECT * FROM read_csv_auto('$f')", fetchRemote = true)
+    graft.sources.CsvReads.ensure(spark, info.csvViews)
+    assert(spark.sql(info.sql).collect().length == 1)
+    java.nio.file.Files.write(f, "k,v\na,1\nb,2\n".getBytes("UTF-8"))
+    f.toFile.setLastModified(System.currentTimeMillis() + 2000)
+    graft.sources.CsvReads.ensure(spark, info.csvViews)
+    assert(spark.sql(info.sql).collect().length == 2)
   }
 }

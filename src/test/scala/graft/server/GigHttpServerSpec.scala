@@ -146,10 +146,12 @@ class GigHttpServerSpec extends SparkSpec {
   }
 
   test("unmapped chsql/DuckDB name on /query is a 400 naming the gap (VERDICT r9 #5)") {
+    // (formatDateTime/read_csv were the r10 exemplars here; both mapped
+    // in r12, so the still-unmapped tier stands in)
     val r = post("/query",
-      """{"query": "SELECT formatDateTime(current_timestamp(), '%Y') AS x"}""")
+      """{"query": "SELECT parseDateTimeBestEffort('2024-01-01') AS x"}""")
     assert(r.statusCode() == 400, s"${r.statusCode()} ${r.body()}")
-    assert(r.body().contains("formatDateTime") &&
+    assert(r.body().contains("parseDateTimeBestEffort") &&
       r.body().contains("chsql"), r.body())
     // an unknown name that is NOT on the reference surface keeps
     // Spark's own analyzer error (with its did-you-mean), as a 500
@@ -158,9 +160,9 @@ class GigHttpServerSpec extends SparkSpec {
     // table-valued gap names (a different analyzer error class) relabel
     // the same way
     val tv = post("/query",
-      """{"query": "SELECT * FROM read_csv('/tmp/nope.csv')"}""")
+      """{"query": "SELECT * FROM read_ndjson('/tmp/nope.ndjson')"}""")
     assert(tv.statusCode() == 400, s"${tv.statusCode()} ${tv.body()}")
-    assert(tv.body().contains("read_csv") && tv.body().contains("DuckDB"),
+    assert(tv.body().contains("read_ndjson") && tv.body().contains("DuckDB"),
       tv.body())
   }
 
@@ -531,6 +533,39 @@ class GigHttpServerSpec extends SparkSpec {
   test("query on unknown table errors gracefully") {
     val r = post("/query", """{"query": "SELECT * FROM no_such_table"}""")
     assert(r.statusCode() == 500)
+  }
+
+  test("r12 dialect tier runs on /query: arg_min/string_agg, generate_series, read_csv, week family (VERDICT r10 #5-#6)") {
+    // against an INGESTED table, the migrating-user path
+    post("/write?db=dlt", "r12t,k=a v=3i 1700000001000000000")
+    post("/write?db=dlt", "r12t,k=b v=1i 1700000002000000000")
+    post("/write?db=dlt", "r12t,k=c v=2i 1700000003000000000")
+    val agg = post("/query", """{"query": "SELECT arg_min(k, v) AS lo, arg_max(k, v) AS hi, string_agg(k, '|') AS all FROM dlt_r12t"}""")
+    assert(agg.statusCode() == 200, agg.body())
+    assert(agg.body().contains(""""lo":"b"""") && agg.body().contains(""""hi":"a""""))
+    assert("[abc]\\|[abc]\\|[abc]".r.findFirstIn(agg.body()).isDefined, agg.body())
+    // FROM-position generate_series + scalar list_sort/unnest
+    val gs = post("/query",
+      """{"query": "SELECT sum(generate_series) AS s FROM generate_series(1, 10)"}""")
+    // int64 renders as a string in the reference's output format
+    assert(gs.statusCode() == 200 && gs.body().contains(""""s":"55""""), gs.body())
+    val ls = post("/query",
+      """{"query": "SELECT list_sort(array(3, 1, 2)) AS v"}""")
+    assert(ls.statusCode() == 200 && ls.body().contains("[1,2,3]"), ls.body())
+    // read_csv of a local file: header sniffed, types inferred
+    val dir = java.nio.file.Files.createTempDirectory("qcsv")
+    java.nio.file.Files.write(dir.resolve("t.csv"),
+      "city,pop\nrome,2761632\noslo,709037\n".getBytes("UTF-8"))
+    val csv = post("/query",
+      s"""{"query": "SELECT city FROM read_csv_auto('${dir.resolve("t.csv")}') WHERE pop > 1000000"}""")
+    assert(csv.statusCode() == 200 && csv.body().contains("rome") &&
+      !csv.body().contains("oslo"), csv.body())
+    // chsql week/format tier
+    val wk = post("/query",
+      """{"query": "SELECT toWeek(DATE '2024-01-07') AS w, toISOWeek(DATE '2025-04-24') AS iw, toMonday(DATE '2025-04-24') AS m, formatDateTime(TIMESTAMP '2025-04-24 13:45:56', '%H:%i') AS f, toStartOfInterval(TIMESTAMP '2025-04-24 13:45:56', INTERVAL 15 MINUTE) AS g"}""")
+    assert(wk.statusCode() == 200, wk.body())
+    assert(wk.body().contains(""""w":1""") && wk.body().contains(""""iw":17"""))
+    assert(wk.body().contains("2025-04-21") && wk.body().contains("13:45"))
   }
 
   test("partition columns keep inferred types in /query JSON (hour number, date string-date)") {
