@@ -1,0 +1,322 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, HyperLogLogPlusPlus}
+import org.apache.spark.sql.types._
+
+/** Second r12 dialect tier (continuing VERDICT r10 #5/#6): the
+  * remaining chsql/ClickHouse and DuckDB names whose semantics map
+  * cleanly onto existing Catalyst expressions — array lambdas (CH's
+  * lambda-FIRST argument order), the URL-part family, list
+  * constructors/aggregates, the multi-search pair, and the permissive
+  * timestamp parser. Everything here is still a thin builder: native
+  * Catalyst, codegen'd, no UDF boundary.
+  *
+  * Deliberately NOT mapped (stay on the DuckDialect gap list):
+  *  - the CH hash families (sipHash64, cityHash64, …): same name,
+  *    CH-specific bit layouts — mapping a Spark hash would return
+  *    silently different values;
+  *  - IPv6 conversions (no Catalyst kernel; a UDF boundary would be
+  *    the only spelling);
+  *  - window-positional scalars (neighbor, runningDifference): CH
+  *    evaluates them against block order, which has no well-defined
+  *    distributed meaning — Spark's window functions are the honest
+  *    spelling;
+  *  - JSONExtractRaw/JSONType (get_json_object unquotes strings — raw
+  *    JSON text round-tripping would silently differ), arrayCumSum
+  *    (type-generic accumulator), struct_pack (named-argument syntax
+  *    Spark's parser rejects), ngramDistance/ngramSearch (CH-specific
+  *    similarity definition), age (CH's calendar-complete-units rules
+  *    differ from timestampdiff on edge dates).
+  */
+object DialectExtras {
+  import GraftFunctions.tryParseUrl
+
+  private def ts(e: Expression) = Cast(e, TimestampType)
+  private def dt(e: Expression) = Cast(e, DateType)
+
+  /** Fresh-named unresolved lambdas for building HOF expressions
+    * programmatically (the Column-API pattern); fresh names so nested
+    * HOFs never capture each other's variables. */
+  private val lamSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def lam(f: Expression => Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq(s"__gx${lamSeq.incrementAndGet()}"))
+    LambdaFunction(f(x), Seq(x))
+  }
+  private def lam2(f: (Expression, Expression) => Expression): Expression = {
+    val n = lamSeq.incrementAndGet()
+    val x = UnresolvedNamedLambdaVariable(Seq(s"__gx$n"))
+    val i = UnresolvedNamedLambdaVariable(Seq(s"__gi$n"))
+    LambdaFunction(f(x, i), Seq(x, i))
+  }
+  private def nonNulls(arr: Expression): Expression =
+    ArrayFilter(arr, lam(IsNotNull))
+
+  /** Epoch-anchored n-micros grid (shared by the toStartOf* shortcuts;
+    * `x - pmod(x, n)` is floor division even pre-1970). */
+  private def microGrid(t: Expression, micros: Long): Expression = {
+    val us = UnixMicros(ts(t))
+    MicrosToTimestamp(Subtract(us, Pmod(us, Literal(micros))))
+  }
+
+  /** Numeric list aggregate over nulls-skipped elements (DuckDB probed:
+    * sum([1,NULL,2])=3, avg=1.5; empty/all-null → NULL). The
+    * accumulator zero must carry the (unknown at registration) element
+    * type, and a lambda can't live inside a RuntimeReplaceable
+    * replacement (the lambda-binding rule never descends there), so the
+    * zero is derived FROM the data: `array_min(nn) - array_min(nn)` is
+    * a typed 0 that is NULL exactly when the null-skipped array is
+    * empty — which nulls the whole aggregate, DuckDB's answer for that
+    * case. (Deviation: sum of an int array stays int here where DuckDB
+    * widens to HUGEINT — arrays are row-local, overflow fails loudly
+    * under ANSI rather than silently wrapping.) */
+  private def listNumAgg(arr0: Expression, fn: String): Expression = {
+    val nn = nonNulls(arr0)
+    val zero = Subtract(ArrayMin(nn), ArrayMin(nn))
+    val sum = ArrayAggregate(nn, zero, lam2((acc, x) => Add(acc, x)), lam(identity))
+    fn match {
+      case "sum" => sum
+      case "avg" => new Divide(Cast(sum, DoubleType), Cast(Size(nn), DoubleType))
+    }
+  }
+
+  def register(reg: String => (Seq[Expression] => Expression) => Unit): Unit = {
+    duckLists(reg)
+    chArrays(reg)
+    chDates(reg)
+    chStringsJson(reg)
+    chUrls(reg)
+  }
+
+  // ---- DuckDB list constructors / aggregates ----
+  private def duckLists(reg: String => (Seq[Expression] => Expression) => Unit): Unit = {
+    reg("list_value")(es => CreateArray(es))
+    reg("list_pack")(es => CreateArray(es))
+    // probed: list_unique counts distinct NON-NULL elements
+    reg("list_unique")(es =>
+      Cast(Size(ArrayDistinct(nonNulls(es.head))), LongType))
+    def listAggregate(es: Seq[Expression]): Expression = {
+      if (es.length < 2) throw new IllegalArgumentException(
+        s"list_aggregate(list, name[, ...]): expected >= 2 arguments, got ${es.length}")
+      GraftFunctions.literalString("list_aggregate(list, name)", es(1))
+        .toLowerCase(java.util.Locale.ROOT) match {
+        case "min" => ArrayMin(es.head)
+        case "max" => ArrayMax(es.head)
+        case "count" => Cast(Size(nonNulls(es.head)), LongType)
+        case "sum" => listNumAgg(es.head, "sum")
+        case "avg" | "mean" => listNumAgg(es.head, "avg")
+        case "string_agg" | "group_concat" => ArrayJoin(nonNulls(es.head),
+          if (es.length > 2) es(2) else Literal(","), None)
+        case other => throw new IllegalArgumentException(
+          s"list_aggregate: unsupported aggregate '$other' " +
+            "(min, max, count, sum, avg, string_agg)")
+      }
+    }
+    reg("list_aggregate")(listAggregate)
+    reg("list_aggr")(listAggregate)
+  }
+
+  // ---- CH array functions (lambda-FIRST argument order) ----
+  private def chArrays(reg: String => (Seq[Expression] => Expression) => Unit): Unit = {
+    // truthiness for the lambda-less forms: non-zero / non-null, which
+    // is exactly a boolean cast guarded by IsNotNull
+    def truthy(x: Expression): Expression =
+      And(IsNotNull(x), Cast(x, BooleanType))
+    reg("arrayMap")(es => ArrayTransform(es(1), es(0)))
+    reg("arrayFilter")(es => ArrayFilter(es(1), es(0)))
+    reg("arrayExists")(es =>
+      if (es.length == 1) ArrayExists(es.head, lam(truthy))
+      else ArrayExists(es(1), es(0)))
+    reg("arrayAll")(es =>
+      if (es.length == 1) ArrayForAll(es.head, lam(truthy))
+      else ArrayForAll(es(1), es(0)))
+    // NB a call whose ORIGINAL argument list contains a lambda must
+    // resolve to a HigherOrderFunction ROOT (the analyzer checks the
+    // builder's return), so the lambda form counts via aggregate, not
+    // size-of-filter
+    reg("arrayCount")(es =>
+      if (es.length == 1) Size(ArrayFilter(es.head, lam(truthy)))
+      else ArrayAggregate(ArrayFilter(es(1), es(0)), Literal(0),
+        lam2((acc, _) => Add(acc, Literal(1))), lam(identity)))
+    // CH arrayJoin unfolds the array into rows — Spark's explode, which
+    // the analyzer's generator extraction lifts out of the projection
+    reg("arrayJoin")(es => Explode(es.head))
+    reg("arrayEnumerate")(es =>
+      ArrayTransform(es.head, lam2((_, i) => Add(i, Literal(1)))))
+    // arrayDifference: [0, a2-a1, …]; x - x types the leading zero
+    // without knowing the element type (null propagates like CH)
+    reg("arrayDifference") { es =>
+      val arr = es.head
+      ArrayTransform(arr, lam2((x, i) => CaseWhen(
+        Seq((EqualTo(i, Literal(0)), Subtract(x, x))),
+        Some(Subtract(x, ElementAt(arr, i)))))) // element_at is 1-based:
+      // index i (0-based) IS the previous element's 1-based position
+    }
+    // arrayCompact: drop CONSECUTIVE duplicates (CaseWhen keeps the
+    // element_at lazy so index 0 never probes element_at(arr, 0))
+    reg("arrayCompact") { es =>
+      val arr = es.head
+      ArrayFilter(arr, lam2((x, i) => CaseWhen(
+        Seq((EqualTo(i, Literal(0)), Literal(true))),
+        Some(Not(EqualNullSafe(x, ElementAt(arr, i)))))))
+    }
+    reg("arrayZip")(es => ArraysZip(es))
+    // multiSearchAny / multiSearchFirstPosition: substring tests over a
+    // needle array; CH's first-position is the smallest match offset
+    reg("multiSearchAny")(es =>
+      ArrayExists(es(1), lam(n => Contains(es(0), n))))
+    reg("multiSearchFirstPosition")(es => Coalesce(Seq(
+      ArrayMin(ArrayFilter(
+        ArrayTransform(es(1), lam(n => new StringLocate(n, es(0)))),
+        lam(p => GreaterThan(p, Literal(0))))),
+      Literal(0))))
+    reg("uniqCombined")(es =>
+      HyperLogLogPlusPlus(es.head).toAggregateExpression())
+    // CH quantiles(l1, …)(x) → quantiles(l1, …, x), the parametric
+    // convention quantile/top_k already use; sketch estimator like
+    // `quantile` (the 100 TB path)
+    reg("quantiles") { es =>
+      if (es.length < 2) throw new IllegalArgumentException(
+        s"quantiles(level, ..., x): expected >= 2 arguments, got ${es.length}")
+      new ApproximatePercentile(es.last, CreateArray(es.dropRight(1)))
+        .toAggregateExpression()
+    }
+  }
+
+  // ---- CH date/time shortcuts ----
+  private def chDates(reg: String => (Seq[Expression] => Expression) => Unit): Unit = {
+    reg("toStartOfFiveMinutes")(es => microGrid(es.head, 5L * 60 * 1000000))
+    reg("toStartOfTenMinutes")(es => microGrid(es.head, 10L * 60 * 1000000))
+    reg("toStartOfFifteenMinutes")(es => microGrid(es.head, 15L * 60 * 1000000))
+    reg("timeSlot")(es => microGrid(es.head, 30L * 60 * 1000000)) // CH: 30-min slot
+    reg("toStartOfSecond")(es => TruncTimestamp(Literal("second"), ts(es.head)))
+    // ISO year = the year of the ISO week = the year of that week's
+    // Thursday (trunc 'week' is Monday-anchored; +3 days = Thursday)
+    reg("toISOYear")(es =>
+      Year(DateAdd(TruncDate(dt(es.head), Literal("week")), Literal(3))))
+    // days/hours since the epoch (CH relative-number family)
+    reg("toRelativeDayNum")(es =>
+      DateDiff(dt(es.head), Literal.create(0, DateType)))
+    reg("toRelativeHourNum") { es =>
+      val sec = UnixSeconds(ts(es.head))
+      new IntegralDivide(Subtract(sec, Pmod(sec, Literal(3600L))), Literal(3600L))
+    }
+    // permissive parser (CH's documented primary forms): ISO 8601 /
+    // date-only via the cast, YYYYMMDD[hhmmss], DD/MM/YYYY, and bare
+    // 9-10-digit strings as unix seconds. Documented deviation: the
+    // base form returns NULL on unparseable input where CH throws
+    // (per-row throw semantics don't exist in a vectorized plan) —
+    // identical to the OrNull form.
+    def bestEffort(es: Seq[Expression]): Expression = {
+      val s0 = Cast(es.head, StringType)
+      With(s0) { refs =>
+        val s = refs.head
+        def tryFmt(fmt: String) = new ParseToTimestamp(
+          s, Some(Literal(fmt)), TimestampType, None, false)
+        Coalesce(Seq(
+          CaseWhen(Seq((new RLike(s, Literal("^\\d{9,10}$")),
+            SecondsToTimestamp(Cast(s, LongType)))), None),
+          tryFmt("yyyyMMddHHmmss"),
+          tryFmt("yyyyMMdd"),
+          tryFmt("dd/MM/yyyy"),
+          Cast(s, TimestampType, None, EvalMode.TRY)))
+      }
+    }
+    reg("parseDateTimeBestEffort")(bestEffort)
+    reg("parseDateTimeBestEffortOrNull")(bestEffort)
+  }
+
+  // ---- CH string/JSON extras ----
+  private def chStringsJson(reg: String => (Seq[Expression] => Expression) => Unit): Unit = {
+    reg("positionCaseInsensitive")(es =>
+      new StringLocate(Lower(es(1)), Lower(es(0))))
+    // extractAll: CH extracts the first capture group when the pattern
+    // has one, else the whole match — decidable only for a literal
+    // pattern (the overwhelmingly common call shape)
+    reg("extractAll") { es =>
+      val p = GraftFunctions.literalString("extractAll(s, pattern)", es(1))
+      val idx = if (java.util.regex.Pattern.compile(p)
+        .matcher("").groupCount() >= 1) 1 else 0
+      RegExpExtractAll(es(0), Literal(p), Literal(idx))
+    }
+    // visitParam*/simpleJSON* are CH's fast-path simple-key JSON
+    // getters — same answers as JSONExtractString for simple keys
+    def jget(es: Seq[Expression]): Expression =
+      GetJsonObject(es(0), Concat(Seq(Literal("$."), Cast(es(1), StringType))))
+    reg("visitParamExtractString")(jget)
+    reg("simpleJSONExtractString")(jget)
+    // JSONLength: elements of an array or keys of an object
+    reg("JSONLength")(es => Coalesce(Seq(
+      LengthOfJsonArray(es.head), Size(JsonObjectKeys(es.head)))))
+  }
+
+  // ---- CH URL family (ParseUrl + regex; null propagates on non-URLs
+  //      like the already-mapped protocol/domain/path tier) ----
+  private def chUrls(reg: String => (Seq[Expression] => Expression) => Unit): Unit = {
+    reg("netloc")(es => tryParseUrl(es.head, Literal("AUTHORITY")))
+    // strip one leading 'www.' from the domain, scheme optional (CH)
+    reg("cutWWW")(es => RegExpReplace(
+      es.head, Literal("^(([a-zA-Z][a-zA-Z0-9+.-]*://)?)www\\."), Literal("$1")))
+    reg("cutQueryString")(es =>
+      RegExpReplace(es.head, Literal("\\?[^#]*"), Literal("")))
+    reg("cutFragment")(es =>
+      RegExpReplace(es.head, Literal("#.*$"), Literal("")))
+    reg("cutQueryStringAndFragment")(es =>
+      RegExpReplace(es.head, Literal("[?#].*$"), Literal("")))
+    // 'page=1#fragment' — everything after the first '?' (CH keeps the
+    // '#' but not the '?')
+    reg("queryStringAndFragment")(es =>
+      nonEmptyOrNull(RegExpExtract(es.head, Literal("\\?(.*)$"), Literal(1))))
+    // CH percent-codes spaces where Java's form-codec uses '+' — and a
+    // literal '+' is DATA to CH's decoder, not a space. Bridge both
+    // directions so the common cases agree: '+' is protected before
+    // decoding and '%20' replaces '+' after encoding.
+    reg("decodeURLComponent")(es => UrlDecode(
+      RegExpReplace(es.head, Literal("\\+"), Literal("%2B"))))
+    reg("encodeURLComponent")(es => RegExpReplace(
+      UrlEncode(es.head), Literal("\\+"), Literal("%20")))
+    // query parameters as 'k=v' strings / their names
+    def params(e: Expression): Expression =
+      StringSplit(tryParseUrl(e, Literal("QUERY")), Literal("&"), Literal(-1))
+    reg("extractURLParameters")(es => params(es.head))
+    reg("extractURLParameterNames")(es =>
+      ArrayTransform(params(es.head),
+        lam(p => RegExpExtract(p, Literal("^([^=]*)"), Literal(1)))))
+    // firstSignificantSubdomain: the label left of the effective TLD,
+    // where a {com, net, org, co} second-to-last label extends the TLD
+    // (news.clickhouse.com.tr → clickhouse; news.clickhouse.com →
+    // clickhouse) — CH's documented default-list behavior
+    def sigParts(e: Expression): (Expression, Expression, Expression) = {
+      val parts = StringSplit(tryParseUrl(e, Literal("HOST")),
+        Literal("\\."), Literal(-1))
+      val n = Size(parts)
+      val secondLast = ElementAt(parts, Subtract(n, Literal(1)))
+      val idx = CaseWhen(Seq((And(GreaterThanOrEqual(n, Literal(3)),
+        In(secondLast, Seq("com", "net", "org", "co").map(Literal(_)))),
+        Subtract(n, Literal(2)))), Some(Subtract(n, Literal(1))))
+      (parts, n, idx)
+    }
+    reg("firstSignificantSubdomain") { es =>
+      val (parts, n, idx) = sigParts(es.head)
+      CaseWhen(Seq((GreaterThanOrEqual(n, Literal(2)), ElementAt(parts, idx))),
+        Some(Literal.create(null, StringType)))
+    }
+    reg("cutToFirstSignificantSubdomain") { es =>
+      val (parts, n, idx) = sigParts(es.head)
+      CaseWhen(Seq((GreaterThanOrEqual(n, Literal(2)), ArrayJoin(
+        Slice(parts, idx, Add(Subtract(n, idx), Literal(1))), Literal("."), None))),
+        Some(Literal.create(null, StringType)))
+    }
+    // toIPv4: CH's IPv4-typed value IS the UInt32 (documented numeric
+    // deviation — Spark has no IPv4 type; round-trip via IPv4NumToString)
+    reg("toIPv4")(es => GraftFunctions.ipv4StringToNum(es.head))
+  }
+
+  /** '' → NULL (CH's permissive URL getters return '' where ParseUrl
+    * yields null; here the EXTRACT direction needs the reverse). */
+  private def nonEmptyOrNull(e: Expression): Expression =
+    With(e) { refs =>
+      CaseWhen(Seq((EqualTo(Length(refs.head), Literal(0)),
+        Literal.create(null, StringType))), Some(refs.head))
+    }
+}

@@ -24,6 +24,14 @@ import org.apache.spark.sql.types._
 object GraftFunctions {
   private def cast(e: Expression, t: DataType): Expression = Cast(e, t)
 
+  /** ParseUrl with failOnError pinned FALSE (try_parse_url): the
+    * default tracks the ANSI flag (ON in Spark 4), under which a
+    * malformed URL throws — but this compat surface's contract is CH's
+    * permissive one (null on junk). Shared by every URL-part builder
+    * here and in [[DialectExtras]]. */
+  private[functions] def tryParseUrl(args: Expression*): Expression =
+    new ParseUrl(args.toSeq, false)
+
   /** A SUPERSET of every string Spark's cast can parse as a number (or
     * bool-as-number): anything failing this regex is a guaranteed
     * try_cast null. The guard matters because a FAILING try_cast
@@ -236,6 +244,7 @@ object GraftFunctions {
     }
     duckCompat(reg)
     chsqlCompat(reg)
+    DialectExtras.register(reg) // the r12 second tier (same builder shape)
     out.toSeq
   }
 
@@ -408,12 +417,15 @@ object GraftFunctions {
     reg("splitByChar")(es => StringSplit(es(1),
       Literal(java.util.regex.Pattern.quote(
         literalString("splitByChar(sep, s)", es(0)))), Literal(-1)))
-    // URL parts via Catalyst ParseUrl (null on non-URLs, like CH's
-    // permissive parsers return '')
-    reg("protocol")(es => ParseUrl(Seq(es.head, Literal("PROTOCOL"))))
-    reg("domain")(es => ParseUrl(Seq(es.head, Literal("HOST"))))
-    reg("path")(es => ParseUrl(Seq(es.head, Literal("PATH"))))
-    reg("queryString")(es => ParseUrl(Seq(es.head, Literal("QUERY"))))
+    // URL parts via Catalyst ParseUrl in TRY mode (null on non-URLs,
+    // like CH's permissive parsers return ''). Try mode is EXPLICIT:
+    // the default tracks spark.sql.ansi.enabled, which is ON in Spark 4
+    // — bare ParseUrl THREW on any malformed URL, contradicting this
+    // family's documented contract (caught by the r12 URL-tier specs)
+    reg("protocol")(es => tryParseUrl(es.head, Literal("PROTOCOL")))
+    reg("domain")(es => tryParseUrl(es.head, Literal("HOST")))
+    reg("path")(es => tryParseUrl(es.head, Literal("PATH")))
+    reg("queryString")(es => tryParseUrl(es.head, Literal("QUERY")))
     // IPv4 dotted-quad <-> UInt32
     reg("IPv4NumToString") { es =>
       val n = Cast(es.head, LongType)
@@ -474,15 +486,15 @@ object GraftFunctions {
         Multiply(Cast(Minute(t), LongType), Literal(100L)),
         Cast(Second(t), LongType)).reduce[Expression](Add(_, _))
     }
-    reg("fragment")(es => ParseUrl(Seq(es.head, Literal("REF"))))
+    reg("fragment")(es => tryParseUrl(es.head, Literal("REF")))
     reg("extractURLParameter")(es =>
-      ParseUrl(Seq(es(0), Literal("QUERY"), es(1))))
+      tryParseUrl(es(0), Literal("QUERY"), es(1)))
     reg("domainWithoutWWW")(es => RegExpReplace(
-      ParseUrl(Seq(es.head, Literal("HOST"))), Literal("^www\\."), Literal("")))
+      tryParseUrl(es.head, Literal("HOST")), Literal("^www\\."), Literal("")))
     // '' when the host has no dot — CH's permissive convention; null
     // propagates for non-URLs like the rest of this URL family
     reg("topLevelDomain")(es => RegExpExtract(
-      ParseUrl(Seq(es.head, Literal("HOST"))), Literal("\\.([^.]+)$"), Literal(1)))
+      tryParseUrl(es.head, Literal("HOST")), Literal("\\.([^.]+)$"), Literal(1)))
     reg("splitByString")(es => StringSplit(es(1),
       Literal(java.util.regex.Pattern.quote(
         literalString("splitByString(sep, s)", es(0)))), Literal(-1)))
@@ -607,7 +619,7 @@ object GraftFunctions {
     * octets flipped with the ANSI setting. Octet checks nest INSIDE
     * the shape guard so ElementAt(4) never evaluates unless four
     * octets exist. */
-  private def ipv4StringToNum(e: Expression): Expression = {
+  private[functions] def ipv4StringToNum(e: Expression): Expression = {
     val str = Cast(e, StringType)
     val parts = StringSplit(str, Literal("\\."), Literal(-1))
     def oc(i: Int) = Cast(ElementAt(parts, Literal(i)), LongType)

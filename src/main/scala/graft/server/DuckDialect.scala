@@ -345,7 +345,7 @@ object DuckDialect {
   private val TableFns = Map(
     "read_parquet" -> "parquet", "parquet_scan" -> "parquet",
     "read_json" -> "json", "read_json_auto" -> "json",
-    "read_ndjson_auto" -> "json")
+    "read_ndjson" -> "json", "read_ndjson_auto" -> "json")
 
   /** DuckDB range-reads http(s) URLs natively (reference
     * BENCHMARK.md:11 scans `read_parquet('https://…')`); Hadoop has no
@@ -757,42 +757,33 @@ object DuckDialect {
     * extension surface + ClickHouse function reference + DuckDB
     * functions the shim doesn't rewrite. */
   private val KnownUnmappedFns: Map[String, String] = {
+    // (the r12 tiers — GraftFunctions duckCompat/chsqlCompat +
+    // DialectExtras + the table-fn rewrites here — mapped most of the
+    // former list; what remains is names whose semantics CANNOT map
+    // onto a Catalyst expression without silent deviation)
     val ch = Seq(
-      // date/time (formatDateTime/toStartOfInterval/toWeek/toISOWeek/
-      // toMonday mapped in r12 — GraftFunctions chsqlCompat)
-      "parseDateTimeBestEffort",
-      "toStartOfFiveMinutes", "toStartOfTenMinutes", "toStartOfFifteenMinutes",
-      "toStartOfSecond", "toISOYear",
-      "toRelativeDayNum", "toRelativeHourNum", "timeSlot", "age",
+      // age: CH's calendar-complete-units rules differ from
+      // timestampdiff on edge dates — same-named different answers
+      "age",
       // hashes (CH hash families have CH-specific bit layouts; mapping a
       // same-named Spark hash would return DIFFERENT values silently)
       "halfMD5", "sipHash64", "sipHash128", "cityHash64", "farmHash64",
       "farmFingerprint64", "intHash32", "intHash64", "URLHash",
-      // URL family beyond the mapped parts
-      "firstSignificantSubdomain", "cutToFirstSignificantSubdomain",
-      "extractURLParameters", "extractURLParameterNames", "netloc",
-      "cutWWW", "cutQueryString", "cutFragment", "cutQueryStringAndFragment",
-      "decodeURLComponent", "encodeURLComponent", "queryStringAndFragment",
-      // IP
-      "IPv6NumToString", "IPv6StringToNum", "toIPv4", "toIPv6", "isIPv6String",
-      // strings/arrays/aggregates
-      "multiSearchAny", "multiSearchFirstPosition", "positionCaseInsensitive",
-      "extractAll", "extractGroups", "ngramDistance", "ngramSearch",
-      "arrayJoin", "arrayMap", "arrayFilter", "arrayExists", "arrayAll",
-      "arrayCount", "arrayCumSum", "arrayDifference", "arrayEnumerate",
-      "arrayCompact", "arrayZip",
-      "uniqCombined", "quantiles",
+      // IPv6 (no Catalyst kernel — a UDF boundary would be the only
+      // spelling; IPv4 and toIPv4 ARE mapped)
+      "IPv6NumToString", "IPv6StringToNum", "toIPv6", "isIPv6String",
+      // CH-specific similarity / capture-group shapes
+      "extractGroups", "ngramDistance", "ngramSearch",
+      // block-order-positional scalars: no well-defined distributed
+      // meaning — Spark window functions are the honest spelling
       "runningDifference", "neighbor",
-      // JSON
-      "JSONExtractRaw", "JSONExtractArrayRaw", "JSONLength", "JSONType",
-      "visitParamExtractString", "simpleJSONExtractString")
-    // (read_csv/read_csv_auto, list_sort/list_reverse_sort, unnest,
-    // generate_series, string_agg/group_concat, arg_min/arg_max mapped
-    // in r12 — GraftFunctions duckCompat + the table-fn rewrites here)
+      // type-generic accumulator (arrayCumSum) / raw-JSON round-trip
+      // fidelity (get_json_object unquotes strings)
+      "arrayCumSum",
+      "JSONExtractRaw", "JSONExtractArrayRaw", "JSONType")
     val duck = Seq(
-      "read_ndjson", "list_aggregate",
-      "list_aggr", "list_unique",
-      "list_value", "list_pack", "struct_pack",
+      // struct_pack: named-argument syntax Spark's parser rejects
+      "struct_pack",
       "generate_subscripts")
     (ch.map(_ -> "chsql/ClickHouse") ++ duck.map(_ -> "DuckDB")).map {
       case (n, s) => n.toLowerCase(java.util.Locale.ROOT) -> s }.toMap

@@ -159,6 +159,17 @@ class ChsqlFunctionsSpec extends SparkSpec {
     assert(n.getInt(0) == 1)
   }
 
+  test("URL family is permissive: junk input is NULL, never a throw (r12)") {
+    // regression pin: ParseUrl's failOnError default tracks the ANSI
+    // flag (ON in Spark 4) — the bare form THREW on malformed URLs,
+    // contradicting this family's documented CH contract
+    Seq("protocol", "domain", "path", "queryString", "fragment",
+      "domainWithoutWWW", "topLevelDomain").foreach { f =>
+      assert(one(s"$f('not a url at all')") == null, f)
+    }
+    assert(one("extractURLParameter('%% garbage', 'k')") == null)
+  }
+
   // ---- r12 tier (VERDICT r10 #6): formatDateTime, toStartOfInterval,
   //      the week family ----
 

@@ -1,0 +1,174 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** r12 second dialect tier (DialectExtras): CH array lambdas
+  * (lambda-FIRST order), URL parts, DuckDB list constructors and
+  * aggregates, multi-search, the permissive timestamp parser.
+  * DuckDB-sourced semantics were probed against DuckDB itself
+  * (null-skipping list_aggregate, list_unique counting non-nulls);
+  * CH semantics follow the docs like the rest of the compat surface. */
+class DialectExtrasSpec extends SparkSpec {
+
+  private def one(sql: String): Any =
+    spark.sql(s"SELECT $sql AS v").collect().head.get(0)
+  private def arr(sql: String): Seq[Any] =
+    spark.sql(s"SELECT $sql AS v").collect().head.getSeq[Any](0)
+
+  test("DuckDB list constructors and list_unique (probed semantics)") {
+    assert(arr("list_value(1, 2, 3)") == Seq(1, 2, 3))
+    assert(arr("list_pack('a', 'b')") == Seq("a", "b"))
+    // probed: list_unique([1,1,NULL,2,NULL]) = 2 (distinct NON-null)
+    assert(one("list_unique(array(1, 1, null, 2, null))") == 2L)
+  }
+
+  test("list_aggregate skips nulls like DuckDB (probed: sum=3, avg=1.5)") {
+    assert(one("list_aggregate(array(1, null, 2), 'sum')") == 3L)
+    assert(one("list_aggregate(array(1, null, 2), 'avg')") == 1.5)
+    assert(one("list_aggregate(array(1, null, 2), 'count')") == 2L)
+    assert(one("list_aggregate(array(3, 1), 'min')") == 1)
+    assert(one("list_aggregate(array(3, 1), 'max')") == 3)
+    assert(one("list_aggregate(array(1.5d, 2.5d), 'sum')") == 4.0)
+    assert(one("list_aggr(array('a', null, 'b'), 'string_agg', '|')") == "a|b")
+    assert(one("list_aggregate(array('a', 'b'), 'string_agg')") == "a,b")
+    val e = intercept[Exception](
+      spark.sql("SELECT list_aggregate(array(1), 'median')").collect())
+    assert(e.getMessage.contains("unsupported aggregate"))
+  }
+
+  test("CH array lambdas use the lambda-FIRST argument order") {
+    assert(arr("arrayMap(x -> x + 1, array(1, 2))") == Seq(2, 3))
+    assert(arr("arrayFilter(x -> x > 1, array(1, 2, 3))") == Seq(2, 3))
+    assert(one("arrayExists(x -> x = 2, array(1, 2))") == true)
+    assert(one("arrayAll(x -> x > 0, array(1, 2))") == true)
+    assert(one("arrayAll(x -> x > 1, array(1, 2))") == false)
+    assert(one("arrayCount(x -> x % 2 = 0, array(1, 2, 3, 4))") == 2)
+    // lambda-less truthy forms (non-zero, non-null)
+    assert(one("arrayExists(array(0, 0, 5))") == true)
+    assert(one("arrayAll(array(1, 0))") == false)
+    assert(one("arrayCount(array(0, 1, null, 2))") == 2)
+  }
+
+  test("CH array transforms: enumerate, difference, compact, zip, arrayJoin") {
+    assert(arr("arrayEnumerate(array('a', 'b', 'c'))") == Seq(1, 2, 3))
+    assert(arr("arrayDifference(array(1, 4, 9))") == Seq(0, 3, 5))
+    assert(arr("arrayCompact(array(1, 1, 2, 2, 1))") == Seq(1, 2, 1))
+    val z = spark.sql("SELECT arrayZip(array(1, 2), array('a', 'b')) AS v")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(z.size == 2 && z.head.get(0) == 1 && z.head.get(1) == "a")
+    // CH arrayJoin unfolds rows (the explode semantic)
+    assert(spark.sql("SELECT arrayJoin(array(1, 2, 3)) AS v")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("multiSearchAny / multiSearchFirstPosition / positionCaseInsensitive") {
+    assert(one("multiSearchAny('hello world', array('xyz', 'wor'))") == true)
+    assert(one("multiSearchAny('hello world', array('xyz'))") == false)
+    // leftmost offset of any needle: 'e' at 2 beats 'l' at 3; none -> 0
+    assert(one("multiSearchFirstPosition('hello', array('l', 'e'))") == 2)
+    assert(one("multiSearchFirstPosition('hello', array('z'))") == 0)
+    assert(one("positionCaseInsensitive('Hello World', 'world')") == 7)
+  }
+
+  test("uniqCombined sketches distincts; quantiles returns the level array") {
+    import spark.implicits._
+    (1 to 100).toDF("x").createOrReplaceTempView("uqx")
+    val u = spark.sql("SELECT uniqCombined(x) AS v FROM uqx")
+      .collect().head.getLong(0)
+    assert(math.abs(u - 100) <= 5) // HLL++ default rsd
+    val q = spark.sql(
+      "SELECT quantiles(0.0d, 0.5d, 1.0d, x) AS v FROM uqx")
+      .collect().head.getSeq[Int](0)
+    assert(q == Seq(1, 50, 100) || q == Seq(1, 51, 100))
+  }
+
+  test("CH date shortcuts: fixed grids, ISO year, relative nums") {
+    val t = "TIMESTAMP '2025-04-24 13:47:56.789'"
+    assert(one(s"toStartOfFiveMinutes($t)").toString == "2025-04-24 13:45:00.0")
+    assert(one(s"toStartOfTenMinutes($t)").toString == "2025-04-24 13:40:00.0")
+    assert(one(s"toStartOfFifteenMinutes($t)").toString == "2025-04-24 13:45:00.0")
+    assert(one(s"timeSlot($t)").toString == "2025-04-24 13:30:00.0")
+    assert(one(s"toStartOfSecond($t)").toString == "2025-04-24 13:47:56.0")
+    // ISO year = year of the ISO week (2024-12-30 is ISO 2025-W01;
+    // 2021-01-01 is ISO 2020-W53)
+    assert(one("toISOYear(DATE '2024-12-30')") == 2025)
+    assert(one("toISOYear(DATE '2021-01-01')") == 2020)
+    assert(one("toISOYear(DATE '2025-04-24')") == 2025)
+    assert(one("toRelativeDayNum(DATE '1970-01-02')") == 1)
+    assert(one("toRelativeDayNum(DATE '1970-01-01')") == 0)
+    assert(one("toRelativeHourNum(TIMESTAMP '1970-01-01 05:30:00')") == 5L)
+  }
+
+  test("parseDateTimeBestEffort: ISO, YYYYMMDD[hhmmss], DD/MM/YYYY, unix seconds") {
+    def p(s: String): Any = one(s"parseDateTimeBestEffort('$s')")
+    assert(p("2024-01-02 03:04:05").toString == "2024-01-02 03:04:05.0")
+    assert(p("2024-01-02T03:04:05").toString == "2024-01-02 03:04:05.0")
+    assert(p("20240102030405").toString == "2024-01-02 03:04:05.0")
+    assert(p("20240102").toString == "2024-01-02 00:00:00.0")
+    assert(p("02/01/2024").toString == "2024-01-02 00:00:00.0")
+    // 9-10 digit strings are unix seconds (CH rule); session is UTC
+    assert(p("1700000000").toString == "2023-11-14 22:13:20.0")
+    // documented deviation: NULL on garbage (CH base form throws)
+    assert(p("definitely not a date") == null)
+    assert(one("parseDateTimeBestEffortOrNull('garbage')") == null)
+  }
+
+  test("extractAll picks the capture group iff the literal pattern has one") {
+    assert(arr("extractAll('a1b22c333', '\\\\d+')") == Seq("1", "22", "333"))
+    assert(arr("extractAll('key=1, key=2', 'key=(\\\\d)')") == Seq("1", "2"))
+  }
+
+  test("simple-JSON getters and JSONLength") {
+    assert(one("""visitParamExtractString('{"a":"x"}', 'a')""") == "x")
+    assert(one("""simpleJSONExtractString('{"a":"x"}', 'a')""") == "x")
+    assert(one("JSONLength('[1,2,3]')") == 3)
+    assert(one("""JSONLength('{"a":1,"b":2}')""") == 2)
+  }
+
+  test("URL family: netloc, cut*, queryStringAndFragment, parameters") {
+    val u = "'http://e.com/p?page=1&b=2#frag'"
+    assert(one(s"netloc('https://paul:pw@example.com:8080/path')")
+      == "paul:pw@example.com:8080")
+    assert(one("cutWWW('https://www.example.com/x')") == "https://example.com/x")
+    assert(one("cutWWW('www.example.com')") == "example.com")
+    assert(one("cutWWW('https://example.com/www.html')") == "https://example.com/www.html")
+    assert(one(s"cutQueryString($u)") == "http://e.com/p#frag")
+    assert(one(s"cutFragment($u)") == "http://e.com/p?page=1&b=2")
+    assert(one(s"cutQueryStringAndFragment($u)") == "http://e.com/p")
+    assert(one(s"queryStringAndFragment($u)") == "page=1&b=2#frag")
+    assert(one("queryStringAndFragment('http://e.com/p')") == null)
+    assert(arr(s"extractURLParameters($u)") == Seq("page=1", "b=2"))
+    assert(arr(s"extractURLParameterNames($u)") == Seq("page", "b"))
+    assert(one("decodeURLComponent('a%20b%2Bc+d')") == "a b+c+d")
+    assert(one("encodeURLComponent('a b')") == "a%20b")
+  }
+
+  test("firstSignificantSubdomain honors the CH second-level list") {
+    assert(one("firstSignificantSubdomain('https://news.clickhouse.com.tr/')")
+      == "clickhouse")
+    assert(one("firstSignificantSubdomain('https://news.clickhouse.com/')")
+      == "clickhouse")
+    assert(one("firstSignificantSubdomain('https://example.com')") == "example")
+    assert(one("cutToFirstSignificantSubdomain('https://news.clickhouse.com.tr/')")
+      == "clickhouse.com.tr")
+    assert(one("cutToFirstSignificantSubdomain('https://news.clickhouse.com/x')")
+      == "clickhouse.com")
+    assert(one("firstSignificantSubdomain('not a url')") == null)
+  }
+
+  test("toIPv4 is the UInt32 (documented numeric deviation); round-trips") {
+    assert(one("toIPv4('1.2.3.4')") == 16909060L)
+    assert(one("IPv4NumToString(toIPv4('10.0.0.255'))") == "10.0.0.255")
+    assert(one("toIPv4('300.1.2.3')") == null)
+  }
+
+  test("read_ndjson maps through the table-fn rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("ndj")
+    java.nio.file.Files.write(dir.resolve("d.ndjson"),
+      "{\"a\": 1}\n{\"a\": 2}\n".getBytes("UTF-8"))
+    val sql = graft.server.DuckDialect.rewrite(
+      s"SELECT a FROM read_ndjson('${dir.resolve("d.ndjson")}') ORDER BY a")
+    assert(sql.contains("json.`"))
+    assert(spark.sql(sql).collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+}

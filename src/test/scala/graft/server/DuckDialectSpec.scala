@@ -218,17 +218,21 @@ class DuckDialectSpec extends SparkSpec {
   }
 
   test("dialectGap names the surface for known-unmapped functions (VERDICT r9 #5)") {
-    assert(DuckDialect.dialectGap("parseDateTimeBestEffort") == Some("chsql/ClickHouse"))
-    assert(DuckDialect.dialectGap("`parseDateTimeBestEffort`") == Some("chsql/ClickHouse"))
-    assert(DuckDialect.dialectGap("read_ndjson") == Some("DuckDB"))
+    assert(DuckDialect.dialectGap("sipHash64") == Some("chsql/ClickHouse"))
+    assert(DuckDialect.dialectGap("`sipHash64`") == Some("chsql/ClickHouse"))
+    assert(DuckDialect.dialectGap("struct_pack") == Some("DuckDB"))
     assert(DuckDialect.dialectGap("definitely_not_a_function") == None)
     // mapped names never appear in the gap list (len IS registered)
     assert(DuckDialect.dialectGap("len") == None)
-    // the r12 tier fell OFF the gap list when it got mapped
+    // the r12 tiers fell OFF the gap list when they got mapped
     Seq("formatDateTime", "toStartOfInterval", "toWeek", "toISOWeek",
       "toMonday", "read_csv", "read_csv_auto", "generate_series", "unnest",
       "string_agg", "group_concat", "arg_min", "arg_max", "list_sort",
-      "list_reverse_sort").foreach(n =>
+      "list_reverse_sort", "parseDateTimeBestEffort", "read_ndjson",
+      "list_aggregate", "list_value", "list_unique", "arrayMap", "arrayJoin",
+      "multiSearchAny", "netloc", "cutWWW", "firstSignificantSubdomain",
+      "decodeURLComponent", "extractAll", "JSONLength", "uniqCombined",
+      "quantiles", "toISOYear", "timeSlot", "toIPv4").foreach(n =>
       assert(DuckDialect.dialectGap(n) == None, s"$n still on the gap list"))
     // structural: the gap list and the registry must stay DISJOINT —
     // a registered name in the list would never fire (dialectGap only

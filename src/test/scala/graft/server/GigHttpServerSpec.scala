@@ -146,12 +146,12 @@ class GigHttpServerSpec extends SparkSpec {
   }
 
   test("unmapped chsql/DuckDB name on /query is a 400 naming the gap (VERDICT r9 #5)") {
-    // (formatDateTime/read_csv were the r10 exemplars here; both mapped
-    // in r12, so the still-unmapped tier stands in)
+    // (formatDateTime/read_csv were the r10 exemplars here; the r12
+    // tiers mapped them, so the deliberately-unmapped names stand in)
     val r = post("/query",
-      """{"query": "SELECT parseDateTimeBestEffort('2024-01-01') AS x"}""")
+      """{"query": "SELECT sipHash64('x') AS x"}""")
     assert(r.statusCode() == 400, s"${r.statusCode()} ${r.body()}")
-    assert(r.body().contains("parseDateTimeBestEffort") &&
+    assert(r.body().contains("sipHash64") &&
       r.body().contains("chsql"), r.body())
     // an unknown name that is NOT on the reference surface keeps
     // Spark's own analyzer error (with its did-you-mean), as a 500
@@ -160,9 +160,9 @@ class GigHttpServerSpec extends SparkSpec {
     // table-valued gap names (a different analyzer error class) relabel
     // the same way
     val tv = post("/query",
-      """{"query": "SELECT * FROM read_ndjson('/tmp/nope.ndjson')"}""")
+      """{"query": "SELECT * FROM generate_subscripts(array(1, 2), 1)"}""")
     assert(tv.statusCode() == 400, s"${tv.statusCode()} ${tv.body()}")
-    assert(tv.body().contains("read_ndjson") && tv.body().contains("DuckDB"),
+    assert(tv.body().contains("generate_subscripts") && tv.body().contains("DuckDB"),
       tv.body())
   }
 
