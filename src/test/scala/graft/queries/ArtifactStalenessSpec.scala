@@ -46,4 +46,39 @@ class ArtifactStalenessSpec extends SparkSpec {
     assert(second(0L) == 0L && second(1L) == 1L && second(2L) == 1L,
       s"stale artifact served: $second")
   }
+
+  test("p49's seen-side screening state persists per corpus snapshot (r12)") {
+    val dir = Files.createTempDirectory("graft-xscreen-").toString
+    def write(seed: String): Unit =
+      (0L until 100L).map(i => (i, s"$seed token$i alpha beta gamma delta"))
+        .toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+        .repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    write("v1")
+    def run(): Seq[(Long, String)] =
+      PipelineQueries.queries("p49_cross_screen")(spark, dir)
+        .as[(Long, String)].collect().toSeq
+    val nanos = PipelineQueries.artifactBuildNanos
+    val b0 = nanos.get()
+    val first = run()
+    assert(first.nonEmpty)
+    val afterBuild = nanos.get()
+    assert(afterBuild > b0, "first call must build the seen-side state")
+    // the fix under test: a second screen of the same corpus PROBES the
+    // standing index — rebuilding it per invocation was the r10-r11
+    // p49 sf1 creep (three consecutive above-baseline runs)
+    val second = run()
+    assert(nanos.get() == afterBuild,
+      "second invocation rebuilt the seen-side state instead of probing it")
+    assert(second == first) // persisted state == recomputed state
+    // staleness guard still applies: mutated bytes rebuild
+    write("v2")
+    Files.setLastModifiedTime(Paths.get(dir, "documents.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    val b2 = nanos.get()
+    run()
+    assert(nanos.get() > b2, "mutated corpus served stale screening state")
+  }
 }
