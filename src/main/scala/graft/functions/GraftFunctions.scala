@@ -536,7 +536,7 @@ object GraftFunctions {
         s"formatDateTime(ts, fmt): expected 2 arguments, got ${es.length}" +
           (if (es.length == 3) " (timezone argument not supported)" else ""))
       val fmt = literalString("formatDateTime(ts, fmt)", es(1))
-        .replace("%i", "%M")
+        .replaceAll("(?<!%)%i", "%M") // %%i is a literal, not the specifier
       new DateFormatClass(ts(es.head), Literal(cFormatToJava(fmt)))
     }
     // toStartOfInterval(t, INTERVAL n unit): floor to the n-unit grid

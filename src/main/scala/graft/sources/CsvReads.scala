@@ -90,21 +90,39 @@ object CsvReads {
         !f.getName.endsWith(".zst") && !f.getName.endsWith(".bz2"))
       .flatMap(firstLine) match {
       case Some(line) =>
-        val fields =
-          line.split(java.util.regex.Pattern.quote(sep), -1).map(_.trim)
-        // numbers in row 1 = data, not a header (quoted fields are
-        // strings by construction and keep their quotes here — fine,
-        // a quoted numeral is header-like anyway)
+        // strip one layer of surrounding quotes per field: a data row
+        // of all-quoted numerals ("1","2") must read as DATA, not as a
+        // header (DuckDB's sniffer unquotes before type-testing too)
+        val fields = line.split(java.util.regex.Pattern.quote(sep), -1)
+          .map(_.trim).map(f =>
+            if (f.length >= 2 && f.head == '"' && f.last == '"')
+              f.substring(1, f.length - 1)
+            else f)
+        // numbers in row 1 = data, not a header
         !fields.exists(f =>
           f.nonEmpty && f.matches("[+-]?((\\d+\\.?\\d*)|(\\.\\d+))([eE][+-]?\\d+)?"))
       case None => true // unreadable here: the common query-surface case
     }
   }
 
+  /** First line, capped at 64 KiB: readLine on a newline-less
+    * multi-gigabyte file would otherwise buffer the whole file on the
+    * request thread — a header row longer than the cap is treated as
+    * its first 64 KiB (the numeric test only needs the early fields). */
   private def firstLine(f: java.io.File): Option[String] =
     try {
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(
         new java.io.FileInputStream(f), "UTF-8"))
-      try Option(in.readLine()).filter(_.nonEmpty) finally in.close()
+      try {
+        val buf = new Array[Char](65536)
+        val n = in.read(buf, 0, buf.length)
+        if (n <= 0) None
+        else {
+          val s = new String(buf, 0, n)
+          val cut = s.indexOf('\n')
+          Option(if (cut >= 0) s.substring(0, cut) else s)
+            .map(_.stripSuffix("\r")).filter(_.nonEmpty)
+        }
+      } finally in.close()
     } catch { case _: Throwable => None }
 }

@@ -428,8 +428,10 @@ class DuckDialectSpec extends SparkSpec {
     assert(spark.newSession().sql(info.sql).collect().length == 2)
 
     // headerless numeric file: sniff says no header, columns are _c0...
+    // (quoted numerals count as data too — DuckDB unquotes before the
+    // type test)
     val g = dir.resolve("nums.csv")
-    java.nio.file.Files.write(g, "1,2\n3,4\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(g, "\"1\",2\n\"3\",4\n".getBytes("UTF-8"))
     val i2 = DuckDialect.rewriteInfo(
       s"SELECT * FROM read_csv('$g')", fetchRemote = true)
     graft.sources.CsvReads.ensure(spark, i2.csvViews)
