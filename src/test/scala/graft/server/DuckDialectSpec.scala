@@ -457,6 +457,38 @@ class DuckDialectSpec extends SparkSpec {
     assert(rw(bail) == bail)
   }
 
+  test("dialect features compose in one statement (casts + csv + QUALIFY + EXCLUDE + series)") {
+    val dir = java.nio.file.Files.createTempDirectory("csvmix")
+    val f = dir.resolve("sales.csv")
+    java.nio.file.Files.write(f,
+      "region,amt\neast,10\neast,30\nwest,20\nwest,5\n".getBytes("UTF-8"))
+    // a migrating DuckDB user's everyday shape: file fn + postfix cast +
+    // QUALIFY + EXCLUDE in ONE statement
+    val info = DuckDialect.rewriteInfo(
+      s"""SELECT * EXCLUDE (rnk) FROM (
+         |  SELECT region, amt::BIGINT AS amt2,
+         |         row_number() OVER (PARTITION BY region ORDER BY amt DESC) AS rnk
+         |  FROM read_csv_auto('$f')
+         |) t WHERE rnk = 1 ORDER BY region""".stripMargin,
+      fetchRemote = true)
+    graft.sources.CsvReads.ensure(spark, info.csvViews)
+    val rows = spark.sql(info.sql).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("east", 30L), ("west", 20L)))
+    // generate_series composing with a join and a cast in FROM position
+    val j = DuckDialect.rewrite(
+      "SELECT g.generate_series * 2 AS d FROM generate_series(1, 3) g " +
+        "WHERE g.generate_series::INT > 1 ORDER BY d")
+    assert(spark.sql(j).collect().map(_.getInt(0)).toSeq == Seq(4, 6))
+    // statement-list acceptance still splits around the csv rewrite
+    val stmts = DuckDialect.splitStatements(
+      s"LOAD parquet; SELECT count() FROM read_csv('$f')")
+    assert(stmts.length == 2 && DuckDialect.isExtensionNoOp(stmts.head))
+    val cnt = DuckDialect.rewriteInfo(stmts(1), fetchRemote = true)
+    graft.sources.CsvReads.ensure(spark, cnt.csvViews)
+    assert(spark.sql(cnt.sql).collect().head.getLong(0) == 4L)
+  }
+
   test("read_csv re-registers when the file changes (stat fingerprint)") {
     val dir = java.nio.file.Files.createTempDirectory("csvdlx2")
     val f = dir.resolve("data.csv")
