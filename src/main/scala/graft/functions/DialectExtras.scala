@@ -23,11 +23,10 @@ import org.apache.spark.sql.types._
   *    distributed meaning — Spark's window functions are the honest
   *    spelling;
   *  - JSONExtractRaw/JSONType (get_json_object unquotes strings — raw
-  *    JSON text round-tripping would silently differ), arrayCumSum
-  *    (type-generic accumulator), struct_pack (named-argument syntax
-  *    Spark's parser rejects), ngramDistance/ngramSearch (CH-specific
-  *    similarity definition), age (CH's calendar-complete-units rules
-  *    differ from timestampdiff on edge dates).
+  *    JSON text round-tripping would silently differ),
+  *    ngramDistance/ngramSearch (CH-specific similarity definition),
+  *    age (CH's calendar-complete-units rules differ from
+  *    timestampdiff on edge dates).
   */
 object DialectExtras {
   import GraftFunctions.tryParseUrl
@@ -161,6 +160,18 @@ object DialectExtras {
         Some(Not(EqualNullSafe(x, ElementAt(arr, i)))))))
     }
     reg("arrayZip")(es => ArraysZip(es))
+    // arrayCumSum: prefix sums via per-index aggregate over the prefix
+    // slice — O(n²) in the array length, which is row-local and small
+    // by construction (CH's own arrays are block values); the typed
+    // zero is the listNumAgg trick. A null element poisons the suffix
+    // (null + x = null), the natural propagation.
+    reg("arrayCumSum") { es =>
+      val arr = es.head
+      val zero = Subtract(ArrayMin(arr), ArrayMin(arr))
+      ArrayTransform(arr, lam2((_, i) =>
+        ArrayAggregate(Slice(arr, Literal(1), Add(i, Literal(1))), zero,
+          lam2((acc, x) => Add(acc, x)), lam(identity))))
+    }
     // multiSearchAny / multiSearchFirstPosition: substring tests over a
     // needle array; CH's first-position is the smallest match offset
     reg("multiSearchAny")(es =>

@@ -71,6 +71,7 @@ object DuckDialect {
         .orElse(rewriteFirstTableFn(s, loc, confs))
         .orElse(rewriteFirstCsv(s, loc, csvViews))
         .orElse(rewriteFirstFromGenerator(s))
+        .orElse(rewriteFirstStructPack(s))
         .orElse(rewriteFirstZeroArgCount(s))
         .orElse(rewriteFirstExclude(s))
         .orElse(rewriteFirstQualify(s))
@@ -562,6 +563,78 @@ object DuckDialect {
     None
   }
 
+  /** DuckDB `struct_pack(a := 1, b := 'x')` → `named_struct('a', 1,
+    * 'b', 'x')`: the `:=` named-argument syntax doesn't parse in Spark,
+    * but the mapping is purely syntactic — names become string
+    * literals, value expressions are copied verbatim (balanced-paren
+    * spans up to the next top-level comma). Nested struct_packs resolve
+    * across fixpoint iterations (outer first; the inner call rides the
+    * copied expression text into the next pass). Malformed shapes
+    * (missing `:=`, empty value) leave the call untouched for Spark's
+    * own loud parse error. */
+  private def rewriteFirstStructPack(s: String): Option[String] = {
+    if (!s.toLowerCase(java.util.Locale.ROOT).contains("struct_pack")) return None
+    val ts = lex(s)
+    def word(t: Tok): String =
+      s.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
+    var k = 0
+    while (k + 1 < ts.length) {
+      if (ts(k).kind == Word && word(ts(k)) == "struct_pack" &&
+          ts(k + 1).kind == Punct('(')) {
+        val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var i = k + 2
+        var ok = true
+        var done = false
+        while (ok && !done && i < ts.length) {
+          // name := expr
+          val nameTok = ts(i)
+          val name = nameTok.kind match {
+            case Word => s.substring(nameTok.start, nameTok.end)
+            case QIdent => s.substring(nameTok.start + 1,
+              math.max(nameTok.start + 1, nameTok.end - 1))
+              .replace("\"\"", "\"").replace("``", "`")
+            case _ => ""
+          }
+          if (name.isEmpty ||
+              i + 2 >= ts.length ||
+              ts(i + 1).kind != Punct(':') || ts(i + 2).kind != Punct('=') ||
+              ts(i + 1).end != ts(i + 2).start) ok = false
+          else {
+            // value expression: tokens to the next top-level ',' or ')'
+            var depth = 0
+            var j = i + 3
+            var end = -1
+            var close = false
+            while (end < 0 && j < ts.length) {
+              ts(j).kind match {
+                case Punct('(') | Punct('[') => depth += 1
+                case Punct(')') if depth == 0 => end = j; close = true
+                case Punct(')') | Punct(']') => depth -= 1
+                case Punct(',') if depth == 0 => end = j
+                case _ =>
+              }
+              j += 1
+            }
+            if (end < 0 || end == i + 3) ok = false
+            else {
+              pairs += ((name, s.substring(ts(i + 3).start, ts(end).start).trim))
+              i = end + (if (close) 0 else 1)
+              done = close
+            }
+          }
+        }
+        if (ok && done && pairs.nonEmpty) {
+          val args = pairs.map { case (n, v) =>
+            "'" + n.replace("'", "''") + "', " + v }.mkString(", ")
+          return Some(s.substring(0, ts(k).start) +
+            s"named_struct($args)" + s.substring(ts(i).end))
+        }
+      }
+      k += 1
+    }
+    None
+  }
+
   /** DuckDB FROM-position `generate_series(…)` / `unnest(…)` (VERDICT
     * r10 #5): table-function position resolves from Spark's
     * TableFunctionRegistry, where neither name exists, so the shim
@@ -777,13 +850,9 @@ object DuckDialect {
       // block-order-positional scalars: no well-defined distributed
       // meaning — Spark window functions are the honest spelling
       "runningDifference", "neighbor",
-      // type-generic accumulator (arrayCumSum) / raw-JSON round-trip
-      // fidelity (get_json_object unquotes strings)
-      "arrayCumSum",
+      // raw-JSON round-trip fidelity (get_json_object unquotes strings)
       "JSONExtractRaw", "JSONExtractArrayRaw", "JSONType")
     val duck = Seq(
-      // struct_pack: named-argument syntax Spark's parser rejects
-      "struct_pack",
       "generate_subscripts")
     (ch.map(_ -> "chsql/ClickHouse") ++ duck.map(_ -> "DuckDB")).map {
       case (n, s) => n.toLowerCase(java.util.Locale.ROOT) -> s }.toMap

@@ -220,7 +220,7 @@ class DuckDialectSpec extends SparkSpec {
   test("dialectGap names the surface for known-unmapped functions (VERDICT r9 #5)") {
     assert(DuckDialect.dialectGap("sipHash64") == Some("chsql/ClickHouse"))
     assert(DuckDialect.dialectGap("`sipHash64`") == Some("chsql/ClickHouse"))
-    assert(DuckDialect.dialectGap("struct_pack") == Some("DuckDB"))
+    assert(DuckDialect.dialectGap("generate_subscripts") == Some("DuckDB"))
     assert(DuckDialect.dialectGap("definitely_not_a_function") == None)
     // mapped names never appear in the gap list (len IS registered)
     assert(DuckDialect.dialectGap("len") == None)
@@ -487,6 +487,30 @@ class DuckDialectSpec extends SparkSpec {
     val cnt = DuckDialect.rewriteInfo(stmts(1), fetchRemote = true)
     graft.sources.CsvReads.ensure(spark, cnt.csvViews)
     assert(spark.sql(cnt.sql).collect().head.getLong(0) == 4L)
+  }
+
+  test("struct_pack named-argument syntax rewrites to named_struct (r12)") {
+    val r = rw("SELECT struct_pack(a := 1, b := 'x') AS s")
+    assert(r == "SELECT named_struct('a', 1, 'b', 'x') AS s", r)
+    val row = spark.sql(r).collect().head.getStruct(0)
+    assert(row.getInt(0) == 1 && row.getString(1) == "x")
+    // nested calls and nested parens in values resolve across fixpoint
+    // iterations
+    val n = rw("SELECT struct_pack(p := struct_pack(q := least(1, 2)), r := 3) AS s")
+    assert(n.contains("named_struct('p', named_struct('q', least(1, 2)), 'r', 3)"), n)
+    val nrow = spark.sql(n).collect().head.getStruct(0)
+    assert(nrow.getStruct(0).getInt(0) == 1 && nrow.getInt(1) == 3)
+    // quoted field names survive; quotes in names escape into the literal
+    assert(rw("SELECT struct_pack(\"my field\" := 7) AS s")
+      .contains("named_struct('my field', 7)"))
+    // malformed shapes stay untouched for the parser's own error
+    val bad = "SELECT struct_pack(a = 1) AS s"
+    assert(rw(bad) == bad)
+    // a scalar arrayCumSum companion check (same r12 batch)
+    assert(spark.sql("SELECT arrayCumSum(array(1, 2, 3)) AS v")
+      .collect().head.getSeq[Int](0) == Seq(1, 3, 6))
+    assert(spark.sql("SELECT arrayCumSum(array(1.5d, 0.5d)) AS v")
+      .collect().head.getSeq[Double](0) == Seq(1.5, 2.0))
   }
 
   test("read_csv re-registers when the file changes (stat fingerprint)") {
