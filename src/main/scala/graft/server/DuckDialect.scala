@@ -75,7 +75,10 @@ object DuckDialect {
         .orElse(rewriteFirstZeroArgCount(s))
         .orElse(rewriteFirstExclude(s))
         .orElse(rewriteFirstQualify(s))
-        .orElse(rewriteFromFirst(s)) match {
+        .orElse(rewriteFromFirst(s))
+        // LAST: the bracket-consuming rules above (mergetree, table fns,
+        // csv) must claim their own `['a','b']` list arguments first
+        .orElse(rewriteFirstListLiteral(s)) match {
         case Some(n) => s = n; guard += 1
         case None => done = true
       }
@@ -556,6 +559,84 @@ object DuckDialect {
             name, localized, opts.toMap, sniffHeader = !headerGiven)
           return Some(s.substring(0, ts(k).start) +
             s"global_temp.`$name`" + s.substring(ts(i).end))
+        }
+      }
+      k += 1
+    }
+    None
+  }
+
+  /** DuckDB bracket LIST LITERALS — `[1, 2, 3]` → `array(1, 2, 3)`,
+    * `ARRAY[1, 2]` → `array(1, 2)` — the first syntax a migrating
+    * DuckDB user types inside an expression. Safety by construction:
+    * the rewrite fires ONLY where a bare `[` cannot be valid Spark SQL
+    * today — at statement start, after `(`/`,`/an operator punct, or
+    * after an expression-context keyword — so previously-valid Spark
+    * queries (0-based subscripts `arr[0]`, `f(x)[1]`) are never
+    * touched. Subscript positions (after an identifier, quoted
+    * identifier, string, `)`, or `]`) stay verbatim; note the
+    * documented deviation that Spark's bracket subscript is 0-based
+    * where DuckDB's is 1-based — `element_at` is the 1-based spelling.
+    * Nested literals resolve across fixpoint iterations (outermost
+    * first; inner brackets sit after `(`/`,` in the emitted text). */
+  private val ExprKeywords = Set(
+    "select", "where", "when", "then", "else", "and", "or", "not", "in",
+    "like", "ilike", "rlike", "between", "on", "by", "case", "having",
+    "values", "limit", "offset", "union", "intersect", "except", "minus",
+    "all", "distinct", "is", "exists", "any", "some", "escape", "return",
+    "returning", "if", "coalesce", "symmetric")
+
+  private def rewriteFirstListLiteral(s: String): Option[String] = {
+    if (!s.contains('[')) return None
+    val ts = lex(s)
+    def word(t: Tok): String =
+      s.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
+    // a bracket list that is the path argument of a bracket-consuming
+    // table function is THAT rule's to claim — even when the call
+    // bailed on an unhonorable option, the pinned contract is that the
+    // whole call stays byte-identical for a loud parse error
+    val bracketFns = TableFns.keySet ++ CsvFns + "read_parquet_mergetree"
+    def ownedByBracketFn(idx: Int): Boolean =
+      idx >= 2 && ts(idx - 1).kind == Punct('(') && ts(idx - 2).kind == Word &&
+        bracketFns(s.substring(ts(idx - 2).start, ts(idx - 2).end)
+          .toLowerCase(java.util.Locale.ROOT))
+    var k = 0
+    while (k < ts.length) {
+      if (ts(k).kind == Punct('[')) {
+        val prev = if (k == 0) None else Some(ts(k - 1))
+        val isArrayKw = prev.exists(p => p.kind == Word && word(p) == "array")
+        val literalPos = prev match {
+          case None => true
+          case Some(p) => p.kind match {
+            case Punct('(') | Punct(',') | Punct('=') | Punct('<') |
+                 Punct('>') | Punct('+') | Punct('-') | Punct('*') |
+                 Punct('/') | Punct('%') | Punct('|') | Punct('&') |
+                 Punct('!') | Punct(';') => true
+            case Word => isArrayKw || ExprKeywords(word(p))
+            case _ => false
+          }
+        }
+        val owned = if (isArrayKw) ownedByBracketFn(k - 1) else ownedByBracketFn(k)
+        if (literalPos && !owned) {
+          // matching close bracket at depth 0 (contents may nest)
+          var depth = 0
+          var j = k
+          var close = -1
+          while (close < 0 && j < ts.length) {
+            ts(j).kind match {
+              case Punct('[') => depth += 1
+              case Punct(']') => depth -= 1; if (depth == 0) close = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (close > 0) {
+            val inner = s.substring(ts(k).end, ts(close).start).trim
+            // `ARRAY[...]`: the keyword is part of the literal — consume it
+            val from = if (isArrayKw) ts(k - 1).start else ts(k).start
+            return Some(s.substring(0, from) +
+              s"array($inner)" + s.substring(ts(close).end))
+          }
         }
       }
       k += 1

@@ -513,6 +513,35 @@ class DuckDialectSpec extends SparkSpec {
       .collect().head.getSeq[Double](0) == Seq(1.5, 2.0))
   }
 
+  test("bracket list literals rewrite; subscripts stay verbatim (r12)") {
+    // expression-position literals become array(...)
+    assert(rw("SELECT [1, 2, 3] AS v") == "SELECT array(1, 2, 3) AS v")
+    assert(rw("SELECT ARRAY[1, 2] AS v") == "SELECT array(1, 2) AS v")
+    assert(spark.sql(rw("SELECT [1, 2, 3] AS v")).collect()
+      .head.getSeq[Int](0) == Seq(1, 2, 3))
+    // nested literals resolve across fixpoint iterations
+    val n = rw("SELECT [[1], [2, 3]] AS v")
+    assert(n == "SELECT array(array(1), array(2, 3)) AS v", n)
+    // the everyday migrating-user shape end-to-end
+    assert(spark.sql(rw("SELECT unnest([7, 8]) AS u")).collect()
+      .map(_.getInt(0)).toSeq == Seq(7, 8))
+    assert(spark.sql(rw("SELECT * FROM unnest([4, 5])")).collect()
+      .map(_.getInt(0)).toSeq == Seq(4, 5))
+    assert(spark.sql(rw("SELECT list_contains([1, 2], 2) AS v")).collect()
+      .head.getBoolean(0))
+    // SUBSCRIPT positions are untouched: previously-valid Spark SQL
+    // (0-based brackets) must keep meaning what it meant
+    Seq("SELECT arr[0] FROM t", "SELECT f(x)[1] FROM t",
+      "SELECT t.arr[2] FROM t", "SELECT map('a', 1)['a']").foreach(q =>
+      assert(rw(q) == q, q))
+    // read_parquet's own bracket list still goes through the table-fn
+    // rewrite, not the literal rule
+    val tf = rw("SELECT * FROM read_parquet(['/tmp/a.parquet', '/tmp/b.parquet'])")
+    assert(tf.contains("parquet.`") && !tf.contains("array("), tf)
+    // empty literal
+    assert(rw("SELECT [] AS v") == "SELECT array() AS v")
+  }
+
   test("read_csv re-registers when the file changes (stat fingerprint)") {
     val dir = java.nio.file.Files.createTempDirectory("csvdlx2")
     val f = dir.resolve("data.csv")
