@@ -26,7 +26,8 @@ import org.apache.spark.sql.types._
   *    JSON text round-tripping would silently differ),
   *    ngramDistance/ngramSearch (CH-specific similarity definition),
   *    age (CH's calendar-complete-units rules differ from
-  *    timestampdiff on edge dates).
+  *    timestampdiff on edge dates), generate_subscripts with dim != 1
+  *    (multi-dimensional; the dim = 1 form rewrites in FROM position).
   */
 object DialectExtras {
   import GraftFunctions.tryParseUrl
@@ -249,6 +250,22 @@ object DialectExtras {
       val idx = if (java.util.regex.Pattern.compile(p)
         .matcher("").groupCount() >= 1) 1 else 0
       RegExpExtractAll(es(0), Literal(p), Literal(idx))
+    }
+    // extractGroups: the FIRST match's capture groups as an array —
+    // group count decided from the literal pattern (like extractAll);
+    // no match → empty array (CH), which the RLike guard provides
+    // where regexp_extract alone would yield ['','',…]
+    reg("extractGroups") { es =>
+      val p = GraftFunctions.literalString("extractGroups(s, pattern)", es(1))
+      val n = java.util.regex.Pattern.compile(p).matcher("").groupCount()
+      if (n < 1) throw new IllegalArgumentException(
+        "extractGroups: the pattern must contain at least one capture group")
+      CaseWhen(
+        Seq((IsNull(es(0)), Literal.create(null, ArrayType(StringType))),
+          (new RLike(es(0), Literal(p)),
+            CreateArray((1 to n).map(i =>
+              RegExpExtract(es(0), Literal(p), Literal(i)))))),
+        Some(Literal.create(Array.empty[String], ArrayType(StringType))))
     }
     // visitParam*/simpleJSON* are CH's fast-path simple-key JSON
     // getters — same answers as JSONExtractString for simple keys

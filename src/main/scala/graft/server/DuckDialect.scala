@@ -732,14 +732,16 @@ object DuckDialect {
     * survives verbatim after the emitted subquery. */
   private def rewriteFirstFromGenerator(s: String): Option[String] = {
     val low = s.toLowerCase(java.util.Locale.ROOT)
-    if (!low.contains("generate_series") && !low.contains("unnest")) return None
+    if (!low.contains("generate_series") && !low.contains("unnest") &&
+        !low.contains("generate_subscripts")) return None
     val ts = lex(s)
     def word(t: Tok): String =
       s.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
+    val names = Set("generate_series", "unnest", "generate_subscripts")
     var k = 1
     while (k + 1 < ts.length) {
       val name = if (ts(k).kind == Word) word(ts(k)) else ""
-      if ((name == "generate_series" || name == "unnest") &&
+      if (names(name) &&
           ts(k + 1).kind == Punct('(') &&
           ts(k - 1).kind == Word && Set("from", "join")(word(ts(k - 1)))) {
         var depth = 0
@@ -755,16 +757,58 @@ object DuckDialect {
         }
         if (close > 0) {
           val args = s.substring(ts(k + 1).end, ts(close).start).trim
-          if (args.nonEmpty) {
-            val inner = if (name == "generate_series") s"sequence($args)" else args
+          val inner = name match {
+            case _ if args.isEmpty => None
+            case "generate_series" => Some(s"sequence($args)")
+            case "unnest" => Some(args)
+            case "generate_subscripts" =>
+              // generate_subscripts(arr, dim): 1-based positions 1..len.
+              // Only dim = 1 maps (DuckDB lists are one-dimensional);
+              // other dims leave the call for a loud error. The dim is
+              // the LAST top-level comma-separated argument.
+              val cut = lastTopLevelComma(args)
+              if (cut < 0) None
+              else {
+                val (arr, dim) = (args.substring(0, cut).trim,
+                  args.substring(cut + 1).trim)
+                if (dim == "1" && arr.nonEmpty)
+                  Some(s"sequence(1, size($arr))")
+                else None
+              }
+          }
+          inner.foreach { in =>
             return Some(s.substring(0, ts(k).start) +
-              s"(SELECT explode($inner) AS $name)" + s.substring(ts(close).end))
+              s"(SELECT explode($in) AS $name)" + s.substring(ts(close).end))
           }
         }
       }
       k += 1
     }
     None
+  }
+
+  /** Offset of the last top-level (paren/bracket-depth-0) comma in an
+    * expression-list text, or -1. Quotes/comments are already gone from
+    * table-function argument spans this is applied to — the surrounding
+    * rewrite captured the span via the lexer — but strings may remain;
+    * scan with a minimal quote skip. */
+  private def lastTopLevelComma(t: String): Int = {
+    var depth = 0
+    var i = 0
+    var last = -1
+    while (i < t.length) {
+      t.charAt(i) match {
+        case '\'' =>
+          i += 1
+          while (i < t.length && t.charAt(i) != '\'') i += 1
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth = math.max(0, depth - 1)
+        case ',' if depth == 0 => last = i
+        case _ =>
+      }
+      i += 1
+    }
+    last
   }
 
   /** Split SQL text on top-level `;` — outside string literals, quoted
@@ -926,14 +970,17 @@ object DuckDialect {
       // IPv6 (no Catalyst kernel — a UDF boundary would be the only
       // spelling; IPv4 and toIPv4 ARE mapped)
       "IPv6NumToString", "IPv6StringToNum", "toIPv6", "isIPv6String",
-      // CH-specific similarity / capture-group shapes
-      "extractGroups", "ngramDistance", "ngramSearch",
+      // CH-specific similarity definitions
+      "ngramDistance", "ngramSearch",
       // block-order-positional scalars: no well-defined distributed
       // meaning — Spark window functions are the honest spelling
       "runningDifference", "neighbor",
       // raw-JSON round-trip fidelity (get_json_object unquotes strings)
       "JSONExtractRaw", "JSONExtractArrayRaw", "JSONType")
     val duck = Seq(
+      // dim = 1 rewrites in FROM position (rewriteFirstFromGenerator);
+      // only the dim != 1 bail path — multi-dimensional arrays DuckDB
+      // itself rarely has — reaches the analyzer and this 400
       "generate_subscripts")
     (ch.map(_ -> "chsql/ClickHouse") ++ duck.map(_ -> "DuckDB")).map {
       case (n, s) => n.toLowerCase(java.util.Locale.ROOT) -> s }.toMap

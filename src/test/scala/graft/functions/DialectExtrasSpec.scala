@@ -118,6 +118,16 @@ class DialectExtrasSpec extends SparkSpec {
     assert(arr("extractAll('key=1, key=2', 'key=(\\\\d)')") == Seq("1", "2"))
   }
 
+  test("extractGroups: the first match's capture groups; no match = []") {
+    assert(arr("extractGroups('a=1, b=2', '(\\\\w+)=(\\\\d+)')") == Seq("a", "1"))
+    assert(arr("extractGroups('no digits here', '(\\\\d+)')") == Seq())
+    assert(spark.sql("SELECT extractGroups(CAST(null AS STRING), '(x)') AS v")
+      .collect().head.get(0) == null)
+    val e = intercept[Exception](
+      spark.sql("SELECT extractGroups('x', 'nogroups')").collect())
+    assert(e.getMessage.contains("capture group"))
+  }
+
   test("simple-JSON getters and JSONLength") {
     assert(one("""visitParamExtractString('{"a":"x"}', 'a')""") == "x")
     assert(one("""simpleJSONExtractString('{"a":"x"}', 'a')""") == "x")

@@ -390,6 +390,11 @@ class DuckDialectSpec extends SparkSpec {
     val sel = "SELECT generate_series(1, 3) AS g"
     assert(rw(sel) == sel)
     assert(spark.sql(sel).collect().head.getSeq[Int](0) == Seq(1, 2, 3))
+    // generate_subscripts(arr, 1) = 1-based positions; dim != 1 bails
+    assert(spark.sql(rw("SELECT * FROM generate_subscripts(array('a','b','c'), 1)"))
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val multi = "SELECT * FROM generate_subscripts(array(1), 2)"
+    assert(rw(multi) == multi)
   }
 
   test("FROM unnest rewrites; SELECT-position unnest explodes natively") {

@@ -158,9 +158,10 @@ class GigHttpServerSpec extends SparkSpec {
     val u = post("/query", """{"query": "SELECT zorblefy(1) AS x"}""")
     assert(u.statusCode() == 500, s"${u.statusCode()} ${u.body()}")
     // table-valued gap names (a different analyzer error class) relabel
-    // the same way
+    // the same way (dim = 1 rewrites; only the dim != 1 bail reaches
+    // the analyzer)
     val tv = post("/query",
-      """{"query": "SELECT * FROM generate_subscripts(array(1, 2), 1)"}""")
+      """{"query": "SELECT * FROM generate_subscripts(array(1, 2), 2)"}""")
     assert(tv.statusCode() == 400, s"${tv.statusCode()} ${tv.body()}")
     assert(tv.body().contains("generate_subscripts") && tv.body().contains("DuckDB"),
       tv.body())
