@@ -547,6 +547,33 @@ class DuckDialectSpec extends SparkSpec {
     assert(rw("SELECT [] AS v") == "SELECT array() AS v")
   }
 
+  test("read_csv honors nullstr / ignore_errors / dateformat options") {
+    val dir = java.nio.file.Files.createTempDirectory("csvopt")
+    val f = dir.resolve("o.csv")
+    java.nio.file.Files.write(f,
+      "k,v,d\na,NA,01.02.2024\nb,7,03.04.2024\n".getBytes("UTF-8"))
+    val info = DuckDialect.rewriteInfo(
+      s"SELECT k, v, d FROM read_csv('$f', nullstr = 'NA', " +
+        "dateformat = 'dd.MM.yyyy') ORDER BY k", fetchRemote = true)
+    assert(info.csvViews.head.options("nullValue") == "NA")
+    assert(info.csvViews.head.options("dateFormat") == "dd.MM.yyyy")
+    graft.sources.CsvReads.ensure(spark, info.csvViews)
+    val rows = spark.sql(info.sql).collect()
+    assert(rows(0).isNullAt(1)) // 'NA' read as NULL
+    assert(rows(1).getInt(1) == 7)
+    assert(rows(0).getDate(2).toString == "2024-02-01") // dateformat honored
+    // ignore_errors=true maps to DROPMALFORMED: the short row drops
+    val g = dir.resolve("bad.csv")
+    java.nio.file.Files.write(g,
+      "a,b\n1,2\nmalformed\n3,4\n".getBytes("UTF-8"))
+    val i2 = DuckDialect.rewriteInfo(
+      s"SELECT * FROM read_csv('$g', header = true, ignore_errors = true, " +
+        "all_varchar = true)", fetchRemote = true)
+    assert(i2.csvViews.head.options("mode") == "DROPMALFORMED")
+    graft.sources.CsvReads.ensure(spark, i2.csvViews)
+    assert(spark.sql(i2.sql).collect().length == 2)
+  }
+
   test("read_csv re-registers when the file changes (stat fingerprint)") {
     val dir = java.nio.file.Files.createTempDirectory("csvdlx2")
     val f = dir.resolve("data.csv")
