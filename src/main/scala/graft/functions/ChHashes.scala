@@ -1,0 +1,550 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** ClickHouse hash-function family, bit-exact (VERDICT r12 task 3).
+  *
+  * The reference's /query surface exposes ClickHouse's hash functions
+  * through the chsql extension; these names sat on the dialect GAP list
+  * through r12 because mapping them to a same-named Spark hash (xxhash64,
+  * murmur) would return silently DIFFERENT values — `cityHash64(k) % 10`
+  * sampling is the single most common still-unmapped idiom a migrating
+  * ClickHouse user types, and it must produce the same buckets it did on
+  * ClickHouse. So this file implements the published layouts themselves:
+  *
+  *  - [[ChHash.sipHash64]]: SipHash-2-4 (Aumasson & Bernstein 2012) with
+  *    the zero key, which is what ClickHouse's `sipHash64` computes for a
+  *    string argument. Pinned in ChHashSpec to the reference
+  *    implementation's published test vectors (key 000102…0f), including
+  *    the worked example from the paper's appendix.
+  *  - [[ChHash.cityHash64]]: CityHash64 v1.0.2 (Pike & Alakuijala,
+  *    Google, MIT-licensed) — ClickHouse deliberately pins the OLD 1.0.2
+  *    layout (their contrib/cityhash102) because Google changed the
+  *    algorithm in 1.1; the 1.0.2-only pieces here are the k3 constant,
+  *    RotateByAtLeast1, and the 0-to-16/17-to-32/33-to-64 small-string
+  *    layouts. Pinned to the derivable empty-input constant (k2) plus
+  *    structural goldens across every length-class boundary.
+  *  - [[ChHash.halfMD5]]: first 8 bytes of MD5 read big-endian
+  *    (ClickHouse HalfMD5Impl does bswap64 of the first MD5 word).
+  *    Pinned against RFC 1321's published MD5 test-suite digests.
+  *  - [[ChHash.intHash64]] / [[ChHash.intHash32]]: ClickHouse's
+  *    integer mixers — MurmurHash3's fmix64 applied to `x ^`
+  *    0x4CF2D2BAAE6DA887 (IntHash32/64Impl in the public
+  *    Functions/FunctionsHashing.h), and the Thomas-Wang-derived 64→32
+  *    rotate-mix with salt 0x75D9543DE018BF45 (Common/HashTable/Hash.h).
+  *  - `URLHash(url)`: cityHash64 of the url minus ONE trailing `/`,
+  *    `?` or `#` (ClickHouse URLHashImpl) — composed in the builder as
+  *    `cityHash64(regexp_replace(url, '[/?#]$', ''))`.
+  *
+  * Return-type convention: ClickHouse returns UInt64; Spark has no
+  * unsigned 64-bit type, so the 64-bit families return Decimal(20,0)
+  * carrying the exact unsigned value — the repo-wide UInt64 convention
+  * (toUInt64 does the same), and the one that keeps `% N` sampling
+  * arithmetic identical to ClickHouse (a signed-Long bit pattern would
+  * flip `hash % 10` negative for half of all keys). intHash32 returns
+  * the UInt32 as a plain LongType (the toUInt32 convention).
+  *
+  * Multi-argument calls combine per ClickHouse's documented chaining:
+  * cityHash64 folds with Hash128to64(h1, h2); sipHash64/halfMD5 fold by
+  * re-hashing the 16-byte little-endian (h1, h2) buffer. Integer
+  * arguments hash their little-endian fixed-width layout at the column's
+  * static width (ClickHouse hashes the in-memory representation, so a
+  * 4-byte INT and an 8-byte BIGINT of the same value hash differently
+  * there too).
+  *
+  * Everything is a codegen'd Catalyst expression calling the shared
+  * static kernels below — no UDF boundary, stays inside whole-stage
+  * codegen like the rest of the compat surface.
+  */
+object ChHash {
+  // ---- shared byte-order helpers (uint64 ops = Java Long +,*,^,<<,>>>) --
+
+  @inline private def rotr(v: Long, shift: Int): Long =
+    if (shift == 0) v else (v >>> shift) | (v << (64 - shift))
+  @inline private def rotl(v: Long, shift: Int): Long =
+    (v << shift) | (v >>> (64 - shift))
+
+  @inline private def le64(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 4) & 0xffL) << 32) |
+      ((b(i + 5) & 0xffL) << 40) | ((b(i + 6) & 0xffL) << 48) |
+      ((b(i + 7) & 0xffL) << 56)
+
+  @inline private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) |
+      ((b(i + 3) & 0xffL) << 24)
+
+  /** Little-endian fixed-width layout of an integer — what ClickHouse
+    * hashes for a numeric argument (x86 memory representation). */
+  def leBytes(v: Long, width: Int): Array[Byte] = {
+    val out = new Array[Byte](width)
+    var i = 0
+    while (i < width) { out(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  // ---- SipHash-2-4 ------------------------------------------------------
+
+  /** SipHash-2-4 with an explicit 128-bit key (k0 = little-endian first
+    * key half, as in the reference implementation). */
+  def sipHash64Keyed(k0: Long, k1: Long, data: Array[Byte]): Long = {
+    var v0 = 0x736f6d6570736575L ^ k0
+    var v1 = 0x646f72616e646f6dL ^ k1
+    var v2 = 0x6c7967656e657261L ^ k0
+    var v3 = 0x7465646279746573L ^ k1
+
+    // one SipRound, inlined twice per message word (the "2" of 2-4)
+    @inline def round(): Unit = {
+      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+    }
+
+    val len = data.length
+    val full = len & ~7
+    var i = 0
+    while (i < full) {
+      val m = le64(data, i)
+      v3 ^= m; round(); round(); v0 ^= m
+      i += 8
+    }
+    // final word: remaining bytes little-endian, length (mod 256) on top
+    var b = len.toLong << 56
+    var j = len - 1
+    while (j >= full) { b |= (data(j) & 0xffL) << (8 * (j - full)); j -= 1 }
+    v3 ^= b; round(); round(); v0 ^= b
+    v2 ^= 0xff
+    round(); round(); round(); round()
+    v0 ^ v1 ^ v2 ^ v3
+  }
+
+  /** ClickHouse `sipHash64(string)`: SipHash-2-4 with the zero key. */
+  def sipHash64(data: Array[Byte]): Long = sipHash64Keyed(0L, 0L, data)
+
+  /** ClickHouse's multi-argument chaining: re-hash the 16-byte
+    * little-endian (h1, h2) buffer (SipHash64Impl::combineHashes). */
+  def sipCombine(h1: Long, h2: Long): Long = {
+    val buf = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      buf(i) = ((h1 >>> (8 * i)) & 0xff).toByte
+      buf(8 + i) = ((h2 >>> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+    sipHash64(buf)
+  }
+
+  // ---- CityHash64 v1.0.2 -------------------------------------------------
+
+  private val K0 = 0xc3a5c85c97cb3127L
+  private val K1 = 0xb492b66fbe98f273L
+  private val K2 = 0x9ae16a3b2f90404fL
+  private val K3 = 0xc949d7c7509e6557L // v1.0.2 only; dropped in 1.1
+  private val KMul = 0x9ddfea08eb382d69L
+
+  @inline private def shiftMix(v: Long): Long = v ^ (v >>> 47)
+
+  /** Hash128to64 — also ClickHouse's cityHash64 argument combiner
+    * (u = low 64 bits, v = high). */
+  def hash128to64(u: Long, v: Long): Long = {
+    var a = (u ^ v) * KMul
+    a ^= a >>> 47
+    var b = (v ^ a) * KMul
+    b ^= b >>> 47
+    b *= KMul
+    b
+  }
+
+  @inline private def hashLen16(u: Long, v: Long): Long = hash128to64(u, v)
+
+  private def hashLen0to16(s: Array[Byte], off: Int, len: Int): Long = {
+    if (len > 8) {
+      val a = le64(s, off)
+      val b = le64(s, off + len - 8)
+      // RotateByAtLeast1: callers guarantee 9 <= shift <= 16
+      hashLen16(a, rotr(b + len, len)) ^ b
+    } else if (len >= 4) {
+      val a = le32(s, off)
+      hashLen16(len + (a << 3), le32(s, off + len - 4))
+    } else if (len > 0) {
+      val a = s(off) & 0xff
+      val b = s(off + (len >> 1)) & 0xff
+      val c = s(off + len - 1) & 0xff
+      val y = (a + (b << 8)).toLong & 0xffffffffL
+      val z = (len + (c << 2)).toLong & 0xffffffffL
+      shiftMix(y * K2 ^ z * K3) * K2
+    } else K2
+  }
+
+  private def hashLen17to32(s: Array[Byte], off: Int, len: Int): Long = {
+    val a = le64(s, off) * K1
+    val b = le64(s, off + 8)
+    val c = le64(s, off + len - 8) * K2
+    val d = le64(s, off + len - 16) * K0
+    hashLen16(rotr(a - b, 43) + rotr(c, 30) + d,
+      a + rotr(b ^ K3, 20) - c + len)
+  }
+
+  private def hashLen33to64(s: Array[Byte], off: Int, len: Int): Long = {
+    var z = le64(s, off + 24)
+    var a = le64(s, off) + (len + le64(s, off + len - 16)) * K0
+    var b = rotr(a + z, 52)
+    var c = rotr(a, 37)
+    a += le64(s, off + 8)
+    c += rotr(a, 7)
+    a += le64(s, off + 16)
+    val vf = a + z
+    val vs = b + rotr(a, 31) + c
+    a = le64(s, off + 16) + le64(s, off + len - 32)
+    z = le64(s, off + len - 8)
+    b = rotr(a + z, 52)
+    c = rotr(a, 37)
+    a += le64(s, off + len - 24)
+    c += rotr(a, 7)
+    a += le64(s, off + len - 16)
+    val wf = a + z
+    val ws = b + rotr(a, 31) + c
+    val r = shiftMix((vf + ws) * K2 + (wf + vs) * K0)
+    shiftMix(r * K0 + vs) * K2
+  }
+
+  // WeakHashLen32WithSeeds — returns (first, second) packed via an array
+  // to avoid a tuple allocation per 64-byte block
+  @inline private def weakHash(s: Array[Byte], off: Int, a0: Long, b0: Long,
+                               out: Array[Long]): Unit = {
+    val w = le64(s, off); val x = le64(s, off + 8)
+    val y = le64(s, off + 16); val z = le64(s, off + 24)
+    var a = a0 + w
+    var b = rotr(b0 + a + z, 21)
+    val c = a
+    a += x
+    a += y
+    b += rotr(a, 44)
+    out(0) = a + z
+    out(1) = b + c
+  }
+
+  /** CityHash64 v1.0.2 over the whole array. */
+  def cityHash64(data: Array[Byte]): Long = cityHash64(data, 0, data.length)
+
+  def cityHash64(s: Array[Byte], off0: Int, len0: Int): Long = {
+    var off = off0
+    var len = len0
+    if (len <= 32) {
+      return if (len <= 16) hashLen0to16(s, off, len) else hashLen17to32(s, off, len)
+    }
+    if (len <= 64) return hashLen33to64(s, off, len)
+
+    var x = le64(s, off)
+    var y = le64(s, off + len - 16) ^ K1
+    var z = le64(s, off + len - 56) ^ K0
+    val v = new Array[Long](2)
+    val w = new Array[Long](2)
+    weakHash(s, off + len - 64, len.toLong, y, v)
+    weakHash(s, off + len - 32, len.toLong * K1, K0, w)
+    z += shiftMix(v(1)) * K1
+    x = rotr(z + x, 39) * K1
+    y = rotr(y, 33) * K1
+
+    len = (len - 1) & ~63
+    do {
+      x = rotr(x + y + v(0) + le64(s, off + 16), 37) * K1
+      y = rotr(y + v(1) + le64(s, off + 48), 42) * K1
+      x ^= w(1)
+      y ^= v(0)
+      z = rotr(z ^ w(0), 33)
+      val vs = v(1); val wf = w(0); val ws = w(1)
+      weakHash(s, off, vs * K1, x + wf, v)
+      weakHash(s, off + 32, z + ws, y, w)
+      val t = z; z = x; x = t
+      off += 64
+      len -= 64
+    } while (len != 0)
+    hashLen16(hashLen16(v(0), w(0)) + shiftMix(y) * K1 + z,
+      hashLen16(v(1), w(1)) + x)
+  }
+
+  // ---- halfMD5 -----------------------------------------------------------
+
+  /** First 8 bytes of MD5, interpreted big-endian (ClickHouse
+    * HalfMD5Impl: bswap64 of the first little-endian word). */
+  def halfMD5(data: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(data)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** halfMD5's combiner is itself over the 16-byte LE (h1, h2) buffer. */
+  def halfMD5Combine(h1: Long, h2: Long): Long = {
+    val buf = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      buf(i) = ((h1 >>> (8 * i)) & 0xff).toByte
+      buf(8 + i) = ((h2 >>> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+    halfMD5(buf)
+  }
+
+  // ---- integer mixers ----------------------------------------------------
+
+  /** MurmurHash3 fmix64 — ClickHouse's intHash64 core. */
+  @inline private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33
+    x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33
+    x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** ClickHouse `intHash64`: fmix64 of the salted key (IntHash64Impl's
+    * salt avoids collisions with the raw mixer used in its hash tables). */
+  def intHash64(x: Long): Long = fmix64(x ^ 0x4CF2D2BAAE6DA887L)
+
+  /** ClickHouse `intHash32`: the rotate-mix 64→32 from
+    * Common/HashTable/Hash.h with IntHash32Impl's salt; returns the
+    * UInt32 widened to a non-negative Long. */
+  def intHash32(x0: Long): Long = {
+    var key = x0 ^ 0x75D9543DE018BF45L
+    key = (~key) + (key << 18)
+    key = key ^ rotr(key, 31)
+    key = key * 21
+    key = key ^ rotr(key, 11)
+    key = key + (key << 6)
+    key = key ^ rotr(key, 22)
+    key & 0xffffffffL
+  }
+
+  // ---- Spark-facing adapters ----------------------------------------------
+
+  /** Long bit pattern → exact unsigned value as Decimal(20,0) — the
+    * repo-wide UInt64 convention; compact-long fast path for values
+    * below 2^63. */
+  def toUDec(x: Long): Decimal =
+    if (x >= 0) Decimal(x, 20, 0)
+    else Decimal(new java.math.BigDecimal(
+      new java.math.BigInteger(java.lang.Long.toUnsignedString(x))), 20, 0)
+
+  def cityUtf8(s: UTF8String): Long = cityHash64(s.getBytes)
+  def sipUtf8(s: UTF8String): Long = sipHash64(s.getBytes)
+  def halfMD5Utf8(s: UTF8String): Long = halfMD5(s.getBytes)
+  def cityLong(v: Long, width: Int): Long = cityHash64(leBytes(v, width))
+  def sipLong(v: Long, width: Int): Long = sipHash64(leBytes(v, width))
+  def halfMD5Long(v: Long, width: Int): Long = halfMD5(leBytes(v, width))
+}
+
+/** Shared base: hash one column of string/binary/integral bytes to the
+  * ClickHouse 64-bit bit pattern (LongType; the builder wraps the final
+  * fold in [[UnsignedDecimal]] for the UInt64 surface value). */
+abstract class ChHash64Base extends UnaryExpression {
+  def kernel: String // static method prefix in ChHash: "city" | "sip" | "halfMD5"
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType | ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string, binary or integer argument, got ${other.sql}")
+  }
+
+  private def width: Int = child.dataType match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 4
+    case _ => 8
+  }
+
+  override protected def nullSafeEval(v: Any): Any = child.dataType match {
+    case StringType => hashUtf8(v.asInstanceOf[UTF8String])
+    case BinaryType => hashBytes(v.asInstanceOf[Array[Byte]])
+    case _ => hashLong(v match {
+      case b: java.lang.Byte => b.longValue
+      case s: java.lang.Short => s.longValue
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+    }, width)
+  }
+
+  protected def hashUtf8(s: UTF8String): Long
+  protected def hashBytes(b: Array[Byte]): Long
+  protected def hashLong(v: Long, w: Int): Long
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.ChHash.${kernel}Utf8($c)")
+      case BinaryType =>
+        defineCodeGen(ctx, ev, c =>
+          s"graft.functions.ChHash.${if (kernel == "halfMD5") "halfMD5" else kernel + "Hash64"}($c)")
+      case _ =>
+        defineCodeGen(ctx, ev, c =>
+          s"graft.functions.ChHash.${kernel}Long((long)$c, $width)")
+    }
+}
+
+/** `cityHash64(x)` bit pattern — CityHash64 v1.0.2 (ClickHouse's pinned
+  * version; see [[ChHash]]). */
+case class CityHash64Expr(child: Expression) extends ChHash64Base {
+  override def kernel: String = "city"
+  override protected def hashUtf8(s: UTF8String): Long = ChHash.cityUtf8(s)
+  override protected def hashBytes(b: Array[Byte]): Long = ChHash.cityHash64(b)
+  override protected def hashLong(v: Long, w: Int): Long = ChHash.cityLong(v, w)
+  override protected def withNewChildInternal(newChild: Expression): CityHash64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "cityHash64"
+}
+
+/** `sipHash64(x)` bit pattern — SipHash-2-4, zero key. */
+case class SipHash64Expr(child: Expression) extends ChHash64Base {
+  override def kernel: String = "sip"
+  override protected def hashUtf8(s: UTF8String): Long = ChHash.sipUtf8(s)
+  override protected def hashBytes(b: Array[Byte]): Long = ChHash.sipHash64(b)
+  override protected def hashLong(v: Long, w: Int): Long = ChHash.sipLong(v, w)
+  override protected def withNewChildInternal(newChild: Expression): SipHash64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "sipHash64"
+}
+
+/** `halfMD5(x)` bit pattern — first 8 MD5 bytes big-endian. */
+case class HalfMd5Expr(child: Expression) extends ChHash64Base {
+  override def kernel: String = "halfMD5"
+  override protected def hashUtf8(s: UTF8String): Long = ChHash.halfMD5Utf8(s)
+  override protected def hashBytes(b: Array[Byte]): Long = ChHash.halfMD5(b)
+  override protected def hashLong(v: Long, w: Int): Long = ChHash.halfMD5Long(v, w)
+  override protected def withNewChildInternal(newChild: Expression): HalfMd5Expr =
+    copy(child = newChild)
+  override def prettyName: String = "halfMD5"
+}
+
+/** Multi-argument combiner fold step: `combine(h1, h2)` over two already-
+  * hashed 64-bit patterns. `mode` picks the ClickHouse family combiner. */
+case class ChHashCombine(left: Expression, right: Expression, mode: String)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName combiner expects two longs")
+
+  private def fn: String = mode match {
+    case "city" => "hash128to64"
+    case "sip" => "sipCombine"
+    case _ => "halfMD5Combine"
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = mode match {
+    case "city" => ChHash.hash128to64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "sip" => ChHash.sipCombine(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case _ => ChHash.halfMD5Combine(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.functions.ChHash.$fn($l, $r)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): ChHashCombine =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = s"${mode}Combine"
+}
+
+/** Long bit pattern → exact UInt64 value as Decimal(20,0) (the repo's
+  * unsigned-64 convention — keeps `cityHash64(k) % N` arithmetic
+  * identical to ClickHouse where a signed Long would go negative). */
+case class UnsignedDecimal(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DecimalType(20, 0)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects a long")
+  override protected def nullSafeEval(v: Any): Any =
+    ChHash.toUDec(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ChHash.toUDec($c)")
+  override protected def withNewChildInternal(newChild: Expression): UnsignedDecimal =
+    copy(child = newChild)
+  override def prettyName: String = "toUInt64Bits"
+}
+
+/** `intHash64(n)` → UInt64 as Decimal(20,0); `intHash32(n)` → UInt32 as
+  * LongType. Both take any integral (cast to the 64-bit key like
+  * ClickHouse's UInt64 calling convention for these two). */
+case class IntHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"intHash64 expects an integer argument, got ${other.sql}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    ChHash.intHash64(v match {
+      case b: java.lang.Byte => b.longValue
+      case s: java.lang.Short => s.longValue
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ChHash.intHash64((long)$c)")
+  override protected def withNewChildInternal(newChild: Expression): IntHash64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "intHash64"
+}
+
+case class IntHash32Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"intHash32 expects an integer argument, got ${other.sql}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    ChHash.intHash32(v match {
+      case b: java.lang.Byte => b.longValue
+      case s: java.lang.Short => s.longValue
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ChHash.intHash32((long)$c)")
+  override protected def withNewChildInternal(newChild: Expression): IntHash32Expr =
+    copy(child = newChild)
+  override def prettyName: String = "intHash32"
+}
+
+object ChHashBuilders {
+  import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+
+  private def fold(es: Seq[Expression], one: Expression => Expression,
+                   mode: String): Expression =
+    es.map(one).reduceLeft((a, b) => ChHashCombine(a, b, mode))
+
+  /** cityHash64(a[, b, …]) → UInt64 Decimal(20,0). */
+  def cityHash64(es: Seq[Expression]): Expression =
+    UnsignedDecimal(fold(es, CityHash64Expr, "city"))
+
+  def sipHash64(es: Seq[Expression]): Expression =
+    UnsignedDecimal(fold(es, SipHash64Expr, "sip"))
+
+  def halfMD5(es: Seq[Expression]): Expression =
+    UnsignedDecimal(fold(es, HalfMd5Expr, "halfMD5"))
+
+  def intHash64(e: Expression): Expression = UnsignedDecimal(IntHash64Expr(e))
+
+  def intHash32(e: Expression): Expression = IntHash32Expr(e)
+
+  /** URLHash(url): cityHash64 of the url minus ONE trailing /, ? or #
+    * (ClickHouse URLHashImpl). The two-argument hierarchy-level form is
+    * not mapped — loud arity error. */
+  def urlHash(e: Expression): Expression =
+    UnsignedDecimal(CityHash64Expr(RegExpReplace(
+      Cast(e, StringType), Literal("[/?#]$"), Literal(""), Literal(1))))
+}

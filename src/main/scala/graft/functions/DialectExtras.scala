@@ -12,12 +12,19 @@ import org.apache.spark.sql.types._
   * timestamp parser. Everything here is still a thin builder: native
   * Catalyst, codegen'd, no UDF boundary.
   *
+  * The r13 tier adds the CH hash family ([[ChHashes.scala]]:
+  * cityHash64/sipHash64/halfMD5/intHash32/intHash64/URLHash as
+  * bit-exact implementations of the published layouts — the r12 gap
+  * reason argued against REMAPPING Spark's hashes, not against
+  * implementing ClickHouse's) and the IPv6 conversions
+  * ([[Ipv6Exprs.scala]]: the parse/format kernel lives in a codegen
+  * expression, so no UDF boundary after all).
+  *
   * Deliberately NOT mapped (stay on the DuckDialect gap list):
-  *  - the CH hash families (sipHash64, cityHash64, …): same name,
-  *    CH-specific bit layouts — mapping a Spark hash would return
-  *    silently different values;
-  *  - IPv6 conversions (no Catalyst kernel; a UDF boundary would be
-  *    the only spelling);
+  *  - farmHash64/farmFingerprint64 (a full FarmHash port is out of
+  *    proportion to usage; the CityHash/SipHash family above covers
+  *    the sampling idioms) and sipHash128 (128-bit return needs a
+  *    FixedString(16) convention nothing downstream consumes yet);
   *  - window-positional scalars (neighbor, runningDifference): CH
   *    evaluates them against block order, which has no well-defined
   *    distributed meaning — Spark's window functions are the honest
@@ -86,6 +93,22 @@ object DialectExtras {
     chDates(reg)
     chStringsJson(reg)
     chUrls(reg)
+    chHashesIpv6(reg)
+  }
+
+  // ---- CH hash family (bit-exact kernels in ChHashes.scala) + IPv6 ----
+  private def chHashesIpv6(reg: String => (Seq[Expression] => Expression) => Unit): Unit = {
+    reg("cityHash64")(ChHashBuilders.cityHash64)
+    reg("sipHash64")(ChHashBuilders.sipHash64)
+    reg("halfMD5")(ChHashBuilders.halfMD5)
+    reg("intHash32")(es => ChHashBuilders.intHash32(es.head))
+    reg("intHash64")(es => ChHashBuilders.intHash64(es.head))
+    reg("URLHash")(es => ChHashBuilders.urlHash(es.head))
+    reg("IPv6StringToNum")(es => Ipv6StringToNum(es.head, "IPv6StringToNum"))
+    reg("toIPv6")(es => Ipv6StringToNum(es.head, "toIPv6"))
+    reg("toIPv6OrNull")(es => Ipv6StringToNumOrNull(es.head))
+    reg("IPv6NumToString")(es => Ipv6NumToString(es.head))
+    reg("isIPv6String")(es => IsIpv6String(es.head))
   }
 
   // ---- DuckDB list constructors / aggregates ----

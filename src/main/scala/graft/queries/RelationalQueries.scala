@@ -361,9 +361,59 @@ object RelationalQueries {
           regexp_count(col("__seq"), lit("v.*?c.*?p")).as("n_seq"))
         .orderBy(col("user_id"))
     }),
+
+    // ---- ClickHouse hash-family sampling (r13): `cityHash64(k) % N`
+    //      is the canonical CH sampling idiom; the kernels are the
+    //      bit-exact v1.0.2 / SipHash-2-4 implementations in
+    //      functions/ChHashes.scala (vector-pinned in ChHashSpec).
+    //      The key domain is reduced mod 256 so the oracle can carry
+    //      the full hash artifact as rendered constants — the same
+    //      inductive-verification pattern as the trained-model oracles:
+    //      DuckDB re-derives the sample counts and extrema FROM the
+    //      rendered (m → hash, bucket) table, so any per-row
+    //      disagreement between Spark's codegen'd kernel and the
+    //      rendered values breaks the match. Hashes compare as
+    //      zero-padded 20-digit strings (UInt64-as-string, the
+    //      reference's own int64 output convention). Scale shape: pure
+    //      map-side projection + one 25-group aggregate. ----
+    "q23_ch_hash_sample" -> ((s, dir) => {
+      Tables.views(s, dir).sql(
+        """SELECT c_nationkey,
+          |  count(*) AS n_cust,
+          |  count_if(cityHash64(toString(c_custkey % 256)) % 10 = 7) AS n_sampled,
+          |  max(lpad(toString(cityHash64(toString(c_custkey % 256))), 20, '0')) AS max_city,
+          |  min(lpad(toString(sipHash64(toString(c_custkey % 256))), 20, '0')) AS min_sip
+          |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    }),
   )
 
+  /** q23's rendered hash artifact: the bit-exact kernels applied to the
+    * reduced key domain 0..255 (driver-side, same JVM code the
+    * expressions call), as (m, city-hash-20dig, bucket, sip-hash-20dig). */
+  private def q23HashMap: String = {
+    def pad(h: Long) = {
+      val s = java.lang.Long.toUnsignedString(h)
+      "0" * (20 - s.length) + s
+    }
+    (0 until 256).map { m =>
+      val bytes = String.valueOf(m).getBytes("UTF-8")
+      val c = graft.functions.ChHash.cityHash64(bytes)
+      val sip = graft.functions.ChHash.sipHash64(bytes)
+      val bucket = new java.math.BigInteger(java.lang.Long.toUnsignedString(c))
+        .mod(java.math.BigInteger.TEN).intValue
+      s"($m, '${pad(c)}', $bucket, '${pad(sip)}')"
+    }.mkString(",\n      ")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q23_ch_hash_sample" ->
+      s"""WITH hmap(m, city_h, bucket, sip_h) AS (VALUES
+         |      $q23HashMap)
+         |SELECT c_nationkey, count(*) AS n_cust,
+         |  count(*) FILTER (WHERE bucket = 7) AS n_sampled,
+         |  max(city_h) AS max_city, min(sip_h) AS min_sip
+         |FROM customer JOIN hmap ON (c_custkey % 256) = m
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q22_sequence_match" ->
       """WITH seqs AS (
         |  SELECT user_id, count(*) AS n_events,

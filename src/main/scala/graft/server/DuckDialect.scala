@@ -963,13 +963,12 @@ object DuckDialect {
       // age: CH's calendar-complete-units rules differ from
       // timestampdiff on edge dates — same-named different answers
       "age",
-      // hashes (CH hash families have CH-specific bit layouts; mapping a
-      // same-named Spark hash would return DIFFERENT values silently)
-      "halfMD5", "sipHash64", "sipHash128", "cityHash64", "farmHash64",
-      "farmFingerprint64", "intHash32", "intHash64", "URLHash",
-      // IPv6 (no Catalyst kernel — a UDF boundary would be the only
-      // spelling; IPv4 and toIPv4 ARE mapped)
-      "IPv6NumToString", "IPv6StringToNum", "toIPv6", "isIPv6String",
+      // hashes: the common family (cityHash64/sipHash64/halfMD5/
+      // intHash32/intHash64/URLHash) is now implemented BIT-EXACTLY in
+      // functions/ChHashes.scala (r13); what remains unmapped is the
+      // long tail — a full FarmHash port and a 128-bit return
+      // convention are out of proportion to their usage
+      "sipHash128", "farmHash64", "farmFingerprint64",
       // CH-specific similarity definitions
       "ngramDistance", "ngramSearch",
       // block-order-positional scalars: no well-defined distributed

@@ -218,8 +218,8 @@ class DuckDialectSpec extends SparkSpec {
   }
 
   test("dialectGap names the surface for known-unmapped functions (VERDICT r9 #5)") {
-    assert(DuckDialect.dialectGap("sipHash64") == Some("chsql/ClickHouse"))
-    assert(DuckDialect.dialectGap("`sipHash64`") == Some("chsql/ClickHouse"))
+    assert(DuckDialect.dialectGap("sipHash128") == Some("chsql/ClickHouse"))
+    assert(DuckDialect.dialectGap("`sipHash128`") == Some("chsql/ClickHouse"))
     assert(DuckDialect.dialectGap("generate_subscripts") == Some("DuckDB"))
     assert(DuckDialect.dialectGap("definitely_not_a_function") == None)
     // mapped names never appear in the gap list (len IS registered)
@@ -232,7 +232,11 @@ class DuckDialectSpec extends SparkSpec {
       "list_aggregate", "list_value", "list_unique", "arrayMap", "arrayJoin",
       "multiSearchAny", "netloc", "cutWWW", "firstSignificantSubdomain",
       "decodeURLComponent", "extractAll", "JSONLength", "uniqCombined",
-      "quantiles", "toISOYear", "timeSlot", "toIPv4").foreach(n =>
+      "quantiles", "toISOYear", "timeSlot", "toIPv4",
+      // r13: the CH hash family + IPv6 conversions got bit-exact kernels
+      "cityHash64", "sipHash64", "halfMD5", "intHash32", "intHash64",
+      "URLHash", "IPv6StringToNum", "IPv6NumToString", "toIPv6",
+      "isIPv6String").foreach(n =>
       assert(DuckDialect.dialectGap(n) == None, s"$n still on the gap list"))
     // structural: the gap list and the registry must stay DISJOINT —
     // a registered name in the list would never fire (dialectGap only

@@ -148,10 +148,12 @@ class GigHttpServerSpec extends SparkSpec {
   test("unmapped chsql/DuckDB name on /query is a 400 naming the gap (VERDICT r9 #5)") {
     // (formatDateTime/read_csv were the r10 exemplars here; the r12
     // tiers mapped them, so the deliberately-unmapped names stand in)
+    // (sipHash64 was the r12 exemplar; r13 mapped the hash family, so
+    // the still-unmapped 128-bit form stands in)
     val r = post("/query",
-      """{"query": "SELECT sipHash64('x') AS x"}""")
+      """{"query": "SELECT sipHash128('x') AS x"}""")
     assert(r.statusCode() == 400, s"${r.statusCode()} ${r.body()}")
-    assert(r.body().contains("sipHash64") &&
+    assert(r.body().contains("sipHash128") &&
       r.body().contains("chsql"), r.body())
     // an unknown name that is NOT on the reference surface keeps
     // Spark's own analyzer error (with its did-you-mean), as a 500
