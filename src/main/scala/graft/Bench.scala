@@ -292,21 +292,21 @@ object Bench {
     val ratioTxt =
       try new String(java.nio.file.Files.readAllBytes(ratioFile), "UTF-8")
       catch { case _: Throwable => "" }
-    val prevFp = BenchGuard.parsePrevFp(ratioTxt)
-    // a fingerprint-LESS prior baseline is also a mismatch (ADVICE r8):
-    // it may predate the current data generation, and comparing against
-    // it reproduces the exact cross-generation ambiguity the fingerprint
-    // exists to kill — reset loudly the first time a fingerprint is
-    // available rather than trusting it for one more round
+    // baselines live in PER-FP sections of the one file (BenchGuard
+    // format 2, r13): this run reads and writes ONLY its own fp's
+    // section, so a smoke bench at another SF can never clobber the
+    // frozen sf0.1 anchors again (the r13 incident: an sf0.001 smoke
+    // overwrote the single-section file and the next full run silently
+    // re-anchored against itself)
+    val prevSection = BenchGuard.baselineSection(dataFp, ratioTxt)
     val baselineReset = BenchGuard.baselineReset(dataFp, ratioTxt)
     if (baselineReset) System.err.println(
-      s"[bench] SF1 baseline reset: data fingerprint " +
-        s"${prevFp.getOrElse("<absent>")} -> $dataFp " +
-        "(prior baseline not from these bytes; cross-generation ratios don't compare)")
+      s"[bench] SF1 baseline reset: no frozen section for $dataFp " +
+        s"(sections on file: ${BenchGuard.baselineSections(ratioTxt).keys.mkString(", ")}) " +
+        "— prior baselines are not from these bytes; cross-generation ratios don't compare")
     val AbsPrefix = "__abs__"
     val prevAll: Map[String, Double] =
-      if (baselineReset) Map.empty
-      else """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(ratioTxt)
+      """"([^"]+)":([-0-9.eE]+)""".r.findAllMatchIn(prevSection.getOrElse(""))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val prevRatios = prevAll.filter(!_._1.startsWith("__"))
     val prevAbs = prevAll.collect {
@@ -346,19 +346,37 @@ object Bench {
     // session. A true regression re-measures slow beside a calm
     // sentinel and stays flagged, with the evidence inline.
     val SentinelQuery = "q01_pricing_summary"
-    // (sentinel sec, sentinel base sec, drift) per adjudicated candidate
+    // r13 (VERDICT r12 #1): the q01 probe is CPU/scan-shaped, and the
+    // r12 end-of-round p44 flag rode a load it measured as CALM
+    // (sentinel_drift 1.0 while p44 — an exchange-heavy plan with an
+    // eager localCheckpoint — read 3.5 against a 2.0 baseline that two
+    // same-code clean runs reproduced). A second, SHUFFLE-shaped probe
+    // (q05: full sort exchange over orders) runs beside it so disk/
+    // shuffle contention the scan probe is blind to still registers;
+    // the window's drift is the MAX of the two probes.
+    val ShuffleSentinel = "q05_window_rank"
+    // (sentinel sec, sentinel base sec, drift) per adjudicated
+    // candidate, per probe; the recorded fields keep both probes'
+    // evidence raw
     val sentinelInfo =
+      scala.collection.mutable.Map.empty[String, (Double, Double, Double)]
+    val sentinel2Info =
       scala.collection.mutable.Map.empty[String, (Double, Double, Double)]
     if (candidates.nonEmpty && sf1Dir.nonEmpty) {
       System.gc(); Thread.sleep(3000)
       val sentinelBase = sf1.getOrElse(SentinelQuery, -1.0)
+      val sentinel2Base = sf1.getOrElse(ShuffleSentinel, -1.0)
       candidates.foreach { case (n, _) =>
         val sTime = if (n == SentinelQuery) -1.0 // itself: no evidence
           else timeOne(spark, sf1Dir, SparkEntry.queries(SentinelQuery), capSec = 90)
-        val drift = BenchGuard.sentinelDrift(sTime, sentinelBase)
+        val drift1 = BenchGuard.sentinelDrift(sTime, sentinelBase)
+        val s2Time = if (n == ShuffleSentinel) -1.0
+          else timeOne(spark, sf1Dir, SparkEntry.queries(ShuffleSentinel), capSec = 90)
+        val drift2 = BenchGuard.sentinelDrift(s2Time, sentinel2Base)
         val c = timeOne(spark, sf1Dir, SparkEntry.queries(n), capSec = 90)
         confirmRep(n) = r3(c)
-        sentinelInfo(n) = (r3(sTime), r3(sentinelBase), r3(drift))
+        sentinelInfo(n) = (r3(sTime), r3(sentinelBase), r3(drift1))
+        sentinel2Info(n) = (r3(s2Time), r3(sentinel2Base), r3(drift2))
         if (c > 0 && c < sf1(n)) sf1(n) = c
       }
     }
@@ -369,11 +387,16 @@ object Bench {
     // the flag decision sees the sentinel-normalized confirm (the
     // recorded measurements stay raw — normalization adjudicates, it
     // never rewrites evidence)
+    // the window's drift is the MAX over both probes: load only one
+    // probe shape observes is still load
+    def driftOf(n: String): Double = BenchGuard.combinedDrift(
+      sentinelInfo.get(n).map(_._3).getOrElse(1.0),
+      sentinel2Info.get(n).map(_._3).getOrElse(1.0))
     def effAbsOf(n: String): Double = {
       val raw = absFinal.getOrElse(n, 0.0)
-      (confirmRep.get(n), sentinelInfo.get(n)) match {
-        case (Some(c), Some((_, _, drift))) =>
-          r3(BenchGuard.effectiveAbs(raw, c, drift))
+      confirmRep.get(n) match {
+        case Some(c) if sentinelInfo.contains(n) || sentinel2Info.contains(n) =>
+          r3(BenchGuard.effectiveAbs(raw, c, driftOf(n)))
         case _ => raw
       }
     }
@@ -397,8 +420,14 @@ object Bench {
         confirmRep.get(n).map(c => ",\"confirm\":" + c).getOrElse("") +
         sentinelInfo.get(n).map { case (s, base, d) =>
           ",\"sentinel\":" + s + ",\"sentinel_base\":" + base +
-            ",\"sentinel_drift\":" + d + ",\"eff_abs\":" + effAbsOf(n)
-        }.getOrElse("") + "}"
+            ",\"sentinel_drift\":" + d
+        }.getOrElse("") +
+        sentinel2Info.get(n).map { case (s, base, d) =>
+          ",\"sentinel2\":" + s + ",\"sentinel2_base\":" + base +
+            ",\"sentinel2_drift\":" + d
+        }.getOrElse("") +
+        (if (sentinelInfo.contains(n) || sentinel2Info.contains(n))
+          ",\"eff_abs\":" + effAbsOf(n) else "") + "}"
     }
     val regressionsJson =
       regressions.map { case (n, r) => regDetail(n, r) }.mkString("{", ",", "}")
@@ -412,7 +441,7 @@ object Bench {
           s"reps=[warm $w, $a, $b, confirm ${confirmRep.getOrElse(n, -1.0)}]") }
     clearedNames.foreach { n =>
       val (w, a, b) = sf1Reps.getOrElse(n, (-1.0, -1.0, -1.0))
-      val drift = sentinelInfo.get(n).map(_._3).getOrElse(1.0)
+      val drift = driftOf(n)
       val how = if (drift > 1.0 && effAbsOf(n) < absFinal.getOrElse(n, 0.0))
         s"sentinel-normalized (concurrent load x$drift on a plan-stable probe)"
       else "confirm rep (one-off drift, not a plan change)"
@@ -436,11 +465,15 @@ object Bench {
         // the next round's guard can tell ratio-noise from real growth
         (absFinal ++ prevAbs).map { case (k, v) => (AbsPrefix + k) -> v }
       val body = jsonObj(merged.toSeq.sortBy(_._1))
-      val withFp = if (dataFp.isEmpty) body
-        else s"""{"__data_fp":"$dataFp",""" + body.drop(1)
-      try java.nio.file.Files.write(ratioFile,
-        (withFp + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+      // no fingerprint → nothing to key a section on; skip the write
+      // rather than clobber the multi-section file with an unkeyed blob
+      if (dataFp.nonEmpty) {
+        val txt = BenchGuard.renderBaselineFile(ratioTxt, dataFp,
+          body.drop(1).dropRight(1))
+        try java.nio.file.Files.write(ratioFile,
+          (txt + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () }
+      }
     }
 
     // --- ingest: fresh SparkContext + GC settle (query-section heap

@@ -31,20 +31,61 @@ object BenchGuard {
   def baselineKey(contentFp: String): String =
     if (contentFp.isEmpty) "" else contentFp + BenchData.GeneratorVersion
 
-  /** The `__data_fp` value persisted in SF1_RATIOS.json, if any.
-    * Accepts both the legacy bare-hex form and the versioned form —
-    * a legacy value never equals a versioned key, so the first run
-    * after the version joined the key resets loudly (correct: the
-    * legacy baseline's generator is unknown). */
+  /** The `__data_fp` value persisted in a LEGACY single-section
+    * SF1_RATIOS.json, if any. Accepts both the legacy bare-hex form and
+    * the versioned form — a legacy value never equals a versioned key,
+    * so the first run after the version joined the key resets loudly
+    * (correct: the legacy baseline's generator is unknown). */
   def parsePrevFp(ratioTxt: String): Option[String] =
     """"__data_fp":"([0-9a-zA-Z]+)"""".r.findFirstMatchIn(ratioTxt).map(_.group(1))
 
-  /** True when a prior baseline exists but was frozen under a different
-    * (data bytes, generator version) key — reset loudly instead of
-    * flagging every data-sensitive query as a plan regression. A
-    * missing fingerprint on either side is also a mismatch (ADVICE r8). */
+  /** Baselines are namespaced PER (data-fp, generator) key inside the
+    * one SF1_RATIOS.json (r13 incident: the file used to hold exactly
+    * one fp, so an sf0.001 SMOKE bench overwrote the committed sf0.1
+    * baseline, and the next full run silently re-anchored against its
+    * own values — the anti-ratchet freeze was destroyed by a run that
+    * never intended to touch it). Format 2 is
+    * `{"__format":2,"<fp>":{…flat ratios/abs…},…}`; a legacy
+    * single-section file (`{"__data_fp":"<fp>", …flat…}`) reads as one
+    * section under its own fp, so the first format-2 write migrates it
+    * losslessly. Sections are flat numeric maps — the `[^{}]*` body
+    * match is exact, not approximate. */
+  private val SectionRe = """"([0-9a-zA-Z]+)":\{([^{}]*)\}""".r
+
+  def baselineSections(ratioTxt: String): Map[String, String] =
+    if (ratioTxt.contains("\"__format\":2"))
+      SectionRe.findAllMatchIn(ratioTxt).map(m => m.group(1) -> m.group(2)).toMap
+    else parsePrevFp(ratioTxt) match {
+      case Some(fp) =>
+        val body = ratioTxt.trim.stripPrefix("{").stripSuffix("}").trim
+          .replaceAll(""""__data_fp":"[0-9a-zA-Z]+",?""", "")
+          .stripSuffix(",")
+        Map(fp -> body)
+      case None => Map.empty
+    }
+
+  /** This fp's frozen section, if the file carries one. */
+  def baselineSection(dataFp: String, ratioTxt: String): Option[String] =
+    if (dataFp.isEmpty) None else baselineSections(ratioTxt).get(dataFp)
+
+  /** Render the whole multi-section file with `dataFp`'s section
+    * replaced by `sectionBody` (flat `"k":v,…` text, no braces) and
+    * every OTHER fp's section preserved verbatim — the write path that
+    * makes cross-SF clobbering structurally impossible. */
+  def renderBaselineFile(prevTxt: String, dataFp: String,
+                         sectionBody: String): String =
+    (baselineSections(prevTxt) + (dataFp -> sectionBody)).toSeq.sortBy(_._1)
+      .map { case (fp, b) => s""""$fp":{$b}""" }
+      .mkString("""{"__format":2,""", ",", "}")
+
+  /** True when a prior baseline file exists but carries NO section for
+    * this (data bytes, generator version) key — start a fresh section
+    * loudly instead of flagging every data-sensitive query as a plan
+    * regression. Other fps' sections are unaffected either way. A
+    * missing fingerprint disarms (nothing to compare). */
   def baselineReset(dataFp: String, ratioTxt: String): Boolean =
-    dataFp.nonEmpty && ratioTxt.nonEmpty && !parsePrevFp(ratioTxt).contains(dataFp)
+    dataFp.nonEmpty && ratioTxt.nonEmpty &&
+      baselineSection(dataFp, ratioTxt).isEmpty
 
   /** The two-dimension regression rule (r8, unchanged): the ratio grew
     * >1.5× over the frozen baseline, the sf1 absolute is past the noise
@@ -64,6 +105,15 @@ object BenchGuard {
   def sentinelDrift(sentinel: Double, sentinelBase: Double): Double =
     if (sentinel > 0 && sentinelBase > 0) math.max(1.0, sentinel / sentinelBase)
     else 1.0
+
+  /** The confirm window's drift over MULTIPLE probe shapes (r13,
+    * VERDICT r12 #1: the CPU/scan probe measured CALM through the load
+    * that elevated the exchange-heavy p44 — shuffle/disk contention is
+    * invisible to a probe that never shuffles). Load that only one
+    * probe observes is still load, so the max wins; each input is
+    * already floored at 1 by [[sentinelDrift]]. */
+  def combinedDrift(drifts: Double*): Double =
+    drifts.foldLeft(1.0)(math.max)
 
   /** A confirm rep with the sentinel's concurrent drift divided out —
     * the steady-state estimate the flag decision should see when the

@@ -31,10 +31,11 @@ import org.apache.spark.sql.types._
   *    spelling;
   *  - JSONExtractRaw/JSONType (get_json_object unquotes strings — raw
   *    JSON text round-tripping would silently differ),
-  *    ngramDistance/ngramSearch (CH-specific similarity definition),
   *    age (CH's calendar-complete-units rules differ from
   *    timestampdiff on edge dates), generate_subscripts with dim != 1
   *    (multi-dimensional; the dim = 1 form rewrites in FROM position).
+  *    (ngramDistance/ngramSearch left this list in r13 too —
+  *    [[ChNgram]] implements the published 4-gram definition.)
   */
 object DialectExtras {
   import GraftFunctions.tryParseUrl
@@ -109,6 +110,11 @@ object DialectExtras {
     reg("toIPv6OrNull")(es => Ipv6StringToNumOrNull(es.head))
     reg("IPv6NumToString")(es => Ipv6NumToString(es.head))
     reg("isIPv6String")(es => IsIpv6String(es.head))
+    // CH 4-gram similarity (byte-level base variants + ASCII-CI forms)
+    reg("ngramDistance")(es => ChNgramExpr(es(0), es(1), "distance"))
+    reg("ngramDistanceCaseInsensitive")(es => ChNgramExpr(es(0), es(1), "distanceCI"))
+    reg("ngramSearch")(es => ChNgramExpr(es(0), es(1), "search"))
+    reg("ngramSearchCaseInsensitive")(es => ChNgramExpr(es(0), es(1), "searchCI"))
   }
 
   // ---- DuckDB list constructors / aggregates ----

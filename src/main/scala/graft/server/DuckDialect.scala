@@ -969,8 +969,6 @@ object DuckDialect {
       // long tail — a full FarmHash port and a 128-bit return
       // convention are out of proportion to their usage
       "sipHash128", "farmHash64", "farmFingerprint64",
-      // CH-specific similarity definitions
-      "ngramDistance", "ngramSearch",
       // block-order-positional scalars: no well-defined distributed
       // meaning — Spark window functions are the honest spelling
       "runningDifference", "neighbor",

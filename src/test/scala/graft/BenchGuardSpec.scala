@@ -68,6 +68,45 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.parsePrevFp("{}").isEmpty)
   }
 
+  // ---- per-fp sections (r13: the cross-SF clobber incident) ----
+
+  test("a legacy single-section file reads as one section under its fp") {
+    val txt = ratioFile("aaaag2")
+    assert(BenchGuard.baselineSections(txt).keySet == Set("aaaag2"))
+    val body = BenchGuard.baselineSection("aaaag2", txt).get
+    assert(body.contains("\"q01_pricing_summary\":1.2"))
+    assert(!body.contains("__data_fp")) // the fp pair never leaks into a section
+  }
+
+  test("writing one fp's section PRESERVES every other fp's section") {
+    // the r13 incident, replayed: an sf0.001 smoke writes its own
+    // section into a file holding the frozen sf0.1 baseline
+    val frozen = ratioFile("sf01fpg2") // legacy format, the committed state
+    val afterSmoke = BenchGuard.renderBaselineFile(frozen, "sf0001fpg2",
+      """"p02_ngram_jaccard":1.3,"__abs__p02_ngram_jaccard":1.0""")
+    // the smoke's write migrated the file to format 2 AND kept sf0.1
+    assert(BenchGuard.baselineSection("sf01fpg2", afterSmoke).exists(
+      _.contains("\"q01_pricing_summary\":1.2")))
+    assert(BenchGuard.baselineSection("sf0001fpg2", afterSmoke).exists(
+      _.contains("p02_ngram_jaccard")))
+    // the next full sf0.1 run still finds its frozen section: NO reset
+    assert(!BenchGuard.baselineReset("sf01fpg2", afterSmoke))
+    // and re-writing the sf0.1 section keeps the smoke's
+    val afterFull = BenchGuard.renderBaselineFile(afterSmoke, "sf01fpg2",
+      """"q01_pricing_summary":1.2,"__abs__q01_pricing_summary":0.5""")
+    assert(BenchGuard.baselineSections(afterFull).keySet ==
+      Set("sf01fpg2", "sf0001fpg2"))
+  }
+
+  test("reset means only 'no section for THIS fp' — other sections stay") {
+    val multi = BenchGuard.renderBaselineFile(ratioFile("ag2"), "bg2",
+      """"q01_pricing_summary":2.0""")
+    assert(BenchGuard.baselineReset("cg2", multi)) // fresh fp: loud reset
+    assert(!BenchGuard.baselineReset("ag2", multi))
+    assert(!BenchGuard.baselineReset("bg2", multi))
+    assert(!BenchGuard.baselineReset("", multi)) // no fp: disarm
+  }
+
   // ---- trip rule (two-dimension, unchanged semantics from r8) ----
 
   test("trips needs ratio growth, noise floor, and absolute growth together") {
@@ -107,6 +146,21 @@ class BenchGuardSpec extends AnyFunSuite {
     val eff = BenchGuard.effectiveAbs(rawAbs, confirm = 5.0, drift = drift)
     assert(math.abs(eff - 5.0 / 3.0) < 1e-9)
     assert(!BenchGuard.trips(prevRatio, prevAbs, eff / med01, eff))
+  }
+
+  test("shuffle-shaped load invisible to the scan probe still self-clears (r13)") {
+    // the r12 p44 incident, replayed: scan sentinel calm (drift 1.0),
+    // shuffle sentinel sees x1.7 — the candidate's 1.7x elevation
+    // normalizes back to baseline and the flag self-clears
+    val scanDrift = BenchGuard.sentinelDrift(0.23, 0.23)     // calm
+    val shuffleDrift = BenchGuard.sentinelDrift(0.34, 0.20)  // loaded
+    val drift = BenchGuard.combinedDrift(scanDrift, shuffleDrift)
+    assert(drift == 1.7)
+    val eff = BenchGuard.effectiveAbs(rawAbs = 3.5, confirm = 3.5, drift = drift)
+    assert(eff < 2.1) // back under the 2.032-baseline trip zone
+    // and with BOTH probes calm, a real elevation keeps its magnitude
+    assert(BenchGuard.effectiveAbs(3.5, 3.5,
+      BenchGuard.combinedDrift(1.0, 1.0)) == 3.5)
   }
 
   test("a true regression beside a calm sentinel stays flagged") {

@@ -236,7 +236,7 @@ class DuckDialectSpec extends SparkSpec {
       // r13: the CH hash family + IPv6 conversions got bit-exact kernels
       "cityHash64", "sipHash64", "halfMD5", "intHash32", "intHash64",
       "URLHash", "IPv6StringToNum", "IPv6NumToString", "toIPv6",
-      "isIPv6String").foreach(n =>
+      "isIPv6String", "ngramDistance", "ngramSearch").foreach(n =>
       assert(DuckDialect.dialectGap(n) == None, s"$n still on the gap list"))
     // structural: the gap list and the registry must stay DISJOINT —
     // a registered name in the list would never fire (dialectGap only
