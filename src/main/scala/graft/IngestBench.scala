@@ -16,8 +16,10 @@ import graft.lineproto.LineProtocolParser
   *
   *  - `buffered`: the reference-shaped driver path — concurrent writers
   *    parse line protocol and enqueue into BufferedIngest; durable
-  *    parquet + manifest per flush. Driver-bound by design (SURVEY §7
-  *    risk 3); it exists for protocol parity, not scale.
+  *    parquet + manifest per flush. Single-node by design (protocol
+  *    parity with the reference's HTTP write path); since r13 the
+  *    cycle is flush-pipeline-bound, not timer-bound (SURVEY §7 risk 3
+  *    closed — see SCALE.md r13 ledger entry).
   *  - `bulk`: storeDataFrame of pre-built rows — the write-path ceiling
   *    (partitioned sort + parquet + manifest, no parse).
   *  - `stream`: the StreamIngest micro-batch shape — per-task sorted
@@ -31,8 +33,9 @@ import graft.lineproto.LineProtocolParser
 object IngestBench {
 
   /** Run the three paths; `bufferedRows` may be capped by the caller —
-    * the buffered path is ack-latency-bound by design and its rows/sec
-    * is flat in volume, so a capped run measures the same figure. */
+    * the buffered path's steady-state rows/sec is flat in volume
+    * (cycle = flush pipeline + gather window since r13), so a capped
+    * run measures the same figure minus warmup amortization. */
   def run(spark: SparkSession, bulkRows: Long, streamRows: Long,
           bufferedRows: Long, threads: Int = 32): String = {
     // --- buffered path: writers -> parse -> BufferedIngest -> flush ---

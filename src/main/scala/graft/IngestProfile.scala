@@ -14,7 +14,9 @@ import graft.lineproto.LineProtocolParser
   * state the bench converges to: all writer threads' batches drain into
   * ONE writer.store call):
   *   parse      — line-protocol text → Batch (driver CPU)
-  *   build      — Batch → RDD[Row] DataFrame plan (toDataFrame)
+  *   build      — Batch → DataFrame (toDataFrame: driver-parallel flat
+  *                UnsafeRow chunk conversion, eager)
+  *   count      — payload ship + scan (no parquet encode)
   *   store      — full writer.store (job + stats + manifest + rename)
   *
   * Usage: runMain graft.IngestProfile [rows] (default 320k = 32

@@ -16,7 +16,9 @@ import graft.lineproto.LineProtocolParser.Batch
   */
 final class BufferedIngest(writer: IngestWriter,
                            saveTimeoutMs: Long = 1000L,
-                           maxBufferedRows: Long = 1000000L) extends AutoCloseable {
+                           maxBufferedRows: Long = 1000000L,
+                           gatherMs: Long = 100L,
+                           throughputRows: Long = 100000L) extends AutoCloseable {
 
   private final case class Pending(batch: Batch, done: Promise[Unit])
   private val queue = new ConcurrentLinkedQueue[Pending]()
@@ -26,8 +28,45 @@ final class BufferedIngest(writer: IngestWriter,
   private val scheduler = Executors.newSingleThreadScheduledExecutor(r => {
     val t = new Thread(r, "graft-ingest-flush"); t.setDaemon(true); t
   })
-  scheduler.scheduleWithFixedDelay(() => flush(), saveTimeoutMs, saveTimeoutMs,
-    TimeUnit.MILLISECONDS)
+
+  /** Self-rescheduling tick instead of scheduleWithFixedDelay (r13, the
+    * buffered-throughput fix): fixedDelay restarts the full 1 s timer
+    * AFTER each flush returns, so blocked-on-ack writers (the reference
+    * e2e shape — every client holds its next batch until the 204) spent
+    * ~1 s of every cycle idle: cycle = flush + 1 s. The tick keeps the
+    * 1 s cadence for trickle traffic (same file count, same ack-latency
+    * bound, same durability contract) but when a flush drains a
+    * throughput-regime volume (>= throughputRows) the next tick fires
+    * after a short gather window instead — long enough for every
+    * just-acked writer to parse and re-enqueue, so each flush still
+    * drains the full writer cohort into ONE file; the cycle becomes
+    * flush-pipeline-bound. Flushing EARLIER than the 1 s timer never
+    * violates the contract (the 1 M-row early trigger already does) —
+    * the timer is a latency/batching bound, not a throughput governor.
+    * The tick never dies: a throwing flush (promises already failed per
+    * group inside) still reschedules — a dead ticker is silent data
+    * loss for every later enqueue (MergeScheduler makes the same
+    * argument). */
+  /** While hot, an EMPTY tick retries at gatherMs up to HotRetries times
+    * before dropping back to the 1 s cadence: a writer cohort that takes
+    * slightly longer than one gather window to re-enqueue (GC pause, a
+    * slow parse) would otherwise pay the full 1 s trickle delay for the
+    * miss — measured as occasional 1.1 s gaps between 0.6 s cycles. */
+  private val HotRetries = 5
+  private var hotStreak = 0 // scheduler-thread-only state
+
+  private def tick(): Unit = {
+    val drained =
+      try flushCounting()
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    if (drained >= throughputRows) hotStreak = HotRetries
+    else if (drained > 0) hotStreak = 0 // trickle: keep the 1 s file shape
+    else if (hotStreak > 0) hotStreak -= 1
+    val delay = if (hotStreak > 0) gatherMs else saveTimeoutMs
+    try scheduler.schedule({ () => tick() }: Runnable, delay, TimeUnit.MILLISECONDS)
+    catch { case _: java.util.concurrent.RejectedExecutionException => () } // closing
+  }
+  scheduler.schedule({ () => tick() }: Runnable, saveTimeoutMs, TimeUnit.MILLISECONDS)
 
   @volatile private var closed = false
 
@@ -59,10 +98,21 @@ final class BufferedIngest(writer: IngestWriter,
   }
 
   /** Drain and durably write everything queued; complete promises. */
-  def flush(): Unit = synchronized {
+  def flush(): Unit = { flushCounting(); () }
+
+  private val dbg = sys.env.contains("GRAFT_FLUSH_DEBUG")
+  @volatile private var lastFlushEnd = 0L
+
+  /** flush() returning the drained row count — the adaptive tick's
+    * throughput-regime signal. */
+  private def flushCounting(): Long = synchronized {
+    val t0 = System.nanoTime()
     val drained = Iterator.continually(queue.poll()).takeWhile(_ != null).toVector
-    if (drained.isEmpty) return
-    buffered.addAndGet(-drained.map(_.batch.size.toLong).sum)
+    if (drained.isEmpty) return 0L
+    val drainedRows = drained.map(_.batch.size.toLong).sum
+    if (dbg && lastFlushEnd != 0)
+      println(f"[fdbg] gap=${(t0 - lastFlushEnd) / 1e9}%.3f rows=$drainedRows batches=${drained.size}")
+    buffered.addAndGet(-drainedRows)
     // group same-(db,table,schema) batches IN FIRST-ARRIVAL ORDER
     // (review r10): groupBy's Map iterates hash-ordered, so two
     // different-schema batches for one new table could reach
@@ -82,6 +132,10 @@ final class BufferedIngest(writer: IngestWriter,
           case e: Throwable => ps.foreach(_.done.tryFailure(e))
         }
       }
+    lastFlushEnd = System.nanoTime()
+    if (dbg)
+      println(f"[fdbg] flush=${(lastFlushEnd - t0) / 1e9}%.3f rows=$drainedRows")
+    drainedRows
   }
 
   /** Stop accepting, then drain. A producer that raced past the closed

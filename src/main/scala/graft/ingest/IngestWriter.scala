@@ -49,27 +49,103 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
   def tableDirOf(db: String, table: String): java.nio.file.Path =
     catalog.tableDir(db, table)
 
+  /** Chunk size for the driver-parallel UnsafeRow build: below one
+    * chunk the fork-join fan-out costs more than it saves. */
+  private[ingest] val ConvertChunkRows = 8192
+
   /** Line-proto batch → DataFrame with the batch's own schema.
-    * parallelize (not the java-List createDataFrame): the List path
-    * embeds every row in a LocalRelation, converting the whole batch
-    * eagerly during plan BUILD on the flush thread and dragging the rows
-    * through plan serialization; the RDD path converts lazily inside the
-    * write job. (The downstream coalesce(1) fuses slices into one task,
-    * so this is about keeping rows out of the plan, not parallelism.) */
+    *
+    * r13 buffered-throughput fix — the batch is converted to compact
+    * UnsafeRow BYTES on the driver, in parallel chunks, and handed to
+    * Spark via internalCreateDataFrame. The prior shapes all paid this
+    * cost serially somewhere: parallelize(Vector[Row], 1) re-ran
+    * CatalystTypeConverters per row inside the single write task
+    * (profiled ~1.4 s of the ~2 s flush at 320 k rows); fanning raw
+    * parsed Lines across slices just moved it into the driver's serial
+    * task-binary serialization (nested case classes Java-serialize far
+    * worse than bytes); even parallelize(Array[UnsafeRow]) still pushed
+    * 320 k individual Externalizable objects through
+    * ObjectOutputStream (~0.3 s/flush). Here the flush thread's idle
+    * cores build flat per-chunk (bytes, offsets) buffers (fork-join
+    * over disjoint ranges, one codegen'd UnsafeProjection per chunk —
+    * instances are not thread-safe, the generated class is cached), the
+    * task payload Java-serializes as a handful of primitive arrays, and
+    * the task re-points shared-buffer UnsafeRows with ZERO copies — the
+    * write task starts directly at the null-pad projection + sort +
+    * parquet encode. Safe without per-row copies because every consumer
+    * below (Project codegen, the sorter's insert) writes its OWN output
+    * buffer; the chunk bytes are immutable. */
   def toDataFrame(batch: Batch): DataFrame = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeProjection, UnsafeRow}
+    import org.apache.spark.unsafe.Platform
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.ingest.IngestWriter.RowChunk
+
     val fields = batch.schema.map { case (n, t) => StructField(n, sparkType(typeName(t))) }
     val schema = StructType(fields)
     val byName = batch.schema.map(_._1).zipWithIndex.toMap
-    val rows = batch.rows.map { line =>
-      val arr = new Array[Any](fields.length)
-      line.tags.foreach { case (k, v) => arr(byName(k)) = v }
-      line.fields.foreach { case (k, v, t) =>
-        arr(byName(k)) = if (t == FieldType.U64) v.asInstanceOf[BigDecimal] else v
+    val timeIdx = byName("time")
+    val width = fields.length
+    val rows = batch.rows
+    val n = rows.length
+
+    def convertChunk(lo: Int, hi: Int): RowChunk = {
+      val proj = UnsafeProjection.create(schema)
+      val scratch = new GenericInternalRow(width)
+      var bytes = new Array[Byte](math.max(64, (hi - lo) * 64))
+      val offsets = new Array[Int](hi - lo + 1)
+      var pos = 0
+      var i = lo
+      while (i < hi) {
+        val line = rows(i)
+        var j = 0
+        while (j < width) { scratch.update(j, null); j += 1 }
+        line.tags.foreach { case (k, v) =>
+          scratch.update(byName(k), UTF8String.fromString(v))
+        }
+        line.fields.foreach { case (k, v, t) =>
+          scratch.update(byName(k), t match {
+            case FieldType.U64 =>
+              org.apache.spark.sql.types.Decimal(v.asInstanceOf[BigDecimal], 20, 0)
+            case FieldType.Str => UTF8String.fromString(v.asInstanceOf[String])
+            case _ => v // I64: java.lang.Long, F64: Double, Bool: Boolean
+          })
+        }
+        scratch.update(timeIdx, line.timeNs)
+        val r = proj(scratch)
+        val sz = r.getSizeInBytes
+        if (pos + sz > bytes.length)
+          bytes = java.util.Arrays.copyOf(bytes, math.max(bytes.length * 2, pos + sz))
+        r.writeToMemory(bytes, Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += sz
+        offsets(i - lo + 1) = pos
+        i += 1
       }
-      arr(byName("time")) = line.timeNs
-      Row.fromSeq(arr.toIndexedSeq)
+      RowChunk(width, hi - lo, offsets,
+        if (pos == bytes.length) bytes else java.util.Arrays.copyOf(bytes, pos))
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+    val chunks = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      n / ConvertChunkRows))
+    val built = new Array[RowChunk](chunks)
+    if (chunks == 1) built(0) = convertChunk(0, n)
+    else java.util.stream.IntStream.range(0, chunks).parallel().forEach { c =>
+      built(c) = convertChunk((n.toLong * c / chunks).toInt, (n.toLong * (c + 1) / chunks).toInt)
+    }
+    val rdd = spark.sparkContext.parallelize(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(built), 1)
+      .mapPartitions { it =>
+        it.flatMap { ch =>
+          Iterator.tabulate(ch.count) { i =>
+            val r = new UnsafeRow(ch.width)
+            r.pointTo(ch.bytes, Platform.BYTE_ARRAY_OFFSET + ch.offsets(i),
+              ch.offsets(i + 1) - ch.offsets(i))
+            r: InternalRow
+          }
+        }
+      }
+    org.apache.spark.sql.GraftColumnBridge.internalDf(spark, rdd, schema)
   }
 
   /** Store one parsed batch: evolve schema (first-type-wins), add
@@ -266,6 +342,16 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     }
     } finally fs.delete(staging, true)
   }
+}
+
+object IngestWriter {
+  /** Flat UnsafeRow payload for one driver-built conversion chunk:
+    * `bytes` holds `count` concatenated UnsafeRows, row i spanning
+    * [offsets(i), offsets(i+1)). Primitive arrays only, so the task
+    * binary serializes as two straight array writes instead of count
+    * individual Externalizable objects. */
+  private[ingest] final case class RowChunk(width: Int, count: Int,
+                                            offsets: Array[Int], bytes: Array[Byte])
 }
 
 /** Footer-level stats for one parquet file (no data scan). */
