@@ -396,7 +396,10 @@ object Bench {
       val raw = absFinal.getOrElse(n, 0.0)
       confirmRep.get(n) match {
         case Some(c) if sentinelInfo.contains(n) || sentinel2Info.contains(n) =>
-          r3(BenchGuard.effectiveAbs(raw, c, driftOf(n)))
+          // elevation vs the frozen baseline gates the normalization:
+          // drift only divides out what it can explain (ADVICE r12)
+          val elev = prevAbs.get(n).filter(_ > 0).map(c / _).getOrElse(-1.0)
+          r3(BenchGuard.effectiveAbs(raw, c, driftOf(n), elev))
         case _ => raw
       }
     }

@@ -121,16 +121,35 @@ object BenchGuard {
   def normalizedConfirm(confirm: Double, drift: Double): Double =
     if (confirm > 0) confirm / math.max(1.0, drift) else confirm
 
+  /** How far past the sentinel drift a candidate's elevation may run
+    * and still count as "explained by the window's load": beyond
+    * drift × this, the elevation has an independent component and
+    * dividing the drift out would self-clear a true regression that
+    * happened to coincide with load (ADVICE r12 — the old
+    * unconditional division was one-directional toward false
+    * negatives). 1.5 mirrors the ratio trip line: the same margin that
+    * separates "regression" from "noise" separates "load explains it"
+    * from "load doesn't". */
+  val ElevationTol = 1.5
+
   /** The effective sf1 absolute the final trip rule sees for a
     * confirmed candidate: the best clean evidence available — the raw
     * best-of (reps + confirm) or the sentinel-normalized confirm,
     * whichever is lower. A candidate whose elevation ≈ the sentinel's
     * drift normalizes back under the threshold and self-clears as
     * environment; a true regression re-measures slow against a calm
-    * sentinel and stays flagged with three consistent reps on record. */
-  def effectiveAbs(rawAbs: Double, confirm: Double, drift: Double): Double = {
+    * sentinel and stays flagged with three consistent reps on record.
+    *
+    * `elevation` = confirm / prev_abs when a prior baseline exists
+    * (non-positive = unknown → normalize as before): normalization
+    * applies only when the drift EXPLAINS the elevation
+    * (elevation ≤ drift × [[ElevationTol]]) — a candidate running 4×
+    * its baseline under a 1.3×-drifted window keeps its raw read. */
+  def effectiveAbs(rawAbs: Double, confirm: Double, drift: Double,
+                   elevation: Double = -1.0): Double = {
+    val explained = elevation <= 0 || elevation <= drift * ElevationTol
     val norm = normalizedConfirm(confirm, drift)
-    if (norm > 0) math.min(rawAbs, norm) else rawAbs
+    if (explained && norm > 0) math.min(rawAbs, norm) else rawAbs
   }
 
   /** Git provenance of the measuring tree, empty-safe: `head_sha` is ""

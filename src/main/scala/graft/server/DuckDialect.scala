@@ -591,15 +591,40 @@ object DuckDialect {
     val ts = lex(s)
     def word(t: Tok): String =
       s.substring(t.start, t.end).toLowerCase(java.util.Locale.ROOT)
-    // a bracket list that is the path argument of a bracket-consuming
-    // table function is THAT rule's to claim — even when the call
-    // bailed on an unhonorable option, the pinned contract is that the
-    // whole call stays byte-identical for a loud parse error
+    // a bracket list ANYWHERE inside a bracket-consuming table
+    // function's call span is THAT rule's to claim — even when the
+    // call bailed on an unhonorable option, the pinned contract is
+    // that the whole call stays byte-identical for a loud parse error.
+    // Ownership is the full parenthesized span, not just the path
+    // position (ADVICE r12): `read_csv('f.csv', names=['a'])` bails,
+    // and rewriting the later-argument bracket to array('a') would
+    // mutate the echoed text of a call the contract says stays intact.
     val bracketFns = TableFns.keySet ++ CsvFns + "read_parquet_mergetree"
+    val ownedSpans: Seq[(Int, Int)] = {
+      val buf = Seq.newBuilder[(Int, Int)]
+      var i = 0
+      while (i < ts.length - 1) {
+        if (ts(i).kind == Word && ts(i + 1).kind == Punct('(') &&
+            bracketFns(word(ts(i)))) {
+          var depth = 0
+          var j = i + 1
+          var close = -1
+          while (close < 0 && j < ts.length) {
+            ts(j).kind match {
+              case Punct('(') => depth += 1
+              case Punct(')') => depth -= 1; if (depth == 0) close = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (close > 0) buf += ((i + 1, close))
+        }
+        i += 1
+      }
+      buf.result()
+    }
     def ownedByBracketFn(idx: Int): Boolean =
-      idx >= 2 && ts(idx - 1).kind == Punct('(') && ts(idx - 2).kind == Word &&
-        bracketFns(s.substring(ts(idx - 2).start, ts(idx - 2).end)
-          .toLowerCase(java.util.Locale.ROOT))
+      ownedSpans.exists { case (open, close) => idx > open && idx < close }
     var k = 0
     while (k < ts.length) {
       if (ts(k).kind == Punct('[')) {
@@ -616,7 +641,7 @@ object DuckDialect {
             case _ => false
           }
         }
-        val owned = if (isArrayKw) ownedByBracketFn(k - 1) else ownedByBracketFn(k)
+        val owned = ownedByBracketFn(k) // span-based: covers every position
         if (literalPos && !owned) {
           // matching close bracket at depth 0 (contents may nest)
           var depth = 0

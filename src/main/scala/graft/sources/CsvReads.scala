@@ -54,11 +54,17 @@ object CsvReads {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Register every view on the context-global temp catalog (no-op when
-    * already registered for the same source bytes). Must run BEFORE the
-    * rewritten SQL executes. */
+    * already registered for the same source bytes AND the view still
+    * exists). Must run BEFORE the rewritten SQL executes. The existence
+    * check (ADVICE r12): the process-level `registered` map can outlive
+    * the global-temp catalog — a rebuilt SparkContext in the same JVM or
+    * an explicit dropGlobalTempView would otherwise leave ensure()
+    * no-oping on a matching fingerprint while the rewritten SQL fails on
+    * a missing view. */
   def ensure(spark: SparkSession, views: Seq[CsvView]): Unit = views.foreach { v =>
     val fp = sourceFingerprint(v.paths)
-    if (registered.get(v.name) != fp) {
+    if (registered.get(v.name) != fp ||
+        !spark.catalog.tableExists("global_temp." + v.name)) {
       val opts = if (v.sniffHeader)
         v.options + ("header" -> sniffHeader(v.paths, v.options).toString)
       else v.options
@@ -73,56 +79,108 @@ object CsvReads {
     * suites). */
   private[graft] def invalidate(name: String): Unit = registered.remove(name)
 
+  /** Re-registration window for sources we cannot stat or list (remote
+    * schemes): the view freezes Spark's eagerly-listed file index, so
+    * serving it forever would return silently stale results on a
+    * long-running /query server; a 10 s bucket caps staleness without
+    * re-sniffing per query. */
+  private val RemoteTtlMs = 10000L
+
   private def sourceFingerprint(paths: Seq[String]): String =
     paths.map { p =>
       val f = new java.io.File(p)
       if (f.isFile) s"$p:${f.length}:${f.lastModified}"
-      else p // glob/dir/remote-cache-miss: register once per JVM
+      else {
+        // glob/dir (ADVICE r12 medium): the registered view froze the
+        // scan's file listing, so files added/changed under the pattern
+        // were invisible for the JVM's lifetime while DuckDB re-lists
+        // per query. Fold a cheap one-readdir listing (names + lengths
+        // + mtimes) of the deepest non-glob directory into the
+        // fingerprint: any add/remove/rewrite there re-registers. A
+        // nested change under a `**` glob is still caught via the
+        // subdirectory's own mtime row in the listing. Unlistable
+        // (remote scheme) sources fall back to a TTL bucket instead of
+        // the old once-per-JVM freeze.
+        val listing = Option(deepestDir(p).listFiles()).map { fs =>
+          fs.sortBy(_.getName)
+            .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+            .mkString(",")
+        }.getOrElse("ttl:" + System.currentTimeMillis() / RemoteTtlMs)
+        s"$p@" + java.security.MessageDigest.getInstance("MD5")
+          .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
     }.mkString("|")
 
-  /** First-line header sniff on the first plainly-readable local file. */
+  /** Deepest path prefix with no glob metacharacter, as a directory:
+    * "dir/sub" + "/&#42;.csv" → "dir/sub"; a plain directory path →
+    * itself. */
+  private def deepestDir(p: String): java.io.File = {
+    val segs = p.split('/')
+    val glob = segs.indexWhere(_.exists("*?{}[]".contains(_)))
+    if (glob < 0) new java.io.File(p)
+    else new java.io.File(segs.take(glob).mkString("/") match {
+      case "" => "/"
+      case s => s
+    })
+  }
+
+  /** Header sniff on the first plainly-readable local file, DuckDB's
+    * primary signal (ADVICE r12): row 1 is a header iff it is
+    * all-untyped (no field parses as a number, date or bool) AND row
+    * 2's field types DIFFER (row 2 has a typed field). An all-string
+    * body whose row 1 is also all-string is indistinguishable from
+    * data, so it reads as data — exactly DuckDB's verdict (its sniffer
+    * compares row 1 against the detected body types), which keeps both
+    * engines returning the same rows. A lone untyped line with no row 2
+    * keeps the header=true default (the common query-surface case). */
   private def sniffHeader(paths: Seq[String], options: Map[String, String]): Boolean = {
     val sep = options.getOrElse("sep", ",")
+    val numeric = "[+-]?((\\d+\\.?\\d*)|(\\.\\d+))([eE][+-]?\\d+)?"
+    // date/timestamp-ish: 1-2/1-2/2-4 or 4-2-2 digit groups with -/./
+    // separators, optional time tail — the shapes DuckDB's sniffer (and
+    // an explicit dateformat= option) would type as DATE/TIMESTAMP
+    val dateish = "\\d{1,4}[-./]\\d{1,2}[-./]\\d{1,4}" +
+      "([ T]\\d{1,2}:\\d{2}(:\\d{2}(\\.\\d+)?)?)?"
+    def hasTyped(line: String): Boolean = {
+      // strip one layer of surrounding quotes per field: a data row
+      // of all-quoted numerals ("1","2") must read as DATA, not as a
+      // header (DuckDB's sniffer unquotes before type-testing too)
+      val fields = line.split(java.util.regex.Pattern.quote(sep), -1)
+        .map(_.trim).map(f =>
+          if (f.length >= 2 && f.head == '"' && f.last == '"')
+            f.substring(1, f.length - 1)
+          else f)
+      fields.exists(f => f.nonEmpty &&
+        (f.matches(numeric) || f.matches(dateish) ||
+          f.equalsIgnoreCase("true") || f.equalsIgnoreCase("false")))
+    }
     paths.iterator
       .filterNot(p => p.exists("*?{}[]".contains(_)))
       .map(new java.io.File(_))
       .find(f => f.isFile && !f.getName.endsWith(".gz") &&
         !f.getName.endsWith(".zst") && !f.getName.endsWith(".bz2"))
-      .flatMap(firstLine) match {
-      case Some(line) =>
-        // strip one layer of surrounding quotes per field: a data row
-        // of all-quoted numerals ("1","2") must read as DATA, not as a
-        // header (DuckDB's sniffer unquotes before type-testing too)
-        val fields = line.split(java.util.regex.Pattern.quote(sep), -1)
-          .map(_.trim).map(f =>
-            if (f.length >= 2 && f.head == '"' && f.last == '"')
-              f.substring(1, f.length - 1)
-            else f)
-        // numbers in row 1 = data, not a header
-        !fields.exists(f =>
-          f.nonEmpty && f.matches("[+-]?((\\d+\\.?\\d*)|(\\.\\d+))([eE][+-]?\\d+)?"))
-      case None => true // unreadable here: the common query-surface case
+      .map(firstLines) match {
+      case Some(row1 +: rest) if row1.nonEmpty =>
+        !hasTyped(row1) && rest.headOption.forall(hasTyped)
+      case _ => true // unreadable here: the common query-surface case
     }
   }
 
-  /** First line, capped at 64 KiB: readLine on a newline-less
-    * multi-gigabyte file would otherwise buffer the whole file on the
-    * request thread — a header row longer than the cap is treated as
-    * its first 64 KiB (the numeric test only needs the early fields). */
-  private def firstLine(f: java.io.File): Option[String] =
+  /** First two lines, capped at 64 KiB total: readLine on a
+    * newline-less multi-gigabyte file would otherwise buffer the whole
+    * file on the request thread — a row longer than the cap is treated
+    * as its first 64 KiB (the numeric test only needs early fields).
+    * Returns 0, 1 or 2 non-empty lines. */
+  private def firstLines(f: java.io.File): Seq[String] =
     try {
       val in = new java.io.BufferedReader(new java.io.InputStreamReader(
         new java.io.FileInputStream(f), "UTF-8"))
       try {
         val buf = new Array[Char](65536)
         val n = in.read(buf, 0, buf.length)
-        if (n <= 0) None
-        else {
-          val s = new String(buf, 0, n)
-          val cut = s.indexOf('\n')
-          Option(if (cut >= 0) s.substring(0, cut) else s)
-            .map(_.stripSuffix("\r")).filter(_.nonEmpty)
-        }
+        if (n <= 0) Nil
+        else new String(buf, 0, n).split('\n').iterator
+          .map(_.stripSuffix("\r")).filter(_.nonEmpty).take(2).toSeq
       } finally in.close()
-    } catch { case _: Throwable => None }
+    } catch { case _: Throwable => Nil }
 }

@@ -170,6 +170,25 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.trips(Some(2.0), Some(2.655), eff / 1.6, eff))
   }
 
+  test("drift only divides out what it explains: excess elevation keeps its raw read (r13)") {
+    // a true 4x regression under a 1.3x-loaded window: the old
+    // unconditional division would shave the confirm by 1.3 anyway;
+    // the gate sees 4.0 > 1.3 * 1.5 and keeps the raw evidence
+    val eff = BenchGuard.effectiveAbs(rawAbs = 8.0, confirm = 8.0,
+      drift = 1.3, elevation = 4.0)
+    assert(eff == 8.0)
+    // elevation ~= drift: explained, normalizes exactly as before
+    val ok = BenchGuard.effectiveAbs(rawAbs = 6.0, confirm = 6.0,
+      drift = 3.0, elevation = 3.0)
+    assert(math.abs(ok - 2.0) < 1e-9)
+    // boundary: elevation == drift * tol still explained
+    val edge = BenchGuard.effectiveAbs(4.5, 4.5, drift = 2.0,
+      elevation = 2.0 * BenchGuard.ElevationTol)
+    assert(math.abs(edge - 2.25) < 1e-9)
+    // unknown elevation (no prior baseline): old behavior — normalize
+    assert(math.abs(BenchGuard.effectiveAbs(6.0, 6.0, 3.0) - 2.0) < 1e-9)
+  }
+
   test("effectiveAbs never exceeds the raw best-of and survives failed confirms") {
     // a confirm FASTER than the reps: raw best-of already took it; the
     // normalized value is the min

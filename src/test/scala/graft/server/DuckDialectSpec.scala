@@ -464,6 +464,15 @@ class DuckDialectSpec extends SparkSpec {
     // un-honorable option: the call stays untouched for a loud error
     val bail = s"SELECT * FROM read_csv('$f', skip = 2)"
     assert(rw(bail) == bail)
+
+    // ... byte-identical INCLUDING bracket lists in later arguments
+    // (ADVICE r12: span ownership, not just path position) — while a
+    // bracket OUTSIDE the bailed call still rewrites
+    val bail2 = s"SELECT * FROM read_csv('$f', names=['a','b'])"
+    assert(rw(bail2) == bail2)
+    val mixed = s"SELECT [1,2] AS xs FROM read_csv('$f', names=['a'])"
+    assert(rw(mixed) ==
+      s"SELECT array(1,2) AS xs FROM read_csv('$f', names=['a'])")
   }
 
   test("dialect features compose in one statement (casts + csv + QUALIFY + EXCLUDE + series)") {
