@@ -49,9 +49,17 @@ object CsvReads {
       .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
 
-  // name -> source stat fingerprint at registration time
+  /** Cap on live csv views (VERDICT r12 hygiene note): distinct
+    * (paths, options) sets otherwise accrete global temp views for the
+    * JVM lifetime on a long-running /query server. Views are
+    * metadata-only, so the cap is generous; eviction is LRU and drops
+    * the catalog entry too. */
+  private val MaxViews = 256
+
+  // name -> source stat fingerprint at registration time; access-order
+  // for LRU eviction. All access synchronized on the map.
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.LinkedHashMap[String, String](64, 0.75f, true)
 
   /** Register every view on the context-global temp catalog (no-op when
     * already registered for the same source bytes AND the view still
@@ -63,21 +71,36 @@ object CsvReads {
     * a missing view. */
   def ensure(spark: SparkSession, views: Seq[CsvView]): Unit = views.foreach { v =>
     val fp = sourceFingerprint(v.paths)
-    if (registered.get(v.name) != fp ||
+    val cached = registered.synchronized { registered.get(v.name) }
+    if (cached != fp ||
         !spark.catalog.tableExists("global_temp." + v.name)) {
       val opts = if (v.sniffHeader)
         v.options + ("header" -> sniffHeader(v.paths, v.options).toString)
       else v.options
       spark.read.options(opts).csv(v.paths: _*)
         .createOrReplaceGlobalTempView(v.name)
-      registered.put(v.name, fp)
+      val evicted = registered.synchronized {
+        registered.put(v.name, fp)
+        val out = Seq.newBuilder[String]
+        while (registered.size > MaxViews) {
+          val it = registered.entrySet().iterator()
+          out += it.next().getKey
+          it.remove()
+        }
+        out.result()
+      }
+      evicted.foreach { name =>
+        try spark.catalog.dropGlobalTempView(name)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   }
 
   /** Spec/diagnostic hook: forget a registration so the next ensure
     * re-reads (global temp views survive in the shared context between
     * suites). */
-  private[graft] def invalidate(name: String): Unit = registered.remove(name)
+  private[graft] def invalidate(name: String): Unit =
+    registered.synchronized { registered.remove(name) }
 
   /** Re-registration window for sources we cannot stat or list (remote
     * schemes): the view freezes Spark's eagerly-listed file index, so
