@@ -487,9 +487,14 @@ object Bench {
     Thread.sleep(2000)
     spark = session(cpus)
     val ingestRows = sys.env.getOrElse("SPARK_GRAFT_INGEST_ROWS", "20000000").toLong
+    // buffered cap = 10 flush cycles (32 writers × 10k × 10), not 2:
+    // after the r13 cadence fix a cycle is ~0.5-1 s, and a 2-cycle run
+    // is all JIT/codegen warmup — it under-read the face by 2.5× vs
+    // the canonical clean-JVM 20 M run (INGEST_BENCH_20M.json stays
+    // authoritative; this embedded figure is the per-round smoke)
     val ingest =
       try IngestBench.run(spark, bulkRows = ingestRows, streamRows = ingestRows,
-        bufferedRows = math.min(ingestRows, 640000L))
+        bufferedRows = math.min(ingestRows, 3200000L))
       catch { case e: Throwable => s"""{"error":${graft.server.JsonOut.str(e.toString)}}""" }
 
     // --- emit: compact stdout line + full-fidelity detail file ---

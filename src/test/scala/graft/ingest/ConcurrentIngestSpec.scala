@@ -52,6 +52,33 @@ class ConcurrentIngestSpec extends SparkSpec {
     }
   }
 
+  test("throughput regime flushes on the gather cadence, not the save timer (r13)") {
+    val root = Files.createTempDirectory("graft-hot-")
+    val cat = new TableCatalog(root.toString)
+    // timer 3 s, gather 50 ms: a cohort-sized drain must put the buffer
+    // in the hot regime so the NEXT batch acks on the gather cadence —
+    // under the old fixed-delay ticker the second ack would wait the
+    // full 3 s timer again
+    val buffer = new BufferedIngest(new IngestWriter(spark, root.toString, cat),
+      saveTimeoutMs = 3000L, gatherMs = 50L, throughputRows = 100L)
+    try {
+      val lines1 = (0 until 200).map(r => s"hot v=${r}i").mkString("\n")
+      // first ack rides the first 3 s tick (drains 200 >= 100 -> hot)
+      LineProtocolParser.parse(lines1).map(buffer.store)
+        .foreach(Await.result(_, 1.minute))
+      // enqueue immediately (inside the hot retry window): the ack must
+      // arrive on the 50 ms gather cadence, far under the 3 s timer
+      val t0 = System.nanoTime()
+      val lines2 = (0 until 200).map(r => s"hot v=${1000 + r}i").mkString("\n")
+      LineProtocolParser.parse(lines2).map(buffer.store)
+        .foreach(Await.result(_, 1.minute))
+      val ackSec = (System.nanoTime() - t0) / 1e9
+      assert(ackSec < 1.5, s"hot-regime ack took $ackSec s (timer-bound?)")
+      val df = Pruning.readTable(spark, cat, "default", "hot")
+      assert(df.count() == 400)
+    } finally buffer.close()
+  }
+
   test("store after close fails fast instead of hanging a dead promise") {
     val root = Files.createTempDirectory("graft-closed-")
     val cat = new TableCatalog(root.toString)
