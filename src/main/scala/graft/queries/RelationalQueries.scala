@@ -385,6 +385,32 @@ object RelationalQueries {
           |  min(lpad(toString(sipHash64(toString(c_custkey % 256))), 20, '0')) AS min_sip
           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
+
+    // ---- IPv6 family round-trip (r13): the RFC 4291 parse and RFC
+    //      5952 canonical format are inverse on canonical text, so the
+    //      oracle needs NO IPv6 support — DuckDB computes the expected
+    //      canonical strings directly with printf while Spark derives
+    //      them through IPv6StringToNum→IPv6NumToString over the
+    //      EXPANDED (zero-padded, uncompressed) spelling. Covers: full
+    //      8-group parse, longest-zero-run compression, leading-zero
+    //      stripping, bare-IPv4 promotion to the ::ffff: mapped form
+    //      with dotted rendering, strict isIPv6String (dotted quad is
+    //      false), and toIPv6OrNull's null-not-throw contract. Pure
+    //      map-side projection — no shuffle but the output sort. ----
+    "q24_ipv6_roundtrip" -> ((s, dir) => {
+      Tables.views(s, dir).sql(
+        """SELECT c_custkey,
+          |  IPv6NumToString(IPv6StringToNum(printf(
+          |    '2001:0db8:0000:0000:0000:0000:%04x:%04x',
+          |    1 + c_custkey % 65535, 1 + c_nationkey % 65535))) AS canon,
+          |  IPv6NumToString(toIPv6(printf('%d.%d.%d.%d',
+          |    c_custkey % 256, (c_custkey DIV 7) % 256,
+          |    c_nationkey % 256, (c_custkey DIV 3) % 256))) AS mapped,
+          |  isIPv6String(printf('2001:db8::%x', 1 + c_custkey % 65535)) AS is6,
+          |  isIPv6String(printf('%d.%d.%d.%d', c_custkey % 256, 1, 2, 3)) AS not6,
+          |  toIPv6OrNull(printf('xyz:%d', c_custkey)) IS NULL AS bad_null
+          |FROM customer ORDER BY c_custkey""".stripMargin)
+    }),
   )
 
   /** q23's rendered hash artifact: the bit-exact kernels applied to the
@@ -414,6 +440,15 @@ object RelationalQueries {
          |  max(city_h) AS max_city, min(sip_h) AS min_sip
          |FROM customer JOIN hmap ON (c_custkey % 256) = m
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q24_ipv6_roundtrip" ->
+      """SELECT c_custkey,
+        |  printf('2001:db8::%x:%x',
+        |    1 + c_custkey % 65535, 1 + c_nationkey % 65535) AS canon,
+        |  printf('::ffff:%d.%d.%d.%d',
+        |    c_custkey % 256, (c_custkey // 7) % 256,
+        |    c_nationkey % 256, (c_custkey // 3) % 256) AS mapped,
+        |  true AS is6, false AS not6, true AS bad_null
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q22_sequence_match" ->
       """WITH seqs AS (
         |  SELECT user_id, count(*) AS n_events,
