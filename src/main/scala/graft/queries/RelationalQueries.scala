@@ -411,7 +411,48 @@ object RelationalQueries {
           |  toIPv6OrNull(printf('xyz:%d', c_custkey)) IS NULL AS bad_null
           |FROM customer ORDER BY c_custkey""".stripMargin)
     }),
+
+    // ---- ngram family (r13): ngramDistance / the CaseInsensitive
+    //      variant / ngramSearch through the q23 inductive-oracle
+    //      pattern — the key domain is reduced mod 64 and DuckDB
+    //      carries the kernel's own outputs as rendered constants, so
+    //      any per-row disagreement between the codegen'd expression
+    //      and the driver-rendered value breaks the hash match. Scores
+    //      compare as printf('%.4f') TEXT on both sides (identical
+    //      Java/DuckDB %f rounding; no float-type schema skew). ----
+    "q25_ngram_scores" -> ((s, dir) => {
+      Tables.views(s, dir).sql(
+        """SELECT c_custkey,
+          |  printf('%.4f', CAST(ngramDistance(
+          |    concat('seg_', lpad(toString(c_custkey % 64), 3, '0')),
+          |    'seg_000') AS DOUBLE)) AS dist,
+          |  printf('%.4f', CAST(ngramDistanceCaseInsensitive(
+          |    upper(concat('seg_', lpad(toString(c_custkey % 64), 3, '0'))),
+          |    'seg_000') AS DOUBLE)) AS dist_ci,
+          |  printf('%.4f', CAST(ngramSearch(
+          |    concat('seg_', lpad(toString(c_custkey % 64), 3, '0')),
+          |    '_000') AS DOUBLE)) AS srch
+          |FROM customer ORDER BY c_custkey""".stripMargin)
+    }),
   )
+
+  /** q25's rendered ngram artifact: the same kernel the expressions
+    * call, applied driver-side to the reduced domain (m → scores as
+    * %.4f text). */
+  private def q25NgramMap: String = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    def f4(v: Float) = String.format(java.util.Locale.ROOT, "%.4f",
+      java.lang.Double.valueOf(v.toDouble))
+    (0 until 64).map { m =>
+      val seg = f"seg_$m%03d"
+      val dist = f4(graft.functions.ChNgram.distance(u(seg), u("seg_000"), ci = false))
+      val distCi = f4(graft.functions.ChNgram.distance(
+        u(seg.toUpperCase(java.util.Locale.ROOT)), u("seg_000"), ci = true))
+      val srch = f4(graft.functions.ChNgram.search(u(seg), u("_000"), ci = false))
+      s"($m, '$dist', '$distCi', '$srch')"
+    }.mkString(",\n      ")
+  }
 
   /** q23's rendered hash artifact: the bit-exact kernels applied to the
     * reduced key domain 0..255 (driver-side, same JVM code the
@@ -449,6 +490,13 @@ object RelationalQueries {
         |    c_nationkey % 256, (c_custkey // 3) % 256) AS mapped,
         |  true AS is6, false AS not6, true AS bad_null
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q25_ngram_scores" ->
+      s"""WITH nmap(m, dist, dist_ci, srch) AS (VALUES
+         |      $q25NgramMap)
+         |SELECT c_custkey, n.dist AS dist, n.dist_ci AS dist_ci,
+         |  n.srch AS srch
+         |FROM customer JOIN nmap n ON (c_custkey % 64) = n.m
+         |ORDER BY c_custkey""".stripMargin,
     "q22_sequence_match" ->
       """WITH seqs AS (
         |  SELECT user_id, count(*) AS n_events,
