@@ -95,6 +95,66 @@ object DialectExtras {
     chStringsJson(reg)
     chUrls(reg)
     chHashesIpv6(reg)
+    chArithDateFormat(reg)
+  }
+
+  // ---- CH arithmetic / date-shift / readable-format tier (r13 second
+  //      pass — a name-frequency sweep found these still answering 400
+  //      despite clean Catalyst spellings; every one a thin builder).
+  //      Deliberately NOT mapped, with reasons: dateAdd (Spark's
+  //      builtin `dateadd` resolves first with different arity — the
+  //      3-arg CH call errors loudly), dateSub (CH's bare unit-keyword
+  //      first argument doesn't survive expression parsing), bar
+  //      (terminal eighth-block rendering, a CLI nicety), roundToExp2 /
+  //      intExp10 (exact unsigned-64 semantics past 2^53 need a lookup
+  //      kernel out of proportion to usage), erf (no JDK kernel; an
+  //      approximation would silently differ from std::erf). ----
+  private def chArithDateFormat(
+      reg: String => (Seq[Expression] => Expression) => Unit): Unit = {
+    // CH `divide` is ALWAYS floating-point (intDiv is the integer one);
+    // plus/minus/multiply/modulo were mapped back in the first tier and
+    // this closes the family's odd one out
+    reg("divide")(es =>
+      new Divide(Cast(es(0), DoubleType), Cast(es(1), DoubleType)))
+    reg("bitNot")(es => BitwiseNot(es.head))
+    reg("bitShiftLeft")(es => ShiftLeft(es(0), Cast(es(1), IntegerType)))
+    reg("bitShiftRight")(es => ShiftRight(es(0), Cast(es(1), IntegerType)))
+    // bitTest(a, i) = bit i (LSB-first) as 0/1
+    reg("bitTest")(es => Cast(BitwiseAnd(
+      ShiftRight(Cast(es(0), LongType), Cast(es(1), IntegerType)),
+      Literal(1L)), IntegerType))
+    reg("trimBoth")(es =>
+      if (es.length > 1) StringTrim(es(0), es(1)) else StringTrim(es(0)))
+    reg("trimLeft")(es =>
+      if (es.length > 1) StringTrimLeft(es(0), es(1)) else StringTrimLeft(es(0)))
+    reg("trimRight")(es =>
+      if (es.length > 1) StringTrimRight(es(0), es(1)) else StringTrimRight(es(0)))
+    // addYears(d, n) … subtractSeconds(d, n): CH shifts the value by n
+    // calendar units. Documented deviation shared with the rest of the
+    // date tier: the result is TimestampType regardless of whether the
+    // input was a date (the engine's time model is epoch-ns int64, so
+    // "preserves Date-ness" has no meaning on this surface).
+    Seq("Years" -> "YEAR", "Quarters" -> "QUARTER", "Months" -> "MONTH",
+      "Weeks" -> "WEEK", "Days" -> "DAY", "Hours" -> "HOUR",
+      "Minutes" -> "MINUTE", "Seconds" -> "SECOND").foreach { case (sfx, unit) =>
+      reg("add" + sfx)(es => TimestampAdd(unit, es(1), ts(es.head)))
+      reg("subtract" + sfx)(es =>
+        TimestampAdd(unit, UnaryMinus(es(1)), ts(es.head)))
+    }
+    // toTime: the time-of-day on ClickHouse's fixed 1970-01-02 carrier
+    // date (second precision, like CH DateTime)
+    reg("toTime")(es => SecondsToTimestamp(Add(Literal(86400L),
+      Pmod(UnixSeconds(ts(es.head)), Literal(86400L)))))
+    reg("exp2")(es => Pow(Literal(2d), Cast(es.head, DoubleType)))
+    reg("exp10")(es => Pow(Literal(10d), Cast(es.head, DoubleType)))
+    // intExp2: exact UInt64 2^x for x in 0..63 (the UnsignedDecimal
+    // wrap keeps 2^63 positive, same convention as the hash family)
+    reg("intExp2")(es =>
+      UnsignedDecimal(ShiftLeft(Literal(1L), Cast(es.head, IntegerType))))
+    reg("formatReadableSize")(es =>
+      FormatReadable(Cast(es.head, DoubleType), quantity = false))
+    reg("formatReadableQuantity")(es =>
+      FormatReadable(Cast(es.head, DoubleType), quantity = true))
   }
 
   // ---- CH hash family (bit-exact kernels in ChHashes.scala) + IPv6 ----

@@ -997,6 +997,18 @@ object DuckDialect {
       // block-order-positional scalars: no well-defined distributed
       // meaning — Spark window functions are the honest spelling
       "runningDifference", "neighbor",
+      // r13 second-pass sweep leftovers (the mappable names from that
+      // sweep — divide, the bit family, trims, add*/subtract*, toTime,
+      // exp2/exp10/intExp2, formatReadable* — shipped in
+      // DialectExtras.chArithDateFormat): dateSub's bare unit-keyword
+      // first argument doesn't survive expression parsing; bar is
+      // terminal eighth-block rendering; roundToExp2/intExp10 need an
+      // exact unsigned-64 lookup kernel past 2^53, out of proportion
+      // to usage; erf has no JDK kernel and an approximation would
+      // silently differ from std::erf. (dateAdd is absent here because
+      // Spark's own `dateadd` builtin resolves first — the 3-arg CH
+      // call fails loudly on arity.)
+      "dateSub", "bar", "roundToExp2", "intExp10", "erf",
       // raw-JSON round-trip fidelity (get_json_object unquotes strings)
       "JSONExtractRaw", "JSONExtractArrayRaw", "JSONType")
     val duck = Seq(

@@ -181,4 +181,78 @@ class DialectExtrasSpec extends SparkSpec {
     assert(sql.contains("json.`"))
     assert(spark.sql(sql).collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
+
+  // ---- r13 second-pass tier: arithmetic / bits / trims / date shifts /
+  //      readable formatting ----
+
+  test("divide is always floating-point; the bit family matches CH") {
+    assert(one("divide(7, 2)") == 3.5)
+    assert(one("bitNot(0)") == -1)
+    assert(one("bitShiftLeft(1, 10)") == 1024)
+    assert(one("bitShiftRight(1024, 3)") == 128)
+    assert(one("bitTest(5, 0)") == 1) // 0b101
+    assert(one("bitTest(5, 1)") == 0)
+    assert(one("bitTest(5, 2)") == 1)
+  }
+
+  test("trimBoth/trimLeft/trimRight, 1- and 2-arg forms") {
+    assert(one("trimBoth('  x  ')") == "x")
+    assert(one("trimLeft('  x  ')") == "x  ")
+    assert(one("trimRight('  x  ')") == "  x")
+    assert(one("trimBoth('xxaxx', 'x')") == "a")
+    assert(one("trimLeft('xxaxx', 'x')") == "axx")
+  }
+
+  test("add*/subtract* date shifts at every unit (CH calendar semantics)") {
+    assert(one("addYears(timestamp'2020-02-29 10:00:00', 1)").toString
+      == "2021-02-28 10:00:00.0") // leap-day clamp, like CH
+    assert(one("addQuarters(timestamp'2024-01-15 00:00:00', 1)").toString
+      == "2024-04-15 00:00:00.0")
+    assert(one("addMonths(timestamp'2024-01-31 00:00:00', 1)").toString
+      == "2024-02-29 00:00:00.0") // month-end clamp
+    assert(one("addWeeks(timestamp'2024-01-01 00:00:00', 2)").toString
+      == "2024-01-15 00:00:00.0")
+    assert(one("addDays(timestamp'2024-01-01 12:00:00', 31)").toString
+      == "2024-02-01 12:00:00.0")
+    assert(one("addHours(timestamp'2024-01-01 23:30:00', 2)").toString
+      == "2024-01-02 01:30:00.0")
+    assert(one("addMinutes(timestamp'2024-01-01 00:59:00', 2)").toString
+      == "2024-01-01 01:01:00.0")
+    assert(one("addSeconds(timestamp'2024-01-01 00:00:59', 2)").toString
+      == "2024-01-01 00:01:01.0")
+    assert(one("subtractDays(timestamp'2024-03-01 00:00:00', 1)").toString
+      == "2024-02-29 00:00:00.0")
+    assert(one("subtractMonths(timestamp'2024-03-31 00:00:00', 1)").toString
+      == "2024-02-29 00:00:00.0")
+    // epoch-ns int64 inputs go through the same ts() cast as the tier
+    assert(one("addDays(epoch_ns(1700000000000000000), 1)") != null)
+  }
+
+  test("toTime keeps the time-of-day on the 1970-01-02 carrier date") {
+    assert(one("toTime(timestamp'2024-06-15 13:45:07')").toString
+      == "1970-01-02 13:45:07.0")
+    assert(one("toTime(timestamp'1969-06-15 23:59:59')").toString
+      == "1970-01-02 23:59:59.0") // pmod: pre-1970 stays positive
+  }
+
+  test("exp2/exp10/intExp2 (exact UInt64 at 2^63)") {
+    assert(one("exp2(10)") == 1024d)
+    assert(one("exp10(3)") == 1000d)
+    assert(one("intExp2(10)").toString == "1024")
+    assert(one("intExp2(63)").toString == "9223372036854775808")
+  }
+
+  test("formatReadableSize / formatReadableQuantity (doc-pinned)") {
+    assert(one("formatReadableSize(1)") == "1.00 B")
+    assert(one("formatReadableSize(1024)") == "1.00 KiB")
+    assert(one("formatReadableSize(1024 * 1024)") == "1.00 MiB")
+    assert(one("formatReadableSize(23456789)") == "22.37 MiB")
+    assert(one("formatReadableSize(-2048)") == "-2.00 KiB")
+    // C++-style fixed rounding: 1152/1024 = 1.125 rounds half-EVEN
+    assert(one("formatReadableSize(1152)") == "1.12 KiB")
+    assert(one("formatReadableQuantity(1024)") == "1.02 thousand")
+    assert(one("formatReadableQuantity(10765432)") == "10.77 million")
+    assert(one("formatReadableQuantity(999)") == "999.00")
+    assert(one("formatReadableQuantity(cast('nan' as double))") == "nan")
+  }
 }
