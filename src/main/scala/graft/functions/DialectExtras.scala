@@ -96,6 +96,96 @@ object DialectExtras {
     chUrls(reg)
     chHashesIpv6(reg)
     chArithDateFormat(reg)
+    chStringsArrays2(reg)
+  }
+
+  // ---- CH string/array/null second pass (r13 sweep, continued):
+  //      replace family, UTF8-named spellings, null-handling
+  //      identities, and the subset/count array predicates with
+  //      CH-exact null semantics. ifNull/nullIf are ABSENT on purpose:
+  //      Spark's same-named builtins already carry identical
+  //      semantics. reverse stays unmapped (CH's is BYTE-level on
+  //      strings where Spark's builtin is codepoint-level — divergent
+  //      same-named builtin); reverseUTF8 maps to Spark's codepoint
+  //      reverse exactly. replaceRegexpOne stays out: Catalyst has no
+  //      first-match-only regexp replace kernel. ----
+  private def chStringsArrays2(
+      reg: String => (Seq[Expression] => Expression) => Unit): Unit = {
+    // replaceOne: first occurrence of a LITERAL needle; empty needle →
+    // original string. One With-bound locate, no recompute.
+    reg("replaceOne") { es =>
+      With(es(0)) { refs =>
+        val str = refs.head
+        val i = new StringLocate(es(1), str)
+        CaseWhen(Seq((And(GreaterThan(i, Literal(0)),
+          GreaterThan(Length(es(1)), Literal(0))),
+          Concat(Seq(
+            Substring(str, Literal(1), Subtract(i, Literal(1))),
+            es(2),
+            Substring(str, Add(i, Length(es(1))), Literal(Int.MaxValue)))))),
+          Some(str))
+      }
+    }
+    reg("replaceAll")(es => StringReplace(es(0), es(1), es(2)))
+    // CH backreferences are \N; Spark's are $N — translate inside the
+    // (required-literal) replacement, escaping any literal '$'
+    reg("replaceRegexpAll")(es =>
+      RegExpReplace(es(0), es(1), chRegexReplacement(es(2))))
+    reg("reverseUTF8")(es => Reverse(es.head))
+    reg("concatWithSeparator")(es => ConcatWs(es))
+    // identities: the engine's values are nullable Spark columns either
+    // way; CH's type-system distinction has no runtime content here
+    reg("assumeNotNull")(es => es.head)
+    reg("toNullable")(es => es.head)
+    // countEqual/hasAll/hasAny with CH null semantics: NULL elements
+    // compare with <=> (hasAll([1,NULL],[NULL]) = true)
+    reg("countEqual")(es =>
+      Size(ArrayFilter(es(0), lam(e => EqualNullSafe(e, es(1))))))
+    reg("hasAll")(es => ArrayForAll(es(1),
+      lam(x => ArrayExists(es(0), lam(y => EqualNullSafe(y, x))))))
+    reg("hasAny")(es => ArrayExists(es(1),
+      lam(x => ArrayExists(es(0), lam(y => EqualNullSafe(y, x))))))
+    reg("arrayIntersect")(es =>
+      es.reduceLeft((a, b) => ArrayIntersect(a, b)))
+    // toFixedString: NUL-pad to exactly n; ClickHouse THROWS when the
+    // string is longer — rpad's silent truncation would corrupt data
+    reg("toFixedString") { es =>
+      With(Cast(es(0), StringType)) { refs =>
+        val s = refs.head
+        CaseWhen(Seq((GreaterThan(Length(s), es(1)),
+          Cast(RaiseError(Concat(Seq(
+            Literal("toFixedString: value longer than "),
+            Cast(es(1), StringType)))), StringType))),
+          Some(StringRPad(s, es(1), Literal("\u0000"))))
+      }
+    }
+    reg("leftUTF8")(es => Left(es(0), es(1)))
+    reg("rightUTF8")(es => Right(es(0), es(1)))
+    reg("toRelativeMinuteNum") { es =>
+      val sec = UnixSeconds(ts(es.head))
+      new IntegralDivide(Subtract(sec, Pmod(sec, Literal(60L))), Literal(60L))
+    }
+    reg("toRelativeSecondNum")(es => UnixSeconds(ts(es.head)))
+  }
+
+  /** CH `\N` backreference syntax → Java/Spark `$N`, for the (required
+    * literal) replacement argument of replaceRegexpAll; a literal `$`
+    * is escaped so it stays literal under Java's replacement rules. */
+  private def chRegexReplacement(e: Expression): Expression = {
+    val t = GraftFunctions.literalString(
+      "replaceRegexpAll(s, pattern, replacement)", e)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '$') { sb.append("\\$"); i += 1 }
+      else if (c == '\\' && i + 1 < t.length && t.charAt(i + 1).isDigit) {
+        sb.append('$').append(t.charAt(i + 1)); i += 2
+      } else if (c == '\\' && i + 1 < t.length && t.charAt(i + 1) == '\\') {
+        sb.append("\\\\"); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    Literal(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
   }
 
   // ---- CH arithmetic / date-shift / readable-format tier (r13 second

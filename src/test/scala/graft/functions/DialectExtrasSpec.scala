@@ -242,6 +242,51 @@ class DialectExtrasSpec extends SparkSpec {
     assert(one("intExp2(63)").toString == "9223372036854775808")
   }
 
+  test("replace family: first-only literal, all-literal, regexp with \\N backrefs") {
+    assert(one("replaceOne('aXbXc', 'X', '_')") == "a_bXc")
+    assert(one("replaceOne('abc', 'z', '_')") == "abc") // no match: original
+    assert(one("replaceOne('abc', '', '_')") == "abc")  // empty needle: original
+    assert(one("replaceAll('aXbXc', 'X', '_')") == "a_b_c")
+    // CH backreference spelling \\1 translates to Spark's $1; a literal
+    // '$' in the replacement stays literal
+    assert(one("replaceRegexpAll('a1b2', '([0-9])', '[\\\\1]')") == "a[1]b[2]")
+    assert(one("replaceRegexpAll('ab', '(b)', '$x\\\\1')") == "a$xb")
+  }
+
+  test("UTF8-named spellings are codepoint-level; null identities pass through") {
+    assert(one("reverseUTF8('ab€')") == "€ba")
+    assert(one("leftUTF8('a€c', 2)") == "a€")
+    assert(one("rightUTF8('a€c', 2)") == "€c")
+    assert(one("concatWithSeparator('-', 'a', 'b', 'c')") == "a-b-c")
+    assert(one("assumeNotNull(5)") == 5)
+    assert(one("toNullable(5)") == 5)
+  }
+
+  test("array predicates carry CH null semantics (<=> element compare)") {
+    assert(one("countEqual(array(1, 2, 1, null), 1)") == 2)
+    assert(one("countEqual(array(1, null, null), null)") == 2) // CH counts NULLs
+    assert(one("hasAll(array(1, 2, 3), array(3, 1))") == true)
+    assert(one("hasAll(array(1, null), array(null))") == true) // CH doc example
+    assert(one("hasAll(array(1, 2), array(3))") == false)
+    assert(one("hasAny(array(1, 2), array(9, 2))") == true)
+    assert(one("hasAny(array(1, 2), array(9))") == false)
+    assert(arr("arrayIntersect(array(1, 2, 3, 2), array(3, 2), array(2, 3))")
+      .toSet == Set(2, 3))
+  }
+
+  test("toFixedString NUL-pads to n and throws past it (CH contract)") {
+    assert(one("length(toFixedString('ab', 4))") == 4)
+    assert(one("toFixedString('ab', 4)").toString.startsWith("ab"))
+    val e = intercept[Exception](one("toFixedString('abcdef', 4)"))
+    assert(e.getMessage.contains("toFixedString"))
+  }
+
+  test("toRelativeMinuteNum/SecondNum floor like the hour tier") {
+    assert(one("toRelativeSecondNum(timestamp'1970-01-01 00:02:05')") == 125L)
+    assert(one("toRelativeMinuteNum(timestamp'1970-01-01 00:02:05')") == 2L)
+    assert(one("toRelativeMinuteNum(timestamp'1969-12-31 23:59:30')") == -1L)
+  }
+
   test("formatReadableSize / formatReadableQuantity (doc-pinned)") {
     assert(one("formatReadableSize(1)") == "1.00 B")
     assert(one("formatReadableSize(1024)") == "1.00 KiB")
