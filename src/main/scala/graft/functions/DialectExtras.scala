@@ -1,7 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{ApproximatePercentile, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
 /** Second r12 dialect tier (continuing VERDICT r10 #5/#6): the
@@ -29,13 +31,14 @@ import org.apache.spark.sql.types._
   *    evaluates them against block order, which has no well-defined
   *    distributed meaning — Spark's window functions are the honest
   *    spelling;
-  *  - JSONExtractRaw/JSONType (get_json_object unquotes strings — raw
-  *    JSON text round-tripping would silently differ),
-  *    age (CH's calendar-complete-units rules differ from
+  *  - age (CH's calendar-complete-units rules differ from
   *    timestampdiff on edge dates), generate_subscripts with dim != 1
   *    (multi-dimensional; the dim = 1 form rewrites in FROM position).
-  *    (ngramDistance/ngramSearch left this list in r13 too —
-  *    [[ChNgram]] implements the published 4-gram definition.)
+  *    (ngramDistance/ngramSearch left this list in r13 —
+  *    [[ChNgram]] implements the published 4-gram definition — and
+  *    JSONExtractRaw/JSONExtractArrayRaw/JSONType in r14:
+  *    [[ChJsonRaw]] is a span-preserving scanner, so the raw-fidelity
+  *    objection to a get_json_object remap no longer applies.)
   */
 object DialectExtras {
   import GraftFunctions.tryParseUrl
@@ -183,6 +186,12 @@ object DialectExtras {
         sb.append('$').append(t.charAt(i + 1)); i += 2
       } else if (c == '\\' && i + 1 < t.length && t.charAt(i + 1) == '\\') {
         sb.append("\\\\"); i += 2
+      } else if (c == '\\') {
+        // lone backslash (before a non-digit/non-backslash char, or
+        // trailing): CH keeps it literal; unescaped it would be DROPPED
+        // ('\x' → 'x') — or throw when trailing — under Java's
+        // replacement rules (ADVICE r13)
+        sb.append("\\\\"); i += 1
       } else { sb.append(c); i += 1 }
     }
     Literal(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
@@ -207,12 +216,10 @@ object DialectExtras {
     reg("divide")(es =>
       new Divide(Cast(es(0), DoubleType), Cast(es(1), DoubleType)))
     reg("bitNot")(es => BitwiseNot(es.head))
-    reg("bitShiftLeft")(es => ShiftLeft(es(0), Cast(es(1), IntegerType)))
-    reg("bitShiftRight")(es => ShiftRight(es(0), Cast(es(1), IntegerType)))
+    reg("bitShiftLeft")(es => ChBitShift(es(0), Cast(es(1), IntegerType), "left"))
+    reg("bitShiftRight")(es => ChBitShift(es(0), Cast(es(1), IntegerType), "right"))
     // bitTest(a, i) = bit i (LSB-first) as 0/1
-    reg("bitTest")(es => Cast(BitwiseAnd(
-      ShiftRight(Cast(es(0), LongType), Cast(es(1), IntegerType)),
-      Literal(1L)), IntegerType))
+    reg("bitTest")(es => ChBitShift(es(0), Cast(es(1), IntegerType), "test"))
     reg("trimBoth")(es =>
       if (es.length > 1) StringTrim(es(0), es(1)) else StringTrim(es(0)))
     reg("trimLeft")(es =>
@@ -455,6 +462,17 @@ object DialectExtras {
     // JSONLength: elements of an array or keys of an object
     reg("JSONLength")(es => Coalesce(Seq(
       LengthOfJsonArray(es.head), Size(JsonObjectKeys(es.head)))))
+    // the raw-preserving trio (r14, VERDICT r13 #4): a span-preserving
+    // scanner in ChJsonRaw.scala — get_json_object would unquote
+    // strings and re-serialize containers, losing the byte-fidelity
+    // that is the whole point of the Raw forms. Multi-step paths fold
+    // binary steps over the validated root slice; a string step is a
+    // key, an integral step a 1-based (negative-from-end) position.
+    def jsonPath(es: Seq[Expression]): Expression =
+      es.tail.foldLeft(JsonRawRoot(es.head): Expression)(JsonRawStep(_, _))
+    reg("JSONExtractRaw")(jsonPath)
+    reg("JSONExtractArrayRaw")(es => JsonRawArray(jsonPath(es)))
+    reg("JSONType")(es => JsonRawType(jsonPath(es)))
   }
 
   // ---- CH URL family (ParseUrl + regex; null propagates on non-URLs
@@ -526,4 +544,91 @@ object DialectExtras {
       CaseWhen(Seq((EqualTo(Length(refs.head), Literal(0)),
         Literal.create(null, StringType))), Some(refs.head))
     }
+}
+
+/** CH-exact `bitShiftLeft`/`bitShiftRight`/`bitTest` (ADVICE r13): Java
+  * — and therefore Spark's shiftleft/shiftright — masks the shift count
+  * mod the operand width, so `bitShiftLeft(1, 64)` returned 1 and
+  * `bitTest(x, 64)` read bit 0; ClickHouse yields 0 whenever the count
+  * is negative or at/past the operand's bit width. The width comes from
+  * the left operand's RESOLVED integral type (an INT zeroes at 32, a
+  * BIGINT at 64) — only decidable post-analysis, hence an expression
+  * rather than a CaseWhen in the builder. In-range semantics are
+  * exactly Java's (`<<`, arithmetic `>>`, `&1`), which agree with CH's
+  * C++ on two's-complement integers. Documented deviation: a narrow CH
+  * literal (UInt8 `1`) is an IntegerType literal here, so its width
+  * gate sits at 32, not 8 — CH's own width-promotion rules for literal
+  * arguments are version-dependent and unoracled, and the engine's
+  * ingest columns are int64 throughout. `mode` ∈ left|right|test;
+  * `test` returns 0/1 as IntegerType (the toUInt8 convention). */
+case class ChBitShift(left: Expression, right: Expression, mode: String)
+  extends BinaryExpression {
+  override def prettyName: String = mode match {
+    case "left" => "bitShiftLeft"
+    case "right" => "bitShiftRight"
+    case _ => "bitTest"
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      if (right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName count must be INT, got ${right.dataType.sql}")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName operand must be an integer type, got ${other.sql}")
+  }
+
+  override def dataType: DataType =
+    if (mode == "test") IntegerType else left.dataType
+
+  private def width: Int = left.dataType match {
+    case ByteType => 8
+    case ShortType => 16
+    case IntegerType => 32
+    case _ => 64
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val cnt = r.asInstanceOf[Int]
+    val oob = cnt < 0 || cnt >= width
+    def asLong: Long = left.dataType match {
+      case ByteType => l.asInstanceOf[Byte].toLong
+      case ShortType => l.asInstanceOf[Short].toLong
+      case IntegerType => l.asInstanceOf[Int].toLong
+      case _ => l.asInstanceOf[Long]
+    }
+    def back(v: Long): Any = left.dataType match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType => v.toInt
+      case _ => v
+    }
+    mode match {
+      case "test" => if (oob) 0 else ((asLong >> cnt) & 1L).toInt
+      case "left" => if (oob) back(0L) else back(asLong << cnt)
+      case _ => if (oob) back(0L) else back(asLong >> cnt)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = width
+    val jt = left.dataType match {
+      case ByteType => "byte"
+      case ShortType => "short"
+      case IntegerType => "int"
+      case _ => "long"
+    }
+    nullSafeCodeGen(ctx, ev, (l, r) => mode match {
+      case "test" =>
+        s"${ev.value} = ($r < 0 || $r >= $w) ? 0 : (int) ((((long) $l) >> $r) & 1L);"
+      case "left" =>
+        s"${ev.value} = ($r < 0 || $r >= $w) ? ($jt) 0 : ($jt) ($l << $r);"
+      case _ =>
+        s"${ev.value} = ($r < 0 || $r >= $w) ? ($jt) 0 : ($jt) ($l >> $r);"
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ChBitShift =
+    copy(left = newLeft, right = newRight)
 }

@@ -58,7 +58,13 @@ final class BufferedIngest(writer: IngestWriter,
   private def tick(): Unit = {
     val drained =
       try flushCounting()
-      catch { case scala.util.control.NonFatal(_) => 0L }
+      catch { case scala.util.control.NonFatal(e) =>
+        // never silent (ADVICE r13): the per-batch promises were already
+        // failed inside flushCounting, but the operator still needs the
+        // cause on record — a quietly-0 tick reads as "idle"
+        System.err.println(s"[graft-ingest] flush failed: $e")
+        0L
+      }
     if (drained >= throughputRows) hotStreak = HotRetries
     else if (drained > 0) hotStreak = 0 // trickle: keep the 1 s file shape
     else if (hotStreak > 0) hotStreak -= 1
@@ -119,19 +125,33 @@ final class BufferedIngest(writer: IngestWriter,
     // catalog.evolve reversed — the opposite of the reference's
     // arrival-order first-type-wins. Sorting groups by their first
     // drained index restores the write order the queue guarantees.
-    drained.zipWithIndex
-      .groupBy { case (p, _) => (p.batch.database, p.batch.table, p.batch.schema) }
-      .toSeq.sortBy { case (_, ps) => ps.head._2 }
-      .foreach { case ((db, table, schema), psi) =>
-        val ps = psi.map(_._1)
-        try {
-          val merged = Batch(db, table, schema, ps.flatMap(_.batch.rows).toVector)
-          writer.store(merged)
-          ps.foreach(_.done.trySuccess(()))
-        } catch {
-          case e: Throwable => ps.foreach(_.done.tryFailure(e))
+    // The whole post-drain section is promise-guarded (ADVICE r13): an
+    // exception escaping OUTSIDE the per-group try (the grouping/sort
+    // itself, or an OOM between groups) would otherwise leave drained
+    // batches' promises forever pending — producers blocked on store()
+    // acks would hang to their own timeouts with nothing logged.
+    // tryFailure is idempotent and loses to an earlier trySuccess, so
+    // blanket-failing every drained promise on the escape path only
+    // touches the ones the crash actually stranded.
+    try {
+      drained.zipWithIndex
+        .groupBy { case (p, _) => (p.batch.database, p.batch.table, p.batch.schema) }
+        .toSeq.sortBy { case (_, ps) => ps.head._2 }
+        .foreach { case ((db, table, schema), psi) =>
+          val ps = psi.map(_._1)
+          try {
+            val merged = Batch(db, table, schema, ps.flatMap(_.batch.rows).toVector)
+            writer.store(merged)
+            ps.foreach(_.done.trySuccess(()))
+          } catch {
+            case e: Throwable => ps.foreach(_.done.tryFailure(e))
+          }
         }
-      }
+    } catch {
+      case e: Throwable =>
+        drained.foreach(_.done.tryFailure(e))
+        throw e
+    }
     lastFlushEnd = System.nanoTime()
     if (dbg)
       println(f"[fdbg] flush=${(lastFlushEnd - t0) / 1e9}%.3f rows=$drainedRows")

@@ -114,25 +114,53 @@ object CsvReads {
       val f = new java.io.File(p)
       if (f.isFile) s"$p:${f.length}:${f.lastModified}"
       else {
-        // glob/dir (ADVICE r12 medium): the registered view froze the
-        // scan's file listing, so files added/changed under the pattern
-        // were invisible for the JVM's lifetime while DuckDB re-lists
-        // per query. Fold a cheap one-readdir listing (names + lengths
-        // + mtimes) of the deepest non-glob directory into the
-        // fingerprint: any add/remove/rewrite there re-registers. A
-        // nested change under a `**` glob is still caught via the
-        // subdirectory's own mtime row in the listing. Unlistable
-        // (remote scheme) sources fall back to a TTL bucket instead of
-        // the old once-per-JVM freeze.
-        val listing = Option(deepestDir(p).listFiles()).map { fs =>
-          fs.sortBy(_.getName)
-            .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
-            .mkString(",")
-        }.getOrElse("ttl:" + System.currentTimeMillis() / RemoteTtlMs)
+        // glob/dir (ADVICE r12 medium, tightened per ADVICE r13): the
+        // registered view froze the scan's file listing, so files
+        // added/changed under the pattern were invisible for the JVM's
+        // lifetime while DuckDB re-lists per query. Fold a BOUNDED
+        // RECURSIVE walk (paths + lengths + mtimes) under the deepest
+        // non-glob directory into the fingerprint: any add/remove/
+        // rename/in-place rewrite anywhere under the pattern
+        // re-registers. One level was not enough — a directory's mtime
+        // changes only on entry add/remove/rename, so an in-place
+        // rewrite of `dir/sub/x.csv` under `dir/**.csv` was silently
+        // invisible to a one-readdir listing. Unlistable (remote
+        // scheme) or over-cap (> MaxWalkEntries) sources fall back to a
+        // TTL bucket instead of the old once-per-JVM freeze.
+        val listing = walkListing(deepestDir(p))
+          .getOrElse("ttl:" + System.currentTimeMillis() / RemoteTtlMs)
         s"$p@" + java.security.MessageDigest.getInstance("MD5")
           .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
       }
     }.mkString("|")
+
+  /** Stat-walk cap: a csv view over a directory tree wider than this
+    * costs more to fingerprint per query than the 10 s TTL staleness
+    * bound it buys, so it falls back to the TTL bucket (DuckDB's own
+    * per-query re-list over such a tree is no cheaper). */
+  private val MaxWalkEntries = 8192
+
+  /** Sorted recursive (path, length, mtime) listing, or None when the
+    * root is unlistable (remote scheme / permission) or the walk
+    * exceeds [[MaxWalkEntries]]. */
+  private def walkListing(root: java.io.File): Option[String] = {
+    val sb = new StringBuilder
+    var count = 0
+    def go(dir: java.io.File): Boolean = {
+      val kids = dir.listFiles()
+      if (kids == null) return false // unlistable mid-walk: be loud, TTL
+      kids.sortBy(_.getName).forall { c =>
+        count += 1
+        if (count > MaxWalkEntries) false
+        else {
+          sb.append(c.getPath).append(':').append(c.length)
+            .append(':').append(c.lastModified).append(',')
+          !c.isDirectory || go(c)
+        }
+      }
+    }
+    if (root.isDirectory && go(root)) Some(sb.toString) else None
+  }
 
   /** Deepest path prefix with no glob metacharacter, as a directory:
     * "dir/sub" + "/&#42;.csv" → "dir/sub"; a plain directory path →
@@ -148,14 +176,15 @@ object CsvReads {
   }
 
   /** Header sniff on the first plainly-readable local file, DuckDB's
-    * primary signal (ADVICE r12): row 1 is a header iff it is
-    * all-untyped (no field parses as a number, date or bool) AND row
-    * 2's field types DIFFER (row 2 has a typed field). An all-string
-    * body whose row 1 is also all-string is indistinguishable from
-    * data, so it reads as data — exactly DuckDB's verdict (its sniffer
-    * compares row 1 against the detected body types), which keeps both
-    * engines returning the same rows. A lone untyped line with no row 2
-    * keeps the header=true default (the common query-surface case). */
+    * primary signal: row 1 is a header iff it is all-untyped (no field
+    * parses as a number, date or bool). Row 2 is deliberately NOT
+    * consulted (ADVICE r13 high): DuckDB 1.0's sniffer reports
+    * HasHeader=true for an all-VARCHAR body too — verified live against
+    * duckdb 1.0.0 (`sniff_csv('alice,nyc\nbob,sfo')` → HasHeader=true,
+    * 1 data row, columns alice/nyc) — so only a typed field in row 1
+    * itself demotes it to data. Empty row-1 fields don't count as typed
+    * (duckdb still calls that a header, naming the empty slot
+    * positionally). */
   private def sniffHeader(paths: Seq[String], options: Map[String, String]): Boolean = {
     val sep = options.getOrElse("sep", ",")
     val numeric = "[+-]?((\\d+\\.?\\d*)|(\\.\\d+))([eE][+-]?\\d+)?"
@@ -183,8 +212,8 @@ object CsvReads {
       .find(f => f.isFile && !f.getName.endsWith(".gz") &&
         !f.getName.endsWith(".zst") && !f.getName.endsWith(".bz2"))
       .map(firstLines) match {
-      case Some(row1 +: rest) if row1.nonEmpty =>
-        !hasTyped(row1) && rest.headOption.forall(hasTyped)
+      case Some(row1 +: _) if row1.nonEmpty =>
+        !hasTyped(row1)
       case _ => true // unreadable here: the common query-surface case
     }
   }

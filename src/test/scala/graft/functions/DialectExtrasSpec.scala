@@ -195,6 +195,20 @@ class DialectExtrasSpec extends SparkSpec {
     assert(one("bitTest(5, 2)") == 1)
   }
 
+  test("shifts at/past the operand width yield 0, not Java's mod-width (ADVICE r13)") {
+    // Java masks the count (1 << 64 == 1); CH zeroes at/past the width
+    assert(one("bitShiftLeft(CAST(1 AS BIGINT), 64)") == 0L)
+    assert(one("bitShiftLeft(CAST(1 AS BIGINT), 63)") == Long.MinValue)
+    assert(one("bitShiftLeft(1, 32)") == 0)    // INT operand: width 32
+    assert(one("bitShiftLeft(1, 31)") == Int.MinValue)
+    assert(one("bitShiftRight(CAST(-8 AS BIGINT), 1)") == -4L) // arithmetic in-range
+    assert(one("bitShiftRight(1024, 32)") == 0)
+    assert(one("bitShiftLeft(1, -1)") == 0)    // negative count: 0, not 1<<31
+    assert(one("bitTest(5, 64)") == 0)          // was reading bit 0
+    assert(one("bitTest(CAST(-1 AS BIGINT), 63)") == 1)
+    assert(one("bitTest(5, -1)") == 0)
+  }
+
   test("trimBoth/trimLeft/trimRight, 1- and 2-arg forms") {
     assert(one("trimBoth('  x  ')") == "x")
     assert(one("trimLeft('  x  ')") == "x  ")
@@ -251,6 +265,12 @@ class DialectExtrasSpec extends SparkSpec {
     // '$' in the replacement stays literal
     assert(one("replaceRegexpAll('a1b2', '([0-9])', '[\\\\1]')") == "a[1]b[2]")
     assert(one("replaceRegexpAll('ab', '(b)', '$x\\\\1')") == "a$xb")
+    // a LONE backslash in the replacement (before a non-digit, or
+    // trailing) stays a literal backslash, as in CH — Java's rules
+    // would drop it / throw (ADVICE r13). SQL-literal parsing eats one
+    // level: '\\\\x' in source is \x in the replacement string.
+    assert(one("replaceRegexpAll('ab', 'b', '\\\\x')") == "a\\x")
+    assert(one("replaceRegexpAll('ab', 'b', 'z\\\\')") == "az\\")
   }
 
   test("UTF8-named spellings are codepoint-level; null identities pass through") {

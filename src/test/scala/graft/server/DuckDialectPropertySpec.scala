@@ -25,6 +25,11 @@ class DuckDialectPropertySpec extends AnyFunSuite {
     // follows its own identifier/paren, the subscript position the r12
     // list-literal rule must never claim)
     Gen.oneOf("foo[0]", "t1.colA[1]", "f(x)[2]", "\"q col\"[3]"),
+    // date-shift NON-shapes as atoms (r14): a column literally named
+    // dateSub, Spark's own 2-arg forms, DuckDB's quoted-part count —
+    // all must pass through byte-identical
+    Gen.oneOf("dateSub", "date_add(colA, 3)", "date_sub(colA, 3)",
+      "date_sub('month', colA, x)", "dateAdd(colA, 3, x)"),
     Gen.oneOf("-- cast me not y::INT\n", "/* x::INT; LOAD z */"),
     Gen.oneOf(" ", "  ", "\n", "\t"))
 
@@ -89,6 +94,7 @@ class DuckDialectPropertySpec extends AnyFunSuite {
         "a := 1", ":=", "struct_pack(a := 1)", "read_csv('t.csv')",
         "read_csv(", "generate_series(1, 3)", "unnest", "unnest(",
         "QUALIFY", "EXCLUDE", "count()", "::INT", "x::VARCHAR",
+        "dateSub(", "dateAdd(DAY, 3, x)", "dateSub(year, 1, ts)",
         "read_parquet('p.parquet')", "read_parquet([",
         "row_number() OVER (ORDER BY x)", ";")
       Gen.chooseNum(0, 24).flatMap(n =>

@@ -236,7 +236,11 @@ class DuckDialectSpec extends SparkSpec {
       // r13: the CH hash family + IPv6 conversions got bit-exact kernels
       "cityHash64", "sipHash64", "halfMD5", "intHash32", "intHash64",
       "URLHash", "IPv6StringToNum", "IPv6NumToString", "toIPv6",
-      "isIPv6String", "ngramDistance", "ngramSearch").foreach(n =>
+      "isIPv6String", "ngramDistance", "ngramSearch",
+      // r14: dateSub via the pre-parse token rewrite; the raw-JSON trio
+      // via the span-preserving scanner expressions
+      "dateSub", "JSONExtractRaw", "JSONExtractArrayRaw", "JSONType")
+      .foreach(n =>
       assert(DuckDialect.dialectGap(n) == None, s"$n still on the gap list"))
     // structural: the gap list and the registry must stay DISJOINT —
     // a registered name in the list would never fire (dialectGap only
@@ -529,6 +533,38 @@ class DuckDialectSpec extends SparkSpec {
       .collect().head.getSeq[Int](0) == Seq(1, 3, 6))
     assert(spark.sql("SELECT arrayCumSum(array(1.5d, 0.5d)) AS v")
       .collect().head.getSeq[Double](0) == Seq(1.5, 2.0))
+  }
+
+  test("CH 3-arg dateAdd/dateSub rewrite to timestampadd (VERDICT r13 #2)") {
+    assert(rw("SELECT dateAdd(YEAR, 2, ts) FROM t") ==
+      "SELECT timestampadd(YEAR, 2, ts) FROM t")
+    // unit keyword is case-insensitive and re-emitted uppercased; the
+    // sub direction negates the (parenthesized) quantity expression
+    assert(rw("SELECT dateSub(day, 3, now())") ==
+      "SELECT timestampadd(DAY, -(3), now())")
+    assert(rw("SELECT date_sub(month, n + 1, x) AS d") ==
+      "SELECT timestampadd(MONTH, -(n + 1), x) AS d")
+    // nested calls resolve across fixpoint iterations; inner commas sit
+    // at depth > 0 and never split the outer argument spans
+    assert(rw("SELECT dateSub(WEEK, 1 + 1, dateAdd(HOUR, 5, x)) AS d") ==
+      "SELECT timestampadd(WEEK, -(1 + 1), timestampadd(HOUR, 5, x)) AS d")
+    // untouched shapes, each for its own loud path: Spark's native
+    // 2-arg day-shift forms, DuckDB's QUOTED-part completed-partition
+    // count (a different function), 4-arg, the CH-only nanosecond
+    // unit, member access, and a bare column literally named dateSub
+    Seq("SELECT date_add(d, 3) FROM t",
+        "SELECT date_sub(d, 3) FROM t",
+        "SELECT date_sub('month', a, b) FROM t",
+        "SELECT dateAdd(YEAR, 2, x, y)",
+        "SELECT dateSub(nanosecond, 1, x)",
+        "SELECT s.dateAdd(day, 1, x)",
+        "SELECT dateSub FROM t").foreach(q => assert(rw(q) == q, q))
+    // executes end-to-end through spark.sql
+    val row = spark.sql(rw(
+      "SELECT dateAdd(MONTH, 2, TIMESTAMP '2024-01-15 00:00:00') AS a, " +
+        "dateSub(DAY, 3, DATE '2024-03-10') AS b")).collect().head
+    assert(row.getTimestamp(0).toString.startsWith("2024-03-15"))
+    assert(row.getTimestamp(1).toString.startsWith("2024-03-07"))
   }
 
   test("bracket list literals rewrite; subscripts stay verbatim (r12)") {
