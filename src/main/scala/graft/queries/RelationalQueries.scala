@@ -235,12 +235,21 @@ object RelationalQueries {
       // → null, where the oracle's json_extract_string + CAST yields 12
       // — extract-as-string keeps the two engines value-identical for
       // every JSON value shape.
+      // r14 extension (VERDICT r13 #4): the raw-preserving trio rides
+      // the same scan — k_raw via DuckDB's own raw extractor
+      // (json_extract of a NUMBER is its literal spelling on both
+      // engines; only container/root slices could differ on interior
+      // whitespace, so those stay spec-gated), k_type/root_type via a
+      // name map from DuckDB's json_type to the CH enum names.
       Tables.loadSpread(s, dir, "events")
         .select(
           col("event_id"),
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k STRING"))
-            .getField("k").cast("long").as("k"))
+            .getField("k").cast("long").as("k"),
+          expr("JSONExtractRaw(props, 'k')").as("k_raw"),
+          expr("JSONType(props, 'k')").as("k_type"),
+          expr("JSONType(props)").as("root_type"))
     }),
 
     // ---- grouped statistics: stddev / correlation-with-time / covar
@@ -376,13 +385,24 @@ object RelationalQueries {
     //      zero-padded 20-digit strings (UInt64-as-string, the
     //      reference's own int64 output convention). Scale shape: pure
     //      map-side projection + one 25-group aggregate. ----
+    //      (r14, VERDICT r13 #3: the WHOLE family is gated here, not
+    //      just the two most common names — halfMD5, intHash64 with a
+    //      second %-sampling face, intHash32, URLHash's trailing-slash
+    //      strip, and the multi-arg Hash128to64 fold all project
+    //      through the same rendered-artifact oracle.)
     "q23_ch_hash_sample" -> ((s, dir) => {
       Tables.views(s, dir).sql(
         """SELECT c_nationkey,
           |  count(*) AS n_cust,
           |  count_if(cityHash64(toString(c_custkey % 256)) % 10 = 7) AS n_sampled,
+          |  count_if(intHash64(c_custkey % 256) % 10 = 3) AS n_i64_sampled,
           |  max(lpad(toString(cityHash64(toString(c_custkey % 256))), 20, '0')) AS max_city,
-          |  min(lpad(toString(sipHash64(toString(c_custkey % 256))), 20, '0')) AS min_sip
+          |  min(lpad(toString(sipHash64(toString(c_custkey % 256))), 20, '0')) AS min_sip,
+          |  max(lpad(toString(halfMD5(toString(c_custkey % 256))), 20, '0')) AS max_md5,
+          |  min(lpad(toString(intHash64(c_custkey % 256)), 20, '0')) AS min_i64,
+          |  max(lpad(toString(intHash32(c_custkey % 256)), 10, '0')) AS max_i32,
+          |  min(lpad(toString(URLHash(concat('http://g.io/', toString(c_custkey % 256), '/'))), 20, '0')) AS min_url,
+          |  max(lpad(toString(cityHash64(toString(c_custkey % 256), 'q23')), 20, '0')) AS max_city2
           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
 
@@ -456,29 +476,47 @@ object RelationalQueries {
 
   /** q23's rendered hash artifact: the bit-exact kernels applied to the
     * reduced key domain 0..255 (driver-side, same JVM code the
-    * expressions call), as (m, city-hash-20dig, bucket, sip-hash-20dig). */
+    * expressions call). r14 widens the row to the WHOLE family:
+    * (m, city, city-bucket, sip, md5, i64, i64-bucket, i32, url,
+    * city-2-arg-fold), each unsigned rendered as zero-padded text. */
   private def q23HashMap: String = {
-    def pad(h: Long) = {
+    import graft.functions.ChHash
+    def pad(h: Long, w: Int = 20) = {
       val s = java.lang.Long.toUnsignedString(h)
-      "0" * (20 - s.length) + s
+      "0" * (w - s.length) + s
     }
+    def bucket(h: Long) =
+      new java.math.BigInteger(java.lang.Long.toUnsignedString(h))
+        .mod(java.math.BigInteger.TEN).intValue
     (0 until 256).map { m =>
       val bytes = String.valueOf(m).getBytes("UTF-8")
-      val c = graft.functions.ChHash.cityHash64(bytes)
-      val sip = graft.functions.ChHash.sipHash64(bytes)
-      val bucket = new java.math.BigInteger(java.lang.Long.toUnsignedString(c))
-        .mod(java.math.BigInteger.TEN).intValue
-      s"($m, '${pad(c)}', $bucket, '${pad(sip)}')"
+      val c = ChHash.cityHash64(bytes)
+      val sip = ChHash.sipHash64(bytes)
+      val md5 = ChHash.halfMD5(bytes)
+      val i64 = ChHash.intHash64(m.toLong)
+      val i32 = ChHash.intHash32(m.toLong)
+      // URLHash strips exactly ONE trailing /?# before cityHash64
+      val url = ChHash.cityHash64(s"http://g.io/$m".getBytes("UTF-8"))
+      val city2 = ChHash.hash128to64(c,
+        ChHash.cityHash64("q23".getBytes("UTF-8")))
+      s"($m, '${pad(c)}', ${bucket(c)}, '${pad(sip)}', '${pad(md5)}', " +
+        s"'${pad(i64)}', ${bucket(i64)}, '${pad(i32, 10)}', " +
+        s"'${pad(url)}', '${pad(city2)}')"
     }.mkString(",\n      ")
   }
 
   val oracle: Map[String, String] = Map(
     "q23_ch_hash_sample" ->
-      s"""WITH hmap(m, city_h, bucket, sip_h) AS (VALUES
+      s"""WITH hmap(m, city_h, bucket, sip_h, md5_h, i64_h, i64_b,
+         |          i32_h, url_h, city2_h) AS (VALUES
          |      $q23HashMap)
          |SELECT c_nationkey, count(*) AS n_cust,
          |  count(*) FILTER (WHERE bucket = 7) AS n_sampled,
-         |  max(city_h) AS max_city, min(sip_h) AS min_sip
+         |  count(*) FILTER (WHERE i64_b = 3) AS n_i64_sampled,
+         |  max(city_h) AS max_city, min(sip_h) AS min_sip,
+         |  max(md5_h) AS max_md5, min(i64_h) AS min_i64,
+         |  max(i32_h) AS max_i32, min(url_h) AS min_url,
+         |  max(city2_h) AS max_city2
          |FROM customer JOIN hmap ON (c_custkey % 256) = m
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q24_ipv6_roundtrip" ->
@@ -613,7 +651,19 @@ object RelationalQueries {
         |WHERE epoch_ns(ts) >= epoch_ns(TIMESTAMP '2024-01-15 00:00:00')
         |ORDER BY event_id""".stripMargin,
     "q16_json_extract" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract(props, '$.k') AS VARCHAR) AS k_raw,
+        |  CASE json_type(props, '$.k')
+        |    WHEN 'UBIGINT' THEN 'UInt64' WHEN 'BIGINT' THEN 'Int64'
+        |    WHEN 'DOUBLE' THEN 'Double' WHEN 'VARCHAR' THEN 'String'
+        |    WHEN 'OBJECT' THEN 'Object' WHEN 'ARRAY' THEN 'Array'
+        |    WHEN 'BOOLEAN' THEN 'Bool' ELSE 'Null' END AS k_type,
+        |  CASE json_type(props)
+        |    WHEN 'UBIGINT' THEN 'UInt64' WHEN 'BIGINT' THEN 'Int64'
+        |    WHEN 'DOUBLE' THEN 'Double' WHEN 'VARCHAR' THEN 'String'
+        |    WHEN 'OBJECT' THEN 'Object' WHEN 'ARRAY' THEN 'Array'
+        |    WHEN 'BOOLEAN' THEN 'Bool' ELSE 'Null' END AS root_type
         |FROM events ORDER BY event_id""".stripMargin,
     "q21_range_frame" ->
       """SELECT event_id, event_type,
