@@ -26,8 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    layout (their contrib/cityhash102) because Google changed the
   *    algorithm in 1.1; the 1.0.2-only pieces here are the k3 constant,
   *    RotateByAtLeast1, and the 0-to-16/17-to-32/33-to-64 small-string
-  *    layouts. Pinned to the derivable empty-input constant (k2) plus
-  *    structural goldens across every length-class boundary.
+  *    layouts. Pinned to the derivable empty-input constant (k2) — the
+  *    value real ClickHouse prints for cityHash64('') — plus structural
+  *    goldens across every length-class boundary, and since r14 to an
+  *    INDEPENDENT cross-language derivation (tools/cityhash102_ref.py;
+  *    ChHashSpec's cross-language tier) covering every family, fold,
+  *    width and URL shape.
   *  - [[ChHash.halfMD5]]: first 8 bytes of MD5 read big-endian
   *    (ClickHouse HalfMD5Impl does bswap64 of the first MD5 word).
   *    Pinned against RFC 1321's published MD5 test-suite digests.

@@ -20,7 +20,18 @@ import java.math.BigInteger
   * The remaining CityHash64 values are structural goldens computed from
   * this implementation of the published v1.0.2 layout, pinned so any
   * later refactor that changes a single constant or rotation fails
-  * loudly at every length-class boundary. */
+  * loudly at every length-class boundary.
+  *
+  * r14 (VERDICT r13 #1) adds a cross-language tier: every family is
+  * additionally pinned to the printed output of
+  * `tools/cityhash102_ref.py`, an INDEPENDENT pure-Python derivation
+  * of the same published definitions (plus hashlib for MD5 — a
+  * genuinely third-party kernel). The container has no egress, so live
+  * ClickHouse goldens remain unfetchable; two independent derivations
+  * agreeing at every length class, integer width, fold and URL shape
+  * is the strongest available external check, and it caught a real
+  * transcription slip on first run (the Python had Wang's 64→64
+  * schedule where CH's intHash32 uses the rotate 64→32). */
 class ChHashSpec extends SparkSpec {
 
   private def one(sql: String): Any =
@@ -69,6 +80,122 @@ class ChHashSpec extends SparkSpec {
     assert(udec("halfMD5('')") == u64("d41d8cd98f00b204"))
     assert(udec("halfMD5('abc')") == u64("900150983cd24fb0"))
     assert(udec("halfMD5('message digest')") == u64("f96b697d7cb7938d"))
+  }
+
+  // ---- r14: cross-language independent derivation (VERDICT r13 #1).
+  //      This container has no egress, so live-ClickHouse goldens can't
+  //      be fetched; the strongest available external check is a
+  //      SECOND, independent implementation in a different language:
+  //      tools/cityhash102_ref.py, pure Python written directly from
+  //      the published definitions (CityHash v1.0.2 layout, MurmurHash3
+  //      fmix64, Thomas Wang's 64→32 rotate-mix, the SipHash-2-4 paper,
+  //      and hashlib — a genuinely third-party MD5 — for halfMD5).
+  //      Every value below is that script's printed output, pinned
+  //      verbatim. Agreement between two independent derivations
+  //      catches translation bugs (byte order, signedness, rotation
+  //      direction, length-class boundaries) that same-source
+  //      structural goldens cannot. cityHash64('') doubles as a real
+  //      ClickHouse golden: SELECT cityHash64('') prints
+  //      11160318154034397263 (the k2 constant) on CH, which pins the
+  //      family's empty-input anchor to the genuine engine. ----
+
+  private def U(dec: String) = new BigInteger(dec)
+  private def asU(h: Long) =
+    new BigInteger(java.lang.Long.toUnsignedString(h))
+
+  private val CrossLangStrings = Seq(
+    "", "a", "ab", "abc", "abcd", "hello", "12345678", "123456789",
+    "0123456789abcdef", "0123456789abcdefg",
+    "0123456789abcdef0123456789abcdef",
+    "0123456789abcdef0123456789abcdefg",
+    "0123456789abcdef0123456789abcdef0123456789abcdef0123456789abcdef",
+    "0123456789abcdef0123456789abcdef0123456789abcdef0123456789abcdefg",
+    "x" * 129,
+    "The quick brown fox jumps over the lazy dog")
+
+  test("cityHash64 agrees with the independent Python derivation (every length class)") {
+    val want = Seq(
+      "11160318154034397263", "2603192927274642682", "1725057946192985918",
+      "4220206313085259313", "17823623939509273229", "2578220239953316063",
+      "7177601938557627951", "12390271160407166709", "692747204941329175",
+      "792568009951096890", "1759797222395115254", "4759647983374658989",
+      "2761429772394894929", "3007465168035330452", "2138420318052850041",
+      "16697807905646383735")
+    CrossLangStrings.zip(want).foreach { case (s, w) =>
+      assert(asU(ChHash.cityHash64(s.getBytes("UTF-8"))) == U(w),
+        s"cityHash64 len=${s.length}")
+    }
+  }
+
+  test("sipHash64 (zero key) agrees with the independent Python derivation") {
+    val want = Seq(
+      "2202906307356721367", "10863254463029944905", "16456794104814867134",
+      "4596069200710135518", "9849111927117796634", "10142490492830962361",
+      "6766637294834280856", "620596589959453183", "10719539101438027700",
+      "6291727573249898517", "14907405626867982925", "10451699801303421073",
+      "10142961681096493728", "15284486219392724713", "3211001499184910444",
+      "6413216055727023117")
+    CrossLangStrings.zip(want).foreach { case (s, w) =>
+      assert(asU(ChHash.sipHash64(s.getBytes("UTF-8"))) == U(w),
+        s"sipHash64 len=${s.length}")
+    }
+  }
+
+  test("halfMD5 agrees with Python hashlib (true third-party MD5) on long inputs") {
+    // the RFC 1321 suite above pins the short shapes; these extend the
+    // external check across the block boundaries (64/65/129 bytes)
+    val want = Seq(
+      "15284527576400310788", "919145239626757800", "1765116674205471180",
+      "10376663631224000432", "16356072519128051347", "6719722671305337462",
+      "2726185009641308170", "2736472872288208184", "4625952789015777571",
+      "5052779176427519754", "9590042233359327282", "4569730421919508527",
+      "18318989574081841586", "17743432916874495837", "4118124170326048963",
+      "11389741571808933506")
+    CrossLangStrings.zip(want).foreach { case (s, w) =>
+      assert(asU(ChHash.halfMD5(s.getBytes("UTF-8"))) == U(w),
+        s"halfMD5 len=${s.length}")
+    }
+  }
+
+  test("intHash64/intHash32 agree with the independent Python derivation") {
+    // (the first Python draft transcribed Wang's 64→64 schedule for
+    // intHash32 and disagreed at every input — the net catching a real
+    // transcription slip; see the note in tools/cityhash102_ref.py)
+    val cases = Seq(
+      (0L, "4761183170873013810", 4249604106L),
+      (1L, "10577349846663553072", 1343103100L),
+      (2L, "18198135717204167749", 1996614413L),
+      (42L, "11490350930367293593", 1228623923L),
+      (255L, "8055013221972926055", 4243176437L),
+      (256L, "4401603007587918817", 4089823266L),
+      (0xDEADBEEFL, "5692207831998274174", 1432217248L),
+      (2147483648L, "6300953685602397207", 3805774551L),
+      (Long.MaxValue, "16054072765933828340", 2112611299L),
+      (Long.MinValue, "7378616448805205431", 3930999127L), // 2^63 as u64
+      (-1L, "14600443904207254319", 3545659993L))          // 2^64-1
+    cases.foreach { case (x, i64, i32) =>
+      assert(asU(ChHash.intHash64(x)) == U(i64), s"intHash64($x)")
+      assert(ChHash.intHash32(x) == i32, s"intHash32($x)")
+    }
+  }
+
+  test("multi-arg folds and URLHash agree with the independent Python derivation") {
+    assert(udec("cityHash64('a', 'b')") == U("7468329322676821011"))
+    assert(udec("cityHash64('hello', 'world')") == U("966684281678495360"))
+    assert(udec("cityHash64('', 'x')") == U("8791309753493997805"))
+    assert(udec("URLHash('http://x.io/a/')") == U("5587423116265031016"))
+    assert(udec("URLHash('http://x.io/a')") == U("5587423116265031016"))
+    assert(udec("URLHash('https://example.com/path/q/')") ==
+      U("12754603280090290098"))
+    // integer arguments: the little-endian fixed-width layouts
+    assert(asU(ChHash.cityHash64(ChHash.leBytes(5L, 8))) ==
+      U("1111307707891106543"))
+    assert(asU(ChHash.cityHash64(ChHash.leBytes(5L, 4))) ==
+      U("2281002389597347307"))
+    assert(asU(ChHash.cityHash64(ChHash.leBytes(255L, 8))) ==
+      U("14090926325917266726"))
+    assert(asU(ChHash.cityHash64(ChHash.leBytes(1L << 40, 8))) ==
+      U("5182794050848961668"))
   }
 
   // ---- CityHash64 v1.0.2 ----
