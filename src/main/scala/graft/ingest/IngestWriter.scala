@@ -160,7 +160,10 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
           "use the line-protocol timestamp token for event time")
     val spec0 = catalog.evolve(batch.database, batch.table,
       batch.schema.map { case (n, t) => (n, typeName(t)) } :+ ("__timestamp" -> "INT64"))
-    write(spec0, toDataFrame(batch).withColumn("__timestamp", lit(nowNs())))
+    // __timestamp is ONE literal for the whole flush -> every row
+    // compares equal on it, so it contributes nothing to the file sort
+    write(spec0, toDataFrame(batch).withColumn("__timestamp", lit(nowNs())),
+      constSorted = Set("__timestamp"))
   }
 
   /** Store an arbitrary DataFrame (NDJSON/createDataFrame ingest path).
@@ -206,11 +209,17 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     val spec = catalog.evolve(db, table, cols.toSeq :+ ("__timestamp" -> "INT64"))
     val withTs = if (df.columns.contains("__timestamp")) df
       else df.withColumn("__timestamp", lit(nowNs()))
-    write(spec, withTs, singleFile)
+    // same constant-key argument as store(): only when WE injected the
+    // single-literal arrival stamp (a caller-provided __timestamp
+    // column varies per row and must keep sorting)
+    write(spec, withTs, singleFile,
+      constSorted = if (df.columns.contains("__timestamp")) Set.empty
+                    else Set("__timestamp"))
   }
 
   private def write(spec: TableSpec, dfIn: DataFrame,
-                    singleFile: Boolean = true): Seq[String] = {
+                    singleFile: Boolean = true,
+                    constSorted: Set[String] = Set.empty): Seq[String] = {
     val tableDir = catalog.tableDir(spec.database, spec.name)
     // null-pad to the table's full first-seen schema (reference
     // data_store.go:109-141 back-fill)
@@ -245,6 +254,15 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     // URI's FS says (shared HDFS/s3a), which the driver could never
     // `Files.walk`. The same code therefore serves local[?], HDFS and s3a
     // masters — only the table root URI changes.
+    // per-phase wall clock under GRAFT_FLUSH_DEBUG (r14 task 7: know
+    // what a flush cycle spends before touching the hot path)
+    val wdbg = sys.env.contains("GRAFT_FLUSH_DEBUG")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (wdbg) {
+      val now = System.nanoTime()
+      println(f"[wdbg] $phase=${(now - tMark) / 1e9}%.3f")
+      tMark = now
+    }
     val hconf = spark.sparkContext.hadoopConfiguration
     val tableUri = new HPath(tableDir.toUri)
     val fs = ObjectStore.publishFs(tableUri, hconf)
@@ -260,16 +278,29 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     // Parallel (streaming) path: sort each existing task's slice with
     // the hive partition cols leading so every written file is still
     // internally ordered by orderBy within its (date, hour) dir.
+    // r14 (profiled): the flush cycle is dominated by the single
+    // coalesce(1) sort+encode task, and on default tables the sort key
+    // is ONLY __timestamp — a per-flush constant literal, so all rows
+    // compare equal and the external sorter's full pass over the batch
+    // orders nothing. Keys the caller proved constant for this batch
+    // drop out of the sort; a file whose rows are all-equal on the key
+    // IS sorted by it, so the sorted-file invariant (compactor k-way
+    // merge, read_parquet_mergetree) holds bit-for-bit.
+    val sortKeys = spec.orderBy.filterNot(constSorted)
     val sorted =
-      if (singleFile)
-        partitioned.coalesce(1).sortWithinPartitions(spec.orderBy.map(col): _*)
-      else {
-        val keys = (if (hive) Seq("date", "hour") else Nil) ++ spec.orderBy
-        partitioned.sortWithinPartitions(keys.distinct.map(col): _*)
+      if (singleFile) {
+        val one = partitioned.coalesce(1)
+        if (sortKeys.isEmpty) one
+        else one.sortWithinPartitions(sortKeys.map(col): _*)
+      } else {
+        val keys = (if (hive) Seq("date", "hour") else Nil) ++ sortKeys
+        if (keys.isEmpty) partitioned
+        else partitioned.sortWithinPartitions(keys.distinct.map(col): _*)
       }
     val writer = sorted.write.mode("append")
     (if (hive) writer.partitionBy("date", "hour") else writer)
       .parquet(staging.toString)
+    mark("sort_encode_job")
 
     // ONE spelling of the remote key layout (ObjectStore owns it): a
     // divergent inline reassembly here would publish to keys the
@@ -297,6 +328,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     }
     val entries: Map[String, FileEntry] = ParquetStats.manifestEntries(
       spark, planned.map { case (p, _, name) => (p.toString, name) })
+    mark("footer_stats_job")
     // published-but-not-yet-committed URIs: a failure between publish
     // and the manifest commit would otherwise leak final-key objects
     // that no manifest references and no drop queue can ever reclaim
@@ -320,6 +352,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
       uncommitted += uri
       (rel, name, uri)
     }
+    mark("publish")
 
     // ONE manifest commit per partition dir (reference applies adds/removes
     // in a single index Batch — json_index.go:312-416): N files into a
@@ -331,6 +364,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
       group.foreach { case (_, _, u) => uncommitted -= u }
     }
     catalog.bumpVersion(spec.database, spec.name)
+    mark("manifest_commit")
     out.map(_._3)
     } catch {
       case scala.util.control.NonFatal(e) =>

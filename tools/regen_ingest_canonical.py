@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Regenerate INGEST_BENCH_20M.json — the CANONICAL ingest record.
+
+Runs `graft.IngestBench` at the reference's full 20 M-row e2e volume in
+a FRESH forked JVM (sbt run forks), parses the single JSON line, and
+rewrites INGEST_BENCH_20M.json with provenance (HEAD sha, tree-dirty
+flag, timestamp, JVM state). Exists so the canonical buffered figure
+can never silently go stale while the per-round BENCH embeds a
+within-session number that under-reads by up to 3x from end-of-session
+JVM state (VERDICT r13 #6).
+
+Usage: python3 tools/regen_ingest_canonical.py [--rows N] [--cpus N]
+Writes the record only if the run produced all three figures; exits
+non-zero (leaving the previous record untouched) otherwise.
+"""
+import argparse
+import datetime
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def sh(cmd):
+    return subprocess.run(cmd, cwd=REPO, capture_output=True,
+                          text=True).stdout.strip()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20000000)
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    env = dict(os.environ,
+               SPARK_GRAFT_INGEST_ROWS=str(args.rows),
+               SPARK_GRAFT_CPUS=str(args.cpus))
+    proc = subprocess.run(
+        ["sbt", "-batch", "runMain graft.IngestBench"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
+    line = next((ln for ln in proc.stdout.splitlines()
+                 if ln.startswith('{"metric":"ingest_rows_per_sec"')), None)
+    if line is None:
+        sys.stderr.write("no ingest JSON line in IngestBench output; "
+                         "record left untouched\n")
+        sys.stderr.write(proc.stdout[-2000:] + "\n")
+        return 1
+    d = json.loads(line)
+    for k in ("buffered", "bulk", "stream"):
+        if not d.get(k):
+            sys.stderr.write(f"missing/zero '{k}' figure; record left "
+                             "untouched\n")
+            return 1
+
+    head = sh(["git", "rev-parse", "HEAD"])
+    dirty = bool(sh(["git", "status", "--porcelain", "--", "src", "build.sbt"]))
+    d["canonical"] = True
+    d["provenance"] = {
+        "head_sha": head,
+        "src_tree_dirty": dirty,
+        "utc": datetime.datetime.now(datetime.timezone.utc)
+                       .strftime("%Y-%m-%dT%H:%M:%SZ"),
+        "jvm": "fresh forked JVM (sbt runMain), standalone — not a "
+               "within-session measurement",
+        "cmd": f"SPARK_GRAFT_INGEST_ROWS={args.rows} "
+               f"SPARK_GRAFT_CPUS={args.cpus} sbt -batch "
+               f"'runMain graft.IngestBench'",
+    }
+    d["note"] = (
+        "CANONICAL ingest record at the reference e2e volume "
+        "(e2e_test.go:44-94), regenerated per round by "
+        "tools/regen_ingest_canonical.py. The per-round BENCH embeds a "
+        "within-session buffered number (fresh SparkContext, same JVM) "
+        "that under-reads by up to 3x from end-of-session JVM state; "
+        "this clean-JVM run of the same code is authoritative. Buffered "
+        "keeps the promise-ack durability contract (clients unblock "
+        "only after rows hit parquet + manifest) and the "
+        "one-file-per-flush shape.")
+    out = REPO / "INGEST_BENCH_20M.json"
+    out.write_text(json.dumps(d, indent=2) + "\n")
+    print(f"wrote {out}: buffered={d['buffered']} bulk={d['bulk']} "
+          f"stream={d['stream']} (head {head[:9]}, dirty={dirty})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
