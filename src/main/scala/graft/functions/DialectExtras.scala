@@ -43,6 +43,16 @@ import org.apache.spark.sql.types._
 object DialectExtras {
   import GraftFunctions.tryParseUrl
 
+  /** Codegen kernel for [[RoundToExp2]]'s scale-0 decimal (UInt64
+    * convention) path; `p` is the input type's precision, which the
+    * result (always <= the input) also fits. */
+  def roundDecExp2(x: Decimal, p: Int): Decimal = {
+    val bi = x.toJavaBigDecimal.toBigInteger
+    if (bi.signum < 1) Decimal(0L, p, 0)
+    else Decimal(new java.math.BigDecimal(
+      java.math.BigInteger.ZERO.setBit(bi.bitLength - 1)), p, 0)
+  }
+
   private def ts(e: Expression) = Cast(e, TimestampType)
   private def dt(e: Expression) = Cast(e, DateType)
 
@@ -200,14 +210,13 @@ object DialectExtras {
   // ---- CH arithmetic / date-shift / readable-format tier (r13 second
   //      pass — a name-frequency sweep found these still answering 400
   //      despite clean Catalyst spellings; every one a thin builder).
-  //      Deliberately NOT mapped, with reasons: dateAdd (Spark's
-  //      builtin `dateadd` resolves first with different arity — the
-  //      3-arg CH call errors loudly), dateSub (CH's bare unit-keyword
-  //      first argument doesn't survive expression parsing), bar
-  //      (terminal eighth-block rendering, a CLI nicety), roundToExp2 /
-  //      intExp10 (exact unsigned-64 semantics past 2^53 need a lookup
-  //      kernel out of proportion to usage), erf (no JDK kernel; an
-  //      approximation would silently differ from std::erf). ----
+  //      Deliberately NOT mapped, with reasons: erf (no JDK kernel; an
+  //      approximation would silently differ from std::erf). dateAdd/
+  //      dateSub left the list in r14 via DuckDialect's pre-parse
+  //      token rewrite (the bare unit keyword is a PARSER problem, not
+  //      an expression one); bar/roundToExp2/intExp10 in r14 below —
+  //      the "needs a lookup kernel" objection dissolved once the
+  //      UInt64 convention carried exact Decimal(20,0) literals. ----
   private def chArithDateFormat(
       reg: String => (Seq[Expression] => Expression) => Unit): Unit = {
     // CH `divide` is ALWAYS floating-point (intDiv is the integer one);
@@ -252,6 +261,51 @@ object DialectExtras {
       FormatReadable(Cast(es.head, DoubleType), quantity = false))
     reg("formatReadableQuantity")(es =>
       FormatReadable(Cast(es.head, DoubleType), quantity = true))
+    // intExp10 (r14): exact UInt64 10^x with CH's intExp.h clamps —
+    // x < 0 → 0, x > 19 → UInt64 max. A 20-arm CaseWhen of Decimal
+    // literals (10^19 < 2^64, so every arm is exact); pure Catalyst.
+    reg("intExp10") { es =>
+      def ud(v: BigInt) = Literal.create(
+        Decimal(scala.math.BigDecimal(v), 20, 0), DecimalType(20, 0))
+      With(Cast(es.head, IntegerType)) { refs =>
+        val x = refs.head
+        val arms = (LessThan(x, Literal(0)), ud(BigInt(0))) +:
+          (0 to 19).map(k => (EqualTo(x, Literal(k)), ud(BigInt(10).pow(k))))
+        CaseWhen(arms, Some(ud((BigInt(1) << 64) - 1)))
+      }
+    }
+    // roundToExp2 (r14): round DOWN to the nearest power of two; < 1
+    // → 0 (CH FunctionsRound). Exact across the full unsigned-64 range
+    // via the bit kernel in [[RoundToExp2]] — the old gap reason
+    // ("needs a lookup kernel past 2^53") only held for a float
+    // spelling; highestOneBit IS the kernel.
+    reg("roundToExp2")(es => RoundToExp2(es.head))
+    // bar (r14): ClickHouse's terminal bar rendering — full blocks
+    // (U+2588) plus ONE left-eighth partial (U+2589..258F), band =
+    // floor(frac*8), per the published UnicodeBar helper. Pure
+    // Catalyst: clamp + repeat + element_at over the 7 partials.
+    reg("bar") { es =>
+      val x = Cast(es(0), DoubleType)
+      val mn = Cast(es(1), DoubleType)
+      val mx = Cast(es(2), DoubleType)
+      val width = if (es.length > 3) Cast(es(3), DoubleType)
+                  else Literal(80.0)
+      val w0 = Multiply(new Divide(Subtract(x, mn), Subtract(mx, mn)), width)
+      val w = Least(Seq(Greatest(Seq(w0, Literal(0.0))), width))
+      With(w) { refs =>
+        val ww = refs.head
+        val full = Cast(Floor(ww), IntegerType)
+        val rem = Cast(Floor(Multiply(
+          Subtract(ww, Cast(Floor(ww), DoubleType)), Literal(8.0))),
+          IntegerType)
+        val partials = CreateArray((1 to 7).map(k =>
+          Literal(String.valueOf((0x2590 - k).toChar))))
+        Concat(Seq(
+          StringRepeat(Literal("█"), full),
+          CaseWhen(Seq((GreaterThan(rem, Literal(0)),
+            ElementAt(partials, rem))), Some(Literal("")))))
+      }
+    }
   }
 
   // ---- CH hash family (bit-exact kernels in ChHashes.scala) + IPv6 ----
@@ -544,6 +598,82 @@ object DialectExtras {
       CaseWhen(Seq((EqualTo(Length(refs.head), Literal(0)),
         Literal.create(null, StringType))), Some(refs.head))
     }
+}
+
+/** CH `roundToExp2`: round DOWN to the nearest power of two; inputs
+  * below 1 return 0 (FunctionsRound). Integral types use
+  * Long.highestOneBit in the operand's own type; Decimal(20,0) — the
+  * UInt64 convention — goes through BigInteger so 2^63..2^64-1 rounds
+  * to exactly 2^63; float/double clear the mantissa bits (exactly
+  * 2^floor(log2 x), the same bit trick CH's float path uses). */
+case class RoundToExp2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType => TypeCheckResult.TypeCheckSuccess
+    // any scale-0 decimal: UInt64 arithmetic widens Decimal(20,0)
+    // (e.g. intExp2(63) + 5 is DECIMAL(21,0)); the result is always
+    // <= the input, so the input's own precision carries it
+    case d: DecimalType if d.scale == 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"roundToExp2 expects an integer-valued numeric type, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = child.dataType match {
+    case ByteType =>
+      val x = v.asInstanceOf[Byte]
+      (if (x < 1) 0L else java.lang.Long.highestOneBit(x.toLong)).toByte
+    case ShortType =>
+      val x = v.asInstanceOf[Short]
+      (if (x < 1) 0L else java.lang.Long.highestOneBit(x.toLong)).toShort
+    case IntegerType =>
+      val x = v.asInstanceOf[Int]
+      (if (x < 1) 0L else java.lang.Long.highestOneBit(x.toLong)).toInt
+    case LongType =>
+      val x = v.asInstanceOf[Long]
+      if (x < 1) 0L else java.lang.Long.highestOneBit(x)
+    case FloatType =>
+      val x = v.asInstanceOf[Float]
+      if (!(x >= 1f)) 0f
+      else java.lang.Float.intBitsToFloat(
+        java.lang.Float.floatToRawIntBits(x) & 0xFF800000)
+    case DoubleType =>
+      val x = v.asInstanceOf[Double]
+      if (!(x >= 1d)) 0d
+      else java.lang.Double.longBitsToDouble(
+        java.lang.Double.doubleToRawLongBits(x) & 0xFFF0000000000000L)
+    case d: DecimalType =>
+      DialectExtras.roundDecExp2(v.asInstanceOf[Decimal], d.precision)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val jt = child.dataType match {
+          case ByteType => "byte"
+          case ShortType => "short"
+          case IntegerType => "int"
+          case _ => "long"
+        }
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = ($c < 1) ? ($jt) 0 : " +
+            s"($jt) java.lang.Long.highestOneBit((long) $c);")
+      case FloatType =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = !($c >= 1f) ? 0f : java.lang.Float.intBitsToFloat(" +
+            s"java.lang.Float.floatToRawIntBits($c) & 0xFF800000);")
+      case DoubleType =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = !($c >= 1d) ? 0d : java.lang.Double.longBitsToDouble(" +
+            s"java.lang.Double.doubleToRawLongBits($c) & 0xFFF0000000000000L);")
+      case d: DecimalType =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.functions.DialectExtras.roundDecExp2($c, ${d.precision});")
+    }
+
+  override protected def withNewChildInternal(n: Expression): RoundToExp2 =
+    copy(child = n)
 }
 
 /** CH-exact `bitShiftLeft`/`bitShiftRight`/`bitTest` (ADVICE r13): Java

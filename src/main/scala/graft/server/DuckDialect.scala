@@ -1073,16 +1073,12 @@ object DuckDialect {
       // block-order-positional scalars: no well-defined distributed
       // meaning — Spark window functions are the honest spelling
       "runningDifference", "neighbor",
-      // r13 second-pass sweep leftovers (the mappable names from that
-      // sweep — divide, the bit family, trims, add*/subtract*, toTime,
-      // exp2/exp10/intExp2, formatReadable* — shipped in
-      // DialectExtras.chArithDateFormat; dateSub and 3-arg dateAdd
-      // left in r14 via the rewriteFirstDateShift pre-parse token
-      // rewrite): bar is terminal eighth-block rendering;
-      // roundToExp2/intExp10 need an exact unsigned-64 lookup kernel
-      // past 2^53, out of proportion to usage; erf has no JDK kernel
-      // and an approximation would silently differ from std::erf.
-      "bar", "roundToExp2", "intExp10", "erf")
+      // r13 second-pass sweep leftovers, whittled further in r14
+      // (dateSub/dateAdd via the rewriteFirstDateShift token rewrite;
+      // bar/roundToExp2/intExp10 as native builders): erf has no JDK
+      // kernel and an approximation would silently differ from
+      // std::erf.
+      "erf")
     val duck = Seq(
       // dim = 1 rewrites in FROM position (rewriteFirstFromGenerator);
       // only the dim != 1 bail path — multi-dimensional arrays DuckDB

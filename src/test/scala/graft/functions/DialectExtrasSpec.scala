@@ -209,6 +209,50 @@ class DialectExtrasSpec extends SparkSpec {
     assert(one("bitTest(5, -1)") == 0)
   }
 
+  test("intExp10: exact UInt64 with CH's intExp.h clamps (r14)") {
+    def dec(s: String) = new java.math.BigDecimal(s)
+    assert(one("intExp10(0)").asInstanceOf[java.math.BigDecimal]
+      .compareTo(dec("1")) == 0)
+    assert(one("intExp10(3)").asInstanceOf[java.math.BigDecimal]
+      .compareTo(dec("1000")) == 0)
+    assert(one("intExp10(19)").asInstanceOf[java.math.BigDecimal]
+      .compareTo(dec("10000000000000000000")) == 0)
+    // clamps: negative → 0, past 19 → UInt64 max (intExp.h)
+    assert(one("intExp10(-1)").asInstanceOf[java.math.BigDecimal]
+      .compareTo(dec("0")) == 0)
+    assert(one("intExp10(25)").asInstanceOf[java.math.BigDecimal]
+      .compareTo(dec("18446744073709551615")) == 0)
+  }
+
+  test("roundToExp2: the CH doc ladder, full UInt64 range, floats (r14)") {
+    // docs: numbers 0..9 → 0,1,2,2,4,4,4,4,8,8
+    assert((0 to 9).map(n => one(s"roundToExp2($n)")) ==
+      Seq(0, 1, 2, 2, 4, 4, 4, 4, 8, 8))
+    assert(one("roundToExp2(CAST(-5 AS BIGINT))") == 0L)
+    assert(one("roundToExp2(CAST(6442450944 AS BIGINT))") == 4294967296L)
+    // UInt64 convention: above 2^63 still rounds exactly (no double
+    // detour — the old gap reason)
+    assert(one("roundToExp2(intExp2(63) + 5)")
+      .asInstanceOf[java.math.BigDecimal]
+      .compareTo(new java.math.BigDecimal("9223372036854775808")) == 0)
+    // float path: mantissa clear = 2^floor(log2 x); < 1 → 0
+    assert(one("roundToExp2(CAST(5.5 AS DOUBLE))") == 4.0)
+    assert(one("roundToExp2(CAST(0.7 AS DOUBLE))") == 0.0)
+  }
+
+  test("bar renders full blocks + one left-eighth partial (r14)") {
+    assert(one("bar(5, 0, 10, 10)") == "█████")
+    assert(one("bar(3, 0, 8, 8)") == "███")
+    // w = 5.5 → five full + floor(0.5*8)=4 eighths = ▌ (U+258C)
+    assert(one("bar(5.5, 0, 8, 8)") == "█████▌")
+    // w = 2/3 → floor(0.6667*8) = 5 eighths = ▋ (U+258B)
+    assert(one("bar(1, 0, 3, 2)") == "▋")
+    // clamps at both ends; default width is 80
+    assert(one("bar(-1, 0, 10, 10)") == "")
+    assert(one("bar(20, 0, 10, 10)") == "██████████")
+    assert(one("bar(1, 0, 1)") == "█" * 80)
+  }
+
   test("trimBoth/trimLeft/trimRight, 1- and 2-arg forms") {
     assert(one("trimBoth('  x  ')") == "x")
     assert(one("trimLeft('  x  ')") == "x  ")

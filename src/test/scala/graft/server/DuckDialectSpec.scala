@@ -238,8 +238,10 @@ class DuckDialectSpec extends SparkSpec {
       "URLHash", "IPv6StringToNum", "IPv6NumToString", "toIPv6",
       "isIPv6String", "ngramDistance", "ngramSearch",
       // r14: dateSub via the pre-parse token rewrite; the raw-JSON trio
-      // via the span-preserving scanner expressions
-      "dateSub", "JSONExtractRaw", "JSONExtractArrayRaw", "JSONType")
+      // via the span-preserving scanner expressions; bar/roundToExp2/
+      // intExp10 as native builders
+      "dateSub", "JSONExtractRaw", "JSONExtractArrayRaw", "JSONType",
+      "bar", "roundToExp2", "intExp10")
       .foreach(n =>
       assert(DuckDialect.dialectGap(n) == None, s"$n still on the gap list"))
     // structural: the gap list and the registry must stay DISJOINT —
