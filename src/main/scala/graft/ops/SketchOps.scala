@@ -173,7 +173,21 @@ object SketchOps {
     val exact = sh.groupBy("s").agg(count(lit(1)).as("exact_df"))
     val top = exact.orderBy(col("exact_df").desc, col("s")).limit(CmsTopK)
     val rows = (0 until CmsDepth).map(lit(_))
-    val counters = cmsCounters(docs)
+    // counters DERIVED from the exact aggregate, not a second corpus
+    // pass (r14, profiled): a CMS cell is the SUM of the frequencies of
+    // the shingles hashing into it, so grouping `exact` by (j, slot)
+    // gives bit-identical cells while (a) Spark's ReuseExchange serves
+    // both branches from the ONE shingle shuffle this query already
+    // pays for its differential-test side, and (b) the depth-explode
+    // runs over DISTINCT shingles instead of every occurrence. The
+    // standalone [[cmsCounters]] (p93's sketch build) keeps its
+    // freq-free one-pass shape on purpose — THERE the map-side combine
+    // caps the shuffle at d·w rows regardless of corpus size, which is
+    // the 100 TB deployment path; here the full shuffle exists anyway.
+    val counters = exact
+      .select(col("s"), col("exact_df"), explode(array(rows: _*)).as("j"))
+      .groupBy(col("j"), cmsSlot(col("j"), col("s")).as("slot"))
+      .agg(sum("exact_df").as("c"))
     top
       .select(col("s"), col("exact_df"), explode(array(rows: _*)).as("j"))
       .withColumn("slot", cmsSlot(col("j"), col("s")))
