@@ -291,4 +291,122 @@ object SearchOps {
        |ORDER BY score DESC, doc_id
        |LIMIT $k""".stripMargin
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (r14): the standard
+    * RAG/curation primitive — fuse a DENSE ranking (embedding cosine,
+    * [[SimilarityOps.bruteForceTopK]]'s shape) with a SPARSE ranking
+    * (BM25 more-like-this: each seed DOCUMENT's distinct tokens as the
+    * query, [[bm25Batch]]'s posting shape) via
+    * `RRF(d) = Σ_lists 1/(kRrf + rank_list(d))` (Cormack et al. 2009,
+    * kRrf = 60 the published default).
+    *
+    * Float discipline: each list's contribution is
+    * `round(1e6 / (kRrf + rank))` in integer MICRO-units (no exact-.5
+    * case exists for kRrf + rank < 128, and OracleSql.roundD carries
+    * HALF_UP parity anyway), fused by integer addition — no float SUM
+    * whose order could differ between engines. A doc absent from one
+    * list contributes 0 from it (the standard RRF convention); the
+    * seed itself is excluded from the FUSED output (the sparse list
+    * ranks it #1 by construction — it contains all its own terms — and
+    * that rank-1 slot is kept, not re-packed, in both engines).
+    *
+    * Scale shape: the seed queries are a BOUNDED driver-side collect
+    * (nSeeds documents — the LM-maps/PQ-codebook artifact pattern);
+    * both rankings reduce to nSeeds × k rows BEFORE the fusion join,
+    * so the fuse is a join of two top-k lists, never corpus-sized. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, nSeeds: Int,
+                k: Int = 10, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds: Seq[(Int, Seq[String])] = docs
+      .filter(col("doc_id") < nSeeds)
+      .select(col("doc_id"),
+        array_distinct(graft.ops.TextOps.tokens(col("text"))).as("__t"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[String](1)))
+      .filter(_._2.nonEmpty)
+      .sortBy(_._1).toSeq
+    val sparse = bm25Batch(docs, seeds, k)
+      .select(col("qid").cast("long").as("qid"),
+        col("doc_id").as("id"), col("rn").as("rs"))
+    val dense = SimilarityOps.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < nSeeds), k)
+      .select(col("qid"), col("nid").as("id"), col("rn").as("rd"))
+    def rrfMicro(rn: Column): Column =
+      round(lit(1000000.0) / (lit(kRrf) + rn.cast("double"))).cast("long")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("fused_micro").desc, col("id"))
+    sparse.join(dense, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (coalesce(rrfMicro(col("rs")), lit(0L)) +
+          coalesce(rrfMicro(col("rd")), lit(0L))).as("fused_micro"),
+        col("rs"), col("rd"))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** DuckDB oracle for [[hybridRrf]]: re-derives the seed queries, the
+    * BM25 micro-unit ranking (bm25BatchSql's core with the query rows
+    * coming FROM the corpus instead of a VALUES list), the cosine
+    * ranking (p06's spelling), and the same integer RRF fusion. */
+  def hybridRrfSql(nSeeds: Int, k: Int = 10, kRrf: Int = 60,
+                   table: String = "documents"): String = {
+    val core = "ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
+      s"(CAST(tf AS DOUBLE) * ${K1 + 1}) / " +
+      s"(CAST(tf AS DOUBLE) + $K1 * (${1 - B} + $B * (dl / (CAST(sdl AS DOUBLE) / n))))"
+    def rrf(rn: String) =
+      s"CAST(${OracleSql.roundD(s"1000000.0 / ($kRrf + $rn)", 0)} AS BIGINT)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |seedq AS (
+       |  SELECT doc_id AS qid, unnest(list_distinct(w)) AS t
+       |  FROM toks WHERE doc_id < $nSeeds),
+       |post AS (
+       |  SELECT doc_id, dl, t, count(*) AS tf FROM (
+       |    SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM toks)
+       |  WHERE t IN (SELECT t FROM seedq)
+       |  GROUP BY doc_id, dl, t),
+       |totals AS (SELECT count(*) AS n, sum(len(w)) AS sdl FROM toks),
+       |dfs AS (SELECT t, count(DISTINCT doc_id) AS df FROM post GROUP BY t),
+       |per_term AS (
+       |  SELECT seedq.qid, p.doc_id,
+       |    CAST(${OracleSql.roundD(s"($core) * 1000000.0", 0)} AS BIGINT) AS micro
+       |  FROM post p
+       |  JOIN seedq ON p.t = seedq.t
+       |  JOIN dfs ON p.t = dfs.t
+       |  CROSS JOIN totals),
+       |sparse AS (
+       |  SELECT qid, doc_id AS id, rs FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY sum_micro DESC, doc_id) AS rs
+       |    FROM (SELECT qid, doc_id, CAST(sum(micro) AS BIGINT) AS sum_micro
+       |          FROM per_term GROUP BY qid, doc_id))
+       |  WHERE rs <= $k),
+       |dense AS (
+       |  SELECT qid, id, rd FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                        CAST(b.embedding AS DOUBLE[])) DESC,
+       |                 b.vec_id) AS rd
+       |    FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+       |    WHERE a.vec_id < $nSeeds
+       |      AND ${SimilarityOps.usableSql("CAST(a.embedding AS DOUBLE[])")}
+       |      AND ${SimilarityOps.usableSql("CAST(b.embedding AS DOUBLE[])")})
+       |  WHERE rd <= $k),
+       |fused AS (
+       |  SELECT COALESCE(s.qid, d.qid) AS qid, COALESCE(s.id, d.id) AS id,
+       |    COALESCE(${rrf("s.rs")}, 0) + COALESCE(${rrf("d.rd")}, 0) AS fused_micro,
+       |    s.rs AS rs, d.rd AS rd
+       |  FROM sparse s FULL OUTER JOIN dense d
+       |    ON s.qid = d.qid AND s.id = d.id)
+       |SELECT qid, id, fused_micro, rs, rd, rank FROM (
+       |  SELECT qid, id, fused_micro, rs, rd,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY fused_micro DESC, id) AS rank
+       |  FROM fused WHERE id != qid)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
 }

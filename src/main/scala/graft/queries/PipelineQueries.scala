@@ -1252,6 +1252,17 @@ object PipelineQueries {
            |ORDER BY q_permille""".stripMargin)
     }),
 
+    // ---- hybrid retrieval (r14): dense cosine + sparse BM25
+    //      more-like-this fused by reciprocal rank (integer micro-unit
+    //      RRF, k_rrf = 60); seeds are doc/vec ids 0..4 — the aligned
+    //      synthetic id space makes each seed both a query document
+    //      and a query vector ----
+    "p95_hybrid_rrf" -> ((s, dir) => {
+      SearchOps.hybridRrf(
+        Tables.loadSpread(s, dir, "documents"),
+        Tables.load(s, dir, "embeddings"), nSeeds = 5, k = 10)
+    }),
+
     "p57_hard_negatives" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
@@ -1768,6 +1779,7 @@ object PipelineQueries {
       s"""SELECT est_distinct FROM (
          |${SketchOps.hllSummarySql("events", "CAST(event_id AS VARCHAR)")})""".stripMargin,
     "p91_cms_heavy_hitters" -> SketchOps.cmsHeavyHittersSql("documents"),
+    "p95_hybrid_rrf" -> SearchOps.hybridRrfSql(nSeeds = 5, k = 10),
     "p92_hdr_quantiles" -> SketchOps.hdrQuantilesSql("events", "value"),
     "p93_sql_cms" -> SketchOps.cmsProbeSql("documents"),
     // p94 shares p92's oracle BY DESIGN: the SQL scalar face and the

@@ -105,4 +105,38 @@ class SearchOpsSpec extends SparkSpec {
         r.getDouble(2)))
     assert(a.toSeq == b.toSeq, s"\nimpl:   ${a.toSeq}\noracle: ${b.toSeq}")
   }
+
+  test("hybridRrf: RRF mechanics — fusion, absence, self-exclusion (r14)") {
+    import spark.implicits._
+    // doc 0 is the seed; doc 1 matches BOTH lists, doc 2 only sparse,
+    // vec 3 only dense (its text shares no token with the seed)
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta something"),
+      (2L, "alpha unrelated words"),
+      (3L, "totally different text")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),   // orthogonal: ranks last densely
+      (3L, Array(0.95f, 0.05f))).toDF("vec_id", "embedding")
+    val r = SearchOps.hybridRrf(docs, emb, nSeeds = 1, k = 3)
+      .collect().map(x => x.getLong(1) ->
+        (x.getLong(2), Option(x.get(3)), Option(x.get(4)))).toMap
+    // the seed never appears, even though sparse ranks it #1
+    assert(!r.contains(0L), r.toString)
+    // doc 1: sparse rank 2 (behind the seed itself) + dense rank 2
+    // (behind vec 3) → round(1e6/62) + round(1e6/62)
+    assert(r(1L)._1 == 2 * math.round(1e6 / 62) &&
+      r(1L)._2 == Some(2) && r(1L)._3 == Some(2), r.toString)
+    // doc 2: sparse-only (rank 3) + dense rank 3... it IS in the dense
+    // top-3 of a 3-neighbor corpus — both present
+    assert(r(2L)._2 == Some(3) && r(2L)._3 == Some(3), r.toString)
+    // vec 3: dense rank 1, absent from sparse (no shared token) → the
+    // missing list contributes exactly 0
+    assert(r(3L)._1 == math.round(1e6 / 61) &&
+      r(3L)._2 == None && r(3L)._3 == Some(1), r.toString)
+    // fused ordering: doc 1 (two mid ranks) beats vec 3 (one top rank)
+    assert(r(1L)._1 > r(3L)._1, r.toString)
+  }
 }

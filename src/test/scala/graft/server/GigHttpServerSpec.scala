@@ -93,6 +93,22 @@ class GigHttpServerSpec extends SparkSpec {
     assert(n.statusCode() == 200 && n.body().contains("results"), n.body())
   }
 
+  test("/query runs CH 3-arg dateAdd/dateSub through the token rewrite (r14)") {
+    val q = post("/query",
+      """{"query": "SELECT dateAdd(MONTH, 2, TIMESTAMP '2024-01-15 00:00:00') AS a, dateSub(DAY, 3, TIMESTAMP '2024-03-10 00:00:00') AS b"}""")
+    assert(q.statusCode() == 200, q.body())
+    assert(q.body().contains("2024-03-15"), q.body())
+    assert(q.body().contains("2024-03-07"), q.body())
+    // DuckDB's quoted-part date_sub is NOT the CH shape — it stays
+    // unrewritten and reaches Spark's own 2-arg date_sub for a LOUD
+    // arity error (500 WRONG_NUM_ARGS naming the function), never a
+    // silent guess at which of the two semantics was meant
+    val d = post("/query",
+      """{"query": "SELECT date_sub('month', TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-03-01 00:00:00') AS n"}""")
+    assert(d.statusCode() >= 400, s"${d.statusCode()} ${d.body()}")
+    assert(d.body().contains("date_sub"), d.body())
+  }
+
   test("CREATE SECRET on /query maps to fs.s3a.* conf (VERDICT r8 #6)") {
     // reference merge_service_s3.go:94-118 configures S3 credentials
     // in-dialect; here the statement lands in Hadoop's s3a conf. The
