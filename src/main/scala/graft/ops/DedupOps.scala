@@ -612,6 +612,87 @@ object DedupOps {
        |WHERE c * 1.0 / (sa.n + sb.n - c) >= $tau
        |ORDER BY $order""".stripMargin
 
+  /** PageRank-style centrality over the near-dup similarity graph
+    * (r14, p96): rank documents by how centrally they sit in the
+    * duplicate/near-duplicate structure — the standard prioritizer for
+    * which copy of a template family to KEEP (central = canonical) or
+    * to inspect (hubs are boilerplate). Edges are the τ-thresholded
+    * Jaccard pairs (the p02 face; at production scale the banded
+    * MinHash candidates drop in — the nearDupPairs routing — since the
+    * iteration only needs (da, db)).
+    *
+    * Arithmetic is INTEGER ppm end to end so both engines agree bit
+    * for bit (no float Σ): r₀ = 1 000 000; one iteration is
+    *   share(u) = r(u) DIV deg(u)
+    *   r'(v)    = 150 000 + (850 · Σ_{u~v} share(u)) DIV 1000
+    * — the damping-0.85 power step with floor division at the two
+    * places fractions could arise. All values non-negative, so DIV
+    * (truncation) IS floor on both engines.
+    *
+    * Scale shape: the edge list is bounded by the capped/banded pair
+    * machinery (never all-pairs); it is MATERIALIZED once
+    * (localCheckpoint — the connectedComponents pattern) because every
+    * iteration re-reads it, and each iteration is one
+    * edges⋈ranks-broadcastable-aggregate whose shuffle is O(edges).
+    * Iterations are fixed (default 5) — rank deltas below ppm
+    * resolution don't survive the quantization anyway. */
+  def jaccardPageRank(docs: DataFrame, tau: Double, iters: Int = 5): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, tau).select(col("da"), col("db"))
+      .localCheckpoint(true)
+    val edges = pairs.union(pairs.select(col("db"), col("da")))
+      .toDF("u", "v")
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    var r = deg.select(col("u").as("doc_id"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      val inflow = edges
+        .join(r.select(col("doc_id").as("u"), col("r")), "u")
+        .join(deg, "u")
+        .select(col("v"), expr("r DIV d").as("share"))
+        .groupBy(col("v")).agg(sum(col("share")).as("inflow"))
+      r = deg.select(col("u").as("doc_id"))
+        .join(inflow.select(col("v").as("doc_id"), col("inflow")),
+          Seq("doc_id"), "left")
+        .na.fill(0L, Seq("inflow"))
+        .select(col("doc_id"),
+          (lit(150000L) + expr("(850 * inflow) DIV 1000")).as("r"))
+    }
+    r.join(deg.select(col("u").as("doc_id"), col("d").as("degree")), "doc_id")
+      .select(col("doc_id"), col("degree"), col("r").as("rank_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[jaccardPageRank]]: the p02 pair CTEs feed an
+    * UNROLLED chain of `iters` integer power steps (same ppm
+    * quantization, same floor divisions). */
+  def jaccardPageRankSql(tau: Double, iters: Int = 5,
+                         capFrac: Option[Double] = Some(StopShingleFrac)): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"step${i - 1}"
+      s"""step$i AS (
+         |  SELECT e.v AS doc_id,
+         |    CAST(150000 + (850 * sum(p.r // d.d)) // 1000 AS BIGINT) AS r
+         |  FROM edges e
+         |  JOIN $prev p ON p.doc_id = e.u
+         |  JOIN deg d ON d.u = e.u
+         |  GROUP BY e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${jaccardCtes(capFrac)},
+       |pairs AS (
+       |  SELECT da, db
+       |  FROM common
+       |  JOIN sizes sa ON sa.doc_id = da
+       |  JOIN sizes sb ON sb.doc_id = db
+       |  WHERE c * 1.0 / (sa.n + sb.n - c) >= $tau),
+       |edges AS (SELECT da AS u, db AS v FROM pairs
+       |          UNION ALL SELECT db, da FROM pairs),
+       |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+       |r0 AS (SELECT u AS doc_id, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$steps
+       |SELECT s.doc_id, d.d AS degree, s.r AS rank_ppm
+       |FROM step$iters s JOIN deg d ON d.u = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // ---- MinHash + LSH ----
   // 64 hash "permutations" h_i(x) = xxhash64(x, i) over xxhash64(shingle),
   // banded 16×4. Re-hashing with the index as salt avoids 64-bit multiply

@@ -1252,6 +1252,15 @@ object PipelineQueries {
            |ORDER BY q_permille""".stripMargin)
     }),
 
+    // ---- near-dup graph centrality (r14): integer-ppm PageRank over
+    //      the τ-thresholded Jaccard pairs — rank which copy of a
+    //      template family is canonical; edges from the same capped
+    //      pair machinery as p02, 5 unrolled power steps ----
+    "p96_graph_rank" -> ((s, dir) => {
+      DedupOps.jaccardPageRank(
+        Tables.loadSpread(s, dir, "documents"), NearDupTau)
+    }),
+
     // ---- hybrid retrieval (r14): dense cosine + sparse BM25
     //      more-like-this fused by reciprocal rank (integer micro-unit
     //      RRF, k_rrf = 60); seeds are doc/vec ids 0..4 — the aligned
@@ -1780,6 +1789,7 @@ object PipelineQueries {
          |${SketchOps.hllSummarySql("events", "CAST(event_id AS VARCHAR)")})""".stripMargin,
     "p91_cms_heavy_hitters" -> SketchOps.cmsHeavyHittersSql("documents"),
     "p95_hybrid_rrf" -> SearchOps.hybridRrfSql(nSeeds = 5, k = 10),
+    "p96_graph_rank" -> DedupOps.jaccardPageRankSql(NearDupTau),
     "p92_hdr_quantiles" -> SketchOps.hdrQuantilesSql("events", "value"),
     "p93_sql_cms" -> SketchOps.cmsProbeSql("documents"),
     // p94 shares p92's oracle BY DESIGN: the SQL scalar face and the

@@ -105,6 +105,33 @@ class ChJsonRawSpec extends SparkSpec {
     assert(ty("{bad") == "Null")
   }
 
+  test("JSONExtractRaw: adversarial shapes — array roots, unicode keys, deep paths") {
+    // array at the root, positive and negative indices
+    assert(raw("[1, 2, 3]", ", 1") == "1")
+    assert(raw("[1, 2, 3]", ", -1") == "3")
+    // mixed-step deep path: key → index → key
+    assert(raw("""{"a": [{"b": 2}, {"b": 3}]}""", ", 'a', 2, 'b'") == "3")
+    // a \u-escaped KEY matches its unescaped argument (built by string
+    // concat so Scala's own source-level \u processing stays out of it)
+    val uniKeyDoc = "{\"" + "\\" + "u0061\": 1, \"b\": 2}"
+    assert(raw(uniKeyDoc, ", 'a'") == "1")
+    // a string-typed KEY argument is a key even on an array → miss
+    assert(raw("[1, 2]", ", '1'") == "")
+    // an index step on a scalar → miss
+    assert(raw("""{"a": 5}""", ", 'a', 1") == "")
+    // duplicate keys: first match wins (simdjson on-demand order)
+    assert(raw("""{"k": 1, "k": 2}""", ", 'k'") == "1")
+    // whitespace-only document is not a value
+    assert(raw("   ") == "")
+    // deep nesting survives the recursive validator
+    val deep = "[" * 50 + "1" + "]" * 50
+    assert(raw(deep, ", 1, 1, 1") == "[" * 47 + "1" + "]" * 47)
+    // empty containers
+    assert(raw("{}") == "{}")
+    assert(raw("[]", ", 1") == "")
+    assert(one("JSONType('{}')") == "Object")
+  }
+
   test("the trio stays inside whole-stage codegen (no UDF boundary)") {
     // a non-constant document (id-dependent) so constant folding can't
     // evaluate the trio at optimization time — the * (codegen) marker

@@ -750,4 +750,27 @@ class DedupOpsSpec extends SparkSpec {
       .digest(s.getBytes("UTF-8"))
     d.map("%02x".format(_)).mkString
   }
+
+  test("jaccardPageRank: hand-computed integer power steps on a star (r14)") {
+    import spark.implicits._
+    // S (doc 0) shares exactly 2 of its 6 shingles with each arm; the
+    // arms share nothing: edges S–A and S–B only (τ = 0.2 → j = 0.25)
+    val docs = Seq(
+      (0L, "a1 a2 a3 a4 b1 b2 b3 b4"),
+      (1L, "a1 a2 a3 a4 a5 a6"),
+      (2L, "b1 b2 b3 b4 b5 b6"),
+      (3L, "zz yy xx ww vv uu")). // no edge: absent from the output
+      toDF("doc_id", "text")
+    val r = DedupOps.jaccardPageRank(docs, tau = 0.2, iters = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // by hand: r0 = 1e6 everywhere; iter 1: S gets 1e6 from each arm →
+    // 150000 + 850*2000000 DIV 1000 = 1850000; arms get S's 500000
+    // share → 575000. iter 2: S share 925000, arm share 575000 →
+    // S = 150000 + 850*1150000 DIV 1000 = 1127500,
+    // arms = 150000 + 850*925000 DIV 1000 = 936250.
+    assert(r(0L) == (2L, 1127500L), r.toString)
+    assert(r(1L) == (1L, 936250L), r.toString)
+    assert(r(2L) == (1L, 936250L), r.toString)
+    assert(!r.contains(3L), r.toString)
+  }
 }
