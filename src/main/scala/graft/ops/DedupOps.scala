@@ -693,6 +693,94 @@ object DedupOps {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — r14, p97): per document, hash the POSITIONAL word
+    * n-grams (the same gram text as [[shingles]], duplicates and order
+    * kept), slide a window of `w` consecutive hashes, select each
+    * window's MINIMUM, and emit the distinct selected values — the
+    * guarantee the paper proves: any shared run of ≥ w + n − 1 tokens
+    * between two documents shares at least one fingerprint, while the
+    * fingerprint density stays ~2/(w+1) of the grams. This is the
+    * standard plagiarism/attribution primitive — positional, unlike
+    * p02's set-Jaccard or p03's MinHash, so it localizes COPIED RUNS
+    * rather than whole-document similarity.
+    *
+    * The hash is the 24-bit md5 prefix (the pplBucket device, full
+    * width) — engine-identical by spelling, not by library. Map-only:
+    * one projection per document, no shuffle. */
+  def winnowFingerprints(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    // separate projections per the shingles() note: tokens and the
+    // gram array are multi-referenced non-cheap expressions
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
+      .select(col("doc_id"),
+        graft.functions.TextExprs.ngrams(col("__w"), n).as("__g"))
+      .select(col("doc_id"), transform(col("__g"),
+        g => conv(substring(md5(g), 1, 6), 16, 10).cast("long")).as("__h"))
+      .select(col("doc_id"),
+        when(size(col("__h")) >= 1,
+          array_distinct(transform(
+            sequence(lit(1), greatest(size(col("__h")) - lit(w - 1), lit(1))),
+            i => array_min(slice(col("__h"), i, lit(w))))))
+          .otherwise(array().cast("array<bigint>")).as("fps"))
+  }
+
+  /** Cross-document winnowing matches: pairs sharing ≥ `minMatch`
+    * fingerprints with the shared count — copied-run detection. The
+    * fingerprint join carries the p02 df-cap device (a window count
+    * riding the join's own shuffle) so a boilerplate fingerprint every
+    * document contains can never quadratic-blow the pair space. */
+  def winnowMatches(docs: DataFrame, n: Int = 3, w: Int = 4,
+                    minMatch: Long = 2, maxDf: Long = StopShingleMaxDf): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inst = winnowFingerprints(docs, n, w)
+      .select(col("doc_id"), explode(col("fps")).as("f"))
+    val kept = inst
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("f")))
+      .filter(col("c") <= maxDf)
+      .select("doc_id", "f")
+    kept.as("a").join(kept.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= minMatch)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** DuckDB oracle for [[winnowMatches]] — same grams, same 24-bit md5
+    * prefix, same clamped window minima, same df cap and pair count. */
+  def winnowMatchesSql(n: Int = 3, w: Int = 4, minMatch: Long = 2,
+                       maxDf: Long = StopShingleMaxDf,
+                       table: String = "documents"): String = {
+    require(n == 3, "oracle spells the 3-gram form (like shingleCtes)")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |grams AS (
+       |  SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 1)),
+       |    i -> w[i]||' '||w[i+1]||' '||w[i+2]) g
+       |  FROM toks),
+       |hs AS (
+       |  SELECT doc_id, list_transform(g,
+       |    x -> (('0x'||substr(md5(x), 1, 6))::UBIGINT)::BIGINT) h
+       |  FROM grams),
+       |fps AS (
+       |  SELECT doc_id, CASE WHEN len(h) >= 1 THEN
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(h) - ${w - 1}, 1) + 1),
+       |      i -> list_aggregate(list_slice(h, i, i + ${w - 1}), 'min')))
+       |    ELSE []::BIGINT[] END f
+       |  FROM hs),
+       |inst AS (SELECT doc_id, unnest(f) AS f FROM fps),
+       |df AS (SELECT f, count(*) AS c FROM inst GROUP BY f),
+       |kept AS (
+       |  SELECT inst.doc_id, inst.f FROM inst JOIN df USING (f)
+       |  WHERE df.c <= $maxDf)
+       |SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_match
+       |FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= $minMatch
+       |ORDER BY da, db""".stripMargin
+  }
+
   // ---- MinHash + LSH ----
   // 64 hash "permutations" h_i(x) = xxhash64(x, i) over xxhash64(shingle),
   // banded 16×4. Re-hashing with the index as salt avoids 64-bit multiply

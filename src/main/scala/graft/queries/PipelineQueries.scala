@@ -1261,6 +1261,13 @@ object PipelineQueries {
         Tables.loadSpread(s, dir, "documents"), NearDupTau)
     }),
 
+    // ---- winnowing fingerprint matches (r14): MOSS-style positional
+    //      copied-run detection — window-min 24-bit md5 grams, df-cap,
+    //      pairs sharing >= 2 fingerprints ----
+    "p97_winnowing" -> ((s, dir) => {
+      DedupOps.winnowMatches(Tables.loadSpread(s, dir, "documents"))
+    }),
+
     // ---- hybrid retrieval (r14): dense cosine + sparse BM25
     //      more-like-this fused by reciprocal rank (integer micro-unit
     //      RRF, k_rrf = 60); seeds are doc/vec ids 0..4 — the aligned
@@ -1790,6 +1797,7 @@ object PipelineQueries {
     "p91_cms_heavy_hitters" -> SketchOps.cmsHeavyHittersSql("documents"),
     "p95_hybrid_rrf" -> SearchOps.hybridRrfSql(nSeeds = 5, k = 10),
     "p96_graph_rank" -> DedupOps.jaccardPageRankSql(NearDupTau),
+    "p97_winnowing" -> DedupOps.winnowMatchesSql(),
     "p92_hdr_quantiles" -> SketchOps.hdrQuantilesSql("events", "value"),
     "p93_sql_cms" -> SketchOps.cmsProbeSql("documents"),
     // p94 shares p92's oracle BY DESIGN: the SQL scalar face and the

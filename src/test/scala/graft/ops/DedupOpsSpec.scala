@@ -751,6 +751,33 @@ class DedupOpsSpec extends SparkSpec {
     d.map("%02x".format(_)).mkString
   }
 
+  test("winnowing: a copied run of w+n-1 tokens always shares a fingerprint (r14)") {
+    import spark.implicits._
+    // w = 4, n = 3 → the paper's guarantee threshold is 6 tokens
+    val run = "copy me exactly six shared tokens"      // 6 tokens
+    val docs = Seq(
+      (0L, s"alpha beta $run gamma delta"),
+      (1L, s"one two three $run four five six seven"),
+      (2L, "totally disjoint vocabulary with nothing in common here"),
+      (3L, "")).toDF("doc_id", "text")
+    val fps = DedupOps.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      s"guaranteed shared fingerprint missing: ${fps(0L)} vs ${fps(1L)}")
+    assert(fps(3L).isEmpty, "empty text -> no fingerprints")
+    val m = DedupOps.winnowMatches(docs, minMatch = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m.contains((0L, 1L)), m.toString)
+    assert(!m.keySet.exists { case (a, b) => a == 2L || b == 2L },
+      "disjoint doc must not match")
+    // density: far fewer fingerprints than grams (~2/(w+1) of them)
+    val longDoc = Seq((9L, (1 to 200).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val nf = DedupOps.winnowFingerprints(longDoc).collect()(0)
+      .getSeq[Long](1).size
+    assert(nf < 198 / 2, s"winnowing must thin the grams, got $nf of 198")
+  }
+
   test("jaccardPageRank: hand-computed integer power steps on a star (r14)") {
     import spark.implicits._
     // S (doc 0) shares exactly 2 of its 6 shingles with each arm; the
