@@ -716,12 +716,14 @@ object DedupOps {
         graft.functions.TextExprs.ngrams(col("__w"), n).as("__g"))
       .select(col("doc_id"), transform(col("__g"),
         g => conv(substring(md5(g), 1, 6), 16, 10).cast("long")).as("__h"))
+      // selection step as ONE compiled pass (monotonic deque): the
+      // composed array_distinct∘transform∘array_min∘slice spelling is
+      // O(len·w) interpreted with a slice allocation per window — the
+      // r14 mid-round bench measured it at 21 s for p97 at sf0.1;
+      // WinnowMins is byte-identical (WordNGramsSpec pins it against
+      // the composed form) and O(len)
       .select(col("doc_id"),
-        when(size(col("__h")) >= 1,
-          array_distinct(transform(
-            sequence(lit(1), greatest(size(col("__h")) - lit(w - 1), lit(1))),
-            i => array_min(slice(col("__h"), i, lit(w))))))
-          .otherwise(array().cast("array<bigint>")).as("fps"))
+        graft.functions.TextExprs.winnowMins(col("__h"), w).as("fps"))
   }
 
   /** Cross-document winnowing matches: pairs sharing ≥ `minMatch`

@@ -454,6 +454,20 @@ object RelationalQueries {
           |    '_000') AS DOUBLE)) AS srch
           |FROM customer ORDER BY c_custkey""".stripMargin)
     }),
+
+    // ---- r14 render/exp builders, oracle-gated: DuckDB's own bar()
+    //      renders the identical eighth-block string (probed across
+    //      every residue; only its space-padding differs — rtrim'd in
+    //      the oracle), roundToExp2 replays as 1 << (bits-1) via
+    //      bin(), intExp10 as the literal '1' + zeros string ----
+    "q26_render_funcs" -> ((s, dir) => {
+      Tables.views(s, dir).sql(
+        """SELECT c_custkey,
+          |  bar(c_custkey % 7, 0, 7, 10) AS b,
+          |  roundToExp2(c_custkey) AS r2,
+          |  CAST(intExp10(CAST(c_custkey % 20 AS INT)) AS STRING) AS e10
+          |FROM customer ORDER BY c_custkey""".stripMargin)
+    }),
   )
 
   /** q25's rendered ngram artifact: the same kernel the expressions
@@ -535,6 +549,14 @@ object RelationalQueries {
          |  n.srch AS srch
          |FROM customer JOIN nmap n ON (c_custkey % 64) = n.m
          |ORDER BY c_custkey""".stripMargin,
+    "q26_render_funcs" ->
+      """SELECT c_custkey,
+        |  rtrim(bar(c_custkey % 7, 0, 7, 10)) AS b,
+        |  CASE WHEN c_custkey < 1 THEN CAST(0 AS BIGINT)
+        |       ELSE (CAST(1 AS BIGINT) << (length(bin(c_custkey)) - 1))
+        |  END AS r2,
+        |  '1' || repeat('0', CAST(c_custkey % 20 AS INT)) AS e10
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q22_sequence_match" ->
       """WITH seqs AS (
         |  SELECT user_id, count(*) AS n_events,

@@ -74,6 +74,33 @@ class FunctionsSpec extends SparkSpec {
       scala.collection.mutable.ArraySeq("a b", "b c"))
   }
 
+  test("WinnowMins is byte-identical to the composed HOF spelling (r14)") {
+    import org.apache.spark.sql.functions._
+    // 300 random arrays across the edge lengths (0, < w, = w, >> w)
+    // with a small value domain so duplicate minima exercise the
+    // distinct/first-occurrence path
+    val rnd = new scala.util.Random(42)
+    val w = 4
+    val arrays: Seq[Seq[Long]] = (0 until 300).map { i =>
+      val len = i % 30
+      Seq.fill(len)(rnd.nextInt(12).toLong)
+    }
+    import spark.implicits._
+    val df = arrays.map(a => Tuple1(a)).toDF("h")
+    val both = df.select(
+      graft.functions.TextExprs.winnowMins(col("h"), w).as("kernel"),
+      when(size(col("h")) >= 1,
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("h")) - lit(w - 1), lit(1))),
+          i => array_min(slice(col("h"), i, lit(w))))))
+        .otherwise(array().cast("array<bigint>")).as("composed"))
+      .collect()
+    both.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"row $i: kernel=${r.getSeq[Long](0)} composed=${r.getSeq[Long](1)}")
+    }
+  }
+
   test("dotl is SQL-callable and exact on bigint arrays") {
     assert(one("dotl(array(1L, -2L, 3L), array(4L, 5L, -6L))") == -24L)
   }
