@@ -22,11 +22,15 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // "10x" derives (or reuses) Bench's scaled corpus from sf0.1 so sf1
+    // hot spots can be profiled outside a full bench run
+    val dir = if (sfDir == "10x") BenchData.ensureScaled(spark, "/root/testdata/sf0.1")
+              else sfDir
     val fn = SparkEntry.queries(name)
-    fn(spark, sfDir).explain("formatted")
+    fn(spark, dir).explain("formatted")
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
-      val df = fn(spark, sfDir)
+      val df = fn(spark, dir)
       val t1 = System.nanoTime()
       df.queryExecution.executedPlan // force analysis + optimization
       val t2 = System.nanoTime()
