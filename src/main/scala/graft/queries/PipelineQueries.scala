@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{AsOfJoin, BpeOps, CorpusPipeline, DedupOps, IncrementalCorpus, LayoutOps, MediaGen, MixOps, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, RangeJoin, SampleOps, SearchOps, Sessionize, ShardOps, SimilarityOps, SketchOps, TextOps, TimeSeriesOps, TokenizerEval}
+import graft.ops.{AsOfJoin, BpeOps, CorpusPipeline, DedupOps, IncrementalCorpus, LayoutOps, MediaGen, MixOps, ModelOps, MultimodalOps, OracleSql, PackOps, PiiOps, PrefOps, RangeJoin, SampleOps, SearchOps, Sessionize, ShardOps, SimilarityOps, SketchOps, TextOps, TimeSeriesOps, TokenizerEval}
 
 /** LLM-training-data pipeline operators as driver-contract queries
   * (dedup family, similarity search, text analysis, multimodal plumbing).
@@ -1268,6 +1268,15 @@ object PipelineQueries {
       DedupOps.winnowMatches(Tables.loadSpread(s, dir, "documents"))
     }),
 
+    // ---- pairwise-preference aggregation (r14): Bradley–Terry item
+    //      strengths over synthesized source-vs-source arena matches
+    //      (adjacent-doc pairing, quality-score outcome); integer-ppm
+    //      MM iterations so the distributed Σ is order-invariant ----
+    "p98_bradley_terry" -> ((s, dir) => {
+      PrefOps.bradleyTerry(
+        PrefOps.syntheticMatches(Tables.loadSpread(s, dir, "documents")))
+    }),
+
     // ---- hybrid retrieval (r14): dense cosine + sparse BM25
     //      more-like-this fused by reciprocal rank (integer micro-unit
     //      RRF, k_rrf = 60); seeds are doc/vec ids 0..4 — the aligned
@@ -1798,6 +1807,7 @@ object PipelineQueries {
     "p95_hybrid_rrf" -> SearchOps.hybridRrfSql(nSeeds = 5, k = 10),
     "p96_graph_rank" -> DedupOps.jaccardPageRankSql(NearDupTau),
     "p97_winnowing" -> DedupOps.winnowMatchesSql(),
+    "p98_bradley_terry" -> PrefOps.bradleyTerrySql(),
     "p92_hdr_quantiles" -> SketchOps.hdrQuantilesSql("events", "value"),
     "p93_sql_cms" -> SketchOps.cmsProbeSql("documents"),
     // p94 shares p92's oracle BY DESIGN: the SQL scalar face and the
