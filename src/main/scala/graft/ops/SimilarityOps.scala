@@ -624,6 +624,128 @@ object SimilarityOps {
        |WHERE rk <= $n ORDER BY cell, rk""".stripMargin
   }
 
+  // ---- margin-based aligned-pair mining (bitext-mining prep) ----
+
+  /** Mine ALIGNED PAIRS across two corpus sides with the margin
+    * criterion (r14, p99) — the bitext-mining primitive behind
+    * CCMatrix/CCAligned/LASER (Artetxe & Schwenk 2019): absolute cosine
+    * over-claims in dense hubs and under-claims for isolated pairs, so
+    * each candidate pair is scored by its cosine RELATIVE to both
+    * endpoints' neighborhoods,
+    *
+    *   margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+    *
+    * and a pair is mined when x's best match y clears a margin
+    * threshold. Sides here are `label % 2` over the embeddings corpus
+    * (the "two languages"); k-NN neighborhoods come through the SHARED
+    * persisted IVF index in BOTH directions (A probes B's cells, B
+    * probes A's — two instances of the p13 probe plan, never
+    * all-pairs).
+    *
+    * Arithmetic: cosines quantize to integer µ-units
+    * (floor(sim · 10⁶) — the p95 RRF discipline) BEFORE any Σ, so
+    * neighborhood sums are order-invariant, and the margin is one
+    * integer expression
+    *
+    *   margin_ppm = (cosµ · 2·kA·kB · 10⁶) DIV (ΣAµ·kB + ΣBµ·kA)
+    *
+    * (cross-multiplied so the two avg divisions never leave integers;
+    * kA/kB are each side's FOUND neighbor counts, ≤ k, so sparse
+    * IVF cells degrade exactly like the published method — average
+    * over what was retrieved). Positive-denominator guard in both
+    * engines: an all-negative neighborhood has no meaningful margin.
+    *
+    * Scale shape: two probe joins (each O(side · nprobe) fan-out into
+    * cell-bounded candidate sets), two rank windows keyed by qid, one
+    * broadcast-sized join to stitch the reverse sums onto forward best
+    * matches. Margins and sums are per-vector rows — nothing grows
+    * past O(corpus · k). */
+  def marginMiningFrom(centers: DataFrame, labeled: DataFrame,
+                       emb: DataFrame, k: Int, nprobe: Int,
+                       minMarginPpm: Long): DataFrame = {
+    val sided = labeled.select(col("vec_id").as("nid"), col("nvec").as("nv"),
+      col("cell"), pmod(col("label"), lit(2)).as("nside"))
+    // per-direction candidates: side s queries probe the OTHER side's
+    // cell-pruned vectors; rank + µ-quantized cosine per candidate
+    def cands(side: Int): DataFrame = {
+      val q = emb.filter(pmod(col("label"), lit(2)) === side)
+      val probes = probeCellsFrom(centers, q, nprobe)
+      val scored = probes.join(sided.filter(col("nside") === (1 - side)), Seq("cell"))
+        .select(col("qid"), col("nid"), dotf(col("qv"), col("nv")).as("sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("qid"), col("nid"), col("rn"),
+          floor(col("sim") * lit(1000000.0)).as("cosu"))
+    }
+    val ab = cands(0)
+    val ba = cands(1)
+    val sumA = ab.groupBy(col("qid"))
+      .agg(sum(col("cosu")).as("suma"), count(lit(1)).as("ka"))
+    val sumB = ba.groupBy(col("qid"))
+      .agg(sum(col("cosu")).as("sumb"), count(lit(1)).as("kb"))
+    ab.filter(col("rn") === 1)
+      .join(sumA, Seq("qid"))
+      .join(sumB.withColumnRenamed("qid", "nid"), Seq("nid"))
+      .filter(expr("suma * kb + sumb * ka") > 0)
+      .select(col("qid"), col("nid"), col("cosu"),
+        expr("(cosu * 2 * ka * kb * 1000000) DIV (suma * kb + sumb * ka)")
+          .as("margin_ppm"))
+      .filter(col("margin_ppm") >= minMarginPpm)
+      .orderBy(col("qid"))
+  }
+
+  /** DuckDB oracle for [[marginMiningFrom]]: both directions' probe
+    * replays from the rendered centroids, the same µ-quantization,
+    * neighborhood sums, and integer margin. */
+  def marginMiningSql(centers: Seq[Array[Double]], k: Int, nprobe: Int,
+                      minMarginPpm: Long): String = {
+    val values = centersValuesSql(centers)
+    s"""WITH centers(cell, cv, hn2) AS (VALUES $values),
+       |nv AS (
+       |  $NormalizedCorpusSql
+       |), cellrank AS (
+       |  SELECT nv.vec_id, nv.v, c.cell,
+       |    row_number() OVER (PARTITION BY nv.vec_id
+       |      ORDER BY (list_inner_product(nv.v, c.cv) - c.hn2) DESC, c.cell) AS cr
+       |  FROM nv, centers c
+       |), sided AS (
+       |  SELECT cr.vec_id AS nid, cr.v AS nv, cr.cell, e.label % 2 AS nside
+       |  FROM cellrank cr JOIN embeddings e ON e.vec_id = cr.vec_id
+       |  WHERE cr.cr = 1
+       |), probes AS (
+       |  SELECT cr.vec_id AS qid, cr.v AS qv, e.label % 2 AS qside, cr.cell
+       |  FROM cellrank cr JOIN embeddings e ON e.vec_id = cr.vec_id
+       |  WHERE cr.cr <= $nprobe
+       |), cand AS (
+       |  SELECT qid, qside, nid, rn,
+       |    CAST(floor(sim * 1000000.0) AS BIGINT) AS cosu
+       |  FROM (
+       |    SELECT p.qid, p.qside, s.nid, list_inner_product(p.qv, s.nv) AS sim,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY list_inner_product(p.qv, s.nv) DESC, s.nid) AS rn
+       |    FROM probes p JOIN sided s USING (cell)
+       |    WHERE s.nside = 1 - p.qside) t
+       |  WHERE rn <= $k
+       |), suma AS (
+       |  SELECT qid, CAST(sum(cosu) AS BIGINT) AS suma, count(*) AS ka
+       |  FROM cand WHERE qside = 0 GROUP BY qid
+       |), sumb AS (
+       |  SELECT qid, CAST(sum(cosu) AS BIGINT) AS sumb, count(*) AS kb
+       |  FROM cand WHERE qside = 1 GROUP BY qid
+       |)
+       |SELECT c.qid, c.nid, c.cosu,
+       |  (c.cosu * 2 * a.ka * b.kb * 1000000) // (a.suma * b.kb + b.sumb * a.ka)
+       |    AS margin_ppm
+       |FROM cand c
+       |JOIN suma a ON a.qid = c.qid
+       |JOIN sumb b ON b.qid = c.nid
+       |WHERE c.qside = 0 AND c.rn = 1
+       |  AND a.suma * b.kb + b.sumb * a.ka > 0
+       |  AND (c.cosu * 2 * a.ka * b.kb * 1000000) //
+       |      (a.suma * b.kb + b.sumb * a.ka) >= $minMarginPpm
+       |ORDER BY c.qid""".stripMargin
+  }
+
   /** ANN top-k with Hamming-1 multi-probe: each query probes its own
     * bucket plus the `planes` buckets one sign-flip away — recall
     * recovers near-boundary neighbors while still pruning most of the

@@ -1300,6 +1300,20 @@ object PipelineQueries {
           round(col("sim"), 4).as("sim"), col("rn"))
         .orderBy(col("qid"), col("rn"))
     }),
+
+    // ---- margin-based aligned-pair mining (r14): the CCMatrix/LASER
+    //      bitext primitive — best cross-side match per vector, kept
+    //      when its cosine clears both endpoints' neighborhood average
+    //      (integer-ppm margin through the shared IVF index) ----
+    "p99_margin_mining" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
+      marginCenters.set(km.clusterCenters.map(_.toArray))
+      val labeled = assigned.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      SimilarityOps.marginMiningFrom(
+        SimilarityOps.centersOf(km, s), labeled, emb,
+        k = 4, nprobe = 4, minMarginPpm = MarginMinPpm)
+    }),
   )
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
@@ -1587,6 +1601,14 @@ object PipelineQueries {
   private val hardNegCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** p99's probe centroids (same shared quantizer, own capture). */
+  private val marginCenters =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
+  /** p99 margin threshold: pairs must beat their two neighborhoods'
+    * average cosine (margin > 1.0) with 2% headroom. */
+  val MarginMinPpm = 1020000L
+
   /** p62's persisted snapshot state, built ONCE per corpus dir: the
     * already-clustered 60%'s label map and shingle rows as parquet
     * artifacts (data-adaptive split so the scenario — most of the
@@ -1758,6 +1780,9 @@ object PipelineQueries {
     Option(hardNegCenters.get()).map(c =>
       "p57_hard_negatives" -> SimilarityOps.hardNegativesSql(c.toSeq, k = 10,
         nprobe = 4, maxQid = 8)) ++
+    Option(marginCenters.get()).map(c =>
+      "p99_margin_mining" -> SimilarityOps.marginMiningSql(c.toSeq, k = 4,
+        nprobe = 4, MarginMinPpm)) ++
     Option(unigramPieces.get()).map(p =>
       "p60_unigram_train" -> graft.ops.UnigramOps.trainTableSql(p.toSeq)) ++
     Option(unigramEncPieces.get()).map(p =>

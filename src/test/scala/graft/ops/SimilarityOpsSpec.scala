@@ -298,4 +298,42 @@ class SimilarityOpsSpec extends SparkSpec {
       .select($"qid", $"nid").as[(Long, Long)].collect().toSet
     assert(mined == brute)
   }
+
+  // ---- margin-based aligned-pair mining (p99) ----
+
+  test("margin mining: isolated aligned pair out-margins an equally-close hub") {
+    val rnd = new scala.util.Random(23)
+    val dims = 8
+    def noise() = Array.fill(dims)(rnd.nextFloat() * 2 - 1)
+    // planted aligned pair: 100 (side 0) / 101 (side 1), both pointing
+    // up a direction the random cloud barely uses
+    val aligned = Array(0f, 0f, 0f, 0f, 0f, 0f, 5f, 5f)
+    def jitter(v: Array[Float]) = v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    // planted hub: 200 (side 0) inside a tight cluster of side-1 vectors
+    // 201..205 — best cosine just as high, but the whole neighborhood is
+    val hub = Array(5f, 5f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val rows =
+      (0L until 80L).map(i => (i, noise(), (i % 4).toInt)) ++
+        Seq((100L, jitter(aligned), 0), (101L, jitter(aligned), 1)) ++
+        Seq((200L, jitter(hub), 0)) ++
+        (201L to 205L).map(i => (i, jitter(hub), 1))
+    val corpus = rows.toDF("vec_id", "embedding", "label")
+    val (km, assigned) = SimilarityOps.ivfIndex(corpus, nlist = 4)
+    val labeled = assigned.select("vec_id", "nvec", "cell")
+      .join(corpus.select("vec_id", "label"), "vec_id")
+    val mined = SimilarityOps.marginMiningFrom(
+      SimilarityOps.centersOf(km, spark), labeled, corpus,
+      k = 4, nprobe = 4, minMarginPpm = 0L)
+      .select($"qid", $"nid", $"margin_ppm")
+      .as[(Long, Long, Long)].collect()
+    val byQ = mined.map(r => r._1 -> r).toMap
+    // the planted pair is each other's best match
+    assert(byQ(100L)._2 == 101L, byQ.get(100L))
+    // relative scoring is the method's point: the isolated pair clears
+    // the hub even though both best cosines are ~1
+    assert(byQ(100L)._3 > byQ(200L)._3, (byQ(100L), byQ(200L)))
+    // every mined pair crosses sides
+    val lbl = corpus.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    assert(mined.forall { case (q, n, _) => lbl(q) % 2 != lbl(n) % 2 })
+  }
 }
