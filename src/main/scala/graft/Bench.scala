@@ -68,7 +68,11 @@ object Bench {
     // d·w CMS counters / ≤1.5 k HDR buckets), so their ratios must stay
     // ≲ the scan's own linearity; a ratio near 10 means a partial
     // combine stopped combining
-    "p89_hll_distinct", "p90_sql_hll", "p93_sql_cms", "p94_sql_hdr")
+    "p89_hll_distinct", "p90_sql_hll", "p93_sql_cms", "p94_sql_hdr",
+    // r14: the new aggregation faces — p98's MM iterations must stay
+    // O(item-pair cells) past the one match-collapse shuffle, and
+    // p99's two probe plans must ride the IVF cell bound, not corpus²
+    "p98_bradley_terry", "p99_margin_mining")
 
   private def session(cpus: String): SparkSession = {
     val spark = SparkSession.builder()

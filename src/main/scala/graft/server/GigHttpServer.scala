@@ -32,7 +32,7 @@ import graft.pruning.{Pruning, QueryViews}
   *  - POST /gigapi/create — create-table DDL (JSON, or the reference's
   *    YAML shape — F8 subset)
   *  - POST /gigapi/artifacts?db=… {"kind": "cluster_map"|"ivf"|"pq"|
-  *    "bloom"|"bpe"|"unigram"|"nb"|"ppl"|"bm25"|"cms"|"hdr", "table": …} — train a
+  *    "bloom"|"bpe"|"unigram"|"nb"|"ppl"|"bm25"|"cms"|"hdr"|"bt", "table": …} — train a
   *    pipeline artifact over an ingested table IN THE BACKGROUND
   *    (202 + {"job": id}; GET /gigapi/artifacts/{id} polls; {"sync":
   *    true} builds inline for tests) and publish it onto the SQL
@@ -314,7 +314,7 @@ final class GigHttpServer(spark: SparkSession, root: String,
   /** Artifact kinds the endpoint can build (class doc). */
   private val ArtifactKinds = Set(
     "cluster_map", "ivf", "pq", "bloom", "bpe", "unigram", "nb", "ppl", "bm25",
-    "cms", "hdr")
+    "cms", "hdr", "bt")
 
   /** POST: validate cheaply (kind, table existence), enqueue the build
     * on the background pool, answer 202 `{"job": id}` immediately —
@@ -464,6 +464,18 @@ final class GigHttpServer(spark: SparkSession, root: String,
           case _ =>
         }
       }
+    }
+    if (kind == "bt") {
+      // same request-shape discipline as hdr: a mistyped {"by": ...}
+      // is the caller's 400 on the POST (spec-declared columns decide
+      // without a Spark job; spec-less/external tables backstop at
+      // build time)
+      val by = jsonStr(j, "by").getOrElse("source")
+      val specCols = if (spec.dataUrl.isEmpty) spec.columns else Nil
+      if (specCols.nonEmpty && !by.equalsIgnoreCase("__timestamp") &&
+          !specCols.exists(_._1.equalsIgnoreCase(by)))
+        throw new BadRequest(
+          s"""bt: no column '$by' in $db.$table (pass {"by": "..."})""")
     }
     val sync = j \ "sync" match { case JBool(b) => b; case _ => false }
     if (sync) respond(ex, 200,
@@ -707,6 +719,23 @@ final class GigHttpServer(spark: SparkSession, root: String,
           .coalesce(1).write.mode("overwrite").parquet(outDir)
         finish("column" -> JsonOut.str(column))
 
+      case "bt" =>
+        // Bradley–Terry strengths over synthesized source-vs-source
+        // matches (p98's semantics): the arena-leaderboard artifact —
+        // one integer-ppm strength row per item; the corpus is not
+        // needed to serve the table once built
+        val by = str("by").getOrElse("source")
+        val f = base.schema.fields.find(_.name.equalsIgnoreCase(by))
+          .getOrElse(throw new IllegalArgumentException(
+            s"bt: no column '$by' in $db.$table (pass {\"by\": \"...\"})"))
+        val id = str("id").getOrElse("doc_id")
+        val text = str("text").getOrElse("text")
+        val docs = base.select(col(id).cast("long").as("doc_id"),
+          col(text).as("text"), col(s"`${f.name}`").cast("string").as("source"))
+        graft.ops.PrefOps.bradleyTerry(graft.ops.PrefOps.syntheticMatches(docs))
+          .coalesce(1).write.mode("overwrite").parquet(outDir)
+        finish("by" -> JsonOut.str(by))
+
       case other => throw new IllegalArgumentException(
         s"unknown artifact kind '$other' (${ArtifactKinds.mkString(" | ")})")
     }
@@ -818,6 +847,10 @@ final class GigHttpServer(spark: SparkSession, root: String,
         Seq("views" -> s"""["${prefix}_bm25_df","${prefix}_bm25_totals"]""",
           "function" -> JsonOut.str(fn),
           "vocab" -> model.df.size.toString, "n" -> model.n.toString)
+
+      case "bt" =>
+        views.publishArtifactView(s"${prefix}_bt_strengths", outDir)
+        Seq("view" -> JsonOut.str(s"${prefix}_bt_strengths"))
 
       case "cms" =>
         views.publishArtifactView(s"${prefix}_cms_counters", outDir)

@@ -655,6 +655,32 @@ class GigHttpServerSpec extends SparkSpec {
     assert(bad.statusCode() == 400 && bad.body().contains("literal"), bad.body())
   }
 
+  test("bt artifact: Bradley-Terry leaderboard view through /query SQL") {
+    // adjacent doc_ids alternate sources; s1's texts are long (higher
+    // heuristic quality), s2's short — s1 must out-rank s2
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val lines = (0 until 8).map { i =>
+      val (src, txt) = if (i % 2 == 0) ("s1", long.trim) else ("s2", "tiny text")
+      s"""bdocs doc_id=${i}i,text="$txt",source="$src""""
+    }.mkString("\n")
+    assert(post("/write?db=arena", lines).statusCode() == 204)
+    val bt = post("/gigapi/artifacts?db=arena",
+      """{"kind": "bt", "table": "bdocs", "sync": true}""")
+    assert(bt.statusCode() == 200 && bt.body().contains("arena_bdocs_bt_strengths"),
+      bt.body())
+    val q = post("/query?db=arena",
+      """{"query": "SELECT source, strength_ppm FROM arena_bdocs_bt_strengths ORDER BY strength_ppm DESC"}""")
+    assert(q.statusCode() == 200, q.body())
+    val body = q.body()
+    // s1 first (all wins), s2 floored at 1 ppm (never wins)
+    assert(body.indexOf("\"s1\"") < body.indexOf("\"s2\""), body)
+    assert(body.contains(""""strength_ppm":"1""""), body)
+    // a bad "by" column answers 400 with the gap named
+    val bad = post("/gigapi/artifacts?db=arena",
+      """{"kind": "bt", "table": "bdocs", "by": "nope", "sync": true}""")
+    assert(bad.statusCode() == 400 && bad.body().contains("nope"), bad.body())
+  }
+
   test("cms/hdr artifacts: sketch state views + bound scalars through /query SQL") {
     // cms: the 2 MB frequency service — point df estimates with the
     // corpus dropped; hdr: sort-free percentiles from ≤1.5 k buckets
