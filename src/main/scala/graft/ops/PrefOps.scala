@@ -71,17 +71,20 @@ object PrefOps {
     val wins = dir.groupBy(col("i"))
       .agg(sum(col("n")).as("games"), sum(col("w")).as("wins"))
     var p = wins.select(col("i"), lit(1000000L).as("p"))
+    // the strength table is one row per ITEM — thousands of models in
+    // any real arena, never corpus-sized — so each MM step broadcasts
+    // it onto the checkpointed cells: zero shuffles per iteration
     (1 to iters).foreach { _ =>
       val denom = dir
-        .join(p.select(col("i"), col("p").as("pi")), "i")
-        .join(p.select(col("i").as("j"), col("p").as("pj")), "j")
+        .join(broadcast(p.select(col("i"), col("p").as("pi"))), "i")
+        .join(broadcast(p.select(col("i").as("j"), col("p").as("pj"))), "j")
         .select(col("i"), expr("(n * 1000000000) DIV (pi + pj)").as("t"))
         .groupBy(col("i")).agg(sum(col("t")).as("d"))
-      p = wins.join(denom, "i")
+      p = wins.join(broadcast(denom), "i")
         .select(col("i"),
           greatest(lit(1L), expr("(wins * 1000000000) DIV d")).as("p"))
     }
-    wins.join(p, "i")
+    wins.join(broadcast(p), "i")
       .select(col("i").as("source"), col("games"), col("wins"),
         col("p").as("strength_ppm"))
       .orderBy(col("source"))
