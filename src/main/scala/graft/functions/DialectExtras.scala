@@ -269,7 +269,11 @@ object DialectExtras {
         Decimal(scala.math.BigDecimal(v), 20, 0), DecimalType(20, 0))
       With(Cast(es.head, IntegerType)) { refs =>
         val x = refs.head
-        val arms = (LessThan(x, Literal(0)), ud(BigInt(0))) +:
+        // NULL propagates (review r14: every null condition arm below
+        // evaluates to null=false, so without this a NULL argument fell
+        // through to the else-clamp and answered UInt64 max)
+        val arms = (IsNull(x), Literal.create(null, DecimalType(20, 0))) +:
+          (LessThan(x, Literal(0)), ud(BigInt(0))) +:
           (0 to 19).map(k => (EqualTo(x, Literal(k)), ud(BigInt(10).pow(k))))
         CaseWhen(arms, Some(ud((BigInt(1) << 64) - 1)))
       }
@@ -290,8 +294,21 @@ object DialectExtras {
       val mx = Cast(es(2), DoubleType)
       val width = if (es.length > 3) Cast(es(3), DoubleType)
                   else Literal(80.0)
-      val w0 = Multiply(new Divide(Subtract(x, mn), Subtract(mx, mn)), width)
-      val w = Least(Seq(Greatest(Seq(w0, Literal(0.0))), width))
+      // DuckDB's bar kernel divides IEEE-style (x/0 → ±Inf, 0/0 → NaN;
+      // probed live: bar(5,0,0,10) full via +Inf, bar(0,0,0,10) empty
+      // via NaN, bar(NaN,...) empty) — Spark has no IEEE division (ANSI
+      // Divide THREW on min==max, LEGACY answers NULL), so the edges
+      // are explicit arms. NaN checks come FIRST because Spark orders
+      // NaN greatest in comparisons (review r14).
+      val num = Subtract(x, mn)
+      val den = Subtract(mx, mn)
+      val w = CaseWhen(Seq(
+        (Or(IsNaN(num), IsNaN(den)), Literal(0.0)),
+        (And(EqualTo(den, Literal(0.0)), GreaterThan(num, Literal(0.0))), width),
+        (EqualTo(den, Literal(0.0)), Literal(0.0))),
+        Some(Least(Seq(Greatest(Seq(
+          Multiply(Divide(num, den, EvalMode.LEGACY), width),
+          Literal(0.0))), width))))
       With(w) { refs =>
         val ww = refs.head
         val full = Cast(Floor(ww), IntegerType)

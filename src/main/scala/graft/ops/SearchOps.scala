@@ -216,6 +216,20 @@ object SearchOps {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** The smoothed-BM25 per-(term,doc) score body + the corpus CTE
+    * fragments shared by [[bm25BatchSql]] and [[hybridRrfSql]] — ONE
+    * spelling each (review r14: an inline copy of `core` in the hybrid
+    * oracle was the same silent-desync channel the idf helper's
+    * comment warns about). */
+  private def bm25CoreSql: String =
+    "ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
+      s"(CAST(tf AS DOUBLE) * ${K1 + 1}) / " +
+      s"(CAST(tf AS DOUBLE) + $K1 * (${1 - B} + $B * (dl / (CAST(sdl AS DOUBLE) / n))))"
+  private def toksCteSql(table: String): String =
+    s"SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table"
+  private val TotalsCteSql = "SELECT count(*) AS n, sum(len(w)) AS sdl FROM toks"
+  private val DfsCteSql = "SELECT t, count(DISTINCT doc_id) AS df FROM post GROUP BY t"
+
   /** DuckDB oracle for [[bm25Batch]]: same postings, same micro-unit
     * quantization (roundD at scale 0 reproduces Spark's HALF_UP), same
     * integer sum — order-independent on both sides by construction. */
@@ -227,19 +241,17 @@ object SearchOps {
       .map(OracleSql.sqlStr).mkString(", ")
     val qrows = qlc.flatMap { case (q, ts) =>
       ts.distinct.map(t => s"($q, ${OracleSql.sqlStr(t)})") }.mkString(", ")
-    val core = "ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
-      s"(CAST(tf AS DOUBLE) * ${K1 + 1}) / " +
-      s"(CAST(tf AS DOUBLE) + $K1 * (${1 - B} + $B * (dl / (CAST(sdl AS DOUBLE) / n))))"
+    val core = bm25CoreSql
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |  ${toksCteSql(table)}),
        |post AS (
        |  SELECT doc_id, dl, t, count(*) AS tf FROM (
        |    SELECT doc_id, len(w) AS dl,
        |      unnest(list_filter(w, x -> x IN ($allTerms))) AS t
        |    FROM toks)
        |  GROUP BY doc_id, dl, t),
-       |totals AS (SELECT count(*) AS n, sum(len(w)) AS sdl FROM toks),
-       |dfs AS (SELECT t, count(DISTINCT doc_id) AS df FROM post GROUP BY t),
+       |totals AS ($TotalsCteSql),
+       |dfs AS ($DfsCteSql),
        |q(qid, t) AS (VALUES $qrows),
        |per_term AS (
        |  SELECT q.qid, p.doc_id,
@@ -322,7 +334,11 @@ object SearchOps {
       .select(col("doc_id"),
         array_distinct(graft.ops.TextOps.tokens(col("text"))).as("__t"))
       .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[String](1)))
+      // tokens(NULL) is a null array: getSeq returns null and nonEmpty
+      // would NPE the driver (review r14); the oracle's seedq CTE drops
+      // the same doc (unnest of a NULL list yields no rows)
+      .map(r => (r.getLong(0).toInt,
+        Option(r.getSeq[String](1)).getOrElse(Seq.empty)))
       .filter(_._2.nonEmpty)
       .sortBy(_._1).toSeq
     val sparse = bm25Batch(docs, seeds, k)
@@ -352,13 +368,11 @@ object SearchOps {
     * ranking (p06's spelling), and the same integer RRF fusion. */
   def hybridRrfSql(nSeeds: Int, k: Int = 10, kRrf: Int = 60,
                    table: String = "documents"): String = {
-    val core = "ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
-      s"(CAST(tf AS DOUBLE) * ${K1 + 1}) / " +
-      s"(CAST(tf AS DOUBLE) + $K1 * (${1 - B} + $B * (dl / (CAST(sdl AS DOUBLE) / n))))"
+    val core = bm25CoreSql
     def rrf(rn: String) =
       s"CAST(${OracleSql.roundD(s"1000000.0 / ($kRrf + $rn)", 0)} AS BIGINT)"
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
+       |  ${toksCteSql(table)}),
        |seedq AS (
        |  SELECT doc_id AS qid, unnest(list_distinct(w)) AS t
        |  FROM toks WHERE doc_id < $nSeeds),
@@ -367,8 +381,8 @@ object SearchOps {
        |    SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM toks)
        |  WHERE t IN (SELECT t FROM seedq)
        |  GROUP BY doc_id, dl, t),
-       |totals AS (SELECT count(*) AS n, sum(len(w)) AS sdl FROM toks),
-       |dfs AS (SELECT t, count(DISTINCT doc_id) AS df FROM post GROUP BY t),
+       |totals AS ($TotalsCteSql),
+       |dfs AS ($DfsCteSql),
        |per_term AS (
        |  SELECT seedq.qid, p.doc_id,
        |    CAST(${OracleSql.roundD(s"($core) * 1000000.0", 0)} AS BIGINT) AS micro

@@ -675,7 +675,9 @@ object RelationalQueries {
     "q16_json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |  CAST(json_extract(props, '$.k') AS VARCHAR) AS k_raw,
+        |  CASE WHEN props IS NULL THEN NULL
+        |       ELSE COALESCE(CAST(json_extract(props, '$.k') AS VARCHAR), '')
+        |  END AS k_raw,
         |  CASE json_type(props, '$.k')
         |    WHEN 'UBIGINT' THEN 'UInt64' WHEN 'BIGINT' THEN 'Int64'
         |    WHEN 'DOUBLE' THEN 'Double' WHEN 'VARCHAR' THEN 'String'

@@ -222,6 +222,10 @@ class DialectExtrasSpec extends SparkSpec {
       .compareTo(dec("0")) == 0)
     assert(one("intExp10(25)").asInstanceOf[java.math.BigDecimal]
       .compareTo(dec("18446744073709551615")) == 0)
+    // NULL propagates — without the IsNull arm the null fell through
+    // every condition (null=false) to the else-clamp and answered
+    // UInt64 max (review r14)
+    assert(one("intExp10(CAST(NULL AS INT))") == null)
   }
 
   test("roundToExp2: the CH doc ladder, full UInt64 range, floats (r14)") {
@@ -251,6 +255,14 @@ class DialectExtrasSpec extends SparkSpec {
     assert(one("bar(-1, 0, 10, 10)") == "")
     assert(one("bar(20, 0, 10, 10)") == "██████████")
     assert(one("bar(1, 0, 1)") == "█" * 80)
+    // degenerate/IEEE edges pinned to live-probed DuckDB bar: min==max
+    // with x past it → +Inf → full; 0/0 → NaN → EMPTY (NaN used to
+    // clamp to full width under Greatest/Least NaN-greatest ordering,
+    // and ANSI Divide used to THROW on min==max — review r14)
+    assert(one("bar(5, 0, 0, 10)") == "██████████")
+    assert(one("bar(0, 0, 0, 10)") == "")
+    assert(one("bar(CAST('NaN' AS DOUBLE), 0, 10, 10)") == "")
+    assert(one("bar(CAST('Infinity' AS DOUBLE), 0, 10, 10)") == "██████████")
   }
 
   test("trimBoth/trimLeft/trimRight, 1- and 2-arg forms") {
