@@ -55,16 +55,24 @@ object PrefOps {
         when(col("a.q") >= col("b.q"), col("b.source")).otherwise(col("a.source")).as("loser"))
   }
 
+  /** Undirected item-pair game cells from (winner, loser) match
+    * records: `(x, y, n, wx)` with x < y, n games between them, wx won
+    * by x. Pure projections + ONE hash aggregate, so it doubles as the
+    * STREAMING arena build ([[graft.streaming.StreamOps]]): cells merge
+    * downstream by summing n and wx (both plain SUMs), and state is
+    * bounded by the item-pair count, not match volume or time. */
+  def matchCells(matches: DataFrame): DataFrame = matches
+    .select(least(col("winner"), col("loser")).as("x"),
+      greatest(col("winner"), col("loser")).as("y"),
+      when(col("winner") <= col("loser"), 1L).otherwise(0L).as("wx"))
+    .groupBy(col("x"), col("y"))
+    .agg(count(lit(1)).as("n"), sum(col("wx")).as("wx"))
+
   /** Bradley–Terry strengths from (winner, loser) match records.
     * Returns one row per item: (source, games, wins, strength_ppm). */
   def bradleyTerry(matches: DataFrame, iters: Int = 5): DataFrame = {
     // undirected game cells, then both directions with each side's wins
-    val cells = matches
-      .select(least(col("winner"), col("loser")).as("x"),
-        greatest(col("winner"), col("loser")).as("y"),
-        when(col("winner") <= col("loser"), 1L).otherwise(0L).as("wx"))
-      .groupBy(col("x"), col("y"))
-      .agg(count(lit(1)).as("n"), sum(col("wx")).as("wx"))
+    val cells = matchCells(matches)
     val dir = cells.select(col("x").as("i"), col("y").as("j"), col("n"), col("wx").as("w"))
       .union(cells.select(col("y"), col("x"), col("n"), (col("n") - col("wx")).as("w")))
       .localCheckpoint(true)

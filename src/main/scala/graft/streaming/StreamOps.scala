@@ -254,6 +254,20 @@ object StreamOps {
   def cmsCounterStream(arrivals: DataFrame): DataFrame =
     graft.ops.SketchOps.cmsCounters(arrivals)
 
+  /** Streaming arena cells — p98's Bradley–Terry input run as a
+    * streaming aggregation: arriving (winner, loser) match records fold
+    * into `(x, y)`-keyed game cells whose state is bounded by the
+    * ITEM-PAIR count (thousands of models in any real arena), not by
+    * match volume or any time horizon — the same algebra-bounded shape
+    * as [[cmsCounterStream]]. It is LITERALLY the batch builder
+    * ([[graft.ops.PrefOps.matchCells]]), so batch and stream cannot
+    * drift; cells merge downstream by summing n and wx, and the tiny
+    * MM solve ([[graft.ops.PrefOps.bradleyTerry]]'s iteration over a
+    * collected snapshot) runs batch-side whenever a leaderboard is
+    * wanted. Update/Complete mode. */
+  def arenaCellsStream(matches: DataFrame): DataFrame =
+    graft.ops.PrefOps.matchCells(matches)
+
   /** Streaming HDR histogram — the p92 bucket build as a streaming
     * aggregation: values bucket map-side in pure integer arithmetic
     * and fold into the idx-keyed counts, state ≤1.5 k rows by the

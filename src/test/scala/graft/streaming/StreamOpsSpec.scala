@@ -527,6 +527,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("arenaCellsStream: streamed game cells equal the batch cells; MM solve agrees") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = StreamOps.arenaCellsStream(in.toDF().toDF("winner", "loser"))
+      .writeStream.format("memory").queryName("arenastream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val b1 = Seq(("A", "B"), ("A", "B"), ("B", "A"), ("A", "C"))
+      val b2 = Seq(("C", "B"), ("A", "C"), ("B", "C"))
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("arenastream")
+        .as[(String, String, Long, Long)].collect().toSet
+      val all = (b1 ++ b2).toDF("winner", "loser")
+      val batch = graft.ops.PrefOps.matchCells(all)
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(streamed == batch) // batch and stream are ONE definition
+      // state is bounded by item pairs, not match volume
+      assert(streamed.size == 3)
+      // the tiny MM solve over the streamed snapshot IS the batch
+      // leaderboard: feed the cells back through bradleyTerry's input
+      // shape (one synthetic match row per (cell, direction, count))
+      val replayed = streamed.toSeq.flatMap { case (x, y, n, wx) =>
+        Seq.fill(wx.toInt)((x, y)) ++ Seq.fill((n - wx).toInt)((y, x))
+      }.toDF("winner", "loser")
+      val fromStream = graft.ops.PrefOps.bradleyTerry(replayed)
+        .as[(String, Long, Long, Long)].collect().toSet
+      val fromBatch = graft.ops.PrefOps.bradleyTerry(all)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(fromStream == fromBatch)
+    } finally q.stop()
+  }
+
   test("hdrHistogramStream: streamed buckets equal the batch histogram; out-of-domain dropped") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[Double]
