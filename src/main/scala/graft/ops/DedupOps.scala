@@ -642,11 +642,14 @@ object DedupOps {
     val edges = pairs.union(pairs.select(col("db"), col("da")))
       .toDF("u", "v")
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    // out-degree is STATIC across power steps — fold it into the
+    // materialized edge list once instead of re-joining deg inside
+    // every iteration (one join per step saved; same integer values)
+    val ed = edges.join(deg, "u").localCheckpoint(true)
     var r = deg.select(col("u").as("doc_id"), lit(1000000L).as("r"))
     (1 to iters).foreach { _ =>
-      val inflow = edges
+      val inflow = ed
         .join(r.select(col("doc_id").as("u"), col("r")), "u")
-        .join(deg, "u")
         .select(col("v"), expr("r DIV d").as("share"))
         .groupBy(col("v")).agg(sum(col("share")).as("inflow"))
       r = deg.select(col("u").as("doc_id"))

@@ -464,6 +464,7 @@ object RelationalQueries {
       Tables.views(s, dir).sql(
         """SELECT c_custkey,
           |  bar(c_custkey % 7, 0, 7, 10) AS b,
+          |  bar(c_custkey % 3, 0, 0, 10) AS b_degen,
           |  roundToExp2(c_custkey) AS r2,
           |  CAST(intExp10(CAST(c_custkey % 20 AS INT)) AS STRING) AS e10
           |FROM customer ORDER BY c_custkey""".stripMargin)
@@ -552,6 +553,7 @@ object RelationalQueries {
     "q26_render_funcs" ->
       """SELECT c_custkey,
         |  rtrim(bar(c_custkey % 7, 0, 7, 10)) AS b,
+        |  rtrim(bar(c_custkey % 3, 0, 0, 10)) AS b_degen,
         |  CASE WHEN c_custkey < 1 THEN CAST(0 AS BIGINT)
         |       ELSE (CAST(1 AS BIGINT) << (length(bin(c_custkey)) - 1))
         |  END AS r2,
