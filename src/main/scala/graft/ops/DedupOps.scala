@@ -664,6 +664,74 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster cards (r14, p100): one row per near-dup cluster with ≥ 2
+    * members × its top-k salient terms — size, representative (min
+    * doc_id, the keeper every dedup face already elects), and the
+    * terms most distinctive of the CLUSTER (cluster-tf × N/cluster-df,
+    * the p21 exact-rational TF-IDF lifted from documents to clusters).
+    * This is the dedup artifact's explainability face: "what is this
+    * duplicate family about" — the card a pipeline shows next to a
+    * keep/drop decision or a boilerplate report.
+    *
+    * Scale shape: rides the SHARED persisted cluster map (p20's
+    * artifact — the pair join + CC are NOT re-paid here); one token
+    * explode keyed by (cluster, term) with map-side combine, one
+    * Zipf-bounded cluster-df aggregate, a 1-row count broadcast, and a
+    * rank window per cluster. Nothing is ever all-pairs and the window
+    * key (cluster) is exactly the unit of output. */
+  def clusterCards(docs: DataFrame, labels: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val multi = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"), min(col("doc_id")).as("keep_id"))
+      .filter(col("size") >= 2)
+    val ctf = docs.join(labels, "doc_id")
+      .join(multi.select(col("cluster_id")), "cluster_id")
+      .select(col("cluster_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("cluster_id"), col("t")).agg(count(lit(1)).as("ctf"))
+    val cdf = ctf.groupBy(col("t")).agg(count(lit(1)).as("cdf"))
+    val ncl = multi.agg(count(lit(1)).as("ncl"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("t"))
+    ctf.join(cdf, "t").crossJoin(broadcast(ncl))
+      .withColumn("score", col("ctf") * (col("ncl").cast("double") / col("cdf")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .join(multi, "cluster_id")
+      .select(col("cluster_id"), col("size"), col("keep_id"),
+        col("t").as("term"), col("score"), col("rk"))
+      .orderBy(col("cluster_id"), col("rk"))
+  }
+
+  /** DuckDB oracle for [[clusterCards]]: the p20 recursive-closure
+    * cluster labels feed the same multi-member filter, cluster-tf/df
+    * aggregates, exact-rational score and rank. */
+  def clusterCardsSql(tau: Double, k: Int = 3): String =
+    s"""WITH labels AS (${clusterSql(tau)}),
+       |multi AS (
+       |  SELECT cluster_id, count(*) AS size, min(doc_id) AS keep_id
+       |  FROM labels GROUP BY cluster_id HAVING count(*) >= 2),
+       |ctf AS (
+       |  SELECT l.cluster_id, t, count(*) AS ctf
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |        FROM documents) tok
+       |  JOIN labels l ON l.doc_id = tok.doc_id
+       |  JOIN multi m ON m.cluster_id = l.cluster_id
+       |  GROUP BY l.cluster_id, t),
+       |cdf AS (SELECT t, count(*) AS cdf FROM ctf GROUP BY t),
+       |scored AS (
+       |  SELECT cluster_id, t, ctf,
+       |    ctf * ((SELECT count(*) FROM multi) * 1.0 / cdf) AS score
+       |  FROM ctf JOIN cdf USING (t)),
+       |rk AS (
+       |  SELECT cluster_id, t, score,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY score DESC, t) AS rk
+       |  FROM scored)
+       |SELECT r.cluster_id, m.size, m.keep_id, r.t AS term, r.score, r.rk
+       |FROM rk r JOIN multi m USING (cluster_id)
+       |WHERE r.rk <= $k ORDER BY r.cluster_id, r.rk""".stripMargin
+
   /** DuckDB oracle for [[jaccardPageRank]]: the p02 pair CTEs feed an
     * UNROLLED chain of `iters` integer power steps (same ppm
     * quantization, same floor divisions). */

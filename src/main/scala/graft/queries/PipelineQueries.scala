@@ -1301,6 +1301,15 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // ---- cluster cards (r14): the dedup artifact's explainability
+    //      face — per multi-member near-dup cluster: size, keeper, and
+    //      the cluster's top-3 salient terms (p21's exact-rational
+    //      TF-IDF lifted from documents to clusters) ----
+    "p100_cluster_cards" -> ((s, dir) => {
+      DedupOps.clusterCards(
+        Tables.loadSpread(s, dir, "documents"), clusterMapFor(s, dir))
+    }),
+
     // ---- margin-based aligned-pair mining (r14): the CCMatrix/LASER
     //      bitext primitive — best cross-side match per vector, kept
     //      when its cosine clears both endpoints' neighborhood average
@@ -1833,6 +1842,7 @@ object PipelineQueries {
     "p96_graph_rank" -> DedupOps.jaccardPageRankSql(NearDupTau),
     "p97_winnowing" -> DedupOps.winnowMatchesSql(),
     "p98_bradley_terry" -> PrefOps.bradleyTerrySql(),
+    "p100_cluster_cards" -> DedupOps.clusterCardsSql(NearDupTau),
     "p92_hdr_quantiles" -> SketchOps.hdrQuantilesSql("events", "value"),
     "p93_sql_cms" -> SketchOps.cmsProbeSql("documents"),
     // p94 shares p92's oracle BY DESIGN: the SQL scalar face and the

@@ -210,6 +210,27 @@ class DedupOpsSpec extends SparkSpec {
     assert((0L until 20L).forall(k => blocked.contains((k, k + 100L))))
   }
 
+  test("clusterCards: per multi-member cluster size, keeper and salient terms") {
+    val docs = Seq(
+      (0L, "shared template words alpha alpha alpha"),
+      (1L, "shared template words alpha alpha alpha"),  // cluster {0,1}
+      (2L, "totally different content beta beta beta"),
+      (3L, "totally different content beta beta beta"), // cluster {2,3}
+      (4L, "a singleton document gamma gamma gamma"),   // no card
+    ).toDF("doc_id", "text")
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val cards = DedupOps.clusterCards(docs, labels)
+      .as[(Long, Long, Long, String, Double, Int)].collect()
+    assert(cards.map(_._1).distinct.sorted.toSeq == Seq(0L, 2L)) // singleton has no card
+    assert(cards.forall(_._2 == 2L))                             // both clusters size 2
+    assert(cards.filter(_._1 == 0L).head._3 == 0L)               // keeper = min id
+    // the rank-1 term is the cluster's distinctive repeat (tf 6, df 1),
+    // not a shared stopword
+    val top = cards.filter(_._6 == 1).map(c => c._1 -> c._4).toMap
+    assert(top(0L) == "alpha" && top(2L) == "beta", top)
+  }
+
   test("decontaminate flags corpus docs sharing an n-gram with the holdout") {
     val holdout = Seq((0L, base)).toDF("doc_id", "text")
     val corpus = Seq(
