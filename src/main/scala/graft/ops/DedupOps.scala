@@ -641,10 +641,12 @@ object DedupOps {
       .localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("db"), col("da")))
       .toDF("u", "v")
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
-    // out-degree is STATIC across power steps — fold it into the
-    // materialized edge list once instead of re-joining deg inside
-    // every iteration (one join per step saved; same integer values)
+    // out-degree is STATIC across power steps — materialize it once and
+    // fold it into the materialized edge list: deg is referenced by the
+    // rank rebuild of every step plus the final join (~iters+2 subtrees
+    // in the composed plan), so an un-checkpointed deg would re-run the
+    // O(edges) aggregate each time (review r14)
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint(true)
     val ed = edges.join(deg, "u").localCheckpoint(true)
     var r = deg.select(col("u").as("doc_id"), lit(1000000L).as("r"))
     (1 to iters).foreach { _ =>
@@ -680,25 +682,24 @@ object DedupOps {
     * rank window per cluster. Nothing is ever all-pairs and the window
     * key (cluster) is exactly the unit of output. */
   def clusterCards(docs: DataFrame, labels: DataFrame, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // keep_id is the min-member election. Every label source in this
+    // repo (clusterLabels/clusterSql, incrementalClusterLabels) labels
+    // clusters BY their min member, so keep_id == cluster_id there —
+    // the column carries the contract for label maps that don't
+    // min-label (review r14: not an independent signal today)
     val multi = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("size"), min(col("doc_id")).as("keep_id"))
       .filter(col("size") >= 2)
-    val ctf = docs.join(labels, "doc_id")
+    val tok = docs.join(labels, "doc_id")
       .join(multi.select(col("cluster_id")), "cluster_id")
       .select(col("cluster_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      .groupBy(col("cluster_id"), col("t")).agg(count(lit(1)).as("ctf"))
-    val cdf = ctf.groupBy(col("t")).agg(count(lit(1)).as("cdf"))
-    val ncl = multi.agg(count(lit(1)).as("ncl"))
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("score").desc, col("t"))
-    ctf.join(cdf, "t").crossJoin(broadcast(ncl))
-      .withColumn("score", col("ctf") * (col("ncl").cast("double") / col("cdf")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // the p21 salience core, keyed by cluster instead of document —
+    // one shared spelling of score/rank/tie-break (review r14)
+    TextOps.salienceRank(tok, "cluster_id",
+        multi.agg(count(lit(1)).as("n")), k)
       .join(multi, "cluster_id")
       .select(col("cluster_id"), col("size"), col("keep_id"),
-        col("t").as("term"), col("score"), col("rk"))
+        col("term"), col("score"), col("rk"))
       .orderBy(col("cluster_id"), col("rk"))
   }
 

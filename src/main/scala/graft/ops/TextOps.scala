@@ -565,19 +565,28 @@ object TextOps {
        |FROM toks JOIN types USING (cp) ORDER BY cp""".stripMargin
   }
 
-  def salientTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+  /** The exact-rational salience core shared by [[salientTerms]] (keyed
+    * by document) and `DedupOps.clusterCards` (keyed by cluster) — ONE
+    * spelling of tf × (N/df), the rank window and the tie-break, so the
+    * two faces cannot drift (review r14). `tok` is the exploded
+    * (keyCol, t) frame; `n` the 1-row key-count frame. */
+  private[ops] def salienceRank(tok: DataFrame, keyCol: String,
+                                n: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val tf = tok.groupBy(keyCol, "t").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("t"))
+    val w = Window.partitionBy(keyCol).orderBy(col("score").desc, col("t"))
     tf.join(dfreq, "t").crossJoin(broadcast(n))
       .withColumn("score", col("tf") * (col("n").cast("double") / col("df")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("doc_id"), col("t").as("term"), col("score"), col("rk"))
+      .select(col(keyCol), col("t").as("term"), col("score"), col("rk"))
   }
+
+  def salientTerms(docs: DataFrame, k: Int = 3): DataFrame =
+    salienceRank(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("t")),
+      "doc_id", docs.agg(count(lit(1)).as("n")), k)
 
   /** DuckDB oracle for salientTerms (same exact-rational score). */
   def salientTermsSql(k: Int = 3, table: String = "documents"): String =

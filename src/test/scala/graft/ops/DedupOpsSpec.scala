@@ -211,12 +211,16 @@ class DedupOpsSpec extends SparkSpec {
   }
 
   test("clusterCards: per multi-member cluster size, keeper and salient terms") {
+    // "the" is SHARED by both clusters and repeated hard (ctf 6 each)
+    // so raw frequency would rank it first — only the cluster-df
+    // discrimination (cdf=2 halves its score) demotes it below the
+    // cluster-distinctive term (ctf 6 × N/cdf = 6×2/1 = 12 vs 6)
     val docs = Seq(
-      (0L, "shared template words alpha alpha alpha"),
-      (1L, "shared template words alpha alpha alpha"),  // cluster {0,1}
-      (2L, "totally different content beta beta beta"),
-      (3L, "totally different content beta beta beta"), // cluster {2,3}
-      (4L, "a singleton document gamma gamma gamma"),   // no card
+      (0L, "the the the template words alpha alpha alpha"),
+      (1L, "the the the template words alpha alpha alpha"),  // cluster {0,1}
+      (2L, "the the the different stuff beta beta beta"),
+      (3L, "the the the different stuff beta beta beta"),    // cluster {2,3}
+      (4L, "a singleton document gamma gamma gamma"),        // no card
     ).toDF("doc_id", "text")
     val labels = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L), (4L, 4L))
       .toDF("doc_id", "cluster_id")
@@ -225,10 +229,13 @@ class DedupOpsSpec extends SparkSpec {
     assert(cards.map(_._1).distinct.sorted.toSeq == Seq(0L, 2L)) // singleton has no card
     assert(cards.forall(_._2 == 2L))                             // both clusters size 2
     assert(cards.filter(_._1 == 0L).head._3 == 0L)               // keeper = min id
-    // the rank-1 term is the cluster's distinctive repeat (tf 6, df 1),
-    // not a shared stopword
+    // rank-1 is the cluster-DISTINCTIVE repeat: same raw frequency as
+    // the shared stopword, but cdf=1 vs 2 doubles its salience
     val top = cards.filter(_._6 == 1).map(c => c._1 -> c._4).toMap
     assert(top(0L) == "alpha" && top(2L) == "beta", top)
+    // and the shared hard-repeated stopword ranks BELOW it
+    val second = cards.filter(_._6 == 2).map(c => c._1 -> c._4).toMap
+    assert(second(0L) == "the" && second(2L) == "the", second)
   }
 
   test("decontaminate flags corpus docs sharing an n-gram with the holdout") {
