@@ -41,6 +41,16 @@ class PrefOpsSpec extends SparkSpec {
     assert(p("A") > 1000000L) // all-winner strengthens past p0
   }
 
+  test("a single-source corpus yields no matches and an empty leaderboard") {
+    val docs = Seq(
+      (0L, "alpha beta gamma words", "only"),
+      (1L, "delta epsilon zeta words", "only"),
+    ).toDF("doc_id", "text", "source")
+    val m = PrefOps.syntheticMatches(docs)
+    assert(m.count() == 0)
+    assert(PrefOps.bradleyTerry(m).count() == 0) // no items, no error
+  }
+
   test("syntheticMatches pairs adjacent cross-source docs deterministically") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon common words appear here", "s1"),

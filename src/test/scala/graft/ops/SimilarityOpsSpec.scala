@@ -336,4 +336,18 @@ class SimilarityOpsSpec extends SparkSpec {
     val lbl = corpus.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
     assert(mined.forall { case (q, n, _) => lbl(q) % 2 != lbl(n) % 2 })
   }
+
+  test("margin mining: a one-sided corpus mines nothing (no cross-side pairs)") {
+    val rnd = new scala.util.Random(31)
+    val corpus = (0L until 40L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), (i % 2 * 2).toInt))
+      .toDF("vec_id", "embedding", "label") // labels 0/2: every side even
+    val (km, assigned) = SimilarityOps.ivfIndex(corpus, nlist = 4)
+    val labeled = assigned.select("vec_id", "nvec", "cell")
+      .join(corpus.select("vec_id", "label"), "vec_id")
+    val mined = SimilarityOps.marginMiningFrom(
+      SimilarityOps.centersOf(km, spark), labeled, corpus,
+      k = 4, nprobe = 4, minMarginPpm = 0L).collect()
+    assert(mined.isEmpty)
+  }
 }
