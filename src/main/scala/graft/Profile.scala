@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // one default, overridable by env (ADVICE r14: the "10x" alias
+    // hardcoded a second literal, pinning the profiler's scale-up base
+    // to this machine's layout)
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = if (args.length > 1) args(1) else baseDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,7 +28,7 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     // "10x" derives (or reuses) Bench's scaled corpus from sf0.1 so sf1
     // hot spots can be profiled outside a full bench run
-    val dir = if (sfDir == "10x") BenchData.ensureScaled(spark, "/root/testdata/sf0.1")
+    val dir = if (sfDir == "10x") BenchData.ensureScaled(spark, baseDir)
               else sfDir
     val fn = SparkEntry.queries(name)
     fn(spark, dir).explain("formatted")

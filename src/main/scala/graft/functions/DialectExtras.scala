@@ -302,7 +302,14 @@ object DialectExtras {
       // NaN greatest in comparisons (review r14).
       val num = Subtract(x, mn)
       val den = Subtract(mx, mn)
+      // NULL arm FIRST (ADVICE r14): IsNaN(NULL) is false, so a NULL x
+      // with min==max fell through to the den==0 arms and answered ''
+      // where DuckDB's bar is null-propagating (bar(NULL,0,0,10) IS
+      // NULL). A null w flows through Floor/StringRepeat/Concat as
+      // null, so the rendered string is NULL exactly when any input is.
       val w = CaseWhen(Seq(
+        (Or(IsNull(num), Or(IsNull(den), IsNull(width))),
+          Literal(null, DoubleType)),
         (Or(IsNaN(num), IsNaN(den)), Literal(0.0)),
         (And(EqualTo(den, Literal(0.0)), GreaterThan(num, Literal(0.0))), width),
         (EqualTo(den, Literal(0.0)), Literal(0.0))),

@@ -62,6 +62,12 @@ object PrefOps {
     * downstream by summing n and wx (both plain SUMs), and state is
     * bounded by the item-pair count, not match volume or time. */
   def matchCells(matches: DataFrame): DataFrame = matches
+    // reject self-matches (ADVICE r14): streamed/artifact input can carry
+    // winner == loser records ([[syntheticMatches]] can't — sources
+    // differ by filter); an x==y cell would double-count in
+    // [[bradleyTerry]]'s dir union (games = 2n for n self-games) instead
+    // of the zero-information no-op a self-game is
+    .filter(col("winner") =!= col("loser"))
     .select(least(col("winner"), col("loser")).as("x"),
       greatest(col("winner"), col("loser")).as("y"),
       when(col("winner") <= col("loser"), 1L).otherwise(0L).as("wx"))
@@ -126,7 +132,7 @@ object PrefOps {
        |  SELECT least(winner, loser) AS x, greatest(winner, loser) AS y,
        |         count(*) AS n,
        |         CAST(sum(CASE WHEN winner <= loser THEN 1 ELSE 0 END) AS BIGINT) AS wx
-       |  FROM m GROUP BY 1, 2),
+       |  FROM m WHERE winner <> loser GROUP BY 1, 2),
        |dir AS (
        |  SELECT x AS i, y AS j, n, wx AS w FROM cells
        |  UNION ALL

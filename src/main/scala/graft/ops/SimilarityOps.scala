@@ -709,11 +709,17 @@ object SimilarityOps {
        |      ORDER BY (list_inner_product(nv.v, c.cv) - c.hn2) DESC, c.cell) AS cr
        |  FROM nv, centers c
        |), sided AS (
-       |  SELECT cr.vec_id AS nid, cr.v AS nv, cr.cell, e.label % 2 AS nside
+       |  -- ((x % 2) + 2) % 2 = Spark's pmod(label, 2) for negative
+       |  -- labels too; DuckDB's % keeps the dividend's sign, so a
+       |  -- negative-label corpus would otherwise produce side -1 rows
+       |  -- that vanish from the oracle only (ADVICE r14)
+       |  SELECT cr.vec_id AS nid, cr.v AS nv, cr.cell,
+       |    ((e.label % 2) + 2) % 2 AS nside
        |  FROM cellrank cr JOIN embeddings e ON e.vec_id = cr.vec_id
        |  WHERE cr.cr = 1
        |), probes AS (
-       |  SELECT cr.vec_id AS qid, cr.v AS qv, e.label % 2 AS qside, cr.cell
+       |  SELECT cr.vec_id AS qid, cr.v AS qv,
+       |    ((e.label % 2) + 2) % 2 AS qside, cr.cell
        |  FROM cellrank cr JOIN embeddings e ON e.vec_id = cr.vec_id
        |  WHERE cr.cr <= $nprobe
        |), cand AS (

@@ -465,6 +465,7 @@ object RelationalQueries {
         """SELECT c_custkey,
           |  bar(c_custkey % 7, 0, 7, 10) AS b,
           |  bar(c_custkey % 3, 0, 0, 10) AS b_degen,
+          |  bar(nullif(c_custkey % 3, 1), 0, 0, 10) AS b_null,
           |  roundToExp2(c_custkey) AS r2,
           |  CAST(intExp10(CAST(c_custkey % 20 AS INT)) AS STRING) AS e10
           |FROM customer ORDER BY c_custkey""".stripMargin)
@@ -554,6 +555,7 @@ object RelationalQueries {
       """SELECT c_custkey,
         |  rtrim(bar(c_custkey % 7, 0, 7, 10)) AS b,
         |  rtrim(bar(c_custkey % 3, 0, 0, 10)) AS b_degen,
+        |  rtrim(bar(nullif(c_custkey % 3, 1), 0, 0, 10)) AS b_null,
         |  CASE WHEN c_custkey < 1 THEN CAST(0 AS BIGINT)
         |       ELSE (CAST(1 AS BIGINT) << (length(bin(c_custkey)) - 1))
         |  END AS r2,

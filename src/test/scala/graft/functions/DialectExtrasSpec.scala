@@ -263,6 +263,15 @@ class DialectExtrasSpec extends SparkSpec {
     assert(one("bar(0, 0, 0, 10)") == "")
     assert(one("bar(CAST('NaN' AS DOUBLE), 0, 10, 10)") == "")
     assert(one("bar(CAST('Infinity' AS DOUBLE), 0, 10, 10)") == "██████████")
+    // NULL propagates from ANY argument, including through the
+    // degenerate min==max arms (ADVICE r14: a NULL x with min==max
+    // answered '' because IsNaN(NULL) is false and the den==0 arm won;
+    // DuckDB's bar is null-propagating — probed: bar(NULL,0,0,10),
+    // bar(NULL,0,7,10), bar(2,0,0,NULL), bar(2,NULL,3,10) all NULL)
+    assert(one("bar(NULL, 0, 0, 10)") == null)
+    assert(one("bar(NULL, 0, 7, 10)") == null)
+    assert(one("bar(2, 0, 0, NULL)") == null)
+    assert(one("bar(2, NULL, 3, 10)") == null)
   }
 
   test("trimBoth/trimLeft/trimRight, 1- and 2-arg forms") {

@@ -51,6 +51,18 @@ class PrefOpsSpec extends SparkSpec {
     assert(PrefOps.bradleyTerry(m).count() == 0) // no items, no error
   }
 
+  test("matchCells rejects self-matches instead of double-counting (ADVICE r14)") {
+    // streamed/artifact input can carry winner == loser records; an
+    // x==y cell would count games = 2n in bradleyTerry's dir union
+    val m = Seq(("A", "B"), ("A", "A"), ("A", "A"), ("B", "A"))
+      .toDF("winner", "loser")
+    val cells = PrefOps.matchCells(m).as[(String, String, Long, Long)].collect()
+    assert(cells.toSeq == Seq(("A", "B", 2L, 1L)), cells.toSeq)
+    val bt = PrefOps.bradleyTerry(m)
+      .select("source", "games").as[(String, Long)].collect().toMap
+    assert(bt == Map("A" -> 2L, "B" -> 2L), bt) // not inflated by self-games
+  }
+
   test("syntheticMatches pairs adjacent cross-source docs deterministically") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon common words appear here", "s1"),
