@@ -32,6 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    INDEPENDENT cross-language derivation (tools/cityhash102_ref.py;
   *    ChHashSpec's cross-language tier) covering every family, fold,
   *    width and URL shape.
+  *  - [[ChHash.sipHash128]] (r15): both 128-bit output conventions —
+  *    ClickHouse's `sipHash128` (the sipHash64 state machine with the
+  *    final xor-fold stopped at 128 bits, public SipHash.h get128) and
+  *    the paper's outlen=16 variant (`sipHash128Reference`), surfaced
+  *    as lowercase hex text (convention documented at the builder).
+  *    The ref variant is pinned to the reference implementation's
+  *    PUBLISHED 128-bit vectors (key 000102…0f); both are pinned to
+  *    the independent Python derivation.
   *  - [[ChHash.halfMD5]]: first 8 bytes of MD5 read big-endian
   *    (ClickHouse HalfMD5Impl does bswap64 of the first MD5 word).
   *    Pinned against RFC 1321's published MD5 test-suite digests.
@@ -129,6 +137,100 @@ object ChHash {
 
   /** ClickHouse `sipHash64(string)`: SipHash-2-4 with the zero key. */
   def sipHash64(data: Array[Byte]): Long = sipHash64Keyed(0L, 0L, data)
+
+  // ---- SipHash 128-bit outputs (r15, closing the sipHash128 hold) -------
+
+  /** The two 128-bit output conventions, zero key, as 16 little-endian
+    * bytes:
+    *
+    *  - `ref = false`: ClickHouse's `sipHash128` — the SAME SipHash-2-4
+    *    state machine as [[sipHash64]] (normal init, `v2 ^= 0xff`
+    *    finalization) but the final xor-fold stops at 128 bits:
+    *    out = LE(v0^v1) || LE(v2^v3). This is ClickHouse's public
+    *    SipHash.h `get128`; their docs call out that it differs from
+    *    the paper's 128-bit mode.
+    *  - `ref = true`: the PAPER's 128-bit variant (Aumasson & Bernstein
+    *    2012 reference siphash.c with outlen=16) — `v1 ^= 0xee` at init,
+    *    `v2 ^= 0xee` at finalization, first word b0 = v0^v1^v2^v3, then
+    *    `v1 ^= 0xdd` + 4 more rounds for b1. ClickHouse exposes this as
+    *    `sipHash128Reference`.
+    *
+    * Both are pinned in ChHashSpec against the independent pure-Python
+    * derivation (tools/cityhash102_ref.py — the r14 cross-language
+    * net); like cityHash64, live-ClickHouse goldens are impossible
+    * without egress and that residual is documented there. */
+  def sipHash128(data: Array[Byte], ref: Boolean): Array[Byte] =
+    sipHash128Keyed(0L, 0L, data, ref)
+
+  /** Keyed form — the key slot exists so the paper's PUBLISHED 128-bit
+    * test vectors (key 000102…0f) can pin the ref variant directly. */
+  def sipHash128Keyed(k0: Long, k1: Long, data: Array[Byte],
+                      ref: Boolean): Array[Byte] = {
+    var v0 = 0x736f6d6570736575L ^ k0
+    var v1 = (0x646f72616e646f6dL ^ k1) ^ (if (ref) 0xeeL else 0L)
+    var v2 = 0x6c7967656e657261L ^ k0
+    var v3 = 0x7465646279746573L ^ k1
+
+    @inline def round(): Unit = {
+      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+    }
+
+    val len = data.length
+    val full = len & ~7
+    var i = 0
+    while (i < full) {
+      val m = le64(data, i)
+      v3 ^= m; round(); round(); v0 ^= m
+      i += 8
+    }
+    var b = len.toLong << 56
+    var j = len - 1
+    while (j >= full) { b |= (data(j) & 0xffL) << (8 * (j - full)); j -= 1 }
+    v3 ^= b; round(); round(); v0 ^= b
+    if (ref) {
+      v2 ^= 0xee
+      round(); round(); round(); round()
+      val b0 = v0 ^ v1 ^ v2 ^ v3
+      v1 ^= 0xdd
+      round(); round(); round(); round()
+      le128(b0, v0 ^ v1 ^ v2 ^ v3)
+    } else {
+      v2 ^= 0xff
+      round(); round(); round(); round()
+      le128(v0 ^ v1, v2 ^ v3)
+    }
+  }
+
+  private def le128(h0: Long, h1: Long): Array[Byte] = {
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 8) {
+      out(i) = ((h0 >>> (8 * i)) & 0xff).toByte
+      out(8 + i) = ((h1 >>> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Multi-argument chaining for the 128-bit family: re-hash the
+    * 32-byte concatenation of the two 16-byte hashes (ClickHouse's
+    * generic combineHashesFunc over UInt128 applies the hash to the
+    * concatenated in-memory representations — the 128-bit analog of
+    * [[sipCombine]]'s 16-byte fold). */
+  def sip128Combine(a: Array[Byte], b: Array[Byte], ref: Boolean): Array[Byte] = {
+    val buf = new Array[Byte](32)
+    System.arraycopy(a, 0, buf, 0, 16)
+    System.arraycopy(b, 0, buf, 16, 16)
+    sipHash128(buf, ref)
+  }
+
+  def sip128Utf8(s: UTF8String, ref: Boolean): Array[Byte] =
+    sipHash128(s.getBytes, ref)
+  def sip128Long(v: Long, width: Int, ref: Boolean): Array[Byte] =
+    sipHash128(leBytes(v, width), ref)
 
   /** ClickHouse's multi-argument chaining: re-hash the 16-byte
     * little-endian (h1, h2) buffer (SipHash64Impl::combineHashes). */
@@ -430,6 +532,79 @@ case class HalfMd5Expr(child: Expression) extends ChHash64Base {
   override def prettyName: String = "halfMD5"
 }
 
+/** One argument's 16-byte SipHash-128 (either convention — see
+  * [[ChHash.sipHash128]]); the builder folds with [[SipHash128Combine]]
+  * and renders lowercase hex. */
+case class SipHash128Expr(child: Expression, ref: Boolean) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType | ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string, binary or integer argument, got ${other.sql}")
+  }
+
+  private def width: Int = child.dataType match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 4
+    case _ => 8
+  }
+
+  override protected def nullSafeEval(v: Any): Any = child.dataType match {
+    case StringType => ChHash.sip128Utf8(v.asInstanceOf[UTF8String], ref)
+    case BinaryType => ChHash.sipHash128(v.asInstanceOf[Array[Byte]], ref)
+    case _ => ChHash.sip128Long(v match {
+      case b: java.lang.Byte => b.longValue
+      case s: java.lang.Short => s.longValue
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+    }, width, ref)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.ChHash.sip128Utf8($c, $ref)")
+      case BinaryType =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.ChHash.sipHash128($c, $ref)")
+      case _ =>
+        defineCodeGen(ctx, ev, c =>
+          s"graft.functions.ChHash.sip128Long((long)$c, $width, $ref)")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): SipHash128Expr =
+    copy(child = newChild)
+  override def prettyName: String =
+    if (ref) "sipHash128Reference" else "sipHash128"
+}
+
+/** 128-bit multi-argument fold step: re-hash the 32-byte concatenation
+  * of two 16-byte hashes (see [[ChHash.sip128Combine]]). */
+case class SipHash128Combine(left: Expression, right: Expression, ref: Boolean)
+  extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName combiner expects two binaries")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ChHash.sip128Combine(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], ref)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.ChHash.sip128Combine($l, $r, $ref)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SipHash128Combine =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sip128Combine"
+}
+
 /** Multi-argument combiner fold step: `combine(h1, h2)` over two already-
   * hashed 64-bit patterns. `mode` picks the ClickHouse family combiner. */
 case class ChHashCombine(left: Expression, right: Expression, mode: String)
@@ -525,7 +700,7 @@ case class IntHash32Expr(child: Expression) extends UnaryExpression {
 }
 
 object ChHashBuilders {
-  import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+  import org.apache.spark.sql.catalyst.expressions.{Hex, Literal, Lower, RegExpReplace}
 
   private def fold(es: Seq[Expression], one: Expression => Expression,
                    mode: String): Expression =
@@ -537,6 +712,23 @@ object ChHashBuilders {
 
   def sipHash64(es: Seq[Expression]): Expression =
     UnsignedDecimal(fold(es, SipHash64Expr, "sip"))
+
+  /** sipHash128 / sipHash128Reference → the 16 bytes as LOWERCASE hex
+    * text. Return-type convention (documented deviation, the
+    * Decimal(20,0)-for-UInt64 pattern): ClickHouse returns
+    * FixedString(16) raw bytes, which only ever reach users through
+    * hex()/reinterpret — Spark has no fixed-width binary and raw bytes
+    * don't survive JSON serving, so the hex spelling IS the usable
+    * surface here (ClickHouse's own hex() prints these bytes uppercase;
+    * `upper(sipHash128(x))` reproduces that spelling exactly). */
+  private def sip128(es: Seq[Expression], ref: Boolean): Expression =
+    Lower(Hex(es.map(e => SipHash128Expr(e, ref): Expression)
+      .reduceLeft((a, b) => SipHash128Combine(a, b, ref))))
+
+  def sipHash128(es: Seq[Expression]): Expression = sip128(es, ref = false)
+
+  def sipHash128Reference(es: Seq[Expression]): Expression =
+    sip128(es, ref = true)
 
   def halfMD5(es: Seq[Expression]): Expression =
     UnsignedDecimal(fold(es, HalfMd5Expr, "halfMD5"))

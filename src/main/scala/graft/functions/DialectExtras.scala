@@ -336,6 +336,11 @@ object DialectExtras {
   private def chHashesIpv6(reg: String => (Seq[Expression] => Expression) => Unit): Unit = {
     reg("cityHash64")(ChHashBuilders.cityHash64)
     reg("sipHash64")(ChHashBuilders.sipHash64)
+    // r15: the 128-bit pair, closing the last hash hold — CH's own
+    // get128 fold and the paper's outlen=16 variant, as lowercase hex
+    // (convention documented at the builder)
+    reg("sipHash128")(ChHashBuilders.sipHash128)
+    reg("sipHash128Reference")(ChHashBuilders.sipHash128Reference)
     reg("halfMD5")(ChHashBuilders.halfMD5)
     reg("intHash32")(es => ChHashBuilders.intHash32(es.head))
     reg("intHash64")(es => ChHashBuilders.intHash64(es.head))

@@ -402,7 +402,9 @@ object RelationalQueries {
           |  min(lpad(toString(intHash64(c_custkey % 256)), 20, '0')) AS min_i64,
           |  max(lpad(toString(intHash32(c_custkey % 256)), 10, '0')) AS max_i32,
           |  min(lpad(toString(URLHash(concat('http://g.io/', toString(c_custkey % 256), '/'))), 20, '0')) AS min_url,
-          |  max(lpad(toString(cityHash64(toString(c_custkey % 256), 'q23')), 20, '0')) AS max_city2
+          |  max(lpad(toString(cityHash64(toString(c_custkey % 256), 'q23')), 20, '0')) AS max_city2,
+          |  max(sipHash128(toString(c_custkey % 256))) AS max_sip128,
+          |  min(sipHash128Reference(toString(c_custkey % 256), 'q23')) AS min_sip128r
           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
 
@@ -515,16 +517,23 @@ object RelationalQueries {
       val url = ChHash.cityHash64(s"http://g.io/$m".getBytes("UTF-8"))
       val city2 = ChHash.hash128to64(c,
         ChHash.cityHash64("q23".getBytes("UTF-8")))
+      // r15: the 128-bit pair — single-arg CH fold + a 2-arg paper-
+      // variant fold (the combiner re-hashes the 32-byte concat)
+      def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+      val sip128 = hx(ChHash.sipHash128(bytes, ref = false))
+      val sip128r = hx(ChHash.sip128Combine(
+        ChHash.sipHash128(bytes, ref = true),
+        ChHash.sipHash128("q23".getBytes("UTF-8"), ref = true), ref = true))
       s"($m, '${pad(c)}', ${bucket(c)}, '${pad(sip)}', '${pad(md5)}', " +
         s"'${pad(i64)}', ${bucket(i64)}, '${pad(i32, 10)}', " +
-        s"'${pad(url)}', '${pad(city2)}')"
+        s"'${pad(url)}', '${pad(city2)}', '$sip128', '$sip128r')"
     }.mkString(",\n      ")
   }
 
   val oracle: Map[String, String] = Map(
     "q23_ch_hash_sample" ->
       s"""WITH hmap(m, city_h, bucket, sip_h, md5_h, i64_h, i64_b,
-         |          i32_h, url_h, city2_h) AS (VALUES
+         |          i32_h, url_h, city2_h, sip128_h, sip128r_h) AS (VALUES
          |      $q23HashMap)
          |SELECT c_nationkey, count(*) AS n_cust,
          |  count(*) FILTER (WHERE bucket = 7) AS n_sampled,
@@ -532,7 +541,8 @@ object RelationalQueries {
          |  max(city_h) AS max_city, min(sip_h) AS min_sip,
          |  max(md5_h) AS max_md5, min(i64_h) AS min_i64,
          |  max(i32_h) AS max_i32, min(url_h) AS min_url,
-         |  max(city2_h) AS max_city2
+         |  max(city2_h) AS max_city2,
+         |  max(sip128_h) AS max_sip128, min(sip128r_h) AS min_sip128r
          |FROM customer JOIN hmap ON (c_custkey % 256) = m
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q24_ipv6_roundtrip" ->

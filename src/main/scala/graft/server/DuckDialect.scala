@@ -1065,11 +1065,11 @@ object DuckDialect {
       // timestampdiff on edge dates — same-named different answers
       "age",
       // hashes: the common family (cityHash64/sipHash64/halfMD5/
-      // intHash32/intHash64/URLHash) is now implemented BIT-EXACTLY in
-      // functions/ChHashes.scala (r13); what remains unmapped is the
-      // long tail — a full FarmHash port and a 128-bit return
-      // convention are out of proportion to their usage
-      "sipHash128", "farmHash64", "farmFingerprint64",
+      // intHash32/intHash64/URLHash — and since r15 sipHash128/
+      // sipHash128Reference as lowercase hex) is implemented
+      // BIT-EXACTLY in functions/ChHashes.scala; what remains unmapped
+      // is a full FarmHash port, out of proportion to its usage
+      "farmHash64", "farmFingerprint64",
       // block-order-positional scalars: no well-defined distributed
       // meaning — Spark window functions are the honest spelling
       "runningDifference", "neighbor",

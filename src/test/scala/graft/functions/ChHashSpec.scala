@@ -141,6 +141,75 @@ class ChHashSpec extends SparkSpec {
     }
   }
 
+  // ---- r15: the 128-bit pair, closing the sipHash128 hold ----
+
+  test("sipHash128Reference matches the paper reference's published 128-bit vectors") {
+    // vectors_sip128 from the reference siphash.c's test suite: key =
+    // 000102…0f, message n = first n bytes of 00, 01, 02, … — a TRUE
+    // third-party pin for the paper variant, same key/message
+    // convention as the pinned 64-bit vectors above (the Python net's
+    // keyed transcription reproduced all four independently).
+    val k0 = 0x0706050403020100L
+    val k1 = 0x0f0e0d0c0b0a0908L
+    val expected = Seq(
+      "a3817f04ba25a8e66df67214c7550293",
+      "da87c1d86b99af44347659119b22fc45",
+      "8177228da4a45dc7fca38bdef60affe4",
+      "9c70b60c5267a94e5f33b6b02985ed51")
+    expected.zipWithIndex.foreach { case (hex, n) =>
+      val msg = Array.tabulate[Byte](n)(_.toByte)
+      val got = ChHash.sipHash128Keyed(k0, k1, msg, ref = true)
+        .map(b => f"${b & 0xff}%02x").mkString
+      assert(got == hex, s"sip128 ref vector $n")
+    }
+  }
+
+  test("sipHash128 / sipHash128Reference agree with the independent Python derivation") {
+    // zero-key values from tools/cityhash102_ref.py's siphash128
+    // printer (CH get128 fold | paper variant), every length class
+    val want = Seq(
+      ("32b5c1db56a683e9e5b5b6a8cbed11f7", "5049d74780a3e07d4202ab47d4cef2f4"),
+      ("71315e763ccb60893893cdbb5cc3a21f", "ffcc4e749c37a0bee6c404890ecd7325"),
+      ("2f06b32389c5fd4e919488c482829faa", "b1d648fe666a7184b4e206d2e6f1c948"),
+      ("b6b415a2da966b6c685a65e54c12a353", "6c95dec302962fa8ca5e69c1d5d15478"),
+      ("6bc413d2257779257191f8ba3864d6ad", "2e19dfb914d6e3180572463f6f33d7f2"),
+      ("54f0c4900581e097eda2332258dc211b", "7eba74f2264d88eff5cde46b5643e6c0"),
+      ("d13ee228fbdfef7449d763923f330829", "18fffdce1b2379e93644ff5b0d68b7f1"),
+      ("b777323f70d82e8e486e68423f15b286", "bb762c2bd72bcc1ebad9734df0272e2a"),
+      ("9a9fb1d50db506452e38ae7c09c1c5d1", "f7b74fb64f39b8ec1f3a905b2189f0d6"),
+      ("67230a80aeed6da2721b1d134a593df5", "cb44af2831b52be36387582193e8e727"),
+      ("bd7c84dfb8c33cb9f05ea48fd77ddd77", "fb566c87f9cb795cde62f7e6a4405c44"),
+      ("6dd1026e3ebc7952fcc1b46da65972c3", "e7fb3955370ee252f38613e1516f70f9"),
+      ("4ea70a4377b2a1e9ee6d2d879fbb6265", "35d70b1e89bd05ccfd682a5cb94e826a"),
+      ("3e07b68b79e8e8ebd7a9f7ea458ff53f", "98e1a0ab247c1a28ec3772c5230cf06a"),
+      ("93217b42ad6ee6dcfff1529674aa69f0", "253868c2e6cc837e764fbf0f4267d30f"),
+      ("85e0b8a437a3177f8804c88131f11726", "df8c5ce876c57f25c03f1bb5df591ab2"))
+    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    CrossLangStrings.zip(want).foreach { case (s, (ch, ref)) =>
+      assert(hex(ChHash.sipHash128(s.getBytes("UTF-8"), ref = false)) == ch,
+        s"sipHash128 len=${s.length}")
+      assert(hex(ChHash.sipHash128(s.getBytes("UTF-8"), ref = true)) == ref,
+        s"sipHash128Reference len=${s.length}")
+    }
+  }
+
+  test("sipHash128 SQL surface: lowercase hex, multi-arg fold, int widths") {
+    // zero-key folds + little-endian integer layouts from the Python
+    // printer; the SQL face returns LOWERCASE hex text (convention
+    // documented at the builder — CH's hex() of its FixedString(16) is
+    // the uppercase spelling)
+    assert(one("sipHash128('hello')") == "54f0c4900581e097eda2332258dc211b")
+    assert(one("sipHash128Reference('hello')") == "7eba74f2264d88eff5cde46b5643e6c0")
+    assert(one("sipHash128('a', 'b')") == "7b64e9f103295c192f07a59fca5d7252")
+    assert(one("sipHash128('hello', 'world')") == "37948cb82a70bc999926b43c6307af62")
+    assert(one("sipHash128Reference('hello', 'world')") ==
+      "a18357347785f657d6b8e57f10655c11")
+    assert(one("sipHash128(CAST(5 AS BIGINT))") == "8a4b5acdf0d1108c8e69c1ba01398844")
+    assert(one("sipHash128(CAST(5 AS INT))") == "31a2c398ad5ad08a3c90a13e0128600d")
+    assert(one("sipHash128(CAST(NULL AS STRING))") == null)
+    assert(one("upper(sipHash128('hello'))") == "54F0C4900581E097EDA2332258DC211B")
+  }
+
   test("halfMD5 agrees with Python hashlib (true third-party MD5) on long inputs") {
     // the RFC 1321 suite above pins the short shapes; these extend the
     // external check across the block boundaries (64/65/129 bytes)

@@ -218,8 +218,11 @@ class DuckDialectSpec extends SparkSpec {
   }
 
   test("dialectGap names the surface for known-unmapped functions (VERDICT r9 #5)") {
-    assert(DuckDialect.dialectGap("sipHash128") == Some("chsql/ClickHouse"))
-    assert(DuckDialect.dialectGap("`sipHash128`") == Some("chsql/ClickHouse"))
+    assert(DuckDialect.dialectGap("farmHash64") == Some("chsql/ClickHouse"))
+    assert(DuckDialect.dialectGap("`farmHash64`") == Some("chsql/ClickHouse"))
+    // r15 mapped the 128-bit sip pair — off the gap list
+    assert(DuckDialect.dialectGap("sipHash128") == None)
+    assert(DuckDialect.dialectGap("sipHash128Reference") == None)
     assert(DuckDialect.dialectGap("generate_subscripts") == Some("DuckDB"))
     assert(DuckDialect.dialectGap("definitely_not_a_function") == None)
     // mapped names never appear in the gap list (len IS registered)

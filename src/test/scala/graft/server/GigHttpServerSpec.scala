@@ -164,13 +164,20 @@ class GigHttpServerSpec extends SparkSpec {
   test("unmapped chsql/DuckDB name on /query is a 400 naming the gap (VERDICT r9 #5)") {
     // (formatDateTime/read_csv were the r10 exemplars here; the r12
     // tiers mapped them, so the deliberately-unmapped names stand in)
-    // (sipHash64 was the r12 exemplar; r13 mapped the hash family, so
-    // the still-unmapped 128-bit form stands in)
+    // (sipHash64 was the r12 exemplar, sipHash128 the r13-r14 one;
+    // r15 mapped the 128-bit pair, so farmHash64 — the one remaining
+    // hash hold — stands in)
     val r = post("/query",
-      """{"query": "SELECT sipHash128('x') AS x"}""")
+      """{"query": "SELECT farmHash64('x') AS x"}""")
     assert(r.statusCode() == 400, s"${r.statusCode()} ${r.body()}")
-    assert(r.body().contains("sipHash128") &&
+    assert(r.body().contains("farmHash64") &&
       r.body().contains("chsql"), r.body())
+    // the freshly-mapped name answers 200 with the lowercase-hex value
+    val m = post("/query", """{"query": "SELECT sipHash128('x') AS x"}""")
+    assert(m.statusCode() == 200, s"${m.statusCode()} ${m.body()}")
+    assert(m.body().contains(
+      graft.functions.ChHash.sipHash128("x".getBytes("UTF-8"), ref = false)
+        .map(b => f"${b & 0xff}%02x").mkString), m.body())
     // an unknown name that is NOT on the reference surface keeps
     // Spark's own analyzer error (with its did-you-mean), as a 500
     val u = post("/query", """{"query": "SELECT zorblefy(1) AS x"}""")

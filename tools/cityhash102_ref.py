@@ -246,6 +246,68 @@ def siphash24(data, key0=0, key1=0):
     return u64(v0 ^ v1 ^ v2 ^ v3)
 
 
+def siphash128(data, ref=False):
+    """SipHash 128-bit outputs, zero key, as 32 lowercase hex chars.
+
+    ref=False: ClickHouse's sipHash128 — the sipHash64 state machine
+    (normal init, v2 ^= 0xff finalization) with the final xor-fold
+    stopped at 128 bits: out = LE(v0^v1) || LE(v2^v3) (public
+    SipHash.h get128; the CH docs call out the divergence from the
+    paper's mode). ref=True: the paper's outlen=16 variant (Aumasson
+    & Bernstein reference siphash.c): v1 ^= 0xee at init, v2 ^= 0xee
+    at finalization, b0 = v0^v1^v2^v3, then v1 ^= 0xdd + 4 rounds for
+    b1 (ClickHouse sipHash128Reference)."""
+    b = bytes(data)
+    v0 = 0x736f6d6570736575
+    v1 = 0x646f72616e646f6d ^ (0xee if ref else 0)
+    v2 = 0x6c7967656e657261
+    v3 = 0x7465646279746573
+
+    def rotl(v, s):
+        return u64((v << s) | (v >> (64 - s)))
+
+    def round_():
+        nonlocal v0, v1, v2, v3
+        v0 = u64(v0 + v1); v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+        v2 = u64(v2 + v3); v3 = rotl(v3, 16); v3 ^= v2
+        v0 = u64(v0 + v3); v3 = rotl(v3, 21); v3 ^= v0
+        v2 = u64(v2 + v1); v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+
+    n = len(b)
+    i = 0
+    while n - i >= 8:
+        m = fetch64(b, i)
+        v3 ^= m
+        round_(); round_()
+        v0 ^= m
+        i += 8
+    m = (n & 0xff) << 56
+    for j in range(n - i):
+        m |= b[i + j] << (8 * j)
+    v3 ^= m
+    round_(); round_()
+    v0 ^= m
+    if ref:
+        v2 ^= 0xee
+        round_(); round_(); round_(); round_()
+        b0 = u64(v0 ^ v1 ^ v2 ^ v3)
+        v1 ^= 0xdd
+        round_(); round_(); round_(); round_()
+        b1 = u64(v0 ^ v1 ^ v2 ^ v3)
+    else:
+        v2 ^= 0xff
+        round_(); round_(); round_(); round_()
+        b0 = u64(v0 ^ v1)
+        b1 = u64(v2 ^ v3)
+    return (b0.to_bytes(8, "little") + b1.to_bytes(8, "little")).hex()
+
+
+def siphash128_combine(hex_a, hex_b, ref=False):
+    """Multi-arg 128-bit chaining: re-hash the 32-byte concatenation of
+    the two 16-byte hashes (the 128-bit analog of the sipHash64 fold)."""
+    return siphash128(bytes.fromhex(hex_a) + bytes.fromhex(hex_b), ref)
+
+
 def half_md5(data):
     """First 8 bytes of MD5, read BIG-endian (CH HalfMD5Impl bswaps)."""
     return int.from_bytes(hashlib.md5(bytes(data)).digest()[:8], "big")
@@ -273,6 +335,18 @@ def main():
     print("== sipHash64 (zero key) ==")
     for s in strings:
         print(f"  len={len(s):3d} {siphash24(s.encode()):>20d}  {s[:32]!r}")
+    print("== sipHash128 (CH get128 fold) / sipHash128Reference (paper) ==")
+    for s in strings:
+        print(f"  len={len(s):3d} ch={siphash128(s.encode())} "
+              f"ref={siphash128(s.encode(), ref=True)}  {s[:24]!r}")
+    print("== sipHash128 folds + int layouts ==")
+    for a, b in [("a", "b"), ("hello", "world"), ("", "x")]:
+        print(f"  sipHash128({a!r},{b!r}) = "
+              f"{siphash128_combine(siphash128(a.encode()), siphash128(b.encode()))} "
+              f"ref={siphash128_combine(siphash128(a.encode(), True), siphash128(b.encode(), True), True)}")
+    for v, w in [(5, 8), (5, 4), (255, 8), (2**40, 8)]:
+        bs = int(v).to_bytes(w, "little")
+        print(f"  v={v} width={w} -> ch={siphash128(bs)} ref={siphash128(bs, True)}")
     print("== halfMD5 ==")
     for s in strings:
         print(f"  len={len(s):3d} {half_md5(s.encode()):>20d}  {s[:32]!r}")
