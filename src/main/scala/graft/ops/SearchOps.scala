@@ -327,7 +327,23 @@ object SearchOps {
     * both rankings reduce to nSeeds × k rows BEFORE the fusion join,
     * so the fuse is a join of two top-k lists, never corpus-sized. */
   def hybridRrf(docs: DataFrame, emb: DataFrame, nSeeds: Int,
-                k: Int = 10, kRrf: Int = 60): DataFrame = {
+                k: Int = 10, kRrf: Int = 60): DataFrame =
+    hybridRrfWith(docs,
+      SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < nSeeds), k),
+      nSeeds, k, kRrf)
+
+  /** [[hybridRrf]] with the DENSE ranking supplied by the caller as a
+    * `(qid, nid, rn)` top-k frame (r15, VERDICT r14 #5 — the SCALE.md
+    * promise "the dense side swaps to the IVF probe without touching
+    * the fusion" made real): the declared p95 face routes the dense
+    * side through the SHARED persisted IVF index (`ivfTopKWith`, the
+    * p13/p99 plan — cell-pruned probes instead of one full corpus scan
+    * per seed batch), while [[hybridRrf]] keeps the brute-force
+    * spelling as the exact-recall reference (spec: at full probe the
+    * fused outputs are identical). The fusion join, integer micro-unit
+    * RRF, and seed handling are shared verbatim. */
+  def hybridRrfWith(docs: DataFrame, dense0: DataFrame, nSeeds: Int,
+                    k: Int = 10, kRrf: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seeds: Seq[(Int, Seq[String])] = docs
       .filter(col("doc_id") < nSeeds)
@@ -344,8 +360,7 @@ object SearchOps {
     val sparse = bm25Batch(docs, seeds, k)
       .select(col("qid").cast("long").as("qid"),
         col("doc_id").as("id"), col("rn").as("rs"))
-    val dense = SimilarityOps.bruteForceTopK(
-        emb, emb.filter(col("vec_id") < nSeeds), k)
+    val dense = dense0
       .select(col("qid"), col("nid").as("id"), col("rn").as("rd"))
     def rrfMicro(rn: Column): Column =
       round(lit(1000000.0) / (lit(kRrf) + rn.cast("double"))).cast("long")
@@ -362,15 +377,59 @@ object SearchOps {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** DuckDB oracle for [[hybridRrf]]: re-derives the seed queries, the
-    * BM25 micro-unit ranking (bm25BatchSql's core with the query rows
-    * coming FROM the corpus instead of a VALUES list), the cosine
-    * ranking (p06's spelling), and the same integer RRF fusion. */
+  /** DuckDB oracle for [[hybridRrf]]/[[hybridRrfWith]]: re-derives the
+    * seed queries, the BM25 micro-unit ranking (bm25BatchSql's core
+    * with the query rows coming FROM the corpus instead of a VALUES
+    * list), the dense ranking, and the same integer RRF fusion. The
+    * dense CTE has two renderings matching the two faces: the
+    * brute-force cosine (p06's spelling) when `centers` is None, or —
+    * for the declared IVF-routed face — the trained-centroid probe
+    * replay (ivfTopKSql's cellrank core, the p13 pattern). */
   def hybridRrfSql(nSeeds: Int, k: Int = 10, kRrf: Int = 60,
-                   table: String = "documents"): String = {
+                   table: String = "documents",
+                   centers: Option[Seq[Array[Double]]] = None,
+                   nprobe: Int = 4): String = {
     val core = bm25CoreSql
     def rrf(rn: String) =
       s"CAST(${OracleSql.roundD(s"1000000.0 / ($kRrf + $rn)", 0)} AS BIGINT)"
+    val denseCte = centers match {
+      case Some(cs) =>
+        val values = SimilarityOps.centersValuesSql(cs)
+        s"""centers(cell, cv, hn2) AS (VALUES $values),
+           |nv AS (
+           |  ${SimilarityOps.NormalizedCorpusSql}
+           |), cellrank AS (
+           |  SELECT nv.vec_id, nv.v, c.cell,
+           |    row_number() OVER (PARTITION BY nv.vec_id
+           |      ORDER BY (list_inner_product(nv.v, c.cv) - c.hn2) DESC, c.cell) AS cr
+           |  FROM nv, centers c
+           |), ivf_assigned AS (
+           |  SELECT vec_id, v, cell FROM cellrank WHERE cr = 1
+           |), ivf_probes AS (
+           |  SELECT vec_id AS qid, v AS qv, cell FROM cellrank
+           |  WHERE vec_id < $nSeeds AND cr <= $nprobe
+           |), dense AS (
+           |  SELECT qid, id, rd FROM (
+           |    SELECT p.qid, a.vec_id AS id,
+           |      row_number() OVER (PARTITION BY p.qid
+           |        ORDER BY list_inner_product(p.qv, a.v) DESC, a.vec_id) AS rd
+           |    FROM ivf_probes p JOIN ivf_assigned a USING (cell)
+           |    WHERE a.vec_id != p.qid)
+           |  WHERE rd <= $k)""".stripMargin
+      case None =>
+        s"""dense AS (
+           |  SELECT qid, id, rd FROM (
+           |    SELECT a.vec_id AS qid, b.vec_id AS id,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           |                                        CAST(b.embedding AS DOUBLE[])) DESC,
+           |                 b.vec_id) AS rd
+           |    FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+           |    WHERE a.vec_id < $nSeeds
+           |      AND ${SimilarityOps.usableSql("CAST(a.embedding AS DOUBLE[])")}
+           |      AND ${SimilarityOps.usableSql("CAST(b.embedding AS DOUBLE[])")})
+           |  WHERE rd <= $k)""".stripMargin
+    }
     s"""WITH toks AS (
        |  ${toksCteSql(table)}),
        |seedq AS (
@@ -398,18 +457,7 @@ object SearchOps {
        |    FROM (SELECT qid, doc_id, CAST(sum(micro) AS BIGINT) AS sum_micro
        |          FROM per_term GROUP BY qid, doc_id))
        |  WHERE rs <= $k),
-       |dense AS (
-       |  SELECT qid, id, rd FROM (
-       |    SELECT a.vec_id AS qid, b.vec_id AS id,
-       |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-       |                                        CAST(b.embedding AS DOUBLE[])) DESC,
-       |                 b.vec_id) AS rd
-       |    FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
-       |    WHERE a.vec_id < $nSeeds
-       |      AND ${SimilarityOps.usableSql("CAST(a.embedding AS DOUBLE[])")}
-       |      AND ${SimilarityOps.usableSql("CAST(b.embedding AS DOUBLE[])")})
-       |  WHERE rd <= $k),
+       |$denseCte,
        |fused AS (
        |  SELECT COALESCE(s.qid, d.qid) AS qid, COALESCE(s.id, d.id) AS id,
        |    COALESCE(${rrf("s.rs")}, 0) + COALESCE(${rrf("d.rd")}, 0) AS fused_micro,

@@ -669,10 +669,24 @@ object PipelineQueries {
     //      Bayes on the heuristic gate's weak labels, score every doc
     //      with quantized-integer log-likelihoods (the CCNet/GPT-3
     //      classifier-filter step, distilled from p09's heuristic;
-    //      a curated seed corpus drops into the label slot). Model is
-    //      256 buckets → broadcasts; corpus never shuffles to score ----
+    //      a curated seed corpus drops into the label slot). r15
+    //      (VERDICT r14 #1, the p47 sf1 flag): the model trains ONCE
+    //      per corpus snapshot via the cached nbModelFor artifact —
+    //      the production CCNet shape (train the classifier once,
+    //      apply it at corpus scale) — and scoring is the map-only
+    //      bound-model column, so the measured query no longer re-pays
+    //      the train's corpus-proportional localCheckpoint per
+    //      invocation (the blocks outlived each run until GC and taxed
+    //      whatever measured next). nbQualityCol ≡ nbQualityScores is
+    //      spec-pinned (ModelOpsSpec) and both share this oracle; the
+    //      inline-train spelling remains nbQualityScores. ----
     "p47_quality_classifier" -> ((s, dir) => {
-      ModelOps.nbQualityScores(Tables.loadSpread(s, dir, "documents"))
+      val model = nbModelFor(s, dir)
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), ModelOps.nbQualityCol(col("text"), model).as("q"))
+        .select(col("doc_id"), col("q")("label").as("label"),
+          col("q")("n_grams").as("n_grams"), col("q")("score").as("score"),
+          col("q")("pred").as("pred"), col("q")("agree").as("agree"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1283,9 +1297,20 @@ object PipelineQueries {
     //      synthetic id space makes each seed both a query document
     //      and a query vector ----
     "p95_hybrid_rrf" -> ((s, dir) => {
-      SearchOps.hybridRrf(
+      // r15 (VERDICT r14 #5): the dense side rides the SHARED persisted
+      // IVF index — cell-pruned probes (the p13/p99 plan) instead of
+      // one full corpus scan per seed batch; the fusion is untouched
+      // (hybridRrfWith) and the oracle replays the probe from the
+      // trained centroids. The brute-force spelling stays as
+      // SearchOps.hybridRrf, spec-pinned equal at full probe.
+      val emb = Tables.load(s, dir, "embeddings")
+      val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
+      hybridCenters.set(km.clusterCenters.map(_.toArray))
+      SearchOps.hybridRrfWith(
         Tables.loadSpread(s, dir, "documents"),
-        Tables.load(s, dir, "embeddings"), nSeeds = 5, k = 10)
+        SimilarityOps.ivfTopKWith(km, assigned,
+          emb.filter(col("vec_id") < 5), 10, nprobe = 4),
+        nSeeds = 5, k = 10)
     }),
 
     "p57_hard_negatives" -> ((s, dir) => {
@@ -1614,6 +1639,12 @@ object PipelineQueries {
   private val marginCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** p95's probe centroids (same shared quantizer, own capture — r15:
+    * the dense side rides the IVF index; the oracle replays the probe
+    * from these). */
+  private val hybridCenters =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
   /** p99 margin threshold: pairs must beat their two neighborhoods'
     * average cosine (margin > 1.0) with 2% headroom. */
   val MarginMinPpm = 1020000L
@@ -1792,6 +1823,9 @@ object PipelineQueries {
     Option(marginCenters.get()).map(c =>
       "p99_margin_mining" -> SimilarityOps.marginMiningSql(c.toSeq, k = 4,
         nprobe = 4, MarginMinPpm)) ++
+    Option(hybridCenters.get()).map(c =>
+      "p95_hybrid_rrf" -> SearchOps.hybridRrfSql(nSeeds = 5, k = 10,
+        centers = Some(c.toSeq), nprobe = 4)) ++
     Option(unigramPieces.get()).map(p =>
       "p60_unigram_train" -> graft.ops.UnigramOps.trainTableSql(p.toSeq)) ++
     Option(unigramEncPieces.get()).map(p =>
@@ -1838,7 +1872,8 @@ object PipelineQueries {
       s"""SELECT est_distinct FROM (
          |${SketchOps.hllSummarySql("events", "CAST(event_id AS VARCHAR)")})""".stripMargin,
     "p91_cms_heavy_hitters" -> SketchOps.cmsHeavyHittersSql("documents"),
-    "p95_hybrid_rrf" -> SearchOps.hybridRrfSql(nSeeds = 5, k = 10),
+    // p95's oracle is trained-centroid-dependent (r15) — rendered in
+    // the dynamic section above once the face has captured them,
     "p96_graph_rank" -> DedupOps.jaccardPageRankSql(NearDupTau),
     "p97_winnowing" -> DedupOps.winnowMatchesSql(),
     "p98_bradley_terry" -> PrefOps.bradleyTerrySql(),

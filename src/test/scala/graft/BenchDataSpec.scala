@@ -27,6 +27,26 @@ class BenchDataSpec extends SparkSpec {
     all.filter(t => t._1 >= k * Off && t._1 < (k + 1) * Off)
       .map(t => (t._1 - k * Off, t._2, t._3, t._4)).sortBy(_._1)
 
+  test("dropOrphanRdds frees a query's lingering localCheckpoint, spares kept blocks") {
+    import org.apache.spark.sql.functions.lit
+    // simulate a measured query that materialized state and finished:
+    // its checkpointed blocks linger until a GC lets the ContextCleaner
+    // find them — exactly the cross-query debt the bench helper drains
+    val kept = spark.range(10).toDF("a").withColumn("k", lit(1))
+      .localCheckpoint(true)
+    val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val orphan = spark.range(10).toDF("b").localCheckpoint(true)
+    assert(spark.sparkContext.getPersistentRDDs.size > keep.size)
+    Bench.dropOrphanRdds(spark, keep)
+    val left = spark.sparkContext.getPersistentRDDs.keySet
+    assert(left == keep, s"left=$left keep=$keep")
+    assert(kept.count() == 10) // kept blocks untouched
+    // `orphan` is dead after the drop (a local checkpoint has no
+    // lineage to recompute from) — which is why the bench only drops
+    // AFTER a query's noop write completed and nothing references it
+    ()
+  }
+
   test("10x rows, disjoint doc_id spaces, k=0 kept verbatim") {
     val base = Tables.load(spark, src, "documents")
       .select("doc_id", "text").collect()

@@ -139,4 +139,39 @@ class SearchOpsSpec extends SparkSpec {
     // fused ordering: doc 1 (two mid ranks) beats vec 3 (one top rank)
     assert(r(1L)._1 > r(3L)._1, r.toString)
   }
+
+  test("hybridRrfWith(IVF dense) at full probe == the brute-force spelling (r15)") {
+    import spark.implicits._
+    // deterministic corpus: 60 docs whose texts AND embeddings both
+    // carry the doc's bucket, so sparse and dense rankings interact
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).map { i =>
+      val words = (0 until 6).map(j => s"w${(i + j * 7) % 13}").mkString(" ")
+      val v = Array.tabulate(8)(d => (math.sin(i * (d + 1) * 0.7) +
+        rnd.nextDouble() * 0.1).toFloat)
+      (i.toLong, words, v)
+    }
+    val docs = rows.map(t => (t._1, t._2)).toDF("doc_id", "text")
+    val emb = rows.map(t => (t._1, t._3)).toDF("vec_id", "embedding")
+    val (km, assigned) = SimilarityOps.ivfIndex(emb, nlist = 6)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "id", "fused_micro", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // full probe scans every cell → the dense ranking (normalized-dot
+    // spelling) is exact, so the FUSED output must equal hybridRrf's
+    val full = SearchOps.hybridRrfWith(docs,
+      SimilarityOps.ivfTopKWith(km, assigned,
+        emb.filter($"vec_id" < 4), 10, nprobe = 6),
+      nSeeds = 4, k = 10)
+    val brute = SearchOps.hybridRrf(docs, emb, nSeeds = 4, k = 10)
+    assert(key(full) == key(brute))
+    // cell-pruned probe: same fusion mechanics, dense list is the
+    // approximate one — still k rows per seed, seeds still excluded
+    val pruned = SearchOps.hybridRrfWith(docs,
+      SimilarityOps.ivfTopKWith(km, assigned,
+        emb.filter($"vec_id" < 4), 10, nprobe = 2),
+      nSeeds = 4, k = 10)
+      .select("qid", "id").as[(Long, Long)].collect()
+    assert(pruned.length == 4 * 10 && !pruned.exists(p => p._1 == p._2))
+  }
 }
