@@ -144,25 +144,37 @@ object ModelOps {
       DedupOps.freeCheckpoint(cnt)
   }
 
-  /** Map-only NB scoring with the trained model bound as ONE map
-    * literal: `(label, n_grams, score, pred, agree)` exactly as
+  /** Map-only NB scoring with the trained model bound as ONE dense
+    * ARRAY literal: `(label, n_grams, score, pred, agree)` exactly as
     * [[nbQualityScores]] computes them, but with NO aggregation or
     * join — the per-gram sum rides the `aggregate` higher-order
     * function (integer adds, so any order matches the grouped sums).
     * This is the SQL surface's `nb_quality(text)`; a bucket absent
     * from the model scores llog2(0) = 0 on both classes (the behavior
-    * novel text gets — the training corpus itself always hits). */
+    * novel text gets — the training corpus itself always hits).
+    *
+    * r15 (the p82 sf0.1-drift root cause, VERDICT r14 note 3): the
+    * model used to bind as a MAP literal, and `element_at` on an
+    * ArrayBasedMapData literal is a LINEAR key scan over all
+    * [[NbBuckets]] entries PER GRAM — measured 8.8 s at the 10×
+    * corpus. The bucket space is dense 0..255 by construction, so the
+    * per-bucket weight llog2(cp)−llog2(cn) precomputes into one
+    * 256-slot array literal and `element_at` becomes O(1) positional
+    * access (1.x s at the same corpus, identical integers). */
   def nbQualityCol(text: Column, model: NbModel): Column = {
-    val mL = typedlit(model.buckets)
+    val wArr = Array.tabulate(NbBuckets.toInt) { b =>
+      val (cp, cn) = model.buckets.getOrElse(b.toLong, (0L, 0L))
+      llog2L(cp) - llog2L(cn)
+    }
+    val mL = typedlit(wArr.toSeq)
     val w = TextOps.tokens(text)
     val grams = concat(w, TextExprs.ngrams(w, 2))
     val nGrams = size(grams).cast("long")
     val label = TextOps.qualityScore(text) >= NbSeedTau
     val mw = aggregate(
-      transform(grams, g => element_at(mL, nbBucket(g))),
-      lit(0L), (acc, e) => acc
-        + llog2(coalesce(e("_1"), lit(0L)))
-        - llog2(coalesce(e("_2"), lit(0L))))
+      transform(grams, g =>
+        element_at(mL, (nbBucket(g) + lit(1L)).cast("int"))),
+      lit(0L), (acc, e) => acc + e)
     val score = mw +
       nGrams * lit(llog2L(model.tn) - llog2L(model.tp)) +
       lit(llog2L(model.np) - llog2L(model.nn))
