@@ -16,6 +16,20 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchGuardSpec extends AnyFunSuite {
 
+  test("Sf1Order: sentinels first, newest-first after, same membership (r15)") {
+    // the confirm pass normalizes against the sentinels' own section
+    // measurements, so they must be measured before any candidate can
+    // flag; newest-first puts budget overruns on the oldest anchors
+    assert(Bench.Sf1Order.take(2) ==
+      Seq("q01_pricing_summary", "q05_window_rank"))
+    assert(Bench.Sf1Order.toSet == Bench.Sf1Subset.toSet)
+    assert(Bench.Sf1Order.size == Bench.Sf1Subset.size) // no dup drop
+    // newest-first: the r14/r15 additions precede the r5-era heavy tail
+    val order = Bench.Sf1Order.zipWithIndex.toMap
+    assert(order("p99_margin_mining") < order("p02_ngram_jaccard"))
+    assert(order("p96_graph_rank") < order("p47_quality_classifier"))
+  }
+
   // ---- baseline key: content fp + generator version ----
 
   test("baselineKey appends the generator version; empty fp stays empty") {
