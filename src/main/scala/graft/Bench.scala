@@ -217,6 +217,12 @@ object Bench {
     // relabel measurements taken on the pre-commit tree.
     val (headSha, treeDirty) = BenchGuard.gitProvenance()
     var spark = session(cpus)
+    // ONE keep-set for every hygiene drop in this session, captured
+    // BEFORE the warm pass (review r15: per-section snapshots taken
+    // after warmup pinned the warm queries' orphaned checkpoints for
+    // the whole section, while the confirm pass protected nothing —
+    // one policy everywhere, and warm leftovers drain like any other)
+    val keepRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     // prime page cache + parquet footers + temp views + codegen JIT so
     // per-query times measure the queries, not whichever one runs first.
     // Each query also runs once against the smallest SF: a query's FIRST
@@ -259,7 +265,6 @@ object Bench {
       // reps measure the queries, not the JVM's accumulated state.
       if (rep > 1) { System.gc(); Thread.sleep(3000) }
       val b0 = graft.queries.PipelineQueries.artifactBuildNanos.get()
-      val keepRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val m = SparkEntry.queries.map { case (name, fn) =>
         // 180 s cap = pure hang guard, 30× the slowest steady-state
         // query; a one-rep kill leaves median-of-3 over the other reps
@@ -297,7 +302,6 @@ object Bench {
       System.gc(); Thread.sleep(3000)
       val t0 = System.nanoTime()
       var qi = 0
-      val keepRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
       Sf1Order.filter(SparkEntry.queries.contains).foreach { n =>
         if (qi > 0 && qi % 10 == 0) { System.gc(); Thread.sleep(3000) }
         qi += 1
@@ -434,7 +438,7 @@ object Bench {
           else timeOne(spark, sf1Dir, SparkEntry.queries(ShuffleSentinel), capSec = 90)
         val drift2 = BenchGuard.sentinelDrift(s2Time, sentinel2Base)
         val c = timeOne(spark, sf1Dir, SparkEntry.queries(n), capSec = 90)
-        dropOrphanRdds(spark, Set.empty)
+        dropOrphanRdds(spark, keepRdds)
         confirmRep(n) = r3(c)
         sentinelInfo(n) = (r3(sTime), r3(sentinelBase), r3(drift1))
         sentinel2Info(n) = (r3(s2Time), r3(sentinel2Base), r3(drift2))

@@ -163,7 +163,16 @@ object ChHash {
     sipHash128Keyed(0L, 0L, data, ref)
 
   /** Keyed form — the key slot exists so the paper's PUBLISHED 128-bit
-    * test vectors (key 000102…0f) can pin the ref variant directly. */
+    * test vectors (key 000102…0f) can pin the ref variant directly.
+    *
+    * The SipHash-2-4 state machine here deliberately DUPLICATES
+    * [[sipHash64Keyed]]'s (round function, block loop, tail-word
+    * build): delegating one to the other would put a per-call 16-byte
+    * allocation or a boxed state tuple on the 64-bit hot path. Both
+    * copies are frozen, vector-pinned spec code (ChHashSpec pins each
+    * against published vectors AND the independent Python derivation)
+    * — a change to one must land in both, and the pins catch a
+    * one-sided edit. */
   def sipHash128Keyed(k0: Long, k1: Long, data: Array[Byte],
                       ref: Boolean): Array[Byte] = {
     var v0 = 0x736f6d6570736575L ^ k0
@@ -231,6 +240,12 @@ object ChHash {
     sipHash128(s.getBytes, ref)
   def sip128Long(v: Long, width: Int, ref: Boolean): Array[Byte] =
     sipHash128(leBytes(v, width), ref)
+
+  /** The ONE lowercase-hex rendering of a hash's bytes — the surface
+    * convention for the 128-bit family; the q23 oracle renderer and
+    * the spec pins all spell it through here. */
+  def hexLower(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
 
   /** ClickHouse's multi-argument chaining: re-hash the 16-byte
     * little-endian (h1, h2) buffer (SipHash64Impl::combineHashes). */

@@ -340,8 +340,13 @@ object SearchOps {
     * p13/p99 plan — cell-pruned probes instead of one full corpus scan
     * per seed batch), while [[hybridRrf]] keeps the brute-force
     * spelling as the exact-recall reference (spec: at full probe the
-    * fused outputs are identical). The fusion join, integer micro-unit
-    * RRF, and seed handling are shared verbatim. */
+    * fused outputs agree — on the pinned corpus; the two dense paths
+    * spell cosine differently (dot/(|q||n|) on raw vectors vs dot of
+    * pre-normalized ones), so a pair within ~1 ulp of a rank boundary
+    * COULD order differently under the two spellings — the same
+    * bounded, gate-tested risk ivfTopKSql documents for its
+    * assignment path). The fusion join, integer micro-unit RRF, and
+    * seed handling are shared verbatim. */
   def hybridRrfWith(docs: DataFrame, dense0: DataFrame, nSeeds: Int,
                     k: Int = 10, kRrf: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window

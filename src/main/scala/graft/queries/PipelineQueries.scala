@@ -684,6 +684,12 @@ object PipelineQueries {
       val model = nbModelFor(s, dir)
       Tables.loadSpread(s, dir, "documents")
         .select(col("doc_id"), ModelOps.nbQualityCol(col("text"), model).as("q"))
+        // row-domain parity with the oracle (review r15): the grouped
+        // spelling and the SQL oracle both DROP a doc with no gram
+        // instances (NULL text — explode/unnest of a null array yields
+        // no rows); the map-only face must not resurrect it (size(null)
+        // is NULL here, so the > 0 filter drops exactly that case)
+        .filter(col("q")("n_grams") > 0)
         .select(col("doc_id"), col("q")("label").as("label"),
           col("q")("n_grams").as("n_grams"), col("q")("score").as("score"),
           col("q")("pred").as("pred"), col("q")("agree").as("agree"))
@@ -1064,9 +1070,12 @@ object PipelineQueries {
         "scala_udf")
       Tables.loadSpread(s, dir, "documents").createOrReplaceTempView("p82_docs")
       s.sql(
+        // q.n_grams > 0: row-domain parity with the oracle for
+        // NULL-text docs (review r15 — the p47 note)
         """SELECT doc_id, q.label AS label, q.n_grams AS n_grams,
           |  q.score AS score, q.pred AS pred, q.agree AS agree
           |FROM (SELECT doc_id, nb_quality(text) AS q FROM p82_docs)
+          |WHERE q.n_grams > 0
           |ORDER BY doc_id""".stripMargin)
     }),
 

@@ -519,7 +519,7 @@ object RelationalQueries {
         ChHash.cityHash64("q23".getBytes("UTF-8")))
       // r15: the 128-bit pair — single-arg CH fold + a 2-arg paper-
       // variant fold (the combiner re-hashes the 32-byte concat)
-      def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+      import ChHash.{hexLower => hx}
       val sip128 = hx(ChHash.sipHash128(bytes, ref = false))
       val sip128r = hx(ChHash.sip128Combine(
         ChHash.sipHash128(bytes, ref = true),

@@ -158,8 +158,7 @@ class ChHashSpec extends SparkSpec {
       "9c70b60c5267a94e5f33b6b02985ed51")
     expected.zipWithIndex.foreach { case (hex, n) =>
       val msg = Array.tabulate[Byte](n)(_.toByte)
-      val got = ChHash.sipHash128Keyed(k0, k1, msg, ref = true)
-        .map(b => f"${b & 0xff}%02x").mkString
+      val got = ChHash.hexLower(ChHash.sipHash128Keyed(k0, k1, msg, ref = true))
       assert(got == hex, s"sip128 ref vector $n")
     }
   }
@@ -184,7 +183,7 @@ class ChHashSpec extends SparkSpec {
       ("3e07b68b79e8e8ebd7a9f7ea458ff53f", "98e1a0ab247c1a28ec3772c5230cf06a"),
       ("93217b42ad6ee6dcfff1529674aa69f0", "253868c2e6cc837e764fbf0f4267d30f"),
       ("85e0b8a437a3177f8804c88131f11726", "df8c5ce876c57f25c03f1bb5df591ab2"))
-    def hex(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    def hex(b: Array[Byte]) = ChHash.hexLower(b)
     CrossLangStrings.zip(want).foreach { case (s, (ch, ref)) =>
       assert(hex(ChHash.sipHash128(s.getBytes("UTF-8"), ref = false)) == ch,
         s"sipHash128 len=${s.length}")

@@ -110,6 +110,28 @@ class ModelOpsSpec extends SparkSpec {
     assert(scalar == batch)
   }
 
+  test("NULL-text docs: scalar face emits n_grams NULL, the n_grams>0 filter restores the batch domain (r15)") {
+    import spark.implicits._
+    // nbQualityScores DROPS a null-text doc (explode of a null token
+    // array yields no rows) and so does the shared DuckDB oracle; the
+    // map-only face emits size(null) = NULL for it, so the p47/p82
+    // faces' n_grams > 0 filter is what keeps the row domains equal
+    val docs = Seq((0L, "alpha beta gamma real words here"),
+      (1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val model = ModelOps.nbModelOf(docs)
+    val batch = ModelOps.nbQualityScores(docs).select("doc_id")
+      .as[Long].collect().toSet
+    assert(batch == Set(0L)) // null-text doc absent
+    val scalar = docs
+      .select(col("doc_id"), ModelOps.nbQualityCol(col("text"), model).as("q"))
+    val unfiltered = scalar.select(col("doc_id"), col("q")("n_grams"))
+      .as[(Long, java.lang.Long)].collect().toMap
+    assert(unfiltered(1L) == null) // the raw scalar face resurrects it...
+    val filtered = scalar.filter(col("q")("n_grams") > 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(filtered == batch) // ...and the declared filter drops it
+  }
+
   test("ppl_bits scalar face == batch LM scoring (p83's binding)") {
     val (m12, m1) = ModelOps.bigramLmMaps(langCorpus)
     def key(r: org.apache.spark.sql.Row) =

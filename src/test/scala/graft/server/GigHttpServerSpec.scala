@@ -175,9 +175,9 @@ class GigHttpServerSpec extends SparkSpec {
     // the freshly-mapped name answers 200 with the lowercase-hex value
     val m = post("/query", """{"query": "SELECT sipHash128('x') AS x"}""")
     assert(m.statusCode() == 200, s"${m.statusCode()} ${m.body()}")
-    assert(m.body().contains(
-      graft.functions.ChHash.sipHash128("x".getBytes("UTF-8"), ref = false)
-        .map(b => f"${b & 0xff}%02x").mkString), m.body())
+    assert(m.body().contains(graft.functions.ChHash.hexLower(
+      graft.functions.ChHash.sipHash128("x".getBytes("UTF-8"), ref = false))),
+      m.body())
     // an unknown name that is NOT on the reference surface keeps
     // Spark's own analyzer error (with its did-you-mean), as a 500
     val u = post("/query", """{"query": "SELECT zorblefy(1) AS x"}""")
