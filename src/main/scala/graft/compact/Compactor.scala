@@ -50,9 +50,15 @@ object Compactor {
   def filesToMerge(spark: SparkSession, spec: TableSpec, tableDir: Path,
                    partDir: Path, level: Int): Seq[(String, Long)] = {
     val idx = MetadataIndex.load(partDir, spec.name)
+    // resolve the remote root ONCE per call, not per manifest entry —
+    // the per-file dataUri form re-parses the S3 URL and re-applies ~6
+    // process-global hadoopConfiguration keys per entry per 10 s tick,
+    // concurrent with query threads reading that same Configuration
+    // (the GraftFileIndex r10 fix, applied to the compaction listing)
+    val remoteRoot = ObjectStore.tableRemoteRoot(spark, spec)
     idx.entries.values.toSeq
       .filter(e => ParquetLevels.levelOf(e.path) == level)
-      .map(e => (ObjectStore.dataUri(spark, spec, tableDir, partDir, e.path), e.sizeBytes))
+      .map(e => (ObjectStore.dataUriFrom(remoteRoot, tableDir, partDir, e.path), e.sizeBytes))
       // local: one cheap stat guards out-of-band deletions (the original
       // Files.exists defense). Remote: the manifest commit protocol IS
       // the existence guarantee — a per-file HEAD here would cost one
@@ -201,6 +207,25 @@ object Compactor {
         col(c1), col(c2))
     }
 
+  /** Copy the staged merge output to its final object key, deleting the
+    * key again if the copy itself fails: a mid-copy failure (transient
+    * network fault) can leave a PARTIAL object at the final key, which
+    * — like the failed-manifest-commit case below — is in no manifest
+    * and on no drop queue, so nothing else would ever delete it; and
+    * planMerge mints a fresh UUID key per retry, so each retry of the
+    * same merge would orphan a new partial on a flaky store. The delete
+    * is best-effort (idempotent; a no-op if nothing was written) and
+    * the original failure propagates. */
+  private[compact] def publishRemote(spark: SparkSession, staged: HPath,
+                                     destUri: String): Unit =
+    try ObjectStore.copyPublish(spark, staged, destUri)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        try ObjectStore.delete(spark, destUri): Unit
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
+
   /** Merge one plan: sorted single-file output, staged locally then
     * published (atomic move locally; copy-to-final-key + manifest commit
     * for object-store tables — reference merge_service_s3.go:73-144
@@ -232,7 +257,7 @@ object Compactor {
       val destUri = spec.dataUrl match {
         case Some(_) =>
           val u = ObjectStore.dataUri(spark, spec, tableDir, partDir, plan.to)
-          ObjectStore.copyPublish(spark, part, u)
+          publishRemote(spark, part, u)
           u
         case None =>
           val dest = new HPath(partUri, plan.to)

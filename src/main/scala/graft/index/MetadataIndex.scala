@@ -179,8 +179,16 @@ object MetadataIndex {
         withId.path -> withId
       }
       val entries = (cur.entries -- remove) ++ added
+      // a path both removed AND re-added in one batch stays LIVE (the
+      // add wins above) — it must not also be drop-queued, or gc would
+      // unlink a file the manifest still lists. No current caller does
+      // this (compaction/ingest use fresh UUID names), but the API must
+      // not hand later callers a delete-a-live-file landmine.
+      val addedPaths = added.map(_._1).toSet
       val updated = PartitionIndex(tableName, entries,
-        cur.dropQueue ++ remove.filter(cur.entries.contains).map(DropEntry(_, nowMs)),
+        cur.dropQueue ++ remove.filter(p =>
+          cur.entries.contains(p) && !addedPaths.contains(p))
+          .map(DropEntry(_, nowMs)),
         walSequence = cur.walSequence + 1)
       persist(partitionDir, updated)
       updated

@@ -63,12 +63,7 @@ final class GraftFileIndex(spark: SparkSession, catalog: TableCatalog, spec: Tab
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(tableRoot.toUri))
 
-  // DateType/IntegerType match both Spark's own hive-partition inference
-  // (round-1 behavior) and DuckDB's — StringType here would silently turn
-  // `SELECT hour FROM t` from JSON number 22 into "22" over /query
-  override val partitionSchema: StructType =
-    if (hive) StructType(Seq(StructField("date", DateType), StructField("hour", IntegerType)))
-    else StructType(Nil)
+  override val partitionSchema: StructType = GraftFileIndex.partitionSchemaFor(spec)
 
   /** date=/hour= values from the dir path as partition-schema internals
     * (DateType → epoch days, IntegerType → int). */
@@ -198,6 +193,26 @@ final class GraftFileIndex(spark: SparkSession, catalog: TableCatalog, spec: Tab
 }
 
 object GraftFileIndex {
+  /** Hive partition columns a HiveMerge table exposes (date=/hour= dirs).
+    * DateType/IntegerType match both Spark's own hive-partition inference
+    * (round-1 behavior) and DuckDB's — StringType here would silently turn
+    * `SELECT hour FROM t` from JSON number 22 into "22" over /query.
+    * Shared with Pruning.readTable's empty-table branch so EVERY read
+    * path exposes the same columns (review r15: the empty branch built a
+    * spec.columns-only schema, so `select("hour")` worked or threw
+    * depending on how much data the time range hit). */
+  def partitionSchemaFor(spec: TableSpec): StructType =
+    if (spec.engine == "HiveMerge")
+      StructType(Seq(StructField("date", DateType), StructField("hour", IntegerType)))
+    else StructType(Nil)
+
+  /** Data schema from the catalog spec — the single spelling shared by
+    * this FileIndex relation and Pruning's empty-table branch. */
+  def dataSchemaFor(spec: TableSpec): StructType =
+    StructType(spec.columns.map { case (n, t) =>
+      StructField(n, graft.catalog.GraftTypes.sparkType(t))
+    })
+
   /** DataFrame over a graft table through the manifest-backed FileIndex:
     * time + partition predicates prune files inside Catalyst planning. */
   def readTable(spark: SparkSession, catalog: TableCatalog,
@@ -205,9 +220,7 @@ object GraftFileIndex {
     val spec = catalog.get(db, table)
       .getOrElse(throw new IllegalArgumentException(s"unknown table $db.$table"))
     val index = new GraftFileIndex(spark, catalog, spec)
-    val dataSchema = StructType(spec.columns.map { case (n, t) =>
-      StructField(n, graft.catalog.GraftTypes.sparkType(t))
-    })
+    val dataSchema = dataSchemaFor(spec)
     val relation = HadoopFsRelation(index, index.partitionSchema, dataSchema,
       None, new ParquetFileFormat(), Map.empty[String, String])(spark)
     GraftColumnBridge.ofRows(spark, LogicalRelation(relation))

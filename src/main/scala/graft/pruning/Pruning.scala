@@ -29,28 +29,26 @@ object Pruning {
       case Some((lo, hi)) => MetadataIndex.pruneByTime(root, table, lo, hi)
       case None => MetadataIndex.pruneByTime(root, table)
     }
-    val remote = spec.filter(_.dataUrl.isDefined)
-    val files = remote match {
-      case Some(s) =>
-        localFiles.map(p => graft.sources.ObjectStore.dataUri(
-          spark, s, root, p.getParent, p.getFileName.toString))
-      case None => localFiles.map(_.toString)
-    }
+    // resolve the remote root ONCE (the GraftFileIndex r10 discipline):
+    // the per-file dataUri form re-parses the S3 URL and re-applies the
+    // process-global s3a confs per manifest entry
+    val remoteRoot = spec.flatMap(s => graft.sources.ObjectStore.tableRemoteRoot(spark, s))
+    val files = localFiles.map(p => graft.sources.ObjectStore.dataUriFrom(
+      remoteRoot, root, p.getParent, p.getFileName.toString))
     if (files.isEmpty) {
-      // empty table: derive schema from the catalog (GraftTypes directly
-      // — the query path has no business constructing an IngestWriter)
+      // empty table (or a range that pruned every file): derive the
+      // schema from the catalog via the SAME construction the FileIndex
+      // path uses — data columns plus the hive partition columns — so
+      // `readTable(...).select("hour")` resolves regardless of how much
+      // data the range hit (review r15: this branch dropped date/hour)
       val s = spec
         .getOrElse(throw new IllegalArgumentException(s"unknown table $db.$table"))
       import org.apache.spark.sql.types._
-      val schema = StructType(s.columns.map { case (n, t) =>
-        StructField(n, graft.catalog.GraftTypes.sparkType(t))
-      })
+      val schema = StructType(GraftFileIndex.dataSchemaFor(s).fields ++
+        GraftFileIndex.partitionSchemaFor(s).fields)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     } else {
-      val base = remote match {
-        case Some(s) => graft.sources.ObjectStore.tableRemoteRoot(spark, s).get
-        case None => root.toString
-      }
+      val base = remoteRoot.getOrElse(root.toString)
       val df = spark.read
         .option("mergeSchema", "true")
         .option("basePath", base)
@@ -238,7 +236,7 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
     * that cache never pin the hole. */
   private def registerTable(s: SparkSession, spec: graft.catalog.TableSpec,
                             timeRangeNs: Option[(Long, Long)],
-                            bare: String): Boolean =
+                            bare: String, qualifiedOk: Boolean = true): Boolean =
     try {
       val base = GraftFileIndex.readTable(s, catalog, spec.database, spec.name)
       val df = timeRangeNs match {
@@ -249,7 +247,13 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
           base.filter(org.apache.spark.sql.functions.col("__timestamp").between(lo, hi))
         case _ => base
       }
-      df.createOrReplaceTempView(s"${spec.database}_${spec.name}")
+      if (qualifiedOk) df.createOrReplaceTempView(s"${spec.database}_${spec.name}")
+      else
+        // the flattened cross-db alias is AMBIGUOUS for this table (see
+        // ambiguousFlatNames) — drop any earlier binding so queries on
+        // the flat name fail attributably instead of nondeterministically
+        // reading whichever colliding table registered last
+        s.catalog.dropTempView(s"${spec.database}_${spec.name}"): Unit
       if (spec.database == bare) df.createOrReplaceTempView(spec.name)
       true
     } catch {
@@ -263,14 +267,38 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
         false
     }
 
+  /** Flattened `db_table` names claimed by MORE than one table: NameRe
+    * allows underscores in both parts, so db 'a_b' table 'c' and db 'a'
+    * table 'b_c' both flatten to 'a_b_c' — a silently last-wins view
+    * would read whichever table registered last, nondeterministically
+    * across snapshot rebuilds. Colliding names are registered for
+    * NEITHER table (loudly logged; queries on the flat name fail with
+    * an attributable unresolved-relation error) while each table stays
+    * reachable via its bare name under its own `?db=` scope. A
+    * deterministic catalog property, not a transient failure — it does
+    * not mark the snapshot incomplete (that would disable caching
+    * forever). */
+  private def ambiguousFlatNames(specs: Seq[graft.catalog.TableSpec]): Set[String] = {
+    val dup = specs.groupBy(sp => s"${sp.database}_${sp.name}")
+      .collect { case (flat, sps) if sps.size > 1 => flat }.toSet
+    if (dup.nonEmpty)
+      System.err.println(s"[query-views] ambiguous flattened table name(s) " +
+        s"${dup.mkString(", ")}: cross-db 'db_table' addressing is disabled " +
+        "for the colliding tables (use ?db= scoping with bare names)")
+    dup
+  }
+
   /** Register all catalog tables on a private session (no cache, no
     * cross-request state — the session is this request's own).
     * Returns the COMPLETENESS verdict (false = a table or artifact
     * view was skipped); callers that CACHE the session must check it. */
   private def registerOn(s: SparkSession, timeRangeNs: Option[(Long, Long)],
                          bare: String): Boolean = {
-    val tablesOk = catalog.all()
-      .map(spec => registerTable(s, spec, timeRangeNs, bare))
+    val specs = catalog.all()
+    val ambiguous = ambiguousFlatNames(specs)
+    val tablesOk = specs
+      .map(spec => registerTable(s, spec, timeRangeNs, bare,
+        qualifiedOk = !ambiguous(s"${spec.database}_${spec.name}")))
       .forall(identity)
     registerArtifactsOn(s) && tablesOk
   }
@@ -285,14 +313,20 @@ final class QueryViews(spark: SparkSession, catalog: TableCatalog) {
   def ensure(timeRangeNs: Option[(Long, Long)], bareDb: Option[String]): Unit =
     synchronized {
       val bare = bareDb.getOrElse("default")
+      val ambiguous = ambiguousFlatNames(catalog.all())
       catalog.all().foreach { spec =>
         val key = (spec.database, spec.name)
+        val flatOk = !ambiguous(s"${spec.database}_${spec.name}")
         val v = catalog.version(spec.database, spec.name)
-        val cacheOk = timeRangeNs.isEmpty && bare == "default" &&
+        // a table that BECAME ambiguous (the colliding peer was created
+        // after this one was cached) re-registers even on a version hit,
+        // so its stale flat view is dropped; both colliders flatten to
+        // the same string, so either one's drop clears the binding
+        val cacheOk = timeRangeNs.isEmpty && bare == "default" && flatOk &&
           registered.get(key).contains(v)
         if (!cacheOk) {
-          val ok = registerTable(spark, spec, timeRangeNs, bare)
-          val cacheable = ok && timeRangeNs.isEmpty && bare == "default"
+          val ok = registerTable(spark, spec, timeRangeNs, bare, qualifiedOk = flatOk)
+          val cacheable = ok && timeRangeNs.isEmpty && bare == "default" && flatOk
           if (cacheable) registered(key) = v else registered.remove(key): Unit
         }
       }

@@ -753,6 +753,14 @@ final class GigHttpServer(spark: SparkSession, root: String,
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.GraftColumnBridge.{column => cc, toExpression => tx}
     import org.apache.spark.sql.catalyst.expressions.Expression
+    // NOTE: the underscore-joined prefix shares QueryViews' flat-name
+    // ambiguity (db 'a_b' + table 'c' vs db 'a' + table 'b_c' — see
+    // Pruning.ambiguousFlatNames): two such tables' artifacts of one
+    // kind would publish under one view name, latest-bind wins. The
+    // published names are part of the served contract, so renaming the
+    // convention is a compat break; the table-view side fails loudly on
+    // the same collision, which makes the catalog shape itself an error
+    // a deployment hits before artifacts compound it.
     val prefix = if (db == "default") table else s"${db}_$table"
     /** Per-table name AND the bare latest-binding alias (the ivf_probe
       * discipline: a second table's artifact must not silently rebind

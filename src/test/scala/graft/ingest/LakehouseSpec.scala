@@ -275,4 +275,23 @@ class LakehouseSpec extends SparkSpec {
     }
     assert(e5.getMessage.contains("reserved"), e5.getMessage)
   }
+
+  test("manifest batch: a path removed AND re-added in one batch stays live, never drop-queued") {
+    val dir = Files.createTempDirectory("graft-batch-readd-")
+    val e = graft.index.FileEntry(id = 0, path = "f.1.parquet", sizeBytes = 10,
+      rowCount = 1, chunkTime = t0, minTime = t0, maxTime = t0 + 1)
+    MetadataIndex.batch(dir, "t", add = Seq(e))
+    // in-place replace: the add wins, so the file is LIVE — it must not
+    // also ride the drop queue, or gc would unlink a manifest-listed file
+    val upd = MetadataIndex.batch(dir, "t",
+      add = Seq(e.copy(sizeBytes = 20)), remove = Seq("f.1.parquet"))
+    assert(upd.entries("f.1.parquet").sizeBytes == 20)
+    assert(upd.dropQueue.isEmpty, upd.dropQueue)
+    Files.write(dir.resolve("f.1.parquet"), Array[Byte](1))
+    MetadataIndex.gc(dir, "t", graceMs = 0)
+    assert(Files.exists(dir.resolve("f.1.parquet")))
+    // a plain remove (no re-add) still drop-queues as before
+    val rem = MetadataIndex.batch(dir, "t", remove = Seq("f.1.parquet"))
+    assert(rem.entries.isEmpty && rem.dropQueue.map(_.path) == Vector("f.1.parquet"))
+  }
 }

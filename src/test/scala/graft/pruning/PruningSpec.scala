@@ -119,6 +119,58 @@ class PruningSpec extends SparkSpec {
       .collect().head.getLong(0) == totalWrites + 1L)
   }
 
+  test("a range that prunes every file still exposes the hive partition columns") {
+    val root = Files.createTempDirectory("graft-emptyschema-")
+    val cat = new TableCatalog(root.toString)
+    val t0 = 1700000000000000000L
+    val w = new IngestWriter(spark, root.toString, cat, () => t0)
+    LineProtocolParser.parse("es v=1i", nowNs = () => t0).foreach(w.store)
+    val full = Pruning.readTable(spark, cat, "default", "es")
+    // a range hitting NOTHING must answer with the same column set as a
+    // range hitting something (review r15: the empty branch dropped the
+    // date/hour partition columns, so select("hour") worked or threw
+    // depending on how much data the range hit)
+    val empty = Pruning.readTable(spark, cat, "default", "es", Some((1L, 2L)))
+    assert(empty.count() == 0)
+    assert(empty.columns.sorted.toSeq == full.columns.sorted.toSeq,
+      s"${empty.columns.toSeq} vs ${full.columns.toSeq}")
+    assert(empty.select("date", "hour", "v").count() == 0) // resolves
+    // and it matches the FileIndex path's columns too
+    val fi = GraftFileIndex.readTable(spark, cat, "default", "es")
+    assert(empty.columns.sorted.toSeq == fi.columns.sorted.toSeq)
+  }
+
+  test("colliding flattened db_table names fail loudly instead of silently last-binding") {
+    val root = Files.createTempDirectory("graft-collide-")
+    val cat = new TableCatalog(root.toString)
+    val w = new IngestWriter(spark, root.toString, cat)
+    import spark.implicits._
+    // db 'a_b' table 'c' registers first and owns the flat name...
+    w.storeDataFrame("a_b", "c", Seq((1L, "x")).toDF("id", "s"))
+    val views = new QueryViews(spark, cat)
+    views.ensure(None)
+    assert(spark.table("a_b_c").count() == 1)
+    // ...until db 'a' table 'b_c' makes 'a_b_c' ambiguous: the flat view
+    // must now resolve for NEITHER (an unresolved-relation error is
+    // attributable; a silent last-wins binding reads the wrong table
+    // nondeterministically across snapshot rebuilds)
+    w.storeDataFrame("a", "b_c", (1 to 2).map(i => (i.toLong, "y")).toDF("id", "s"))
+    views.ensure(None)
+    intercept[Exception](spark.table("a_b_c").count())
+    // the snapshot path agrees
+    intercept[Exception](
+      views.sqlFor("SELECT count(*) c FROM a_b_c", None, None).collect())
+    // both tables stay reachable via bare names under their own ?db scope
+    assert(views.sqlFor("SELECT count(*) c FROM c", None, Some("a_b"))
+      .collect().head.getLong(0) == 1)
+    assert(views.sqlFor("SELECT count(*) c FROM b_c", None, Some("a"))
+      .collect().head.getLong(0) == 2)
+    // non-colliding tables keep their flat alias
+    w.storeDataFrame("other", "t", Seq((9L, "z")).toDF("id", "s"))
+    views.ensure(None)
+    assert(spark.table("other_t").count() == 1)
+  }
+
   test("unranged views are cached by version and refresh on write") {
     val root = Files.createTempDirectory("graft-vcache-")
     val cat = new TableCatalog(root.toString)
