@@ -55,23 +55,33 @@ final class BufferedIngest(writer: IngestWriter,
   private val HotRetries = 5
   private var hotStreak = 0 // scheduler-thread-only state
 
-  private def tick(): Unit = {
-    val drained =
-      try flushCounting()
-      catch { case scala.util.control.NonFatal(e) =>
-        // never silent (ADVICE r13): the per-batch promises were already
-        // failed inside flushCounting, but the operator still needs the
-        // cause on record — a quietly-0 tick reads as "idle"
-        System.err.println(s"[graft-ingest] flush failed: $e")
-        0L
-      }
-    if (drained >= throughputRows) hotStreak = HotRetries
-    else if (drained > 0) hotStreak = 0 // trickle: keep the 1 s file shape
-    else if (hotStreak > 0) hotStreak -= 1
-    val delay = if (hotStreak > 0) gatherMs else saveTimeoutMs
-    try scheduler.schedule({ () => tick() }: Runnable, delay, TimeUnit.MILLISECONDS)
-    catch { case _: java.util.concurrent.RejectedExecutionException => () } // closing
-  }
+  private def tick(): Unit =
+    // the reschedule lives in a FINALLY (review r15): the NonFatal catch
+    // below does not match an OOM/StackOverflow escaping flushCounting,
+    // and an un-rescheduled ticker is exactly the "dead ticker is silent
+    // data loss" failure documented above — every later sub-threshold
+    // store() would enqueue a batch whose promise never completes. The
+    // fatal error still propagates (into the scheduler's task future)
+    // after the next tick is booked; post-fatal flushes are best-effort,
+    // a guaranteed-dead ticker is worse.
+    try {
+      val drained =
+        try flushCounting()
+        catch { case scala.util.control.NonFatal(e) =>
+          // never silent (ADVICE r13): the per-batch promises were already
+          // failed inside flushCounting, but the operator still needs the
+          // cause on record — a quietly-0 tick reads as "idle"
+          System.err.println(s"[graft-ingest] flush failed: $e")
+          0L
+        }
+      if (drained >= throughputRows) hotStreak = HotRetries
+      else if (drained > 0) hotStreak = 0 // trickle: keep the 1 s file shape
+      else if (hotStreak > 0) hotStreak -= 1
+    } finally {
+      val delay = if (hotStreak > 0) gatherMs else saveTimeoutMs
+      try scheduler.schedule({ () => tick() }: Runnable, delay, TimeUnit.MILLISECONDS)
+      catch { case _: java.util.concurrent.RejectedExecutionException => () } // closing
+    }
   scheduler.schedule({ () => tick() }: Runnable, saveTimeoutMs, TimeUnit.MILLISECONDS)
 
   @volatile private var closed = false

@@ -148,6 +148,25 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     org.apache.spark.sql.GraftColumnBridge.internalDf(spark, rdd, schema)
   }
 
+  /** On HiveMerge tables `date`/`hour` are DERIVED partition columns: the
+    * write path's withColumn would silently replace a client column of
+    * that name (and partitionBy would strip it into the dir name) — acked
+    * data destroyed invisibly. Rejected HERE, before catalog.evolve
+    * persists anything (review r15: the guard used to run inside write(),
+    * AFTER evolve had already upserted the reserved column into the
+    * table spec — one rejected write polluted the catalog forever). For
+    * a table not yet in the catalog the engine is evolve's own default
+    * (HiveMerge), so the pre-create check matches what evolve would
+    * build. */
+  private def guardReservedPartitionCols(db: String, table: String,
+                                         names: Seq[String]): Unit = {
+    val engine = catalog.get(db, table).map(_.engine).getOrElse("HiveMerge")
+    if (engine == "HiveMerge") Seq("date", "hour").foreach { c =>
+      if (names.contains(c)) throw new IllegalArgumentException(
+        s"column '$c' is reserved on HiveMerge tables (derived partition)")
+    }
+  }
+
   /** Store one parsed batch: evolve schema (first-type-wins), add
     * `__timestamp`, write partitioned+sorted, index. Returns URIs written. */
   def store(batch: Batch): Seq[String] = {
@@ -158,6 +177,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
       throw new IllegalArgumentException(
         "column '__timestamp' is reserved (engine arrival time); " +
           "use the line-protocol timestamp token for event time")
+    guardReservedPartitionCols(batch.database, batch.table, batch.schema.map(_._1))
     val spec0 = catalog.evolve(batch.database, batch.table,
       batch.schema.map { case (n, t) => (n, typeName(t)) } :+ ("__timestamp" -> "INT64"))
     // __timestamp is ONE literal for the whole flush -> every row
@@ -206,6 +226,7 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
       throw new IllegalArgumentException(
         s"__timestamp must be INT64 epoch-ns, got " +
           df.schema("__timestamp").dataType.simpleString)
+    guardReservedPartitionCols(db, table, df.columns.toSeq)
     val spec = catalog.evolve(db, table, cols.toSeq :+ ("__timestamp" -> "INT64"))
     val withTs = if (df.columns.contains("__timestamp")) df
       else df.withColumn("__timestamp", lit(nowNs()))
@@ -229,14 +250,13 @@ final class IngestWriter(spark: SparkSession, root: String, catalog: TableCatalo
     }.select(full.columns.map(c => col(c._1)): _*)
 
     val hive = spec.engine == "HiveMerge"
-    // on HiveMerge tables `date`/`hour` are DERIVED partition columns:
-    // withColumn below would silently replace a client column of that
-    // name (and partitionBy would strip it into the dir name) — acked
-    // data destroyed invisibly. Reject before anything persists.
-    if (hive) Seq("date", "hour").foreach { c =>
-      if (dfIn.columns.contains(c)) throw new IllegalArgumentException(
-        s"column '$c' is reserved on HiveMerge tables (derived partition)")
-    }
+    // reserved date/hour columns were rejected by BOTH public entry
+    // points (guardReservedPartitionCols) BEFORE catalog.evolve ran —
+    // the guard cannot live here: by write() time the reserved column
+    // is already persisted in the spec (review r15: a rejected write
+    // left it in the catalog forever — every later write null-padded
+    // it, and any future client field of that name failed evolve with
+    // a bogus type conflict)
     val tsUs = expr("__timestamp DIV 1000")
     val partitioned =
       if (hive)

@@ -64,9 +64,7 @@ object LineProtocolParser {
     def schemaId: Long = {
       var acc = 0L
       tags.foreach { case (k, _) => acc += entryHash(k, FieldType.Str) }
-      fields.foreach { case (k, _, t) =>
-        acc += entryHash(k, if (t == FieldType.Bool) FieldType.Bool else t)
-      }
+      fields.foreach { case (k, _, t) => acc += entryHash(k, t) }
       acc
     }
     private def entryHash(name: String, t: FieldType): Long = {

@@ -112,17 +112,20 @@ object StreamIngest {
       .text(landingDir)
       .select("value").as(Encoders.STRING)
       .mapPartitions(it => parsePartition(it, schema, spec.db, spec.table))(enc)
-    // Replay-guard identity (review r10): a batchId only means anything
-    // within ONE checkpoint's lifetime. The old bare per-table marker
-    // OUTLIVED a temporary checkpoint — a restarted checkpoint-less
-    // query restarts batchIds at 0, so its first N batches of NEW data
-    // read as already-committed: permanent silent loss. The marker is
-    // now keyed by the checkpoint path (checkpoint-less runs get a
-    // fresh key per start() — at-least-once across restarts, never
-    // loss), and the key hashes into the marker FILENAME so two
-    // queries targeting one table guard independently.
-    val guardKey = checkpointDir.getOrElse(
-      "ephemeral-" + java.util.UUID.randomUUID())
+    // Replay-guard identity (review r10, tightened r15): a batchId only
+    // means anything within ONE checkpoint's LIFETIME — not one
+    // checkpoint PATH. A path-keyed marker outlived a wiped-and-
+    // recreated checkpoint dir: batchIds restart at 0, so every new
+    // batch up to the old high-water mark read as already-committed —
+    // silent loss while the query ran green. The key therefore appends
+    // the checkpoint's metadata query id (minted when Spark CREATES the
+    // checkpoint dir, fresh after a wipe); checkpoint-less runs get a
+    // fresh key per start(). Lazy: the metadata file exists only after
+    // q.start(), and the first foreachBatch call is after that.
+    lazy val guardKey = checkpointDir match {
+      case Some(d) => d + "#" + checkpointId(spark, d)
+      case None => "ephemeral-" + java.util.UUID.randomUUID()
+    }
     val q = parsed.writeStream
       .trigger(trigger)
       .outputMode("append")
@@ -134,8 +137,10 @@ object StreamIngest {
         // makes the replay a no-op. (Residual window: a crash between
         // manifest commit and marker write still duplicates that one
         // batch — true exactly-once needs the batchId inside the
-        // manifest transaction.)
-        if (!df.isEmpty && batchId > lastCommitted(writer, spec, guardKey)) {
+        // manifest transaction.) The batchId guard runs FIRST: it is one
+        // local file read, while df.isEmpty launches a Spark job that
+        // re-parses the landing files — replayed batches skip for free.
+        if (batchId > lastCommitted(writer, spec, guardKey) && !df.isEmpty) {
           // singleFile = false: each executor task sorts and writes its
           // own slice (no coalesce(1) bottleneck) — the write scales with
           // cores and the compactor merges the per-task files
@@ -147,11 +152,35 @@ object StreamIngest {
     q.start()
   }
 
+  /** The checkpoint's query id from `<dir>/metadata` (written by Spark
+    * when the checkpoint dir is created) — it IS the checkpoint's
+    * lifetime: a wiped-and-recreated dir at the same path gets a fresh
+    * id. Read over the Hadoop FS API (checkpoints may live on any
+    * shared FS). Missing/unreadable metadata degrades to a fresh UUID —
+    * the at-least-once direction (a restart may re-commit the one
+    * replayed batch) rather than the silent-loss direction a stale
+    * path-keyed marker gives. */
+  private[streaming] def checkpointId(spark: SparkSession, dir: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir, "metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        .getOrElse("unreadable-" + java.util.UUID.randomUUID())
+    } catch { case scala.util.control.NonFatal(_) =>
+      "unreadable-" + java.util.UUID.randomUUID() }
+
   private def markerPath(writer: IngestWriter, spec: StreamSpec,
                          guardKey: String) = {
+    // FULL digest in the filename: a truncated hash lets two guards on
+    // one table collide and silently cross-suppress each other's
+    // commits (review r15 — the 4-byte form had a 2^-32 per-pair
+    // collision class whose failure mode is permanent silent loss)
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(guardKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val h = d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    val h = d.map(b => f"${b & 0xff}%02x").mkString
     writer.tableDirOf(spec.db, spec.table).resolve(s".stream_last_batch.$h")
   }
 

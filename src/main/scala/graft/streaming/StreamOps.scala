@@ -349,7 +349,18 @@ object StreamOps {
             if (p.stage == 0) starts(0) = math.max(starts(0), p.timeNs)
             else {
               val m = starts(p.stage - 1)
-              if (m != Long.MinValue && p.timeNs - m <= windowNs)
+              // d >= 0 mirrors the batch DP's wrap guard (r10,
+              // WindowFunnelAgg): t - m for m near Long.MinValue wraps
+              // negative and would pass <= windowNs for events ~2^64 ns
+              // apart. Through THIS face the wrap is unreachable today —
+              // the late-event filter only delivers rows at/after the
+              // watermark that folded m (verified: a MinValue+1 stage-0
+              // point is dropped as late in its first batch), so m <= t
+              // holds — but the two faces must share one arithmetic
+              // discipline: a late-filter semantics change must not
+              // silently reintroduce the wrap here.
+              val d = p.timeNs - m
+              if (m != Long.MinValue && d >= 0 && d <= windowNs)
                 starts(p.stage) = math.max(starts(p.stage), m)
             }
             val reached = p.stage + 1

@@ -274,6 +274,20 @@ class LakehouseSpec extends SparkSpec {
       w.store(LineProtocolParser.parse("t5,date=monday v=1i").next())
     }
     assert(e5.getMessage.contains("reserved"), e5.getMessage)
+    // the reject must land BEFORE evolve persists anything (review r15:
+    // the old in-write() guard left 'date' in the spec forever — every
+    // later write null-padded it and any client field of that name
+    // failed evolve with a bogus type conflict)
+    assert(!cat.get("default", "t5").get.columns.exists(_._1 == "date"),
+      cat.get("default", "t5").get.columns)
+    w.store(LineProtocolParser.parse("t5 v=2i").next()) // not poisoned
+    // the storeDataFrame face guards pre-create too: a rejected first
+    // write must not even create the table
+    val e6 = intercept[IllegalArgumentException] {
+      w.storeDataFrame("default", "t6", Seq(("x", 1L)).toDF("hour", "v"))
+    }
+    assert(e6.getMessage.contains("reserved"), e6.getMessage)
+    assert(cat.get("default", "t6").isEmpty)
   }
 
   test("manifest batch: a path removed AND re-added in one batch stays live, never drop-queued") {

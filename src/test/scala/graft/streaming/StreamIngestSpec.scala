@@ -56,6 +56,36 @@ class StreamIngestSpec extends SparkSpec {
     assert(StreamIngest.lastCommitted(writer, spec, "ckB") == 3L)
   }
 
+  test("a wiped-and-recreated checkpoint does not suppress new batches (review r15)") {
+    val landing = Files.createTempDirectory("graft-wipe-landing-")
+    val root = Files.createTempDirectory("graft-wipe-root-")
+    val ckpt = Files.createTempDirectory("graft-wipe-ckpt-")
+    val cat = new TableCatalog(root.toString)
+    val writer = new IngestWriter(spark, root.toString, cat)
+    val spec = StreamIngest.StreamSpec("default", "wp",
+      Seq("v" -> "FLOAT64", "time" -> "INT64"))
+    Files.writeString(landing.resolve("b1.lp"), "wp v=0.1 1700000000000000000")
+    val q1 = StreamIngest.start(spark, writer, spec, landing.toString,
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(ckpt.toString))
+    q1.awaitTermination(60000)
+    assert(Pruning.readTable(spark, cat, "default", "wp").count() == 1)
+    // operator wipes the checkpoint to reprocess and restarts with the
+    // SAME path: batchIds restart at 0, and the replay marker must not
+    // outlive the wipe — a path-keyed marker would read the new batches
+    // as already-committed (silent loss while the query runs green)
+    Files.walk(ckpt).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    Files.writeString(landing.resolve("b2.lp"), "wp v=0.2 1700000003600000000")
+    val q2 = StreamIngest.start(spark, writer, spec, landing.toString,
+      trigger = Trigger.AvailableNow(), checkpointDir = Some(ckpt.toString))
+    q2.awaitTermination(60000)
+    val vs = Pruning.readTable(spark, cat, "default", "wp")
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    // the fresh checkpoint re-lists b1 (a duplicate is the documented
+    // at-least-once direction); the NEW file's row must be present
+    assert(vs.contains(0.2), vs)
+  }
+
   test("one malformed line costs that line, not the stream (review r10)") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("host",

@@ -246,6 +246,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: extreme-negative event times are late-gated, never chained (wrap class)") {
+    implicit val sq = spark.sqlContext
+    import StreamOps.{FunnelAdvance, FunnelPoint}
+    val in = MemoryStream[FunnelPoint]
+    val out = StreamOps.funnelStream(in.toDS(), nStages = 2,
+      windowNs = 200L * 1000000000L, lateness = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("sfunnelwrap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // a MinValue-adjacent stage-0 time is the only input that could
+      // make t - m wrap negative downstream; the late-event gate (plus
+      // the DP's mirrored d >= 0 guard) must keep the ~2^64-ns-apart
+      // pair from ever chaining — and must not crash the query
+      in.addData(FunnelPoint(1L, Long.MinValue + 1, 0),
+        FunnelPoint(1L, Long.MaxValue - 30000000000L, 1))
+      q.processAllAvailable()
+      in.addData(FunnelPoint(9L, Long.MaxValue - 1000L, 0))
+      q.processAllAvailable()
+      val rows = spark.table("sfunnelwrap").as[FunnelAdvance].collect().toSet
+      assert(!rows.exists(r => r.user == 1L && r.level == 2), rows)
+    } finally q.stop()
+  }
+
   test("top_k aggregate runs inside a streaming windowed aggregation (state-store round-trip)") {
     implicit val sq = spark.sqlContext
     graft.Tables.init(spark)
