@@ -390,6 +390,135 @@ object ChHash {
       hashLen16(v(1), w(1)) + x)
   }
 
+  // ---- FarmHash Fingerprint64 (farmhashna::Hash64) ------------------------
+
+  /** Murmur-inspired 2-value mix with a length-dependent multiplier —
+    * FarmHash's HashLen16(u, v, mul). The 1.1-lineage layouts below
+    * thread `mul = k2 + len * 2` through this where the 1.0.2 layouts
+    * above use the fixed-kMul [[hash128to64]]. */
+  @inline private def farmMix(u: Long, v: Long, mul: Long): Long = {
+    var a = (u ^ v) * mul
+    a ^= a >>> 47
+    var b = (v ^ a) * mul
+    b ^= b >>> 47
+    b * mul
+  }
+
+  private def farmLen0to16(s: Array[Byte], off: Int, len: Int): Long = {
+    if (len >= 8) {
+      val mul = K2 + len * 2L
+      val a = le64(s, off) + K2
+      val b = le64(s, off + len - 8)
+      val c = rotr(b, 37) * mul + a
+      val d = (rotr(a, 25) + b) * mul
+      farmMix(c, d, mul)
+    } else if (len >= 4) {
+      val mul = K2 + len * 2L
+      val a = le32(s, off)
+      farmMix(len + (a << 3), le32(s, off + len - 4), mul)
+    } else if (len > 0) {
+      val a = s(off) & 0xff
+      val b = s(off + (len >> 1)) & 0xff
+      val c = s(off + len - 1) & 0xff
+      val y = (a + (b << 8)).toLong & 0xffffffffL
+      val z = (len + (c << 2)).toLong & 0xffffffffL
+      shiftMix(y * K2 ^ z * K0) * K2
+    } else K2
+  }
+
+  private def farmLen17to32(s: Array[Byte], off: Int, len: Int): Long = {
+    val mul = K2 + len * 2L
+    val a = le64(s, off) * K1
+    val b = le64(s, off + 8)
+    val c = le64(s, off + len - 8) * mul
+    val d = le64(s, off + len - 16) * K2
+    farmMix(rotr(a + b, 43) + rotr(c, 30) + d,
+      a + rotr(b + K2, 18) + c, mul)
+  }
+
+  private def farmLen33to64(s: Array[Byte], off: Int, len: Int): Long = {
+    val mul = K2 + len * 2L
+    val a = le64(s, off) * K2
+    val b = le64(s, off + 8)
+    val c = le64(s, off + len - 8) * mul
+    val d = le64(s, off + len - 16) * K2
+    val y = rotr(a + b, 43) + rotr(c, 30) + d
+    val z = farmMix(y, a + rotr(b + K2, 18) + c, mul)
+    val e = le64(s, off + 16) * mul
+    val f = le64(s, off + 24)
+    val g = (y + le64(s, off + len - 32)) * mul
+    val h = (z + le64(s, off + len - 24)) * mul
+    // the second mix threads a (not k2 as in the other layouts) — the
+    // slip the Guava golden caught on first run
+    farmMix(rotr(e + f, 43) + rotr(g, 30) + h,
+      e + rotr(f + a, 18) + g, mul)
+  }
+
+  /** FarmHash Fingerprint64 — the PORTABLE, documented-never-changing
+    * member of Google's FarmHash family (farmhash.h Fingerprint64 =
+    * farmhashna::Hash64; MIT), which is what ClickHouse's
+    * `farmFingerprint64` applies to each argument's memory
+    * representation. Shares k0/k1/k2, shiftMix and
+    * WeakHashLen32WithSeeds with the CityHash lineage; the per-length
+    * layouts differ from the 1.0.2 ones cityHash64 above deliberately
+    * preserves (1.1 dropped k3 and threads a length-dependent
+    * multiplier through every mix). Spec-pinned in ChHashSpec against a
+    * TRUE independent golden — Guava's
+    * com.google.common.hash.Hashing.farmHashFingerprint64() (Google's
+    * own Java port, already on the Spark classpath) — across every
+    * length class and a random-bytes property sweep, plus the
+    * cross-language Python derivation in tools/cityhash102_ref.py. */
+  def farmFingerprint64(data: Array[Byte]): Long =
+    farmFingerprint64(data, 0, data.length)
+
+  def farmFingerprint64(s: Array[Byte], off0: Int, len: Int): Long = {
+    if (len <= 32) {
+      return if (len <= 16) farmLen0to16(s, off0, len)
+      else farmLen17to32(s, off0, len)
+    }
+    if (len <= 64) return farmLen33to64(s, off0, len)
+
+    // 56 bytes of state over 64-byte blocks, then one last overlapping
+    // 64-byte block with a z-derived multiplier
+    val seed = 81L
+    var x = seed * K2 + le64(s, off0)
+    var y = seed * K1 + 113L
+    var z = shiftMix(y * K2 + 113L) * K2
+    val v = new Array[Long](2)
+    val w = new Array[Long](2)
+    var off = off0
+    val endOff = off0 + ((len - 1) / 64) * 64
+    val last64 = off0 + len - 64
+    do {
+      x = rotr(x + y + v(0) + le64(s, off + 8), 37) * K1
+      y = rotr(y + v(1) + le64(s, off + 48), 42) * K1
+      x ^= w(1)
+      y += v(0) + le64(s, off + 40)
+      z = rotr(z + w(0), 33) * K1
+      val vs = v(1); val wf = w(0); val ws = w(1)
+      weakHash(s, off, vs * K1, x + wf, v)
+      weakHash(s, off + 32, z + ws, y + le64(s, off + 16), w)
+      val t = z; z = x; x = t
+      off += 64
+    } while (off != endOff)
+    val mul = K1 + ((z & 0xffL) << 1)
+    off = last64
+    w(0) += (len - 1) & 63
+    v(0) += w(0)
+    w(0) += v(0)
+    x = rotr(x + y + v(0) + le64(s, off + 8), 37) * mul
+    y = rotr(y + v(1) + le64(s, off + 48), 42) * mul
+    x ^= w(1) * 9L
+    y += v(0) * 9L + le64(s, off + 40)
+    z = rotr(z + w(0), 33) * mul
+    val vs = v(1); val wf = w(0); val ws = w(1)
+    weakHash(s, off, vs * mul, x + wf, v)
+    weakHash(s, off + 32, z + ws, y + le64(s, off + 16), w)
+    val t = z; z = x; x = t
+    farmMix(farmMix(v(0), w(0), mul) + shiftMix(y) * K0 + z,
+      farmMix(v(1), w(1), mul) + x, mul)
+  }
+
   // ---- halfMD5 -----------------------------------------------------------
 
   /** First 8 bytes of MD5, interpreted big-endian (ClickHouse
@@ -456,6 +585,8 @@ object ChHash {
       new java.math.BigInteger(java.lang.Long.toUnsignedString(x))), 20, 0)
 
   def cityUtf8(s: UTF8String): Long = cityHash64(s.getBytes)
+  def farmFp64Utf8(s: UTF8String): Long = farmFingerprint64(s.getBytes)
+  def farmFp64Long(v: Long, width: Int): Long = farmFingerprint64(leBytes(v, width))
   def sipUtf8(s: UTF8String): Long = sipHash64(s.getBytes)
   def halfMD5Utf8(s: UTF8String): Long = halfMD5(s.getBytes)
   def cityLong(v: Long, width: Int): Long = cityHash64(leBytes(v, width))
@@ -500,13 +631,16 @@ abstract class ChHash64Base extends UnaryExpression {
   protected def hashBytes(b: Array[Byte]): Long
   protected def hashLong(v: Long, w: Int): Long
 
+  /** ChHash static method name for the raw-bytes form. */
+  protected def bytesKernel: String =
+    if (kernel == "halfMD5") "halfMD5" else kernel + "Hash64"
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     child.dataType match {
       case StringType =>
         defineCodeGen(ctx, ev, c => s"graft.functions.ChHash.${kernel}Utf8($c)")
       case BinaryType =>
-        defineCodeGen(ctx, ev, c =>
-          s"graft.functions.ChHash.${if (kernel == "halfMD5") "halfMD5" else kernel + "Hash64"}($c)")
+        defineCodeGen(ctx, ev, c => s"graft.functions.ChHash.$bytesKernel($c)")
       case _ =>
         defineCodeGen(ctx, ev, c =>
           s"graft.functions.ChHash.${kernel}Long((long)$c, $width)")
@@ -545,6 +679,19 @@ case class HalfMd5Expr(child: Expression) extends ChHash64Base {
   override protected def withNewChildInternal(newChild: Expression): HalfMd5Expr =
     copy(child = newChild)
   override def prettyName: String = "halfMD5"
+}
+
+/** `farmFingerprint64(x)` bit pattern — FarmHash Fingerprint64
+  * (farmhashna::Hash64; see [[ChHash.farmFingerprint64]]). */
+case class FarmFingerprint64Expr(child: Expression) extends ChHash64Base {
+  override def kernel: String = "farmFp64"
+  override protected def bytesKernel: String = "farmFingerprint64"
+  override protected def hashUtf8(s: UTF8String): Long = ChHash.farmFp64Utf8(s)
+  override protected def hashBytes(b: Array[Byte]): Long = ChHash.farmFingerprint64(b)
+  override protected def hashLong(v: Long, w: Int): Long = ChHash.farmFp64Long(v, w)
+  override protected def withNewChildInternal(newChild: Expression): FarmFingerprint64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "farmFingerprint64"
 }
 
 /** One argument's 16-byte SipHash-128 (either convention — see
@@ -747,6 +894,21 @@ object ChHashBuilders {
 
   def halfMD5(es: Seq[Expression]): Expression =
     UnsignedDecimal(fold(es, HalfMd5Expr, "halfMD5"))
+
+  /** farmFingerprint64(x) → UInt64 Decimal(20,0). SINGLE argument only:
+    * the one-value kernel is pinned to a true independent golden
+    * (Guava's farmHashFingerprint64), but ClickHouse's multi-argument
+    * fold convention for the farm family cannot be cross-checked in
+    * this zero-egress sandbox — a guessed combiner would be a SILENT
+    * deviation, so the multi-arg form errors loudly instead (the
+    * URLHash two-arg precedent). */
+  def farmFingerprint64(es: Seq[Expression]): Expression = {
+    if (es.size != 1) throw new IllegalArgumentException(
+      "farmFingerprint64: only the single-argument form is mapped; the " +
+        "multi-argument fold convention has no verifiable golden here — " +
+        "fold explicitly, e.g. farmFingerprint64(concat(a, '\\0', b))")
+    UnsignedDecimal(FarmFingerprint64Expr(es.head))
+  }
 
   def intHash64(e: Expression): Expression = UnsignedDecimal(IntHash64Expr(e))
 

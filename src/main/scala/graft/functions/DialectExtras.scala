@@ -224,6 +224,9 @@ object DialectExtras {
     // this closes the family's odd one out
     reg("divide")(es =>
       new Divide(Cast(es(0), DoubleType), Cast(es(1), DoubleType)))
+    // r15 late: correctly-rounded erf kernel (ChErf.scala) — closes
+    // the "no JDK kernel / silent-last-ulp" hold by being exact
+    reg("erf")(es => ErfExpr(Cast(es.head, DoubleType)))
     reg("bitNot")(es => BitwiseNot(es.head))
     reg("bitShiftLeft")(es => ChBitShift(es(0), Cast(es(1), IntegerType), "left"))
     reg("bitShiftRight")(es => ChBitShift(es(0), Cast(es(1), IntegerType), "right"))
@@ -342,6 +345,10 @@ object DialectExtras {
     reg("sipHash128")(ChHashBuilders.sipHash128)
     reg("sipHash128Reference")(ChHashBuilders.sipHash128Reference)
     reg("halfMD5")(ChHashBuilders.halfMD5)
+    // r15 late: the portable farm-family member (Fingerprint64 is
+    // documented never-changing; Guava-golden-pinned). farmHash64
+    // stays on the 400 list — its reference value DISPATCHES per CPU.
+    reg("farmFingerprint64")(ChHashBuilders.farmFingerprint64)
     reg("intHash32")(es => ChHashBuilders.intHash32(es.head))
     reg("intHash64")(es => ChHashBuilders.intHash64(es.head))
     reg("URLHash")(es => ChHashBuilders.urlHash(es.head))

@@ -389,7 +389,8 @@ object RelationalQueries {
     //      just the two most common names — halfMD5, intHash64 with a
     //      second %-sampling face, intHash32, URLHash's trailing-slash
     //      strip, and the multi-arg Hash128to64 fold all project
-    //      through the same rendered-artifact oracle.)
+    //      through the same rendered-artifact oracle. r15 late adds
+    //      farmFingerprint64, the Guava-golden-pinned farm member.)
     "q23_ch_hash_sample" -> ((s, dir) => {
       Tables.views(s, dir).sql(
         """SELECT c_nationkey,
@@ -404,7 +405,8 @@ object RelationalQueries {
           |  min(lpad(toString(URLHash(concat('http://g.io/', toString(c_custkey % 256), '/'))), 20, '0')) AS min_url,
           |  max(lpad(toString(cityHash64(toString(c_custkey % 256), 'q23')), 20, '0')) AS max_city2,
           |  max(sipHash128(toString(c_custkey % 256))) AS max_sip128,
-          |  min(sipHash128Reference(toString(c_custkey % 256), 'q23')) AS min_sip128r
+          |  min(sipHash128Reference(toString(c_custkey % 256), 'q23')) AS min_sip128r,
+          |  min(lpad(toString(farmFingerprint64(toString(c_custkey % 256))), 20, '0')) AS min_farm
           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
     }),
 
@@ -472,6 +474,24 @@ object RelationalQueries {
           |  CAST(intExp10(CAST(c_custkey % 20 AS INT)) AS STRING) AS e10
           |FROM customer ORDER BY c_custkey""".stripMargin)
     }),
+
+    // ---- erf (r15 late, the last closeable 400 entry): the q23
+    //      inductive-oracle pattern — the key domain reduces mod 256
+    //      to x in [-4, 4) (plus an integer-cast face crossing the
+    //      saturation edge), and DuckDB carries the kernel's own
+    //      outputs as rendered %.17e constants (17 significant digits
+    //      uniquely identify a double; both sides Java-format), so any
+    //      per-row disagreement between the codegen'd expression and
+    //      the driver-rendered correctly-rounded kernel breaks the
+    //      hash match. Pure map-side projection. ----
+    "q27_erf_scalar" -> ((s, dir) => {
+      Tables.views(s, dir).sql(
+        """SELECT c_custkey,
+          |  printf('%.17e', erf((c_custkey % 256 - 128) / 32.0)) AS e,
+          |  printf('%.17e', erf(CAST(c_custkey % 7 AS INT))) AS e_int,
+          |  erf(CAST(NULL AS DOUBLE)) IS NULL AS e_null
+          |FROM customer ORDER BY c_custkey""".stripMargin)
+    }),
   )
 
   /** q25's rendered ngram artifact: the same kernel the expressions
@@ -524,16 +544,37 @@ object RelationalQueries {
       val sip128r = hx(ChHash.sip128Combine(
         ChHash.sipHash128(bytes, ref = true),
         ChHash.sipHash128("q23".getBytes("UTF-8"), ref = true), ref = true))
+      // r15 late: the farm-family portable member (Guava-golden-pinned)
+      val farm = ChHash.farmFingerprint64(bytes)
       s"($m, '${pad(c)}', ${bucket(c)}, '${pad(sip)}', '${pad(md5)}', " +
         s"'${pad(i64)}', ${bucket(i64)}, '${pad(i32, 10)}', " +
-        s"'${pad(url)}', '${pad(city2)}', '$sip128', '$sip128r')"
+        s"'${pad(url)}', '${pad(city2)}', '$sip128', '$sip128r', " +
+        s"'${pad(farm)}')"
     }.mkString(",\n      ")
   }
+
+  /** q27's rendered erf artifact: the correctly-rounded kernel applied
+    * driver-side to the reduced domains (same JVM code the expression
+    * calls), as %.17e text — 17 significant digits round-trip a double
+    * exactly, and both sides render through java.util.Formatter
+    * (Spark's printf), so the strings are bit-faithful. */
+  private def erf17e(x: Double): String =
+    String.format(java.util.Locale.US, "%.17e",
+      java.lang.Double.valueOf(graft.functions.ChErf.erf(x)))
+
+  private def q27ErfMap: String =
+    (0 until 256).map(m => s"($m, '${erf17e((m - 128) / 32.0)}')")
+      .mkString(",\n      ")
+
+  private def q27Erf7Map: String =
+    (0 until 7).map(k => s"($k, '${erf17e(k.toDouble)}')")
+      .mkString(",\n      ")
 
   val oracle: Map[String, String] = Map(
     "q23_ch_hash_sample" ->
       s"""WITH hmap(m, city_h, bucket, sip_h, md5_h, i64_h, i64_b,
-         |          i32_h, url_h, city2_h, sip128_h, sip128r_h) AS (VALUES
+         |          i32_h, url_h, city2_h, sip128_h, sip128r_h,
+         |          farm_h) AS (VALUES
          |      $q23HashMap)
          |SELECT c_nationkey, count(*) AS n_cust,
          |  count(*) FILTER (WHERE bucket = 7) AS n_sampled,
@@ -542,7 +583,8 @@ object RelationalQueries {
          |  max(md5_h) AS max_md5, min(i64_h) AS min_i64,
          |  max(i32_h) AS max_i32, min(url_h) AS min_url,
          |  max(city2_h) AS max_city2,
-         |  max(sip128_h) AS max_sip128, min(sip128r_h) AS min_sip128r
+         |  max(sip128_h) AS max_sip128, min(sip128r_h) AS min_sip128r,
+         |  min(farm_h) AS min_farm
          |FROM customer JOIN hmap ON (c_custkey % 256) = m
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q24_ipv6_roundtrip" ->
@@ -571,6 +613,16 @@ object RelationalQueries {
         |  END AS r2,
         |  '1' || repeat('0', CAST(c_custkey % 20 AS INT)) AS e10
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q27_erf_scalar" ->
+      s"""WITH emap(m, e_txt) AS (VALUES
+         |      $q27ErfMap),
+         |    e7(k, e7_txt) AS (VALUES
+         |      $q27Erf7Map)
+         |SELECT c_custkey, e_txt AS e, e7_txt AS e_int, true AS e_null
+         |FROM customer
+         |JOIN emap ON (c_custkey % 256) = m
+         |JOIN e7 ON (c_custkey % 7) = k
+         |ORDER BY c_custkey""".stripMargin,
     "q22_sequence_match" ->
       """WITH seqs AS (
         |  SELECT user_id, count(*) AS n_events,

@@ -1065,20 +1065,25 @@ object DuckDialect {
       // timestampdiff on edge dates — same-named different answers
       "age",
       // hashes: the common family (cityHash64/sipHash64/halfMD5/
-      // intHash32/intHash64/URLHash — and since r15 sipHash128/
-      // sipHash128Reference as lowercase hex) is implemented
-      // BIT-EXACTLY in functions/ChHashes.scala; what remains unmapped
-      // is a full FarmHash port, out of proportion to its usage
-      "farmHash64", "farmFingerprint64",
+      // intHash32/intHash64/URLHash — since r15 sipHash128/
+      // sipHash128Reference as lowercase hex, and farmFingerprint64
+      // pinned to Guava's independent golden) is implemented
+      // BIT-EXACTLY in functions/ChHashes.scala. farmHash64 alone
+      // stays: it calls farmhash::Hash64, which DISPATCHES per CPU
+      // (farmhashte on SSE4.1 x86-64, farmhashxo elsewhere) — the
+      // same name answers differently across ClickHouse hosts, so
+      // there is no single bit pattern to be exact against;
+      // farmFingerprint64 is farmhash's own documented stable variant
+      "farmHash64",
       // block-order-positional scalars: no well-defined distributed
       // meaning — Spark window functions are the honest spelling
       "runningDifference", "neighbor",
-      // r13 second-pass sweep leftovers, whittled further in r14
-      // (dateSub/dateAdd via the rewriteFirstDateShift token rewrite;
-      // bar/roundToExp2/intExp10 as native builders): erf has no JDK
-      // kernel and an approximation would silently differ from
-      // std::erf.
-      "erf")
+      // (r13/r14 sweep leftovers all closed: dateSub/dateAdd via the
+      // rewriteFirstDateShift token rewrite, bar/roundToExp2/intExp10
+      // as native builders, and erf in r15 late — the ChErf kernel is
+      // CORRECTLY ROUNDED, so the "silently differ from std::erf in
+      // the last ulp" hold reason is dissolved rather than waived)
+      )
     val duck = Seq(
       // dim = 1 rewrites in FROM position (rewriteFirstFromGenerator);
       // only the dim != 1 bail path — multi-dimensional arrays DuckDB

@@ -17,6 +17,14 @@ length-class boundaries) that structural self-goldens cannot. This
 container has no egress, so live-ClickHouse goldens cannot be fetched;
 ChHashSpec documents that and pins the vectors this script prints.
 
+farmFingerprint64 (r15 late) is deliberately NOT re-derived here: its
+independent golden is Guava's com.google.common.hash
+.Hashing.farmHashFingerprint64() on the Spark classpath — Google's own
+Java port of farmhashna::Hash64, tested upstream against the C++
+reference — which ChHashSpec property-sweeps directly (the hashlib
+precedent: prefer a genuinely third-party kernel over a twin
+derivation when one exists in-sandbox).
+
 Usage: python3 tools/cityhash102_ref.py   # prints the vector table
 """
 import hashlib
