@@ -78,7 +78,12 @@ object Bench {
     // ratio-interesting op; p82 drifted +73% sf0.1 driver-to-driver
     // with no guard coverage (a bound-model scalar over docs — its 10×
     // ratio must stay at the scan's own linearity)
-    "p96_graph_rank", "p82_sql_nb_quality")
+    "p96_graph_rank", "p82_sql_nb_quality",
+    // r15 late: the newest operator — bounded-bucket aggregate +
+    // driver PAVA + broadcast fit; its measured cost is the same
+    // bound-model scoring pass as p47/p82, so its 10× ratio must stay
+    // at the scan's own linearity too
+    "p101_isotonic_calibration")
 
   /** Measurement ORDER for the sf1 section (r15, VERDICT r14 #2: the
     * -2.0 budget-skip hit p99 — the newest, most scale-interesting

@@ -391,8 +391,50 @@ object ModelOps {
 
   /** DuckDB oracle for nbQualityScores (same buckets, same quantized
     * logs, same smoothing, same seed gate). */
-  def nbQualitySql(table: String = "documents"): String =
-    s"""WITH toks AS (
+  /** Isotonic regression by pool-adjacent-violators (Ayer et al. 1955;
+    * Barlow et al. 1972) — the standard way to CALIBRATE a classifier's
+    * raw scores into empirical probabilities (Zadrozny & Elkan 2002,
+    * KDD): fit the least-squares monotone step function from score
+    * buckets to observed positive rate, so `cal(score)` reads as
+    * P(label | score) and thresholds/mixture weights built on it mean
+    * what they say.
+    *
+    * Exact integer arithmetic end to end: inputs are per-bucket
+    * (bucket, n, nPos) counts sorted by bucket; a violation
+    * (meanPrev > meanNext) is detected by BigInt cross-multiplication
+    * (no floating point, no overflow at any corpus size) and pooled
+    * blocks keep exact (Σn, ΣnPos). The fitted value per bucket is the
+    * block mean in ppm, floor(nPos · 10⁶ / n) — deterministic and
+    * oracle-replayable. The driver-side cost is O(buckets): callers
+    * bucket scores into a BOUNDED domain first (p101 uses ≤129
+    * buckets), so the fit is a constant-size artifact at any corpus
+    * size — the nbModelFor pattern.
+    */
+  def isotonicPava(rows: Seq[(Long, Long, Long)]): Seq[(Long, Long)] = {
+    final case class Block(buckets: List[Long], w: Long, pos: Long)
+    val st = scala.collection.mutable.ArrayBuffer.empty[Block]
+    rows.sortBy(_._1).foreach { case (b, n, p) =>
+      require(n > 0 && p >= 0 && p <= n, s"bad bucket counts ($b, $n, $p)")
+      var blk = Block(List(b), n, p)
+      while (st.nonEmpty &&
+        BigInt(st.last.pos) * blk.w > BigInt(blk.pos) * st.last.w) {
+        val prev = st.remove(st.size - 1)
+        blk = Block(prev.buckets ::: blk.buckets, prev.w + blk.w, prev.pos + blk.pos)
+      }
+      st += blk
+    }
+    // pos · 10⁶ stays inside a Long up to ~9.2e12 docs per bucket —
+    // far past any real shard; the comparison path above is BigInt so
+    // the pooling itself has no bound at all
+    st.toSeq.flatMap(b => b.buckets.map(k => k -> b.pos * 1000000L / b.w))
+  }
+
+  /** Shared oracle core: DuckDB re-derives the whole NB train + score
+    * from the raw table, ending at `fin(doc_id, label, n_grams, score)`
+    * — used by p47's oracle and (r15 late) p101's calibration oracle,
+    * factored so the two cannot drift apart. */
+  private def nbFinCoreSql(table: String): String =
+    s"""toks AS (
        |  SELECT doc_id, ${TextOps.qualityScoreSql("text")} >= $NbSeedTau AS pos,
        |    string_split_regex(trim(lower(text)), '\\s+') w FROM $table),
        |gr AS (
@@ -425,8 +467,50 @@ object ModelOps {
        |                  - (length(bin(tp + 1)) - 1))
        |       + ((length(bin(np + 1)) - 1)
        |        - (length(bin(nn + 1)) - 1)) AS score
-       |  FROM per, tot, prior)
+       |  FROM per, tot, prior)""".stripMargin
+
+  def nbQualitySql(table: String = "documents"): String =
+    s"""WITH ${nbFinCoreSql(table)}
        |SELECT doc_id, label, n_grams, score,
        |  score >= 0 AS pred, (score >= 0) = label AS agree
        |FROM fin ORDER BY doc_id""".stripMargin
+
+  /** Score-bucket quantization for p101: floor(16 · score / n_grams) —
+    * the PER-GRAM log-odds in sixteenths, the length-invariant quantity
+    * (the raw score scales with document length, so bucketing it
+    * directly collapses every long doc into the clamp rails; whole
+    * per-gram units are too coarse — the observed per-gram range is
+    * within ±a few units) — clamped to ±clamp. A BOUNDED bucket domain
+    * (≤ 2·clamp + 1 = 129) at any corpus size, so the PAVA fit stays a
+    * constant-size driver artifact. Both engines compute the same IEEE
+    * arithmetic: 16·score is exact below 2⁴⁹, one double division, one
+    * floor. */
+  val IsoBucketScale = 16
+  val IsoBucketClamp = 64L
+
+  /** p101's oracle: DuckDB re-derives the per-bucket (n, n_pos) counts
+    * from the raw table through the SAME re-derived NB core as p47 —
+    * fully independently of Spark — and joins the driver-fitted PAVA
+    * step function carried as rendered VALUES (the trained-artifact
+    * pattern: the fit is a deterministic pure function of the counts,
+    * pinned separately in ModelOpsSpec). Any per-row disagreement in
+    * scoring, bucketing, counting or fit application breaks the match. */
+  def isotonicCalSql(fit: Seq[(Long, Long)],
+                     table: String = "documents"): String = {
+    val values = fit.map { case (b, c) => s"($b, $c)" }.mkString(", ")
+    s"""WITH ${nbFinCoreSql(table)},
+       |bkt AS (
+       |  SELECT least(greatest(
+       |    CAST(floor(CAST($IsoBucketScale * score AS DOUBLE)
+       |      / CAST(n_grams AS DOUBLE)) AS BIGINT),
+       |    -$IsoBucketClamp), $IsoBucketClamp) AS bucket, label
+       |  FROM fin),
+       |agg AS (
+       |  SELECT bucket, count(*) AS n,
+       |    count(*) FILTER (WHERE label) AS n_pos
+       |  FROM bkt GROUP BY bucket),
+       |fit(bucket, cal_ppm) AS (VALUES $values)
+       |SELECT bucket, n, n_pos, cal_ppm
+       |FROM agg JOIN fit USING (bucket) ORDER BY bucket""".stripMargin
+  }
 }

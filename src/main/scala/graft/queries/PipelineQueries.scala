@@ -1357,7 +1357,52 @@ object PipelineQueries {
         SimilarityOps.centersOf(km, s), labeled, emb,
         k = 4, nprobe = 4, minMarginPpm = MarginMinPpm)
     }),
+
+    // ---- isotonic score calibration (r15 late): the step every
+    //      production quality gate needs between a classifier's raw
+    //      score and a threshold — PAVA (Ayer 1955; Zadrozny & Elkan
+    //      2002) fits the monotone map score-bucket → empirical
+    //      P(label), so "keep if P ≥ 0.8" means what it says. Rides
+    //      the SHARED nbModelFor artifact (p47's classifier, not
+    //      retrained); plan: one map-side-combined aggregate onto a
+    //      BOUNDED bucket domain (≤ 2·clamp+1 = 129 rows at any corpus
+    //      size), exact-integer PAVA on that constant-size driver
+    //      artifact, broadcast of the fitted step back onto the bucket
+    //      table. No full-corpus state anywhere; the only driver work
+    //      is O(buckets). Oracle: DuckDB re-derives score, bucket and
+    //      (n, n_pos) from raw text through p47's factored SQL core
+    //      and joins the rendered fit (trained-artifact pattern). ----
+    "p101_isotonic_calibration" -> ((s, dir) => {
+      import ModelOps.{IsoBucketClamp, IsoBucketScale}
+      val model = nbModelFor(s, dir)
+      val q = ModelOps.nbQualityCol(col("text"), model)
+      val agg = Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), q.as("q"))
+        .filter(col("q")("n_grams") > 0)
+        // per-gram log-odds in sixteenths: the length-invariant
+        // calibration feature (see ModelOps.IsoBucketScale's note)
+        .select(least(greatest(
+          floor((col("q")("score") * lit(IsoBucketScale)).cast("double") /
+            col("q")("n_grams").cast("double")),
+          lit(-IsoBucketClamp)), lit(IsoBucketClamp)).as("bucket"),
+          col("q")("label").as("label"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+        // two consumers (driver fit + output join) of a ≤129-row frame
+        .localCheckpoint()
+      val fit = ModelOps.isotonicPava(
+        agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+      isotonicFit.set(fit)
+      val fitDf = s.createDataFrame(fit.map(f => IsoFitRow(f._1, f._2)))
+      agg.join(broadcast(fitDf), "bucket")
+        .select(col("bucket"), col("n"), col("n_pos"), col("cal_ppm"))
+        .orderBy(col("bucket"))
+    }),
   )
+
+  /** p101's fitted step function row (bucket → calibrated ppm). */
+  private case class IsoFitRow(bucket: Long, cal_ppm: Long)
 
   /** events.ts at µs granularity (still ns units): DuckDB reads
     * TIMESTAMP_NS truncated to µs, so every oracle-compared time — and
@@ -1744,6 +1789,11 @@ object PipelineQueries {
   private val diverseCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** p101's fitted PAVA step (bucket → cal_ppm), captured for the
+    * oracle render (the diverseCenters pattern). */
+  private val isotonicFit =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(Long, Long)]]()
+
   /** p40's k-means cell-count FLOOR (semCellsFor grows it ∝ corpus)
     * and its trained centroids, captured like p13's. */
   val SemCells = 8
@@ -1852,6 +1902,8 @@ object PipelineQueries {
         nprobe = 4, maxQid = 5)) ++
     Option(diverseCenters.get()).map(c =>
       "p77_diverse_sample" -> SimilarityOps.diverseSampleSql(c.toSeq, DiverseN)) ++
+    Option(isotonicFit.get()).map(f =>
+      "p101_isotonic_calibration" -> ModelOps.isotonicCalSql(f)) ++
     // p80/p81 replay the p52/p61 rollups through the artifact-bound SQL
     // functions; the oracles are the SAME trained-artifact renders — the
     // differential proves SQL face ≡ batch face ≡ DuckDB rebuild

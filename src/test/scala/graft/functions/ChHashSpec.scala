@@ -63,6 +63,25 @@ class ChHashSpec extends SparkSpec {
     }
   }
 
+  test("sipHash64Keyed matches Guava's sipHash24 — third-party keyed sweep (r15 late)") {
+    // Guava ships its own SipHash-2-4 (com.google.common.hash.SipHashFunction,
+    // tested upstream against the reference implementation) — a genuinely
+    // third-party kernel beyond the published-vector table above and the
+    // Python twin derivation: random keys × random messages across every
+    // length class, plus the zero key the SQL surface uses.
+    import com.google.common.hash.Hashing
+    val rnd = new scala.util.Random(0x51b)
+    (0 until 300).foreach { i =>
+      val k0 = rnd.nextLong(); val k1 = rnd.nextLong()
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      assert(ChHash.sipHash64Keyed(k0, k1, b) ==
+        Hashing.sipHash24(k0, k1).hashBytes(b).asLong(), s"iter $i len ${b.length}")
+    }
+    assert(ChHash.sipHash64("graft".getBytes("UTF-8")) ==
+      Hashing.sipHash24(0L, 0L).hashBytes("graft".getBytes("UTF-8")).asLong())
+  }
+
   test("sipHash64 SQL surface: zero key, UInt64 as Decimal(20,0)") {
     // zero-key values derive from the pinned keyed kernel
     val viaKernel = ChHash.sipHash64("graft".getBytes("UTF-8"))

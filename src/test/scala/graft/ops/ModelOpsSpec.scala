@@ -148,4 +148,81 @@ class ModelOpsSpec extends SparkSpec {
   private implicit class ToSortedMap(a: Array[(Long, Long)]) {
     def toSortedMap: Map[Long, Long] = a.toMap
   }
+
+  // ---- p101: isotonic PAVA calibration kernel ----
+
+  test("PAVA: already-monotone rates pass through pointwise") {
+    val in = Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 9L))
+    assert(ModelOps.isotonicPava(in) ==
+      Seq(0L -> 100000L, 1L -> 500000L, 2L -> 900000L))
+  }
+
+  test("PAVA: a single violation pools exactly two buckets") {
+    // rates .75, .25, .75 → pool(0,1) to (8, 4) = .5, keep bucket 2
+    val in = Seq((0L, 4L, 3L), (1L, 4L, 1L), (2L, 4L, 3L))
+    assert(ModelOps.isotonicPava(in) ==
+      Seq(0L -> 500000L, 1L -> 500000L, 2L -> 750000L))
+  }
+
+  test("PAVA: strictly decreasing rates pool to the global mean") {
+    val in = Seq((0L, 5L, 5L), (1L, 5L, 3L), (2L, 5L, 1L), (3L, 5L, 0L))
+    val want = 9L * 1000000L / 20L // 450000
+    assert(ModelOps.isotonicPava(in).forall(_._2 == want))
+  }
+
+  test("PAVA: unsorted input is sorted by bucket; weights respected") {
+    // heavy low-rate bucket drags its pooled block down but the pool
+    // stops as soon as monotonicity is restored: {0,1} pool to 1/101,
+    // bucket 2 stays at 1.0
+    val in = Seq((2L, 1L, 1L), (0L, 1L, 1L), (1L, 100L, 0L))
+    val out = ModelOps.isotonicPava(in).toMap
+    assert(out == Map(0L -> 9900L, 1L -> 9900L, 2L -> 1000000L))
+  }
+
+  test("PAVA matches the independent minimax formula on random inputs") {
+    // The L2 weighted isotonic fit has the closed form
+    //   y_i = max_{j<=i} min_{k>=i} mean(rows j..k)
+    // (Barlow et al. 1972, §1.2) — a genuinely different derivation
+    // than the pooling loop; exact-fraction compare via BigInt.
+    val rnd = new scala.util.Random(101)
+    (0 until 50).foreach { iter =>
+      val n = 1 + rnd.nextInt(24)
+      val rows = (0 until n).map { b =>
+        val w = 1L + rnd.nextInt(50)
+        (b.toLong, w, rnd.nextLong(w + 1).max(0L))
+      }
+      val pava = ModelOps.isotonicPava(rows).toMap
+      val ws = rows.map(_._2)
+      val ps = rows.map(_._3)
+      def mean(j: Int, k: Int): (BigInt, BigInt) =
+        (BigInt(ps.slice(j, k + 1).sum), BigInt(ws.slice(j, k + 1).sum))
+      def lt(a: (BigInt, BigInt), b: (BigInt, BigInt)) = a._1 * b._2 < b._1 * a._2
+      (0 until n).foreach { i =>
+        val minimax = (0 to i).map { j =>
+          (i until n).map(k => mean(j, k)).reduce((a, b) => if (lt(a, b)) a else b)
+        }.reduce((a, b) => if (lt(a, b)) b else a)
+        val wantPpm = (minimax._1 * 1000000 / minimax._2).toLong
+        assert(pava(i.toLong) == wantPpm, s"iter $iter bucket $i")
+      }
+      // and the fit is monotone non-decreasing
+      val fitted = ModelOps.isotonicPava(rows).sortBy(_._1).map(_._2)
+      assert(fitted == fitted.sorted, s"iter $iter not monotone")
+    }
+  }
+
+  test("p101 face: bounded buckets, broadcast fit, oracle-shape columns") {
+    val df = graft.queries.PipelineQueries.queries("p101_isotonic_calibration")(
+      spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(df.columns.toSeq == Seq("bucket", "n", "n_pos", "cal_ppm"))
+    // bounded bucket domain
+    assert(rows.forall(r => math.abs(r.getLong(0)) <= ModelOps.IsoBucketClamp))
+    // calibrated values are probabilities in ppm and monotone in bucket
+    val cal = rows.sortBy(_.getLong(0)).map(_.getLong(3)).toSeq
+    assert(cal.forall(c => c >= 0L && c <= 1000000L))
+    assert(cal == cal.sorted)
+    // n_pos never exceeds n
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+  }
 }
