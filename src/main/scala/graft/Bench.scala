@@ -79,11 +79,13 @@ object Bench {
     // with no guard coverage (a bound-model scalar over docs — its 10×
     // ratio must stay at the scan's own linearity)
     "p96_graph_rank", "p82_sql_nb_quality",
-    // r15 late: the newest operator — bounded-bucket aggregate +
-    // driver PAVA + broadcast fit; its measured cost is the same
-    // bound-model scoring pass as p47/p82, so its 10× ratio must stay
-    // at the scan's own linearity too
-    "p101_isotonic_calibration")
+    // r15 late: the newest operators — p101 is a bounded-bucket
+    // aggregate + driver PAVA + broadcast fit (the same bound-model
+    // scoring pass as p47/p82, so its 10× ratio must stay at the
+    // scan's own linearity); p102's exact side is a DECLARED
+    // O(sample·corpus) linear scan (the p06 shape) + the IVF probe,
+    // so expect ~linear and read >>10 as the alarm
+    "p101_isotonic_calibration", "p102_ann_recall_report")
 
   /** Measurement ORDER for the sf1 section (r15, VERDICT r14 #2: the
     * -2.0 budget-skip hit p99 — the newest, most scale-interesting

@@ -426,9 +426,14 @@ object SimilarityOps {
     * fixed data, so the tri-SF oracle pass means agreement holds for
     * these datasets — keeping transform's map-only assignment (no
     * corpus×nlist shuffle) is worth that bounded, gate-tested risk. */
-  def ivfTopKSql(centers: Seq[Array[Double]], k: Int, nprobe: Int, maxQid: Int): String = {
-    val values = centersValuesSql(centers)
-    s"""WITH centers(cell, cv, hn2) AS (VALUES $values),
+  /** CTE chain shared by the quantizer-replay oracles (factored r15
+    * late so p13's and p102's IVF replays cannot drift): trained
+    * centers as VALUES → normalized corpus → per-vector cell ranks →
+    * assigned cells + the first maxQid queries' nprobe probe cells →
+    * scored(qid, nid, sim). Callers append their own ranking/report. */
+  private def ivfScoredCoreSql(values: String, nprobe: Int,
+                               maxQid: Int): String =
+    s"""centers(cell, cv, hn2) AS (VALUES $values),
        |nv AS (
        |  $NormalizedCorpusSql
        |), cellrank AS (
@@ -445,12 +450,85 @@ object SimilarityOps {
        |  SELECT p.qid, a.vec_id AS nid, list_inner_product(p.qv, a.v) AS sim
        |  FROM probes p JOIN assigned a USING (cell)
        |  WHERE a.vec_id != p.qid
-       |)
+       |)""".stripMargin
+
+  def ivfTopKSql(centers: Seq[Array[Double]], k: Int, nprobe: Int, maxQid: Int): String = {
+    val values = centersValuesSql(centers)
+    s"""WITH ${ivfScoredCoreSql(values, nprobe, maxQid)}
        |SELECT qid, nid, ${OracleSql.roundD("sim", 4)} AS sim, rn FROM (
        |  SELECT qid, nid, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
        |  FROM scored) t
        |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
+  /** p102's oracle: BOTH sides of the recall report re-derived
+    * independently — the exact top-k from the raw brute-force cosine
+    * join (p06's core) and the approximate top-k from the IVF replay
+    * over the same trained centroids (p13's core) — then the hit
+    * count and integer-ppm recall from their join. */
+  def annRecallSql(centers: Seq[Array[Double]], k: Int, nprobe: Int,
+                   maxQid: Int): String = {
+    val values = centersValuesSql(centers)
+    val usableA = usableSql("CAST(a.embedding AS DOUBLE[])")
+    val usableB = usableSql("CAST(b.embedding AS DOUBLE[])")
+    s"""WITH ${ivfScoredCoreSql(values, nprobe, maxQid)},
+       |appr AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS rn
+       |    FROM scored) t WHERE rn <= $k
+       |), exact AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT a.vec_id qid, b.vec_id nid,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                        CAST(b.embedding AS DOUBLE[])) DESC,
+       |                 b.vec_id) rn
+       |    FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+       |    WHERE a.vec_id < $maxQid AND $usableA AND $usableB
+       |  ) t WHERE rn <= $k
+       |), hits AS (
+       |  SELECT qid, count(*) AS n_hit
+       |  FROM exact JOIN appr USING (qid, nid) GROUP BY qid
+       |), ex AS (
+       |  SELECT qid, count(*) AS n_exact FROM exact GROUP BY qid
+       |)
+       |SELECT ex.qid AS qid, n_exact, coalesce(n_hit, 0) AS n_hit,
+       |  coalesce(n_hit, 0) * 1000000 // n_exact AS recall_ppm
+       |FROM ex LEFT JOIN hits USING (qid) ORDER BY qid""".stripMargin
+  }
+
+  /** ANN index-quality report (r15 late): per-query recall@k of the
+    * IVF probe against exact brute-force ground truth, on a BOUNDED
+    * query sample — the "measure the index before trusting it" face
+    * every production ANN deployment ships (Jégou et al. 2011 evaluate
+    * IVF indexes exactly this way; recall@k is THE figure of merit a
+    * pipeline reads before routing dedup/retrieval through the index).
+    *
+    * The exact side is a declared linear scan over the corpus for the
+    * SAMPLED queries only (O(sample · corpus), the p06 baseline shape
+    * — paid on purpose, that is what ground truth costs); the
+    * approximate side rides the SHARED IVF index (cell-pruned probes,
+    * the p13 plan). Hits join two parameter-bounded top-k lists —
+    * O(sample · k) rows — and recall lands in integer ppm so the
+    * report replays exactly at any partitioning. */
+  def annRecallReport(corpus: DataFrame,
+                      km: org.apache.spark.ml.clustering.KMeansModel,
+                      assigned: DataFrame, queries: DataFrame,
+                      k: Int, nprobe: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("qid"), col("nid"))
+    val appr = ivfTopKWith(km, assigned, queries, k, nprobe)
+      .select(col("qid"), col("nid"))
+    val ex = exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+    val hits = exact.join(appr, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    ex.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 DIV n_exact"))
+      .orderBy(col("qid"))
   }
 
   // ---- hard-negative mining (retrieval-training data prep) ----

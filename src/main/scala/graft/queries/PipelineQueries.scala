@@ -1399,6 +1399,20 @@ object PipelineQueries {
         .select(col("bucket"), col("n"), col("n_pos"), col("cal_ppm"))
         .orderBy(col("bucket"))
     }),
+
+    // ---- ANN index-quality report (r15 late): recall@k of the SHARED
+    //      IVF index vs exact brute-force ground truth on a bounded
+    //      query sample — the index-health number a pipeline reads
+    //      before routing dedup/retrieval through the index. Oracle
+    //      re-derives BOTH sides independently (p06's brute core +
+    //      p13's quantizer replay over the same trained centroids). ----
+    "p102_ann_recall_report" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
+      recallCenters.set(km.clusterCenters.map(_.toArray))
+      SimilarityOps.annRecallReport(emb, km, assigned,
+        emb.filter(col("vec_id") < AnnEvalQ), AnnEvalK, AnnEvalNprobe)
+    }),
   )
 
   /** p101's fitted step function row (bucket → calibrated ppm). */
@@ -1794,6 +1808,13 @@ object PipelineQueries {
   private val isotonicFit =
     new java.util.concurrent.atomic.AtomicReference[Seq[(Long, Long)]]()
 
+  /** p102's eval-sample bounds and captured quantizer. */
+  val AnnEvalQ = 8
+  val AnnEvalK = 10
+  val AnnEvalNprobe = 4
+  private val recallCenters =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
   /** p40's k-means cell-count FLOOR (semCellsFor grows it ∝ corpus)
     * and its trained centroids, captured like p13's. */
   val SemCells = 8
@@ -1904,6 +1925,9 @@ object PipelineQueries {
       "p77_diverse_sample" -> SimilarityOps.diverseSampleSql(c.toSeq, DiverseN)) ++
     Option(isotonicFit.get()).map(f =>
       "p101_isotonic_calibration" -> ModelOps.isotonicCalSql(f)) ++
+    Option(recallCenters.get()).map(c =>
+      "p102_ann_recall_report" ->
+        SimilarityOps.annRecallSql(c.toSeq, AnnEvalK, AnnEvalNprobe, AnnEvalQ)) ++
     // p80/p81 replay the p52/p61 rollups through the artifact-bound SQL
     // functions; the oracles are the SAME trained-artifact renders — the
     // differential proves SQL face ≡ batch face ≡ DuckDB rebuild

@@ -152,6 +152,31 @@ class SimilarityOpsSpec extends SparkSpec {
       s"loaded-index dedup diverged: ${fromLoaded.diff(fromFresh)}")
   }
 
+  test("annRecallReport: full probe reads 1e6 ppm; algebra and determinism hold (p102)") {
+    val corpus = vecs(400, 16)
+    val q = corpus.filter($"vec_id" < 5)
+    val (km, assigned) = SimilarityOps.ivfIndex(corpus, nlist = 8)
+    // probing every cell is exact (the full == brute lemma above), so
+    // the report must read recall@10 = 1e6 ppm for every query
+    val full = SimilarityOps.annRecallReport(corpus, km, assigned, q, 10, nprobe = 8)
+      .collect()
+    assert(full.length == 5)
+    assert(full.forall(r => r.getLong(3) == 1000000L && r.getLong(2) == r.getLong(1)))
+    // few probes: counts bounded, the ppm column is exactly the
+    // integer division of its own count columns
+    val few = SimilarityOps.annRecallReport(corpus, km, assigned, q, 10, nprobe = 4)
+      .collect()
+    assert(few.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    few.foreach { r =>
+      val (nEx, nHit, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nHit <= nEx && nEx <= 10)
+      assert(ppm == nHit * 1000000L / nEx)
+    }
+    val again = SimilarityOps.annRecallReport(corpus, km, assigned, q, 10, nprobe = 4)
+      .collect()
+    assert(again.map(_.toSeq).toSeq == few.map(_.toSeq).toSeq)
+  }
+
   test("ivfTopK finds an exact duplicate (same cell, sim 1)") {
     val corpus = vecs(200, 16)
     val dup = corpus.filter($"vec_id" === 0)
