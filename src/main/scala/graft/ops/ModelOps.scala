@@ -389,8 +389,6 @@ object ModelOps {
        |  FROM scored) t
        |ORDER BY doc_id""".stripMargin
 
-  /** DuckDB oracle for nbQualityScores (same buckets, same quantized
-    * logs, same smoothing, same seed gate). */
   /** Isotonic regression by pool-adjacent-violators (Ayer et al. 1955;
     * Barlow et al. 1972) — the standard way to CALIBRATE a classifier's
     * raw scores into empirical probabilities (Zadrozny & Elkan 2002,
@@ -469,6 +467,8 @@ object ModelOps {
        |        - (length(bin(nn + 1)) - 1)) AS score
        |  FROM per, tot, prior)""".stripMargin
 
+  /** DuckDB oracle for nbQualityScores (same buckets, same quantized
+    * logs, same smoothing, same seed gate). */
   def nbQualitySql(table: String = "documents"): String =
     s"""WITH ${nbFinCoreSql(table)}
        |SELECT doc_id, label, n_grams, score,
@@ -497,7 +497,13 @@ object ModelOps {
     * scoring, bucketing, counting or fit application breaks the match. */
   def isotonicCalSql(fit: Seq[(Long, Long)],
                      table: String = "documents"): String = {
-    val values = fit.map { case (b, c) => s"($b, $c)" }.mkString(", ")
+    // a degenerate corpus (zero rows / all-null text) fits an EMPTY
+    // step — `VALUES` with no tuples is a parse error, so render one
+    // impossible-bucket row instead: the inner join keeps the result
+    // empty-to-empty rather than crashing the gate (review r15 late)
+    val values =
+      if (fit.isEmpty) s"(${IsoBucketClamp + 1}, -1)"
+      else fit.map { case (b, c) => s"($b, $c)" }.mkString(", ")
     s"""WITH ${nbFinCoreSql(table)},
        |bkt AS (
        |  SELECT least(greatest(

@@ -1377,7 +1377,7 @@ object PipelineQueries {
       val model = nbModelFor(s, dir)
       val q = ModelOps.nbQualityCol(col("text"), model)
       val agg = Tables.loadSpread(s, dir, "documents")
-        .select(col("doc_id"), q.as("q"))
+        .select(q.as("q"))
         .filter(col("q")("n_grams") > 0)
         // per-gram log-odds in sixteenths: the length-invariant
         // calibration feature (see ModelOps.IsoBucketScale's note)

@@ -210,6 +210,15 @@ class ModelOpsSpec extends SparkSpec {
     }
   }
 
+  test("isotonicCalSql: an empty fit renders a valid never-matching sentinel row") {
+    // `VALUES` with zero tuples is a DuckDB parse error; the renderer
+    // must keep the oracle runnable (empty-to-empty via the inner join)
+    val sql = ModelOps.isotonicCalSql(Seq.empty)
+    assert(sql.contains(s"(${ModelOps.IsoBucketClamp + 1}, -1)"))
+    val nonEmpty = ModelOps.isotonicCalSql(Seq(3L -> 250000L))
+    assert(nonEmpty.contains("(3, 250000)"))
+  }
+
   test("p101 face: bounded buckets, broadcast fit, oracle-shape columns") {
     val df = graft.queries.PipelineQueries.queries("p101_isotonic_calibration")(
       spark, "/root/testdata/sf0.001")
