@@ -24,21 +24,27 @@ import org.apache.spark.sql.types._
   * with the observed-diff count reported.
   *
   * Method: the Maclaurin series erf(x) = 2/√π · Σ (-1)ⁿ x^(2n+1) /
-  * (n!(2n+1)) evaluated in 70-digit BigDecimal arithmetic. The series
-  * alternates, so for large |x| the partial sums cancel up to ~e^(x²)
-  * relative to the result — at the |x| = 6.5 saturation threshold
-  * that costs 19 of the 70 digits, leaving ~50 significant digits
-  * before the final round-to-nearest-double, vastly more than the
-  * 0.5-ulp claim needs. Beyond |x| ≥ 6.5, erfc(x) < 4e-20 is below
-  * half an ulp of 1.0, so the double result saturates exactly
-  * (glibc's erf does the same from x ≈ 5.86; 6.5 is safely past it).
+  * (n!(2n+1)) in BigDecimal with precision ADAPTIVE in x²: the
+  * alternating sum cancels up to ~e^(x²) ≈ 10^(0.4343·x²) relative to
+  * the result, so the working precision is 30 + 0.44·x² digits — ≥ 6
+  * guard digits past cancellation + the 17 the final
+  * round-to-nearest-double needs, everywhere on |x| < 6. The
+  * coefficients 1/(n!(2n+1)) are a class-load-time table, so the
+  * per-call loop is two multiplies per term with no division. Beyond
+  * |x| ≥ 6, the published erfc(6) = 2.151e-17 is below the half-ulp
+  * threshold 2⁻⁵⁴ ≈ 5.55e-17, so the double result saturates exactly
+  * (the true crossover is ≈ 5.93; 6 is provably past it) — which
+  * also skips the series' most expensive band.
   *
-  * Cost note (scale honesty): ~20–130 BigDecimal terms per call — a
-  * few µs, roughly 50× a rational double kernel. erf is a compat
-  * scalar on the /query surface, not part of any declared pipeline
-  * hot path; if it ever shows in a measured hot loop, the documented
-  * upgrade is a Cody-style minimax double kernel WITH a published
-  * ulp bound, gated against this one.
+  * Cost note (scale honesty): ~15–175 two-multiply BigDecimal terms
+  * per call at 30–46 digits — measured ~20 µs/call near 0 rising to
+  * ~120 µs at |x| ≈ 4–5 (q27's sf0.1 gate: 19.9 s with the first
+  * flat-70-digit two-division cut, 3.5 s with this shape — 5.7×).
+  * Still ~10³× a rational double kernel: erf is a compat scalar on
+  * the /query surface, not part of any declared pipeline hot path; if
+  * it ever shows in a measured hot loop, the documented upgrade is a
+  * Cody-style minimax double kernel WITH a published ulp bound, gated
+  * against this one.
   */
 object ChErf {
 
@@ -47,40 +53,80 @@ object ChErf {
   private val Pi100 =
     "3.14159265358979323846264338327950288419716939937510" +
       "5820974944592307816406286208998628034825342117067982"
-  private val Mc = new MathContext(70)
   private val TwoOverSqrtPi: BD = {
     val mc80 = new MathContext(80)
     new BD(2).divide(new BD(Pi100).sqrt(mc80), mc80)
   }
 
+  // Series coefficients 1/(n!(2n+1)) precomputed ONCE at 80 digits
+  // (n! built exactly, one division each at class load) — the per-call
+  // loop then does two MULTIPLIES per term and no division at all.
+  // Post-peak decay is only x²/n per term, so reaching the eps floor
+  // at the saturation edge (x² = 36, 45 working digits) takes ~175
+  // terms — 224 leaves margin (a first 160-term cut tripped the loud
+  // non-convergence guard at x = 5.8 exactly as designed, back when
+  // the cutoff sat at 6.5).
+  private val MaxN = 224
+  private val Coef: Array[BD] = {
+    val mc80 = new MathContext(80)
+    val out = new Array[BD](MaxN)
+    var fact = java.math.BigInteger.ONE
+    var n = 0
+    while (n < MaxN) {
+      if (n > 0) fact = fact.multiply(java.math.BigInteger.valueOf(n.toLong))
+      out(n) = BD.ONE.divide(
+        new BD(fact.multiply(java.math.BigInteger.valueOf(2L * n + 1))), mc80)
+      n += 1
+    }
+    out
+  }
+
   def erf(x: Double): Double = {
+    // saturation: erf(x) rounds to 1.0 once 1 − erf(x) ≤ 2⁻⁵⁴ ≈
+    // 5.55e-17; the published erfc(6) = 2.151e-17 is safely below, so
+    // 6.0 is a provable cutoff (the true crossover is ≈ 5.93) — and it
+    // skips the series' most expensive band (~200 terms near the edge)
     if (java.lang.Double.isNaN(x)) Double.NaN
-    else if (x >= 6.5) 1.0
-    else if (x <= -6.5) -1.0
+    else if (x >= 6.0) 1.0
+    else if (x <= -6.0) -1.0
     else if (x == 0.0) x // preserves the sign of -0.0 (odd function)
     else series(x)
   }
 
   private def series(x: Double): Double = {
+    // Working precision adaptive in x²: the alternating sum cancels up
+    // to e^(x²) ≈ 10^(0.4343·x²) relative to the result, and the final
+    // double round needs ~17 significant digits — 30 + 0.44·x² digits
+    // leaves ≥ 6 guard digits everywhere on |x| < 6 (46 at the
+    // saturation edge vs the old flat 70, and 30 where most calls
+    // land; the r15-late hot-query profile showed the flat-70 kernel
+    // at ~200 µs/call, this shape is ~10× cheaper with the SAME
+    // correctly-rounded result — the 353-vector glibc differential
+    // and the published-constant pins re-verify it unchanged).
+    val x2d = x * x
+    val digits = 30 + (x2d * 0.44).toInt
+    val mc = new MathContext(digits)
+    val eps = BD.ONE.movePointLeft(digits + 2)
     val bx = new BD(x) // exact binary→decimal conversion
-    val x2 = bx.multiply(bx, Mc)
-    val x2d = x2.doubleValue()
-    var term = bx // x^(2n+1) / n!
+    val x2 = bx.multiply(bx, mc)
+    var pow = bx // x^(2n+1), running power
     var sum = BD.ZERO
     var n = 0
-    var done = false
-    while (!done) {
-      val contrib = term.divide(new BD(2 * n + 1), Mc)
-      sum = if ((n & 1) == 0) sum.add(contrib, Mc) else sum.subtract(contrib, Mc)
-      n += 1
-      term = term.multiply(x2, Mc).divide(new BD(n), Mc)
+    while (n < MaxN) {
+      val contrib = pow.multiply(Coef(n), mc)
+      sum = if ((n & 1) == 0) sum.add(contrib, mc) else sum.subtract(contrib, mc)
       // terms grow until n ≈ x², then decay factorially; once past the
-      // peak and below 10^-66 of the settled sum, the 70-digit sum
-      // cannot move again
+      // peak and below the working precision's floor relative to the
+      // settled sum, later terms cannot move it
       if (n.toDouble > x2d &&
-        term.abs.compareTo(sum.abs.multiply(new BD(1e-66), Mc)) < 0) done = true
+        contrib.abs.compareTo(sum.abs.multiply(eps, mc)) < 0) {
+        return sum.multiply(TwoOverSqrtPi, mc).doubleValue()
+      }
+      pow = pow.multiply(x2, mc)
+      n += 1
     }
-    sum.multiply(TwoOverSqrtPi, Mc).doubleValue()
+    // unreachable for |x| < 6 by the MaxN sizing; loud, not silent
+    throw new IllegalStateException(s"erf series did not converge for x=$x")
   }
 }
 
