@@ -85,7 +85,10 @@ object Bench {
     // scan's own linearity); p102's exact side is a DECLARED
     // O(sample·corpus) linear scan (the p06 shape) + the IVF probe,
     // so expect ~linear and read >>10 as the alarm
-    "p101_isotonic_calibration", "p102_ann_recall_report")
+    "p101_isotonic_calibration", "p102_ann_recall_report",
+    // p103: k0²-bounded pair matrix + per-query cogroup greedy over
+    // the IVF probe — everything after the probe is parameter-bounded
+    "p103_mmr_rerank")
 
   /** Measurement ORDER for the sf1 section (r15, VERDICT r14 #2: the
     * -2.0 budget-skip hit p99 — the newest, most scale-interesting

@@ -531,6 +531,128 @@ object SimilarityOps {
       .orderBy(col("qid"))
   }
 
+  /** MMR diversity re-rank (r15 late): maximal marginal relevance
+    * (Carbonell & Goldstein 1998) over the SHARED IVF index's top-k0
+    * candidates — the standard post-step between retrieval and a
+    * context window, trading relevance against redundancy:
+    * pick argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), m times.
+    *
+    * Plan: candidates come from the p13 probe (cell-pruned, k0 per
+    * query); the pairwise candidate-similarity matrix is k0² rows per
+    * query (parameter-bounded — never corpus-proportional); the greedy
+    * itself runs DISTRIBUTED per query via cogroup over bounded groups
+    * (no driver collect anywhere). All scores are integer µ-units
+    * (floor(cos·10⁶), the p99 quantization whose cross-engine parity
+    * is oracle-proven), so λ·rel − (1−λ)·maxSel is exact Long
+    * arithmetic and the selection replays bit-for-bit in the oracle's
+    * 3-step unrolled SQL. Ties break on the lower vec_id at every
+    * step. */
+  def mmrRerank(centers: DataFrame, assigned: DataFrame, queries: DataFrame,
+                k0: Int, m: Int, nprobe: Int, lambdaPpm: Long): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cand = ivfTopKFrom(centers, assigned, queries, k0, nprobe)
+      .select(col("qid"), col("nid"),
+        floor(col("sim") * lit(1000000.0)).as("rel_u"))
+    val cv = cand.join(
+      assigned.select(col("vec_id").as("nid"), col("nvec").as("nv")), "nid")
+    val pairs = cv.select(col("qid"), col("nid").as("a_nid"), col("nv").as("av"))
+      .join(cv.select(col("qid"), col("nid").as("b_nid"), col("nv").as("bv")), "qid")
+      .filter(col("a_nid") =!= col("b_nid"))
+      .select(col("qid"), col("a_nid"), col("b_nid"),
+        floor(dotf(col("av"), col("bv")) * lit(1000000.0)).as("pair_u"))
+    val candG = cand.as[(Long, Long, Long)].groupByKey(_._1)
+    val pairG = pairs.as[(Long, Long, Long, Long)].groupByKey(_._1)
+    candG.cogroup(pairG) { (qid, cs, ps) =>
+      val rel = cs.map(c => (c._2, c._3)).toArray
+      val pu = ps.map(p => (p._2, p._3) -> p._4).toMap
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (chosen.size < m && chosen.size < rel.length) {
+        var bestN = -1L
+        var bestS = Long.MinValue
+        rel.foreach { case (nid, ru) =>
+          if (!chosen.exists(_._1 == nid)) {
+            val score =
+              if (chosen.isEmpty) lambdaPpm * ru
+              else lambdaPpm * ru - (1000000L - lambdaPpm) *
+                chosen.iterator.map(s => pu((nid, s._1))).max
+            if (score > bestS || (score == bestS && (bestN < 0 || nid < bestN))) {
+              bestN = nid; bestS = score
+            }
+          }
+        }
+        chosen += ((bestN, bestS))
+      }
+      chosen.iterator.zipWithIndex.map { case ((nid, s), i) =>
+        (qid, i + 1, nid, s)
+      }
+    }.toDF("qid", "rank", "nid", "score_u").orderBy("qid", "rank")
+  }
+
+  /** p103's oracle: the full MMR selection re-derived in SQL — IVF
+    * candidates from the shared quantizer-replay core, the pairwise
+    * µ-unit matrix from the same normalized vectors, and the 3-step
+    * greedy unrolled as CTE stages (each step's argmax re-derived, not
+    * rendered — the p96 unrolled-iteration pattern). Fixed to m = 3
+    * picks; the declared face passes the same m. */
+  def mmrRerankSql(centers: Seq[Array[Double]], k0: Int, nprobe: Int,
+                   maxQid: Int, lambdaPpm: Long): String = {
+    val values = centersValuesSql(centers)
+    val lam = lambdaPpm
+    val om = 1000000L - lambdaPpm
+    s"""WITH ${ivfScoredCoreSql(values, nprobe, maxQid)},
+       |cand AS (
+       |  SELECT qid, nid, CAST(floor(sim * 1000000.0) AS BIGINT) AS rel_u
+       |  FROM (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+       |          ORDER BY sim DESC, nid) AS rn FROM scored) t
+       |  WHERE rn <= $k0),
+       |cvec AS (
+       |  SELECT c.qid, c.nid, a.v FROM cand c
+       |  JOIN assigned a ON a.vec_id = c.nid),
+       |prs AS (
+       |  SELECT a.qid, a.nid AS a_nid, b.nid AS b_nid,
+       |    CAST(floor(list_inner_product(a.v, b.v) * 1000000.0) AS BIGINT)
+       |      AS pair_u
+       |  FROM cvec a JOIN cvec b ON a.qid = b.qid AND a.nid != b.nid),
+       |s1 AS (
+       |  SELECT qid, nid, $lam * rel_u AS score_u FROM (
+       |    SELECT qid, nid, rel_u, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rel_u DESC, nid) AS rr FROM cand) t
+       |  WHERE rr = 1),
+       |r2 AS (
+       |  SELECT c.qid, c.nid,
+       |    $lam * c.rel_u - $om * max(p.pair_u) AS score_u
+       |  FROM cand c
+       |  JOIN s1 ON s1.qid = c.qid AND c.nid != s1.nid
+       |  JOIN prs p ON p.qid = c.qid AND p.a_nid = c.nid
+       |            AND p.b_nid = s1.nid
+       |  GROUP BY c.qid, c.nid, c.rel_u),
+       |s2 AS (
+       |  SELECT qid, nid, score_u FROM (
+       |    SELECT qid, nid, score_u, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score_u DESC, nid) AS rr FROM r2) t
+       |  WHERE rr = 1),
+       |r3 AS (
+       |  SELECT c.qid, c.nid,
+       |    $lam * c.rel_u - $om * max(p.pair_u) AS score_u
+       |  FROM cand c
+       |  JOIN s1 ON s1.qid = c.qid
+       |  JOIN s2 ON s2.qid = c.qid
+       |  JOIN prs p ON p.qid = c.qid AND p.a_nid = c.nid
+       |            AND p.b_nid IN (s1.nid, s2.nid)
+       |  WHERE c.nid != s1.nid AND c.nid != s2.nid
+       |  GROUP BY c.qid, c.nid, c.rel_u),
+       |s3 AS (
+       |  SELECT qid, nid, score_u FROM (
+       |    SELECT qid, nid, score_u, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score_u DESC, nid) AS rr FROM r3) t
+       |  WHERE rr = 1)
+       |SELECT qid, 1 AS rank, nid, score_u FROM s1
+       |UNION ALL SELECT qid, 2 AS rank, nid, score_u FROM s2
+       |UNION ALL SELECT qid, 3 AS rank, nid, score_u FROM s3
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   // ---- hard-negative mining (retrieval-training data prep) ----
 
   /** Mine HARD NEGATIVES for contrastive retrieval training: for each

@@ -1413,6 +1413,21 @@ object PipelineQueries {
       SimilarityOps.annRecallReport(emb, km, assigned,
         emb.filter(col("vec_id") < AnnEvalQ), AnnEvalK, AnnEvalNprobe)
     }),
+
+    // ---- MMR diversity re-rank (r15 late): the standard post-step
+    //      between retrieval and a context window (Carbonell 1998) —
+    //      greedy λ·relevance − (1−λ)·max-redundancy over the shared
+    //      IVF index's top-k0, all in integer µ-units, greedy run
+    //      distributed per query over bounded cogroups. Oracle
+    //      re-derives the WHOLE selection (candidates, pair matrix,
+    //      3 unrolled argmax steps) — nothing rendered. ----
+    "p103_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
+      mmrCenters.set(km.clusterCenters.map(_.toArray))
+      SimilarityOps.mmrRerank(SimilarityOps.centersOf(km, s), assigned,
+        emb.filter(col("vec_id") < MmrQ), MmrK0, MmrM, MmrNprobe, MmrLambdaPpm)
+    }),
   )
 
   /** p101's fitted step function row (bucket → calibrated ppm). */
@@ -1815,6 +1830,16 @@ object PipelineQueries {
   private val recallCenters =
     new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
 
+  /** p103's sample/candidate/pick bounds (m = 3 matches the oracle's
+    * unroll), λ in ppm, and captured quantizer. */
+  val MmrQ = 4
+  val MmrK0 = 8
+  val MmrM = 3
+  val MmrNprobe = 4
+  val MmrLambdaPpm = 700000L
+  private val mmrCenters =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]]()
+
   /** p40's k-means cell-count FLOOR (semCellsFor grows it ∝ corpus)
     * and its trained centroids, captured like p13's. */
   val SemCells = 8
@@ -1928,6 +1953,10 @@ object PipelineQueries {
     Option(recallCenters.get()).map(c =>
       "p102_ann_recall_report" ->
         SimilarityOps.annRecallSql(c.toSeq, AnnEvalK, AnnEvalNprobe, AnnEvalQ)) ++
+    Option(mmrCenters.get()).map(c =>
+      "p103_mmr_rerank" ->
+        SimilarityOps.mmrRerankSql(c.toSeq, MmrK0, MmrNprobe, MmrQ,
+          MmrLambdaPpm)) ++
     // p80/p81 replay the p52/p61 rollups through the artifact-bound SQL
     // functions; the oracles are the SAME trained-artifact renders — the
     // differential proves SQL face ≡ batch face ≡ DuckDB rebuild

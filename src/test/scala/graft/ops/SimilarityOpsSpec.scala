@@ -177,6 +177,47 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSeq == few.map(_.toSeq).toSeq)
   }
 
+  test("mmrRerank: pure-relevance λ reproduces the IVF top-m; λ=0 picks the least-redundant; deterministic (p103)") {
+    val corpus = vecs(300, 16)
+    val q = corpus.filter($"vec_id" < 3)
+    val (km, assigned) = SimilarityOps.ivfIndex(corpus, nlist = 8)
+    val centers = SimilarityOps.centersOf(km, spark)
+    // λ = 1e6: the redundancy term has weight 0, so the greedy must
+    // pick exactly the top-3 candidates by (rel desc, nid) — the IVF
+    // probe's own order
+    val pureRel = SimilarityOps.mmrRerank(centers, assigned, q,
+      k0 = 8, m = 3, nprobe = 4, lambdaPpm = 1000000L)
+      .select($"qid", $"rank", $"nid").as[(Long, Int, Long)].collect()
+    val top3 = SimilarityOps.ivfTopKFrom(centers, assigned, q, 8, 4)
+      .filter($"rn" <= 3).select($"qid", $"rn", $"nid")
+      .as[(Long, Int, Long)].collect()
+    assert(pureRel.sorted.toSeq == top3.sorted.toSeq)
+    // λ = 0: rank 2 must be the candidate whose similarity to rank 1
+    // is MINIMAL (the pure-diversity pick), re-derived independently
+    val zero = SimilarityOps.mmrRerank(centers, assigned, q,
+      k0 = 8, m = 2, nprobe = 4, lambdaPpm = 0L)
+      .select($"qid", $"rank", $"nid").as[(Long, Int, Long)].collect()
+    val cand = SimilarityOps.ivfTopKFrom(centers, assigned, q, 8, 4)
+      .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
+    val nv = assigned.select($"vec_id", $"nvec").as[(Long, Array[Double])]
+      .collect().toMap
+    def cos(a: Long, b: Long): Long =
+      math.floor(nv(a).zip(nv(b)).map { case (x, y) => x * y }.sum * 1e6).toLong
+    zero.groupBy(_._1).foreach { case (qid, rows) =>
+      val r1 = rows.find(_._2 == 1).get._3
+      val r2 = rows.find(_._2 == 2).get._3
+      val others = cand(qid).map(_._2).filter(_ != r1)
+      val minSim = others.map(n => (cos(n, r1), n)).min
+      assert((cos(r2, r1), r2) == minSim, s"qid $qid: rank2 $r2 not the least-redundant")
+    }
+    // determinism across invocations
+    val again = SimilarityOps.mmrRerank(centers, assigned, q,
+      k0 = 8, m = 3, nprobe = 4, lambdaPpm = 700000L).collect()
+    val once = SimilarityOps.mmrRerank(centers, assigned, q,
+      k0 = 8, m = 3, nprobe = 4, lambdaPpm = 700000L).collect()
+    assert(again.map(_.toSeq).toSeq == once.map(_.toSeq).toSeq)
+  }
+
   test("ivfTopK finds an exact duplicate (same cell, sim 1)") {
     val corpus = vecs(200, 16)
     val dup = corpus.filter($"vec_id" === 0)
