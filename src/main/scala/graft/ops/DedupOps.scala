@@ -477,7 +477,19 @@ object DedupOps {
     // self-join needs, so the cap rides the join's own shuffle instead of
     // adding two serialized broadcast jobs and a third tokenize pass.
     val sh = shingles(docs, n)
-    val pruned = capFrac match {
+    // r15 optimization (guide §1.2 step 1): `pruned` has FOUR consumers
+    // — the self-join's two sides plus the two sizes joins — and
+    // Catalyst re-executes the tokenize→shingle→window pipeline for
+    // each (runtime exchange reuse only shares the shuffle UNDER the
+    // window; the generate + window + filter re-ran 4×: p02's initial
+    // plan carried four copies of the subtree). One eager checkpoint of
+    // the narrow (doc_id, s) inverted index feeds all four; the blocks
+    // are corpus-proportional but minimal-width (the §8 lightweight
+    // proxy — ids and shingles, never text), the same class as
+    // nbCounts' documented checkpoint, reclaimed by Bench's per-query
+    // hygiene. Measured: p02 1.97 → 1.66 s steady at sf0.1 (plan:
+    // 4 shingle subtrees → 1 checkpoint scan + 3 reads).
+    val pruned = (capFrac match {
       case Some(frac) =>
         val total = docs.agg(count(lit(1)).as("ndocs"))
         import org.apache.spark.sql.expressions.Window
@@ -487,7 +499,7 @@ object DedupOps {
             lit(StopShingleMinDf)), lit(StopShingleMaxDf)))
           .select("doc_id", "s")
       case None => sh
-    }
+    }).localCheckpoint(true)
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = pruned.as("a").join(pruned.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -648,21 +660,35 @@ object DedupOps {
     // O(edges) aggregate each time (review r14)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint(true)
     val ed = edges.join(deg, "u").localCheckpoint(true)
-    var r = deg.select(col("u").as("doc_id"), lit(1000000L).as("r"))
-    (1 to iters).foreach { _ =>
-      val inflow = ed
-        .join(r.select(col("doc_id").as("u"), col("r")), "u")
-        .select(col("v"), expr("r DIV d").as("share"))
-        .groupBy(col("v")).agg(sum(col("share")).as("inflow"))
-      r = deg.select(col("u").as("doc_id"))
-        .join(inflow.select(col("v").as("doc_id"), col("inflow")),
-          Seq("doc_id"), "left")
+    // r15 optimization (guide §2.4 — remove shuffles outright): iterate
+    // on INFLOW, substituting the rank's closed form
+    // r_t = 150000 + (850·inflow_t) DIV 1000 into the next step's share
+    // instead of materializing r per step. The edges are symmetrized, so
+    // every degree-carrying node appears as a `v` and inflow's domain is
+    // exactly deg's — the old per-step "rebuild r over deg with
+    // left-join + fill(0)" (2 extra exchanges per step) is the identity
+    // on that domain; the left+fill here is kept for the empty-graph
+    // edge. Step 1 is r0 ≡ 1000000 folded in as a constant — no join at
+    // all. Per step this is 2 exchanges instead of 4; the integer math
+    // (DIV floors, ppm quantization) is byte-identical to the unrolled
+    // oracle and the hand-computed star spec.
+    require(iters >= 1, s"jaccardPageRank needs >= 1 power step, got $iters")
+    var inflow = ed.select(col("v"), expr("1000000 DIV d").as("share"))
+      .groupBy(col("v")).agg(sum(col("share")).as("inflow"))
+    (2 to iters).foreach { _ =>
+      inflow = ed
+        .join(inflow.select(col("v").as("u"), col("inflow")), Seq("u"), "left")
         .na.fill(0L, Seq("inflow"))
-        .select(col("doc_id"),
-          (lit(150000L) + expr("(850 * inflow) DIV 1000")).as("r"))
+        .select(col("v"),
+          expr("(150000 + (850 * inflow) DIV 1000) DIV d").as("share"))
+        .groupBy(col("v")).agg(sum(col("share")).as("inflow"))
     }
-    r.join(deg.select(col("u").as("doc_id"), col("d").as("degree")), "doc_id")
-      .select(col("doc_id"), col("degree"), col("r").as("rank_ppm"))
+    deg.select(col("u").as("doc_id"), col("d").as("degree"))
+      .join(inflow.select(col("v").as("doc_id"), col("inflow")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("inflow"))
+      .select(col("doc_id"), col("degree"),
+        (lit(150000L) + expr("(850 * inflow) DIV 1000")).as("rank_ppm"))
       .orderBy(col("doc_id"))
   }
 
@@ -787,7 +813,7 @@ object DedupOps {
       .select(col("doc_id"),
         graft.functions.TextExprs.ngrams(col("__w"), n).as("__g"))
       .select(col("doc_id"), transform(col("__g"),
-        g => conv(substring(md5(g), 1, 6), 16, 10).cast("long")).as("__h"))
+        g => TextOps.md5Slice(g, 1, 6)).as("__h"))
       // selection step as ONE compiled pass (monotonic deque): the
       // composed array_distinct∘transform∘array_min∘slice spelling is
       // O(len·w) interpreted with a slice allocation per window — the
@@ -1173,7 +1199,7 @@ object DedupOps {
   val SimHashBandBits: Int = SimHashBits / SimHashBands // 15
 
   private def tokenHash60(t: Column): Column =
-    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+    TextOps.md5Slice(t, 1, 15)
 
   /** doc_id → 60-bit simhash + the 4 15-bit bands used for pair search. */
   def simHashSignatures(docs: DataFrame,
@@ -1254,9 +1280,15 @@ object DedupOps {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // r15: no distinct here — smallStar's trailing distinct already
+      // canonicalizes the ROUND's output (the only set the convergence
+      // signature and the next round read), and min-aggregates are
+      // duplicate-blind, so the round output is row-identical with one
+      // less exchange per round. Intermediate rows stay ≤ 2|E| (each
+      // sym row maps to at most one (v, m) edge), never quadratic.
       sym.join(m, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       val dir = e.select(greatest(col("u"), col("v")).as("u"),
@@ -1380,7 +1412,13 @@ object DedupOps {
                                newDocs: DataFrame, tau: Double,
                                n: Int = 3,
                                maxDf: Option[Long] = None): DataFrame = {
-    val shNewAll = shingles(newDocs, n)
+    // r15: the new dump's shingles have 2-4 consumers below (sizes,
+    // the new↔old common join, and on the capped path the new↔new
+    // self-join's two sides) — materialize the narrow (doc_id, s)
+    // frame once instead of re-tokenizing per consumer (the
+    // ngramJaccardPairs checkpoint rationale; the old side is already
+    // a materialized parquet artifact)
+    val shNewAll = shingles(newDocs, n).localCheckpoint(true)
     val (shNew, shOld) = maxDf match {
       case Some(cap) =>
         val dfAll = oldShingles.groupBy("s").agg(count(lit(1)).as("__dfo"))

@@ -34,7 +34,7 @@ object ModelOps {
   /** Stable feature bucket for a gram (md5 — the shared exact-hash
     * primitive; 6 hex digits = 24 bits, always positive). */
   def nbBucket(g: Column): Column =
-    conv(substring(md5(g), 1, 6), 16, 10).cast("long") % NbBuckets
+    TextOps.md5Slice(g, 1, 6) % NbBuckets
 
   /** Quantized log2: floor(log2(c+1)) as the bit length of c+1 — exact
     * integer arithmetic in both engines (Spark `conv`, DuckDB `bin`),
@@ -198,7 +198,7 @@ object ModelOps {
 
   /** Stable LM bucket (md5, 24 bits, always positive). */
   def pplBucket(g: Column): Column =
-    conv(substring(md5(g), 1, 6), 16, 10).cast("long") % PplBuckets
+    TextOps.md5Slice(g, 1, 6) % PplBuckets
 
   /** Train a hashed bigram LM on the heuristic-quality seed slice (the
     * CCNet shape: LM learns the clean reference, scores the raw crawl)

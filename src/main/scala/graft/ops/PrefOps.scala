@@ -46,6 +46,10 @@ object PrefOps {
   def syntheticMatches(docs: DataFrame): DataFrame = {
     val scored = docs.select(col("doc_id"), col("source"),
       TextOps.qualityScore(col("text")).as("q"))
+    // (r15 note: an explode-pair + hash-agg respelling of this join was
+    // measured SLOWER — build 0.79 → 0.99 s at sf0.1 — and reverted;
+    // the scan is cheap next to the MM loop below, which is where the
+    // round's p98 optimization landed.)
     scored.as("a")
       .join(scored.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .filter(col("a.source") =!= col("b.source"))
@@ -84,21 +88,52 @@ object PrefOps {
       .localCheckpoint(true)
     val wins = dir.groupBy(col("i"))
       .agg(sum(col("n")).as("games"), sum(col("w")).as("wins"))
-    var p = wins.select(col("i"), lit(1000000L).as("p"))
-    // the strength table is one row per ITEM — thousands of models in
-    // any real arena, never corpus-sized — so each MM step broadcasts
-    // it onto the checkpointed cells: zero shuffles per iteration
+      // two consumers of an item-bounded frame: the MM loop's wins map
+      // and the output join — without this the full cell aggregate
+      // re-runs for each
+      .localCheckpoint(true)
+    // r15 optimization: the strength table is one row per ITEM —
+    // thousands of models in any real arena, never corpus-sized — and
+    // the old loop broadcast it onto the cells twice per MM step, which
+    // (a) already materialized p on the DRIVER each step (that is what
+    // a broadcast build is) and (b) referenced p's un-materialized plan
+    // twice per step, DOUBLING the composed plan per iteration: at
+    // iters=5 the physical plan hit 853 nodes and the run spent ~2 s in
+    // 15 serialized broadcast-exchange builds. Binding p as a MAP
+    // LITERAL per step keeps the identical driver footprint and integer
+    // math (one element_at lookup per side; Σt is an order-independent
+    // integer SUM either way) while each step becomes ONE bounded
+    // aggregate job over the checkpointed cells — flat plans, no
+    // broadcasts. The per-step reduce stays distributed; only the
+    // item-bounded (i, d) result crosses to the driver, exactly like
+    // the p101 bucket fit and the CMS/NB artifact collects.
+    require(matches.schema("winner").dataType ==
+      org.apache.spark.sql.types.StringType,
+      "bradleyTerry items must be strings (every declared face passes " +
+        "source labels); extend the map binding before feeding other types")
+    val winsMap: Map[String, Long] = wins.select(col("i"), col("wins"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    var p: Map[String, Long] = winsMap.map { case (k, _) => k -> 1000000L }
     (1 to iters).foreach { _ =>
-      val denom = dir
-        .join(broadcast(p.select(col("i"), col("p").as("pi"))), "i")
-        .join(broadcast(p.select(col("i").as("j"), col("p").as("pj"))), "j")
+      val pm = typedlit(p)
+      val d: Map[String, Long] = dir
+        .select(col("i"), element_at(pm, col("i")).as("pi"),
+          element_at(pm, col("j")).as("pj"), col("n"))
         .select(col("i"), expr("(n * 1000000000) DIV (pi + pj)").as("t"))
         .groupBy(col("i")).agg(sum(col("t")).as("d"))
-      p = wins.join(broadcast(denom), "i")
-        .select(col("i"),
-          greatest(lit(1L), expr("(wins * 1000000000) DIV d")).as("p"))
+        .collect().map(r =>
+          r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+      p = winsMap.map { case (k, w) =>
+        val dk = d.getOrElse(k, 0L)
+        // d = 0 replays greatest(1, x DIV 0 = NULL) = 1; positive longs
+        // make Scala / the same floor DIV the old expr computed
+        k -> (if (dk <= 0L) 1L else math.max(1L, (w * 1000000000L) / dk))
+      }
     }
-    wins.join(broadcast(p), "i")
+    val spark = matches.sparkSession
+    import spark.implicits._
+    val pDf = p.toSeq.toDF("i", "p")
+    wins.join(broadcast(pDf), "i")
       .select(col("i").as("source"), col("games"), col("wins"),
         col("p").as("strength_ppm"))
       .orderBy(col("source"))

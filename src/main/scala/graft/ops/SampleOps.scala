@@ -20,7 +20,7 @@ object SampleOps {
 
   /** Stable bucket in [0, SampleBuckets) from a key column. */
   def hashBucket(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % SampleBuckets
+    TextOps.md5Slice(key.cast("string"), 1, 15) % SampleBuckets
 
   /** Reproducible `rate` sample: keep iff the key's bucket falls below
     * rate·buckets (rate granularity 1/SampleBuckets). */
@@ -184,7 +184,7 @@ object SampleOps {
   /** Stable feature bucket for a gram (md5 — the shared exact-hash
     * primitive; 6 hex digits = 24 bits, always positive). */
   def dsirBucket(g: Column): Column =
-    conv(substring(md5(g), 1, 6), 16, 10).cast("long") % DsirBuckets
+    TextOps.md5Slice(g, 1, 6) % DsirBuckets
 
   /** DSIR importance scores: per-doc
     * `doc_id, n_grams, logw, score, keep`.

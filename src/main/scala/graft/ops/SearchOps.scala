@@ -175,19 +175,32 @@ object SearchOps {
     // uppercase term would silently match nothing
     val queriesLc = queries.map { case (q, ts) => (q, ts.map(_.toLowerCase(java.util.Locale.ROOT))) }
     val allTerms = queriesLc.flatMap(_._2).distinct
-    val toks = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
     // dl rides the postings rows from the start (a grouping column,
     // constant per doc): joining a corpus-sized (doc, dl) frame back
     // onto postings would shuffle the whole corpus — the exact cost
     // this face exists to avoid. The array filter runs BEFORE the
     // explode, so non-matching tokens never become rows.
-    val postings = toks
+    //
+    // r15 optimization (guide §1.2 step 1 — don't compute things
+    // twice): postings, totals and dfs are three consumers of the
+    // tokenized corpus, and Catalyst executes each consumer's subtree
+    // independently — the regex tokenize (the scan's dominant cost) ran
+    // THREE times per call. One narrow materialized frame
+    // (doc_id, dl, matched-terms array — the §8 "lightweight proxy":
+    // never the text, never non-matching tokens) now feeds all three;
+    // the blocks are corpus-proportional but minimal-width, the same
+    // class as nbCounts' documented checkpoint, and Bench's per-query
+    // hygiene (dropOrphanRdds) reclaims them.
+    val pre = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
       .select(col("doc_id"), size(col("__w")).as("dl"),
-        explode(filter(col("__w"), x => x.isin(allTerms: _*))).as("t"))
+        filter(col("__w"), x => x.isin(allTerms: _*)).as("__m"))
+      .localCheckpoint(true)
+    val postings = pre
+      .select(col("doc_id"), col("dl"), explode(col("__m")).as("t"))
       .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
-    val totals = toks.agg(
-      count(lit(1)).as("n"), sum(size(col("__w"))).as("sdl"))
+    val totals = pre.agg(
+      count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
     val dfs = postings.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
     import spark.implicits._
     val qdf = queriesLc.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }

@@ -61,13 +61,13 @@ object SketchOps {
   val HllLcThreshold: Double = 2.5 * HllM
 
   private def bucketOf(c: Column): Column =
-    conv(substring(md5(c), 1, 3), 16, 10).cast("long") % HllM
+    TextOps.md5Slice(c, 1, 3) % HllM
 
   /** Rank = leading zeros of the 48-bit value slice + 1 = 49 − bit
     * length (the [[SampleOps]] llog2 device: `conv(_, 10, 2)` length —
     * exact integer arithmetic, no float log). */
   private def rhoOf(c: Column): Column = {
-    val v = conv(substring(md5(c), 4, 12), 16, 10).cast("long")
+    val v = TextOps.md5Slice(c, 4, 12)
     when(v === 0L, lit(HllMaxRho.toLong))
       .otherwise(lit(HllMaxRho.toLong) -
         length(conv(v.cast("string"), 10, 2)).cast("long"))

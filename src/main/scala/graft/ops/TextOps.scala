@@ -21,7 +21,17 @@ object TextOps {
     * — the ONE spelling the Bloom probes and CDC boundaries hash with,
     * paired with [[md5BucketSql]] so the two engines cannot drift. */
   def md5Bucket(c: Column, mod: Long): Column =
-    conv(substring(md5(c), 1, 6), 16, 10).cast("long") % mod
+    md5Slice(c, 1, 6) % mod
+
+  /** `conv(substring(md5(c), pos, len), 16, 10).cast("long")` as ONE
+    * codegen expression over the raw digest bytes
+    * ([[graft.functions.Md5SliceExpr]], r15 optimization round) —
+    * bit-identical by construction and property-pinned; every oracle
+    * keeps the hex spelling. */
+  def md5Slice(c: Column, pos: Int, len: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Md5SliceExpr(
+        org.apache.spark.sql.GraftColumnBridge.toExpression(c), pos, len))
 
   /** DuckDB rendering of [[md5Bucket]]. */
   def md5BucketSql(expr: String, mod: Long): String =

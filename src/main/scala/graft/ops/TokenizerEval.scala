@@ -25,9 +25,57 @@ import org.apache.spark.sql.functions._
 object TokenizerEval {
 
   /** Per-language fertility: `lang, n_docs, bpe_tok, bpe_pieces,
-    * bpe_fert_milli, uni_tok, uni_pieces, uni_fert_milli`. */
+    * bpe_fert_milli, uni_tok, uni_pieces, uni_fert_milli`.
+    *
+    * r15 optimization (guide §2.3 "aggregate before you shuffle" /
+    * §2.4): ONE map-only projection through the artifact-bound scalar
+    * encodes — [[BpeOps.encodePiecesCol]] (p80's face, spec-pinned ≡
+    * the batch [[BpeOps.encode]] rollup) and
+    * [[graft.functions.UnigramEncode]] (p81's face, spec-pinned ≡
+    * [[UnigramOps.encodeDocs]]) — followed by the language rollup.
+    * The previous spelling ([[fertilityReportJoined]], kept as the
+    * equality-spec reference) ran both batch encodes (a token explode +
+    * doc_id aggregate each, plus the distinct-word broadcast join) and
+    * re-joined the per-doc rows onto docs: three corpus-row shuffles
+    * and two extra scans for the same numbers. The inner-join row
+    * domain is reproduced exactly: a doc appears iff BOTH encodes
+    * produced a row — BPE ⇔ ≥ 1 kept token (non-empty after the `|`
+    * strip), unigram ⇔ ≥ 1 word under PieceCountBase code points; NULL
+    * text nulls both structs and the filter drops it in either
+    * spelling. */
   def fertilityReport(docs: DataFrame, merges: Seq[BpeOps.Merge],
                       pieces: Seq[UnigramOps.Piece]): DataFrame = {
+    val costs = pieces.map(p => p.piece -> p.qcost).toMap
+    val uniExpr = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.UnigramEncode(
+        org.apache.spark.sql.GraftColumnBridge.toExpression(col("text")), costs))
+    docs
+      .select(col("lang"),
+        BpeOps.encodePiecesCol(col("text"), merges).as("__bp"),
+        uniExpr.as("__u"))
+      .filter(size(col("__bp")) > 0 && col("__u")("n_words") > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__bp")).cast("long")).as("bpe_tok"),
+        sum(aggregate(col("__bp"), lit(0L), (a, ps) => a + size(ps)))
+          .as("bpe_pieces"),
+        sum(col("__u")("n_words")).as("uni_tok"),
+        sum(col("__u")("total_pieces")).as("uni_pieces"))
+      .select(col("lang"), col("n_docs"),
+        col("bpe_tok"), col("bpe_pieces"),
+        expr("(1000 * bpe_pieces) DIV greatest(bpe_tok, 1L)")
+          .as("bpe_fert_milli"),
+        col("uni_tok"), col("uni_pieces"),
+        expr("(1000 * uni_pieces) DIV greatest(uni_tok, 1L)")
+          .as("uni_fert_milli"))
+  }
+
+  /** The pre-r15 joined spelling — the two batch encodes re-joined on
+    * doc_id — kept as the equality-spec reference for
+    * [[fertilityReport]] (TokenizerEvalSpec pins new ≡ old on an
+    * edge corpus; the DuckDB oracle gates the declared face). */
+  def fertilityReportJoined(docs: DataFrame, merges: Seq[BpeOps.Merge],
+                            pieces: Seq[UnigramOps.Piece]): DataFrame = {
     val bpe = BpeOps.encode(docs, merges)
       .select(col("doc_id"), col("n_tok").as("bpe_tok"),
         col("n_pieces").as("bpe_pieces"))

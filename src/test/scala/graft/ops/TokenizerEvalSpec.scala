@@ -41,6 +41,27 @@ class TokenizerEvalSpec extends SparkSpec {
     }
   }
 
+  test("map-only spelling == joined spelling, including row-domain edges (r15)") {
+    val merges = BpeOps.train(corpus)
+    val pieces = UnigramOps.train(corpus)
+    val longWord = "z" * UnigramOps.PieceCountBase.toInt // unigram skips it
+    val edge = (corpus.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))) ++ Seq(
+      (100L, null, "xx"),              // NULL text: drops in both
+      (101L, "", "xx"),                // empty: BPE no kept token
+      (102L, "|", "xx"),               // only the frame char: strips empty
+      (103L, "   ", "yy"),             // whitespace-only
+      (104L, s"$longWord $longWord", "yy"), // BPE row, NO unigram row
+      (105L, s"bana $longWord", "xx"), // unigram counts 1 word, BPE 2 toks
+      (106L, "bana|pear lime", "yy"))) // strip rejoins into one token
+      .toSeq.toDF("doc_id", "text", "lang")
+    val a = TokenizerEval.fertilityReport(edge, merges, pieces)
+      .orderBy("lang").collect().map(_.toSeq)
+    val b = TokenizerEval.fertilityReportJoined(edge, merges, pieces)
+      .orderBy("lang").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("rollup equals per-doc recomputation") {
     val merges = BpeOps.train(corpus)
     val pieces = UnigramOps.train(corpus)
