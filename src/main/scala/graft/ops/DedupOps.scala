@@ -488,8 +488,12 @@ object DedupOps {
     // proxy — ids and shingles, never text), the same class as
     // nbCounts' documented checkpoint, reclaimed by Bench's per-query
     // hygiene. Measured: p02 1.97 → 1.66 s steady at sf0.1 (plan:
-    // 4 shingle subtrees → 1 checkpoint scan + 3 reads).
-    val pruned = (capFrac match {
+    // 4 shingle subtrees → 1 checkpoint scan + 3 reads). The UNCAPPED
+    // path stays lazy: without the window its shingle pipeline is one
+    // cheap projection, and checkpointing it measured p62 (whose pNN
+    // rides this path) 3.8 → 5.0-5.3 s per-rep — materialization cost
+    // with nothing expensive to share.
+    val pruned = capFrac match {
       case Some(frac) =>
         val total = docs.agg(count(lit(1)).as("ndocs"))
         import org.apache.spark.sql.expressions.Window
@@ -498,8 +502,9 @@ object DedupOps {
           .filter(col("df") <= least(greatest(ceil(lit(frac) * col("ndocs")),
             lit(StopShingleMinDf)), lit(StopShingleMaxDf)))
           .select("doc_id", "s")
+          .localCheckpoint(true)
       case None => sh
-    }).localCheckpoint(true)
+    }
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = pruned.as("a").join(pruned.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -1315,6 +1320,11 @@ object DedupOps {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      // (r15 note: a two-star-rounds-per-cycle variant was tried to
+      // halve the checkpoint+signature driver round-trips and reverted:
+      // near-dup graphs converge in 1-2 rounds, where it runs one extra
+      // FULL edge pass at the convergence check — locally a wash,
+      // strictly worse at scale where an edge pass dwarfs a round-trip.)
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       // the new round is materialized (eager checkpoint) — free the
       // superseded round's blocks NOW instead of waiting for the
@@ -1327,6 +1337,9 @@ object DedupOps {
       edges = next
       it += 1
     }
+    if (costLogEnabled)
+      System.err.println(s"[graft] connectedComponents: rounds=$it " +
+        s"edges=${last._1}")
     if (!converged)
       throw new IllegalStateException(s"connectedComponents: no fixpoint in $maxIter rounds")
     // at the fixpoint every edge is (node, component-min); roots appear
@@ -1412,13 +1425,7 @@ object DedupOps {
                                newDocs: DataFrame, tau: Double,
                                n: Int = 3,
                                maxDf: Option[Long] = None): DataFrame = {
-    // r15: the new dump's shingles have 2-4 consumers below (sizes,
-    // the new↔old common join, and on the capped path the new↔new
-    // self-join's two sides) — materialize the narrow (doc_id, s)
-    // frame once instead of re-tokenizing per consumer (the
-    // ngramJaccardPairs checkpoint rationale; the old side is already
-    // a materialized parquet artifact)
-    val shNewAll = shingles(newDocs, n).localCheckpoint(true)
+    val shNewAll = shingles(newDocs, n)
     val (shNew, shOld) = maxDf match {
       case Some(cap) =>
         val dfAll = oldShingles.groupBy("s").agg(count(lit(1)).as("__dfo"))

@@ -877,7 +877,13 @@ object SimilarityOps {
         .select(col("qid"), col("nid"), col("rn"),
           floor(col("sim") * lit(1000000.0)).as("cosu"))
     }
-    val ab = cands(0)
+    // r15: ab has TWO consumers (the per-qid neighborhood sum and the
+    // rn=1 best-match filter) — without materialization the whole
+    // side-0 probe pipeline (centroid cross join + rank window + cell
+    // join + top-k window) executes twice. The frame is
+    // O(side0 · k) rows of ids and integers — the §8 proxy shape.
+    // ba has one consumer and stays lazy.
+    val ab = cands(0).localCheckpoint(true)
     val ba = cands(1)
     val sumA = ab.groupBy(col("qid"))
       .agg(sum(col("cosu")).as("suma"), count(lit(1)).as("ka"))

@@ -795,7 +795,22 @@ object PipelineQueries {
       // consumer doubled the heaviest cost whenever both queries ran
       val merges = trainedMergesFor(s, dir)
       if (merges.nonEmpty) bpeEncMerges.set(merges.toArray)
-      BpeOps.encode(docs, merges).orderBy(col("doc_id"))
+      // r15 optimization: p80's proven reconstruction of encode()'s
+      // exact (n_tok, n_pieces, fp) from the memoizing scalar
+      // (BpeOpsSpec pins encodePiecesCol ≡ the batch encode; the
+      // oracle is unchanged) — no posexplode row blowup, no per-token
+      // replace chain, no collect_list+sort shuffle. BpeOps.encode
+      // stays as the spec-reference batch spelling.
+      docs.select(col("doc_id"),
+          BpeOps.encodePiecesCol(col("text"), merges).as("__e"))
+        .filter(size(col("__e")) > 0)
+        .select(col("doc_id"),
+          size(col("__e")).cast("long").as("n_tok"),
+          aggregate(col("__e"), lit(0L), (a, ps) => a + size(ps)).as("n_pieces"),
+          md5(array_join(transform(col("__e"),
+            ps => concat(lit("|"), array_join(ps, "||"), lit("|"))), " "))
+            .as("fp"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- per-domain quality cap (RefinedWeb/FineWeb gate): top-C docs
@@ -876,8 +891,24 @@ object PipelineQueries {
     "p61_unigram_encode" -> ((s, dir) => {
       val pieces = trainedPiecesFor(s, dir)
       if (pieces.nonEmpty) unigramEncPieces.set(pieces.toArray)
-      graft.ops.UnigramOps.encodeDocs(
-        Tables.loadSpread(s, dir, "documents"), pieces)
+      // r15 optimization: p81's binding — the UnigramEncode scalar
+      // (spec-pinned ≡ encodeDocs' rollup) replaces the batch plan's
+      // token explode + distinct-word shuffle + broadcast join +
+      // per-doc aggregate with ONE map-only pass (per-task word memo,
+      // Heaps-bounded). The n_words > 0 filter replays the join's row
+      // domain (a doc with no segmentable word had no group).
+      // UnigramOps.encodeDocs stays as the spec-reference spelling.
+      val costs = pieces.map(p => p.piece -> p.qcost).toMap
+      val u = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.UnigramEncode(
+          org.apache.spark.sql.GraftColumnBridge.toExpression(col("text")),
+          costs))
+      Tables.loadSpread(s, dir, "documents")
+        .select(col("doc_id"), u.as("__u"))
+        .filter(col("__u")("n_words") > 0)
+        .select(col("doc_id"), col("__u")("n_words").as("n_words"),
+          col("__u")("total_pieces").as("total_pieces"),
+          col("__u")("total_cost").as("total_cost"))
         .orderBy(col("doc_id"))
     }),
 
