@@ -477,22 +477,17 @@ object DedupOps {
     // self-join needs, so the cap rides the join's own shuffle instead of
     // adding two serialized broadcast jobs and a third tokenize pass.
     val sh = shingles(docs, n)
-    // r15 optimization (guide §1.2 step 1): `pruned` has FOUR consumers
-    // — the self-join's two sides plus the two sizes joins — and
-    // Catalyst re-executes the tokenize→shingle→window pipeline for
-    // each (runtime exchange reuse only shares the shuffle UNDER the
-    // window; the generate + window + filter re-ran 4×: p02's initial
-    // plan carried four copies of the subtree). One eager checkpoint of
-    // the narrow (doc_id, s) inverted index feeds all four; the blocks
-    // are corpus-proportional but minimal-width (the §8 lightweight
-    // proxy — ids and shingles, never text), the same class as
-    // nbCounts' documented checkpoint, reclaimed by Bench's per-query
-    // hygiene. Measured: p02 1.97 → 1.66 s steady at sf0.1 (plan:
-    // 4 shingle subtrees → 1 checkpoint scan + 3 reads). The UNCAPPED
-    // path stays lazy: without the window its shingle pipeline is one
-    // cheap projection, and checkpointing it measured p62 (whose pNN
-    // rides this path) 3.8 → 5.0-5.3 s per-rep — materialization cost
-    // with nothing expensive to share.
+    // r15 note: `pruned` has FOUR consumers (the self-join's two sides
+    // plus the two sizes joins) and Catalyst re-executes the
+    // tokenize→shingle→window pipeline for each, but an eager
+    // localCheckpoint of the index was A/B'd BOTH ways and kept on
+    // NEITHER: it read −0.3 s at sf0.1 yet +1.2 s at the 10× corpus
+    // (driver-bench reps 4.9 → 6.05; block-store reads + fresh
+    // downstream exchanges outgrow the saved window re-runs as data
+    // scales — the runtime-reused exchange under the window already
+    // shares the expensive shuffle), and checkpointing the UNCAPPED
+    // path measured p62 3.8 → 5.0-5.3 s per-rep. Recompute behind the
+    // reused exchange is the scale-correct shape here.
     val pruned = capFrac match {
       case Some(frac) =>
         val total = docs.agg(count(lit(1)).as("ndocs"))
@@ -502,7 +497,6 @@ object DedupOps {
           .filter(col("df") <= least(greatest(ceil(lit(frac) * col("ndocs")),
             lit(StopShingleMinDf)), lit(StopShingleMaxDf)))
           .select("doc_id", "s")
-          .localCheckpoint(true)
       case None => sh
     }
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -839,6 +833,10 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val inst = winnowFingerprints(docs, n, w)
       .select(col("doc_id"), explode(col("fps")).as("f"))
+    // r15 note: the df-capped fingerprint index feeds the self-join's
+    // two sides; materializing it was A/B'd at the 10× corpus and lost
+    // (2.8-3.0 s lazy vs 3.1-3.5 s checkpointed) — same verdict as
+    // ngramJaccardPairs' pruned index above.
     val kept = inst
       .withColumn("c", count(lit(1)).over(Window.partitionBy("f")))
       .filter(col("c") <= maxDf)

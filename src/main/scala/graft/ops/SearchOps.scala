@@ -181,21 +181,17 @@ object SearchOps {
     // this face exists to avoid. The array filter runs BEFORE the
     // explode, so non-matching tokens never become rows.
     //
-    // r15 optimization (guide §1.2 step 1 — don't compute things
-    // twice): postings, totals and dfs are three consumers of the
-    // tokenized corpus, and Catalyst executes each consumer's subtree
-    // independently — the regex tokenize (the scan's dominant cost) ran
-    // THREE times per call. One narrow materialized frame
-    // (doc_id, dl, matched-terms array — the §8 "lightweight proxy":
-    // never the text, never non-matching tokens) now feeds all three;
-    // the blocks are corpus-proportional but minimal-width, the same
-    // class as nbCounts' documented checkpoint, and Bench's per-query
-    // hygiene (dropOrphanRdds) reclaims them.
+    // r15 note: postings, totals and dfs are three consumers of the
+    // tokenized corpus; a materialized (localCheckpoint) shared frame
+    // was A/B'd and LOST at the 10× corpus (p87 2.0 → 2.6 s steady —
+    // block-store reads plus fresh downstream exchanges cost more than
+    // re-running the codegen tokenize behind the runtime-reused
+    // exchange), so `pre` stays lazy; the shared projection just keeps
+    // dl/matched-terms in one spelling for all three consumers.
     val pre = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
       .select(col("doc_id"), size(col("__w")).as("dl"),
         filter(col("__w"), x => x.isin(allTerms: _*)).as("__m"))
-      .localCheckpoint(true)
     val postings = pre
       .select(col("doc_id"), col("dl"), explode(col("__m")).as("t"))
       .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))

@@ -741,14 +741,11 @@ class DedupOpsSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 0
       (2L, "one two three four five six seven eight")
     ).toDF("doc_id", "text")
-    // small corpus: exact plan (window-capped self-join). r15: the
-    // capped inverted index materializes eagerly (localCheckpoint), so
-    // the returned plan reads the checkpoint (LogicalRDD) instead of
-    // showing the window — the checkpoint scan is the exact face's
-    // marker now, and no band posexplode appears either way
+    // small corpus: exact plan (window-capped self-join — has a Window,
+    // no band posexplode)
     val exact = DedupOps.nearDupPairs(docs, 0.5)
     val exactPlan = exact.queryExecution.optimizedPlan.toString
-    assert(exactPlan.contains("LogicalRDD"), exactPlan)
+    assert(exactPlan.contains("window"), exactPlan)
     assert(!exactPlan.contains("posexplode"), exactPlan)
     // forced over-threshold: banded MinHash plan (band posexplode)
     val banded = DedupOps.nearDupPairs(docs, 0.5, exactMaxDocs = 2)
