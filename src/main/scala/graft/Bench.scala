@@ -149,6 +149,40 @@ object Bench {
     spark
   }
 
+  /** Wall seconds plus the JVM-wide GC/CPU deltas observed across the
+    * run — the stall-attribution telemetry (VERDICT r15 #1: the
+    * canonical r15 record carried two run-order stall episodes on
+    * UNTOUCHED queries and nothing in the record could separate
+    * ambient machine load from heap pathology after the fact). In a
+    * single-JVM local bench the process-wide counters ARE the query's:
+    * nothing else runs between queries. Reading: `gcSec` high → heap
+    * pressure (the in-JVM story); `cpuSec` ≈ `sec`·cores → genuine
+    * compute; `sec` high with LOW cpuSec and calm gcSec → the JVM was
+    * descheduled / blocked — load external to the code under test. */
+  private[graft] final case class Timed(sec: Double, gcSec: Double, cpuSec: Double)
+
+  private def gcMillis(): Long = {
+    var ms = 0L
+    val it = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.iterator()
+    while (it.hasNext) {
+      val t = it.next().getCollectionTime
+      if (t > 0) ms += t
+    }
+    ms
+  }
+
+  private def processCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  private def heapUsedMb(): Double = {
+    val rt = Runtime.getRuntime
+    r3((rt.totalMemory - rt.freeMemory) / 1e6)
+  }
+
   /** noop sink executes the FULL plan (projection, sort, limit) —
     * count() would let Spark drop projection work for some queries.
     * -1 marks a failed query so fast failures never read as fast runs;
@@ -163,7 +197,7 @@ object Bench {
 
   private def timeOne(spark: SparkSession, dir: String,
                       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                      capSec: Double = 0): Double = {
+                      capSec: Double = 0): Timed = {
     val sc = spark.sparkContext
     val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
     val group = "bench-" + java.util.UUID.randomUUID()
@@ -173,11 +207,16 @@ object Bench {
         def run(): Unit = { timedOut.set(true); sc.cancelJobGroup(group) }
       }, (capSec * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
     } else null
+    val gc0 = gcMillis(); val cpu0 = processCpuNs()
     val t0 = System.nanoTime()
-    try { fn(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9 }
-    catch { case _: Throwable => if (timedOut.get) -3.0 else -1.0 }
-    finally { if (kill != null) { kill.cancel(false); sc.clearJobGroup() } }
+    val sec =
+      try { fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => if (timedOut.get) -3.0 else -1.0 }
+      finally { if (kill != null) { kill.cancel(false); sc.clearJobGroup() } }
+    val gc1 = gcMillis(); val cpu1 = processCpuNs()
+    Timed(sec, math.max(gc1 - gc0, 0L) / 1e3,
+      if (cpu0 < 0 || cpu1 < 0) -1.0 else math.max(cpu1 - cpu0, 0L) / 1e9)
   }
 
   private def median3(v: Seq[Double]): Double = {
@@ -267,7 +306,8 @@ object Bench {
     // per-rep artifact-build seconds (cache misses inside the rep):
     // disambiguates "slow query" from "rep carried a one-time build"
     val repBuildSec = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val perRep: Seq[Map[String, Double]] = (1 to reps).map { rep =>
+    val repHeapMb = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val perRep: Seq[Map[String, Timed]] = (1 to reps).map { rep =>
       // GC settle between rounds: r5 measured systematic drift on
       // UNCHANGED queries in later rounds (q05 0.93→3.06 s rep-to-rep)
       // — heap/block-manager history from ~90 queries taxing the next
@@ -285,11 +325,18 @@ object Bench {
         name -> t }.toMap
       repBuildSec += r3(
         (graft.queries.PipelineQueries.artifactBuildNanos.get() - b0) / 1e9)
+      repHeapMb += heapUsedMb()
       m
     }
     val med: Map[String, Double] =
-      names.map(n => n -> median3(perRep.map(_(n)))).toMap
+      names.map(n => n -> median3(perRep.map(_(n).sec))).toMap
     val total = names.map(med).filter(_ >= 0).sum
+    // telemetry of the rep that PRODUCED the median (pairing matters:
+    // the gc/cpu of a different rep can't attribute the median's wall)
+    val medTele: Map[String, Timed] = names.map { n =>
+      val rs = perRep.map(_(n))
+      n -> rs.find(_.sec == med(n)).getOrElse(rs.head)
+    }.toMap
 
     // --- sf1 section: 10× derived corpus, warm pass per subset query ---
     val sf1 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -298,6 +345,10 @@ object Bench {
     // between two runs of identical code+data after the fact
     val sf1Reps =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
+    // full gc/cpu telemetry per sf1 entry (warm, rep1, rep2) — detail-file
+    // fidelity for the same stall-attribution reading as the main section
+    val sf1Tele =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Timed, Timed, Timed)]
     var sf1Dir = ""
     var sf1GenSec = -1.0
     if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") try {
@@ -330,14 +381,15 @@ object Bench {
           // r1 killed at the cap ⇒ r2 would be killed identically:
           // skip it instead of burning another cap's worth of the
           // budget (which would -2-skip the queries behind it)
-          val r2 = if (r1 == -3.0) -3.0
+          val r2 = if (r1.sec == -3.0) Timed(-3.0, 0, 0)
             else timeOne(spark, sf1Dir, SparkEntry.queries(n), cap)
           // drop this query's orphaned checkpoint blocks before the
           // next entry measures (see dropOrphanRdds)
           dropOrphanRdds(spark, keepRdds)
-          sf1Reps(n) = (r3(w), r3(r1), r3(r2))
-          sf1(n) = if (r1 >= 0 && r2 >= 0) math.min(r1, r2)
-                   else math.max(r1, r2) // one failed: keep the honest rep / worst code
+          sf1Reps(n) = (r3(w.sec), r3(r1.sec), r3(r2.sec))
+          sf1Tele(n) = (w, r1, r2)
+          sf1(n) = if (r1.sec >= 0 && r2.sec >= 0) math.min(r1.sec, r2.sec)
+                   else math.max(r1.sec, r2.sec) // one failed: keep the honest rep / worst code
         }
       }
     } catch { case _: Throwable => () }
@@ -442,12 +494,12 @@ object Bench {
       val sentinel2Base = sf1.getOrElse(ShuffleSentinel, -1.0)
       candidates.foreach { case (n, _) =>
         val sTime = if (n == SentinelQuery) -1.0 // itself: no evidence
-          else timeOne(spark, sf1Dir, SparkEntry.queries(SentinelQuery), capSec = 90)
+          else timeOne(spark, sf1Dir, SparkEntry.queries(SentinelQuery), capSec = 90).sec
         val drift1 = BenchGuard.sentinelDrift(sTime, sentinelBase)
         val s2Time = if (n == ShuffleSentinel) -1.0
-          else timeOne(spark, sf1Dir, SparkEntry.queries(ShuffleSentinel), capSec = 90)
+          else timeOne(spark, sf1Dir, SparkEntry.queries(ShuffleSentinel), capSec = 90).sec
         val drift2 = BenchGuard.sentinelDrift(s2Time, sentinel2Base)
-        val c = timeOne(spark, sf1Dir, SparkEntry.queries(n), capSec = 90)
+        val c = timeOne(spark, sf1Dir, SparkEntry.queries(n), capSec = 90).sec
         dropOrphanRdds(spark, keepRdds)
         confirmRep(n) = r3(c)
         sentinelInfo(n) = (r3(sTime), r3(sentinelBase), r3(drift1))
@@ -590,13 +642,22 @@ object Bench {
          |"tree_dirty":${treeDirty.map(_.toString).getOrElse("null")},
          |"ingest_note":${graft.server.JsonOut.str(ingestNote)},
          |"queries_full":${jsonObj(names.map(n => n -> med(n)))},
-         |"per_rep":[${perRep.map(m => jsonObj(names.map(n => n -> m(n)))).mkString(",")}],
+         |"per_rep":[${perRep.map(m => jsonObj(names.map(n => n -> m(n).sec))).mkString(",")}],
+         |"per_rep_gc_sec":[${perRep.map(m =>
+           jsonObj(names.map(n => n -> r3(m(n).gcSec)))).mkString(",")}],
+         |"per_rep_cpu_sec":[${perRep.map(m =>
+           jsonObj(names.map(n => n -> r3(m(n).cpuSec)))).mkString(",")}],
+         |"heap_used_mb_per_rep":[${repHeapMb.mkString(",")}],
          |"artifact_build_sec_per_rep":[${repBuildSec.mkString(",")}],
          |"sf1_dir":${graft.server.JsonOut.str(sf1Dir)},"sf1_gen_sec":$sf1GenSec,
          |"sf1_queries":${jsonObj(sf1.toSeq)},
          |"sf1_per_rep":${sf1Reps.map { case (n, (w, a, b)) =>
+           val tele = sf1Tele.get(n).map { case (tw, t1, t2) =>
+             ",\"gc_sec\":[" + Seq(tw, t1, t2).map(t => r3(t.gcSec)).mkString(",") +
+               "],\"cpu_sec\":[" + Seq(tw, t1, t2).map(t => r3(t.cpuSec)).mkString(",") + "]"
+           }.getOrElse("")
            "\"" + n + "\":{\"warm_build\":" + w + ",\"reps\":[" + a + "," + b + "]" +
-             confirmRep.get(n).map(c => ",\"confirm\":" + c).getOrElse("") + "}"
+             confirmRep.get(n).map(c => ",\"confirm\":" + c).getOrElse("") + tele + "}"
          }.mkString("{", ",", "}")},
          |"sf1_ratios":${jsonObj(ratiosFinal)},
          |"sf1_ratio_regressions":$regressionsJson,
@@ -608,8 +669,25 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // one-line telemetry (VERDICT r15 #1: the driver's own record must
+    // carry enough to adjudicate a stall without a second run). Kept
+    // COMPACT so the line stays parseable within the driver's bounded
+    // stdout capture: gc_sec lists only queries whose median-rep GC is
+    // ≥ 0.05 s, cpu_sec only queries whose wall median is ≥ 0.5 s (the
+    // only ones a stall episode is ever adjudicated on); the full
+    // per-rep maps live in BENCH_DETAIL.json.
+    val gcQs = names.collect {
+      case n if medTele(n).gcSec >= 0.05 =>
+        "\"" + sn(n) + "\":" + r3(medTele(n).gcSec)
+    }.mkString("{", ",", "}")
+    val cpuQs = names.collect {
+      case n if med(n) >= 0.5 => "\"" + sn(n) + "\":" + r3(medTele(n).cpuSec)
+    }.mkString("{", ",", "}")
+    val gcTotals = perRep.map(m =>
+      r3(m.values.map(_.gcSec).sum)).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf1":$sf1qs,"ingest_rows_per_sec":$ingest,""" +
+      s""""sf1":$sf1qs,"gc_sec":$gcQs,"cpu_sec":$cpuQs,""" +
+      s""""gc_total_per_rep":$gcTotals,"ingest_rows_per_sec":$ingest,""" +
         s""""sf":${graft.server.JsonOut.str(sfDir)}}""")
     spark.stop()
   }

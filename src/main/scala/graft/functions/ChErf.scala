@@ -96,6 +96,13 @@ object ChErf {
   private val MemoCap = 1 << 16
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Double]()
+  // insert counter instead of size() per miss (ADVICE r15): CHM.size()
+  // sums per-segment counters under contention, and a clear-on-full at
+  // the cap thrashed hot entries one insert at a time. Inserts ≥ live
+  // entries, so clearing when the COUNTER hits the cap still bounds the
+  // map at MemoCap entries; values are pure, so a racy clear/reset only
+  // costs recomputation, never correctness.
+  private val memoInserts = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def erf(x: Double): Double = {
     // saturation: erf(x) rounds to 1.0 once 1 − erf(x) ≤ 2⁻⁵⁴ ≈
@@ -112,7 +119,9 @@ object ChErf {
       if (hit != null) hit.doubleValue()
       else {
         val v = series(x)
-        if (memo.size() >= MemoCap) memo.clear()
+        if (memoInserts.incrementAndGet() >= MemoCap) {
+          memo.clear(); memoInserts.set(0)
+        }
         memo.put(bits, java.lang.Double.valueOf(v))
         v
       }

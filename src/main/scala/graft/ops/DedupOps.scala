@@ -671,6 +671,9 @@ object DedupOps {
     // all. Per step this is 2 exchanges instead of 4; the integer math
     // (DIV floors, ppm quantization) is byte-identical to the unrolled
     // oracle and the hand-computed star spec.
+    // API note (ADVICE r15): iters = 0 used to return the uniform r0
+    // ranks; the closed-form rewrite folds r0 into step 1, so 0 now
+    // fails loudly here instead of silently returning a different frame
     require(iters >= 1, s"jaccardPageRank needs >= 1 power step, got $iters")
     var inflow = ed.select(col("v"), expr("1000000 DIV d").as("share"))
       .groupBy(col("v")).agg(sum(col("share")).as("inflow"))

@@ -1,6 +1,8 @@
 #!/bin/bash
 # Run a graft main class directly (no sbt lock): tools/runmain.sh graft.Bench [args...]
 # Mirrors build.sbt's forked-run JVM flags so measurements match `sbt runMain`.
+[ $# -ge 1 ] || { echo "usage: $0 <main-class> [args...]" >&2; exit 2; }
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
 CLASS="$1"; shift
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
@@ -19,5 +21,5 @@ exec java \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$CLASS" "$@"
