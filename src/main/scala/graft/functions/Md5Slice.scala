@@ -30,6 +30,10 @@ object Md5Slice {
   private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
+  /** The raw 16-byte digest of u's UTF-8 bytes — `unhex(md5(u))`
+    * without the hex round-trip (see [[Md5BinExpr]]). */
+  def bin(u: UTF8String): Array[Byte] = Md5.get().digest(u.getBytes)
+
   /** Hex chars [pos, pos+len) of md5(raw bytes of u), 1-based pos,
     * parsed as an unsigned base-16 long. */
   def slice(u: UTF8String, pos: Int, len: Int): Long = {
@@ -71,5 +75,38 @@ case class Md5SliceExpr(child: Expression, pos: Int, len: Int)
       c => s"graft.functions.Md5Slice.slice($c, $pos, $len)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5SliceExpr =
+    copy(child = newChild)
+}
+
+/** `md5_bin(s)` ≡ `unhex(md5(s))` — the full digest as its raw 16
+  * bytes (r16 optimization, guide §2.3 "narrower types"): a GROUPING/
+  * window key spelled as the hex string shuffles 32+ chars per row and
+  * pays the hex render; the raw bytes are half the key and skip the
+  * render, while hex ↔ bytes is a bijection so every equality,
+  * partition and row_number over the binary key is decision-identical
+  * to the hex spelling — including under (astronomically unlikely)
+  * md5 collisions, which collide identically in both spellings. Same
+  * thread-local digest + raw-UTF-8 contract as [[Md5SliceExpr]];
+  * property-pinned against `unhex(md5(s))` in Md5SliceSpec. Only ever
+  * used for INTERNAL keys a query never outputs — oracle-visible md5
+  * columns keep the hex spelling. */
+case class Md5BinExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "md5_bin"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_bin requires string, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(s: Any): Any =
+    Md5Slice.bin(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Slice.bin($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5BinExpr =
     copy(child = newChild)
 }

@@ -47,6 +47,21 @@ object DedupOps {
         explode(array_distinct(graft.functions.TextExprs.ngrams(w, n))).as("s"))
   }
 
+  /** [[shingles]] with the per-doc distinct-shingle COUNT carried on
+    * every row (r16): n is the size of the pre-explode array, so it
+    * rides map-side at zero shuffle cost — the value every Jaccard
+    * denominator otherwise pays a groupBy + join to recover. Row set
+    * identical to [[shingles]]; `n` ≡ shingles(docs).groupBy(doc_id)
+    * .count() by construction (count of exploded distinct grams). */
+  private[ops] def shinglesWithN(docs: DataFrame, n: Int = 3,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        array_distinct(graft.functions.TextExprs.ngrams(col("__w"), n)).as("__a"))
+      .select(col("doc_id"), size(col("__a")).cast("long").as("n"),
+        explode(col("__a")).as("s"))
+
   /** The doc's distinct word-shingle set as ONE array column — the
     * SQL-surface face (`shingles(text, n)` on /query), same grams and
     * distinct-ing as [[shingles]]; `explode` of this IS that frame.
@@ -488,28 +503,61 @@ object DedupOps {
     // shares the expensive shuffle), and checkpointing the UNCAPPED
     // path measured p62 3.8 → 5.0-5.3 s per-rep. Recompute behind the
     // reused exchange is the scale-correct shape here.
-    val pruned = capFrac match {
+    capFrac match {
       case Some(frac) =>
         val total = docs.agg(count(lit(1)).as("ndocs"))
         import org.apache.spark.sql.expressions.Window
-        sh.withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+        val pruned = sh
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
           .crossJoin(broadcast(total))
           .filter(col("df") <= least(greatest(ceil(lit(frac) * col("ndocs")),
             lit(StopShingleMinDf)), lit(StopShingleMaxDf)))
           .select("doc_id", "s")
-      case None => sh
+        val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val common = pruned.as("a").join(pruned.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("c"))
+        common
+          .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+          .select(col("da"), col("db"),
+            (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("j"))
+          .filter(col("j") >= tau)
+      case None =>
+        // r16 optimization (guide §2.3 — shuffle fewer bytes / filter
+        // before the exchange; VERDICT r15 #4): the uncapped pair join
+        // fed Σ C(df,2) rows (5.06 M at the 10× corpus) into the
+        // (da, db) count exchange, then joined per-doc sizes back TWICE
+        // to evaluate the Jaccard. Both costs fall to the same device:
+        // the per-doc distinct-shingle count is the SIZE OF THE ARRAY
+        // the explode comes from, so each shingle row carries `n`
+        // map-side at zero shuffle cost. Then
+        //  (a) the SIZE-COMPATIBILITY prefilter rides the join output
+        //      BEFORE the pair exchange: J(a,b) ≤ min/max (c ≤ min and
+        //      j is monotone in c, in float exactly as in ℝ — the
+        //      filter evaluates min/(na+nb−min) = min/max with the
+        //      SAME double division the final j filter uses, so a
+        //      dropped pair is precisely one the j filter would drop);
+        //  (b) the two sizes joins disappear — (na, nb) extend the
+        //      groupBy keys (constant per (da, db), so the groups are
+        //      identical) and j computes inline, bit-identically:
+        //      same c, same long addition, same double division.
+        // Result set and j values are unchanged by construction; the
+        // oracle (clusterSql/jaccardPairsSql with capFrac = None) and
+        // the incremental ≡ batch specs re-prove it end to end.
+        val shN = shinglesWithN(docs, n)
+        shN.as("a").join(shN.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+              least(col("a.n"), col("b.n")).cast("double") /
+                greatest(col("a.n"), col("b.n")) >= tau)
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.n").as("na"), col("b.n").as("nb"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("da"), col("db"),
+            (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("j"))
+          .filter(col("j") >= tau)
     }
-    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = pruned.as("a").join(pruned.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"),
-        (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("j"))
-      .filter(col("j") >= tau)
   }
 
   /** Corpus-size threshold where the production near-dup face switches
@@ -1461,14 +1509,35 @@ object DedupOps {
             (col("sa.n") + col("sb.n") - col("c")) >= tau)
           .select("da", "db")
     }
-    val common = shNew.as("a").join(oldShinglesK.as("b"), col("a.s") === col("b.s"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("c"))
-    val pNO = common
-      .join(sizesNew.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizesOld.as("sb"), col("db") === col("sb.doc_id"))
-      .filter(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")) >= tau)
-      .select("da", "db")
+    val pNO = maxDf match {
+      case None =>
+        // r16 (guide §2.3, the ngramJaccardPairs(None) device): the
+        // new side's per-doc shingle count rides each row map-side, so
+        // the (da, db) count groups by na too and the sizesNew join
+        // disappears; j spelling (same long adds, same double divide)
+        // and row domain are unchanged — the full-recompute oracle
+        // re-proves it
+        shinglesWithN(newDocs, n).as("a")
+          .join(oldShinglesK.as("b"), col("a.s") === col("b.s"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.n").as("na"))
+          .agg(count(lit(1)).as("c"))
+          .join(sizesOld.as("sb"), col("db") === col("sb.doc_id"))
+          .filter(col("c").cast("double") /
+            (col("na") + col("sb.n") - col("c")) >= tau)
+          .select("da", "db")
+      case Some(_) =>
+        // capped: sizes must count the FILTERED universe, so they stay
+        // aggregate-then-join
+        shNew.as("a").join(oldShinglesK.as("b"), col("a.s") === col("b.s"))
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .agg(count(lit(1)).as("c"))
+          .join(sizesNew.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sizesOld.as("sb"), col("db") === col("sb.doc_id"))
+          .filter(col("c").cast("double") /
+            (col("sa.n") + col("sb.n") - col("c")) >= tau)
+          .select("da", "db")
+    }
     val oldEdges = oldLabels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("da"), col("cluster_id").as("db"))
     val cc = connectedComponents(pNN.union(pNO).union(oldEdges))
@@ -1713,7 +1782,12 @@ object DedupOps {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("__w"))
       .select(col("doc_id"),
         explode(graft.functions.TextExprs.ngrams(col("__w"), w)).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("h"))
+      // r16 (guide §2.3): internal-only window-hash key as raw digest
+      // bytes — half the key bytes through the reused inst exchange and
+      // no hex render per gram instance; bijective with md5's hex (the
+      // p63 note — this is NOT the md5-PREFIX re-key the r15 round
+      // correctly refused, full-digest equality semantics are unchanged)
+      .select(col("doc_id"), TextOps.md5Bin(col("g")).as("h"))
     val counts = inst.groupBy("h")
       .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("nd"))
     inst.join(counts, "h")
@@ -1807,8 +1881,15 @@ object DedupOps {
     val inst = toks.select(col("doc_id"),
         posexplode(graft.functions.TextExprs.ngrams(col("__toks"), w))
           .as(Seq("__p0", "__g")))
+      // r16 (guide §2.3 — shuffle fewer bytes): the span hash is a pure
+      // INTERNAL window key (never output; the oracle's md5 is likewise
+      // internal to its dup CTE), so it rides the 16 raw digest bytes
+      // instead of the 32-char hex render — half the key bytes through
+      // the biggest exchange here (every w-token window instance), and
+      // no hex render per instance. Bijective with the hex spelling, so
+      // every window partition decision is identical (Md5SliceSpec).
       .select(col("doc_id"), (col("__p0") + 1).cast("long").as("i"),
-        md5(col("__g")).as("h"))
+        graft.ops.TextOps.md5Bin(col("__g")).as("h"))
     val win = Window.partitionBy("h").orderBy("doc_id", "i")
     val dup = inst.withColumn("__rn", row_number().over(win))
       .filter(col("__rn") > 1)

@@ -341,6 +341,31 @@ object ModelOps {
       .withColumn("bpt_milli", col("__p")("bpt_milli"))
       .drop("__p")
 
+  /** The FULL p55 gate from the trained maps (r16 optimization, guide
+    * §2.3/§2.4 — the p52/p61/p65 move): map-only [[pplScore]] + the
+    * per-language ntile cut = [[bigramPerplexity]]'s exact output
+    * without its corpus-sized (doc, b1, b12) pre-aggregate + eager
+    * checkpoint, two model joins, per-doc rollup and doc rejoin — the
+    * corpus is scanned once and shuffles only for the lang window. The
+    * coalesces replay the batch spelling's `na.fill(0)` row for a doc
+    * whose token array is NULL (scalar scoring yields NULL there, the
+    * batch explode yields no rows); spec-pinned ≡ the batch spelling
+    * on the full 7-column output including that edge (ModelOpsSpec
+    * "pplGate == bigramPerplexity"). */
+  def pplGate(docs: DataFrame, m12: Map[Long, Long],
+              m1: Map[Long, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terc = Window.partitionBy(col("lang"))
+      .orderBy(col("bpt_milli"), col("doc_id"))
+    pplScore(docs, m12, m1)
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("qsum"), lit(0L)).as("qsum"),
+        coalesce(col("bpt_milli"), lit(0L)).as("bpt_milli"))
+      .withColumn("tercile", ntile(3).over(terc))
+      .withColumn("keep", col("tercile") <= 2)
+  }
+
   /** DuckDB oracle for bigramPerplexity (same buckets, same quantized
     * logs, same seed gate, same ntile cut). */
   def bigramPerplexitySql(table: String = "documents"): String =

@@ -357,8 +357,45 @@ object SearchOps {
     * assignment path). The fusion join, integer micro-unit RRF, and
     * seed handling are shared verbatim. */
   def hybridRrfWith(docs: DataFrame, dense0: DataFrame, nSeeds: Int,
-                    k: Int = 10, kRrf: Int = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                    k: Int = 10, kRrf: Int = 60): DataFrame =
+    rrfFuse(sparseRanking(docs, nSeeds, k),
+      dense0.select(col("qid"), col("nid").as("id"), col("rn").as("rd")),
+      k, kRrf)
+
+  /** [[hybridRrfWith]] with the two rankings submitted as CONCURRENT
+    * jobs (r16 optimization, guide §2.6 "overlap independent jobs"):
+    * the sparse chain (seed collect → postings → dfs → score → top-k)
+    * and the dense probe chain are independent until the fusion join,
+    * but one action executes them as a single serialized stage DAG —
+    * ~30 sub-second stages back to back, leaving most cores idle in
+    * every stage tail. Each side reduces to an nSeeds×k frame, so both
+    * are materialized (localCheckpoint) from a 2-thread pool — the
+    * parameter-BOUNDED class of frame the r15 10× A/Bs kept (p99), not
+    * a corpus-scale one — and the fusion joins two tiny local frames.
+    * Row-identical to [[hybridRrfWith]] by construction (same two
+    * rankings, same fusion — spec-pinned in SearchOpsSpec); the pool is
+    * created inside the call so Spark's inheritable job group/
+    * description still reach the submitted jobs. */
+  def hybridRrfConcurrent(docs: DataFrame, dense0: DataFrame, nSeeds: Int,
+                          k: Int = 10, kRrf: Int = 60): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val denseF = Future(
+        dense0.select(col("qid"), col("nid").as("id"), col("rn").as("rd"))
+          .localCheckpoint(true))
+      val sparseF = Future(sparseRanking(docs, nSeeds, k).localCheckpoint(true))
+      rrfFuse(Await.result(sparseF, Duration.Inf),
+        Await.result(denseF, Duration.Inf), k, kRrf)
+    } finally pool.shutdown()
+  }
+
+  /** The BM25 more-like-this ranking of [[hybridRrfWith]]'s sparse side
+    * as a (qid, id, rs) top-k frame: seed queries are a bounded driver
+    * collect, ranking is [[bm25Batch]]. */
+  private def sparseRanking(docs: DataFrame, nSeeds: Int, k: Int): DataFrame = {
     val seeds: Seq[(Int, Seq[String])] = docs
       .filter(col("doc_id") < nSeeds)
       .select(col("doc_id"),
@@ -371,11 +408,16 @@ object SearchOps {
         Option(r.getSeq[String](1)).getOrElse(Seq.empty)))
       .filter(_._2.nonEmpty)
       .sortBy(_._1).toSeq
-    val sparse = bm25Batch(docs, seeds, k)
+    bm25Batch(docs, seeds, k)
       .select(col("qid").cast("long").as("qid"),
         col("doc_id").as("id"), col("rn").as("rs"))
-    val dense = dense0
-      .select(col("qid"), col("nid").as("id"), col("rn").as("rd"))
+  }
+
+  /** The integer micro-unit RRF fusion shared by both hybrid faces —
+    * ONE spelling (the bm25CoreSql discipline). */
+  private def rrfFuse(sparse: DataFrame, dense: DataFrame,
+                      k: Int, kRrf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def rrfMicro(rn: Column): Column =
       round(lit(1000000.0) / (lit(kRrf) + rn.cast("double"))).cast("long")
     val w = Window.partitionBy(col("qid"))

@@ -33,6 +33,15 @@ object TextOps {
       graft.functions.Md5SliceExpr(
         org.apache.spark.sql.GraftColumnBridge.toExpression(c), pos, len))
 
+  /** `unhex(md5(c))` as one digest-bytes kernel — the INTERNAL-key
+    * spelling of md5 ([[graft.functions.Md5BinExpr]], r16): half the
+    * shuffle bytes of the hex string, bijective with it, so grouping/
+    * window decisions are identical. Never for oracle-visible columns. */
+  def md5Bin(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Md5BinExpr(
+        org.apache.spark.sql.GraftColumnBridge.toExpression(c)))
+
   /** DuckDB rendering of [[md5Bucket]]. */
   def md5BucketSql(expr: String, mod: Long): String =
     s"(('0x'||substr(md5($expr),1,6))::UBIGINT)::BIGINT % $mod"

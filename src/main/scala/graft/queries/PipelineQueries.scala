@@ -832,9 +832,17 @@ object PipelineQueries {
 
     // ---- CCNet-style perplexity gate: hashed bigram LM trained on the
     //      heuristic-quality seed slice, per-language head/middle/tail
-    //      terciles; model broadcasts, corpus never shuffles to score ----
+    //      terciles. r16 (guide §2.3/§2.4, the p52/p61/p65 move): the
+    //      face rides the TRAINED-LM artifact (pplMapsFor — p83's maps)
+    //      + map-only ppl_bits scoring + the lang window, dropping the
+    //      batch spelling's corpus-sized (doc, b1, b12) pre-aggregate,
+    //      eager checkpoint, two model joins, per-doc rollup and doc
+    //      rejoin. ModelOps.pplGate is spec-pinned ≡ bigramPerplexity
+    //      (full 7-column output, NULL-text edge included), and the
+    //      unchanged DuckDB oracle re-proves it per run ----
     "p55_ppl_filter" -> ((s, dir) => {
-      ModelOps.bigramPerplexity(Tables.loadSpread(s, dir, "documents"))
+      val (m12, m1) = pplMapsFor(s, dir)
+      ModelOps.pplGate(Tables.loadSpread(s, dir, "documents"), m12, m1)
         .orderBy(col("doc_id"))
     }),
 
@@ -1346,7 +1354,10 @@ object PipelineQueries {
       val emb = Tables.load(s, dir, "embeddings")
       val (km, assigned) = ivfIndexFor(s, dir, ivfNlistFor(s, dir))
       hybridCenters.set(km.clusterCenters.map(_.toArray))
-      SearchOps.hybridRrfWith(
+      // r16 (guide §2.6): the sparse BM25 chain and the dense IVF probe
+      // are independent until the fusion — run them as concurrent jobs
+      // (row-identical, spec-pinned; SearchOps.hybridRrfConcurrent)
+      SearchOps.hybridRrfConcurrent(
         Tables.loadSpread(s, dir, "documents"),
         SimilarityOps.ivfTopKWith(km, assigned,
           emb.filter(col("vec_id") < 5), 10, nprobe = 4),

@@ -614,6 +614,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(full(9L) == 9L)
   }
 
+  test("uncapped pair join: sizes ride map-side — one join, no sizes rejoin (r16)") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} t${i}a t${i}b t${i}c"))
+      .toDF("doc_id", "text")
+    val df = DedupOps.ngramJaccardPairs(docs, 0.5, capFrac = None)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 1,
+      s"uncapped path must keep exactly the shingle self-join, got ${joins.size}")
+    // and the size-compat prefilter must not change the result set:
+    // compare against a by-hand Jaccard over collected shingle sets
+    val sets = DedupOps.shingles(docs, 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys; if a < b
+      c = (sets(a) & sets(b)).size
+      j = c.toDouble / (sets(a).size + sets(b).size - c)
+      if j >= 0.5
+    } yield (a, b, j)).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+  }
+
   test("incremental refresh: the absolute-df cap kills the hot-shingle fan-out") {
     import spark.implicits._
     // every doc shares one boilerplate shingle ('copy right notice') —

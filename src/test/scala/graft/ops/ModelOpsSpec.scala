@@ -132,6 +132,26 @@ class ModelOpsSpec extends SparkSpec {
     assert(filtered == batch) // ...and the declared filter drops it
   }
 
+  test("pplGate == bigramPerplexity (p55's r16 binding: full 7-column output, empty + NULL text edges)") {
+    import spark.implicits._
+    // empty text = one empty token (the engines' shared split contract);
+    // NULL text = batch explode yields no rows and na.fill(0) restores
+    // the doc — pplGate's coalesces must replay exactly that
+    val edge = langCorpus.union(
+      Seq((100L, "", "en"), (101L, null.asInstanceOf[String], "de")).toDF())
+    val (m12, m1) = ModelOps.bigramLmMaps(edge)
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getInt(5), r.getBoolean(6)))
+    val cols = Seq("doc_id", "lang", "n_big", "qsum", "bpt_milli",
+      "tercile", "keep").map(col)
+    val gate = ModelOps.pplGate(edge, m12, m1)
+      .select(cols: _*).collect().map(key).toMap
+    val batch = ModelOps.bigramPerplexity(edge)
+      .select(cols: _*).collect().map(key).toMap
+    assert(gate == batch)
+  }
+
   test("ppl_bits scalar face == batch LM scoring (p83's binding)") {
     val (m12, m1) = ModelOps.bigramLmMaps(langCorpus)
     def key(r: org.apache.spark.sql.Row) =
