@@ -43,6 +43,38 @@ object PlanDump {
         case "jaccard_capped" =>
           ops.DedupOps.ngramJaccardPairs(
             docs, graft.queries.PipelineQueries.NearDupTau)
+        case "dsir_preagg" =>
+          // p44's (doc, bucket) pre-aggregate in dsirScores' exact
+          // spelling, minus the localCheckpoint that hides it from the
+          // declared query's plan (VERDICT r15 #8: the committed p44
+          // plan pair showed neither hash spelling)
+          val w = col("__w")
+          docs
+            .select(col("doc_id"),
+              (col("lang") === ops.SampleOps.DsirTargetLang).as("__tgt"),
+              ops.TextOps.tokens(col("text")).as("__w"))
+            .select(col("doc_id"), col("__tgt"),
+              explode(concat(w, graft.functions.TextExprs.ngrams(w, 2))).as("__g"))
+            .select(col("doc_id"), col("__tgt"),
+              ops.SampleOps.dsirBucket(col("__g")).as("b"))
+            .groupBy("doc_id", "b", "__tgt")
+            .agg(count(lit(1)).as("__k"))
+        case "dsir_preagg_composed" =>
+          // the PRE-r15 composed bucket spelling of the same frame —
+          // the reference side of the p44 plan pair (value-identical,
+          // Md5SliceSpec-pinned)
+          val w = col("__w")
+          docs
+            .select(col("doc_id"),
+              (col("lang") === ops.SampleOps.DsirTargetLang).as("__tgt"),
+              ops.TextOps.tokens(col("text")).as("__w"))
+            .select(col("doc_id"), col("__tgt"),
+              explode(concat(w, graft.functions.TextExprs.ngrams(w, 2))).as("__g"))
+            .select(col("doc_id"), col("__tgt"),
+              (conv(substring(md5(col("__g")), 1, 6), 16, 10).cast("long") %
+                ops.SampleOps.DsirBuckets).as("b"))
+            .groupBy("doc_id", "b", "__tgt")
+            .agg(count(lit(1)).as("__k"))
         case other => sys.error(s"unknown frame: $other")
       }
     }
