@@ -513,16 +513,27 @@ object DedupOps {
           .filter(col("df") <= least(greatest(ceil(lit(frac) * col("ndocs")),
             lit(StopShingleMinDf)), lit(StopShingleMaxDf)))
           .select("doc_id", "s")
-        val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val common = pruned.as("a").join(pruned.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        // r16 (the uncapped branch's device, capped edition): the
+        // per-doc size of the PRUNED universe rides every row via one
+        // doc_id window — pruned.groupBy(doc_id).count by another name
+        // — so the two sizes subtrees (each a full re-run of the
+        // tokenize→shingle→df-window pipeline above the reused
+        // exchange) and their two joins disappear, and the exact
+        // size-compatibility prefilter (min/max with the j filter's own
+        // double division — see the None branch) drops pairs before
+        // the (da, db) count exchange. j spelling and result set are
+        // unchanged; the p02/p96/cluster oracles re-prove it.
+        val withN = pruned.withColumn("n",
+          count(lit(1)).over(Window.partitionBy("doc_id")).cast("long"))
+        withN.as("a").join(withN.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+              least(col("a.n"), col("b.n")).cast("double") /
+                greatest(col("a.n"), col("b.n")) >= tau)
+          .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.n").as("na"), col("b.n").as("nb"))
           .agg(count(lit(1)).as("c"))
-        common
-          .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-          .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
           .select(col("da"), col("db"),
-            (col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))).as("j"))
+            (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("j"))
           .filter(col("j") >= tau)
       case None =>
         // r16 optimization (guide §2.3 — shuffle fewer bytes / filter
